@@ -1,0 +1,418 @@
+"""Query registry: every implemented operator as a (Spark callable, DuckDB
+oracle SQL) pair — the surface the driver's correctness gate checks
+(``__spark_entry__.queries`` / ``oracle_sql``).
+
+Conventions that make the cross-engine compare EXACT (not approximate):
+
+* Aggregation of arbitrary doubles is order-dependent in IEEE float math, so
+  both sides cast aggregation inputs to ``DECIMAL(28,10)`` and cast the sum
+  back to double — exact summation, identical bits regardless of
+  partitioning or engine.  (At scale this is also a real feature: money
+  aggregates that don't drift with the shuffle layout.)
+* Division/multiplication of bit-identical doubles is bit-identical in both
+  engines, so ratios (ihc, CPO, ROAS) need no special handling once their
+  inputs match.
+* Timestamps are emitted as epoch-microsecond BIGINTs or formatted strings —
+  never raw timestamp columns — to remove precision/timezone ambiguity.
+* Window attribution scores are exact binary fractions (1.0/2.0/4.0), so
+  their window sums are exact in any order.
+* Every computed column is aliased identically in the Spark chain and the
+  oracle SQL (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import attribution as attr
+from .operators import journeys as jny
+from .operators import report as rpt
+from . import roles
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+# registry: name -> (spark_callable, oracle_sql | None)
+_REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact order-independent sum: cast to decimal, sum, back to double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(28,10)")).cast("double")
+
+
+#: SQL twin of :func:`dsum`
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE)"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = roles.load_events(spark, sf_dir)
+    return jny.build_journeys(
+        roles.conversions_from_events(events), roles.sessions_from_events(events)
+    )
+
+
+# common oracle CTE prelude: the role mapping + the journey join
+_SQL_PRELUDE = f"""
+WITH sessions AS ({roles.SQL_SESSIONS}),
+conversions AS ({roles.SQL_CONVERSIONS}),
+costs AS ({roles.SQL_COSTS}),
+journeys AS (
+    SELECT c.conv_id AS conversion_id,
+           s.session_id,
+           s.ts,
+           s.channel_name AS channel_label,
+           s.holder_engagement,
+           s.closer_engagement,
+           CAST(0 AS INTEGER) AS conversion,
+           s.impression_interaction,
+           c.conv_ts,
+           c.revenue
+    FROM conversions c
+    JOIN sessions s
+      ON s.user_id = c.user_id AND s.ts <= c.conv_ts
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# journey construction (SURVEY.md §2.4 — the as-of/prefix join)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "journeys_build",
+    _SQL_PRELUDE
+    + """
+SELECT conversion_id,
+       session_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       channel_label,
+       holder_engagement,
+       closer_engagement,
+       conversion,
+       impression_interaction
+FROM journeys
+""",
+)
+def q_journeys_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of journey join (reference cj_builder.py:81-113) — every session of
+    the conversion's user at-or-before the conversion time."""
+    j = _journeys(spark, sf_dir)
+    return j.select(
+        "conversion_id",
+        "session_id",
+        F.unix_micros("timestamp").alias("ts_us"),
+        "channel_label",
+        "holder_engagement",
+        "closer_engagement",
+        "conversion",
+        "impression_interaction",
+    )
+
+
+@register(
+    "journeys_date_window",
+    _SQL_PRELUDE
+    + """
+SELECT conversion_id,
+       session_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       channel_label
+FROM journeys
+WHERE CAST(conv_ts AS DATE) >= DATE '2024-01-10'
+  AND CAST(conv_ts AS DATE) <= DATE '2024-01-20'
+""",
+)
+def q_journeys_date_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusive date-range predicate on the conversion date (reference
+    cj_builder.py:45-53; bounds inclusive both ends)."""
+    events = roles.load_events(spark, sf_dir)
+    j = jny.build_journeys(
+        roles.conversions_from_events(events),
+        roles.sessions_from_events(events),
+        start_date="2024-01-10",
+        end_date="2024-01-20",
+    )
+    return j.select(
+        "conversion_id",
+        "session_id",
+        F.unix_micros("timestamp").alias("ts_us"),
+        "channel_label",
+    )
+
+
+# --------------------------------------------------------------------------
+# attribution family (SURVEY.md §2.8)
+# --------------------------------------------------------------------------
+
+_SQL_ATTR_PRELUDE = _SQL_PRELUDE
+
+
+@register(
+    "attr_linear",
+    _SQL_ATTR_PRELUDE
+    + """
+SELECT conversion_id,
+       session_id,
+       1.0 / COUNT(*) OVER (PARTITION BY conversion_id) AS ihc
+FROM journeys
+""",
+)
+def q_attr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attr.attribute_linear(_journeys(spark, sf_dir))
+
+
+@register(
+    "attr_last_touch",
+    _SQL_ATTR_PRELUDE
+    + """
+SELECT conversion_id,
+       session_id,
+       CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY conversion_id ORDER BY ts DESC, session_id DESC
+            ) = 1 THEN 1.0 ELSE 0.0 END AS ihc
+FROM journeys
+""",
+)
+def q_attr_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attr.attribute_last_touch(_journeys(spark, sf_dir))
+
+
+@register(
+    "attr_first_touch",
+    _SQL_ATTR_PRELUDE
+    + """
+SELECT conversion_id,
+       session_id,
+       CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY conversion_id ORDER BY ts ASC, session_id ASC
+            ) = 1 THEN 1.0 ELSE 0.0 END AS ihc
+FROM journeys
+""",
+)
+def q_attr_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attr.attribute_first_touch(_journeys(spark, sf_dir))
+
+
+@register(
+    "attr_position_engagement",
+    _SQL_ATTR_PRELUDE
+    + """
+, scored AS (
+    SELECT conversion_id, session_id,
+           CASE
+             WHEN ROW_NUMBER() OVER w = 1 THEN 2.0
+             WHEN ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY conversion_id)
+                  THEN 2.0 * (1.0 + closer_engagement)
+             ELSE 1.0 * (1.0 + holder_engagement)
+           END AS raw
+    FROM journeys
+    WINDOW w AS (PARTITION BY conversion_id ORDER BY ts ASC, session_id ASC)
+)
+SELECT conversion_id, session_id,
+       raw / SUM(raw) OVER (PARTITION BY conversion_id) AS ihc
+FROM scored
+""",
+)
+def q_attr_position_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attr.attribute_position_engagement(_journeys(spark, sf_dir))
+
+
+@register(
+    "ihc_normalize",
+    _SQL_ATTR_PRELUDE
+    + """
+, raw_attr AS (
+    SELECT conversion_id, session_id,
+           (session_id % 7 + 1) / 4.0 AS ihc
+    FROM journeys
+)
+SELECT conversion_id, session_id,
+       CASE WHEN ABS(SUM(ihc) OVER w - 1.0) > 0.0001
+             AND SUM(ihc) OVER w <> 0.0
+            THEN ihc / SUM(ihc) OVER w
+            ELSE ihc END AS ihc
+FROM raw_attr
+WINDOW w AS (PARTITION BY conversion_id)
+""",
+)
+def q_ihc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped tolerance-gated renormalization (reference api_client.py:79-107)
+    over a synthetic raw attribution (exact binary fractions, so the window
+    sums are order-independent)."""
+    j = _journeys(spark, sf_dir)
+    raw = j.select(
+        "conversion_id",
+        "session_id",
+        ((F.col("session_id") % 7 + 1) / 4.0).alias("ihc"),
+    )
+    return attr.normalize_ihc(raw)
+
+
+@register(
+    "attribution_verify",
+    _SQL_ATTR_PRELUDE
+    + """
+, scored AS (
+    SELECT conversion_id, session_id,
+           CASE
+             WHEN ROW_NUMBER() OVER w = 1 THEN 2.0
+             WHEN ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY conversion_id)
+                  THEN 2.0 * (1.0 + closer_engagement)
+             ELSE 1.0 * (1.0 + holder_engagement)
+           END AS raw
+    FROM journeys
+    WINDOW w AS (PARTITION BY conversion_id ORDER BY ts ASC, session_id ASC)
+), attributed AS (
+    SELECT conversion_id, session_id,
+           raw / SUM(raw) OVER (PARTITION BY conversion_id) AS ihc
+    FROM scored
+)
+SELECT conversion_id,
+       {dsum} AS ihc_sum,
+       CAST(ABS({dsum} - 1.0) <= 0.0001 AS INTEGER) AS is_valid
+FROM attributed
+GROUP BY conversion_id
+""".replace("{dsum}", _dsum_sql("ihc")),
+)
+def q_attribution_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-write invariant check (reference api_client.py:254-268): Σihc per
+    conversion + conforming flag.  Decimal-exact sum so the flag is stable."""
+    a = attr.attribute_position_engagement(_journeys(spark, sf_dir))
+    return a.groupBy("conversion_id").agg(
+        dsum("ihc").alias("ihc_sum"),
+        (F.abs(dsum("ihc") - 1.0) <= 0.0001).cast("int").alias("is_valid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# channel report (SURVEY.md §2.5 — the flagship)
+# --------------------------------------------------------------------------
+
+_SQL_REPORT = (
+    _SQL_PRELUDE
+    + """
+, scored AS (
+    SELECT conversion_id, session_id,
+           CASE
+             WHEN ROW_NUMBER() OVER w = 1 THEN 2.0
+             WHEN ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY conversion_id)
+                  THEN 2.0 * (1.0 + closer_engagement)
+             ELSE 1.0 * (1.0 + holder_engagement)
+           END AS raw
+    FROM journeys
+    WINDOW w AS (PARTITION BY conversion_id ORDER BY ts ASC, session_id ASC)
+), attributed AS (
+    SELECT conversion_id, session_id,
+           raw / SUM(raw) OVER (PARTITION BY conversion_id) AS ihc
+    FROM scored
+), session_data AS (
+    SELECT s.session_id, s.channel_name, CAST(s.ts AS DATE) AS date,
+           COALESCE(co.cost, 0.0) AS cost
+    FROM sessions s LEFT JOIN costs co ON s.session_id = co.session_id
+), attribution_data AS (
+    SELECT sd.channel_name, sd.date, sd.cost, a.ihc,
+           a.ihc * c.revenue AS ihc_revenue
+    FROM session_data sd
+    JOIN attributed a ON sd.session_id = a.session_id
+    JOIN conversions c ON a.conversion_id = c.conv_id
+), channel_date_report AS (
+    SELECT channel_name, date,
+           {dsum_cost} AS cost,
+           {dsum_ihc} AS ihc,
+           {dsum_rev} AS ihc_revenue
+    FROM attribution_data
+    GROUP BY channel_name, date
+)
+SELECT channel_name, date, cost, ihc, ihc_revenue,
+       CASE WHEN ihc <> 0.0 THEN cost / ihc ELSE 0.0 END AS CPO,
+       CASE WHEN cost <> 0.0 THEN ihc_revenue / cost ELSE 0.0 END AS ROAS
+FROM channel_date_report
+""".replace("{dsum_cost}", _dsum_sql("cost"))
+    .replace("{dsum_ihc}", _dsum_sql("ihc"))
+    .replace("{dsum_rev}", _dsum_sql("ihc_revenue"))
+)
+
+
+def _report_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = roles.load_events(spark, sf_dir)
+    sessions = roles.sessions_from_events(events)
+    conversions = roles.conversions_from_events(events)
+    costs = roles.session_costs_from_events(events)
+    j = jny.build_journeys(conversions, sessions)
+    a = attr.attribute_position_engagement(j)
+    return rpt.channel_report(sessions, costs, a, conversions, exact_sums=True)
+
+
+@register("channel_report", _SQL_REPORT)
+def q_channel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full 3-step pipeline ending in the reference's 3-CTE
+    report (channel_reporter.py:33-118) — cost / attributed conversions /
+    attributed revenue / CPO / ROAS per (channel, day)."""
+    return _report_df(spark, sf_dir)
+
+
+@register(
+    "report_summary",
+    "WITH report AS ("
+    + _SQL_REPORT
+    + """
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {dsum_cost} AS total_cost,
+       {dsum_rev} AS total_ihc_revenue,
+       CAST(SUM(CASE WHEN CPO > 0 THEN CAST(CPO AS DECIMAL(28,10)) END) AS DOUBLE)
+           / COUNT(CASE WHEN CPO > 0 THEN 1 END) AS avg_cpo,
+       CAST(SUM(CASE WHEN ROAS > 0 THEN CAST(ROAS AS DECIMAL(28,10)) END) AS DOUBLE)
+           / COUNT(CASE WHEN ROAS > 0 THEN 1 END) AS avg_roas
+FROM report
+""".replace("{dsum_cost}", _dsum_sql("cost"))
+    .replace("{dsum_rev}", _dsum_sql("ihc_revenue")),
+)
+def q_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary aggregates over the report (reference
+    channel_reporter.py:133-151): totals + filtered means (SURVEY.md §2.5)."""
+    report = _report_df(spark, sf_dir)
+    return report.agg(
+        F.count("*").alias("n_rows"),
+        dsum("cost").alias("total_cost"),
+        dsum("ihc_revenue").alias("total_ihc_revenue"),
+        (
+            F.sum(F.when(F.col("CPO") > 0, F.col("CPO").cast("decimal(28,10)"))).cast(
+                "double"
+            )
+            / F.count(F.when(F.col("CPO") > 0, 1))
+        ).alias("avg_cpo"),
+        (
+            F.sum(
+                F.when(F.col("ROAS") > 0, F.col("ROAS").cast("decimal(28,10)"))
+            ).cast("double")
+            / F.count(F.when(F.col("ROAS") > 0, 1))
+        ).alias("avg_roas"),
+    )

@@ -1,0 +1,98 @@
+"""Readers and writers (SURVEY.md §2.1).
+
+The reference moves data through a single SQLite file and CSV interchange
+files (reference pipeline/db_operations.py:46-69, cj_builder.py:130,
+run_pipeline.py:98).  Spark-native mapping:
+
+* table scan            -> ``spark.read.parquet`` (lazy; pushdown + pruning)
+* df.to_sql(append)     -> ``df.write.mode("append")``
+* DELETE + INSERT loop  -> ``df.write.mode("overwrite")`` — atomic, and fixes
+  the reference's per-chunk-truncation bug (api_client.py:139 runs inside
+  every chunk, erasing prior chunks; SURVEY.md §3.1 step 5)
+* CSV source/sink       -> schema'd CSV reader / header CSV writer
+* real external DBs     -> JDBC reader (stub below; no JDBC driver jar ships
+  in this container, so it is config-gated)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Lazy parquet scan. Column pruning / predicate pushdown are Catalyst's
+    job — callers just select/filter and the scan narrows (check with
+    ``df.explain``: ``PushedFilters`` / ``ReadSchema``)."""
+    return spark.read.parquet(path)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md)."""
+    return read_parquet_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema'd CSV read — never infer (inference scans the file twice and
+    guesses; the reference's CSV round-trip silently re-types timestamps,
+    run_pipeline.py:98)."""
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink (reference cj_builder.py:130, channel_reporter.py:130).
+
+    ``single_file=True`` coalesces to one partition for small exports only —
+    at scale, always write partitioned.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Primary sink. ``partition_by=['date']`` gives partition pruning for the
+    date-range re-runs the reference does with DELETE+INSERT idempotency
+    (channel_reporter.py:99); use dynamic partition overwrite for ranged
+    re-runs at scale."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source for real databases (the reference's SQLite role).
+
+    Partitioned reads (partition_column + bounds) parallelize the scan across
+    executors; without them JDBC reads are single-stream. Requires the
+    appropriate JDBC driver jar on the classpath — not bundled here.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
