@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_engineering_challenge_spark import queries as _q  # noqa: E402
 
+# importing these modules populates the registry in `queries`
+from data_engineering_challenge_spark import queries_relational  # noqa: E402,F401
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.

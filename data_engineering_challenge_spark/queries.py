@@ -61,9 +61,13 @@ def dsum(col: Column | str) -> Column:
     return F.sum(c.cast("decimal(28,10)")).cast("double")
 
 
-#: SQL twin of :func:`dsum`
+#: SQL twin of :func:`dsum`.  The final decimal->double conversion goes
+#: through VARCHAR because DuckDB's direct DECIMAL->DOUBLE cast is not
+#: correctly rounded once the scaled int128 exceeds 2^53 (int128->double,
+#: then a divide — two roundings); the string path is correctly rounded and
+#: therefore bit-identical to Spark's BigDecimal->double.
 def _dsum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -387,9 +391,9 @@ def q_channel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        {dsum_cost} AS total_cost,
        {dsum_rev} AS total_ihc_revenue,
-       CAST(SUM(CASE WHEN CPO > 0 THEN CAST(CPO AS DECIMAL(28,10)) END) AS DOUBLE)
+       CAST(CAST(SUM(CASE WHEN CPO > 0 THEN CAST(CPO AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE)
            / COUNT(CASE WHEN CPO > 0 THEN 1 END) AS avg_cpo,
-       CAST(SUM(CASE WHEN ROAS > 0 THEN CAST(ROAS AS DECIMAL(28,10)) END) AS DOUBLE)
+       CAST(CAST(SUM(CASE WHEN ROAS > 0 THEN CAST(ROAS AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE)
            / COUNT(CASE WHEN ROAS > 0 THEN 1 END) AS avg_roas
 FROM report
 """.replace("{dsum_cost}", _dsum_sql("cost"))

@@ -1,0 +1,492 @@
+"""Relational operator coverage (SURVEY.md §2.2-§2.6) over the TPC-H-ish
+driver testdata: scans with pushdown, star joins (broadcast dims), hash
+aggregation, windows (rank / lead-lag / running totals), rollup, semi/anti
+joins, sessionization (gaps-and-islands), JSON extraction.
+
+Each query exists because the reference implements — or our engine API
+exposes (SURVEY.md §2.4 'Not present ... we expose them') — the operator it
+exercises.  Aggregates follow the decimal-exact convention from queries.py.
+
+Scale notes are per-query docstrings; the common themes:
+* dimension tables (region/nation/supplier/part/customer) are broadcast —
+  verified in the plan (BroadcastHashJoin) — so fact-side data never
+  shuffles for enrichment;
+* group-bys ride partial aggregation; low-cardinality keys do ~all work
+  map-side;
+* top-k = rank-within-partition + filter (no global sort), or global
+  orderBy().limit(k) which Spark executes as TakeOrderedAndProject (no
+  full sort at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import _dsum_sql, dsum, register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# scans + filters + group-agg (the reference's §2.5 shapes, TPC-H Q1 form)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_dsum_sql('l_quantity')} / COUNT(*) AS avg_qty,
+       {_dsum_sql('l_extendedprice')} / COUNT(*) AS avg_price,
+       {_dsum_sql('l_discount')} / COUNT(*) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan (predicate pushes to parquet) + 2-key
+    hash agg with 8 aggregates.  Partial agg does all heavy lifting
+    map-side; output is 6 rows regardless of input scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# star joins + top-k (global)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_top_orders",
+    f"""
+SELECT o.o_orderkey,
+       {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> star join -> agg -> global
+    top-k.  customer is broadcast; the top-10 runs as
+    TakeOrderedAndProject (per-partition heap + driver merge, no full
+    sort).  Deterministic: revenue is decimal-exact and ties break on
+    o_orderkey."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    f"""
+SELECT n.n_name,
+       {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with a co-nation residual.  All
+    dims broadcast; lineitem (the only big fact) never shuffles until the
+    final 5-row agg."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == li["l_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "brand_revenue",
+    f"""
+SELECT p.p_brand,
+       s.s_name,
+       {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY p.p_brand, s.s_name
+""",
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-two-dims enrichment: both dims broadcast, so the fact scan
+    streams through two BroadcastHashJoins inside one codegen stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("p_brand", "s_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# semi / anti joins (engine API surface; SURVEY.md §2.4 'Not present')
+# --------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_big_orders",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+)
+""",
+)
+def semi_join_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (the reference's isin-chunk selection at
+    api_client.py:187, distributed form)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "anti_join_quiet_customers",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+""",
+)
+def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders since 2000."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# windows: rank-per-group top-k, lead/lag running totals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top3_customers_per_nation",
+    f"""
+WITH cust_rev AS (
+    SELECT c.c_nationkey, c.c_custkey, c.c_name,
+           {_dsum_sql('o.o_totalprice')} AS revenue
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, c.c_custkey, c.c_name
+), ranked AS (
+    SELECT n.n_name, cr.c_custkey, cr.c_name, cr.revenue,
+           ROW_NUMBER() OVER (
+               PARTITION BY n.n_name ORDER BY cr.revenue DESC, cr.c_custkey ASC
+           ) AS rank_in_nation
+    FROM cust_rev cr JOIN nation n ON n.n_nationkey = cr.c_nationkey
+)
+SELECT n_name, c_custkey, c_name, revenue, rank_in_nation
+FROM ranked WHERE rank_in_nation <= 3
+""",
+)
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: rank within partition + filter — no global sort,
+    shuffles once on the partition key (SURVEY.md §2.6 ranking row)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    cust_rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        cust_rev.join(F.broadcast(n), cust_rev["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", "c_custkey", "c_name", "revenue")
+        .withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+    )
+
+
+@register(
+    "daily_type_running_total",
+    f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           {_dsum_sql('value')} AS daily_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, day, daily_value, n_events,
+       CAST(CAST(SUM(CAST(daily_value AS DECIMAL(28,10))) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS VARCHAR) AS DOUBLE) AS running_value,
+       CAST(COALESCE(LAG(daily_value) OVER (
+           PARTITION BY event_type ORDER BY day), 0.0) AS DOUBLE) AS prev_day_value
+FROM daily
+""",
+)
+def daily_type_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-window coverage: running total (cumulative frame) + lag —
+    the rolling-metric shapes SURVEY.md §2.6 lists as engine surface."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(dsum("value").alias("daily_value"), F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "daily_value",
+        "n_events",
+        F.sum(F.col("daily_value").cast("decimal(28,10)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+        F.coalesce(F.lag("daily_value").over(wl), F.lit(0.0))
+        .cast("double")
+        .alias("prev_day_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rollup / grouping sets
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_rollup",
+    f"""
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       {_dsum_sql('value')} AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+""",
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (SURVEY.md §2.5 'Built-in if ever needed'): subtotal rows per
+    event_type and a grand total, one pass."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    return events.rollup("event_type", F.to_date("ts").alias("day")).agg(
+        dsum("value").alias("total_value"), F.count("*").alias("n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# sessionization (gaps-and-islands) + JSON extraction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       CAST(session_no AS BIGINT) AS session_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS end_us
+FROM numbered
+GROUP BY user_id, session_no
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as gaps-and-islands: 30-min inactivity gap starts a
+    new session (lag + cumulative sum — one shuffle on user_id).  The
+    streaming twin uses F.session_window (streaming/incremental.py)."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = 30 * 60 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > gap_us)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.select(
+        "user_id", "ts", F.sum("is_new").over(wc).alias("session_no")
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+    )
+
+
+@register(
+    "events_json_props",
+    f"""
+SELECT event_type,
+       {_dsum_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS total_k,
+       {_dsum_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)")} / COUNT(*) AS avg_k,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling (SURVEY.md §2.3): get_json_object on the
+    events.props payload + aggregation.  At scale, prefer from_json with an
+    explicit schema once the payload shape is known — get_json_object
+    re-parses per extraction."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        dsum(k).alias("total_k"),
+        (dsum(k) / F.count("*")).alias("avg_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "distinct_users_per_type",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (reference cj_builder.py:132 nunique).  At
+    100 TB prefer approx_count_distinct (HLL) — exact distinct is a full
+    shuffle of the distinct pairs; kept exact here for oracle parity."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
