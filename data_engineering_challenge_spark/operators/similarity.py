@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10 ✚):
+brute-force cosine top-k as the exact baseline, LSH-bucketed ANN as the
+scale path.
+
+Math is pure column expressions: ``F.zip_with`` elementwise product +
+``F.aggregate`` sequential fold for dot products — JVM-side, codegen'd, and
+(deliberately) the same left-to-right fold order DuckDB's ``list_sum`` uses,
+so oracle comparison is bit-exact.  No UDFs.
+
+Scale design:
+* brute-force = |Q| × |C| pairs: right for small query sets / reranking.
+  The join is a broadcast of the (tiny) query side against the corpus —
+  corpus never shuffles.
+* sign-random-projection LSH buckets cut candidate generation to matching
+  buckets (Hamming-similar sign patterns), the standard ANN trade: recall
+  for throughput.  Projections are derived from md5 bits — deterministic,
+  engine-portable, no stored model.
+* at real 100 TB scale the next step is IVF (k-means coarse quantizer via
+  MLlib KMeans) — same bucket-join shape, learned buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two float arrays, in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (self-match
+    excluded).  Query side is broadcast; ranking is per-query row_number
+    with a deterministic (cosine DESC, candidate id ASC) order.
+    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — embedding-space
+    near-duplicate detection.  Brute-force form; LSH-bucket first at scale
+    (compose with lsh_sign_buckets)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _projection_component(seed: int, dim: int) -> Column:
+    """Deterministic pseudo-random ±1 from md5(seed:dim) — bit 0 of the
+    hash's first hex nibble decides the sign."""
+    h = F.conv(F.substring(F.md5(F.lit(f"{seed}:{dim}")), 1, 4), 16, 10).cast("int")
+    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_sign_buckets(
+    corpus: DataFrame,
+    num_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection LSH: bucket = the sign pattern of ``num_bits``
+    fixed ±1 projections.  Vectors in the same bucket are likely
+    angle-close; ANN = exact search within (query's bucket ∪ neighbors).
+    Returns (id, bucket) with bucket an int in [0, 2^num_bits)."""
+    v = F.col(vec_col)
+    bucket = None
+    for bit in range(num_bits):
+        comps = F.array(*[_projection_component(bit, d) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(v, comps, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(proj > 0, F.lit(2**bit)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return corpus.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def ann_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: restrict the exact search to same-bucket
+    candidates.  Trades recall for candidate-set size exactly like a
+    production ANN index; bucket count tunes the trade."""
+    cb = lsh_sign_buckets(corpus, num_bits, dim, id_col, vec_col).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    qb = lsh_sign_buckets(queries, num_bits, dim, id_col, vec_col).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
+        cb, "neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
+        qb, "query_id"
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (c["bucket"] == q["bucket"]),
+        )
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,143 @@
+"""Text analysis operators (SURVEY.md §2.10 ✚ north-star extensions) over a
+``documents(doc_id, text, ...)`` relation.
+
+All hot-path logic is JVM-side column expressions (split / transform /
+filter / md5 — whole-stage codegen, no Python UDFs), so these scale as plain
+map work: no shuffle at all until an aggregation asks for one.  Each helper
+returns Columns or a DataFrame with deterministic results so the DuckDB
+oracles can reproduce them exactly.
+
+Design note on hashing: every hash here is **md5 of an explicit string** —
+not Spark's ``hash()``/``xxhash64`` — because md5 is identical across
+engines (and across Spark versions), which makes signatures, fingerprints
+and LSH buckets portable and oracle-checkable.  At 100 TB the md5-per-token
+cost is real but embarrassingly parallel; swap in xxhash64 via ``hash_fn``
+if cross-engine portability is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny English stopword list used by the quality/lang heuristics; must stay
+#: in sync with the SQL twin in queries_text.py
+EN_STOPWORDS = ("the", "a")
+
+
+def tokens(text: Column | str = "text") -> Column:
+    """Whitespace tokenization (the corpus is single-space separated; for
+    messy corpora swap in F.split on ``\\s+``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; empty array when the doc has < n tokens."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    parts = lambda i: [toks[i + j] for j in range(n)]  # noqa: E731
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc token statistics: counts, unique counts, type-token ratio,
+    average token length (single pass, no shuffle)."""
+    t = tokens()
+    n_tokens = F.size(t)
+    n_chars = F.length("text")
+    n_unique = F.size(F.array_distinct(t))
+    # single-space separated => total token chars = chars - (n_tokens - 1)
+    avg_token_len = (n_chars - (n_tokens - 1)) / n_tokens
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars_actual"),
+        n_unique.alias("n_unique_tokens"),
+        (n_unique / n_tokens).alias("ttr"),
+        avg_token_len.alias("avg_token_len"),
+    )
+
+
+def stopword_count(toks: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    pred = None
+    for w in stopwords:
+        p = F.lit(w)
+        pred = p if pred is None else pred
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality scoring (the length / stopword-ratio / lexical-
+    diversity family used for LLM-corpus filtering): a [0,1] blend of
+    document length, type-token ratio, and stopword rate."""
+    t = tokens()
+    n_tokens = F.size(t)
+    n_stop = stopword_count(t)
+    ttr = F.size(F.array_distinct(t)) / n_tokens
+    stop_ratio = n_stop / n_tokens
+    length_score = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    score = 0.4 * length_score + 0.3 * ttr + 0.3 * stop_ratio
+    return documents.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("ttr"),
+        score.alias("quality_score"),
+    )
+
+
+def language_guess(documents: DataFrame) -> DataFrame:
+    """Stopword-marker language ID heuristic.  Real corpora would carry one
+    marker set per language (the classic n-gram/stopword profile method);
+    the synthetic corpus only contains English-like markers, so the output
+    is 'en' vs 'unknown' — the *operator shape* (per-language marker score,
+    argmax) is what the engine provides."""
+    t = tokens()
+    ratio = stopword_count(t) / F.size(t)
+    return documents.select(
+        "doc_id",
+        "lang",
+        ratio.alias("en_marker_ratio"),
+        F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+def fingerprint_md5(documents: DataFrame) -> DataFrame:
+    """Whole-document fingerprint: md5 of the normalized text.  The cheapest
+    exact-dup detector — group or join on ``fp`` (SURVEY.md §2.10 dedup)."""
+    return documents.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("fp")
+    )
+
+
+def simhash32(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash over token frequencies.
+
+    Classic near-dup sketch (Charikar): each token votes +count/-count on
+    every bit of its 32-bit hash (md5 prefix); the sketch keeps the sign.
+    Implemented as explode -> per-(doc,token) count -> 32 conditional sums
+    -> bit pack: two shuffles on doc_id, no UDFs, fully parallel.
+    Near-dup pairs then compare by hamming distance on ``simhash``.
+    """
+    tok = documents.select("doc_id", F.explode(tokens()).alias("token"))
+    counted = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    counted = counted.withColumn("h", h)
+    bit_sums = [
+        F.sum(
+            ((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("cnt"))
+        ).alias(f"b{j}")
+        for j in range(32)
+    ]
+    sums = counted.groupBy("doc_id").agg(*bit_sums)
+    packed = None
+    for j in range(32):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        packed = term if packed is None else packed + term
+    return sums.select("doc_id", packed.alias("simhash"))

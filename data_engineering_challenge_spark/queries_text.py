@@ -1,0 +1,334 @@
+"""Text / dedup / similarity queries (SURVEY.md §2.10 ✚ north-star
+extensions) with DuckDB oracles.
+
+Shared SQL building blocks mirror operators/text.py exactly: whitespace
+tokens, 3-word shingles (DuckDB lists are 1-based — ``range(1, n-1)`` is
+the 1-based twin of Spark's ``sequence(0, n-3)``), md5-string minhash.
+Dot products fold left-to-right in both engines (F.aggregate vs list_sum),
+so cosine scores are bit-identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators import text as tx
+from .queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_SQL_TOKS = "string_split(text, ' ')"
+
+_SQL_SHINGLES = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, s
+    FROM toks, UNNEST(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+             ELSE [] END) AS u(s)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(list_distinct({_SQL_TOKS})) AS INTEGER) AS n_unique_tokens,
+       len(list_distinct({_SQL_TOKS})) * 1.0 / len({_SQL_TOKS}) AS ttr,
+       (length(text) - (len({_SQL_TOKS}) - 1)) * 1.0 / len({_SQL_TOKS}) AS avg_token_len
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (token counting for corpus budgeting)."""
+    return tx.token_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "text_quality",
+    f"""
+SELECT doc_id, lang,
+       CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens,
+       len(list_filter({_SQL_TOKS}, t -> t IN ('the', 'a'))) * 1.0
+           / len({_SQL_TOKS}) AS stopword_ratio,
+       len(list_distinct({_SQL_TOKS})) * 1.0 / len({_SQL_TOKS}) AS ttr,
+       0.4 * least(1.0, len({_SQL_TOKS}) / 100.0)
+       + 0.3 * (len(list_distinct({_SQL_TOKS})) * 1.0 / len({_SQL_TOKS}))
+       + 0.3 * (len(list_filter({_SQL_TOKS}, t -> t IN ('the', 'a'))) * 1.0
+                / len({_SQL_TOKS})) AS quality_score
+FROM documents
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length/diversity/stopword blend."""
+    return tx.quality_score(_docs(spark, sf_dir))
+
+
+@register(
+    "lang_guess",
+    f"""
+SELECT doc_id, lang,
+       len(list_filter({_SQL_TOKS}, t -> t IN ('the', 'a'))) * 1.0
+           / len({_SQL_TOKS}) AS en_marker_ratio,
+       CASE WHEN len(list_filter({_SQL_TOKS}, t -> t IN ('the', 'a'))) * 1.0
+                 / len({_SQL_TOKS}) > 0.05
+            THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM documents
+""",
+)
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic."""
+    return tx.language_guess(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprints",
+    "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document md5 fingerprint."""
+    return tx.fingerprint_md5(_docs(spark, sf_dir))
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n           ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1 * 1 * cnt) AS b{j}" for j in range(32)
+    )
+    # note: expression must match Spark exactly: ((h>>j & 1)*2 - 1) * cnt
+    bit_sums = ",\n           ".join(
+        f"SUM((((h >> {j}) & 1) * 2 - 1) * cnt) AS b{j}" for j in range(32)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, t AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(toks) AS u(t)
+), counted AS (
+    SELECT doc_id, token, COUNT(*) AS cnt,
+           CAST(concat('0x', substring(md5(token), 1, 8)) AS BIGINT) AS h
+    FROM tok GROUP BY doc_id, token
+), sums AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM counted GROUP BY doc_id
+)
+SELECT doc_id, {packed} AS simhash FROM sums
+"""
+
+
+@register("simhash_fingerprints", _simhash_sql())
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document (near-dup by hamming distance)."""
+    return tx.simhash32(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    """
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+""",
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: smallest doc_id survives per identical text."""
+    return dd.dedup_exact(_docs(spark, sf_dir))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _SQL_SHINGLES
+    + """
+, sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-shingle Jaccard >= 0.2 (inverted-index join)."""
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+_MINHASH_AGGS_SQL = ",\n       ".join(
+    f"MIN(md5(concat('{i}:', s))) AS mh{i}" for i in range(8)
+)
+
+
+@register(
+    "minhash_signatures",
+    _SQL_SHINGLES
+    + f"""
+SELECT doc_id,
+       {_MINHASH_AGGS_SQL}
+FROM sh GROUP BY doc_id
+""",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash MinHash signature per document (md5-string minhash)."""
+    return dd.minhash_signatures(_docs(spark, sf_dir), n=3, num_hashes=8)
+
+
+@register(
+    "minhash_lsh_candidates",
+    _SQL_SHINGLES
+    + f"""
+, sig AS (
+    SELECT doc_id,
+       {_MINHASH_AGGS_SQL}
+    FROM sh GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, 0 AS band, md5(concat_ws('|', mh0, mh1)) AS bucket FROM sig
+    UNION ALL
+    SELECT doc_id, 1 AS band, md5(concat_ws('|', mh2, mh3)) AS bucket FROM sig
+    UNION ALL
+    SELECT doc_id, 2 AS band, md5(concat_ws('|', mh4, mh5)) AS bucket FROM sig
+    UNION ALL
+    SELECT doc_id, 3 AS band, md5(concat_ws('|', mh6, mh7)) AS bucket FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+)
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 4 bands x 2 rows over the 8-hash
+    signature; bucket-join only (the scale path for near-dup)."""
+    return dd.minhash_lsh_candidates(_docs(spark, sf_dir), n=3, num_hashes=8, rows_per_band=2)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_SQL_COS = """
+list_sum(list_transform(list_zip({a}, {b}),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@register(
+    "cosine_topk",
+    f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_SQL_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 20
+), ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 20 query vectors."""
+    emb = _emb(spark, sf_dir)
+    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.45
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs (cosine >= 0.45)."""
+    return sim.near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+def _sign_components(bit: int, dim: int = 64) -> list[float]:
+    """Python twin of operators/similarity._projection_component — md5 is
+    the same function everywhere, so these literals equal what Spark
+    computes at runtime."""
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{bit}:{d}".encode()).hexdigest()[:4], 16)
+        out.append(1.0 if h & 1 == 1 else -1.0)
+    return out
+
+
+def _ann_oracle() -> str:
+    projs = []
+    for bit in range(4):
+        comps = ", ".join(str(c) for c in _sign_components(bit))
+        projs.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(embedding, [{comps}]),"
+            f" x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN {2**bit} ELSE 0 END)"
+        )
+    bucket = " + ".join(projs)
+    return f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_SQL_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim
+    FROM bucketed q JOIN bucketed c
+      ON q.vec_id <> c.vec_id AND q.bucket = c.bucket
+    WHERE q.vec_id < 20
+), ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_topk_lsh", _ann_oracle())
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via 4-bit sign-random-projection buckets (the ANN
+    scale path; compare against cosine_topk for recall)."""
+    emb = _emb(spark, sf_dir)
+    return sim.ann_topk_bucketed(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, num_bits=4, dim=64
+    )

@@ -1,0 +1,141 @@
+"""Unit tests for the LLM-pipeline extensions: text stats, dedup family,
+similarity search (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from data_engineering_challenge_spark.operators import dedup as dd
+from data_engineering_challenge_spark.operators import similarity as sim
+from data_engineering_challenge_spark.operators import text as tx
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+
+
+def test_token_stats(spark):
+    df = tx.token_stats(_docs(spark, ["the fast join", "a a a a"]))
+    got = {r.doc_id: r for r in df.collect()}
+    assert got[0].n_tokens == 3
+    assert got[0].n_unique_tokens == 3
+    assert got[1].n_tokens == 4
+    assert got[1].n_unique_tokens == 1
+    assert got[1].ttr == pytest.approx(0.25)
+    assert got[0].avg_token_len == pytest.approx((13 - 2) / 3)
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark, ["one two", "one two three four"])
+    ss = dd.shingle_sets(df, n=3).collect()
+    by_doc = {}
+    for r in ss:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert 0 not in by_doc  # < 3 tokens -> no shingles
+    assert by_doc[1] == {"one two three", "two three four"}
+
+
+def test_dedup_exact_keeps_min_doc_id(spark):
+    df = _docs(spark, ["same text here", "other text", "same text here"])
+    got = {r.doc_id: r.n_dups for r in dd.dedup_exact(df).collect()}
+    assert got == {0: 2, 1: 1}  # doc 2 deduped into doc 0
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = _docs(
+        spark,
+        [
+            "alpha beta gamma delta epsilon",
+            "alpha beta gamma delta epsilon",  # identical -> jaccard 1.0
+            "zeta eta theta iota kappa",
+        ],
+    )
+    got = dd.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert len(got) == 1
+    assert (got[0].doc_a, got[0].doc_b) == (0, 1)
+    assert got[0].jaccard == 1.0
+
+
+def test_minhash_identical_signatures_and_lsh(spark):
+    df = _docs(
+        spark,
+        [
+            "alpha beta gamma delta epsilon",
+            "alpha beta gamma delta epsilon",
+            "zeta eta theta iota kappa",
+        ],
+    )
+    sigs = {r.doc_id: tuple(r[f"mh{i}"] for i in range(8))
+            for r in dd.minhash_signatures(df).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+    cands = {(r.doc_a, r.doc_b) for r in dd.minhash_lsh_candidates(df).collect()}
+    assert (0, 1) in cands
+    assert (0, 2) not in cands
+
+
+def test_simhash_near_for_similar_docs(spark):
+    df = _docs(
+        spark,
+        [
+            "spark join merge sort filter table scan batch",
+            "spark join merge sort filter table scan stream",  # 1 token differs
+            "completely different words entirely unrelated content here now",
+        ],
+    )
+    got = {r.doc_id: r.simhash for r in tx.simhash32(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(got[0], got[1]) < ham(got[0], got[2])
+
+
+def _vecs(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v], label=0)
+         for i, v in enumerate(vecs)]
+    )
+
+
+def test_cosine_topk_exact(spark):
+    emb = _vecs(
+        spark,
+        [
+            [1.0, 0.0, 0.0],
+            [1.0, 0.1, 0.0],   # closest to 0
+            [0.0, 1.0, 0.0],   # orthogonal to 0
+            [-1.0, 0.0, 0.0],  # opposite to 0
+        ],
+    )
+    got = sim.cosine_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    order = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+    assert got[0].cos_sim == pytest.approx(1 / (1.01) ** 0.5)
+
+
+def test_near_dup_pairs_threshold(spark):
+    emb = _vecs(spark, [[1.0, 0.0], [1.0, 0.01], [0.0, 1.0]])
+    got = {(r.id_a, r.id_b) for r in sim.near_dup_pairs(emb, threshold=0.99).collect()}
+    assert got == {(0, 1)}
+
+
+def test_ann_bucketed_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    emb = _vecs(spark, [[rng.gauss(0, 1) for _ in range(8)] for _ in range(40)])
+    q = emb.filter("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim.cosine_topk(emb, q, k=3).collect()}
+    approx = sim.ann_topk_bucketed(emb, q, k=3, num_bits=2, dim=8).collect()
+    # ANN returns <= k per query, all scored pairs must come from real vectors
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in per_q.items():
+        assert len(rows) <= 3
+        assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
+    # recall sanity: bucketed search finds at least one true neighbor overall
+    assert exact & {(r.query_id, r.neighbor_id) for r in approx}
