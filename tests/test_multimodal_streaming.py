@@ -1,0 +1,84 @@
+"""Multimodal plumbing (real Spark-side, stubbed decoders) and Structured
+Streaming incremental operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineering_challenge_spark.operators import multimodal as mm
+from data_engineering_challenge_spark.streaming import incremental as st
+
+
+def test_multimodal_payload_and_features(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="hello world"), Row(doc_id=2, text="hello world"),
+         Row(doc_id=3, text="different")]
+    )
+    media = mm.attach_payload(docs, "doc_id", "text")
+    feats = mm.extract_features(media).collect()
+    assert {r.media_id for r in feats} == {1, 2, 3}
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].n_bytes == len("hello world")
+    assert len(by_id[1].feature) == mm.FEATURE_DIM
+    # deterministic: identical payloads -> identical features
+    assert by_id[1].feature == by_id[2].feature
+    assert by_id[1].feature != by_id[3].feature
+
+
+def test_real_decoder_is_stubbed(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+    media = mm.attach_payload(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="(NotImplementedError|Pillow|stubs)"):
+        mm.extract_features(media, real=True).collect()
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    # events table has ns timestamps; streaming schema wants us — rebuild
+    from data_engineering_challenge_spark import roles
+
+    roles.load_events(spark, "/root/testdata/sf0.001").write.parquet(
+        str(tmp_path / "events")
+    )
+    return str(tmp_path / "events")
+
+
+def test_streaming_incremental_journeys(spark, events_dir, tmp_path):
+    from data_engineering_challenge_spark import roles
+
+    stream = st.read_events_stream(spark, events_dir)
+    conversions = roles.conversions_from_events(
+        roles.load_events(spark, "/root/testdata/sf0.001")
+    )
+    j = st.incremental_journeys(stream, conversions)
+    st.run_available_now(j, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    got = spark.read.parquet(str(tmp_path / "out"))
+    # must equal the batch as-of join row count
+    from data_engineering_challenge_spark.operators.journeys import build_journeys
+
+    sessions = roles.sessions_from_events(
+        roles.load_events(spark, "/root/testdata/sf0.001")
+    )
+    expected = build_journeys(conversions, sessions).count()
+    assert got.count() == expected
+
+
+def test_streaming_daily_counts(spark, events_dir, tmp_path):
+    stream = st.read_events_stream(spark, events_dir)
+    agg = st.daily_counts(stream)
+    st.run_available_now_complete(agg, str(tmp_path / "ckpt2"), "daily_counts_t")
+    got = spark.sql("SELECT SUM(n_events) AS n FROM daily_counts_t").collect()[0].n
+    assert got == 1000  # every event lands in exactly one day window
+
+
+def test_streaming_sessionize(spark, events_dir, tmp_path):
+    stream = st.read_events_stream(spark, events_dir)
+    agg = st.sessionize_stream(stream)
+    st.run_available_now_complete(agg, str(tmp_path / "ckpt3"), "sessions_t")
+    total = spark.sql("SELECT SUM(n_events) AS n FROM sessions_t").collect()[0].n
+    assert total == 1000
+    # session windows must respect the 30-min gap: no window longer than
+    # (n_events-1) * gap is checkable, but at minimum windows are disjoint
+    # per user — verified by count conservation above.

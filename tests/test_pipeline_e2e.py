@@ -1,0 +1,107 @@
+"""End-to-end pipeline: star-schema fixtures -> 3 steps -> report, via the
+Python API and the CLI (reference run_pipeline.py surface)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_challenge_spark import roles
+from data_engineering_challenge_spark.config import PipelineConfig
+from data_engineering_challenge_spark.pipeline import AttributionPipeline
+
+
+@pytest.fixture(scope="module")
+def star_dir(spark, tmp_path_factory):
+    """Materialize the attribution star schema from testdata roles."""
+    d = tmp_path_factory.mktemp("star")
+    events = roles.load_events(spark, "/root/testdata/sf0.001")
+    roles.conversions_from_events(events).write.parquet(str(d / "conversions.parquet"))
+    roles.sessions_from_events(events).write.parquet(
+        str(d / "session_sources.parquet")
+    )
+    roles.session_costs_from_events(events).write.parquet(
+        str(d / "session_costs.parquet")
+    )
+    return str(d)
+
+
+def _cfg(star_dir, tmp_path, **kw):
+    return PipelineConfig(
+        table_dir=star_dir,
+        journeys_path=str(tmp_path / "journeys.parquet"),
+        report_path=str(tmp_path / "report.parquet"),
+        csv_exports=True,
+        **kw,
+    )
+
+
+def test_full_run(spark, star_dir, tmp_path):
+    pipe = AttributionPipeline(spark, _cfg(star_dir, tmp_path))
+    report = pipe.run()
+    assert report is not None
+    rows = report.collect()
+    assert len(rows) > 0
+    # Σ ihc invariant end-to-end: attributed table sums to n_conversions
+    acj = spark.read.parquet(os.path.join(star_dir, "attribution_customer_journey"))
+    n_conv = acj.select("conversion_id").distinct().count()
+    total_ihc = acj.agg(F.sum("ihc")).collect()[0][0]
+    assert abs(total_ihc - n_conv) < 1e-6
+    # artifacts written
+    assert os.path.exists(str(tmp_path / "journeys.parquet"))
+    assert os.path.exists(str(tmp_path / "report.csv"))
+
+
+def test_external_model_run(spark, star_dir, tmp_path):
+    cfg = _cfg(star_dir, tmp_path, model="external", max_sessions_per_request=100)
+    pipe = AttributionPipeline(spark, cfg)
+    journeys = pipe.build_journeys()
+    attributed = pipe.attribute(journeys)
+    # linear scorer: sums to 1 per eligible conversion
+    sums = attributed.groupBy("conversion_id").agg(F.sum("ihc").alias("s"))
+    bad = sums.filter(F.abs(F.col("s") - 1.0) > 1e-9).count()
+    assert bad == 0
+
+
+def test_date_filtered_run_is_subset(spark, star_dir, tmp_path):
+    pipe_all = AttributionPipeline(spark, _cfg(star_dir, tmp_path))
+    all_j = pipe_all.build_journeys()
+    windowed = pipe_all.build_journeys("2024-01-10", "2024-01-15")
+    assert 0 < windowed.count() < all_j.count()
+
+
+def test_cli_steps(spark, star_dir, tmp_path):
+    import run_pipeline
+
+    rc = run_pipeline.main(
+        [
+            "--step", "build-journeys",
+            "--table-dir", star_dir,
+            "--journeys-path", str(tmp_path / "j.parquet"),
+            "--report-path", str(tmp_path / "r.parquet"),
+        ]
+    )
+    assert rc == 0
+    rc = run_pipeline.main(
+        [
+            "--step", "send-to-api",
+            "--table-dir", star_dir,
+            "--journeys-path", str(tmp_path / "j.parquet"),
+            "--report-path", str(tmp_path / "r.parquet"),
+            "--model", "linear",
+        ]
+    )
+    assert rc == 0
+    rc = run_pipeline.main(
+        [
+            "--step", "generate-report",
+            "--table-dir", star_dir,
+            "--journeys-path", str(tmp_path / "j.parquet"),
+            "--report-path", str(tmp_path / "r.parquet"),
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "r.parquet"))
