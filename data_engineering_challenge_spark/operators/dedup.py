@@ -49,12 +49,17 @@ def ngram_jaccard_pairs(
     """
     ss = shingle_sets(documents, n)
     sizes = ss.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    a = ss.alias("a")
-    b = ss.alias("b")
+    # group doc-ids per shingle and explode ordered pairs locally — ONE pass
+    # over the inverted index instead of a self-join that would recompute
+    # (and reshuffle) the shingle relation twice.  Per-shingle work is
+    # quadratic in posting-list length; extremely common shingles should be
+    # dropped as stop-shingles at real scale (they carry no dedup signal).
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        ss.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.doc_a"), F.col("p.doc_b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
@@ -68,22 +73,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def _ordered_pairs(ids):
+    """array<struct<doc_a,doc_b>> of all i<j pairs of a sorted id array —
+    computed inside the row (no join)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def minhash_signatures(
     documents: DataFrame, n: int = 3, num_hashes: int = 8
 ) -> DataFrame:
-    """MinHash signature per document: hash_i = min(md5(i || ':' || shingle)).
+    """MinHash signature per document, md5-chunk construction.
 
-    md5-string minhash is engine-portable (oracle-checkable) and
-    permutation-equivalent: taking the min of a hash over the shingle set
-    approximates Jaccard similarity exactly like integer minhash.
-    One explode + one groupBy (shuffle on doc_id); signature columns mh0..mhN.
+    Two performance choices that preserve minhash semantics exactly:
+
+    * **no DISTINCT before the min-agg** — min over the shingle multiset
+      equals min over the shingle set, so the dedup shuffle is skipped
+      (one groupBy on doc_id is the only shuffle);
+    * **4 hashes per md5** — md5 is 32 hex chars; each 8-char chunk is an
+      independent 32-bit hash, so ``ceil(num_hashes/4)`` md5 calls per
+      shingle replace ``num_hashes`` calls (4x less hashing).
+
+    md5-string minhash is engine-portable (oracle-checkable), unlike
+    Spark-internal hash()/xxhash64.  Signature columns mh0..mhN-1.
     """
-    ss = shingle_sets(documents, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return ss.groupBy("doc_id").agg(*aggs)
+    exploded = documents.select(
+        "doc_id", F.explode(shingles(tokens(), n)).alias("shingle")
+    )
+    aggs = []
+    for i in range(num_hashes):
+        seed, chunk = divmod(i, 4)
+        h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
+        aggs.append(F.min(F.substring(h, chunk * 8 + 1, 8)).alias(f"mh{i}"))
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -102,28 +131,29 @@ def minhash_lsh_candidates(
     """
     sig = minhash_signatures(documents, n, num_hashes)
     num_bands = num_hashes // rows_per_band
-    bands = []
-    for bi in range(num_bands):
-        cols = [F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
+    # one explode instead of a num_bands-way union (a union would recompute
+    # the whole signature pipeline per band), then collect-ids-per-bucket +
+    # local pair explosion instead of a self-join (which would recompute it
+    # twice more).  Skew note: a degenerate bucket holding a large fraction
+    # of all docs explodes quadratically — cap or re-band in that case.
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias("bucket"),
         )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
-    a = banded.alias("a")
-    b = banded.alias("b")
+        for bi in range(num_bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )

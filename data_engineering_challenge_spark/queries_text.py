@@ -188,13 +188,28 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_AGGS_SQL = ",\n       ".join(
-    f"MIN(md5(concat('{i}:', s))) AS mh{i}" for i in range(8)
+    f"MIN(substring(md5(concat('{i // 4}:', s)), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+    for i in range(8)
 )
+
+# minhash skips the DISTINCT (min over multiset == min over set) — mirror
+# the operator exactly: explode WITHOUT dedup
+_SQL_SHINGLES_MULTI = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id, s
+    FROM toks, UNNEST(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+             ELSE [] END) AS u(s)
+)
+"""
 
 
 @register(
     "minhash_signatures",
-    _SQL_SHINGLES
+    _SQL_SHINGLES_MULTI
     + f"""
 SELECT doc_id,
        {_MINHASH_AGGS_SQL}
@@ -208,20 +223,20 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_candidates",
-    _SQL_SHINGLES
+    _SQL_SHINGLES_MULTI
     + f"""
 , sig AS (
     SELECT doc_id,
        {_MINHASH_AGGS_SQL}
     FROM sh GROUP BY doc_id
 ), banded AS (
-    SELECT doc_id, 0 AS band, md5(concat_ws('|', mh0, mh1)) AS bucket FROM sig
+    SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS bucket FROM sig
     UNION ALL
-    SELECT doc_id, 1 AS band, md5(concat_ws('|', mh2, mh3)) AS bucket FROM sig
+    SELECT doc_id, 1 AS band, concat_ws('|', mh2, mh3) AS bucket FROM sig
     UNION ALL
-    SELECT doc_id, 2 AS band, md5(concat_ws('|', mh4, mh5)) AS bucket FROM sig
+    SELECT doc_id, 2 AS band, concat_ws('|', mh4, mh5) AS bucket FROM sig
     UNION ALL
-    SELECT doc_id, 3 AS band, md5(concat_ws('|', mh6, mh7)) AS bucket FROM sig
+    SELECT doc_id, 3 AS band, concat_ws('|', mh6, mh7) AS bucket FROM sig
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a
