@@ -490,3 +490,97 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# cube / percentiles / set operations (SURVEY.md §2.5/§2.6 'built-in' rows)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_cube",
+    f"""
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       {_dsum_sql('value')} AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+""",
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one pass."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    return events.cube("event_type", F.to_date("ts").alias("day")).agg(
+        dsum("value").alias("total_value"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "quantity_percentiles",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90).  Exact percentile is a
+    per-group sort — at 100 TB switch to approx_percentile (t-digest sketch,
+    mergeable, single pass); kept exact here for oracle parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "except_customers",
+    """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+""",
+)
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): BUILDING customers minus recently-active
+    ones (SURVEY.md §2.6 'intersect/except' surface)."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@register(
+    "intersect_active_customers",
+    """
+SELECT o_custkey FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+""",
+)
+def intersect_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both the first and last order years."""
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_custkey")
+    late = o.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return early.intersect(late)

@@ -347,3 +347,77 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_topk_bucketed(
         emb, emb.filter(F.col("vec_id") < 20), k=5, num_bits=4, dim=64
     )
+
+
+# --------------------------------------------------------------------------
+# tf-idf (SURVEY.md §2.10 'text analysis' — pure DataFrame, no MLlib, so the
+# oracle can reproduce it exactly)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    """
+WITH tok AS (
+    SELECT doc_id, t AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(toks) AS u(t)
+), tf AS (
+    SELECT doc_id, token, COUNT(*) AS cnt,
+           SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS doc_len
+    FROM tok GROUP BY doc_id, token
+), df AS (
+    SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with
+    FROM tok GROUP BY token
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    -- DECIMAL(18,9) quantization: ln() differs by 1 ulp between libm and
+    -- the JVM, so the raw double is not engine-portable; ranking and output
+    -- both use the quantized value
+    SELECT tf.doc_id, tf.token,
+           CAST((tf.cnt * 1.0 / tf.doc_len)
+                * ln((n.n_docs + 1.0) / (df.n_docs_with + 1.0))
+                AS DECIMAL(18,9)) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+), ranked AS (
+    SELECT doc_id, token, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, token ASC) AS rnk
+    FROM scored
+)
+SELECT doc_id, token, tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document.  Pure DataFrame tf-idf (explode ->
+    tf window -> df join -> ln idf) rather than MLlib HashingTF/IDF so the
+    result is hash-free and oracle-checkable; the MLlib pair is the drop-in
+    at scale if feature vectors (not ranked terms) are the goal."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tx.tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt")).withColumn(
+        "doc_len", F.sum("cnt").over(Window.partitionBy("doc_id"))
+    )
+    df_ = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    n_docs = docs.count()
+    # DECIMAL(18,9) quantization: ln() differs by 1 ulp between the JVM and
+    # libm, so the raw double is not engine-portable; rank on the quantized
+    # value (see oracle)
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        (
+            (F.col("cnt") * 1.0 / F.col("doc_len"))
+            * F.log((n_docs + 1.0) / (F.col("n_docs_with") + 1.0))
+        ).cast("decimal(18,9)").alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -1,0 +1,50 @@
+"""Golden end-to-end run (SURVEY.md §5.3): the flagship channel report at
+sf0.001 must reproduce a pinned fingerprint — catches any semantic drift in
+the journey join, attribution weights, or report math.
+
+The fingerprint is over sorted rows with 6-decimal formatting (stable
+across partitionings because the report uses decimal-exact sums)."""
+
+from __future__ import annotations
+
+import hashlib
+
+GOLDEN_MD5 = "b35605a8537a155cc2a24e827308e4b2"
+GOLDEN_ROWS = 150
+
+
+def test_channel_report_golden(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["channel_report"](spark, "/root/testdata/sf0.001")
+    rows = sorted(
+        "|".join(
+            [r.channel_name, r.date.isoformat()]
+            + [f"{v:.6f}" for v in (r.cost, r.ihc, r.ihc_revenue, r.CPO, r.ROAS)]
+        )
+        for r in df.collect()
+    )
+    assert len(rows) == GOLDEN_ROWS
+    assert hashlib.md5("\n".join(rows).encode()).hexdigest() == GOLDEN_MD5
+
+
+def test_entry_smoke(spark):
+    """The driver's t1 smoke: entry() runs, returns rows, stable schema."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.columns == [
+        "channel_name", "date", "cost", "ihc", "ihc_revenue", "CPO", "ROAS",
+    ]
+    assert df.count() == GOLDEN_ROWS
+
+
+def test_every_query_has_oracle_or_docstring(spark):
+    """Registry hygiene: every queries() entry either has an oracle (the
+    driver's strong check) or is an intentionally non-SQL-expressible op."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    missing = set(qs) - set(oracles)
+    assert missing == set(), f"queries without oracle: {missing}"

@@ -1,0 +1,147 @@
+"""Property-based invariants (SURVEY.md §5.4), hypothesis-driven:
+
+* Σ ihc = 1 per conversion for every attribution model (the reference's own
+  runtime invariant, api_client.py:92-98)
+* journey row count == the O(C*S) reference loop's count, computed in pure
+  Python (the distributed join must equal the naive semantics)
+* date-filtered journeys ⊆ unfiltered journeys
+* normalize_ihc is idempotent
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineering_challenge_spark.operators import attribution as attr
+from data_engineering_challenge_spark.operators.journeys import build_journeys
+
+T0 = datetime(2024, 1, 1)
+
+# a compact world: few users, minutes-resolution times — enough to hit
+# boundary collisions (session exactly at conversion time) often
+sessions_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),      # user
+        st.integers(0, 500),    # minutes offset
+    ),
+    min_size=0,
+    max_size=30,
+)
+conversions_strategy = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 500)),
+    min_size=1,
+    max_size=8,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _frames(spark, sessions, conversions):
+    sdf = spark.createDataFrame(
+        [
+            Row(
+                session_id=i,
+                user_id=f"u{u}",
+                ts=T0 + timedelta(minutes=m),
+                channel_name="c",
+                holder_engagement=i % 2,
+                closer_engagement=i % 3 == 0 and 1 or 0,
+                impression_interaction=0,
+            )
+            for i, (u, m) in enumerate(sessions)
+        ]
+        or [Row(session_id=0, user_id="zz", ts=T0, channel_name="c",
+                holder_engagement=0, closer_engagement=0, impression_interaction=0)]
+    )
+    cdf = spark.createDataFrame(
+        [
+            Row(conv_id=i, user_id=f"u{u}", conv_ts=T0 + timedelta(minutes=m),
+                revenue=10.0)
+            for i, (u, m) in enumerate(conversions)
+        ]
+    )
+    return sdf, cdf
+
+
+@given(sessions=sessions_strategy, conversions=conversions_strategy)
+@_settings
+def test_journeys_match_naive_loop(spark, sessions, conversions):
+    sdf, cdf = _frames(spark, sessions, conversions)
+    got = build_journeys(cdf, sdf).count()
+    # the reference's O(C*S) loop, in pure python (cj_builder.py:81-90)
+    expected = sum(
+        1
+        for ci, (cu, cm) in enumerate(conversions)
+        for si, (su, sm) in enumerate(sessions)
+        if su == cu and sm <= cm
+    )
+    assert got == expected
+
+
+@given(sessions=sessions_strategy, conversions=conversions_strategy)
+@_settings
+def test_ihc_sums_to_one_for_every_model(spark, sessions, conversions):
+    sdf, cdf = _frames(spark, sessions, conversions)
+    j = build_journeys(cdf, sdf)
+    if j.isEmpty():
+        return
+    for fn in (
+        attr.attribute_last_touch,
+        attr.attribute_first_touch,
+        attr.attribute_linear,
+        attr.attribute_position_engagement,
+    ):
+        sums = fn(j).groupBy("conversion_id").agg(F.sum("ihc").alias("s")).collect()
+        for r in sums:
+            assert abs(r.s - 1.0) < 1e-9, (fn.__name__, r)
+
+
+@given(
+    sessions=sessions_strategy,
+    conversions=conversions_strategy,
+    lo=st.integers(0, 200),
+    hi=st.integers(200, 500),
+)
+@_settings
+def test_filtered_journeys_subset_of_unfiltered(spark, sessions, conversions, lo, hi):
+    sdf, cdf = _frames(spark, sessions, conversions)
+    all_rows = {
+        (r.conversion_id, r.session_id) for r in build_journeys(cdf, sdf).collect()
+    }
+    start = (T0 + timedelta(minutes=lo)).strftime("%Y-%m-%d")
+    end = (T0 + timedelta(minutes=hi)).strftime("%Y-%m-%d")
+    filt = {
+        (r.conversion_id, r.session_id)
+        for r in build_journeys(cdf, sdf, start_date=start, end_date=end).collect()
+    }
+    assert filt <= all_rows
+
+
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 3), st.floats(0.0, 2.0, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_normalize_idempotent(spark, raw):
+    df = spark.createDataFrame(
+        [Row(conversion_id=c, session_id=i, ihc=v) for i, (c, v) in enumerate(raw)]
+    )
+    once = attr.normalize_ihc(df)
+    twice = attr.normalize_ihc(once)
+    a = {r.session_id: r.ihc for r in once.collect()}
+    b = {r.session_id: r.ihc for r in twice.collect()}
+    for k in a:
+        assert b[k] == pytest.approx(a[k], abs=1e-9)
