@@ -1,0 +1,73 @@
+"""Physical-plan regression tests — the 100 TB-readiness properties the
+engine must not lose: predicate pushdown into parquet, column pruning,
+broadcast joins for dimensions, and no gratuitous shuffles.
+
+These assert on plan STRUCTURE (not timings), so they are stable across
+machines and catch regressions like a cast wrapping a filter column (which
+silently kills pushdown — see the TIMESTAMP_NTZ note in queries_relational).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # reached the parquet scan
+    # pruned scan: grouping+agg columns only, never the full 11-column row
+    assert "l_orderkey" not in plan.split("ReadSchema:")[1]
+    assert plan.count("Exchange") == 1  # the single agg shuffle
+
+
+def test_journeys_join_pushdown_and_broadcast(spark):
+    plan = _plan(spark, "journeys_build")
+    # the conversions-side filter is pushed into the scan
+    assert "EqualTo(event_type,purchase)" in plan
+    # equi-join on user_id with broadcast of the small (conversions) side
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_text_stats_is_pure_map(spark):
+    plan = _plan(spark, "text_stats")
+    assert plan.count("Exchange") == 0  # no shuffle at all
+    read = plan.split("ReadSchema:")[1]
+    assert "text" in read and "source" not in read  # column pruning
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = _plan(spark, "q5_nation_revenue")
+    # five dimension joins, all broadcast: lineitem never shuffles pre-agg
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan  # dim filter pushed down
+
+
+def test_q3_top_k_avoids_global_sort(spark):
+    plan = _plan(spark, "q3_top_orders")
+    assert "TakeOrderedAndProject" in plan  # heap-based top-k, no full sort
+
+
+def test_attribution_single_shuffle(spark):
+    plan = _plan(spark, "attr_position_engagement")
+    # window family over conversion_id: one hash shuffle feeds all windows
+    n_exchange = plan.count("Exchange hashpartitioning(conversion_id")
+    assert n_exchange == 1, plan
+
+
+@pytest.mark.parametrize("name", ["channel_report"])
+def test_report_uses_broadcast_for_costs(spark, name):
+    plan = _plan(spark, name)
+    # the costs LEFT JOIN and the conversions join are broadcast at this
+    # scale; the big sessions/attribution join may be SMJ or BHJ (AQE decides)
+    assert plan.count("BroadcastHashJoin") >= 2
