@@ -420,3 +420,27 @@ def q_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.when(F.col("ROAS") > 0, 1))
         ).alias("avg_roas"),
     )
+
+
+@register(
+    "attr_external_chunked",
+    _SQL_ATTR_PRELUDE
+    + """
+SELECT conversion_id,
+       session_id,
+       1.0 / COUNT(*) OVER (PARTITION BY conversion_id) AS ihc
+FROM journeys
+""",
+)
+def q_attr_external_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.7 chunked external-scorer path (applyInPandas, cap-bounded
+    sub-batches, hash-distributed chunks) with the bundled linear scorer —
+    oracle = plain SQL linear attribution, so the whole Arrow/pandas
+    plumbing is correctness-checked, not just unit-tested."""
+    from .operators import batching
+
+    j = _journeys(spark, sf_dir)
+    out = batching.attribute_external(
+        j, max_journeys_per_request=50, max_sessions_per_request=5000
+    )
+    return out.select("conversion_id", "session_id", "ihc")

@@ -421,3 +421,41 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal: the Arrow mapInPandas decode path, oracle-checked
+# --------------------------------------------------------------------------
+
+_MM_FEATURE_SQL = ", ".join(
+    f"CAST(CAST(concat('0x', substring(md5(text), {(i % 16) * 2 + 1}, 2)) AS INTEGER)"
+    f" / 256.0 AS DOUBLE)"
+    for i in range(16)
+)
+
+
+@register(
+    "multimodal_features",
+    f"""
+SELECT doc_id AS media_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       [{_MM_FEATURE_SQL}] AS feature
+FROM documents
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text -> binary payload column ->
+    Arrow mapInPandas feature extraction (python md5-based deterministic
+    fake).  The oracle recomputes the identical features in pure SQL
+    (md5 hex byte / 256), so the Python/Arrow path is value-checked against
+    a JVM-free reference — the strongest available check for a UDF stage."""
+    from .operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir)
+    media = mm.attach_payload(docs, "doc_id", "text")
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.transform("feature", lambda x: x.cast("double")).alias("feature"),
+    )

@@ -1,0 +1,43 @@
+"""Salted-join correctness: result must equal the plain join, with the hot
+key spread over salt buckets."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from data_engineering_challenge_spark.operators.skew import key_histogram, salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    # one hot user (80% of rows) + long tail
+    big = spark.createDataFrame(
+        [Row(user_id="hot", v=i) for i in range(400)]
+        + [Row(user_id=f"u{i}", v=i) for i in range(100)]
+    )
+    small = spark.createDataFrame(
+        [Row(user_id="hot", name="H")]
+        + [Row(user_id=f"u{i}", name=f"N{i}") for i in range(0, 100, 2)]
+    )
+    plain = {(r.user_id, r.v, r.name) for r in big.join(small, "user_id").collect()}
+    salted = {
+        (r.user_id, r.v, r.name)
+        for r in salted_join(big, small, "user_id", num_salts=4).collect()
+    }
+    assert salted == plain
+    assert len(plain) == 400 + 50
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    big = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+    small = spark.createDataFrame([Row(k="a", name="A")])
+    got = {(r.k, r.name) for r in salted_join(big, small, "k", 4, "left").collect()}
+    assert got == {("a", "A"), ("b", None)}
+
+
+def test_key_histogram_finds_hot_key(spark):
+    big = spark.createDataFrame(
+        [Row(user_id="hot", v=i) for i in range(50)]
+        + [Row(user_id=f"u{i}", v=i) for i in range(10)]
+    )
+    top = key_histogram(big, "user_id", top=1).collect()
+    assert top[0].user_id == "hot" and top[0].n_rows == 50
