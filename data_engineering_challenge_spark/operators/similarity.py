@@ -48,17 +48,28 @@ def cosine_topk(
     """Exact top-k cosine neighbors of each query vector (self-match
     excluded).  Query side is broadcast; ranking is per-query row_number
     with a deterministic (cosine DESC, candidate id ASC) order.
+
+    Norms are precomputed once per vector (O(n·d)) so each of the n·q pairs
+    costs one dot product, not three.
     Returns (query_id, neighbor_id, cos_sim, rank)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -75,13 +86,27 @@ def near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding-space
-    near-duplicate detection.  Brute-force form; LSH-bucket first at scale
-    (compose with lsh_sign_buckets)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    near-duplicate detection.  Brute-force form (norms precomputed per
+    vector); LSH-bucket first at scale (compose with lsh_sign_buckets)."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm_a"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm_b"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias(
+                "cos_sim"
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -136,12 +161,16 @@ def ann_topk_bucketed(
     qb = lsh_sign_buckets(queries, num_bits, dim, id_col, vec_col).withColumnRenamed(
         "vec_id", "query_id"
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
-        cb, "neighbor_id"
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
-        qb, "query_id"
-    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+    ).join(cb, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    ).join(qb, "query_id")
     scored = (
         c.join(
             F.broadcast(q),
@@ -149,7 +178,11 @@ def ann_topk_bucketed(
             & (c["bucket"] == q["bucket"]),
         )
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -253,21 +253,32 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search
 # --------------------------------------------------------------------------
 
-_SQL_COS = """
+_SQL_DOT = """
 list_sum(list_transform(list_zip({a}, {b}),
          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
- * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+#: per-vector norm CTE — computed once per vector (mirrors the operators,
+#: which precompute norms so each pair costs one dot product)
+_SQL_NORMED = f"""
+WITH e AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+    FROM embeddings
+)
 """
 
 
 @register(
     "cosine_topk",
-    f"""
-WITH scored AS (
+    _SQL_NORMED
+    + f"""
+, scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           {_SQL_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim
-    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           {_SQL_DOT.format(a='q.embedding', b='c.embedding')} / (q.norm * c.norm)
+               AS cos_sim
+    FROM e q JOIN e c ON q.vec_id <> c.vec_id
     WHERE q.vec_id < 20
 ), ranked AS (
     SELECT query_id, neighbor_id, cos_sim,
@@ -287,11 +298,14 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup",
-    f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.45
+    _SQL_NORMED
+    + f"""
+SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm)
+               AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.45
 """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,10 +335,14 @@ def _ann_oracle() -> str:
     bucket = " + ".join(projs)
     return f"""
 WITH bucketed AS (
-    SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    SELECT vec_id, embedding, {bucket} AS bucket,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+    FROM embeddings
 ), scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           {_SQL_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim
+           {_SQL_DOT.format(a='q.embedding', b='c.embedding')} / (q.norm * c.norm)
+               AS cos_sim
     FROM bucketed q JOIN bucketed c
       ON q.vec_id <> c.vec_id AND q.bucket = c.bucket
     WHERE q.vec_id < 20
