@@ -52,8 +52,11 @@ def main() -> int:
     )
     qs = entry.queries()
 
-    # warm the JVM + parquet footers once (not timed)
-    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # one untimed warm-up pass of every headline query: first execution pays
+    # whole-stage-codegen compilation + JIT (~2x); steady-state is what a
+    # long-running cluster job sees, so that's what we report
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
