@@ -584,3 +584,40 @@ def intersect_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz")
     ).select("o_custkey")
     return early.intersect(late)
+
+
+@register(
+    "sliding_window_counts",
+    f"""
+WITH expanded AS (
+    SELECT e.*, date_trunc('day', ts) - INTERVAL (d) DAY AS win_start
+    FROM events e, UNNEST([0, 1]) AS u(d)
+)
+SELECT CAST(win_start AS DATE) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_dsum_sql('value')} AS total_value
+FROM expanded
+GROUP BY win_start, event_type
+""",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows in batch (2-day window, 1-day slide): each event
+    lands in two windows — F.window handles the expansion; the oracle
+    unnests the two window starts explicitly.  The streaming twin is
+    streaming/incremental.daily_counts with a window slide."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.window("ts", "2 days", "1 day").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").cast("date").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -477,3 +477,98 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.transform("feature", lambda x: x.cast("double")).alias("feature"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish regex token counting + winnowing (rolling-hash) fingerprints
+# --------------------------------------------------------------------------
+
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "token_count_bpe",
+    rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER)
+           AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+FROM documents
+""",
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (letter runs /
+    digit runs / single punctuation — the GPT-2-style split shape) next to
+    the whitespace count.  Pure regexp_extract_all: JVM-side, zero shuffle."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "winnow_fingerprints",
+    """
+WITH grams AS (
+    SELECT doc_id,
+           list_transform(range(1, length(text) - 6),
+                          i -> substring(text, CAST(i AS INTEGER), 8)) AS g
+    FROM documents
+    WHERE length(text) >= 11
+), hashes AS (
+    SELECT doc_id,
+           list_transform(g, x ->
+               CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT)) AS h
+    FROM grams
+), winnowed AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(h) - 2),
+                         i -> list_min(h[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)])))
+               AS fps
+    FROM hashes
+)
+SELECT doc_id, fp FROM winnowed, UNNEST(fps) AS u(fp)
+""",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken's MOSS): hash every 8-char gram, keep the min
+    of each 4-hash window, dedup.  Robust local fingerprints for copy
+    detection — all array expressions, zero shuffle, engine-portable
+    md5-chunk hashes."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 11)
+    # built via expr for 1-based substring parity with the oracle
+    hashed = docs.withColumn(
+        "h",
+        F.expr(
+            "transform(sequence(1, length(text) - 7), "
+            "i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10) "
+            "AS BIGINT))"
+        ),
+    )
+    # Two materialization barriers (tiny repartitions), found by profiling:
+    # (1) the window expression references `h` three times — inlining the
+    #     500-md5 transform at each reference triples the hash cost;
+    # (2) exploding a lambda-valued generator re-evaluates the WHOLE
+    #     expression per OUTPUT row (~110x/doc here, 73s -> 1s when the
+    #     generator is a bound attribute instead).
+    hashed = hashed.select("doc_id", "h").repartition("doc_id")
+    df = hashed.withColumn(
+        "fps",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(h) - 3), "
+            "i -> array_min(slice(h, i, 4))))"
+        ),
+    )
+    # explode_outer, not explode: InferFiltersFromGenerate synthesizes a
+    # `size(fps)>0 AND isnotnull(fps)` filter for plain explode with the
+    # WHOLE nested-lambda expression inlined — re-evaluating every md5 per
+    # window slice at the scan (observed ~75s vs ~2s).  The outer variant is
+    # exempt, and fps is never empty here (length >= 11 guarantees >= 1
+    # window).
+    fps = df.select("doc_id", "fps").repartition("doc_id")
+    return fps.select("doc_id", F.explode_outer("fps").alias("fp"))
