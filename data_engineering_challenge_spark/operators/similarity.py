@@ -187,3 +187,90 @@ def ann_topk_bucketed(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    assigns every vector to a cluster; each query probes its ``n_probe``
+    nearest centroids and searches exactly within those clusters only.
+
+    The production ANN architecture at 100 TB: the index is a partitioning
+    (cluster id), candidate generation is a partition-pruned scan, and
+    recall/latency trades via ``n_probe``.  KMeans training itself is an
+    iterative distributed job — train once, reuse across queries.
+
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dense = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(dense)
+
+    def assign(df: DataFrame, out: str) -> DataFrame:
+        d = df.select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
+        return (
+            model.transform(d)
+            .select(F.col(id_col), F.col("prediction").alias(out))
+        )
+
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cluster", "centroid"],
+    )
+
+    # n_probe nearest centroids per query (tiny cross join: |Q| x n_clusters)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qc = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "cluster",
+            dot(F.col("qv"), F.col("centroid")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cluster"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "cluster")
+    )
+
+    c_assigned = assign(corpus, "cluster").withColumnRenamed(id_col, "neighbor_id")
+    cand = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+        )
+        .join(c_assigned, "neighbor_id")
+        .join(F.broadcast(probes), "cluster")
+    )
+    qn = q.withColumn("qnorm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    scored = (
+        cand.join(F.broadcast(qn), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= k
+    )

@@ -572,3 +572,12 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window).
     fps = df.select("doc_id", "fps").repartition("doc_id")
     return fps.select("doc_id", F.explode_outer("fps").alias("fp"))
+
+
+@register("ivf_topk", None)  # iterative (KMeans) — rows-only driver check
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (KMeans coarse quantizer, 2-probe).  No SQL
+    oracle: KMeans is iterative and not SQL-expressible; tests check recall
+    against the exact search instead (test_text_dedup_similarity)."""
+    emb = _emb(spark, sf_dir)
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)

@@ -139,3 +139,22 @@ def test_ann_bucketed_subset_of_exact(spark):
         assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
     # recall sanity: bucketed search finds at least one true neighbor overall
     assert exact & {(r.query_id, r.neighbor_id) for r in approx}
+
+
+def test_ivf_topk_shape_and_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim.cosine_topk(emb, q, k=5).collect()}
+    approx = sim.ivf_topk(emb, q, k=5, n_clusters=4, n_probe=2).collect()
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) <= {r[0] for r in exact} | set(range(10))
+    for rows in per_q.values():
+        assert len(rows) <= 5
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+    hits = exact & {(r.query_id, r.neighbor_id) for r in approx}
+    # probing half the clusters should recover a reasonable share
+    assert len(hits) / len(exact) > 0.2
