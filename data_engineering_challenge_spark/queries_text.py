@@ -581,3 +581,29 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact search instead (test_text_dedup_similarity)."""
     emb = _emb(spark, sf_dir)
     return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@register("streaming_incremental_journeys", None)  # streaming — rows-only check
+def q_streaming_incremental_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming incremental journey build (SURVEY.md §2.9),
+    executed with trigger(availableNow) — the FileSensor analog: process
+    all pending events, then stop.  Returns the materialized journey rows;
+    equals the batch as-of join (asserted in tests).  No SQL oracle:
+    streaming execution is the thing under test."""
+    import tempfile
+
+    from . import roles
+    from .streaming import incremental as st
+
+    tmp = tempfile.mkdtemp(prefix="stream_journeys_")
+    events = roles.load_events(spark, sf_dir)
+    events.write.mode("overwrite").parquet(f"{tmp}/events")
+    stream = st.read_events_stream(spark, f"{tmp}/events")
+    j = st.incremental_journeys(stream, roles.conversions_from_events(events))
+    st.run_available_now(j, f"{tmp}/out", f"{tmp}/ckpt")
+    return spark.read.parquet(f"{tmp}/out").select(
+        "conversion_id",
+        "session_id",
+        F.unix_micros("timestamp").alias("ts_us"),
+        "channel_label",
+    )

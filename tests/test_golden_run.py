@@ -44,7 +44,22 @@ def test_every_query_has_oracle_or_docstring(spark):
     driver's strong check) or is an intentionally non-SQL-expressible op."""
     import __spark_entry__ as e
 
+    # intentionally oracle-less: iterative (KMeans) / streaming execution —
+    # the driver records a rows-only check for these (by design)
+    NO_ORACLE = {"ivf_topk", "streaming_incremental_journeys"}
+
     qs = e.queries()
     oracles = e.oracle_sql()
-    missing = set(qs) - set(oracles)
+    missing = set(qs) - set(oracles) - NO_ORACLE
     assert missing == set(), f"queries without oracle: {missing}"
+
+
+def test_streaming_query_equals_batch(spark):
+    """The streaming queries() entry must equal the batch as-of join."""
+    import __spark_entry__ as e
+
+    got = e.queries()["streaming_incremental_journeys"](
+        spark, "/root/testdata/sf0.001"
+    )
+    batch = e.queries()["journeys_build"](spark, "/root/testdata/sf0.001")
+    assert got.count() == batch.count()

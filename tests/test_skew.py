@@ -41,3 +41,22 @@ def test_key_histogram_finds_hot_key(spark):
     )
     top = key_histogram(big, "user_id", top=1).collect()
     assert top[0].user_id == "hot" and top[0].n_rows == 50
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Date-partitioned parquet layout -> partition pruning for the
+    reference's date-range re-runs (SURVEY.md §4 physical strategies)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark import roles
+    from data_engineering_challenge_spark.sources import io as eio
+
+    events = roles.load_events(spark, "/root/testdata/sf0.001")
+    daily = events.withColumn("date", F.to_date("ts"))
+    eio.write_parquet(daily, str(tmp_path / "by_date"), partition_by=["date"])
+    back = spark.read.parquet(str(tmp_path / "by_date"))
+    picked = back.filter(F.col("date") == "2024-01-05")
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    # partition filter, not a data filter: pruning happened at planning
+    assert "PartitionFilters: [isnotnull(date" in plan
+    assert picked.count() == daily.filter(F.col("date") == "2024-01-05").count()
