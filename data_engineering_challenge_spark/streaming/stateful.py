@@ -1,0 +1,82 @@
+"""Custom stateful streaming operators via applyInPandasWithState
+(SURVEY.md §2.9) — the escape hatch for per-key streaming logic that
+windowed aggregation can't express.
+
+Example operator: **first-seen dedup with running counts** — for each key
+(user), remember which session fingerprints were already seen and emit only
+first occurrences with a running per-user sequence number.  This is the
+streaming form of exact dedup (SURVEY.md §2.10): at 100 TB the state store
+shards by key across executors and the watermark bounds how long state for
+quiet users is retained (GroupStateTimeout).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("fingerprint", StringType(), False),
+        StructField("first_seen_us", LongType(), False),
+        StructField("seq_no", LongType(), False),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("seen", StringType(), True),  # '|'-joined fingerprints
+        StructField("count", LongType(), True),
+    ]
+)
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        seen_str, count = state.get
+        seen = set(seen_str.split("|")) if seen_str else set()
+    else:
+        seen, count = set(), 0
+    out_rows = []
+    for pdf in pdfs:
+        # arrival order within the batch: by event time for determinism
+        pdf = pdf.sort_values("ts_us")
+        for fp, ts in zip(pdf["fingerprint"], pdf["ts_us"]):
+            if fp not in seen:
+                seen.add(fp)
+                count += 1
+                out_rows.append((user_id, fp, int(ts), count))
+    state.update(("|".join(sorted(seen)), count))
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "fingerprint", "first_seen_us", "seq_no"]
+        )
+
+
+def streaming_first_seen(events_stream: DataFrame) -> DataFrame:
+    """First occurrence of each (user, fingerprint) with a per-user running
+    sequence number.  Input stream needs ``user_id, fingerprint, ts_us``.
+
+    State = the seen-set per user (string-encoded; at real scale use RocksDB
+    state store + a TTL timeout so quiet users age out).
+    """
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
