@@ -216,7 +216,11 @@ def ivf_topk(
     dense = corpus.select(
         F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
     )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(dense)
+    # coarse quantizer: a few iterations is plenty (cluster QUALITY only
+    # moves recall marginally; each extra iteration is a full data pass)
+    model = KMeans(k=n_clusters, seed=seed, maxIter=8, featuresCol="features").fit(
+        dense
+    )
 
     def assign(df: DataFrame, out: str) -> DataFrame:
         d = df.select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
