@@ -621,3 +621,130 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# more TPC-H shapes: EXISTS-count, conditional ratio, HAVING, distinct-agg
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_count",
+    """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS (left-semi with a cross-table residual) +
+    count per priority."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q14_promo_share",
+    f"""
+SELECT {_dsum_sql("CASE WHEN p.p_type LIKE 'STANDARD%' "
+                  "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}
+       / {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS promo_share,
+       {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+""",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (CASE inside SUM) over
+    a broadcast dim join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (dsum(promo) / dsum(rev)).alias("promo_share"),
+            dsum(rev).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    f"""
+SELECT o.o_orderkey,
+       o.o_custkey,
+       {_dsum_sql('l.l_quantity')} AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_custkey
+HAVING SUM(l.l_quantity) > 150
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group + HAVING on the aggregate (post-aggregation
+    filter — Catalyst runs it after partial+final agg, never on raw rows)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            dsum("l_quantity").alias("total_qty"),
+            F.sum("l_quantity").alias("_raw_sum"),
+        )
+        .filter(F.col("_raw_sum") > 150)
+        .drop("_raw_sum")
+    )
+
+
+@register(
+    "supplier_part_distinct_aggs",
+    f"""
+SELECT s.s_nationkey,
+       CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+       {_dsum_sql('l.l_quantity')} AS total_qty
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
+)
+def supplier_part_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates alongside a plain sum — Catalyst expands
+    to the Expand-based multi-distinct plan (one extra shuffle per distinct
+    set, fused into one pass over the input)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+    )
