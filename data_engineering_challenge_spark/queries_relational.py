@@ -748,3 +748,80 @@ def supplier_part_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_quantity").alias("total_qty"),
         )
     )
+
+
+@register(
+    "customer_revenue_quartiles",
+    f"""
+WITH cust_rev AS (
+    SELECT o_custkey, {_dsum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, revenue,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank
+FROM cust_rev
+WINDOW w AS (ORDER BY revenue DESC, o_custkey ASC)
+""",
+)
+def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank (SURVEY.md §2.6 ranking surface).  A global
+    window — fine for customer-cardinality outputs; partition it by a
+    region key when the entity count itself is huge."""
+    o = _t(spark, sf_dir, "orders")
+    cust_rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    return cust_rev.select(
+        "o_custkey",
+        "revenue",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@register(
+    "channel_7day_rolling",
+    f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           {_dsum_sql('value')} AS daily_value
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, day, daily_value,
+       CAST(CAST(SUM(CAST(daily_value AS DECIMAL(28,10))) OVER (
+           PARTITION BY event_type ORDER BY datediff('day', DATE '1970-01-01', day)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS VARCHAR) AS DOUBLE) AS rolling_7d,
+       CAST(COUNT(*) OVER (
+           PARTITION BY event_type ORDER BY datediff('day', DATE '1970-01-01', day)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS days_in_window
+FROM daily
+""",
+)
+def channel_7day_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling metrics via a RANGE frame on the day number — a true
+    value-range frame (handles gaps in the date series), not a row frame
+    (SURVEY.md §2.6 'frame specs')."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(dsum("value").alias("daily_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date("day"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "daily_value",
+        F.sum(F.col("daily_value").cast("decimal(28,10)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_7d"),
+        F.count("*").over(w).alias("days_in_window"),
+    )

@@ -607,3 +607,54 @@ def q_streaming_incremental_journeys(spark: SparkSession, sf_dir: str) -> DataFr
         F.unix_micros("timestamp").alias("ts_us"),
         "channel_label",
     )
+
+
+@register(
+    "lsh_verified_pairs",
+    _SQL_SHINGLES_MULTI
+    + f"""
+, sig AS (
+    SELECT doc_id,
+       {_MINHASH_AGGS_SQL}
+    FROM sh GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS bucket FROM sig
+    UNION ALL
+    SELECT doc_id, 1 AS band, concat_ws('|', mh2, mh3) AS bucket FROM sig
+    UNION ALL
+    SELECT doc_id, 2 AS band, concat_ws('|', mh4, mh5) AS bucket FROM sig
+    UNION ALL
+    SELECT doc_id, 3 AS band, concat_ws('|', mh6, mh7) AS bucket FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       1.0 - levenshtein(da.text, db.text) * 1.0
+             / greatest(length(da.text), length(db.text)) AS edit_sim
+FROM cand c
+JOIN documents da ON c.doc_a = da.doc_id
+JOIN documents db ON c.doc_b = db.doc_id
+WHERE 1.0 - levenshtein(da.text, db.text) * 1.0
+          / greatest(length(da.text), length(db.text)) >= 0.6
+""",
+)
+def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: MinHash-LSH candidate generation
+    followed by exact edit-distance verification — candidates are a tiny
+    set, so the O(len^2) levenshtein only runs on plausible pairs (the
+    production pattern: cheap sketch filter -> expensive verify)."""
+    docs = _docs(spark, sf_dir)
+    cand = dd.minhash_lsh_candidates(docs, n=3, num_hashes=8, rows_per_band=2)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    sim_expr = 1.0 - F.levenshtein("_ta", "_tb") * 1.0 / F.greatest(
+        F.length("_ta"), F.length("_tb")
+    )
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", sim_expr.alias("edit_sim"))
+        .filter(F.col("edit_sim") >= 0.6)
+    )
