@@ -157,3 +157,58 @@ def minhash_lsh_candidates(
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id, cluster_id)
+    where cluster_id = min doc_id reachable through the pairs.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup components are shallow — chains of edits —
+    so a handful of rounds in practice, ``max_iters`` as a safety cap).
+
+    Scale design:
+    * each round is ONE join + ONE groupBy on the edge list — the classic
+      label-propagation round; for graphs with giant components switch to
+      the large-star/small-star contraction algorithm (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond"), same driver loop;
+    * ``localCheckpoint`` truncates the lineage each round — without it the
+      plan doubles per iteration and Catalyst analysis time explodes;
+    * convergence test is an aggregate (sum of labels is monotonically
+      non-increasing and bounded, so equal sums == fixed point), not a
+      row-wise diff join.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

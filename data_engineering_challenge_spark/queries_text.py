@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from .operators import dedup as dd
 from .operators import similarity as sim
 from .operators import text as tx
-from .queries import register
+from .queries import _dsum_sql, dsum, register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,4 +657,89 @@ def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(db, "doc_b")
         .select("doc_a", "doc_b", sim_expr.alias("edit_sim"))
         .filter(F.col("edit_sim") >= 0.6)
+    )
+
+
+# --------------------------------------------------------------------------
+# near-dup clustering + deterministic sampling (LLM-corpus curation ✚)
+# --------------------------------------------------------------------------
+
+#: recursive oracle: transitive closure of the verified near-dup pairs.
+#: DuckDB's WITH RECURSIVE UNION dedups the accumulated rows, so the walk
+#: terminates; MIN(reach) per node == min doc_id in the component.
+_SQL_CC = _SQL_SHINGLES_MULTI.replace("WITH ", "WITH RECURSIVE ", 1) + f"""
+, sig AS (
+    SELECT doc_id,
+       {_MINHASH_AGGS_SQL}
+    FROM sh GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS bucket FROM sig
+    UNION ALL
+    SELECT doc_id, 1 AS band, concat_ws('|', mh2, mh3) AS bucket FROM sig
+    UNION ALL
+    SELECT doc_id, 2 AS band, concat_ws('|', mh4, mh5) AS bucket FROM sig
+    UNION ALL
+    SELECT doc_id, 3 AS band, concat_ws('|', mh6, mh7) AS bucket FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), edges AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN documents da ON c.doc_a = da.doc_id
+    JOIN documents db ON c.doc_b = db.doc_id
+    WHERE 1.0 - levenshtein(da.text, db.text) * 1.0
+              / greatest(length(da.text), length(db.text)) >= 0.6
+), sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM edges
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM edges
+), walk(node, reach) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach
+)
+SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node
+"""
+
+
+@register("dup_clusters_cc", _SQL_CC)
+def q_dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH candidates -> edit-distance verify -> connected
+    components (iterative min-label propagation, operators/dedup.py
+    dup_clusters).  The curation end-game: keep cluster_id == doc_id rows,
+    drop the rest.  Oracle = DuckDB WITH RECURSIVE transitive closure —
+    an iterative Spark algorithm still gets a full value-hash check."""
+    edges = q_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return dd.dup_clusters(edges)
+
+
+@register(
+    "hash_sample_stratified",
+    f"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       {_dsum_sql('n_chars')} AS chars_sampled
+FROM documents
+WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+GROUP BY lang, source
+""",
+)
+def q_hash_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: md5(doc_id) bucket == 0, reported
+    per (lang, source) stratum.  Unlike rand()-based sampling this is
+    reproducible across engines, partitionings and reruns — the property a
+    training-data pipeline needs for auditable holdouts.  The predicate is
+    a pure column expression, so it pushes into the scan and samples
+    WITHOUT a full-table materialization."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    return (
+        docs.filter(bucket == 0)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_sampled"), dsum("n_chars").alias("chars_sampled"))
     )

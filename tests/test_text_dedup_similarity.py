@@ -158,3 +158,22 @@ def test_ivf_topk_shape_and_recall(spark):
     hits = exact & {(r.query_id, r.neighbor_id) for r in approx}
     # probing half the clusters should recover a reasonable share
     assert len(hits) / len(exact) > 0.2
+
+
+def test_dup_clusters_connected_components(spark):
+    # two components: {1,2,3,7} via a chain 1-2, 2-3, 3-7; {10,20} isolated pair
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=3, doc_b=7),
+         Row(doc_a=10, doc_b=20)]
+    )
+    got = {r.doc_id: r.cluster_id for r in dd.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 20: 10}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    # a 12-node path graph needs multiple propagation rounds (diameter 11)
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(12)]
+    )
+    got = {r.doc_id: r.cluster_id for r in dd.dup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(13)}
