@@ -1089,3 +1089,113 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("value"))
     )
     return piv.na.fill(0.0, subset=_EVENT_TYPES)
+
+
+# --------------------------------------------------------------------------
+# time-range join (bucketed) + nearest-match as-of join (SURVEY.md §2.4's
+# "not present in the reference, exposed by the engine" join family)
+# --------------------------------------------------------------------------
+
+_RANGE_W_US = 300_000_000  # ±5 minutes, in microseconds
+
+
+@register(
+    "range_join_error_context",
+    f"""
+SELECT e.event_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks,
+       COALESCE({_dsum_sql('c.value')}, 0.0) AS click_value
+FROM events e
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND ABS(epoch_us(c.ts) - epoch_us(e.ts)) <= {_RANGE_W_US}
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+""",
+)
+def q_range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join, bucketized: clicks within ±5 min of each error.
+
+    A naive theta join is O(|errors|·|clicks|) — a cross join at scale.
+    The scale-correct plan: assign each click to ONE time bucket of width
+    = the window, probe 2-3 adjacent buckets from the error side
+    (sequence+explode), equi-join on the bucket, then apply the exact
+    range residual.  Each (error, click) pair meets on exactly one bucket
+    (the click's own), so no dedup pass is needed.  Cost becomes
+    proportional to true temporal co-location, and the join shuffles on a
+    well-distributed integer key."""
+    from . import roles
+
+    w = F.lit(_RANGE_W_US)
+    ev = roles.load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+        "value",
+    ).withColumn("bucket", F.expr(f"c_us div {_RANGE_W_US}"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.unix_micros("ts").alias("e_us")
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"(e_us - {_RANGE_W_US}) div {_RANGE_W_US}"),
+                F.expr(f"(e_us + {_RANGE_W_US}) div {_RANGE_W_US}"),
+            )
+        ),
+    )
+    pairs = errors.join(
+        clicks,
+        (errors["bucket"] == clicks["bucket"])
+        & (F.abs(F.col("c_us") - F.col("e_us")) <= w),
+        "left",
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count("click_id").alias("n_clicks"),
+        F.coalesce(dsum("value"), F.lit(0.0)).alias("click_value"),
+    )
+
+
+def _asof_oracle() -> str:
+    from .queries import _SQL_PRELUDE
+
+    return _SQL_PRELUDE + """
+SELECT conversion_id, session_id, ts_us, gap_us
+FROM (
+    SELECT conversion_id,
+           session_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(epoch_us(conv_ts) - epoch_us(ts) AS BIGINT) AS gap_us,
+           ROW_NUMBER() OVER (PARTITION BY conversion_id
+                              ORDER BY ts DESC, session_id DESC) AS rn
+    FROM journeys
+)
+WHERE rn = 1
+"""
+
+
+@register("asof_nearest_session", _asof_oracle())
+def q_asof_nearest_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join: the single latest session at-or-before
+    each conversion (contrast with journeys_build, which keeps ALL prior
+    sessions — SURVEY.md §2.4 'do NOT use a last-row as-of' for journeys;
+    this query IS the last-row variant, exposed as its own operator).
+    Implementation: prefix join + rank-1 window — the decomposition Spark
+    executes as shuffle-on-user + per-conversion top-1 (no global sort).
+    Ties on ts break on session_id (deterministic cross-engine)."""
+    from .queries import _journeys
+
+    j = _journeys(spark, sf_dir)
+    w = Window.partitionBy("conversion_id").orderBy(
+        F.desc("timestamp"), F.desc("session_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "conversion_id",
+            "session_id",
+            F.unix_micros("timestamp").alias("ts_us"),
+            (F.unix_micros("conv_ts") - F.unix_micros("timestamp")).alias("gap_us"),
+        )
+    )

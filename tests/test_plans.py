@@ -71,3 +71,31 @@ def test_report_uses_broadcast_for_costs(spark, name):
     # the costs LEFT JOIN and the conversions join are broadcast at this
     # scale; the big sessions/attribution join may be SMJ or BHJ (AQE decides)
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q19_disjunctive_preds_pushdown(spark):
+    plan = _plan(spark, "q19_disjunctive_preds")
+    # Catalyst factors table-local conjuncts out of the OR and pushes them:
+    # the lineitem scan must see a quantity filter, the part scan a brand Or
+    read_side = plan.split("ReadSchema:")[0]
+    assert "l_quantity" in read_side
+    assert "Or(" in plan  # the disjunction survives as a pushed/partial filter
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_not_cartesian(spark):
+    plan = _plan(spark, "range_join_error_context")
+    # the bucketization must turn the time-range theta join into an
+    # equi-join: any nested-loop/cartesian here is quadratic at scale
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_single_fact_shuffle_join(spark):
+    plan = _plan(spark, "q7_nation_volume")
+    # supplier/customer/nation broadcast; orders may broadcast at tiny SF
+    # (AQE) but there must be no nested-loop join anywhere
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
