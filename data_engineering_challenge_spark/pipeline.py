@@ -145,7 +145,10 @@ class AttributionPipeline:
         journeys = self.build_journeys(start_date, end_date)
         if journeys.isEmpty():
             return None
-        attributed = self.attribute(journeys)
+        # step 2 reads the parquet step 1 just wrote (NOT the lazy journeys
+        # plan): the materialized relation is the reuse boundary — the as-of
+        # join runs once, and step 2's shuffles start from columnar parquet
+        attributed = self.attribute(None)
         if attributed.isEmpty():
             return None
         return self.report(start_date, end_date)

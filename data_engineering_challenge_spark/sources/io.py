@@ -96,3 +96,26 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (hash-partitioned on disk by ``bucket_cols``).
+
+    THE scale lever for repeated big-fact joins: two tables bucketed on the
+    same key with the same bucket count join WITHOUT any Exchange — the
+    shuffle happened once at write time and is amortized over every
+    subsequent join/aggregation on that key (tests/test_bucketing.py
+    asserts the Exchange-free plan).  Requires a catalog table
+    (``saveAsTable``): bucketing metadata lives in the metastore.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
