@@ -1199,3 +1199,38 @@ def q_asof_nearest_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("conv_ts") - F.unix_micros("timestamp")).alias("gap_us"),
         )
     )
+
+
+@register(
+    "events_grouping_sets",
+    f"""
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       {_dsum_sql('value')} AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INTEGER) AS g_day
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), (event_type, CAST(ts AS DATE)))
+""",
+)
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form under rollup/cube: three explicit
+    aggregation granularities in ONE pass over the input (Catalyst plans an
+    Expand + single hash-agg, not three scans).  GROUPING() flags
+    disambiguate 'NULL key' from 'aggregated-away key' in the output."""
+    from . import roles
+
+    ev = roles.load_events(spark, sf_dir)
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(f"""
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value,
+               COUNT(*) AS n_events,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)),
+                                (event_type, CAST(ts AS DATE)))
+    """)
