@@ -18,8 +18,8 @@ class PipelineConfig:
     # parquet tables; db_name kept for the JDBC parity path)
     table_dir: str = "./data"
     db_name: str = ""
-    journeys_path: str = "customer_journeys.parquet"
-    report_path: str = "channel_reporting.parquet"
+    journeys_path: str = "out/customer_journeys.parquet"
+    report_path: str = "out/channel_reporting.parquet"
     csv_exports: bool = True  # also write the reference's CSV artifacts
 
     # attribution
@@ -31,6 +31,14 @@ class PipelineConfig:
     conv_type_id: str = ""
     max_journeys_per_request: int = 100
     max_sessions_per_request: int = 2000
+    # retry/backoff/throttle for the HTTP scorer (replaces the reference's
+    # fixed sleep(1) + silent chunk drop, api_client.py:219,244,50-65)
+    api_timeout_s: float = 30.0
+    api_max_retries: int = 3
+    api_backoff_s: float = 1.0
+    api_throttle_s: float = 0.0
+    # external mode: log the over-cap skip count (costs a group-by pass)
+    log_skipped: bool = False
 
     # spark
     shuffle_partitions: int | None = None
@@ -66,4 +74,8 @@ class PipelineConfig:
             max_sessions_per_request=get(
                 "api", "max_sessions_per_request", cls.max_sessions_per_request, int
             ),
+            api_timeout_s=get("api", "timeout_s", cls.api_timeout_s, float),
+            api_max_retries=get("api", "max_retries", cls.api_max_retries, int),
+            api_backoff_s=get("api", "backoff_s", cls.api_backoff_s, float),
+            api_throttle_s=get("api", "throttle_s", cls.api_throttle_s, float),
         )

@@ -95,12 +95,22 @@ def attribute_external(
     score_fn: ScoreFn = local_linear_scorer,
     max_journeys_per_request: int = 100,
     max_sessions_per_request: int = 2000,
+    num_chunks: int | None = None,
 ) -> DataFrame:
     """Partition-parallel scoring with the reference's chunking contract.
 
     Returns (conversion_id, session_id, ihc).  Compose with
     ``attribution.normalize_ihc`` + ``attribution.verify_attribution`` for
     the reference's validate/verify steps (api_client.py:67-107,254-268).
+
+    Composition is fully lazy — no Spark job runs until the result is
+    acted on.  ``num_chunks`` is only a parallelism/memory knob (the exact
+    request caps are enforced per-chunk in ``_sub_batches``): it defaults to
+    8x the cluster parallelism, which keeps every core busy without a
+    data-dependent count.  For very large inputs pass a larger value so a
+    single chunk (one in-memory pandas frame) stays bounded — roughly
+    ``n_conversions / max_journeys_per_request`` chunks makes each chunk one
+    expected scorer call.
     """
     counts = journeys.groupBy("conversion_id").agg(F.count("*").alias("n_sessions"))
     eligible = journeys.join(
@@ -111,10 +121,10 @@ def attribute_external(
         "left_semi",
     )
 
-    n_conv = eligible.select("conversion_id").distinct().count()
-    n_chunks = max(1, -(-n_conv // max_journeys_per_request))
+    if num_chunks is None:
+        num_chunks = journeys.sparkSession.sparkContext.defaultParallelism * 8
     chunked = eligible.withColumn(
-        "_chunk", F.pmod(F.xxhash64("conversion_id"), F.lit(n_chunks))
+        "_chunk", F.pmod(F.xxhash64("conversion_id"), F.lit(max(1, num_chunks)))
     )
 
     out_schema = StructType(

@@ -51,6 +51,30 @@ class AttributionPipeline:
     def _out(self, name: str) -> str:
         return os.path.join(self.config.table_dir, name)
 
+    def _score_fn(self):
+        """Scorer for model="external": the HTTP adapter when api_url is
+        configured (reference api_client.py:26-65 contract, with
+        retry/backoff/throttle), else the bundled linear scorer — loudly,
+        so users can't mistake offline output for API attribution."""
+        cfg = self.config
+        if cfg.api_url:
+            from .sources.http_scorer import make_http_scorer
+
+            return make_http_scorer(
+                cfg.api_url,
+                api_key=cfg.api_key,
+                conv_type_id=cfg.conv_type_id,
+                timeout_s=cfg.api_timeout_s,
+                max_retries=cfg.api_max_retries,
+                backoff_s=cfg.api_backoff_s,
+                throttle_s=cfg.api_throttle_s,
+            )
+        log.warning(
+            "model='external' with no api_url configured — falling back to "
+            "the bundled local linear scorer (NOT API attribution)"
+        )
+        return batching.local_linear_scorer
+
     # -- step 1: build journeys (reference cj_builder.py:135-155) ----------
 
     def build_journeys(
@@ -85,12 +109,19 @@ class AttributionPipeline:
             return journeys
 
         if cfg.model == "external":
-            skipped = batching.skipped_over_cap(journeys, cfg.max_sessions_per_request)
-            n_skip = skipped.count()
-            if n_skip:
-                log.warning("skipping %d over-cap conversions", n_skip)
+            if cfg.log_skipped:
+                # optional: a full group-by pass purely for this warning, so
+                # it's off by default; skipped conversions are always
+                # recoverable as data via batching.skipped_over_cap
+                skipped = batching.skipped_over_cap(
+                    journeys, cfg.max_sessions_per_request
+                )
+                n_skip = skipped.count()
+                if n_skip:
+                    log.warning("skipping %d over-cap conversions", n_skip)
             attributed = batching.attribute_external(
                 journeys,
+                score_fn=self._score_fn(),
                 max_journeys_per_request=cfg.max_journeys_per_request,
                 max_sessions_per_request=cfg.max_sessions_per_request,
             )

@@ -430,6 +430,13 @@ SELECT conversion_id,
        session_id,
        1.0 / COUNT(*) OVER (PARTITION BY conversion_id) AS ihc
 FROM journeys
+-- same eligibility rule as the Spark side: a conversion whose journey alone
+-- exceeds max_sessions_per_request is SKIPPED (api_client.py:197-199); at
+-- sf0.01 no journey is that long, but both sides must compute over the
+-- identical conversion set for the gate to hold at any SF
+WHERE conversion_id NOT IN (
+    SELECT conversion_id FROM journeys GROUP BY conversion_id HAVING COUNT(*) > 5000
+)
 """,
 )
 def q_attr_external_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -384,16 +384,18 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     """
 WITH flagged AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                   OR LAG(ts) OVER w IS NULL
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
+    -- same (ts, event_id) total order as the lag window: rows tied on ts
+    -- would otherwise get engine/shuffle-dependent session assignment
     SELECT user_id, ts,
            SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS session_no
     FROM flagged
@@ -415,15 +417,18 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = roles.load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cumulative window shares the lag window's (ts, event_id) total order so
+    # boundary rows tied on ts get deterministic session assignment
     wc = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gap_us = 30 * 60 * 1_000_000
     flagged = events.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > gap_us)
             | F.lag("ts").over(w).isNull(),

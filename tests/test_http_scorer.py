@@ -1,0 +1,116 @@
+"""HTTP scorer adapter tests (sources/http_scorer.py) against an
+in-process HTTP stub — success, 429-retry, non-retryable and persistent
+failure paths (reference contract: pipeline/api_client.py:26-65)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from data_engineering_challenge_spark.sources.http_scorer import make_http_scorer
+
+
+class _StubHandler(BaseHTTPRequestHandler):
+    # class-level script: list of status codes to emit, in order; 200
+    # responds with linear attribution of the posted journeys
+    script: list[int] = []
+    requests_seen: list[dict] = []
+
+    def do_POST(self):  # noqa: N802 (http.server API)
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        type(self).requests_seen.append(
+            {"body": body, "headers": dict(self.headers), "path": self.path}
+        )
+        status = type(self).script.pop(0) if type(self).script else 200
+        if status != 200:
+            self.send_response(status)
+            self.end_headers()
+            return
+        journeys = body["customer_journeys"]
+        counts: dict = {}
+        for r in journeys:
+            counts[r["conversion_id"]] = counts.get(r["conversion_id"], 0) + 1
+        value = [
+            {
+                "conversion_id": r["conversion_id"],
+                "session_id": r["session_id"],
+                "ihc": 1.0 / counts[r["conversion_id"]],
+            }
+            for r in journeys
+        ]
+        payload = json.dumps({"statusCode": 200, "value": value}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *args):  # silence test output
+        pass
+
+
+@pytest.fixture
+def stub_server():
+    server = HTTPServer(("127.0.0.1", 0), _StubHandler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    _StubHandler.script = []
+    _StubHandler.requests_seen = []
+    yield f"http://127.0.0.1:{server.server_port}/v1/compute_ihc"
+    server.shutdown()
+
+
+JOURNEYS = [
+    {"conversion_id": 1, "session_id": 10, "timestamp": "2024-01-01 00:00:00"},
+    {"conversion_id": 1, "session_id": 11, "timestamp": "2024-01-01 01:00:00"},
+    {"conversion_id": 2, "session_id": 20, "timestamp": "2024-01-02 00:00:00"},
+]
+
+
+def test_success_contract(stub_server):
+    score = make_http_scorer(
+        stub_server, api_key="k123", conv_type_id="t1", throttle_s=0.0
+    )
+    out = score(JOURNEYS)
+    assert out == [
+        {"conversion_id": 1, "session_id": 10, "ihc": 0.5},
+        {"conversion_id": 1, "session_id": 11, "ihc": 0.5},
+        {"conversion_id": 2, "session_id": 20, "ihc": 1.0},
+    ]
+    req = _StubHandler.requests_seen[0]
+    assert req["body"] == {"customer_journeys": JOURNEYS}
+    headers = {k.lower(): v for k, v in req["headers"].items()}
+    assert headers["x-api-key"] == "k123"
+    assert headers["content-type"] == "application/json"
+    assert "conv_type_id=t1" in req["path"]
+
+
+def test_429_retries_then_succeeds(stub_server):
+    _StubHandler.script = [429, 429]
+    score = make_http_scorer(stub_server, max_retries=3, backoff_s=0.01)
+    out = score(JOURNEYS)
+    assert len(out) == 3
+    assert len(_StubHandler.requests_seen) == 3  # 2 failures + 1 success
+
+
+def test_persistent_500_raises(stub_server):
+    _StubHandler.script = [500, 500, 500]
+    score = make_http_scorer(stub_server, max_retries=2, backoff_s=0.01)
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        score(JOURNEYS)
+
+
+def test_non_retryable_raises_immediately(stub_server):
+    _StubHandler.script = [403]
+    score = make_http_scorer(stub_server, max_retries=3, backoff_s=0.01)
+    with pytest.raises(RuntimeError, match="HTTP 403"):
+        score(JOURNEYS)
+    assert len(_StubHandler.requests_seen) == 1
+
+
+def test_requires_url():
+    with pytest.raises(ValueError):
+        make_http_scorer("")
