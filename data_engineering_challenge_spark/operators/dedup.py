@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles, tokens
+from .text import shingle_arrays, shingles, tokens
 
 
 def dedup_exact(documents: DataFrame, key: str = "text") -> DataFrame:
@@ -31,33 +31,55 @@ def dedup_exact(documents: DataFrame, key: str = "text") -> DataFrame:
     ).select("doc_id", "n_dups")
 
 
-def shingle_sets(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the inverted-index relation."""
+def _exploded_shingles(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) multiset — explode of a bound attribute behind the
+    shingle_arrays barrier (explode_outer + null-filter dodges the inferred
+    size()>0 filter that would re-inline the shingle transform at the
+    scan; shingles themselves are never null)."""
     return (
-        documents.select("doc_id", F.explode(shingles(tokens(), n)).alias("shingle"))
-        .distinct()
+        shingle_arrays(documents, n)
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
+def shingle_sets(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index relation."""
+    return _exploded_shingles(documents, n).distinct()
+
+
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5
+    documents: DataFrame, n: int = 3, threshold: float = 0.5,
+    max_postings: int = 200,
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold.
 
     inverted-index join: pairs sharing a shingle -> intersection counts ->
     |A∪B| = |A|+|B|-|A∩B|.  Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Per-shingle work is quadratic in posting-list length, so shingles in
+    more than ``max_postings`` docs are dropped as stop-shingles — from the
+    set sizes AND the intersections, keeping the Jaccard definition
+    consistent ("similarity over discriminative shingles").  Boilerplate
+    n-grams carry no dedup signal; the cap turns the worst-case quadratic
+    blowup into a bounded per-bucket cost.
     """
     ss = shingle_sets(documents, n)
-    sizes = ss.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     # group doc-ids per shingle and explode ordered pairs locally — ONE pass
     # over the inverted index instead of a self-join that would recompute
-    # (and reshuffle) the shingle relation twice.  Per-shingle work is
-    # quadratic in posting-list length; extremely common shingles should be
-    # dropped as stop-shingles at real scale (they carry no dedup signal).
-    inter = (
+    # (and reshuffle) the shingle relation twice.
+    postings = (
         ss.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(F.size("ids") <= max_postings)
+    )
+    sizes = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("set_size"))
+    )
+    inter = (
+        postings.filter(F.size("ids") > 1)
         .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .groupBy(F.col("p.doc_a"), F.col("p.doc_b"))
         .agg(F.count("*").alias("inter"))
@@ -88,9 +110,9 @@ def _ordered_pairs(ids):
 
 
 def minhash_signatures(
-    documents: DataFrame, n: int = 3, num_hashes: int = 8
+    documents: DataFrame, n: int = 3, num_hashes: int = 8, hash_fn: str = "md5"
 ) -> DataFrame:
-    """MinHash signature per document, md5-chunk construction.
+    """MinHash signature per document.
 
     Two performance choices that preserve minhash semantics exactly:
 
@@ -101,17 +123,29 @@ def minhash_signatures(
       independent 32-bit hash, so ``ceil(num_hashes/4)`` md5 calls per
       shingle replace ``num_hashes`` calls (4x less hashing).
 
-    md5-string minhash is engine-portable (oracle-checkable), unlike
-    Spark-internal hash()/xxhash64.  Signature columns mh0..mhN-1.
+    ``hash_fn`` picks the hash family:
+
+    * ``"md5"`` (default) — engine-portable string hashing, identical in
+      DuckDB, so signatures are oracle-checkable;
+    * ``"xxhash64"`` — Spark's native 64-bit hash, no hex round-trip and
+      roughly an order of magnitude cheaper per shingle: the production
+      choice at scale when cross-engine portability isn't needed.  Seeded
+      per hash index via an extra literal argument.
+
+    Signature columns mh0..mhN-1 (string for md5, bigint for xxhash64 —
+    downstream banding concat_ws accepts both).
     """
-    exploded = documents.select(
-        "doc_id", F.explode(shingles(tokens(), n)).alias("shingle")
-    )
+    exploded = _exploded_shingles(documents, n)
     aggs = []
     for i in range(num_hashes):
-        seed, chunk = divmod(i, 4)
-        h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
-        aggs.append(F.min(F.substring(h, chunk * 8 + 1, 8)).alias(f"mh{i}"))
+        if hash_fn == "xxhash64":
+            aggs.append(F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}"))
+        elif hash_fn == "md5":
+            seed, chunk = divmod(i, 4)
+            h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
+            aggs.append(F.min(F.substring(h, chunk * 8 + 1, 8)).alias(f"mh{i}"))
+        else:
+            raise ValueError(f"unknown hash_fn {hash_fn!r} (md5|xxhash64)")
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
@@ -120,6 +154,8 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    hash_fn: str = "md5",
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join per band.
 
@@ -128,14 +164,20 @@ def minhash_lsh_candidates(
     per-(band, bucket) — at scale this is the whole point: candidate
     generation never compares docs that share no bucket.
     Returns distinct (doc_a, doc_b), doc_a < doc_b.
+
+    ``max_bucket_size`` is the skew guard: a degenerate bucket holding a
+    large fraction of all docs (hash collision pile-up, boilerplate
+    corpora) would explode quadratically in the local pair expansion, so
+    buckets above the cap are DROPPED.  The docs they contain are near-
+    identical boilerplate by construction — exact dedup or a re-band with
+    more rows per band is the right tool for them, not pairwise LSH.
     """
-    sig = minhash_signatures(documents, n, num_hashes)
+    sig = minhash_signatures(documents, n, num_hashes, hash_fn)
     num_bands = num_hashes // rows_per_band
     # one explode instead of a num_bands-way union (a union would recompute
     # the whole signature pipeline per band), then collect-ids-per-bucket +
     # local pair explosion instead of a self-join (which would recompute it
-    # twice more).  Skew note: a degenerate bucket holding a large fraction
-    # of all docs explodes quadratically — cap or re-band in that case.
+    # twice more).
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -152,14 +194,16 @@ def minhash_lsh_candidates(
     return (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
         .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame, max_iters: int = 20, shuffle_partitions: int | None = None
+) -> DataFrame:
     """Connected components over a near-dup pair graph: (doc_id, cluster_id)
     where cluster_id = min doc_id reachable through the pairs.
 
@@ -177,8 +221,27 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
       plan doubles per iteration and Catalyst analysis time explodes;
     * convergence test is an aggregate (sum of labels is monotonically
       non-increasing and bounded, so equal sums == fixed point), not a
-      row-wise diff join.
+      row-wise diff join;
+    * ``shuffle_partitions`` (optional) overrides the session's shuffle
+      width for the duration of the loop: the verified pair graph is
+      orders of magnitude smaller than the corpus, so running each round's
+      join at the corpus-sized session default (e.g. 200) spends more time
+      launching empty tasks than propagating labels.  Size it to the EDGE
+      data, not the corpus; restored on exit.
     """
+    spark = pairs.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(conf_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
+    try:
+        return _dup_clusters_loop(pairs, max_iters)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set(conf_key, prev_parts)
+
+
+def _dup_clusters_loop(pairs: DataFrame, max_iters: int) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

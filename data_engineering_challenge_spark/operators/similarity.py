@@ -21,6 +21,8 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -111,9 +113,121 @@ def near_dup_pairs(
     )
 
 
+def sign_lsh_bands(
+    corpus: DataFrame,
+    num_bands: int = 8,
+    bits_per_band: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded sign-random-projection LSH: ``num_bands`` independent buckets
+    per vector, each bucket the sign pattern of ``bits_per_band``
+    projections (hyperplane seeds ``band * bits_per_band + bit`` — disjoint
+    across bands).  Two vectors are near-dup CANDIDATES if they agree on
+    ALL bits of ANY band — the same band/bucket amplification MinHash-LSH
+    uses, tuned for cosine: with per-bit collision p = 1 - θ/π, candidate
+    recall is 1 - (1 - p^bits)^bands.
+    Returns (vec_id, band, bucket) — one row per vector per band.
+    """
+    v = F.col(vec_col)
+    band_structs = []
+    for band in range(num_bands):
+        bucket = None
+        for bit in range(bits_per_band):
+            seed = band * bits_per_band + bit
+            comps = F.lit(_sign_component_values(seed, dim))
+            proj = F.aggregate(
+                F.zip_with(v, comps, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            term = F.when(proj > 0, F.lit(2**bit)).otherwise(F.lit(0))
+            bucket = term if bucket is None else bucket + term
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), bucket.alias("bucket"))
+        )
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    num_bands: int = 8,
+    bits_per_band: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Scale-safe embedding near-dup: banded sign-LSH candidate generation
+    + exact cosine verification within candidates — never an all-pairs
+    join.  The candidate set is proportional to true near-dup density, so
+    this survives corpus sizes where :func:`near_dup_pairs` (the O(n²)
+    brute-force baseline, kept for reranking/small inputs) cannot.
+
+    Buckets larger than ``max_bucket_size`` are dropped (skew guard — see
+    dedup.minhash_lsh_candidates); with 2-bit bands a bucket holds ~1/4 of
+    the corpus only when the corpus is degenerate boilerplate.
+    Returns (id_a, id_b, cos_sim), id_a < id_b, cos_sim >= threshold.
+    """
+    from .dedup import _ordered_pairs
+
+    bands = sign_lsh_bands(corpus, num_bands, bits_per_band, dim, id_col, vec_col)
+    cand = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("id_a"), F.col("p.doc_b").alias("id_b"))
+        .distinct()
+    )
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm_a"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm_b"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def _sign_component_values(seed: int, dim: int = 64) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from md5(seed:d) per
+    component — bit 0 of the hash's first hex nibble decides the sign.
+    Computed driver-side (md5 is the same function everywhere, so DuckDB
+    oracles and any other engine reproduce these exactly); shipped to
+    executors as one array literal per hyperplane instead of dim md5
+    expression nodes — the expression tree stays small enough for fast
+    codegen and the per-row cost is a plain dot product."""
+    return [
+        1.0
+        if int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:4], 16) & 1
+        else -1.0
+        for d in range(dim)
+    ]
+
+
 def _projection_component(seed: int, dim: int) -> Column:
-    """Deterministic pseudo-random ±1 from md5(seed:dim) — bit 0 of the
-    hash's first hex nibble decides the sign."""
+    """Column twin of one :func:`_sign_component_values` entry (kept for
+    API compatibility; the operators use the literal-array form)."""
     h = F.conv(F.substring(F.md5(F.lit(f"{seed}:{dim}")), 1, 4), 16, 10).cast("int")
     return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
 
@@ -132,7 +246,7 @@ def lsh_sign_buckets(
     v = F.col(vec_col)
     bucket = None
     for bit in range(num_bits):
-        comps = F.array(*[_projection_component(bit, d) for d in range(dim)])
+        comps = F.lit(_sign_component_values(bit, dim))
         proj = F.aggregate(
             F.zip_with(v, comps, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
@@ -198,6 +312,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     assigns every vector to a cluster; each query probes its ``n_probe``
@@ -218,16 +333,9 @@ def ivf_topk(
     )
     # coarse quantizer: a few iterations is plenty (cluster QUALITY only
     # moves recall marginally; each extra iteration is a full data pass)
-    model = KMeans(k=n_clusters, seed=seed, maxIter=8, featuresCol="features").fit(
-        dense
-    )
-
-    def assign(df: DataFrame, out: str) -> DataFrame:
-        d = df.select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
-        return (
-            model.transform(d)
-            .select(F.col(id_col), F.col("prediction").alias(out))
-        )
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(dense)
 
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
@@ -252,16 +360,20 @@ def ivf_topk(
         .select("query_id", "cluster")
     )
 
-    c_assigned = assign(corpus, "cluster").withColumnRenamed(id_col, "neighbor_id")
-    cand = (
+    # cluster assignment rides along the corpus scan (model.transform adds
+    # `prediction` to the existing columns) — no corpus self-join; the only
+    # join on the candidate side is the broadcast of the tiny probe list
+    c_assigned = model.transform(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
             F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+            array_to_vector(F.col(vec_col)).alias("features"),
         )
-        .join(c_assigned, "neighbor_id")
-        .join(F.broadcast(probes), "cluster")
+    ).select(
+        "neighbor_id", "cv", "cnorm", F.col("prediction").alias("cluster")
     )
+    cand = c_assigned.join(F.broadcast(probes), "cluster")
     qn = q.withColumn("qnorm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     scored = (
         cand.join(F.broadcast(qn), "query_id")

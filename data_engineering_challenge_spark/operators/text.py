@@ -33,13 +33,45 @@ def tokens(text: Column | str = "text") -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Word n-gram shingles; empty array when the doc has < n tokens."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    parts = lambda i: [toks[i + j] for j in range(n)]  # noqa: E731
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))),
-    ).otherwise(F.array().cast("array<string>"))
+    """Word n-gram shingles; empty array when the doc has < n tokens.
+
+    ``toks`` is bound as a lambda variable via a 1-element ``transform``
+    wrapper so the token expression (typically a split) evaluates ONCE per
+    row: referencing it directly would re-embed it in every ``toks[i+j]``
+    element access — measured 5x slower on the shingle build.
+    """
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", *[t[i + j] for j in range(n)])
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(toks), build)[0]
+
+
+def shingle_arrays(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh array<string>) with the shingle array MATERIALIZED
+    behind a ``repartition("doc_id")`` barrier before any explode.
+
+    Two reasons, both measured (see winnow_fingerprints in queries_text):
+
+    * exploding a lambda-valued (higher-order) generator re-evaluates the
+      whole transform per OUTPUT row — quadratic per document — and
+      ``InferFiltersFromGenerate`` inlines it again at the scan; exploding
+      a bound attribute evaluates it once per document;
+    * the testdata tables are single parquet files, so without a
+      repartition every downstream stage runs as ONE task.  Partitioning
+      BY doc_id makes the shuffle pay for itself: hashpartitioning(doc_id)
+      satisfies the clustering of every downstream groupBy(doc_id), so the
+      explode→agg pipeline needs no further shuffle.
+    """
+    return documents.select(
+        "doc_id", shingles(tokens(), n).alias("sh")
+    ).repartition("doc_id")
 
 
 def token_stats(documents: DataFrame) -> DataFrame:

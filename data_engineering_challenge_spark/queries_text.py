@@ -169,10 +169,14 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     _SQL_SHINGLES
     + """
-, sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+-- stop-shingle cap mirrors the operator: shingles in > 200 docs are
+-- dropped from sizes AND intersections (no dedup signal, quadratic cost)
+, keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 200),
+shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
@@ -183,7 +187,8 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
 """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 3-shingle Jaccard >= 0.2 (inverted-index join)."""
+    """Near-dup pairs by 3-shingle Jaccard >= 0.2 (inverted-index join,
+    stop-shingles above 200 postings dropped)."""
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
 
@@ -221,10 +226,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_signatures(_docs(spark, sf_dir), n=3, num_hashes=8)
 
 
-@register(
-    "minhash_lsh_candidates",
-    _SQL_SHINGLES_MULTI
-    + f"""
+#: shared banding block: signature -> 4 bands x 2 rows -> bucket-capped
+#: candidate pairs (cap mirrors the operator's max_bucket_size=200 skew
+#: guard — an over-cap bucket is degenerate boilerplate, dropped)
+_SQL_BANDED_CAND = f"""
 , sig AS (
     SELECT doc_id,
        {_MINHASH_AGGS_SQL}
@@ -237,16 +242,37 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, 2 AS band, concat_ws('|', mh4, mh5) AS bucket FROM sig
     UNION ALL
     SELECT doc_id, 3 AS band, concat_ws('|', mh6, mh7) AS bucket FROM sig
+), bsize AS (
+    SELECT band, bucket, COUNT(*) AS n FROM banded GROUP BY band, bucket
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    JOIN bsize s ON a.band = s.band AND a.bucket = s.bucket AND s.n <= 200
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a
-JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-""",
+"""
+
+
+@register(
+    "minhash_lsh_candidates",
+    _SQL_SHINGLES_MULTI + _SQL_BANDED_CAND + "SELECT doc_a, doc_b FROM cand",
 )
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: 4 bands x 2 rows over the 8-hash
     signature; bucket-join only (the scale path for near-dup)."""
     return dd.minhash_lsh_candidates(_docs(spark, sf_dir), n=3, num_hashes=8, rows_per_band=2)
+
+
+@register("minhash_lsh_candidates_xxh", None)  # hash choice is Spark-native
+def q_minhash_lsh_candidates_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same LSH pipeline with hash_fn="xxhash64" — the production hash
+    at scale (no hex string round-trip, one JVM hash per shingle per
+    index).  No SQL oracle: xxhash64 is Spark-internal by design; the md5
+    twin (minhash_lsh_candidates) carries the cross-engine correctness row,
+    and tests assert the two pipelines find the same high-similarity pairs."""
+    return dd.minhash_lsh_candidates(
+        _docs(spark, sf_dir), n=3, num_hashes=8, rows_per_band=2, hash_fn="xxhash64"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -296,8 +322,75 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+# the operators compute these same driver-side literals — one shared source
+# of truth for the hyperplane components keeps Spark and oracle identical
+from .operators.similarity import _sign_component_values as _sign_components  # noqa: E402
+
+
+def _near_dup_lsh_oracle(
+    num_bands: int = 8, bits_per_band: int = 2, threshold: float = 0.45,
+    max_bucket: int = 1000,
+) -> str:
+    """Oracle twin of similarity.near_dup_pairs_lsh: per-band sign buckets
+    from the same md5-derived ±1 components (literals below equal what
+    Spark computes at runtime), bucket-capped candidate pairs, exact
+    cosine verify."""
+    band_selects = []
+    for band in range(num_bands):
+        bits = []
+        for bit in range(bits_per_band):
+            seed = band * bits_per_band + bit
+            comps = ", ".join(str(c) for c in _sign_components(seed))
+            bits.append(
+                f"(CASE WHEN list_sum(list_transform(list_zip(embedding, [{comps}]),"
+                f" x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN {2**bit} ELSE 0 END)"
+            )
+        bucket = " + ".join(bits)
+        band_selects.append(
+            f"SELECT vec_id, {band} AS band, {bucket} AS bucket FROM embeddings"
+        )
+    banded = "\n    UNION ALL\n    ".join(band_selects)
+    return f"""
+WITH banded AS (
+    {banded}
+), bsize AS (
+    SELECT band, bucket, COUNT(*) AS n FROM banded GROUP BY band, bucket
+), cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN bsize s ON a.band = s.band AND a.bucket = s.bucket AND s.n <= {max_bucket}
+), e AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+    FROM embeddings
+)
+SELECT id_a, id_b,
+       {_SQL_DOT.format(a='ea.embedding', b='eb.embedding')} / (ea.norm * eb.norm)
+           AS cos_sim
+FROM cand
+JOIN e ea ON id_a = ea.vec_id
+JOIN e eb ON id_b = eb.vec_id
+WHERE {_SQL_DOT.format(a='ea.embedding', b='eb.embedding')} / (ea.norm * eb.norm)
+      >= {threshold}
+"""
+
+
+@register("embedding_near_dup", _near_dup_lsh_oracle())
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs (cosine >= 0.45) via banded
+    sign-LSH candidates + exact cosine verify — the scale-safe path: the
+    plan is a bucket equi-join, never an all-pairs self-join.  With 8
+    bands x 2 bits, a true pair at cosine 0.45 (per-bit collision ~0.65)
+    is a candidate with prob ~0.99."""
+    return sim.near_dup_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.45, num_bands=8, bits_per_band=2
+    )
+
+
 @register(
-    "embedding_near_dup",
+    "embedding_near_dup_exact",
     _SQL_NORMED
     + f"""
 SELECT * FROM (
@@ -305,23 +398,17 @@ SELECT * FROM (
            {_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm)
                AS cos_sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-) WHERE cos_sim >= 0.45
+    WHERE a.vec_id < 200 AND b.vec_id < 200
+) WHERE cos_sim >= 0.4
 """,
 )
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-duplicate pairs (cosine >= 0.45)."""
-    return sim.near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
-
-
-def _sign_components(bit: int, dim: int = 64) -> list[float]:
-    """Python twin of operators/similarity._projection_component — md5 is
-    the same function everywhere, so these literals equal what Spark
-    computes at runtime."""
-    out = []
-    for d in range(dim):
-        h = int(hashlib.md5(f"{bit}:{d}".encode()).hexdigest()[:4], 16)
-        out.append(1.0 if h & 1 == 1 else -1.0)
-    return out
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force near-dup baseline on a bounded slice (vec_id < 200):
+    the exact O(n²) reranking path, kept correctness-checked but never the
+    default at corpus scale (use embedding_near_dup)."""
+    return sim.near_dup_pairs(
+        _emb(spark, sf_dir).filter(F.col("vec_id") < 200), threshold=0.4
+    )
 
 
 def _ann_oracle() -> str:
@@ -578,9 +665,12 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (KMeans coarse quantizer, 2-probe).  No SQL
     oracle: KMeans is iterative and not SQL-expressible; tests check recall
-    against the exact search instead (test_text_dedup_similarity)."""
+    against the exact search instead (test_text_dedup_similarity).  The
+    checked instance trains 3 iterations — quantizer quality barely moves
+    recall and every extra iteration is a full data pass (cheap driver
+    verify; production callers tune max_iter)."""
     emb = _emb(spark, sf_dir)
-    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, max_iter=3)
 
 
 @register("streaming_incremental_journeys", None)  # streaming — rows-only check
@@ -612,24 +702,8 @@ def q_streaming_incremental_journeys(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "lsh_verified_pairs",
     _SQL_SHINGLES_MULTI
-    + f"""
-, sig AS (
-    SELECT doc_id,
-       {_MINHASH_AGGS_SQL}
-    FROM sh GROUP BY doc_id
-), banded AS (
-    SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS bucket FROM sig
-    UNION ALL
-    SELECT doc_id, 1 AS band, concat_ws('|', mh2, mh3) AS bucket FROM sig
-    UNION ALL
-    SELECT doc_id, 2 AS band, concat_ws('|', mh4, mh5) AS bucket FROM sig
-    UNION ALL
-    SELECT doc_id, 3 AS band, concat_ws('|', mh6, mh7) AS bucket FROM sig
-), cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
+    + _SQL_BANDED_CAND
+    + """
 SELECT c.doc_a, c.doc_b,
        1.0 - levenshtein(da.text, db.text) * 1.0
              / greatest(length(da.text), length(db.text)) AS edit_sim
@@ -667,24 +741,8 @@ def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: recursive oracle: transitive closure of the verified near-dup pairs.
 #: DuckDB's WITH RECURSIVE UNION dedups the accumulated rows, so the walk
 #: terminates; MIN(reach) per node == min doc_id in the component.
-_SQL_CC = _SQL_SHINGLES_MULTI.replace("WITH ", "WITH RECURSIVE ", 1) + f"""
-, sig AS (
-    SELECT doc_id,
-       {_MINHASH_AGGS_SQL}
-    FROM sh GROUP BY doc_id
-), banded AS (
-    SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS bucket FROM sig
-    UNION ALL
-    SELECT doc_id, 1 AS band, concat_ws('|', mh2, mh3) AS bucket FROM sig
-    UNION ALL
-    SELECT doc_id, 2 AS band, concat_ws('|', mh4, mh5) AS bucket FROM sig
-    UNION ALL
-    SELECT doc_id, 3 AS band, concat_ws('|', mh6, mh7) AS bucket FROM sig
-), cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), edges AS (
+_SQL_CC = _SQL_SHINGLES_MULTI.replace("WITH ", "WITH RECURSIVE ", 1) + _SQL_BANDED_CAND + """
+, edges AS (
     SELECT c.doc_a, c.doc_b
     FROM cand c
     JOIN documents da ON c.doc_a = da.doc_id
@@ -712,7 +770,10 @@ def q_dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop the rest.  Oracle = DuckDB WITH RECURSIVE transitive closure —
     an iterative Spark algorithm still gets a full value-hash check."""
     edges = q_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return dd.dup_clusters(edges)
+    # the verified pair graph is tiny vs the corpus — run the label-
+    # propagation rounds at edge-sized shuffle width, not the session's
+    # corpus-sized default (200 near-empty tasks per round otherwise)
+    return dd.dup_clusters(edges, shuffle_partitions=8)
 
 
 @register(

@@ -46,7 +46,11 @@ def test_every_query_has_oracle_or_docstring(spark):
 
     # intentionally oracle-less: iterative (KMeans) / streaming execution —
     # the driver records a rows-only check for these (by design)
-    NO_ORACLE = {"ivf_topk", "streaming_incremental_journeys"}
+    NO_ORACLE = {
+        "ivf_topk",  # iterative KMeans — not SQL-expressible
+        "streaming_incremental_journeys",  # streaming execution under test
+        "minhash_lsh_candidates_xxh",  # Spark-native hash by design; md5 twin is checked
+    }
 
     qs = e.queries()
     oracles = e.oracle_sql()

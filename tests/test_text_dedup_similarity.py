@@ -177,3 +177,76 @@ def test_dup_clusters_long_chain_converges(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dd.dup_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(13)}
+
+
+def test_lsh_bucket_cap_degenerate_corpus(spark):
+    """All-identical docs put every doc in one bucket per band; with the
+    cap the quadratic pair explosion is refused (0 candidates) — exact
+    dedup is the right tool for that corpus, not pairwise LSH."""
+    df = _docs(spark, ["alpha beta gamma delta epsilon"] * 30)
+    capped = dd.minhash_lsh_candidates(df, max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = dd.minhash_lsh_candidates(df, max_bucket_size=1000)
+    assert uncapped.count() == 30 * 29 // 2
+
+
+def test_minhash_hash_fn_agreement(spark):
+    """md5 (oracle-portable) and xxhash64 (production) LSH must find the
+    same identical-doc candidate pairs; both reject unrelated docs."""
+    df = _docs(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon zeta",
+            "one two three four five six seven",
+            "totally different words in this document here",
+        ],
+    )
+    md5_pairs = {(r.doc_a, r.doc_b) for r in dd.minhash_lsh_candidates(df).collect()}
+    xxh_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_candidates(df, hash_fn="xxhash64").collect()
+    }
+    assert (0, 1) in md5_pairs and (0, 1) in xxh_pairs
+    assert md5_pairs == xxh_pairs
+    with pytest.raises(ValueError):
+        dd.minhash_signatures(df, hash_fn="fnv")
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """A shingle shared by every doc is dropped once over the postings
+    cap: identical docs still pair via their discriminative shingles."""
+    texts = [f"common prefix shingle unique{i} tail{i}" for i in range(10)]
+    texts += ["common prefix shingle unique0 tail0"]  # dup of doc 0
+    df = _docs(spark, texts)
+    got = dd.ngram_jaccard_pairs(df, n=3, threshold=0.9, max_postings=5).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(0, 10)}
+    assert got[0].jaccard == 1.0  # over the KEPT shingles both sets match
+
+
+def test_near_dup_pairs_lsh_matches_bruteforce(spark):
+    """Banded sign-LSH near-dup finds the same high-cosine pairs as the
+    brute-force baseline on a corpus with clear duplicates."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    rows = [
+        Row(vec_id=0, embedding=[float(x) for x in base]),
+        Row(vec_id=1, embedding=[float(x) for x in near]),
+    ] + [
+        Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(16)])
+        for i in range(2, 40)
+    ]
+    emb = spark.createDataFrame(rows)
+    brute = {
+        (r.id_a, r.id_b)
+        for r in sim.near_dup_pairs(emb, threshold=0.99).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in sim.near_dup_pairs_lsh(emb, threshold=0.99, dim=16).collect()
+    }
+    assert (0, 1) in brute
+    assert lsh == brute  # at 0.99 cosine every true pair survives banding
