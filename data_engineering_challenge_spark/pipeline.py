@@ -89,11 +89,19 @@ class AttributionPipeline:
         if journeys.isEmpty():  # empty guard, pipeline.py:91-93
             log.warning("no journeys built — aborting step")
             return journeys
-        io.write_parquet(journeys, self.config.journeys_path)
+        # date-partitioned layout: a date-ranged re-run (the reference's
+        # DELETE+INSERT idempotency, channel_reporter.py:99) prunes to the
+        # affected partitions instead of rescanning the whole table
+        journeys = journeys.withColumn(
+            "conv_date", F.date_format("conv_ts", "yyyy-MM-dd")
+        )
+        io.write_parquet(
+            journeys, self.config.journeys_path, partition_by=["conv_date"]
+        )
         if self.config.csv_exports:
             csv = journeys.withColumn(
                 "timestamp", F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss")
-            ).drop("conv_ts")
+            ).drop("conv_ts", "conv_date")
             io.write_csv(csv, self.config.journeys_path.replace(".parquet", ".csv"),
                          single_file=True)
         return journeys
@@ -154,7 +162,9 @@ class AttributionPipeline:
             start_date=start_date,
             end_date=end_date,
         )
-        io.write_parquet(out, self.config.report_path)
+        # partitioned by report date: ranged re-runs overwrite/prune only
+        # the affected date partitions
+        io.write_parquet(out, self.config.report_path, partition_by=["date"])
         if self.config.csv_exports:
             io.write_csv(
                 out.withColumn("date", F.date_format("date", "yyyy-MM-dd")),

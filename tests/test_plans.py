@@ -99,3 +99,32 @@ def test_q7_single_fact_shuffle_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_partitioned_write_prunes_on_reread(spark, tmp_path):
+    """Date-partitioned pipeline outputs: a date-ranged re-read must prune
+    to the matching partitions (the reference's ranged re-run idempotency,
+    channel_reporter.py:99, without rescanning the whole table)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.sources import io
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.date_format(
+            F.date_add(F.lit("2024-01-01"), (F.col("id") % 10).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("conv_date"),
+    )
+    path = str(tmp_path / "journeys")
+    io.write_parquet(df, path, partition_by=["conv_date"])
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("conv_date") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # the date predicate lands in PartitionFilters (applied at file
+    # listing — the scan never touches the other 9 date directories), not
+    # as a post-scan data filter
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "conv_date" in pf and "2024-01-05" in pf
+    assert one_day.count() == 10
