@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Spark-vs-DuckDB scaling curve for the bench headline queries.
+
+Runs every bench.HEADLINE query at each scale factor on BOTH engines
+(Spark: noop-sink materialization after an untimed warm-up pass, same
+protocol as bench.py; DuckDB: the registered oracle SQL, fetchall) and
+prints a per-SF table of totals + ratio.  The point: per-query Spark cost
+is a near-constant scheduling overhead, so the ratio collapses as data
+grows — the 100 TB design signal the wall-clock at toy SFs hides.
+
+Usage: python scripts/scaling_curve.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_time(sf_dir: str, sql_by_name: dict[str, str]) -> dict[str, float]:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    out = {}
+    for name in HEADLINE:
+        sql = sql_by_name.get(name)
+        if sql is None:
+            continue
+        con.execute(sql).fetchall()  # warm (IO cache)
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def spark_time(spark, sf_dir: str, queries) -> dict[str, float]:
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> int:
+    sf_dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from data_engineering_challenge_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark(
+        app_name="scaling-curve",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+
+    rows = []
+    for sf_dir in sf_dirs:
+        sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+        s = spark_time(spark, sf_dir, qs)
+        d = duck_time(sf_dir, oracles)
+        common = [n for n in s if n in d]
+        st, dt = sum(s[n] for n in common), sum(d[n] for n in common)
+        rows.append(
+            {
+                "sf": sf,
+                "spark_total_s": round(st, 3),
+                "duckdb_total_s": round(dt, 3),
+                "ratio": round(st / dt, 2) if dt else None,
+                "spark": s,
+                "duckdb": d,
+            }
+        )
+        print(json.dumps(rows[-1]))
+
+    print("\n| sf | spark total (s) | duckdb total (s) | ratio |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['sf']} | {r['spark_total_s']} | {r['duckdb_total_s']} "
+            f"| {r['ratio']} |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
