@@ -173,3 +173,40 @@ def simhash32(documents: DataFrame) -> DataFrame:
         )
         packed = term if packed is None else packed + term
     return sums.select("doc_id", packed.alias("simhash"))
+
+
+#: conservative PII patterns (Java regex; applied in order).  Each entry is
+#: (name, pattern, replacement) — extend per deployment's compliance list.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # phone LAST: its permissive digit-run core would otherwise swallow
+    # SSNs and dotted IPs before their typed placeholders apply
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass: each pattern family replaced by a typed
+    placeholder, with per-family match counts for audit.  All
+    ``regexp_replace``/``regexp_count`` column expressions — JVM-side,
+    zero shuffle, scales as map work.  Patterns apply in PII_PATTERNS
+    order against the progressively-scrubbed text, so specific formats
+    (SSN, IP) are typed before the permissive phone pattern can swallow
+    them.
+
+    Returns the input columns plus ``{text_col}_scrubbed`` and one
+    ``n_<family>`` count per pattern.
+    """
+    out = documents
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pattern, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(scrubbed, F.lit(pattern)).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pattern, repl)
+    return out.select(
+        "*", *counts, scrubbed.alias(f"{text_col}_scrubbed")
+    )

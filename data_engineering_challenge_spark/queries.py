@@ -54,6 +54,9 @@ def register(name: str, oracle: str | None):
 #: order and are emitted after the listed cheap set but before _TAIL.
 _CHEAP_FIRST = [
     "text_stats", "lang_guess", "token_count_bpe", "events_cube",
+    "q6_forecast_revenue", "token_budget_packing", "clean_text_normalized",
+    "q15_top_supplier", "q13_order_count_distribution",
+    "dedup_survivors_quality",
     "dedup_exact_docs", "semi_join_big_orders", "anti_join_quiet_customers",
     "distinct_users_per_type", "intersect_active_customers",
     "sliding_window_counts", "q14_promo_share", "customer_revenue_quartiles",
@@ -64,6 +67,7 @@ _CHEAP_FIRST = [
     "events_json_props", "except_customers", "q17_small_qty_revenue",
     "asof_nearest_session", "q1_pricing_summary", "top3_customers_per_nation",
     "sessionize_events", "minhash_signatures", "embedding_near_dup_exact",
+    "q8_market_share", "contamination_overlap",
     "q3_top_orders", "brand_revenue", "supplier_part_distinct_aggs",
     "q10_returned_items", "cosine_topk", "tfidf_top_terms",
     "quantity_percentiles", "q7_nation_volume", "minhash_lsh_candidates",

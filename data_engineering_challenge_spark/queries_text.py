@@ -804,3 +804,186 @@ def q_hash_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(F.count("*").alias("n_sampled"), dsum("n_chars").alias("chars_sampled"))
     )
+
+
+# --------------------------------------------------------------------------
+# round-2 widening: corpus-curation operators (normalization, benchmark
+# contamination, quality-aware dedup survivors, context-window packing)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "clean_text_normalized",
+    """
+SELECT doc_id,
+       array_to_string(list_filter(string_split(text, ' '),
+                                   t -> t NOT IN ('the', 'a')), ' ')
+           AS clean_text,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the', 'a'))) AS INTEGER) AS n_removed
+FROM documents
+""",
+)
+def q_clean_text_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization as a rewrite: stopwords dropped, text re-joined —
+    the filter/rewrite stage every LLM-corpus pipeline runs before
+    tokenization.  Pure array expressions, zero shuffle, scales as map
+    work."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    kept = F.filter(toks, lambda t: ~t.isin(*tx.EN_STOPWORDS))
+    removed = F.filter(toks, lambda t: t.isin(*tx.EN_STOPWORDS))
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(removed).alias("n_removed"),
+    )
+
+
+@register(
+    "contamination_overlap",
+    _SQL_SHINGLES
+    + """
+, bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+hits AS (
+    SELECT t.doc_id, COUNT(*) AS n_contaminated
+    FROM train t JOIN bench b ON t.s = b.s
+    GROUP BY t.doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) * 1.0 / s.n_shingles AS contamination_rate
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+""",
+)
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each training doc's
+    distinct shingles that appear anywhere in a held-out benchmark set
+    (docs with doc_id % 97 == 0 stand in for the benchmark).  The standard
+    n-gram-overlap decontamination pass; the benchmark shingle set is the
+    small join side — broadcast at scale, so the corpus never shuffles."""
+    ss = dd.shingle_sets(_docs(spark, sf_dir), n=3)
+    bench = (
+        ss.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    train = ss.filter(F.col("doc_id") % 97 != 0)
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)) * 1.0 / F.col("n_shingles")
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+@register(
+    "dedup_survivors_quality",
+    f"""
+WITH scored AS (
+    SELECT doc_id, text,
+           0.4 * least(1.0, len({_SQL_TOKS}) / 100.0)
+           + 0.3 * (len(list_distinct({_SQL_TOKS})) * 1.0 / len({_SQL_TOKS}))
+           + 0.3 * (len(list_filter({_SQL_TOKS}, t -> t IN ('the', 'a'))) * 1.0
+                    / len({_SQL_TOKS})) AS quality_score
+    FROM documents
+), ranked AS (
+    SELECT doc_id, text, quality_score,
+           ROW_NUMBER() OVER (PARTITION BY text
+                              ORDER BY quality_score DESC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY text) AS n_dups
+    FROM scored
+)
+SELECT doc_id AS survivor_id,
+       CAST(n_dups AS BIGINT) AS n_dups,
+       quality_score
+FROM ranked WHERE rn = 1
+""",
+)
+def q_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: per duplicate-text group
+    keep the HIGHEST-quality doc (ties → smallest doc_id) — the curation
+    end-game where dedup meets quality scoring, instead of the arbitrary
+    min-id survivor.  One window over the text key; same shuffle count as
+    plain exact dedup."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    scored = tx.quality_score(docs).select("doc_id", "quality_score").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    w = Window.partitionBy("text").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("text")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("survivor_id"), "n_dups", "quality_score"
+        )
+    )
+
+
+@register(
+    "token_budget_packing",
+    f"""
+WITH toks AS (
+    SELECT doc_id, lang, source,
+           CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents
+), packed AS (
+    SELECT lang, source, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (
+               PARTITION BY lang, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens) / 500.0) AS BIGINT) AS pack_id
+    FROM toks
+)
+SELECT lang, source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {_dsum_sql('n_tokens')} AS total_tokens
+FROM packed
+GROUP BY lang, source, pack_id
+""",
+)
+def q_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: docs are packed in deterministic doc_id
+    order into ~500-token bins per (lang, source) stratum — the sequence-
+    packing stage of LLM training-data prep.  Per-stratum windows keep the
+    cumulative sum distributed (one shuffle on the stratum key); a global
+    pack order would serialize, so stratify first at scale."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 500.0).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("lang", "source", "pack_id").agg(
+        F.count("*").alias("n_docs"), dsum("n_tokens").alias("total_tokens")
+    )

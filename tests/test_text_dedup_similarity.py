@@ -250,3 +250,24 @@ def test_near_dup_pairs_lsh_matches_bruteforce(spark):
     }
     assert (0, 1) in brute
     assert lsh == brute  # at 0.99 cosine every true pair survives banding
+
+
+def test_pii_scrub(spark):
+    """PII redaction: typed placeholders + audit counts (corpus testdata
+    carries no PII, so the operator is pinned with inline fixtures)."""
+    df = _docs(
+        spark,
+        [
+            "contact bob at bob.smith+x@example.co.uk or 415-555-0199 now",
+            "ssn 123-45-6789 leaked from 10.0.0.1 yesterday",
+            "clean document with no sensitive content at all",
+        ],
+    )
+    got = {r.doc_id: r for r in tx.pii_scrub(df).collect()}
+    assert got[0].n_email == 1 and got[0].n_phone == 1
+    assert "<EMAIL>" in got[0].text_scrubbed and "<PHONE>" in got[0].text_scrubbed
+    assert "bob.smith" not in got[0].text_scrubbed
+    assert got[1].n_ssn == 1 and got[1].n_ipv4 == 1
+    assert "<SSN>" in got[1].text_scrubbed and "<IP>" in got[1].text_scrubbed
+    assert got[2].text_scrubbed == got[2].text
+    assert got[2].n_email == got[2].n_phone == got[2].n_ssn == got[2].n_ipv4 == 0
