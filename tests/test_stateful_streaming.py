@@ -84,3 +84,61 @@ def test_csv_round_trip_with_schema(spark, tmp_path):
     a = {r.event_id: r.value for r in out.collect()}
     b = {r.event_id: r.value for r in back.collect()}
     assert a == b
+
+
+def test_stream_stream_journeys_matches_batch(spark, tmp_path):
+    """Stream-stream join with watermarks + two-sided time bound equals the
+    batch as-of join under the same lookback window."""
+    from data_engineering_challenge_spark.operators import journeys as jny
+
+    sf = "/root/testdata/sf0.001"
+    events = roles.load_events(spark, sf)
+    sessions = roles.sessions_from_events(events)
+    conversions = roles.conversions_from_events(events)
+    sessions.write.parquet(str(tmp_path / "sess"))
+    conversions.write.parquet(str(tmp_path / "conv"))
+
+    s_stream = spark.readStream.schema(sessions.schema).parquet(str(tmp_path / "sess"))
+    # streaming sessions keep event_id naming via roles mapping
+    s_stream = s_stream.withColumnRenamed("session_id", "event_id").withColumnRenamed(
+        "channel_name", "event_type"
+    )
+    c_stream = spark.readStream.schema(conversions.schema).parquet(str(tmp_path / "conv"))
+    j = st.incremental_journeys_stream_stream(s_stream, c_stream, lookback_days=30)
+    st.run_available_now(j, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    got = spark.read.parquet(str(tmp_path / "out"))
+
+    expected = jny.build_journeys(conversions, sessions, lookback_days=30).select(
+        "conversion_id", "session_id"
+    )
+    assert got.count() == expected.count()
+    assert got.select("conversion_id", "session_id").exceptAll(expected).count() == 0
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    """Replaying a batch with overlapping keys REPLACES those keys — no
+    duplicate rows after a re-run (the reference's delete+insert
+    idempotency, streaming form)."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    src1 = str(tmp_path / "in1")
+    spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b")]
+    ).write.parquet(src1)
+    stream = spark.readStream.schema("k long, v string").parquet(src1)
+    st.run_foreach_batch_upsert(stream, path, str(tmp_path / "ck1"), keys=["k"])
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {
+        (1, "a"), (2, "b")
+    }
+
+    # second run from a NEW source dir (fresh checkpoint): k=2 updated, k=3 new
+    src2 = str(tmp_path / "in2")
+    spark.createDataFrame(
+        [Row(k=2, v="B"), Row(k=3, v="c")]
+    ).write.parquet(src2)
+    stream2 = spark.readStream.schema("k long, v string").parquet(src2)
+    st.run_foreach_batch_upsert(stream2, path, str(tmp_path / "ck2"), keys=["k"])
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
