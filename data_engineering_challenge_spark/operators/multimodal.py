@@ -113,8 +113,90 @@ def extract_features(media: DataFrame, real: bool = False) -> DataFrame:
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:  # pragma: no cover
-    """Video frame sampling — stub: the real implementation decodes frame
-    timestamps (ffmpeg) inside the same mapInPandas shape as
-    extract_features; kept as API surface."""
-    raise NotImplementedError("video decode not available in this container")
+FRAME_BYTES = 64
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", LongType(), False),
+        StructField("n_frame_bytes", LongType(), False),
+        StructField("frame_md5", StringType(), False),
+    ]
+)
+
+
+def _decode_frames(payload: bytes, real: bool):
+    """Frame iterator.  real=True is the ffmpeg decode stub (not shipped
+    in this container); the fake treats the payload as a sequence of
+    FRAME_BYTES-byte frames — deterministic, so the whole one-to-many
+    Arrow stage is oracle-checkable."""
+    if real:  # pragma: no cover - stub
+        raise NotImplementedError(
+            "video decode needs ffmpeg; this environment stubs it — the "
+            "fake path exercises identical mapInPandas plumbing"
+        )
+    for i in range(0, len(payload), FRAME_BYTES):
+        yield payload[i : i + FRAME_BYTES]
+
+
+def frame_sample(
+    media: DataFrame, every_n: int = 3, real: bool = False
+) -> DataFrame:
+    """Video frame sampling: one output row per SAMPLED frame (every
+    ``every_n``-th) — the one-to-many mapInPandas shape (input batch of
+    payloads -> larger output batch of frames) that real video pipelines
+    use.  Row explosion happens inside the Arrow stage, so no Spark-side
+    explode over opaque bytes; partitions grow by ~len(payload) /
+    (FRAME_BYTES * every_n) — size input partitions accordingly.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for fno, frame in enumerate(_decode_frames(bytes(payload), real)):
+                    if fno % every_n == 0:
+                        rows.append(
+                            (
+                                mid,
+                                fno,
+                                len(frame),
+                                hashlib.md5(frame).hexdigest(),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "n_frame_bytes", "frame_md5"]
+            )
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
+def resize_image(
+    media: DataFrame, width: int = 8, height: int = 8, real: bool = False
+) -> DataFrame:
+    """Image resize stage: payload -> fixed-size payload (width*height
+    bytes).  real=True is the Pillow stub; the fake truncates/zero-pads —
+    deterministic, same schema/batch shape as a real thumbnailer, so the
+    downstream contract (fixed n_bytes, binary column preserved through
+    Arrow) is tested without media libs."""
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real:  # pragma: no cover - stub
+                raise NotImplementedError(
+                    "image resize needs Pillow; this environment stubs it"
+                )
+            resized = [
+                bytes(p)[:target].ljust(target, b"\x00") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": resized,
+                    "n_bytes": [target] * len(resized),
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)

@@ -64,6 +64,7 @@ _CHEAP_FIRST = [
     "q4_priority_count", "q18_large_orders", "channel_7day_rolling",
     "q19_disjunctive_preds", "q22_idle_customers", "events_pivot",
     "range_join_error_context", "events_grouping_sets", "multimodal_features",
+    "multimodal_frame_sample",
     "events_json_props", "except_customers", "q17_small_qty_revenue",
     "asof_nearest_session", "q1_pricing_summary", "top3_customers_per_nation",
     "sessionize_events", "minhash_signatures", "embedding_near_dup_exact",

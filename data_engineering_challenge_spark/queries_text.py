@@ -987,3 +987,33 @@ def q_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("lang", "source", "pack_id").agg(
         F.count("*").alias("n_docs"), dsum("n_tokens").alias("total_tokens")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+WITH frames AS (
+    SELECT doc_id AS media_id,
+           CAST(i - 1 AS BIGINT) AS frame_no,
+           substring(text, CAST((i - 1) * 64 + 1 AS INTEGER), 64) AS frame
+    FROM documents,
+         UNNEST(range(1, CAST(ceil(length(text) / 64.0) AS BIGINT) + 1)) AS u(i)
+)
+SELECT media_id, frame_no,
+       CAST(length(frame) AS BIGINT) AS n_frame_bytes,
+       md5(frame) AS frame_md5
+FROM frames
+WHERE frame_no % 3 = 0
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-to-many multimodal stage end-to-end: payload -> sampled
+    'frames' (every 3rd 64-byte chunk) via mapInPandas, value-checked
+    against a pure-SQL reconstruction (payloads are utf-8 text here, so
+    byte chunks == char chunks).  Pins the Arrow batch-explosion shape a
+    real video frame sampler uses."""
+    from .operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir)
+    media = mm.attach_payload(docs, "doc_id", "text", kind="video")
+    return mm.frame_sample(media, every_n=3)

@@ -82,3 +82,40 @@ def test_streaming_sessionize(spark, events_dir, tmp_path):
     # session windows must respect the 30-min gap: no window longer than
     # (n_events-1) * gap is checkable, but at minimum windows are disjoint
     # per user — verified by count conservation above.
+
+
+def test_frame_sample_one_to_many(spark):
+    """Every 3rd 64-byte frame per payload; frame counts follow payload
+    length (the one-to-many Arrow batch shape)."""
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x" * 200), Row(doc_id=2, text="y" * 30)]
+    )
+    media = mm.attach_payload(df, "doc_id", "text", kind="video")
+    frames = mm.frame_sample(media, every_n=3).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.media_id, []).append(r)
+    # doc 1: 200 bytes -> frames 0..3 (64,64,64,8 bytes); sampled: 0, 3
+    assert sorted(r.frame_no for r in by_doc[1]) == [0, 3]
+    assert {r.frame_no: r.n_frame_bytes for r in by_doc[1]} == {0: 64, 3: 8}
+    # doc 2: 30 bytes -> one frame, sampled
+    assert [(r.frame_no, r.n_frame_bytes) for r in by_doc[2]] == [(0, 30)]
+
+
+def test_resize_fixed_output_bytes(spark):
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="long " * 40), Row(doc_id=2, text="tiny")]
+    )
+    media = mm.attach_payload(df, "doc_id", "text")
+    out = {r.media_id: r for r in mm.resize_image(media, 8, 8).collect()}
+    assert all(r.n_bytes == 64 and len(r.payload) == 64 for r in out.values())
+    assert bytes(out[2].payload)[:4] == b"tiny"  # content preserved, padded
+    assert bytes(out[2].payload)[4:] == b"\x00" * 60
