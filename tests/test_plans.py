@@ -128,3 +128,35 @@ def test_partitioned_write_prunes_on_reread(spark, tmp_path):
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "conv_date" in pf and "2024-01-05" in pf
     assert one_day.count() == 10
+
+
+def test_q6_plan_floor(spark):
+    """Q6 must stay the cheapest possible plan: all predicates reach the
+    scan, no join, exactly one agg exchange."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    # pushed filter list is elided in toString — check the scan saw the
+    # shipdate bound and every filter column reached DataFilters
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert "isnotnull(l_quantity" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_q8_two_role_dims_broadcast(spark):
+    """Q8: every dimension (both nation roles, region, customer, supplier,
+    part) broadcasts — only the lineitem⋈orders spine may shuffle."""
+    plan = _plan(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "EqualTo(r_name,AMERICA)" in plan  # dim filters pushed
+    assert "EqualTo(p_type,PROMO)" in plan
+
+
+def test_embedding_near_dup_is_bucket_join(spark):
+    """The registered near-dup query must stay LSH-bucketed: candidate
+    generation via band/bucket aggregation, never an all-pairs theta
+    self-join (id_a < id_b as the only join condition)."""
+    plan = _plan(spark, "embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    # the all-pairs anti-pattern shows up as a broadcast nested loop with
+    # a lone < condition; the LSH path joins candidates by equi-keys
+    assert "BroadcastNestedLoopJoin" not in plan
