@@ -1426,3 +1426,54 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"]).select(
         "s_suppkey", "s_name", "total_revenue"
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("profile_orders_columns", _profile_oracle())
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality sweep every ingest runs): per
+    column — null count, exact distinct count, min/max — in ONE pass over
+    the table (multi-distinct aggregate + stack unpivot to long format).
+    min/max computed in the native type, then stringified, so numeric and
+    timestamp columns order correctly.  At 100 TB swap exact distincts for
+    approx_count_distinct; the plan shape (single scan, Expand for the
+    distinct aggregates, generator unpivot) is the same."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    m = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return m.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_nulls, n_distinct, min_str, max_str)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
