@@ -72,3 +72,14 @@ def test_scorer_none_fails_loud(spark):
     out = batching.attribute_external(j, score_fn=lambda r: None)
     with pytest.raises(Exception, match="refusing to drop"):
         out.collect()
+
+
+def test_attribute_external_composes_lazily(spark):
+    """Composition must trigger NO Spark job (the eager distinct-count
+    chunk sizing was a full extra scan at plan-construction time)."""
+    j = _journeys(spark, {1: 3, 2: 5})
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = batching.attribute_external(j)  # noqa: F841 - compose only
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
