@@ -1477,3 +1477,59 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("_n").alias("n_rows"),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+@register(
+    "events_json_schema_parse",
+    f"""
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_dsum_sql('value')} AS total_value
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY CAST(json_extract(props, '$.k') AS BIGINT) % 10
+""",
+)
+def events_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON parsing with from_json (SURVEY.md §2.3): unlike
+    get_json_object (re-parses per extraction), from_json parses ONCE into
+    a typed struct — the scale-preferred path when the payload shape is
+    known.  Groups by a derived bucket of the extracted field."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    schema = StructType([StructField("k", LongType())])
+    parsed = events.withColumn("p", F.from_json("props", schema))
+    return (
+        parsed.filter(F.col("p.k").isNotNull())
+        .groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+@register(
+    "price_histogram",
+    f"""
+-- DuckDB has no width_bucket; this arithmetic IS its SQL-standard
+-- definition for equi-width buckets: 0 below min, n+1 at/above max
+SELECT CAST(CASE WHEN l_extendedprice < 0 THEN 0
+                 WHEN l_extendedprice >= 120000 THEN 13
+                 ELSE FLOOR(l_extendedprice / 10000) + 1 END AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {_dsum_sql('l_extendedprice')} AS total_price
+FROM lineitem
+GROUP BY 1
+""",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram via width_bucket — equi-width value distribution
+    in one agg pass (the profiling companion to profile_orders_columns).
+    Both engines implement SQL-standard width_bucket with identical
+    boundary semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = F.width_bucket(F.col("l_extendedprice"), F.lit(0), F.lit(120000), F.lit(12))
+    return li.groupBy(b.cast("bigint").alias("bucket")).agg(
+        F.count("*").alias("n_items"), dsum("l_extendedprice").alias("total_price")
+    )
