@@ -145,3 +145,20 @@ def test_normalize_idempotent(spark, raw):
     b = {r.session_id: r.ihc for r in twice.collect()}
     for k in a:
         assert b[k] == pytest.approx(a[k], abs=1e-9)
+
+
+def test_approx_aggs_within_tolerance(spark):
+    """The approximate aggregates the 100 TB path swaps in
+    (approx_count_distinct / approx_percentile) must land within their
+    documented error of the exact answers on real testdata."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_d"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.06  # 3x rsd
+    assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.01
