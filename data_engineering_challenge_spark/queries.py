@@ -88,7 +88,7 @@ _CHEAP_FIRST = [
     "asof_nearest_session", "q1_pricing_summary", "top3_customers_per_nation",
     "sessionize_events", "minhash_signatures", "embedding_near_dup_exact",
     "q8_market_share", "contamination_overlap", "profile_orders_columns",
-    "events_json_schema_parse", "price_histogram",
+    "events_json_schema_parse", "price_histogram", "event_gap_stats",
     "q3_top_orders", "brand_revenue", "supplier_part_distinct_aggs",
     "q10_returned_items", "cosine_topk", "tfidf_top_terms",
     "quantity_percentiles", "q7_nation_volume", "minhash_lsh_candidates",

@@ -1533,3 +1533,41 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(b.cast("bigint").alias("bucket")).agg(
         F.count("*").alias("n_items"), dsum("l_extendedprice").alias("total_price")
     )
+
+
+@register(
+    "event_gap_stats",
+    f"""
+WITH gaps AS (
+    SELECT event_type,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS gap_us
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       {_dsum_sql('gap_us')} / COUNT(gap_us) AS avg_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps
+GROUP BY event_type
+""",
+)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time deltas via LEAD (SURVEY.md §2.6 lead/lag): per
+    user, microseconds to the NEXT event (deterministic (ts, event_id)
+    order), aggregated per event type.  COUNT(gap_us) vs COUNT(*) is
+    load-bearing: each user's last event has no successor and must not
+    dilute the mean."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("gap_us"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        (dsum("gap_us") / F.count("gap_us")).alias("avg_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
