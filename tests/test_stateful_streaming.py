@@ -142,3 +142,39 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {
         (1, "a"), (2, "B"), (3, "c")
     }
+
+
+def test_incremental_attribution_delta_recompute(spark, tmp_path):
+    """Incremental attribution across multiple micro-batches equals the
+    batch pipeline: per batch only touched conversions recompute, from
+    their full accumulated journeys."""
+    from data_engineering_challenge_spark.operators import attribution as attr
+    from data_engineering_challenge_spark.operators import journeys as jny
+
+    sf = "/root/testdata/sf0.001"
+    events = roles.load_events(spark, sf)
+    sessions = roles.sessions_from_events(events)
+    conversions = roles.conversions_from_events(events)
+
+    # split the session feed into 4 files -> maxFilesPerTrigger=1 gives 4
+    # genuine micro-batches with overlapping users/conversions
+    src = str(tmp_path / "sessions")
+    sessions.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(sessions.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumnRenamed("session_id", "event_id")
+        .withColumnRenamed("channel_name", "event_type")
+    )
+
+    jpath = str(tmp_path / "journeys")
+    apath = str(tmp_path / "attribution")
+    st.incremental_attribution(
+        stream, conversions, jpath, apath, str(tmp_path / "ckpt")
+    )
+
+    got = spark.read.parquet(apath)
+    expected = attr.attribute_linear(jny.build_journeys(conversions, sessions))
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
