@@ -67,3 +67,16 @@ def test_streaming_query_equals_batch(spark):
     )
     batch = e.queries()["journeys_build"](spark, "/root/testdata/sf0.001")
     assert got.count() == batch.count()
+
+
+def test_registry_order_lists_are_valid():
+    """Every name in the emission-order lists must exist in the registry
+    (a typo would silently fall back to registration order) and the
+    emitted dict must cover the registry exactly once."""
+    from data_engineering_challenge_spark import queries as q
+
+    names = set(q.queries())
+    for n in q._CORE_FIRST + q._CHEAP_FIRST + q._TAIL:
+        assert n in names, f"ordering list references unknown query {n!r}"
+    emitted = list(q.queries())
+    assert len(emitted) == len(set(emitted)) == len(names)
