@@ -12,6 +12,10 @@ import configparser
 from dataclasses import dataclass, field
 
 
+def _bool(v: str) -> bool:
+    return v.lower() in ("1", "true", "yes")
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     # storage (the reference's single SQLite file becomes a directory of
@@ -39,6 +43,9 @@ class PipelineConfig:
     api_throttle_s: float = 0.0
     # external mode: log the over-cap skip count (costs a group-by pass)
     log_skipped: bool = False
+    # report step: log summary totals (costs a second pass over the small
+    # report aggregate — off by default, like log_skipped)
+    log_report_summary: bool = False
 
     # spark
     shuffle_partitions: int | None = None
@@ -62,8 +69,7 @@ class PipelineConfig:
             db_name=get("database", "db_name", cls.db_name),
             journeys_path=get("storage", "journeys_path", cls.journeys_path),
             report_path=get("storage", "report_path", cls.report_path),
-            csv_exports=get("storage", "csv_exports", cls.csv_exports,
-                            lambda v: v.lower() in ("1", "true", "yes")),
+            csv_exports=get("storage", "csv_exports", cls.csv_exports, _bool),
             model=get("attribution", "model", cls.model),
             api_url=get("api", "api_url", cls.api_url),
             api_key=get("api", "api_key", cls.api_key),
@@ -78,4 +84,8 @@ class PipelineConfig:
             api_max_retries=get("api", "max_retries", cls.api_max_retries, int),
             api_backoff_s=get("api", "backoff_s", cls.api_backoff_s, float),
             api_throttle_s=get("api", "throttle_s", cls.api_throttle_s, float),
+            log_skipped=get("api", "log_skipped", cls.log_skipped, _bool),
+            log_report_summary=get(
+                "storage", "log_report_summary", cls.log_report_summary, _bool
+            ),
         )

@@ -42,6 +42,29 @@ ScoreFn = Callable[[list[dict]], list[dict]]
 
 RESULT_FIELDS = ["conversion_id", "session_id", "ihc"]
 
+#: columns internal to this engine, never part of the scorer's journey
+#: contract (reference api_client.py request body carries only the 8 journey
+#: fields): the chunk key, the conversion timestamp kept for attribution
+#: ordering, and the date partition column added by the pipeline's re-read
+INTERNAL_COLS = ("_chunk", "conv_ts", "conv_date")
+
+
+def _journey_records(batch: pd.DataFrame) -> list[dict]:
+    """JSON-serializable journey records in the reference's API shape.
+
+    Parquet-backed journeys arrive with datetime64 ``timestamp`` columns;
+    ``json.dumps`` cannot serialize ``pd.Timestamp``, and the reference's
+    contract sends timestamps as 'yyyy-MM-dd HH:mm:ss' TEXT (SQLite returns
+    them that way), so every datetime column is formatted to that string and
+    engine-internal columns are dropped before ``to_dict``."""
+    batch = batch.drop(
+        columns=[c for c in INTERNAL_COLS if c in batch.columns]
+    )
+    for c in batch.columns:
+        if pd.api.types.is_datetime64_any_dtype(batch[c]):
+            batch = batch.assign(**{c: batch[c].dt.strftime("%Y-%m-%d %H:%M:%S")})
+    return batch.to_dict("records")
+
 
 def local_linear_scorer(journeys: list[dict]) -> list[dict]:
     """Bundled scorer: linear credit (1/n per conversion).  Stands in for
@@ -138,7 +161,7 @@ def attribute_external(
     def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         results = []
         for batch in _sub_batches(pdf, max_journeys_per_request, max_sessions_per_request):
-            records = batch.drop(columns=["_chunk"]).to_dict("records")
+            records = _journey_records(batch)
             scored = score_fn(records)
             if scored is None:
                 raise RuntimeError(

@@ -181,9 +181,17 @@ PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    # phone LAST: its permissive digit-run core would otherwise swallow
-    # SSNs and dotted IPs before their typed placeholders apply
-    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    # phone LAST: its digit-run core would otherwise swallow SSNs and
+    # dotted IPs before their typed placeholders apply.  Two shapes only —
+    # international (+ prefix, 7-15 digits, at most one separator between
+    # digits) or separator-delimited 3-3-4 — so bare numeric runs (order
+    # ids) and ISO dates do NOT false-positive; both ends are anchored
+    # against surrounding word/dash/dot characters
+    (
+        "phone",
+        r"(?<![\w.-])(?:\+\d(?:[\s().-]?\d){6,14}|\(?\d{3}\)?[\s.-]?\d{3}[\s.-]\d{4})(?![\w-])",
+        "<PHONE>",
+    ),
 )
 
 

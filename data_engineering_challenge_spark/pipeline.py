@@ -91,12 +91,19 @@ class AttributionPipeline:
             return journeys
         # date-partitioned layout: a date-ranged re-run (the reference's
         # DELETE+INSERT idempotency, channel_reporter.py:99) prunes to the
-        # affected partitions instead of rescanning the whole table
+        # affected partitions instead of rescanning the whole table, and —
+        # via dynamic partition overwrite — REPLACES only the partitions in
+        # the range while every untouched date survives; a full run keeps
+        # static overwrite so the rebuild is complete
         journeys = journeys.withColumn(
             "conv_date", F.date_format("conv_ts", "yyyy-MM-dd")
         )
+        ranged = start_date is not None or end_date is not None
         io.write_parquet(
-            journeys, self.config.journeys_path, partition_by=["conv_date"]
+            journeys,
+            self.config.journeys_path,
+            partition_by=["conv_date"],
+            dynamic_partitions=ranged,
         )
         if self.config.csv_exports:
             csv = journeys.withColumn(
@@ -162,20 +169,29 @@ class AttributionPipeline:
             start_date=start_date,
             end_date=end_date,
         )
-        # partitioned by report date: ranged re-runs overwrite/prune only
-        # the affected date partitions
-        io.write_parquet(out, self.config.report_path, partition_by=["date"])
+        # partitioned by report date: a ranged re-run overwrites only the
+        # affected date partitions (dynamic mode), a full run rebuilds all
+        io.write_parquet(
+            out,
+            self.config.report_path,
+            partition_by=["date"],
+            dynamic_partitions=start_date is not None or end_date is not None,
+        )
         if self.config.csv_exports:
             io.write_csv(
                 out.withColumn("date", F.date_format("date", "yyyy-MM-dd")),
                 self.config.report_path.replace(".parquet", ".csv"),
                 single_file=True,
             )
-        summary = rpt.report_summary(out).collect()[0]
-        log.info(
-            "report: %d rows, total cost %.2f, attributed revenue %.2f",
-            summary.n_rows, summary.total_cost or 0.0, summary.total_ihc_revenue or 0.0,
-        )
+        if self.config.log_report_summary:
+            # optional second pass over the (small) report aggregate, gated
+            # like log_skipped so the default run does no extra job
+            summary = rpt.report_summary(out).collect()[0]
+            log.info(
+                "report: %d rows, total cost %.2f, attributed revenue %.2f",
+                summary.n_rows, summary.total_cost or 0.0,
+                summary.total_ihc_revenue or 0.0,
+            )
         return out
 
     # -- all ---------------------------------------------------------------

@@ -23,7 +23,9 @@ Conventions that make the cross-engine compare EXACT (not approximate):
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,18 +113,66 @@ _TAIL = [
 ]
 
 
+def _green_counts() -> dict[str, int]:
+    """Per-query count of GREEN driver rows across the CORRECTNESS_r{N}.json
+    artifacts at the repo root.  Green = executed without error, row counts
+    matched, and neither schema nor value hash mismatched (hash may be null
+    for rows-only queries).  A crashed/err row counts as NOT recorded, so
+    the rotation sends that query back to the front."""
+    import json
+
+    root = Path(__file__).resolve().parent.parent
+    counts: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        if not re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name):
+            continue
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
 def _emission_order() -> list[str]:
-    rank: dict[str, int] = {}
-    listed = _CORE_FIRST + [n for n in _CHEAP_FIRST if n not in _CORE_FIRST]
-    for i, n in enumerate(listed):
-        rank[n] = i
-    mid = len(listed)
-    for j, n in enumerate(_REGISTRY):
-        rank.setdefault(n, mid + j)
-    base = mid + len(_REGISTRY)
-    for k, n in enumerate(_TAIL):
-        rank[n] = base + k
-    return sorted(_REGISTRY, key=lambda n: rank[n])
+    """Core pinned first, then everything else least-verified-first.
+
+    The driver's correctness gate records only a bounded prefix of this
+    order per round, so a FIXED order would leave the tail permanently
+    without hard driver evidence.  Instead the non-core names are sorted by
+    how many green driver rows they already have (fewest first, ties by the
+    curated cheap-first order), recomputed each round from the
+    CORRECTNESS_r*.json artifacts: anything unrecorded — including a query
+    whose row errored — rotates to the front, and once coverage equalizes
+    the order degrades gracefully to the curated one.  Deterministic — a
+    pure function of the committed artifacts."""
+    core = [n for n in _CORE_FIRST if n in _REGISTRY]
+    seen: set[str] = set(core)
+    ring: list[str] = []
+    for n in _CHEAP_FIRST:
+        if n in _REGISTRY and n not in seen:
+            seen.add(n)
+            ring.append(n)
+    tail = {n for n in _TAIL if n in _REGISTRY}
+    for n in _REGISTRY:  # unlisted (future) queries, registration order
+        if n not in seen and n not in tail:
+            seen.add(n)
+            ring.append(n)
+    ring.extend(n for n in _TAIL if n in tail)
+
+    greens = _green_counts()
+    idx = {n: i for i, n in enumerate(ring)}
+    ring.sort(key=lambda n: (greens.get(n, 0), idx[n]))
+    return core + ring
 
 
 def queries() -> dict[str, SparkQuery]:

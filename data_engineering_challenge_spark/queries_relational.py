@@ -1406,9 +1406,11 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: aggregate-then-argmax — the classic 'view + scalar
-    subquery on the same view'.  Spark form: one window MAX over the
-    aggregated revenue (no second scan of lineitem, no self-join); ties
-    all surface, matching the SQL subquery semantics."""
+    subquery on the same view'.  Spark form: the scalar MAX is a broadcast
+    1-row aggregate crossJoined back onto the per-supplier revenue (no
+    second scan of lineitem, and — unlike an unpartitioned window — no
+    single-partition Exchange funneling every supplier through one task at
+    scale); ties all surface, matching the SQL subquery semantics."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     rev = (
@@ -1419,9 +1421,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
     )
-    w = Window.partitionBy()
-    top = rev.withColumn("_max", F.max("total_revenue").over(w)).filter(
-        F.col("total_revenue") == F.col("_max")
+    mx = rev.agg(F.max("total_revenue").alias("_max"))
+    top = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .drop("_max")
     )
     return top.join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"]).select(
         "s_suppkey", "s_name", "total_revenue"

@@ -509,17 +509,24 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tok.groupBy("token").agg(
         F.countDistinct("doc_id").alias("n_docs_with")
     )
-    n_docs = docs.count()
+    # corpus size as a broadcast 1-row aggregate (the oracle's CROSS JOIN n)
+    # rather than docs.count(): composition stays fully lazy — no Spark job
+    # runs until the query itself is acted on
+    n = docs.agg(F.count("*").alias("n_docs"))
     # DECIMAL(18,9) quantization: ln() differs by 1 ulp between the JVM and
     # libm, so the raw double is not engine-portable; rank on the quantized
     # value (see oracle)
-    scored = tf.join(df_, "token").select(
-        "doc_id",
-        "token",
-        (
-            (F.col("cnt") * 1.0 / F.col("doc_len"))
-            * F.log((n_docs + 1.0) / (F.col("n_docs_with") + 1.0))
-        ).cast("decimal(18,9)").alias("tfidf"),
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                (F.col("cnt") * 1.0 / F.col("doc_len"))
+                * F.log((F.col("n_docs") + 1.0) / (F.col("n_docs_with") + 1.0))
+            ).cast("decimal(18,9)").alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
@@ -532,20 +539,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal: the Arrow mapInPandas decode path, oracle-checked
 # --------------------------------------------------------------------------
 
-_MM_FEATURE_SQL = ", ".join(
-    f"CAST(CAST(concat('0x', substring(md5(text), {(i % 16) * 2 + 1}, 2)) AS INTEGER)"
-    f" / 256.0 AS DOUBLE)"
-    for i in range(16)
-)
-
-
 @register(
     "multimodal_features",
-    f"""
+    """
 SELECT doc_id AS media_id,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       [{_MM_FEATURE_SQL}] AS feature
-FROM documents
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(i AS INTEGER) AS feat_idx,
+       CAST(CAST(concat('0x', substring(md5(text), CAST(i % 16 AS INTEGER) * 2 + 1, 2))
+                 AS INTEGER) / 256.0 AS DOUBLE) AS feat_val
+FROM documents CROSS JOIN range(0, 16) t(i)
 """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,7 +555,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow mapInPandas feature extraction (python md5-based deterministic
     fake).  The oracle recomputes the identical features in pure SQL
     (md5 hex byte / 256), so the Python/Arrow path is value-checked against
-    a JVM-free reference — the strongest available check for a UDF stage."""
+    a JVM-free reference — the strongest available check for a UDF stage.
+
+    The feature vector is emitted in LONG form — one (media_id, feat_idx,
+    feat_val) row per dimension — because the correctness gate canonicalizes
+    results with a column sort, which cannot order array cells; the array
+    form stays available directly from ``multimodal.extract_features``.
+    Each float32 is ``byte/256`` (≤ 8 mantissa bits), so the float->double
+    cast is exact and matches the oracle's double bit-for-bit."""
     from .operators import multimodal as mm
 
     docs = _docs(spark, sf_dir)
@@ -562,8 +571,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         "n_bytes",
-        F.transform("feature", lambda x: x.cast("double")).alias("feature"),
-    )
+        F.posexplode("feature").alias("feat_idx", "feat_val"),
+    ).withColumn("feat_val", F.col("feat_val").cast("double"))
 
 
 # --------------------------------------------------------------------------
@@ -992,11 +1001,17 @@ def q_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_frame_sample",
     """
-WITH frames AS (
+WITH ascii_docs AS (
+    -- byte-chunking == char-chunking only for pure ASCII; the same
+    -- length==octet_length guard is applied on the Spark side, so the
+    -- equivalence is structural, not an assumption about testdata
+    SELECT doc_id, text FROM documents
+    WHERE length(text) = octet_length(encode(text))
+), frames AS (
     SELECT doc_id AS media_id,
            CAST(i - 1 AS BIGINT) AS frame_no,
            substring(text, CAST((i - 1) * 64 + 1 AS INTEGER), 64) AS frame
-    FROM documents,
+    FROM ascii_docs,
          UNNEST(range(1, CAST(ceil(length(text) / 64.0) AS BIGINT) + 1)) AS u(i)
 )
 SELECT media_id, frame_no,
@@ -1009,11 +1024,15 @@ WHERE frame_no % 3 = 0
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-to-many multimodal stage end-to-end: payload -> sampled
     'frames' (every 3rd 64-byte chunk) via mapInPandas, value-checked
-    against a pure-SQL reconstruction (payloads are utf-8 text here, so
-    byte chunks == char chunks).  Pins the Arrow batch-explosion shape a
-    real video frame sampler uses."""
+    against a pure-SQL reconstruction.  The SQL twin chunks CHARACTERS, so
+    both sides restrict to pure-ASCII docs (char length == byte length) —
+    the oracle applies the identical guard — making the byte/char
+    equivalence structural rather than an assumption about testdata.
+    Pins the Arrow batch-explosion shape a real video frame sampler uses."""
     from .operators import multimodal as mm
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).filter(
+        F.length("text") == F.octet_length("text")
+    )
     media = mm.attach_payload(docs, "doc_id", "text", kind="video")
     return mm.frame_sample(media, every_n=3)

@@ -56,14 +56,23 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    dynamic_partitions: bool = False,
 ) -> None:
     """Primary sink. ``partition_by=['date']`` gives partition pruning for the
     date-range re-runs the reference does with DELETE+INSERT idempotency
-    (channel_reporter.py:99); use dynamic partition overwrite for ranged
-    re-runs at scale."""
+    (channel_reporter.py:99).
+
+    ``dynamic_partitions=True`` (with ``mode="overwrite"``) replaces ONLY
+    the partitions present in ``df`` and leaves every other partition
+    intact — the partition-level DELETE+INSERT a ranged re-run needs.  It
+    is per-write (writer option, not session conf) and deliberately
+    opt-in: a FULL rebuild must keep static overwrite, otherwise
+    partitions that vanished from the input would survive as stale data."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+        if dynamic_partitions:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.parquet(path)
 
 

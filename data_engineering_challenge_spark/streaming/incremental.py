@@ -162,30 +162,66 @@ def incremental_journeys_stream_stream(
     )
 
 
+def _hadoop_fs(spark, path: str):
+    """Hadoop FileSystem + Path for ``path`` (works for file:// and hdfs://)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
 def overwrite_by_key(
     batch_df: DataFrame, path: str, keys: list[str]
 ) -> None:
     """Idempotent overwrite-by-key for one micro-batch: rows in ``path``
     whose key appears in the batch are replaced, others kept — the
     reference's DELETE+INSERT re-run semantics (api_client.py:139,
-    channel_reporter.py:99) done atomically per batch.
+    channel_reporter.py:99).
 
-    Plain-parquet merge (read ∖ batch-keys ∪ batch); on a transactional
-    table format the same call is a MERGE/replaceWhere.  The anti-join
+    Plain-parquet merge (read ∖ batch-keys ∪ batch); the anti-join
     broadcasts the batch's key set — micro-batches are small by
-    construction.
+    construction.  Failure posture:
+
+    * "table absent" is decided by an EXPLICIT FileSystem existence check,
+      never by catching read errors — a corrupt or transiently-unreadable
+      table must FAIL the batch, not be silently treated as first-batch
+      (which would replace all accumulated history with one micro-batch);
+    * the merged result is fully written to a sibling temp directory first,
+      then swapped in with two FileSystem renames — a crash at any point
+      leaves either the old table, or the old table plus a complete temp,
+      or a fully-written new table (never a half-written table that the
+      next batch would misread);
+    * on a transactional format (Delta/Iceberg) this whole function is a
+      MERGE / ``replaceWhere`` — that is the production path; this is the
+      plain-parquet equivalent.
     """
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint()  # batch is tiny; sever lineage
-    try:
-        existing = spark.read.parquet(path)
-        kept = existing.join(
-            F.broadcast(batch_df.select(*keys).distinct()), keys, "left_anti"
-        )
-        merged = kept.unionByName(batch_df).localCheckpoint()
-    except Exception:  # first batch: nothing to merge
-        merged = batch_df
-    merged.write.mode("overwrite").parquet(path)
+    fs, target = _hadoop_fs(spark, path)
+    if not fs.exists(target):
+        batch_df.write.mode("overwrite").parquet(path)
+        return
+
+    existing = spark.read.parquet(path)
+    kept = existing.join(
+        F.broadcast(batch_df.select(*keys).distinct()), keys, "left_anti"
+    )
+    merged = kept.unionByName(batch_df)
+
+    tmp = path.rstrip("/") + "._inprogress"
+    old = path.rstrip("/") + "._replaced"
+    _, tmp_p = _hadoop_fs(spark, tmp)
+    _, old_p = _hadoop_fs(spark, old)
+    fs.delete(tmp_p, True)
+    fs.delete(old_p, True)
+    merged.write.mode("overwrite").parquet(tmp)  # full write BEFORE any swap
+    if not fs.rename(target, old_p):
+        raise IOError(f"overwrite_by_key: could not move {path} aside")
+    if not fs.rename(tmp_p, target):
+        # put the old table back; the merged temp stays for manual recovery
+        fs.rename(old_p, target)
+        raise IOError(f"overwrite_by_key: could not publish {tmp} to {path}")
+    fs.delete(old_p, True)
 
 
 def run_foreach_batch_upsert(
