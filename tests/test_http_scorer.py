@@ -114,3 +114,77 @@ def test_non_retryable_raises_immediately(stub_server):
 def test_requires_url():
     with pytest.raises(ValueError):
         make_http_scorer("")
+
+
+# ---------------------------------------------------------------------------
+# integration: the full attribute_external -> applyInPandas -> HTTP path
+# against a real local server, with the REAL pipeline journey schema
+# (datetime64 timestamps + conv_ts + the re-read path's conv_date column) —
+# exercising the executor pickling path and the JSON wire contract
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_journeys(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    rows = []
+    t0 = datetime(2024, 1, 5)
+    for cid, n in {1: 2, 2: 3}.items():
+        conv_ts = t0 + timedelta(hours=cid)
+        for i in range(n):
+            rows.append(
+                Row(
+                    conversion_id=cid,
+                    session_id=cid * 100 + i,
+                    timestamp=conv_ts - timedelta(minutes=30 * i),
+                    channel_label="social",
+                    holder_engagement=i % 2,
+                    closer_engagement=0,
+                    conversion=0,
+                    impression_interaction=0,
+                    conv_ts=conv_ts,
+                )
+            )
+    return spark.createDataFrame(rows).withColumn(
+        "conv_date", F.date_format("conv_ts", "yyyy-MM-dd")
+    )
+
+
+def test_attribute_external_http_end_to_end(spark, stub_server):
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.operators import batching
+
+    score = make_http_scorer(stub_server, api_key="k", backoff_s=0.01)
+    out = batching.attribute_external(
+        _pipeline_journeys(spark), score_fn=score, num_chunks=2
+    )
+    sums = {
+        r.conversion_id: r.s
+        for r in out.groupBy("conversion_id").agg(F.sum("ihc").alias("s")).collect()
+    }
+    assert sums[1] == pytest.approx(1.0) and sums[2] == pytest.approx(1.0)
+
+    # wire contract: timestamps as strings, engine-internal columns dropped
+    assert _StubHandler.requests_seen
+    for req in _StubHandler.requests_seen:
+        for rec in req["body"]["customer_journeys"]:
+            assert isinstance(rec["timestamp"], str)
+            assert len(rec["timestamp"]) == 19  # yyyy-MM-dd HH:mm:ss
+            for internal in ("conv_ts", "conv_date", "_chunk"):
+                assert internal not in rec
+
+
+def test_attribute_external_http_retry_on_429(spark, stub_server):
+    from data_engineering_challenge_spark.operators import batching
+
+    _StubHandler.script = [429]  # first request throttled, retry succeeds
+    score = make_http_scorer(stub_server, max_retries=2, backoff_s=0.01)
+    out = batching.attribute_external(
+        _pipeline_journeys(spark), score_fn=score, num_chunks=1
+    )
+    assert out.count() == 5
+    assert len(_StubHandler.requests_seen) == 2  # 429 + successful retry

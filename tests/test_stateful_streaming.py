@@ -178,3 +178,42 @@ def test_incremental_attribution_delta_recompute(spark, tmp_path):
     expected = attr.attribute_linear(jny.build_journeys(conversions, sessions))
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+def test_overwrite_by_key_corrupt_table_fails_loud(spark, tmp_path):
+    """An unreadable existing table must FAIL the batch — never be treated
+    as 'first batch' (which would overwrite all accumulated history with
+    one micro-batch).  Table absence is decided by an explicit FileSystem
+    check, not by catching read errors."""
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    batch = spark.createDataFrame([Row(k=1, v="x")])
+    with pytest.raises(Exception):
+        st.overwrite_by_key(batch, path, ["k"])
+    # the corrupt table was left in place for recovery, not replaced
+    with open(os.path.join(path, "part-00000.parquet"), "rb") as f:
+        assert f.read() == b"this is not a parquet file"
+
+
+def test_overwrite_by_key_leaves_no_temp_dirs(spark, tmp_path):
+    """The temp-write + rename swap must clean up after itself on success."""
+    import os
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    st.overwrite_by_key(spark.createDataFrame([Row(k=1, v="a")]), path, ["k"])
+    st.overwrite_by_key(spark.createDataFrame([Row(k=1, v="A"), Row(k=2, v="b")]), path, ["k"])
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {
+        (1, "A"), (2, "b")
+    }
+    leftovers = [d for d in os.listdir(tmp_path) if "._" in d]
+    assert leftovers == []

@@ -271,3 +271,59 @@ def test_pii_scrub(spark):
     assert "<SSN>" in got[1].text_scrubbed and "<IP>" in got[1].text_scrubbed
     assert got[2].text_scrubbed == got[2].text
     assert got[2].n_email == got[2].n_phone == got[2].n_ssn == got[2].n_ipv4 == 0
+
+
+def test_lsh_caps_bound_degenerate_corpus(spark):
+    """Degenerate all-identical corpus: every doc collides into ONE bucket
+    per band, so without the cap the local pair explosion is quadratic in
+    the corpus.  The documented contract (dedup.py: max_bucket_size /
+    max_postings) is that such mega-buckets are DROPPED — candidates stay
+    bounded — and exact dedup is the tool that catches what LSH skips."""
+    n = 250  # above the default max_bucket_size / max_postings of 200
+    boiler = _docs(spark, ["the same boilerplate text repeated verbatim"] * n)
+
+    assert dd.minhash_lsh_candidates(boiler).count() == 0  # mega-bucket dropped
+    assert dd.ngram_jaccard_pairs(boiler).count() == 0     # stop-shingles dropped
+
+    surv = dd.dedup_exact(boiler).collect()
+    assert len(surv) == 1 and surv[0].n_dups == n  # exact dedup catches them
+
+    # under-cap duplicate group still pairs up fully: C(5,2) candidates
+    small = _docs(spark, ["another duplicated document body right here"] * 5)
+    assert dd.minhash_lsh_candidates(small).count() == 10
+    # and with the cap lowered below the group size, the same corpus is
+    # dropped — the bound is the knob, not luck
+    assert dd.minhash_lsh_candidates(small, max_bucket_size=4).count() == 0
+
+
+def test_tfidf_composes_lazily(spark):
+    """Building the registered tfidf query must trigger NO Spark job (the
+    corpus count is a broadcast 1-row aggregate, not an eager .count())."""
+    import __spark_entry__ as entry
+
+    tracker = spark.sparkContext.statusTracker()
+    b0 = len(tracker.getJobIdsForGroup(None) or [])
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = len(tracker.getJobIdsForGroup(None) or [])
+    read_jobs = b1 - b0  # parquet schema inference may cost a tiny job
+    df = entry.queries()["tfidf_top_terms"](spark, "/root/testdata/sf0.001")  # noqa: F841
+    b2 = len(tracker.getJobIdsForGroup(None) or [])
+    assert b2 - b1 == read_jobs  # composing adds nothing beyond the reads
+
+
+def test_pii_phone_no_false_positives(spark):
+    """ISO dates, bare order numbers, and amounts must NOT redact as
+    <PHONE>; real phone shapes (international, separator-delimited 3-3-4)
+    still do."""
+    df = _docs(
+        spark,
+        [
+            "shipped 2024-01-01 order 123456789 total 1234567.89 qty 12345678",
+            "call +1 415 555 0199 or (415) 555-0199 or 415.555.0199 today",
+        ],
+    )
+    got = {r.doc_id: r for r in tx.pii_scrub(df).collect()}
+    assert got[0].n_phone == 0
+    assert got[0].text_scrubbed == got[0].text
+    assert got[1].n_phone == 3
+    assert "415" not in got[1].text_scrubbed
