@@ -203,7 +203,9 @@ def _dsum_sql(expr: str) -> str:
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from .sources.io import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _journeys(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,7 +29,9 @@ from .queries import _dsum_sql, dsum, register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from .sources.io import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # --------------------------------------------------------------------------

@@ -22,11 +22,15 @@ from .queries import _dsum_sql, dsum, register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .sources.io import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .sources.io import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, f"{sf_dir}/embeddings.parquet")
 
 
 _SQL_TOKS = "string_split(text, ' ')"

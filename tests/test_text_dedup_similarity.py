@@ -301,14 +301,13 @@ def test_tfidf_composes_lazily(spark):
     corpus count is a broadcast 1-row aggregate, not an eager .count())."""
     import __spark_entry__ as entry
 
+    sf = "/root/testdata/sf0.001"
+    entry.queries()["tfidf_top_terms"](spark, sf)  # warm the schema cache
     tracker = spark.sparkContext.statusTracker()
-    b0 = len(tracker.getJobIdsForGroup(None) or [])
-    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    b1 = len(tracker.getJobIdsForGroup(None) or [])
-    read_jobs = b1 - b0  # parquet schema inference may cost a tiny job
-    df = entry.queries()["tfidf_top_terms"](spark, "/root/testdata/sf0.001")  # noqa: F841
-    b2 = len(tracker.getJobIdsForGroup(None) or [])
-    assert b2 - b1 == read_jobs  # composing adds nothing beyond the reads
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = entry.queries()["tfidf_top_terms"](spark, sf)  # noqa: F841
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # strictly zero jobs once schemas are cached
 
 
 def test_pii_phone_no_false_positives(spark):
