@@ -1577,3 +1577,101 @@ def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum("gap_us") / F.count("gap_us")).alias("avg_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# grouped argmin with join-back (TPC-H Q2's min-cost-supplier shape, adapted
+# to the available star: no partsupp table ships, so unit cost derives from
+# lineitem) and NOT-IN + distinct-count (Q16's supplier-count shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "part_min_cost_supplier",
+    f"""
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           {_dsum_sql('l_extendedprice / l_quantity')} AS unit_cost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+), best AS (
+    SELECT l_partkey, MIN(unit_cost) AS min_cost
+    FROM cost GROUP BY l_partkey
+)
+SELECT c.l_partkey AS partkey, c.l_suppkey AS suppkey, c.unit_cost
+FROM cost c
+JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.min_cost
+""",
+)
+def part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group argmin with join-back — for every part,
+    the supplier(s) with the lowest mean unit price (ties all kept, the
+    correlated-scalar-subquery semantics).
+
+    Scale design: the per-part MIN is a second aggregation over the
+    ALREADY-AGGREGATED (part, supplier) relation, and the join-back keys
+    on the same l_partkey the first groupBy hash-partitioned on — Catalyst
+    reuses that clustering, so the argmin costs no extra Exchange over the
+    base aggregate (unlike a per-group sort or an unpartitioned window).
+    Decimal-exact unit costs make the MIN/equality tie-back engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        cost.join(best, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "unit_cost",
+        )
+    )
+
+
+@register(
+    "supplier_count_excl",
+    """
+WITH pairs AS (
+    SELECT DISTINCT l_partkey, l_suppkey
+    FROM lineitem
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p.p_brand,
+       CAST(p.p_size % 5 AS INTEGER) AS size_bucket,
+       CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs pr
+JOIN part p ON pr.l_partkey = p.p_partkey
+WHERE p.p_type NOT LIKE 'PROMO%'
+GROUP BY p.p_brand, size_bucket
+""",
+)
+def supplier_count_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per product segment with a
+    NOT IN exclusion list (negative-balance suppliers standing in for the
+    complaints subquery; the shipped (part, supplier) pairs stand in for
+    the absent partsupp table).
+
+    Spark form: the NOT IN is a broadcast left_anti join (never a
+    per-row subquery), the pair relation is deduped BEFORE the dimension
+    join, and part is broadcast — the fact table shuffles once, for the
+    distinct-aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(~F.col("p_type").like("PROMO%"))
+    excluded = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.join(
+            F.broadcast(excluded),
+            li["l_suppkey"] == excluded["s_suppkey"],
+            "left_anti",
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", (F.col("p_size") % 5).cast("int").alias("size_bucket"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -1040,3 +1040,115 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = mm.attach_payload(docs, "doc_id", "text", kind="video")
     return mm.frame_sample(media, every_n=3)
+
+
+# --------------------------------------------------------------------------
+# intra-document repetition removal + corpus vocabulary coverage — two more
+# LLM-corpus curation stages (SURVEY.md §2.10 ✚)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "para_dedup_intra_doc",
+    """
+WITH sent AS (
+    SELECT doc_id, i AS pos, p[i] AS sentence
+    FROM (SELECT doc_id, string_split(text, '. ') AS p FROM documents),
+         UNNEST(range(1, len(p) + 1)) AS u(i)
+), first AS (
+    SELECT doc_id, sentence, MIN(pos) AS pos
+    FROM sent GROUP BY doc_id, sentence
+), rebuilt AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           string_agg(sentence, '. ' ORDER BY pos) AS dedup_text
+    FROM first GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, '. ')) AS INTEGER) AS n_sentences,
+       r.n_unique,
+       r.dedup_text
+FROM documents d JOIN rebuilt r USING (doc_id)
+""",
+)
+def q_para_dedup_intra_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: drop repeated sentences within a
+    document, keeping the FIRST occurrence and the original order — the
+    within-page boilerplate-strip stage of corpus curation (distinct from
+    cross-document dedup).
+
+    All map-side until the per-(doc, sentence) group-by; the rebuild is a
+    sorted collect_list per doc — order restored from the kept minimum
+    position, so the output text is deterministic.  No UDFs."""
+    docs = _docs(spark, sf_dir)
+    sent = docs.select(
+        "doc_id", F.posexplode(F.split("text", r"\. ")).alias("pos", "sentence")
+    )
+    first = sent.groupBy("doc_id", "sentence").agg(F.min("pos").alias("pos"))
+    rebuilt = first.groupBy("doc_id").agg(
+        F.count("*").alias("n_unique"),
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sentence"))),
+                lambda s: s["sentence"],
+            ),
+        ).alias("dedup_text"),
+    )
+    return docs.select(
+        "doc_id", F.size(F.split("text", r"\. ")).alias("n_sentences")
+    ).join(rebuilt, "doc_id")
+
+
+@register(
+    "vocab_top_coverage",
+    """
+WITH tok AS (
+    SELECT t AS token
+    FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+         UNNEST(toks) AS u(t)
+), counts AS (
+    SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+), total AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts
+), top AS (
+    SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 20
+)
+SELECT token,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rnk,
+       CAST(SUM(cnt) OVER w AS BIGINT) * 1.0 / total AS cum_share
+FROM top CROSS JOIN total
+WINDOW w AS (ORDER BY cnt DESC, token ASC ROWS UNBOUNDED PRECEDING)
+""",
+)
+def q_vocab_top_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: top-20 corpus tokens with rank and CUMULATIVE
+    corpus share — the coverage curve that sizes a tokenizer vocabulary.
+
+    Scale design: the heavy work (token counts) is one map-side-combined
+    groupBy; the top-k is TakeOrdered (heap, no global sort of the vocab);
+    the cumulative window then runs over exactly k rows, so the
+    single-partition window is bounded by k — never by the vocabulary.
+    The corpus-total divisor arrives as a broadcast 1-row aggregate
+    (integer sums, so the shares divide bit-identically cross-engine)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(20)
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            F.row_number().over(w).alias("rnk"),
+            (F.sum("cnt").over(w) / F.col("total")).alias("cum_share"),
+        )
+    )
