@@ -1152,3 +1152,110 @@ def q_vocab_top_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cnt").over(w) / F.col("total")).alias("cum_share"),
         )
     )
+
+
+@register(
+    "bigram_lm_score",
+    f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+    SELECT doc_id, s AS bigram, split_part(s, ' ', 1) AS w1
+    FROM toks, UNNEST(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                                 i -> concat_ws(' ', t[i], t[i+1]))
+             ELSE [] END) AS u(s)
+), cb AS (
+    SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram
+), c1 AS (
+    SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+), scored AS (
+    -- DECIMAL(18,9) quantization: ln() differs by 1 ulp between libm and
+    -- the JVM (same device as tfidf_top_terms)
+    SELECT bg.doc_id, CAST(ln(cb.c2 * 1.0 / c1.c1) AS DECIMAL(18,9)) AS lp
+    FROM bg JOIN cb USING (bigram) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       {_dsum_sql('lp')} / COUNT(*) AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM quality score: per document, the mean
+    conditional log-probability ln(c(w1 w2)/c(w1 ·)) of its bigrams under
+    the corpus's own bigram counts — the KenLM-style perplexity filter of
+    LLM corpus curation, reduced to pure DataFrame algebra.
+
+    The bigram relation comes from the bound-token shingle builder
+    (n=2), so the split evaluates once per row and the explode feeds
+    doc_id-clustered partitions; the model 'training' is two count
+    aggregations over that same relation; scoring joins the counts back
+    by bigram / by context.  Counts are exact ints (division bit-identical
+    cross-engine); ln is quantized to DECIMAL(18,9) for portability and
+    the per-doc mean uses the decimal-exact sum."""
+    docs = _docs(spark, sf_dir)
+    bg = (
+        tx.shingle_arrays(docs, 2)
+        .select("doc_id", F.explode_outer("sh").alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+    )
+    cb = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bg.join(cb, "bigram")
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.log(F.col("c2") * 1.0 / F.col("c1")).cast("decimal(18,9)").alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (dsum("lp") / F.count("*")).alias("avg_logprob"),
+    )
+
+
+@register(
+    "corpus_mix_plan",
+    """
+WITH strata AS (
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang, source
+), tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_strata
+    FROM strata
+)
+SELECT lang, source, n_docs, n_tokens,
+       n_docs * 1.0 / total_docs AS doc_share,
+       (1.0 / n_strata) / (n_docs * 1.0 / total_docs) AS mix_ratio
+FROM strata CROSS JOIN tot
+""",
+)
+def q_corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing plan: per (lang, source) stratum, doc/token counts,
+    corpus share, and the up/down-sampling ratio that would equalize the
+    mixture (uniform target; swap in configured weights in production) —
+    the DoReMi-style reweighting input, computed relationally.
+
+    One aggregation over the corpus; the totals come back as a broadcast
+    1-row crossJoin (no second scan, no collect).  mix_ratio > 1 means
+    up-sample (repeat/epoch), < 1 means down-sample (hash-sample at that
+    rate — see hash_sample_stratified)."""
+    docs = _docs(spark, sf_dir)
+    strata = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = strata.agg(
+        F.sum("n_docs").alias("total_docs"), F.count("*").alias("n_strata")
+    )
+    return strata.crossJoin(F.broadcast(tot)).select(
+        "lang", "source", "n_docs", "n_tokens",
+        (F.col("n_docs") * 1.0 / F.col("total_docs")).alias("doc_share"),
+        ((1.0 / F.col("n_strata")) / (F.col("n_docs") * 1.0 / F.col("total_docs"))).alias("mix_ratio"),
+    )
