@@ -1259,3 +1259,27 @@ def q_corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") * 1.0 / F.col("total_docs")).alias("doc_share"),
         ((1.0 / F.col("n_strata")) / (F.col("n_docs") * 1.0 / F.col("total_docs"))).alias("mix_ratio"),
     )
+
+
+@register("streaming_dedup_events", None)  # streaming — rows-only check
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup (SURVEY.md §2.9/§2.10): the events feed is
+    delivered TWICE (an at-least-once source replay), and
+    ``dropDuplicatesWithinWatermark`` on event_id emits each event once —
+    with state bounded by the watermark horizon instead of growing with
+    every key ever seen.  No SQL oracle: streaming state semantics are the
+    thing under test; batch-distinct parity is asserted in tests."""
+    import tempfile
+
+    from . import roles
+    from .streaming import incremental as st
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    events = roles.load_events(spark, sf_dir)
+    events.write.mode("overwrite").parquet(f"{tmp}/events")
+    events.write.mode("append").parquet(f"{tmp}/events")  # replayed delivery
+    stream = st.read_events_stream(spark, f"{tmp}/events")
+    st.run_available_now(st.streaming_dedup(stream), f"{tmp}/out", f"{tmp}/ckpt")
+    return spark.read.parquet(f"{tmp}/out").select(
+        "event_id", "user_id", "event_type"
+    )

@@ -99,6 +99,29 @@ def sessionize_stream(events_stream: DataFrame, gap: str = "30 minutes") -> Data
     )
 
 
+def streaming_dedup(
+    events_stream: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once streaming dedup on an at-least-once feed: re-delivered
+    event ids inside the watermark horizon are dropped
+    (``dropDuplicatesWithinWatermark``).
+
+    The watermark is what makes this scale: plain ``dropDuplicates`` on a
+    stream keeps EVERY key ever seen in state (unbounded — it OOMs on an
+    infinite feed), while the within-watermark variant evicts ids older
+    than the horizon, so state ≈ horizon × arrival rate regardless of
+    stream age.  The dedup-ingest front door of a streaming corpus
+    pipeline: source retries/replays stop producing duplicate documents
+    downstream."""
+    ids = id_cols or ["event_id"]
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ids
+    )
+
+
 def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
     """Process-everything-pending-then-stop (the FileSensor analog)."""
     q = (

@@ -49,6 +49,7 @@ def test_every_query_has_oracle_or_docstring(spark):
     NO_ORACLE = {
         "ivf_topk",  # iterative KMeans — not SQL-expressible
         "streaming_incremental_journeys",  # streaming execution under test
+        "streaming_dedup_events",  # streaming state semantics under test
         "minhash_lsh_candidates_xxh",  # Spark-native hash by design; md5 twin is checked
     }
 

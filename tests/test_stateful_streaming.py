@@ -217,3 +217,24 @@ def test_overwrite_by_key_leaves_no_temp_dirs(spark, tmp_path):
     }
     leftovers = [d for d in os.listdir(tmp_path) if "._" in d]
     assert leftovers == []
+
+
+def test_streaming_dedup_drops_redelivered(spark, tmp_path):
+    """An at-least-once feed delivering every event twice must come out of
+    streaming_dedup with each event_id exactly once — equal to the batch
+    distinct — and with state bounded by the watermark (the scale
+    property: plain dropDuplicates state grows with every key ever)."""
+    sf = "/root/testdata/sf0.001"
+    events = roles.load_events(spark, sf)
+    src = str(tmp_path / "events")
+    events.write.mode("overwrite").parquet(src)
+    events.write.mode("append").parquet(src)  # replay
+
+    stream = st.read_events_stream(spark, src)
+    out = str(tmp_path / "out")
+    st.run_available_now(st.streaming_dedup(stream), out, str(tmp_path / "ck"))
+
+    got = spark.read.parquet(out)
+    n_distinct = events.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
