@@ -1710,3 +1710,59 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "channel_spine_fill",
+    f"""
+WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+daily AS (
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_dsum_sql('value')} AS total_value
+    FROM ev GROUP BY event_type, day
+), bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+spine AS (
+    SELECT d0 + CAST(i AS INTEGER) AS day
+    FROM bounds, UNNEST(range(0, CAST(d1 - d0 AS INTEGER) + 1)) AS u(i)
+), types AS (SELECT DISTINCT event_type FROM ev)
+SELECT t.event_type,
+       strftime(s.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.total_value, 0.0) AS total_value
+FROM types t CROSS JOIN spine s
+LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+""",
+)
+def channel_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample / gap fill: daily per-type activity with EVERY
+    calendar day in the table's range present, zeros where nothing
+    happened — the date-spine left join that reporting and forecasting
+    stages need (a groupBy alone silently drops empty days).
+
+    Scale design: the spine is generated from a 1-row min/max aggregate
+    (``sequence`` + explode — rows = days, never data-sized) and
+    crossJoined with the distinct type dimension — both broadcast-small —
+    so the only data-sized operation is the daily aggregate itself."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    ev = events.select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    return (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )

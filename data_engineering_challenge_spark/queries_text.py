@@ -1283,3 +1283,48 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{tmp}/out").select(
         "event_id", "user_id", "event_type"
     )
+
+
+@register(
+    "token_outlier_docs",
+    """
+WITH toks AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), med AS (
+    SELECT lang, median(n_tokens) AS med FROM toks GROUP BY lang
+), dev AS (
+    SELECT t.doc_id, t.lang, CAST(t.n_tokens AS INTEGER) AS n_tokens,
+           m.med, ABS(t.n_tokens - m.med) AS adev
+    FROM toks t JOIN med m USING (lang)
+), mad AS (
+    SELECT lang, median(adev) AS mad FROM dev GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_tokens, d.med, m.mad,
+       CAST(d.adev > 3 * m.mad AS INTEGER) AS is_outlier
+FROM dev d JOIN mad m USING (lang)
+""",
+)
+def q_token_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging for corpus QA: per language stratum, docs
+    whose token count deviates more than 3 MAD (median absolute
+    deviation) from the stratum median — the robust-statistics filter
+    that survives heavy-tailed length distributions where mean/stddev
+    break.
+
+    Two exact median aggregations (counts are small ints and deviations
+    exact binary fractions, so the interpolated medians are bit-identical
+    cross-engine) joined back per stratum — no windows, no UDFs."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    med = toks.groupBy("lang").agg(F.median("n_tokens").alias("med"))
+    dev = toks.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("n_tokens") - F.col("med"))
+    )
+    mad = dev.groupBy("lang").agg(F.median("adev").alias("mad"))
+    return dev.join(F.broadcast(mad), "lang").select(
+        "doc_id", "lang", "n_tokens", "med", "mad",
+        (F.col("adev") > 3 * F.col("mad")).cast("int").alias("is_outlier"),
+    )
