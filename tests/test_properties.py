@@ -162,3 +162,45 @@ def test_approx_aggs_within_tolerance(spark):
     ).collect()[0]
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.06  # 3x rsd
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.01
+
+
+@given(
+    sizes=st.dictionaries(
+        st.integers(min_value=1, max_value=50),
+        st.integers(min_value=1, max_value=12),
+        min_size=1,
+        max_size=25,
+    ),
+    max_journeys=st.integers(min_value=1, max_value=6),
+    max_sessions=st.integers(min_value=12, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_sub_batches_cap_invariants(sizes, max_journeys, max_sessions):
+    """Pure-pandas property: _sub_batches must (a) never exceed either cap
+    in any emitted batch (given no single conversion exceeds the session
+    cap — over-cap ones are filtered before distribution), (b) keep every
+    conversion's journey in exactly one batch, intact, and (c) never
+    split a conversion across batches."""
+    import pandas as pd
+
+    from data_engineering_challenge_spark.operators.batching import _sub_batches
+
+    rows = [
+        {"conversion_id": cid, "session_id": cid * 1000 + i}
+        for cid, n in sizes.items()
+        for i in range(n)
+    ]
+    pdf = pd.DataFrame(rows)
+
+    seen: dict = {}
+    for batch in _sub_batches(pdf, max_journeys, max_sessions):
+        convs = batch.groupby("conversion_id").size()
+        assert len(convs) <= max_journeys
+        # a single over-cap conversion may stand alone (caller filters
+        # those); multi-conversion batches must respect the session cap
+        if len(convs) > 1:
+            assert len(batch) <= max_sessions
+        for cid, n in convs.items():
+            assert cid not in seen  # never split / repeated
+            seen[cid] = n
+    assert seen == dict(sizes)  # full coverage, journeys intact
