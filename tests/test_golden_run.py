@@ -81,3 +81,26 @@ def test_registry_order_lists_are_valid():
         assert n in names, f"ordering list references unknown query {n!r}"
     emitted = list(q.queries())
     assert len(emitted) == len(set(emitted)) == len(names)
+
+
+def test_no_canonicalizer_hostile_output_columns(spark):
+    """Correctness-gate hygiene: the driver canonicalizes results with a
+    pandas column sort, which cannot order array/map/struct cells — a
+    query emitting one would error in the harness even with correct
+    values (the round-2 multimodal_features failure).  Every registry
+    query must emit scalar columns only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as e
+
+    offenders = {}
+    for name, fn in e.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert offenders == {}, f"canonicalizer-hostile outputs: {offenders}"
