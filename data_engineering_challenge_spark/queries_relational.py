@@ -1608,19 +1608,24 @@ def part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier(s) with the lowest mean unit price (ties all kept, the
     correlated-scalar-subquery semantics).
 
-    Scale design: the per-part MIN is a second aggregation over the
-    ALREADY-AGGREGATED (part, supplier) relation, and the join-back keys
-    on the same l_partkey the first groupBy hash-partitioned on — Catalyst
-    reuses that clustering, so the argmin costs no extra Exchange over the
-    base aggregate (unlike a per-group sort or an unpartitioned window).
-    Decimal-exact unit costs make the MIN/equality tie-back engine-stable."""
+    Scale design: ONE scan, ONE shuffle.  The explicit
+    ``repartition("l_partkey")`` hash-clusters by the OUTER key before the
+    composite-key aggregate — hashpartitioning(l_partkey) satisfies both
+    the (l_partkey, l_suppkey) aggregate's clustering and the per-part MIN
+    window's, so the aggregate and the argmin run Exchange-free on that
+    single partitioning.  The alternative aggregate-and-join-back form
+    recomputes the whole (part, supplier) aggregate for the MIN branch
+    (two lineitem scans — measured in the plan); this is a PER-GROUP
+    window, so unlike q15's global argmax there is no single-partition
+    funnel.  Decimal-exact unit costs make the MIN/equality tie
+    engine-stable."""
     li = _t(spark, sf_dir, "lineitem")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+    cost = li.repartition("l_partkey").groupBy("l_partkey", "l_suppkey").agg(
         dsum(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
-    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    w = Window.partitionBy("l_partkey")
     return (
-        cost.join(best, "l_partkey")
+        cost.withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("min_cost"))
         .select(
             F.col("l_partkey").alias("partkey"),

@@ -172,3 +172,14 @@ def test_q15_argmax_no_global_window(spark):
     # Catalyst rewrites the crossJoin+filter into an equi-join on the max
     # value; either way the scalar side must come in as a broadcast
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_part_min_cost_single_shuffle_single_scan(spark):
+    """The grouped argmin must be ONE lineitem scan + ONE l_partkey
+    shuffle: repartition("l_partkey") satisfies the composite aggregate's
+    clustering AND the per-part MIN window's, and the per-group window
+    avoids the join-back form's duplicate aggregate branch (two scans)."""
+    plan = _plan(spark, "part_min_cost_supplier")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+    assert plan.count("Window") == 1  # per-group window, not a global one
