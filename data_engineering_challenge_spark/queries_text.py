@@ -1159,16 +1159,19 @@ def q_vocab_top_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 bg AS (
-    SELECT doc_id, s AS bigram, split_part(s, ' ', 1) AS w1
+    SELECT doc_id, s AS bigram
     FROM toks, UNNEST(
         CASE WHEN len(t) >= 2
              THEN list_transform(range(1, len(t)),
                                  i -> concat_ws(' ', t[i], t[i+1]))
              ELSE [] END) AS u(s)
 ), cb AS (
-    SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram
+    SELECT bigram, split_part(bigram, ' ', 1) AS w1, COUNT(*) AS c2
+    FROM bg GROUP BY bigram
 ), c1 AS (
-    SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+    -- context totals derived from the bigram VOCAB (sum of c2 per w1),
+    -- not from a third pass over the corpus-sized bg relation
+    SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM cb GROUP BY w1
 ), scored AS (
     -- DECIMAL(18,9) quantization: ln() differs by 1 ulp between libm and
     -- the JVM (same device as tfidf_top_terms)
@@ -1199,10 +1202,14 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.shingle_arrays(docs, 2)
         .select("doc_id", F.explode_outer("sh").alias("bigram"))
         .filter(F.col("bigram").isNotNull())
-        .withColumn("w1", F.substring_index("bigram", " ", 1))
     )
-    cb = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # context totals derive from the bigram VOCAB (sum of c2 per w1) — the
+    # naive bg.groupBy("w1") would re-evaluate the corpus-sized bigram
+    # relation a third time; this aggregates the (small) count table instead
+    cb = bg.groupBy("bigram").agg(F.count("*").alias("c2")).withColumn(
+        "w1", F.substring_index("bigram", " ", 1)
+    )
+    c1 = cb.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (
         bg.join(cb, "bigram")
         .join(c1, "w1")
