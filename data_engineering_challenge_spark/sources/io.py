@@ -96,6 +96,33 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: files written before a column
+    was added are read with that column NULL (``mergeSchema`` unions the
+    per-file schemas instead of trusting one footer).
+
+    The 100 TB reality this serves: long-lived tables accrete columns, and
+    a reader pinned to a single file's schema silently drops the new ones
+    (or crashes on the old ones).  Merge costs a footer read per file at
+    planning time — turn it on for evolved tables, not everywhere."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> None:
+    """Small-files compaction: rewrite ``path`` as ``target_files`` parquet
+    files (streaming sinks and per-batch upserts accrete tiny files; scan
+    planning degrades with file COUNT long before data size matters).
+
+    Read fully materializes (localCheckpoint) before the overwrite so the
+    rewrite never reads the directory it is replacing.  Size
+    ``target_files`` ≈ total_bytes / 128 MB at scale; a transactional
+    format's OPTIMIZE is the production equivalent."""
+    df = spark.read.parquet(path).repartition(target_files).localCheckpoint()
+    df.write.mode("overwrite").parquet(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -43,3 +43,41 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bdb.li_b")
         spark.sql("DROP TABLE IF EXISTS bdb.o_b")
         spark.sql("DROP DATABASE IF EXISTS bdb")
+
+
+def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
+    """Files written before a column existed read back with that column
+    NULL — the schema-evolution posture a long-lived table needs."""
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.sources import io
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([Row(id=1, a="x")]).write.mode("append").parquet(path)
+    spark.createDataFrame([Row(id=2, a="y", b=7)]).write.mode("append").parquet(path)
+
+    got = io.read_parquet_evolved(spark, path)
+    assert set(got.columns) == {"id", "a", "b"}
+    rows = {r.id: (r.a, r.b) for r in got.collect()}
+    assert rows == {1: ("x", None), 2: ("y", 7)}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Compaction rewrites an accreted many-file table into target_files
+    parquet files with identical contents."""
+    import glob
+
+    from data_engineering_challenge_spark.sources import io
+
+    path = str(tmp_path / "tbl")
+    for i in range(6):  # simulate per-batch appends
+        spark.range(i * 10, i * 10 + 10).write.mode("append").parquet(path)
+    before = spark.read.parquet(path)
+    n_before = len(glob.glob(f"{path}/part-*.parquet"))
+    assert n_before >= 6
+    total = sorted(r.id for r in before.collect())
+
+    io.compact_parquet(spark, path, target_files=2)
+    n_after = len(glob.glob(f"{path}/part-*.parquet"))
+    assert n_after == 2
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == total
