@@ -1771,3 +1771,50 @@ def channel_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+@register(
+    "locf_fill_events",
+    """
+WITH ev AS (
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+    FROM events
+)
+SELECT user_id, event_id, ts_us, v,
+       last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled
+FROM ev
+""",
+)
+def locf_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill (the time-series repair
+    step): per user, a NULL reading takes the most recent non-null value
+    before it — ``last(..., ignorenulls=True)`` over an ordered running
+    frame.  Readings before the first observation stay NULL (no lookahead,
+    no leakage).  NULLs are synthesized deterministically (event_id % 3)
+    so the oracle sees the identical input.
+
+    One hash shuffle on user_id; the running frame is streaming-friendly
+    (each partition is processed in ts order, O(1) state per row)."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    ev = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts_us", "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
