@@ -50,6 +50,7 @@ def test_every_query_has_oracle_or_docstring(spark):
         "ivf_topk",  # iterative KMeans — not SQL-expressible
         "streaming_incremental_journeys",  # streaming execution under test
         "streaming_dedup_events",  # streaming state semantics under test
+        "distinct_users_hll_rollup",  # sketch estimate — bounded vs exact in tests
         "minhash_lsh_candidates_xxh",  # Spark-native hash by design; md5 twin is checked
     }
 

@@ -204,3 +204,40 @@ def test_sub_batches_cap_invariants(sizes, max_journeys, max_sessions):
             assert cid not in seen  # never split / repeated
             seen[cid] = n
     assert seen == dict(sizes)  # full coverage, journeys intact
+
+
+def test_hll_rollup_accuracy_and_merge_consistency(spark):
+    """The HLL rollup's estimates stay within 2% of exact distinct counts
+    (lgK=12 default), and the grand total obtained by UNIONING per-type
+    sketches equals the estimate of a single global sketch — merge
+    associativity, the property that makes sketch rollups trustworthy."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from data_engineering_challenge_spark import roles
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.event_type: r.est_users
+        for r in e.queries()["distinct_users_hll_rollup"](spark, sf).collect()
+    }
+
+    events = roles.load_events(spark, sf)
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = events.select("user_id").distinct().count()
+
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.02, (k, est, exact[k])
+
+    direct_total = (
+        events.agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .collect()[0].est
+    )
+    assert got["ALL"] == direct_total  # union of parts == whole
