@@ -1846,3 +1846,69 @@ def distinct_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("u").alias("est_users"),
     )
     return per_type.unionByName(total)
+
+
+@register("theta_user_overlap", None)  # sketch estimate — rows-only check
+def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET OPERATIONS on distinct users (DataSketches Theta):
+    how many distinct users clicked AND purchased / clicked OR purchased /
+    clicked but never purchased — intersection, union and difference
+    computed on two per-type sketches, not by re-joining raw events.
+
+    At 100 TB this replaces three separate semi-join + countDistinct
+    pipelines with one sketch aggregation per type and O(sketch) set
+    algebra — and the sketches are persistable, so audience-overlap
+    questions become metadata lookups.  No SQL oracle (estimates are
+    implementation-specific); tests bound all three against exact
+    semi-join counts."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    sk = events.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.filter(F.col("event_type") == "click").select(F.col("sk").alias("a"))
+    b = sk.filter(F.col("event_type") == "purchase").select(F.col("sk").alias("b"))
+    return a.crossJoin(b).select(
+        F.round(F.theta_sketch_estimate(F.theta_intersection("a", "b"))).cast("bigint").alias("clicked_and_purchased"),
+        F.round(F.theta_sketch_estimate(F.theta_union("a", "b"))).cast("bigint").alias("clicked_or_purchased"),
+        F.round(F.theta_sketch_estimate(F.theta_difference("a", "b"))).cast("bigint").alias("clicked_never_purchased"),
+    )
+
+
+@register("kll_value_quantiles", None)  # sketch estimate — rows-only check
+def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles (DataSketches KLL): per-type p50/p95/p99 of the
+    event value from one sketch aggregation, plus the GLOBAL quantiles by
+    MERGING the per-type sketches — no second scan, no global sort.
+
+    The scale contrast: exact percentiles need a full sort (or
+    percentile_approx's fixed-accuracy digest per group, re-computed per
+    rollup level); KLL sketches aggregate once, merge associatively
+    across levels, and give rank-error guarantees.  Tests bound the
+    estimates against exact percentiles by rank error."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    sk = events.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+
+    def qs(col):
+        return [
+            F.kll_sketch_get_quantile_double(col, F.lit(q)).alias(f"p{int(q*100)}")
+            for q in (0.5, 0.95, 0.99)
+        ]
+
+    per_type = sk.select("event_type", *qs(F.col("sk")))
+    # kll_sketch_merge_double is a BINARY merge; the global sketch is a
+    # fold over the handful of per-type sketches (bounded by group count)
+    merged_sketch = F.aggregate(
+        F.expr("slice(arr, 2, size(arr) - 1)"),
+        F.element_at(F.col("arr"), 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    merged = sk.agg(F.collect_list("sk").alias("arr")).select(
+        F.lit("ALL").alias("event_type"), *qs(merged_sketch)
+    )
+    return per_type.unionByName(merged)

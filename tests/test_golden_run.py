@@ -51,6 +51,8 @@ def test_every_query_has_oracle_or_docstring(spark):
         "streaming_incremental_journeys",  # streaming execution under test
         "streaming_dedup_events",  # streaming state semantics under test
         "distinct_users_hll_rollup",  # sketch estimate — bounded vs exact in tests
+        "theta_user_overlap",  # sketch set ops — exact-regime parity in tests
+        "kll_value_quantiles",  # sketch quantiles — rank-error bounded in tests
         "minhash_lsh_candidates_xxh",  # Spark-native hash by design; md5 twin is checked
     }
 

@@ -241,3 +241,53 @@ def test_hll_rollup_accuracy_and_merge_consistency(spark):
         .collect()[0].est
     )
     assert got["ALL"] == direct_total  # union of parts == whole
+
+
+def test_theta_overlap_matches_exact_set_ops(spark):
+    """Theta intersection/union/difference estimates vs exact semi-join
+    counts (sub-sketch-capacity cardinalities here, so the sketches are in
+    their exact regime — estimates must round to the true counts)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from data_engineering_challenge_spark import roles
+
+    sf = "/root/testdata/sf0.01"
+    row = e.queries()["theta_user_overlap"](spark, sf).collect()[0]
+
+    events = roles.load_events(spark, sf)
+    clicks = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clicks.join(buys, "user_id", "left_semi").count()
+    either = clicks.union(buys).distinct().count()
+    only = clicks.join(buys, "user_id", "left_anti").count()
+
+    assert row.clicked_and_purchased == both
+    assert row.clicked_or_purchased == either
+    assert row.clicked_never_purchased == only
+
+
+def test_kll_quantiles_rank_error_bounded(spark):
+    """KLL quantile estimates: each reported pXX must sit within ±2% RANK
+    error of the exact distribution (the sketch's guarantee is on rank,
+    not value), for every per-type row and the merged ALL row."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from data_engineering_challenge_spark import roles
+
+    sf = "/root/testdata/sf0.01"
+    rows = e.queries()["kll_value_quantiles"](spark, sf).collect()
+
+    events = roles.load_events(spark, sf)
+    for r in rows:
+        vals = (
+            events if r.event_type == "ALL"
+            else events.filter(F.col("event_type") == r.event_type)
+        ).select("value").orderBy("value").collect()
+        sorted_vals = [x.value for x in vals]
+        n = len(sorted_vals)
+        for q, est in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
+            import bisect
+            rank = bisect.bisect_right(sorted_vals, est) / n
+            assert abs(rank - q) < 0.02, (r.event_type, q, est, rank)
