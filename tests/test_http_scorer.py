@@ -188,3 +188,47 @@ def test_attribute_external_http_retry_on_429(spark, stub_server):
     )
     assert out.count() == 5
     assert len(_StubHandler.requests_seen) == 2  # 429 + successful retry
+
+
+def test_pipeline_external_http_full_path(spark, stub_server, tmp_path):
+    """THE wiring the reference runs in production: PipelineConfig(api_url)
+    -> AttributionPipeline step 1 writes date-partitioned journeys ->
+    step 2 RE-READS them (datetime64 timestamp + the conv_date partition
+    column) -> attribute_external -> HTTP scorer.  This is the path that
+    used to crash on json.dumps(pd.Timestamp); it must score through the
+    real server and land unit ihc sums in the written attribution table."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark import roles
+    from data_engineering_challenge_spark.config import PipelineConfig
+    from data_engineering_challenge_spark.pipeline import AttributionPipeline
+
+    d = tmp_path / "star"
+    d.mkdir()
+    events = roles.load_events(spark, "/root/testdata/sf0.001")
+    roles.conversions_from_events(events).write.parquet(str(d / "conversions.parquet"))
+    roles.sessions_from_events(events).write.parquet(
+        str(d / "session_sources.parquet")
+    )
+    roles.session_costs_from_events(events).write.parquet(
+        str(d / "session_costs.parquet")
+    )
+
+    cfg = PipelineConfig(
+        table_dir=str(d),
+        journeys_path=str(tmp_path / "journeys.parquet"),
+        report_path=str(tmp_path / "report.parquet"),
+        csv_exports=False,
+        model="external",
+        api_url=stub_server,
+        api_key="k",
+        api_backoff_s=0.01,
+    )
+    p = AttributionPipeline(spark, cfg)
+    p.build_journeys()
+    p.attribute(None)  # re-reads the partitioned parquet — the crash path
+
+    assert _StubHandler.requests_seen  # the API was actually hit
+    att = spark.read.parquet(str(d / "attribution_customer_journey"))
+    sums = att.groupBy("conversion_id").agg(F.sum("ihc").alias("s")).collect()
+    assert sums and all(abs(r.s - 1.0) < 1e-6 for r in sums)
