@@ -315,3 +315,95 @@ def incremental_attribution(
         .start()
     )
     q.awaitTermination()
+
+
+def incremental_report(
+    sessions_stream: DataFrame,
+    conversions: DataFrame,
+    sessions_static: DataFrame,
+    costs: DataFrame,
+    journeys_path: str,
+    attribution_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    model_fn=None,
+) -> None:
+    """The ENTIRE reference pipeline maintained incrementally — journeys,
+    attribution, AND the (channel, date) report — with per-batch work
+    proportional to what the batch touched, not to history.
+
+    Per micro-batch of newly-arrived sessions:
+
+    1. journey rows upsert by (conversion, session);
+    2. attribution delta-recomputes for exactly the touched conversions,
+       over their FULL accumulated journeys (whole-journey property);
+    3. the report recomputes exactly the (channel_name, date) GROUPS any
+       touched conversion contributes to — a group must be rebuilt from
+       ALL its rows (other conversions share it), so the sessions input
+       is key-filtered, the attribution input stays whole, and the
+       resulting group rows replace their keys in the report table.
+
+    A conversion's session set only grows, so the touched-group set always
+    covers every group whose value its re-attribution changed.  This is
+    incremental materialized-view maintenance for the reference's step 3;
+    the reference's own answer is "re-run the date range nightly".
+    ``sessions_static`` / ``costs`` are the accumulated dimension tables
+    (in production: tables this same feed maintains)."""
+    from ..operators import attribution as attr
+    from ..operators import report as rpt
+
+    model_fn = model_fn or attr.attribute_linear
+    journeys = incremental_journeys(sessions_stream, conversions)
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint()
+        if batch.isEmpty():
+            return
+        overwrite_by_key(batch, journeys_path, ["conversion_id", "session_id"])
+        touched = batch.select("conversion_id").distinct()
+        full = spark.read.parquet(journeys_path).join(
+            F.broadcast(touched), "conversion_id", "left_semi"
+        )
+        attributed = model_fn(full).localCheckpoint()
+        overwrite_by_key(attributed, attribution_path, ["conversion_id"])
+
+        att_all = spark.read.parquet(attribution_path)
+        keyed = sessions_static.select(
+            "session_id",
+            "channel_name",
+            F.to_date("ts").alias("date"),
+        )
+        # renamed key columns: touched_keys shares lineage with
+        # sessions_static (a self-join), so unqualified names are ambiguous
+        touched_keys = (
+            keyed.join(
+                F.broadcast(attributed.select("session_id").distinct()),
+                "session_id",
+                "left_semi",
+            )
+            .select(
+                F.col("channel_name").alias("_key_channel"),
+                F.col("date").alias("_key_date"),
+            )
+            .distinct()
+        )
+        sess_f = sessions_static.join(
+            F.broadcast(touched_keys),
+            (sessions_static["channel_name"] == touched_keys["_key_channel"])
+            & (F.to_date(sessions_static["ts"]) == touched_keys["_key_date"]),
+            "left_semi",
+        )
+        out = rpt.channel_report(
+            sess_f, costs, att_all, conversions, exact_sums=True
+        ).localCheckpoint()
+        overwrite_by_key(out, report_path, ["channel_name", "date"])
+
+    q = (
+        journeys.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

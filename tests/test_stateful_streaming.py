@@ -238,3 +238,44 @@ def test_streaming_dedup_drops_redelivered(spark, tmp_path):
     n_distinct = events.select("event_id").distinct().count()
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_incremental_report_equals_batch(spark, tmp_path):
+    """End-to-end incremental materialized-view maintenance: streaming the
+    session feed in 4 micro-batches and delta-maintaining journeys ->
+    attribution -> report must land the EXACT batch report (decimal-exact
+    sums make the comparison bit-level, not approximate)."""
+    from data_engineering_challenge_spark.operators import attribution as attr
+    from data_engineering_challenge_spark.operators import journeys as jny
+    from data_engineering_challenge_spark.operators import report as rpt
+
+    sf = "/root/testdata/sf0.001"
+    events = roles.load_events(spark, sf)
+    sessions = roles.sessions_from_events(events)
+    conversions = roles.conversions_from_events(events)
+    costs = roles.session_costs_from_events(events)
+
+    src = str(tmp_path / "sessions")
+    sessions.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(sessions.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumnRenamed("session_id", "event_id")
+        .withColumnRenamed("channel_name", "event_type")
+    )
+
+    st.incremental_report(
+        stream, conversions, sessions, costs,
+        str(tmp_path / "journeys"), str(tmp_path / "attribution"),
+        str(tmp_path / "report"), str(tmp_path / "ckpt"),
+    )
+
+    got = spark.read.parquet(str(tmp_path / "report"))
+    expected = rpt.channel_report(
+        sessions, costs,
+        attr.attribute_linear(jny.build_journeys(conversions, sessions)),
+        conversions, exact_sums=True,
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
