@@ -18,7 +18,14 @@ from pyspark.sql import functions as F
 from .operators import dedup as dd
 from .operators import similarity as sim
 from .operators import text as tx
-from .queries import _dsum_sql, dsum, register
+from .queries import _SQL_PRELUDE, _dsum_sql, dsum, register
+
+#: streaming queries materialize real output tables (a blocking availableNow
+#: run + temp dirs); cache the output path per (query, sf_dir) so repeated
+#: registry builds — plan/schema-only enumerations included — are no-ops
+#: after the first run instead of paying a full streaming execution and
+#: leaking a fresh temp dir each time.
+_STREAM_OUT_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,21 +487,27 @@ WITH tok AS (
     FROM tok GROUP BY token
 ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
 scored AS (
-    -- DECIMAL(18,9) quantization: ln() differs by 1 ulp between libm and
-    -- the JVM, so the raw double is not engine-portable; ranking and output
-    -- both use the quantized value
-    SELECT tf.doc_id, tf.token,
+    -- ln() differs by 1 ulp between libm builds and the JVM, so the raw
+    -- double is NOT engine-portable.  The tfidf decimal is therefore used
+    -- for RANKING ONLY and never emitted: the hashed output is purely
+    -- integral (cnt, doc_len, n_docs_with, rnk).  The ranking quantum is
+    -- DECIMAL(18,6) — coarse enough that a 1-ulp input divergence almost
+    -- never flips the rounded digit (1000x fewer boundary hits than the
+    -- previous 18,9), and a flip only matters if it also reorders a top-3.
+    SELECT tf.doc_id, tf.token, tf.cnt,
+           CAST(tf.doc_len AS BIGINT) AS doc_len, df.n_docs_with,
            CAST((tf.cnt * 1.0 / tf.doc_len)
                 * ln((n.n_docs + 1.0) / (df.n_docs_with + 1.0))
-                AS DECIMAL(18,9)) AS tfidf
+                AS DECIMAL(18,6)) AS tfidf_rank_key
     FROM tf JOIN df USING (token) CROSS JOIN n
 ), ranked AS (
-    SELECT doc_id, token, tfidf,
+    SELECT doc_id, token, cnt, doc_len, n_docs_with,
            ROW_NUMBER() OVER (PARTITION BY doc_id
-                              ORDER BY tfidf DESC, token ASC) AS rnk
+                              ORDER BY tfidf_rank_key DESC, token ASC) AS rnk
     FROM scored
 )
-SELECT doc_id, token, tfidf, CAST(rnk AS INTEGER) AS rnk
+SELECT doc_id, token, CAST(cnt AS BIGINT) AS cnt, doc_len, n_docs_with,
+       CAST(rnk AS INTEGER) AS rnk
 FROM ranked WHERE rnk <= 3
 """,
 )
@@ -502,7 +515,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf terms per document.  Pure DataFrame tf-idf (explode ->
     tf window -> df join -> ln idf) rather than MLlib HashingTF/IDF so the
     result is hash-free and oracle-checkable; the MLlib pair is the drop-in
-    at scale if feature vectors (not ranked terms) are the goal."""
+    at scale if feature vectors (not ranked terms) are the goal.
+
+    Engine portability: ln() differs by 1 ulp between the JVM and libm, so
+    the tfidf value is a DECIMAL(18,6) RANKING KEY only — the emitted (and
+    hashed) columns are the exact integers that define it (cnt, doc_len,
+    n_docs_with) plus the rank.  Integers hash identically everywhere."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
@@ -517,25 +535,28 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rather than docs.count(): composition stays fully lazy — no Spark job
     # runs until the query itself is acted on
     n = docs.agg(F.count("*").alias("n_docs"))
-    # DECIMAL(18,9) quantization: ln() differs by 1 ulp between the JVM and
-    # libm, so the raw double is not engine-portable; rank on the quantized
-    # value (see oracle)
     scored = (
         tf.join(df_, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("doc_len").cast("bigint").alias("doc_len"),
+            "n_docs_with",
             (
                 (F.col("cnt") * 1.0 / F.col("doc_len"))
                 * F.log((F.col("n_docs") + 1.0) / (F.col("n_docs_with") + 1.0))
-            ).cast("decimal(18,9)").alias("tfidf"),
+            ).cast("decimal(18,6)").alias("tfidf_rank_key"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_rank_key"), F.asc("token")
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
+        .drop("tfidf_rank_key")
     )
 
 
@@ -686,25 +707,50 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, max_iter=3)
 
 
-@register("streaming_incremental_journeys", None)  # streaming — rows-only check
+@register(
+    "streaming_incremental_journeys",
+    # The streaming build's declared contract is exact parity with the batch
+    # as-of join, so the batch journeys oracle IS its oracle — the driver
+    # hash-checks the streaming execution against plain SQL.
+    _SQL_PRELUDE
+    + """
+SELECT conversion_id,
+       session_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       channel_label
+FROM journeys
+""",
+)
 def q_streaming_incremental_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming incremental journey build (SURVEY.md §2.9),
     executed with trigger(availableNow) — the FileSensor analog: process
-    all pending events, then stop.  Returns the materialized journey rows;
-    equals the batch as-of join (asserted in tests).  No SQL oracle:
-    streaming execution is the thing under test."""
+    all pending events, then stop.  Returns the materialized journey rows,
+    which equal the batch as-of join exactly — that parity is the oracle
+    (same SQL as ``journeys_build``), so streaming execution earns a real
+    value-hash row.  Output is cached per (query, sf_dir): composing the
+    registry repeatedly does not re-run the stream."""
+    import shutil
     import tempfile
 
     from . import roles
     from .streaming import incremental as st
 
-    tmp = tempfile.mkdtemp(prefix="stream_journeys_")
-    events = roles.load_events(spark, sf_dir)
-    events.write.mode("overwrite").parquet(f"{tmp}/events")
-    stream = st.read_events_stream(spark, f"{tmp}/events")
-    j = st.incremental_journeys(stream, roles.conversions_from_events(events))
-    st.run_available_now(j, f"{tmp}/out", f"{tmp}/ckpt")
-    return spark.read.parquet(f"{tmp}/out").select(
+    key = ("streaming_incremental_journeys", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="stream_journeys_")
+        events = roles.load_events(spark, sf_dir)
+        events.write.mode("overwrite").parquet(f"{tmp}/events")
+        stream = st.read_events_stream(spark, f"{tmp}/events")
+        j = st.incremental_journeys(
+            stream, roles.conversions_from_events(events)
+        )
+        st.run_available_now(j, f"{tmp}/out", f"{tmp}/ckpt")
+        # keep only the materialized output; drop the staged input + ckpt
+        shutil.rmtree(f"{tmp}/events", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/out"
+    return spark.read.parquet(out).select(
         "conversion_id",
         "session_id",
         F.unix_micros("timestamp").alias("ts_us"),
@@ -1268,26 +1314,53 @@ def q_corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_dedup_events", None)  # streaming — rows-only check
+@register(
+    "streaming_dedup_events",
+    # First-seen-per-key over an at-least-once feed is plain ANSI SQL on the
+    # un-replayed source: the replay delivers byte-identical rows, so the
+    # survivor per event_id equals ROW_NUMBER()=1 over events itself.
+    """
+SELECT event_id, user_id, event_type
+FROM (
+    SELECT event_id, user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY event_id
+                              ORDER BY ts, user_id, event_type) AS rn
+    FROM events
+) t
+WHERE rn = 1
+""",
+)
 def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest dedup (SURVEY.md §2.9/§2.10): the events feed is
     delivered TWICE (an at-least-once source replay), and
     ``dropDuplicatesWithinWatermark`` on event_id emits each event once —
     with state bounded by the watermark horizon instead of growing with
-    every key ever seen.  No SQL oracle: streaming state semantics are the
-    thing under test; batch-distinct parity is asserted in tests."""
+    every key ever seen.  The oracle is the batch first-seen-per-key
+    (ROW_NUMBER()=1) over the un-replayed feed — redelivered rows are
+    byte-identical, so the streaming survivor set must hash-match it.
+    Output is cached per (query, sf_dir): composing the registry repeatedly
+    does not re-run the stream."""
+    import shutil
     import tempfile
 
     from . import roles
     from .streaming import incremental as st
 
-    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
-    events = roles.load_events(spark, sf_dir)
-    events.write.mode("overwrite").parquet(f"{tmp}/events")
-    events.write.mode("append").parquet(f"{tmp}/events")  # replayed delivery
-    stream = st.read_events_stream(spark, f"{tmp}/events")
-    st.run_available_now(st.streaming_dedup(stream), f"{tmp}/out", f"{tmp}/ckpt")
-    return spark.read.parquet(f"{tmp}/out").select(
+    key = ("streaming_dedup_events", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+        events = roles.load_events(spark, sf_dir)
+        events.write.mode("overwrite").parquet(f"{tmp}/events")
+        events.write.mode("append").parquet(f"{tmp}/events")  # replayed delivery
+        stream = st.read_events_stream(spark, f"{tmp}/events")
+        st.run_available_now(
+            st.streaming_dedup(stream), f"{tmp}/out", f"{tmp}/ckpt"
+        )
+        shutil.rmtree(f"{tmp}/events", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/out"
+    return spark.read.parquet(out).select(
         "event_id", "user_id", "event_type"
     )
 

@@ -108,6 +108,90 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", True).parquet(path)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path for ``path`` (works for file:// and hdfs://)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _swap_siblings(spark: SparkSession, path: str):
+    """The two sibling paths used by the atomic table swap."""
+    tmp = path.rstrip("/") + "._inprogress"
+    old = path.rstrip("/") + "._replaced"
+    _, tmp_p = _hadoop_fs(spark, tmp)
+    _, old_p = _hadoop_fs(spark, old)
+    return tmp_p, old_p
+
+
+def recover_interrupted_swap(spark: SparkSession, path: str) -> bool:
+    """Repair a table whose ``publish_atomic`` swap crashed between its two
+    renames.  Returns True iff ``path`` exists after recovery.
+
+    State machine: the swap writes ``._inprogress`` COMPLETELY before the
+    first rename, so an absent target with a present ``._inprogress`` can
+    only mean the crash hit between rename(target -> ._replaced) and
+    rename(._inprogress -> target) — the temp IS the complete new table and
+    is published.  An absent target with only ``._replaced`` left means the
+    publish rename and its rollback both failed — the old table is the best
+    surviving copy and is restored.  Callers deciding "first write ever?"
+    from a bare existence check MUST call this first, or a crashed swap
+    masquerades as an empty table and history is silently replaced."""
+    fs, target = _hadoop_fs(spark, path)
+    tmp_p, old_p = _swap_siblings(spark, path)
+    if fs.exists(target):
+        return True
+    if fs.exists(tmp_p):
+        if not fs.rename(tmp_p, target):
+            raise IOError(
+                f"recover_interrupted_swap: could not publish {tmp_p} to {path}"
+            )
+        fs.delete(old_p, True)
+        return True
+    if fs.exists(old_p):
+        if not fs.rename(old_p, target):
+            raise IOError(
+                f"recover_interrupted_swap: could not restore {old_p} to {path}"
+            )
+        return True
+    return False
+
+
+def publish_atomic(df: DataFrame, path: str) -> None:
+    """Replace the table at ``path`` with ``df`` via full-write-then-swap:
+    ``df`` is completely written to a ``._inprogress`` sibling (it may read
+    from ``path`` itself — the plan is forced before the target moves), then
+    swapped in with two FileSystem renames.  A crash at any point leaves
+    either the old table, the old table plus a complete temp, or the new
+    table — never a half-written target — and ``recover_interrupted_swap``
+    can mechanically repair the between-renames window."""
+    spark = df.sparkSession
+    fs, target = _hadoop_fs(spark, path)
+    tmp_p, old_p = _swap_siblings(spark, path)
+    if fs.exists(target):
+        # leftovers next to a live target are stale garbage from a completed
+        # (or rolled-back) prior swap — safe to clear
+        fs.delete(tmp_p, True)
+        fs.delete(old_p, True)
+    elif fs.exists(tmp_p) or fs.exists(old_p):
+        raise IOError(
+            f"publish_atomic: {path} is absent but swap leftovers exist — "
+            "an interrupted swap holds the only copies; call "
+            "recover_interrupted_swap first"
+        )
+    df.write.mode("overwrite").parquet(str(tmp_p))  # full write BEFORE any swap
+    had_target = fs.exists(target)
+    if had_target and not fs.rename(target, old_p):
+        raise IOError(f"publish_atomic: could not move {path} aside")
+    if not fs.rename(tmp_p, target):
+        if had_target:
+            # put the old table back; the complete temp stays for recovery
+            fs.rename(old_p, target)
+        raise IOError(f"publish_atomic: could not publish {tmp_p} to {path}")
+    fs.delete(old_p, True)
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_files: int = 1
 ) -> None:
@@ -115,12 +199,16 @@ def compact_parquet(
     files (streaming sinks and per-batch upserts accrete tiny files; scan
     planning degrades with file COUNT long before data size matters).
 
-    Read fully materializes (localCheckpoint) before the overwrite so the
-    rewrite never reads the directory it is replacing.  Size
+    The compacted copy is fully written to a temp sibling and swapped in
+    with ``publish_atomic`` — no materialization of the table in executor
+    storage (the old localCheckpoint approach pinned the full dataset and
+    had a crash window after the in-place overwrite started deleting the
+    only copy), and a crash at any point leaves a complete table.  Size
     ``target_files`` ≈ total_bytes / 128 MB at scale; a transactional
     format's OPTIMIZE is the production equivalent."""
-    df = spark.read.parquet(path).repartition(target_files).localCheckpoint()
-    df.write.mode("overwrite").parquet(path)
+    if not recover_interrupted_swap(spark, path):
+        raise IOError(f"compact_parquet: no table at {path}")
+    publish_atomic(spark.read.parquet(path).repartition(target_files), path)
 
 
 def read_jdbc(

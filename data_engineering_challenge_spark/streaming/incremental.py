@@ -185,14 +185,6 @@ def incremental_journeys_stream_stream(
     )
 
 
-def _hadoop_fs(spark, path: str):
-    """Hadoop FileSystem + Path for ``path`` (works for file:// and hdfs://)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, p
-
-
 def overwrite_by_key(
     batch_df: DataFrame, path: str, keys: list[str]
 ) -> None:
@@ -209,19 +201,26 @@ def overwrite_by_key(
       never by catching read errors — a corrupt or transiently-unreadable
       table must FAIL the batch, not be silently treated as first-batch
       (which would replace all accumulated history with one micro-batch);
+    * an absent table is NOT taken at face value either: a prior batch
+      that crashed between its two swap renames leaves the history in a
+      ``._inprogress``/``._replaced`` sibling, and
+      ``io.recover_interrupted_swap`` restores it before the first-batch
+      branch can run — the foreachBatch replay then merges on top of the
+      recovered history instead of replacing it;
     * the merged result is fully written to a sibling temp directory first,
-      then swapped in with two FileSystem renames — a crash at any point
-      leaves either the old table, or the old table plus a complete temp,
-      or a fully-written new table (never a half-written table that the
-      next batch would misread);
+      then swapped in with two FileSystem renames
+      (``io.publish_atomic``) — a crash at any point leaves either the old
+      table, or the old table plus a complete temp, or a fully-written new
+      table (never a half-written table that the next batch would misread);
     * on a transactional format (Delta/Iceberg) this whole function is a
       MERGE / ``replaceWhere`` — that is the production path; this is the
       plain-parquet equivalent.
     """
+    from ..sources import io
+
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint()  # batch is tiny; sever lineage
-    fs, target = _hadoop_fs(spark, path)
-    if not fs.exists(target):
+    if not io.recover_interrupted_swap(spark, path):
         batch_df.write.mode("overwrite").parquet(path)
         return
 
@@ -229,22 +228,7 @@ def overwrite_by_key(
     kept = existing.join(
         F.broadcast(batch_df.select(*keys).distinct()), keys, "left_anti"
     )
-    merged = kept.unionByName(batch_df)
-
-    tmp = path.rstrip("/") + "._inprogress"
-    old = path.rstrip("/") + "._replaced"
-    _, tmp_p = _hadoop_fs(spark, tmp)
-    _, old_p = _hadoop_fs(spark, old)
-    fs.delete(tmp_p, True)
-    fs.delete(old_p, True)
-    merged.write.mode("overwrite").parquet(tmp)  # full write BEFORE any swap
-    if not fs.rename(target, old_p):
-        raise IOError(f"overwrite_by_key: could not move {path} aside")
-    if not fs.rename(tmp_p, target):
-        # put the old table back; the merged temp stays for manual recovery
-        fs.rename(old_p, target)
-        raise IOError(f"overwrite_by_key: could not publish {tmp} to {path}")
-    fs.delete(old_p, True)
+    io.publish_atomic(kept.unionByName(batch_df), path)
 
 
 def run_foreach_batch_upsert(

@@ -81,3 +81,50 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n_after = len(glob.glob(f"{path}/part-*.parquet"))
     assert n_after == 2
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == total
+    import os
+
+    assert [d for d in os.listdir(tmp_path) if "._" in d] == []
+
+
+def test_compact_parquet_crash_window_recoverable(spark, tmp_path):
+    """Crash-injection for the compact swap (the old in-place overwrite had
+    an unrecoverable window: localCheckpoint then delete-and-rewrite).  A
+    crash between the two renames leaves the complete compacted table in
+    ``._inprogress``; the next compact call recovers it instead of failing
+    or compacting nothing."""
+    import glob
+    import os
+
+    from data_engineering_challenge_spark.sources import io
+
+    path = str(tmp_path / "tbl")
+    for i in range(4):
+        spark.range(i * 10, i * 10 + 10).write.mode("append").parquet(path)
+    total = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    # simulate the between-renames crash: compacted copy fully written to
+    # ._inprogress, original moved to ._replaced, target absent
+    spark.read.parquet(path).repartition(1).write.parquet(
+        path + "._inprogress"
+    )
+    os.rename(path, path + "._replaced")
+
+    io.compact_parquet(spark, path, target_files=2)
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == total
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 2
+    assert [d for d in os.listdir(tmp_path) if "._" in d] == []
+
+
+def test_publish_atomic_refuses_to_clobber_recovery_copies(spark, tmp_path):
+    """publish_atomic must not delete ._inprogress/._replaced siblings when
+    the target itself is absent — they hold the only copies of the table."""
+    import pytest
+
+    from data_engineering_challenge_spark.sources import io
+
+    path = str(tmp_path / "tbl")
+    spark.range(5).write.parquet(path + "._inprogress")
+    with pytest.raises(IOError):
+        io.publish_atomic(spark.range(3), path)
+    # recovery copy untouched
+    assert spark.read.parquet(path + "._inprogress").count() == 5

@@ -219,6 +219,55 @@ def test_overwrite_by_key_leaves_no_temp_dirs(spark, tmp_path):
     assert leftovers == []
 
 
+def test_overwrite_by_key_recovers_interrupted_swap(spark, tmp_path):
+    """Crash window between the two swap renames: the target is absent and
+    the complete merged table sits in ``._inprogress``.  A replayed batch
+    must RESTORE that history and merge on top of it — not take the
+    first-batch branch and replace everything with one micro-batch, and not
+    destroy the recovery copies."""
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    # history the interrupted swap was publishing: keys 1..3
+    st.overwrite_by_key(
+        spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+        ),
+        path,
+        ["k"],
+    )
+    # simulate the crash: complete new table in ._inprogress, previous table
+    # moved aside to ._replaced, target gone
+    os.rename(path, path + "._inprogress")
+    spark.createDataFrame([Row(k=1, v="stale")]).write.parquet(
+        path + "._replaced"
+    )
+
+    # foreachBatch replay of a batch touching only key 3
+    st.overwrite_by_key(
+        spark.createDataFrame([Row(k=3, v="C")]), path, ["k"]
+    )
+
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "C")}  # history survived
+    assert [d for d in os.listdir(tmp_path) if "._" in d] == []
+    shutil.rmtree(path)
+
+    # ._replaced alone (publish rename + rollback both failed): the old
+    # table is the best surviving copy and must be restored, not ignored
+    spark.createDataFrame([Row(k=9, v="old")]).write.parquet(
+        path + "._replaced"
+    )
+    st.overwrite_by_key(
+        spark.createDataFrame([Row(k=10, v="new")]), path, ["k"]
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(9, "old"), (10, "new")}
+
+
 def test_streaming_dedup_drops_redelivered(spark, tmp_path):
     """An at-least-once feed delivering every event twice must come out of
     streaming_dedup with each event_id exactly once — equal to the batch
