@@ -41,6 +41,7 @@ def build_journeys(
     start_date: str | None = None,
     end_date: str | None = None,
     lookback_days: int | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """All sessions of a conversion's user at-or-before the conversion time.
 
@@ -55,6 +56,19 @@ def build_journeys(
             scan the same way — check ``PushedFilters`` in the plan).
         lookback_days: optional bound on session age relative to the
             conversion (capability add; None = reference parity, unbounded).
+        salt_buckets: opt-in skew mitigation (the operators.skew pattern
+            applied to this join) for the power-user case AQE can't split —
+            one ``user_id`` owning more session rows than a task can hold.
+            Each session row is assigned ONE deterministic salt bucket
+            (hash of all its columns — stable across retries/speculation)
+            and the conversion side is replicated into ALL buckets, so the
+            join key becomes ``(user_id, salt)`` and a hot user fans out
+            across ``salt_buckets`` parallel tasks.  Every (conversion,
+            session) pair still matches exactly once — rows are identical
+            to the unsalted join (parity-tested under a
+            one-user-owns-half-the-sessions fixture).  Cost: conversions
+            shuffle ``salt_buckets``× — salt only when a key_histogram
+            probe or AQE metrics show real skew.
 
     Returns the 8-column journey relation (reference cj_builder.py:103-106)
     plus ``conv_ts`` kept for downstream attribution ordering.
@@ -65,13 +79,29 @@ def build_journeys(
     if end_date is not None:
         conv = conv.filter(F.to_date(F.col("conv_ts")) <= F.lit(end_date))
 
+    sess = sessions
+    if salt_buckets is not None:
+        sess = sessions.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(*[F.col(col) for col in sessions.columns]),
+                F.lit(salt_buckets),
+            ),
+        )
+        conv = conv.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+        )
+
     # explicit aliases: conversions and sessions often derive from the same
     # scan (a self-join), which is ambiguous without qualification
     c = conv.alias("c")
-    s = sessions.alias("s")
+    s = sess.alias("s")
     cond = (F.col("s.user_id") == F.col("c.user_id")) & (
         F.col("s.ts") <= F.col("c.conv_ts")
     )
+    if salt_buckets is not None:
+        cond = cond & (F.col("s._salt") == F.col("c._salt"))
     if lookback_days is not None:
         cond = cond & (
             F.col("s.ts")

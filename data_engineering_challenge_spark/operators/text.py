@@ -183,13 +183,15 @@ PII_PATTERNS = (
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     # phone LAST: its digit-run core would otherwise swallow SSNs and
     # dotted IPs before their typed placeholders apply.  Two shapes only —
-    # international (+ prefix, 7-15 digits, at most one separator between
-    # digits) or separator-delimited 3-3-4 — so bare numeric runs (order
-    # ids) and ISO dates do NOT false-positive; both ends are anchored
-    # against surrounding word/dash/dot characters
+    # international (+ prefix, 7-15 digits, up to TWO separator chars
+    # between digit groups, so mixed forms like '+1 (555) 123-4567' redact
+    # whole instead of leaking the '+1 ' prefix) or separator-delimited
+    # 3-3-4 — so bare numeric runs (order ids) and ISO dates do NOT
+    # false-positive; both ends are anchored against surrounding
+    # word/dash/dot characters
     (
         "phone",
-        r"(?<![\w.-])(?:\+\d(?:[\s().-]?\d){6,14}|\(?\d{3}\)?[\s.-]?\d{3}[\s.-]\d{4})(?![\w-])",
+        r"(?<![\w.-])(?:\+\d(?:[\s().-]{0,2}\d){6,14}|\(?\d{3}\)?[\s.-]?\d{3}[\s.-]\d{4})(?![\w-])",
         "<PHONE>",
     ),
 )

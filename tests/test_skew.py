@@ -60,3 +60,104 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # partition filter, not a data filter: pruning happened at planning
     assert "PartitionFilters: [isnotnull(date" in plan
     assert picked.count() == daily.filter(F.col("date") == "2024-01-05").count()
+
+
+def test_build_journeys_salted_parity_under_power_user_skew(spark):
+    """The opt-in salt_buckets knob on the journey as-of join: under a
+    fixture where ONE user owns half of all sessions (the hot key AQE
+    can't split when the equi-key itself is the skew), the salted join
+    must produce row-for-row identical journeys, and spread the hot
+    user's sessions across the salt buckets."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.operators import journeys as jny
+
+    t0 = dt.datetime(2024, 1, 1)
+    sessions = spark.createDataFrame(
+        # the power user: half of all session rows
+        [
+            Row(
+                session_id=f"hot-s{i}",
+                user_id="hot",
+                ts=t0 + dt.timedelta(minutes=i),
+                channel_name=f"ch{i % 5}",
+                holder_engagement=i % 2,
+                closer_engagement=(i + 1) % 2,
+                impression_interaction=i % 3,
+            )
+            for i in range(300)
+        ]
+        + [
+            Row(
+                session_id=f"u{i}-s",
+                user_id=f"u{i}",
+                ts=t0 + dt.timedelta(minutes=i),
+                channel_name=f"ch{i % 5}",
+                holder_engagement=0,
+                closer_engagement=1,
+                impression_interaction=0,
+            )
+            for i in range(300)
+        ]
+    )
+    conversions = spark.createDataFrame(
+        [
+            Row(
+                conv_id=f"hot-c{j}",
+                user_id="hot",
+                conv_ts=t0 + dt.timedelta(hours=2 + j),
+                revenue=10.0,
+            )
+            for j in range(4)
+        ]
+        + [
+            Row(
+                conv_id=f"u{i}-c",
+                user_id=f"u{i}",
+                conv_ts=t0 + dt.timedelta(hours=6),
+                revenue=1.0,
+            )
+            for i in range(0, 300, 3)
+        ]
+    )
+
+    def key(r):
+        return (
+            r.conversion_id,
+            r.session_id,
+            r.timestamp,
+            r.channel_label,
+            r.holder_engagement,
+            r.closer_engagement,
+            r.conversion,
+            r.impression_interaction,
+            r.conv_ts,
+        )
+
+    plain = sorted(
+        key(r) for r in jny.build_journeys(conversions, sessions).collect()
+    )
+    salted = sorted(
+        key(r)
+        for r in jny.build_journeys(
+            conversions, sessions, salt_buckets=8
+        ).collect()
+    )
+    assert salted == plain
+    # the hot user really dominates the join: 843 of 943 rows are theirs
+    assert len(plain) == 943
+
+    # the salt really fans the hot key out: its sessions occupy >1 bucket
+    n_buckets = (
+        sessions.filter(F.col("user_id") == "hot")
+        .select(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in sessions.columns]), F.lit(8)
+            ).alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1

@@ -319,6 +319,7 @@ def test_pii_phone_no_false_positives(spark):
         [
             "shipped 2024-01-01 order 123456789 total 1234567.89 qty 12345678",
             "call +1 415 555 0199 or (415) 555-0199 or 415.555.0199 today",
+            "intl mixed +1 (555) 123-4567 and +44 (0) 20 7946 0958 done",
         ],
     )
     got = {r.doc_id: r for r in tx.pii_scrub(df).collect()}
@@ -326,6 +327,10 @@ def test_pii_phone_no_false_positives(spark):
     assert got[0].text_scrubbed == got[0].text
     assert got[1].n_phone == 3
     assert "415" not in got[1].text_scrubbed
+    # mixed international forms (space + paren after the country code) must
+    # redact WHOLE — no digit of the number, prefix included, may leak
+    assert got[2].n_phone == 2
+    assert not any(ch.isdigit() for ch in got[2].text_scrubbed)
 
 
 def test_para_dedup_keeps_first_occurrence_in_order(spark):
