@@ -311,6 +311,7 @@ def incremental_report(
     report_path: str,
     checkpoint_dir: str,
     model_fn=None,
+    plan_probe=None,
 ) -> None:
     """The ENTIRE reference pipeline maintained incrementally — journeys,
     attribution, AND the (channel, date) report — with per-batch work
@@ -332,7 +333,19 @@ def incremental_report(
     incremental materialized-view maintenance for the reference's step 3;
     the reference's own answer is "re-run the date range nightly".
     ``sessions_static`` / ``costs`` are the accumulated dimension tables
-    (in production: tables this same feed maintains)."""
+    (in production: tables this same feed maintains).
+
+    Delta proportionality at 100 TB: the touched-group KEY SET is bounded
+    by the batch's session count, so it is collected (a scalar-sized probe,
+    same posture as the dedup convergence probes) and its date list pushed
+    back into the sessions scan as a STATIC filter.  On a date-partitioned
+    sessions table the group recompute therefore reads only the touched
+    date partitions — ``PartitionFilters: [date IN (...)]`` in the plan,
+    asserted by test_incremental_report_prunes_to_touched_partitions — and
+    a ``date`` column, when present, is used directly so the filter lands
+    on the partition column instead of an expression over ``ts``.
+    ``plan_probe``, when given, receives each batch's report DataFrame
+    before materialization (plan capture for tests/audit)."""
     from ..operators import attribution as attr
     from ..operators import report as rpt
 
@@ -353,10 +366,14 @@ def incremental_report(
         overwrite_by_key(attributed, attribution_path, ["conversion_id"])
 
         att_all = spark.read.parquet(attribution_path)
+        # prefer an existing date column (the partition column on a
+        # date-partitioned sessions table) over recomputing from ts, so the
+        # touched-date filter below prunes partitions instead of scanning
+        has_date = "date" in sessions_static.columns
         keyed = sessions_static.select(
             "session_id",
             "channel_name",
-            F.to_date("ts").alias("date"),
+            (F.col("date") if has_date else F.to_date("ts")).alias("date"),
         )
         # renamed key columns: touched_keys shares lineage with
         # sessions_static (a self-join), so unqualified names are ambiguous
@@ -372,15 +389,32 @@ def incremental_report(
             )
             .distinct()
         )
-        sess_f = sessions_static.join(
-            F.broadcast(touched_keys),
-            (sessions_static["channel_name"] == touched_keys["_key_channel"])
-            & (F.to_date(sessions_static["ts"]) == touched_keys["_key_date"]),
+        # the touched-group key set is bounded by the batch — collect it
+        # and push the date list into the scan as a static filter (this is
+        # what makes "work per batch ∝ touched partitions" a plan property,
+        # not a hope: PartitionFilters carries the IN list)
+        touched_rows = touched_keys.collect()
+        if not touched_rows:
+            return
+        touched_local = spark.createDataFrame(
+            touched_rows, touched_keys.schema
+        )
+        sess_date = F.col("date") if has_date else F.to_date("ts")
+        sess_src = sessions_static.filter(
+            sess_date.isin([r._key_date for r in touched_rows])
+        )
+        sess_f = sess_src.join(
+            F.broadcast(touched_local),
+            (sess_src["channel_name"] == touched_local["_key_channel"])
+            & (sess_date == touched_local["_key_date"]),
             "left_semi",
         )
         out = rpt.channel_report(
             sess_f, costs, att_all, conversions, exact_sums=True
-        ).localCheckpoint()
+        )
+        if plan_probe is not None:
+            plan_probe(out)
+        out = out.localCheckpoint()
         overwrite_by_key(out, report_path, ["channel_name", "date"])
 
     q = (

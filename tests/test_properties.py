@@ -291,3 +291,95 @@ def test_kll_quantiles_rank_error_bounded(spark):
             import bisect
             rank = bisect.bisect_right(sorted_vals, est) / n
             assert abs(rank - q) < 0.02, (r.event_type, q, est, rank)
+
+
+# ---------------------------------------------------------------------------
+# sketch family at OVER-capacity cardinality: the tests above run the
+# sketches in their exact regime (sub-capacity); these force genuine
+# ESTIMATION (>=100k distinct keys vs lgK=12 / k=4096 / k=200 capacities)
+# and assert the documented error bounds — the regime a 100 TB rollup
+# actually runs in.
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_regime_error_and_merge(spark):
+    """150k distinct keys >> 2^12 HLL buckets: the estimate must land
+    within the documented ~1.6% RSE (bound at 3% here, ~2 sigma), and the
+    union of 8 per-group sketches must equal the single global sketch's
+    estimate EXACTLY (each key sets the same bucket regardless of
+    grouping, so union-of-parts is bit-identical to the whole)."""
+    from pyspark.sql import functions as F
+
+    n = 150_000
+    df = spark.range(n)
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("id")).alias("est")
+    ).collect()[0].est
+    assert abs(direct - n) / n < 0.03, direct
+
+    parts = df.withColumn("g", F.pmod("id", F.lit(8))).groupBy("g").agg(
+        F.hll_sketch_agg("id").alias("sk")
+    )
+    merged = parts.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.hll_sketch_estimate("u").alias("est")
+    ).collect()[0].est
+    assert merged == direct
+
+
+def test_theta_estimate_regime_set_algebra_bounds(spark):
+    """Theta set algebra with 120k-element sets (>> 4096 nominal entries):
+    union/intersection/difference estimates vs ground truth within
+    sketch-theory bounds — union ~1/sqrt(k) RSE (bound 5%), intersection/
+    difference looser (error compounds over two sketches; bound 10% of
+    the TRUE UNION size, the denominator theta guarantees relate to)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 120_000).agg(F.theta_sketch_agg("id").alias("a"))
+    b = spark.range(60_000, 180_000).agg(F.theta_sketch_agg("id").alias("b"))
+    row = a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.theta_union("a", "b")).alias("u"),
+        F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias("i"),
+        F.theta_sketch_estimate(F.theta_difference("a", "b")).alias("d"),
+    ).collect()[0]
+    true_u, true_i, true_d = 180_000, 60_000, 60_000
+    assert abs(row.u - true_u) / true_u < 0.05, row.u
+    assert abs(row.i - true_i) / true_u < 0.10, row.i
+    assert abs(row.d - true_d) / true_u < 0.10, row.d
+
+
+def test_kll_estimate_regime_rank_error(spark):
+    """KLL over 200k distinct values (>> k=200 compaction capacity): every
+    quantile estimate must sit within 2% RANK error (the sketch's
+    guarantee is on rank, not value — for the uniform 0..n-1 id column
+    rank and value coincide, making the check exact), both for the single
+    global sketch and for a binary-merge fold of 8 per-group sketches."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    df = spark.range(n).select(F.col("id").cast("double").alias("v"))
+
+    def qs(col):
+        return [
+            F.kll_sketch_get_quantile_double(col, F.lit(q)).alias(f"p{int(q*100)}")
+            for q in (0.5, 0.95, 0.99)
+        ]
+
+    row = df.agg(F.kll_sketch_agg_double("v").alias("sk")).select(
+        *qs(F.col("sk"))
+    ).collect()[0]
+    for q, est in ((0.5, row.p50), (0.95, row.p95), (0.99, row.p99)):
+        assert abs(est / n - q) < 0.02, (q, est)
+
+    parts = df.withColumn(
+        "g", F.pmod(F.col("v").cast("bigint"), F.lit(8))
+    ).groupBy("g").agg(F.kll_sketch_agg_double("v").alias("sk"))
+    merged_sketch = F.aggregate(
+        F.expr("slice(arr, 2, size(arr) - 1)"),
+        F.element_at(F.col("arr"), 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    mrow = parts.agg(F.collect_list("sk").alias("arr")).select(
+        *qs(merged_sketch)
+    ).collect()[0]
+    for q, est in ((0.5, mrow.p50), (0.95, mrow.p95), (0.99, mrow.p99)):
+        assert abs(est / n - q) < 0.02, (q, est)

@@ -328,3 +328,106 @@ def test_incremental_report_equals_batch(spark, tmp_path):
     )
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+def test_incremental_report_prunes_to_touched_partitions(spark, tmp_path):
+    """The materialized-view claim made checkable: with a DATE-PARTITIONED
+    sessions table and micro-batches each touching ONE date, every batch's
+    report recompute must carry a static ``PartitionFilters: [date IN
+    (<touched>)]`` on the sessions scan — only the touched partitions are
+    read, so per-batch work is proportional to touched (channel, date)
+    groups, not to history."""
+    import datetime as dt
+
+    from pyspark.sql import Row, functions as F
+
+    days = [dt.datetime(2024, 1, d) for d in (1, 2, 3)]
+    sess_rows, cost_rows, conv_rows = [], [], []
+    for i, day in enumerate(days, 1):
+        for k in range(4):
+            sid = f"u{i}-s{k}"
+            sess_rows.append(
+                Row(
+                    session_id=sid,
+                    user_id=f"u{i}",
+                    ts=day + dt.timedelta(hours=k),
+                    channel_name=f"ch{k % 2}",
+                    holder_engagement=k % 2,
+                    closer_engagement=(k + 1) % 2,
+                    impression_interaction=0,
+                )
+            )
+            cost_rows.append(Row(session_id=sid, cost=1.5))
+        conv_rows.append(
+            Row(
+                conv_id=f"u{i}-c",
+                user_id=f"u{i}",
+                conv_ts=day + dt.timedelta(hours=10),
+                revenue=100.0,
+            )
+        )
+    conversions = spark.createDataFrame(conv_rows)
+    costs = spark.createDataFrame(cost_rows)
+
+    # the accumulated sessions table, PARTITIONED BY date
+    static_path = str(tmp_path / "sessions_static")
+    spark.createDataFrame(sess_rows).withColumn(
+        "date", F.to_date("ts")
+    ).write.partitionBy("date").parquet(static_path)
+    sessions_static = spark.read.parquet(static_path)
+
+    # stream source: one file per day -> each micro-batch touches ONE date
+    src = str(tmp_path / "src")
+    for i in (1, 2, 3):
+        spark.createDataFrame(
+            [r for r in sess_rows if r.user_id == f"u{i}"]
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumnRenamed("session_id", "event_id")
+        .withColumnRenamed("channel_name", "event_type")
+    )
+
+    plans = []
+    st.incremental_report(
+        stream, conversions, sessions_static, costs,
+        str(tmp_path / "journeys"), str(tmp_path / "attribution"),
+        str(tmp_path / "report"), str(tmp_path / "ckpt"),
+        plan_probe=lambda df: plans.append(
+            df._jdf.queryExecution().executedPlan().toString()
+        ),
+    )
+
+    assert len(plans) == 3
+    all_dates = {"2024-01-01", "2024-01-02", "2024-01-03"}
+    seen_pruned = set()
+    for plan in plans:
+        pf_lines = [
+            ln for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "date" in ln
+        ]
+        assert pf_lines, plan  # the sessions scan IS partition-filtered
+        # each batch touches exactly one user == one date: the IN list must
+        # name exactly one partition, so 2 of 3 partitions are never read
+        for ln in pf_lines:
+            present = {d for d in all_dates if d in ln}
+            assert len(present) == 1, ln
+            seen_pruned |= present
+    assert seen_pruned == all_dates  # across batches every date had a turn
+
+    # and the maintained report still equals the batch recompute
+    from data_engineering_challenge_spark.operators import attribution as attr
+    from data_engineering_challenge_spark.operators import journeys as jny
+    from data_engineering_challenge_spark.operators import report as rpt
+
+    sessions = spark.createDataFrame(sess_rows)
+    got = spark.read.parquet(str(tmp_path / "report"))
+    expected = rpt.channel_report(
+        sessions, costs,
+        attr.attribute_linear(jny.build_journeys(conversions, sessions)),
+        conversions, exact_sums=True,
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
