@@ -108,6 +108,7 @@ _CHEAP_FIRST = [
 _TAIL = [
     "minhash_lsh_candidates_xxh",
     "dup_clusters_cc",
+    "near_dup_corpus_prune",
     "streaming_incremental_journeys",
     "ivf_topk",
 ]

@@ -1912,3 +1912,299 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("event_type"), *qs(merged_sketch)
     )
     return per_type.unionByName(merged)
+
+
+# --------------------------------------------------------------------------
+# round-4 widening: remaining TPC-H join shapes (Q9 profit rollup, Q11
+# global-threshold HAVING, Q20 nested-agg semi-join, Q21 exists/not-exists
+# chain) adapted to the shipped tables (no partsupp / receiptdate: lineitem
+# stands in for stock, returnflag for delivery failure), plus funnel and
+# SCD2 history — the event-analytics staples
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q9_profit_by_nation_year",
+    f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       {_dsum_sql('l.l_extendedprice * (1 - l.l_discount) '
+                  '- 0.6 * p.p_retailprice * l.l_quantity')} AS sum_profit
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+WHERE p.p_name LIKE '%a%'
+GROUP BY nation, o_year
+""",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: the widest join tree in the suite — lineitem
+    enriched by orders (year), supplier -> nation (seller geography) and
+    part (name filter + cost basis; 0.6 * retailprice stands in for the
+    absent partsupp supplycost), rolled up to (nation, year) profit.
+
+    Scale design: orders is the only other FACT side (one shuffled join);
+    supplier, nation and the name-filtered part are broadcast, so the big
+    side never re-shuffles for enrichment.  The p_name predicate prunes
+    part BEFORE the broadcast, and the profit expression rides the
+    decimal-exact sum convention."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+WITH pv AS (
+    SELECT l_partkey, {_dsum_sql('l_extendedprice')} AS part_value
+    FROM lineitem GROUP BY l_partkey
+), tot AS (
+    SELECT {_dsum_sql('l_extendedprice')} AS total_value FROM lineitem
+)
+SELECT pv.l_partkey AS partkey, pv.part_value
+FROM pv CROSS JOIN tot
+WHERE pv.part_value > tot.total_value * 0.0007
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups kept only if their aggregate exceeds a
+    fraction of the GLOBAL aggregate (HAVING against a scalar subquery).
+
+    Spark form: the global total is a broadcast 1-row aggregate crossJoin
+    (the q15 pattern — Catalyst rewrites it to BroadcastNestedLoopJoin of
+    one row, no single-partition window, no second full shuffle), derived
+    from the SAME per-part aggregate so lineitem is scanned once and
+    shuffled once."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(dsum("l_extendedprice").alias("part_value"))
+    tot = pv.agg(F.sum("part_value").alias("total_value"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("total_value") * 0.0007)
+        .select(F.col("l_partkey").alias("partkey"), "part_value")
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    f"""
+WITH ps AS (
+    SELECT l_partkey, l_suppkey, {_dsum_sql('l_quantity')} AS supp_qty
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+), pt AS (
+    SELECT l_partkey, {_dsum_sql('l_quantity')} AS part_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT DISTINCT s.s_suppkey AS suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT ps.l_suppkey FROM ps JOIN pt USING (l_partkey)
+    WHERE ps.supp_qty > pt.part_qty * 0.2
+)
+""",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a semi-join against a NESTED per-group aggregate
+    threshold — suppliers shipping over a fifth of some part's total volume
+    (availqty vs demand in the original; lineitem volume stands in
+    for the absent partsupp).
+
+    Scale design: like the Q2 plan, one lineitem scan and ONE shuffle —
+    repartition on the outer key makes hashpartitioning(l_partkey)
+    satisfy both the (part, supplier) aggregate and the per-part total
+    window; the qualifying supplier set is then deduped (tiny) and
+    broadcast into a left_semi against supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    ps = li.repartition("l_partkey").groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_quantity").alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        ps.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") > F.col("part_qty") * 0.2)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(
+            F.broadcast(dominant),
+            sup["s_suppkey"] == dominant["l_suppkey"],
+            "left_semi",
+        )
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name")
+    )
+
+
+@register(
+    "q21_sole_return_suppliers",
+    """
+WITH qualifying AS (
+    SELECT l1.l_suppkey, l1.l_orderkey
+    FROM (SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem
+          WHERE l_returnflag = 'R') l1
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM qualifying q JOIN supplier s ON q.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+""",
+)
+def q21_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS self-join chain — per
+    order, the supplier who alone had a returned line while other
+    suppliers shipped clean (returnflag 'R' stands in for the absent
+    late-receipt columns).
+
+    Spark-first rewrite: instead of the oracle's two correlated self-joins
+    (three lineitem scans), ONE per-order aggregate computes the distinct
+    supplier count and the distinct RETURNING supplier count + its sole
+    member — the exists (other supplier) and not-exists (other returning
+    supplier) conditions collapse to ``n_supps > 1 AND n_ret_supps == 1``.
+    One scan, one shuffle, then a broadcast supplier join for the name."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(ret_supp).alias("n_ret_supps"),
+        F.min(ret_supp).alias("sole_ret_supp"),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supps") > 1) & (F.col("n_ret_supps") == 1)
+    )
+    return (
+        qualifying.join(
+            F.broadcast(sup),
+            qualifying["sole_ret_supp"] == sup["s_suppkey"],
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+WITH stage AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_view_then_click,
+       CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_full_funnel
+FROM stage
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): users counted
+    at each stage only if the stages happened IN ORDER (first click after
+    first view, first purchase after that click) — the event-analytics
+    staple the reference's session/conversion tables feed.
+
+    One scan, one shuffle (per-user conditional-MIN pivot), then a global
+    single-row aggregate — no joins, no windows; NULL stage times fall
+    out of the comparisons naturally (NULL > NULL is NULL -> not
+    counted)."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stage = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    ordered_click = F.col("t_click") > F.col("t_view")
+    full = ordered_click & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count("t_view").alias("n_view"),
+        F.sum(F.when(ordered_click, 1).otherwise(0)).alias("n_view_then_click"),
+        F.sum(F.when(full, 1).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "scd2_user_event_history",
+    """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) AS BIGINT)
+           AS valid_to_us
+FROM changes
+""",
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (gaps-and-islands collapse): each user's event-
+    type runs become validity intervals — a row per CHANGE with
+    [valid_from, valid_to) bounds and NULL valid_to on the current state.
+    This is how a CDC feed turns into a slowly-changing dimension without
+    a MERGE engine.
+
+    Two window passes over ONE partitioning (user_id): LAG finds change
+    points, LEAD over the filtered change rows closes each interval.
+    Deterministic under ts ties via the (ts, event_id) composite order."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
+    )

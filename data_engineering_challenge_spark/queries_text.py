@@ -1408,3 +1408,109 @@ def q_token_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens", "med", "mad",
         (F.col("adev") > 3 * F.col("mad")).cast("int").alias("is_outlier"),
     )
+
+
+# --------------------------------------------------------------------------
+# round-4 widening: the dedup END-GAME (cluster -> prune the corpus) and
+# Gopher-style rule-based quality gating
+# --------------------------------------------------------------------------
+
+#: the CC oracle rewritten as a CTE so the pruned corpus can anti-join it
+_SQL_CC_PRUNE = _SQL_CC.replace(
+    "SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node",
+    """, comp AS (
+    SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+""",
+)
+
+
+@register("near_dup_corpus_prune", _SQL_CC_PRUNE)
+def q_near_dup_corpus_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: the corpus with near-duplicate
+    cluster non-representatives REMOVED (keep the min-doc_id member of
+    each connected component; unclustered docs untouched) — what actually
+    ships to training after minhash -> LSH -> verify -> cluster.
+
+    Scale shape: the drop list is (cluster members - representatives),
+    which is tiny relative to the corpus, so the final prune is a
+    BROADCAST anti-join — the full corpus never shuffles.  Oracle = the
+    recursive-CTE closure of dup_clusters_cc anti-joined in SQL."""
+    edges = q_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = dd.dup_clusters(edges, shuffle_partitions=8)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    docs = _docs(spark, sf_dir)
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(list_filter(toks,
+                x -> x IN {_STOPWORDS!r})) AS BIGINT) AS n_stop,
+           nc
+    FROM t
+)
+SELECT doc_id, n_words, n_stop,
+       (nc - (n_words - 1)) * 1.0 / n_words AS mean_word_len,
+       n_stop * 1.0 / n_words AS stop_frac,
+       CAST(n_words >= 20
+            AND (nc - (n_words - 1)) * 1.0 / n_words BETWEEN 3 AND 10
+            AND n_stop * 1.0 / n_words >= 0.04 AS INTEGER) AS passes
+FROM s
+""",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gate in the Gopher/C4 style: per-document word
+    count, mean word length and stopword fraction, combined into one
+    boolean ``passes`` column (min length, plausible word-length band,
+    minimum stopword presence — the cheap filters run before any model-
+    based scoring touches the corpus).
+
+    Pure column expressions over one split (no UDFs, no shuffle — a scan-
+    shaped map job at any scale).  Exactness: all three stats derive from
+    integer counts (mean word length via chars minus separators over the
+    single-space corpus), so the doubles are int-ratio-exact and the
+    flags engine-portable."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_words = F.size(toks).cast("bigint")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*_STOPWORDS))
+    ).cast("bigint")
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        F.length("text").alias("nc"),
+    )
+    mean_wl = (F.col("nc") - (F.col("n_words") - 1)) * 1.0 / F.col("n_words")
+    stop_frac = F.col("n_stop") * 1.0 / F.col("n_words")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_stop",
+        mean_wl.alias("mean_word_len"),
+        stop_frac.alias("stop_frac"),
+        (
+            (F.col("n_words") >= 20)
+            & mean_wl.between(3, 10)
+            & (stop_frac >= 0.04)
+        ).cast("int").alias("passes"),
+    )
