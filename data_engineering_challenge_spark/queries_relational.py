@@ -1992,9 +1992,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark form: the global total is a broadcast 1-row aggregate crossJoin
     (the q15 pattern — Catalyst rewrites it to BroadcastNestedLoopJoin of
-    one row, no single-partition window, no second full shuffle), derived
-    from the SAME per-part aggregate so lineitem is scanned once and
-    shuffled once."""
+    one row, no single-partition window), derived from the SAME per-part
+    aggregate.  The denominator branch statically duplicates that
+    aggregate, but the two shuffles are canonically identical, so AQE's
+    exchange reuse collapses them at runtime — the executed plan is ONE
+    lineitem scan + ONE shuffle with a ReusedExchange feeding the total
+    (plan-tested on the final adaptive plan)."""
     li = _t(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(dsum("l_extendedprice").alias("part_value"))
     tot = pv.agg(F.sum("part_value").alias("total_value"))

@@ -395,3 +395,24 @@ def test_corpus_mix_plan_shares_sum_to_one(spark):
     for r in rows:
         # ratio * share == uniform target share, for every stratum
         assert abs(r.mix_ratio * r.doc_share - 1.0 / len(rows)) < 1e-9
+
+
+def test_near_dup_corpus_prune_keeps_one_per_cluster(spark):
+    """The pruned corpus = documents minus near-dup cluster NON-
+    representatives: exactly one survivor (the min doc_id) per cluster,
+    unclustered docs all retained."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    survivors = {
+        r.doc_id
+        for r in entry.queries()["near_dup_corpus_prune"](spark, sf).collect()
+    }
+    clusters = entry.queries()["dup_clusters_cc"](spark, sf).collect()
+    clustered = {r.doc_id for r in clusters}
+    reps = {r.cluster_id for r in clusters}
+    n_docs = entry.queries()["gopher_quality_flags"](spark, sf).count()
+
+    assert reps <= survivors                      # every rep kept
+    assert not (clustered - reps) & survivors     # every non-rep dropped
+    assert len(survivors) == n_docs - len(clustered - reps)
