@@ -27,7 +27,7 @@ semantics for the sink (the reference's delete+insert, done right).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schemas import EVENTS
@@ -241,6 +241,74 @@ def run_foreach_batch_upsert(
     q = (
         stream_df.writeStream.foreachBatch(
             lambda bdf, _id: overwrite_by_key(bdf, path, keys)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def apply_cdc(
+    batch_df: DataFrame, path: str, keys: list[str], op_col: str = "_op"
+) -> None:
+    """Apply one CDC micro-batch (insert/update/delete change feed) to a
+    plain-parquet table — the MERGE a transactional format would run,
+    completing ``overwrite_by_key``'s upsert-only story with DELETE
+    semantics:
+
+    * ``op_col`` = 'I' / 'U': the row replaces any existing row with its
+      key (upsert — I and U are deliberately identical, so a replayed feed
+      that re-labels an insert as an update stays idempotent);
+    * ``op_col`` = 'D': the key is removed; the row's other columns are
+      ignored (CDC deletes usually carry only the key image).
+
+    If one key appears multiple times in a batch, the LAST change by
+    ``keys`` + batch order wins — resolved here by keeping each key's
+    final row before applying (a real feed orders by LSN; callers with an
+    explicit sequence column should pre-dedup on it).
+
+    Same failure posture as ``overwrite_by_key``: explicit existence
+    check, interrupted-swap recovery before the first-batch branch, full
+    temp write + atomic rename swap (``io.publish_atomic``)."""
+    from ..sources import io
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.localCheckpoint()  # batch is tiny; sever lineage
+    # last change per key wins (monotonically_increasing_id preserves the
+    # batch's row order within this materialized batch)
+    w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
+    last = (
+        batch_df.withColumn("_seq", F.monotonically_increasing_id())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_seq", "_rn")
+    )
+    upserts = last.filter(F.col(op_col) != "D").drop(op_col)
+    if not io.recover_interrupted_swap(spark, path):
+        upserts.write.mode("overwrite").parquet(path)
+        return
+    existing = spark.read.parquet(path)
+    kept = existing.join(
+        F.broadcast(last.select(*keys).distinct()), keys, "left_anti"
+    )
+    io.publish_atomic(kept.unionByName(upserts), path)
+
+
+def run_foreach_batch_cdc(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    op_col: str = "_op",
+) -> None:
+    """availableNow run applying a CDC change stream to a table — replayed
+    batches re-apply idempotently (upserts replace, deletes of absent keys
+    are no-ops)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda bdf, _id: apply_cdc(bdf, path, keys, op_col)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

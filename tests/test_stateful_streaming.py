@@ -431,3 +431,66 @@ def test_incremental_report_prunes_to_touched_partitions(spark, tmp_path):
     )
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+def test_apply_cdc_insert_update_delete(spark, tmp_path):
+    """CDC apply: upserts replace by key, deletes remove the key (payload
+    ignored), last change per key within a batch wins, replays are
+    idempotent, and deletes of absent keys are no-ops."""
+    import os
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    b1 = spark.createDataFrame(
+        [
+            Row(k=1, v="a", _op="I"),
+            Row(k=2, v="b", _op="I"),
+            Row(k=3, v="c", _op="I"),
+        ]
+    )
+    st.apply_cdc(b1, path, ["k"])
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+
+    # update k=1, delete k=2, and a same-batch I-then-D on k=4 (last wins)
+    b2 = spark.createDataFrame(
+        [
+            Row(k=1, v="A", _op="U"),
+            Row(k=2, v=None, _op="D"),
+            Row(k=4, v="d", _op="I"),
+            Row(k=4, v=None, _op="D"),
+            Row(k=9, v=None, _op="D"),  # absent key: no-op
+        ]
+    )
+    st.apply_cdc(b2, path, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "A"), (3, "c")}
+
+    st.apply_cdc(b2, path, ["k"])  # replayed delivery: unchanged
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == got
+    assert [d for d in os.listdir(tmp_path) if "._" in d] == []
+
+
+def test_run_foreach_batch_cdc_stream(spark, tmp_path):
+    """The streaming wrapper applies a change feed end-to-end."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    src = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [Row(k=1, v="a", _op="I"), Row(k=2, v="b", _op="I")]
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k long, v string, _op string").parquet(src)
+    st.run_foreach_batch_cdc(stream, path, str(tmp_path / "ck1"), keys=["k"])
+
+    spark.createDataFrame(
+        [Row(k=1, v=None, _op="D"), Row(k=3, v="c", _op="I")]
+    ).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema("k long, v string, _op string").parquet(src)
+    st.run_foreach_batch_cdc(stream2, path, str(tmp_path / "ck1"), keys=["k"])
+
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {
+        (2, "b"), (3, "c")
+    }
