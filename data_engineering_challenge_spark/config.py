@@ -46,6 +46,10 @@ class PipelineConfig:
     # report step: log summary totals (costs a second pass over the small
     # report aggregate — off by default, like log_skipped)
     log_report_summary: bool = False
+    # data-quality gate: run declarative expectation checks on the journeys
+    # and report outputs and FAIL LOUD on violations (operators/quality.py;
+    # one extra aggregate pass per gated table — off by default)
+    validate_outputs: bool = False
 
     # spark
     shuffle_partitions: int | None = None

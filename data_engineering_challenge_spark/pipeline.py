@@ -89,6 +89,17 @@ class AttributionPipeline:
         if journeys.isEmpty():  # empty guard, pipeline.py:91-93
             log.warning("no journeys built — aborting step")
             return journeys
+        if self.config.validate_outputs:
+            from .operators import quality as qa
+
+            qa.fail_on_violations(
+                journeys,
+                [
+                    qa.expect_not_null("conversion_id"),
+                    qa.expect_not_null("session_id"),
+                    qa.expect_unique("conversion_id", "session_id"),
+                ],
+            )
         # date-partitioned layout: a date-ranged re-run (the reference's
         # DELETE+INSERT idempotency, channel_reporter.py:99) prunes to the
         # affected partitions instead of rescanning the whole table, and —
@@ -169,6 +180,18 @@ class AttributionPipeline:
             start_date=start_date,
             end_date=end_date,
         )
+        if self.config.validate_outputs:
+            from .operators import quality as qa
+
+            qa.fail_on_violations(
+                out,
+                [
+                    qa.expect_not_null("channel_name"),
+                    qa.expect_not_null("date"),
+                    qa.expect_unique("channel_name", "date"),
+                    qa.expect_between("ihc", 0, float("inf")),
+                ],
+            )
         # partitioned by report date: a ranged re-run overwrites only the
         # affected date partitions (dynamic mode), a full run rebuilds all
         io.write_parquet(

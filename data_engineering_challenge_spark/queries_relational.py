@@ -2211,3 +2211,50 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("valid_from_us"),
         F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
     )
+
+
+@register(
+    "retention_cohorts",
+    """
+WITH cohorted AS (
+    SELECT user_id, ts,
+           date_trunc('week', MIN(CAST(ts AS DATE))
+                              OVER (PARTITION BY user_id)) AS cw
+    FROM events
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cw, CAST(ts AS DATE)) // 7 AS INTEGER) AS week_no,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM cohorted
+GROUP BY cohort_week, week_no
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    distinct in every subsequent activity week — the growth-analytics
+    staple behind every retention curve.
+
+    One user_id shuffle serves the whole query: the cohort week comes from
+    a MIN window over the user partition (no self-join back to a first-
+    seen aggregate — the window rides the same clustering the
+    count-distinct needs).  week_no is an integer day-diff div 7, exact
+    and engine-portable; the cohort week is emitted as a yyyy-MM-dd
+    string (both engines truncate weeks to Monday)."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    cohorted = events.select(
+        "user_id",
+        "ts",
+        F.date_trunc("week", F.min(F.to_date("ts")).over(w)).alias("cw"),
+    )
+    return (
+        cohorted.groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.to_date("ts"), F.to_date("cw")) / 7)
+            .cast("int")
+            .alias("week_no"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -134,3 +134,32 @@ def test_ranged_rerun_preserves_untouched_partitions(spark, star_dir, tmp_path):
         .groupBy("conv_date").agg(F.count("*").alias("cnt")).collect()
     }
     assert after == before
+
+
+def test_validated_run_passes_and_catches_corruption(spark, star_dir, tmp_path):
+    """validate_outputs=True: the clean pipeline passes its expectation
+    gates end-to-end; a corrupted input (duplicate session rows -> the
+    journeys (conversion, session) key doubles) fails LOUD at the journeys
+    gate instead of flowing a corrupt table downstream."""
+    import shutil
+
+    pipe = AttributionPipeline(
+        spark, _cfg(star_dir, tmp_path, validate_outputs=True)
+    )
+    assert pipe.run() is not None  # clean data: all gates green
+
+    # corrupt a copy of the star: session_sources delivered twice
+    bad = tmp_path / "bad_star"
+    shutil.copytree(star_dir, bad)
+    sess = spark.read.parquet(str(bad / "session_sources.parquet"))
+    sess.write.mode("append").parquet(str(bad / "session_sources.parquet"))
+    pipe2 = AttributionPipeline(
+        spark,
+        _cfg(
+            str(bad),
+            tmp_path / "bad_out",
+            validate_outputs=True,
+        ),
+    )
+    with pytest.raises(ValueError, match="unique"):
+        pipe2.run()
