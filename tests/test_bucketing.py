@@ -128,3 +128,56 @@ def test_publish_atomic_refuses_to_clobber_recovery_copies(spark, tmp_path):
         io.publish_atomic(spark.range(3), path)
     # recovery copy untouched
     assert spark.read.parquet(path + "._inprogress").count() == 5
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """Known 2-bit example: bucket x=0b01, y=0b10 interleaves to
+    z = x0<<0 | y0<<1 | x1<<2 | y1<<3 = 1 + 0 + 0 + 8 = 9."""
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.sources import io
+
+    # domains [0,4) with 2 bits -> bucket == floor(value): x=1 -> 01, y=2 -> 10
+    df = spark.createDataFrame([Row(x=1.0, y=2.0)])
+    z = df.select(
+        io.zorder_value(["x", "y"], bits=2, mins=[0.0, 0.0], maxs=[4.0, 4.0])
+        .alias("z")
+    ).collect()[0].z
+    assert z == 9
+
+
+def test_zorder_write_bounds_per_file_spans(spark, tmp_path):
+    """Z-ordered layout must give every file a NARROW span in BOTH
+    clustered columns (the min/max-skipping property); a single-column
+    sort leaves the other column spanning ~the full domain."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.sources import io
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        F.floor(F.col("id") / 64).cast("double").alias("y"),
+    )
+    zpath = str(tmp_path / "z")
+    io.zorder_write(df, zpath, ["x", "y"], bits=6, target_files=16)
+    assert sorted(
+        r[0] for r in spark.read.parquet(zpath).groupBy("x", "y").count()
+        .select(F.count("*")).collect()
+    )  # content intact (no row lost)
+    assert spark.read.parquet(zpath).count() == n
+
+    spans = []
+    for f in glob.glob(f"{zpath}/part-*.parquet"):
+        s = spark.read.parquet(f).agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        ).collect()[0]
+        spans.append((s.sx, s.sy))
+    assert len(spans) >= 8
+    # every file's span is a fraction of the 0..63 domain in BOTH dims —
+    # 16 files over a 64x64 grid gives ~16x16 tiles (span ~<= 24 with
+    # boundary slack); a 1-D sort would leave one dim at span 63
+    assert all(sx <= 32 and sy <= 32 for sx, sy in spans), spans
