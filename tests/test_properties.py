@@ -383,3 +383,59 @@ def test_kll_estimate_regime_rank_error(spark):
     ).collect()[0]
     for q, est in ((0.5, mrow.p50), (0.95, mrow.p95), (0.99, mrow.p99)):
         assert abs(est / n - q) < 0.02, (q, est)
+
+
+# ---------------------------------------------------------------------------
+# apply_cdc vs a python dict model: any sequence of I/U/D change batches
+# must leave the table exactly where naive per-row replay leaves a dict
+# ---------------------------------------------------------------------------
+
+cdc_batches_strategy = st.lists(  # batches of (key, value, op) changes
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),                      # key
+            st.integers(0, 99),                     # value
+            st.sampled_from(["I", "U", "D"]),       # op
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=cdc_batches_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_apply_cdc_matches_dict_replay(spark, tmp_path_factory, batches):
+    """Model check: apply_cdc over arbitrary I/U/D batch sequences equals
+    naive in-order dict replay (upsert on I/U, pop on D) — including
+    same-key collisions inside one batch (last change wins)."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.streaming import incremental as st_inc
+
+    d = tmp_path_factory.mktemp("cdc")
+    path = str(d / "table")
+    model: dict[int, int] = {}
+    try:
+        for batch in batches:
+            for k, v, op in batch:
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+            bdf = spark.createDataFrame(
+                [Row(k=k, v=v, _op=op) for k, v, op in batch]
+            )
+            st_inc.apply_cdc(bdf, path, ["k"])
+            got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+            assert got == model, (batch, got, model)
+    finally:
+        shutil.rmtree(str(d), ignore_errors=True)
