@@ -2258,3 +2258,49 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "data_quality_report",
+    """
+WITH agg AS (
+    SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS e0,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS e1,
+           SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                      OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS e2,
+           SUM(CASE WHEN o_totalprice IS NOT NULL
+                     AND (o_totalprice < 0 OR o_totalprice > 1e9)
+                    THEN 1 ELSE 0 END) AS e3,
+           GREATEST(1 - COUNT(*), 0) AS e4
+    FROM orders
+)
+SELECT u.expectation, u.n_violations, u.n_violations = 0 AS ok
+FROM agg, (
+    SELECT 'not_null(o_custkey)' AS expectation, CAST(e0 AS BIGINT) AS n_violations FROM agg
+    UNION ALL SELECT 'unique(o_orderkey)', CAST(e1 AS BIGINT) FROM agg
+    UNION ALL SELECT 'values_in(o_orderstatus)', CAST(e2 AS BIGINT) FROM agg
+    UNION ALL SELECT 'between(o_totalprice,0,1000000000.0)', CAST(e3 AS BIGINT) FROM agg
+    UNION ALL SELECT 'row_count_min(1)', CAST(e4 AS BIGINT) FROM agg
+) u
+""",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality expectation suite as a registry query: five rules
+    over orders (null keys, duplicate order keys, status domain, price
+    range, minimum rows) evaluated by operators/quality.py in ONE
+    aggregate pass and emitted as the tidy (expectation, n_violations,
+    ok) report — the between-stages gate a production pipeline runs,
+    driver-checked against a plain-SQL recomputation of every rule."""
+    from .operators import quality as qa
+
+    orders = _t(spark, sf_dir, "orders")
+    return qa.check_expectations(
+        orders,
+        [
+            qa.expect_not_null("o_custkey"),
+            qa.expect_unique("o_orderkey"),
+            qa.expect_values_in("o_orderstatus", ["O", "F", "P"]),
+            qa.expect_between("o_totalprice", 0, 1e9),
+            qa.expect_row_count_min(1),
+        ],
+    )
