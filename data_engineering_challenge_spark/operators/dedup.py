@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingle_arrays, shingles, tokens
+from .text import shingle_arrays, shingles, simhash60, tokens
 
 
 def dedup_exact(documents: DataFrame, key: str = "text") -> DataFrame:
@@ -199,6 +199,63 @@ def minhash_lsh_candidates(
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+def simhash_near_dup(
+    documents: DataFrame,
+    bands: int = 4,
+    band_bits: int = 15,
+    max_hamming: int = 3,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 60-bit sketch, bucket-join, verify
+    by Hamming distance (SURVEY.md §2.10 SimHash dedup; reference computes
+    pairwise token-set similarity — here the sketch makes it sub-quadratic).
+
+    With ``bands * band_bits`` covering the whole sketch, any pair at
+    Hamming distance <= bands - 1 agrees on at least one full band
+    (pigeonhole), so recall is EXACT for ``max_hamming <= bands - 1`` —
+    candidate generation is a per-band bucket join, never all-pairs, the
+    same 100 TB shape as :func:`minhash_lsh_candidates`.  15-bit bands give
+    32k bucket values per band, so buckets stay ~N/32k; ``max_bucket_size``
+    drops degenerate boilerplate piles (same rationale as the MinHash cap).
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b — all-integer output,
+    portable across engines bit-for-bit.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exact-recall bound "
+            f"bands-1={bands - 1}; add bands or lower the threshold"
+        )
+    sims = simhash60(documents)
+    mask = (1 << band_bits) - 1
+    band_cols = [
+        F.shiftright(F.col("simhash"), band_bits * j).bitwiseAND(F.lit(mask))
+        for j in range(bands)
+    ]
+    banded = sims.select(
+        F.struct(F.col("doc_id"), F.col("simhash")).alias("ds"),
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    )
+    # collect (doc_id, simhash) structs per bucket + local pair explosion —
+    # same one-pass shape as minhash_lsh_candidates, and the sims ride
+    # along so the verify needs no join back through the sketch pipeline.
+    pairs = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("ds")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select(
+            F.col("p.doc_a.doc_id").alias("doc_a"),
+            F.col("p.doc_b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("p.doc_a.simhash").bitwiseXOR(F.col("p.doc_b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def dup_clusters(

@@ -146,33 +146,48 @@ def fingerprint_md5(documents: DataFrame) -> DataFrame:
     )
 
 
-def simhash32(documents: DataFrame) -> DataFrame:
-    """32-bit SimHash over token frequencies.
+def _simhash(documents: DataFrame, bits: int) -> DataFrame:
+    """``bits``-wide SimHash over token frequencies (bits <= 60 so the
+    packed value stays positive in a signed 64-bit BIGINT on every engine).
 
     Classic near-dup sketch (Charikar): each token votes +count/-count on
-    every bit of its 32-bit hash (md5 prefix); the sketch keeps the sign.
-    Implemented as explode -> per-(doc,token) count -> 32 conditional sums
-    -> bit pack: two shuffles on doc_id, no UDFs, fully parallel.
-    Near-dup pairs then compare by hamming distance on ``simhash``.
+    every bit of its hash (md5 prefix, ceil(bits/4) hex chars); the sketch
+    keeps the sign.  Implemented as explode -> per-(doc,token) count ->
+    ``bits`` conditional sums -> bit pack: two shuffles on doc_id, no UDFs,
+    fully parallel.  Near-dup pairs then compare by hamming distance on
+    ``simhash``.
     """
+    hexchars = (bits + 3) // 4
     tok = documents.select("doc_id", F.explode(tokens()).alias("token"))
     counted = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    h = F.conv(F.substring(F.md5("token"), 1, hexchars), 16, 10).cast("bigint")
     counted = counted.withColumn("h", h)
     bit_sums = [
         F.sum(
             ((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("cnt"))
         ).alias(f"b{j}")
-        for j in range(32)
+        for j in range(bits)
     ]
     sums = counted.groupBy("doc_id").agg(*bit_sums)
     packed = None
-    for j in range(32):
+    for j in range(bits):
         term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         packed = term if packed is None else packed + term
     return sums.select("doc_id", packed.alias("simhash"))
+
+
+def simhash32(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash fingerprint (see :func:`_simhash`)."""
+    return _simhash(documents, 32)
+
+
+def simhash60(documents: DataFrame) -> DataFrame:
+    """60-bit SimHash — the banded near-dup join width: 4 bands x 15 bits
+    gives 32k bucket values per band (vs 256 for 8-bit bands of a 32-bit
+    sketch), so bucket sizes stay ~N/32k per band at corpus scale."""
+    return _simhash(documents, 60)
 
 
 #: conservative PII patterns (Java regex; applied in order).  Each entry is

@@ -123,17 +123,17 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint_md5(_docs(spark, sf_dir))
 
 
-def _simhash_sql() -> str:
+def _simhash_cte(bits: int) -> str:
+    """WITH-clause prefix ending in ``sims(doc_id, simhash)`` — the SQL
+    twin of operators.text._simhash at the given bit width.  The bit-sum
+    expression must match Spark exactly: ((h>>j & 1)*2 - 1) * cnt."""
+    hexchars = (bits + 3) // 4
     bit_sums = ",\n           ".join(
-        f"SUM(((h >> {j}) & 1) * 2 - 1 * 1 * cnt) AS b{j}" for j in range(32)
-    )
-    # note: expression must match Spark exactly: ((h>>j & 1)*2 - 1) * cnt
-    bit_sums = ",\n           ".join(
-        f"SUM((((h >> {j}) & 1) * 2 - 1) * cnt) AS b{j}" for j in range(32)
+        f"SUM((((h >> {j}) & 1) * 2 - 1) * cnt) AS b{j}" for j in range(bits)
     )
     packed = " + ".join(
         f"(CASE WHEN b{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for j in range(32)
+        for j in range(bits)
     )
     return f"""
 WITH tok AS (
@@ -142,21 +142,60 @@ WITH tok AS (
          UNNEST(toks) AS u(t)
 ), counted AS (
     SELECT doc_id, token, COUNT(*) AS cnt,
-           CAST(concat('0x', substring(md5(token), 1, 8)) AS BIGINT) AS h
+           CAST(concat('0x', substring(md5(token), 1, {hexchars})) AS BIGINT) AS h
     FROM tok GROUP BY doc_id, token
 ), sums AS (
     SELECT doc_id,
            {bit_sums}
     FROM counted GROUP BY doc_id
-)
-SELECT doc_id, {packed} AS simhash FROM sums
-"""
+), sims AS (
+    SELECT doc_id, {packed} AS simhash FROM sums
+)"""
+
+
+def _simhash_sql() -> str:
+    return _simhash_cte(32) + "\nSELECT doc_id, simhash FROM sims\n"
 
 
 @register("simhash_fingerprints", _simhash_sql())
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash sketch per document (near-dup by hamming distance)."""
     return tx.simhash32(_docs(spark, sf_dir))
+
+
+@register(
+    "simhash_near_dup_pairs",
+    _simhash_cte(60)
+    + """
+, bands AS (
+    SELECT doc_id, simhash, CAST(j AS INTEGER) AS band,
+           (simhash >> (15 * CAST(j AS INTEGER))) & 32767 AS bucket
+    FROM sims, UNNEST([0, 1, 2, 3]) AS u(j)
+), keep AS (
+    SELECT band, bucket FROM bands GROUP BY band, bucket
+    HAVING COUNT(*) > 1 AND COUNT(*) <= 200
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                    b.doc_id AS doc_b, b.simhash AS sim_b
+    FROM bands a
+    JOIN keep USING (band, bucket)
+    JOIN bands b USING (band, bucket)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+)
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit sketch, 4x15-bit LSH bands, Hamming
+    <= 3 verify.  Pigeonhole makes recall exact at this threshold (<= 3
+    flipped bits leave >= 1 of 4 bands untouched), candidate generation is
+    a per-band bucket join with the same degenerate-bucket cap as the
+    MinHash path, and the output is all-integer so the driver hash is
+    engine-portable by construction (no transcendental, no decimal)."""
+    return dd.simhash_near_dup(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

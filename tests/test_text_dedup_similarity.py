@@ -92,6 +92,37 @@ def test_simhash_near_for_similar_docs(spark):
     assert ham(got[0], got[1]) < ham(got[0], got[2])
 
 
+def test_simhash_near_dup_pairs_exact_and_guard(spark):
+    df = _docs(
+        spark,
+        [
+            "spark join merge sort filter table scan batch",
+            "spark join merge sort filter table scan batch",  # exact dup -> ham 0
+            "completely different words entirely unrelated content here now",
+        ],
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming for r in dd.simhash_near_dup(df).collect()}
+    assert got == {(0, 1): 0}  # exact recall at hamming 0; far doc excluded
+    with pytest.raises(ValueError, match="exact-recall"):
+        dd.simhash_near_dup(df, bands=4, max_hamming=4)
+
+
+def test_simhash_near_dup_hamming_matches_sketch_xor(spark):
+    # the emitted hamming must equal popcount(xor) of the 60-bit sketches
+    df = _docs(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",  # near dup
+        ],
+    )
+    sims = {r.doc_id: r.simhash for r in tx.simhash60(df).collect()}
+    pairs = dd.simhash_near_dup(df, max_hamming=3).collect()
+    for r in pairs:
+        assert r.hamming == bin(sims[r.doc_a] ^ sims[r.doc_b]).count("1")
+        assert r.hamming <= 3
+
+
 def _vecs(spark, vecs):
     return spark.createDataFrame(
         [Row(vec_id=i, embedding=[float(x) for x in v], label=0)
