@@ -1405,6 +1405,62 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_window_counts",
+    # Append-mode windowed aggregation emits exactly the windows the final
+    # watermark has closed: window_end <= max(ts) - horizon.  That cutoff
+    # IS the oracle — plain SQL over the same events with the same
+    # finalization predicate, decimal-exact value sums on both sides.
+    f"""
+WITH wm AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events),
+agg AS (
+    SELECT date_trunc('day', ts) AS day_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_dsum_sql('value')} AS total_value
+    FROM events GROUP BY date_trunc('day', ts), event_type
+)
+SELECT CAST(epoch_us(day_start) AS BIGINT) AS day_us, event_type,
+       n_events, total_value
+FROM agg, wm
+WHERE day_start + INTERVAL 1 DAY <= wm.wm
+""",
+)
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (SURVEY.md §2.9), executed
+    with trigger(availableNow) and an append-mode parquet sink: a window
+    row is written once, when the watermark passes its end — the
+    incremental twin of the batch GROUP BY day.  The oracle replays the
+    exact finalization rule (window_end <= max(ts) - watermark horizon),
+    measured empirically and pinned by test_daily_counts_append_cutoff, so
+    streaming execution earns a real value-hash row.  Output cached per
+    (query, sf_dir) like the other streaming queries."""
+    import shutil
+    import tempfile
+
+    from . import roles
+    from .streaming import incremental as st
+
+    key = ("streaming_window_counts", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="stream_window_")
+        events = roles.load_events(spark, sf_dir)
+        events.write.mode("overwrite").parquet(f"{tmp}/events")
+        stream = st.read_events_stream(spark, f"{tmp}/events")
+        st.run_available_now(
+            st.daily_counts(stream), f"{tmp}/out", f"{tmp}/ckpt"
+        )
+        shutil.rmtree(f"{tmp}/events", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/out"
+    return spark.read.parquet(out).select(
+        F.unix_micros("day_start").alias("day_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
     "token_outlier_docs",
     """
 WITH toks AS (

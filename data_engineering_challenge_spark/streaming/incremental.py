@@ -68,11 +68,18 @@ def incremental_journeys(
 
 
 def daily_counts(events_stream: DataFrame, watermark: str = "1 day") -> DataFrame:
-    """Tumbling 1-day aggregation with late-data tolerance = watermark."""
+    """Tumbling 1-day aggregation with late-data tolerance = watermark.
+
+    The value sum goes through DECIMAL(28,10) so the merged result is
+    independent of micro-batch arrival order (float partial sums would
+    make the emitted total depend on how the files were batched)."""
     return (
         events_stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("day_start"),
             "event_type",

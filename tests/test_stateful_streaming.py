@@ -46,6 +46,45 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
         assert r.n == r.mx
 
 
+def test_daily_counts_append_cutoff(spark, tmp_path):
+    """Pins the append-mode finalization rule the streaming_window_counts
+    oracle encodes: a window row is emitted iff window_end <= max(ts) -
+    watermark horizon, and the emitted aggregates equal the batch ones."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day in (1, 2, 3, 4):
+        for h in (0, 12):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, day, h, 30), eid, "click", float(eid), "{}")
+            )
+    # max ts = Mar 4 12:30 -> watermark Mar 3 12:30: windows ending Mar 2,
+    # Mar 3 00:00 emit (days 1, 2); day-3 window ends Mar 4 00:00 > wm.
+    src = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    src.write.parquet(str(tmp_path / "events"))
+    stream = st.read_events_stream(spark, str(tmp_path / "events"))
+    st.run_available_now(
+        st.daily_counts(stream), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    got = {
+        r.day_start.day: (r.n_events, r.total_value)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert set(got) == {1, 2}
+    batch = {
+        r.d.day: (r.n, r.v)
+        for r in src.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    for day in (1, 2):
+        assert got[day] == batch[day]
+
+
 def test_csv_round_trip_with_schema(spark, tmp_path):
     """§2.1 CSV source/sink: schema'd read preserves types (the reference's
     CSV round-trip silently re-infers, run_pipeline.py:98)."""
