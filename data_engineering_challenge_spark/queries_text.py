@@ -1609,3 +1609,122 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (stop_frac >= 0.04)
         ).cast("int").alias("passes"),
     )
+
+
+@register(
+    "repetition_signals",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g2 AS (
+    SELECT doc_id, s FROM toks, UNNEST(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                                 i -> concat_ws(' ', t[i], t[i+1]))
+             ELSE [] END) AS u(s)
+), c2 AS (SELECT doc_id, s, COUNT(*) AS c FROM g2 GROUP BY doc_id, s),
+s2 AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+           CAST(MAX(c) AS BIGINT) AS top_2gram_cnt
+    FROM c2 GROUP BY doc_id
+),
+g3 AS (
+    SELECT doc_id, s FROM toks, UNNEST(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+             ELSE [] END) AS u(s)
+), c3 AS (SELECT doc_id, s, COUNT(*) AS c FROM g3 GROUP BY doc_id, s),
+s3 AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_3grams,
+           CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_3gram_cnt
+    FROM c3 GROUP BY doc_id
+),
+sent AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, '. ')) AS BIGINT) AS n_sent,
+           CAST(len(list_distinct(string_split(text, '. '))) AS BIGINT) AS n_uniq_sent
+    FROM documents
+)
+SELECT d.doc_id,
+       COALESCE(n_2grams, 0) AS n_2grams,
+       COALESCE(top_2gram_cnt, 0) AS top_2gram_cnt,
+       COALESCE(n_3grams, 0) AS n_3grams,
+       COALESCE(dup_3gram_cnt, 0) AS dup_3gram_cnt,
+       n_sent, n_uniq_sent,
+       CASE WHEN COALESCE(n_2grams, 0) > 0
+            THEN top_2gram_cnt * 1.0 / n_2grams ELSE 0.0 END AS top_2gram_frac,
+       CASE WHEN COALESCE(n_3grams, 0) > 0
+            THEN dup_3gram_cnt * 1.0 / n_3grams ELSE 0.0 END AS dup_3gram_frac,
+       (n_sent - n_uniq_sent) * 1.0 / n_sent AS dup_sent_frac
+FROM documents d
+LEFT JOIN s2 USING (doc_id)
+LEFT JOIN s3 USING (doc_id)
+JOIN sent USING (doc_id)
+""",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of 2-gram
+    occurrences claimed by the single most frequent 2-gram, fraction of
+    3-gram occurrences whose gram repeats, and duplicate-sentence
+    fraction — the repetition-removal half of the Gopher quality rules
+    (the length/stopword half is ``gopher_quality_flags``).
+
+    Two shuffle stages per n-gram width (doc+gram count, then per-doc
+    roll-up) — the same scan-shaped pipeline as the simhash sketch, no
+    UDFs.  Every fraction is a small-integer ratio, so the doubles are
+    bit-identical across engines."""
+    docs = _docs(spark, sf_dir)
+
+    def gram_stats(n: int, aggs):
+        grams = dd._exploded_shingles(docs, n)
+        cnt = grams.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+        return cnt.groupBy("doc_id").agg(*aggs)
+
+    s2 = gram_stats(
+        2,
+        [
+            F.sum("c").alias("n_2grams"),
+            F.max("c").alias("top_2gram_cnt"),
+        ],
+    )
+    s3 = gram_stats(
+        3,
+        [
+            F.sum("c").alias("n_3grams"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_3gram_cnt"
+            ),
+        ],
+    )
+    sents = F.split("text", r"\. ")
+    sent = docs.select(
+        "doc_id",
+        F.size(sents).cast("bigint").alias("n_sent"),
+        F.size(F.array_distinct(sents)).cast("bigint").alias("n_uniq_sent"),
+    )
+    out = (
+        docs.select("doc_id")
+        .join(s2, "doc_id", "left")
+        .join(s3, "doc_id", "left")
+        .join(sent, "doc_id")
+    )
+    n2 = F.coalesce("n_2grams", F.lit(0))
+    n3 = F.coalesce("n_3grams", F.lit(0))
+    return out.select(
+        "doc_id",
+        n2.alias("n_2grams"),
+        F.coalesce("top_2gram_cnt", F.lit(0)).alias("top_2gram_cnt"),
+        n3.alias("n_3grams"),
+        F.coalesce("dup_3gram_cnt", F.lit(0)).alias("dup_3gram_cnt"),
+        "n_sent",
+        "n_uniq_sent",
+        F.when(n2 > 0, F.col("top_2gram_cnt") * 1.0 / F.col("n_2grams"))
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_frac"),
+        F.when(n3 > 0, F.col("dup_3gram_cnt") * 1.0 / F.col("n_3grams"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+        ((F.col("n_sent") - F.col("n_uniq_sent")) * 1.0 / F.col("n_sent")).alias(
+            "dup_sent_frac"
+        ),
+    )

@@ -123,6 +123,27 @@ def test_simhash_near_dup_hamming_matches_sketch_xor(spark):
         assert r.hamming <= 3
 
 
+def test_repetition_signals_flags_repeats(spark, tmp_path):
+    from data_engineering_challenge_spark.queries_text import q_repetition_signals
+
+    _docs(
+        spark,
+        [
+            "spam spam spam spam",          # one 2-gram repeated 3x
+            "alpha beta gamma delta",       # all grams unique
+            "first part. first part. end",  # duplicate sentence
+        ],
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in q_repetition_signals(spark, str(tmp_path)).collect()}
+    assert got[0].n_2grams == 3 and got[0].top_2gram_cnt == 3
+    assert got[0].top_2gram_frac == 1.0
+    assert got[0].dup_3gram_frac == 1.0  # 'spam spam spam' twice
+    assert got[1].top_2gram_frac == pytest.approx(1 / 3)  # max cnt 1 of 3
+    assert got[1].dup_3gram_cnt == 0
+    assert got[2].n_sent == 3 and got[2].n_uniq_sent == 2
+    assert got[2].dup_sent_frac == pytest.approx(1 / 3)
+
+
 def _vecs(spark, vecs):
     return spark.createDataFrame(
         [Row(vec_id=i, embedding=[float(x) for x in v], label=0)
