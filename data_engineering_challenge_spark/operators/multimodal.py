@@ -171,6 +171,76 @@ def frame_sample(
     return media.mapInPandas(run, FRAMES_SCHEMA)
 
 
+CHUNK_BYTES = 256
+
+AUDIO_CHUNKS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("chunk_no", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sum_abs_amp", LongType(), False),
+        StructField("energy", LongType(), False),
+        StructField("peak_amp", LongType(), False),
+    ]
+)
+
+
+def audio_chunk_features(
+    media: DataFrame, chunk_bytes: int = CHUNK_BYTES, real: bool = False
+) -> DataFrame:
+    """Audio feature extraction: payload -> per-chunk loudness stats, the
+    windowed-frame shape of a real audio front end (VAD, loudness
+    normalization, silence trimming all consume exactly this relation).
+
+    real=True is the decoder stub (no soundfile/ffmpeg in this
+    container); the fake treats the payload as unsigned 8-bit PCM centered
+    at 128 — every emitted stat is an INTEGER aggregate of integer
+    samples (count, sum |amp|, sum amp^2, peak), so the whole one-to-many
+    Arrow stage is oracle-checkable bit-for-bit, no float audio math.
+    One output row per ``chunk_bytes`` window, exploded inside the Arrow
+    batch like :func:`frame_sample`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if real:  # pragma: no cover - stub
+                raise NotImplementedError(
+                    "audio decode needs soundfile/ffmpeg; this environment "
+                    "stubs it — the fake path exercises identical plumbing"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                amps = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                ) - 128
+                for cno in range(0, len(amps), chunk_bytes):
+                    c = amps[cno : cno + chunk_bytes]
+                    rows.append(
+                        (
+                            mid,
+                            cno // chunk_bytes,
+                            len(c),
+                            int(np.abs(c).sum()),
+                            int((c * c).sum()),
+                            int(np.abs(c).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "chunk_no",
+                    "n_samples",
+                    "sum_abs_amp",
+                    "energy",
+                    "peak_amp",
+                ],
+            )
+
+    return media.mapInPandas(run, AUDIO_CHUNKS_SCHEMA)
+
+
 def resize_image(
     media: DataFrame, width: int = 8, height: int = 8, real: bool = False
 ) -> DataFrame:

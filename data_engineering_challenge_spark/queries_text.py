@@ -1127,6 +1127,49 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(media, every_n=3)
 
 
+@register(
+    "multimodal_audio_chunks",
+    """
+WITH ascii_docs AS (
+    SELECT doc_id, text FROM documents
+    WHERE length(text) = octet_length(encode(text))
+), chunks AS (
+    SELECT doc_id AS media_id,
+           CAST(i - 1 AS BIGINT) AS chunk_no,
+           substring(text, CAST((i - 1) * 256 + 1 AS INTEGER), 256) AS chunk
+    FROM ascii_docs,
+         UNNEST(range(1, CAST(ceil(length(text) / 256.0) AS BIGINT) + 1)) AS u(i)
+), samples AS (
+    SELECT media_id, chunk_no,
+           ascii(substring(chunk, CAST(j AS INTEGER), 1)) - 128 AS amp
+    FROM chunks, UNNEST(range(1, length(chunk) + 1)) AS v(j)
+)
+SELECT media_id, chunk_no,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(ABS(amp)) AS BIGINT) AS sum_abs_amp,
+       CAST(SUM(amp * amp) AS BIGINT) AS energy,
+       CAST(MAX(ABS(amp)) AS BIGINT) AS peak_amp
+FROM samples
+GROUP BY media_id, chunk_no
+""",
+)
+def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio branch of the multimodal family: payload -> per-256-byte-chunk
+    loudness stats through the Arrow mapInPandas stage (the VAD/loudness
+    front-end shape).  The fake decode reads the payload as unsigned 8-bit
+    PCM centered at 128, so every stat is an integer aggregate the oracle
+    recomputes per character (ascii(c) - 128 == payload byte for the
+    ASCII-guarded docs, same guard as multimodal_frame_sample) —
+    engine-portable with zero float audio math."""
+    from .operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir).filter(
+        F.length("text") == F.octet_length("text")
+    )
+    media = mm.attach_payload(docs, "doc_id", "text", kind="audio")
+    return mm.audio_chunk_features(media)
+
+
 # --------------------------------------------------------------------------
 # intra-document repetition removal + corpus vocabulary coverage — two more
 # LLM-corpus curation stages (SURVEY.md §2.10 ✚)

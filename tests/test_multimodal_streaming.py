@@ -106,6 +106,30 @@ def test_frame_sample_one_to_many(spark):
     assert [(r.frame_no, r.n_frame_bytes) for r in by_doc[2]] == [(0, 30)]
 
 
+def test_audio_chunk_features_integer_stats(spark):
+    """Chunk stats equal a direct python computation on the payload bytes;
+    last chunk is short, not padded; real decode stays stubbed."""
+    import pytest
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.operators import multimodal as mm
+
+    text = "abc" * 100  # 300 bytes -> chunks of 256 and 44
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    media = mm.attach_payload(df, "doc_id", "text", kind="audio")
+    got = {r.chunk_no: r for r in mm.audio_chunk_features(media).collect()}
+    assert set(got) == {0, 1}
+    assert (got[0].n_samples, got[1].n_samples) == (256, 44)
+    payload = text.encode()
+    for cno, r in got.items():
+        amps = [b - 128 for b in payload[cno * 256 : cno * 256 + 256]]
+        assert r.sum_abs_amp == sum(abs(a) for a in amps)
+        assert r.energy == sum(a * a for a in amps)
+        assert r.peak_amp == max(abs(a) for a in amps)
+    with pytest.raises(Exception, match="audio decode"):
+        mm.audio_chunk_features(media, real=True).collect()
+
+
 def test_resize_fixed_output_bytes(spark):
     from pyspark.sql import Row
 
