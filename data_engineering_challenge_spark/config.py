@@ -54,6 +54,12 @@ class PipelineConfig:
     # spark
     shuffle_partitions: int | None = None
     extra_spark_conf: dict = field(default_factory=dict)
+    # journey-join skew: probe the session key histogram and salt the as-of
+    # join automatically when one user's sessions exceed what a single task
+    # should own (operators/skew.recommend_salt).  Off by default — the
+    # probe costs one aggregate pass over sessions per run
+    auto_salt: bool = False
+    salt_rows_per_task: int = 1_000_000
 
     @classmethod
     def from_ini(cls, config_path: str = "config.ini") -> "PipelineConfig":
@@ -91,5 +97,9 @@ class PipelineConfig:
             log_skipped=get("api", "log_skipped", cls.log_skipped, _bool),
             log_report_summary=get(
                 "storage", "log_report_summary", cls.log_report_summary, _bool
+            ),
+            auto_salt=get("spark", "auto_salt", cls.auto_salt, _bool),
+            salt_rows_per_task=get(
+                "spark", "salt_rows_per_task", cls.salt_rows_per_task, int
             ),
         )

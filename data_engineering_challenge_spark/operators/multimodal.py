@@ -185,6 +185,30 @@ AUDIO_CHUNKS_SCHEMA = StructType(
 )
 
 
+def decode_wav_pcm16(payload: bytes):
+    """REAL audio decode, stdlib-only: parse a RIFF/WAV container with
+    ``wave`` and return its 16-bit PCM samples as int64 (multi-channel
+    audio comes back interleaved — one flat sample sequence, which is what
+    the chunked loudness stats window over).
+
+    This is the one genuinely decodable modality in a container without
+    media libraries; compressed formats still need soundfile/ffmpeg and
+    fail loudly here (``wave`` rejects non-PCM WAV)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"decode_wav_pcm16: expected 16-bit PCM, got "
+                f"{8 * w.getsampwidth()}-bit"
+            )
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+
+
 def audio_chunk_features(
     media: DataFrame, chunk_bytes: int = CHUNK_BYTES, real: bool = False
 ) -> DataFrame:
@@ -192,28 +216,29 @@ def audio_chunk_features(
     windowed-frame shape of a real audio front end (VAD, loudness
     normalization, silence trimming all consume exactly this relation).
 
-    real=True is the decoder stub (no soundfile/ffmpeg in this
-    container); the fake treats the payload as unsigned 8-bit PCM centered
-    at 128 — every emitted stat is an INTEGER aggregate of integer
-    samples (count, sum |amp|, sum amp^2, peak), so the whole one-to-many
-    Arrow stage is oracle-checkable bit-for-bit, no float audio math.
-    One output row per ``chunk_bytes`` window, exploded inside the Arrow
-    batch like :func:`frame_sample`."""
+    real=True DECODES the payload as a 16-bit PCM WAV file with the
+    stdlib ``wave`` module (:func:`decode_wav_pcm16` — no media library
+    needed); the fake treats the payload as unsigned 8-bit PCM centered
+    at 128.  Both paths feed the SAME per-chunk integer aggregates
+    (count, sum |amp|, sum amp^2, peak) — no float audio math — so the
+    fake keeps the one-to-many Arrow stage oracle-checkable bit-for-bit
+    while the real path proves the identical plumbing on genuinely
+    decoded audio.  One output row per ``chunk_bytes`` window (samples
+    per chunk for the real path), exploded inside the Arrow batch like
+    :func:`frame_sample`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if real:  # pragma: no cover - stub
-                raise NotImplementedError(
-                    "audio decode needs soundfile/ffmpeg; this environment "
-                    "stubs it — the fake path exercises identical plumbing"
-                )
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                amps = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
-                    np.int64
-                ) - 128
+                if real:
+                    amps = decode_wav_pcm16(payload)
+                else:
+                    amps = np.frombuffer(
+                        bytes(payload), dtype=np.uint8
+                    ).astype(np.int64) - 128
                 for cno in range(0, len(amps), chunk_bytes):
                     c = amps[cno : cno + chunk_bytes]
                     rows.append(

@@ -54,3 +54,32 @@ def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
         .orderBy(F.desc("n_rows"))
         .limit(top)
     )
+
+
+def recommend_salt(
+    df: DataFrame,
+    key: str,
+    rows_per_task: int = 1_000_000,
+    max_buckets: int = 64,
+) -> int | None:
+    """Probe-then-decide: the bucket count a salted join on ``key`` needs,
+    or None when the data isn't skewed enough to pay the salt cost.
+
+    Wires :func:`key_histogram` to the ``salt_buckets`` knob: the heaviest
+    key's row count is measured (one aggregate over the probe side — a
+    scalar result), and salting is recommended ONLY when that key alone
+    exceeds ``rows_per_task`` (the rows one task should own — size it to
+    executor memory / target task runtime at scale).  The bucket count
+    splits the hot key back down to ~``rows_per_task`` per task, capped at
+    ``max_buckets`` (each bucket replicates the small side once — the cost
+    side of the trade).  Uniform data returns None: an unconditionally
+    salted join multiplies shuffle volume for nothing."""
+    top = key_histogram(df, key, top=1).collect()
+    if not top:
+        return None
+    hot = top[0]["n_rows"]
+    if hot <= rows_per_task:
+        return None
+    import math
+
+    return min(max_buckets, math.ceil(hot / rows_per_task))

@@ -80,11 +80,24 @@ class AttributionPipeline:
     def build_journeys(
         self, start_date: str | None = None, end_date: str | None = None
     ) -> DataFrame:
+        sessions = self._table("session_sources")
+        salt = None
+        if self.config.auto_salt:
+            # probe-then-decide (one aggregate pass over sessions): salt the
+            # as-of join only when one user's sessions exceed a task's share
+            from .operators import skew
+
+            salt = skew.recommend_salt(
+                sessions, "user_id", rows_per_task=self.config.salt_rows_per_task
+            )
+            if salt:
+                log.info("journey join: auto-salting with %d buckets", salt)
         journeys = jny.build_journeys(
             self._table("conversions"),
-            self._table("session_sources"),
+            sessions,
             start_date=start_date,
             end_date=end_date,
+            salt_buckets=salt,
         )
         if journeys.isEmpty():  # empty guard, pipeline.py:91-93
             log.warning("no journeys built — aborting step")

@@ -1997,12 +1997,22 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, but the two shuffles are canonically identical, so AQE's
     exchange reuse collapses them at runtime — the executed plan is ONE
     lineitem scan + ONE shuffle with a ReusedExchange feeding the total
-    (plan-tested on the final adaptive plan)."""
+    (plan-tested on the final adaptive plan).
+
+    The total is summed while the per-part values are still DECIMAL —
+    decimal addition is exact and order-independent, so the global sum
+    equals the oracle's direct decimal sum over lineitem bit-for-bit
+    (summing the per-part DOUBLES instead would be order-dependent AND
+    drift from the oracle by per-part rounding, flipping parts whose
+    value sits near total*0.0007 between runs/engines)."""
     li = _t(spark, sf_dir, "lineitem")
-    pv = li.groupBy("l_partkey").agg(dsum("l_extendedprice").alias("part_value"))
-    tot = pv.agg(F.sum("part_value").alias("total_value"))
+    pvd = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).alias("_pv")
+    )
+    tot = pvd.agg(F.sum("_pv").cast("double").alias("total_value"))
     return (
-        pv.crossJoin(F.broadcast(tot))
+        pvd.select("l_partkey", F.col("_pv").cast("double").alias("part_value"))
+        .crossJoin(F.broadcast(tot))
         .filter(F.col("part_value") > F.col("total_value") * 0.0007)
         .select(F.col("l_partkey").alias("partkey"), "part_value")
     )

@@ -35,6 +35,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet timestamps without the UTC-adjusted annotation must read
+        # as TimestampType (instant semantics, matching the DuckDB oracle's
+        # naive-UTC view), not TIMESTAMP_NTZ — the testdata is written both
+        # ways across generator versions and every timestamp function here
+        # (unix_micros, date_format, windows) targets TimestampType
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",

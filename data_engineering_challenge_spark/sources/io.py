@@ -23,10 +23,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def ensure_instant_timestamps(spark: SparkSession) -> None:
+    """Pin un-annotated parquet timestamps to TimestampType (instant
+    semantics) instead of TIMESTAMP_NTZ.  The testdata generator writes
+    ``timestamp[us]`` with or without the UTC-adjusted flag depending on its
+    arrow version; every timestamp expression in this engine (unix_micros,
+    date arithmetic, windows) and the DuckDB oracle's naive-UTC view target
+    the instant type.  Runtime-settable, idempotent — called at the read
+    chokepoints so externally-built sessions (the driver's) behave the same
+    as :func:`..session.get_spark` ones."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """Lazy parquet scan. Column pruning / predicate pushdown are Catalyst's
     job — callers just select/filter and the scan narrows (check with
     ``df.explain``: ``PushedFilters`` / ``ReadSchema``)."""
+    ensure_instant_timestamps(spark)
     return spark.read.parquet(path)
 
 
@@ -43,6 +56,7 @@ def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     :func:`read_parquet_table` (pushdown/pruning unaffected), minus the
     per-call footer-inference round trip.  Only for paths whose schema is
     stable for the life of the process (the driver testdata is)."""
+    ensure_instant_timestamps(spark)
     sch = _SCHEMA_CACHE.get(path)
     if sch is None:
         sch = spark.read.parquet(path).schema
@@ -131,19 +145,34 @@ def recover_interrupted_swap(spark: SparkSession, path: str) -> bool:
     renames.  Returns True iff ``path`` exists after recovery.
 
     State machine: the swap writes ``._inprogress`` COMPLETELY before the
-    first rename, so an absent target with a present ``._inprogress`` can
-    only mean the crash hit between rename(target -> ._replaced) and
-    rename(._inprogress -> target) — the temp IS the complete new table and
-    is published.  An absent target with only ``._replaced`` left means the
-    publish rename and its rollback both failed — the old table is the best
-    surviving copy and is restored.  Callers deciding "first write ever?"
-    from a bare existence check MUST call this first, or a crashed swap
-    masquerades as an empty table and history is silently replaced."""
+    first rename, so an absent target with a present ``._inprogress`` AND a
+    ``._replaced`` sibling can only mean the crash hit between
+    rename(target -> ._replaced) and rename(._inprogress -> target) — the
+    temp IS the complete new table and is published.  With NO ``._replaced``
+    (a first-ever publish: no prior table was moved aside), completeness is
+    decided by the writer's ``_SUCCESS`` job-commit marker — a temp missing
+    it is a HALF-WRITTEN first publish whose crash hit mid-write, and
+    publishing it would install a torn table; it is deleted instead (the
+    caller's replayed batch regenerates it).  An absent target with only
+    ``._replaced`` left means the publish rename and its rollback both
+    failed — the old table is the best surviving copy and is restored.
+    Callers deciding "first write ever?" from a bare existence check MUST
+    call this first, or a crashed swap masquerades as an empty table and
+    history is silently replaced."""
     fs, target = _hadoop_fs(spark, path)
     tmp_p, old_p = _swap_siblings(spark, path)
     if fs.exists(target):
         return True
     if fs.exists(tmp_p):
+        jvm = spark._jvm
+        complete = fs.exists(old_p) or fs.exists(
+            jvm.org.apache.hadoop.fs.Path(tmp_p, "_SUCCESS")
+        )
+        if not complete:
+            # half-written first-ever publish: no prior table existed (no
+            # ._replaced) and the job never committed — discard the torn temp
+            fs.delete(tmp_p, True)
+            return False
         if not fs.rename(tmp_p, target):
             raise IOError(
                 f"recover_interrupted_swap: could not publish {tmp_p} to {path}"
@@ -159,7 +188,9 @@ def recover_interrupted_swap(spark: SparkSession, path: str) -> bool:
     return False
 
 
-def publish_atomic(df: DataFrame, path: str) -> None:
+def publish_atomic(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
     """Replace the table at ``path`` with ``df`` via full-write-then-swap:
     ``df`` is completely written to a ``._inprogress`` sibling (it may read
     from ``path`` itself — the plan is forced before the target moves), then
@@ -181,7 +212,10 @@ def publish_atomic(df: DataFrame, path: str) -> None:
             "an interrupted swap holds the only copies; call "
             "recover_interrupted_swap first"
         )
-    df.write.mode("overwrite").parquet(str(tmp_p))  # full write BEFORE any swap
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(tmp_p))  # full write BEFORE any swap
     had_target = fs.exists(target)
     if had_target and not fs.rename(target, old_p):
         raise IOError(f"publish_atomic: could not move {path} aside")
@@ -191,6 +225,135 @@ def publish_atomic(df: DataFrame, path: str) -> None:
             fs.rename(old_p, target)
         raise IOError(f"publish_atomic: could not publish {tmp_p} to {path}")
     fs.delete(old_p, True)
+
+
+def _part_swap_paths(spark: SparkSession, path: str, part_name: str):
+    """Per-partition swap sibling paths INSIDE the table directory.
+
+    Names are ``.``-prefixed so Spark's file listing hides them from reads
+    even mid-swap (a bare ``<col>=<v>._inprogress`` contains ``=`` and would
+    escape the ``_``-prefix filter, surfacing as a malformed partition)."""
+    jvm = spark._jvm
+    _, target = _hadoop_fs(spark, path)
+    mk = jvm.org.apache.hadoop.fs.Path
+    return (
+        mk(target, part_name),
+        mk(target, "." + part_name + "._inprogress"),
+        mk(target, "." + part_name + "._replaced"),
+    )
+
+
+def list_partition_dirs(spark: SparkSession, path: str, col: str) -> list[str]:
+    """Names of the live ``col=<value>`` partition directories under ``path``
+    (one FileSystem listing — a driver-side metadata op, no data read)."""
+    fs, target = _hadoop_fs(spark, path)
+    if not fs.exists(target):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(target)
+        if st.isDirectory() and st.getPath().getName().startswith(col + "=")
+    ]
+
+
+def recover_partition_swaps(spark: SparkSession, path: str) -> None:
+    """Repair partition-level swap leftovers under ``path`` (the per-
+    partition analog of :func:`recover_interrupted_swap`; call after it).
+
+    For each ``.<part>._inprogress`` / ``.<part>._replaced`` found:
+
+    * live partition present  -> the leftovers are stale copies from a swap
+      that completed (or from a crashed batch the streaming checkpoint will
+      replay) — deleted;
+    * only ``._inprogress``   -> it was staged COMPLETELY before any rename
+      (the staging write commits before the swap loop starts) — published;
+    * only ``._replaced``     -> publish + rollback both failed — restored.
+
+    A stale ``._staging`` sibling (crash mid-staging-write) is deleted: the
+    replayed batch regenerates it."""
+    fs, target = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    staging_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._staging")
+    fs.delete(staging_p, True)
+    if not fs.exists(target):
+        return
+    for st in fs.listStatus(target):
+        name = st.getPath().getName()
+        for suffix in ("._inprogress", "._replaced"):
+            if name.startswith(".") and name.endswith(suffix):
+                part = name[1 : -len(suffix)]
+                part_p, tmp_p, old_p = _part_swap_paths(spark, path, part)
+                if fs.exists(part_p):
+                    fs.delete(tmp_p, True)
+                    fs.delete(old_p, True)
+                elif fs.exists(tmp_p):
+                    if not fs.rename(tmp_p, part_p):
+                        raise IOError(
+                            f"recover_partition_swaps: could not publish {tmp_p}"
+                        )
+                    fs.delete(old_p, True)
+                elif fs.exists(old_p):
+                    if not fs.rename(old_p, part_p):
+                        raise IOError(
+                            f"recover_partition_swaps: could not restore {old_p}"
+                        )
+
+
+def publish_atomic_partitions(
+    df: DataFrame, path: str, partition_col: str, values: list
+) -> None:
+    """Replace ONLY the ``partition_col=<v>`` directories for ``v`` in
+    ``values`` under ``path`` with ``df``'s content, leaving every other
+    partition's files physically untouched — the partition-restricted form
+    of :func:`publish_atomic` (a transactional format's ``replaceWhere``).
+
+    ``df`` (which may read from the live table — the staging write forces
+    the plan before anything moves) is fully written to a ``._staging``
+    sibling partitioned by ``partition_col``; each staged partition is then
+    swapped in with the publish_atomic rename dance, per partition.  A
+    touched value with NO staged rows means the partition emptied — its
+    directory is deleted.  Atomicity is PER PARTITION: a crash between
+    partition swaps leaves earlier partitions new and later ones old, each
+    internally consistent; a replayed batch (the streaming-checkpoint
+    contract) re-merges to the same final state, and
+    :func:`recover_partition_swaps` repairs any mid-swap window first."""
+    spark = df.sparkSession
+    fs, target = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    staging = path.rstrip("/") + "._staging"
+    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(staging_p, True)
+    (
+        df.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )  # complete staging write (job-committed) BEFORE any rename
+    staged = {
+        st.getPath().getName(): st.getPath()
+        for st in fs.listStatus(staging_p)
+        if st.getPath().getName().startswith(partition_col + "=")
+    }
+    for v in values:
+        part = f"{partition_col}={v}"
+        part_p, tmp_p, old_p = _part_swap_paths(spark, path, part)
+        fs.delete(tmp_p, True)
+        fs.delete(old_p, True)
+        src = staged.get(part)
+        if src is None:
+            # every row of this touched partition was deleted by the merge
+            fs.delete(part_p, True)
+            continue
+        if not fs.rename(src, tmp_p):
+            raise IOError(f"publish_atomic_partitions: could not stage {part}")
+        had = fs.exists(part_p)
+        if had and not fs.rename(part_p, old_p):
+            raise IOError(f"publish_atomic_partitions: could not move {part} aside")
+        if not fs.rename(tmp_p, part_p):
+            if had:
+                fs.rename(old_p, part_p)
+            raise IOError(f"publish_atomic_partitions: could not publish {part}")
+        fs.delete(old_p, True)
+    fs.delete(staging_p, True)
 
 
 def compact_parquet(
@@ -253,8 +416,16 @@ def zorder_value(cols: list, bits: int = 8, mins=None, maxs=None):
     Pure column expressions (shift/mask/or — JVM-side, no UDF).  ``mins``/
     ``maxs`` are per-column domain bounds (pass precomputed stats at scale;
     they become literals in the plan)."""
-    z = F.lit(0).cast("bigint")
     n = len(cols)
+    if bits * n > 63:
+        # Java shiftleft masks the shift amount mod 64 — positions past 63
+        # would silently WRAP into low bits and scramble the clustering
+        raise ValueError(
+            f"zorder_value: bits*len(cols) = {bits * n} exceeds the 63 "
+            "interleavable bits of a bigint key — lower bits or cluster "
+            "fewer columns"
+        )
+    z = F.lit(0).cast("bigint")
     for i, c in enumerate(cols):
         col = F.col(c) if isinstance(c, str) else c
         lo, hi = F.lit(mins[i]), F.lit(maxs[i])
@@ -297,13 +468,16 @@ def zorder_write(
         *[F.min(c).cast("double").alias(f"_lo{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"_hi{i}") for i, c in enumerate(cols)],
     ).collect()[0]
-    mins = [stats[f"_lo{i}"] for i in range(len(cols))]
-    maxs = [
-        # guard degenerate domains (min == max) against divide-by-zero
-        stats[f"_hi{i}"] if stats[f"_hi{i}"] > stats[f"_lo{i}"]
-        else stats[f"_lo{i}"] + 1.0
-        for i in range(len(cols))
-    ]
+    mins = []
+    maxs = []
+    for i, c in enumerate(cols):
+        lo, hi = stats[f"_lo{i}"], stats[f"_hi{i}"]
+        if lo is None:  # all-NULL column: no domain to quantize, pin to 0
+            lo, hi = 0.0, 1.0
+        elif not hi > lo:  # degenerate domain (min == max): avoid div-by-zero
+            hi = lo + 1.0
+        mins.append(lo)
+        maxs.append(hi)
     z = zorder_value(cols, bits=bits, mins=mins, maxs=maxs)
     (
         df.withColumn("_z", z)

@@ -36,6 +36,9 @@ from ..schemas import EVENTS
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream of events parquet files (schema mandatory for
     streaming reads).  ``maxFilesPerTrigger`` paces backfills."""
+    from ..sources.io import ensure_instant_timestamps
+
+    ensure_instant_timestamps(spark)
     return (
         spark.readStream.schema(EVENTS)
         .option("maxFilesPerTrigger", "16")
@@ -192,17 +195,141 @@ def incremental_journeys_stream_stream(
     )
 
 
+#: hidden key-bucket partition column of merge-maintained tables — pmod of
+#: the key hash, so a batch's keys map to a bounded set of partitions
+BUCKET_COL = "_kb"
+
+
+def _bucket_of(keys: list[str], num_buckets: int):
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)
+    ).cast("int")
+
+
+def read_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Read a merge-maintained table (``overwrite_by_key`` / ``apply_cdc``
+    target), hiding the internal key-bucket partition column."""
+    df = spark.read.parquet(path)
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+
+def _merge_by_key(
+    touched_keys: DataFrame,
+    upserts: DataFrame,
+    path: str,
+    keys: list[str],
+    num_buckets: int | None,
+) -> None:
+    """Shared merge core: rows of ``path`` whose key appears in
+    ``touched_keys`` are dropped, ``upserts`` added — with I/O restricted
+    to the key-bucket partitions the batch touches.
+
+    ``num_buckets`` set (the default): the table is laid out partitioned by
+    ``_kb = pmod(xxhash64(keys), num_buckets)``.  The batch's touched
+    bucket set (≤ batch size, ≤ num_buckets — collected, a scalar-bounded
+    probe) prunes the read (``PartitionFilters: [_kb IN (...)]``) AND
+    bounds the write: only touched ``_kb=`` directories are rewritten via
+    ``io.publish_atomic_partitions``; every other partition's files remain
+    PHYSICALLY untouched.  Per-batch I/O is ∝ touched partitions — at
+    100 TB a 1 000-row batch reads/writes ~1/num_buckets of the table at
+    most, not all of it.  A pre-existing UNBUCKETED table is migrated
+    (one whole-table rewrite, amortized over every later batch).
+
+    ``num_buckets=None``: the legacy whole-table merge (read ∖ keys ∪
+    upserts, ``io.publish_atomic``) — table-level atomic, but per-batch
+    I/O ∝ table size; keep it only for tiny tables.
+
+    On a transactional format (Delta/Iceberg) this whole function is a
+    MERGE / ``replaceWhere`` — that is the production path; this is the
+    plain-parquet equivalent."""
+    from ..sources import io
+
+    spark = upserts.sparkSession
+    exists = io.recover_interrupted_swap(spark, path)
+    if exists:
+        io.recover_partition_swaps(spark, path)
+
+    if num_buckets is None:
+        if not exists:
+            upserts.write.mode("overwrite").parquet(path)
+            return
+        existing = spark.read.parquet(path)
+        kept = existing.join(F.broadcast(touched_keys), keys, "left_anti")
+        io.publish_atomic(kept.unionByName(upserts), path)
+        return
+
+    if BUCKET_COL in upserts.columns:
+        raise ValueError(f"merge input already has a {BUCKET_COL} column")
+    bucketed_upserts = upserts.withColumn(
+        BUCKET_COL, _bucket_of(keys, num_buckets)
+    )
+    live_parts = io.list_partition_dirs(spark, path, BUCKET_COL) if exists else []
+    if exists and not live_parts:
+        # flat layout (legacy table, or the all-rows-deleted empty state):
+        # migrate — rewrite once partitioned by key bucket; an EMPTY flat
+        # table skips straight to the first-bucketed-write branch
+        existing = spark.read.parquet(path)
+        if existing.isEmpty():
+            exists = False
+        else:
+            io.publish_atomic(
+                existing.withColumn(BUCKET_COL, _bucket_of(keys, num_buckets)),
+                path,
+                partition_by=[BUCKET_COL],
+            )
+            live_parts = io.list_partition_dirs(spark, path, BUCKET_COL)
+    if not exists:
+        if upserts.isEmpty():
+            # partitionBy of zero rows writes no readable file — keep the
+            # schema with a flat empty table; the next batch migrates it
+            upserts.write.mode("overwrite").parquet(path)
+        else:
+            bucketed_upserts.write.mode("overwrite").partitionBy(
+                BUCKET_COL
+            ).parquet(path)
+        return
+
+    touched = sorted(
+        r[0]
+        for r in touched_keys.select(
+            _bucket_of(keys, num_buckets).alias(BUCKET_COL)
+        )
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return
+    existing = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(touched)
+    )  # partition-pruned: only touched _kb= directories are read
+    kept = existing.join(F.broadcast(touched_keys), keys, "left_anti")
+    merged = kept.unionByName(bucketed_upserts)
+    if set(live_parts) <= {f"{BUCKET_COL}={v}" for v in touched}:
+        # the batch touches EVERY live partition — if the merge empties
+        # them all, fall back to a flat empty table (zero-partition parquet
+        # is unreadable); rare by construction, and the check above keeps
+        # this extra job off the per-batch hot path
+        if merged.isEmpty():
+            io.publish_atomic(upserts.limit(0), path)
+            return
+    io.publish_atomic_partitions(merged, path, BUCKET_COL, touched)
+
+
 def overwrite_by_key(
-    batch_df: DataFrame, path: str, keys: list[str]
+    batch_df: DataFrame,
+    path: str,
+    keys: list[str],
+    num_buckets: int | None = 64,
 ) -> None:
     """Idempotent overwrite-by-key for one micro-batch: rows in ``path``
     whose key appears in the batch are replaced, others kept — the
     reference's DELETE+INSERT re-run semantics (api_client.py:139,
     channel_reporter.py:99).
 
-    Plain-parquet merge (read ∖ batch-keys ∪ batch); the anti-join
-    broadcasts the batch's key set — micro-batches are small by
-    construction.  Failure posture:
+    Plain-parquet merge (read ∖ batch-keys ∪ batch) restricted to the
+    key-bucket partitions the batch touches (see ``_merge_by_key`` — the
+    anti-join broadcasts the batch's key set; micro-batches are small by
+    construction).  Failure posture:
 
     * "table absent" is decided by an EXPLICIT FileSystem existence check,
       never by catching read errors — a corrupt or transiently-unreadable
@@ -214,28 +341,16 @@ def overwrite_by_key(
       ``io.recover_interrupted_swap`` restores it before the first-batch
       branch can run — the foreachBatch replay then merges on top of the
       recovered history instead of replacing it;
-    * the merged result is fully written to a sibling temp directory first,
-      then swapped in with two FileSystem renames
-      (``io.publish_atomic``) — a crash at any point leaves either the old
-      table, or the old table plus a complete temp, or a fully-written new
-      table (never a half-written table that the next batch would misread);
-    * on a transactional format (Delta/Iceberg) this whole function is a
-      MERGE / ``replaceWhere`` — that is the production path; this is the
-      plain-parquet equivalent.
+    * merged partitions are fully staged before any rename and swapped in
+      per partition (``io.publish_atomic_partitions``) — a crash leaves
+      every partition either old or new, never half-written; the replayed
+      batch converges the table and repairs any mid-swap window
+      (``io.recover_partition_swaps``).
     """
-    from ..sources import io
-
-    spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint()  # batch is tiny; sever lineage
-    if not io.recover_interrupted_swap(spark, path):
-        batch_df.write.mode("overwrite").parquet(path)
-        return
-
-    existing = spark.read.parquet(path)
-    kept = existing.join(
-        F.broadcast(batch_df.select(*keys).distinct()), keys, "left_anti"
+    _merge_by_key(
+        batch_df.select(*keys).distinct(), batch_df, path, keys, num_buckets
     )
-    io.publish_atomic(kept.unionByName(batch_df), path)
 
 
 def run_foreach_batch_upsert(
@@ -258,7 +373,12 @@ def run_foreach_batch_upsert(
 
 
 def apply_cdc(
-    batch_df: DataFrame, path: str, keys: list[str], op_col: str = "_op"
+    batch_df: DataFrame,
+    path: str,
+    keys: list[str],
+    op_col: str = "_op",
+    seq_col: str | None = None,
+    num_buckets: int | None = 64,
 ) -> None:
     """Apply one CDC micro-batch (insert/update/delete change feed) to a
     plain-parquet table — the MERGE a transactional format would run,
@@ -269,38 +389,50 @@ def apply_cdc(
       key (upsert — I and U are deliberately identical, so a replayed feed
       that re-labels an insert as an update stays idempotent);
     * ``op_col`` = 'D': the key is removed; the row's other columns are
-      ignored (CDC deletes usually carry only the key image).
+      ignored (CDC deletes usually carry only the key image);
+    * any OTHER op value — including NULL — FAILS the batch: a malformed
+      change record silently treated as an upsert (or, worse, a NULL op
+      slipping through a null-rejecting delete filter and deleting its
+      key) corrupts the table; same fail-loud posture as the corrupt-table
+      check.
 
-    If one key appears multiple times in a batch, the LAST change by
-    ``keys`` + batch order wins — resolved here by keeping each key's
-    final row before applying (a real feed orders by LSN; callers with an
-    explicit sequence column should pre-dedup on it).
+    If one key appears multiple times in a batch, the winner is the
+    highest ``seq_col`` value when given (the feed's LSN / commit sequence
+    — the CORRECT order under shuffled or re-delivered feeds, since
+    arrival order within a multi-partition batch is not commit order),
+    with batch row order as the tie-break; without ``seq_col`` batch
+    arrival order alone decides, which is only sound for ordered
+    single-source feeds (the availableNow file source).
 
-    Same failure posture as ``overwrite_by_key``: explicit existence
-    check, interrupted-swap recovery before the first-batch branch, full
-    temp write + atomic rename swap (``io.publish_atomic``)."""
-    from ..sources import io
-
-    spark = batch_df.sparkSession
+    Same failure posture and partition-restricted I/O as
+    ``overwrite_by_key`` (see ``_merge_by_key``)."""
     batch_df = batch_df.localCheckpoint()  # batch is tiny; sever lineage
-    # last change per key wins (monotonically_increasing_id preserves the
-    # batch's row order within this materialized batch)
-    w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
+    bad = batch_df.filter(
+        F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
+    ).limit(1)
+    bad_rows = bad.collect()
+    if bad_rows:
+        raise ValueError(
+            f"apply_cdc: {op_col} must be one of 'I'/'U'/'D', got "
+            f"{bad_rows[0][op_col]!r} — failing the batch (a malformed "
+            "change record must not be silently applied)"
+        )
+    # last change per key wins: explicit feed sequence first when given,
+    # monotonically_increasing_id (batch row order) as the tie-break
+    order = [F.desc("_arrival")]
+    if seq_col is not None:
+        order.insert(0, F.desc(seq_col))
+    w = Window.partitionBy(*keys).orderBy(*order)
     last = (
-        batch_df.withColumn("_seq", F.monotonically_increasing_id())
+        batch_df.withColumn("_arrival", F.monotonically_increasing_id())
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_seq", "_rn")
+        .drop("_arrival", "_rn")
     )
     upserts = last.filter(F.col(op_col) != "D").drop(op_col)
-    if not io.recover_interrupted_swap(spark, path):
-        upserts.write.mode("overwrite").parquet(path)
-        return
-    existing = spark.read.parquet(path)
-    kept = existing.join(
-        F.broadcast(last.select(*keys).distinct()), keys, "left_anti"
+    _merge_by_key(
+        last.select(*keys).distinct(), upserts, path, keys, num_buckets
     )
-    io.publish_atomic(kept.unionByName(upserts), path)
 
 
 def run_foreach_batch_cdc(
@@ -309,13 +441,14 @@ def run_foreach_batch_cdc(
     checkpoint_dir: str,
     keys: list[str],
     op_col: str = "_op",
+    seq_col: str | None = None,
 ) -> None:
     """availableNow run applying a CDC change stream to a table — replayed
     batches re-apply idempotently (upserts replace, deletes of absent keys
     are no-ops)."""
     q = (
         stream_df.writeStream.foreachBatch(
-            lambda bdf, _id: apply_cdc(bdf, path, keys, op_col)
+            lambda bdf, _id: apply_cdc(bdf, path, keys, op_col, seq_col)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
@@ -360,7 +493,7 @@ def incremental_attribution(
             batch, journeys_path, ["conversion_id", "session_id"]
         )
         touched = batch.select("conversion_id").distinct()
-        full = spark.read.parquet(journeys_path).join(
+        full = read_merged(spark, journeys_path).join(
             F.broadcast(touched), "conversion_id", "left_semi"
         )
         attributed = model_fn(full).localCheckpoint()
@@ -434,13 +567,13 @@ def incremental_report(
             return
         overwrite_by_key(batch, journeys_path, ["conversion_id", "session_id"])
         touched = batch.select("conversion_id").distinct()
-        full = spark.read.parquet(journeys_path).join(
+        full = read_merged(spark, journeys_path).join(
             F.broadcast(touched), "conversion_id", "left_semi"
         )
         attributed = model_fn(full).localCheckpoint()
         overwrite_by_key(attributed, attribution_path, ["conversion_id"])
 
-        att_all = spark.read.parquet(attribution_path)
+        att_all = read_merged(spark, attribution_path)
         # prefer an existing date column (the partition column on a
         # date-partitioned sessions table) over recomputing from ts, so the
         # touched-date filter below prunes partitions instead of scanning

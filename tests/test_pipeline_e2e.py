@@ -163,3 +163,26 @@ def test_validated_run_passes_and_catches_corruption(spark, star_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="unique"):
         pipe2.run()
+
+
+def test_auto_salt_run_parity(spark, star_dir, tmp_path):
+    """auto_salt=True with a threshold low enough to trigger on the fixture
+    must produce the IDENTICAL journeys table to the unsalted run — the
+    salt is a physical-plan knob, never a semantic one."""
+    plain = AttributionPipeline(spark, _cfg(star_dir, tmp_path / "plain"))
+    plain_j = plain.build_journeys()
+
+    from data_engineering_challenge_spark.operators import skew
+
+    sessions = spark.read.parquet(os.path.join(star_dir, "session_sources.parquet"))
+    # threshold of 1 row/task guarantees the probe recommends salting here
+    assert skew.recommend_salt(sessions, "user_id", rows_per_task=1) is not None
+
+    salted = AttributionPipeline(
+        spark,
+        _cfg(star_dir, tmp_path / "salted", auto_salt=True, salt_rows_per_task=1),
+    )
+    salted_j = salted.build_journeys()
+
+    assert salted_j.count() == plain_j.count()
+    assert salted_j.exceptAll(plain_j).count() == 0

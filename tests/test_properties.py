@@ -439,3 +439,69 @@ def test_apply_cdc_matches_dict_replay(spark, tmp_path_factory, batches):
             assert got == model, (batch, got, model)
     finally:
         shutil.rmtree(str(d), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# apply_cdc with an explicit sequence column: arbitrary ARRIVAL order within
+# each batch (a shuffled/multi-partition feed) must not change the outcome —
+# the final table equals dict replay in SEQUENCE order
+# ---------------------------------------------------------------------------
+
+cdc_seq_batches_strategy = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),                      # key
+            st.integers(0, 99),                     # value
+            st.sampled_from(["I", "U", "D"]),       # op
+        ),
+        min_size=1,
+        max_size=6,
+    ).flatmap(
+        lambda rows: st.permutations(
+            [(k, v, op, seq) for seq, (k, v, op) in enumerate(rows)]
+        )
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(batches=cdc_seq_batches_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_apply_cdc_seq_col_order_independent(spark, tmp_path_factory, batches):
+    """Model check: with seq_col, apply_cdc over batches whose rows arrive
+    in ARBITRARY order (hypothesis permutes them) equals dict replay in
+    sequence order — the correctness property a replayed / rebalanced /
+    multi-partition change feed needs (arrival order is meaningless there;
+    without seq_col the winner would follow the permutation)."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.streaming import incremental as st_inc
+
+    d = tmp_path_factory.mktemp("cdc_seq")
+    path = str(d / "table")
+    model: dict[int, int] = {}
+    try:
+        for batch in batches:
+            for k, v, op, _seq in sorted(batch, key=lambda r: r[3]):
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+            bdf = spark.createDataFrame(
+                [Row(k=k, v=v, _op=op, seq=seq) for k, v, op, seq in batch]
+            ).repartition(3)  # scatter arrival order across partitions
+            st_inc.apply_cdc(bdf, path, ["k"], seq_col="seq")
+            got = {
+                r.k: r.v
+                for r in st_inc.read_merged(spark, path).collect()
+            }
+            assert got == model, (batch, got, model)
+    finally:
+        shutil.rmtree(str(d), ignore_errors=True)

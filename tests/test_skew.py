@@ -161,3 +161,27 @@ def test_build_journeys_salted_parity_under_power_user_skew(spark):
         .count()
     )
     assert n_buckets > 1
+
+
+def test_recommend_salt_probes_hot_key(spark):
+    """recommend_salt wires the histogram probe to the salt knob: the
+    1-user-owns-half fixture recommends a bucket count sized to the hot
+    key, uniform data recommends nothing (salting uniform data multiplies
+    shuffle volume for no benefit)."""
+    from data_engineering_challenge_spark.operators.skew import recommend_salt
+
+    skewed = spark.createDataFrame(
+        [Row(user_id="power", v=i) for i in range(500)]
+        + [Row(user_id=f"u{i % 50}", v=i) for i in range(500)]
+    )
+    # hot key owns 500 rows; at 100 rows/task that is 5 buckets
+    assert recommend_salt(skewed, "user_id", rows_per_task=100) == 5
+    # cap respected
+    assert recommend_salt(skewed, "user_id", rows_per_task=100, max_buckets=3) == 3
+    # uniform: heaviest key ~10 rows, under threshold -> no salt
+    uniform = spark.createDataFrame(
+        [Row(user_id=f"u{i % 100}", v=i) for i in range(1000)]
+    )
+    assert recommend_salt(uniform, "user_id", rows_per_task=100) is None
+    # empty probe side
+    assert recommend_salt(uniform.limit(0), "user_id", rows_per_task=100) is None

@@ -213,7 +213,7 @@ def test_incremental_attribution_delta_recompute(spark, tmp_path):
         stream, conversions, jpath, apath, str(tmp_path / "ckpt")
     )
 
-    got = spark.read.parquet(apath)
+    got = st.read_merged(spark, apath)
     expected = attr.attribute_linear(jny.build_journeys(conversions, sessions))
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
@@ -359,7 +359,7 @@ def test_incremental_report_equals_batch(spark, tmp_path):
         str(tmp_path / "report"), str(tmp_path / "ckpt"),
     )
 
-    got = spark.read.parquet(str(tmp_path / "report"))
+    got = st.read_merged(spark, str(tmp_path / "report"))
     expected = rpt.channel_report(
         sessions, costs,
         attr.attribute_linear(jny.build_journeys(conversions, sessions)),
@@ -462,7 +462,7 @@ def test_incremental_report_prunes_to_touched_partitions(spark, tmp_path):
     from data_engineering_challenge_spark.operators import report as rpt
 
     sessions = spark.createDataFrame(sess_rows)
-    got = spark.read.parquet(str(tmp_path / "report"))
+    got = st.read_merged(spark, str(tmp_path / "report"))
     expected = rpt.channel_report(
         sessions, costs,
         attr.attribute_linear(jny.build_journeys(conversions, sessions)),
@@ -532,4 +532,285 @@ def test_run_foreach_batch_cdc_stream(spark, tmp_path):
 
     assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {
         (2, "b"), (3, "c")
+    }
+
+
+def _file_identity(root):
+    """(relative path, mtime_ns, size) of every data file under ``root``."""
+    import os
+
+    out = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root)
+            stt = os.stat(p)
+            out.add((rel, stt.st_mtime_ns, stt.st_size))
+    return out
+
+
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """THE scale property of the partition-restricted merge: a batch must
+    leave every key-bucket partition it does not touch PHYSICALLY
+    untouched — same file paths, mtimes, and sizes — and rewrite only the
+    ``_kb=`` directories containing its keys.  (The whole-table merge this
+    replaces rewrote 100% of the files per micro-batch: per-batch I/O ∝
+    table, the round-4 scale-killer.)"""
+    import os
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    base = spark.createDataFrame([Row(k=i, v=f"v{i}") for i in range(200)])
+    st.overwrite_by_key(base, path, ["k"], num_buckets=16)
+    parts = {d for d in os.listdir(path) if d.startswith("_kb=")}
+    assert len(parts) > 4  # 200 keys spread over 16 buckets
+
+    before = {d: _file_identity(os.path.join(path, d)) for d in parts}
+
+    # one-key batch: exactly the buckets of {7} may change
+    st.overwrite_by_key(
+        spark.createDataFrame([Row(k=7, v="NEW")]), path, ["k"], num_buckets=16
+    )
+    from data_engineering_challenge_spark.streaming.incremental import (
+        BUCKET_COL, _bucket_of,
+    )
+
+    touched = {
+        f"_kb={r[0]}"
+        for r in spark.createDataFrame([Row(k=7)])
+        .select(_bucket_of(["k"], 16).alias(BUCKET_COL))
+        .collect()
+    }
+    after = {d: _file_identity(os.path.join(path, d)) for d in parts}
+    for d in parts - touched:
+        assert after[d] == before[d], f"untouched partition {d} was rewritten"
+    for d in touched:
+        assert after[d] != before[d], f"touched partition {d} unchanged"
+
+    # and the merge semantics held
+    got = {(r.k, r.v) for r in st.read_merged(spark, path).collect()}
+    assert got == {(i, "NEW" if i == 7 else f"v{i}") for i in range(200)}
+
+
+def test_apply_cdc_rewrites_only_touched_partitions(spark, tmp_path):
+    """Same file-identity property for the CDC merge, including a delete."""
+    import os
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    st.apply_cdc(
+        spark.createDataFrame(
+            [Row(k=i, v=f"v{i}", _op="I") for i in range(100)]
+        ),
+        path,
+        ["k"],
+        num_buckets=8,
+    )
+    parts = {d for d in os.listdir(path) if d.startswith("_kb=")}
+    before = {d: _file_identity(os.path.join(path, d)) for d in parts}
+
+    batch = spark.createDataFrame(
+        [Row(k=3, v="X", _op="U"), Row(k=4, v=None, _op="D")]
+    )
+    st.apply_cdc(batch, path, ["k"], num_buckets=8)
+
+    from data_engineering_challenge_spark.streaming.incremental import (
+        BUCKET_COL, _bucket_of,
+    )
+
+    touched = {
+        f"_kb={r[0]}"
+        for r in spark.createDataFrame([Row(k=3), Row(k=4)])
+        .select(_bucket_of(["k"], 8).alias(BUCKET_COL))
+        .collect()
+    }
+    after = {d: _file_identity(os.path.join(path, d)) for d in parts}
+    for d in parts - touched:
+        assert after[d] == before[d], f"untouched partition {d} was rewritten"
+
+    got = {(r.k, r.v) for r in st.read_merged(spark, path).collect()}
+    expected = {(i, f"v{i}") for i in range(100)} - {(3, "v3"), (4, "v4")}
+    expected.add((3, "X"))
+    assert got == expected
+
+
+def test_apply_cdc_seq_col_orders_collisions(spark, tmp_path):
+    """Same-key collisions must resolve by the feed's sequence column when
+    given — and DEMONSTRABLY by arrival order when not: the two orderings
+    disagree on this fixture, proving seq_col is load-bearing (a replayed/
+    shuffled feed without it can resurrect an overwritten value)."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    # arrival order (row order) is the REVERSE of commit order (lsn)
+    rows = [
+        Row(k=1, v="newest", lsn=5, _op="U"),
+        Row(k=1, v="older", lsn=2, _op="U"),
+        Row(k=1, v="oldest", lsn=1, _op="I"),
+    ]
+    batch = spark.createDataFrame(rows).coalesce(1)
+
+    st.apply_cdc(batch, path, ["k"], seq_col="lsn")
+    assert [(r.k, r.v) for r in st.read_merged(spark, path).collect()] == [
+        (1, "newest")
+    ]
+    shutil.rmtree(path)
+
+    # without seq_col, arrival order wins: the LAST row (lowest lsn) sticks
+    st.apply_cdc(batch, path, ["k"])
+    assert [(r.k, r.v) for r in st.read_merged(spark, path).collect()] == [
+        (1, "oldest")
+    ]
+
+
+def test_apply_cdc_rejects_malformed_ops(spark, tmp_path):
+    """A NULL or unknown op value must FAIL the batch — a NULL op would
+    otherwise slip through a null-rejecting `!= 'D'` filter while its key
+    is still anti-joined out of the table: a malformed record silently
+    DELETING data.  Fail-loud, same posture as the corrupt-table check."""
+    import pytest
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    st.apply_cdc(
+        spark.createDataFrame([Row(k=1, v="a", _op="I")]), path, ["k"]
+    )
+
+    with pytest.raises(ValueError, match="_op"):
+        st.apply_cdc(
+            spark.createDataFrame(
+                [Row(k=1, v=None, _op=None)], "k long, v string, _op string"
+            ),
+            path,
+            ["k"],
+        )
+    with pytest.raises(ValueError, match="_op"):
+        st.apply_cdc(
+            spark.createDataFrame([Row(k=1, v="x", _op="upsert")]), path, ["k"]
+        )
+    # table untouched by both failed batches
+    assert {(r.k, r.v) for r in st.read_merged(spark, path).collect()} == {
+        (1, "a")
+    }
+
+
+def test_merge_recovers_partition_level_crash_states(spark, tmp_path):
+    """Partition-swap crash machine: (a) a complete ``._inprogress``
+    partition with its target moved aside is published; (b) a lone
+    ``._replaced`` is restored; (c) leftovers next to a LIVE partition are
+    stale and cleared; (d) a stale ``._staging`` sibling is cleared.  All
+    hidden names — a reader mid-crash never sees a malformed partition."""
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.sources import io
+
+    path = str(tmp_path / "table")
+    base = spark.createDataFrame([Row(k=i, v=f"v{i}") for i in range(50)])
+    st.overwrite_by_key(base, path, ["k"], num_buckets=4)
+    parts = sorted(d for d in os.listdir(path) if d.startswith("_kb="))
+    assert len(parts) >= 3
+    pa, pb, pc = parts[0], parts[1], parts[2]
+
+    # (a) crash between renames: target gone, complete temp in ._inprogress
+    os.rename(os.path.join(path, pa), os.path.join(path, f".{pa}._inprogress"))
+    # (b) publish+rollback both failed: only ._replaced holds the data
+    os.rename(os.path.join(path, pb), os.path.join(path, f".{pb}._replaced"))
+    # (c) stale leftovers next to a live partition
+    shutil.copytree(
+        os.path.join(path, pc), os.path.join(path, f".{pc}._inprogress")
+    )
+    # (d) stale staging sibling from a crashed staging write
+    os.makedirs(path + "._staging/_kb=0")
+
+    io.recover_partition_swaps(spark, path)
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("_kb=")
+    ) == parts
+    assert not any(d.endswith(("._inprogress", "._replaced")) for d in os.listdir(path))
+    assert not os.path.exists(path + "._staging")
+    got = {(r.k, r.v) for r in st.read_merged(spark, path).collect()}
+    assert got == {(i, f"v{i}") for i in range(50)}
+
+    # and a merge straight through the same crash state also self-heals
+    os.rename(os.path.join(path, pa), os.path.join(path, f".{pa}._inprogress"))
+    st.overwrite_by_key(
+        spark.createDataFrame([Row(k=0, v="Z")]), path, ["k"], num_buckets=4
+    )
+    got = {(r.k, r.v) for r in st.read_merged(spark, path).collect()}
+    assert got == {(i, "Z" if i == 0 else f"v{i}") for i in range(50)}
+
+
+def test_publish_atomic_discards_torn_first_write(spark, tmp_path):
+    """First-ever publish crash MID-WRITE: the ``._inprogress`` temp is
+    half-written (no ``_SUCCESS`` job-commit marker, no ``._replaced``
+    since no prior table was moved aside).  Recovery must NOT install the
+    torn directory as the live table — it is discarded, and the caller's
+    replayed batch regenerates it."""
+    import os
+
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.sources import io
+
+    path = str(tmp_path / "table")
+    # half-written temp: parquet file present but the job never committed
+    tmp = path + "._inprogress"
+    spark.createDataFrame([Row(k=1, v="torn")]).write.parquet(tmp)
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+
+    assert io.recover_interrupted_swap(spark, path) is False
+    assert not os.path.exists(path)
+    assert not os.path.exists(tmp)  # torn temp discarded, not published
+
+    # the replayed batch then takes the clean first-batch branch
+    st.overwrite_by_key(
+        spark.createDataFrame([Row(k=1, v="good")]), path, ["k"]
+    )
+    assert {(r.k, r.v) for r in st.read_merged(spark, path).collect()} == {
+        (1, "good")
+    }
+
+
+def test_merge_empty_table_roundtrip(spark, tmp_path):
+    """Deleting every key must leave a READABLE empty table (zero-partition
+    parquet is not readable — the merge falls back to a flat empty write),
+    and the table must accept subsequent batches."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    st.apply_cdc(
+        spark.createDataFrame(
+            [Row(k=1, v="a", _op="I"), Row(k=2, v="b", _op="I")]
+        ),
+        path,
+        ["k"],
+        num_buckets=4,
+    )
+    st.apply_cdc(
+        spark.createDataFrame(
+            [Row(k=1, v=None, _op="D"), Row(k=2, v=None, _op="D")],
+            "k long, v string, _op string",
+        ),
+        path,
+        ["k"],
+        num_buckets=4,
+    )
+    assert st.read_merged(spark, path).count() == 0
+
+    st.apply_cdc(
+        spark.createDataFrame([Row(k=3, v="c", _op="I")]),
+        path,
+        ["k"],
+        num_buckets=4,
+    )
+    assert {(r.k, r.v) for r in st.read_merged(spark, path).collect()} == {
+        (3, "c")
     }
