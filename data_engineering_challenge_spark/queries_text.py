@@ -1771,3 +1771,79 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_sent_frac"
         ),
     )
+
+
+@register(
+    "cdc_apply_replay",
+    # The CDC merge is deterministic given a sequenced feed, so plain SQL
+    # can replay it wholesale: the final table holds, per key, the change
+    # with the highest (batch, seq) — unless that change is a delete.
+    """
+WITH feed AS (
+    SELECT user_id AS k,
+           event_id AS seq,
+           event_id % 4 AS batch,
+           CASE WHEN event_id % 7 = 0 THEN 'D'
+                WHEN event_id % 3 = 0 THEN 'I'
+                ELSE 'U' END AS op,
+           value AS v
+    FROM events
+),
+ranked AS (
+    SELECT k, seq, op, v,
+           ROW_NUMBER() OVER (PARTITION BY k
+                              ORDER BY batch DESC, seq DESC) AS rn
+    FROM feed
+)
+SELECT k AS user_id, seq AS last_seq, v AS last_value
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+""",
+)
+def q_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE end-to-end as an oracle-paired query (SURVEY.md §2.9):
+    the events table becomes a deterministic I/U/D change feed (key =
+    user_id, sequence = event_id, four batches by event_id % 4), applied
+    batch-by-batch with ``apply_cdc(seq_col=...)`` onto a key-bucket-
+    partitioned parquet table — partition-restricted merges, per-partition
+    atomic swaps, explicit sequence ordering, delete semantics, all
+    through the REAL merge path.  The oracle replays the same feed in
+    plain SQL: per key, the change with the highest (batch, seq) wins,
+    deletes remove the key.  Output is cached per (query, sf_dir) like the
+    other streaming-family queries — composing the registry repeatedly
+    does not re-run the merges."""
+    import shutil
+    import tempfile
+
+    from . import roles
+    from .streaming import incremental as st
+
+    key = ("cdc_apply_replay", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="cdc_replay_")
+        events = roles.load_events(spark, sf_dir)
+        feed = events.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 4).alias("_batch"),
+            F.when(F.col("event_id") % 7 == 0, F.lit("D"))
+            .when(F.col("event_id") % 3 == 0, F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("_op"),
+            F.col("value").alias("v"),
+        )
+        for b in range(4):
+            st.apply_cdc(
+                feed.filter(F.col("_batch") == b).drop("_batch"),
+                f"{tmp}/table",
+                ["k"],
+                seq_col="seq",
+            )
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/table"
+    return st.read_merged(spark, out).select(
+        F.col("k").alias("user_id"),
+        F.col("seq").alias("last_seq"),
+        F.col("v").alias("last_value"),
+    )
