@@ -1847,3 +1847,80 @@ def q_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").alias("last_seq"),
         F.col("v").alias("last_value"),
     )
+
+
+@register(
+    "streaming_stream_stream_journeys",
+    # One availableNow batch holds BOTH sides, so the watermark never gets
+    # a chance to evict state mid-run and the stream-stream join's output
+    # is exactly the batch join under the same time-range bound — that
+    # batch join IS the oracle.
+    """
+WITH sessions AS (
+    SELECT event_id AS session_id, user_id, ts, event_type AS channel_name
+    FROM events
+),
+conversions AS (
+    SELECT event_id AS conv_id, user_id, ts AS conv_ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT c.conv_id AS conversion_id,
+       s.session_id,
+       CAST(epoch_us(s.ts) AS BIGINT) AS ts_us,
+       s.channel_name AS channel_label
+FROM conversions c
+JOIN sessions s
+  ON s.user_id = c.user_id
+ AND s.ts <= c.conv_ts
+ AND s.ts >= c.conv_ts - INTERVAL 7 DAY
+""",
+)
+def q_streaming_stream_stream_journeys(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM journey build (SURVEY.md §2.9): both sessions AND
+    conversions arrive as file-source streams; the inner join carries
+    watermarks on both sides plus the two-sided time-range bound
+    (``conv_ts - 7d <= ts <= conv_ts``) that lets Spark EVICT join state
+    — the knob that makes the join runnable forever at scale.  Run with
+    ONE availableNow batch (no rate limit), the output equals the batch
+    join under the same range bound exactly, which is the value-hash
+    oracle.  Output cached per (query, sf_dir) like the other streaming
+    queries."""
+    import shutil
+    import tempfile
+
+    from . import roles
+    from .streaming import incremental as st
+
+    key = ("streaming_stream_stream_journeys", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="stream_ss_journeys_")
+        events = roles.load_events(spark, sf_dir)
+        events.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/sessions")
+        conv = roles.conversions_from_events(events)
+        conv.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/conversions")
+        from .sources.io import ensure_instant_timestamps
+
+        ensure_instant_timestamps(spark)
+        s_stream = (
+            spark.readStream.schema(events.schema).parquet(f"{tmp}/sessions")
+        )
+        c_stream = (
+            spark.readStream.schema(conv.schema).parquet(f"{tmp}/conversions")
+        )
+        j = st.incremental_journeys_stream_stream(
+            s_stream, c_stream, lookback_days=7
+        )
+        st.run_available_now(j, f"{tmp}/out", f"{tmp}/ckpt")
+        shutil.rmtree(f"{tmp}/sessions", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/conversions", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/out"
+    return spark.read.parquet(out).select(
+        "conversion_id",
+        "session_id",
+        F.unix_micros("timestamp").alias("ts_us"),
+        "channel_label",
+    )
