@@ -1924,3 +1924,76 @@ def q_streaming_stream_stream_journeys(
         F.unix_micros("timestamp").alias("ts_us"),
         "channel_label",
     )
+
+
+from .queries import _SQL_REPORT  # noqa: E402  (the batch report oracle)
+
+# the incremental pipeline's journeys table carries no engagement flags, so
+# its attribution model is LINEAR (ihc = 1/n per conversion) — swap the
+# position-engagement scoring CTEs of the batch report oracle for the
+# linear one, keeping every downstream CTE byte-identical
+_SQL_REPORT_LINEAR = (
+    _SQL_REPORT[: _SQL_REPORT.index(", scored AS (")]
+    + """, attributed AS (
+    SELECT conversion_id, session_id,
+           1.0 / COUNT(*) OVER (PARTITION BY conversion_id) AS ihc
+    FROM journeys
+)
+"""
+    + _SQL_REPORT[_SQL_REPORT.index(", session_data AS (") :]
+)
+
+
+@register("streaming_incremental_report", _SQL_REPORT_LINEAR)
+def q_streaming_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE pipeline maintained INCREMENTALLY (SURVEY.md §2.9
+    flagship): sessions stream in as four micro-batches; each batch
+    upserts its journey rows, delta-recomputes attribution for exactly
+    the touched conversions, and rebuilds exactly the touched
+    (channel, date) report groups — partition-restricted merges on all
+    three tables.  The declared contract is bit-identical equality with
+    the batch pipeline, so the batch channel_report SQL (with the linear
+    attribution the incremental journeys feed supports) IS the oracle:
+    the driver hash-checks incremental materialized-view maintenance
+    end-to-end.  Output cached per (query, sf_dir)."""
+    import shutil
+    import tempfile
+
+    from . import roles
+    from .streaming import incremental as st
+
+    key = ("streaming_incremental_report", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="stream_report_")
+        events = roles.load_events(spark, sf_dir)
+        sessions = roles.sessions_from_events(events)
+        conversions = roles.conversions_from_events(events)
+        costs = roles.session_costs_from_events(events)
+        # two micro-batches: enough to prove delta maintenance (batch 2 must
+        # rebuild groups batch 1 already wrote) at half the per-query cost
+        sessions.repartition(2).write.parquet(f"{tmp}/sessions")
+        from .sources.io import ensure_instant_timestamps
+
+        ensure_instant_timestamps(spark)
+        stream = (
+            spark.readStream.schema(sessions.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/sessions")
+            .withColumnRenamed("session_id", "event_id")
+            .withColumnRenamed("channel_name", "event_type")
+        )
+        st.incremental_report(
+            stream,
+            conversions,
+            sessions,
+            costs,
+            f"{tmp}/journeys",
+            f"{tmp}/attribution",
+            f"{tmp}/report",
+            f"{tmp}/ckpt",
+        )
+        for d in ("sessions", "journeys", "attribution", "ckpt"):
+            shutil.rmtree(f"{tmp}/{d}", ignore_errors=True)
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/report"
+    return st.read_merged(spark, out)
