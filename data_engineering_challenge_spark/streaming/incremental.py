@@ -213,6 +213,13 @@ def read_merged(spark: SparkSession, path: str) -> DataFrame:
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
+#: test hook: when set, receives each merge's pruned (kept ∪ upserts)
+#: DataFrame before materialization — plan capture for the
+#: PartitionFilters assertion (the read-side twin of the file-identity
+#: write-side test)
+_MERGE_PLAN_PROBE = None
+
+
 def _merge_by_key(
     touched_keys: DataFrame,
     upserts: DataFrame,
@@ -304,6 +311,8 @@ def _merge_by_key(
     )  # partition-pruned: only touched _kb= directories are read
     kept = existing.join(F.broadcast(touched_keys), keys, "left_anti")
     merged = kept.unionByName(bucketed_upserts)
+    if _MERGE_PLAN_PROBE is not None:
+        _MERGE_PLAN_PROBE(merged)
     if set(live_parts) <= {f"{BUCKET_COL}={v}" for v in touched}:
         # the batch touches EVERY live partition — if the merge empties
         # them all, fall back to a flat empty table (zero-partition parquet

@@ -814,3 +814,41 @@ def test_merge_empty_table_roundtrip(spark, tmp_path):
     assert {(r.k, r.v) for r in st.read_merged(spark, path).collect()} == {
         (3, "c")
     }
+
+
+def test_merge_read_is_partition_pruned(spark, tmp_path):
+    """Read-side twin of the file-identity test: the merge's scan of the
+    existing table must carry ``PartitionFilters: [_kb IN (...)]`` — the
+    touched-bucket list lands as a PLANNING-time partition filter, so
+    untouched partitions are never read, not just never written."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    st.overwrite_by_key(
+        spark.createDataFrame([Row(k=i, v=f"v{i}") for i in range(100)]),
+        path,
+        ["k"],
+        num_buckets=16,
+    )
+
+    plans = []
+    st._MERGE_PLAN_PROBE = lambda df: plans.append(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    try:
+        st.overwrite_by_key(
+            spark.createDataFrame([Row(k=7, v="NEW")]), path, ["k"],
+            num_buckets=16,
+        )
+    finally:
+        st._MERGE_PLAN_PROBE = None
+
+    assert len(plans) == 1
+    pf = [ln for ln in plans[0].splitlines() if "PartitionFilters" in ln]
+    # one-key batch -> one bucket: Catalyst renders the single-element IN
+    # as an equality on the partition column (multi-bucket batches keep IN)
+    import re
+
+    assert pf and "_kb" in pf[0], plans[0]
+    assert re.search(r"_kb#\d+ = \d+\)", pf[0]) or " IN " in pf[0], pf[0]
+    assert "PartitionFilters: []" not in pf[0], pf[0]
