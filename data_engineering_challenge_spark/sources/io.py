@@ -369,10 +369,26 @@ def compact_parquet(
     had a crash window after the in-place overwrite started deleting the
     only copy), and a crash at any point leaves a complete table.  Size
     ``target_files`` ≈ total_bytes / 128 MB at scale; a transactional
-    format's OPTIMIZE is the production equivalent."""
+    format's OPTIMIZE is the production equivalent.
+
+    A merge-maintained table (key-bucket ``_kb=`` partition layout, see
+    ``streaming.incremental``) keeps its layout: compaction rewrites one
+    file per bucket partition instead of flattening the table — a flat
+    rewrite would silently destroy the partition pruning every subsequent
+    merge depends on."""
     if not recover_interrupted_swap(spark, path):
         raise IOError(f"compact_parquet: no table at {path}")
-    publish_atomic(spark.read.parquet(path).repartition(target_files), path)
+    recover_partition_swaps(spark, path)
+    df = spark.read.parquet(path)
+    bucket_parts = list_partition_dirs(spark, path, "_kb")
+    if bucket_parts:
+        publish_atomic(
+            df.repartition(len(bucket_parts), F.col("_kb")),
+            path,
+            partition_by=["_kb"],
+        )
+    else:
+        publish_atomic(df.repartition(target_files), path)
 
 
 def read_jdbc(

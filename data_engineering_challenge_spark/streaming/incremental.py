@@ -310,7 +310,13 @@ def _merge_by_key(
         F.col(BUCKET_COL).isin(touched)
     )  # partition-pruned: only touched _kb= directories are read
     kept = existing.join(F.broadcast(touched_keys), keys, "left_anti")
-    merged = kept.unionByName(bucketed_upserts)
+    # one output file per touched partition (hash-repartition on the bucket
+    # column before the partitionBy write): without this every write task
+    # drops a sliver file into each touched directory and the table
+    # accretes small files batch over batch
+    merged = kept.unionByName(bucketed_upserts).repartition(
+        max(len(touched), 1), F.col(BUCKET_COL)
+    )
     if _MERGE_PLAN_PROBE is not None:
         _MERGE_PLAN_PROBE(merged)
     if set(live_parts) <= {f"{BUCKET_COL}={v}" for v in touched}:

@@ -852,3 +852,75 @@ def test_merge_read_is_partition_pruned(spark, tmp_path):
     assert pf and "_kb" in pf[0], plans[0]
     assert re.search(r"_kb#\d+ = \d+\)", pf[0]) or " IN " in pf[0], pf[0]
     assert "PartitionFilters: []" not in pf[0], pf[0]
+
+
+def test_merge_writes_one_file_per_touched_partition(spark, tmp_path):
+    """Small-file discipline: each touched ``_kb=`` directory holds ONE
+    data file after a merge (the staging write hash-repartitions on the
+    bucket column) — without it every write task drops a sliver into
+    every touched directory and the table accretes files per batch."""
+    import glob
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "table")
+    st.overwrite_by_key(
+        spark.createDataFrame(
+            [Row(k=i, v=f"v{i}") for i in range(500)]
+        ).repartition(8),
+        path,
+        ["k"],
+        num_buckets=8,
+    )
+    # touch every bucket so every directory goes through the merge path
+    st.overwrite_by_key(
+        spark.createDataFrame(
+            [Row(k=i, v=f"V{i}") for i in range(500)]
+        ).repartition(8),
+        path,
+        ["k"],
+        num_buckets=8,
+    )
+    import os
+
+    for d in os.listdir(path):
+        if d.startswith("_kb="):
+            files = glob.glob(os.path.join(path, d, "part-*"))
+            assert len(files) == 1, (d, files)
+    got = {(r.k, r.v) for r in st.read_merged(spark, path).collect()}
+    assert got == {(i, f"V{i}") for i in range(500)}
+
+
+def test_compact_preserves_bucket_layout(spark, tmp_path):
+    """compact_parquet on a merge-maintained table must keep the ``_kb=``
+    partition layout (flattening would silently destroy the pruning every
+    later merge depends on) and preserve content exactly."""
+    import os
+
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.sources import io
+
+    path = str(tmp_path / "table")
+    st.apply_cdc(
+        spark.createDataFrame(
+            [Row(k=i, v=f"v{i}", _op="I") for i in range(200)]
+        ),
+        path,
+        ["k"],
+        num_buckets=8,
+    )
+    parts_before = sorted(d for d in os.listdir(path) if d.startswith("_kb="))
+    io.compact_parquet(spark, path)
+    parts_after = sorted(d for d in os.listdir(path) if d.startswith("_kb="))
+    assert parts_after == parts_before
+    got = {(r.k, r.v) for r in st.read_merged(spark, path).collect()}
+    assert got == {(i, f"v{i}") for i in range(200)}
+    # and a merge still works (layout intact end-to-end)
+    st.apply_cdc(
+        spark.createDataFrame([Row(k=0, v="Z", _op="U")]), path, ["k"],
+        num_buckets=8,
+    )
+    assert ("0", ) not in got  # sanity: keys are ints
+    got2 = {(r.k, r.v) for r in st.read_merged(spark, path).collect()}
+    assert got2 == (got - {(0, "v0")}) | {(0, "Z")}
