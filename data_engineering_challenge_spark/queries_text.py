@@ -1997,3 +1997,78 @@ def q_streaming_incremental_report(spark: SparkSession, sf_dir: str) -> DataFram
             shutil.rmtree(f"{tmp}/{d}", ignore_errors=True)
         out = _STREAM_OUT_CACHE[key] = f"{tmp}/report"
     return st.read_merged(spark, out)
+
+
+@register(
+    "streaming_sessionize",
+    # Append-mode session windows emit when the final watermark passes the
+    # window end (last event + gap).  The oracle replays both rules in
+    # plain SQL: gap-islands that split on gap > 30 min (session_window
+    # merges touching [ts, ts+gap) intervals — an exactly-30-min gap stays
+    # ONE session, same rule as the batch sessionizer; pinned by
+    # test_sessionize_stream_boundary_and_cutoff) and the finalization
+    # cutoff session_end <= max(ts) - 1 hour.
+    f"""
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts, value,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_no
+    FROM marked
+), sess AS (
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_dsum_sql('value')} AS total_value
+    FROM numbered GROUP BY user_id, sess_no
+)
+SELECT user_id,
+       CAST(epoch_us(session_start) AS BIGINT) AS start_us,
+       CAST(epoch_us(session_end) AS BIGINT) AS end_us,
+       n_events, total_value
+FROM sess, wm
+WHERE session_end <= wm.wm
+""",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming sessionization (SURVEY.md §2.9): session_window
+    with a 30-minute gap over the event stream, append mode — a session
+    row is written once, when the watermark passes its end (last event +
+    gap).  The oracle replays the exact semantics in SQL: gap-islands
+    splitting on >= 30 min (session_window's strict-overlap rule) and the
+    finalization cutoff, with decimal-exact value sums on both sides.
+    Output cached per (query, sf_dir)."""
+    import shutil
+    import tempfile
+
+    from . import roles
+    from .streaming import incremental as st
+
+    key = ("streaming_sessionize", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="stream_sess_")
+        events = roles.load_events(spark, sf_dir)
+        events.write.mode("overwrite").parquet(f"{tmp}/events")
+        stream = st.read_events_stream(spark, f"{tmp}/events")
+        st.run_available_now(
+            st.sessionize_stream(stream), f"{tmp}/out", f"{tmp}/ckpt"
+        )
+        shutil.rmtree(f"{tmp}/events", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/out"
+    return spark.read.parquet(out).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        "total_value",
+    )

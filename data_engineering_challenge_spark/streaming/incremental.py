@@ -94,11 +94,23 @@ def daily_counts(events_stream: DataFrame, watermark: str = "1 day") -> DataFram
 
 def sessionize_stream(events_stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Streaming sessionization via session_window (stateful; watermark
-    bounds how long an open session waits for more events)."""
+    bounds how long an open session waits for more events).
+
+    Two deliberate exactness choices: the value sum goes through
+    DECIMAL(28,10) so the emitted total is independent of arrival order
+    (the daily_counts discipline), and session_window's boundary rule is
+    pinned by test: TOUCHING intervals merge (an exactly-gap spacing stays
+    one session), so islands split only on gaps STRICTLY over ``gap`` —
+    identical to the batch sessionizer's ``> 30min`` rule."""
     return (
         events_stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("total_value"),
+        )
         .select(
             F.col("user_id"),
             F.col("w.start").alias("session_start"),

@@ -924,3 +924,42 @@ def test_compact_preserves_bucket_layout(spark, tmp_path):
     assert ("0", ) not in got  # sanity: keys are ints
     got2 = {(r.k, r.v) for r in st.read_merged(spark, path).collect()}
     assert got2 == (got - {(0, "v0")}) | {(0, "Z")}
+
+
+def test_sessionize_stream_boundary_and_cutoff(spark, tmp_path):
+    """Pins the two rules the streaming_sessionize oracle encodes:
+    (1) session_window MERGES touching intervals — an exactly-30-minute
+    gap stays ONE session (the same > 30 min split rule as the batch
+    sessionizer); only a strictly-larger gap splits; (2) append mode
+    emits a session iff session_end (last event + gap) <= max(ts) -
+    watermark horizon."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0)
+    rows = [
+        # user 1: exactly-30:00 gap (merge), then 30:01 gap (split)
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 1, "click", 2.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=60, seconds=1), 1, "click", 4.0, "{}"),
+        # user 2: a late event that holds the watermark forward
+        (4, t0 + dt.timedelta(hours=4), 2, "click", 8.0, "{}"),
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src.write.parquet(str(tmp_path / "events"))
+    stream = st.read_events_stream(spark, str(tmp_path / "events"))
+    st.run_available_now(
+        st.sessionize_stream(stream), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    got = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # watermark = 04:00 - 1h = 03:00.  User 1: events at 00:00 and 00:30
+    # merge (touching), the 01:00:01 event splits -> sessions of 2 and 1
+    # events ending 01:00 and 01:30:01, both <= 03:00 -> emitted.  User
+    # 2's session ends 04:30 -> held in state, not emitted.
+    assert got == {(1, 2, 3.0), (1, 1, 4.0)}
