@@ -2072,3 +2072,54 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "streaming_upsert_precedence",
+    # Two availableNow runs feed the same table: run 1 the even-event
+    # rows, run 2 the odd ones, keyed by user.  Overwrite-by-key keeps a
+    # user's rows from the LAST run that contained the user — plain SQL:
+    # odd rows, plus even rows of users with no odd events.
+    """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_id % 2 = 1
+   OR user_id NOT IN (
+        SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1
+   )
+""",
+)
+def q_streaming_upsert_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch overwrite-by-key SINK end-to-end (SURVEY.md §2.9):
+    two availableNow runs (separate checkpoints — e.g. tonight's feed
+    after last night's) upsert into one key-bucket-partitioned table; the
+    second run REPLACES the keys it carries and leaves the rest — the
+    reference's DELETE+INSERT re-run, streaming form, through the real
+    checkpointed writer.  The oracle states the precedence rule in plain
+    SQL.  Output cached per (query, sf_dir)."""
+    import shutil
+    import tempfile
+
+    from . import roles
+    from .streaming import incremental as st
+
+    key = ("streaming_upsert_precedence", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="stream_upsert_")
+        events = roles.load_events(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value", "ts"
+        )
+        for run, parity in (("run1", 0), ("run2", 1)):
+            feed = events.filter(F.col("event_id") % 2 == parity).drop("ts")
+            feed.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/{run}")
+            stream = spark.readStream.schema(feed.schema).parquet(f"{tmp}/{run}")
+            st.run_foreach_batch_upsert(
+                stream, f"{tmp}/table", f"{tmp}/ck_{run}", keys=["user_id"]
+            )
+            shutil.rmtree(f"{tmp}/{run}", ignore_errors=True)
+            shutil.rmtree(f"{tmp}/ck_{run}", ignore_errors=True)
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/table"
+    return st.read_merged(spark, out).select(
+        "event_id", "user_id", "event_type", "value"
+    )
