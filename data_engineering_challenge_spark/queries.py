@@ -110,6 +110,9 @@ _TAIL = [
     "dup_clusters_cc",
     "near_dup_corpus_prune",
     "streaming_incremental_journeys",
+    "streaming_stream_stream_journeys",
+    "cdc_apply_replay",
+    "streaming_incremental_report",
     "ivf_topk",
 ]
 

@@ -1931,17 +1931,23 @@ from .queries import _SQL_REPORT  # noqa: E402  (the batch report oracle)
 # the incremental pipeline's journeys table carries no engagement flags, so
 # its attribution model is LINEAR (ihc = 1/n per conversion) — swap the
 # position-engagement scoring CTEs of the batch report oracle for the
-# linear one, keeping every downstream CTE byte-identical
-_SQL_REPORT_LINEAR = (
-    _SQL_REPORT[: _SQL_REPORT.index(", scored AS (")]
-    + """, attributed AS (
+# linear one, keeping every downstream CTE byte-identical.  Fail SOFT if
+# _SQL_REPORT is ever reshaped (markers gone): the query degrades to a
+# rows-only registry row instead of killing the module import (and with
+# it every other query).
+if ", scored AS (" in _SQL_REPORT and ", session_data AS (" in _SQL_REPORT:
+    _SQL_REPORT_LINEAR = (
+        _SQL_REPORT[: _SQL_REPORT.index(", scored AS (")]
+        + """, attributed AS (
     SELECT conversion_id, session_id,
            1.0 / COUNT(*) OVER (PARTITION BY conversion_id) AS ihc
     FROM journeys
 )
 """
-    + _SQL_REPORT[_SQL_REPORT.index(", session_data AS (") :]
-)
+        + _SQL_REPORT[_SQL_REPORT.index(", session_data AS (") :]
+    )
+else:  # pragma: no cover - defensive
+    _SQL_REPORT_LINEAR = None
 
 
 @register("streaming_incremental_report", _SQL_REPORT_LINEAR)
