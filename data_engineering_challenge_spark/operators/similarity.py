@@ -390,3 +390,79 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= k
     )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest centroid by
+    cosine (deterministic centroid-id tie-break), then prune semantic
+    duplicates WITHIN each cluster — a vector is removed iff a lower-id
+    vector in the same cluster has cosine >= threshold with it (keep the
+    earliest, the paper's keep-one-representative rule made deterministic).
+
+    Scale design — this is the published fix for semantic dedup's O(n²)
+    wall: K centroids turn one corpus-wide all-pairs problem into K
+    independent (n/K)² problems, each a self-join co-partitioned on the
+    cluster key; the centroid frame is a tiny broadcast (K rows), so
+    assignment is a map-side pass over the corpus.  In production the
+    centroids come from a KMeans coarse quantizer (see ivf_topk's trainer);
+    the assignment/prune semantics — what the oracle checks — are
+    centroid-agnostic.  Output = surviving (id, cluster), integers only.
+
+    No reference analog (reference has no embedding ops); extension per
+    SURVEY.md §2.10.
+    """
+    cents = centroids.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+    )
+    e = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "cid",
+        (dot(F.col(vec_col), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))).alias(
+            "cos_c"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("cid").alias("cluster"))
+    )
+    m = e.join(assign, id_col)
+    a = m.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("norm").alias("norm_a"),
+        "cluster",
+    )
+    b = m.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("norm").alias("norm_b"),
+        F.col("cluster").alias("cluster_b"),
+    )
+    pruned = (
+        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") > F.col("id_b")))
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
+            >= threshold
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return m.join(pruned, id_col, "left_anti").select(
+        id_col, F.col("cluster").cast("int").alias("cluster")
+    )

@@ -2129,3 +2129,122 @@ def q_streaming_upsert_precedence(spark: SparkSession, sf_dir: str) -> DataFrame
     return st.read_merged(spark, out).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "streaming_stateful_first_seen",
+    # The custom stateful operator's output surface is closed-form: with a
+    # deterministic (ts_us, fingerprint) processing order, first_seen_us is
+    # MIN(ts_us) per (user, fingerprint) and seq_no is the rank of that
+    # first occurrence within the user's timeline — plain ANSI SQL.  Spark
+    # truncates double->long toward zero; trunc() matches.
+    """
+WITH src AS (
+    SELECT user_id,
+           event_type || '|' ||
+               CAST(CAST(trunc(value * 10) AS BIGINT) AS VARCHAR)
+               AS fingerprint,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+), firsts AS (
+    SELECT user_id, fingerprint, MIN(ts_us) AS first_seen_us
+    FROM src GROUP BY user_id, fingerprint
+)
+SELECT user_id, fingerprint, first_seen_us,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY first_seen_us, fingerprint)
+            AS BIGINT) AS seq_no
+FROM firsts
+""",
+)
+def q_streaming_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState CUSTOM operator end-to-end (SURVEY.md
+    §2.9): per-user first-seen dedup with a running sequence number, state
+    sharded by user across executors.  One availableNow batch over a single
+    source file keeps batch boundaries out of the semantics, and the
+    operator's (ts_us, fingerprint) sort makes emission order — and
+    therefore seq_no — shuffle-layout-independent, so the whole output
+    value-hashes against the batch SQL replay.  With this, EVERY §2.9
+    streaming component carries a value-hash oracle.  Output cached per
+    (query, sf_dir)."""
+    import shutil
+    import tempfile
+
+    from . import roles
+    from .streaming import incremental as st
+    from .streaming.stateful import streaming_first_seen
+
+    key = ("streaming_stateful_first_seen", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="stream_stateful_")
+        events = roles.load_events(spark, sf_dir)
+        src = events.select(
+            "user_id",
+            F.concat_ws(
+                "|",
+                "event_type",
+                (F.col("value") * 10).cast("long").cast("string"),
+            ).alias("fingerprint"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        src.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
+        stream = spark.readStream.schema(src.schema).parquet(f"{tmp}/src")
+        st.run_available_now(
+            streaming_first_seen(stream), f"{tmp}/out", f"{tmp}/ckpt"
+        )
+        shutil.rmtree(f"{tmp}/src", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/out"
+    return spark.read.parquet(out)
+
+
+_SQL_SEMDEDUP_DOT_EC = _SQL_DOT.format(a="e.embedding", b="c.cvec")
+_SQL_SEMDEDUP_DOT_AB = _SQL_DOT.format(a="a.embedding", b="b.embedding")
+
+
+@register(
+    "semdedup_prune",
+    # Same centroid set (vec_id < 8), same left-to-right double fold for
+    # every dot product, same (cos DESC, cid ASC) assignment tie-break and
+    # keep-the-lowest-id prune rule — bit-identical survivors.
+    _SQL_NORMED
+    + f"""
+, cents AS (
+    SELECT vec_id AS cid, embedding AS cvec, norm AS cnorm
+    FROM e WHERE vec_id < 8
+), scored AS (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos_c DESC, cid ASC) AS rn
+    FROM (
+        SELECT e.vec_id, c.cid,
+               {_SQL_SEMDEDUP_DOT_EC} / (e.norm * c.cnorm) AS cos_c
+        FROM e CROSS JOIN cents c
+    )
+), m AS (
+    SELECT e.vec_id, e.embedding, e.norm, s.cid AS cluster
+    FROM e JOIN scored s ON e.vec_id = s.vec_id AND s.rn = 1
+), pruned AS (
+    SELECT DISTINCT a.vec_id
+    FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+    WHERE {_SQL_SEMDEDUP_DOT_AB} / (a.norm * b.norm) >= 0.3
+)
+SELECT m.vec_id, CAST(m.cluster AS INTEGER) AS cluster
+FROM m LEFT JOIN pruned p ON m.vec_id = p.vec_id
+WHERE p.vec_id IS NULL
+""",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup end-game (SURVEY.md §2.10): nearest-centroid
+    assignment (broadcast K-row centroid frame, map-side) then
+    within-cluster near-dup prune (self-join co-partitioned on the cluster
+    key — K independent (n/K)^2 problems instead of one n^2).  Centroids
+    here are the deterministic seed set vec_id < 8; production swaps in
+    KMeans centroids without touching the prune semantics.  Threshold 0.3
+    suits the synthetic near-orthogonal embeddings (real corpora with
+    trained encoders use ~0.95+); integer-only output surface."""
+    emb = _emb(spark, sf_dir)
+    return sim.semdedup_prune(
+        emb, emb.filter(F.col("vec_id") < 8), threshold=0.3
+    )

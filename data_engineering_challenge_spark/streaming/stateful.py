@@ -51,14 +51,24 @@ def _dedup_fn(
     else:
         seen, count = set(), 0
     out_rows = []
-    for pdf in pdfs:
-        # arrival order within the batch: by event time for determinism
-        pdf = pdf.sort_values("ts_us")
-        for fp, ts in zip(pdf["fingerprint"], pdf["ts_us"]):
-            if fp not in seen:
-                seen.add(fp)
-                count += 1
-                out_rows.append((user_id, fp, int(ts), count))
+    # Concatenate the group's Arrow chunks BEFORE sorting: sorting chunk-by-
+    # chunk would let a later-timestamp occurrence in an earlier chunk win,
+    # making first_seen_us depend on chunk boundaries.  Memory is bounded by
+    # one user's rows per micro-batch, the same bound applyInPandasWithState
+    # already imposes on the group iterator.  The (ts_us, fingerprint) sort
+    # makes the emission order — and therefore seq_no — deterministic under
+    # any shuffle layout: equal-timestamp fingerprints tie-break
+    # lexicographically, so the output equals MIN(ts_us) per fingerprint
+    # with ROW_NUMBER over (first_seen_us, fingerprint) per user — an
+    # oracle-checkable surface (see queries_text.streaming_stateful_first_seen).
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_us", "fingerprint"], kind="mergesort"
+    )
+    for fp, ts in zip(pdf["fingerprint"], pdf["ts_us"]):
+        if fp not in seen:
+            seen.add(fp)
+            count += 1
+            out_rows.append((user_id, fp, int(ts), count))
     state.update(("|".join(sorted(seen)), count))
     if out_rows:
         yield pd.DataFrame(

@@ -468,3 +468,64 @@ def test_near_dup_corpus_prune_keeps_one_per_cluster(spark):
     assert reps <= survivors                      # every rep kept
     assert not (clustered - reps) & survivors     # every non-rep dropped
     assert len(survivors) == n_docs - len(clustered - reps)
+
+
+def test_semdedup_prune_keeps_lowest_id_within_cluster(spark):
+    # two orthogonal cluster directions; near-dups only within a cluster
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),   # centroid A
+        Row(vec_id=1, embedding=[0.0, 1.0, 0.0]),   # centroid B
+        Row(vec_id=2, embedding=[0.99, 0.05, 0.0]),  # dup of 0's direction
+        Row(vec_id=3, embedding=[0.0, 0.97, 0.1]),   # dup of 1's direction
+        Row(vec_id=4, embedding=[0.1, 0.0, 0.99]),   # cluster A, NOT a dup
+    ]
+    emb = spark.createDataFrame(rows)
+    out = sim.semdedup_prune(
+        emb, emb.filter("vec_id < 2"), threshold=0.9
+    ).collect()
+    survivors = {r.vec_id: r.cluster for r in out}
+    # 2 pruned by 0, 3 pruned by 1; 4 is in 0's cluster but below threshold
+    assert set(survivors) == {0, 1, 4}
+    assert survivors[0] == 0 and survivors[1] == 1 and survivors[4] == 0
+
+
+def test_semdedup_prune_cross_cluster_dups_not_pruned(spark):
+    # identical vectors that land in DIFFERENT clusters survive both —
+    # the SemDeDup trade: recall bounded by the clustering, never all-pairs
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.05, 0.0]),
+        Row(vec_id=1, embedding=[0.05, 1.0, 0.0]),
+        # equidistant-ish pair: nearest centroid differs by construction
+        Row(vec_id=2, embedding=[0.8, 0.6, 0.0]),
+        Row(vec_id=3, embedding=[0.6, 0.8, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows)
+    out = sim.semdedup_prune(
+        emb, emb.filter("vec_id < 2"), threshold=0.9
+    ).collect()
+    # cos(2,3) = 0.96 > threshold, but 2 -> cluster 0 and 3 -> cluster 1
+    assert {r.vec_id for r in out} == {0, 1, 2, 3}
+
+
+def test_semdedup_prune_partitioning_invariant(spark):
+    emb = spark.createDataFrame(
+        [
+            Row(
+                vec_id=i,
+                embedding=[
+                    float((i * 7 + d) % 5 - 2) for d in range(4)
+                ],
+            )
+            for i in range(40)
+        ]
+    )
+    cents = emb.filter("vec_id < 3")
+    a = sorted(
+        (r.vec_id, r.cluster)
+        for r in sim.semdedup_prune(emb, cents, 0.8).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster)
+        for r in sim.semdedup_prune(emb.repartition(7), cents, 0.8).collect()
+    )
+    assert a == b and len(a) > 0
