@@ -2248,3 +2248,34 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semdedup_prune(
         emb, emb.filter(F.col("vec_id") < 8), threshold=0.3
     )
+
+
+@register(
+    "contamination_bloom",
+    # The bloom is a pre-filter, not a semantics change: no false
+    # negatives, and every surviving candidate is re-verified with the
+    # exact join — so the oracle is the plain all-join contamination SQL.
+    _SQL_SHINGLES
+    + """
+, bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+FROM train t JOIN bench b ON t.s = b.s
+GROUP BY t.doc_id
+""",
+)
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated decontamination (SURVEY.md §2.10): the benchmark
+    shingle set folds into a 16 KiB bitmap carried inside the plan as a
+    literal array; the corpus-sized first pass becomes a scan-local
+    map-only probe (no join, no shuffle — at 100 TB the difference between
+    shipping a reference relation to every task and shipping 2 KiB of
+    longs), and only the few bloom-positive candidates reach the exact
+    verify join.  Output is EXACT — same rows as the all-join path, which
+    is the oracle."""
+    from .operators import bloom as bl
+
+    ss = dd.shingle_sets(_docs(spark, sf_dir), n=3)
+    bench = ss.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    train = ss.filter(F.col("doc_id") % 97 != 0)
+    return bl.contaminated_docs_bloom(train, bench, m_bits=1 << 17, k=5)

@@ -529,3 +529,70 @@ def test_semdedup_prune_partitioning_invariant(spark):
         for r in sim.semdedup_prune(emb.repartition(7), cents, 0.8).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from data_engineering_challenge_spark.operators import bloom as bl
+
+    members = spark.createDataFrame(
+        [Row(shingle=f"member {i} gram") for i in range(300)]
+    )
+    words = bl.build_bloom_words(members, "shingle", m_bits=1 << 14, k=5)
+    assert len(words) == (1 << 14) // 64
+    # every inserted member probes positive — guaranteed, and tested
+    hits = members.filter(
+        bl.bloom_might_contain(members["shingle"], words, k=5)
+    ).count()
+    assert hits == 300
+    # false-positive rate on disjoint values stays near the analytic
+    # (1 - e^(-kn/m))^k ~ 1e-4 for n=300, m=16384, k=5
+    probes = spark.createDataFrame(
+        [Row(shingle=f"outsider {i} gram") for i in range(2000)]
+    )
+    fp = probes.filter(
+        bl.bloom_might_contain(probes["shingle"], words, k=5)
+    ).count()
+    assert fp / 2000 < 0.01
+
+
+def test_bloom_contamination_matches_exact_join(spark):
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.operators import bloom as bl
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, shingle=f"sh {i % 40}") for i in range(200)]
+    )
+    bench = spark.createDataFrame(
+        [Row(shingle=f"sh {i}") for i in range(0, 40, 4)]
+    )
+    got = sorted(
+        (r.doc_id, r.n_contaminated)
+        for r in bl.contaminated_docs_bloom(train, bench, m_bits=1 << 10).collect()
+    )
+    exact = sorted(
+        (r.doc_id, r.n_contaminated)
+        for r in train.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+        .collect()
+    )
+    assert got == exact and len(got) > 0
+
+
+def test_bloom_probe_is_scan_local_prefilter(spark):
+    from data_engineering_challenge_spark.operators import bloom as bl
+
+    members = spark.createDataFrame([Row(shingle=f"m{i}") for i in range(50)])
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, shingle=f"c{i}") for i in range(500)]
+        + [Row(doc_id=1000 + i, shingle=f"m{i}") for i in range(50)]
+    )
+    words = bl.build_bloom_words(members, "shingle", m_bits=1 << 12, k=5)
+    cand = corpus.filter(bl.bloom_might_contain(corpus["shingle"], words, k=5))
+    # the probe is a Filter with NO join/exchange: plan shape check
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    # and it prunes: candidates are a small superset of the true members
+    n = cand.count()
+    assert 50 <= n < 550
