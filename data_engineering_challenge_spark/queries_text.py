@@ -2279,3 +2279,105 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = ss.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     train = ss.filter(F.col("doc_id") % 97 != 0)
     return bl.contaminated_docs_bloom(train, bench, m_bits=1 << 17, k=5)
+
+
+@register(
+    "dataset_split",
+    # engine-portable md5 bucket (the hash_sample_stratified idiom):
+    # reproducible across engines, partitionings and reruns.
+    """
+SELECT doc_id,
+       CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS b
+    FROM documents
+)
+""",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by md5 bucket —
+    the auditable-holdout requirement of a training pipeline: a document's
+    split never changes across reruns, engines, or repartitioning, and
+    membership is a pure column expression (no stored assignment table,
+    no rand()).  Map-only at any scale; the same bucket expression pushes
+    into scans as a predicate when materializing one split."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "length_bucket_batches",
+    # integer inputs all the way: padding_frac is the same int-ratio
+    # double in both engines.
+    """
+WITH lens AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_toks
+    FROM documents
+), placed AS (
+    SELECT doc_id, n_toks, n_toks // 32 AS len_bucket,
+           (ROW_NUMBER() OVER (PARTITION BY (n_toks // 32)
+                               ORDER BY doc_id) - 1) // 16 AS batch_no
+    FROM lens
+)
+SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST(batch_no AS BIGINT) AS batch_no,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_toks) AS BIGINT) AS max_len,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_len,
+       (MAX(n_toks) * COUNT(*) - SUM(n_toks)) * 1.0
+           / (MAX(n_toks) * COUNT(*)) AS padding_frac
+FROM placed
+GROUP BY len_bucket, batch_no
+""",
+)
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketed batch assembly: documents bucket by token
+    count (width 32), then fill fixed-size batches of 16 in deterministic
+    doc_id order; the output is the per-batch padding accounting — the
+    quantity length-grouped batching exists to minimize (pad-to-max waste
+    within each batch).  ONE shuffle end-to-end: the window partitions by
+    len_bucket, and the following (len_bucket, batch_no) aggregate is
+    satisfied by that same hash partitioning (subset-key clustering), so
+    no second Exchange."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    lens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    ).withColumn("len_bucket", F.expr("n_toks div 32"))
+    w = Window.partitionBy("len_bucket").orderBy("doc_id")
+    placed = lens.withColumn(
+        "batch_no", F.floor((F.row_number().over(w) - 1) / 16).cast("long")
+    )
+    return (
+        placed.groupBy(
+            F.col("len_bucket").cast("long").alias("len_bucket"),
+            F.col("batch_no").cast("long").alias("batch_no"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_toks").cast("long").alias("max_len"),
+            F.sum("n_toks").alias("sum_len"),
+        )
+        .select(
+            "len_bucket", "batch_no", "n_docs", "max_len", "sum_len",
+            (
+                (F.col("max_len") * F.col("n_docs") - F.col("sum_len")) * 1.0
+                / (F.col("max_len") * F.col("n_docs"))
+            ).alias("padding_frac"),
+        )
+    )

@@ -246,3 +246,27 @@ def test_funnel_no_joins_two_exchanges(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Exchange") == 2
+
+
+def test_length_bucket_batches_one_exchange(spark):
+    """The batch-assembly window partitions by len_bucket, and the
+    following (len_bucket, batch_no) aggregate is satisfied by that same
+    hash partitioning (subset-key clustering) — ONE data shuffle
+    end-to-end, not two."""
+    plan = _plan(spark, "length_bucket_batches")
+    assert plan.count("Window") == 1
+    # one hashpartitioning exchange; allow no second for the aggregate
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semdedup_assignment_broadcast_prune_equi_join(spark):
+    """Centroid assignment must broadcast the K-row centroid frame (never
+    shuffle the corpus against it), and the within-cluster prune must be
+    an equi-join on the cluster key — a cartesian/broadcast-nested-loop
+    there would be the O(n^2) semantic-dedup wall the clustering exists
+    to avoid."""
+    plan = _plan(spark, "semdedup_prune")
+    assert "BroadcastNestedLoopJoin" in plan  # K-row centroid crossJoin
+    # the id_a > id_b prune condition rides an EQUI join on cluster
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
