@@ -505,6 +505,31 @@ def zorder_write(
     )
 
 
+def sorted_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    target_files: int = 16,
+) -> None:
+    """Rewrite ``df`` as parquet in GLOBAL sort order on ``cols`` — the
+    1-D complement of :func:`zorder_write` for single-key access
+    patterns (time-ordered logs, id-range serving tables).
+
+    ``repartitionByRange`` gives non-overlapping per-file key ranges and
+    ``sortWithinPartitions`` orders inside each file, so the table as a
+    whole is totally ordered: a point/range predicate on the leading
+    sort column touches the one file (or contiguous few) whose min/max
+    stats admit it, and downstream merge-style readers get sorted runs
+    for free.  One range shuffle (sampling pass + exchange) — the same
+    cost shape as a global orderBy, but laid out as ``target_files``
+    files instead of one output partition per shuffle partition."""
+    (
+        df.repartitionByRange(target_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*[F.col(c) for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
 def write_bucketed(
     df: DataFrame,
     table: str,

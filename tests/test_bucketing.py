@@ -248,3 +248,34 @@ def test_zorder_skips_more_files_than_1d_sort(spark, tmp_path):
         .collect()
     }
     assert zs == ss and len(zs) == 32 * 8
+
+
+def test_sorted_write_global_total_order(spark, tmp_path):
+    """sorted_write must produce NON-OVERLAPPING per-file key ranges
+    (repartitionByRange) with in-file ordering — i.e. a globally sorted
+    table — and lose no rows."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.sources import io
+
+    n = 5000
+    df = spark.range(n).select(
+        F.xxhash64("id").alias("k"), F.col("id").alias("payload")
+    )
+    path = str(tmp_path / "sorted")
+    io.sorted_write(df, path, ["k"], target_files=8)
+
+    assert spark.read.parquet(path).count() == n
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        pdf = spark.read.parquet(f).select("k").toPandas()
+        ks = pdf["k"].tolist()
+        assert ks == sorted(ks)  # in-file order
+        if ks:
+            ranges.append((ks[0], ks[-1]))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b  # files cover disjoint key ranges
