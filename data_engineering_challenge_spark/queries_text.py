@@ -2381,3 +2381,88 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("padding_frac"),
         )
     )
+
+
+@register(
+    "bpe_merge_ranks",
+    # all adjacent occurrences (NOT distinct — merge ranking weighs raw
+    # frequency), deterministic top-50 by (count DESC, pair ASC).
+    """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS (
+    SELECT u.p
+    FROM toks, UNNEST(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                                 i -> concat_ws(' ', t[i], t[i+1]))
+             ELSE [] END) AS u(p)
+)
+SELECT p AS pair, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY p
+ORDER BY n_pairs DESC, pair ASC
+LIMIT 50
+""",
+)
+def q_bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-selection step of BPE tokenizer training (Sennrich et al.
+    2016): rank adjacent symbol pairs by corpus frequency — the most
+    frequent pair is the next merge rule.  Full training iterates
+    (re-tokenize, re-count); each round is exactly this job, so the
+    round's cost shape is what matters at scale: map-side pair explosion,
+    ONE count shuffle, and top-k as TakeOrderedAndProject (never a global
+    sort of the pair space)."""
+    docs = _docs(spark, sf_dir)
+    t = F.split("text", " ")
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(t, F.lit(1), F.size(t) - 1),
+                F.slice(t, F.lit(2), F.size(t) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+@register(
+    "stratified_topk_sample",
+    # fixed-size-per-stratum companion of hash_sample_stratified's
+    # rate-based sample: k=20 docs per (lang, source), chosen by the
+    # engine-portable md5 order — an eval set that never changes.
+    """
+SELECT lang, source, doc_id
+FROM (
+    SELECT lang, source, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= 20
+""",
+)
+def q_stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample: exactly 20 docs per (lang, source)
+    stratum, selected by md5(doc_id) order — pseudo-random but stable
+    across engines, partitionings and reruns (the eval-set construction
+    requirement; rand()-based sampling can't give this).  One shuffle on
+    the stratum key; the per-group ROW_NUMBER never materializes more
+    than each group's stream."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
