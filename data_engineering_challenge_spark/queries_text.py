@@ -2466,3 +2466,36 @@ def q_stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+@register(
+    "bpe_train_merges",
+    # iterative driver-loop algorithm (like ivf_topk's KMeans): each round
+    # re-tokenizes with the previous rule, so no single SQL statement
+    # expresses the result — rows-only here; EXACTNESS evidence is the
+    # property test pinning the trainer to a pure-Python reference
+    # implementation (test_text_dedup_similarity.py).
+    None,
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-loop training (SURVEY.md §2.10): four rounds of
+    count-pairs → take-top → re-tokenize over the documents corpus.
+    Per-round work is fully distributed (one count shuffle + a pure-
+    expression greedy re-tokenization, no UDFs); driver traffic is ONE
+    (pair, count) row per round.  Returns the learned merge table in
+    rank order — deterministic (frequency desc, pair asc tie-break)."""
+    from .operators import bpe
+
+    rules = bpe.train_bpe_merges(_docs(spark, sf_dir), n_merges=4)
+    return spark.createDataFrame(
+        [
+            {
+                "rank": i + 1,
+                "pair_left": left,
+                "pair_right": right,
+                "n_pairs": n,
+            }
+            for i, (left, right, n) in enumerate(rules)
+        ],
+        "rank int, pair_left string, pair_right string, n_pairs long",
+    )

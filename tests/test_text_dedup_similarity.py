@@ -596,3 +596,49 @@ def test_bloom_probe_is_scan_local_prefilter(spark):
     # and it prunes: candidates are a small superset of the true members
     n = cand.count()
     assert 50 <= n < 550
+
+
+def test_bpe_merge_pair_expression_matches_greedy_scan(spark):
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.operators import bpe
+
+    cases = [
+        (["a", "b"], "a", "b", ["a b"]),
+        (["a", "x", "b"], "a", "b", ["a", "x", "b"]),
+        (["a", "a", "b"], "a", "b", ["a", "a b"]),
+        (["a", "a", "a"], "a", "a", ["a a", "a"]),  # greedy overlap rule
+        (["a", "b", "a", "b"], "a", "b", ["a b", "a b"]),
+        (["x"], "a", "b", ["x"]),
+        ([], "a", "b", []),
+        (["a"], "a", "b", ["a"]),  # dangling pending flushes at finish
+    ]
+    df = spark.createDataFrame(
+        [(i, toks) for i, (toks, _, _, _) in enumerate(cases)],
+        ["i", "toks"],
+    )
+    for i, (toks, left, right, want) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(bpe.merge_pair(F.col("toks"), left, right).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got == want, (toks, left, right, got, want)
+
+
+def test_bpe_trainer_matches_reference_exactly(spark):
+    from data_engineering_challenge_spark.operators import bpe
+
+    texts = [
+        "new york city is in new york state",
+        "new york new york",
+        "the city of new york",
+        "york new york new",  # reversed pairs stress the tie-breaks
+        "a b a b a b",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = bpe.train_bpe_merges(df, n_merges=6)
+    want = bpe.reference_bpe(texts, n_merges=6)
+    assert got == want
+    # learned phrases stack: a later rule may merge an earlier merged token
+    assert any(bpe.SEP in left or bpe.SEP in right for left, right, _ in got) or len(got) < 3
