@@ -235,3 +235,58 @@ def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return out.select(
         "*", *counts, scrubbed.alias(f"{text_col}_scrubbed")
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS algorithm): hash every k-gram, slide a window of ``w``
+    consecutive hashes, keep each window's MINIMUM — the selected hash
+    set is the document's fingerprint, with the winnowing guarantee that
+    any match of at least ``w + k - 1`` consecutive tokens between two
+    documents shares at least one selected fingerprint.
+
+    All pure column expressions: the k-gram hash is the engine-portable
+    md5 bucket (DuckDB computes the identical value, so the operator is
+    oracle-checkable end-to-end), window minima are a ``transform`` +
+    ``array_min`` over hash slices, and the output is the DISTINCT
+    (doc_id, fp_hash) relation — the window-min SET is tie-break
+    invariant even though classic winnowing's positional variant must
+    pick the rightmost minimum.  Map-side explode then one distinct
+    shuffle; fingerprint density is ~2/(w+1) of the k-gram count, the
+    paper's bound on selected fraction.
+
+    Classic winnowing uses an O(1)-update rolling (Karp-Rabin) hash; the
+    selection guarantee — the part that matters for plagiarism/overlap
+    detection — depends only on hashing each k-gram, which here is one
+    md5 per gram inside the same codegen stage."""
+    sh = shingles(tokens(), n=k)
+    grams = F.transform(
+        F.array(sh),
+        lambda g: F.transform(
+            g,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+        ),
+    )[0]
+    mins = F.transform(
+        F.array(grams),
+        lambda h: F.when(
+            F.size(h) >= w,
+            F.transform(
+                F.sequence(F.lit(0), F.size(h) - w),
+                lambda j: F.array_min(F.slice(h, j + 1, w)),
+            ),
+        ).otherwise(
+            # shorter than one window: the whole doc is the window
+            F.when(
+                F.size(h) > 0, F.array(F.array_min(h))
+            ).otherwise(F.array().cast("array<bigint>"))
+        ),
+    )[0]
+    return (
+        documents.select("doc_id", F.explode(mins).alias("fp_hash"))
+        .distinct()
+    )

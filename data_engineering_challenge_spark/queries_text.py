@@ -2499,3 +2499,41 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank int, pair_left string, pair_right string, n_pairs long",
     )
+
+
+@register(
+    "winnow_fingerprints",
+    # k=3, w=4; same md5-bucket hash both engines; window-min SET is
+    # tie-break invariant, so DISTINCT makes the compare exact.
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+kg AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> CAST(concat('0x', substring(
+                              md5(concat_ws(' ', t[i], t[i+1], t[i+2])),
+                              1, 8)) AS BIGINT))
+                ELSE [] END AS h
+    FROM toks
+), mins AS (
+    SELECT doc_id,
+           CASE WHEN len(h) >= 4
+                THEN list_transform(range(1, len(h) - 2),
+                                    j -> list_min(h[j:j+3]))
+                WHEN len(h) > 0 THEN [list_min(h)]
+                ELSE [] END AS m
+    FROM kg
+)
+SELECT DISTINCT doc_id, u.fp_hash
+FROM mins, UNNEST(m) AS u(fp_hash)
+""",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS) over the corpus — the rolling-hash
+    document fingerprinting entry of SURVEY §2.10: k-gram hashes, window
+    minima, distinct selected set per doc.  Guarantees any ≥ w+k-1 token
+    overlap between documents shares a fingerprint; selected density is
+    ~2/(w+1) of grams, so the fingerprint relation is a small fraction of
+    the shingle relation the full-overlap join would need."""
+    return tx.winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)

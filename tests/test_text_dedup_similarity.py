@@ -642,3 +642,28 @@ def test_bpe_trainer_matches_reference_exactly(spark):
     assert got == want
     # learned phrases stack: a later rule may merge an earlier merged token
     assert any(bpe.SEP in left or bpe.SEP in right for left, right, _ in got) or len(got) < 3
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # winnowing guarantee: a shared run of >= w+k-1 tokens (here 6) must
+    # yield at least one shared selected fingerprint
+    shared = "zeta eta theta iota kappa lambda"
+    df = _docs(
+        spark,
+        [
+            f"alpha beta {shared} gamma delta",
+            f"one two three {shared} four five six",
+            "entirely disjoint words with nothing common here at all",
+        ],
+    )
+    fps = {}
+    for r in tx.winnow_fingerprints(df, k=3, w=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert fps[0] & fps[1]          # the guarantee
+    assert not (fps[0] & fps[2])    # disjoint docs share nothing
+    # short docs: below k tokens -> no fingerprints; k..k+w-2 tokens -> one
+    tiny = _docs(spark, ["a b", "a b c d"])
+    got = {r.doc_id: r.fp_hash
+           for r in tx.winnow_fingerprints(tiny, k=3, w=4).collect()}
+    assert 0 not in got             # 2 tokens < k
+    assert 1 in got                 # 2 grams < w -> whole-doc window min
