@@ -290,3 +290,34 @@ def winnow_fingerprints(
         documents.select("doc_id", F.explode(mins).alias("fp_hash"))
         .distinct()
     )
+
+
+def winnow_overlap_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+    max_postings: int = 200,
+) -> DataFrame:
+    """Document overlap detection over winnowed fingerprints: pairs of
+    docs sharing at least ``min_shared`` selected fingerprints — the MOSS
+    use of :func:`winnow_fingerprints`.  Because the fingerprint relation
+    is ~2/(w+1) the size of the raw shingle relation, the inverted-index
+    pair generation (one grouped pass, ordered pairs exploded in-row —
+    the ngram_jaccard shape) runs on a fraction of the data the full
+    shingle-overlap join would touch; ``max_postings`` caps boilerplate
+    fingerprints exactly like stop-shingles."""
+    from .dedup import _ordered_pairs
+
+    fps = winnow_fingerprints(documents, k=k, w=w)
+    postings = (
+        fps.groupBy("fp_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_postings))
+    )
+    return (
+        postings.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.doc_a"), F.col("p.doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

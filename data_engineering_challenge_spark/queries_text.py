@@ -2537,3 +2537,57 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2/(w+1) of grams, so the fingerprint relation is a small fraction of
     the shingle relation the full-overlap join would need."""
     return tx.winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
+_SQL_WINNOW = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+kg AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> CAST(concat('0x', substring(
+                              md5(concat_ws(' ', t[i], t[i+1], t[i+2])),
+                              1, 8)) AS BIGINT))
+                ELSE [] END AS h
+    FROM toks
+), mins AS (
+    SELECT doc_id,
+           CASE WHEN len(h) >= 4
+                THEN list_transform(range(1, len(h) - 2),
+                                    j -> list_min(h[j:j+3]))
+                WHEN len(h) > 0 THEN [list_min(h)]
+                ELSE [] END AS m
+    FROM kg
+), fp AS (
+    SELECT DISTINCT doc_id, u.fp_hash
+    FROM mins, UNNEST(m) AS u(fp_hash)
+)
+"""
+
+
+@register(
+    "winnow_overlap_pairs",
+    # posting-list cap (<= 200 docs per fingerprint) applied in BOTH
+    # engines, so the relations compared are identical.
+    _SQL_WINNOW
+    + """
+, caps AS (
+    SELECT fp_hash FROM fp GROUP BY fp_hash
+    HAVING COUNT(*) > 1 AND COUNT(*) <= 200
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+JOIN caps c ON a.fp_hash = c.fp_hash
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+""",
+)
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap report: document pairs sharing >= 3 winnowed
+    fingerprints.  The pair generation is the inverted-index one-pass
+    explode (never a shingle-relation self-join), running on the ~2/(w+1)
+    winnowed fraction of the gram stream."""
+    return tx.winnow_overlap_pairs(
+        _docs(spark, sf_dir), k=3, w=4, min_shared=3, max_postings=200
+    )
