@@ -130,3 +130,53 @@ def fail_on_violations(df: DataFrame, expectations: list[Expectation]) -> None:
     bad = [(r.expectation, r.n_violations) for r in rows if not r.ok]
     if bad:
         raise ValueError(f"data-quality expectations failed: {bad}")
+
+
+@dataclass(frozen=True)
+class RowRule:
+    """Row-level validity rule: name + a predicate-column factory (TRUE =
+    row passes).  The row-wise complement of :class:`Expectation`'s
+    aggregate counts — rules can tag individual rows for quarantine,
+    expectations can only fail a batch."""
+
+    name: str
+    passes: Callable[[], Column]
+
+
+def rule_not_null(col: str) -> RowRule:
+    return RowRule(f"not_null({col})", lambda: F.col(col).isNotNull())
+
+
+def rule_values_in(col: str, allowed: list) -> RowRule:
+    return RowRule(
+        f"values_in({col})",
+        lambda: F.col(col).isNotNull() & F.col(col).isin(allowed),
+    )
+
+
+def rule_between(col: str, lo, hi) -> RowRule:
+    """NULL passes the range rule (pair with rule_not_null), matching
+    expect_between's NULL semantics."""
+    return RowRule(
+        f"between({col},{lo},{hi})",
+        lambda: F.col(col).isNull()
+        | ((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))),
+    )
+
+
+def tag_violations(df: DataFrame, rules: list[RowRule]) -> DataFrame:
+    """Append a ``_violations`` array<string> column naming every rule the
+    row fails (empty array = clean row).  One projection, no shuffle —
+    the filter_compact of the array of conditional rule names."""
+    tags = F.filter(
+        F.array(
+            *[
+                F.when(~r.passes(), F.lit(r.name)).otherwise(
+                    F.lit(None).cast("string")
+                )
+                for r in rules
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.withColumn("_violations", tags)
