@@ -2591,3 +2591,43 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.winnow_overlap_pairs(
         _docs(spark, sf_dir), k=3, w=4, min_shared=3, max_postings=200
     )
+
+
+@register(
+    "jsonl_roundtrip_stats",
+    # the oracle reads the ORIGINAL parquet: equality proves the JSONL
+    # sink+source pair is lossless for the whole corpus, not just typed.
+    f"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q_jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink end-to-end (SURVEY.md §2.1): the corpus is
+    written to JSONL and read back with an explicit schema, then
+    aggregated; the oracle computes the same aggregate over the ORIGINAL
+    parquet — a hash match means the interchange format corpora actually
+    ship in round-trips losslessly through the engine (strings with
+    quotes/unicode included).  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import io as eio
+
+    key = ("jsonl_roundtrip_stats", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="jsonl_rt_")
+        docs = _docs(spark, sf_dir)
+        eio.write_jsonl(docs, f"{tmp}/docs")
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/docs"
+    docs_schema = _docs(spark, sf_dir).schema
+    back = eio.read_jsonl(spark, out, docs_schema)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_toks"),
+    )

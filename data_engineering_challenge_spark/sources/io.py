@@ -92,6 +92,7 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     dynamic_partitions: bool = False,
+    compression: str | None = None,
 ) -> None:
     """Primary sink. ``partition_by=['date']`` gives partition pruning for the
     date-range re-runs the reference does with DELETE+INSERT idempotency
@@ -104,6 +105,11 @@ def write_parquet(
     opt-in: a FULL rebuild must keep static overwrite, otherwise
     partitions that vanished from the input would survive as stale data."""
     writer = df.write.mode(mode)
+    if compression:
+        # snappy is the read-speed default; zstd trades ~even read cost for
+        # materially smaller files — at 100 TB the storage/network win
+        # usually dominates for cold layers
+        writer = writer.option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
         if dynamic_partitions:
@@ -551,3 +557,43 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema'd JSON-lines read — the interchange format text corpora
+    actually ship in.  Schema is REQUIRED: inference scans the data twice
+    and silently widens/retypes across files (the CSV lesson, §2.1);
+    corrupt lines surface in the default PERMISSIVE mode as all-NULL rows
+    rather than killing the job — pair with a quality RowRule gate."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, splittable downstream)."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same lazy pushdown/pruning contract as parquet; ORC
+    arrives via warehouse handoffs (Hive/Trino ecosystems)."""
+    ensure_instant_timestamps(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text ingestion, one document per line: (text, source_file).
+    IDs are the consumer's choice — content hash (xxhash64) for dedup
+    pipelines, (file, offset) for provenance; this reader adds only the
+    provenance column, deliberately no order-dependent index (line
+    numbering across splits is not stable at scale)."""
+    return (
+        spark.read.text(path)
+        .select(
+            F.col("value").alias("text"),
+            F.input_file_name().alias("source_file"),
+        )
+    )
