@@ -2631,3 +2631,112 @@ def q_jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.size(F.split("text", " "))).alias("total_toks"),
     )
+
+
+_SQL_NGRAM3 = """UNNEST(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+             ELSE [] END) AS u(s)"""
+
+
+@register(
+    "curated_corpus_manifest",
+    # the whole curation chain in one statement, same gate order as the
+    # Spark side: quality -> exact dedup -> decontaminate -> split.
+    f"""
+WITH base AS (
+    SELECT doc_id, text, string_split(text, ' ') AS toks,
+           length(text) AS nc
+    FROM documents
+), q AS (
+    SELECT doc_id, text FROM base
+    WHERE doc_id % 97 <> 0
+      AND len(toks) >= 20
+      AND (nc - (len(toks) - 1)) * 1.0 / len(toks) BETWEEN 3 AND 10
+      AND len(list_filter(toks, x -> x IN {_STOPWORDS!r})) * 1.0
+          / len(toks) >= 0.04
+), surv AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM q
+    ) WHERE rn = 1
+), st AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+sh AS (SELECT DISTINCT doc_id, s FROM st, {_SQL_NGRAM3}),
+bt AS (SELECT doc_id, string_split(text, ' ') AS t
+       FROM documents WHERE doc_id % 97 = 0),
+bench AS (SELECT DISTINCT s FROM bt, {_SQL_NGRAM3}),
+contaminated AS (
+    SELECT DISTINCT sh.doc_id FROM sh JOIN bench ON sh.s = bench.s
+)
+SELECT doc_id,
+       CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS b
+    FROM surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+""",
+)
+def q_curated_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation END-GAME as one composed pipeline (SURVEY.md §2.10):
+    Gopher quality gate → exact dedup (min-doc_id survivor) → benchmark
+    decontamination → deterministic split assignment; output is the
+    manifest of what actually ships to training, with its split.
+
+    Every stage is the scale-shaped operator the registry checks
+    individually: the quality gate is a map-only expression, dedup is one
+    text-key shuffle, decontamination runs the BLOOM prefilter before the
+    exact verify join (operators/bloom.py — corpus-side map-only), and the
+    split is a pure hash expression.  The oracle re-states the whole chain
+    in one SQL statement, so the hash match certifies the COMPOSITION, not
+    just the parts."""
+    from pyspark.sql import Window
+
+    from .operators import bloom as bl
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    nc = F.length("text")
+    mean_wl = (nc - (n_words - 1)) * 1.0 / n_words
+    stop_frac = (
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))) * 1.0 / n_words
+    )
+    q = docs.filter(
+        (F.col("doc_id") % 97 != 0)
+        & (n_words >= 20)
+        & mean_wl.between(3, 10)
+        & (stop_frac >= 0.04)
+    ).select("doc_id", "text")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    surv = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bench_sh = (
+        dd.shingle_sets(docs.filter(F.col("doc_id") % 97 == 0), n=3)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = bl.contaminated_docs_bloom(
+        dd.shingle_sets(surv, n=3), bench_sh, m_bits=1 << 17, k=5
+    ).select("doc_id")
+    clean = surv.join(contaminated, "doc_id", "left_anti")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return clean.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
