@@ -295,3 +295,96 @@ def resize_image(
             )
 
     return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_px", LongType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("peak_luma", LongType(), False),
+    ]
+)
+
+
+def decode_bmp_rgb24(payload: bytes):
+    """REAL image decode, stdlib-only: parse an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER) with ``struct`` and return an (h, w, 3) uint8 RGB
+    array.  BMP is the one mainstream image container decodable without
+    an imaging library — fixed headers, raw BGR rows, bottom-up with
+    4-byte row padding; PNG/JPEG still need PIL and fail loudly via
+    :func:`decode_image`."""
+    import struct
+
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:2] != b"BM":
+        raise ValueError("decode_bmp_rgb24: missing BM magic")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"decode_bmp_rgb24: need uncompressed 24-bit BMP, got "
+            f"bpp={bpp} compression={compression}"
+        )
+    bottom_up = height > 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for r in range(h):
+        src = h - 1 - r if bottom_up else r
+        row = np.frombuffer(
+            buf, dtype=np.uint8, count=width * 3, offset=data_off + src * stride
+        ).reshape(width, 3)
+        rows.append(row[:, ::-1])  # BGR -> RGB
+    return np.stack(rows)
+
+
+def image_pixel_stats(media: DataFrame, real: bool = False) -> DataFrame:
+    """Image branch of the multimodal family: payload -> per-image channel
+    statistics (pixel count, per-channel sums, peak luma) through the
+    Arrow mapInPandas stage — the normalize/threshold front end of an
+    image pipeline consumes exactly this relation.
+
+    ``real=True`` decodes the payload as an uncompressed 24-bit BMP with
+    the stdlib (:func:`decode_bmp_rgb24`); the fake reads consecutive
+    payload byte TRIPLES as (r, g, b) pixels.  Both paths feed the same
+    integer aggregates, so the fake keeps the stage oracle-checkable
+    bit-for-bit while the real path proves identical plumbing on
+    genuinely decoded pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if real:
+                    px = decode_bmp_rgb24(bytes(payload)).reshape(-1, 3)
+                else:
+                    buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    px = buf[: 3 * (len(buf) // 3)].reshape(-1, 3)
+                px = px.astype(np.int64)
+                luma = px.sum(axis=1)
+                rows.append(
+                    (
+                        int(mid),
+                        px.shape[0],
+                        int(px[:, 0].sum()),
+                        int(px[:, 1].sum()),
+                        int(px[:, 2].sum()),
+                        int(luma.max()) if px.shape[0] else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_px", "sum_r", "sum_g", "sum_b", "peak_luma",
+                ],
+            )
+
+    return media.mapInPandas(run, IMAGE_STATS_SCHEMA)

@@ -2740,3 +2740,52 @@ def q_curated_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "multimodal_image_stats",
+    # fake decode = consecutive payload byte triples as (r,g,b); for the
+    # ASCII-guarded docs each byte is ascii(char), so the oracle recomputes
+    # every integer stat per character position.
+    """
+WITH ascii_docs AS (
+    SELECT doc_id, text FROM documents
+    WHERE length(text) = octet_length(encode(text))
+), sam AS (
+    SELECT doc_id AS media_id,
+           CAST((j - 1) // 3 AS BIGINT) AS px,
+           (j - 1) % 3 AS ch,
+           ascii(substring(text, CAST(j AS INTEGER), 1)) AS v
+    FROM ascii_docs,
+         UNNEST(range(1, 3 * (length(text) // 3) + 1)) AS u(j)
+), agg AS (
+    SELECT media_id,
+           CAST(COUNT(DISTINCT px) AS BIGINT) AS n_px,
+           CAST(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+    FROM sam GROUP BY media_id
+), lum AS (
+    SELECT media_id, CAST(MAX(luma) AS BIGINT) AS peak_luma
+    FROM (SELECT media_id, px, SUM(v) AS luma FROM sam GROUP BY media_id, px)
+    GROUP BY media_id
+)
+SELECT a.media_id, a.n_px, a.sum_r, a.sum_g, a.sum_b, l.peak_luma
+FROM agg a JOIN lum l ON a.media_id = l.media_id
+""",
+)
+def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image branch of the multimodal family: payload -> per-image channel
+    sums and peak luma through the Arrow mapInPandas stage (the
+    normalize/threshold image front end).  The fake decode reads payload
+    byte triples as pixels, so every stat is an integer aggregate the
+    oracle recomputes per character; the REAL path decodes an actual
+    24-bit BMP with the stdlib through the SAME stage
+    (decode_bmp_rgb24, unit-tested with a generated BMP)."""
+    from .operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir).filter(
+        F.length("text") == F.octet_length("text")
+    )
+    media = mm.attach_payload(docs, "doc_id", "text", kind="image")
+    return mm.image_pixel_stats(media)

@@ -54,6 +54,7 @@ def test_every_query_has_oracle_or_docstring(spark):
         "theta_user_overlap",  # sketch set ops — exact-regime parity in tests
         "kll_value_quantiles",  # sketch quantiles — rank-error bounded in tests
         "minhash_lsh_candidates_xxh",  # Spark-native hash by design; md5 twin is checked
+        "bpe_train_merges",  # iterative trainer — exact-parity vs Python reference in tests
     }
 
     qs = e.queries()

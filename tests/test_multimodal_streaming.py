@@ -190,3 +190,79 @@ def test_resize_fixed_output_bytes(spark):
     assert all(r.n_bytes == 64 and len(r.payload) == 64 for r in out.values())
     assert bytes(out[2].payload)[:4] == b"tiny"  # content preserved, padded
     assert bytes(out[2].payload)[4:] == b"\x00" * 60
+
+
+def _make_bmp(px_rows):
+    """Minimal uncompressed 24-bit bottom-up BMP from [[(r,g,b),...],...]."""
+    import struct
+
+    h, w = len(px_rows), len(px_rows[0])
+    stride = (w * 3 + 3) & ~3
+    data = b""
+    for row in reversed(px_rows):  # bottom-up storage
+        rb = b"".join(bytes((b, g, r)) for (r, g, b) in row)  # BGR on disk
+        data += rb + b"\x00" * (stride - 3 * w)
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return hdr + info + data
+
+
+def test_bmp_decode_real_path_through_arrow_stage(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.operators import multimodal as mm
+
+    px = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    bmp = _make_bmp(px)
+    # direct decode: exact pixels back, RGB order, row order top-down
+    arr = mm.decode_bmp_rgb24(bmp)
+    assert arr.shape == (2, 3, 3)
+    assert arr.tolist() == [[list(p) for p in row] for row in px]
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=bytearray(bmp),
+             n_bytes=len(bmp))]
+    )
+    got = mm.image_pixel_stats(media, real=True).collect()[0]
+    flat = np.array(px).reshape(-1, 3)
+    assert got.n_px == 6
+    assert (got.sum_r, got.sum_g, got.sum_b) == tuple(
+        int(flat[:, i].sum()) for i in range(3)
+    )
+    assert got.peak_luma == int(flat.sum(axis=1).max())
+
+    # malformed payloads fail LOUD, not silently
+    bad = spark.createDataFrame(
+        [Row(media_id=2, kind="image", payload=bytearray(b"JFIF..."),
+             n_bytes=7)]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="BM magic"):
+        mm.image_pixel_stats(bad, real=True).collect()
+
+
+def test_image_stats_fake_path_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.operators import multimodal as mm
+
+    payload = bytes(range(1, 32))  # 31 bytes -> 10 pixels + 1 trailing byte
+    media = spark.createDataFrame(
+        [Row(media_id=7, kind="image", payload=bytearray(payload),
+             n_bytes=len(payload))]
+    )
+    got = mm.image_pixel_stats(media, real=False).collect()[0]
+    px = np.frombuffer(payload, dtype=np.uint8)[:30].reshape(-1, 3).astype(int)
+    assert got.n_px == 10
+    assert (got.sum_r, got.sum_g, got.sum_b) == tuple(
+        int(px[:, i].sum()) for i in range(3)
+    )
+    assert got.peak_luma == int(px.sum(axis=1).max())
