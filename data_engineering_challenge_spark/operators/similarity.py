@@ -423,6 +423,11 @@ def semdedup_prune(
         F.col(vec_col).alias("cvec"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
     )
+    if not cents.take(1):
+        # an empty centroid frame would silently drop EVERY vector (the
+        # assignment inner-join matches nothing) — that's a caller error,
+        # not a valid "no clusters" request
+        raise ValueError("semdedup_prune: centroid frame is empty")
     e = corpus.select(
         F.col(id_col),
         F.col(vec_col),

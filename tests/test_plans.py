@@ -270,3 +270,20 @@ def test_semdedup_assignment_broadcast_prune_equi_join(spark):
     # the id_a > id_b prune condition rides an EQUI join on cluster
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dataset_split_is_map_only(spark):
+    """Split assignment must be a pure projection over the scan — zero
+    Exchanges, zero joins; at 100 TB this runs at scan speed."""
+    plan = _plan(spark, "dataset_split")
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_curated_manifest_bloom_probe_precedes_bench_join(spark):
+    """The curation chain's decontamination must run the bloom probe as a
+    FILTER (shiftleft over the literal word array) so only candidates
+    reach the single broadcast benchmark join."""
+    plan = _plan(spark, "curated_corpus_manifest")
+    assert "shiftleft" in plan          # the inlined bloom probe filter
+    assert "BroadcastHashJoin" in plan  # the exact verify join
+    assert "CartesianProduct" not in plan

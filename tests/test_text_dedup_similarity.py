@@ -667,3 +667,30 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
            for r in tx.winnow_fingerprints(tiny, k=3, w=4).collect()}
     assert 0 not in got             # 2 tokens < k
     assert 1 in got                 # 2 grams < w -> whole-doc window min
+
+
+def test_semdedup_empty_centroids_fails_loud(spark):
+    emb = _vecs(spark, [[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="centroid frame is empty"):
+        sim.semdedup_prune(emb, emb.filter("vec_id < 0"), 0.9)
+
+
+def test_bloom_empty_member_set_rejects_everything(spark):
+    from data_engineering_challenge_spark.operators import bloom as bl
+
+    empty = spark.createDataFrame([], "shingle string")
+    words = bl.build_bloom_words(empty, "shingle", m_bits=1 << 10, k=5)
+    assert all(w == 0 for w in words)
+    probes = spark.createDataFrame([Row(shingle=f"x{i}") for i in range(50)])
+    assert probes.filter(
+        bl.bloom_might_contain(probes["shingle"], words, k=5)
+    ).count() == 0
+
+
+def test_bpe_trainer_stops_when_nothing_repeats(spark):
+    from data_engineering_challenge_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [("a b c",), ("d e f",), ("g h i",)], ["text"]
+    )
+    assert bpe.train_bpe_merges(df, n_merges=5) == []
