@@ -2789,3 +2789,79 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = mm.attach_payload(docs, "doc_id", "text", kind="image")
     return mm.image_pixel_stats(media)
+
+
+@register(
+    "streaming_near_dup_admission",
+    # Two in-order batches (even doc_ids then odd): admitted = first doc
+    # per full signature in (batch, doc_id) order, plus unshingleable
+    # docs.  Signature SQL identical to minhash_signatures.
+    _SQL_SHINGLES_MULTI
+    + f"""
+, sig AS (
+    SELECT doc_id,
+       {_MINHASH_AGGS_SQL}
+    FROM sh GROUP BY doc_id
+), ranked AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+               ORDER BY doc_id % 2, doc_id) AS rn
+    FROM sig
+)
+SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS from_batch
+FROM ranked WHERE rn = 1
+UNION ALL
+SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS from_batch
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM sig)
+""",
+)
+def q_streaming_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission end-to-end (SURVEY.md §2.9/§2.10):
+    the corpus streams in TWO micro-batches (even doc_ids, then odd) and
+    each batch is deduplicated against the admitted-signature table —
+    exact-signature mode, so the admitted set is first-seen-per-signature
+    in (batch, doc_id) order, which the oracle restates in plain SQL over
+    the un-split corpus.  Cross-batch dups die against the history table,
+    intra-batch dups against the batch window — both paths exercised by
+    the real checkpointed foreachBatch writer.  Output cached per
+    (query, sf_dir)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming import near_dup as nd
+
+    key = ("streaming_near_dup_admission", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="stream_neardup_")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        src = f"{tmp}/src"
+        for i, parity in enumerate((0, 1)):
+            docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            newest = max(
+                (
+                    _os.path.join(src, f)
+                    for f in _os.listdir(src)
+                    if f.startswith("part-")
+                ),
+                key=_os.path.getmtime,
+            )
+            _os.utime(newest, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        nd.run_foreach_batch_near_dup(
+            stream, f"{tmp}/novel", f"{tmp}/state", f"{tmp}/ckpt"
+        )
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/novel"
+    return spark.read.parquet(out).select(
+        "doc_id", F.col("_batch").cast("int").alias("from_batch")
+    )
