@@ -100,6 +100,13 @@ _CHEAP_FIRST = [
     "attr_last_touch", "doc_fingerprints", "channel_report",
     "simhash_fingerprints", "ngram_jaccard_pairs", "attr_linear",
     "lsh_verified_pairs", "embedding_near_dup", "hash_sample_stratified",
+    # round-5 additions, measured verify cost ascending (sf0.01)
+    "stratified_topk_sample", "length_bucket_batches", "semdedup_prune",
+    "dataset_split", "bpe_merge_ranks", "multimodal_image_stats",
+    "jsonl_roundtrip_stats", "winnow_token_fingerprints",
+    "winnow_overlap_pairs", "bpe_train_merges",
+    "contamination_bloom", "streaming_stateful_first_seen",
+    "curated_corpus_manifest", "streaming_near_dup_admission",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -2502,9 +2502,12 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "winnow_fingerprints",
-    # k=3, w=4; same md5-bucket hash both engines; window-min SET is
-    # tie-break invariant, so DISTINCT makes the compare exact.
+    "winnow_token_fingerprints",
+    # TOKEN-level winnowing (k=3-token grams, w=4) — the char-gram
+    # variant is winnow_fingerprints above; this one feeds
+    # winnow_overlap_pairs.  Same md5-bucket hash both engines;
+    # window-min SET is tie-break invariant, so DISTINCT makes the
+    # compare exact.
     """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 kg AS (
@@ -2529,7 +2532,7 @@ SELECT DISTINCT doc_id, u.fp_hash
 FROM mins, UNNEST(m) AS u(fp_hash)
 """,
 )
-def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_winnow_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS) over the corpus — the rolling-hash
     document fingerprinting entry of SURVEY §2.10: k-gram hashes, window
     minima, distinct selected set per doc.  Guarantees any ≥ w+k-1 token
