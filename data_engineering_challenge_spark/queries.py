@@ -43,6 +43,12 @@ _REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: SparkQuery) -> SparkQuery:
+        if name in _REGISTRY:
+            # a duplicate name silently REPLACES the earlier query (dict
+            # semantics) — the old query vanishes from the gate while its
+            # green history keeps it out of the rotation's attention;
+            # fail at import instead
+            raise ValueError(f"duplicate registry query name: {name!r}")
         _REGISTRY[name] = (fn, oracle)
         return fn
 

@@ -108,3 +108,12 @@ def test_no_canonicalizer_hostile_output_columns(spark):
         if complex_cols:
             offenders[name] = complex_cols
     assert offenders == {}, f"canonicalizer-hostile outputs: {offenders}"
+
+
+def test_duplicate_registry_name_rejected():
+    import pytest as _pytest
+
+    from data_engineering_challenge_spark.queries import register
+
+    with _pytest.raises(ValueError, match="duplicate registry query name"):
+        register("channel_report", None)(lambda spark, sf: None)
