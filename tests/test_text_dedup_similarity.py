@@ -694,3 +694,32 @@ def test_bpe_trainer_stops_when_nothing_repeats(spark):
         [("a b c",), ("d e f",), ("g h i",)], ["text"]
     )
     assert bpe.train_bpe_merges(df, n_merges=5) == []
+
+
+def test_semdedup_with_learned_kmeans_centroids(spark):
+    """The documented production composition: KMeans coarse quantizer
+    (the ivf_topk trainer) supplies the centroid frame; the prune
+    semantics are centroid-agnostic."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dense = emb.select("vec_id", array_to_vector("embedding").alias("features"))
+    model = KMeans(k=4, seed=42, maxIter=3, featuresCol="features").fit(dense)
+    cents = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = sim.semdedup_prune(emb, cents, threshold=0.3)
+    rows = out.collect()
+    assert 0 < len(rows) <= emb.count()
+    # every survivor is assigned to one of the learned clusters
+    assert {r.cluster for r in rows} <= set(range(4))
+    # determinism given the same (seeded) centroids
+    again = sim.semdedup_prune(emb, cents, threshold=0.3).collect()
+    assert sorted((r.vec_id, r.cluster) for r in rows) == sorted(
+        (r.vec_id, r.cluster) for r in again
+    )
