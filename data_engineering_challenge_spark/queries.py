@@ -107,7 +107,8 @@ _CHEAP_FIRST = [
     "simhash_fingerprints", "ngram_jaccard_pairs", "attr_linear",
     "lsh_verified_pairs", "embedding_near_dup", "hash_sample_stratified",
     # round-5 additions, measured verify cost ascending (sf0.01)
-    "stratified_topk_sample", "length_bucket_batches", "semdedup_prune",
+    "stratified_topk_sample", "pricing_summary_unpivot",
+    "length_bucket_batches", "semdedup_prune",
     "dataset_split", "bpe_merge_ranks", "multimodal_image_stats",
     "jsonl_roundtrip_stats", "winnow_token_fingerprints",
     "winnow_overlap_pairs", "bpe_train_merges",

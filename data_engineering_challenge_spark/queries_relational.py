@@ -2314,3 +2314,51 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             qa.expect_row_count_min(1),
         ],
     )
+
+
+@register(
+    "pricing_summary_unpivot",
+    # wide -> long reshaping (§2.5/§2.6 melt): same decimal-exact sums as
+    # q1, unpivoted to one (metric, value) row per measure.
+    f"""
+WITH s AS (
+    SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, metric, value
+FROM s UNPIVOT (value FOR metric IN
+    (sum_qty, sum_base_price, sum_disc_price, sum_charge))
+""",
+)
+def q_pricing_summary_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: the Q1 pricing summary reshaped from one wide row
+    per (returnflag, linestatus) to one (metric, value) row per measure —
+    ``DataFrame.unpivot`` (Expand under the hood: no shuffle beyond the
+    aggregate's own, output = rows × measures).  The long form is what
+    metric stores and plotting layers ingest; doing the reshape in-engine
+    keeps it distributed instead of a driver-side melt."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    wide = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"],
+        "metric",
+        "value",
+    )
