@@ -109,7 +109,8 @@ _CHEAP_FIRST = [
     # round-5 additions, measured verify cost ascending (sf0.01)
     "stratified_topk_sample", "pricing_summary_unpivot",
     "length_bucket_batches", "semdedup_prune",
-    "dataset_split", "bpe_merge_ranks", "multimodal_image_stats",
+    "dataset_split", "csv_roundtrip_stats", "bpe_merge_ranks",
+    "multimodal_image_stats",
     "jsonl_roundtrip_stats", "winnow_token_fingerprints",
     "winnow_overlap_pairs", "bpe_train_merges",
     "contamination_bloom", "streaming_stateful_first_seen",

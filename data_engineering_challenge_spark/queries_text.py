@@ -2868,3 +2868,43 @@ def q_streaming_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.read.parquet(out).select(
         "doc_id", F.col("_batch").cast("int").alias("from_batch")
     )
+
+
+@register(
+    "csv_roundtrip_stats",
+    # same aggregate as jsonl_roundtrip_stats: the oracle reads the
+    # ORIGINAL parquet, so equality proves the schema'd CSV sink+source
+    # pair (the reference's interchange format, quoting included) is
+    # lossless for the whole corpus.
+    """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd CSV sink/source end-to-end (SURVEY.md §2.1 — the
+    reference's OWN interchange format, cj_builder.py:130 /
+    run_pipeline.py:98): corpus out to header CSV, back in with the
+    explicit schema (never inferred — the reference's round-trip silently
+    re-types timestamps), aggregated, hash-matched against the original
+    parquet.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import io as eio
+
+    key = ("csv_roundtrip_stats", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="csv_rt_")
+        eio.write_csv(_docs(spark, sf_dir), f"{tmp}/docs")
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/docs"
+    back = eio.read_csv(spark, out, _docs(spark, sf_dir).schema)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_toks"),
+    )
