@@ -440,11 +440,15 @@ def semdedup_prune(
             "cos_c"
         ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cid"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, F.col("cid").alias("cluster"))
+    # grouped argmax via max_by, not a window: the aggregate partial-
+    # combines MAP-SIDE, so the vec_id shuffle carries ONE row per vector
+    # instead of K scored rows, and there is no per-group sort.  Ties in
+    # cos_c break toward the smallest centroid id (max of (cos, -cid)) —
+    # the same order the oracle's ROW_NUMBER uses.
+    assign = scored.groupBy(id_col).agg(
+        F.max_by(
+            "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("_nc"))
+        ).alias("cluster")
     )
     m = e.join(assign, id_col)
     a = m.select(
