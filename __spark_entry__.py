@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from data_engineering_challenge_spark import queries as _q  # noqa: E402
 
 # importing these modules populates the registry in `queries`
+from data_engineering_challenge_spark import queries_analytics  # noqa: E402,F401
 from data_engineering_challenge_spark import queries_relational  # noqa: E402,F401
 from data_engineering_challenge_spark import queries_text  # noqa: E402,F401
 
