@@ -390,7 +390,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
-    n_edges_df = edges.agg(F.count("*").alias("n_edges"))
+    # |oriented| == |edges| (orientation is a bijection), so counting the
+    # oriented frame keeps the raw `edges` subtree at one fewer consumer —
+    # AQE's ReusedExchange dedupes the remaining shared scans at runtime
+    n_edges_df = oriented.agg(F.count("*").alias("n_edges"))
     n_tri_df = (
         wedges.join(closing, ["v", "w"]).agg(F.count("*").alias("n_triangles"))
     )

@@ -287,3 +287,48 @@ def test_curated_manifest_bloom_probe_precedes_bench_join(spark):
     assert "shiftleft" in plan          # the inlined bloom probe filter
     assert "BroadcastHashJoin" in plan  # the exact verify join
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_block_equi_join_never_cartesian(spark):
+    """Blocking+verify must stay an equi-join on the block key — a
+    levenshtein predicate alone would plan as a nested-loop cross
+    product, the thing blocking exists to prevent."""
+    plan = _plan(spark, "fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_peak_concurrency_no_global_sweep(spark):
+    """The sweep-line windows partition BY DAY (and by user for the
+    sessionize stage) — a single-partition Exchange would mean the whole
+    event log funnels through one task, the classic interval-analytics
+    scale bug."""
+    plan = _plan(spark, "peak_concurrency")
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_transition_matrix_no_single_partition(spark):
+    """Row-normalization partitions by from_type on the aggregated
+    |types|^2 frame — never a global window over raw events."""
+    plan = _plan(spark, "event_transition_matrix")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_value_drift_bounds_are_broadcast(spark):
+    """The 1-row bounds frame joins as a broadcast nested loop (the only
+    sane plan for a scalar cross join); the events side shuffles once for
+    the bucket aggregate.  The two single-partition windows run on the
+    10-row counted frame, not the event log."""
+    plan = _plan(spark, "value_drift_buckets")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_triangles_never_cartesian(spark):
+    """Wedge and closing-edge joins are equi-joins; the only cross join
+    is the final broadcast of two 1-row counts."""
+    plan = _plan(spark, "copurchase_triangles")
+    assert "CartesianProduct" not in plan
