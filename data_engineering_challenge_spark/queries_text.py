@@ -2908,3 +2908,80 @@ def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.size(F.split("text", " "))).alias("total_toks"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAG chunking: overlapping token windows with provenance (round 5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunk_windows",
+    """
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+), spans AS (
+    SELECT doc_id, source, t, n,
+           UNNEST(range(0, GREATEST(1, (n - 10 + 29) // 30))) AS chunk_id
+    FROM toks
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, source,
+       CAST(len(t[chunk_id * 30 + 1 : chunk_id * 30 + 40]) AS BIGINT)
+           AS n_tokens,
+       array_to_string(t[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ')
+           AS chunk_text
+FROM spans
+""",
+)
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: each document becomes overlapping token windows
+    (window 40 tokens, stride 30 → 10-token overlap) with provenance
+    (doc_id, chunk_id, source) — what an embedding/indexing stage
+    consumes.  Chunk count = max(1, ⌈(n−overlap)/stride⌉), all integer
+    arithmetic; the final chunk is allowed short so no token is dropped.
+
+    Spark: tokenize once, explode a `sequence` of chunk ids (bounded
+    one-to-few flatMap — the multimodal frame-sample shape), `slice` +
+    `array_join` per chunk.  Pure column expressions, no UDF.
+
+    Scale: map-only — no shuffle at all; chunking 100 TB of text is
+    embarrassingly parallel and this plan keeps it that way (the
+    downstream embedding stage repartitions as it needs).
+    """
+    docs = _docs(spark, sf_dir)
+    window, stride, overlap = 40, 30, 10
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    spans = toks.select(
+        "doc_id",
+        "source",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.lit(1),
+                    F.floor(
+                        (F.col("n") - overlap + (stride - 1)) / stride
+                    ).cast("int"),
+                )
+                - 1,
+            )
+        ).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("t"), F.col("chunk_id") * stride + 1, window
+    )
+    return spans.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "source",
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

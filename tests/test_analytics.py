@@ -176,3 +176,41 @@ def test_transition_matrix_rows_normalize(spark):
         by_from[r["from_type"]] += r["prob"]
     for src, total in by_from.items():
         assert total == pytest.approx(1.0, abs=1e-9), src
+
+
+def test_doc_chunks_cover_every_token(spark):
+    """Chunking invariants at sf0.001: stride/window arithmetic drops no
+    token — per doc, chunk 0 starts at token 1, consecutive chunks
+    overlap by exactly 10 tokens (except a short final chunk), and the
+    union of chunk spans covers [1, n_tokens]."""
+    from data_engineering_challenge_spark.queries_text import (
+        q_doc_chunk_windows,
+        _docs,
+    )
+
+    chunks = q_doc_chunk_windows(spark, SF).collect()
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in _docs(spark, SF)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in chunks:
+        by_doc[r["doc_id"]].append(r)
+    assert set(by_doc) == set(n_toks)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        n = n_toks[doc_id]
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        covered_to = 0
+        for r in rows:
+            start = r["chunk_id"] * 30  # 0-based
+            assert start <= covered_to  # no gap
+            covered_to = max(covered_to, start + r["n_tokens"])
+            assert r["n_tokens"] == len(r["chunk_text"].split(" "))
+        assert covered_to == n  # full coverage, nothing dropped
+        for r in rows[:-1]:
+            assert r["n_tokens"] == 40  # only the last chunk may be short
