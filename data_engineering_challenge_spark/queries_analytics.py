@@ -613,3 +613,138 @@ def value_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         share_late.alias("share_late"),
         (share_late - share_early).alias("share_delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# growth analytics: exact rolling 7-day active users (WAU per day)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rolling_7day_active_users",
+    """
+WITH user_days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), contrib AS (
+    SELECT DISTINCT user_id, CAST(d.rd AS DATE) AS report_day
+    FROM user_days,
+         LATERAL (SELECT UNNEST(generate_series(
+             CAST(day AS TIMESTAMP),
+             CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+             INTERVAL 1 DAY)) AS rd) d
+), actual AS (
+    SELECT DISTINCT day FROM user_days
+)
+SELECT CAST(c.report_day AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS active_7d
+FROM contrib c
+JOIN actual a ON a.day = c.report_day
+GROUP BY c.report_day
+""",
+)
+def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users per day (the WAU-by-day growth
+    metric).  COUNT(DISTINCT) over a sliding RANGE frame isn't a thing in
+    any engine (distinct aggregates don't stream through overlapping
+    frames), so the exact distributed form is: dedupe (user, day), explode
+    each active day into the ≤7 report days it contributes to, dedupe
+    (user, report_day) — a user active 3× in a week still counts once —
+    then a plain count per report day, restricted to days that exist in
+    the data.
+
+    Scale: two hash shuffles on (user, day)-shaped keys and a bounded
+    1→7 flatMap; no window at all, so no per-day state concentration —
+    this is how DAU/WAU rolls up over 100 TB of events.  The approximate
+    complement at scale is an HLL sketch per day merged over the trailing
+    window (`distinct_users_hll_rollup` in the registry).
+    """
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("report_day"),
+    ).distinct()
+    actual = user_days.select("day").distinct()
+    return (
+        contrib.join(
+            actual, contrib["report_day"] == actual["day"], "left_semi"
+        )
+        .groupBy("report_day")
+        .agg(F.count("*").alias("active_7d"))
+        .select(
+            F.col("report_day").cast("string").alias("day"), "active_7d"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# full outer join: click/purchase reconciliation with two-sided nulls
+# --------------------------------------------------------------------------
+
+
+@register(
+    "click_purchase_recon",
+    """
+WITH clicks AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, CAST(ts AS DATE)
+), purchases AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       CAST(COALESCE(c.day, p.day) AS VARCHAR) AS day,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(p.n_purchases, 0) AS n_purchases
+FROM clicks c
+FULL OUTER JOIN purchases p
+  ON c.user_id = p.user_id AND c.day = p.day
+WHERE c.user_id IS NULL OR p.user_id IS NULL
+""",
+)
+def click_purchase_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN coverage (the one join type the registry lacked):
+    per (user, day), clicks without a purchase and purchases without a
+    click — the two-sided-null reconciliation shape (settlements,
+    ledger diffs, activity anomalies).  The filter keeps exactly the
+    non-matching rows, i.e. the symmetric difference.
+
+    Scale: both sides pre-aggregate BEFORE the join (the cardinality
+    reduction makes the full-outer shuffle cheap); the join keys carry
+    the same (user_id, day) partitioning as the aggregates, so AQE
+    plans one exchange per side, reused from the aggregation.
+    """
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    by = lambda t, out: (  # noqa: E731
+        events.filter(F.col("event_type") == t)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias(out))
+    )
+    clicks = by("click", "n_clicks")
+    purchases = by("purchase", "n_purchases")
+    joined = clicks.alias("c").join(
+        purchases.alias("p"),
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.day") == F.col("p.day")),
+        "full_outer",
+    )
+    return joined.filter(
+        F.col("c.user_id").isNull() | F.col("p.user_id").isNull()
+    ).select(
+        F.coalesce("c.user_id", "p.user_id").alias("user_id"),
+        F.coalesce("c.day", "p.day").cast("string").alias("day"),
+        F.coalesce("c.n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("p.n_purchases", F.lit(0)).alias("n_purchases"),
+    )
