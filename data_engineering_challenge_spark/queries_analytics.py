@@ -59,6 +59,8 @@ JOIN names b
   ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
  AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 3
+  AND len(string_split(a.p_name, ' ')) >= 2
+  AND len(string_split(b.p_name, ' ')) >= 2
 """,
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,6 +76,10 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = _t(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    # guard single-token names explicitly: Spark's getItem(1) yields NULL
+    # (dropped by the inner join) while DuckDB's split_part yields '' (which
+    # would JOIN) — filtering both engines the same way removes the trap
+    names = names.filter(F.size(F.split("p_name", " ")) >= 2)
     block = F.split(F.col("p_name"), " ").getItem(1)
     a = names.select(
         F.col("p_name").alias("name_a"),
