@@ -505,3 +505,127 @@ def test_apply_cdc_seq_col_order_independent(spark, tmp_path_factory, batches):
             assert got == model, (batch, got, model)
     finally:
         shutil.rmtree(str(d), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# analytics family: sweep-line and triangle count vs brute force
+# ---------------------------------------------------------------------------
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),        # user_id
+        st.integers(min_value=0, max_value=3 * 86_400_000_000),  # us offset, 3 days
+    ),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@given(evs=_events_strategy)
+@_settings
+def test_peak_concurrency_matches_brute_force(spark, evs, tmp_path_factory):
+    """The day-partitioned sweep equals the O(points x sessions) brute
+    force: for every session start point, count sessions covering it,
+    maxed per day.  (The max concurrency on a day is always attained at
+    some interval's start — or the day boundary for spanning sessions —
+    so probing starts + day starts is exhaustive.)"""
+    from data_engineering_challenge_spark.queries_analytics import (
+        peak_concurrency,
+    )
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (i + 1, uid, base + timedelta(microseconds=us), "view", 1.0, None)
+        for i, (uid, us) in enumerate(sorted(set(evs)))
+    ]
+    tmp = tmp_path_factory.mktemp("sweep")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = {
+        r["day"]: r["peak_concurrent"]
+        for r in peak_concurrency(spark, str(tmp)).collect()
+    }
+
+    # brute force: sessionize in python (30-min gap), then per day probe
+    # candidate points (session starts + day starts)
+    by_user: dict[int, list[int]] = {}
+    for _, uid, ts, *_ in rows:
+        by_user.setdefault(uid, []).append(
+            int((ts - datetime(1970, 1, 1)).total_seconds() * 1e6)
+        )
+    sessions = []
+    gap = 1_800_000_000
+    for uid, tss in by_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        for t in tss[1:]:
+            if t - prev > gap:
+                sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    day_us = 86_400_000_000
+    expected: dict[str, int] = {}
+    days = {ts // day_us for s, e in sessions for ts in (s, e)}
+    for d in days:
+        d_lo, d_hi = d * day_us, (d + 1) * day_us - 1
+        probes = {s for s, e in sessions if d_lo <= s <= d_hi}
+        probes.add(d_lo)
+        best = 0
+        for p in probes:
+            live = sum(1 for s, e in sessions if s <= p <= e)
+            best = max(best, live)
+        # only days that intersect at least one session appear
+        if any(s <= d_hi and e >= d_lo for s, e in sessions):
+            day_str = (
+                datetime(1970, 1, 1) + timedelta(microseconds=d * day_us)
+            ).strftime("%Y-%m-%d")
+            expected[day_str] = best
+    assert got == expected
+
+
+_orders_strategy = st.lists(
+    st.lists(
+        st.integers(min_value=1, max_value=8), min_size=2, max_size=4, unique=True
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(orders=_orders_strategy)
+@_settings
+def test_triangles_match_brute_force(spark, orders, tmp_path_factory):
+    """Degree-oriented counting equals brute-force enumeration over all
+    id-ordered vertex triples, on random co-purchase graphs (≤8 nodes)."""
+    from itertools import combinations
+
+    from data_engineering_challenge_spark.queries_analytics import (
+        copurchase_triangles,
+    )
+
+    rows = [
+        (ok + 1, pk) for ok, parts in enumerate(orders) for pk in parts
+    ]
+    tmp = tmp_path_factory.mktemp("tri")
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+    row = copurchase_triangles(spark, str(tmp)).collect()[0]
+
+    edges = set()
+    for parts in orders:
+        for a, b in combinations(sorted(set(parts)), 2):
+            edges.add((a, b))
+    nodes = sorted({v for e in edges for v in e})
+    tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri
