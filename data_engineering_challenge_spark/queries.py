@@ -115,6 +115,12 @@ _CHEAP_FIRST = [
     "winnow_overlap_pairs", "bpe_train_merges",
     "contamination_bloom", "streaming_stateful_first_seen",
     "curated_corpus_manifest", "streaming_near_dup_admission",
+    # round-5 second-pass additions, measured verify cost ascending (sf0.01)
+    "weighted_sample_systematic", "equal_freq_histogram",
+    "value_drift_buckets", "click_purchase_recon",
+    "event_transition_matrix", "peak_concurrency", "fuzzy_name_pairs",
+    "doc_chunk_windows", "rolling_7day_active_users",
+    "copurchase_triangles",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -321,10 +321,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "copurchase_triangles",
     """
 WITH e AS (
-    SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
     FROM lineitem a
     JOIN lineitem b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
 )
 SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
        CAST((SELECT COUNT(*)
@@ -334,19 +336,30 @@ SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
            AS n_triangles
 """,
 )
-def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count over the co-purchase graph (parts appearing in the
-    same order).  The oracle enumerates id-ordered wedges; the Spark side
-    orients every edge from its LOWER-degree endpoint to its higher
-    (ties by id) — each triangle is then found exactly once, at its
-    lowest-degree apex, and wedge fan-out per node is bounded by the
-    node's ORIENTED out-degree ≤ O(sqrt(|E|)).  Same count, but the
-    power-law hub that makes naive id-ordered enumeration explode at
-    100 TB (a hub product appearing in 1e6 orders → 1e12 id-ordered
-    wedges) generates almost no wedges when oriented by degree.
+def copurchase_triangles(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
+    """Triangle count over the co-purchase graph: parts co-purchased in
+    at least ``min_support`` orders (the market-basket min-support knob —
+    the registered instance uses 2).  The oracle enumerates id-ordered
+    wedges; the Spark side orients every edge from its LOWER-degree
+    endpoint to its higher (ties by id) — each triangle is then found
+    exactly once, at its lowest-degree apex, and wedge fan-out per node
+    is bounded by the node's ORIENTED out-degree.  Same count; the
+    power-law hub that makes naive id-ordered enumeration explode
+    generates almost no wedges when oriented by degree.
 
-    Shuffles: one for the order self-join, one distinct, one degree agg
-    (broadcast back), one wedge join, one closing-edge join.
+    Why min-support is the scale lever (measured, not hand-waved): the
+    support-1 co-occurrence graph is NOISE-dense — at sf0.1 it has 1.2M
+    near-uniform-degree edges whose wedge set is ~1e8 rows (orientation
+    can't help when every degree is equal; that regime is
+    matrix-multiplication, not enumeration).  Support ≥ 2 keeps the
+    SIGNAL graph (3.6k edges at sf0.01, 3.9k at sf0.1 — repeat
+    co-purchases, exactly what association mining thresholds on) and the
+    whole pipeline stays join-shaped at any scale.
+
+    Shuffles: one for the order self-join, one support agg, one degree
+    agg (broadcast back), one wedge join, one closing-edge join.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(
@@ -358,8 +371,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         a.join(b, "ok")
         .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("_support"))
+        .filter(F.col("_support") >= min_support)
         .select("p1", "p2")
-        .distinct()
     )
     # degree of every endpoint (undirected)
     deg = (

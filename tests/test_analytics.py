@@ -89,7 +89,7 @@ def test_triangles_k4_plus_star(spark, tmp_path):
     for i, leaf in enumerate([101, 102, 103, 104, 105]):
         orders[10 + i] = [100, leaf]
     sf = _write_lineitem(spark, tmp_path, orders)
-    row = qa.copurchase_triangles(spark, sf).collect()[0]
+    row = qa.copurchase_triangles(spark, sf, min_support=1).collect()[0]
     assert row["n_edges"] == 6 + 5
     assert row["n_triangles"] == 4
 
@@ -98,7 +98,7 @@ def test_triangles_shared_edge(spark, tmp_path):
     """Two triangles sharing an edge: {1,2,3} and {2,3,4} -> 5 edges, 2
     triangles, each counted once despite the shared (2,3) edge."""
     sf = _write_lineitem(spark, tmp_path, {1: [1, 2, 3], 2: [2, 3, 4]})
-    row = qa.copurchase_triangles(spark, sf).collect()[0]
+    row = qa.copurchase_triangles(spark, sf, min_support=1).collect()[0]
     assert row["n_edges"] == 5
     assert row["n_triangles"] == 2
 

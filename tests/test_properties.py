@@ -615,7 +615,7 @@ def test_triangles_match_brute_force(spark, orders, tmp_path_factory):
     spark.createDataFrame(
         rows, "l_orderkey bigint, l_partkey bigint"
     ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
-    row = copurchase_triangles(spark, str(tmp)).collect()[0]
+    row = copurchase_triangles(spark, str(tmp), min_support=1).collect()[0]
 
     edges = set()
     for parts in orders:
