@@ -769,3 +769,56 @@ def click_purchase_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c.n_clicks", F.lit(0)).alias("n_clicks"),
         F.coalesce("p.n_purchases", F.lit(0)).alias("n_purchases"),
     )
+
+
+# --------------------------------------------------------------------------
+# custom Python DataSource (Spark 4 API): proof the source emits exactly
+# its declared relation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "synthetic_source_agg",
+    """
+WITH src AS (
+    SELECT i AS event_id, i % 997 AS user_id, i % 13 AS bucket,
+           (i * 31) % 100000 AS value_cents, i // 10000 AS day_no
+    FROM (SELECT UNNEST(range(0, 50000)) AS i)
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MIN(event_id) AS BIGINT) AS first_id,
+       CAST(MAX(event_id) AS BIGINT) AS last_id
+FROM src
+GROUP BY bucket
+""",
+)
+def synthetic_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource (`sources/pyds.py`, the Spark 4
+    `pyspark.sql.datasource` API) driven end-to-end: 50k deterministic
+    rows generated partition-parallel (8 range splits, no files), then
+    aggregated per bucket.  The DuckDB oracle recomputes the SAME
+    relation from `range()` — a hash-exact proof that the source emits
+    exactly its declared integer-function rows under any partitioning.
+
+    `sf_dir` is unused by design: the source is programmatic (that is the
+    point of a DataSource).
+    """
+    from .sources.pyds import register_synthetic_source
+
+    register_synthetic_source(spark)
+    src = (
+        spark.read.format("synthetic_events")
+        .option("rows", 50000)
+        .option("partitions", 8)
+        .load()
+    )
+    return src.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("value_cents").alias("total_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )

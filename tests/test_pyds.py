@@ -1,0 +1,64 @@
+"""Custom Python DataSource (sources/pyds.py): partition-parallel
+deterministic generation through the real reader surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_challenge_spark.sources.pyds import (
+    register_synthetic_source,
+)
+
+
+@pytest.fixture()
+def src(spark):
+    register_synthetic_source(spark)
+
+    def load(rows, partitions):
+        return (
+            spark.read.format("synthetic_events")
+            .option("rows", rows)
+            .option("partitions", partitions)
+            .load()
+        )
+
+    return load
+
+
+def test_rows_and_schema(src):
+    df = src(1000, 4)
+    assert df.columns == [
+        "event_id", "user_id", "bucket", "value_cents", "day_no",
+    ]
+    assert df.count() == 1000
+
+
+def test_partition_layout_is_parallel(src):
+    assert src(1000, 4).rdd.getNumPartitions() == 4
+    # uneven split: ceil-width ranges, last one short, none dropped
+    assert src(10, 3).rdd.getNumPartitions() == 3
+    assert src(10, 3).count() == 10
+
+
+def test_content_invariant_under_partitioning(src):
+    a = sorted(src(500, 1).collect())
+    b = sorted(src(500, 7).collect())
+    assert a == b  # the relation is a pure function of i, not of layout
+
+
+def test_row_formula(src):
+    rows = {r["event_id"]: r for r in src(50, 2).collect()}
+    for i in (0, 13, 49):
+        r = rows[i]
+        assert r["user_id"] == i % 997
+        assert r["bucket"] == i % 13
+        assert r["value_cents"] == (i * 31) % 100000
+        assert r["day_no"] == i // 10000
+
+
+def test_empty_and_bad_options(src):
+    assert src(0, 4).count() == 0
+    with pytest.raises(Exception):
+        src(-1, 4).collect()
+    with pytest.raises(Exception):
+        src(10, 0).collect()
