@@ -120,6 +120,7 @@ _CHEAP_FIRST = [
     "value_drift_buckets", "click_purchase_recon",
     "event_transition_matrix", "peak_concurrency", "fuzzy_name_pairs",
     "doc_chunk_windows", "rolling_7day_active_users",
+    "synthetic_source_agg", "copurchase_lift",
     "copurchase_triangles",
 ]
 

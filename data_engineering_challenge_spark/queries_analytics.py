@@ -822,3 +822,93 @@ def synthetic_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_id"),
         F.max("event_id").alias("last_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# association rules: support / confidence / lift on repeat co-purchases
+# --------------------------------------------------------------------------
+
+
+@register(
+    "copurchase_lift",
+    """
+WITH n_ord AS (
+    SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem
+), part_ord AS (
+    SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem GROUP BY l_partkey
+), pair AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS support
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+)
+SELECT p.p1, p.p2, p.support,
+       CAST(p.support AS DOUBLE) / CAST(pa.n_orders AS DOUBLE)
+           AS confidence_1_2,
+       CAST(p.support AS DOUBLE) / CAST(pb.n_orders AS DOUBLE)
+           AS confidence_2_1,
+       (CAST(p.support AS DOUBLE) * CAST(o.n AS DOUBLE))
+           / (CAST(pa.n_orders AS DOUBLE) * CAST(pb.n_orders AS DOUBLE))
+           AS lift
+FROM pair p
+JOIN part_ord pa ON pa.l_partkey = p.p1
+JOIN part_ord pb ON pb.l_partkey = p.p2
+CROSS JOIN n_ord o
+""",
+)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over repeat co-purchases: for part pairs with
+    support ≥ 2 orders, confidence in both directions and lift
+    (support·N / (n₁·n₂)) — the market-basket triple every
+    recommendation pipeline starts from.
+
+    Float discipline: confidence and lift are pure bigint→double
+    divisions/multiplications (IEEE-core, bit-identical both engines).
+
+    Scale: the pair aggregation is the same one shuffle as
+    `copurchase_triangles`; per-part order counts are a second, smaller
+    aggregate broadcast onto the thresholded (tiny) pair set; the global
+    order count is a 1-row broadcast.  Nothing downstream of the
+    threshold touches fact-table cardinality.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    n_ord = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_ord = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.countDistinct("ok").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    pa = part_ord.select(
+        F.col("l_partkey").alias("p1"), F.col("n_orders").alias("_n1")
+    )
+    pb = part_ord.select(
+        F.col("l_partkey").alias("p2"), F.col("n_orders").alias("_n2")
+    )
+    sup = F.col("support").cast("double")
+    return (
+        pair.join(F.broadcast(pa), "p1")
+        .join(F.broadcast(pb), "p2")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            (sup / F.col("_n1").cast("double")).alias("confidence_1_2"),
+            (sup / F.col("_n2").cast("double")).alias("confidence_2_1"),
+            (
+                (sup * F.col("n").cast("double"))
+                / (F.col("_n1").cast("double") * F.col("_n2").cast("double"))
+            ).alias("lift"),
+        )
+    )

@@ -23,7 +23,12 @@ that, write once with this source and read parquet thereafter.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -64,6 +69,12 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema: StructType) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        # the SIMPLE stream API (prefetch-on-driver, offset dicts) — the
+        # right fit for a generator; `streamReader` would be the
+        # partition-planned variant for sources with real splits
+        return SyntheticEventsStreamReader(self.options)
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
@@ -93,3 +104,33 @@ class SyntheticEventsReader(DataSourceReader):
 def register_synthetic_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# streaming variant: the same deterministic relation as a bounded stream
+# ---------------------------------------------------------------------------
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batches over the synthetic relation:
+    offset = {"i": next-row-index}; each batch is rows
+    [i, min(i + batch_rows, total_rows)).  ``readBetweenOffsets`` replays
+    EXACTLY the same rows for a given (start, end) — determinism is what
+    makes checkpoint recovery exactly-once for downstream sinks."""
+
+    def __init__(self, options):
+        self.total = int(options.get("total_rows", 100))
+        self.batch = int(options.get("batch_rows", 10))
+        if self.batch < 1:
+            raise ValueError("synthetic_events stream: batch_rows must be >= 1")
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = min(lo + self.batch, self.total)
+        return iter([_row(i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(int(start["i"]), int(end["i"]))])
