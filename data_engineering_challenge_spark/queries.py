@@ -121,6 +121,7 @@ _CHEAP_FIRST = [
     "event_transition_matrix", "peak_concurrency", "fuzzy_name_pairs",
     "doc_chunk_windows", "rolling_7day_active_users",
     "synthetic_source_agg", "copurchase_lift",
+    "streaming_synthetic_source",
     "copurchase_triangles",
 ]
 

@@ -2985,3 +2985,62 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Python streaming DataSource end-to-end (round 5): the synthetic stream
+# drained under a real checkpoint, then aggregated
+# --------------------------------------------------------------------------
+
+
+@register(
+    "streaming_synthetic_source",
+    """
+WITH src AS (
+    SELECT i % 997 AS user_id, i % 13 AS bucket,
+           (i * 31) % 100000 AS value_cents
+    FROM (SELECT UNNEST(range(0, 20000)) AS i)
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM src
+GROUP BY bucket
+""",
+)
+def q_streaming_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python STREAMING DataSource (`sources/pyds.py`,
+    `simpleStreamReader`) executed for real: the bounded synthetic stream
+    drains through a checkpointed availableNow run into a parquet sink,
+    and the landed table aggregates per bucket — hash-exact against the
+    DuckDB `range()` restatement, proving the offset-tracked stream
+    delivers exactly-once the relation the batch source declares.
+    Output cached per (query, sf_dir); `sf_dir` is unused (programmatic
+    source)."""
+    import shutil
+    import tempfile
+
+    from .sources.pyds import register_synthetic_source
+    from .streaming import incremental as st
+
+    key = ("streaming_synthetic_source", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        register_synthetic_source(spark)
+        tmp = tempfile.mkdtemp(prefix="stream_pyds_")
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("total_rows", 20000)
+            .option("batch_rows", 20000)
+            .load()
+        )
+        st.run_available_now(stream, f"{tmp}/out", f"{tmp}/ckpt")
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/out"
+    landed = spark.read.parquet(out)
+    return landed.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("value_cents").alias("total_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
