@@ -912,3 +912,131 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# non-linear running state: capped balance via applyInPandas, oracle via
+# recursive CTE
+# --------------------------------------------------------------------------
+
+
+@register(
+    "capped_running_balance",
+    """
+WITH RECURSIVE numbered AS (
+    SELECT user_id, event_id, value - 50.0 AS delta,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+), r AS (
+    SELECT user_id, event_id, rn,
+           LEAST(100.0, GREATEST(0.0, delta)) AS balance
+    FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.rn,
+           LEAST(100.0, GREATEST(0.0, r.balance + s.delta)) AS balance
+    FROM r JOIN numbered s
+      ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, balance FROM r
+""",
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance per user (inventory / credit / token-bucket
+    semantics): balance_i = clamp(balance_{i-1} + delta_i, 0, 100) in
+    deterministic (ts, event_id) order.  The clamp makes the recurrence
+    NON-LINEAR — no window frame or prefix sum can express it — so this is
+    the honest tier-(b) custom operator: an Arrow-batched
+    ``applyInPandas`` per user key.  The oracle is a recursive CTE
+    stepping the same recurrence row-by-row; every arithmetic op
+    (add, clamp) is IEEE-core, so the whole surface hash-matches.
+
+    Scale: state is one float per user, work is one pass per user
+    partition — exactly the applyInPandasWithState streaming shape run
+    as a batch (the streaming twin is `streaming/stateful.py`).  The
+    oracle's O(n²) self-join recursion is the NON-scalable restatement;
+    the operator is the scalable one.
+    """
+    import pandas as pd
+
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    src = events.select(
+        "user_id", "event_id", "ts", (F.col("value") - 50.0).alias("delta")
+    )
+
+    def step(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, out = 0.0, []
+        for d in pdf["delta"]:
+            bal = min(100.0, max(0.0, bal + d))
+            out.append(bal)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "balance": out,
+            }
+        )
+
+    return src.groupBy("user_id").applyInPandas(
+        step, "user_id bigint, event_id bigint, balance double"
+    )
+
+
+# --------------------------------------------------------------------------
+# time-weighted average: interval-weighted mean value per event type
+# --------------------------------------------------------------------------
+
+
+@register(
+    "twap_by_type",
+    f"""
+WITH stepped AS (
+    SELECT event_type, value,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+    FROM events
+)
+SELECT event_type,
+       {_dsum_sql('value * dur_us')} AS weighted_sum,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us,
+       {_dsum_sql('value * dur_us')} / CAST(SUM(dur_us) AS DOUBLE) AS twap
+FROM stepped
+WHERE dur_us IS NOT NULL AND dur_us > 0
+GROUP BY event_type
+""",
+)
+def twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type: each event's value
+    holds until the user's next event (step-function semantics — the TWAP
+    convention for prices/telemetry); the mean weighs each value by its
+    holding duration, so a value held 1 hour counts 3600× one held a
+    second — the thing a plain AVG gets wrong on irregular samples.
+
+    Exactness: value·duration products are single IEEE multiplications;
+    their sum runs through the decimal(28,10) path (order-independent);
+    the final division is one IEEE op.
+
+    Scale: one user_id window shuffle for LEAD, then a 5-group
+    aggregation that rides partial agg.
+    """
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = events.select(
+        "event_type",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "dur_us"
+        ),
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    weighted = dsum(F.col("value") * F.col("dur_us"))
+    return stepped.groupBy("event_type").agg(
+        weighted.alias("weighted_sum"),
+        F.sum("dur_us").alias("total_us"),
+        (weighted / F.sum("dur_us").cast("double")).alias("twap"),
+    )
