@@ -122,7 +122,7 @@ _CHEAP_FIRST = [
     "doc_chunk_windows", "rolling_7day_active_users",
     "synthetic_source_agg", "copurchase_lift",
     "streaming_synthetic_source",
-    "twap_by_type", "capped_running_balance",
+    "twap_by_type", "winsorized_price_stats", "capped_running_balance",
     "copurchase_triangles",
 ]
 

@@ -1040,3 +1040,73 @@ def twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dur_us").alias("total_us"),
         (weighted / F.sum("dur_us").cast("double")).alias("twap"),
     )
+
+
+# --------------------------------------------------------------------------
+# robust stats: winsorization (percentile clipping) per group
+# --------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_price_stats",
+    f"""
+WITH pct AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.05) AS p05,
+           quantile_cont(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+), clipped AS (
+    SELECT l.l_returnflag, l.l_extendedprice,
+           LEAST(p.p95, GREATEST(p.p05, l.l_extendedprice)) AS w_price,
+           CASE WHEN l.l_extendedprice < p.p05 THEN 1 ELSE 0 END AS is_low,
+           CASE WHEN l.l_extendedprice > p.p95 THEN 1 ELSE 0 END AS is_high
+    FROM lineitem l JOIN pct p ON l.l_returnflag = p.l_returnflag
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(is_low) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(is_high) AS BIGINT) AS n_clipped_high,
+       {_dsum_sql('l_extendedprice')} AS raw_total,
+       {_dsum_sql('w_price')} AS winsorized_total
+FROM clipped
+GROUP BY l_returnflag
+""",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust-stats outlier treatment that CLIPS to
+    the p05/p95 band instead of dropping rows (complementing the
+    MAD-based `token_outlier_docs`, which flags): per return flag,
+    exact percentile bounds, clip, and report how many rows each tail
+    clipped plus decimal-exact totals before/after.
+
+    Exactness: interpolated percentiles use the same (1−f)·a + f·b
+    formula in both engines on bit-identical inputs; clipping is
+    comparison + select, totals ride the decimal path.
+
+    Scale: percentile-exact needs a per-group sort, but the bounds frame
+    is |groups| rows and broadcasts back onto the scan — one wide
+    shuffle total.  At 100 TB swap the exact percentile for
+    approx_percentile (mergeable t-digest) and keep the identical
+    clip/agg plan.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    pct = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    clipped = li.join(F.broadcast(pct), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.least("p95", F.greatest("p05", "l_extendedprice")).alias("w_price"),
+        (F.col("l_extendedprice") < F.col("p05")).cast("int").alias("is_low"),
+        (F.col("l_extendedprice") > F.col("p95")).cast("int").alias("is_high"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("is_low").cast("bigint").alias("n_clipped_low"),
+        F.sum("is_high").cast("bigint").alias("n_clipped_high"),
+        dsum("l_extendedprice").alias("raw_total"),
+        dsum("w_price").alias("winsorized_total"),
+    )
