@@ -21,6 +21,7 @@ from data_engineering_challenge_spark import queries as _q  # noqa: E402
 # importing these modules populates the registry in `queries`
 from data_engineering_challenge_spark import queries_analytics  # noqa: E402,F401
 from data_engineering_challenge_spark import queries_relational  # noqa: E402,F401
+from data_engineering_challenge_spark import queries_scale  # noqa: E402,F401
 from data_engineering_challenge_spark import queries_text  # noqa: E402,F401
 
 

