@@ -272,12 +272,14 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans exactly as on parquet, so the format swap is plan-neutral."""
     import tempfile
 
+    from .sources import io as eio
+
     docs = _t(spark, sf_dir, "documents")
     key = ("orc_roundtrip_stats", sf_dir)
     out = _ORC_OUT_CACHE.get(key)
     if out is None:
         tmp = tempfile.mkdtemp(prefix="orc_rt_")
-        docs.write.mode("overwrite").orc(f"{tmp}/docs")
+        eio.write_orc(docs, f"{tmp}/docs")
         out = _ORC_OUT_CACHE[key] = f"{tmp}/docs"
     back = spark.read.schema(docs.schema).orc(out)
     return back.groupBy("lang", "source").agg(
