@@ -365,3 +365,203 @@ def rle_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _rle_docs d, LATERAL rle_runs(d.text) r
         """
     )
+
+
+# --------------------------------------------------------------------------
+# count-min sketch heavy hitters — the ORACLE-GREEN mergeable sketch
+# --------------------------------------------------------------------------
+
+
+def _cms_db(key_col: str, depth: int, width: int) -> F.Column:
+    """Exploded (d, b) pairs for a key: md5-derived buckets (engine-
+    portable, like every hash in this repo — never an engine-internal
+    hash)."""
+    key_str = F.col(key_col).cast("string")
+
+    def bucket(i: int) -> F.Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key_str)), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        return F.pmod(h, F.lit(width))
+
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("d"), bucket(i).alias("b"))
+                for i in range(depth)
+            ]
+        )
+    ).alias("db")
+
+
+def cms_build(
+    src: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Build a count-min sketch (depth × width counter rows) over every
+    occurrence of ``key_col``: one explode(depth) + one (d, b) aggregate
+    that rides map-side combine, so the shuffle carries at most
+    depth×width rows per map task regardless of input size.  Counters are
+    plain sums, so sketches merge across partitions, days, or streams by
+    ADDITION (`cms_merge`) — the same mergeability contract as the
+    HLL/Theta/KLL family, but with fully DETERMINISTIC portable hashing,
+    which is why this one sketch can carry a value-hash ORACLE while
+    DataSketches internals cannot."""
+    return (
+        src.select(_cms_db(key_col, depth, width))
+        .select("db.d", "db.b")
+        .groupBy("d", "b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the same (depth, width):
+    counter-wise addition."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "b").agg(F.sum("c").alias("c"))
+
+
+def cms_probe(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int, width: int
+) -> DataFrame:
+    """Estimate each distinct key's count: MIN over its ``depth``
+    counters — an overestimate-only bound (collisions only ADD).  The
+    finished sketch IS depth×width rows, so it broadcasts."""
+    probes = (
+        keys.select(F.col(key_col), _cms_db(key_col, depth, width))
+        .select(key_col, "db.d", "db.b")
+        .distinct()
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("est_count"))
+    )
+
+
+def cms_estimates(
+    src: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min estimates for every distinct key in ``src`` (build +
+    probe composed)."""
+    sketch = cms_build(src, key_col, depth, width)
+    return cms_probe(sketch, src, key_col, depth, width)
+
+
+@register(
+    "cms_heavy_hitters",
+    """
+WITH hashed AS (
+    SELECT user_id, d,
+           CAST(concat('0x', substring(
+               md5(concat(d, ':', CAST(user_id AS VARCHAR))), 1, 15)
+           ) AS BIGINT) % 64 AS b
+    FROM events
+    CROSS JOIN (VALUES ('0'), ('1'), ('2'), ('3')) AS t(d)
+), sketch AS (
+    SELECT d, b, COUNT(*) AS c FROM hashed GROUP BY d, b
+), est AS (
+    SELECT h.user_id, CAST(MIN(s.c) AS BIGINT) AS est_count
+    FROM (SELECT DISTINCT user_id, d, b FROM hashed) h
+    JOIN sketch s USING (d, b)
+    GROUP BY h.user_id
+)
+SELECT user_id, est_count FROM est
+ORDER BY est_count DESC, user_id
+LIMIT 20
+""",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest event users BY COUNT-MIN ESTIMATE (depth 4, width
+    64 — deliberately undersized so collisions actually bias the
+    estimates at sf0.01 and the oracle is checking real sketch behavior,
+    not a degenerate exact regime).
+
+    This is the sketch-family member whose ESTIMATES are value-hash
+    verified: md5 bucket hashing is bit-identical in both engines, so the
+    oracle rebuilds the identical sketch in SQL and must reproduce every
+    collision.  Property tests cover the analytic guarantees (estimate ≥
+    true count always; exact when width ≫ keys; merge-by-addition =
+    single build).  Deterministic top-k tiebreak on user_id."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    est = cms_estimates(events.select("user_id"), "user_id", depth=4, width=64)
+    return est.orderBy(F.desc("est_count"), "user_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# order-independent table checksum (migration / replication validation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "table_checksum",
+    """
+WITH canon AS (
+    SELECT concat_ws('|',
+        COALESCE(CAST(l_orderkey AS VARCHAR), '~null~'),
+        COALESCE(CAST(l_partkey AS VARCHAR), '~null~'),
+        COALESCE(CAST(l_suppkey AS VARCHAR), '~null~'),
+        COALESCE(CAST(l_linenumber AS VARCHAR), '~null~'),
+        COALESCE(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR), '~null~'),
+        COALESCE(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR), '~null~'),
+        COALESCE(CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR), '~null~'),
+        COALESCE(CAST(CAST(l_tax AS DECIMAL(18,6)) AS VARCHAR), '~null~'),
+        COALESCE(l_returnflag, '~null~'),
+        COALESCE(l_linestatus, '~null~'),
+        COALESCE(CAST(epoch_us(l_shipdate) AS VARCHAR), '~null~')
+    ) AS row_str
+    FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(concat('0x', substring(md5(row_str), 1, 15))
+                AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM canon
+""",
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent whole-table fingerprint of ``lineitem`` — the
+    migration/replication validation primitive: after moving 100 TB
+    between engines/formats/clusters, compare ONE row per table instead
+    of the tables.
+
+    Construction: canonical row string (every column through an
+    engine-portable text form — bigints verbatim, doubles via the
+    DECIMAL(18,6) convention, timestamps as epoch-µs, NULL marked
+    distinctly from empty) → md5 → 60-bit integer → SUM as
+    DECIMAL(38,0).  Exact decimal addition is commutative, so the
+    checksum is independent of partitioning, ordering, and engine —
+    that the DuckDB oracle reproduces it bit-for-bit IS the feature
+    being shipped.
+
+    Scale: map-only hashing + one partial-agg scalar — no shuffle wider
+    than one row per map task; no column survives past the md5."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def canon(c: str, expr: F.Column) -> F.Column:
+        return F.coalesce(expr.cast("string"), F.lit("~null~"))
+
+    row_str = F.concat_ws(
+        "|",
+        canon("l_orderkey", F.col("l_orderkey")),
+        canon("l_partkey", F.col("l_partkey")),
+        canon("l_suppkey", F.col("l_suppkey")),
+        canon("l_linenumber", F.col("l_linenumber")),
+        canon("l_quantity", F.col("l_quantity").cast("decimal(18,6)")),
+        canon("l_extendedprice", F.col("l_extendedprice").cast("decimal(18,6)")),
+        canon("l_discount", F.col("l_discount").cast("decimal(18,6)")),
+        canon("l_tax", F.col("l_tax").cast("decimal(18,6)")),
+        canon("l_returnflag", F.col("l_returnflag")),
+        canon("l_linestatus", F.col("l_linestatus")),
+        canon("l_shipdate", F.unix_micros("l_shipdate")),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    return li.select(h.alias("_h")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("_h").cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )

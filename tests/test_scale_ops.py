@@ -194,3 +194,74 @@ def test_orc_roundtrip_matches_parquet_direct(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_cms_overestimate_only_and_exact_when_wide(spark):
+    """CMS analytic guarantees on the real events table: estimate >= true
+    count for EVERY key at the undersized width (collisions only add),
+    and estimate == true count when width >> #keys."""
+    events = spark.read.parquet(f"{SF}/events.parquet").select("user_id")
+    exact = {
+        r.user_id: r.c
+        for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    est_narrow = {
+        r.user_id: r.est_count
+        for r in qsc.cms_estimates(events, "user_id", depth=4, width=16).collect()
+    }
+    assert set(est_narrow) == set(exact)
+    assert all(est_narrow[k] >= exact[k] for k in exact)
+    # narrow width MUST actually collide on this data, else the oracle
+    # checks a degenerate regime
+    assert any(est_narrow[k] > exact[k] for k in exact)
+
+    est_wide = {
+        r.user_id: r.est_count
+        for r in qsc.cms_estimates(events, "user_id", depth=4, width=4096).collect()
+    }
+    assert est_wide == exact
+
+
+def test_cms_merge_equals_single_build(spark):
+    """Sketch mergeability: build over two disjoint halves, add counters,
+    probe — identical estimates to one build over the union."""
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_id"
+    )
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    merged = qsc.cms_merge(
+        qsc.cms_build(a, "user_id", 4, 64), qsc.cms_build(b, "user_id", 4, 64)
+    )
+    got = {
+        r.user_id: r.est_count
+        for r in qsc.cms_probe(merged, events, "user_id", 4, 64).collect()
+    }
+    single = {
+        r.user_id: r.est_count
+        for r in qsc.cms_estimates(events, "user_id", 4, 64).collect()
+    }
+    assert got == single
+
+
+def test_table_checksum_order_and_partitioning_invariant(spark):
+    """The checksum must not move under repartitioning/reordering, and
+    MUST move when a row changes."""
+    base = qsc.table_checksum(spark, SF).collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    # same rows, different physical layout -> same fingerprint
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="cksum_")
+    li.repartition(7, "l_suppkey").write.parquet(f"{tmp}/lineitem.parquet")
+    moved = qsc.table_checksum(spark, tmp).collect()[0]
+    assert (moved.n_rows, moved.checksum) == (base.n_rows, base.checksum)
+    # one flipped value -> different fingerprint
+    tampered = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") == li.first().l_orderkey, F.col("l_quantity") + 1)
+        .otherwise(F.col("l_quantity")),
+    )
+    tmp2 = tempfile.mkdtemp(prefix="cksum2_")
+    tampered.write.parquet(f"{tmp2}/lineitem.parquet")
+    assert qsc.table_checksum(spark, tmp2).collect()[0].checksum != base.checksum
