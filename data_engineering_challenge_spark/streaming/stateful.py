@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -74,6 +75,69 @@ def _dedup_fn(
         yield pd.DataFrame(
             out_rows, columns=["user_id", "fingerprint", "first_seen_us", "seq_no"]
         )
+
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("ewma", DoubleType(), False),
+    ]
+)
+
+#: (last smoothed value, #events folded so far) per user
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("last", DoubleType(), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def _ewma_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    e, n = state.get if state.exists else (None, 0)
+    # concat-then-sort for the same reason as _dedup_fn: chunk-local sorting
+    # would make the recurrence order depend on Arrow chunk boundaries
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_us", "event_id"], kind="mergesort"
+    )
+    out = []
+    for eid, x in zip(pdf["event_id"], pdf["value"]):
+        # IDENTICAL expression to the batch operator (queries_scale.
+        # ewma_value) and its recursive-CTE oracle: α=0.5 products are
+        # exact, one IEEE addition per step — so a micro-batched run is
+        # bit-identical to the batch run, which the state-carry test
+        # asserts with ==
+        e = x if e is None else 0.5 * x + 0.5 * e
+        n += 1
+        out.append((user_id, int(eid), e))
+    state.update((e, n))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "ewma"])
+
+
+def streaming_ewma(events_stream: DataFrame) -> DataFrame:
+    """Per-user EWMA (α=0.5) maintained ACROSS micro-batches: the batch
+    operator `queries_scale.ewma_value` as a stateful stream.  Input
+    stream needs ``user_id, event_id, ts_us, value``; state is ONE
+    (float, count) pair per user — the minimal-state recurrence shape
+    `applyInPandasWithState` exists for.
+
+    Contract: per-user arrival order across micro-batches must follow
+    ts_us (the file-source / log-compaction norm); within a batch any
+    order is fine (concat-then-sort).  With that contract the micro-
+    batched output is bit-identical to the batch recurrence — tested by
+    splitting the feed at a time boundary and comparing with ==."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_first_seen(events_stream: DataFrame) -> DataFrame:

@@ -963,3 +963,52 @@ def test_sessionize_stream_boundary_and_cutoff(spark, tmp_path):
     # events ending 01:00 and 01:30:01, both <= 03:00 -> emitted.  User
     # 2's session ends 04:30 -> held in state, not emitted.
     assert got == {(1, 2, 3.0), (1, 1, 4.0)}
+
+
+def test_streaming_ewma_state_carries_across_batches(spark, tmp_path):
+    """Split the event feed at its median timestamp into two files ->
+    maxFilesPerTrigger=1 gives two micro-batches.  Batch 2's recurrences
+    must CONTINUE from batch 1's carried (last, n) state, so the combined
+    output is bit-identical (==, no tolerance) to the batch operator."""
+    from data_engineering_challenge_spark import queries_scale as qsc
+    from data_engineering_challenge_spark.streaming.stateful import streaming_ewma
+
+    sf = "/root/testdata/sf0.001"
+    events = roles.load_events(spark, sf)
+    src = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    cut = src.approxQuantile("ts_us", [0.5], 0.0)[0]
+    src.filter(F.col("ts_us") <= cut).coalesce(1).write.parquet(
+        str(tmp_path / "src" / "b0")
+    )
+    src.filter(F.col("ts_us") > cut).coalesce(1).write.parquet(
+        str(tmp_path / "src" / "b1")
+    )
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "src" / "b*"))
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(prog) >= 2, "feed must actually arrive in >=2 micro-batches"
+
+    got = {
+        r.event_id: r.ewma
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    expected = {
+        r.event_id: r.ewma for r in qsc.ewma_value(spark, sf).collect()
+    }
+    assert got == expected
