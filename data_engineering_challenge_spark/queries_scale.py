@@ -367,6 +367,73 @@ def rle_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-(query, sf_dir) one-time stream materialization cache
+_STREAM_OUT_CACHE: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "streaming_ewma",
+    """
+WITH RECURSIVE numbered AS (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+), r AS (
+    SELECT user_id, event_id, rn, value AS ewma
+    FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.rn, 0.5 * s.value + 0.5 * r.ewma
+    FROM r JOIN numbered s
+      ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, ewma FROM r
+""",
+)
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-micro-batch stateful EWMA end-to-end (SURVEY.md §2.9):
+    the feed is split at its median timestamp into TWO files,
+    maxFilesPerTrigger=1 delivers them as two micro-batches, and the
+    per-user (last, n) state carries batch 1's recurrence into batch 2 —
+    so the value-hash match against the batch recursive-CTE oracle
+    certifies STATE CARRY, not just single-batch equivalence (the α=0.5
+    IEEE-exact step is what makes bit-equality achievable).  Output
+    cached per (query, sf_dir)."""
+    import shutil
+    import tempfile
+
+    from . import roles
+    from .streaming import incremental as st
+    from .streaming.stateful import streaming_ewma
+
+    key = ("streaming_ewma", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="stream_ewma_")
+        events = roles.load_events(spark, sf_dir)
+        src = events.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+        )
+        cut = src.approxQuantile("ts_us", [0.5], 0.0)[0]  # scalar probe
+        src.filter(F.col("ts_us") <= cut).coalesce(1).write.parquet(
+            f"{tmp}/src/b0"
+        )
+        src.filter(F.col("ts_us") > cut).coalesce(1).write.parquet(
+            f"{tmp}/src/b1"
+        )
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/src/b*")
+        )
+        st.run_available_now(streaming_ewma(stream), f"{tmp}/out", f"{tmp}/ckpt")
+        shutil.rmtree(f"{tmp}/src", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/out"
+    return spark.read.parquet(out)
+
+
 # --------------------------------------------------------------------------
 # count-min sketch heavy hitters — the ORACLE-GREEN mergeable sketch
 # --------------------------------------------------------------------------
