@@ -562,6 +562,130 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# table diff: keyed symmetric difference (anti-entropy reconciliation)
+# --------------------------------------------------------------------------
+
+
+def diff_tables(
+    a: DataFrame, b: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Keyed symmetric difference of two same-schema tables: one row per
+    key whose row content differs, with status ``only_a`` / ``only_b`` /
+    ``changed`` — the anti-entropy repair step after `table_checksum`
+    says two replicas diverged.
+
+    Rows are compared by md5 over the canonical concat of ALL non-key
+    columns (computed map-side, so the join carries keys + one hash —
+    never the wide rows), then FULL OUTER join on the keys.  Scale: one
+    shuffle per side on the key columns; output is bounded by the drift,
+    not the table."""
+    non_keys = [c for c in a.columns if c not in keys]
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        row_str = F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("~null~"))
+                for c in non_keys
+            ],
+        )
+        return df.select(*keys, F.md5(row_str).alias(f"_h_{alias}"))
+
+    ha, hb = hashed(a, "a"), hashed(b, "b")
+    joined = ha.join(hb, keys, "full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("_h_b").isNull(), F.lit("only_a"))
+        .when(F.col("_h_a").isNull(), F.lit("only_b"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    ).filter(
+        F.col("_h_a").isNull()
+        | F.col("_h_b").isNull()
+        | (F.col("_h_a") != F.col("_h_b"))
+    )
+
+
+@register(
+    "table_diff_reconcile",
+    # the "replica" is a deterministic drift of lineitem: high-discount
+    # rows get their tax zeroed (changed), the odd linenumber-6 rows are
+    # dropped (only_a) — the oracle restates the symmetric difference
+    # relationally.
+    """
+WITH b AS (
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.05 THEN 0.0 ELSE l_tax END AS l_tax
+    FROM lineitem
+    WHERE l_linenumber <> 6
+), a AS (
+    SELECT l_orderkey, l_linenumber, l_tax FROM lineitem
+)
+SELECT a.l_orderkey, a.l_linenumber,
+       CASE WHEN b.l_orderkey IS NULL THEN 'only_a' ELSE 'changed' END
+           AS status
+FROM a LEFT JOIN b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+WHERE b.l_orderkey IS NULL OR a.l_tax <> b.l_tax
+""",
+)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`diff_tables` end-to-end on a deterministic replica drift of
+    ``lineitem`` (keys = (l_orderkey, l_linenumber)): high-discount rows
+    mutated, one linenumber dropped — the diff must surface exactly the
+    drifted keys with the right status and nothing else.  The oracle is
+    the relational restatement of the symmetric difference (no only_b
+    rows exist in this drift — the LEFT JOIN form covers it)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_tax", "l_discount"
+    )
+    a = li.select("l_orderkey", "l_linenumber", "l_tax")
+    b = li.filter(F.col("l_linenumber") != 6).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, F.lit(0.0))
+        .otherwise(F.col("l_tax"))
+        .alias("l_tax"),
+    )
+    return diff_tables(a, b, ["l_orderkey", "l_linenumber"])
+
+
+# --------------------------------------------------------------------------
+# quantile normalization: percent_rank feature scaling per group
+# --------------------------------------------------------------------------
+
+
+@register(
+    "percent_rank_normalize",
+    """
+SELECT event_id, event_type,
+       PERCENT_RANK() OVER (
+           PARTITION BY event_type ORDER BY value, event_id
+       ) AS pr
+FROM events
+""",
+)
+def percent_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of ``value`` within each event type —
+    the distribution-free feature scaling used before mixing
+    heterogeneous signals: each value maps to (rank−1)/(n−1) in [0, 1].
+
+    The surface is IEEE-exact: rank and n are integers, so the single
+    division is one correctly-rounded op both engines agree on
+    (deterministic tie-break on event_id keeps ranks unique).  Scale:
+    one shuffle on event_type; 5 groups here — for high-cardinality
+    ORDER BY domains the two-pass global_row_ids bucket form is the
+    fallback, same plan family."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id", "event_type", F.percent_rank().over(w).alias("pr")
+    )
+
+
+# --------------------------------------------------------------------------
 # order-independent table checksum (migration / replication validation)
 # --------------------------------------------------------------------------
 

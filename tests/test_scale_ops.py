@@ -265,3 +265,37 @@ def test_table_checksum_order_and_partitioning_invariant(spark):
     tmp2 = tempfile.mkdtemp(prefix="cksum2_")
     tampered.write.parquet(f"{tmp2}/lineitem.parquet")
     assert qsc.table_checksum(spark, tmp2).collect()[0].checksum != base.checksum
+
+
+def test_diff_tables_all_three_statuses(spark):
+    """Hand fixture covering only_a, only_b, changed, and identical-rows
+    (which must NOT appear)."""
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)], "k bigint, s string, v double"
+    )
+    b = spark.createDataFrame(
+        [(2, "y", 2.0), (3, "z", 9.0), (4, "w", 4.0)], "k bigint, s string, v double"
+    )
+    got = {
+        (r.k, r.status) for r in qsc.diff_tables(a, b, ["k"]).collect()
+    }
+    assert got == {(1, "only_a"), (3, "changed"), (4, "only_b")}
+
+
+def test_diff_tables_null_vs_empty_distinct(spark):
+    """NULL and '' in a non-key column are DIFFERENT row contents — the
+    canonicalization must not conflate them (concat_ws would)."""
+    a = spark.createDataFrame([(1, None)], "k bigint, s string")
+    b = spark.createDataFrame([(1, "")], "k bigint, s string")
+    got = [(r.k, r.status) for r in qsc.diff_tables(a, b, ["k"]).collect()]
+    assert got == [(1, "changed")]
+
+
+def test_percent_rank_bounds_and_monotone(spark):
+    out = qsc.percent_rank_normalize(spark, SF)
+    stats = out.groupBy("event_type").agg(
+        F.min("pr").alias("lo"), F.max("pr").alias("hi"), F.count("*").alias("n")
+    )
+    for r in stats.collect():
+        assert r.lo == 0.0
+        assert r.hi == 1.0 or r.n == 1
