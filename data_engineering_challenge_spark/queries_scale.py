@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .queries import register
+from .queries import _dsum_sql, dsum, register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -648,6 +648,83 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("l_tax"),
     )
     return diff_tables(a, b, ["l_orderkey", "l_linenumber"])
+
+
+# --------------------------------------------------------------------------
+# regression aggregate: per-group OLS trend (slope/intercept from sums)
+# --------------------------------------------------------------------------
+
+
+_SLOPE_SQL = (
+    "(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)"
+)
+
+
+@register(
+    "linear_trend_by_type",
+    f"""
+WITH d AS (
+    SELECT event_type,
+           date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS x,
+           value AS y
+    FROM events
+), s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx,
+           {_dsum_sql('y')} AS sy,
+           {_dsum_sql('y * x')} AS sxy
+    FROM d GROUP BY event_type
+)
+SELECT event_type, n,
+       {_SLOPE_SQL} AS slope,
+       (sy - ({_SLOPE_SQL}) * sx) / CAST(n AS DOUBLE) AS intercept
+FROM s
+""",
+)
+def linear_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression of ``value`` against calendar day — the
+    drift/trend aggregate (is this metric rising?), computed from the
+    FIVE classic sufficient statistics (n, Σx, Σx², Σy, Σxy) in one
+    partial-agg pass: the distributed form of regression — sums travel,
+    rows don't; the statistics also merge across partitions/days by
+    addition (same contract as the sketches).
+
+    Exactness discipline: x is an INTEGER day index (bigint sums exact),
+    the y-sums ride the decimal(28,10) path, and slope/intercept are
+    then a fixed sequence of IEEE double ops both engines perform on
+    bit-identical inputs — no libm, so the whole surface hash-matches
+    (slope ≠ DuckDB's regr_slope, whose internal accumulation order is
+    engine-specific; the sufficient-statistics restatement is what makes
+    it portable)."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    d = events.select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.to_date(F.lit("2020-01-01"))
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("y") * F.col("x")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n_d).alias("intercept"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -299,3 +299,38 @@ def test_percent_rank_bounds_and_monotone(spark):
     for r in stats.collect():
         assert r.lo == 0.0
         assert r.hi == 1.0 or r.n == 1
+
+
+def test_linear_trend_exact_line(spark, tmp_path):
+    """Points on y = 2x + 3 (x = day index) must recover slope 2,
+    intercept 3 exactly (all quantities exactly representable)."""
+    import datetime as _dt
+
+    base = _dt.date(2020, 1, 1)
+    rows = [
+        (i, 1, _dt.datetime(2024, 3, 1 + i, 12), "a", 2.0 * x + 3.0)
+        for i, x in enumerate(
+            [(_dt.date(2024, 3, 1 + i) - base).days for i in range(5)]
+        )
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = qsc.linear_trend_by_type(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0].slope == 2.0
+    assert out[0].intercept == 3.0
+
+
+def test_linear_trend_matches_numpy(spark):
+    """Cross-check against numpy.polyfit on the real sf0.001 events."""
+    import numpy as np
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    got = {r.event_type: (r.slope, r.intercept)
+           for r in qsc.linear_trend_by_type(spark, SF).collect()}
+    pdf = events.select("event_type", "ts", "value").toPandas()
+    base = np.datetime64("2020-01-01")
+    pdf["x"] = (pdf["ts"].dt.floor("D").values.astype("datetime64[D]") - base).astype(int)
+    for et, g in pdf.groupby("event_type"):
+        m, c = np.polyfit(g["x"], g["value"], 1)
+        gs, gi = got[et]
+        assert abs(gs - m) < 1e-8 and abs(gi - c) < 1e-6, (et, gs, m, gi, c)
