@@ -124,6 +124,11 @@ _CHEAP_FIRST = [
     "streaming_synthetic_source",
     "twap_by_type", "winsorized_price_stats", "capped_running_balance",
     "copurchase_triangles",
+    # round-5 third-pass additions (scale-pattern family), cost ascending
+    "percent_rank_normalize", "table_checksum", "rle_token_runs",
+    "orc_roundtrip_stats", "ewma_value", "linear_trend_by_type",
+    "pareto_frontier", "cms_heavy_hitters", "global_row_ids",
+    "table_diff_reconcile", "streaming_ewma",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and
