@@ -156,7 +156,10 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def local_skyline(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        chunks = list(batches)
+        if not chunks:  # empty partition: pd.concat([]) raises
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             yield pdf
             return

@@ -334,3 +334,18 @@ def test_linear_trend_matches_numpy(spark):
         m, c = np.polyfit(g["x"], g["value"], 1)
         gs, gi = got[et]
         assert abs(gs - m) < 1e-8 and abs(gi - c) < 1e-6, (et, gs, m, gi, c)
+
+
+def test_pareto_survives_empty_partitions(spark, tmp_path):
+    """repartition(64) over 2 rows leaves most partitions EMPTY — the
+    local-skyline mapInPandas must handle empty batch iterators."""
+    spark.createDataFrame(
+        [(1, "a", "B", "T", 1, 1.0), (2, "b", "B", "T", 3, 1.0)],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).repartition(64).write.parquet(str(tmp_path / "part.parquet"))
+    got = {
+        (r.price, r.size)
+        for r in qsc.pareto_frontier(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1.0, 3)}
