@@ -564,6 +564,121 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.orderBy(F.desc("est_count"), "user_id").limit(20)
 
 
+def run_streaming_cms(
+    events_stream: DataFrame,
+    sketch_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 64,
+) -> None:
+    """Maintain a count-min sketch INCREMENTALLY over a stream: each
+    micro-batch's sketch lands under its own ``_batch=<epoch>`` partition
+    via dynamic partition overwrite (the quarantine-sink pattern), so a
+    checkpoint-recovery REPLAY replaces its own partition instead of
+    double-counting — replay-safe without read-modify-write.  The live
+    sketch is merge-on-read: counters sum over all batch partitions
+    (`cms_merge` semantics), exact because CMS merge IS addition.
+
+    Scale: per-batch state written is depth×width rows regardless of
+    batch size; the read-side merge is a tiny aggregate.  Compact by
+    re-writing summed counters under one partition if batch count ever
+    matters (it's depth×width rows per batch — it won't soon)."""
+
+    def handle(bdf: DataFrame, epoch_id: int) -> None:
+        sk = cms_build(bdf, key_col, depth, width).withColumn(
+            "_batch", F.lit(int(epoch_id))
+        )
+        (
+            sk.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(sketch_path)
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_streaming_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """The live sketch: counters summed across batch partitions."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("d", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+@register(
+    "streaming_cms_heavy_hitters",
+    # identical oracle to cms_heavy_hitters: CMS merge is exact addition,
+    # so the incrementally-maintained sketch must equal the batch build
+    # bit-for-bit — collisions included.
+    """
+WITH hashed AS (
+    SELECT user_id, d,
+           CAST(concat('0x', substring(
+               md5(concat(d, ':', CAST(user_id AS VARCHAR))), 1, 15)
+           ) AS BIGINT) % 64 AS b
+    FROM events
+    CROSS JOIN (VALUES ('0'), ('1'), ('2'), ('3')) AS t(d)
+), sketch AS (
+    SELECT d, b, COUNT(*) AS c FROM hashed GROUP BY d, b
+), est AS (
+    SELECT h.user_id, CAST(MIN(s.c) AS BIGINT) AS est_count
+    FROM (SELECT DISTINCT user_id, d, b FROM hashed) h
+    JOIN sketch s USING (d, b)
+    GROUP BY h.user_id
+)
+SELECT user_id, est_count FROM est
+ORDER BY est_count DESC, user_id
+LIMIT 20
+""",
+)
+def q_streaming_cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`run_streaming_cms` end-to-end: the median-split feed arrives as
+    two micro-batches, each writes its own sketch partition, and the
+    merged-on-read sketch probed for the top-20 must match the BATCH
+    oracle exactly — the hash match certifies that incremental sketch
+    maintenance loses nothing vs a one-shot build.  Output cached per
+    (query, sf_dir)."""
+    import tempfile
+
+    from . import roles
+
+    key = ("streaming_cms_heavy_hitters", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="stream_cms_")
+        events = roles.load_events(spark, sf_dir)
+        src = events.select("user_id", F.unix_micros("ts").alias("ts_us"))
+        cut = src.approxQuantile("ts_us", [0.5], 0.0)[0]  # scalar probe
+        src.filter(F.col("ts_us") <= cut).coalesce(1).write.parquet(
+            f"{tmp}/src/b0"
+        )
+        src.filter(F.col("ts_us") > cut).coalesce(1).write.parquet(
+            f"{tmp}/src/b1"
+        )
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/src/b*")
+        )
+        run_streaming_cms(stream, f"{tmp}/sketch", f"{tmp}/ckpt")
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/sketch"
+    sketch = read_streaming_cms(spark, out)
+    events = _t(spark, sf_dir, "events")
+    est = cms_probe(sketch, events.select("user_id"), "user_id", 4, 64)
+    return est.orderBy(F.desc("est_count"), "user_id").limit(20)
+
+
 # --------------------------------------------------------------------------
 # table diff: keyed symmetric difference (anti-entropy reconciliation)
 # --------------------------------------------------------------------------

@@ -349,3 +349,37 @@ def test_pareto_survives_empty_partitions(spark, tmp_path):
         for r in qsc.pareto_frontier(spark, str(tmp_path)).collect()
     }
     assert got == {(1.0, 3)}
+
+
+def test_streaming_cms_replay_replaces_not_doubles(spark, tmp_path):
+    """A replayed micro-batch must REPLACE its _batch partition, not
+    double-count: write epoch 0, replay epoch 0, add epoch 1 — the
+    merged sketch must equal a one-shot build over the union."""
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_id"
+    )
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "sketch")
+
+    def write_epoch(df, epoch):
+        (
+            qsc.cms_build(df, "user_id", 4, 64)
+            .withColumn("_batch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(path)
+        )
+
+    write_epoch(a, 0)
+    write_epoch(a, 0)  # replay
+    write_epoch(b, 1)
+    merged = {
+        (r.d, r.b): r.c for r in qsc.read_streaming_cms(spark, path).collect()
+    }
+    single = {
+        (r.d, r.b): r.c
+        for r in qsc.cms_build(events, "user_id", 4, 64).collect()
+    }
+    assert merged == single
