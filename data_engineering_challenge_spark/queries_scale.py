@@ -845,6 +845,139 @@ def linear_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trend_stats(d: DataFrame) -> DataFrame:
+    """The five OLS sufficient statistics per event_type over a frame with
+    (event_type, x:int, y:double).  y-sums stay DECIMAL here — the
+    streaming path re-sums them across batch partitions before the single
+    decimal→double cast, so incremental totals are bit-identical to a
+    one-shot aggregation."""
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(28,10)")).alias("sy"),
+        F.sum((F.col("y") * F.col("x")).cast("decimal(28,10)")).alias("sxy"),
+    )
+
+
+def run_streaming_trend(
+    events_stream: DataFrame, stats_path: str, checkpoint_dir: str
+) -> None:
+    """Maintain the OLS sufficient statistics incrementally: per-batch
+    partial stats land under ``_batch=<epoch>`` partitions (replay
+    replaces, like `run_streaming_cms`); the live statistics are
+    merge-on-read sums — the general pattern: ANY aggregate whose state
+    merges by addition (counts, sums, sketches, sufficient statistics)
+    gets replay-safe streaming maintenance from the same three pieces."""
+
+    def handle(bdf: DataFrame, epoch_id: int) -> None:
+        (
+            _trend_stats(bdf)
+            .withColumn("_batch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(stats_path)
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _trend_from_stats(stats: DataFrame) -> DataFrame:
+    """slope/intercept from (possibly partition-split) sufficient stats;
+    the IEEE op sequence matches `linear_trend_by_type` and its oracle."""
+    merged = stats.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").cast("double").alias("sx"),
+        F.sum("sxx").cast("double").alias("sxx"),
+        F.sum("sy").cast("double").alias("sy"),
+        F.sum("sxy").cast("double").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n_d).alias("intercept"),
+    )
+
+
+@register(
+    "streaming_linear_trend",
+    # identical oracle to linear_trend_by_type: sufficient statistics
+    # merge by exact addition (bigint / decimal), so incremental
+    # maintenance must reproduce the batch answer bit-for-bit.
+    f"""
+WITH d AS (
+    SELECT event_type,
+           date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS x,
+           value AS y
+    FROM events
+), s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx,
+           {_dsum_sql('y')} AS sy,
+           {_dsum_sql('y * x')} AS sxy
+    FROM d GROUP BY event_type
+)
+SELECT event_type, n,
+       {_SLOPE_SQL} AS slope,
+       (sy - ({_SLOPE_SQL}) * sx) / CAST(n AS DOUBLE) AS intercept
+FROM s
+""",
+)
+def q_streaming_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`run_streaming_trend` end-to-end: two micro-batches each write
+    partial sufficient statistics; the merged stats must yield the BATCH
+    regression bit-for-bit (decimal y-sums re-summed before the single
+    cast).  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from . import roles
+
+    key = ("streaming_linear_trend", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="stream_trend_")
+        events = roles.load_events(spark, sf_dir)
+        src = events.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.to_date(F.lit("2020-01-01"))
+            ).alias("x"),
+            F.col("value").alias("y"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        cut = src.approxQuantile("ts_us", [0.5], 0.0)[0]  # scalar probe
+        src.filter(F.col("ts_us") <= cut).drop("ts_us").coalesce(1).write.parquet(
+            f"{tmp}/src/b0"
+        )
+        src.filter(F.col("ts_us") > cut).drop("ts_us").coalesce(1).write.parquet(
+            f"{tmp}/src/b1"
+        )
+        stream = (
+            spark.readStream.schema(
+                src.drop("ts_us").schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/src/b*")
+        )
+        run_streaming_trend(stream, f"{tmp}/stats", f"{tmp}/ckpt")
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/stats"
+    return _trend_from_stats(spark.read.parquet(out).drop("_batch"))
+
+
 # --------------------------------------------------------------------------
 # quantile normalization: percent_rank feature scaling per group
 # --------------------------------------------------------------------------
