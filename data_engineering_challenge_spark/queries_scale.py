@@ -81,6 +81,10 @@ def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = events.agg(
         F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
     ).first()  # 1-row scalar probe: the bucket bounds
+    if lo is None:  # empty input: no bounds, no rows to number
+        return events.select(
+            "event_id", F.lit(None).cast("bigint").alias("row_id")
+        )
     n_buckets = 32
     bucketed = events.withColumn(
         "_bkt", F.width_bucket(F.col("ts_us"), F.lit(lo), F.lit(hi + 1), n_buckets)

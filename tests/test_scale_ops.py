@@ -383,3 +383,11 @@ def test_streaming_cms_replay_replaces_not_doubles(spark, tmp_path):
         for r in qsc.cms_build(events, "user_id", 4, 64).collect()
     }
     assert merged == single
+
+
+def test_global_row_ids_empty_input(spark, tmp_path):
+    spark.createDataFrame(
+        [],
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    assert qsc.global_row_ids(spark, str(tmp_path)).count() == 0
