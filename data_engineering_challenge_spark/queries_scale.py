@@ -618,6 +618,37 @@ def read_streaming_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
     )
 
 
+def compact_batch_partitions(
+    spark: SparkSession,
+    path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> None:
+    """Fold a ``_batch=<epoch>``-partitioned mergeable-state table
+    (streaming CMS sketches, OLS sufficient statistics, any
+    merge-by-addition state) into ONE compacted partition ``_batch=-1``
+    via full-write-then-atomic-swap.
+
+    -1 is a RESERVED epoch no foreachBatch replay ever targets, so a
+    later (legitimately uncommitted) replayed epoch lands BESIDE the
+    compacted state and merge-on-read still adds it.  Run in a
+    maintenance window (stream stopped): Structured Streaming's
+    contract is that only the last uncommitted epoch can replay, and a
+    cleanly-stopped availableNow stream has committed everything —
+    compaction must not fold an epoch that can still replay, or the
+    replay would double-merge.  Bounds the partition count without a
+    read-modify-write race; merge-equality is tested."""
+    from .sources import io as eio
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy(*group_cols)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .withColumn("_batch", F.lit(-1))
+    )
+    eio.publish_atomic(merged, path, partition_by=["_batch"])
+
+
 @register(
     "streaming_cms_heavy_hitters",
     # identical oracle to cms_heavy_hitters: CMS merge is exact addition,

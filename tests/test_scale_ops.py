@@ -391,3 +391,52 @@ def test_global_row_ids_empty_input(spark, tmp_path):
         "event_id bigint, user_id bigint, ts timestamp, event_type string, value double",
     ).write.parquet(str(tmp_path / "events.parquet"))
     assert qsc.global_row_ids(spark, str(tmp_path)).count() == 0
+
+
+def test_compact_batch_partitions_preserves_merge(spark, tmp_path):
+    """Compaction folds all epochs into one _batch=-1 partition without
+    changing the merged counters; a post-compaction 'replayed' epoch
+    still merges additively beside it."""
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_id"
+    )
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "sketch")
+    for epoch, df in ((0, a), (1, b)):
+        (
+            qsc.cms_build(df, "user_id", 4, 64)
+            .withColumn("_batch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(path)
+        )
+    before = {
+        (r.d, r.b): r.c for r in qsc.read_streaming_cms(spark, path).collect()
+    }
+    qsc.compact_batch_partitions(spark, path, ["d", "b"], ["c"])
+    after = {
+        (r.d, r.b): r.c for r in qsc.read_streaming_cms(spark, path).collect()
+    }
+    assert after == before
+    parts = spark.read.parquet(path).select("_batch").distinct().collect()
+    assert [r._batch for r in parts] == [-1]
+    # a new epoch after compaction merges beside the compacted state
+    (
+        qsc.cms_build(a, "user_id", 4, 64)
+        .withColumn("_batch", F.lit(2))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(path)
+    )
+    grown = {
+        (r.d, r.b): r.c for r in qsc.read_streaming_cms(spark, path).collect()
+    }
+    a_sketch = {
+        (r.d, r.b): r.c for r in qsc.cms_build(a, "user_id", 4, 64).collect()
+    }
+    assert all(
+        grown[k] == before[k] + a_sketch.get(k, 0) for k in grown
+    )
