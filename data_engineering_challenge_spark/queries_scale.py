@@ -629,24 +629,33 @@ def compact_batch_partitions(
     merge-by-addition state) into ONE compacted partition ``_batch=-1``
     via full-write-then-atomic-swap.
 
-    -1 is a RESERVED epoch no foreachBatch replay ever targets, so a
-    later (legitimately uncommitted) replayed epoch lands BESIDE the
-    compacted state and merge-on-read still adds it.  Run in a
-    maintenance window (stream stopped): Structured Streaming's
-    contract is that only the last uncommitted epoch can replay, and a
-    cleanly-stopped availableNow stream has committed everything —
-    compaction must not fold an epoch that can still replay, or the
-    replay would double-merge.  Bounds the partition count without a
-    read-modify-write race; merge-equality is tested."""
+    -1 is a RESERVED epoch no foreachBatch replay ever targets, and the
+    NEWEST real epoch is left un-folded: Structured Streaming's replay
+    contract is that only the last uncommitted epoch can re-run, so by
+    folding every epoch EXCEPT max(_batch), a replay of that epoch
+    REPLACES its still-live partition (dynamic partition overwrite)
+    instead of double-merging into compacted state — replay-safe even
+    if compaction races a crashed stream, no maintenance-window
+    discipline required.  Bounds the partition count without a
+    read-modify-write race; merge-equality, max-epoch-replay, and
+    crash-recovery behavior are tested."""
     from .sources import io as eio
 
-    merged = (
-        spark.read.parquet(path)
+    eio.recover_interrupted_swap(spark, path)  # repair a torn prior swap
+    cur = spark.read.parquet(path)
+    epochs = [r._batch for r in cur.select("_batch").distinct().collect()]
+    newest = max(epochs)
+    to_fold = [e for e in epochs if e != newest]
+    if not to_fold or to_fold == [-1]:
+        return  # already compact: nothing to fold (avoid a no-op rewrite)
+    folded = (
+        cur.filter(F.col("_batch").isin(to_fold))
         .groupBy(*group_cols)
         .agg(*[F.sum(c).alias(c) for c in sum_cols])
         .withColumn("_batch", F.lit(-1))
     )
-    eio.publish_atomic(merged, path, partition_by=["_batch"])
+    kept = cur.filter(F.col("_batch") == newest).select(folded.columns)
+    eio.publish_atomic(folded.unionByName(kept), path, partition_by=["_batch"])
 
 
 @register(

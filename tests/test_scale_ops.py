@@ -394,16 +394,18 @@ def test_global_row_ids_empty_input(spark, tmp_path):
 
 
 def test_compact_batch_partitions_preserves_merge(spark, tmp_path):
-    """Compaction folds all epochs into one _batch=-1 partition without
-    changing the merged counters; a post-compaction 'replayed' epoch
-    still merges additively beside it."""
+    """Compaction folds all epochs EXCEPT the newest into _batch=-1
+    without changing the merged counters; a replay of the newest epoch
+    REPLACES its partition (no double count), and a post-compaction new
+    epoch merges additively."""
     events = spark.read.parquet(f"{SF}/events.parquet").select(
         "user_id", "event_id"
     )
     a = events.filter(F.col("event_id") % 2 == 0)
     b = events.filter(F.col("event_id") % 2 == 1)
     path = str(tmp_path / "sketch")
-    for epoch, df in ((0, a), (1, b)):
+
+    def write_epoch(df, epoch):
         (
             qsc.cms_build(df, "user_id", 4, 64)
             .withColumn("_batch", F.lit(epoch))
@@ -412,6 +414,10 @@ def test_compact_batch_partitions_preserves_merge(spark, tmp_path):
             .partitionBy("_batch")
             .parquet(path)
         )
+
+    write_epoch(a, 0)
+    write_epoch(b, 1)
+    write_epoch(a, 2)
     before = {
         (r.d, r.b): r.c for r in qsc.read_streaming_cms(spark, path).collect()
     }
@@ -420,23 +426,31 @@ def test_compact_batch_partitions_preserves_merge(spark, tmp_path):
         (r.d, r.b): r.c for r in qsc.read_streaming_cms(spark, path).collect()
     }
     assert after == before
-    parts = spark.read.parquet(path).select("_batch").distinct().collect()
-    assert [r._batch for r in parts] == [-1]
+    parts = {
+        r._batch
+        for r in spark.read.parquet(path).select("_batch").distinct().collect()
+    }
+    assert parts == {-1, 2}, "newest epoch must stay un-folded"
+    # replay of the NEWEST epoch replaces its partition -> merge unchanged
+    write_epoch(a, 2)
+    replayed = {
+        (r.d, r.b): r.c for r in qsc.read_streaming_cms(spark, path).collect()
+    }
+    assert replayed == before
+    # re-compaction with a single fresh state is a no-op (nothing to fold
+    # besides -1 and the newest)
+    qsc.compact_batch_partitions(spark, path, ["d", "b"], ["c"])
+    assert {
+        (r.d, r.b): r.c for r in qsc.read_streaming_cms(spark, path).collect()
+    } == before
     # a new epoch after compaction merges beside the compacted state
-    (
-        qsc.cms_build(a, "user_id", 4, 64)
-        .withColumn("_batch", F.lit(2))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch")
-        .parquet(path)
-    )
+    write_epoch(b, 3)
     grown = {
         (r.d, r.b): r.c for r in qsc.read_streaming_cms(spark, path).collect()
     }
-    a_sketch = {
-        (r.d, r.b): r.c for r in qsc.cms_build(a, "user_id", 4, 64).collect()
+    b_sketch = {
+        (r.d, r.b): r.c for r in qsc.cms_build(b, "user_id", 4, 64).collect()
     }
     assert all(
-        grown[k] == before[k] + a_sketch.get(k, 0) for k in grown
+        grown[k] == before[k] + b_sketch.get(k, 0) for k in grown
     )
