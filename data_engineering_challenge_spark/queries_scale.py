@@ -813,6 +813,83 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# hierarchical rollup: transitive ancestry via iterated joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "part_hierarchy_rollup",
+    """
+WITH RECURSIVE anc AS (
+    SELECT p_partkey AS node, p_partkey AS anc FROM part
+    UNION ALL
+    SELECT a.node, a.anc // 10
+    FROM anc a WHERE a.anc // 10 >= 1
+)
+SELECT anc.anc AS partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_desc,
+       CAST(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(28,10))) AS VARCHAR)
+            AS DOUBLE) AS subtree_value
+FROM anc JOIN part p ON p.p_partkey = anc.node
+GROUP BY anc.anc
+""",
+)
+def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (BOM-style) subtree rollup: parts form a forest via
+    ``parent(k) = k DIV 10`` and every node aggregates its whole subtree
+    (descendant count + decimal-exact retail value, self included) — the
+    org-chart / bill-of-materials query family.
+
+    The parent map is arithmetic here, but it is deliberately treated as
+    a RELATION and the ancestry closure built by ITERATED JOINS — one
+    join per level, O(log n) levels, the general pattern for hierarchies
+    stored as edge tables (the oracle's WITH RECURSIVE is the same
+    fixpoint).  Per level the frontier joins a broadcast parent map (a
+    parent relation is |nodes| rows — broadcastable far beyond this
+    scale; shuffle-join on the node key is the deep-hierarchy fallback).
+    Driver traffic is one empty-check per level, the same bounded-loop
+    posture as the KMeans/BPE/label-propagation iteratives; unlike
+    those, the closure is SQL-expressible, so this one is hash-green."""
+    parts = _t(spark, sf_dir, "part")
+    node = F.col("p_partkey")
+    edges = parts.select(
+        node.alias("child"), F.expr("p_partkey DIV 10").alias("parent")
+    ).filter(F.col("parent") >= 1)
+
+    pairs = parts.select(node.alias("node"), node.alias("anc"))
+    frontier = pairs
+    closure = [pairs]
+    level = 0
+    while True:
+        # per-level aliases keep the repeated self-join unambiguous
+        level += 1
+        fr, e = frontier.alias(f"f{level}"), edges.alias(f"e{level}")
+        frontier = fr.join(
+            F.broadcast(e),
+            F.col(f"f{level}.anc") == F.col(f"e{level}.child"),
+        ).select(
+            F.col(f"f{level}.node").alias("node"),
+            F.col(f"e{level}.parent").alias("anc"),
+        )
+        if frontier.isEmpty():  # bounded: one probe per tree level
+            break
+        closure.append(frontier)
+    anc = closure[0]
+    for f in closure[1:]:
+        anc = anc.unionByName(f)
+
+    vals = parts.select(node.alias("node"), F.col("p_retailprice"))
+    return (
+        anc.join(vals, "node")
+        .groupBy(F.col("anc").alias("partkey"))
+        .agg(
+            F.count("*").alias("n_desc"),
+            dsum("p_retailprice").alias("subtree_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # regression aggregate: per-group OLS trend (slope/intercept from sums)
 # --------------------------------------------------------------------------
 

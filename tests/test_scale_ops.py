@@ -454,3 +454,30 @@ def test_compact_batch_partitions_preserves_merge(spark, tmp_path):
     assert all(
         grown[k] == before[k] + b_sketch.get(k, 0) for k in grown
     )
+
+
+def test_hierarchy_rollup_hand_fixture(spark, tmp_path):
+    """Forest under parent(k)=k DIV 10 for keys {1, 12, 123, 124, 9}:
+    1 is an ancestor of 12, 123, 124 (12 -> 1; 123/124 -> 12 -> 1);
+    9 is a lone root.  Values = key as double.
+      subtree(1)   = 1+12+123+124 = 260, n=4
+      subtree(12)  = 12+123+124   = 259, n=3
+      subtree(123) = 123, n=1 ; subtree(124) = 124, n=1 ; subtree(9) = 9, n=1
+    """
+    rows = [(k, f"p{k}", "B", "T", 1, float(k)) for k in (1, 12, 123, 124, 9)]
+    spark.createDataFrame(
+        rows,
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    got = {
+        r.partkey: (r.n_desc, r.subtree_value)
+        for r in qsc.part_hierarchy_rollup(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (4, 260.0),
+        12: (3, 259.0),
+        123: (1, 123.0),
+        124: (1, 124.0),
+        9: (1, 9.0),
+    }
