@@ -125,16 +125,62 @@ FRAMES_SCHEMA = StructType(
 )
 
 
+def decode_y4m_frames(payload: bytes):
+    """REAL video decode, stdlib-only: parse a YUV4MPEG2 (.y4m) container
+    — a plain-text stream header (``YUV4MPEG2 W<w> H<h> ...``) followed
+    by ``FRAME``-delimited raw planar frames — and yield each frame's
+    pixel bytes.  4:2:0 (the y4m default, 3·w·h/2 bytes/frame) and 4:4:4
+    are supported; compressed codecs (H.264 etc.) still need ffmpeg and
+    fail loudly here.
+
+    With :func:`decode_wav_pcm16` (audio) and :func:`decode_bmp_rgb24`
+    (image) this closes the loop: every modality has one genuinely
+    decoded container format through the SAME Arrow stage as its
+    oracle-checked deterministic fake."""
+    data = bytes(payload)
+    nl = data.index(b"\n")
+    header = data[:nl].decode("ascii", errors="strict")
+    fields = header.split(" ")
+    if fields[0] != "YUV4MPEG2":
+        raise ValueError("decode_y4m_frames: not a YUV4MPEG2 stream")
+    w = h = None
+    cs = "420"
+    for f in fields[1:]:
+        if f.startswith("W"):
+            w = int(f[1:])
+        elif f.startswith("H"):
+            h = int(f[1:])
+        elif f.startswith("C"):
+            cs = f[1:]
+    if not w or not h:
+        raise ValueError("decode_y4m_frames: missing W/H in stream header")
+    if cs.startswith("420"):
+        frame_bytes = w * h * 3 // 2
+    elif cs.startswith("444"):
+        frame_bytes = w * h * 3
+    else:
+        raise ValueError(f"decode_y4m_frames: unsupported chroma C{cs}")
+    pos = nl + 1
+    while pos < len(data):
+        if not data.startswith(b"FRAME", pos):
+            raise ValueError("decode_y4m_frames: missing FRAME marker")
+        pos = data.index(b"\n", pos) + 1  # frame header may carry params
+        frame = data[pos : pos + frame_bytes]
+        if len(frame) != frame_bytes:
+            raise ValueError("decode_y4m_frames: truncated frame")
+        yield frame
+        pos += frame_bytes
+
+
 def _decode_frames(payload: bytes, real: bool):
-    """Frame iterator.  real=True is the ffmpeg decode stub (not shipped
-    in this container); the fake treats the payload as a sequence of
-    FRAME_BYTES-byte frames — deterministic, so the whole one-to-many
-    Arrow stage is oracle-checkable."""
-    if real:  # pragma: no cover - stub
-        raise NotImplementedError(
-            "video decode needs ffmpeg; this environment stubs it — the "
-            "fake path exercises identical mapInPandas plumbing"
-        )
+    """Frame iterator.  real=True parses the payload as an uncompressed
+    YUV4MPEG2 container (:func:`decode_y4m_frames`, stdlib-only;
+    compressed codecs need ffmpeg and fail loudly); the fake treats the
+    payload as a sequence of FRAME_BYTES-byte frames — deterministic, so
+    the whole one-to-many Arrow stage is oracle-checkable."""
+    if real:
+        yield from decode_y4m_frames(payload)
+        return
     for i in range(0, len(payload), FRAME_BYTES):
         yield payload[i : i + FRAME_BYTES]
 
