@@ -1099,6 +1099,103 @@ def q_streaming_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trend_from_stats(spark.read.parquet(out).drop("_batch"))
 
 
+def generate_cdc_feed(
+    old: DataFrame, new: DataFrame, keys: list[str], op_col: str = "_op"
+) -> DataFrame:
+    """The INVERSE of `streaming.apply_cdc`: given two versions of a
+    table, emit the I/U/D change feed that transforms ``old`` into
+    ``new`` — snapshot-diff CDC for sources without a change log (the
+    nightly-full-export integration pattern).
+
+    Built on `diff_tables` (map-side row hashes, full-outer on keys, so
+    the wide rows shuffle at most once): only_b → 'I', changed → 'U'
+    (payload from ``new``), only_a → 'D' (key image only, the CDC
+    convention — payload columns NULL).  Round trip is the tested
+    contract: ``apply_cdc(table_at_old, generate_cdc_feed(old, new))``
+    leaves the table equal to ``new``, for any pair of versions."""
+    d = diff_tables(old, new, keys)
+    op = (
+        F.when(F.col("status") == "only_b", F.lit("I"))
+        .when(F.col("status") == "changed", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    payload = [c for c in new.columns if c not in keys]
+    return (
+        d.join(new, keys, "left")
+        .select(
+            *keys,
+            *[
+                F.when(F.col("status") != "only_a", F.col(c)).alias(c)
+                for c in payload
+            ],
+            op.alias(op_col),
+        )
+    )
+
+
+@register(
+    "cdc_feed_generate",
+    # a deterministic drift of orders (o_orderkey IS unique — CDC keys
+    # must be), restated as a change feed: urgent orders are dropped
+    # ('D', NULL payload — key image only), big-ticket orders are
+    # discounted ('U', new payload), and a shifted key range is inserted
+    # ('I').
+    """
+WITH a AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), b AS (
+    SELECT o_orderkey,
+           o_orderstatus,
+           CASE WHEN o_totalprice > 100000
+                THEN o_totalprice - 500.0 ELSE o_totalprice END
+               AS o_totalprice
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'N', o_totalprice
+    FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       b.o_orderstatus, b.o_totalprice,
+       CASE WHEN b.o_orderkey IS NULL THEN 'D'
+            WHEN a.o_orderkey IS NULL THEN 'I'
+            ELSE 'U' END AS _op
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+   OR a.o_orderstatus <> b.o_orderstatus
+   OR a.o_totalprice <> b.o_totalprice
+""",
+)
+def cdc_feed_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`generate_cdc_feed` on a three-way drift of ``orders`` (the table
+    WITH a unique key — CDC requires one): deletes, updates, and inserts
+    all present, each op carrying the right payload (NULL key-image for
+    D).  The apply-side closure — ``apply_cdc(old, this feed) == new`` —
+    is the round-trip property test."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    b = (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_totalprice") > 100000,
+                F.col("o_totalprice") - 500.0,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    return generate_cdc_feed(a, b, ["o_orderkey"])
+
+
 # --------------------------------------------------------------------------
 # quantile normalization: percent_rank feature scaling per group
 # --------------------------------------------------------------------------

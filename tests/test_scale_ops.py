@@ -481,3 +481,43 @@ def test_hierarchy_rollup_hand_fixture(spark, tmp_path):
         124: (1, 124.0),
         9: (1, 9.0),
     }
+
+
+def test_cdc_feed_roundtrip_closes(spark, tmp_path):
+    """The diff->apply closure: materialize version A, generate the feed
+    A->B, apply it with streaming.apply_cdc — the table must now equal B
+    exactly (deletes gone, updates replaced, inserts present)."""
+    from data_engineering_challenge_spark.streaming.incremental import apply_cdc
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    a = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    b = (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_totalprice") > 100000, F.col("o_totalprice") - 500.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    path = str(tmp_path / "orders_tbl")
+    a.write.parquet(path)
+    feed = qsc.generate_cdc_feed(a, b, ["o_orderkey"])
+    assert feed.count() > 0
+    apply_cdc(feed, path, ["o_orderkey"])
+    got = sorted(
+        map(tuple, spark.read.parquet(path).drop("_kb").collect())
+    )
+    want = sorted(map(tuple, b.collect()))
+    assert got == want
