@@ -72,23 +72,55 @@ def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage is parallel; the only single-partition work is the
     32-row offset cumsum.  Uniform ``ts`` makes width_bucket balanced;
-    for skewed order keys the bucket boundaries would come from
-    ``approxQuantile`` instead (equi-depth), same plan shape.
+    for skewed order keys `_global_row_ids(equi_depth=True)` buckets by
+    exact quantile boundaries instead — same plan shape, identical ids
+    (parity-tested under skew).
     """
     events = _t(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("ts_us")
     )
-    lo, hi = events.agg(
-        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
-    ).first()  # 1-row scalar probe: the bucket bounds
-    if lo is None:  # empty input: no bounds, no rows to number
-        return events.select(
-            "event_id", F.lit(None).cast("bigint").alias("row_id")
-        )
+    return _global_row_ids(events, equi_depth=False)
+
+
+def _global_row_ids(events: DataFrame, equi_depth: bool) -> DataFrame:
+    """Two-pass numbering core.  ``equi_depth=False`` buckets by fixed
+    time width (one min/max probe — right for near-uniform order keys);
+    ``equi_depth=True`` buckets by EXACT quantile boundaries
+    (``approxQuantile(relativeError=0)`` — deterministic), so heavily
+    skewed keys still give balanced buckets: the skew fallback the
+    fixed-width variant's docstring promises, and the bucketed row_id is
+    identical either way (buckets are contiguous in key order and rows
+    sort within buckets, so boundary choice only moves WORK, not ids —
+    parity-tested on a 99%-one-timestamp skew fixture)."""
     n_buckets = 32
-    bucketed = events.withColumn(
-        "_bkt", F.width_bucket(F.col("ts_us"), F.lit(lo), F.lit(hi + 1), n_buckets)
-    )
+    if equi_depth:
+        cuts = events.stat.approxQuantile(
+            "ts_us", [i / n_buckets for i in range(1, n_buckets)], 0.0
+        )  # scalar probe: 31 exact boundaries
+        if not cuts:  # empty input
+            return events.select(
+                "event_id", F.lit(None).cast("bigint").alias("row_id")
+            )
+        # bucket = 1 + #boundaries <= ts (dup boundaries collapse — fine:
+        # ids don't depend on bucket balance, only contiguity)
+        bkt = F.aggregate(
+            F.array(*[F.lit(c) for c in cuts]),
+            F.lit(1),
+            lambda acc, b: acc + F.when(F.col("ts_us") >= b, 1).otherwise(0),
+        )
+        bucketed = events.withColumn("_bkt", bkt)
+    else:
+        lo, hi = events.agg(
+            F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+        ).first()  # 1-row scalar probe: the bucket bounds
+        if lo is None:  # empty input: no bounds, no rows to number
+            return events.select(
+                "event_id", F.lit(None).cast("bigint").alias("row_id")
+            )
+        bucketed = events.withColumn(
+            "_bkt",
+            F.width_bucket(F.col("ts_us"), F.lit(lo), F.lit(hi + 1), n_buckets),
+        )
     local_w = Window.partitionBy("_bkt").orderBy("ts_us", "event_id")
     numbered = bucketed.withColumn("_rn", F.row_number().over(local_w))
 

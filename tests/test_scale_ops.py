@@ -521,3 +521,37 @@ def test_cdc_feed_roundtrip_closes(spark, tmp_path):
     )
     want = sorted(map(tuple, b.collect()))
     assert got == want
+
+
+def test_global_row_ids_equi_depth_parity_under_skew(spark, tmp_path):
+    """99% of rows share ONE timestamp (worst case for fixed-width
+    buckets): the equi-depth variant must produce the IDENTICAL ids as
+    the fixed-width one (boundary choice moves work, not ids), and both
+    must match the single-partition ROW_NUMBER truth."""
+    import datetime as _dt
+
+    d = _dt.datetime(2024, 5, 1)
+    rows = [(i, 1, d, "a", 1.0) for i in range(990)] + [
+        (990 + j, 1, d + _dt.timedelta(hours=j + 1), "a", 1.0)
+        for j in range(10)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    events = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    fixed = {
+        r.event_id: r.row_id
+        for r in qsc._global_row_ids(events, equi_depth=False).collect()
+    }
+    eq = {
+        r.event_id: r.row_id
+        for r in qsc._global_row_ids(events, equi_depth=True).collect()
+    }
+    assert fixed == eq
+    w_truth = {
+        r.event_id: r.rn
+        for r in events.selectExpr(
+            "event_id", "row_number() over (order by ts_us, event_id) rn"
+        ).collect()
+    }
+    assert eq == w_truth
