@@ -1264,6 +1264,68 @@ def percent_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# metric anomaly detection: integer-exact 3-sigma on daily counts
+# --------------------------------------------------------------------------
+
+
+@register(
+    "daily_count_anomalies",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), stats AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS sum_n,
+           CAST(SUM(n * n) AS BIGINT) AS sum_n2
+    FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n
+FROM daily d JOIN stats s USING (event_type)
+WHERE (d.n * s.n_days - s.sum_n) * (d.n * s.n_days - s.sum_n)
+      > 4 * (s.n_days * s.sum_n2 - s.sum_n * s.sum_n)
+""",
+)
+def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly days per event type — the pipeline-health monitor
+    (did a source stop sending? did a bot triple a feed?): a day is
+    anomalous when its count deviates from the type's mean by more than
+    2σ (2σ, not 3σ, so the flag fires on this corpus — the threshold is
+    the caller's risk knob, the mechanism is the point).
+
+    The whole test runs in INTEGER arithmetic: multiply (x−μ)² > 4σ²
+    through by days² and every term is a bigint product of counts —
+    no sqrt, no division, no float at all, so the flag can never drift
+    between engines or partitionings (the same trick as the
+    `attribution_verify` tolerance gate, taken all the way to exact).
+    Scale: two stacked aggregates (day roll-up, then per-type stats
+    broadcast back) — partial-agg shapes end to end."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    daily = events.groupBy(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+    )
+    dev = F.col("n") * F.col("n_days") - F.col("sum_n")
+    var_scaled = F.col("n_days") * F.col("sum_n2") - F.col("sum_n") * F.col(
+        "sum_n"
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(dev * dev > 4 * var_scaled)
+        .select("event_type", "day", "n")
+    )
+
+
+# --------------------------------------------------------------------------
 # order-independent table checksum (migration / replication validation)
 # --------------------------------------------------------------------------
 

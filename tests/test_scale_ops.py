@@ -555,3 +555,24 @@ def test_global_row_ids_equi_depth_parity_under_skew(spark, tmp_path):
         ).collect()
     }
     assert eq == w_truth
+
+
+def test_daily_count_anomalies_hand_fixture(spark, tmp_path):
+    """Type 'a': 10 days of 10 events and one day of 40 — only the spike
+    day deviates >2 sigma.  Type 'b': perfectly flat -> no flags."""
+    import datetime as _dt
+
+    rows, eid = [], 0
+    d0 = _dt.datetime(2024, 5, 1)
+    for day in range(10):
+        for _ in range(10):
+            rows.append((eid, 1, d0 + _dt.timedelta(days=day), "a", 1.0)); eid += 1
+    for _ in range(40):
+        rows.append((eid, 1, d0 + _dt.timedelta(days=10), "a", 1.0)); eid += 1
+    for day in range(5):
+        for _ in range(7):
+            rows.append((eid, 2, d0 + _dt.timedelta(days=day), "b", 1.0)); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = [(r.event_type, r.day, r.n)
+           for r in qsc.daily_count_anomalies(spark, sf).collect()]
+    assert got == [("a", "2024-05-11", 40)]
