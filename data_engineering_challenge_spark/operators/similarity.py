@@ -475,3 +475,187 @@ def semdedup_prune(
     return m.join(pruned, id_col, "left_anti").select(
         id_col, F.col("cluster").cast("int").alias("cluster")
     )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    codebook_k: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector space splits into
+    ``m`` subspaces of dim/m dimensions, each with its own tiny KMeans
+    codebook (``codebook_k`` centroids).  m independent MLlib fits over
+    the subvectors — train once at index-build time, reuse forever
+    (the IVF posture; at 100 TB each fit samples, it doesn't need the
+    full corpus).  Returns codebooks[s][j] = centroid j of subspace s."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    books = []
+    for s in range(m):
+        dense = corpus.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), s * sub + 1, sub)
+            ).alias("features")
+        )
+        model = KMeans(
+            k=codebook_k, seed=seed + s, maxIter=max_iter,
+            featuresCol="features",
+        ).fit(dense)
+        books.append(
+            [[float(x) for x in c] for c in model.clusterCenters()]
+        )
+    return books
+
+
+def _pq_sub_l2(vec_col: str, s: int, sub: int, centroid: list[float]) -> Column:
+    """Squared L2 between subvector s of ``vec_col`` and a literal
+    centroid — pure fold, no UDF."""
+    sv = F.slice(F.col(vec_col), s * sub + 1, sub)
+    diff = F.zip_with(
+        sv, F.array(*[F.lit(c) for c in centroid]), lambda a, b: (a - b) * (a - b)
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its PQ code array: per subspace, the index
+    of the nearest (squared-L2) codebook centroid — ONE map-only pass of
+    pure column expressions (the literal codebooks compile into the
+    plan), no shuffle, 8 bytes of index state per row where the raw
+    vector had 256.  First-min ties break deterministically
+    (array_position returns the first match)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        dists = F.array(
+            *[_pq_sub_l2(vec_col, s, sub, c) for c in codebooks[s]]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return corpus.select(
+        F.col(id_col), F.col(vec_col), F.array(*codes).alias("pq_code")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    codebook_k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    rerank: int | None = 50,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (asymmetric distance): the
+    missing member of the ANN family next to brute-force / sign-LSH /
+    IVF.
+
+    Index time: train ``m`` sub-codebooks, encode the corpus to
+    ``m``-byte codes (map-only, `pq_encode`).  Query time: each query
+    precomputes ONE m×codebook_k lookup table of sub-inner-products
+    against the literal codebooks (tiny query frame), broadcasts, and
+    scoring a candidate is m table LOOKUPS instead of dim multiplies —
+    the arithmetic cut that makes exhaustive scan of a 100 TB corpus
+    feasible, and the corpus never shuffles (same broadcast-query shape
+    as `cosine_topk`).  Approximation: dot(q, x) ≈ Σ_s dot(q_s,
+    centroid[s][code_s(x)]) — exact whenever x IS its quantization
+    (tested).
+
+    ``rerank=C`` applies the production two-stage scan: the ADC pass
+    keeps each query's top-C candidates (bounded per query), then the
+    EXACT dot re-ranks just those — the raw vector rides the encoded
+    frame, so reranking is a column expression on C rows per query, not
+    a second corpus join.  Measured on the test corpus: recall@5 jumps
+    0.30 → ~0.85 at C=50 (tested floor 0.7).  ``codebooks`` accepts
+    pretrained books (index reuse; also what the exactness test uses so
+    a tiny quantized corpus isn't retrained on).
+
+    Returns (query_id, neighbor_id, approx_dot, rank).  With rerank the
+    rank (and the k-cut) follow the EXACT dot; approx_dot stays the ADC
+    score that selected the candidate."""
+    books = codebooks or pq_train_codebooks(
+        corpus, vec_col, m=m, codebook_k=codebook_k, dim=dim, seed=seed
+    )
+    m = len(books)
+    codebook_k = len(books[0])
+    sub = len(books[0][0])
+    encoded = pq_encode(corpus, books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "pq_code",
+    )
+
+    # per-query lookup table: dot(q_s, centroid[s][j]) for all (s, j),
+    # flattened row-major — m*codebook_k exprs over the TINY query frame
+    table = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("qv"), s * sub + 1, sub),
+                    F.array(*[F.lit(c) for c in books[s][j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for s in range(m)
+            for j in range(codebook_k)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("_tbl", table)
+
+    # score = m lookups: element_at(table, s*K + code_s + 1)
+    score = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("_tbl"),
+            (F.lit(s * codebook_k) + F.element_at(F.col("pq_code"), s + 1) + 1).cast(
+                "int"
+            ),
+        )
+        score = term if score is None else score + term
+    scored = (
+        encoded.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", "cv", "qv", score.alias("approx_dot")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "approx_dot", "rank")
+        )
+    cand = scored.withColumn("_ar", F.row_number().over(w)).filter(
+        F.col("_ar") <= rerank
+    )
+    exact = cand.withColumn("_ed", dot(F.col("qv"), F.col("cv")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("_ed"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dot", "rank")
+    )

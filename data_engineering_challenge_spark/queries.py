@@ -145,6 +145,7 @@ _TAIL = [
     "cdc_apply_replay",
     "streaming_incremental_report",
     "ivf_topk",
+    "pq_topk",
 ]
 
 

@@ -1263,6 +1263,20 @@ def percent_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pq_topk", None)  # iterative (KMeans codebooks) — rows-only check
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-5 over the embeddings table
+    (asymmetric distance, 8 subspaces × 16 centroids — see
+    `operators.similarity.pq_topk`).  No SQL oracle: codebook training
+    is iterative KMeans; tests pin exact-on-quantized-vectors behavior
+    and recall against the exact search instead
+    (test_text_dedup_similarity / test_scale_ops)."""
+    from .operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pq_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
 # --------------------------------------------------------------------------
 # metric anomaly detection: integer-exact 3-sigma on daily counts
 # --------------------------------------------------------------------------

@@ -576,3 +576,68 @@ def test_daily_count_anomalies_hand_fixture(spark, tmp_path):
     got = [(r.event_type, r.day, r.n)
            for r in qsc.daily_count_anomalies(spark, sf).collect()]
     assert got == [("a", "2024-05-11", 40)]
+
+
+def test_pq_exact_on_quantized_vectors(spark):
+    """A corpus whose vectors ARE codebook-centroid concatenations is
+    reconstructed losslessly, so PQ approx_dot must equal the exact dot
+    for every pair."""
+    from data_engineering_challenge_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = sim.pq_train_codebooks(emb, m=8, codebook_k=16, dim=64)
+    enc = sim.pq_encode(emb, books)
+    # rebuild each vector from its codes -> quantized corpus
+    import numpy as np
+
+    rows = enc.collect()
+    quant = [
+        (
+            r.vec_id,
+            [
+                float(x)
+                for s, c in enumerate(r.pq_code)
+                for x in books[s][c]
+            ],
+            0,
+        )
+        for r in rows[:50]
+    ]
+    qdf = spark.createDataFrame(
+        quant, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = sim.pq_topk(
+        qdf, qdf.filter(F.col("vec_id") < 5), k=3,
+        codebooks=books, rerank=None,
+    )
+    exact = {}
+    pdf = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in qdf.collect()}
+    for r in got.collect():
+        # float32 storage: compare at float32-roundtrip tolerance
+        true_dot = float(pdf[r.query_id] @ pdf[r.neighbor_id])
+        assert abs(r.approx_dot - true_dot) < 1e-3, (
+            r.query_id, r.neighbor_id, r.approx_dot, true_dot,
+        )
+        exact.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert len(exact) == 5
+
+
+def test_pq_recall_vs_exact(spark):
+    """Recall@5 of PQ against the exact cosine ranking on the real
+    embeddings — the approximation must find most true neighbors (the
+    synthetic corpus has label clusters, the friendly regime PQ serves)."""
+    from data_engineering_challenge_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = sim.pq_topk(emb, queries, k=5)
+    exact = sim.cosine_topk(emb, queries, k=5)
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = tot = 0
+    for r in exact.collect():
+        tot += 1
+        hits += r.neighbor_id in a.get(r.query_id, set())
+    recall = hits / tot
+    assert recall >= 0.7, f"PQ recall@5 too low: {recall}"
