@@ -222,6 +222,12 @@ def publish_atomic(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(tmp_p))  # full write BEFORE any swap
+    _swap_staged_in(fs, target, tmp_p, old_p, path)
+
+
+def _swap_staged_in(fs, target, tmp_p, old_p, path: str) -> None:
+    """The two-rename publish of a completely-staged ``._inprogress``
+    (shared by `publish_atomic` and `write_audit_publish`)."""
     had_target = fs.exists(target)
     if had_target and not fs.rename(target, old_p):
         raise IOError(f"publish_atomic: could not move {path} aside")
@@ -231,6 +237,61 @@ def publish_atomic(
             fs.rename(old_p, target)
         raise IOError(f"publish_atomic: could not publish {tmp_p} to {path}")
     fs.delete(old_p, True)
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    expectations: list,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write-Audit-Publish: stage the full table, audit the STAGED FILES
+    (not the logical plan — what was actually written is what gets
+    checked), and only then swap it in atomically.  The WAP pattern a
+    lakehouse runs on every batch: bad data can never become readable.
+
+    * audit = `quality.check_expectations` over a re-read of the staged
+      parquet — one aggregate pass;
+    * pass → the same two-rename swap as `publish_atomic` (crash states
+      and `recover_interrupted_swap` behave identically);
+    * fail → ValueError with per-expectation counts; the staged data is
+      renamed to ``<path>._wap_rejected`` for inspection — a DISTINCT
+      name, so crash recovery can never mistake an audit-REJECTED stage
+      for an interrupted publish and resurrect it (and the next publish
+      won't see it as stale swap garbage)."""
+    spark = df.sparkSession
+    fs, target = _hadoop_fs(spark, path)
+    tmp_p, old_p = _swap_siblings(spark, path)
+    jvm = spark._jvm
+    rejected_p = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "._wap_rejected"
+    )
+    if fs.exists(target):
+        fs.delete(tmp_p, True)
+        fs.delete(old_p, True)
+    elif fs.exists(tmp_p) or fs.exists(old_p):
+        raise IOError(
+            f"write_audit_publish: {path} is absent but swap leftovers "
+            "exist — call recover_interrupted_swap first"
+        )
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(tmp_p))
+
+    from ..operators import quality
+
+    staged = spark.read.parquet(str(tmp_p))
+    report = quality.check_expectations(staged, expectations).collect()
+    bad = [(r.expectation, r.n_violations) for r in report if not r.ok]
+    if bad:
+        fs.delete(rejected_p, True)
+        fs.rename(tmp_p, rejected_p)
+        raise ValueError(
+            f"write_audit_publish: audit failed {bad}; staged data moved "
+            f"to {rejected_p} for inspection — {path} untouched"
+        )
+    _swap_staged_in(fs, target, tmp_p, old_p, path)
 
 
 def _part_swap_paths(spark: SparkSession, path: str, part_name: str):

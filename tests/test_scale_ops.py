@@ -641,3 +641,43 @@ def test_pq_recall_vs_exact(spark):
         hits += r.neighbor_id in a.get(r.query_id, set())
     recall = hits / tot
     assert recall >= 0.7, f"PQ recall@5 too low: {recall}"
+
+
+def test_write_audit_publish_gates_bad_data(spark, tmp_path):
+    """WAP: a failing audit must leave the live table untouched (and the
+    rejected stage quarantined under ._wap_rejected, invisible to
+    recovery); a passing audit publishes atomically."""
+    import pytest as _pytest
+
+    from data_engineering_challenge_spark.operators import quality as q
+    from data_engineering_challenge_spark.sources import io as eio
+
+    path = str(tmp_path / "tbl")
+    good = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id bigint, v double"
+    )
+    exps = [q.expect_not_null("v"), q.expect_between("v", 0.0, 100.0)]
+    eio.write_audit_publish(good, path, exps)
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [1, 2]
+
+    bad = spark.createDataFrame(
+        [(3, 999.0), (4, None)], "id bigint, v double"
+    )
+    with _pytest.raises(ValueError, match="audit failed"):
+        eio.write_audit_publish(bad, path, exps)
+    # live table untouched; rejected stage quarantined
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [1, 2]
+    import os
+
+    assert os.path.isdir(path + "._wap_rejected")
+    # recovery must NOT resurrect the rejected stage
+    eio.recover_interrupted_swap(spark, path)
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [1, 2]
+
+    # first-ever publish that fails the audit leaves NO table at all
+    path2 = str(tmp_path / "tbl2")
+    with _pytest.raises(ValueError, match="audit failed"):
+        eio.write_audit_publish(bad, path2, exps)
+    assert not os.path.isdir(path2)
+    eio.recover_interrupted_swap(spark, path2)
+    assert not os.path.isdir(path2)
