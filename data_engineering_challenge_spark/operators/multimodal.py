@@ -312,25 +312,52 @@ def audio_chunk_features(
     return media.mapInPandas(run, AUDIO_CHUNKS_SCHEMA)
 
 
+def resize_thumbnail_bmp(
+    payload: bytes, width: int, height: int
+) -> bytes:
+    """REAL image resize, stdlib+numpy only: decode an uncompressed
+    24-bit BMP (:func:`decode_bmp_rgb24`), nearest-neighbor sample to
+    (height, width), and emit a GRAYSCALE thumbnail (integer ITU-R 601
+    luma, (299r + 587g + 114b) // 1000 — all-integer, deterministic) so
+    the output honors the stage's fixed width*height-byte contract.
+    PNG/JPEG still need PIL and fail loudly in the decoder."""
+    import numpy as np
+
+    px = decode_bmp_rgb24(payload)  # (h, w, 3) uint8
+    h, w = px.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    sampled = px[ys][:, xs].astype(np.int64)
+    luma = (
+        299 * sampled[:, :, 0] + 587 * sampled[:, :, 1] + 114 * sampled[:, :, 2]
+    ) // 1000
+    return luma.astype(np.uint8).tobytes()
+
+
 def resize_image(
     media: DataFrame, width: int = 8, height: int = 8, real: bool = False
 ) -> DataFrame:
     """Image resize stage: payload -> fixed-size payload (width*height
-    bytes).  real=True is the Pillow stub; the fake truncates/zero-pads —
-    deterministic, same schema/batch shape as a real thumbnailer, so the
+    bytes).  real=True decodes uncompressed 24-bit BMPs and emits a
+    nearest-neighbor grayscale thumbnail (:func:`resize_thumbnail_bmp` —
+    no imaging library; other formats fail loudly); the fake
+    truncates/zero-pads — deterministic, same schema/batch shape, so the
     downstream contract (fixed n_bytes, binary column preserved through
-    Arrow) is tested without media libs."""
+    Arrow) is tested with and without real pixels."""
     target = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real:  # pragma: no cover - stub
-                raise NotImplementedError(
-                    "image resize needs Pillow; this environment stubs it"
-                )
-            resized = [
-                bytes(p)[:target].ljust(target, b"\x00") for p in pdf["payload"]
-            ]
+            if real:
+                resized = [
+                    resize_thumbnail_bmp(bytes(p), width, height)
+                    for p in pdf["payload"]
+                ]
+            else:
+                resized = [
+                    bytes(p)[:target].ljust(target, b"\x00")
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

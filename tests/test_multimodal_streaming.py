@@ -308,3 +308,40 @@ def test_frame_sample_real_y4m_decode(spark):
 
     with _pytest.raises(Exception):
         mm.frame_sample(bad, every_n=2, real=True).collect()
+
+
+def test_resize_real_bmp_thumbnail(spark):
+    """REAL resize path: a 4x2 BMP with known colors nearest-neighbor
+    sampled to 2x2 grayscale — expected luma computed by hand with the
+    integer ITU-R 601 formula; wrong-format payloads fail loudly."""
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.operators import multimodal as mm
+
+    # rows top-down: (r,g,b); 4 wide, 2 tall
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    bot = [(0, 0, 0), (10, 20, 30), (100, 100, 100), (200, 0, 200)]
+    payload = _make_bmp([top, bot])
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=payload, n_bytes=len(payload))],
+        mm.MEDIA_SCHEMA,
+    )
+    out = mm.resize_image(media, width=2, height=2, real=True).collect()[0]
+    assert out.n_bytes == 4
+    # nearest-neighbor with ys=(0,1), xs=(0,2): picks (0,0),(0,2),(1,0),(1,2)
+    def luma(r, g, b):
+        return (299 * r + 587 * g + 114 * b) // 1000
+
+    expected = bytes(
+        [luma(*top[0]), luma(*top[2]), luma(*bot[0]), luma(*bot[2])]
+    )
+    assert bytes(out.payload) == expected
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [Row(media_id=2, kind="image", payload=b"nope", n_bytes=4)],
+        mm.MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception):
+        mm.resize_image(bad, width=2, height=2, real=True).collect()
