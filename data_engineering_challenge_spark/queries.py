@@ -129,7 +129,8 @@ _CHEAP_FIRST = [
     "orc_roundtrip_stats", "ewma_value", "linear_trend_by_type",
     "pareto_frontier", "cms_heavy_hitters", "global_row_ids",
     "table_diff_reconcile", "streaming_ewma",
-    "daily_count_anomalies", "part_hierarchy_rollup", "cdc_feed_generate",
+    "daily_count_anomalies", "user_type_profile_map",
+    "part_hierarchy_rollup", "cdc_feed_generate",
     "streaming_cms_heavy_hitters", "streaming_linear_trend",
 ]
 

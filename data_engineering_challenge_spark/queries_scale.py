@@ -1263,6 +1263,57 @@ def percent_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_type_profile_map",
+    """
+WITH t AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type
+), u AS (
+    SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM t GROUP BY user_id
+)
+SELECT t.user_id, u.n_types, t.event_type, t.n
+FROM t JOIN u USING (user_id)
+""",
+)
+def user_type_profile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavior profile carried as a MAP column — the
+    feature-store shape (one row per entity, features as map<name, val>)
+    — then exploded back to the relational form the oracle checks.
+
+    The point is TYPE-SYSTEM coverage: the profile genuinely goes
+    through MapType (`map_from_entries` over a collected struct array,
+    `map_keys` for the type count, `explode` back to rows), the one
+    Spark column family the registry didn't yet exercise through
+    codegen/Arrow.  Map iteration order is undefined — the surface is
+    the exploded SET of entries, which the order-insensitive hash
+    compares fine; the map itself is never hashed (engine map
+    serialization is not portable, so a map-typed output column would
+    violate the oracle conventions).
+
+    Scale: one (user, type) aggregate, then a per-user collect bounded
+    by the type-domain cardinality (5 here; profile maps are bounded by
+    construction — that bound is what makes the feature-store shape
+    safe)."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    profile = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    return profile.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).cast("bigint").alias("n_types"),
+        F.explode(F.col("m")).alias("event_type", "n"),
+    )
+
+
 @register("pq_topk", None)  # iterative (KMeans codebooks) — rows-only check
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-5 over the embeddings table
