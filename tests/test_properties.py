@@ -629,3 +629,56 @@ def test_triangles_match_brute_force(spark, orders, tmp_path_factory):
     )
     assert row["n_edges"] == len(edges)
     assert row["n_triangles"] == tri
+
+
+# ---------------------------------------------------------------------------
+# snapshot-diff CDC closure: apply_cdc(old, generate_cdc_feed(old,new)) == new
+# ---------------------------------------------------------------------------
+
+table_version_strategy = st.tuples(
+    # old: key -> value; new: key -> value (arbitrary overlap/drift)
+    st.dictionaries(st.integers(0, 12), st.integers(0, 9), max_size=10),
+    st.dictionaries(st.integers(0, 12), st.integers(0, 9), max_size=10),
+)
+
+
+@given(versions=table_version_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_cdc_feed_closure_property(spark, tmp_path_factory, versions):
+    """For ARBITRARY old/new table versions, the generated snapshot-diff
+    feed applied to old yields new exactly (and an empty diff when the
+    versions already agree)."""
+    import shutil
+
+    from data_engineering_challenge_spark import queries_scale as qsc
+    from data_engineering_challenge_spark.streaming.incremental import apply_cdc
+
+    old_d, new_d = versions
+    old = spark.createDataFrame(
+        [(k, v) for k, v in sorted(old_d.items())] or [(None, None)],
+        "k bigint, v bigint",
+    ).filter(F.col("k").isNotNull())
+    new = spark.createDataFrame(
+        [(k, v) for k, v in sorted(new_d.items())] or [(None, None)],
+        "k bigint, v bigint",
+    ).filter(F.col("k").isNotNull())
+
+    feed = qsc.generate_cdc_feed(old, new, ["k"])
+    n_feed = feed.count()
+    if old_d == new_d:
+        assert n_feed == 0
+        return
+    tmp = tmp_path_factory.mktemp("cdc_closure")
+    path = str(tmp / "tbl")
+    old.write.parquet(path)
+    if n_feed:
+        apply_cdc(feed, path, ["k"])
+    got = {
+        (r.k, r.v) for r in spark.read.parquet(path).drop("_kb").collect()
+    }
+    assert got == set(new_d.items())
+    shutil.rmtree(str(tmp), ignore_errors=True)
