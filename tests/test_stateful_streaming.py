@@ -1012,3 +1012,64 @@ def test_streaming_ewma_state_carries_across_batches(spark, tmp_path):
         r.event_id: r.ewma for r in qsc.ewma_value(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_foreach_batch_dim_refresh_between_batches(spark, tmp_path):
+    """Slowly-changing dimension refresh WITHOUT a stream restart: a
+    plain stream-static join snapshots the static side's FILE LISTING at
+    plan time, so dimension updates landing mid-stream are invisible (or
+    crash when the old files are swapped away).  The operational pattern
+    is a fresh spark.read inside foreachBatch — each micro-batch joins
+    the dimension snapshot CURRENT at that batch.  This test pins it:
+    batch 0 enriches with v1 labels, the handler swaps in v2
+    (publish_atomic), batch 1 must see v2."""
+    from data_engineering_challenge_spark.sources import io as eio
+
+    dim_path = str(tmp_path / "dim")
+    out_path = str(tmp_path / "out")
+    spark.createDataFrame(
+        [("click", "v1"), ("view", "v1")], "event_type string, label string"
+    ).write.parquet(dim_path)
+
+    src = spark.createDataFrame(
+        [(1, "click"), (2, "view")], "event_id bigint, event_type string"
+    )
+    src.filter("event_id = 1").coalesce(1).write.parquet(
+        str(tmp_path / "src" / "b0")
+    )
+    src.filter("event_id = 2").coalesce(1).write.parquet(
+        str(tmp_path / "src" / "b1")
+    )
+
+    def handle(bdf, epoch_id):
+        dim = spark.read.parquet(dim_path)  # fresh snapshot PER BATCH
+        (
+            bdf.join(dim, "event_type")
+            .withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        if int(epoch_id) == 0:
+            eio.publish_atomic(
+                spark.createDataFrame(
+                    [("click", "v2"), ("view", "v2")],
+                    "event_type string, label string",
+                ),
+                dim_path,
+            )
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "src" / "b*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = {r.event_id: r.label for r in spark.read.parquet(out_path).collect()}
+    assert rows == {1: "v1", 2: "v2"}
