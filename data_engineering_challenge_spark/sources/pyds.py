@@ -134,3 +134,119 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter([_row(i) for i in range(int(start["i"]), int(end["i"]))])
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER: manifest-committed JSONL sink
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonlManifestDataSource(DataSource):
+    """``df.write.format("jsonl_manifest").option("path", dir)
+    .mode("append").save()`` (the API requires an explicit
+    Append/Overwrite mode) — the WRITER side of the Python DataSource
+    API (the reader/stream sides live above), exercising the full
+    two-phase lifecycle:
+
+    * each task writes its partition to ``part-<uuid>.jsonl`` and
+      returns a `WriterCommitMessage` (file path + row count);
+    * the DRIVER's ``commit`` writes ``_MANIFEST.json`` listing exactly
+      the committed files + total rows — the miniature of a table
+      format's snapshot commit: readers that honor the manifest
+      (`read_jsonl_manifest`) see an all-or-nothing table, never a
+      half-written one, and stray/aborted files are invisible;
+    * ``abort`` deletes whatever the failed attempt produced.
+
+    JSON-lines payload keeps it engine-portable (`read_jsonl_manifest`
+    re-reads with an explicit schema, never inference)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return JsonlManifestWriter(self.options, schema)
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_manifest: option 'path' is required")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> _JsonlCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        tmp = out + ".tmp"
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        {k: row[i] for i, k in enumerate(self.fields)},
+                        sort_keys=True,
+                    )
+                )
+                fh.write("\n")
+                n += 1
+        os.rename(tmp, out)  # task files appear atomically
+        return _JsonlCommit(out, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(
+                os.path.basename(m.path) for m in messages if m.rows
+            ),
+            "total_rows": sum(m.rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+def register_jsonl_manifest_sink(spark) -> None:
+    spark.dataSource.register(JsonlManifestDataSource)
+
+
+def read_jsonl_manifest(spark, path: str, schema: StructType):
+    """Manifest-honoring read: only files listed in ``_MANIFEST.json``
+    are visible — stray, aborted, or half-committed files are not part
+    of the table."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

@@ -108,3 +108,39 @@ def test_stream_reader_batches_and_replay(spark, tmp_path):
 
     # drained: one more run from the same checkpoint replays nothing
     assert run_once() == []
+
+
+def test_jsonl_manifest_writer_roundtrip(spark, tmp_path):
+    """Full writer lifecycle: partition-parallel task files + driver
+    manifest commit; the manifest-honoring read reproduces the table and
+    IGNORES stray files (the all-or-nothing contract)."""
+    import json
+    import os
+
+    from data_engineering_challenge_spark.sources.pyds import (
+        read_jsonl_manifest,
+        register_jsonl_manifest_sink,
+    )
+
+    register_jsonl_manifest_sink(spark)
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i) / 2) for i in range(100)],
+        "id bigint, s string, v double",
+    ).repartition(5)
+    path = str(tmp_path / "sink")
+    df.write.format("jsonl_manifest").option("path", path).mode("append").save()
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["total_rows"] == 100
+    assert 1 <= len(manifest["files"]) <= 5
+    for f in manifest["files"]:
+        assert os.path.isfile(os.path.join(path, f))
+
+    # a stray (uncommitted) file must be invisible to the manifest read
+    with open(os.path.join(path, "part-stray.jsonl"), "w") as fh:
+        fh.write('{"id": 999999, "s": "ghost", "v": 0.0}\n')
+
+    back = read_jsonl_manifest(spark, path, df.schema)
+    assert back.count() == 100
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
