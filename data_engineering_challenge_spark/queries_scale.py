@@ -1264,6 +1264,55 @@ def percent_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pyds_manifest_roundtrip_stats",
+    # oracle reads the ORIGINAL parquet — equality proves the custom
+    # Python-DataSource WRITER (manifest-committed JSONL) + the
+    # manifest-honoring read are lossless for the whole corpus,
+    # escaping included.
+    """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(text)) AS BIGINT) AS total_len
+FROM documents
+GROUP BY lang, source
+""",
+)
+def pyds_manifest_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource WRITER end-to-end (SURVEY §2.1/2.10 API
+    surface): corpus out through the ``jsonl_manifest`` sink (task part
+    files + driver manifest commit), back in via the manifest-honoring
+    schema'd read, aggregated, hash-matched against the original
+    parquet.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources.pyds import (
+        read_jsonl_manifest,
+        register_jsonl_manifest_sink,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = ("pyds_manifest_roundtrip_stats", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        register_jsonl_manifest_sink(spark)
+        tmp = tempfile.mkdtemp(prefix="pyds_rt_")
+        (
+            docs.write.format("jsonl_manifest")
+            .option("path", f"{tmp}/docs")
+            .mode("append")
+            .save()
+        )
+        out = _ORC_OUT_CACHE[key] = f"{tmp}/docs"
+    back = read_jsonl_manifest(spark, out, docs.schema)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_len"),
+    )
+
+
+@register(
     "user_type_profile_map",
     """
 WITH t AS (
