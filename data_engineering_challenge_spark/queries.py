@@ -130,7 +130,7 @@ _CHEAP_FIRST = [
     "pareto_frontier", "cms_heavy_hitters", "global_row_ids",
     "table_diff_reconcile", "streaming_ewma",
     "daily_count_anomalies", "user_type_profile_map",
-    "pyds_manifest_roundtrip_stats",
+    "pyds_manifest_roundtrip_stats", "snapshot_time_travel",
     "part_hierarchy_rollup", "cdc_feed_generate",
     "streaming_cms_heavy_hitters", "streaming_linear_trend",
 ]

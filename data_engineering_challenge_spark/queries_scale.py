@@ -1313,6 +1313,53 @@ def pyds_manifest_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "snapshot_time_travel",
+    f"""
+SELECT CAST(0 AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders
+""",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-manifest snapshots end-to-end (`sources/snapshots.py` —
+    the table-format core on plain parquet): version 0 commits the
+    even-key orders, version 1 APPENDS the odd keys (referencing v0's
+    files, not rewriting them), and the query time-travels BOTH
+    versions and aggregates each — the hash match proves every manifest
+    pins exactly its committed row set.  Output cached per
+    (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_time_travel", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_tt_") + "/tbl"
+        sn.snapshot_overwrite(o.filter(F.col("o_orderkey") % 2 == 0), root)
+        sn.snapshot_append(o.filter(F.col("o_orderkey") % 2 == 1), root)
+        out = _ORC_OUT_CACHE[key] = root
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("total_price"),
+        ).select("version", "n_rows", "total_price")
+
+    return agg(sn.read_snapshot(spark, out, 0), 0).unionByName(
+        agg(sn.read_snapshot(spark, out, 1), 1)
+    )
+
+
+@register(
     "user_type_profile_map",
     """
 WITH t AS (

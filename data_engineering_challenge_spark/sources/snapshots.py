@@ -1,0 +1,145 @@
+"""Versioned-manifest snapshots over plain parquet: time travel,
+rollback, and snapshot-isolated reads without a table-format dependency —
+the transactional-format CORE (Iceberg/Delta's snapshot+manifest idea) in
+miniature, built from three primitives this repo already trusts:
+immutable data files, JSON manifests, and atomic rename.
+
+Layout under a table root:
+
+    data/<uuid>/part-*.parquet     immutable file groups, one per commit
+    _manifests/v<N>.json           {"version": N, "files": [...], "parent": N-1}
+    _LATEST                        text file containing "N" (atomic rename)
+
+Commit protocol: (1) write the new file group (a failed write leaves an
+orphaned uuid dir no manifest references — invisible); (2) write
+v<N>.json listing the EXACT file set of version N (append = parent's
+files + new; overwrite = new only); (3) atomically rename _LATEST.tmp →
+_LATEST.  Readers resolve _LATEST (or an explicit version) to ONE
+manifest and read exactly its files — a reader never sees a half-commit,
+and concurrent readers of different versions don't interfere (snapshot
+isolation for free from immutability).  `rollback` is a pointer move —
+no data rewritten; orphaned newer versions stay readable by explicit
+version until `vacuum` (not shipped — retention policy is deployment
+policy) removes them.
+
+At 100 TB this is exactly the metadata/data split that makes commits O(1)
+in table size: a commit writes the new files + one manifest, never
+touches existing data, and the manifest bounds what any read must list
+(no eventually-consistent directory listing on the read path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "_manifests")
+
+
+def _latest_path(root: str) -> str:
+    return os.path.join(root, "_LATEST")
+
+
+def current_version(root: str) -> int | None:
+    try:
+        with open(_latest_path(root)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(root), f"v{version}.json")) as fh:
+        return json.load(fh)
+
+
+def _write_files(df: DataFrame, root: str) -> list[str]:
+    group = os.path.join("data", uuid.uuid4().hex)
+    out = os.path.join(root, group)
+    df.write.parquet(out)
+    return sorted(
+        os.path.join(group, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+
+
+def _commit(root: str, files: list[str], parent: int | None) -> int:
+    # version numbers are GLOBALLY monotonic (max existing + 1), not
+    # parent + 1: a commit after `rollback` starts a new lineage WITHOUT
+    # overwriting the abandoned one's manifest — every version ever
+    # committed stays time-travelable, and `parent` records the true DAG
+    existing = snapshot_versions(root)
+    version = (existing[-1] + 1) if existing else 0
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    mpath = os.path.join(_manifest_dir(root), f"v{version}.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "parent": parent, "files": files}, fh)
+    os.rename(tmp, mpath)
+    ltmp = _latest_path(root) + ".tmp"
+    with open(ltmp, "w") as fh:
+        fh.write(str(version))
+    os.rename(ltmp, _latest_path(root))  # the commit POINT — atomic
+    return version
+
+
+def snapshot_overwrite(df: DataFrame, root: str) -> int:
+    """Commit a new version whose content is exactly ``df`` (existing
+    versions stay readable by number)."""
+    os.makedirs(root, exist_ok=True)
+    files = _write_files(df, root)
+    return _commit(root, files, current_version(root))
+
+
+def snapshot_append(df: DataFrame, root: str) -> int:
+    """Commit a new version = parent's files + ``df``'s new file group.
+    The parent's files are REFERENCED, not rewritten — append cost is
+    O(delta) regardless of table size."""
+    os.makedirs(root, exist_ok=True)
+    parent = current_version(root)
+    base = [] if parent is None else _read_manifest(root, parent)["files"]
+    files = base + _write_files(df, root)
+    return _commit(root, files, parent)
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read one snapshot: ``version=None`` resolves _LATEST; an explicit
+    number time-travels.  Exactly the manifest's files are read — no
+    directory listing, no visibility of in-flight or orphaned file
+    groups."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"read_snapshot: no committed version at {root}")
+    files = _read_manifest(root, v)["files"]
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+
+
+def rollback(root: str, version: int) -> None:
+    """Move _LATEST back to ``version`` — a pointer rename, no data
+    touched; later versions remain readable explicitly."""
+    if not os.path.exists(
+        os.path.join(_manifest_dir(root), f"v{version}.json")
+    ):
+        raise FileNotFoundError(f"rollback: version {version} does not exist")
+    ltmp = _latest_path(root) + ".tmp"
+    with open(ltmp, "w") as fh:
+        fh.write(str(version))
+    os.rename(ltmp, _latest_path(root))
+
+
+def snapshot_versions(root: str) -> list[int]:
+    try:
+        names = os.listdir(_manifest_dir(root))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+    )

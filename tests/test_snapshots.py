@@ -1,0 +1,78 @@
+"""Versioned-manifest snapshots: time travel, rollback, snapshot
+isolation from immutability, orphan invisibility, O(delta) appends."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_engineering_challenge_spark.sources import snapshots as sn
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_snapshot_append_time_travel_rollback(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v0 = sn.snapshot_overwrite(_df(spark, 0, 10), root)
+    v1 = sn.snapshot_append(_df(spark, 10, 15), root)
+    v2 = sn.snapshot_overwrite(_df(spark, 100, 102), root)
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert sn.snapshot_versions(root) == [0, 1, 2]
+
+    assert sn.read_snapshot(spark, root, 0).count() == 10
+    assert sn.read_snapshot(spark, root, 1).count() == 15
+    assert sn.read_snapshot(spark, root, 2).count() == 2
+    assert sn.read_snapshot(spark, root).count() == 2  # latest
+
+    sn.rollback(root, 1)
+    assert sn.read_snapshot(spark, root).count() == 15
+    # newer version still time-travelable after rollback
+    assert sn.read_snapshot(spark, root, 2).count() == 2
+    # a commit after rollback branches from the rolled-back head but
+    # takes a FRESH version number — the abandoned lineage's manifest
+    # survives and stays readable
+    v3 = sn.snapshot_append(_df(spark, 15, 16), root)
+    assert v3 == 3
+    assert sn._read_manifest(root, 3)["parent"] == 1
+    assert sn.read_snapshot(spark, root).count() == 16
+    assert sn.read_snapshot(spark, root, 2).count() == 2
+
+
+def test_snapshot_append_references_not_rewrites(spark, tmp_path):
+    """Append must not rewrite the parent's files: v0's physical files
+    (paths + mtimes) are byte-identical members of v1."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 10), root)
+    before = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for f in sn._read_manifest(root, 0)["files"]
+    }
+    sn.snapshot_append(_df(spark, 10, 12), root)
+    m1 = sn._read_manifest(root, 1)["files"]
+    assert set(before) < set(m1), "v1 must reference v0's files"
+    for f, mt in before.items():
+        assert os.path.getmtime(os.path.join(root, f)) == mt
+
+
+def test_snapshot_orphan_files_invisible(spark, tmp_path):
+    """A crashed write (file group with no manifest) must be invisible
+    to every reader."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 5), root)
+    # simulate a crash: files written, commit never happened
+    sn._write_files(_df(spark, 1000, 2000), root)
+    assert sn.read_snapshot(spark, root).count() == 5
+
+
+def test_snapshot_read_empty_table_raises(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        sn.read_snapshot(spark, str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError):
+        sn.rollback(str(tmp_path / "nope"), 0)
