@@ -143,3 +143,34 @@ def snapshot_versions(root: str) -> list[int]:
     return sorted(
         int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
     )
+
+
+def vacuum_orphans(root: str) -> list[str]:
+    """Remove data files NO manifest references — the debris of crashed
+    commits.  Unconditionally safe: every committed version (current,
+    rolled-back-from, abandoned lineage) keeps its files because every
+    manifest is consulted.  Version-RETENTION vacuum (dropping old
+    manifests and then their now-unreferenced files) is deliberately
+    not bundled — retention windows are deployment policy, and this
+    primitive composes with one (delete manifests, then call this).
+    Returns the removed paths (table-root-relative)."""
+    referenced: set[str] = set()
+    for v in snapshot_versions(root):
+        referenced.update(_read_manifest(root, v)["files"])
+    removed: list[str] = []
+    data_root = os.path.join(root, "data")
+    if not os.path.isdir(data_root):
+        return removed
+    for group in os.listdir(data_root):
+        gdir = os.path.join(data_root, group)
+        for f in os.listdir(gdir):
+            rel = os.path.join("data", group, f)
+            if f.endswith(".parquet") and rel not in referenced:
+                os.remove(os.path.join(root, rel))
+                removed.append(rel)
+        # drop byproducts (_SUCCESS etc.) and the dir once no data remains
+        if not any(n.endswith(".parquet") for n in os.listdir(gdir)):
+            for n in os.listdir(gdir):
+                os.remove(os.path.join(gdir, n))
+            os.rmdir(gdir)
+    return removed

@@ -76,3 +76,20 @@ def test_snapshot_read_empty_table_raises(spark, tmp_path):
         sn.read_snapshot(spark, str(tmp_path / "nope"))
     with pytest.raises(FileNotFoundError):
         sn.rollback(str(tmp_path / "nope"), 0)
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 5), root)
+    sn.snapshot_append(_df(spark, 5, 8), root)
+    sn.rollback(root, 0)
+    # crashed commit: data files, no manifest
+    sn._write_files(_df(spark, 100, 200), root)
+    removed = sn.vacuum_orphans(root)
+    assert removed, "the orphaned group must be collected"
+    # every committed version still fully readable (incl. rolled-back-from)
+    assert sn.read_snapshot(spark, root, 0).count() == 5
+    assert sn.read_snapshot(spark, root, 1).count() == 8
+    assert sn.read_snapshot(spark, root).count() == 5
+    # idempotent
+    assert sn.vacuum_orphans(root) == []
