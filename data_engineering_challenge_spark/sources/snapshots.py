@@ -18,9 +18,10 @@ _LATEST.  Readers resolve _LATEST (or an explicit version) to ONE
 manifest and read exactly its files — a reader never sees a half-commit,
 and concurrent readers of different versions don't interfere (snapshot
 isolation for free from immutability).  `rollback` is a pointer move —
-no data rewritten; orphaned newer versions stay readable by explicit
-version until `vacuum` (not shipped — retention policy is deployment
-policy) removes them.
+no data rewritten; every committed version stays readable by explicit
+number.  `vacuum_orphans` collects crashed-commit debris (files no
+manifest references — unconditionally safe); version-RETENTION vacuum
+stays deployment policy and composes with it.
 
 At 100 TB this is exactly the metadata/data split that makes commits O(1)
 in table size: a commit writes the new files + one manifest, never
