@@ -146,6 +146,44 @@ def snapshot_versions(root: str) -> list[int]:
     )
 
 
+def read_snapshot_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Incremental scan: the rows ADDED between two versions of an
+    append lineage, read from ONLY the file-set difference — O(delta)
+    I/O no matter how large the table (the consumer pattern a changelog
+    feeds; with manifests it needs no changelog at all).
+
+    Walks the parent DAG from ``to_version`` back to ``from_version``
+    and requires every hop to be an append (parent's files ⊆ child's);
+    an overwrite in between means the delta is NOT expressible as
+    added-files — fail loudly and let the caller fall back to
+    `diff_tables`/`generate_cdc_feed` on the two time-traveled reads."""
+    to_m = _read_manifest(root, to_version)
+    m = to_m
+    while m["version"] != from_version:
+        parent = m["parent"]
+        if parent is None or parent < from_version:
+            raise ValueError(
+                f"read_snapshot_changes: v{from_version} is not an "
+                f"ancestor of v{to_version}"
+            )
+        pm = _read_manifest(root, parent)
+        if not set(pm["files"]) <= set(m["files"]):
+            raise ValueError(
+                f"read_snapshot_changes: v{m['version']} overwrote "
+                f"v{parent} — the delta is not append-only; diff the "
+                "time-traveled reads instead"
+            )
+        m = pm
+    new_files = sorted(set(to_m["files"]) - set(m["files"]))
+    if not new_files:
+        return read_snapshot(spark, root, to_version).limit(0)
+    return spark.read.parquet(
+        *[os.path.join(root, f) for f in new_files]
+    )
+
+
 def vacuum_orphans(root: str) -> list[str]:
     """Remove data files NO manifest references — the debris of crashed
     commits.  Unconditionally safe: every committed version (current,

@@ -93,3 +93,27 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     assert sn.read_snapshot(spark, root).count() == 5
     # idempotent
     assert sn.vacuum_orphans(root) == []
+
+
+def test_incremental_scan_reads_only_the_delta(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 10), root)   # v0
+    sn.snapshot_append(_df(spark, 10, 15), root)     # v1
+    sn.snapshot_append(_df(spark, 15, 17), root)     # v2
+    delta = sn.read_snapshot_changes(spark, root, 0, 2)
+    assert sorted(r.id for r in delta.collect()) == list(range(10, 17))
+    # plan-level: the scan must reference ONLY the delta's files
+    files = {
+        r.f.rsplit("/data/", 1)[-1]
+        for r in delta.selectExpr("input_file_name() AS f").distinct().collect()
+    }
+    v0_files = {f.rsplit("data/", 1)[-1] for f in sn._read_manifest(root, 0)["files"]}
+    assert files.isdisjoint(v0_files)
+    # empty delta
+    assert sn.read_snapshot_changes(spark, root, 2, 2).count() == 0
+    # an overwrite breaks append lineage -> loud failure
+    sn.snapshot_overwrite(_df(spark, 0, 3), root)    # v3
+    import pytest
+
+    with pytest.raises(ValueError, match="not append-only|ancestor"):
+        sn.read_snapshot_changes(spark, root, 0, 3)
