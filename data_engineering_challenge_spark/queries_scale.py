@@ -1425,7 +1425,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# metric anomaly detection: integer-exact 3-sigma on daily counts
+# metric anomaly detection: integer-exact 2-sigma on daily counts
 # --------------------------------------------------------------------------
 
 
