@@ -70,7 +70,9 @@ def _write_files(df: DataFrame, root: str) -> list[str]:
     )
 
 
-def _commit(root: str, files: list[str], parent: int | None) -> int:
+def _commit(
+    root: str, files: list[str], parent: int | None, tag: str | None = None
+) -> int:
     # version numbers are GLOBALLY monotonic (max existing + 1), not
     # parent + 1: a commit after `rollback` starts a new lineage WITHOUT
     # overwriting the abandoned one's manifest — every version ever
@@ -81,7 +83,10 @@ def _commit(root: str, files: list[str], parent: int | None) -> int:
     mpath = os.path.join(_manifest_dir(root), f"v{version}.json")
     tmp = mpath + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "parent": parent, "files": files}, fh)
+        json.dump(
+            {"version": version, "parent": parent, "files": files, "tag": tag},
+            fh,
+        )
     os.rename(tmp, mpath)
     ltmp = _latest_path(root) + ".tmp"
     with open(ltmp, "w") as fh:
@@ -98,15 +103,25 @@ def snapshot_overwrite(df: DataFrame, root: str) -> int:
     return _commit(root, files, current_version(root))
 
 
-def snapshot_append(df: DataFrame, root: str) -> int:
+def snapshot_append(df: DataFrame, root: str, tag: str | None = None) -> int:
     """Commit a new version = parent's files + ``df``'s new file group.
     The parent's files are REFERENCED, not rewritten — append cost is
-    O(delta) regardless of table size."""
+    O(delta) regardless of table size.
+
+    ``tag`` makes the append IDEMPOTENT: if any existing manifest
+    already carries the tag, the commit is skipped and that version
+    returned — the exactly-once hook a streaming sink passes its epoch
+    id through (a replayed micro-batch re-runs the append and lands on
+    the already-committed version instead of duplicating rows)."""
     os.makedirs(root, exist_ok=True)
+    if tag is not None:
+        for v in snapshot_versions(root):
+            if _read_manifest(root, v).get("tag") == tag:
+                return v
     parent = current_version(root)
     base = [] if parent is None else _read_manifest(root, parent)["files"]
     files = base + _write_files(df, root)
-    return _commit(root, files, parent)
+    return _commit(root, files, parent, tag=tag)
 
 
 def read_snapshot(
@@ -144,6 +159,30 @@ def snapshot_versions(root: str) -> list[int]:
     return sorted(
         int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
     )
+
+
+def run_streaming_snapshot_sink(
+    stream_df: DataFrame, root: str, checkpoint_dir: str
+) -> None:
+    """EXACTLY-ONCE streaming appends onto a snapshot table: each
+    micro-batch commits one tagged append (`tag=f"epoch-{id}"`), so a
+    checkpoint-recovery replay of an epoch finds its tag already
+    committed and becomes a no-op instead of duplicating rows — the
+    manifest is the transaction log (the foreachBatch twin of the
+    `_batch=<epoch>` partition trick, but with time travel and
+    incremental scans of the result for free: consumers read each
+    batch's delta via `read_snapshot_changes`)."""
+
+    def handle(bdf: DataFrame, epoch_id: int) -> None:
+        snapshot_append(bdf, root, tag=f"epoch-{int(epoch_id)}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def read_snapshot_changes(

@@ -117,3 +117,33 @@ def test_incremental_scan_reads_only_the_delta(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not append-only|ancestor"):
         sn.read_snapshot_changes(spark, root, 0, 3)
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    """Two micro-batches commit two tagged appends; a REPLAYED epoch is
+    a no-op (same version returned, no new rows); per-batch deltas are
+    incrementally scannable."""
+    root = str(tmp_path / "tbl")
+    src = _df(spark, 0, 20)
+    src.filter("id < 10").coalesce(1).write.parquet(str(tmp_path / "src" / "b0"))
+    src.filter("id >= 10").coalesce(1).write.parquet(str(tmp_path / "src" / "b1"))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "src" / "b*"))
+    )
+    sn.run_streaming_snapshot_sink(stream, root, str(tmp_path / "ckpt"))
+
+    assert sn.read_snapshot(spark, root).count() == 20
+    versions = sn.snapshot_versions(root)
+    assert len(versions) == 2
+
+    # replay of an already-committed epoch: no-op, no duplicates
+    v = sn.snapshot_append(_df(spark, 0, 10), root, tag="epoch-0")
+    assert v in versions
+    assert sn.snapshot_versions(root) == versions
+    assert sn.read_snapshot(spark, root).count() == 20
+
+    # each batch's delta is incrementally scannable
+    delta = sn.read_snapshot_changes(spark, root, versions[0], versions[1])
+    assert sorted(r.id for r in delta.collect()) == list(range(10, 20))
