@@ -1360,6 +1360,62 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_snapshot_ingest",
+    # the sink's declared contract is exactly-once delivery of the whole
+    # feed into the snapshot table, so the plain batch aggregate over
+    # events IS the oracle.
+    f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_streaming_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`run_streaming_snapshot_sink` end-to-end: the median-split feed
+    arrives as two micro-batches, each committing one tagged snapshot
+    append; the LATEST snapshot aggregated must equal the batch
+    aggregate over the raw events — exactly-once delivery, value-hash
+    checked.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from . import roles
+    from .sources import snapshots as sn
+
+    key = ("streaming_snapshot_ingest", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="snap_ingest_")
+        events = roles.load_events(spark, sf_dir)
+        src = events.select(
+            "event_type", "value", F.unix_micros("ts").alias("ts_us")
+        )
+        cut = src.approxQuantile("ts_us", [0.5], 0.0)[0]  # scalar probe
+        src.filter(F.col("ts_us") <= cut).coalesce(1).write.parquet(
+            f"{tmp}/src/b0"
+        )
+        src.filter(F.col("ts_us") > cut).coalesce(1).write.parquet(
+            f"{tmp}/src/b1"
+        )
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/src/b*")
+        )
+        sn.run_streaming_snapshot_sink(stream, f"{tmp}/tbl", f"{tmp}/ckpt")
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/tbl"
+    return (
+        sn.read_snapshot(spark, out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
     "user_type_profile_map",
     """
 WITH t AS (
