@@ -95,12 +95,17 @@ def _commit(
     return version
 
 
-def snapshot_overwrite(df: DataFrame, root: str) -> int:
+def snapshot_overwrite(df: DataFrame, root: str, tag: str | None = None) -> int:
     """Commit a new version whose content is exactly ``df`` (existing
-    versions stay readable by number)."""
+    versions stay readable by number).  ``tag`` gives the same
+    idempotent-replay contract as `snapshot_append`."""
     os.makedirs(root, exist_ok=True)
+    if tag is not None:
+        for v in snapshot_versions(root):
+            if _read_manifest(root, v).get("tag") == tag:
+                return v
     files = _write_files(df, root)
-    return _commit(root, files, current_version(root))
+    return _commit(root, files, current_version(root), tag=tag)
 
 
 def snapshot_append(df: DataFrame, root: str, tag: str | None = None) -> int:
@@ -159,6 +164,55 @@ def snapshot_versions(root: str) -> list[int]:
     return sorted(
         int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
     )
+
+
+def snapshot_merge_keys(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    keys: list[str],
+    op_col: str = "_op",
+    tag: str | None = None,
+) -> int:
+    """Copy-on-write CDC MERGE onto a snapshot table: upsert 'I'/'U'
+    rows, delete 'D' keys, commit the result as a NEW VERSION — the
+    parents stay readable, so the merge history is a time-travelable
+    audit trail (what was this table before batch N?), and `rollback`
+    undoes a bad feed in O(1).
+
+    Same op-domain validation and last-change-per-key semantics as
+    `streaming.apply_cdc` (malformed ops fail the batch loudly);
+    ``tag`` passes through for exactly-once replay.  Copy-on-write
+    rewrites the whole table per commit — the simple/audit-first trade;
+    the partition-restricted `apply_cdc` is the in-place alternative
+    when history isn't needed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bad = batch.filter(
+        F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"snapshot_merge_keys: {op_col} must be 'I'/'U'/'D', got "
+            f"{bad[0][op_col]!r} — failing the batch"
+        )
+    if tag is not None:
+        for v in snapshot_versions(root):
+            if _read_manifest(root, v).get("tag") == tag:
+                return v
+    w = Window.partitionBy(*keys).orderBy(F.desc("_arrival"))
+    last = (
+        batch.withColumn("_arrival", F.monotonically_increasing_id())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_arrival", "_rn")
+    )
+    upserts = last.filter(F.col(op_col) != "D").drop(op_col)
+    current = read_snapshot(spark, root)
+    kept = current.join(last.select(*keys).distinct(), keys, "left_anti")
+    merged = kept.unionByName(upserts)
+    return snapshot_overwrite(merged, root, tag=tag)
 
 
 def run_streaming_snapshot_sink(

@@ -147,3 +147,37 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
     # each batch's delta is incrementally scannable
     delta = sn.read_snapshot_changes(spark, root, versions[0], versions[1])
     assert sorted(r.id for r in delta.collect()) == list(range(10, 20))
+
+
+def test_snapshot_merge_keys_audit_trail(spark, tmp_path):
+    """CoW CDC merge: upserts/deletes commit a new version while every
+    prior version stays readable (the audit trail); rollback undoes a
+    bad feed in O(1); tags make replays no-ops; malformed ops fail."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 5), root)  # v0: ids 0..4, v=2*id
+
+    feed = spark.createDataFrame(
+        [(1, 999, "U"), (2, None, "D"), (9, 18, "I")],
+        "id bigint, v bigint, _op string",
+    )
+    v1 = sn.snapshot_merge_keys(spark, root, feed, ["id"], tag="b1")
+    got = {r.id: r.v for r in sn.read_snapshot(spark, root).collect()}
+    assert got == {0: 0, 1: 999, 3: 6, 4: 8, 9: 18}
+    # audit trail: pre-merge state intact
+    assert {r.id: r.v for r in sn.read_snapshot(spark, root, 0).collect()} == {
+        0: 0, 1: 2, 2: 4, 3: 6, 4: 8
+    }
+    # replay is a no-op
+    assert sn.snapshot_merge_keys(spark, root, feed, ["id"], tag="b1") == v1
+    assert sn.read_snapshot(spark, root).count() == 5
+    # rollback undoes the feed
+    sn.rollback(root, 0)
+    assert sn.read_snapshot(spark, root).count() == 5
+    assert {r.id: r.v for r in sn.read_snapshot(spark, root).collect()}[2] == 4
+    # malformed op fails loudly
+    bad = spark.createDataFrame([(1, 1, "X")], "id bigint, v bigint, _op string")
+    with pytest.raises(ValueError, match="must be 'I'/'U'/'D'"):
+        sn.snapshot_merge_keys(spark, root, bad, ["id"])
