@@ -130,17 +130,37 @@ def snapshot_append(df: DataFrame, root: str, tag: str | None = None) -> int:
 
 
 def read_snapshot(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read one snapshot: ``version=None`` resolves _LATEST; an explicit
     number time-travels.  Exactly the manifest's files are read — no
     directory listing, no visibility of in-flight or orphaned file
-    groups."""
+    groups.  ``merge_schema=True`` unions per-file-group schemas so a
+    version whose appends EVOLVED the schema (added columns) reads with
+    older files' missing columns as NULL — schema evolution without
+    rewriting history."""
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"read_snapshot: no committed version at {root}")
     files = _read_manifest(root, v)["files"]
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", True)
+    return reader.parquet(*[os.path.join(root, f) for f in files])
+
+
+def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+    """Layout-only commit: rewrite the LATEST version's (possibly many
+    small) files into ``target_files`` and commit the result as a new
+    version with identical rows — the snapshot-table form of small-file
+    compaction.  History is untouched (old versions still reference the
+    old files), so the operation is as safe as any commit: crash before
+    the pointer move leaves the previous version live."""
+    cur = read_snapshot(spark, root)
+    return snapshot_overwrite(cur.coalesce(target_files), root)
 
 
 def rollback(root: str, version: int) -> None:

@@ -181,3 +181,58 @@ def test_snapshot_merge_keys_audit_trail(spark, tmp_path):
     bad = spark.createDataFrame([(1, 1, "X")], "id bigint, v bigint, _op string")
     with pytest.raises(ValueError, match="must be 'I'/'U'/'D'"):
         sn.snapshot_merge_keys(spark, root, bad, ["id"])
+
+
+def test_snapshot_compact_layout_only(spark, tmp_path):
+    """Many tiny appends -> one compaction commit: same rows, fewer
+    files, full history intact."""
+    root = str(tmp_path / "tbl")
+    for i in range(5):
+        sn.snapshot_append(_df(spark, i * 4, i * 4 + 4), root)
+    pre_files = len(sn._read_manifest(root, 4)["files"])
+    v = sn.snapshot_compact(spark, root, target_files=1)
+    post_files = len(sn._read_manifest(root, v)["files"])
+    assert post_files < pre_files and post_files == 1
+    assert sn.read_snapshot(spark, root).count() == 20
+    assert sorted(r.id for r in sn.read_snapshot(spark, root).collect()) == list(
+        range(20)
+    )
+    # pre-compaction versions untouched
+    assert sn.read_snapshot(spark, root, 2).count() == 12
+
+
+def test_snapshot_schema_evolution_read(spark, tmp_path):
+    """An append with a NEW column evolves the table; merge_schema reads
+    old file groups with the column NULL, history still reads with its
+    own schema."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 3), root)
+    evolved = _df(spark, 3, 5).withColumn("w", F.lit("new"))
+    sn.snapshot_append(evolved, root)
+    got = sn.read_snapshot(spark, root, merge_schema=True)
+    assert set(got.columns) == {"id", "v", "w"}
+    rows = {r.id: r.w for r in got.collect()}
+    assert rows[0] is None and rows[3] == "new" and len(rows) == 5
+    # time travel to v0 shows the ORIGINAL schema
+    assert set(sn.read_snapshot(spark, root, 0).columns) == {"id", "v"}
+
+
+def test_snapshot_change_feed_between_versions(spark, tmp_path):
+    """Change-data-feed on demand: generate_cdc_feed over two
+    time-traveled reads yields the row-level changes a CoW merge made."""
+    from data_engineering_challenge_spark import queries_scale as qsc
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 4), root)  # v0
+    feed = spark.createDataFrame(
+        [(1, 999, "U"), (2, None, "D"), (7, 14, "I")],
+        "id bigint, v bigint, _op string",
+    )
+    sn.snapshot_merge_keys(spark, root, feed, ["id"])
+    cdf = qsc.generate_cdc_feed(
+        sn.read_snapshot(spark, root, 0), sn.read_snapshot(spark, root), ["id"]
+    )
+    got = {(r.id, r._op) for r in cdf.collect()}
+    assert got == {(1, "U"), (2, "D"), (7, "I")}
