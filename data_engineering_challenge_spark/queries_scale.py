@@ -1416,6 +1416,44 @@ def q_streaming_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pandas_api_type_stats",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS vmin,
+       MAX(value) AS vmax
+FROM events
+GROUP BY event_type
+""",
+)
+def pandas_api_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-API-on-Spark surface (`DataFrame.pandas_api()` /
+    `pyspark.pandas`) exercised end-to-end: the pandas-style
+    groupby-agg chain compiles to the SAME Catalyst plans as the native
+    API — this query runs it and hash-matches the SQL oracle, proving
+    the third user-facing API (after DataFrame and SQL) rides the same
+    engine.  Surface sticks to count/min/max (exact under any
+    aggregation order); pandas-API means would float-drift, and the
+    conversion back via `to_spark()` keeps everything distributed —
+    no toPandas() driver collect anywhere."""
+    from . import roles
+
+    import pyspark.pandas as ps
+
+    events = roles.load_events(spark, sf_dir).select("event_type", "value")
+    psdf = events.pandas_api()
+    g = psdf.groupby("event_type")["value"]
+    stats = ps.concat(
+        [g.count().rename("n"), g.min().rename("vmin"), g.max().rename("vmax")],
+        axis=1,
+    )
+    out = stats.reset_index().to_spark()
+    return out.select(
+        "event_type", F.col("n").cast("bigint"), "vmin", "vmax"
+    )
+
+
+@register(
     "user_type_profile_map",
     """
 WITH t AS (
