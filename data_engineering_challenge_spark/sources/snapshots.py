@@ -70,29 +70,84 @@ def _write_files(df: DataFrame, root: str) -> list[str]:
     )
 
 
+def _set_latest(root: str, version: int) -> None:
+    """Atomic _LATEST pointer move (the commit point)."""
+    ltmp = _latest_path(root) + f".tmp.{uuid.uuid4().hex}"
+    with open(ltmp, "w") as fh:
+        fh.write(str(version))
+    os.rename(ltmp, _latest_path(root))
+
+
+def _tag_marker(root: str, tag: str) -> str:
+    return os.path.join(_manifest_dir(root), f"tag-{tag}.json")
+
+
+def _resume_tagged_commit(root: str, tag: str) -> int | None:
+    """O(1) idempotent-replay check via the tag MARKER file (written with
+    the manifest, before the _LATEST move).  If the marker exists, the
+    tagged commit's manifest is durable; if the crash hit BETWEEN the
+    marker/manifest write and the _LATEST move (current still points at
+    the tagged version's parent), COMPLETE the interrupted commit by
+    moving the pointer — otherwise a replayed epoch would no-op while
+    the lineage silently skipped its rows.  A tagged version the table
+    was deliberately rolled back PAST is left alone (its parent is no
+    longer current)."""
+    marker = _tag_marker(root, tag)
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        v = int(json.load(fh)["version"])
+    if current_version(root) == _read_manifest(root, v)["parent"]:
+        _set_latest(root, v)  # finish the torn commit
+    return v
+
+
 def _commit(
     root: str, files: list[str], parent: int | None, tag: str | None = None
 ) -> int:
-    # version numbers are GLOBALLY monotonic (max existing + 1), not
-    # parent + 1: a commit after `rollback` starts a new lineage WITHOUT
-    # overwriting the abandoned one's manifest — every version ever
-    # committed stays time-travelable, and `parent` records the true DAG
-    existing = snapshot_versions(root)
-    version = (existing[-1] + 1) if existing else 0
+    """Two-phase commit with OPTIMISTIC writer-writer protection:
+
+    * version numbers are globally monotonic (max existing + 1), so a
+      commit after `rollback` starts a new lineage without overwriting
+      the abandoned one — every version stays time-travelable and
+      ``parent`` records the true DAG;
+    * the manifest is CLAIMED with ``os.link`` (fails with EEXIST
+      instead of clobbering, unlike rename) — two concurrent committers
+      race for the version number and the loser retries with the next
+      one, so no commit's manifest is ever silently overwritten;
+    * the tag marker lands after the manifest, before the _LATEST move
+      — `_resume_tagged_commit` uses it to repair the torn window.
+    """
     os.makedirs(_manifest_dir(root), exist_ok=True)
-    mpath = os.path.join(_manifest_dir(root), f"v{version}.json")
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {"version": version, "parent": parent, "files": files, "tag": tag},
-            fh,
-        )
-    os.rename(tmp, mpath)
-    ltmp = _latest_path(root) + ".tmp"
-    with open(ltmp, "w") as fh:
-        fh.write(str(version))
-    os.rename(ltmp, _latest_path(root))  # the commit POINT — atomic
-    return version
+    staged = os.path.join(_manifest_dir(root), f".stage-{uuid.uuid4().hex}")
+    for _ in range(1000):  # bounded retry under contention
+        existing = snapshot_versions(root)
+        version = (existing[-1] + 1) if existing else 0
+        with open(staged, "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "parent": parent,
+                    "files": files,
+                    "tag": tag,
+                },
+                fh,
+            )
+        mpath = os.path.join(_manifest_dir(root), f"v{version}.json")
+        try:
+            os.link(staged, mpath)  # atomic claim: EEXIST on collision
+        except FileExistsError:
+            continue  # another writer took this number — re-derive
+        finally:
+            os.remove(staged)
+        if tag is not None:
+            mtmp = _tag_marker(root, tag) + ".tmp"
+            with open(mtmp, "w") as fh:
+                json.dump({"version": version}, fh)
+            os.rename(mtmp, _tag_marker(root, tag))
+        _set_latest(root, version)
+        return version
+    raise RuntimeError("_commit: could not claim a version (contention)")
 
 
 def snapshot_overwrite(df: DataFrame, root: str, tag: str | None = None) -> int:
@@ -101,9 +156,9 @@ def snapshot_overwrite(df: DataFrame, root: str, tag: str | None = None) -> int:
     idempotent-replay contract as `snapshot_append`."""
     os.makedirs(root, exist_ok=True)
     if tag is not None:
-        for v in snapshot_versions(root):
-            if _read_manifest(root, v).get("tag") == tag:
-                return v
+        v = _resume_tagged_commit(root, tag)
+        if v is not None:
+            return v
     files = _write_files(df, root)
     return _commit(root, files, current_version(root), tag=tag)
 
@@ -113,16 +168,16 @@ def snapshot_append(df: DataFrame, root: str, tag: str | None = None) -> int:
     The parent's files are REFERENCED, not rewritten — append cost is
     O(delta) regardless of table size.
 
-    ``tag`` makes the append IDEMPOTENT: if any existing manifest
-    already carries the tag, the commit is skipped and that version
-    returned — the exactly-once hook a streaming sink passes its epoch
-    id through (a replayed micro-batch re-runs the append and lands on
-    the already-committed version instead of duplicating rows)."""
+    ``tag`` makes the append IDEMPOTENT and crash-complete: a replayed
+    epoch whose marker exists returns the committed version (finishing
+    the _LATEST move if the crash tore it) instead of duplicating rows —
+    the exactly-once hook the streaming sink passes its epoch id
+    through; the marker check is O(1), not a manifest scan."""
     os.makedirs(root, exist_ok=True)
     if tag is not None:
-        for v in snapshot_versions(root):
-            if _read_manifest(root, v).get("tag") == tag:
-                return v
+        v = _resume_tagged_commit(root, tag)
+        if v is not None:
+            return v
     parent = current_version(root)
     base = [] if parent is None else _read_manifest(root, parent)["files"]
     files = base + _write_files(df, root)
@@ -159,7 +214,10 @@ def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> i
     compaction.  History is untouched (old versions still reference the
     old files), so the operation is as safe as any commit: crash before
     the pointer move leaves the previous version live."""
-    cur = read_snapshot(spark, root)
+    # merge_schema: compaction must carry EVOLVED columns — a plain read
+    # infers one file group's schema and would silently drop columns
+    # added by later appends
+    cur = read_snapshot(spark, root, merge_schema=True)
     return snapshot_overwrite(cur.coalesce(target_files), root)
 
 
@@ -170,10 +228,7 @@ def rollback(root: str, version: int) -> None:
         os.path.join(_manifest_dir(root), f"v{version}.json")
     ):
         raise FileNotFoundError(f"rollback: version {version} does not exist")
-    ltmp = _latest_path(root) + ".tmp"
-    with open(ltmp, "w") as fh:
-        fh.write(str(version))
-    os.rename(ltmp, _latest_path(root))
+    _set_latest(root, version)
 
 
 def snapshot_versions(root: str) -> list[int]:
@@ -218,9 +273,9 @@ def snapshot_merge_keys(
             f"{bad[0][op_col]!r} — failing the batch"
         )
     if tag is not None:
-        for v in snapshot_versions(root):
-            if _read_manifest(root, v).get("tag") == tag:
-                return v
+        v = _resume_tagged_commit(root, tag)
+        if v is not None:
+            return v
     w = Window.partitionBy(*keys).orderBy(F.desc("_arrival"))
     last = (
         batch.withColumn("_arrival", F.monotonically_increasing_id())
@@ -229,9 +284,14 @@ def snapshot_merge_keys(
         .drop("_arrival", "_rn")
     )
     upserts = last.filter(F.col(op_col) != "D").drop(op_col)
-    current = read_snapshot(spark, root)
-    kept = current.join(last.select(*keys).distinct(), keys, "left_anti")
-    merged = kept.unionByName(upserts)
+    if current_version(root) is None:
+        # bootstrap: MERGE into a never-committed table treats the
+        # target as empty (a first batch of inserts just works)
+        merged = upserts
+    else:
+        current = read_snapshot(spark, root)
+        kept = current.join(last.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(upserts)
     return snapshot_overwrite(merged, root, tag=tag)
 
 
@@ -297,15 +357,20 @@ def read_snapshot_changes(
     )
 
 
-def vacuum_orphans(root: str) -> list[str]:
+def vacuum_orphans(root: str, min_age_s: float = 600.0) -> list[str]:
     """Remove data files NO manifest references — the debris of crashed
-    commits.  Unconditionally safe: every committed version (current,
-    rolled-back-from, abandoned lineage) keeps its files because every
-    manifest is consulted.  Version-RETENTION vacuum (dropping old
-    manifests and then their now-unreferenced files) is deliberately
-    not bundled — retention windows are deployment policy, and this
-    primitive composes with one (delete manifests, then call this).
-    Returns the removed paths (table-root-relative)."""
+    commits.  Every committed version (current, rolled-back-from,
+    abandoned lineage) keeps its files because every manifest is
+    consulted; ``min_age_s`` protects IN-FLIGHT commits (files written,
+    manifest not yet claimed) — only groups whose newest file is older
+    than the grace window are collected, the same retention-guard
+    convention as Delta/Iceberg vacuum.  Version-RETENTION vacuum
+    (dropping old manifests and then their now-unreferenced files) is
+    deliberately not bundled — retention windows are deployment policy,
+    and this primitive composes with one (delete manifests, then call
+    this).  Returns the removed paths (table-root-relative)."""
+    import time
+
     referenced: set[str] = set()
     for v in snapshot_versions(root):
         referenced.update(_read_manifest(root, v)["files"])
@@ -313,9 +378,17 @@ def vacuum_orphans(root: str) -> list[str]:
     data_root = os.path.join(root, "data")
     if not os.path.isdir(data_root):
         return removed
+    cutoff = time.time() - min_age_s
     for group in os.listdir(data_root):
         gdir = os.path.join(data_root, group)
-        for f in os.listdir(gdir):
+        names = os.listdir(gdir)
+        newest = max(
+            (os.path.getmtime(os.path.join(gdir, n)) for n in names),
+            default=0.0,
+        )
+        if newest > cutoff:
+            continue  # possibly an in-flight commit — grace period
+        for f in names:
             rel = os.path.join("data", group, f)
             if f.endswith(".parquet") and rel not in referenced:
                 os.remove(os.path.join(root, rel))

@@ -85,14 +85,14 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     sn.rollback(root, 0)
     # crashed commit: data files, no manifest
     sn._write_files(_df(spark, 100, 200), root)
-    removed = sn.vacuum_orphans(root)
+    removed = sn.vacuum_orphans(root, min_age_s=0.0)
     assert removed, "the orphaned group must be collected"
     # every committed version still fully readable (incl. rolled-back-from)
     assert sn.read_snapshot(spark, root, 0).count() == 5
     assert sn.read_snapshot(spark, root, 1).count() == 8
     assert sn.read_snapshot(spark, root).count() == 5
     # idempotent
-    assert sn.vacuum_orphans(root) == []
+    assert sn.vacuum_orphans(root, min_age_s=0.0) == []
 
 
 def test_incremental_scan_reads_only_the_delta(spark, tmp_path):
@@ -236,3 +236,65 @@ def test_snapshot_change_feed_between_versions(spark, tmp_path):
     )
     got = {(r.id, r._op) for r in cdf.collect()}
     assert got == {(1, "U"), (2, "D"), (7, "I")}
+
+
+def test_vacuum_grace_period_protects_inflight(spark, tmp_path):
+    """Freshly-written unmanifested files survive the default grace
+    window (an in-flight commit must not be collected)."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 3), root)
+    sn._write_files(_df(spark, 10, 20), root)  # commit in flight
+    assert sn.vacuum_orphans(root) == []  # default min_age_s spares it
+    assert sn.vacuum_orphans(root, min_age_s=0.0) != []
+
+
+def test_torn_tagged_commit_resumes_on_replay(spark, tmp_path):
+    """Crash between manifest+marker write and the _LATEST move: the
+    replayed tagged append must COMPLETE the commit (pointer moves to
+    the committed version) instead of no-opping and dropping the epoch
+    from the lineage."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 5), root)  # v0
+    sn.snapshot_append(_df(spark, 5, 8), root, tag="epoch-1")  # v1
+    # simulate the torn window: pointer back at v0, manifest+marker durable
+    sn._set_latest(root, 0)
+    v = sn.snapshot_append(_df(spark, 5, 8), root, tag="epoch-1")  # replay
+    assert v == 1
+    assert sn.current_version(root) == 1
+    assert sn.read_snapshot(spark, root).count() == 8
+    # next epoch builds on the completed lineage
+    sn.snapshot_append(_df(spark, 8, 9), root, tag="epoch-2")
+    assert sn.read_snapshot(spark, root).count() == 9
+
+
+def test_concurrent_version_claim_never_clobbers(spark, tmp_path):
+    """Writer-writer safety: if another committer claims the version
+    number first (simulated by pre-creating the manifest), the commit
+    retries with the next number — no manifest is overwritten."""
+    import json
+    import os
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 3), root)  # v0
+    # a rival committer claims v1
+    rival = {"version": 1, "parent": 0, "files": [], "tag": None}
+    with open(os.path.join(sn._manifest_dir(root), "v1.json"), "w") as fh:
+        json.dump(rival, fh)
+    v = sn.snapshot_append(_df(spark, 3, 5), root)
+    assert v == 2, "collision must push the commit to the next number"
+    with open(os.path.join(sn._manifest_dir(root), "v1.json")) as fh:
+        assert json.load(fh) == rival, "rival's manifest must be untouched"
+    assert sn.read_snapshot(spark, root, 2).count() == 5
+
+
+def test_merge_bootstrap_empty_table(spark, tmp_path):
+    """First-ever CDC batch against a never-committed root: MERGE treats
+    the target as empty and inserts just work."""
+    root = str(tmp_path / "tbl")
+    feed = spark.createDataFrame(
+        [(1, 10, "I"), (2, 20, "I"), (3, 1, "D")],
+        "id bigint, v bigint, _op string",
+    )
+    sn.snapshot_merge_keys(spark, root, feed, ["id"])
+    got = {r.id: r.v for r in sn.read_snapshot(spark, root).collect()}
+    assert got == {1: 10, 2: 20}
