@@ -59,15 +59,42 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _write_files(df: DataFrame, root: str) -> list[str]:
+def _write_files(
+    df: DataFrame, root: str, stats_cols: list[str] | None = None
+) -> list[str] | tuple[list[str], dict]:
     group = os.path.join("data", uuid.uuid4().hex)
     out = os.path.join(root, group)
     df.write.parquet(out)
-    return sorted(
+    files = sorted(
         os.path.join(group, f)
         for f in os.listdir(out)
         if f.endswith(".parquet")
     )
+    if stats_cols is None:
+        return files
+    return files, {
+        f: _file_stats(os.path.join(root, f), stats_cols) for f in files
+    }
+
+
+def _file_stats(path: str, cols: list[str]) -> dict:
+    """Per-file [min, max] for ``cols`` from the parquet FOOTER (row-group
+    statistics — no data pages read)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for c in cols:
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                return {}  # no stats -> no pruning claims for this file
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out[c] = [lo, hi]
+    return out
 
 
 def _set_latest(root: str, version: int) -> None:
@@ -103,7 +130,11 @@ def _resume_tagged_commit(root: str, tag: str) -> int | None:
 
 
 def _commit(
-    root: str, files: list[str], parent: int | None, tag: str | None = None
+    root: str,
+    files: list[str],
+    parent: int | None,
+    tag: str | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Two-phase commit with OPTIMISTIC writer-writer protection:
 
@@ -130,6 +161,7 @@ def _commit(
                     "parent": parent,
                     "files": files,
                     "tag": tag,
+                    "stats": stats or {},
                 },
                 fh,
             )
@@ -150,20 +182,35 @@ def _commit(
     raise RuntimeError("_commit: could not claim a version (contention)")
 
 
-def snapshot_overwrite(df: DataFrame, root: str, tag: str | None = None) -> int:
+def snapshot_overwrite(
+    df: DataFrame,
+    root: str,
+    tag: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Commit a new version whose content is exactly ``df`` (existing
     versions stay readable by number).  ``tag`` gives the same
-    idempotent-replay contract as `snapshot_append`."""
+    idempotent-replay contract as `snapshot_append`; ``stats_cols``
+    records per-file min/max in the manifest (footer-read only) so
+    `read_snapshot_pruned` can skip files without opening them."""
     os.makedirs(root, exist_ok=True)
     if tag is not None:
         v = _resume_tagged_commit(root, tag)
         if v is not None:
             return v
-    files = _write_files(df, root)
-    return _commit(root, files, current_version(root), tag=tag)
+    if stats_cols is None:
+        files, stats = _write_files(df, root), {}
+    else:
+        files, stats = _write_files(df, root, stats_cols)
+    return _commit(root, files, current_version(root), tag=tag, stats=stats)
 
 
-def snapshot_append(df: DataFrame, root: str, tag: str | None = None) -> int:
+def snapshot_append(
+    df: DataFrame,
+    root: str,
+    tag: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Commit a new version = parent's files + ``df``'s new file group.
     The parent's files are REFERENCED, not rewritten — append cost is
     O(delta) regardless of table size.
@@ -179,9 +226,19 @@ def snapshot_append(df: DataFrame, root: str, tag: str | None = None) -> int:
         if v is not None:
             return v
     parent = current_version(root)
-    base = [] if parent is None else _read_manifest(root, parent)["files"]
-    files = base + _write_files(df, root)
-    return _commit(root, files, parent, tag=tag)
+    if parent is None:
+        base, base_stats = [], {}
+    else:
+        pm = _read_manifest(root, parent)
+        base, base_stats = pm["files"], dict(pm.get("stats") or {})
+    if stats_cols is None:
+        new_files, new_stats = _write_files(df, root), {}
+    else:
+        new_files, new_stats = _write_files(df, root, stats_cols)
+    base_stats.update(new_stats)
+    return _commit(
+        root, base + new_files, parent, tag=tag, stats=base_stats
+    )
 
 
 def read_snapshot(
@@ -205,6 +262,45 @@ def read_snapshot(
     if merge_schema:
         reader = reader.option("mergeSchema", True)
     return reader.parquet(*[os.path.join(root, f) for f in files])
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned snapshot scan: only manifest files whose recorded
+    [min, max] for ``col`` intersects [lo, hi] are opened — file
+    skipping decided from MANIFEST METADATA alone, no footer reads at
+    query time (the Iceberg-style scan planning that makes point/range
+    lookups on a 100 TB table touch a handful of files; pair with
+    `io.sorted_write`-style clustering at commit time so ranges are
+    tight).  Files committed without stats for ``col`` are always read
+    (skipping is only ever claimed from evidence), and the returned
+    frame still applies the predicate — pruning is an optimization,
+    never a semantics change."""
+    from pyspark.sql import functions as F
+
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"read_snapshot_pruned: no version at {root}")
+    m = _read_manifest(root, v)
+    stats = m.get("stats") or {}
+    keep = []
+    for f in m["files"]:
+        rng = (stats.get(f) or {}).get(col)
+        if rng is None or (rng[0] <= hi and rng[1] >= lo):
+            keep.append(f)
+    pred = F.col(col).between(lo, hi)
+    if not keep:
+        return read_snapshot(spark, root, v).filter(pred).limit(0)
+    return (
+        spark.read.parquet(*[os.path.join(root, f) for f in keep])
+        .filter(pred)
+    )
 
 
 def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> int:

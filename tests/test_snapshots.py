@@ -298,3 +298,41 @@ def test_merge_bootstrap_empty_table(spark, tmp_path):
     sn.snapshot_merge_keys(spark, root, feed, ["id"])
     got = {r.id: r.v for r in sn.read_snapshot(spark, root).collect()}
     assert got == {1: 10, 2: 20}
+
+
+def test_stats_pruned_read_skips_files(spark, tmp_path):
+    """Each append commits a disjoint id range with manifest stats; a
+    range predicate must open ONLY the intersecting files
+    (input_file_name-asserted) while returning exactly the right rows,
+    and a file committed WITHOUT stats is always read (no evidence, no
+    skipping)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    for i in range(4):  # ids [0,10) [10,20) [20,30) [30,40), stats on id
+        sn.snapshot_append(
+            _df(spark, i * 10, (i + 1) * 10).coalesce(1),
+            root,
+            stats_cols=["id"],
+        )
+    out = sn.read_snapshot_pruned(spark, root, "id", 12, 18)
+    assert sorted(r.id for r in out.collect()) == list(range(12, 19))
+    files = {
+        r.f for r in out.selectExpr("input_file_name() AS f").distinct().collect()
+    }
+    assert len(files) == 1, "only the [10,20) file may be opened"
+
+    # empty intersection -> zero rows, zero files
+    assert sn.read_snapshot_pruned(spark, root, "id", 100, 200).count() == 0
+
+    # a stats-less append must always be read
+    sn.snapshot_append(_df(spark, 1000, 1001).coalesce(1), root)  # no stats
+    out2 = sn.read_snapshot_pruned(spark, root, "id", 12, 18)
+    files2 = {
+        r.f
+        for r in out2.selectExpr("input_file_name() AS f").distinct().collect()
+    }
+    assert len(files2) == 1  # predicate still filters the stats-less rows
+    assert sorted(r.id for r in out2.collect()) == list(range(12, 19))
+    out3 = sn.read_snapshot_pruned(spark, root, "id", 999, 1001)
+    assert [r.id for r in out3.collect()] == [1000]
