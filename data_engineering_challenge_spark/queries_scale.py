@@ -1454,6 +1454,40 @@ def pandas_api_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_pruned_lookup",
+    f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderkey BETWEEN 5000 AND 5999
+""",
+)
+def q_snapshot_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats pruning end-to-end: orders committed through
+    `snapshot_append_clustered` (range-repartitioned, per-file min/max
+    in the manifest), then a keyrange lookup planned from manifest
+    metadata alone — the scan opens only the intersecting files (the
+    unit test asserts the file count; here the ORACLE asserts the
+    answer survives the pruning).  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_pruned_lookup", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_prune_") + "/tbl"
+        sn.snapshot_append_clustered(o, root, ["o_orderkey"], n_files=8)
+        out = _ORC_OUT_CACHE[key] = root
+    hit = sn.read_snapshot_pruned(spark, out, "o_orderkey", 5000, 5999)
+    return hit.agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
     "user_type_profile_map",
     """
 WITH t AS (

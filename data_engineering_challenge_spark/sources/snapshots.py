@@ -264,6 +264,26 @@ def read_snapshot(
     return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
+def snapshot_append_clustered(
+    df: DataFrame,
+    root: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    tag: str | None = None,
+) -> int:
+    """Append with WRITE-TIME clustering: range-repartition on
+    ``cluster_cols`` and sort within each output file, so every file
+    covers a TIGHT, near-disjoint range and the manifest stats make
+    `read_snapshot_pruned` skip all but ~1 file per point/range lookup
+    — commit-time layout is what turns stats pruning from best-effort
+    into a guarantee (the 1-D `io.sorted_write` discipline applied to
+    snapshot commits)."""
+    clustered = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
+        *cluster_cols
+    )
+    return snapshot_append(clustered, root, tag=tag, stats_cols=cluster_cols)
+
+
 def read_snapshot_pruned(
     spark: SparkSession,
     root: str,

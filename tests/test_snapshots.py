@@ -336,3 +336,14 @@ def test_stats_pruned_read_skips_files(spark, tmp_path):
     assert sorted(r.id for r in out2.collect()) == list(range(12, 19))
     out3 = sn.read_snapshot_pruned(spark, root, "id", 999, 1001)
     assert [r.id for r in out3.collect()] == [1000]
+
+
+def test_clustered_append_prunes_to_one_file(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append_clustered(_df(spark, 0, 1000), root, ["id"], n_files=8)
+    out = sn.read_snapshot_pruned(spark, root, "id", 500, 520)
+    assert sorted(r.id for r in out.collect()) == list(range(500, 521))
+    files = {
+        r.f for r in out.selectExpr("input_file_name() AS f").distinct().collect()
+    }
+    assert len(files) <= 2, f"range lookup should touch ~1 of 8 files, got {len(files)}"
