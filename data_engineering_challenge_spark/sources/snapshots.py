@@ -20,8 +20,12 @@ and concurrent readers of different versions don't interfere (snapshot
 isolation for free from immutability).  `rollback` is a pointer move —
 no data rewritten; every committed version stays readable by explicit
 number.  `vacuum_orphans` collects crashed-commit debris (files no
-manifest references — unconditionally safe); version-RETENTION vacuum
-stays deployment policy and composes with it.
+manifest references, guarded by a grace window so in-flight commits
+survive); version-RETENTION vacuum stays deployment policy and composes
+with it.  Commits claim their manifest via ``os.link`` (optimistic
+concurrency — collisions retry, never clobber) and tagged commits leave
+O(1) marker files that make replays idempotent and torn commits
+resumable.
 
 At 100 TB this is exactly the metadata/data split that makes commits O(1)
 in table size: a commit writes the new files + one manifest, never
@@ -364,6 +368,7 @@ def snapshot_merge_keys(
     keys: list[str],
     op_col: str = "_op",
     tag: str | None = None,
+    seq_col: str | None = None,
 ) -> int:
     """Copy-on-write CDC MERGE onto a snapshot table: upsert 'I'/'U'
     rows, delete 'D' keys, commit the result as a NEW VERSION — the
@@ -372,7 +377,9 @@ def snapshot_merge_keys(
     undoes a bad feed in O(1).
 
     Same op-domain validation and last-change-per-key semantics as
-    `streaming.apply_cdc` (malformed ops fail the batch loudly);
+    `streaming.apply_cdc` (malformed ops fail the batch loudly;
+    ``seq_col`` orders same-key collisions by the feed's LSN/commit
+    sequence, arrival order as tie-break — shuffled delivery safe);
     ``tag`` passes through for exactly-once replay.  Copy-on-write
     rewrites the whole table per commit — the simple/audit-first trade;
     the partition-restricted `apply_cdc` is the in-place alternative
@@ -392,7 +399,10 @@ def snapshot_merge_keys(
         v = _resume_tagged_commit(root, tag)
         if v is not None:
             return v
-    w = Window.partitionBy(*keys).orderBy(F.desc("_arrival"))
+    order = [F.desc("_arrival")]
+    if seq_col is not None:
+        order.insert(0, F.desc(seq_col))
+    w = Window.partitionBy(*keys).orderBy(*order)
     last = (
         batch.withColumn("_arrival", F.monotonically_increasing_id())
         .withColumn("_rn", F.row_number().over(w))

@@ -347,3 +347,18 @@ def test_clustered_append_prunes_to_one_file(spark, tmp_path):
         r.f for r in out.selectExpr("input_file_name() AS f").distinct().collect()
     }
     assert len(files) <= 2, f"range lookup should touch ~1 of 8 files, got {len(files)}"
+
+
+def test_merge_seq_col_orders_collisions(spark, tmp_path):
+    """Same-key collisions inside one CoW merge batch resolve by seq_col
+    (highest wins) regardless of row order."""
+    root = str(tmp_path / "tbl")
+    feed = spark.createDataFrame(
+        [(1, 111, "U", 2), (1, 999, "U", 5), (1, 222, "U", 1)],
+        "id bigint, v bigint, _op string, lsn bigint",
+    ).orderBy("v")  # deliberately not lsn order
+    sn.snapshot_merge_keys(
+        spark, root, feed, ["id"], seq_col="lsn"
+    )
+    got = sn.read_snapshot(spark, root).drop("lsn").collect()
+    assert [(r.id, r.v) for r in got] == [(1, 999)]
