@@ -291,10 +291,11 @@ def snapshot_append_clustered(
 def read_snapshot_pruned(
     spark: SparkSession,
     root: str,
-    col: str,
-    lo,
-    hi,
+    col: str | None = None,
+    lo=None,
+    hi=None,
     version: int | None = None,
+    ranges: dict | None = None,
 ) -> DataFrame:
     """Stats-pruned snapshot scan: only manifest files whose recorded
     [min, max] for ``col`` intersects [lo, hi] are opened — file
@@ -308,6 +309,8 @@ def read_snapshot_pruned(
     never a semantics change."""
     from pyspark.sql import functions as F
 
+    if ranges is None:
+        ranges = {col: (lo, hi)}
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"read_snapshot_pruned: no version at {root}")
@@ -315,10 +318,19 @@ def read_snapshot_pruned(
     stats = m.get("stats") or {}
     keep = []
     for f in m["files"]:
-        rng = (stats.get(f) or {}).get(col)
-        if rng is None or (rng[0] <= hi and rng[1] >= lo):
+        fstats = stats.get(f) or {}
+        ok = True
+        for c, (clo, chi) in ranges.items():
+            rng = fstats.get(c)
+            if rng is not None and (rng[0] > chi or rng[1] < clo):
+                ok = False  # provably disjoint in SOME dimension -> skip
+                break
+        if ok:
             keep.append(f)
-    pred = F.col(col).between(lo, hi)
+    pred = None
+    for c, (clo, chi) in ranges.items():
+        term = F.col(c).between(clo, chi)
+        pred = term if pred is None else pred & term
     if not keep:
         return read_snapshot(spark, root, v).filter(pred).limit(0)
     return (
@@ -481,6 +493,33 @@ def read_snapshot_changes(
     return spark.read.parquet(
         *[os.path.join(root, f) for f in new_files]
     )
+
+
+def expire_versions(root: str, keep_last: int = 10) -> list[int]:
+    """Version RETENTION: drop every version older than the newest
+    ``keep_last`` (by number), EXCEPT the one _LATEST points at — a
+    rolled-back table never loses its live version.  Only manifests (and
+    their tag markers) are removed here — manifests are self-contained
+    file lists, so surviving versions are unaffected; the expired
+    versions' now-unreferenced data files become orphans that the next
+    `vacuum_orphans` collects (expire = metadata decision, vacuum =
+    space reclamation — deliberately separate steps, matching the
+    Delta/Iceberg retention model).  Returns the expired version
+    numbers."""
+    versions = snapshot_versions(root)
+    live = current_version(root)
+    to_expire = [
+        v for v in versions[:-keep_last] if keep_last > 0 and v != live
+    ]
+    for v in to_expire:
+        m = _read_manifest(root, v)
+        os.remove(os.path.join(_manifest_dir(root), f"v{v}.json"))
+        if m.get("tag"):
+            try:
+                os.remove(_tag_marker(root, m["tag"]))
+            except FileNotFoundError:
+                pass
+    return to_expire
 
 
 def vacuum_orphans(root: str, min_age_s: float = 600.0) -> list[str]:

@@ -362,3 +362,70 @@ def test_merge_seq_col_orders_collisions(spark, tmp_path):
     )
     got = sn.read_snapshot(spark, root).drop("lsn").collect()
     assert [(r.id, r.v) for r in got] == [(1, 999)]
+
+
+def test_multi_column_pruning_with_zorder_layout(spark, tmp_path):
+    """Conjunctive 2-D pruning over a Z-ordered commit: ranges dict
+    prunes files disjoint in ANY dimension; the zordered layout keeps
+    both dimensions' per-file spans bounded so a 2-D box touches few
+    files."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 4096).select(
+        "id",
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 7) % 64).alias("y"),
+    )
+    from data_engineering_challenge_spark.sources.io import zorder_value
+
+    zordered = (
+        df.withColumn(
+            "_z",
+            zorder_value(["x", "y"], bits=6, mins=[0, 0], maxs=[63, 63]),
+        )
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    sn.snapshot_append(zordered, root, stats_cols=["x", "y"])
+    out = sn.read_snapshot_pruned(
+        spark, root, ranges={"x": (10, 13), "y": (10, 13)}
+    )
+    rows = out.collect()
+    assert all(10 <= r.x <= 13 and 10 <= r.y <= 13 for r in rows)
+    direct = df.filter(
+        F.col("x").between(10, 13) & F.col("y").between(10, 13)
+    ).count()
+    assert len(rows) == direct
+    files = {
+        r.f for r in out.selectExpr("input_file_name() AS f").distinct().collect()
+    }
+    assert len(files) <= 8, f"2-D box should skip most of 16 files, got {len(files)}"
+
+
+def test_expire_versions_retention(spark, tmp_path):
+    """Expire drops old manifests (never the live version), surviving
+    versions read fine, and the expired data becomes vacuumable."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    for i in range(5):
+        sn.snapshot_overwrite(_df(spark, i * 10, i * 10 + 10), root)
+    expired = sn.expire_versions(root, keep_last=2)
+    assert expired == [0, 1, 2]
+    assert sn.snapshot_versions(root) == [3, 4]
+    assert sn.read_snapshot(spark, root).count() == 10
+    assert sn.read_snapshot(spark, root, 3).count() == 10
+    with pytest.raises(FileNotFoundError):
+        sn._read_manifest(root, 0)
+    removed = sn.vacuum_orphans(root, min_age_s=0.0)
+    assert removed, "expired versions' files must become collectable"
+    # live + kept versions still intact after vacuum
+    assert sn.read_snapshot(spark, root, 3).count() == 10
+    assert sn.read_snapshot(spark, root, 4).count() == 10
+
+    # the LIVE version survives expiry even when old: roll back then expire
+    sn.rollback(root, 3)
+    assert sn.expire_versions(root, keep_last=1) == []
+    assert sn.read_snapshot(spark, root).count() == 10
