@@ -495,6 +495,72 @@ def read_snapshot_changes(
     )
 
 
+def refresh_incremental_agg(
+    spark: SparkSession,
+    root: str,
+    view_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int | None:
+    """Incremental materialized-view maintenance over a snapshot table:
+    a grouped SUM/COUNT view refreshed by consuming ONLY the rows added
+    since the last refresh (`read_snapshot_changes` on the append
+    lineage), merged into the stored view by addition and published
+    atomically with the processed-version marker.
+
+    Per-refresh work ∝ the delta + the view size — never the table.
+    Restricted to ADDITIVE aggregates (sums + the `n` rowcount), which
+    is what makes delta-merge correct; avg/min/max need the
+    full-recompute path.  If the lineage broke (an overwrite between
+    refreshes), `read_snapshot_changes` fails loudly and the caller
+    falls back to a full rebuild — never a silent wrong view.  The view
+    itself is batch-bit-identical to a from-scratch aggregation (sums
+    stay in Spark's decimal/long domain; tested).
+
+    Returns the new processed version (None if already current)."""
+    from pyspark.sql import functions as F
+
+    from . import io as eio
+
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"refresh_incremental_agg: no table at {root}")
+    marker = os.path.join(view_path + "._processed")
+    try:
+        with open(marker) as fh:
+            done = int(fh.read().strip())
+    except FileNotFoundError:
+        done = None
+    if done == cur:
+        return None
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*group_cols).agg(
+            F.count("*").alias("n"),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+
+    if done is None:
+        merged = partial(read_snapshot(spark, root, cur))
+    else:
+        delta = partial(read_snapshot_changes(spark, root, done, cur))
+        stored = spark.read.parquet(view_path)
+        merged = (
+            stored.unionByName(delta)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(c).alias(c) for c in sum_cols],
+            )
+        )
+    eio.publish_atomic(merged, view_path)
+    mtmp = marker + ".tmp"
+    with open(mtmp, "w") as fh:
+        fh.write(str(cur))
+    os.rename(mtmp, marker)
+    return cur
+
+
 def expire_versions(root: str, keep_last: int = 10) -> list[int]:
     """Version RETENTION: drop every version older than the newest
     ``keep_last`` (by number), EXCEPT the one _LATEST points at — a

@@ -429,3 +429,47 @@ def test_expire_versions_retention(spark, tmp_path):
     sn.rollback(root, 3)
     assert sn.expire_versions(root, keep_last=1) == []
     assert sn.read_snapshot(spark, root).count() == 10
+
+
+def test_incremental_agg_refresh_equals_recompute(spark, tmp_path):
+    """The maintained view equals a from-scratch aggregation after every
+    refresh; an up-to-date refresh is a no-op; a broken (overwrite)
+    lineage fails loudly instead of silently corrupting the view."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    view = str(tmp_path / "view")
+
+    def events(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v")
+        )
+
+    def recompute():
+        return {
+            (r.g): (r.n, r.v)
+            for r in sn.read_snapshot(spark, root)
+            .groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("v"))
+            .collect()
+        }
+
+    sn.snapshot_append(events(0, 50), root)
+    assert sn.refresh_incremental_agg(spark, root, view, ["g"], ["v"]) == 0
+    sn.snapshot_append(events(50, 80), root)
+    sn.snapshot_append(events(80, 100), root)
+    assert sn.refresh_incremental_agg(spark, root, view, ["g"], ["v"]) == 2
+    got = {
+        r.g: (r.n, r.v) for r in spark.read.parquet(view).collect()
+    }
+    assert got == recompute()
+    # no-op when current
+    assert sn.refresh_incremental_agg(spark, root, view, ["g"], ["v"]) is None
+    # lineage break -> loud failure, view untouched
+    sn.snapshot_overwrite(events(0, 10), root)
+    with pytest.raises(ValueError):
+        sn.refresh_incremental_agg(spark, root, view, ["g"], ["v"])
+    assert {
+        r.g: (r.n, r.v) for r in spark.read.parquet(view).collect()
+    } == got
