@@ -132,7 +132,7 @@ _CHEAP_FIRST = [
     "daily_count_anomalies", "user_type_profile_map",
     "pyds_manifest_roundtrip_stats", "snapshot_time_travel",
     "streaming_snapshot_ingest", "pandas_api_type_stats",
-    "snapshot_pruned_lookup",
+    "snapshot_pruned_lookup", "snapshot_view_refresh",
     "part_hierarchy_rollup", "cdc_feed_generate",
     "streaming_cms_heavy_hitters", "streaming_linear_trend",
 ]

@@ -1488,6 +1488,57 @@ def q_snapshot_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_view_refresh",
+    # the maintained view's contract is equality with a from-scratch
+    # aggregate over the full table, so that aggregate IS the oracle.
+    """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR)
+            AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_snapshot_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`refresh_incremental_agg` end-to-end: orders committed in TWO
+    snapshot appends, the view refreshed after each (refresh #2 consumes
+    only the second append's delta), then read back — the hash match
+    against the whole-table aggregate proves delta-driven maintenance
+    loses nothing.  Sums ride decimal until the final cast, so the
+    incremental merge is bit-identical to one-shot aggregation.  Output
+    cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(28,10)").alias("price_dec"),
+    )
+    key = ("snapshot_view_refresh", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="snap_view_")
+        root, view = f"{tmp}/tbl", f"{tmp}/view"
+        sn.snapshot_append(o.filter(F.col("o_orderkey") % 2 == 0), root)
+        sn.refresh_incremental_agg(
+            spark, root, view, ["o_orderstatus"], ["price_dec"]
+        )
+        sn.snapshot_append(o.filter(F.col("o_orderkey") % 2 == 1), root)
+        sn.refresh_incremental_agg(
+            spark, root, view, ["o_orderstatus"], ["price_dec"]
+        )
+        out = _ORC_OUT_CACHE[key] = view
+    return spark.read.parquet(out).select(
+        "o_orderstatus",
+        "n",
+        F.col("price_dec").cast("double").alias("total_price"),
+    )
+
+
+@register(
     "user_type_profile_map",
     """
 WITH t AS (
