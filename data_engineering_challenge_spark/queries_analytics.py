@@ -437,10 +437,13 @@ WITH weighted AS (
     FROM orders
 ), cum AS (
     SELECT o_orderkey, o_orderpriority, w,
-           SUM(w) OVER (
+           -- CAST: DuckDB types SUM(BIGINT) as HUGEINT, which arrow/pandas
+           -- fetches canonicalize as float64 ("...0.0") while Spark emits
+           -- BIGINT — the cast keeps the oracle's output type stable.
+           CAST(SUM(w) OVER (
                PARTITION BY o_orderpriority ORDER BY o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cw
+           ) AS BIGINT) AS cw
     FROM weighted
 )
 SELECT o_orderkey, o_orderpriority, w, cw

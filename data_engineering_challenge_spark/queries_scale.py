@@ -1592,8 +1592,8 @@ def user_type_profile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("pq_topk", None)  # iterative (KMeans codebooks) — rows-only check
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-5 over the embeddings table
-    (asymmetric distance, 8 subspaces × 16 centroids — see
-    `operators.similarity.pq_topk`).  No SQL oracle: codebook training
+    (asymmetric distance; `pq_topk` defaults: 16 subspaces of dim 4 ×
+    16 centroids each — see `operators.similarity.pq_topk`).  No SQL oracle: codebook training
     is iterative KMeans; tests pin exact-on-quantized-vectors behavior
     and recall against the exact search instead
     (test_text_dedup_similarity / test_scale_ops)."""

@@ -195,7 +195,10 @@ def recover_interrupted_swap(spark: SparkSession, path: str) -> bool:
 
 
 def publish_atomic(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    extra_files: dict[str, str] | None = None,
 ) -> None:
     """Replace the table at ``path`` with ``df`` via full-write-then-swap:
     ``df`` is completely written to a ``._inprogress`` sibling (it may read
@@ -203,7 +206,13 @@ def publish_atomic(
     swapped in with two FileSystem renames.  A crash at any point leaves
     either the old table, the old table plus a complete temp, or the new
     table — never a half-written target — and ``recover_interrupted_swap``
-    can mechanically repair the between-renames window."""
+    can mechanically repair the between-renames window.
+
+    ``extra_files`` ({name: text_content}) are written INTO the staged
+    directory before the swap, so sidecar metadata (e.g. a processed-
+    version marker) is published in the SAME atomic rename as the data —
+    there is no window where the table and its marker disagree.  Names
+    must start with ``_`` or ``.`` so Spark's file listing ignores them."""
     spark = df.sparkSession
     fs, target = _hadoop_fs(spark, path)
     tmp_p, old_p = _swap_siblings(spark, path)
@@ -222,6 +231,14 @@ def publish_atomic(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(tmp_p))  # full write BEFORE any swap
+    for name, content in (extra_files or {}).items():
+        if not name.startswith(("_", ".")):
+            raise ValueError(
+                f"publish_atomic: extra file {name!r} must start with "
+                "'_' or '.' so data-source listings skip it"
+            )
+        with open(os.path.join(tmp_p.toUri().getPath(), name), "w") as fh:
+            fh.write(content)
     _swap_staged_in(fs, target, tmp_p, old_p, path)
 
 

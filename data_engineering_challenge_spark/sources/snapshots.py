@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,9 +82,35 @@ def _write_files(
     }
 
 
+def _stat_primitive(v):
+    """Coerce a pyarrow footer statistic to a JSON-safe primitive, or
+    ``None`` if no faithful primitive exists.  bytes (string columns in
+    some arrow versions) decode to str and timestamps/dates to ISO-8601
+    strings — both compare correctly against like-typed lo/hi bounds;
+    anything else (true binary, nested) is unrepresentable and the file
+    simply makes no pruning claims (the existing no-stats convention)
+    instead of blowing up ``json.dump`` in the commit."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None  # min/max over bool is not a useful pruning range
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
 def _file_stats(path: str, cols: list[str]) -> dict:
     """Per-file [min, max] for ``cols`` from the parquet FOOTER (row-group
-    statistics — no data pages read)."""
+    statistics — no data pages read).  Values are coerced to JSON-safe
+    primitives; a column whose stats cannot be represented drops the
+    whole file's claims ({} = always read, never a wrong skip)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -97,6 +124,9 @@ def _file_stats(path: str, cols: list[str]) -> dict:
                 return {}  # no stats -> no pruning claims for this file
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
+        lo, hi = _stat_primitive(lo), _stat_primitive(hi)
+        if lo is None or hi is None:
+            return {}  # non-serializable stats -> no claims
         out[c] = [lo, hi]
     return out
 
@@ -139,6 +169,9 @@ def _commit(
     parent: int | None,
     tag: str | None = None,
     stats: dict | None = None,
+    rebase_append: bool = False,
+    operation: str = "overwrite",
+    seen_versions: set[int] | None = None,
 ) -> int:
     """Two-phase commit with OPTIMISTIC writer-writer protection:
 
@@ -150,22 +183,59 @@ def _commit(
       instead of clobbering, unlike rename) — two concurrent committers
       race for the version number and the loser retries with the next
       one, so no commit's manifest is ever silently overwritten;
+    * with ``rebase_append=True``, ``files``/``stats`` are the NEW file
+      group only and each attempt resolves the full file list from the
+      parent manifest — true OCC for concurrent appends: any version
+      that appeared AFTER the caller read its parent (absent from
+      ``seen_versions``, the listing taken alongside that read) and
+      that DESCENDS from our parent is a concurrent sibling our commit
+      would otherwise orphan, so the commit rebases onto the newest
+      such descendant before every claim attempt (the ``os.link``
+      collision is just the densest case of the same race).  Versions
+      already in ``seen_versions`` are pre-existing lineages (e.g.
+      abandoned by `rollback`) and are never rebased onto — the
+      rollback-starts-a-new-lineage DAG semantics survive;
+    * ``_advance_latest`` only moves the pointer FORWARD (``rollback``
+      is the sole deliberate backward move), so a slow winner's pointer
+      write cannot bury an already-acknowledged higher commit.  The
+      read-then-rename pair is not itself atomic — on a shared
+      filesystem two renames microseconds apart can still invert, which
+      is why every manifest is durable and re-derivable; the pointer is
+      a convenience, never the source of truth;
     * the tag marker lands after the manifest, before the _LATEST move
       — `_resume_tagged_commit` uses it to repair the torn window.
     """
     os.makedirs(_manifest_dir(root), exist_ok=True)
     staged = os.path.join(_manifest_dir(root), f".stage-{uuid.uuid4().hex}")
-    for _ in range(1000):  # bounded retry under contention
+    seen = set(seen_versions or ())
+    for _attempt in range(1000):  # bounded retry under contention
         existing = snapshot_versions(root)
         version = (existing[-1] + 1) if existing else 0
+        if rebase_append:
+            for v in sorted(set(existing) - seen):
+                if v != parent and _descends_from(root, v, parent):
+                    parent = v  # rebase onto the concurrent sibling
+            if parent is None:
+                all_files, all_stats = list(files), dict(stats or {})
+            else:
+                pm = _read_manifest(root, parent)
+                all_files = pm["files"] + [
+                    f for f in files if f not in pm["files"]
+                ]
+                all_stats = dict(pm.get("stats") or {})
+                all_stats.update(stats or {})
+        else:
+            all_files, all_stats = files, stats or {}
         with open(staged, "w") as fh:
             json.dump(
                 {
                     "version": version,
                     "parent": parent,
-                    "files": files,
+                    "files": all_files,
                     "tag": tag,
-                    "stats": stats or {},
+                    "stats": all_stats,
+                    "ts": time.time(),
+                    "operation": operation,
                 },
                 fh,
             )
@@ -181,9 +251,35 @@ def _commit(
             with open(mtmp, "w") as fh:
                 json.dump({"version": version}, fh)
             os.rename(mtmp, _tag_marker(root, tag))
-        _set_latest(root, version)
+        _advance_latest(root, version)
         return version
     raise RuntimeError("_commit: could not claim a version (contention)")
+
+
+def _descends_from(root: str, v: int, anc: int | None) -> bool:
+    """True iff version ``v``'s parent chain reaches ``anc`` (every
+    version descends from the empty table, ``anc=None``).  Walks
+    manifests only — O(lineage length), no data touched."""
+    if anc is None:
+        return True
+    cur: int | None = v
+    while cur is not None and cur >= anc:
+        if cur == anc:
+            return True
+        cur = _read_manifest(root, cur)["parent"]
+    return False
+
+
+def _advance_latest(root: str, version: int) -> None:
+    """Forward-only _LATEST move for commits: never points the table at
+    a LOWER version than it already shows (`rollback` bypasses this on
+    purpose).  A commit that loses the pointer race still committed —
+    its manifest is durable and its files are included in the higher
+    version that rebased onto it (append path) or remain explicitly
+    time-travelable (overwrite path)."""
+    cur = current_version(root)
+    if cur is None or version > cur:
+        _set_latest(root, version)
 
 
 def snapshot_overwrite(
@@ -191,6 +287,7 @@ def snapshot_overwrite(
     root: str,
     tag: str | None = None,
     stats_cols: list[str] | None = None,
+    operation: str = "overwrite",
 ) -> int:
     """Commit a new version whose content is exactly ``df`` (existing
     versions stay readable by number).  ``tag`` gives the same
@@ -206,7 +303,14 @@ def snapshot_overwrite(
         files, stats = _write_files(df, root), {}
     else:
         files, stats = _write_files(df, root, stats_cols)
-    return _commit(root, files, current_version(root), tag=tag, stats=stats)
+    return _commit(
+        root,
+        files,
+        current_version(root),
+        tag=tag,
+        stats=stats,
+        operation=operation,
+    )
 
 
 def snapshot_append(
@@ -223,25 +327,34 @@ def snapshot_append(
     epoch whose marker exists returns the committed version (finishing
     the _LATEST move if the crash tore it) instead of duplicating rows —
     the exactly-once hook the streaming sink passes its epoch id
-    through; the marker check is O(1), not a manifest scan."""
+    through; the marker check is O(1), not a manifest scan.
+
+    Only the NEW file group is handed to `_commit` — base-file
+    resolution happens inside the claim loop (``rebase_append``), so a
+    concurrent committer's collision rebases onto the winner's manifest
+    instead of re-proposing a stale file list."""
     os.makedirs(root, exist_ok=True)
     if tag is not None:
         v = _resume_tagged_commit(root, tag)
         if v is not None:
             return v
+    # parent + version listing read TOGETHER: anything that appears after
+    # this point is a concurrent commit `_commit` must rebase onto
     parent = current_version(root)
-    if parent is None:
-        base, base_stats = [], {}
-    else:
-        pm = _read_manifest(root, parent)
-        base, base_stats = pm["files"], dict(pm.get("stats") or {})
+    seen = set(snapshot_versions(root))
     if stats_cols is None:
         new_files, new_stats = _write_files(df, root), {}
     else:
         new_files, new_stats = _write_files(df, root, stats_cols)
-    base_stats.update(new_stats)
     return _commit(
-        root, base + new_files, parent, tag=tag, stats=base_stats
+        root,
+        new_files,
+        parent,
+        tag=tag,
+        stats=new_stats,
+        rebase_append=True,
+        operation="append",
+        seen_versions=seen,
     )
 
 
@@ -310,7 +423,22 @@ def read_snapshot_pruned(
     from pyspark.sql import functions as F
 
     if ranges is None:
+        if col is None:
+            raise ValueError(
+                "read_snapshot_pruned: pass col (with lo/hi) or ranges"
+            )
         ranges = {col: (lo, hi)}
+    elif col is not None or lo is not None or hi is not None:
+        raise ValueError(
+            "read_snapshot_pruned: pass either col/lo/hi or ranges, "
+            "not both (col/lo/hi would be silently ignored)"
+        )
+    for c, (clo, chi) in ranges.items():
+        if c is None or clo is None or chi is None:
+            raise ValueError(
+                f"read_snapshot_pruned: range for {c!r} must have both "
+                f"bounds, got ({clo!r}, {chi!r})"
+            )
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"read_snapshot_pruned: no version at {root}")
@@ -350,7 +478,9 @@ def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> i
     # infers one file group's schema and would silently drop columns
     # added by later appends
     cur = read_snapshot(spark, root, merge_schema=True)
-    return snapshot_overwrite(cur.coalesce(target_files), root)
+    return snapshot_overwrite(
+        cur.coalesce(target_files), root, operation="compact"
+    )
 
 
 def rollback(root: str, version: int) -> None:
@@ -430,7 +560,7 @@ def snapshot_merge_keys(
         current = read_snapshot(spark, root)
         kept = current.join(last.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(upserts)
-    return snapshot_overwrite(merged, root, tag=tag)
+    return snapshot_overwrite(merged, root, tag=tag, operation="merge")
 
 
 def run_streaming_snapshot_sink(
@@ -505,8 +635,14 @@ def refresh_incremental_agg(
     """Incremental materialized-view maintenance over a snapshot table:
     a grouped SUM/COUNT view refreshed by consuming ONLY the rows added
     since the last refresh (`read_snapshot_changes` on the append
-    lineage), merged into the stored view by addition and published
-    atomically with the processed-version marker.
+    lineage), merged into the stored view by addition.  The processed-
+    version marker is written INSIDE the staged view directory
+    (``_PROCESSED_VERSION``, skipped by Spark's file listing), so the
+    `publish_atomic` swap carries view and marker in ONE rename — a
+    crash can never leave a merged view whose marker still points at
+    the old version (which would re-merge the same delta and silently
+    double-count on the next refresh).  A legacy sidecar marker
+    (``<view>._processed``) is honored once for migration.
 
     Per-refresh work ∝ the delta + the view size — never the table.
     Restricted to ADDITIVE aggregates (sums + the `n` rowcount), which
@@ -525,12 +661,18 @@ def refresh_incremental_agg(
     cur = current_version(root)
     if cur is None:
         raise FileNotFoundError(f"refresh_incremental_agg: no table at {root}")
-    marker = os.path.join(view_path + "._processed")
+    marker_name = "_PROCESSED_VERSION"
+    legacy = view_path.rstrip("/") + "._processed"
+    done = None
     try:
-        with open(marker) as fh:
+        with open(os.path.join(view_path, marker_name)) as fh:
             done = int(fh.read().strip())
     except FileNotFoundError:
-        done = None
+        try:  # one-time migration from the pre-atomic sidecar layout
+            with open(legacy) as fh:
+                done = int(fh.read().strip())
+        except FileNotFoundError:
+            pass
     if done == cur:
         return None
 
@@ -553,11 +695,11 @@ def refresh_incremental_agg(
                 *[F.sum(c).alias(c) for c in sum_cols],
             )
         )
-    eio.publish_atomic(merged, view_path)
-    mtmp = marker + ".tmp"
-    with open(mtmp, "w") as fh:
-        fh.write(str(cur))
-    os.rename(mtmp, marker)
+    eio.publish_atomic(merged, view_path, extra_files={marker_name: str(cur)})
+    try:  # the marker now travels with the view — retire the sidecar
+        os.remove(legacy)
+    except FileNotFoundError:
+        pass
     return cur
 
 

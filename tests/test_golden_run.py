@@ -111,6 +111,44 @@ def test_no_canonicalizer_hostile_output_columns(spark):
     assert offenders == {}, f"canonicalizer-hostile outputs: {offenders}"
 
 
+def test_oracle_output_types_are_portable():
+    """Oracle-typing lint (the round-5 `weighted_sample_systematic` red
+    row): DuckDB types SUM(BIGINT) as HUGEINT, which an arrow/pandas fetch
+    canonicalizes as float64 (``523459960.0``) while Spark emits BIGINT
+    (``523459960``) — a guaranteed hash mismatch even when every value is
+    identical.  DESCRIBE every oracle against the sf0.01 views and assert
+    no output column is typed HUGEINT/UHUGEINT; oracles must CAST such
+    sums to BIGINT (or DOUBLE, matching the Spark side) explicitly."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    offenders = {}
+    for name, sql in e.oracle_sql().items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [
+            (cname, ctype)
+            for cname, ctype, *_ in desc
+            if "HUGEINT" in ctype.upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, f"non-portable oracle output types: {offenders}"
+
+
 def test_duplicate_registry_name_rejected():
     import pytest as _pytest
 

@@ -473,3 +473,170 @@ def test_incremental_agg_refresh_equals_recompute(spark, tmp_path):
     assert {
         r.g: (r.n, r.v) for r in spark.read.parquet(view).collect()
     } == got
+
+
+def test_concurrent_append_rebases_onto_winner(spark, tmp_path):
+    """True OCC for concurrent appends (round-6 hardening): a committer
+    whose parent read went stale — another append landed between its
+    parent read and its commit — must REBASE onto the winner's manifest
+    instead of re-proposing its stale file list (which would make the
+    winner's rows silently invisible in the latest version).  Simulated
+    at the `_commit` API grain: writer B captures parent/seen, writes
+    its data files, the winner commits, then B commits."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 10), root)  # v0
+    # writer B reads its parent + version listing (together)
+    parent = sn.current_version(root)
+    seen = set(sn.snapshot_versions(root))
+    b_files = sn._write_files(_df(spark, 20, 25), root)
+    # the winner lands while B is still writing
+    sn.snapshot_append(_df(spark, 10, 15), root)  # v1
+    v = sn._commit(
+        root, b_files, parent,
+        rebase_append=True, operation="append", seen_versions=seen,
+    )
+    assert v == 2
+    m = sn._read_manifest(root, 2)
+    assert m["parent"] == 1, "B must rebase onto the winner"
+    assert set(sn._read_manifest(root, 1)["files"]) <= set(m["files"]), (
+        "the winner's files must survive in B's commit"
+    )
+    assert sn.read_snapshot(spark, root).count() == 20  # 10 + 5 + 5
+
+
+def test_append_after_rollback_keeps_lineage_despite_newer_versions(
+    spark, tmp_path
+):
+    """Rebase must NOT swallow pre-existing abandoned lineages: an
+    append after `rollback` branches from the rolled-back head (the
+    abandoned descendants are in `seen_versions`)."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 5), root)      # v0
+    sn.snapshot_append(_df(spark, 5, 8), root)         # v1 (abandoned)
+    sn.rollback(root, 0)
+    v = sn.snapshot_append(_df(spark, 8, 10), root)    # v2, parent 0
+    assert v == 2
+    assert sn._read_manifest(root, 2)["parent"] == 0
+    assert sn.read_snapshot(spark, root).count() == 7  # 5 + 2, not v1's
+
+
+def test_latest_pointer_never_moves_backwards_on_commit(spark, tmp_path):
+    """`_advance_latest` is forward-only: a slow committer's pointer
+    write cannot bury a higher already-acknowledged version; `rollback`
+    stays the one deliberate backward move."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 3), root)   # v0
+    sn.snapshot_append(_df(spark, 3, 5), root)      # v1
+    sn._advance_latest(root, 0)                     # late, lower — no-op
+    assert sn.current_version(root) == 1
+    sn.rollback(root, 0)                            # explicit — honored
+    assert sn.current_version(root) == 0
+
+
+def test_refresh_marker_travels_inside_view_swap(spark, tmp_path):
+    """The processed-version marker is published INSIDE the view
+    directory by the same atomic rename as the data (no window where a
+    merged view carries a stale marker ⇒ no double-merge), and the
+    legacy sidecar layout migrates cleanly."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    view = str(tmp_path / "view")
+
+    def events(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v")
+        )
+
+    sn.snapshot_append(events(0, 40), root)
+    assert sn.refresh_incremental_agg(spark, root, view, ["g"], ["v"]) == 0
+    marker = os.path.join(view, "_PROCESSED_VERSION")
+    assert os.path.exists(marker), "marker must live inside the view dir"
+    assert not os.path.exists(view + "._processed"), "no sidecar marker"
+    assert int(open(marker).read()) == 0
+    # Spark's listing must skip the marker file
+    assert spark.read.parquet(view).count() == 3
+
+    # legacy sidecar migration: a view produced by the old layout
+    os.remove(marker)
+    with open(view + "._processed", "w") as fh:
+        fh.write("0")
+    sn.snapshot_append(events(40, 60), root)
+    assert sn.refresh_incremental_agg(spark, root, view, ["g"], ["v"]) == 1
+    got = {r.g: (r.n, r.v) for r in spark.read.parquet(view).collect()}
+    want = {
+        r.g: (r.n, r.v)
+        for r in sn.read_snapshot(spark, root)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("v"))
+        .collect()
+    }
+    assert got == want, "legacy-marker refresh must consume only the delta"
+    assert int(open(marker).read()) == 1
+    assert not os.path.exists(view + "._processed"), "sidecar retired"
+
+    # marker atomicity: re-running refresh with no new commits is a no-op
+    # (the old two-step layout could double-merge after a torn publish)
+    assert sn.refresh_incremental_agg(spark, root, view, ["g"], ["v"]) is None
+    shutil.rmtree(view + "._replaced", ignore_errors=True)
+
+
+def test_file_stats_json_safe_types(spark, tmp_path):
+    """Manifest stats must survive json.dump for ANY column type: str /
+    timestamp coerce to portable primitives, unrepresentable values
+    drop the file's claims ({}) instead of failing the commit."""
+    from datetime import date, datetime
+
+    from pyspark.sql import functions as F
+
+    # unit grain: the coercion contract
+    assert sn._stat_primitive(7) == 7
+    assert sn._stat_primitive(1.5) == 1.5
+    assert sn._stat_primitive("abc") == "abc"
+    assert sn._stat_primitive(b"abc") == "abc"
+    assert sn._stat_primitive(b"\xff\xfe") is None
+    assert sn._stat_primitive(datetime(2024, 1, 2, 3, 4, 5)) == (
+        "2024-01-02T03:04:05"
+    )
+    assert sn._stat_primitive(date(2024, 1, 2)) == "2024-01-02"
+    assert sn._stat_primitive(object()) is None
+
+    # e2e: a timestamp stats column previously blew up json.dump
+    root = str(tmp_path / "tbl")
+    df = spark.range(5).select(
+        F.col("id"),
+        F.format_string("k%03d", F.col("id")).alias("s"),
+        F.to_timestamp(F.lit("2024-06-01 00:00:00")).alias("ts"),
+    )
+    v = sn.snapshot_append(df, root, stats_cols=["s", "ts"])
+    stats = sn._read_manifest(root, v)["stats"]
+    for fstats in stats.values():
+        if fstats:
+            assert isinstance(fstats["s"][0], str)
+            assert isinstance(fstats["ts"][0], str)
+    assert sn.read_snapshot(spark, root).count() == 5
+    # string-range pruning still works on the coerced stats
+    hit = sn.read_snapshot_pruned(spark, root, "s", "k001", "k002")
+    assert hit.count() == 2
+
+
+def test_read_snapshot_pruned_validates_arguments(spark, tmp_path):
+    """Argument hygiene: missing col+ranges, col AND ranges together,
+    and half-open bounds all fail loudly up front instead of deep in
+    Spark."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 5), root, stats_cols=["id"])
+    with pytest.raises(ValueError, match="pass col"):
+        sn.read_snapshot_pruned(spark, root)
+    with pytest.raises(ValueError, match="not both"):
+        sn.read_snapshot_pruned(
+            spark, root, col="id", lo=0, hi=1, ranges={"id": (0, 1)}
+        )
+    with pytest.raises(ValueError, match="both bounds"):
+        sn.read_snapshot_pruned(spark, root, "id", None, 3)
+    with pytest.raises(ValueError, match="both bounds"):
+        sn.read_snapshot_pruned(spark, root, ranges={"id": (0, None)})
