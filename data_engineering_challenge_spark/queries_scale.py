@@ -1736,3 +1736,161 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("_h").cast("decimal(38,0)")).cast("string").alias("checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# merge-on-read snapshot merge + commit-history surface (round 6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_mor_merge",
+    # The MoR merge is deterministic given a sequenced feed, so plain SQL
+    # replays it wholesale (same shape as the cdc_apply_replay oracle):
+    # per key, the change with the highest (batch, seq) wins — an
+    # equality-delete file kills every lower-sequence copy of a touched
+    # key, and the winning batch's upsert (if not a delete) is the one
+    # row the anti-join lets through.
+    """
+WITH feed AS (
+    SELECT user_id AS k,
+           event_id AS seq,
+           event_id % 3 AS batch,
+           CASE WHEN event_id % 7 = 0 THEN 'D'
+                WHEN event_id % 2 = 0 THEN 'I'
+                ELSE 'U' END AS op,
+           value AS v
+    FROM events
+),
+ranked AS (
+    SELECT k, seq, op, v,
+           ROW_NUMBER() OVER (PARTITION BY k
+                              ORDER BY batch DESC, seq DESC) AS rn
+    FROM feed
+)
+SELECT k AS user_id, seq AS last_seq, v AS last_value
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+""",
+)
+def q_snapshot_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ CDC end-to-end (`sources/snapshots.py
+    snapshot_mor_merge` — the Iceberg equality-delete pattern): the
+    events table becomes a deterministic I/U/D feed (key = user_id,
+    sequence = event_id, three batches by event_id % 3) applied as
+    three MoR commits — each writes ONLY its upserts plus an
+    equality-delete key list, never rewriting existing data files —
+    and `read_snapshot_mor` reconstructs the merged table through the
+    sequence-aware anti-join.  The oracle replays the same feed in
+    plain SQL.  Write cost O(batch) instead of the CoW merge's
+    O(table) — the trade that makes per-batch CDC viable at 100 TB.
+    Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from . import roles
+    from .sources import snapshots as sn
+
+    key = ("snapshot_mor_merge", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="snap_mor_")
+        events = roles.load_events(spark, sf_dir)
+        feed = events.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).alias("_batch"),
+            F.when(F.col("event_id") % 7 == 0, F.lit("D"))
+            .when(F.col("event_id") % 2 == 0, F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("_op"),
+            F.col("value").alias("v"),
+        )
+        for b in range(3):
+            sn.snapshot_mor_merge(
+                spark,
+                f"{tmp}/tbl",
+                feed.filter(F.col("_batch") == b).drop("_batch"),
+                ["k"],
+                seq_col="seq",
+            )
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/tbl"
+    from .sources import snapshots as sn2
+
+    return sn2.read_snapshot_mor(spark, out).select(
+        F.col("k").alias("user_id"),
+        F.col("seq").alias("last_seq"),
+        F.col("v").alias("last_value"),
+    )
+
+
+@register(
+    "snapshot_history",
+    # The lineage DAG is deterministic by construction (coalesce(1)
+    # commits ⇒ exact file counts); the per-version row counts are
+    # genuine data aggregates over the same orders slices, so the hash
+    # check ties the metadata surface to real reads.
+    """
+SELECT CAST(0 AS BIGINT) AS version, CAST(NULL AS BIGINT) AS parent,
+       'append' AS operation, CAST(1 AS BIGINT) AS n_files,
+       CAST(1 AS BIGINT) AS files_added, CAST(0 AS BIGINT) AS files_removed,
+       CAST(0 AS INT) AS is_current,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS BIGINT)
+           AS n_rows
+UNION ALL
+SELECT 1, 0, 'append', 2, 1, 0, 0,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 IN (0, 1))
+UNION ALL
+SELECT 2, 1, 'overwrite', 1, 1, 2, 0,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 2)
+UNION ALL
+SELECT 3, 1, 'append', 3, 1, 0, 1,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 IN (0, 1, 2))
+""",
+)
+def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`snapshot_history` — the DESCRIBE-HISTORY surface — over a
+    fixture lineage that includes a ROLLBACK: v0/v1 append thirds of
+    orders, v2 overwrites, the table rolls back to v1, and v3 appends
+    on the v1 branch — so the history's parent column records the true
+    DAG (v3.parent = 1, not 2) and is_current marks v3.  Each
+    history row is joined with the version's actual row count
+    (time-traveled reads), tying the metadata to the data; the oracle
+    restates lineage constants + the same COUNT aggregates.  Output
+    cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_history", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_hist_") + "/tbl"
+        third = lambda r: o.filter(F.col("o_orderkey") % 3 == r).coalesce(1)
+        sn.snapshot_append(third(0), root)      # v0
+        sn.snapshot_append(third(1), root)      # v1
+        sn.snapshot_overwrite(third(2), root)   # v2
+        sn.rollback(root, 1)
+        sn.snapshot_append(third(2), root)      # v3 (parent v1)
+        out = _ORC_OUT_CACHE[key] = root
+
+    hist = sn.snapshot_history(spark, out).select(
+        "version",
+        "parent",
+        "operation",
+        "n_files",
+        "files_added",
+        "files_removed",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+    counts = None
+    for v in sn.snapshot_versions(out):
+        c = sn.read_snapshot(spark, out, v).agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count("*").alias("n_rows"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return hist.join(counts, "version").select(
+        "version", "parent", "operation", "n_files",
+        "files_added", "files_removed", "is_current", "n_rows",
+    )

@@ -7,7 +7,11 @@ immutable data files, JSON manifests, and atomic rename.
 Layout under a table root:
 
     data/<uuid>/part-*.parquet     immutable file groups, one per commit
-    _manifests/v<N>.json           {"version": N, "files": [...], "parent": N-1}
+    deletes/<uuid>/part-*.parquet  equality-delete key lists (MoR commits)
+    _manifests/v<N>.json           {"version": N, "parent": N-1, "ts": ...,
+                                    "operation": ..., "files": [...],
+                                    "file_seq": {file: commit}, "stats": ...,
+                                    "delete_files": [{file, keys, seq}]}
     _LATEST                        text file containing "N" (atomic rename)
 
 Commit protocol: (1) write the new file group (a failed write leaves an
@@ -35,6 +39,7 @@ touches existing data, and the manifest bounds what any read must list
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -65,9 +70,12 @@ def _read_manifest(root: str, version: int) -> dict:
 
 
 def _write_files(
-    df: DataFrame, root: str, stats_cols: list[str] | None = None
+    df: DataFrame,
+    root: str,
+    stats_cols: list[str] | None = None,
+    kind: str = "data",
 ) -> list[str] | tuple[list[str], dict]:
-    group = os.path.join("data", uuid.uuid4().hex)
+    group = os.path.join(kind, uuid.uuid4().hex)
     out = os.path.join(root, group)
     df.write.parquet(out)
     files = sorted(
@@ -172,6 +180,7 @@ def _commit(
     rebase_append: bool = False,
     operation: str = "overwrite",
     seen_versions: set[int] | None = None,
+    new_delete_files: list[dict] | None = None,
 ) -> int:
     """Two-phase commit with OPTIMISTIC writer-writer protection:
 
@@ -217,6 +226,7 @@ def _commit(
                     parent = v  # rebase onto the concurrent sibling
             if parent is None:
                 all_files, all_stats = list(files), dict(stats or {})
+                all_fseq, all_deletes = {}, []
             else:
                 pm = _read_manifest(root, parent)
                 all_files = pm["files"] + [
@@ -224,8 +234,17 @@ def _commit(
                 ]
                 all_stats = dict(pm.get("stats") or {})
                 all_stats.update(stats or {})
+                all_fseq = dict(pm.get("file_seq") or {})
+                all_deletes = list(pm.get("delete_files") or [])
         else:
+            # overwrite family: complete content replacement folds away
+            # any inherited delete files (the new file set IS the truth)
             all_files, all_stats = files, stats or {}
+            all_fseq, all_deletes = {}, []
+        for f in files:
+            all_fseq.setdefault(f, version)
+        for d in new_delete_files or ():
+            all_deletes.append({**d, "seq": version})
         with open(staged, "w") as fh:
             json.dump(
                 {
@@ -236,6 +255,8 @@ def _commit(
                     "stats": all_stats,
                     "ts": time.time(),
                     "operation": operation,
+                    "file_seq": all_fseq,
+                    "delete_files": all_deletes,
                 },
                 fh,
             )
@@ -473,11 +494,16 @@ def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> i
     version with identical rows — the snapshot-table form of small-file
     compaction.  History is untouched (old versions still reference the
     old files), so the operation is as safe as any commit: crash before
-    the pointer move leaves the previous version live."""
+    the pointer move leaves the previous version live.
+
+    MoR-aware: the rewrite reads THROUGH any equality-delete files
+    (`read_snapshot_mor`) and the overwrite commit carries none — so
+    compaction is also how accumulated MoR deletes get folded back into
+    pure data files without changing what any read returns."""
     # merge_schema: compaction must carry EVOLVED columns — a plain read
     # infers one file group's schema and would silently drop columns
     # added by later appends
-    cur = read_snapshot(spark, root, merge_schema=True)
+    cur = read_snapshot_mor(spark, root, merge_schema=True)
     return snapshot_overwrite(
         cur.coalesce(target_files), root, operation="compact"
     )
@@ -526,31 +552,13 @@ def snapshot_merge_keys(
     rewrites the whole table per commit — the simple/audit-first trade;
     the partition-restricted `apply_cdc` is the in-place alternative
     when history isn't needed."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    bad = batch.filter(
-        F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
-    ).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"snapshot_merge_keys: {op_col} must be 'I'/'U'/'D', got "
-            f"{bad[0][op_col]!r} — failing the batch"
-        )
+    last = _last_change_per_key(batch, keys, op_col, seq_col)
     if tag is not None:
         v = _resume_tagged_commit(root, tag)
         if v is not None:
             return v
-    order = [F.desc("_arrival")]
-    if seq_col is not None:
-        order.insert(0, F.desc(seq_col))
-    w = Window.partitionBy(*keys).orderBy(*order)
-    last = (
-        batch.withColumn("_arrival", F.monotonically_increasing_id())
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_arrival", "_rn")
-    )
     upserts = last.filter(F.col(op_col) != "D").drop(op_col)
     if current_version(root) is None:
         # bootstrap: MERGE into a never-committed table treats the
@@ -561,6 +569,231 @@ def snapshot_merge_keys(
         kept = current.join(last.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(upserts)
     return snapshot_overwrite(merged, root, tag=tag, operation="merge")
+
+
+def _last_change_per_key(
+    batch: DataFrame,
+    keys: list[str],
+    op_col: str,
+    seq_col: str | None,
+) -> DataFrame:
+    """Shared CDC-batch canonicalization (`snapshot_merge_keys` /
+    `snapshot_mor_merge`): validate the op domain loudly, then keep the
+    last change per key — ``seq_col`` (the feed's LSN) first, arrival
+    order as tie-break, so shuffled delivery is safe."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bad = batch.filter(
+        F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"snapshot merge: {op_col} must be 'I'/'U'/'D', got "
+            f"{bad[0][op_col]!r} — failing the batch"
+        )
+    order = [F.desc("_arrival")]
+    if seq_col is not None:
+        order.insert(0, F.desc(seq_col))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        batch.withColumn("_arrival", F.monotonically_increasing_id())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_arrival", "_rn")
+    )
+
+
+def snapshot_mor_merge(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    keys: list[str],
+    op_col: str = "_op",
+    tag: str | None = None,
+    seq_col: str | None = None,
+) -> int:
+    """MERGE-ON-READ CDC onto a snapshot table — the Iceberg
+    equality-delete / Delta deletion-vector pattern, the write-cheap
+    twin of the copy-on-write `snapshot_merge_keys`:
+
+    the commit writes (1) one NEW data file group holding the batch's
+    upsert rows and (2) one EQUALITY-DELETE file listing every touched
+    key (deletes AND upserts — an upsert supersedes the key's older
+    copies), both referenced from the manifest with the commit's
+    sequence number.  NOTHING existing is rewritten: merge cost is
+    O(batch), not O(table) — at 100 TB that is the difference between a
+    usable CDC feed and a nightly rewrite.  The price moves to the read
+    (`read_snapshot_mor` anti-joins the delete files, applied only to
+    data files with a LOWER sequence — so a re-inserted key survives
+    its own older delete), and `snapshot_compact` folds the deletes
+    away again.  Same op-domain validation, last-change-per-key
+    (``seq_col`` + arrival) and ``tag`` replay-idempotence contract as
+    the CoW merge; history stays time-travelable across MoR commits
+    (reference: Iceberg spec §'equality delete files'; semantics mirror
+    reference customer upsert flow, db_operations.py:59-88)."""
+    last = _last_change_per_key(batch, keys, op_col, seq_col)
+    if tag is not None:
+        v = _resume_tagged_commit(root, tag)
+        if v is not None:
+            return v
+    os.makedirs(root, exist_ok=True)
+    parent = current_version(root)
+    seen = set(snapshot_versions(root))
+    upserts = last.filter(last[op_col] != "D").drop(op_col)
+    new_files = _write_files(upserts, root)
+    del_files = _write_files(last.select(*keys), root, kind="deletes")
+    return _commit(
+        root,
+        new_files,
+        parent,
+        tag=tag,
+        rebase_append=True,
+        operation="mor-merge",
+        seen_versions=seen,
+        new_delete_files=[{"file": f, "keys": keys} for f in del_files],
+    )
+
+
+def read_snapshot_mor(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Merge-on-read snapshot scan: the manifest's data files minus the
+    rows its equality-delete files kill.  A delete file with sequence S
+    applies only to data files with sequence < S (a key re-inserted
+    AFTER its delete survives), matching the Iceberg sequence-number
+    rule.
+
+    Plan shape at scale: ONE scan of all data files (never per-file
+    unions) — each row picks up its commit sequence by joining the
+    hidden ``_metadata.file_path`` against a broadcast file→seq map
+    bounded by the file count, and the delete side is a broadcast-sized
+    union of key lists; the anti-join is the only comparison.  Tables
+    with no delete files degrade to exactly `read_snapshot`."""
+    from pyspark.sql import functions as F
+
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"read_snapshot_mor: no version at {root}")
+    m = _read_manifest(root, v)
+    deletes = m.get("delete_files") or []
+    if not deletes:
+        return read_snapshot(spark, root, v, merge_schema=merge_schema)
+    fseq = m.get("file_seq") or {}
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", True)
+    data = reader.parquet(*[os.path.join(root, f) for f in m["files"]])
+    # manifest-relative path = last 3 URI segments ("data/<uuid>/<file>")
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    rel = F.concat_ws(
+        "/",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    seq_map = spark.createDataFrame(
+        [(f, int(fseq.get(f, 0))) for f in m["files"]],
+        "`_rel` STRING, `_seq` BIGINT",
+    )
+    data = data.withColumn("_rel", rel).join(
+        F.broadcast(seq_map), "_rel"
+    )
+    out_cols = [c for c in data.columns if c not in ("_rel", "_seq")]
+    # group delete files by their key set (usually one); anti-join each
+    by_keys: dict[tuple, list[dict]] = {}
+    for d in deletes:
+        by_keys.setdefault(tuple(d["keys"]), []).append(d)
+    for key_tuple, dels in by_keys.items():
+        side = None
+        for d in dels:
+            one = spark.read.parquet(
+                os.path.join(root, d["file"])
+            ).withColumn("_del_seq", F.lit(int(d["seq"])))
+            side = one if side is None else side.unionByName(one)
+        cond = [data[k] == side[k] for k in key_tuple]
+        cond.append(side["_del_seq"] > data["_seq"])
+        data = data.join(
+            F.broadcast(side),
+            functools.reduce(lambda a, b: a & b, cond),
+            "left_anti",
+        )
+    return data.select(*out_cols)
+
+
+def read_snapshot_asof(
+    spark: SparkSession, root: str, ts: float, merge_schema: bool = False
+) -> DataFrame:
+    """Timestamp-based time travel: read the newest version whose
+    commit time is ≤ ``ts`` (the Delta ``timestampAsOf`` rule), via
+    `resolve_asof_version` — manifests record their commit time, so
+    resolution is a metadata walk, no data touched.  MoR-aware: the
+    resolved version reads through `read_snapshot_mor`."""
+    return read_snapshot_mor(
+        spark,
+        root,
+        resolve_asof_version(root, ts),
+        merge_schema=merge_schema,
+    )
+
+
+def resolve_asof_version(root: str, ts: float) -> int:
+    """Newest committed version with commit time ≤ ``ts`` (legacy
+    manifests without a recorded time are ignored); raises if the
+    table has no commit that old."""
+    best = None
+    for v in snapshot_versions(root):
+        mts = _read_manifest(root, v).get("ts")
+        if mts is not None and mts <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"resolve_asof_version: no commit at or before ts={ts} in {root}"
+        )
+    return best
+
+
+def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
+    """The table's commit history as a DataFrame — the ``DESCRIBE
+    HISTORY`` surface: one row per committed version with its parent
+    (the TRUE lineage DAG, so a rollback-then-commit shows its branch
+    point), commit time, operation, file counts, and the file-set delta
+    vs the parent.  Built from manifests only; `is_current` marks the
+    version _LATEST points at (after a rollback that is not the highest
+    number)."""
+    rows = []
+    cur = current_version(root)
+    for v in snapshot_versions(root):
+        m = _read_manifest(root, v)
+        files = set(m["files"])
+        pfiles = (
+            set(_read_manifest(root, m["parent"])["files"])
+            if m["parent"] is not None
+            else set()
+        )
+        rows.append(
+            (
+                v,
+                m["parent"],
+                float(m["ts"]) if m.get("ts") is not None else None,
+                m.get("operation"),
+                m.get("tag"),
+                len(files),
+                len(m.get("delete_files") or []),
+                len(files - pfiles),
+                len(pfiles - files),
+                v == cur,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version BIGINT, parent BIGINT, ts DOUBLE, operation STRING, "
+        "tag STRING, n_files BIGINT, n_delete_files BIGINT, "
+        "files_added BIGINT, files_removed BIGINT, is_current BOOLEAN",
+    )
 
 
 def run_streaming_snapshot_sink(
@@ -615,6 +848,14 @@ def read_snapshot_changes(
                 f"read_snapshot_changes: v{m['version']} overwrote "
                 f"v{parent} — the delta is not append-only; diff the "
                 "time-traveled reads instead"
+            )
+        if len(m.get("delete_files") or []) > len(
+            pm.get("delete_files") or []
+        ):
+            raise ValueError(
+                f"read_snapshot_changes: v{m['version']} added MoR "
+                "delete files — the delta is not expressible as added "
+                "rows; diff the time-traveled MoR reads instead"
             )
         m = pm
     new_files = sorted(set(to_m["files"]) - set(m["files"]))
@@ -746,29 +987,33 @@ def vacuum_orphans(root: str, min_age_s: float = 600.0) -> list[str]:
 
     referenced: set[str] = set()
     for v in snapshot_versions(root):
-        referenced.update(_read_manifest(root, v)["files"])
+        m = _read_manifest(root, v)
+        referenced.update(m["files"])
+        referenced.update(d["file"] for d in m.get("delete_files") or [])
     removed: list[str] = []
-    data_root = os.path.join(root, "data")
-    if not os.path.isdir(data_root):
-        return removed
     cutoff = time.time() - min_age_s
-    for group in os.listdir(data_root):
-        gdir = os.path.join(data_root, group)
-        names = os.listdir(gdir)
-        newest = max(
-            (os.path.getmtime(os.path.join(gdir, n)) for n in names),
-            default=0.0,
-        )
-        if newest > cutoff:
-            continue  # possibly an in-flight commit — grace period
-        for f in names:
-            rel = os.path.join("data", group, f)
-            if f.endswith(".parquet") and rel not in referenced:
-                os.remove(os.path.join(root, rel))
-                removed.append(rel)
-        # drop byproducts (_SUCCESS etc.) and the dir once no data remains
-        if not any(n.endswith(".parquet") for n in os.listdir(gdir)):
-            for n in os.listdir(gdir):
-                os.remove(os.path.join(gdir, n))
-            os.rmdir(gdir)
+    for kind in ("data", "deletes"):
+        kind_root = os.path.join(root, kind)
+        if not os.path.isdir(kind_root):
+            continue
+        for group in os.listdir(kind_root):
+            gdir = os.path.join(kind_root, group)
+            names = os.listdir(gdir)
+            newest = max(
+                (os.path.getmtime(os.path.join(gdir, n)) for n in names),
+                default=0.0,
+            )
+            if newest > cutoff:
+                continue  # possibly an in-flight commit — grace period
+            for f in names:
+                rel = os.path.join(kind, group, f)
+                if f.endswith(".parquet") and rel not in referenced:
+                    os.remove(os.path.join(root, rel))
+                    removed.append(rel)
+            # drop byproducts (_SUCCESS etc.) and the dir once no data
+            # remains
+            if not any(n.endswith(".parquet") for n in os.listdir(gdir)):
+                for n in os.listdir(gdir):
+                    os.remove(os.path.join(gdir, n))
+                os.rmdir(gdir)
     return removed

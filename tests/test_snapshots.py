@@ -640,3 +640,148 @@ def test_read_snapshot_pruned_validates_arguments(spark, tmp_path):
         sn.read_snapshot_pruned(spark, root, "id", None, 3)
     with pytest.raises(ValueError, match="both bounds"):
         sn.read_snapshot_pruned(spark, root, ranges={"id": (0, None)})
+
+
+def test_mor_merge_matches_cow_merge(spark, tmp_path):
+    """Merge-on-read and copy-on-write must produce the SAME logical
+    table for the same I/U/D feed — MoR just pays at read time.  Also
+    pins the sequencing rule: a key re-inserted in a LATER batch
+    survives its own earlier delete (delete files apply only to data
+    with a lower commit sequence)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    def feed(rows):
+        return spark.createDataFrame(
+            [Row(k=k, v=v, _op=op) for k, v, op in rows]
+        )
+
+    mor = str(tmp_path / "mor")
+    cow = str(tmp_path / "cow")
+    batches = [
+        [(1, 10, "I"), (2, 20, "I"), (3, 30, "I")],
+        [(2, 21, "U"), (3, None, "D"), (4, 40, "I")],
+        [(3, 32, "I"), (1, None, "D")],  # re-insert 3 AFTER its delete
+    ]
+    for b in batches:
+        sn.snapshot_mor_merge(spark, mor, feed(b), ["k"])
+        sn.snapshot_merge_keys(spark, cow, feed(b), ["k"])
+    got = {
+        r.k: r.v
+        for r in sn.read_snapshot_mor(spark, mor).select("k", "v").collect()
+    }
+    want = {
+        r.k: r.v
+        for r in sn.read_snapshot(spark, cow).select("k", "v").collect()
+    }
+    assert got == want == {2: 21, 3: 32, 4: 40}
+    # MoR writes never rewrite existing data files
+    m0 = set(sn._read_manifest(mor, 0)["files"])
+    m2 = set(sn._read_manifest(mor, 2)["files"])
+    assert m0 <= m2, "MoR merge must reference, not rewrite, old files"
+
+
+def test_mor_time_travel_and_compaction_fold(spark, tmp_path):
+    """Time travel works across MoR deletes (each version's delete set
+    is its own), and `snapshot_compact` folds the deletes into pure
+    data files without changing the read."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+
+    def feed(rows):
+        return spark.createDataFrame(
+            [Row(k=k, v=v, _op=op) for k, v, op in rows]
+        )
+
+    sn.snapshot_mor_merge(spark, root, feed([(1, 10, "I"), (2, 20, "I")]), ["k"])
+    sn.snapshot_mor_merge(spark, root, feed([(1, None, "D"), (3, 30, "I")]), ["k"])
+    # v0 read: delete not yet visible
+    assert {
+        r.k for r in sn.read_snapshot_mor(spark, root, 0).collect()
+    } == {1, 2}
+    assert {
+        r.k for r in sn.read_snapshot_mor(spark, root, 1).collect()
+    } == {2, 3}
+    before = {
+        (r.k, r.v) for r in sn.read_snapshot_mor(spark, root).collect()
+    }
+    v = sn.snapshot_compact(spark, root)
+    m = sn._read_manifest(root, v)
+    assert m["delete_files"] == [], "compaction must fold deletes away"
+    after = {(r.k, r.v) for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert after == before
+    # vacuum (0 grace) may now collect the unreferenced nothing — but
+    # every delete file is still referenced by v0/v1 manifests
+    removed = sn.vacuum_orphans(root, min_age_s=0.0)
+    assert removed == []
+    assert {
+        r.k for r in sn.read_snapshot_mor(spark, root, 1).collect()
+    } == {2, 3}, "older MoR versions must survive vacuum after compaction"
+
+
+def test_mor_tagged_merge_idempotent_replay(spark, tmp_path):
+    """A replayed MoR merge with the same tag is a no-op (exactly-once
+    contract shared with the CoW merge)."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    f = spark.createDataFrame([Row(k=1, v=10, _op="I")])
+    v1 = sn.snapshot_mor_merge(spark, root, f, ["k"], tag="e1")
+    v2 = sn.snapshot_mor_merge(spark, root, f, ["k"], tag="e1")
+    assert v1 == v2
+    assert sn.read_snapshot_mor(spark, root).count() == 1
+
+
+def test_incremental_scan_rejects_mor_hops(spark, tmp_path):
+    """`read_snapshot_changes` across a MoR merge must fail loudly —
+    the delta is not expressible as added rows."""
+    import pytest
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 5), root)  # v0
+    sn.snapshot_mor_merge(
+        spark,
+        root,
+        spark.createDataFrame([Row(id=1, v=99, _op="D")]).select(
+            "id", "v", "_op"
+        ),
+        ["id"],
+    )  # v1: delete id=1
+    with pytest.raises(ValueError, match="MoR"):
+        sn.read_snapshot_changes(spark, root, 0, 1)
+
+
+def test_snapshot_history_and_asof_resolution(spark, tmp_path):
+    """`snapshot_history` reports the true lineage DAG (rollback branch
+    point, operations, file deltas, is_current) and timestamp time
+    travel resolves to the newest commit ≤ ts."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 4).coalesce(1), root)       # v0
+    sn.snapshot_append(_df(spark, 4, 6).coalesce(1), root)          # v1
+    sn.snapshot_overwrite(_df(spark, 100, 101).coalesce(1), root)   # v2
+    sn.rollback(root, 1)
+    sn.snapshot_append(_df(spark, 6, 7).coalesce(1), root)          # v3
+
+    h = {r.version: r for r in sn.snapshot_history(spark, root).collect()}
+    assert set(h) == {0, 1, 2, 3}
+    assert h[0].parent is None and h[0].operation == "overwrite"
+    assert h[1].parent == 0 and h[1].operation == "append"
+    assert h[2].parent == 1 and h[2].operation == "overwrite"
+    assert h[3].parent == 1, "post-rollback commit branches from v1"
+    assert [v for v, r in h.items() if r.is_current] == [3]
+    assert h[1].files_added == 1 and h[1].files_removed == 0
+    assert h[2].files_removed == 2  # overwrite dropped v1's two files
+    ts = [h[v].ts for v in (0, 1, 2, 3)]
+    assert all(t is not None for t in ts) and ts == sorted(ts)
+
+    # as-of-ts: exact commit time → that version; just before v1 → v0
+    assert sn.resolve_asof_version(root, h[0].ts) == 0
+    assert sn.resolve_asof_version(root, (h[0].ts + h[1].ts) / 2) == 0
+    assert sn.resolve_asof_version(root, h[3].ts + 1) == 3
+    assert sn.read_snapshot_asof(spark, root, h[1].ts).count() == 6
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        sn.resolve_asof_version(root, h[0].ts - 1)
