@@ -22,6 +22,7 @@ from data_engineering_challenge_spark import queries as _q  # noqa: E402
 from data_engineering_challenge_spark import queries_analytics  # noqa: E402,F401
 from data_engineering_challenge_spark import queries_relational  # noqa: E402,F401
 from data_engineering_challenge_spark import queries_scale  # noqa: E402,F401
+from data_engineering_challenge_spark import queries_sql  # noqa: E402,F401
 from data_engineering_challenge_spark import queries_text  # noqa: E402,F401
 
 

@@ -1,0 +1,292 @@
+"""SQL-string entry point surface (round 6): registry queries AUTHORED as
+multi-CTE ``spark.sql`` statements over registered temp views — the
+engine's third user-facing API after the DataFrame chain and the pandas
+API (`pandas_api_type_stats` certifies that one), here certified the same
+way: every SQL-authored query is oracle-paired, and the flagship is
+additionally asserted plan-comparable to its DataFrame twin
+(tests/test_plans.py).
+
+Spark SQL text and DuckDB oracle text are SEPARATE strings — each engine
+gets its own dialect (DATEDIFF argument order, VARCHAR vs STRING, the
+decimal→double conversion path), while column names and values must match
+exactly.  Temp views are (re)registered per call under a ``sqlq_`` prefix
+so they never collide with anything else in the session, and the events
+view goes through `roles.load_events` so the timestamp normalization the
+whole registry relies on applies to the SQL surface too.
+
+Float conventions follow queries.py: sums ride DECIMAL(28,10) and convert
+to double only at the edge (Spark: direct cast — BigDecimal→double is
+correctly rounded; DuckDB: through VARCHAR, see `_dsum_sql`)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import roles
+from .queries import _SQL_REPORT, register
+
+
+def _register_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    """(Re)register ``sqlq_<name>`` temp views for the given testdata
+    tables.  Cheap (metadata only) and idempotent; re-running with a
+    different sf_dir simply repoints the views."""
+    from .sources.io import read_parquet_cached_schema
+
+    for name in names:
+        if name == "events":
+            df = roles.load_events(spark, sf_dir)
+        else:
+            df = read_parquet_cached_schema(
+                spark, os.path.join(sf_dir, f"{name}.parquet")
+            )
+        df.createOrReplaceTempView(f"sqlq_{name}")
+
+
+# --------------------------------------------------------------------------
+# flagship restated in SQL: the channel report
+# --------------------------------------------------------------------------
+
+#: Spark-dialect twin of queries._SQL_REPORT (the DuckDB oracle): same CTE
+#: structure, same decimal discipline; only the decimal→double edge and the
+#: view names differ.
+_SPARK_SQL_REPORT = """
+WITH sessions AS (
+    SELECT event_id AS session_id,
+           user_id,
+           ts,
+           event_type AS channel_name,
+           CAST(event_id % 2 AS INTEGER) AS holder_engagement,
+           CAST(event_id % 3 = 0 AS INTEGER) AS closer_engagement,
+           CAST(event_id % 5 = 0 AS INTEGER) AS impression_interaction
+    FROM sqlq_events
+),
+conversions AS (
+    SELECT event_id AS conv_id, user_id, ts AS conv_ts, value AS revenue
+    FROM sqlq_events
+    WHERE event_type = 'purchase'
+),
+costs AS (
+    SELECT event_id AS session_id, value * 0.1 AS cost
+    FROM sqlq_events
+    WHERE event_id % 10 <> 0
+),
+journeys AS (
+    SELECT c.conv_id AS conversion_id,
+           s.session_id,
+           s.ts,
+           s.holder_engagement,
+           s.closer_engagement,
+           c.revenue
+    FROM conversions c
+    JOIN sessions s
+      ON s.user_id = c.user_id AND s.ts <= c.conv_ts
+),
+scored AS (
+    SELECT conversion_id, session_id,
+           CASE
+             WHEN ROW_NUMBER() OVER w = 1 THEN 2.0
+             WHEN ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY conversion_id)
+                  THEN 2.0 * (1.0 + closer_engagement)
+             ELSE 1.0 * (1.0 + holder_engagement)
+           END AS raw
+    FROM journeys
+    WINDOW w AS (PARTITION BY conversion_id ORDER BY ts ASC, session_id ASC)
+),
+attributed AS (
+    SELECT conversion_id, session_id,
+           raw / SUM(raw) OVER (PARTITION BY conversion_id) AS ihc
+    FROM scored
+),
+session_data AS (
+    SELECT s.session_id, s.channel_name, CAST(s.ts AS DATE) AS date,
+           COALESCE(co.cost, 0.0) AS cost
+    FROM sessions s LEFT JOIN costs co ON s.session_id = co.session_id
+),
+attribution_data AS (
+    SELECT sd.channel_name, sd.date, sd.cost, a.ihc,
+           a.ihc * c.revenue AS ihc_revenue
+    FROM session_data sd
+    JOIN attributed a ON sd.session_id = a.session_id
+    JOIN conversions c ON a.conversion_id = c.conv_id
+),
+channel_date_report AS (
+    SELECT channel_name, date,
+           CAST(SUM(CAST(cost AS DECIMAL(28,10))) AS DOUBLE) AS cost,
+           CAST(SUM(CAST(ihc AS DECIMAL(28,10))) AS DOUBLE) AS ihc,
+           CAST(SUM(CAST(ihc_revenue AS DECIMAL(28,10))) AS DOUBLE)
+               AS ihc_revenue
+    FROM attribution_data
+    GROUP BY channel_name, date
+)
+SELECT channel_name, date, cost, ihc, ihc_revenue,
+       CASE WHEN ihc <> 0.0 THEN cost / ihc ELSE 0.0 END AS CPO,
+       CASE WHEN cost <> 0.0 THEN ihc_revenue / cost ELSE 0.0 END AS ROAS
+FROM channel_date_report
+"""
+
+
+@register("sql_channel_report", _SQL_REPORT)
+def q_sql_channel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship channel report authored END-TO-END as one Spark SQL
+    statement (7 CTEs: role mapping → as-of journey join → position/
+    engagement attribution → report math) — certifying that a user who
+    speaks only SQL gets the same engine: identical values to the
+    `channel_report` DataFrame chain (same oracle; plan comparison in
+    tests/test_plans.py).  Catalyst compiles both surfaces to the same
+    operator algebra, so the SQL route inherits every optimization the
+    DataFrame route gets (pushdown, AQE broadcast, whole-stage codegen)
+    — nothing is interpreted."""
+    _register_views(spark, sf_dir, ["events"])
+    return spark.sql(_SPARK_SQL_REPORT)
+
+
+# --------------------------------------------------------------------------
+# multi-CTE analytic SQL: nation revenue share within region
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sql_nation_revenue_share",
+    """
+WITH rev AS (
+    SELECT n.n_name AS nation, r.r_name AS region,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(28,10))) AS revenue_dec
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+),
+ranked AS (
+    SELECT nation, region, revenue_dec,
+           SUM(revenue_dec) OVER (PARTITION BY region) AS region_dec,
+           RANK() OVER (PARTITION BY region
+                        ORDER BY revenue_dec DESC, nation) AS rank_in_region
+    FROM rev
+)
+SELECT nation, region,
+       CAST(CAST(revenue_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(revenue_dec AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(region_dec AS VARCHAR) AS DOUBLE) AS region_share,
+       CAST(rank_in_region AS BIGINT) AS rank_in_region
+FROM ranked
+""",
+)
+def q_sql_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-authored 5-table star join + grouped window analytics: revenue
+    per nation, its share of the region total, and its in-region rank —
+    the report shape BI tools emit as raw SQL.  Revenue rides decimal
+    through the window SUM (exact under any partitioning/order) and
+    converts to double only at the edge, so share = quotient of two
+    bit-identical doubles in both engines.
+
+    Scale: one shuffled agg at (nation, region) grain (25 rows), window
+    over a 25-row frame — all the heavy lifting is the star join, which
+    AQE broadcasts (nation/region/customer are small)."""
+    _register_views(
+        spark, sf_dir, ["lineitem", "orders", "customer", "nation", "region"]
+    )
+    return spark.sql(
+        """
+WITH rev AS (
+    SELECT n.n_name AS nation, r.r_name AS region,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(28,10))) AS revenue_dec
+    FROM sqlq_lineitem l
+    JOIN sqlq_orders o ON l.l_orderkey = o.o_orderkey
+    JOIN sqlq_customer c ON o.o_custkey = c.c_custkey
+    JOIN sqlq_nation n ON c.c_nationkey = n.n_nationkey
+    JOIN sqlq_region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+),
+ranked AS (
+    SELECT nation, region, revenue_dec,
+           SUM(revenue_dec) OVER (PARTITION BY region) AS region_dec,
+           RANK() OVER (PARTITION BY region
+                        ORDER BY revenue_dec DESC, nation) AS rank_in_region
+    FROM rev
+)
+SELECT nation, region,
+       CAST(revenue_dec AS DOUBLE) AS revenue,
+       CAST(revenue_dec AS DOUBLE) / CAST(region_dec AS DOUBLE)
+           AS region_share,
+       CAST(rank_in_region AS BIGINT) AS rank_in_region
+FROM ranked
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# multi-CTE behavioral SQL: per-user activity/retention profile
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sql_user_activity_profile",
+    """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purchases
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+seq AS (
+    SELECT user_id, d, n_events, n_purchases,
+           LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+    FROM daily
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS active_days,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(SUM(n_purchases) AS BIGINT) AS total_purchases,
+       CAST(SUM(CASE WHEN prev_d IS NOT NULL
+                      AND DATEDIFF('day', prev_d, d) = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS consecutive_pairs
+FROM seq
+GROUP BY user_id
+""",
+)
+def q_sql_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-authored sessionless retention profile: per-user active days,
+    event/purchase totals, and count of consecutive-day pairs (the LAG
+    streak primitive) — agg → window → re-agg, the three-layer CTE shape
+    that exercises how Catalyst shares partitionings across stages: the
+    daily agg shuffles on (user_id, day), then ONE user_id exchange
+    serves BOTH the window and the final aggregation (2 exchanges
+    total, pinned by the plan test).  Dialect note: Spark spells the
+    day delta ``DATEDIFF(d, prev_d)``, DuckDB
+    ``DATEDIFF('day', prev_d, d)`` — the surfaces differ, the values
+    must not."""
+    _register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purchases
+    FROM sqlq_events
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+seq AS (
+    SELECT user_id, d, n_events, n_purchases,
+           LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+    FROM daily
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS active_days,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(SUM(n_purchases) AS BIGINT) AS total_purchases,
+       CAST(SUM(CASE WHEN prev_d IS NOT NULL
+                      AND DATEDIFF(d, prev_d) = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS consecutive_pairs
+FROM seq
+GROUP BY user_id
+"""
+    )

@@ -332,3 +332,37 @@ def test_triangles_never_cartesian(spark):
     is the final broadcast of two 1-row counts."""
     plan = _plan(spark, "copurchase_triangles")
     assert "CartesianProduct" not in plan
+
+
+def test_sql_surface_plans_match_dataframe_surface(spark):
+    """The SQL entry point is the same engine, not a parallel
+    implementation: the SQL-authored channel report compiles to the
+    same physical shape as the DataFrame chain (equal shuffle count,
+    same join strategies) — Catalyst doesn't care which surface
+    authored the plan."""
+    sql_plan = _plan(spark, "sql_channel_report")
+    df_plan = _plan(spark, "channel_report")
+    for marker in ("Exchange", "SortMergeJoin", "BroadcastHashJoin"):
+        assert sql_plan.count(marker) == df_plan.count(marker), (
+            f"{marker}: SQL {sql_plan.count(marker)} vs "
+            f"DataFrame {df_plan.count(marker)}"
+        )
+
+
+def test_sql_channel_report_values_equal_dataframe(spark):
+    """Value-level certificate on top of the shared oracle: the SQL and
+    DataFrame flagships return bit-identical rows (decimal-exact sums
+    make this deterministic)."""
+    qs = entry.queries()
+    a = sorted(map(tuple, qs["sql_channel_report"](spark, SF).collect()))
+    b = sorted(map(tuple, qs["channel_report"](spark, SF).collect()))
+    assert a == b
+
+
+def test_sql_activity_profile_shares_user_partitioning(spark):
+    """agg → window → re-agg on user_id: the window's user_id exchange
+    must be REUSED by the final aggregation — exactly 2 exchanges
+    ((user_id, day) for the daily agg, user_id for everything after),
+    never 3."""
+    plan = _plan(spark, "sql_user_activity_profile")
+    assert plan.count("Exchange") == 2, plan
