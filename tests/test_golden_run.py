@@ -79,6 +79,8 @@ def test_registry_order_lists_are_valid():
     """Every name in the emission-order lists must exist in the registry
     (a typo would silently fall back to registration order) and the
     emitted dict must cover the registry exactly once."""
+    import __spark_entry__  # noqa: F401 — populates the registry
+
     from data_engineering_challenge_spark import queries as q
 
     names = set(q.queries())
