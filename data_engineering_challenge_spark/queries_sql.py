@@ -21,6 +21,7 @@ correctly rounded; DuckDB: through VARCHAR, see `_dsum_sql`)."""
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -48,83 +49,22 @@ def _register_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
 # flagship restated in SQL: the channel report
 # --------------------------------------------------------------------------
 
-#: Spark-dialect twin of queries._SQL_REPORT (the DuckDB oracle): same CTE
-#: structure, same decimal discipline; only the decimal→double edge and the
-#: view names differ.
-_SPARK_SQL_REPORT = """
-WITH sessions AS (
-    SELECT event_id AS session_id,
-           user_id,
-           ts,
-           event_type AS channel_name,
-           CAST(event_id % 2 AS INTEGER) AS holder_engagement,
-           CAST(event_id % 3 = 0 AS INTEGER) AS closer_engagement,
-           CAST(event_id % 5 = 0 AS INTEGER) AS impression_interaction
-    FROM sqlq_events
-),
-conversions AS (
-    SELECT event_id AS conv_id, user_id, ts AS conv_ts, value AS revenue
-    FROM sqlq_events
-    WHERE event_type = 'purchase'
-),
-costs AS (
-    SELECT event_id AS session_id, value * 0.1 AS cost
-    FROM sqlq_events
-    WHERE event_id % 10 <> 0
-),
-journeys AS (
-    SELECT c.conv_id AS conversion_id,
-           s.session_id,
-           s.ts,
-           s.holder_engagement,
-           s.closer_engagement,
-           c.revenue
-    FROM conversions c
-    JOIN sessions s
-      ON s.user_id = c.user_id AND s.ts <= c.conv_ts
-),
-scored AS (
-    SELECT conversion_id, session_id,
-           CASE
-             WHEN ROW_NUMBER() OVER w = 1 THEN 2.0
-             WHEN ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY conversion_id)
-                  THEN 2.0 * (1.0 + closer_engagement)
-             ELSE 1.0 * (1.0 + holder_engagement)
-           END AS raw
-    FROM journeys
-    WINDOW w AS (PARTITION BY conversion_id ORDER BY ts ASC, session_id ASC)
-),
-attributed AS (
-    SELECT conversion_id, session_id,
-           raw / SUM(raw) OVER (PARTITION BY conversion_id) AS ihc
-    FROM scored
-),
-session_data AS (
-    SELECT s.session_id, s.channel_name, CAST(s.ts AS DATE) AS date,
-           COALESCE(co.cost, 0.0) AS cost
-    FROM sessions s LEFT JOIN costs co ON s.session_id = co.session_id
-),
-attribution_data AS (
-    SELECT sd.channel_name, sd.date, sd.cost, a.ihc,
-           a.ihc * c.revenue AS ihc_revenue
-    FROM session_data sd
-    JOIN attributed a ON sd.session_id = a.session_id
-    JOIN conversions c ON a.conversion_id = c.conv_id
-),
-channel_date_report AS (
-    SELECT channel_name, date,
-           CAST(SUM(CAST(cost AS DECIMAL(28,10))) AS DOUBLE) AS cost,
-           CAST(SUM(CAST(ihc AS DECIMAL(28,10))) AS DOUBLE) AS ihc,
-           CAST(SUM(CAST(ihc_revenue AS DECIMAL(28,10))) AS DOUBLE)
-               AS ihc_revenue
-    FROM attribution_data
-    GROUP BY channel_name, date
-)
-SELECT channel_name, date, cost, ihc, ihc_revenue,
-       CASE WHEN ihc <> 0.0 THEN cost / ihc ELSE 0.0 END AS CPO,
-       CASE WHEN cost <> 0.0 THEN ihc_revenue / cost ELSE 0.0 END AS ROAS
-FROM channel_date_report
-"""
+#: Spark-dialect twin of queries._SQL_REPORT — DERIVED from the oracle
+#: text itself (single source, zero drift risk for the role formulas and
+#: report math) by exactly two mechanical dialect rewrites:
+#: 1. the decimal→double edge: DuckDB needs the VARCHAR detour
+#:    (`_dsum_sql`, see its comment on int128→double rounding); Spark's
+#:    BigDecimal→double cast is correctly rounded, so the detour drops;
+#: 2. the base table name: the oracle reads the pre-registered `events`
+#:    view, Spark reads the `sqlq_events` temp view this module registers.
+_SPARK_SQL_REPORT = re.sub(
+    r"CAST\(CAST\((SUM\(CAST\(\w+ AS DECIMAL\(28,10\)\)\)) AS VARCHAR\)"
+    r" AS DOUBLE\)",
+    r"CAST(\1 AS DOUBLE)",
+    _SQL_REPORT,
+).replace("FROM events", "FROM sqlq_events")
+assert "VARCHAR" not in _SPARK_SQL_REPORT  # every dsum site rewritten
+assert "FROM events" not in _SPARK_SQL_REPORT
 
 
 @register("sql_channel_report", _SQL_REPORT)

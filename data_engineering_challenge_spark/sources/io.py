@@ -227,18 +227,29 @@ def publish_atomic(
             "an interrupted swap holds the only copies; call "
             "recover_interrupted_swap first"
         )
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(str(tmp_p))  # full write BEFORE any swap
-    for name, content in (extra_files or {}).items():
+    for name in extra_files or {}:
+        # validate BEFORE the (expensive) staging write
         if not name.startswith(("_", ".")):
             raise ValueError(
                 f"publish_atomic: extra file {name!r} must start with "
                 "'_' or '.' so data-source listings skip it"
             )
-        with open(os.path.join(tmp_p.toUri().getPath(), name), "w") as fh:
-            fh.write(content)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(tmp_p))  # full write BEFORE any swap
+    for name, content in (extra_files or {}).items():
+        # through the FileSystem API, not a local open(): the swap deals
+        # in fs paths (file://, hdfs://) and the marker must live on the
+        # same filesystem as the table it travels with
+        jvm = spark._jvm
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(tmp_p, name), True
+        )
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
     _swap_staged_in(fs, target, tmp_p, old_p, path)
 
 

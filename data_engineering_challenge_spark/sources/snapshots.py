@@ -181,6 +181,7 @@ def _commit(
     operation: str = "overwrite",
     seen_versions: set[int] | None = None,
     new_delete_files: list[dict] | None = None,
+    manifest_override: dict | None = None,
 ) -> int:
     """Two-phase commit with OPTIMISTIC writer-writer protection:
 
@@ -245,21 +246,25 @@ def _commit(
             all_fseq.setdefault(f, version)
         for d in new_delete_files or ():
             all_deletes.append({**d, "seq": version})
+        payload = {
+            "version": version,
+            "parent": parent,
+            "files": all_files,
+            "tag": tag,
+            "stats": all_stats,
+            "ts": time.time(),
+            "operation": operation,
+            "file_seq": all_fseq,
+            "delete_files": all_deletes,
+        }
+        # internal override hook (snapshot_restore): carry a historical
+        # version's file_seq/delete_files so its MoR state is preserved
+        # verbatim — never version/parent/ts
+        for k in ("file_seq", "delete_files"):
+            if manifest_override and k in manifest_override:
+                payload[k] = manifest_override[k]
         with open(staged, "w") as fh:
-            json.dump(
-                {
-                    "version": version,
-                    "parent": parent,
-                    "files": all_files,
-                    "tag": tag,
-                    "stats": all_stats,
-                    "ts": time.time(),
-                    "operation": operation,
-                    "file_seq": all_fseq,
-                    "delete_files": all_deletes,
-                },
-                fh,
-            )
+            json.dump(payload, fh)
         mpath = os.path.join(_manifest_dir(root), f"v{version}.json")
         try:
             os.link(staged, mpath)  # atomic claim: EEXIST on collision
@@ -384,6 +389,7 @@ def read_snapshot(
     root: str,
     version: int | None = None,
     merge_schema: bool = False,
+    _allow_mor_raw: bool = False,
 ) -> DataFrame:
     """Read one snapshot: ``version=None`` resolves _LATEST; an explicit
     number time-travels.  Exactly the manifest's files are read — no
@@ -391,15 +397,28 @@ def read_snapshot(
     groups.  ``merge_schema=True`` unions per-file-group schemas so a
     version whose appends EVOLVED the schema (added columns) reads with
     older files' missing columns as NULL — schema evolution without
-    rewriting history."""
+    rewriting history.
+
+    A manifest carrying MoR equality-delete files REFUSES a raw read
+    (deleted/superseded rows would silently resurface) — use
+    `read_snapshot_mor`, which degrades to this function when there are
+    no deletes.  ``_allow_mor_raw`` is the internal escape hatch for
+    callers that provably don't surface row content (schema-only
+    reads)."""
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"read_snapshot: no committed version at {root}")
-    files = _read_manifest(root, v)["files"]
+    m = _read_manifest(root, v)
+    if (m.get("delete_files") or []) and not _allow_mor_raw:
+        raise ValueError(
+            f"read_snapshot: v{v} carries MoR delete files — a raw read "
+            "would resurface deleted rows; use read_snapshot_mor (or "
+            "snapshot_compact to fold the deletes)"
+        )
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", True)
-    return reader.parquet(*[os.path.join(root, f) for f in files])
+    return reader.parquet(*[os.path.join(root, f) for f in m["files"]])
 
 
 def snapshot_append_clustered(
@@ -464,6 +483,12 @@ def read_snapshot_pruned(
     if v is None:
         raise FileNotFoundError(f"read_snapshot_pruned: no version at {root}")
     m = _read_manifest(root, v)
+    if m.get("delete_files"):
+        raise ValueError(
+            f"read_snapshot_pruned: v{v} carries MoR delete files — a "
+            "pruned raw scan would resurface deleted rows; run "
+            "snapshot_compact to fold the deletes, then prune"
+        )
     stats = m.get("stats") or {}
     keep = []
     for f in m["files"]:
@@ -481,7 +506,11 @@ def read_snapshot_pruned(
         term = F.col(c).between(clo, chi)
         pred = term if pred is None else pred & term
     if not keep:
-        return read_snapshot(spark, root, v).filter(pred).limit(0)
+        return (
+            read_snapshot(spark, root, v, _allow_mor_raw=True)
+            .filter(pred)
+            .limit(0)  # schema-only: no rows surface
+        )
     return (
         spark.read.parquet(*[os.path.join(root, f) for f in keep])
         .filter(pred)
@@ -565,7 +594,11 @@ def snapshot_merge_keys(
         # target as empty (a first batch of inserts just works)
         merged = upserts
     else:
-        current = read_snapshot(spark, root)
+        # MoR-aware read: a CoW merge after snapshot_mor_merge commits
+        # must not resurface MoR-deleted rows (degrades to a plain read
+        # when there are no delete files); the overwrite commit below
+        # carries no delete files, so the merge also FOLDS them
+        current = read_snapshot_mor(spark, root)
         kept = current.join(last.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(upserts)
     return snapshot_overwrite(merged, root, tag=tag, operation="merge")
@@ -640,9 +673,15 @@ def snapshot_mor_merge(
     os.makedirs(root, exist_ok=True)
     parent = current_version(root)
     seen = set(snapshot_versions(root))
-    upserts = last.filter(last[op_col] != "D").drop(op_col)
-    new_files = _write_files(upserts, root)
-    del_files = _write_files(last.select(*keys), root, kind="deletes")
+    # the window result feeds BOTH file writes — persist so the batch is
+    # shuffled/windowed once, not once per output (O(batch) means once)
+    last = last.persist()
+    try:
+        upserts = last.filter(last[op_col] != "D").drop(op_col)
+        new_files = _write_files(upserts, root)
+        del_files = _write_files(last.select(*keys), root, kind="deletes")
+    finally:
+        last.unpersist()
     return _commit(
         root,
         new_files,
@@ -687,6 +726,11 @@ def read_snapshot_mor(
     if merge_schema:
         reader = reader.option("mergeSchema", True)
     data = reader.parquet(*[os.path.join(root, f) for f in m["files"]])
+    out_cols = list(data.columns)
+    # uuid-suffixed internal names: user columns named "_rel"/"_seq"
+    # must never be clobbered or made ambiguous
+    sfx = uuid.uuid4().hex[:8]
+    rel_c, seq_c, dseq_c = f"_rel_{sfx}", f"_seq_{sfx}", f"_del_seq_{sfx}"
     # manifest-relative path = last 3 URI segments ("data/<uuid>/<file>")
     parts = F.split(F.col("_metadata.file_path"), "/")
     rel = F.concat_ws(
@@ -697,12 +741,9 @@ def read_snapshot_mor(
     )
     seq_map = spark.createDataFrame(
         [(f, int(fseq.get(f, 0))) for f in m["files"]],
-        "`_rel` STRING, `_seq` BIGINT",
+        f"`{rel_c}` STRING, `{seq_c}` BIGINT",
     )
-    data = data.withColumn("_rel", rel).join(
-        F.broadcast(seq_map), "_rel"
-    )
-    out_cols = [c for c in data.columns if c not in ("_rel", "_seq")]
+    data = data.withColumn(rel_c, rel).join(F.broadcast(seq_map), rel_c)
     # group delete files by their key set (usually one); anti-join each
     by_keys: dict[tuple, list[dict]] = {}
     for d in deletes:
@@ -712,10 +753,10 @@ def read_snapshot_mor(
         for d in dels:
             one = spark.read.parquet(
                 os.path.join(root, d["file"])
-            ).withColumn("_del_seq", F.lit(int(d["seq"])))
+            ).withColumn(dseq_c, F.lit(int(d["seq"])))
             side = one if side is None else side.unionByName(one)
         cond = [data[k] == side[k] for k in key_tuple]
-        cond.append(side["_del_seq"] > data["_seq"])
+        cond.append(side[dseq_c] > data[seq_c])
         data = data.join(
             F.broadcast(side),
             functools.reduce(lambda a, b: a & b, cond),
@@ -741,19 +782,58 @@ def read_snapshot_asof(
 
 
 def resolve_asof_version(root: str, ts: float) -> int:
-    """Newest committed version with commit time ≤ ``ts`` (legacy
-    manifests without a recorded time are ignored); raises if the
-    table has no commit that old."""
+    """Newest version ON THE CURRENT LINEAGE with commit time ≤ ``ts``
+    (legacy manifests without a recorded time are ignored); raises if
+    the lineage has no commit that old.
+
+    Lineage-restricted on purpose: a branch abandoned by `rollback`
+    must never be resurfaced by a timestamp lookup (its commits existed
+    at that wall-clock time, but the table's live history no longer
+    contains them — after a rollback, wall-clock reconstruction is
+    ambiguous and the lineage is the only answer that can't silently
+    surprise).  To keep history LINEAR so every commit stays timestamp-
+    addressable, undo with `snapshot_restore` (restore-as-a-commit)
+    instead of `rollback`.  An abandoned version remains readable by
+    explicit number."""
     best = None
-    for v in snapshot_versions(root):
-        mts = _read_manifest(root, v).get("ts")
-        if mts is not None and mts <= ts and (best is None or v > best):
+    cur = current_version(root)
+    v: int | None = cur
+    while v is not None:
+        m = _read_manifest(root, v)
+        mts = m.get("ts")
+        if mts is not None and mts <= ts:
             best = v
+            break  # ancestors are older — the first hit is the newest
+        v = m["parent"]
     if best is None:
         raise FileNotFoundError(
-            f"resolve_asof_version: no commit at or before ts={ts} in {root}"
+            f"resolve_asof_version: no commit at or before ts={ts} on "
+            f"the current lineage of {root}"
         )
     return best
+
+
+def snapshot_restore(root: str, version: int) -> int:
+    """RESTORE as a COMMIT (Delta ``RESTORE TABLE ... TO VERSION``): a
+    new version whose content is exactly ``version``'s — FILE REFERENCES
+    only (stats, per-file sequences, and MoR delete files carried
+    verbatim), no data copied or read — so undo is O(1) metadata like
+    `rollback`, but history stays LINEAR: the undone commits remain on
+    the lineage and `resolve_asof_version` keeps working for every
+    wall-clock instant.  Prefer this over `rollback` whenever timestamp
+    time travel matters."""
+    m = _read_manifest(root, version)  # raises if the version is unknown
+    return _commit(
+        root,
+        m["files"],
+        current_version(root),
+        stats=m.get("stats") or {},
+        operation="restore",
+        manifest_override={
+            "file_seq": m.get("file_seq") or {},
+            "delete_files": m.get("delete_files") or [],
+        },
+    )
 
 
 def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
@@ -860,7 +940,9 @@ def read_snapshot_changes(
         m = pm
     new_files = sorted(set(to_m["files"]) - set(m["files"]))
     if not new_files:
-        return read_snapshot(spark, root, to_version).limit(0)
+        return read_snapshot(
+            spark, root, to_version, _allow_mor_raw=True
+        ).limit(0)  # schema-only: no rows surface
     return spark.read.parquet(
         *[os.path.join(root, f) for f in new_files]
     )
@@ -924,7 +1006,10 @@ def refresh_incremental_agg(
         )
 
     if done is None:
-        merged = partial(read_snapshot(spark, root, cur))
+        # bootstrap reads MoR-aware: a table built with snapshot_mor_merge
+        # must not seed the view with deleted/superseded rows (no delete
+        # files -> identical to the plain read)
+        merged = partial(read_snapshot_mor(spark, root, cur))
     else:
         delta = partial(read_snapshot_changes(spark, root, done, cur))
         stored = spark.read.parquet(view_path)

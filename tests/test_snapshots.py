@@ -785,3 +785,160 @@ def test_snapshot_history_and_asof_resolution(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         sn.resolve_asof_version(root, h[0].ts - 1)
+
+
+def test_raw_reads_refuse_mor_manifests(spark, tmp_path):
+    """A manifest carrying equality-delete files refuses raw reads
+    (plain and pruned) instead of silently resurfacing deleted rows;
+    compaction folds the deletes and re-enables them."""
+    import pytest
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_mor_merge(
+        spark, root,
+        spark.createDataFrame([Row(k=1, v=10, _op="I"), Row(k=2, v=20, _op="I")]),
+        ["k"],
+    )
+    sn.snapshot_mor_merge(
+        spark, root, spark.createDataFrame([Row(k=1, v=0, _op="D")]), ["k"]
+    )
+    with pytest.raises(ValueError, match="MoR delete files"):
+        sn.read_snapshot(spark, root)
+    with pytest.raises(ValueError, match="MoR delete files"):
+        sn.read_snapshot_pruned(spark, root, "k", 0, 10)
+    sn.snapshot_compact(spark, root)
+    assert {r.k for r in sn.read_snapshot(spark, root).collect()} == {2}
+
+
+def test_cow_merge_after_mor_merge_respects_deletes(spark, tmp_path):
+    """Review-pass regression: a CoW merge following MoR commits must
+    read through the delete files — the old raw read resurrected
+    MoR-deleted keys and duplicated updated ones."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_mor_merge(
+        spark, root,
+        spark.createDataFrame(
+            [Row(k=1, v=10, _op="I"), Row(k=2, v=20, _op="I")]
+        ),
+        ["k"],
+    )
+    sn.snapshot_mor_merge(
+        spark, root,
+        spark.createDataFrame(
+            [Row(k=1, v=0, _op="D"), Row(k=2, v=21, _op="U")]
+        ),
+        ["k"],
+    )
+    # CoW merge touching an unrelated key
+    sn.snapshot_merge_keys(
+        spark, root, spark.createDataFrame([Row(k=5, v=50, _op="I")]), ["k"]
+    )
+    got = {r.k: r.v for r in sn.read_snapshot(spark, root).collect()}
+    assert got == {2: 21, 5: 50}, "k=1 must stay deleted, k=2 not duplicated"
+    # and the merge's overwrite folded the delete files
+    assert sn._read_manifest(root, sn.current_version(root))["delete_files"] == []
+
+
+def test_view_bootstrap_on_mor_table_applies_deletes(spark, tmp_path):
+    """Review-pass regression: the materialized view's bootstrap path
+    must aggregate the MoR-resolved table, not the raw data files."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    view = str(tmp_path / "view")
+    sn.snapshot_mor_merge(
+        spark, root,
+        spark.createDataFrame(
+            [Row(g="a", k=1, v=10, _op="I"), Row(g="a", k=2, v=20, _op="I")]
+        ),
+        ["k"],
+    )
+    sn.snapshot_mor_merge(
+        spark, root,
+        spark.createDataFrame([Row(g="a", k=1, v=0, _op="D")]),
+        ["k"],
+    )
+    sn.refresh_incremental_agg(spark, root, view, ["g"], ["v"])
+    got = {r.g: (r.n, r.v) for r in spark.read.parquet(view).collect()}
+    assert got == {"a": (1, 20)}, "deleted k=1 must not seed the view"
+
+
+def test_snapshot_restore_keeps_history_linear(spark, tmp_path):
+    """`snapshot_restore` is undo-as-a-commit: content returns to the
+    target version via file references (no data rewrite), history stays
+    linear, and timestamp resolution keeps working for every instant —
+    while `rollback`'s abandoned branches are excluded from as-of
+    lookups (readable only by explicit version)."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 5).coalesce(1), root)   # v0
+    sn.snapshot_append(_df(spark, 5, 8).coalesce(1), root)      # v1
+    v2 = sn.snapshot_restore(root, 0)                           # undo v1
+    assert v2 == 2
+    m2 = sn._read_manifest(root, 2)
+    assert m2["parent"] == 1 and m2["operation"] == "restore"
+    assert m2["files"] == sn._read_manifest(root, 0)["files"], (
+        "restore must reference v0's files, not copy them"
+    )
+    assert sn.read_snapshot(spark, root).count() == 5
+    # linear history: every wall-clock instant resolves sensibly
+    t1 = sn._read_manifest(root, 1)["ts"]
+    assert sn.resolve_asof_version(root, t1) == 1
+    assert sn.resolve_asof_version(root, m2["ts"] + 1) == 2
+
+    # restore of a MoR version carries its delete files verbatim
+    from pyspark.sql import Row
+
+    mor = str(tmp_path / "mor")
+    sn.snapshot_mor_merge(
+        spark, mor,
+        spark.createDataFrame([Row(k=1, v=10, _op="I"), Row(k=2, v=20, _op="I")]),
+        ["k"],
+    )
+    sn.snapshot_mor_merge(
+        spark, mor, spark.createDataFrame([Row(k=1, v=0, _op="D")]), ["k"]
+    )
+    sn.snapshot_compact(spark, mor)  # v2: folded
+    v3 = sn.snapshot_restore(mor, 1)  # back to the MoR state
+    m3 = sn._read_manifest(mor, v3)
+    assert m3["delete_files"] == sn._read_manifest(mor, 1)["delete_files"]
+    assert {r.k for r in sn.read_snapshot_mor(spark, mor).collect()} == {2}
+
+
+def test_asof_skips_abandoned_lineage(spark, tmp_path):
+    """After a rollback, as-of-ts resolution never resurfaces the
+    abandoned branch."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 3), root)   # v0
+    sn.snapshot_overwrite(_df(spark, 10, 20), root)  # v1 (to be abandoned)
+    sn.rollback(root, 0)
+    sn.snapshot_append(_df(spark, 3, 5), root)      # v2, parent 0
+    t1 = sn._read_manifest(root, 1)["ts"]
+    # v1's commit time falls between v0 and v2, but v1 is off-lineage
+    assert sn.resolve_asof_version(root, t1) == 0
+
+
+def test_mor_read_survives_reserved_column_names(spark, tmp_path):
+    """User columns named _rel/_seq must survive a MoR read unchanged
+    (internal plumbing names are uuid-suffixed)."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    rows = [
+        Row(k=1, _rel="a", _seq=7, _op="I"),
+        Row(k=2, _rel="b", _seq=8, _op="I"),
+    ]
+    sn.snapshot_mor_merge(spark, root, spark.createDataFrame(rows), ["k"])
+    sn.snapshot_mor_merge(
+        spark, root,
+        spark.createDataFrame([Row(k=1, _rel="x", _seq=0, _op="D")]),
+        ["k"],
+    )
+    got = [
+        (r.k, r._rel, r._seq)
+        for r in sn.read_snapshot_mor(spark, root).collect()
+    ]
+    assert got == [(2, "b", 8)]
