@@ -22,8 +22,20 @@ def parse_args(argv=None):
     p.add_argument("--config", default=None, help="Path to INI config")
     p.add_argument(
         "--step",
-        choices=["build-journeys", "send-to-api", "generate-report", "all"],
+        choices=["build-journeys", "send-to-api", "generate-report", "all", "dag"],
         default="all",
+    )
+    p.add_argument(
+        "--ready-flag",
+        default=None,
+        help="dag step: path of the data-ready flag to wait for "
+        "(FileSensor twin; omit to skip the sensor)",
+    )
+    p.add_argument(
+        "--poke-interval",
+        type=float,
+        default=300.0,
+        help="dag step: seconds between ready-flag polls",
     )
     p.add_argument("--start-date", help="YYYY-MM-DD inclusive")
     p.add_argument("--end-date", help="YYYY-MM-DD inclusive")
@@ -67,6 +79,21 @@ def main(argv=None) -> int:
     elif args.step == "generate-report":
         df = pipe.report(args.start_date, args.end_date)
         print(f"report rows: {df.count()}")
+    elif args.step == "dag":
+        from data_engineering_challenge_spark.orchestration import (
+            attribution_pipeline_graph,
+        )
+
+        g = attribution_pipeline_graph(
+            spark,
+            cfg,
+            args.start_date,
+            args.end_date,
+            ready_flag=args.ready_flag,
+            poke_interval_s=args.poke_interval,
+        )
+        for name, row in g.run().items():
+            print(f"{name}: {row['status']} ({row['seconds']:.1f}s)")
     else:
         df = pipe.run(args.start_date, args.end_date)
         print(f"report rows: {df.count() if df is not None else 0}")
