@@ -3044,3 +3044,82 @@ def q_streaming_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").alias("total_cents"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "ngram_coverage_score",
+    # all-integer counts + one int-ratio double at the edge; the md5
+    # bucket reuses the dataset_split idiom so the reference/candidate
+    # halves are reproducible across engines and reruns.
+    """
+WITH split AS (
+    SELECT doc_id, string_split(text, ' ') AS t,
+           CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS b
+    FROM documents
+), grams AS (
+    SELECT doc_id, b,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1])) AS g
+    FROM split
+), vocab AS (
+    SELECT DISTINCT g FROM grams WHERE b < 50
+), cand AS (
+    SELECT doc_id, g FROM grams WHERE b >= 50
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(v.g) AS BIGINT) AS n_covered,
+       COUNT(v.g) * 1.0 / COUNT(*) AS coverage
+FROM cand c LEFT JOIN vocab v ON c.g = v.g
+GROUP BY c.doc_id
+""",
+)
+def q_ngram_coverage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus n-gram COVERAGE scoring (the CCNet-style novelty /
+    domain-fit signal a curation pipeline uses instead of an LM when
+    log-probs would be engine-unportable): the md5-bucket half of the
+    corpus (b < 50, same idiom as `dataset_split`) acts as the
+    REFERENCE; every candidate document is scored by the fraction of
+    its word-bigram occurrences that appear anywhere in the reference
+    vocabulary.  Low coverage ⇒ novel/out-of-domain (or noise); high ⇒
+    well-trodden text.  Occurrence-level counting (no within-doc
+    dedup), so the score weights repeated phrases — the behavior LM
+    perplexity would have.
+
+    Exactness: bigram membership is string equality, counts are
+    bigints, coverage is one int-ratio double — hash-identical in both
+    engines (no logs, no float accumulation).
+
+    Scale: bigram explosion is map-side; the vocab is DISTINCT bigrams
+    only (≪ occurrences) and the probe is one shuffled equi-join on the
+    gram key — at 100 TB you'd xxhash64 the grams to bigints first
+    (same join shape, 8-byte keys) and Bloom-prefilter the probe side
+    exactly like `contamination_bloom` does; the oracle keeps plain
+    strings for portability."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    grams = docs.select(
+        "doc_id",
+        bucket.alias("b"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat(split(text, ' ')[i], ' ',"
+                " split(text, ' ')[i+1]))"
+            )
+        ).alias("g"),
+    )
+    vocab = grams.filter(F.col("b") < 50).select("g").distinct()
+    cand = grams.filter(F.col("b") >= 50).select("doc_id", "g")
+    probe = cand.join(
+        vocab.withColumn("_hit", F.lit(1)), "g", "left"
+    )
+    return probe.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.count("_hit").alias("n_covered"),
+        (F.count("_hit") * F.lit(1.0) / F.count("*")).alias("coverage"),
+    )
