@@ -152,6 +152,7 @@ _TAIL = [
     "streaming_stream_stream_journeys",
     "cdc_apply_replay",
     "streaming_incremental_report",
+    "streaming_snapshot_cdc",
     "ivf_topk",
     "pq_topk",
 ]

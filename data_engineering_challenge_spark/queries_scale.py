@@ -1894,3 +1894,79 @@ def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version", "parent", "operation", "n_files",
         "files_added", "files_removed", "is_current", "n_rows",
     )
+
+
+@register(
+    "streaming_snapshot_cdc",
+    # The epoch split is by event_id median, so epoch precedence and seq
+    # precedence coincide: per key the highest event_id's change wins —
+    # one global ranking replays the whole streamed merge in SQL.
+    """
+WITH feed AS (
+    SELECT user_id AS k,
+           event_id AS seq,
+           CASE WHEN event_id % 6 = 0 THEN 'D' ELSE 'U' END AS op,
+           value AS v
+    FROM events
+),
+ranked AS (
+    SELECT k, seq, op, v,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM feed
+)
+SELECT k AS user_id, seq AS last_seq, v AS last_value
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+""",
+)
+def q_streaming_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`run_streaming_snapshot_cdc_sink` end-to-end (SURVEY.md §2.9 ∩
+    the table-format family): the events table becomes a U/D change feed
+    split into two micro-batches at the event_id median, streamed
+    through the EXACTLY-ONCE MoR CDC sink (each epoch = one tagged
+    `snapshot_mor_merge` commit — O(micro-batch) writes), and the merged
+    table read back through `read_snapshot_mor` must equal the wholesale
+    SQL replay.  Certifies the streaming MoR path with a value hash the
+    same way `streaming_snapshot_ingest` certifies the append sink.
+    Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from . import roles
+    from .sources import snapshots as sn
+
+    key = ("streaming_snapshot_cdc", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="snap_scdc_")
+        events = roles.load_events(spark, sf_dir)
+        feed = events.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_id") % 6 == 0, "D")
+            .otherwise("U")
+            .alias("_op"),
+            F.col("value").alias("v"),
+        )
+        cut = feed.approxQuantile("seq", [0.5], 0.0)[0]  # scalar probe
+        feed.filter(F.col("seq") <= cut).coalesce(1).write.parquet(
+            f"{tmp}/src/b0"
+        )
+        feed.filter(F.col("seq") > cut).coalesce(1).write.parquet(
+            f"{tmp}/src/b1"
+        )
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/src/b*")
+        )
+        sn.run_streaming_snapshot_cdc_sink(
+            stream, f"{tmp}/tbl", f"{tmp}/ckpt", ["k"], seq_col="seq"
+        )
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/tbl"
+    from .sources import snapshots as sn2
+
+    return sn2.read_snapshot_mor(spark, out).select(
+        F.col("k").alias("user_id"),
+        F.col("seq").alias("last_seq"),
+        F.col("v").alias("last_value"),
+    )

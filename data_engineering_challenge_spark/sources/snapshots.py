@@ -876,6 +876,86 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def snapshot_delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    keys: list[str],
+    tag: str | None = None,
+) -> int:
+    """Predicate DELETE via merge-on-read — the GDPR/right-to-erasure
+    shape at 100 TB: commit ONE equality-delete file holding the keys of
+    every currently-visible row matching ``predicate`` (a Column or SQL
+    string), touching no data files.  Cost is one filtered scan plus a
+    key-list write; the rows vanish from every subsequent
+    `read_snapshot_mor` and `snapshot_compact` later reclaims the bytes.
+    History is preserved: older versions still show the rows (for true
+    physical erasure, compact then `expire_versions` + `vacuum_orphans`
+    — the same two-phase story as Delta/Iceberg).  ``tag`` gives the
+    usual idempotent-replay contract."""
+    from pyspark.sql import functions as F
+
+    if tag is not None:
+        v = _resume_tagged_commit(root, tag)
+        if v is not None:
+            return v
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    hit_keys = (
+        read_snapshot_mor(spark, root).filter(predicate).select(*keys).distinct()
+    )
+    del_files = _write_files(hit_keys, root, kind="deletes")
+    parent = current_version(root)
+    seen = set(snapshot_versions(root))
+    return _commit(
+        root,
+        [],  # no data files added — metadata + one key list only
+        parent,
+        tag=tag,
+        rebase_append=True,
+        operation="delete-where",
+        seen_versions=seen,
+        new_delete_files=[{"file": f, "keys": keys} for f in del_files],
+    )
+
+
+def run_streaming_snapshot_cdc_sink(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    op_col: str = "_op",
+    seq_col: str | None = None,
+) -> None:
+    """EXACTLY-ONCE streaming CDC into a snapshot table via MERGE-ON-READ:
+    each micro-batch applies `snapshot_mor_merge` with ``tag=
+    f"epoch-{id}"``, so a checkpoint-recovery replay finds its tagged
+    commit and no-ops — the streaming twin of the batch MoR merge, and
+    the write-cheap alternative to replaying CDC through `apply_cdc`'s
+    partition swaps when time travel / audit history of the merged table
+    is wanted.  Per-epoch write cost is O(micro-batch) (upserts + one
+    delete key list); compaction policy stays the consumer's knob."""
+
+    def handle(bdf: DataFrame, epoch_id: int) -> None:
+        snapshot_mor_merge(
+            bdf.sparkSession,
+            root,
+            bdf,
+            keys,
+            op_col=op_col,
+            tag=f"epoch-{int(epoch_id)}",
+            seq_col=seq_col,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_streaming_snapshot_sink(
     stream_df: DataFrame, root: str, checkpoint_dir: str
 ) -> None:

@@ -942,3 +942,91 @@ def test_mor_read_survives_reserved_column_names(spark, tmp_path):
         for r in sn.read_snapshot_mor(spark, root).collect()
     ]
     assert got == [(2, "b", 8)]
+
+
+def test_delete_where_is_metadata_plus_keylist(spark, tmp_path):
+    """Predicate delete: no data files rewritten, rows vanish from MoR
+    reads, history preserved, compaction reclaims, tagged replay no-ops."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10), root)  # v0: id 0..9, v = 2*id
+    before_files = set(sn._read_manifest(root, 0)["files"])
+    v1 = sn.snapshot_delete_where(
+        spark, root, "v >= 10", ["id"], tag="gdpr-1"
+    )
+    m1 = sn._read_manifest(root, v1)
+    assert set(m1["files"]) == before_files, "no data files touched"
+    assert len(m1["delete_files"]) >= 1
+    assert m1["operation"] == "delete-where"
+    got = {r.id for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert got == {0, 1, 2, 3, 4}  # v = 2*id >= 10 → ids 5..9 deleted
+    # history: v0 still shows everything
+    assert sn.read_snapshot(spark, root, 0).count() == 10
+    # tagged replay is a no-op
+    assert sn.snapshot_delete_where(
+        spark, root, "v >= 10", ["id"], tag="gdpr-1"
+    ) == v1
+    # compaction folds; physical erasure path = expire + vacuum
+    sn.snapshot_compact(spark, root)
+    assert sn.read_snapshot(spark, root).count() == 5
+
+
+def test_streaming_cdc_sink_exactly_once_mor(spark, tmp_path):
+    """The streaming MoR CDC sink applies each micro-batch as a tagged
+    snapshot_mor_merge: the merged table equals the batch replay and a
+    checkpoint-recovery rerun duplicates nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    tmp = str(tmp_path)
+    feed = spark.range(0, 200).select(
+        (F.col("id") % 40).alias("k"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 3).alias("v"),
+        F.when(F.col("id") % 7 == 0, "D").otherwise("U").alias("_op"),
+    )
+    # two micro-batches split by seq median
+    feed.filter(F.col("seq") < 100).coalesce(1).write.parquet(f"{tmp}/src/b0")
+    feed.filter(F.col("seq") >= 100).coalesce(1).write.parquet(f"{tmp}/src/b1")
+
+    def run():
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/src/b*")
+        )
+        sn.run_streaming_snapshot_cdc_sink(
+            stream, f"{tmp}/tbl", f"{tmp}/ckpt", ["k"], seq_col="seq"
+        )
+
+    run()
+    got = {
+        (r.k, r.seq, r.v)
+        for r in sn.read_snapshot_mor(spark, f"{tmp}/tbl").collect()
+    }
+    # batch oracle: last change per key by (epoch of arrival, seq) —
+    # files arrive in path order b0, b1 so plain seq ordering holds
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    want = {
+        (r.k, r.seq, r.v)
+        for r in feed.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND _op <> 'D'")
+        .select("k", "seq", "v")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # replay after wiping the checkpoint: every epoch tag already
+    # committed → no duplicates, same table
+    import shutil
+
+    versions_before = sn.snapshot_versions(f"{tmp}/tbl")
+    shutil.rmtree(f"{tmp}/ckpt")
+    run()
+    assert sn.snapshot_versions(f"{tmp}/tbl") == versions_before
+    got2 = {
+        (r.k, r.seq, r.v)
+        for r in sn.read_snapshot_mor(spark, f"{tmp}/tbl").collect()
+    }
+    assert got2 == got
