@@ -1113,3 +1113,91 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_extendedprice").alias("raw_total"),
         dsum("w_price").alias("winsorized_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# time-series gap filling: date spine + forward fill (round 6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_forward",
+    f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_dsum_sql('value')} AS total
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+), bounds AS (
+    SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily
+), spine AS (
+    SELECT t.event_type, CAST(g.s AS DATE) AS d
+    FROM (SELECT DISTINCT event_type FROM events) t,
+         (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                        (SELECT hi FROM bounds),
+                                        INTERVAL 1 DAY)) AS s) g
+)
+SELECT s.event_type, s.d,
+       COALESCE(dl.n, CAST(0 AS BIGINT)) AS n_events,
+       LAST_VALUE(dl.total IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_total,
+       CAST(dl.n IS NULL AS INTEGER) AS is_filled
+FROM spine s
+LEFT JOIN daily dl ON s.event_type = dl.event_type AND s.d = dl.d
+""",
+)
+def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILLING: a dense (event_type × day) date spine
+    over the observed range, left-joined with the daily aggregates and
+    FORWARD-FILLED (``last_value`` with ignorenulls) — the
+    resample-and-ffill operator every metrics/feature pipeline needs
+    before windowed math (a rolling mean over a gappy series silently
+    shrinks its denominator; over the filled spine it means what it
+    says).  `is_filled` keeps provenance so downstream can distinguish
+    observation from carry-forward.
+
+    Exactness: daily totals are decimal-exact doubles and forward fill
+    COPIES bits, so the filled series hash-matches; the spine is pure
+    date arithmetic.
+
+    Scale: the spine is |types| × |days| — metadata-sized next to the
+    events table — built with `sequence`/`explode` (map-side); the fill
+    is one window per type partition, the same single-shuffle shape as
+    the rolling family.  At 100 TB the spine stays tiny; only the daily
+    pre-aggregation scans the data."""
+    from . import roles
+
+    events = roles.load_events(spark, sf_dir)
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"), dsum("value").alias("total"))
+    bounds = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))  # 1-row frame: metadata, not data
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    joined = spine.join(daily, ["event_type", "d"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "d",
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
+        F.last("total", ignorenulls=True).over(w).alias("filled_total"),
+        F.col("n").isNull().cast("int").alias("is_filled"),
+    )
