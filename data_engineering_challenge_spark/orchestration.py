@@ -98,7 +98,10 @@ class StepGraph:
         ``context['results'][name]`` so downstream steps can read
         upstream outputs — though production steps should hand each
         other TABLE PATHS, not objects).  Returns the run report:
-        {step: {status, seconds, error}}."""
+        {step: {status, seconds, error}}.  On failure the exception is
+        re-raised with the partial report (failed step + skipped
+        downstream) attached as ``exc.step_report`` so callers can
+        still render per-step status after a crash."""
         ctx = dict(context or {})
         ctx.setdefault("results", {})
         report: dict[str, dict] = {}
@@ -121,6 +124,7 @@ class StepGraph:
                         "seconds": 0.0,
                         "error": None,
                     }
+                exc.step_report = report  # observable after the raise
                 raise
             report[name] = {
                 "status": "ok",
@@ -134,7 +138,14 @@ class StepGraph:
         from the same graph) — the deployment adapter for the reference's
         scheduler (reference dags/attribution_pipeline_dag.py:45-81 runs
         the identical step sequence as pod operators).  IMPORT-GATED:
-        raises ImportError with the package name if Airflow is absent."""
+        raises ImportError with the package name if Airflow is absent.
+
+        RESTRICTION: under Airflow every task runs in its own process,
+        so each step gets a FRESH empty context — a graph whose steps
+        read upstream outputs via ``ctx['results']`` works under
+        `run()` but not here.  Steps must communicate through storage
+        paths (the module's stated production discipline; the
+        attribution graph already does)."""
         try:
             from airflow import DAG
             from airflow.operators.python import PythonOperator
@@ -193,9 +204,19 @@ def attribution_pipeline_graph(
     through the parquet paths in ``cfg`` (the reference's shared /data
     volume), so each step is restartable in isolation and the graph is
     trivially splittable into one Spark submit per step."""
+    import os as _os
+
     from .pipeline import AttributionPipeline
 
     pipe = AttributionPipeline(spark, cfg)
+
+    def _written_count(path: str) -> int:
+        """Row count of the artifact a step just WROTE — a footer-
+        metadata read of the materialized parquet, never a re-execution
+        of the step's lazy plan (re-running attribute()'s plan would
+        re-fire every external HTTP scorer call)."""
+        return spark.read.parquet(path).count()
+
     g = StepGraph()
     sensor: list[str] = []
     if ready_flag is not None:
@@ -206,19 +227,22 @@ def attribution_pipeline_graph(
             ),
         )
         sensor = ["wait_for_data"]
-    g.add(
-        "build_journeys",
-        lambda ctx: pipe.build_journeys(start_date, end_date).count(),
-        upstream=sensor,
-    )
-    g.add(
-        "send_to_api",
-        lambda ctx: pipe.attribute().count(),
-        upstream=["build_journeys"],
-    )
-    g.add(
-        "generate_report",
-        lambda ctx: pipe.report(start_date, end_date).count(),
-        upstream=["send_to_api"],
-    )
+
+    def step_journeys(ctx: dict) -> int:
+        pipe.build_journeys(start_date, end_date)  # writes journeys_path
+        return _written_count(cfg.journeys_path)
+
+    def step_attribute(ctx: dict) -> int:
+        pipe.attribute()  # writes attribution_customer_journey
+        return _written_count(
+            _os.path.join(cfg.table_dir, "attribution_customer_journey")
+        )
+
+    def step_report(ctx: dict) -> int:
+        pipe.report(start_date, end_date)  # writes report_path
+        return _written_count(cfg.report_path)
+
+    g.add("build_journeys", step_journeys, upstream=sensor)
+    g.add("send_to_api", step_attribute, upstream=["build_journeys"])
+    g.add("generate_report", step_report, upstream=["send_to_api"])
     return g

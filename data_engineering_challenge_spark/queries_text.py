@@ -3102,16 +3102,25 @@ def q_ngram_coverage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint") % 100
     )
-    grams = docs.select(
-        "doc_id",
-        bucket.alias("b"),
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(split(text, ' ')) - 2),"
-                " i -> concat(split(text, ' ')[i], ' ',"
-                " split(text, ' ')[i+1]))"
-            )
-        ).alias("g"),
+    # the size >= 2 guard matters: Spark's sequence(0, size-2) with a
+    # single-token doc is sequence(0, -1) = [0, -1] (DESCENDING), which
+    # would fabricate two null-gram rows while DuckDB's range(1, 1) is
+    # empty and drops the doc — short docs must vanish in BOTH engines
+    grams = (
+        docs.select(
+            "doc_id", bucket.alias("b"), F.split("text", " ").alias("t")
+        )
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "b",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat(t[i], ' ', t[i+1]))"
+                )
+            ).alias("g"),
+        )
     )
     vocab = grams.filter(F.col("b") < 50).select("g").distinct()
     cand = grams.filter(F.col("b") >= 50).select("doc_id", "g")

@@ -182,6 +182,7 @@ def _commit(
     seen_versions: set[int] | None = None,
     new_delete_files: list[dict] | None = None,
     manifest_override: dict | None = None,
+    conflict_mode: str = "rebase",
 ) -> int:
     """Two-phase commit with OPTIMISTIC writer-writer protection:
 
@@ -224,6 +225,18 @@ def _commit(
         if rebase_append:
             for v in sorted(set(existing) - seen):
                 if v != parent and _descends_from(root, v, parent):
+                    if conflict_mode == "serialize":
+                        # the caller's decision was computed against a
+                        # snapshot that is no longer the head — rebasing
+                        # would apply a stale decision (e.g. a predicate
+                        # delete killing rows it never evaluated); abort
+                        # and let the caller recompute against the head
+                        raise SnapshotConflictError(
+                            f"_commit: concurrent commit v{v} landed "
+                            f"after the caller read v{parent} — "
+                            "serializable operation must be retried "
+                            "against the new head"
+                        )
                     parent = v  # rebase onto the concurrent sibling
             if parent is None:
                 all_files, all_stats = list(files), dict(stats or {})
@@ -280,6 +293,12 @@ def _commit(
         _advance_latest(root, version)
         return version
     raise RuntimeError("_commit: could not claim a version (contention)")
+
+
+class SnapshotConflictError(RuntimeError):
+    """A serializable commit found a concurrent commit it cannot rebase
+    over (the caller's read snapshot went stale) — retry the whole
+    operation against the new table head."""
 
 
 def _descends_from(root: str, v: int, anc: int | None) -> bool:
@@ -876,6 +895,17 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def _stream_app_id(checkpoint_dir: str) -> str:
+    """Stable stream identity from the checkpoint path (Delta txnAppId
+    analog): same checkpoint ⇒ same tags ⇒ replays no-op; different
+    checkpoint ⇒ disjoint tags ⇒ two streams can share a table."""
+    import hashlib
+
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:10]
+
+
 def snapshot_delete_where(
     spark: SparkSession,
     root: str,
@@ -892,7 +922,15 @@ def snapshot_delete_where(
     History is preserved: older versions still show the rows (for true
     physical erasure, compact then `expire_versions` + `vacuum_orphans`
     — the same two-phase story as Delta/Iceberg).  ``tag`` gives the
-    usual idempotent-replay contract."""
+    usual idempotent-replay contract.
+
+    Concurrency is SERIALIZABLE, not rebase-merge: the key list was
+    computed by evaluating ``predicate`` against one specific snapshot,
+    so if a concurrent commit lands first the decision is stale — a
+    rebased delete could kill rows the sibling just wrote that were
+    never evaluated (Iceberg aborts the same way).  On conflict the
+    whole operation retries against the new head: re-read, re-filter,
+    re-commit (bounded attempts, then `SnapshotConflictError`)."""
     from pyspark.sql import functions as F
 
     if tag is not None:
@@ -901,21 +939,36 @@ def snapshot_delete_where(
             return v
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
-    hit_keys = (
-        read_snapshot_mor(spark, root).filter(predicate).select(*keys).distinct()
-    )
-    del_files = _write_files(hit_keys, root, kind="deletes")
-    parent = current_version(root)
-    seen = set(snapshot_versions(root))
-    return _commit(
-        root,
-        [],  # no data files added — metadata + one key list only
-        parent,
-        tag=tag,
-        rebase_append=True,
-        operation="delete-where",
-        seen_versions=seen,
-        new_delete_files=[{"file": f, "keys": keys} for f in del_files],
+    last_err: Exception | None = None
+    for _ in range(5):
+        parent = current_version(root)
+        seen = set(snapshot_versions(root))
+        hit_keys = (
+            read_snapshot_mor(spark, root)
+            .filter(predicate)
+            .select(*keys)
+            .distinct()
+        )
+        del_files = _write_files(hit_keys, root, kind="deletes")
+        try:
+            return _commit(
+                root,
+                [],  # no data files added — metadata + one key list only
+                parent,
+                tag=tag,
+                rebase_append=True,
+                operation="delete-where",
+                seen_versions=seen,
+                new_delete_files=[
+                    {"file": f, "keys": keys} for f in del_files
+                ],
+                conflict_mode="serialize",
+            )
+        except SnapshotConflictError as exc:
+            last_err = exc  # head moved — re-evaluate against it
+    raise SnapshotConflictError(
+        f"snapshot_delete_where: gave up after 5 conflicted attempts "
+        f"({last_err})"
     )
 
 
@@ -934,7 +987,17 @@ def run_streaming_snapshot_cdc_sink(
     the write-cheap alternative to replaying CDC through `apply_cdc`'s
     partition swaps when time travel / audit history of the merged table
     is wanted.  Per-epoch write cost is O(micro-batch) (upserts + one
-    delete key list); compaction policy stays the consumer's knob."""
+    delete key list); compaction policy stays the consumer's knob.
+
+    Tags are SCOPED to the stream identity (Delta's txnAppId pattern):
+    the checkpoint path hashes into the tag, so two different streams
+    feeding the same table can both start at epoch 0 without one
+    swallowing the other's batches.  Re-running the SAME checkpoint
+    path replays identically and no-ops; wiping a checkpoint while
+    pointing NEW data at the same path violates the contract (as it
+    does for every txn-dedup sink) — use a fresh checkpoint dir for a
+    new feed."""
+    app = _stream_app_id(checkpoint_dir)
 
     def handle(bdf: DataFrame, epoch_id: int) -> None:
         snapshot_mor_merge(
@@ -943,7 +1006,7 @@ def run_streaming_snapshot_cdc_sink(
             bdf,
             keys,
             op_col=op_col,
-            tag=f"epoch-{int(epoch_id)}",
+            tag=f"cdc-{app}-epoch-{int(epoch_id)}",
             seq_col=seq_col,
         )
 
@@ -966,10 +1029,16 @@ def run_streaming_snapshot_sink(
     manifest is the transaction log (the foreachBatch twin of the
     `_batch=<epoch>` partition trick, but with time travel and
     incremental scans of the result for free: consumers read each
-    batch's delta via `read_snapshot_changes`)."""
+    batch's delta via `read_snapshot_changes`).
+
+    Tags are scoped to the stream identity via the checkpoint path
+    (see `run_streaming_snapshot_cdc_sink` — same txnAppId pattern), so
+    a second stream appending to the same table never collides with
+    this one's epoch numbering."""
+    app = _stream_app_id(checkpoint_dir)
 
     def handle(bdf: DataFrame, epoch_id: int) -> None:
-        snapshot_append(bdf, root, tag=f"epoch-{int(epoch_id)}")
+        snapshot_append(bdf, root, tag=f"append-{app}-epoch-{int(epoch_id)}")
 
     q = (
         stream_df.writeStream.foreachBatch(handle)
@@ -1009,13 +1078,20 @@ def read_snapshot_changes(
                 f"v{parent} — the delta is not append-only; diff the "
                 "time-traveled reads instead"
             )
-        if len(m.get("delete_files") or []) > len(
-            pm.get("delete_files") or []
-        ):
+        def _delkey(man: dict) -> set:
+            return {
+                (d["file"], d["seq"]) for d in man.get("delete_files") or []
+            }
+
+        if _delkey(m) != _delkey(pm):
+            # ANY delete-set change breaks added-rows semantics: an
+            # added delete file removes rows, and a restore that DROPS
+            # delete files (undoing a delete-where) resurrects rows —
+            # both invisible to a file-set diff, so both must fail loud
             raise ValueError(
-                f"read_snapshot_changes: v{m['version']} added MoR "
-                "delete files — the delta is not expressible as added "
-                "rows; diff the time-traveled MoR reads instead"
+                f"read_snapshot_changes: v{m['version']} changed the "
+                "MoR delete-file set — the delta is not expressible as "
+                "added rows; diff the time-traveled MoR reads instead"
             )
         m = pm
     new_files = sorted(set(to_m["files"]) - set(m["files"]))

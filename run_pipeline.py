@@ -92,7 +92,13 @@ def main(argv=None) -> int:
             ready_flag=args.ready_flag,
             poke_interval_s=args.poke_interval,
         )
-        for name, row in g.run().items():
+        try:
+            report = g.run()
+        except Exception as exc:
+            for name, row in getattr(exc, "step_report", {}).items():
+                print(f"{name}: {row['status']} ({row['seconds']:.1f}s)")
+            raise
+        for name, row in report.items():
             print(f"{name}: {row['status']} ({row['seconds']:.1f}s)")
     else:
         df = pipe.run(args.start_date, args.end_date)

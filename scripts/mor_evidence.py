@@ -66,10 +66,12 @@ def main() -> int:
             .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
             .withColumn("_op", F.lit("U"))
         )
+        # per-batch offsets of 10M keep insert keys disjoint from the
+        # base key range AND from every other batch's inserts (base
+        # o_orderkey spans far more than batch_rows, so a small offset
+        # would silently turn later inserts into updates)
         ins = orders.limit(args.batch_rows // 2).select(
-            (F.col("o_orderkey") + 10_000_000 + i * args.batch_rows).alias(
-                "o_orderkey"
-            ),
+            (F.col("o_orderkey") + (i + 1) * 10_000_000).alias("o_orderkey"),
             "o_custkey",
             "o_totalprice",
             F.lit("I").alias("_op"),

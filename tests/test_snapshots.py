@@ -138,11 +138,24 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
     versions = sn.snapshot_versions(root)
     assert len(versions) == 2
 
-    # replay of an already-committed epoch: no-op, no duplicates
-    v = sn.snapshot_append(_df(spark, 0, 10), root, tag="epoch-0")
+    # replay of an already-committed epoch UNDER THE SAME STREAM
+    # IDENTITY (tags are scoped by checkpoint path): no-op, no dupes
+    app = sn._stream_app_id(str(tmp_path / "ckpt"))
+    v = sn.snapshot_append(
+        _df(spark, 0, 10), root, tag=f"append-{app}-epoch-0"
+    )
     assert v in versions
     assert sn.snapshot_versions(root) == versions
     assert sn.read_snapshot(spark, root).count() == 20
+
+    # a DIFFERENT stream identity starting at epoch 0 must NOT be
+    # swallowed by this stream's tags (the txnAppId property)
+    app2 = sn._stream_app_id(str(tmp_path / "ckpt2"))
+    v2 = sn.snapshot_append(
+        _df(spark, 100, 105), root, tag=f"append-{app2}-epoch-0"
+    )
+    assert v2 not in versions
+    assert sn.read_snapshot(spark, root).count() == 25
 
     # each batch's delta is incrementally scannable
     delta = sn.read_snapshot_changes(spark, root, versions[0], versions[1])
