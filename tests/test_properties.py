@@ -682,3 +682,65 @@ def test_cdc_feed_closure_property(spark, tmp_path_factory, versions):
     }
     assert got == set(new_d.items())
     shutil.rmtree(str(tmp), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read vs copy-on-write vs dict replay: any I/U/D batch sequence
+# must leave all three in exactly the same state
+# ---------------------------------------------------------------------------
+
+
+@given(batches=cdc_batches_strategy)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_mor_merge_matches_cow_and_dict_replay(spark, tmp_path_factory, batches):
+    """Model check: `snapshot_mor_merge` (delete files at read) and
+    `snapshot_merge_keys` (copy-on-write) applied batch-by-batch must
+    both equal naive dict replay for EVERY feed hypothesis generates —
+    including re-insert-after-delete, same-key churn within a batch
+    (arrival order wins, matching the dict), and delete-of-absent-key."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from data_engineering_challenge_spark.sources import snapshots as sn
+
+    d = tmp_path_factory.mktemp("mor_prop")
+    mor, cow = str(d / "mor"), str(d / "cow")
+    model: dict[int, int] = {}
+    try:
+        for batch in batches:
+            for k, v, op in batch:
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+            # seq = within-batch arrival index, so the engines' ordering
+            # contract matches the dict's last-write-wins exactly even
+            # after the repartition scatters physical arrival
+            bdf = spark.createDataFrame(
+                [
+                    Row(k=k, v=v, _op=op, seq=i)
+                    for i, (k, v, op) in enumerate(batch)
+                ]
+            ).repartition(3)
+            sn.snapshot_mor_merge(spark, mor, bdf, ["k"], seq_col="seq")
+            sn.snapshot_merge_keys(spark, cow, bdf, ["k"], seq_col="seq")
+            got_mor = {
+                r.k: r.v
+                for r in sn.read_snapshot_mor(spark, mor)
+                .select("k", "v")
+                .collect()
+            }
+            got_cow = {
+                r.k: r.v
+                for r in sn.read_snapshot(spark, cow)
+                .select("k", "v")
+                .collect()
+            }
+            assert got_mor == got_cow == model, (batch, got_mor, got_cow, model)
+    finally:
+        shutil.rmtree(str(d), ignore_errors=True)

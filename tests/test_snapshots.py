@@ -1043,3 +1043,38 @@ def test_streaming_cdc_sink_exactly_once_mor(spark, tmp_path):
         for r in sn.read_snapshot_mor(spark, f"{tmp}/tbl").collect()
     }
     assert got2 == got
+
+
+def test_delete_where_conflict_retries_against_new_head(
+    spark, tmp_path, monkeypatch
+):
+    """Serializable delete: a concurrent commit landing between the
+    predicate evaluation and the commit must trigger a RETRY that
+    re-evaluates against the new head — the stale key list would kill a
+    concurrently-updated row the predicate no longer matches."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10), root)  # id 0..9, v = 2*id
+
+    orig = sn._write_files
+    state = {"fired": False}
+
+    def hooked(df, r, stats_cols=None, kind="data"):
+        if kind == "deletes" and not state["fired"]:
+            state["fired"] = True  # set BEFORE the nested merge recurses
+            # concurrent writer updates id=7 to v=0 (no longer matching)
+            sn.snapshot_mor_merge(
+                spark,
+                root,
+                spark.createDataFrame([Row(id=7, v=0, _op="U")]),
+                ["id"],
+            )
+        return orig(df, r, stats_cols=stats_cols, kind=kind)
+
+    monkeypatch.setattr(sn, "_write_files", hooked)
+    sn.snapshot_delete_where(spark, root, "v >= 10", ["id"])
+    got = {r.id: r.v for r in sn.read_snapshot_mor(spark, root).collect()}
+    # ids 5,6,8,9 (v>=10) deleted; id 7 SURVIVES with its concurrent v=0
+    # — under the old rebase path its stale delete entry would kill it
+    assert got == {0: 0, 1: 2, 2: 4, 3: 6, 4: 8, 7: 0}
