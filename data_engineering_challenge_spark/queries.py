@@ -137,8 +137,8 @@ _CHEAP_FIRST = [
     "streaming_cms_heavy_hitters", "streaming_linear_trend",
     # round-6 additions, measured verify cost ascending (sf0.01)
     "sql_user_activity_profile", "sql_nation_revenue_share",
-    "snapshot_history", "gap_fill_forward", "ngram_coverage_score",
-    "sql_channel_report", "snapshot_mor_merge",
+    "snapshot_history", "gap_fill_forward", "events_variant_extract",
+    "ngram_coverage_score", "sql_channel_report", "snapshot_mor_merge",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and
