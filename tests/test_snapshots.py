@@ -1078,3 +1078,30 @@ def test_delete_where_conflict_retries_against_new_head(
     # ids 5,6,8,9 (v>=10) deleted; id 7 SURVIVES with its concurrent v=0
     # — under the old rebase path its stale delete entry would kill it
     assert got == {0: 0, 1: 2, 2: 4, 3: 6, 4: 8, 7: 0}
+
+
+def test_mor_read_plan_shape(spark, tmp_path):
+    """100 TB-readiness pin for `read_snapshot_mor`: ONE FileScan covers
+    ALL data file groups (never a union per commit), the file→sequence
+    map join and every delete anti-join are BROADCAST (no
+    SortMergeJoin), so the only full-size operation is the single data
+    scan."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    for b in (
+        [Row(k=1, v=10, _op="I"), Row(k=2, v=20, _op="I")],
+        [Row(k=3, v=30, _op="I"), Row(k=1, v=11, _op="U")],
+        [Row(k=2, v=0, _op="D")],
+    ):
+        sn.snapshot_mor_merge(spark, root, spark.createDataFrame(b), ["k"])
+    df = sn.read_snapshot_mor(spark, root)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # one scan for the data side + one per delete key-set union member;
+    # NEVER one per data commit (3 commits -> would be >= 3 data scans)
+    n_deletes = len(sn._read_manifest(root, sn.current_version(root))["delete_files"])
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1 + n_deletes, (n_scans, n_deletes, plan)
+    assert {r.k: r.v for r in df.collect()} == {1: 11, 3: 30}
