@@ -718,19 +718,25 @@ def read_snapshot_mor(
     root: str,
     version: int | None = None,
     merge_schema: bool = False,
+    _keep_coords: bool = False,
 ) -> DataFrame:
     """Merge-on-read snapshot scan: the manifest's data files minus the
-    rows its equality-delete files kill.  A delete file with sequence S
-    applies only to data files with sequence < S (a key re-inserted
-    AFTER its delete survives), matching the Iceberg sequence-number
-    rule.
+    rows its delete files kill — both flavors: EQUALITY deletes (key
+    lists; a delete with sequence S applies only to data files with
+    sequence < S, the Iceberg sequence-number rule — a key re-inserted
+    AFTER its delete survives) and POSITION deletes ((file, row-ordinal)
+    references; no sequence rule — the named file is immutable, so the
+    reference is physical and exact).
 
     Plan shape at scale: ONE scan of all data files (never per-file
     unions) — each row picks up its commit sequence by joining the
     hidden ``_metadata.file_path`` against a broadcast file→seq map
-    bounded by the file count, and the delete side is a broadcast-sized
-    union of key lists; the anti-join is the only comparison.  Tables
-    with no delete files degrade to exactly `read_snapshot`."""
+    bounded by the file count, and every delete side is a
+    broadcast-sized union; the anti-joins are the only comparisons.
+    Tables with no delete files degrade to exactly `read_snapshot`.
+
+    ``_keep_coords`` (internal, for the position-delete writer) appends
+    the physical coordinates as ``_file``/``_pos`` columns."""
     from pyspark.sql import functions as F
 
     v = current_version(root) if version is None else version
@@ -738,7 +744,7 @@ def read_snapshot_mor(
         raise FileNotFoundError(f"read_snapshot_mor: no version at {root}")
     m = _read_manifest(root, v)
     deletes = m.get("delete_files") or []
-    if not deletes:
+    if not deletes and not _keep_coords:
         return read_snapshot(spark, root, v, merge_schema=merge_schema)
     fseq = m.get("file_seq") or {}
     reader = spark.read
@@ -746,10 +752,11 @@ def read_snapshot_mor(
         reader = reader.option("mergeSchema", True)
     data = reader.parquet(*[os.path.join(root, f) for f in m["files"]])
     out_cols = list(data.columns)
-    # uuid-suffixed internal names: user columns named "_rel"/"_seq"
-    # must never be clobbered or made ambiguous
+    # uuid-suffixed internal names: user columns named "_rel"/"_seq"/
+    # "_pos" must never be clobbered or made ambiguous
     sfx = uuid.uuid4().hex[:8]
-    rel_c, seq_c, dseq_c = f"_rel_{sfx}", f"_seq_{sfx}", f"_del_seq_{sfx}"
+    rel_c, seq_c = f"_rel_{sfx}", f"_seq_{sfx}"
+    pos_c, dseq_c = f"_pos_{sfx}", f"_del_seq_{sfx}"
     # manifest-relative path = last 3 URI segments ("data/<uuid>/<file>")
     parts = F.split(F.col("_metadata.file_path"), "/")
     rel = F.concat_ws(
@@ -762,11 +769,20 @@ def read_snapshot_mor(
         [(f, int(fseq.get(f, 0))) for f in m["files"]],
         f"`{rel_c}` STRING, `{seq_c}` BIGINT",
     )
-    data = data.withColumn(rel_c, rel).join(F.broadcast(seq_map), rel_c)
-    # group delete files by their key set (usually one); anti-join each
+    data = (
+        data.withColumn(rel_c, rel)
+        .withColumn(pos_c, F.col("_metadata.row_index"))
+        .join(F.broadcast(seq_map), rel_c)
+    )
+    # equality deletes: group by key set (usually one); anti-join each
+    # with the sequence rule (delete kills only lower-seq data)
     by_keys: dict[tuple, list[dict]] = {}
+    pos_dels: list[dict] = []
     for d in deletes:
-        by_keys.setdefault(tuple(d["keys"]), []).append(d)
+        if d.get("kind") == "position":
+            pos_dels.append(d)
+        else:
+            by_keys.setdefault(tuple(d["keys"]), []).append(d)
     for key_tuple, dels in by_keys.items():
         side = None
         for d in dels:
@@ -780,6 +796,30 @@ def read_snapshot_mor(
             F.broadcast(side),
             functools.reduce(lambda a, b: a & b, cond),
             "left_anti",
+        )
+    # position deletes: exact (file, row ordinal) references — no
+    # sequence rule needed, the referenced file is immutable (Iceberg
+    # position-delete semantics: the delete names the row physically)
+    if pos_dels:
+        side = None
+        for d in pos_dels:
+            one = spark.read.parquet(os.path.join(root, d["file"]))
+            side = one if side is None else side.unionByName(one)
+        data = data.join(
+            F.broadcast(side),
+            (data[rel_c] == side["_file"]) & (data[pos_c] == side["_pos"]),
+            "left_anti",
+        )
+    if _keep_coords:
+        if {"_file", "_pos"} & set(out_cols):
+            raise ValueError(
+                "read_snapshot_mor(_keep_coords): table already has a "
+                "_file/_pos column"
+            )
+        return data.select(
+            *out_cols,
+            data[rel_c].alias("_file"),
+            data[pos_c].alias("_pos"),
         )
     return data.select(*out_cols)
 
@@ -910,19 +950,27 @@ def snapshot_delete_where(
     spark: SparkSession,
     root: str,
     predicate,
-    keys: list[str],
+    keys: list[str] | None = None,
     tag: str | None = None,
 ) -> int:
     """Predicate DELETE via merge-on-read — the GDPR/right-to-erasure
-    shape at 100 TB: commit ONE equality-delete file holding the keys of
-    every currently-visible row matching ``predicate`` (a Column or SQL
+    shape at 100 TB: commit ONE delete file covering every
+    currently-visible row matching ``predicate`` (a Column or SQL
     string), touching no data files.  Cost is one filtered scan plus a
-    key-list write; the rows vanish from every subsequent
+    small write; the rows vanish from every subsequent
     `read_snapshot_mor` and `snapshot_compact` later reclaims the bytes.
     History is preserved: older versions still show the rows (for true
     physical erasure, compact then `expire_versions` + `vacuum_orphans`
     — the same two-phase story as Delta/Iceberg).  ``tag`` gives the
     usual idempotent-replay contract.
+
+    Two delete-file flavors, per the Iceberg spec:
+    * ``keys=[...]`` — EQUALITY delete: the matching rows' key tuples
+      (requires the key to identify exactly the rows to kill: a later
+      re-insert of the key survives via the sequence rule);
+    * ``keys=None`` — POSITION delete: the matching rows' physical
+      (file, row-ordinal) coordinates — works on ANY table, unique key
+      or not, and kills exactly the matched rows and nothing else.
 
     Concurrency is SERIALIZABLE, not rebase-merge: the key list was
     computed by evaluating ``predicate`` against one specific snapshot,
@@ -943,25 +991,32 @@ def snapshot_delete_where(
     for _ in range(5):
         parent = current_version(root)
         seen = set(snapshot_versions(root))
-        hit_keys = (
-            read_snapshot_mor(spark, root)
-            .filter(predicate)
-            .select(*keys)
-            .distinct()
-        )
-        del_files = _write_files(hit_keys, root, kind="deletes")
+        if keys is not None:
+            hits = (
+                read_snapshot_mor(spark, root)
+                .filter(predicate)
+                .select(*keys)
+                .distinct()
+            )
+            entry = lambda f: {"file": f, "keys": keys}  # noqa: E731
+        else:
+            hits = (
+                read_snapshot_mor(spark, root, _keep_coords=True)
+                .filter(predicate)
+                .select("_file", "_pos")
+            )
+            entry = lambda f: {"file": f, "kind": "position"}  # noqa: E731
+        del_files = _write_files(hits, root, kind="deletes")
         try:
             return _commit(
                 root,
-                [],  # no data files added — metadata + one key list only
+                [],  # no data files added — metadata + one delete list
                 parent,
                 tag=tag,
                 rebase_append=True,
                 operation="delete-where",
                 seen_versions=seen,
-                new_delete_files=[
-                    {"file": f, "keys": keys} for f in del_files
-                ],
+                new_delete_files=[entry(f) for f in del_files],
                 conflict_mode="serialize",
             )
         except SnapshotConflictError as exc:

@@ -1105,3 +1105,44 @@ def test_mor_read_plan_shape(spark, tmp_path):
     n_scans = plan.count("Scan parquet")
     assert n_scans == 1 + n_deletes, (n_scans, n_deletes, plan)
     assert {r.k: r.v for r in df.collect()} == {1: 11, 3: 30}
+
+
+def test_position_delete_on_non_keyed_table(spark, tmp_path):
+    """keys=None delete_where writes POSITION delete files ((file, row
+    ordinal) references) — deletes exact rows on a table with DUPLICATE
+    values, which an equality delete cannot express; coexists with
+    equality deletes and folds under compaction."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    # duplicates on every column: equality deletes cannot single rows out
+    rows = [Row(grp="a", v=1), Row(grp="a", v=1), Row(grp="b", v=5),
+            Row(grp="b", v=9), Row(grp="a", v=9)]
+    sn.snapshot_append(spark.createDataFrame(rows).coalesce(1), root)
+    v1 = sn.snapshot_delete_where(spark, root, "v >= 9", keys=None)
+    m1 = sn._read_manifest(root, v1)
+    assert all(
+        d.get("kind") == "position" for d in m1["delete_files"]
+    ) and m1["delete_files"]
+    got = sorted(
+        (r.grp, r.v) for r in sn.read_snapshot_mor(spark, root).collect()
+    )
+    assert got == [("a", 1), ("a", 1), ("b", 5)], got
+    # history intact; compaction folds the position deletes
+    assert sn.read_snapshot(spark, root, 0).count() == 5
+    v2 = sn.snapshot_compact(spark, root)
+    assert sn._read_manifest(root, v2)["delete_files"] == []
+    assert sorted(
+        (r.grp, r.v) for r in sn.read_snapshot_mor(spark, root).collect()
+    ) == got
+
+    # mixed flavors: an equality delete on top of a position delete
+    sn.snapshot_append(
+        spark.createDataFrame([Row(grp="c", v=2), Row(grp="c", v=3)]), root
+    )
+    sn.snapshot_delete_where(spark, root, "grp = 'c'", keys=["grp"])
+    sn.snapshot_delete_where(spark, root, "v = 5", keys=None)
+    final = sorted(
+        (r.grp, r.v) for r in sn.read_snapshot_mor(spark, root).collect()
+    )
+    assert final == [("a", 1), ("a", 1)], final
