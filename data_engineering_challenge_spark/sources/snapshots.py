@@ -1027,6 +1027,46 @@ def snapshot_delete_where(
     )
 
 
+def maintain_snapshot(
+    spark: SparkSession,
+    root: str,
+    max_delete_files: int = 8,
+    target_files: int = 8,
+    keep_last: int | None = None,
+    vacuum_grace_s: float | None = None,
+) -> dict:
+    """One-call table MAINTENANCE policy — the janitor a continuously
+    merged table needs (Delta OPTIMIZE + VACUUM rolled together), meant
+    for a cron/DAG step after streaming CDC:
+
+    1. if the live manifest carries more than ``max_delete_files`` MoR
+       delete files, `snapshot_compact` folds them (read-side anti-join
+       cost is proportional to accumulated deletes — this bounds it);
+    2. if ``keep_last`` is set, `expire_versions` drops older manifests
+       (never the live version);
+    3. if ``vacuum_grace_s`` is set, `vacuum_orphans` reclaims
+       unreferenced files older than the grace window.
+
+    Each sub-step is independently idempotent and crash-safe (they are
+    the existing primitives), so the policy inherits those guarantees;
+    running it twice is a no-op.  Returns what it did:
+    ``{"compacted": version|None, "expired": [...], "vacuumed": [...]}``.
+    """
+    did: dict = {"compacted": None, "expired": [], "vacuumed": []}
+    cur = current_version(root)
+    if cur is not None:
+        n_del = len(_read_manifest(root, cur).get("delete_files") or [])
+        if n_del > max_delete_files:
+            did["compacted"] = snapshot_compact(
+                spark, root, target_files=target_files
+            )
+    if keep_last is not None:
+        did["expired"] = expire_versions(root, keep_last=keep_last)
+    if vacuum_grace_s is not None:
+        did["vacuumed"] = vacuum_orphans(root, min_age_s=vacuum_grace_s)
+    return did
+
+
 def run_streaming_snapshot_cdc_sink(
     stream_df: DataFrame,
     root: str,

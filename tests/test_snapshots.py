@@ -1146,3 +1146,37 @@ def test_position_delete_on_non_keyed_table(spark, tmp_path):
         (r.grp, r.v) for r in sn.read_snapshot_mor(spark, root).collect()
     )
     assert final == [("a", 1), ("a", 1)], final
+
+
+def test_maintain_snapshot_policy(spark, tmp_path):
+    """The one-call maintenance policy: folds deletes only past the
+    threshold, expires old manifests, vacuums unreferenced files —
+    idempotent, and the table reads identically before and after."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 20).coalesce(1), root)
+    for i in range(3):  # 3 MoR delete commits
+        sn.snapshot_delete_where(spark, root, f"id = {i}", keys=["id"])
+    before = {r.id for r in sn.read_snapshot_mor(spark, root).collect()}
+
+    # below threshold: nothing happens
+    did = sn.maintain_snapshot(spark, root, max_delete_files=8)
+    assert did == {"compacted": None, "expired": [], "vacuumed": []}
+
+    # above threshold: compaction folds, expiry + vacuum reclaim
+    did = sn.maintain_snapshot(
+        spark, root, max_delete_files=2, target_files=1,
+        keep_last=1, vacuum_grace_s=0.0,
+    )
+    assert did["compacted"] is not None
+    assert did["expired"], "old manifests must be expired"
+    assert did["vacuumed"], "their unreferenced files must be reclaimed"
+    assert {r.id for r in sn.read_snapshot_mor(spark, root).collect()} == before
+
+    # idempotent: a second run is a no-op
+    did2 = sn.maintain_snapshot(
+        spark, root, max_delete_files=2, target_files=1,
+        keep_last=1, vacuum_grace_s=0.0,
+    )
+    assert did2 == {"compacted": None, "expired": [], "vacuumed": []}
