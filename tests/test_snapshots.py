@@ -1180,3 +1180,26 @@ def test_maintain_snapshot_policy(spark, tmp_path):
         keep_last=1, vacuum_grace_s=0.0,
     )
     assert did2 == {"compacted": None, "expired": [], "vacuumed": []}
+
+
+def test_delete_where_flavors_agree_on_keyed_table(spark, tmp_path):
+    """On a unique-keyed table the two delete flavors are semantically
+    interchangeable: equality (keys=[..]) and position (keys=None)
+    deletes of the same predicate leave identical visible rows."""
+    eq_root = str(tmp_path / "eq")
+    pos_root = str(tmp_path / "pos")
+    for root in (eq_root, pos_root):
+        sn.snapshot_append(_df(spark, 0, 25).coalesce(2), root)
+    for pred in ("v >= 30", "id % 3 = 0", "v < 4"):
+        sn.snapshot_delete_where(spark, eq_root, pred, keys=["id"])
+        sn.snapshot_delete_where(spark, pos_root, pred, keys=None)
+        eq = sorted(
+            (r.id, r.v)
+            for r in sn.read_snapshot_mor(spark, eq_root).collect()
+        )
+        pos = sorted(
+            (r.id, r.v)
+            for r in sn.read_snapshot_mor(spark, pos_root).collect()
+        )
+        assert eq == pos, (pred, eq, pos)
+    assert eq, "fixture must leave survivors"
