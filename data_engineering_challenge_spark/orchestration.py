@@ -124,7 +124,10 @@ class StepGraph:
                         "seconds": 0.0,
                         "error": None,
                     }
-                exc.step_report = report  # observable after the raise
+                try:  # observable after the raise (skip exotic
+                    exc.step_report = report  # __slots__ exceptions)
+                except AttributeError:
+                    pass
                 raise
             report[name] = {
                 "status": "ok",
@@ -204,8 +207,6 @@ def attribution_pipeline_graph(
     through the parquet paths in ``cfg`` (the reference's shared /data
     volume), so each step is restartable in isolation and the graph is
     trivially splittable into one Spark submit per step."""
-    import os as _os
-
     from .pipeline import AttributionPipeline
 
     pipe = AttributionPipeline(spark, cfg)
@@ -233,12 +234,17 @@ def attribution_pipeline_graph(
         return _written_count(cfg.journeys_path)
 
     def step_attribute(ctx: dict) -> int:
+        # empty-journeys guard mirrors AttributionPipeline.run: with no
+        # journeys, attribute() deliberately writes NOTHING — counting
+        # its output would read a missing (or stale prior-run) artifact
+        if _written_count(cfg.journeys_path) == 0:
+            return 0
         pipe.attribute()  # writes attribution_customer_journey
-        return _written_count(
-            _os.path.join(cfg.table_dir, "attribution_customer_journey")
-        )
+        return _written_count(pipe._out("attribution_customer_journey"))
 
     def step_report(ctx: dict) -> int:
+        if _written_count(cfg.journeys_path) == 0:
+            return 0  # nothing attributed (empty input) — nothing to report
         pipe.report(start_date, end_date)  # writes report_path
         return _written_count(cfg.report_path)
 

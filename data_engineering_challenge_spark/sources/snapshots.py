@@ -222,15 +222,15 @@ def _commit(
     for _attempt in range(1000):  # bounded retry under contention
         existing = snapshot_versions(root)
         version = (existing[-1] + 1) if existing else 0
-        if rebase_append:
+        if conflict_mode == "serialize" or rebase_append:
             for v in sorted(set(existing) - seen):
                 if v != parent and _descends_from(root, v, parent):
                     if conflict_mode == "serialize":
-                        # the caller's decision was computed against a
+                        # the caller's decision (predicate evaluation,
+                        # compaction rewrite) was computed against a
                         # snapshot that is no longer the head — rebasing
-                        # would apply a stale decision (e.g. a predicate
-                        # delete killing rows it never evaluated); abort
-                        # and let the caller recompute against the head
+                        # would apply a stale decision; abort and let
+                        # the caller recompute against the new head
                         raise SnapshotConflictError(
                             f"_commit: concurrent commit v{v} landed "
                             f"after the caller read v{parent} — "
@@ -238,6 +238,7 @@ def _commit(
                             "against the new head"
                         )
                     parent = v  # rebase onto the concurrent sibling
+        if rebase_append:
             if parent is None:
                 all_files, all_stats = list(files), dict(stats or {})
                 all_fseq, all_deletes = {}, []
@@ -383,10 +384,14 @@ def snapshot_append(
         v = _resume_tagged_commit(root, tag)
         if v is not None:
             return v
-    # parent + version listing read TOGETHER: anything that appears after
-    # this point is a concurrent commit `_commit` must rebase onto
-    parent = current_version(root)
+    # version listing FIRST, then parent: a commit landing between the
+    # two reads is then visible in `parent` (not stale), while one
+    # landing after the parent read is absent from `seen` and therefore
+    # detected as concurrent by `_commit` — capture in the other order
+    # and a commit in the gap would be in `seen` but newer than
+    # `parent`, silently orphaned by neither check
     seen = set(snapshot_versions(root))
+    parent = current_version(root)
     if stats_cols is None:
         new_files, new_stats = _write_files(df, root), {}
     else:
@@ -547,13 +552,39 @@ def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> i
     MoR-aware: the rewrite reads THROUGH any equality-delete files
     (`read_snapshot_mor`) and the overwrite commit carries none — so
     compaction is also how accumulated MoR deletes get folded back into
-    pure data files without changing what any read returns."""
-    # merge_schema: compaction must carry EVOLVED columns — a plain read
-    # infers one file group's schema and would silently drop columns
-    # added by later appends
-    cur = read_snapshot_mor(spark, root, merge_schema=True)
-    return snapshot_overwrite(
-        cur.coalesce(target_files), root, operation="compact"
+    pure data files without changing what any read returns.
+
+    SERIALIZABLE like `snapshot_delete_where`: the rewrite captures one
+    specific head, so a commit landing mid-rewrite (e.g. the streaming
+    CDC sink, whose cron pairing with `maintain_snapshot` is the
+    advertised use) would be silently buried by a blind overwrite —
+    instead the conflict aborts the commit and the whole rewrite
+    retries against the new head (bounded attempts, then
+    `SnapshotConflictError`)."""
+    last_err: Exception | None = None
+    for _ in range(5):
+        # seen BEFORE parent — see snapshot_append's capture-order comment
+        seen = set(snapshot_versions(root))
+        parent = current_version(root)
+        # merge_schema: compaction must carry EVOLVED columns — a plain
+        # read infers one file group's schema and would silently drop
+        # columns added by later appends
+        cur = read_snapshot_mor(spark, root, parent, merge_schema=True)
+        files = _write_files(cur.coalesce(target_files), root)
+        try:
+            return _commit(
+                root,
+                files,
+                parent,
+                operation="compact",
+                seen_versions=seen,
+                conflict_mode="serialize",
+            )
+        except SnapshotConflictError as exc:
+            last_err = exc  # head moved mid-rewrite — redo against it
+    raise SnapshotConflictError(
+        f"snapshot_compact: gave up after 5 conflicted attempts "
+        f"({last_err})"
     )
 
 
@@ -618,7 +649,17 @@ def snapshot_merge_keys(
         # when there are no delete files); the overwrite commit below
         # carries no delete files, so the merge also FOLDS them
         current = read_snapshot_mor(spark, root)
-        kept = current.join(last.select(*keys).distinct(), keys, "left_anti")
+        touched = last.select(*keys).distinct()
+        # eqNullSafe so NULL-keyed changes replace/delete their NULL-keyed
+        # targets (matching the MoR read's null semantics)
+        kept = current.join(
+            touched,
+            functools.reduce(
+                lambda a, b: a & b,
+                [current[k].eqNullSafe(touched[k]) for k in keys],
+            ),
+            "left_anti",
+        )
         merged = kept.unionByName(upserts)
     return snapshot_overwrite(merged, root, tag=tag, operation="merge")
 
@@ -690,8 +731,9 @@ def snapshot_mor_merge(
         if v is not None:
             return v
     os.makedirs(root, exist_ok=True)
-    parent = current_version(root)
+    # seen BEFORE parent — see snapshot_append's capture-order comment
     seen = set(snapshot_versions(root))
+    parent = current_version(root)
     # the window result feeds BOTH file writes — persist so the batch is
     # shuffled/windowed once, not once per output (O(batch) means once)
     last = last.persist()
@@ -790,7 +832,10 @@ def read_snapshot_mor(
                 os.path.join(root, d["file"])
             ).withColumn(dseq_c, F.lit(int(d["seq"])))
             side = one if side is None else side.unionByName(one)
-        cond = [data[k] == side[k] for k in key_tuple]
+        # eqNullSafe: Iceberg equality deletes match NULL keys (a plain
+        # == would null-reject and silently resurrect NULL-keyed rows —
+        # a GDPR-erasure failure)
+        cond = [data[k].eqNullSafe(side[k]) for k in key_tuple]
         cond.append(side[dseq_c] > data[seq_c])
         data = data.join(
             F.broadcast(side),
@@ -989,8 +1034,9 @@ def snapshot_delete_where(
         predicate = F.expr(predicate)
     last_err: Exception | None = None
     for _ in range(5):
-        parent = current_version(root)
+        # seen BEFORE parent — see snapshot_append's capture-order comment
         seen = set(snapshot_versions(root))
+        parent = current_version(root)
         if keys is not None:
             hits = (
                 read_snapshot_mor(spark, root)
@@ -1095,6 +1141,11 @@ def run_streaming_snapshot_cdc_sink(
     app = _stream_app_id(checkpoint_dir)
 
     def handle(bdf: DataFrame, epoch_id: int) -> None:
+        # honor pre-scoping markers: a checkpoint whose last epoch was
+        # committed under the legacy 'epoch-N' tag layout must not
+        # double-apply that epoch on its first restart under this code
+        if _resume_tagged_commit(root, f"epoch-{int(epoch_id)}") is not None:
+            return
         snapshot_mor_merge(
             bdf.sparkSession,
             root,
@@ -1133,6 +1184,9 @@ def run_streaming_snapshot_sink(
     app = _stream_app_id(checkpoint_dir)
 
     def handle(bdf: DataFrame, epoch_id: int) -> None:
+        # legacy-tag migration — see run_streaming_snapshot_cdc_sink
+        if _resume_tagged_commit(root, f"epoch-{int(epoch_id)}") is not None:
+            return
         snapshot_append(bdf, root, tag=f"append-{app}-epoch-{int(epoch_id)}")
 
     q = (
@@ -1157,6 +1211,12 @@ def read_snapshot_changes(
     an overwrite in between means the delta is NOT expressible as
     added-files — fail loudly and let the caller fall back to
     `diff_tables`/`generate_cdc_feed` on the two time-traveled reads."""
+
+    def _delkey(man: dict) -> set:
+        return {
+            (d["file"], d["seq"]) for d in man.get("delete_files") or []
+        }
+
     to_m = _read_manifest(root, to_version)
     m = to_m
     while m["version"] != from_version:
@@ -1173,11 +1233,6 @@ def read_snapshot_changes(
                 f"v{parent} — the delta is not append-only; diff the "
                 "time-traveled reads instead"
             )
-        def _delkey(man: dict) -> set:
-            return {
-                (d["file"], d["seq"]) for d in man.get("delete_files") or []
-            }
-
         if _delkey(m) != _delkey(pm):
             # ANY delete-set change breaks added-rows semantics: an
             # added delete file removes rows, and a restore that DROPS

@@ -1203,3 +1203,96 @@ def test_delete_where_flavors_agree_on_keyed_table(spark, tmp_path):
         )
         assert eq == pos, (pred, eq, pos)
     assert eq, "fixture must leave survivors"
+
+
+def test_null_keys_match_in_merges_and_deletes(spark, tmp_path):
+    """Iceberg null semantics: NULL-keyed rows are matchable — an
+    equality delete of a NULL key kills the NULL-keyed row (the plain
+    == anti-join would null-reject and resurrect it, a silent erasure
+    failure), and CoW/MoR merges agree on NULL-keyed feeds."""
+    from pyspark.sql import Row
+
+    schema = "k BIGINT, email STRING, _op STRING"
+    mor = str(tmp_path / "mor")
+    cow = str(tmp_path / "cow")
+    feed1 = spark.createDataFrame(
+        [(1, "a@x", "I"), (None, "b@x", "I"), (2, "c@x", "I")], schema
+    )
+    feed2 = spark.createDataFrame([(None, "b2@x", "U")], schema)
+    for root in (mor, cow):
+        fn = sn.snapshot_mor_merge if root == mor else sn.snapshot_merge_keys
+        fn(spark, root, feed1, ["k"])
+        fn(spark, root, feed2, ["k"])
+    got_mor = {
+        (r.k, r.email)
+        for r in sn.read_snapshot_mor(spark, mor).collect()
+    }
+    got_cow = {
+        (r.k, r.email) for r in sn.read_snapshot(spark, cow).collect()
+    }
+    assert got_mor == got_cow == {(1, "a@x"), (None, "b2@x"), (2, "c@x")}
+    # GDPR shape: delete the NULL-keyed row by predicate via equality
+    sn.snapshot_delete_where(spark, mor, "email = 'b2@x'", keys=["k"])
+    assert {
+        (r.k, r.email) for r in sn.read_snapshot_mor(spark, mor).collect()
+    } == {(1, "a@x"), (2, "c@x")}
+
+
+def test_compact_conflict_retries_against_new_head(spark, tmp_path, monkeypatch):
+    """Serializable compaction: a commit landing mid-rewrite (the
+    streaming CDC sink racing the maintenance cron) must trigger a
+    retry that includes the new commit — a blind overwrite would bury
+    it while its tag marker makes the checkpoint replay no-op, losing
+    the batch permanently."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_mor_merge(
+        spark, root,
+        spark.createDataFrame([Row(k=1, v=10, _op="I"), Row(k=2, v=20, _op="I")]),
+        ["k"],
+    )
+    sn.snapshot_mor_merge(
+        spark, root, spark.createDataFrame([Row(k=1, v=0, _op="D")]), ["k"]
+    )
+
+    orig = sn._write_files
+    state = {"fired": False}
+
+    def hooked(df, r, stats_cols=None, kind="data"):
+        if not state["fired"]:
+            state["fired"] = True  # BEFORE the nested merge recurses
+            # a streaming epoch lands while the compaction rewrite runs
+            sn.snapshot_mor_merge(
+                spark, root,
+                spark.createDataFrame([Row(k=9, v=90, _op="I")]), ["k"],
+            )
+        return orig(df, r, stats_cols=stats_cols, kind=kind)
+
+    monkeypatch.setattr(sn, "_write_files", hooked)
+    sn.snapshot_compact(spark, root)
+    got = {r.k: r.v for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert got == {2: 20, 9: 90}, (
+        "the mid-compaction commit must survive: " + str(got)
+    )
+    assert sn._read_manifest(root, sn.current_version(root))["delete_files"] == []
+
+
+def test_streaming_sink_honors_legacy_epoch_tags(spark, tmp_path):
+    """Checkpoints whose last epoch committed under the pre-scoping
+    'epoch-N' tag layout must not double-apply that epoch after the
+    tag format gained the stream-identity scope."""
+    root = str(tmp_path / "tbl")
+    # the legacy layout committed epoch 0
+    sn.snapshot_append(_df(spark, 0, 10), root, tag="epoch-0")
+    src = _df(spark, 0, 10)
+    src.coalesce(1).write.parquet(str(tmp_path / "src" / "b0"))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "src" / "b*"))
+    )
+    # a restart on a fresh checkpoint replays epoch 0 under the new code
+    sn.run_streaming_snapshot_sink(stream, root, str(tmp_path / "ckpt"))
+    assert sn.read_snapshot(spark, root).count() == 10, "no duplicates"
+    assert len(sn.snapshot_versions(root)) == 1
