@@ -138,7 +138,8 @@ _CHEAP_FIRST = [
     # round-6 additions, measured verify cost ascending (sf0.01)
     "sql_user_activity_profile", "sql_nation_revenue_share",
     "snapshot_history", "gap_fill_forward", "events_variant_extract",
-    "ngram_coverage_score", "sql_channel_report", "snapshot_mor_merge",
+    "ngram_coverage_score", "snapshot_restore_asof", "sql_channel_report",
+    "snapshot_mor_merge",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -1970,3 +1970,69 @@ def q_streaming_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").alias("last_seq"),
         F.col("v").alias("last_value"),
     )
+
+
+@register(
+    "snapshot_restore_asof",
+    # The lineage is deterministic by construction; every row's count and
+    # decimal-exact total comes from a real (time-traveled) read, and the
+    # as-of row (version = -1) must reproduce v1's numbers exactly —
+    # proving timestamp resolution picks the right commit.
+    f"""
+SELECT CAST(0 AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 1, COUNT(*), {_dsum_sql('o_totalprice')}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 2, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0),
+       (SELECT {_dsum_sql('o_totalprice')}
+        FROM orders WHERE o_orderkey % 3 = 0)
+UNION ALL
+SELECT -1, COUNT(*), {_dsum_sql('o_totalprice')}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+""",
+)
+def q_snapshot_restore_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE-as-a-commit + timestamp time travel end-to-end
+    (`sources/snapshots.py snapshot_restore` / `read_snapshot_asof`):
+    v0 appends a third of orders, v1 appends another, v2 RESTORES v0
+    (file references only — undo as a commit, history linear).  The
+    query aggregates every version plus one AS-OF read resolved at v1's
+    recorded commit time (version = -1 row), which must reproduce v1's
+    numbers exactly — lineage-restricted timestamp resolution over a
+    restore lineage, value-hash checked.  Output cached per
+    (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_restore_asof", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_restore_") + "/tbl"
+        third = lambda r: o.filter(F.col("o_orderkey") % 3 == r).coalesce(1)
+        sn.snapshot_append(third(0), root)   # v0
+        sn.snapshot_append(third(1), root)   # v1
+        sn.snapshot_restore(root, 0)         # v2: undo v1, linear history
+        out = _ORC_OUT_CACHE[key] = root
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("total_price"),
+        ).select("version", "n_rows", "total_price")
+
+    t1 = sn._read_manifest(out, 1)["ts"]
+    result = agg(sn.read_snapshot_mor(spark, out, 0), 0)
+    for part in (
+        agg(sn.read_snapshot_mor(spark, out, 1), 1),
+        agg(sn.read_snapshot_mor(spark, out, 2), 2),
+        agg(sn.read_snapshot_asof(spark, out, t1), -1),
+    ):
+        result = result.unionByName(part)
+    return result
