@@ -151,6 +151,18 @@ def _tag_marker(root: str, tag: str) -> str:
     return os.path.join(_manifest_dir(root), f"tag-{tag}.json")
 
 
+def _tagged_version(root: str, tag: str) -> int | None:
+    """READ-ONLY tag-marker lookup: the committed version under ``tag``,
+    or None.  Unlike `_resume_tagged_commit` this can never move
+    _LATEST — the right primitive for pre-checks that must not have
+    side effects (a probe is not a commit)."""
+    marker = _tag_marker(root, tag)
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        return int(json.load(fh)["version"])
+
+
 def _resume_tagged_commit(root: str, tag: str) -> int | None:
     """O(1) idempotent-replay check via the tag MARKER file (written with
     the manifest, before the _LATEST move).  If the marker exists, the
@@ -183,6 +195,9 @@ def _commit(
     new_delete_files: list[dict] | None = None,
     manifest_override: dict | None = None,
     conflict_mode: str = "rebase",
+    base_file_seq: dict | None = None,
+    new_file_columns: list[str] | None = None,
+    meta_updates: dict | None = None,
 ) -> int:
     """Two-phase commit with OPTIMISTIC writer-writer protection:
 
@@ -214,7 +229,18 @@ def _commit(
       is why every manifest is durable and re-derivable; the pointer is
       a convenience, never the source of truth;
     * the tag marker lands after the manifest, before the _LATEST move
-      — `_resume_tagged_commit` uses it to repair the torn window.
+      — `_resume_tagged_commit` uses it to repair the torn window;
+    * TABLE METADATA travels with the lineage: ``layout`` (the write
+      policy — sort/stats/partition-transform columns) and ``fields``
+      (the logical schema for evolved tables) inherit from the parent
+      on every commit; per-file metadata (``file_fields``,
+      ``partition_values``) inherits restricted to still-referenced
+      files.  ``meta_updates`` merges on top (dict values merge
+      key-wise, others replace); ``new_file_columns`` extends an
+      evolved table's field list additively and binds the new file
+      group's physical column names to field ids; ``base_file_seq``
+      seeds the sequence map so a rewrite (compaction) can carry kept
+      files' original commit sequences.
     """
     os.makedirs(_manifest_dir(root), exist_ok=True)
     staged = os.path.join(_manifest_dir(root), f".stage-{uuid.uuid4().hex}")
@@ -255,7 +281,7 @@ def _commit(
             # overwrite family: complete content replacement folds away
             # any inherited delete files (the new file set IS the truth)
             all_files, all_stats = files, stats or {}
-            all_fseq, all_deletes = {}, []
+            all_fseq, all_deletes = dict(base_file_seq or {}), []
         for f in files:
             all_fseq.setdefault(f, version)
         for d in new_delete_files or ():
@@ -271,12 +297,66 @@ def _commit(
             "file_seq": all_fseq,
             "delete_files": all_deletes,
         }
+        # table/file metadata inheritance (computed inside the loop —
+        # a rebase can change the parent)
+        pm = _read_manifest(root, parent) if parent is not None else {}
+        meta: dict = {}
+        for k in ("layout", "fields"):
+            if pm.get(k):
+                meta[k] = (
+                    dict(pm[k]) if isinstance(pm[k], dict) else list(pm[k])
+                )
+        ref = set(all_files)
+        for k in ("file_fields", "partition_values"):
+            inherited = {
+                f: dict(v) for f, v in (pm.get(k) or {}).items() if f in ref
+            }
+            if inherited:
+                meta[k] = inherited
+        for k, v in (meta_updates or {}).items():
+            cur = meta.get(k)
+            if isinstance(v, dict) and isinstance(cur, dict):
+                meta[k] = {**cur, **v}
+            else:
+                meta[k] = v
+        if meta.get("fields") is not None and new_file_columns is not None:
+            # additive evolution: a new file group may introduce columns
+            # the logical schema hasn't seen — append them with fresh
+            # field ids (ids are never reused, even after a drop, so an
+            # old file's binding can never alias a new field)
+            flds = [dict(x) for x in meta["fields"]]
+            known = {x["name"] for x in flds}
+            nid = max((x["id"] for x in flds), default=0)
+            for mp in (meta.get("file_fields") or {}).values():
+                nid = max(nid, max(mp.values(), default=0))
+            for c in new_file_columns:
+                if c not in known:
+                    nid += 1
+                    flds.append({"id": nid, "name": c})
+                    known.add(c)
+            meta["fields"] = flds
+            n2i = {x["name"]: x["id"] for x in flds}
+            ff = dict(meta.get("file_fields") or {})
+            for f in files:
+                ff.setdefault(f, {c: n2i[c] for c in new_file_columns})
+            meta["file_fields"] = ff
+        payload.update(meta)
         # internal override hook (snapshot_restore): carry a historical
-        # version's file_seq/delete_files so its MoR state is preserved
-        # verbatim — never version/parent/ts
-        for k in ("file_seq", "delete_files"):
+        # version's file_seq/delete_files/schema metadata so its state
+        # is preserved verbatim — never version/parent/ts
+        for k in (
+            "file_seq",
+            "delete_files",
+            "fields",
+            "file_fields",
+            "partition_values",
+            "layout",
+        ):
             if manifest_override and k in manifest_override:
-                payload[k] = manifest_override[k]
+                if manifest_override[k] is None:
+                    payload.pop(k, None)
+                else:
+                    payload[k] = manifest_override[k]
         with open(staged, "w") as fh:
             json.dump(payload, fh)
         mpath = os.path.join(_manifest_dir(root), f"v{version}.json")
@@ -294,6 +374,23 @@ def _commit(
         _advance_latest(root, version)
         return version
     raise RuntimeError("_commit: could not claim a version (contention)")
+
+
+def _refuse_mor_on_evolved(root: str, parent: int | None, op: str) -> None:
+    """MoR delete files and logical-schema evolution are DISJOINT table
+    states by design (the sequence-rule anti-join would need per-epoch
+    physical-name handling that is not implemented): writers that add
+    delete files refuse evolved tables at WRITE time — loud and early —
+    and `snapshot_evolve` symmetrically refuses tables carrying deletes
+    (compact first).  The read path's consistency check can therefore
+    never fire on a table this module wrote."""
+    if parent is not None and _read_manifest(root, parent).get("fields"):
+        raise ValueError(
+            f"{op}: table at {root} has a logical schema "
+            "(snapshot_evolve) — MoR delete commits are not supported "
+            "on evolved tables; use the copy-on-write "
+            "snapshot_merge_keys instead"
+        )
 
 
 class SnapshotConflictError(RuntimeError):
@@ -356,6 +453,7 @@ def snapshot_overwrite(
         tag=tag,
         stats=stats,
         operation=operation,
+        new_file_columns=list(df.columns),
     )
 
 
@@ -364,6 +462,7 @@ def snapshot_append(
     root: str,
     tag: str | None = None,
     stats_cols: list[str] | None = None,
+    _meta_updates: dict | None = None,
 ) -> int:
     """Commit a new version = parent's files + ``df``'s new file group.
     The parent's files are REFERENCED, not rewritten — append cost is
@@ -405,6 +504,8 @@ def snapshot_append(
         rebase_append=True,
         operation="append",
         seen_versions=seen,
+        new_file_columns=list(df.columns),
+        meta_updates=_meta_updates,
     )
 
 
@@ -414,6 +515,7 @@ def read_snapshot(
     version: int | None = None,
     merge_schema: bool = False,
     _allow_mor_raw: bool = False,
+    _files: list[str] | None = None,
 ) -> DataFrame:
     """Read one snapshot: ``version=None`` resolves _LATEST; an explicit
     number time-travels.  Exactly the manifest's files are read — no
@@ -423,12 +525,20 @@ def read_snapshot(
     older files' missing columns as NULL — schema evolution without
     rewriting history.
 
+    A manifest recording a LOGICAL schema (``fields``, written by
+    `snapshot_evolve` — rename/drop as metadata-only commits) reads
+    through `_read_files_logical`: each file group is projected from its
+    own physical column names to the version's logical names via field
+    ids, so a rename never rewrites data and time travel shows each
+    version under its own schema.
+
     A manifest carrying MoR equality-delete files REFUSES a raw read
     (deleted/superseded rows would silently resurface) — use
     `read_snapshot_mor`, which degrades to this function when there are
     no deletes.  ``_allow_mor_raw`` is the internal escape hatch for
     callers that provably don't surface row content (schema-only
-    reads)."""
+    reads); ``_files`` restricts the scan to a subset of the manifest's
+    files (compaction's rewrite-set read)."""
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"read_snapshot: no committed version at {root}")
@@ -439,10 +549,72 @@ def read_snapshot(
             "would resurface deleted rows; use read_snapshot_mor (or "
             "snapshot_compact to fold the deletes)"
         )
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", True)
-    return reader.parquet(*[os.path.join(root, f) for f in m["files"]])
+    return _read_files_logical(
+        spark,
+        root,
+        m,
+        m["files"] if _files is None else _files,
+        merge_schema=merge_schema,
+    )
+
+
+def _read_files_logical(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    files: list[str],
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Scan ``files`` under manifest ``m``'s schema rules.  Without a
+    recorded logical schema this is ONE parquet scan of exactly those
+    files.  With ``fields`` (an evolved table), files are grouped by
+    their physical-name→field-id binding (one group per schema epoch —
+    bounded by evolution count, not file count), each group projects
+    physical→logical via ids, and the groups union with missing columns
+    as NULL; output column order is the logical field order.  A file a
+    manifest references without a binding fails loudly (corrupt
+    metadata must never silently misname a column)."""
+    from pyspark.sql import functions as F
+
+    fields = m.get("fields")
+    if not fields:
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", True)
+        return reader.parquet(*[os.path.join(root, f) for f in files])
+    if not files:
+        # schema-only empty frame in logical order is not derivable
+        # without reading a file; callers never hit this (they guard)
+        raise ValueError("_read_files_logical: empty file set on an "
+                         "evolved table")
+    ffields = m.get("file_fields") or {}
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        mp = ffields.get(f)
+        if mp is None:
+            raise ValueError(
+                f"_read_files_logical: {f} has no field binding in the "
+                "manifest — evolved-table metadata is incomplete"
+            )
+        groups.setdefault(tuple(sorted(mp.items())), []).append(f)
+    id_to_name = {fl["id"]: fl["name"] for fl in fields}
+    live_ids = set(id_to_name)
+    parts = []
+    for sig, fs in groups.items():
+        gdf = spark.read.parquet(*[os.path.join(root, f) for f in fs])
+        cols = [
+            F.col(phys).alias(id_to_name[fid])
+            for phys, fid in sig
+            if fid in live_ids  # dropped fields are projected away
+        ]
+        parts.append(gdf.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    have = set(out.columns)
+    return out.select(
+        *[fl["name"] for fl in fields if fl["name"] in have]
+    )
 
 
 def snapshot_append_clustered(
@@ -462,7 +634,119 @@ def snapshot_append_clustered(
     clustered = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
         *cluster_cols
     )
-    return snapshot_append(clustered, root, tag=tag, stats_cols=cluster_cols)
+    return snapshot_append(
+        clustered,
+        root,
+        tag=tag,
+        stats_cols=cluster_cols,
+        # declare the layout POLICY in the manifest so maintenance
+        # (snapshot_compact) re-clusters and re-records stats instead of
+        # silently discarding the pruning guarantee
+        _meta_updates={
+            "layout": {"sort_cols": cluster_cols, "stats_cols": cluster_cols}
+        },
+    )
+
+
+def snapshot_append_partitioned(
+    df: DataFrame,
+    root: str,
+    partition_transforms: dict[str, str],
+    stats_cols: list[str] | None = None,
+    tag: str | None = None,
+) -> int:
+    """Append with HIDDEN PARTITIONING (Iceberg's partition-transform
+    model in miniature): ``partition_transforms`` maps a partition NAME
+    to a SQL transform over source columns (e.g. ``{"day": "CAST(ts AS
+    DATE)"}``).  The write groups rows by transform value
+    (``partitionBy`` on a temporary column — parquet drops it from the
+    data files, so the transform is derived metadata, never a stored
+    column the user must remember to filter on), and the manifest
+    records each file's partition value (``partition_values``) plus the
+    transform expressions themselves (in ``layout``), so
+
+    * `read_snapshot_pruned(partition_eq={"day": d})` skips every file
+      whose recorded value differs — an equality decided from manifest
+      metadata alone, no stats and no footer reads, and
+    * the reader re-applies the SEMANTIC predicate (transform(cols) =
+      value) after the skip, so pruning is an optimization, never a
+      semantics change (files committed by plain appends carry no
+      recorded value and are always read).
+
+    At 100 TB this is the partition-pruning half of scan planning:
+    a day-grained lookup touches one day's files no matter how many
+    days the table holds.  ``stats_cols`` composes (per-file min/max
+    recorded as usual) for range pruning WITHIN a partition."""
+    from pyspark.sql import functions as F
+
+    if not partition_transforms:
+        raise ValueError("snapshot_append_partitioned: no transforms given")
+    os.makedirs(root, exist_ok=True)
+    if tag is not None:
+        v = _resume_tagged_commit(root, tag)
+        if v is not None:
+            return v
+    tmps = {name: f"_pt_{name}" for name in partition_transforms}
+    for name in partition_transforms:
+        if tmps[name] in df.columns:
+            raise ValueError(
+                f"snapshot_append_partitioned: column {tmps[name]!r} "
+                "collides with the internal partition column"
+            )
+    out_df = df
+    for name, expr in partition_transforms.items():
+        out_df = out_df.withColumn(
+            tmps[name], F.expr(expr).cast("string")
+        )
+    group = os.path.join("data", uuid.uuid4().hex)
+    out = os.path.join(root, group)
+    out_df.write.partitionBy(*tmps.values()).parquet(out)
+    # recursive listing: partitioned writes nest one dir per value
+    import urllib.parse
+
+    files: list[str] = []
+    pvals: dict[str, dict] = {}
+    for dirpath, _dirs, names in os.walk(out):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, n), root)
+            files.append(rel)
+            vals = {}
+            for seg in rel.split(os.sep):
+                if "=" in seg and seg.split("=", 1)[0] in tmps.values():
+                    k, v = seg.split("=", 1)
+                    name = k[len("_pt_"):]
+                    v = urllib.parse.unquote(v)
+                    # hive's null marker: recorded as None — a file of
+                    # null-transform rows never equality-matches a value
+                    vals[name] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                    )
+            pvals[rel] = vals
+    files.sort()
+    stats = (
+        {f: _file_stats(os.path.join(root, f), stats_cols) for f in files}
+        if stats_cols
+        else {}
+    )
+    seen = set(snapshot_versions(root))
+    parent = current_version(root)
+    return _commit(
+        root,
+        files,
+        parent,
+        tag=tag,
+        stats=stats,
+        rebase_append=True,
+        operation="append",
+        seen_versions=seen,
+        new_file_columns=list(df.columns),
+        meta_updates={
+            "partition_values": pvals,
+            "layout": {"partition_transforms": dict(partition_transforms)},
+        },
+    )
 
 
 def read_snapshot_pruned(
@@ -473,6 +757,7 @@ def read_snapshot_pruned(
     hi=None,
     version: int | None = None,
     ranges: dict | None = None,
+    partition_eq: dict | None = None,
 ) -> DataFrame:
     """Stats-pruned snapshot scan: only manifest files whose recorded
     [min, max] for ``col`` intersects [lo, hi] are opened — file
@@ -483,15 +768,26 @@ def read_snapshot_pruned(
     tight).  Files committed without stats for ``col`` are always read
     (skipping is only ever claimed from evidence), and the returned
     frame still applies the predicate — pruning is an optimization,
-    never a semantics change."""
+    never a semantics change.
+
+    ``partition_eq`` adds HIDDEN-PARTITION pruning (composable with
+    ``ranges``): a file recorded with a different partition value for
+    the name (`snapshot_append_partitioned`) is skipped, and the
+    reader re-applies the semantic predicate transform(cols) = value —
+    files without a recorded value are always read, so mixed
+    plain/partitioned lineages stay correct."""
     from pyspark.sql import functions as F
 
     if ranges is None:
-        if col is None:
+        if col is not None:
+            ranges = {col: (lo, hi)}
+        elif partition_eq is None:
             raise ValueError(
-                "read_snapshot_pruned: pass col (with lo/hi) or ranges"
+                "read_snapshot_pruned: pass col (with lo/hi), ranges, "
+                "or partition_eq"
             )
-        ranges = {col: (lo, hi)}
+        else:
+            ranges = {}
     elif col is not None or lo is not None or hi is not None:
         raise ValueError(
             "read_snapshot_pruned: pass either col/lo/hi or ranges, "
@@ -503,6 +799,10 @@ def read_snapshot_pruned(
                 f"read_snapshot_pruned: range for {c!r} must have both "
                 f"bounds, got ({clo!r}, {chi!r})"
             )
+    if partition_eq and any(val is None for val in partition_eq.values()):
+        raise ValueError(
+            "read_snapshot_pruned: partition_eq values must be non-null"
+        )
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"read_snapshot_pruned: no version at {root}")
@@ -513,7 +813,17 @@ def read_snapshot_pruned(
             "pruned raw scan would resurface deleted rows; run "
             "snapshot_compact to fold the deletes, then prune"
         )
+    transforms = (m.get("layout") or {}).get("partition_transforms") or {}
+    if partition_eq:
+        missing = [n for n in partition_eq if n not in transforms]
+        if missing:
+            raise ValueError(
+                f"read_snapshot_pruned: no partition transform recorded "
+                f"for {missing} — the table's layout declares "
+                f"{sorted(transforms)}"
+            )
     stats = m.get("stats") or {}
+    pvals = m.get("partition_values") or {}
     keep = []
     for f in m["files"]:
         fstats = stats.get(f) or {}
@@ -523,11 +833,20 @@ def read_snapshot_pruned(
             if rng is not None and (rng[0] > chi or rng[1] < clo):
                 ok = False  # provably disjoint in SOME dimension -> skip
                 break
+        for name, val in (partition_eq or {}).items():
+            if not ok:
+                break
+            rec = pvals.get(f) or {}
+            if name in rec and rec[name] != str(val):
+                ok = False  # recorded value differs (incl. null marker)
         if ok:
             keep.append(f)
     pred = None
     for c, (clo, chi) in ranges.items():
         term = F.col(c).between(clo, chi)
+        pred = term if pred is None else pred & term
+    for name, val in (partition_eq or {}).items():
+        term = F.expr(transforms[name]).cast("string") == str(val)
         pred = term if pred is None else pred & term
     if not keep:
         return (
@@ -535,24 +854,51 @@ def read_snapshot_pruned(
             .filter(pred)
             .limit(0)  # schema-only: no rows surface
         )
-    return (
-        spark.read.parquet(*[os.path.join(root, f) for f in keep])
-        .filter(pred)
-    )
+    # evolved tables read through the logical projection (stats stay
+    # keyed by physical names, so renamed columns simply make no
+    # skipping claims — the safe direction); raw tables scan directly
+    return _read_files_logical(spark, root, m, keep).filter(pred)
 
 
-def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
-    """Layout-only commit: rewrite the LATEST version's (possibly many
-    small) files into ``target_files`` and commit the result as a new
-    version with identical rows — the snapshot-table form of small-file
-    compaction.  History is untouched (old versions still reference the
-    old files), so the operation is as safe as any commit: crash before
-    the pointer move leaves the previous version live.
+def snapshot_compact(
+    spark: SparkSession,
+    root: str,
+    target_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """BIN-PACKING, layout-preserving compaction — the Iceberg
+    RewriteDataFiles shape: rewrite ONLY the file groups that need it
+    and leave already-good files referenced untouched, so maintenance
+    cost is proportional to small files + accumulated deletes, never to
+    the table.  The rewrite set is
 
-    MoR-aware: the rewrite reads THROUGH any equality-delete files
-    (`read_snapshot_mor`) and the overwrite commit carries none — so
-    compaction is also how accumulated MoR deletes get folded back into
-    pure data files without changing what any read returns.
+    * files smaller than ``target_file_bytes`` (small-file packing),
+    * files any MoR delete can touch: data files whose commit sequence
+      is below an equality-delete's sequence, and files named by a
+      position delete (read from the delete lists' ``_file`` column —
+      bounded by delete-file size, no data files opened)
+
+    and everything else is carried by reference, byte-identical.  The
+    rewritten rows are read THROUGH the delete files (so compaction
+    also folds MoR deletes back into pure data), written as
+    ``ceil(rewrite_bytes / target_file_bytes)`` files (or exactly
+    ``target_files`` when given), and the commit drops every delete
+    entry.
+
+    LAYOUT-PRESERVING: a table whose commits declared a layout policy
+    (`snapshot_append_clustered` records ``sort_cols``/``stats_cols``
+    in the manifest) is rewritten range-partitioned and sorted on its
+    sort columns with fresh per-file min/max recorded — so
+    `read_snapshot_pruned`'s file-skipping guarantee SURVIVES
+    maintenance instead of being silently discarded.  Tables without a
+    policy still get stats recomputed over whatever columns the parent
+    manifest carried stats for; kept files keep their stats and their
+    original commit sequences verbatim.
+
+    A table that is already compact (no deletes, nothing worth
+    rewriting — rewriting k files into k files is churn, not
+    compaction) returns the current version WITHOUT committing, which
+    is what makes `maintain_snapshot` idempotent.
 
     SERIALIZABLE like `snapshot_delete_where`: the rewrite captures one
     specific head, so a commit landing mid-rewrite (e.g. the streaming
@@ -561,30 +907,204 @@ def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> i
     instead the conflict aborts the commit and the whole rewrite
     retries against the new head (bounded attempts, then
     `SnapshotConflictError`)."""
+    import math
+
     last_err: Exception | None = None
     for _ in range(5):
         # seen BEFORE parent — see snapshot_append's capture-order comment
         seen = set(snapshot_versions(root))
         parent = current_version(root)
-        # merge_schema: compaction must carry EVOLVED columns — a plain
-        # read infers one file group's schema and would silently drop
-        # columns added by later appends
-        cur = read_snapshot_mor(spark, root, parent, merge_schema=True)
-        files = _write_files(cur.coalesce(target_files), root)
+        if parent is None:
+            raise FileNotFoundError(f"snapshot_compact: no table at {root}")
+        m = _read_manifest(root, parent)
+        deletes = m.get("delete_files") or []
+        fseq = m.get("file_seq") or {}
+        mstats = m.get("stats") or {}
+        sizes = {f: os.path.getsize(os.path.join(root, f)) for f in m["files"]}
+        eq_max = max(
+            (int(d["seq"]) for d in deletes if d.get("kind") != "position"),
+            default=None,
+        )
+        pos_named: set[str] = set()
+        for d in deletes:
+            if d.get("kind") == "position":
+                import pyarrow.parquet as pq
+
+                pos_named.update(
+                    pq.read_table(
+                        os.path.join(root, d["file"]), columns=["_file"]
+                    )
+                    .column("_file")
+                    .to_pylist()
+                )
+        rewrite = [
+            f
+            for f in m["files"]
+            if sizes[f] < target_file_bytes
+            or (eq_max is not None and int(fseq.get(f, 0)) < eq_max)
+            # position deletes name files by the same (dir, part-file)
+            # suffix key read_snapshot_mor's _keep_coords emits
+            or "/".join(f.split(os.sep)[-2:]) in pos_named
+        ]
+        keep = [f for f in m["files"] if f not in set(rewrite)]
+        n_out = target_files or max(
+            1, math.ceil(sum(sizes[f] for f in rewrite) / target_file_bytes)
+        )
+        if not deletes and len(rewrite) <= n_out:
+            return parent  # already compact — a rewrite would gain nothing
+        layout = m.get("layout") or {}
+        sort_cols = layout.get("sort_cols")
+        stats_cols = layout.get("stats_cols")
+        if not stats_cols:
+            # no declared policy: preserve whatever pruning evidence the
+            # parent carried (union of its stat columns) — ADVICE r6
+            stats_cols = sorted(
+                {c for f in rewrite for c in (mstats.get(f) or {})}
+            ) or None
+        new_files: list[str] = []
+        new_stats: dict = {}
+        if rewrite:
+            # merge_schema: the rewrite must carry EVOLVED columns — a
+            # plain read infers one file group's schema and would
+            # silently drop columns added by later appends
+            sub = read_snapshot_mor(
+                spark, root, parent, merge_schema=True, _files=rewrite
+            )
+            if sort_cols:
+                sub = sub.repartitionByRange(
+                    n_out, *sort_cols
+                ).sortWithinPartitions(*sort_cols)
+            else:
+                sub = sub.coalesce(n_out)
+            if stats_cols:
+                new_files, new_stats = _write_files(sub, root, stats_cols)
+            else:
+                new_files = _write_files(sub, root)
+        kept_stats = {f: mstats[f] for f in keep if f in mstats}
         try:
             return _commit(
                 root,
-                files,
+                keep + new_files,
                 parent,
                 operation="compact",
+                stats={**kept_stats, **new_stats},
                 seen_versions=seen,
                 conflict_mode="serialize",
+                base_file_seq={f: fseq[f] for f in keep if f in fseq},
+                new_file_columns=sub.columns if rewrite else None,
             )
         except SnapshotConflictError as exc:
             last_err = exc  # head moved mid-rewrite — redo against it
     raise SnapshotConflictError(
         f"snapshot_compact: gave up after 5 conflicted attempts "
         f"({last_err})"
+    )
+
+
+def snapshot_evolve(
+    root: str,
+    renames: dict[str, str] | None = None,
+    drops: list[str] | None = None,
+) -> int:
+    """SCHEMA EVOLUTION as a METADATA-ONLY commit — the Iceberg model in
+    miniature: rename and drop never rewrite a data file.  The manifest
+    records a logical schema (``fields``: ordered ``{id, name}`` pairs)
+    plus each file's physical-name→field-id binding (``file_fields``);
+    reads resolve a file's columns through its OWN binding, so
+
+    * old versions still read under their own schema (a pre-evolution
+      manifest carries no ``fields`` and reads raw),
+    * new reads see the new names across ALL file epochs,
+    * time travel crosses the rename in both directions, and
+    * a later append written under the NEW names binds its files to the
+      SAME field ids — the rename never forks the column.
+
+    A DROP removes the field from the logical schema only; the bytes
+    stay in the old files (projected away at read) until a compaction
+    rewrites them — exactly Iceberg's drop semantics.  Field ids are
+    never reused, so a subsequent add of the same NAME is a NEW field:
+    old files' values do not resurface under it.
+
+    First evolution BOOTSTRAPS the schema from the parquet footers of
+    the current version's files (names only — no data pages read).
+    Refuses tables carrying MoR delete files (compact first — see
+    `_refuse_mor_on_evolved` for why the states are kept disjoint).
+    SERIALIZABLE: computed against one head; a concurrent commit aborts
+    the claim and the evolution re-derives against the new head."""
+    renames = dict(renames or {})
+    drops = list(drops or [])
+    if not renames and not drops:
+        raise ValueError("snapshot_evolve: nothing to do")
+    last_err: Exception | None = None
+    for _ in range(5):
+        seen = set(snapshot_versions(root))
+        parent = current_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"snapshot_evolve: no table at {root}")
+        m = _read_manifest(root, parent)
+        if m.get("delete_files"):
+            raise ValueError(
+                "snapshot_evolve: table carries MoR delete files — run "
+                "snapshot_compact first (evolution and delete files are "
+                "disjoint states by design)"
+            )
+        fields = [dict(x) for x in m.get("fields") or []]
+        ffields = {f: dict(v) for f, v in (m.get("file_fields") or {}).items()}
+        if not fields:
+            # bootstrap: derive the logical schema from the files' own
+            # footers, first-seen order; every existing file gets its
+            # binding by name
+            import pyarrow.parquet as pq
+
+            name_to_id: dict[str, int] = {}
+            for f in m["files"]:
+                fnames = pq.ParquetFile(
+                    os.path.join(root, f)
+                ).schema_arrow.names
+                for c in fnames:
+                    if c not in name_to_id:
+                        name_to_id[c] = len(name_to_id) + 1
+                ffields[f] = {c: name_to_id[c] for c in fnames}
+            fields = [
+                {"id": i, "name": c} for c, i in name_to_id.items()
+            ]
+        by_name = {x["name"]: x for x in fields}
+        for old, new in renames.items():
+            if old not in by_name:
+                raise ValueError(f"snapshot_evolve: no column {old!r}")
+            if new in by_name and new != old:
+                raise ValueError(
+                    f"snapshot_evolve: rename {old!r}→{new!r} collides "
+                    "with an existing column"
+                )
+            by_name[old]["name"] = new
+            by_name[new] = by_name.pop(old)
+        for c in drops:
+            if c not in by_name:
+                raise ValueError(f"snapshot_evolve: no column {c!r}")
+            fields = [x for x in fields if x["name"] != c]
+            del by_name[c]
+        if not fields:
+            raise ValueError("snapshot_evolve: cannot drop every column")
+        try:
+            return _commit(
+                root,
+                m["files"],
+                parent,
+                stats=m.get("stats") or {},
+                operation="evolve",
+                seen_versions=seen,
+                conflict_mode="serialize",
+                base_file_seq=m.get("file_seq") or {},
+                manifest_override={
+                    "fields": fields,
+                    "file_fields": ffields,
+                },
+            )
+        except SnapshotConflictError as exc:
+            last_err = exc  # head moved — re-derive against it
+    raise SnapshotConflictError(
+        f"snapshot_evolve: gave up after 5 conflicted attempts ({last_err})"
     )
 
 
@@ -734,6 +1254,7 @@ def snapshot_mor_merge(
     # seen BEFORE parent — see snapshot_append's capture-order comment
     seen = set(snapshot_versions(root))
     parent = current_version(root)
+    _refuse_mor_on_evolved(root, parent, "snapshot_mor_merge")
     # the window result feeds BOTH file writes — persist so the batch is
     # shuffled/windowed once, not once per output (O(batch) means once)
     last = last.persist()
@@ -761,6 +1282,7 @@ def read_snapshot_mor(
     version: int | None = None,
     merge_schema: bool = False,
     _keep_coords: bool = False,
+    _files: list[str] | None = None,
 ) -> DataFrame:
     """Merge-on-read snapshot scan: the manifest's data files minus the
     rows its delete files kill — both flavors: EQUALITY deletes (key
@@ -778,7 +1300,9 @@ def read_snapshot_mor(
     Tables with no delete files degrade to exactly `read_snapshot`.
 
     ``_keep_coords`` (internal, for the position-delete writer) appends
-    the physical coordinates as ``_file``/``_pos`` columns."""
+    the physical coordinates as ``_file``/``_pos`` columns; ``_files``
+    restricts the data scan to a subset of the manifest's files with
+    every delete still applied (compaction's rewrite-set read)."""
     from pyspark.sql import functions as F
 
     v = current_version(root) if version is None else version
@@ -787,28 +1311,46 @@ def read_snapshot_mor(
     m = _read_manifest(root, v)
     deletes = m.get("delete_files") or []
     if not deletes and not _keep_coords:
-        return read_snapshot(spark, root, v, merge_schema=merge_schema)
+        return read_snapshot(
+            spark, root, v, merge_schema=merge_schema, _files=_files
+        )
+    if m.get("fields"):
+        raise ValueError(
+            "read_snapshot_mor: schema-evolved tables do not support "
+            "MoR delete files — snapshot_evolve refuses tables with "
+            "deletes and the merge/delete writers refuse evolved "
+            "tables, so this manifest is inconsistent"
+        )
+    scan_files = m["files"] if _files is None else _files
     fseq = m.get("file_seq") or {}
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", True)
-    data = reader.parquet(*[os.path.join(root, f) for f in m["files"]])
+    data = reader.parquet(*[os.path.join(root, f) for f in scan_files])
     out_cols = list(data.columns)
     # uuid-suffixed internal names: user columns named "_rel"/"_seq"/
     # "_pos" must never be clobbered or made ambiguous
     sfx = uuid.uuid4().hex[:8]
     rel_c, seq_c = f"_rel_{sfx}", f"_seq_{sfx}"
     pos_c, dseq_c = f"_pos_{sfx}", f"_del_seq_{sfx}"
-    # manifest-relative path = last 3 URI segments ("data/<uuid>/<file>")
+    # files are keyed by their LAST TWO path segments: for a plain
+    # group that is "<groupuuid>/<partfile>" (group uuid unique per
+    # commit); for a partitioned group "<_pt_x=v>/<partfile>" (the
+    # part-file name carries the write job's uuid, and one job's name
+    # repeats only across DIFFERENT partition dirs) — unique in both
+    # layouts, unlike a fixed-segment-count path or a bare basename;
+    # asserted below so a collision fails loudly, never misattributes
+    # a sequence
+    base = {f: "/".join(f.split(os.sep)[-2:]) for f in scan_files}
+    if len(set(base.values())) != len(base):
+        raise ValueError(
+            "read_snapshot_mor: duplicate (dir, part-file) suffixes in "
+            "one manifest — cannot key the file→sequence map"
+        )
     parts = F.split(F.col("_metadata.file_path"), "/")
-    rel = F.concat_ws(
-        "/",
-        F.element_at(parts, -3),
-        F.element_at(parts, -2),
-        F.element_at(parts, -1),
-    )
+    rel = F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
     seq_map = spark.createDataFrame(
-        [(f, int(fseq.get(f, 0))) for f in m["files"]],
+        [(base[f], int(fseq.get(f, 0))) for f in scan_files],
         f"`{rel_c}` STRING, `{seq_c}` BIGINT",
     )
     data = (
@@ -934,8 +1476,19 @@ def snapshot_restore(root: str, version: int) -> int:
         stats=m.get("stats") or {},
         operation="restore",
         manifest_override={
-            "file_seq": m.get("file_seq") or {},
-            "delete_files": m.get("delete_files") or [],
+            # verbatim carry — including schema metadata, so restoring
+            # past a rename/drop restores the schema too (None values
+            # REMOVE the key: restoring to a pre-evolution version must
+            # not inherit the current logical schema)
+            k: m.get(k)
+            for k in (
+                "file_seq",
+                "delete_files",
+                "fields",
+                "file_fields",
+                "partition_values",
+                "layout",
+            )
         },
     )
 
@@ -1037,6 +1590,7 @@ def snapshot_delete_where(
         # seen BEFORE parent — see snapshot_append's capture-order comment
         seen = set(snapshot_versions(root))
         parent = current_version(root)
+        _refuse_mor_on_evolved(root, parent, "snapshot_delete_where")
         if keys is not None:
             hits = (
                 read_snapshot_mor(spark, root)
@@ -1053,6 +1607,24 @@ def snapshot_delete_where(
             )
             entry = lambda f: {"file": f, "kind": "position"}  # noqa: E731
         del_files = _write_files(hits, root, kind="deletes")
+        # a predicate matching ZERO rows (e.g. a GDPR request for an
+        # absent key) must NOT commit: an empty delete file would still
+        # flip the table into MoR-only mode, breaking raw/pruned readers
+        # until a compaction folds a delete that deletes nothing —
+        # footer row counts only, no data read (ADVICE r6)
+        import pyarrow.parquet as pq
+
+        n_hits = sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for f in del_files
+        )
+        if n_hits == 0:
+            for f in del_files:  # best-effort cleanup; vacuum catches rest
+                try:
+                    os.remove(os.path.join(root, f))
+                except OSError:
+                    pass
+            return parent
         try:
             return _commit(
                 root,
@@ -1077,17 +1649,23 @@ def maintain_snapshot(
     spark: SparkSession,
     root: str,
     max_delete_files: int = 8,
-    target_files: int = 8,
+    target_files: int | None = None,
     keep_last: int | None = None,
     vacuum_grace_s: float | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_small_files: int | None = None,
 ) -> dict:
     """One-call table MAINTENANCE policy — the janitor a continuously
     merged table needs (Delta OPTIMIZE + VACUUM rolled together), meant
     for a cron/DAG step after streaming CDC:
 
     1. if the live manifest carries more than ``max_delete_files`` MoR
-       delete files, `snapshot_compact` folds them (read-side anti-join
-       cost is proportional to accumulated deletes — this bounds it);
+       delete files — or, with ``max_small_files`` set, more than that
+       many files under ``target_file_bytes`` — `snapshot_compact`
+       bin-packs them (read-side anti-join cost is proportional to
+       accumulated deletes and scan cost to file count — this bounds
+       both, and the rewrite touches ONLY those files: maintenance
+       bytes ∝ small files + deletes, never the table);
     2. if ``keep_last`` is set, `expire_versions` drops older manifests
        (never the live version);
     3. if ``vacuum_grace_s`` is set, `vacuum_orphans` reclaims
@@ -1101,11 +1679,24 @@ def maintain_snapshot(
     did: dict = {"compacted": None, "expired": [], "vacuumed": []}
     cur = current_version(root)
     if cur is not None:
-        n_del = len(_read_manifest(root, cur).get("delete_files") or [])
-        if n_del > max_delete_files:
-            did["compacted"] = snapshot_compact(
-                spark, root, target_files=target_files
+        m = _read_manifest(root, cur)
+        n_del = len(m.get("delete_files") or [])
+        n_small = sum(
+            os.path.getsize(os.path.join(root, f)) < target_file_bytes
+            for f in m["files"]
+        )
+        if n_del > max_delete_files or (
+            max_small_files is not None and n_small > max_small_files
+        ):
+            v = snapshot_compact(
+                spark,
+                root,
+                target_files=target_files,
+                target_file_bytes=target_file_bytes,
             )
+            # compact no-ops (returns cur) when nothing would improve —
+            # report only real commits so reruns read as idempotent
+            did["compacted"] = v if v != cur else None
     if keep_last is not None:
         did["expired"] = expire_versions(root, keep_last=keep_last)
     if vacuum_grace_s is not None:
@@ -1141,11 +1732,11 @@ def run_streaming_snapshot_cdc_sink(
     app = _stream_app_id(checkpoint_dir)
 
     def handle(bdf: DataFrame, epoch_id: int) -> None:
-        # honor pre-scoping markers: a checkpoint whose last epoch was
-        # committed under the legacy 'epoch-N' tag layout must not
-        # double-apply that epoch on its first restart under this code
-        if _resume_tagged_commit(root, f"epoch-{int(epoch_id)}") is not None:
-            return
+        # NO legacy-tag check here: the CDC sink was born with scoped
+        # tags — no pre-scoping CDC layout ever existed, so an unscoped
+        # 'epoch-N' marker on the table belongs to some OTHER writer
+        # (e.g. a batch append) and honoring it would silently swallow
+        # this stream's early epochs (ADVICE r6)
         snapshot_mor_merge(
             bdf.sparkSession,
             root,
@@ -1166,7 +1757,10 @@ def run_streaming_snapshot_cdc_sink(
 
 
 def run_streaming_snapshot_sink(
-    stream_df: DataFrame, root: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    honor_legacy_epoch_tags: bool = False,
 ) -> None:
     """EXACTLY-ONCE streaming appends onto a snapshot table: each
     micro-batch commits one tagged append (`tag=f"epoch-{id}"`), so a
@@ -1180,12 +1774,24 @@ def run_streaming_snapshot_sink(
     Tags are scoped to the stream identity via the checkpoint path
     (see `run_streaming_snapshot_cdc_sink` — same txnAppId pattern), so
     a second stream appending to the same table never collides with
-    this one's epoch numbering."""
+    this one's epoch numbering.
+
+    ``honor_legacy_epoch_tags`` is the EXPLICIT one-time migration knob
+    for checkpoints that genuinely predate tag scoping (their epochs
+    committed under unscoped ``epoch-N`` tags): when set, an epoch whose
+    legacy marker exists is skipped — via a READ-ONLY marker probe, so
+    the pre-check can never move _LATEST onto an abandoned lineage.  It
+    defaults to OFF because on any table that merely HAPPENS to carry
+    unscoped markers (written by a different stream or a batch job), the
+    check would silently swallow this stream's epochs 0..K — the exact
+    collision tag scoping exists to prevent (ADVICE r6)."""
     app = _stream_app_id(checkpoint_dir)
 
     def handle(bdf: DataFrame, epoch_id: int) -> None:
-        # legacy-tag migration — see run_streaming_snapshot_cdc_sink
-        if _resume_tagged_commit(root, f"epoch-{int(epoch_id)}") is not None:
+        if (
+            honor_legacy_epoch_tags
+            and _tagged_version(root, f"epoch-{int(epoch_id)}") is not None
+        ):
             return
         snapshot_append(bdf, root, tag=f"append-{app}-epoch-{int(epoch_id)}")
 

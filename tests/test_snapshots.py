@@ -1278,21 +1278,348 @@ def test_compact_conflict_retries_against_new_head(spark, tmp_path, monkeypatch)
     assert sn._read_manifest(root, sn.current_version(root))["delete_files"] == []
 
 
-def test_streaming_sink_honors_legacy_epoch_tags(spark, tmp_path):
-    """Checkpoints whose last epoch committed under the pre-scoping
-    'epoch-N' tag layout must not double-apply that epoch after the
-    tag format gained the stream-identity scope."""
+def test_streaming_sink_legacy_epoch_tags_are_opt_in(spark, tmp_path):
+    """Unscoped 'epoch-N' markers on a table must NOT swallow a new
+    stream's epochs (ADVICE r6): by default a fresh-checkpoint stream
+    appends its batch even though a legacy tag exists; only the
+    explicit ``honor_legacy_epoch_tags`` migration knob skips it — and
+    via a read-only probe that never moves _LATEST."""
     root = str(tmp_path / "tbl")
-    # the legacy layout committed epoch 0
+    # some OTHER writer committed under the unscoped legacy layout
     sn.snapshot_append(_df(spark, 0, 10), root, tag="epoch-0")
-    src = _df(spark, 0, 10)
-    src.coalesce(1).write.parquet(str(tmp_path / "src" / "b0"))
-    stream = (
-        spark.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(str(tmp_path / "src" / "b*"))
+
+    def mkstream(bdir: str):
+        src = _df(spark, 10, 20)
+        src.coalesce(1).write.parquet(str(tmp_path / bdir / "b0"))
+        return (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / bdir / "b*"))
+        )
+
+    # default: the legacy tag belongs to someone else — batch lands
+    sn.run_streaming_snapshot_sink(
+        mkstream("src_a"), root, str(tmp_path / "ckpt_a")
     )
-    # a restart on a fresh checkpoint replays epoch 0 under the new code
-    sn.run_streaming_snapshot_sink(stream, root, str(tmp_path / "ckpt"))
-    assert sn.read_snapshot(spark, root).count() == 10, "no duplicates"
-    assert len(sn.snapshot_versions(root)) == 1
+    assert sn.read_snapshot(spark, root).count() == 20, (
+        "a foreign legacy tag must not swallow the stream's epoch"
+    )
+    # opt-in migration: a checkpoint that truly predates scoping skips
+    # its already-committed epoch instead of double-applying it
+    before = sn.current_version(root)
+    sn.run_streaming_snapshot_sink(
+        mkstream("src_b"),
+        root,
+        str(tmp_path / "ckpt_b"),
+        honor_legacy_epoch_tags=True,
+    )
+    assert sn.read_snapshot(spark, root).count() == 20, "no double-apply"
+    assert sn.current_version(root) == before, (
+        "the read-only probe must not commit or move _LATEST"
+    )
+
+
+# --------------------------------------------------------------------------
+# round 7: bin-packing layout-preserving compaction
+# --------------------------------------------------------------------------
+
+
+def _md5(path: str) -> str:
+    import hashlib
+
+    with open(path, "rb") as fh:
+        return hashlib.md5(fh.read()).hexdigest()
+
+
+def test_compact_keeps_good_files_byte_identical(spark, tmp_path):
+    """Bin-packing: a file group that is already above the size target
+    survives compaction BY REFERENCE — same path, same bytes — while
+    the small files around it are packed; maintenance cost is
+    proportional to the small files, never the table."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 5000).coalesce(1), root)  # the big file
+    big = sn._read_manifest(root, 0)["files"]
+    assert len(big) == 1
+    big_path = os.path.join(root, big[0])
+    threshold = os.path.getsize(big_path)  # big file is NOT below this
+    for i in range(4):  # four tiny appends
+        sn.snapshot_append(_df(spark, 5000 + i, 5001 + i).coalesce(1), root)
+    pre_md5 = _md5(big_path)
+    pre_files = sn._read_manifest(root, sn.current_version(root))["files"]
+    v = sn.snapshot_compact(spark, root, target_file_bytes=threshold)
+    m = sn._read_manifest(root, v)
+    assert big[0] in m["files"], "the good file must be carried by reference"
+    assert _md5(big_path) == pre_md5, "…byte-identical"
+    # the four tiny files are gone from the new manifest, packed into one
+    assert len(m["files"]) == 2, m["files"]
+    assert set(m["files"]) & set(pre_files) == set(big), (
+        "only the big file survives by reference"
+    )
+    assert sn.read_snapshot(spark, root).count() == 5004
+    # kept file retains its original commit sequence
+    assert m["file_seq"][big[0]] == 0
+
+
+def test_compact_noop_on_already_compact_table(spark, tmp_path):
+    """A table with nothing to rewrite returns the current version
+    without committing — the idempotence maintain_snapshot relies on."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 100).coalesce(1), root)
+    cur = sn.current_version(root)
+    size = os.path.getsize(
+        os.path.join(root, sn._read_manifest(root, cur)["files"][0])
+    )
+    assert sn.snapshot_compact(spark, root, target_file_bytes=size) == cur
+    assert sn.snapshot_versions(root) == [0], "no churn commit"
+
+
+def test_clustered_table_prunes_after_maintenance(spark, tmp_path):
+    """The r6 weak item: a clustered table's pruning guarantee must
+    SURVIVE maintain_snapshot.  Cluster-append, dirty the table with
+    MoR deletes past the policy threshold, maintain, and the keyrange
+    lookup must still open ~1 file — the compaction re-ranged, re-sorted,
+    and re-recorded stats because the manifest carries the layout."""
+    root = str(tmp_path / "tbl")
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    sn.snapshot_append_clustered(big, root, ["k"], n_files=8)
+    for i in range(3):
+        sn.snapshot_delete_where(spark, root, f"k = {i}", keys=["k"])
+    did = sn.maintain_snapshot(
+        spark, root, max_delete_files=2, target_files=8
+    )
+    assert did["compacted"] is not None
+    m = sn._read_manifest(root, did["compacted"])
+    assert m["delete_files"] == []
+    assert m.get("layout") == {"sort_cols": ["k"], "stats_cols": ["k"]}
+    assert all(
+        "k" in (m["stats"].get(f) or {}) for f in m["files"]
+    ), "every rewritten file must carry fresh stats"
+    hit = sn.read_snapshot_pruned(spark, root, "k", 10000, 10100)
+    assert len(hit.inputFiles()) == 1, hit.inputFiles()
+    assert hit.count() == 101  # k=0..2 deleted, none of them in range
+    # correctness unchanged vs a full scan
+    assert hit.count() == sn.read_snapshot(spark, root).filter(
+        "k between 10000 and 10100"
+    ).count()
+
+
+def test_compact_preserves_unlabeled_stats_columns(spark, tmp_path):
+    """ADVICE r6: a table without a declared layout but WITH recorded
+    stats must not lose them to a maintenance cycle — the rewrite
+    recomputes stats over the union of the parent's stat columns."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 50), root, stats_cols=["id"])
+    sn.snapshot_append(_df(spark, 50, 100), root, stats_cols=["id"])
+    v = sn.snapshot_compact(spark, root, target_files=1)
+    m = sn._read_manifest(root, v)
+    assert len(m["files"]) == 1
+    assert m["stats"][m["files"][0]].get("id") == [0, 99]
+
+
+def test_delete_where_zero_matches_is_a_noop(spark, tmp_path):
+    """ADVICE r6: a predicate matching no rows (a GDPR request for an
+    absent key) must not commit an empty delete file — raw and pruned
+    readers keep working and the version does not advance."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root, stats_cols=["id"])
+    cur = sn.current_version(root)
+    for keys in (["id"], None):  # both delete flavors
+        got = sn.snapshot_delete_where(spark, root, "id = 999", keys=keys)
+        assert got == cur, "no-op delete must return the current version"
+    assert sn.snapshot_versions(root) == [0]
+    # raw + pruned reads still work (no MoR flip)
+    assert sn.read_snapshot(spark, root).count() == 10
+    assert sn.read_snapshot_pruned(spark, root, "id", 0, 5).count() == 6
+
+
+# --------------------------------------------------------------------------
+# round 7: schema evolution (rename/drop as metadata-only commits)
+# --------------------------------------------------------------------------
+
+
+def test_evolve_rename_crosses_epochs(spark, tmp_path):
+    """Rename is metadata-only: old files keep their bytes, old versions
+    read under their own schema, new reads see the new name across ALL
+    file epochs, and a post-rename append under the new name joins the
+    same field."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 5).coalesce(1), root)       # v0: id, v
+    files_v0 = sn._read_manifest(root, 0)["files"]
+    mtimes = {f: os.path.getmtime(os.path.join(root, f)) for f in files_v0}
+    v1 = sn.snapshot_evolve(root, renames={"v": "value"})        # v1
+    assert v1 == 1
+    for f, mt in mtimes.items():  # no data rewritten
+        assert os.path.getmtime(os.path.join(root, f)) == mt
+    assert sn._read_manifest(root, 1)["files"] == files_v0
+    # new read sees the new name; values intact
+    got = sn.read_snapshot(spark, root)
+    assert got.columns == ["id", "value"]
+    assert {r.id: r.value for r in got.collect()} == {i: 2 * i for i in range(5)}
+    # time travel shows the OLD schema
+    assert sn.read_snapshot(spark, root, 0).columns == ["id", "v"]
+    # append under the NEW name lands in the same logical column
+    newer = spark.range(5, 8).select(
+        F.col("id"), (F.col("id") * 2).alias("value")
+    )
+    sn.snapshot_append(newer.coalesce(1), root)
+    got = sn.read_snapshot(spark, root)
+    assert got.columns == ["id", "value"]
+    assert {r.id: r.value for r in got.collect()} == {i: 2 * i for i in range(8)}
+
+
+def test_evolve_drop_and_readd_never_resurfaces(spark, tmp_path):
+    """Drop removes the field logically (bytes stay until compaction);
+    re-adding the same NAME later is a NEW field id — old files' values
+    must NOT resurface under it (the Iceberg id-not-name rule)."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 4).coalesce(1), root)   # id, v
+    sn.snapshot_evolve(root, drops=["v"])
+    assert sn.read_snapshot(spark, root).columns == ["id"]
+    # re-add "v" via an append that carries the name
+    sn.snapshot_append(_df(spark, 10, 12).coalesce(1), root)
+    got = {r.id: r.v for r in sn.read_snapshot(spark, root).collect()}
+    assert got[10] == 20 and got[11] == 22
+    assert all(got[i] is None for i in range(4)), (
+        "old files' dropped bytes must not resurface under the new field"
+    )
+
+
+def test_evolve_compact_and_restore_cross_schema(spark, tmp_path):
+    """Compaction rewrites an evolved table under the logical schema;
+    restore to a pre-evolution version restores the old schema."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 6).coalesce(1), root)        # v0
+    sn.snapshot_evolve(root, renames={"v": "value"})              # v1
+    sn.snapshot_append(
+        spark.range(6, 9).select("id", (F.col("id") * 2).alias("value")),
+        root,
+    )                                                             # v2
+    v3 = sn.snapshot_compact(spark, root, target_files=1)
+    got = sn.read_snapshot(spark, root, v3)
+    assert got.columns == ["id", "value"] and got.count() == 9
+    # restore to v0: old schema comes back; the evolved head stays
+    # readable by number
+    v4 = sn.snapshot_restore(root, 0)
+    assert sn.read_snapshot(spark, root, v4).columns == ["id", "v"]
+    assert sn.read_snapshot(spark, root, v3).columns == ["id", "value"]
+
+
+def test_evolve_validation_and_mor_exclusion(spark, tmp_path):
+    """Loud failures: unknown column, rename collision, evolve on a
+    table carrying MoR deletes, and MoR writers on an evolved table."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 5).coalesce(1), root)
+    with pytest.raises(ValueError, match="no column"):
+        sn.snapshot_evolve(root, renames={"nope": "x"})
+    with pytest.raises(ValueError, match="collides"):
+        sn.snapshot_evolve(root, renames={"id": "v"})
+    with pytest.raises(ValueError, match="nothing to do"):
+        sn.snapshot_evolve(root)
+    # deletes block evolution…
+    sn.snapshot_delete_where(spark, root, "id = 0", keys=["id"])
+    with pytest.raises(ValueError, match="compact first"):
+        sn.snapshot_evolve(root, renames={"v": "value"})
+    # …compaction unblocks it…
+    sn.snapshot_compact(spark, root)
+    sn.snapshot_evolve(root, renames={"v": "value"})
+    # …and the MoR writers refuse the evolved table
+    from pyspark.sql import Row
+
+    with pytest.raises(ValueError, match="evolved"):
+        sn.snapshot_delete_where(spark, root, "id = 1", keys=["id"])
+    with pytest.raises(ValueError, match="evolved"):
+        sn.snapshot_mor_merge(
+            spark, root,
+            spark.createDataFrame([Row(id=1, value=2, _op="U")]), ["id"],
+        )
+    # the CoW merge still works on the logical schema
+    sn.snapshot_merge_keys(
+        spark, root,
+        spark.createDataFrame([Row(id=1, value=99, _op="U")]), ["id"],
+    )
+    got = {r.id: r.value for r in sn.read_snapshot(spark, root).collect()}
+    assert got[1] == 99 and 0 not in got
+
+
+# --------------------------------------------------------------------------
+# round 7: hidden partitioning
+# --------------------------------------------------------------------------
+
+
+def test_partitioned_append_prunes_by_partition_value(spark, tmp_path):
+    """`snapshot_append_partitioned` records per-file transform values;
+    a partition_eq lookup opens ONLY that partition's files (asserted
+    via inputFiles) and still applies the semantic predicate."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 3).alias("v"),
+    )
+    sn.snapshot_append_partitioned(
+        df, root, {"grp": "CAST(g AS STRING)"}, stats_cols=["id"]
+    )
+    m = sn._read_manifest(root, 0)
+    assert all(
+        sn._read_manifest(root, 0)["partition_values"][f]["grp"]
+        in {"0", "1", "2", "3"}
+        for f in m["files"]
+    )
+    # the transform column is HIDDEN: not stored in the data files
+    assert set(sn.read_snapshot(spark, root).columns) == {"id", "g", "v"}
+    hit = sn.read_snapshot_pruned(spark, root, partition_eq={"grp": 2})
+    n_all = len(m["files"])
+    assert len(hit.inputFiles()) < n_all, "must skip other partitions"
+    assert all("grp=2" in f for f in hit.inputFiles())
+    assert hit.count() == 250
+    assert {r.g for r in hit.select("g").distinct().collect()} == {2}
+    # composes with stats ranges
+    both = sn.read_snapshot_pruned(
+        spark, root, ranges={"id": (0, 99)}, partition_eq={"grp": 2}
+    )
+    assert both.count() == 25
+    # a plain append's files carry no recorded value -> always read
+    sn.snapshot_append(
+        spark.range(1000, 1004).select(
+            "id", (F.col("id") % 4).alias("g"), (F.col("id") * 3).alias("v")
+        ),
+        root,
+    )
+    hit2 = sn.read_snapshot_pruned(spark, root, partition_eq={"grp": 2})
+    assert hit2.count() == 251  # 1002 % 4 == 2
+    # unknown partition name fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="no partition transform"):
+        sn.read_snapshot_pruned(spark, root, partition_eq={"day": "x"})
+
+
+def test_partitioned_files_survive_mor_deletes(spark, tmp_path):
+    """The MoR file→sequence map is keyed by part-file basename, so
+    partitioned file groups (one directory level deeper) merge
+    correctly: a delete only kills lower-sequence copies and a
+    re-insert survives."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    sn.snapshot_append_partitioned(df, root, {"grp": "CAST(g AS STRING)"})
+    from pyspark.sql import Row
+
+    sn.snapshot_mor_merge(
+        spark, root,
+        spark.createDataFrame([Row(k=7, g=2, _op="D")]), ["k"],
+    )
+    got = {r.k for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert 7 not in got and len(got) == 99
+    # re-insert AFTER the delete: the sequence rule lets it survive
+    sn.snapshot_mor_merge(
+        spark, root,
+        spark.createDataFrame([Row(k=7, g=2, _op="I")]), ["k"],
+    )
+    got = {r.k for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert 7 in got and len(got) == 100
