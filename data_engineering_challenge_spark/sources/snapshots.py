@@ -139,6 +139,22 @@ def _file_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+def _has_null_values(path: str, cols: list[str]) -> bool:
+    """True if any of ``cols`` has (or may have — unknown counts are
+    treated as present) a NULL in the file, from footer null_count
+    alone."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for c in cols:
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or st.null_count is None or st.null_count > 0:
+                return True
+    return False
+
+
 def _set_latest(root: str, version: int) -> None:
     """Atomic _LATEST pointer move (the commit point)."""
     ltmp = _latest_path(root) + f".tmp.{uuid.uuid4().hex}"
@@ -874,9 +890,12 @@ def snapshot_compact(
 
     * files smaller than ``target_file_bytes`` (small-file packing),
     * files any MoR delete can touch: data files whose commit sequence
-      is below an equality-delete's sequence, and files named by a
-      position delete (read from the delete lists' ``_file`` column —
-      bounded by delete-file size, no data files opened)
+      is below an equality-delete's sequence AND whose recorded key
+      stats intersect the delete file's key range (ranges read from the
+      delete file's parquet FOOTER — no data pages; a file without
+      stats on the delete keys is conservatively affected), and files
+      named by a position delete (read from the delete lists'
+      ``_file`` column — bounded by delete-file size)
 
     and everything else is carried by reference, byte-identical.  The
     rewritten rows are read THROUGH the delete files (so compaction
@@ -921,10 +940,7 @@ def snapshot_compact(
         fseq = m.get("file_seq") or {}
         mstats = m.get("stats") or {}
         sizes = {f: os.path.getsize(os.path.join(root, f)) for f in m["files"]}
-        eq_max = max(
-            (int(d["seq"]) for d in deletes if d.get("kind") != "position"),
-            default=None,
-        )
+        eq_dels: list[tuple[int, dict | None]] = []
         pos_named: set[str] = set()
         for d in deletes:
             if d.get("kind") == "position":
@@ -937,11 +953,41 @@ def snapshot_compact(
                     .column("_file")
                     .to_pylist()
                 )
+            else:
+                # the delete list's own footer gives its key range —
+                # the Iceberg trick that keeps a narrow delete from
+                # forcing a whole-table rewrite.  NULL-keyed deletes
+                # make NO range claims (footer min/max excludes nulls,
+                # but eqNullSafe matches NULL rows — range-pruning such
+                # a delete would be a silent GDPR failure), so any null
+                # in the key list degrades to conservative.
+                dpath = os.path.join(root, d["file"])
+                dstats = _file_stats(dpath, list(d["keys"]))
+                if dstats and _has_null_values(dpath, list(d["keys"])):
+                    dstats = None
+                eq_dels.append((int(d["seq"]), dstats or None))
+
+        def eq_affected(f: str) -> bool:
+            fs = (mstats.get(f) or {})
+            for seq, dstats in eq_dels:
+                if int(fseq.get(f, 0)) >= seq:
+                    continue  # sequence rule: delete can't touch f
+                if dstats is None:
+                    return True  # no evidence either way — conservative
+                disjoint = any(
+                    k in fs
+                    and (fs[k][0] > dstats[k][1] or fs[k][1] < dstats[k][0])
+                    for k in dstats
+                )
+                if not disjoint:
+                    return True
+            return False
+
         rewrite = [
             f
             for f in m["files"]
             if sizes[f] < target_file_bytes
-            or (eq_max is not None and int(fseq.get(f, 0)) < eq_max)
+            or eq_affected(f)
             # position deletes name files by the same (dir, part-file)
             # suffix key read_snapshot_mor's _keep_coords emits
             or "/".join(f.split(os.sep)[-2:]) in pos_named

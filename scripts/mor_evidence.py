@@ -129,6 +129,67 @@ def main() -> int:
     out["mor_read_after_compact_s"] = round(time.monotonic() - t0, 3)
 
     assert out["cow_final_rows"] == out["mor_final_rows"]
+
+    # --- maintenance-cost evidence (round 7): bin-packing compaction ---
+    # bytes rewritten by maintenance must be proportional to small files
+    # + the deletes' blast radius, NEVER to the table.  Build a table of
+    # 8 clustered base files (key stats recorded), add K tiny appends
+    # and ONE narrow equality delete; compact with a threshold that
+    # classifies the base files as good.  Expected: the tiny tail and
+    # the single delete-intersecting base file are rewritten, the other
+    # base files survive by reference byte-identical.
+    root = f"{tmp}/binpack"
+    sn.snapshot_append_clustered(orders, root, ["o_orderkey"], n_files=8)
+
+    def tree_bytes(r: str) -> int:
+        total = 0
+        for dirpath, _dirs, names in os.walk(r):
+            for n in names:
+                if n.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, n))
+        return total
+
+    m0 = sn._read_manifest(root, sn.current_version(root))
+    base_bytes = sum(
+        os.path.getsize(os.path.join(root, f)) for f in m0["files"]
+    )
+    min_base = min(
+        os.path.getsize(os.path.join(root, f)) for f in m0["files"]
+    )
+    for i in range(args.batches):  # tiny dirty tail
+        sn.snapshot_append(
+            orders.limit(50).withColumn(
+                "o_orderkey", F.col("o_orderkey") + (i + 1) * 50_000_000
+            ),
+            root,
+        )
+    # one narrow delete: ~100 consecutive keys out of the whole range
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    sn.snapshot_delete_where(
+        spark,
+        root,
+        f"o_orderkey between {lo} and {lo + 100}",
+        keys=["o_orderkey"],
+    )
+    dirty_bytes = tree_bytes(root) - base_bytes
+    before = tree_bytes(root)
+    t0 = time.monotonic()
+    v = sn.snapshot_compact(spark, root, target_file_bytes=min_base)
+    out["binpack_compact_s"] = round(time.monotonic() - t0, 3)
+    out["binpack_table_bytes"] = base_bytes
+    out["binpack_dirty_bytes"] = dirty_bytes
+    out["binpack_maintenance_bytes"] = tree_bytes(root) - before
+    mv = sn._read_manifest(root, v)
+    out["binpack_base_files_kept"] = sum(
+        1 for f in m0["files"] if f in set(mv["files"])
+    )
+    out["binpack_base_files"] = len(m0["files"])
+    # the claim, asserted: all but the one delete-intersecting base
+    # file survived by reference, and the maintenance write is bounded
+    # by the dirty tail + one file, not the table
+    assert out["binpack_base_files_kept"] == out["binpack_base_files"] - 1
+    assert out["binpack_maintenance_bytes"] < base_bytes // 2
+
     print(json.dumps(out))
     shutil.rmtree(tmp, ignore_errors=True)
     return 0

@@ -1623,3 +1623,44 @@ def test_partitioned_files_survive_mor_deletes(spark, tmp_path):
     )
     got = {r.k for r in sn.read_snapshot_mor(spark, root).collect()}
     assert 7 in got and len(got) == 100
+
+
+def test_compact_prunes_disjoint_equality_deletes(spark, tmp_path):
+    """A NARROW equality delete must not force a whole-table rewrite:
+    compaction reads the delete list's key range from its footer and
+    keeps every data file whose recorded key stats are provably
+    disjoint — maintenance bytes ∝ the delete's blast radius."""
+    root = str(tmp_path / "tbl")
+    big = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    sn.snapshot_append_clustered(big, root, ["k"], n_files=4)
+    files0 = sn._read_manifest(root, 0)["files"]
+    assert len(files0) == 4
+    sn.snapshot_delete_where(spark, root, "k between 100 and 110", keys=["k"])
+    v = sn.snapshot_compact(spark, root, target_file_bytes=1)  # no small files
+    m = sn._read_manifest(root, v)
+    kept = set(files0) & set(m["files"])
+    assert len(kept) == 3, "only the intersecting file may be rewritten"
+    assert m["delete_files"] == []
+    assert sn.read_snapshot(spark, root).count() == 4000 - 11
+    assert sn.read_snapshot(spark, root).filter("k = 105").count() == 0
+
+
+def test_compact_never_prunes_null_keyed_deletes(spark, tmp_path):
+    """Footer min/max excludes NULLs but eqNullSafe deletes match them:
+    a delete list containing a NULL key must degrade to conservative
+    (rewrite every lower-sequence file) — range-pruning it would
+    silently resurrect the NULL-keyed row."""
+    rows = [(None, -1)] + [(i, i) for i in range(100)]
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    sn.snapshot_append_clustered(df, root, ["k"], n_files=2)
+    feed = spark.createDataFrame([(None, 0, "D")], "k bigint, v bigint, _op string")
+    sn.snapshot_mor_merge(spark, root, feed, ["k"])
+    v = sn.snapshot_compact(spark, root, target_file_bytes=1)
+    got = sn.read_snapshot(spark, root, v)
+    assert got.count() == 100
+    assert got.filter("k is null").count() == 0, (
+        "the NULL-keyed row must stay deleted after compaction"
+    )
