@@ -26,7 +26,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from . import roles
-from .queries import _SQL_REPORT, register
+from .queries import _SQL_REPORT, _dsum_sql, register
 
 
 def _register_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
@@ -228,5 +228,109 @@ SELECT user_id,
                 THEN 1 ELSE 0 END) AS BIGINT) AS consecutive_pairs
 FROM seq
 GROUP BY user_id
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# snapshot tables on the SQL surface: MoR lineage + time travel, pure SQL
+# --------------------------------------------------------------------------
+
+_SNAP_SQL_CACHE: dict = {}
+
+
+@register(
+    "sql_snapshot_asof_report",
+    # Oracle: wholesale SQL replay of the same deterministic feed — per
+    # key the highest (batch, seq) change wins, where batch = seq % 2
+    # (evens merged first, odds second); the "asof" phase replays only
+    # batch 0 (the table state version 0 pinned).  Same ranking shape
+    # as the snapshot_mor_merge oracle, split by phase.
+    f"""
+WITH feed AS (
+    SELECT user_id AS k,
+           event_id AS seq,
+           event_id % 2 AS b,
+           CASE WHEN event_id % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+           value AS v
+    FROM events
+),
+latest AS (
+    SELECT k, op, v,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY b DESC, seq DESC) AS rn
+    FROM feed
+),
+asof_state AS (
+    SELECT k, op, v,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM feed WHERE b = 0
+)
+SELECT 'latest' AS phase, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       {_dsum_sql('v')} AS total_value
+FROM latest WHERE rn = 1 AND op <> 'D'
+UNION ALL
+SELECT 'asof', CAST(COUNT(*) AS BIGINT), {_dsum_sql('v')}
+FROM asof_state WHERE rn = 1 AND op <> 'D'
+""",
+)
+def q_sql_snapshot_asof_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5/6 flagships COMPOSED on the SQL surface: a
+    merge-on-read CDC lineage (`snapshot_mor_merge`, two batches) is
+    attached as temp views via `attach_snapshot_views` — the live head
+    AND a ``TIMESTAMP AS OF`` view resolved at version 0's commit time
+    — and the report is authored as ONE spark.sql statement over those
+    views.  A SQL-only user gets the table format, MoR semantics, and
+    time travel without touching the DataFrame API; the oracle replays
+    both table states wholesale from the raw feed.  Certifies reference
+    parity at the API level: every reference query is SQL over its
+    tables (db_operations.py:46-57) — here the tables are snapshot
+    lineages.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    key = ("sql_snapshot_asof_report", sf_dir)
+    out = _SNAP_SQL_CACHE.get(key)
+    if out is None:
+        from pyspark.sql import functions as F
+
+        tmp = tempfile.mkdtemp(prefix="snap_sqlv_")
+        root = f"{tmp}/tbl"
+        events = roles.load_events(spark, sf_dir)
+        feed = events.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 2).alias("_b"),
+            F.when(F.col("event_id") % 5 == 0, "D").otherwise("U").alias("_op"),
+            F.col("value").alias("v"),
+        )
+        for b in range(2):
+            sn.snapshot_mor_merge(
+                spark,
+                root,
+                feed.filter(F.col("_b") == b).drop("_b"),
+                ["k"],
+                seq_col="seq",
+            )
+        out = _SNAP_SQL_CACHE[key] = root
+    from .sources import snapshots as sn2
+
+    t0 = sn2._read_manifest(out, 0)["ts"]
+    sn2.attach_snapshot_views(
+        spark,
+        {
+            "sqlq_snap_feed": out,                      # the live head
+            "sqlq_snap_feed_asof": {"root": out, "asof": t0},  # time travel
+        },
+    )
+    return spark.sql(
+        """
+SELECT 'latest' AS phase, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+FROM sqlq_snap_feed
+UNION ALL
+SELECT 'asof', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
+FROM sqlq_snap_feed_asof
 """
     )

@@ -1457,6 +1457,65 @@ def read_snapshot_mor(
     return data.select(*out_cols)
 
 
+def attach_snapshot_view(
+    spark: SparkSession,
+    name: str,
+    root: str,
+    version: int | None = None,
+    asof: float | None = None,
+) -> int:
+    """Put a snapshot table on the SQL SURFACE: register ``name`` as a
+    temp view over the MoR-merged read, so a SQL-only user queries the
+    table format — including TIME TRAVEL (``version=N`` is Delta's
+    ``VERSION AS OF``, ``asof=ts`` its ``TIMESTAMP AS OF``, resolved
+    through the lineage-restricted `resolve_asof_version`) — with plain
+    ``spark.sql`` text and no DataFrame API in sight.
+
+    The view PINS the version resolved at attach time (None pins the
+    then-current _LATEST): SQL results stay snapshot-consistent across
+    a concurrent commit, exactly like a reader holding a manifest.
+    Re-attach to follow the head.  Returns the pinned version.
+
+    The view is lazy metadata over the manifest's file list — Catalyst
+    plans straight down to the parquet scans (pushdown/pruning intact),
+    nothing is materialized."""
+    if version is not None and asof is not None:
+        raise ValueError(
+            "attach_snapshot_view: pass version OR asof, not both"
+        )
+    if asof is not None:
+        version = resolve_asof_version(root, asof)
+    elif version is None:
+        version = current_version(root)
+        if version is None:
+            raise FileNotFoundError(
+                f"attach_snapshot_view: no committed version at {root}"
+            )
+    read_snapshot_mor(spark, root, version).createOrReplaceTempView(name)
+    return version
+
+
+def attach_snapshot_views(
+    spark: SparkSession, tables: dict[str, str | dict]
+) -> dict[str, int]:
+    """Plural `attach_snapshot_view`: ``{view_name: root}`` or
+    ``{view_name: {"root": ..., "version": N | "asof": ts}}``.  Returns
+    the pinned version per view."""
+    out: dict[str, int] = {}
+    for name, spec in tables.items():
+        if isinstance(spec, str):
+            out[name] = attach_snapshot_view(spark, name, spec)
+        else:
+            out[name] = attach_snapshot_view(
+                spark,
+                name,
+                spec["root"],
+                version=spec.get("version"),
+                asof=spec.get("asof"),
+            )
+    return out
+
+
 def read_snapshot_asof(
     spark: SparkSession, root: str, ts: float, merge_schema: bool = False
 ) -> DataFrame:

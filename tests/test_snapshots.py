@@ -1664,3 +1664,45 @@ def test_compact_never_prunes_null_keyed_deletes(spark, tmp_path):
     assert got.filter("k is null").count() == 0, (
         "the NULL-keyed row must stay deleted after compaction"
     )
+
+
+def test_attach_snapshot_view_sql_surface(spark, tmp_path):
+    """`attach_snapshot_view` puts the table format on the SQL surface:
+    a spark.sql user reads the MoR-merged state, time travel works via
+    version= and asof=, and the view PINS its version — a commit after
+    attach does not leak into the view until re-attach."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)       # v0
+    sn.snapshot_mor_merge(
+        spark, root,
+        spark.createDataFrame([Row(id=3, v=99, _op="U"),
+                               Row(id=4, v=0, _op="D")]), ["id"],
+    )                                                             # v1
+    t0 = sn._read_manifest(root, 0)["ts"]
+    got = sn.attach_snapshot_views(
+        spark,
+        {
+            "snapv_live": root,
+            "snapv_v0": {"root": root, "version": 0},
+            "snapv_asof": {"root": root, "asof": t0},
+        },
+    )
+    assert got == {"snapv_live": 1, "snapv_v0": 0, "snapv_asof": 0}
+    live = {
+        r.id: r.v
+        for r in spark.sql("SELECT id, v FROM snapv_live").collect()
+    }
+    assert live[3] == 99 and 4 not in live and len(live) == 9
+    assert spark.sql("SELECT COUNT(*) n FROM snapv_v0").first().n == 10
+    assert spark.sql("SELECT COUNT(*) n FROM snapv_asof").first().n == 10
+    # pinning: a new commit is invisible until re-attach
+    sn.snapshot_append(_df(spark, 100, 105).coalesce(1), root)
+    assert spark.sql("SELECT COUNT(*) n FROM snapv_live").first().n == 9
+    sn.attach_snapshot_view(spark, "snapv_live", root)
+    assert spark.sql("SELECT COUNT(*) n FROM snapv_live").first().n == 14
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        sn.attach_snapshot_view(spark, "x", root, version=0, asof=t0)
