@@ -154,6 +154,7 @@ _TAIL = [
     "cdc_apply_replay",
     "streaming_incremental_report",
     "streaming_snapshot_cdc",
+    "streaming_snapshot_source",
     "ivf_topk",
     "pq_topk",
 ]

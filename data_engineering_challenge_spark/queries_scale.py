@@ -2036,3 +2036,75 @@ def q_snapshot_restore_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         result = result.unionByName(part)
     return result
+
+
+# --------------------------------------------------------------------------
+# snapshot table as a streaming SOURCE (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "streaming_snapshot_source",
+    # Source commits carry the whole events-derived feed; the stream's
+    # exactly-once contract is that the sink table ends up with exactly
+    # those rows, so the plain batch aggregate over events IS the oracle
+    # (same discipline as streaming_snapshot_ingest).
+    f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_streaming_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table as a STREAMING SOURCE (`sources/snapshot_source.py`
+    — the Delta streaming-source pattern: offsets are snapshot versions,
+    micro-batches are manifest file-set deltas, reads are executor-side
+    arrow batches), certified by the strongest composition available:
+    snapshot → stream → snapshot.  The events feed lands in a SOURCE
+    snapshot table as two appends; each append is drained by a
+    checkpointed availableNow run of the ``snapshot_table`` stream into
+    the exactly-once append SINK (`run_streaming_snapshot_sink`) — run 1
+    consumes the initial snapshot, run 2 must replay NOTHING and deliver
+    only the second commit's delta.  The sink table's aggregate
+    hash-matches the raw batch oracle, proving the full round trip is
+    exactly-once in both directions.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from . import roles
+    from .sources import snapshots as sn
+    from .sources.snapshot_source import register_snapshot_source
+    from .streaming import incremental as st
+
+    key = ("streaming_snapshot_source", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        register_snapshot_source(spark)
+        tmp = tempfile.mkdtemp(prefix="snap_src_")
+        src, dst, ckpt = f"{tmp}/src", f"{tmp}/dst", f"{tmp}/ckpt"
+        events = roles.load_events(spark, sf_dir)
+        feed = events.select(
+            "event_id", "event_type", "value"
+        )
+        for half in (0, 1):  # two commits, two stream runs
+            sn.snapshot_append(
+                feed.filter(F.col("event_id") % 2 == half), src
+            )
+            stream = (
+                spark.readStream.format("snapshot_table")
+                .option("root", src)
+                .load()
+            )
+            sn.run_streaming_snapshot_sink(stream, dst, ckpt)
+        out = _STREAM_OUT_CACHE[key] = dst
+    from .sources import snapshots as sn2
+
+    return (
+        sn2.read_snapshot(spark, out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("total_value"),
+        )
+    )

@@ -1,0 +1,281 @@
+"""Snapshot table as a STREAMING SOURCE — the Delta streaming-source
+pattern composed from two proven pieces: the Python DataSource stream
+API (`pyds.py` proves the offset lifecycle) and the snapshot format's
+version lineage (`snapshots.read_snapshot_changes` proves the
+file-delta rule).  ``spark.readStream.format("snapshot_table")
+.option("root", dir).load()`` turns every committed APPEND into
+micro-batch rows:
+
+* OFFSETS ARE VERSIONS: ``{"version": N}``.  A new stream starts at -1
+  (the whole current snapshot is the first batch — Delta's initial
+  snapshot semantics); a checkpointed restart resumes from the recorded
+  version, so a drained source replays NOTHING and a later commit is
+  exactly the next batch's delta.
+* PARTITION-PLANNED, ARROW-BATCHED: ``partitions(start, end)`` is the
+  manifest file-set difference (one `InputPartition` per parquet file —
+  the natural task grain; planning is metadata-only on the driver), and
+  ``read`` runs on EXECUTORS yielding pyarrow RecordBatches — no
+  row-at-a-time Python anywhere, which is what makes this the scale
+  path rather than the `SimpleDataSourceStreamReader` prefetch-on-driver
+  variant.
+* LOUD WHERE SEMANTICS END (the `read_snapshot_changes` discipline,
+  carried through): an overwrite between offsets means the delta is not
+  append-only, and ANY delete-set change (a MoR merge/delete) removes
+  or resurrects rows no added-file diff can express — both fail the
+  batch instead of silently streaming wrong rows.  Schema-evolved
+  tables (`snapshot_evolve`) are refused at plan time: a stream's
+  schema is fixed at start.  Additive evolution (appends that add
+  columns) IS supported: each file is padded to the stream schema with
+  NULL columns, exactly like a merge-schema batch read.
+
+The batch side (``spark.read.format("snapshot_table")``) reads the
+pinned latest version with the same per-file partitioning — one
+registration serves both surfaces.
+
+Reference parity: the reference has no streaming at all; this is the
+CDC-consumer entry the Spark-native platform adds (SURVEY §2.9), and
+the registry's `streaming_snapshot_source` query certifies it by
+feeding the stream back into the exactly-once snapshot append sink and
+hash-matching the round trip against the raw-events oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from . import snapshots as sn
+
+
+class _SnapshotFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _refuse_unstreamable(m: dict, what: str) -> None:
+    if m.get("fields"):
+        raise ValueError(
+            f"{what}: schema-evolved tables (snapshot_evolve) cannot be "
+            "streamed — the stream schema is fixed at start; compact or "
+            "read in batch"
+        )
+
+
+def _delkey(m: dict) -> set:
+    return {(d["file"], d["seq"]) for d in m.get("delete_files") or []}
+
+
+def _added_files(root: str, from_v: int, to_v: int) -> list[str]:
+    """Files ADDED between two versions of an append lineage — the
+    `read_snapshot_changes` walk (same loud failures) restated over
+    manifests only.  ``from_v=-1`` means 'before the first commit':
+    the whole ``to_v`` snapshot, which then must carry no deletes."""
+    to_m = sn._read_manifest(root, to_v)
+    _refuse_unstreamable(to_m, "snapshot_table stream")
+    if from_v < 0:
+        if to_m.get("delete_files"):
+            raise ValueError(
+                "snapshot_table stream: the initial snapshot carries MoR "
+                "delete files — an added-files stream would resurface "
+                "deleted rows; snapshot_compact first"
+            )
+        return sorted(to_m["files"])
+    m = to_m
+    while m["version"] != from_v:
+        parent = m["parent"]
+        if parent is None or parent < from_v:
+            raise ValueError(
+                f"snapshot_table stream: v{from_v} is not an ancestor of "
+                f"v{to_v} (rollback between offsets?)"
+            )
+        pm = sn._read_manifest(root, parent)
+        if not set(pm["files"]) <= set(m["files"]):
+            raise ValueError(
+                f"snapshot_table stream: v{m['version']} overwrote "
+                f"v{parent} — the delta is not append-only; rebuild the "
+                "consumer from a fresh checkpoint"
+            )
+        if _delkey(m) != _delkey(pm):
+            raise ValueError(
+                f"snapshot_table stream: v{m['version']} changed the MoR "
+                "delete-file set — the delta is not expressible as added "
+                "rows; consume via diff of time-traveled MoR reads"
+            )
+        m = pm
+    return sorted(set(to_m["files"]) - set(m["files"]))
+
+
+def _all_nullable(schema: StructType) -> StructType:
+    """Every field nullable — the contract Spark's own file sources
+    declare (a parquet footer's REQUIRED becomes nullable at the scan),
+    and a necessity here: additive evolution pads old files with NULLs,
+    so a footer-derived non-null field would NPE the downstream write."""
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(f.name, f.dataType, True, f.metadata)
+            for f in schema.fields
+        ]
+    )
+
+
+def _arrow_schema_for(schema: StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(_all_nullable(schema))
+
+
+def _read_file_batches(path: str, schema: StructType):
+    """Executor-side read of one parquet file as RecordBatches padded
+    and reordered to the stream schema (missing columns → NULL — the
+    additive-evolution case; extra physical columns are projected
+    away)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = _arrow_schema_for(schema)
+    pf = pq.ParquetFile(path)
+    have = set(pf.schema_arrow.names)
+    cols = [n for n in target.names if n in have]
+    for batch in pf.iter_batches(columns=cols):
+        arrays = []
+        for field in target:
+            if field.name in have:
+                arrays.append(
+                    batch.column(field.name).cast(field.type)
+                )
+            else:
+                arrays.append(pa.nulls(batch.num_rows, field.type))
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+class SnapshotTableDataSource(DataSource):
+    """``spark.read[Stream].format("snapshot_table").option("root", dir)``
+    — the snapshot table format on the reader surface.  Options:
+    ``root`` (required); ``version`` (batch: pin a version instead of
+    _LATEST)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_table"
+
+    def _root(self) -> str:
+        root = self.options.get("root")
+        if not root:
+            raise ValueError("snapshot_table: option 'root' is required")
+        return root
+
+    def schema(self) -> StructType:
+        """Schema from the newest data file's parquet FOOTER (metadata
+        only).  Explicit ``.schema(...)`` on the reader overrides."""
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        import pyarrow.parquet as pq
+
+        root = self._root()
+        v = sn.current_version(root)
+        if v is None:
+            raise FileNotFoundError(
+                f"snapshot_table: no committed version at {root}"
+            )
+        m = sn._read_manifest(root, v)
+        _refuse_unstreamable(m, "snapshot_table")
+        if not m["files"]:
+            raise ValueError(
+                "snapshot_table: empty table — pass an explicit schema"
+            )
+        # newest file group carries the widest (additively evolved)
+        # schema: pick the file with the highest commit sequence
+        fseq = m.get("file_seq") or {}
+        newest = max(m["files"], key=lambda f: int(fseq.get(f, 0)))
+        return _all_nullable(
+            from_arrow_schema(pq.read_schema(os.path.join(root, newest)))
+        )
+
+    def reader(self, schema: StructType) -> "SnapshotBatchReader":
+        return SnapshotBatchReader(self._root(), self.options, schema)
+
+    def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
+        return SnapshotStreamReader(self._root(), schema)
+
+
+class SnapshotBatchReader(DataSourceReader):
+    """Pinned-version batch scan: one partition per manifest file,
+    arrow-batched.  Refuses MoR deletes (use `read_snapshot_mor` — the
+    anti-join needs the engine, not a file scan)."""
+
+    def __init__(self, root: str, options, schema: StructType):
+        self.root = root
+        self.schema_ = schema
+        v = options.get("version")
+        self.version = int(v) if v is not None else sn.current_version(root)
+        if self.version is None:
+            raise FileNotFoundError(
+                f"snapshot_table: no committed version at {root}"
+            )
+        m = sn._read_manifest(root, self.version)
+        _refuse_unstreamable(m, "snapshot_table batch read")
+        if m.get("delete_files"):
+            raise ValueError(
+                "snapshot_table batch read: version carries MoR delete "
+                "files — use read_snapshot_mor or snapshot_compact first"
+            )
+        self.files = list(m["files"])
+
+    def partitions(self):
+        return [
+            _SnapshotFilePartition(os.path.join(self.root, f))
+            for f in self.files
+        ] or [_SnapshotFilePartition("")]
+
+    def read(self, partition: _SnapshotFilePartition):
+        if not partition.path:
+            return iter(())
+        return _read_file_batches(partition.path, self.schema_)
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, schema: StructType):
+        self.root = root
+        self.schema_ = schema
+
+    def initialOffset(self) -> dict:
+        # -1 = 'before the first commit': the first batch is the whole
+        # snapshot current at first trigger (Delta's initial-snapshot
+        # rule), later batches are per-commit deltas
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        v = sn.current_version(self.root)
+        return {"version": -1 if v is None else int(v)}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        if e <= s:
+            return []
+        return [
+            _SnapshotFilePartition(os.path.join(self.root, f))
+            for f in _added_files(self.root, s, e)
+        ]
+
+    def read(self, partition: _SnapshotFilePartition):
+        return _read_file_batches(partition.path, self.schema_)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable manifests — nothing to clean up
+
+    def stop(self) -> None:
+        pass
+
+
+def register_snapshot_source(spark) -> None:
+    """Idempotent registration of the ``snapshot_table`` format."""
+    spark.dataSource.register(SnapshotTableDataSource)

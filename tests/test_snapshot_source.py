@@ -1,0 +1,121 @@
+"""Snapshot table as a streaming source (`sources/snapshot_source.py`):
+version offsets, exactly-once restarts, loud failure off the append-only
+lineage, additive-evolution padding, and the batch reader surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_challenge_spark.sources import snapshots as sn
+from data_engineering_challenge_spark.sources.snapshot_source import (
+    register_snapshot_source,
+)
+from data_engineering_challenge_spark.streaming import incremental as st
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _drain(spark, root, out, ckpt):
+    register_snapshot_source(spark)
+    stream = (
+        spark.readStream.format("snapshot_table").option("root", root).load()
+    )
+    st.run_available_now(stream, out, ckpt)
+
+
+def test_stream_restart_replays_nothing(spark, tmp_path):
+    """Offsets are versions: a drained source replays nothing on
+    restart; a later append is exactly the next run's delta."""
+    root = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sn.snapshot_append(_df(spark, 0, 50).coalesce(2), root)
+    _drain(spark, root, out, ckpt)
+    assert spark.read.parquet(out).count() == 50  # initial snapshot
+    _drain(spark, root, out, ckpt)
+    assert spark.read.parquet(out).count() == 50, "drained → no replay"
+    sn.snapshot_append(_df(spark, 50, 60).coalesce(1), root)
+    sn.snapshot_append(_df(spark, 60, 65).coalesce(1), root)
+    _drain(spark, root, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 65, "only the two deltas landed"
+    assert {r.id for r in got.collect()} == set(range(65))
+
+
+def test_stream_fails_loud_on_mor_or_overwrite_hop(spark, tmp_path):
+    """A delete-set change or an overwrite between offsets is not an
+    added-files delta — the batch must fail, never stream wrong rows."""
+    from pyspark.sql import Row
+    from py4j.protocol import Py4JJavaError
+
+    root = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sn.snapshot_append(_df(spark, 0, 20).coalesce(1), root)
+    _drain(spark, root, out, ckpt)
+    sn.snapshot_mor_merge(
+        spark, root, spark.createDataFrame([Row(id=3, v=0, _op="D")]), ["id"]
+    )
+    with pytest.raises(Exception, match="delete-file set"):
+        _drain(spark, root, out, ckpt)
+    # a fresh consumer of an overwrite hop also fails
+    root2 = str(tmp_path / "src2")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root2)
+    _drain(spark, root2, str(tmp_path / "o2"), str(tmp_path / "c2"))
+    sn.snapshot_overwrite(_df(spark, 0, 5).coalesce(1), root2)
+    with pytest.raises(Exception, match="overwrote"):
+        _drain(spark, root2, str(tmp_path / "o2"), str(tmp_path / "c2"))
+
+
+def test_stream_pads_additive_evolution(spark, tmp_path):
+    """An append that added a column (merge-schema lineage) streams with
+    old files' missing column as NULL — the schema is pinned at stream
+    start from the newest file group."""
+    root = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sn.snapshot_append(_df(spark, 0, 5).coalesce(1), root)
+    sn.snapshot_append(
+        _df(spark, 5, 8).withColumn("w", F.lit("new")).coalesce(1), root
+    )
+    _drain(spark, root, out, ckpt)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"id", "v", "w"}
+    rows = {r.id: r.w for r in got.collect()}
+    assert rows[0] is None and rows[6] == "new" and len(rows) == 8
+
+
+def test_batch_reader_and_refusals(spark, tmp_path):
+    """The batch surface reads a pinned version; evolved tables and
+    MoR-carrying versions are refused loudly on both surfaces."""
+    from pyspark.sql import Row
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "src")
+    sn.snapshot_append(_df(spark, 0, 30).coalesce(2), root)
+    sn.snapshot_append(_df(spark, 30, 40).coalesce(1), root)
+    b = spark.read.format("snapshot_table").option("root", root).load()
+    assert b.count() == 40 and set(b.columns) == {"id", "v"}
+    b0 = (
+        spark.read.format("snapshot_table")
+        .option("root", root)
+        .option("version", "0")
+        .load()
+    )
+    assert b0.count() == 30, "version option pins time travel"
+    # MoR version refused on the batch surface
+    sn.snapshot_mor_merge(
+        spark, root, spark.createDataFrame([Row(id=1, v=0, _op="D")]), ["id"]
+    )
+    with pytest.raises(Exception, match="delete"):
+        spark.read.format("snapshot_table").option("root", root).load().count()
+    # evolved table refused on both surfaces
+    root2 = str(tmp_path / "src2")
+    sn.snapshot_append(_df(spark, 0, 5).coalesce(1), root2)
+    sn.snapshot_evolve(root2, renames={"v": "value"})
+    with pytest.raises(Exception, match="evolved"):
+        spark.read.format("snapshot_table").option("root", root2).load().count()
+    with pytest.raises(Exception, match="evolved"):
+        _drain(spark, root2, str(tmp_path / "o3"), str(tmp_path / "c3"))
