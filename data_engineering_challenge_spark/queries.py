@@ -139,7 +139,10 @@ _CHEAP_FIRST = [
     "sql_user_activity_profile", "sql_nation_revenue_share",
     "snapshot_history", "gap_fill_forward", "events_variant_extract",
     "ngram_coverage_score", "snapshot_restore_asof", "sql_channel_report",
-    "snapshot_mor_merge", "sql_snapshot_asof_report",
+    "snapshot_mor_merge",
+    # round-7 additions, measured verify cost ascending (sf0.01)
+    "snapshot_partitioned_prune", "snapshot_evolution_read",
+    "sql_snapshot_asof_report",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

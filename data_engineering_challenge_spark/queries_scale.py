@@ -2108,3 +2108,114 @@ def q_streaming_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# schema evolution + hidden partitioning on snapshot tables (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_evolution_read",
+    # Deterministic lineage over orders thirds; the rename is metadata
+    # only, so every row's numbers are plain aggregates the oracle
+    # restates with mod filters — version 0 read under its own (old)
+    # schema, the latest read under the renamed schema across BOTH file
+    # epochs.
+    f"""
+SELECT CAST(0 AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 2, COUNT(*), {_dsum_sql('o_totalprice')}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+""",
+)
+def q_snapshot_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution WRITE path end-to-end (`sources/snapshots.py
+    snapshot_evolve` — the Iceberg field-id model in miniature): v0
+    appends a third of orders under ``o_totalprice``, v1 RENAMES it to
+    ``price`` (metadata-only commit — no file rewritten), v2 appends
+    another third already written under the NEW name.  The query reads
+    version 0 under its own OLD schema (the code references
+    ``o_totalprice`` — a leaked rename would fail loudly) and the
+    latest under the new name across BOTH file epochs; both aggregates
+    must match the oracle's plain mod-filter restatement — proving the
+    rename crossed file epochs without touching data.  Output cached
+    per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_evolution_read", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_evo_") + "/tbl"
+        third = lambda r: o.filter(F.col("o_orderkey") % 3 == r).coalesce(1)
+        sn.snapshot_append(third(0), root)                       # v0
+        sn.snapshot_evolve(root, renames={"o_totalprice": "price"})  # v1
+        sn.snapshot_append(
+            third(1).withColumnRenamed("o_totalprice", "price"), root
+        )                                                        # v2
+        out = _ORC_OUT_CACHE[key] = root
+
+    old = sn.read_snapshot(spark, out, 0).agg(
+        F.lit(0).cast("bigint").alias("version"),
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),  # the OLD name
+    ).select("version", "n_rows", "total_price")
+    new = sn.read_snapshot(spark, out).agg(
+        F.lit(2).cast("bigint").alias("version"),
+        F.count("*").alias("n_rows"),
+        dsum("price").alias("total_price"),         # the NEW name
+    ).select("version", "n_rows", "total_price")
+    return old.unionByName(new)
+
+
+@register(
+    "snapshot_partitioned_prune",
+    f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+""",
+)
+def q_snapshot_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning end-to-end (`snapshot_append_partitioned` —
+    Iceberg partition transforms in miniature): events committed
+    day-partitioned (``day = CAST(ts AS DATE)`` recorded per file in
+    the manifest, the transform column NOT stored), then a one-day
+    lookup via ``partition_eq`` — scan planning keeps only that day's
+    files from manifest metadata alone, and the reader re-applies the
+    semantic predicate, so the aggregate survives the pruning exactly
+    (the file-skip itself is pinned in tests/test_snapshots.py).
+    Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from . import roles
+    from .sources import snapshots as sn
+
+    key = ("snapshot_partitioned_prune", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_part_") + "/tbl"
+        events = roles.load_events(spark, sf_dir).select(
+            "event_id", "ts", "value"
+        )
+        sn.snapshot_append_partitioned(
+            events, root, {"day": "CAST(ts AS DATE)"}, stats_cols=["event_id"]
+        )
+        out = _ORC_OUT_CACHE[key] = root
+    day = (
+        roles.load_events(spark, sf_dir)
+        .agg(F.min(F.col("ts").cast("date")))
+        .first()[0]
+    )  # scalar probe — the lookup key
+    hit = sn.read_snapshot_pruned(spark, out, partition_eq={"day": day})
+    return hit.agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("total_value"),
+    )

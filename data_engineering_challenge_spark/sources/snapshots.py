@@ -714,6 +714,12 @@ def snapshot_append_partitioned(
         out_df = out_df.withColumn(
             tmps[name], F.expr(expr).cast("string")
         )
+    # co-locate each partition value in one task BEFORE partitionBy —
+    # otherwise every task writes a file into every value directory and
+    # the commit is tasks×values small files (at scale you shard a hot
+    # partition by adding a bucket transform, keeping file count
+    # values×buckets, never ×tasks)
+    out_df = out_df.repartition(*tmps.values())
     group = os.path.join("data", uuid.uuid4().hex)
     out = os.path.join(root, group)
     out_df.write.partitionBy(*tmps.values()).parquet(out)
