@@ -174,10 +174,16 @@ class SnapshotTableDataSource(DataSource):
         return root
 
     def schema(self) -> StructType:
-        """Schema from the newest data file's parquet FOOTER (metadata
-        only).  Explicit ``.schema(...)`` on the reader overrides."""
+        """Schema = the UNION of every file epoch's parquet footer
+        (metadata only, one footer per file group directory — files
+        written together share a schema), exactly what a merge-schema
+        batch read would produce: a later NARROWER append cannot
+        silently drop columns, and additive columns appear with their
+        declared types.  Same-name/different-type conflicts fail loud.
+        Explicit ``.schema(...)`` on the reader overrides."""
         from pyspark.sql.pandas.types import from_arrow_schema
 
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         root = self._root()
@@ -192,12 +198,26 @@ class SnapshotTableDataSource(DataSource):
             raise ValueError(
                 "snapshot_table: empty table — pass an explicit schema"
             )
-        # newest file group carries the widest (additively evolved)
-        # schema: pick the file with the highest commit sequence
-        fseq = m.get("file_seq") or {}
-        newest = max(m["files"], key=lambda f: int(fseq.get(f, 0)))
+        fields: dict[str, pa.Field] = {}
+        seen_dirs: set[str] = set()
+        for f in m["files"]:
+            d = os.path.dirname(f)
+            if d in seen_dirs:
+                continue
+            seen_dirs.add(d)
+            for field in pq.read_schema(os.path.join(root, f)):
+                prev = fields.get(field.name)
+                if prev is None:
+                    fields[field.name] = field
+                elif prev.type != field.type:
+                    raise ValueError(
+                        f"snapshot_table: column {field.name!r} has "
+                        f"conflicting types across file groups "
+                        f"({prev.type} vs {field.type}) — pass an "
+                        "explicit schema"
+                    )
         return _all_nullable(
-            from_arrow_schema(pq.read_schema(os.path.join(root, newest)))
+            from_arrow_schema(pa.schema(list(fields.values())))
         )
 
     def reader(self, schema: StructType) -> "SnapshotBatchReader":

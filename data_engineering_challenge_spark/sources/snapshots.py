@@ -280,12 +280,14 @@ def _commit(
                             "against the new head"
                         )
                     parent = v  # rebase onto the concurrent sibling
+        # ONE parent-manifest read per attempt — shared by the rebase
+        # file merge and the metadata inheritance below
+        pm = _read_manifest(root, parent) if parent is not None else {}
         if rebase_append:
             if parent is None:
                 all_files, all_stats = list(files), dict(stats or {})
                 all_fseq, all_deletes = {}, []
             else:
-                pm = _read_manifest(root, parent)
                 all_files = pm["files"] + [
                     f for f in files if f not in pm["files"]
                 ]
@@ -313,9 +315,8 @@ def _commit(
             "file_seq": all_fseq,
             "delete_files": all_deletes,
         }
-        # table/file metadata inheritance (computed inside the loop —
+        # table/file metadata inheritance (pm re-derives each attempt —
         # a rebase can change the parent)
-        pm = _read_manifest(root, parent) if parent is not None else {}
         meta: dict = {}
         for k in ("layout", "fields"):
             if pm.get(k):
@@ -821,6 +822,11 @@ def read_snapshot_pruned(
                 f"read_snapshot_pruned: range for {c!r} must have both "
                 f"bounds, got ({clo!r}, {chi!r})"
             )
+    if partition_eq is not None and not partition_eq:
+        raise ValueError(
+            "read_snapshot_pruned: partition_eq must be non-empty (an "
+            "empty dict would be an unpredicated full scan)"
+        )
     if partition_eq and any(val is None for val in partition_eq.values()):
         raise ValueError(
             "read_snapshot_pruned: partition_eq values must be non-null"
@@ -846,12 +852,33 @@ def read_snapshot_pruned(
             )
     stats = m.get("stats") or {}
     pvals = m.get("partition_values") or {}
+    # evolved tables: stats are keyed by each file's PHYSICAL column
+    # names — translate the logical range column through the field-id
+    # binding per file, so pruning survives a rename and can never
+    # consult a recycled name's stale ranges (a freed name reused by a
+    # later rename must not alias the old column's stats)
+    fields = m.get("fields")
+    name_to_id = {x["name"]: x["id"] for x in fields or []}
+    ffields = m.get("file_fields") or {}
+
+    def stat_key(f: str, logical: str) -> str | None:
+        if not fields:
+            return logical
+        fid = name_to_id.get(logical)
+        if fid is None:
+            return None  # not a live field — no claims
+        for phys, i in (ffields.get(f) or {}).items():
+            if i == fid:
+                return phys
+        return None  # field absent from this file — no claims
+
     keep = []
     for f in m["files"]:
         fstats = stats.get(f) or {}
         ok = True
         for c, (clo, chi) in ranges.items():
-            rng = fstats.get(c)
+            sk = stat_key(f, c)
+            rng = fstats.get(sk) if sk is not None else None
             if rng is not None and (rng[0] > chi or rng[1] < clo):
                 ok = False  # provably disjoint in SOME dimension -> skip
                 break
@@ -876,10 +903,17 @@ def read_snapshot_pruned(
             .filter(pred)
             .limit(0)  # schema-only: no rows surface
         )
-    # evolved tables read through the logical projection (stats stay
-    # keyed by physical names, so renamed columns simply make no
-    # skipping claims — the safe direction); raw tables scan directly
-    return _read_files_logical(spark, root, m, keep).filter(pred)
+    out = _read_files_logical(spark, root, m, keep)
+    if fields:
+        # schema stability: a logical field carried only by pruned-away
+        # files must still appear (as NULL), so the pruned read's schema
+        # never depends on which files survived — union with a LIMIT 0
+        # shell of the full file set (schema-only, no data read)
+        shell = _read_files_logical(spark, root, m, m["files"]).limit(0)
+        out = out.unionByName(shell, allowMissingColumns=True)
+        order = [x["name"] for x in fields if x["name"] in set(out.columns)]
+        out = out.select(*order)
+    return out.filter(pred)
 
 
 def snapshot_compact(
@@ -947,13 +981,15 @@ def snapshot_compact(
         mstats = m.get("stats") or {}
         sizes = {f: os.path.getsize(os.path.join(root, f)) for f in m["files"]}
         eq_dels: list[tuple[int, dict | None]] = []
-        pos_named: set[str] = set()
+        pos_named: set[tuple[int, str]] = set()
         for d in deletes:
             if d.get("kind") == "position":
                 import pyarrow.parquet as pq
 
+                depth = int(d.get("path_depth", 3))
                 pos_named.update(
-                    pq.read_table(
+                    (depth, v)
+                    for v in pq.read_table(
                         os.path.join(root, d["file"]), columns=["_file"]
                     )
                     .column("_file")
@@ -972,6 +1008,7 @@ def snapshot_compact(
                 if dstats and _has_null_values(dpath, list(d["keys"])):
                     dstats = None
                 eq_dels.append((int(d["seq"]), dstats or None))
+        pos_depths = {depth for depth, _ in pos_named}
 
         def eq_affected(f: str) -> bool:
             fs = (mstats.get(f) or {})
@@ -994,11 +1031,15 @@ def snapshot_compact(
             for f in m["files"]
             if sizes[f] < target_file_bytes
             or eq_affected(f)
-            # position deletes name files by the same (dir, part-file)
-            # suffix key read_snapshot_mor's _keep_coords emits
-            or "/".join(f.split(os.sep)[-2:]) in pos_named
+            # position deletes name files by a path suffix whose depth
+            # each list recorded (see snapshot_delete_where.path_depth)
+            or any(
+                (depth, "/".join(f.split(os.sep)[-depth:])) in pos_named
+                for depth in pos_depths
+            )
         ]
-        keep = [f for f in m["files"] if f not in set(rewrite)]
+        rewrite_set = set(rewrite)
+        keep = [f for f in m["files"] if f not in rewrite_set]
         n_out = target_files or max(
             1, math.ceil(sum(sizes[f] for f in rewrite) / target_file_bytes)
         )
@@ -1138,6 +1179,36 @@ def snapshot_evolve(
             del by_name[c]
         if not fields:
             raise ValueError("snapshot_evolve: cannot drop every column")
+        # the layout POLICY names columns too — remap it through the
+        # same evolution, or compaction/pruning would later reference
+        # names that no longer exist (a maintenance-breaking time bomb)
+        layout = dict(m.get("layout") or {})
+        import re as _re
+
+        for name, expr in (layout.get("partition_transforms") or {}).items():
+            touched = [
+                c
+                for c in list(renames) + drops
+                if _re.search(rf"\b{_re.escape(c)}\b", expr)
+            ]
+            if touched:
+                raise ValueError(
+                    f"snapshot_evolve: column(s) {touched} are referenced "
+                    f"by partition transform {name!r} ({expr!r}) — "
+                    "repartition the table instead of renaming/dropping "
+                    "its partition source columns"
+                )
+        for lk in ("sort_cols", "stats_cols"):
+            if layout.get(lk):
+                remapped = [
+                    renames.get(c, c)
+                    for c in layout[lk]
+                    if renames.get(c, c) in by_name  # dropped → removed
+                ]
+                if remapped:
+                    layout[lk] = remapped
+                else:
+                    layout.pop(lk)
         try:
             return _commit(
                 root,
@@ -1151,6 +1222,7 @@ def snapshot_evolve(
                 manifest_override={
                     "fields": fields,
                     "file_fields": ffields,
+                    "layout": layout or None,
                 },
             )
         except SnapshotConflictError as exc:
@@ -1400,25 +1472,41 @@ def read_snapshot_mor(
             "one manifest — cannot key the file→sequence map"
         )
     parts = F.split(F.col("_metadata.file_path"), "/")
-    rel = F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
+
+    def suffix(depth: int):
+        return F.concat_ws(
+            "/", *[F.element_at(parts, k) for k in range(-depth, 0)]
+        )
+
     seq_map = spark.createDataFrame(
         [(base[f], int(fseq.get(f, 0))) for f in scan_files],
         f"`{rel_c}` STRING, `{seq_c}` BIGINT",
     )
-    data = (
-        data.withColumn(rel_c, rel)
-        .withColumn(pos_c, F.col("_metadata.row_index"))
-        .join(F.broadcast(seq_map), rel_c)
-    )
-    # equality deletes: group by key set (usually one); anti-join each
-    # with the sequence rule (delete kills only lower-seq data)
+    # classify the delete lists BEFORE touching data: position lists
+    # are grouped by the path-key depth each was WRITTEN under (legacy
+    # lists predate the field and used 3 segments), and every needed
+    # suffix column is materialized here — _metadata resolves only on
+    # the scan relation, never after a join
     by_keys: dict[tuple, list[dict]] = {}
-    pos_dels: list[dict] = []
+    pos_by_depth: dict[int, list[dict]] = {}
     for d in deletes:
         if d.get("kind") == "position":
-            pos_dels.append(d)
+            pos_by_depth.setdefault(
+                int(d.get("path_depth", 3)), []
+            ).append(d)
         else:
             by_keys.setdefault(tuple(d["keys"]), []).append(d)
+    depth_cols = {
+        depth: f"_rel{depth}_{sfx}" for depth in pos_by_depth if depth != 2
+    }
+    data = data.withColumn(rel_c, suffix(2)).withColumn(
+        pos_c, F.col("_metadata.row_index")
+    )
+    for depth, cname in depth_cols.items():
+        data = data.withColumn(cname, suffix(depth))
+    data = data.join(F.broadcast(seq_map), rel_c)
+    # equality deletes: group by key set (usually one); anti-join each
+    # with the sequence rule (delete kills only lower-seq data)
     for key_tuple, dels in by_keys.items():
         side = None
         for d in dels:
@@ -1438,15 +1526,18 @@ def read_snapshot_mor(
         )
     # position deletes: exact (file, row ordinal) references — no
     # sequence rule needed, the referenced file is immutable (Iceberg
-    # position-delete semantics: the delete names the row physically)
-    if pos_dels:
+    # position-delete semantics: the delete names the row physically);
+    # one anti-join per path-key format present (see classification
+    # above), so a table spanning both formats kills exactly its rows
+    for depth, dels in pos_by_depth.items():
+        key_col = data[rel_c] if depth == 2 else data[depth_cols[depth]]
         side = None
-        for d in pos_dels:
+        for d in dels:
             one = spark.read.parquet(os.path.join(root, d["file"]))
             side = one if side is None else side.unionByName(one)
         data = data.join(
             F.broadcast(side),
-            (data[rel_c] == side["_file"]) & (data[pos_c] == side["_pos"]),
+            (key_col == side["_file"]) & (data[pos_c] == side["_pos"]),
             "left_anti",
         )
     if _keep_coords:
@@ -1716,7 +1807,16 @@ def snapshot_delete_where(
                 .filter(predicate)
                 .select("_file", "_pos")
             )
-            entry = lambda f: {"file": f, "kind": "position"}  # noqa: E731
+            # path_depth records the _file key format (suffix segment
+            # count) so the reader applies each delete list under the
+            # key convention it was WRITTEN with — older lists used 3
+            # segments (the pre-partitioning layout) and must keep
+            # matching after the key format changed
+            entry = lambda f: {  # noqa: E731
+                "file": f,
+                "kind": "position",
+                "path_depth": 2,
+            }
         del_files = _write_files(hits, root, kind="deletes")
         # a predicate matching ZERO rows (e.g. a GDPR request for an
         # absent key) must NOT commit: an empty delete file would still
@@ -1796,13 +1896,20 @@ def maintain_snapshot(
             os.path.getsize(os.path.join(root, f)) < target_file_bytes
             for f in m["files"]
         )
-        if n_del > max_delete_files or (
+        trigger_small = (
             max_small_files is not None and n_small > max_small_files
-        ):
+        )
+        if n_del > max_delete_files or trigger_small:
+            tf = target_files
+            if trigger_small and tf is not None:
+                # the policy's goal is to get UNDER max_small_files: a
+                # larger explicit target would make compact a no-op and
+                # the janitor would decline forever
+                tf = min(tf, max_small_files)
             v = snapshot_compact(
                 spark,
                 root,
-                target_files=target_files,
+                target_files=tf,
                 target_file_bytes=target_file_bytes,
             )
             # compact no-ops (returns cur) when nothing would improve —
@@ -1822,6 +1929,7 @@ def run_streaming_snapshot_cdc_sink(
     keys: list[str],
     op_col: str = "_op",
     seq_col: str | None = None,
+    honor_legacy_epoch_tags: bool = False,
 ) -> None:
     """EXACTLY-ONCE streaming CDC into a snapshot table via MERGE-ON-READ:
     each micro-batch applies `snapshot_mor_merge` with ``tag=
@@ -1843,11 +1951,17 @@ def run_streaming_snapshot_cdc_sink(
     app = _stream_app_id(checkpoint_dir)
 
     def handle(bdf: DataFrame, epoch_id: int) -> None:
-        # NO legacy-tag check here: the CDC sink was born with scoped
-        # tags — no pre-scoping CDC layout ever existed, so an unscoped
-        # 'epoch-N' marker on the table belongs to some OTHER writer
-        # (e.g. a batch append) and honoring it would silently swallow
-        # this stream's early epochs (ADVICE r6)
+        # Legacy unscoped 'epoch-N' tags are honored only behind the
+        # EXPLICIT migration knob (read-only probe — never moves
+        # _LATEST): by default an unscoped marker on the table belongs
+        # to some other writer and honoring it would silently swallow
+        # this stream's early epochs (ADVICE r6); a checkpoint that
+        # genuinely predates tag scoping opts in once.
+        if (
+            honor_legacy_epoch_tags
+            and _tagged_version(root, f"epoch-{int(epoch_id)}") is not None
+        ):
+            return
         snapshot_mor_merge(
             bdf.sparkSession,
             root,

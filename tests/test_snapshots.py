@@ -1706,3 +1706,168 @@ def test_attach_snapshot_view_sql_surface(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not both"):
         sn.attach_snapshot_view(spark, "x", root, version=0, asof=t0)
+
+
+# --------------------------------------------------------------------------
+# round 7 review regressions
+# --------------------------------------------------------------------------
+
+
+def test_pruned_stats_survive_rename_and_never_alias(spark, tmp_path):
+    """Stats are keyed by PHYSICAL names; pruning must translate the
+    logical range column through field ids — so (a) pruning still works
+    after a rename, and (b) a rename that recycles a freed name can
+    never consult the old column's stale ranges (which would silently
+    skip matching files)."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("v"), (F.col("id") + 100000).alias("w")
+    )
+    sn.snapshot_append_clustered(df, root, ["v"], n_files=4)
+    sn.snapshot_evolve(root, renames={"v": "value"})
+    # (a) pruning on the NEW name still skips via the old physical stats
+    hit = sn.read_snapshot_pruned(spark, root, "value", 100, 150)
+    assert len(hit.inputFiles()) == 1
+    assert hit.count() == 51
+    # (b) recycle the freed name onto the OTHER column: v now means the
+    # +100000 column, whose values never fall in [100, 150] — a stale
+    # stats lookup under 'v' would wrongly claim a hit or a skip
+    sn.snapshot_evolve(root, renames={"w": "v"})
+    got = sn.read_snapshot_pruned(spark, root, "v", 100100, 100150)
+    assert got.count() == 51, "recycled name must prune on ITS column"
+    assert sn.read_snapshot_pruned(spark, root, "v", 100, 150).count() == 0
+
+
+def test_evolve_remaps_layout_and_guards_transforms(spark, tmp_path):
+    """Renaming a layout column must remap sort_cols/stats_cols (or
+    compaction would crash referencing a dead name); renaming/dropping
+    a partition-transform source column is refused loudly."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("x")
+    )
+    sn.snapshot_append_clustered(df, root, ["k"], n_files=4)
+    sn.snapshot_evolve(root, renames={"k": "key"})
+    m = sn._read_manifest(root, sn.current_version(root))
+    assert m["layout"] == {"sort_cols": ["key"], "stats_cols": ["key"]}
+    # maintenance still works and still prunes on the new name
+    sn.snapshot_append(
+        spark.range(2000, 2100).select(
+            F.col("id").alias("key"), (F.col("id") % 7).alias("x")
+        ).coalesce(1),
+        root,
+    )
+    v = sn.snapshot_compact(spark, root, target_files=4)
+    hit = sn.read_snapshot_pruned(spark, root, "key", 500, 600, version=v)
+    # range boundaries are sampling-derived, so the window may straddle
+    # a file edge — the point is that stats skipping still WORKS
+    assert len(hit.inputFiles()) <= 2 and hit.count() == 101
+    # dropping a layout column removes it from the policy
+    sn.snapshot_evolve(root, drops=["key"])
+    m = sn._read_manifest(root, sn.current_version(root))
+    assert "sort_cols" not in (m.get("layout") or {})
+    # partition transforms refuse evolution of their source columns
+    root2 = str(tmp_path / "pt")
+    df2 = spark.range(0, 100).select("id", (F.col("id") % 3).alias("g"))
+    sn.snapshot_append_partitioned(df2, root2, {"grp": "CAST(g AS STRING)"})
+    with pytest.raises(ValueError, match="partition transform"):
+        sn.snapshot_evolve(root2, renames={"g": "h"})
+    with pytest.raises(ValueError, match="partition transform"):
+        sn.snapshot_evolve(root2, drops=["g"])
+
+
+def test_position_delete_path_depth_compat(spark, tmp_path):
+    """A position-delete list written under the legacy 3-segment key
+    (no path_depth field) must still kill its rows — and still force
+    its file into the compaction rewrite set."""
+    import json
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)
+    v1 = sn.snapshot_delete_where(spark, root, "id < 3", keys=None)
+    mpath = f"{root}/_manifests/v{v1}.json"
+    m = json.load(open(mpath))
+    [d] = m["delete_files"]
+    assert d["path_depth"] == 2
+    # rewrite the delete list to the LEGACY layout: 3-segment _file
+    # values and no path_depth field
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dpath = os.path.join(root, d["file"])
+    t = pq.read_table(dpath)
+    legacy_files = pa.array(
+        ["data/" + v for v in t.column("_file").to_pylist()]
+    )
+    pq.write_table(
+        pa.table({"_file": legacy_files, "_pos": t.column("_pos")}), dpath
+    )
+    crc = os.path.join(
+        os.path.dirname(dpath), "." + os.path.basename(dpath) + ".crc"
+    )
+    if os.path.exists(crc):  # stale hadoop checksum for the rewrite
+        os.remove(crc)
+    del d["path_depth"]
+    json.dump(m, open(mpath, "w"))
+    got = sorted(r.id for r in sn.read_snapshot_mor(spark, root).collect())
+    assert got == list(range(3, 10)), "legacy 3-segment refs must apply"
+    v2 = sn.snapshot_compact(spark, root, target_file_bytes=1)
+    assert sn._read_manifest(root, v2)["delete_files"] == []
+    assert sorted(
+        r.id for r in sn.read_snapshot(spark, root).collect()
+    ) == list(range(3, 10))
+
+
+def test_maintain_small_file_policy_converges(spark, tmp_path):
+    """max_small_files with a LARGER explicit target_files must still
+    converge (the target clamps to the threshold) instead of the
+    janitor declining forever."""
+    root = str(tmp_path / "tbl")
+    for i in range(6):
+        sn.snapshot_append(_df(spark, i * 10, (i + 1) * 10).coalesce(1), root)
+    did = sn.maintain_snapshot(
+        spark, root, max_small_files=4, target_files=8
+    )
+    assert did["compacted"] is not None, "the policy must act"
+    m = sn._read_manifest(root, did["compacted"])
+    assert len(m["files"]) <= 4
+    # and the follow-up run is a no-op
+    did2 = sn.maintain_snapshot(
+        spark, root, max_small_files=4, target_files=8
+    )
+    assert did2["compacted"] is None
+    assert sn.read_snapshot(spark, root).count() == 60
+
+
+def test_pruned_read_schema_stable_on_evolved_table(spark, tmp_path):
+    """On an evolved table the pruned read's schema must not depend on
+    which files survive pruning: a field carried only by pruned-away
+    epochs appears as NULL."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(
+        _df(spark, 0, 50).coalesce(1), root, stats_cols=["id"]
+    )
+    sn.snapshot_evolve(root, renames={"v": "value"})
+    sn.snapshot_append(
+        spark.range(1000, 1050).select(
+            "id",
+            (F.col("id") * 2).alias("value"),
+            F.lit("x").alias("w"),
+        ).coalesce(1),
+        root,
+        stats_cols=["id"],
+    )
+    pruned = sn.read_snapshot_pruned(spark, root, "id", 0, 49)
+    full = sn.read_snapshot(spark, root)
+    assert pruned.columns == full.columns, (
+        "pruning must never change the schema"
+    )
+    assert pruned.count() == 50
+    assert all(r.w is None for r in pruned.collect())
+    # empty dict is rejected, not a silent full scan
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        sn.read_snapshot_pruned(spark, root, partition_eq={})
