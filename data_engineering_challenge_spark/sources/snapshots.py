@@ -798,7 +798,13 @@ def read_snapshot_pruned(
     the name (`snapshot_append_partitioned`) is skipped, and the
     reader re-applies the semantic predicate transform(cols) = value —
     files without a recorded value are always read, so mixed
-    plain/partitioned lineages stay correct."""
+    plain/partitioned lineages stay correct.
+
+    MoR tables PRUNE AND MERGE: the skip bounds the data scan, then
+    every delete anti-join applies (`read_snapshot_mor` over the kept
+    subset) — the point-lookup-on-a-CDC-table path, no compaction
+    required.  Sound because a skipped file's rows are provably
+    outside the predicate whether deleted or not."""
     from pyspark.sql import functions as F
 
     if ranges is None:
@@ -835,12 +841,6 @@ def read_snapshot_pruned(
     if v is None:
         raise FileNotFoundError(f"read_snapshot_pruned: no version at {root}")
     m = _read_manifest(root, v)
-    if m.get("delete_files"):
-        raise ValueError(
-            f"read_snapshot_pruned: v{v} carries MoR delete files — a "
-            "pruned raw scan would resurface deleted rows; run "
-            "snapshot_compact to fold the deletes, then prune"
-        )
     transforms = (m.get("layout") or {}).get("partition_transforms") or {}
     if partition_eq:
         missing = [n for n in partition_eq if n not in transforms]
@@ -903,6 +903,14 @@ def read_snapshot_pruned(
             .filter(pred)
             .limit(0)  # schema-only: no rows surface
         )
+    if m.get("delete_files"):
+        # MoR tables PRUNE AND MERGE: the stats/partition skip bounds
+        # the DATA scan while every delete anti-join still applies (a
+        # delete kills by key/position regardless of which data files
+        # we read) — the point-lookup-on-a-CDC-table path that needs no
+        # compaction first.  Skipping is still sound: a skipped file's
+        # rows are provably outside the predicate, deleted or not.
+        return read_snapshot_mor(spark, root, v, _files=keep).filter(pred)
     out = _read_files_logical(spark, root, m, keep)
     if fields:
         # schema stability: a logical field carried only by pruned-away

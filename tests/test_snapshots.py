@@ -818,8 +818,11 @@ def test_raw_reads_refuse_mor_manifests(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="MoR delete files"):
         sn.read_snapshot(spark, root)
-    with pytest.raises(ValueError, match="MoR delete files"):
-        sn.read_snapshot_pruned(spark, root, "k", 0, 10)
+    # the PRUNED read is MoR-aware (r7): it bounds the data scan and
+    # still applies the deletes — no compaction needed for a lookup
+    assert {
+        r.k for r in sn.read_snapshot_pruned(spark, root, "k", 0, 10).collect()
+    } == {2}
     sn.snapshot_compact(spark, root)
     assert {r.k for r in sn.read_snapshot(spark, root).collect()} == {2}
 
@@ -1871,3 +1874,51 @@ def test_pruned_read_schema_stable_on_evolved_table(spark, tmp_path):
 
     with pytest.raises(ValueError, match="non-empty"):
         sn.read_snapshot_pruned(spark, root, partition_eq={})
+
+
+def test_pruned_read_merges_mor_deletes(spark, tmp_path):
+    """Pruned reads on a MoR table bound the DATA scan by stats while
+    every delete still applies — and a key re-inserted after its delete
+    survives (the sequence rule rides through the subset read)."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    big = spark.range(0, 8000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    sn.snapshot_append_clustered(big, root, ["k"], n_files=8)
+    sn.snapshot_mor_merge(
+        spark, root,
+        spark.createDataFrame(
+            [Row(k=100, v=-1, _op="D"), Row(k=101, v=77, _op="U")]
+        ),
+        ["k"],
+    )
+    sn.snapshot_mor_merge(
+        spark, root, spark.createDataFrame([Row(k=100, v=55, _op="I")]), ["k"]
+    )
+    hit = sn.read_snapshot_pruned(spark, root, "k", 90, 110)
+    got = {r.k: r.v for r in hit.collect()}
+    assert got[100] == 55, "re-insert survives its older delete"
+    assert got[101] == 77 and len(got) == 21
+    # the data scan was bounded: only 1 of the 8 clustered base files
+    # (plus the small merge-commit files) is read
+    data_files = [
+        f for f in hit.inputFiles() if "/data/" in f
+    ]
+    base_files = {
+        f for f in sn._read_manifest(root, 0)["files"]
+    }
+    read_base = [
+        f for f in data_files
+        if any(f.endswith(b.split("/")[-1]) for b in base_files)
+    ]
+    assert len(read_base) == 1, read_base
+    # equality with the unpruned MoR read under the same predicate
+    want = {
+        r.k: r.v
+        for r in sn.read_snapshot_mor(spark, root)
+        .filter("k between 90 and 110")
+        .collect()
+    }
+    assert got == want
