@@ -330,12 +330,19 @@ def _commit(
             }
             if inherited:
                 meta[k] = inherited
+        def _merge(cur, new):
+            # dicts merge recursively (so layout.partition_transforms
+            # ACCUMULATES across spec changes instead of being replaced
+            # wholesale); anything else replaces
+            if isinstance(new, dict) and isinstance(cur, dict):
+                out = dict(cur)
+                for k2, v2 in new.items():
+                    out[k2] = _merge(out.get(k2), v2)
+                return out
+            return new
+
         for k, v in (meta_updates or {}).items():
-            cur = meta.get(k)
-            if isinstance(v, dict) and isinstance(cur, dict):
-                meta[k] = {**cur, **v}
-            else:
-                meta[k] = v
+            meta[k] = _merge(meta.get(k), v)
         if meta.get("fields") is not None and new_file_columns is not None:
             # additive evolution: a new file group may introduce columns
             # the logical schema hasn't seen — append them with fresh
@@ -1240,6 +1247,125 @@ def snapshot_evolve(
     )
 
 
+def compact_delete_files(spark: SparkSession, root: str) -> int:
+    """MINOR compaction — Iceberg's 'rewrite delete files' in miniature:
+    merge the live version's many small MoR delete lists into ONE list
+    per equality key set (and one per position path-key format) WITHOUT
+    touching a single data file.  A table taking frequent small CDC
+    merges accumulates one delete file per commit; the read side pays
+    one broadcast anti-join per file group — this bounds that cost at
+    metadata prices (read the small delete lists, write one, commit),
+    the cheap periodic remedy between full `snapshot_compact` runs whose
+    data rewrite may be orders of magnitude larger.
+
+    Equality lists merge EXACTLY, not conservatively: the merged file
+    carries each key's sequence PER ROW (``_seq`` = the max sequence of
+    that key across the merged lists — a delete at seq 5 subsumes one at
+    seq 2 for the same key), and `read_snapshot_mor` applies the
+    sequence rule row-wise, so re-inserted keys still survive their
+    older deletes.  Position lists merge by distinct (file, ordinal)
+    within each path-key depth.  Data files, stats, layout, and file
+    sequences are carried verbatim; history stays time-travelable.
+
+    No-op (current version returned, no commit) when there is at most
+    one list per group already.  SERIALIZABLE like the major compact."""
+    from pyspark.sql import functions as F
+
+    last_err: Exception | None = None
+    for _ in range(5):
+        seen = set(snapshot_versions(root))
+        parent = current_version(root)
+        if parent is None:
+            raise FileNotFoundError(
+                f"compact_delete_files: no table at {root}"
+            )
+        m = _read_manifest(root, parent)
+        deletes = m.get("delete_files") or []
+        eq_groups: dict[tuple, list[dict]] = {}
+        pos_groups: dict[int, list[dict]] = {}
+        for d in deletes:
+            if d.get("kind") == "position":
+                pos_groups.setdefault(
+                    int(d.get("path_depth", 3)), []
+                ).append(d)
+            else:
+                eq_groups.setdefault(tuple(d["keys"]), []).append(d)
+        if all(len(v) <= 1 for v in eq_groups.values()) and all(
+            len(v) <= 1 for v in pos_groups.values()
+        ):
+            return parent  # nothing to merge
+        new_entries: list[dict] = []
+        for key_tuple, dels in eq_groups.items():
+            if len(dels) == 1:
+                new_entries.append(dict(dels[0]))
+                continue
+            if "_seq" in key_tuple:
+                raise ValueError(
+                    "compact_delete_files: a delete key is named _seq — "
+                    "collides with the merged list's sequence column"
+                )
+            side = None
+            for d in dels:
+                one = spark.read.parquet(os.path.join(root, d["file"]))
+                if d.get("kind") == "equality-multi":
+                    pass  # _seq already per-row
+                else:
+                    one = one.withColumn("_seq", F.lit(int(d["seq"])))
+                side = one if side is None else side.unionByName(one)
+            # max sequence per key: a later delete of the same key
+            # subsumes the earlier one exactly (kills strictly more)
+            merged = side.groupBy(*key_tuple).agg(
+                F.max("_seq").alias("_seq")
+            )
+            [f] = _write_files(merged.coalesce(1), root, kind="deletes")
+            new_entries.append(
+                {
+                    "file": f,
+                    "keys": list(key_tuple),
+                    "kind": "equality-multi",
+                    # informational upper bound; reads use the per-row
+                    # sequences, the major compact uses this max
+                    # conservatively
+                    "seq": max(int(d["seq"]) for d in dels),
+                }
+            )
+        for depth, dels in pos_groups.items():
+            if len(dels) == 1:
+                new_entries.append(dict(dels[0]))
+                continue
+            side = None
+            for d in dels:
+                one = spark.read.parquet(os.path.join(root, d["file"]))
+                side = one if side is None else side.unionByName(one)
+            [f] = _write_files(side.distinct().coalesce(1), root, kind="deletes")
+            new_entries.append(
+                {
+                    "file": f,
+                    "kind": "position",
+                    "path_depth": depth,
+                    "seq": max(int(d["seq"]) for d in dels),
+                }
+            )
+        try:
+            return _commit(
+                root,
+                m["files"],
+                parent,
+                stats=m.get("stats") or {},
+                operation="compact-deletes",
+                seen_versions=seen,
+                conflict_mode="serialize",
+                base_file_seq=m.get("file_seq") or {},
+                manifest_override={"delete_files": new_entries},
+            )
+        except SnapshotConflictError as exc:
+            last_err = exc
+    raise SnapshotConflictError(
+        f"compact_delete_files: gave up after 5 conflicted attempts "
+        f"({last_err})"
+    )
+
+
 def rollback(root: str, version: int) -> None:
     """Move _LATEST back to ``version`` — a pointer rename, no data
     touched; later versions remain readable explicitly."""
@@ -1518,9 +1644,14 @@ def read_snapshot_mor(
     for key_tuple, dels in by_keys.items():
         side = None
         for d in dels:
-            one = spark.read.parquet(
-                os.path.join(root, d["file"])
-            ).withColumn(dseq_c, F.lit(int(d["seq"])))
+            one = spark.read.parquet(os.path.join(root, d["file"]))
+            if d.get("kind") == "equality-multi":
+                # a minor-compacted list (compact_delete_files) carries
+                # its sequences PER ROW — the merge of several commits'
+                # key lists into one file
+                one = one.withColumnRenamed("_seq", dseq_c)
+            else:
+                one = one.withColumn(dseq_c, F.lit(int(d["seq"])))
             side = one if side is None else side.unionByName(one)
         # eqNullSafe: Iceberg equality deletes match NULL keys (a plain
         # == would null-reject and silently resurrect NULL-keyed rows —
