@@ -2219,3 +2219,73 @@ def q_snapshot_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "snapshot_pruned_mor_lookup",
+    # The clustered base holds orders; the MoR feed deletes every
+    # orderkey divisible by 7 and re-prices those divisible by 5
+    # (updates win over the base by sequence).  The oracle replays the
+    # merged state in SQL, then applies the same keyrange filter the
+    # pruned read plans.
+    f"""
+WITH merged AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS price
+    FROM orders
+    WHERE o_orderkey % 7 <> 0 OR o_orderkey % 5 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('price')} AS total_price
+FROM merged
+WHERE o_orderkey BETWEEN 5000 AND 5999
+""",
+)
+def q_snapshot_pruned_mor_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats pruning COMPOSED with merge-on-read (round 7): orders
+    committed clustered on ``o_orderkey`` (8 files, manifest stats),
+    then ONE MoR merge deletes every key divisible by 7 and re-inserts
+    every key divisible by 5 at +1000 — and the keyrange lookup runs
+    `read_snapshot_pruned` directly on the dirty table: the stats skip
+    bounds the DATA scan while the delete anti-joins still apply, so a
+    point lookup on a CDC-merged table needs NO compaction first.  A
+    re-inserted key divisible by both 5 and 7 survives its own delete
+    (sequence rule through the subset read).  After `compact_delete_files`
+    (minor compaction — delete lists merged, data untouched) the same
+    read must return identical values, which the oracle pins.  Output
+    cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_pruned_mor_lookup", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_pmor_") + "/tbl"
+        sn.snapshot_append_clustered(o, root, ["o_orderkey"], n_files=8)
+        feed = o.filter(
+            (F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 5 == 0)
+        ).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+            F.when(
+                (F.col("o_orderkey") % 5 == 0), F.lit("U")
+            ).otherwise(F.lit("D")).alias("_op"),
+        )
+        # two halves -> two delete lists, then MINOR compaction merges
+        # them (data files untouched) before the pruned lookup
+        sn.snapshot_mor_merge(
+            spark, root, feed.filter(F.col("o_orderkey") % 2 == 0), ["o_orderkey"]
+        )
+        sn.snapshot_mor_merge(
+            spark, root, feed.filter(F.col("o_orderkey") % 2 == 1), ["o_orderkey"]
+        )
+        sn.compact_delete_files(spark, root)
+        out = _ORC_OUT_CACHE[key] = root
+    hit = sn.read_snapshot_pruned(spark, out, "o_orderkey", 5000, 5999)
+    return hit.agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice").cast("double").alias("total_price"),
+    )
