@@ -214,6 +214,7 @@ def _commit(
     base_file_seq: dict | None = None,
     new_file_columns: list[str] | None = None,
     meta_updates: dict | None = None,
+    publish: bool = True,
 ) -> int:
     """Two-phase commit with OPTIMISTIC writer-writer protection:
 
@@ -395,7 +396,8 @@ def _commit(
             with open(mtmp, "w") as fh:
                 json.dump({"version": version}, fh)
             os.rename(mtmp, _tag_marker(root, tag))
-        _advance_latest(root, version)
+        if publish:
+            _advance_latest(root, version)
         return version
     raise RuntimeError("_commit: could not claim a version (contention)")
 
@@ -1247,6 +1249,152 @@ def snapshot_evolve(
     )
 
 
+def snapshot_stage_append(
+    df: DataFrame,
+    root: str,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """WRITE-AUDIT-PUBLISH, snapshot-native (Iceberg's WAP pattern on
+    this format): commit ``df`` as a fully durable version whose
+    manifest exists but whose version _LATEST does NOT advance to —
+    every reader of the table keeps seeing the pre-stage head, while
+    the audit job reads the staged version EXPLICITLY
+    (``read_snapshot(spark, root, version=staged)``), checks it, and
+    `snapshot_publish` flips the pointer in O(1) if it passes.  A
+    failed audit simply never publishes: the staged version becomes an
+    expirable side branch, its files later vacuumed — no undo needed,
+    because nothing was ever visible.
+
+    This is the table-format twin of `io.publish_atomic`'s
+    staging-directory WAP: same three phases, but the staged artifact
+    here is a first-class version (time-travelable, diffable against
+    the head with `diff_tables`, exactly what the auditor wants).
+
+    Returns the staged version number."""
+    os.makedirs(root, exist_ok=True)
+    seen = set(snapshot_versions(root))
+    parent = current_version(root)
+    if stats_cols is None:
+        new_files, new_stats = _write_files(df, root), {}
+    else:
+        new_files, new_stats = _write_files(df, root, stats_cols)
+    return _commit(
+        root,
+        new_files,
+        parent,
+        stats=new_stats,
+        rebase_append=True,
+        operation="stage-append",
+        seen_versions=seen,
+        new_file_columns=list(df.columns),
+        publish=False,
+    )
+
+
+def snapshot_publish(root: str, version: int) -> None:
+    """Publish a staged version (`snapshot_stage_append`): move _LATEST
+    forward to it in O(1).  The staged version must DESCEND from the
+    current head — if another commit landed after staging, the staged
+    snapshot no longer contains it and publishing would silently drop
+    that commit, so the publish fails loudly and the writer re-stages
+    on the new head (Iceberg's WAP cherry-pick conflict, surfaced
+    instead of auto-resolved)."""
+    if not os.path.exists(
+        os.path.join(_manifest_dir(root), f"v{version}.json")
+    ):
+        raise FileNotFoundError(
+            f"snapshot_publish: version {version} does not exist"
+        )
+    cur = current_version(root)
+    if cur is not None and cur != version and not _descends_from(
+        root, version, cur
+    ):
+        raise SnapshotConflictError(
+            f"snapshot_publish: v{version} does not descend from the "
+            f"current head v{cur} — a commit landed after staging; "
+            "re-stage on the new head"
+        )
+    _advance_latest(root, version)
+
+
+# ---------------------------------------------------------------------------
+# named refs: immutable TAGS over versions (Iceberg refs in miniature)
+# ---------------------------------------------------------------------------
+
+
+def _refs_dir(root: str) -> str:
+    return os.path.join(root, "_refs")
+
+
+def snapshot_create_tag(
+    root: str, name: str, version: int | None = None
+) -> int:
+    """Create an IMMUTABLE named ref — the audit pin: ``prod-2024-06``
+    keeps pointing at the exact version a model was trained on, no
+    matter how the table advances or what retention expires around it
+    (`expire_versions` never drops a tagged version).  Creating is an
+    O(1) atomic file; re-tagging an existing name to a different
+    version fails loudly (immutability is the point — delete first if
+    you truly mean it).  Returns the tagged version."""
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"snapshot_create_tag: invalid tag name {name!r}")
+    v = current_version(root) if version is None else version
+    if v is None or not os.path.exists(
+        os.path.join(_manifest_dir(root), f"v{v}.json")
+    ):
+        raise FileNotFoundError(
+            f"snapshot_create_tag: version {v} does not exist"
+        )
+    os.makedirs(_refs_dir(root), exist_ok=True)
+    path = os.path.join(_refs_dir(root), f"{name}.json")
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "version": int(v), "ts": time.time()}, fh)
+    try:
+        os.link(tmp, path)  # atomic claim — never clobbers a ref
+    except FileExistsError:
+        existing = resolve_ref(root, name)
+        if existing != v:
+            raise ValueError(
+                f"snapshot_create_tag: tag {name!r} already points at "
+                f"v{existing} — tags are immutable; delete it first"
+            )
+    finally:
+        os.remove(tmp)
+    return int(v)
+
+
+def snapshot_delete_tag(root: str, name: str) -> None:
+    try:
+        os.remove(os.path.join(_refs_dir(root), f"{name}.json"))
+    except FileNotFoundError:
+        raise FileNotFoundError(f"snapshot_delete_tag: no tag {name!r}")
+
+
+def resolve_ref(root: str, name: str) -> int:
+    """Tag name → version (metadata read)."""
+    try:
+        with open(os.path.join(_refs_dir(root), f"{name}.json")) as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        raise FileNotFoundError(f"resolve_ref: no tag {name!r} at {root}")
+
+
+def snapshot_refs(root: str) -> dict[str, int]:
+    """All tags: ``{name: version}``."""
+    try:
+        names = os.listdir(_refs_dir(root))
+    except FileNotFoundError:
+        return {}
+    out = {}
+    for n in sorted(names):
+        if n.endswith(".json"):
+            with open(os.path.join(_refs_dir(root), n)) as fh:
+                d = json.load(fh)
+            out[d["name"]] = int(d["version"])
+    return out
+
+
 def compact_delete_files(spark: SparkSession, root: str) -> int:
     """MINOR compaction — Iceberg's 'rewrite delete files' in miniature:
     merge the live version's many small MoR delete lists into ONE list
@@ -1699,13 +1847,15 @@ def attach_snapshot_view(
     root: str,
     version: int | None = None,
     asof: float | None = None,
+    ref: str | None = None,
 ) -> int:
     """Put a snapshot table on the SQL SURFACE: register ``name`` as a
     temp view over the MoR-merged read, so a SQL-only user queries the
     table format — including TIME TRAVEL (``version=N`` is Delta's
     ``VERSION AS OF``, ``asof=ts`` its ``TIMESTAMP AS OF``, resolved
-    through the lineage-restricted `resolve_asof_version`) — with plain
-    ``spark.sql`` text and no DataFrame API in sight.
+    through the lineage-restricted `resolve_asof_version`, and
+    ``ref="name"`` reads a named tag pin) — with plain ``spark.sql``
+    text and no DataFrame API in sight.
 
     The view PINS the version resolved at attach time (None pins the
     then-current _LATEST): SQL results stay snapshot-consistent across
@@ -1715,11 +1865,13 @@ def attach_snapshot_view(
     The view is lazy metadata over the manifest's file list — Catalyst
     plans straight down to the parquet scans (pushdown/pruning intact),
     nothing is materialized."""
-    if version is not None and asof is not None:
+    if sum(x is not None for x in (version, asof, ref)) > 1:
         raise ValueError(
-            "attach_snapshot_view: pass version OR asof, not both"
+            "attach_snapshot_view: pass at most one of version/asof/ref"
         )
-    if asof is not None:
+    if ref is not None:
+        version = resolve_ref(root, ref)
+    elif asof is not None:
         version = resolve_asof_version(root, asof)
     elif version is None:
         version = current_version(root)
@@ -1748,6 +1900,7 @@ def attach_snapshot_views(
                 spec["root"],
                 version=spec.get("version"),
                 asof=spec.get("asof"),
+                ref=spec.get("ref"),
             )
     return out
 
@@ -2318,8 +2471,11 @@ def expire_versions(root: str, keep_last: int = 10) -> list[int]:
     numbers."""
     versions = snapshot_versions(root)
     live = current_version(root)
+    pinned = set(snapshot_refs(root).values())  # tagged versions survive
     to_expire = [
-        v for v in versions[:-keep_last] if keep_last > 0 and v != live
+        v
+        for v in versions[:-keep_last]
+        if keep_last > 0 and v != live and v not in pinned
     ]
     for v in to_expire:
         m = _read_manifest(root, v)

@@ -2019,3 +2019,64 @@ def test_partition_spec_evolution_mixed_lineage(spark, tmp_path):
                for x in a_files)
     ]
     assert 0 < len(read_a) < len(a_files)
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """Snapshot-native write-audit-publish: a staged append is durable
+    but invisible, the auditor reads it explicitly, publish is an O(1)
+    forward pointer move — and a publish made stale by an intervening
+    commit fails loudly instead of dropping that commit."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)     # v0 live
+    staged = sn.snapshot_stage_append(_df(spark, 10, 15).coalesce(1), root)
+    assert sn.current_version(root) == 0, "staging must not publish"
+    assert sn.read_snapshot(spark, root).count() == 10, "readers unaffected"
+    # the audit reads the staged version explicitly
+    assert sn.read_snapshot(spark, root, staged).count() == 15
+    sn.snapshot_publish(root, staged)
+    assert sn.read_snapshot(spark, root).count() == 15
+    # stale publish: a commit lands after staging
+    s2 = sn.snapshot_stage_append(_df(spark, 15, 20).coalesce(1), root)
+    sn.snapshot_append(_df(spark, 20, 22).coalesce(1), root)
+    with pytest.raises(sn.SnapshotConflictError, match="re-stage"):
+        sn.snapshot_publish(root, s2)
+    assert sn.read_snapshot(spark, root).count() == 17  # 15 + 2
+    # the abandoned staged version remains explicitly readable
+    assert sn.read_snapshot(spark, root, s2).count() == 20
+    # publishing the current head is a harmless no-op
+    sn.snapshot_publish(root, sn.current_version(root))
+
+
+def test_tags_pin_versions_and_retention(spark, tmp_path):
+    """Named tags: immutable pins readable by name, surviving
+    expire_versions; delete releases the pin; the SQL surface attaches
+    by ref."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    for i in range(4):
+        sn.snapshot_append(_df(spark, i * 5, (i + 1) * 5).coalesce(1), root)
+    assert sn.snapshot_create_tag(root, "train-v1", 1) == 1
+    assert sn.snapshot_create_tag(root, "head") == 3  # default: current
+    assert sn.snapshot_refs(root) == {"head": 3, "train-v1": 1}
+    assert sn.resolve_ref(root, "train-v1") == 1
+    # idempotent re-tag to the same version; loud on a different one
+    sn.snapshot_create_tag(root, "train-v1", 1)
+    with pytest.raises(ValueError, match="immutable"):
+        sn.snapshot_create_tag(root, "train-v1", 2)
+    # retention never drops a tagged version
+    expired = sn.expire_versions(root, keep_last=1)
+    assert 1 not in expired and 0 in expired and 2 in expired
+    assert sn.read_snapshot(spark, root, 1).count() == 10, "pin readable"
+    # SQL surface by ref
+    sn.attach_snapshot_view(spark, "snapv_train", root, ref="train-v1")
+    assert spark.sql("SELECT COUNT(*) n FROM snapv_train").first().n == 10
+    with pytest.raises(ValueError, match="at most one"):
+        sn.attach_snapshot_view(spark, "x", root, version=1, ref="train-v1")
+    # delete releases the pin; next retention sweep drops the version
+    sn.snapshot_delete_tag(root, "train-v1")
+    assert 1 in sn.expire_versions(root, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        sn.resolve_ref(root, "train-v1")
