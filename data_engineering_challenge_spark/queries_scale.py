@@ -2287,5 +2287,5 @@ def q_snapshot_pruned_mor_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = sn.read_snapshot_pruned(spark, out, "o_orderkey", 5000, 5999)
     return hit.agg(
         F.count("*").alias("n"),
-        dsum("o_totalprice").cast("double").alias("total_price"),
+        dsum("o_totalprice").alias("total_price"),
     )

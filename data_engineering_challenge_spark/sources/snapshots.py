@@ -268,6 +268,17 @@ def _commit(
         if conflict_mode == "serialize" or rebase_append:
             for v in sorted(set(existing) - seen):
                 if v != parent and _descends_from(root, v, parent):
+                    if _read_manifest(root, v).get(
+                        "operation"
+                    ) == "stage-append" and not _is_published(root, v):
+                        # an UNPUBLISHED WAP stage is not a concurrent
+                        # sibling: rebasing onto it would fold unaudited
+                        # rows into a published commit (and a serialize
+                        # abort for it would be spurious — it is
+                        # invisible to every reader until publish).  A
+                        # PUBLISHED stage (head descends from it) is a
+                        # normal sibling and must be rebased onto.
+                        continue
                     if conflict_mode == "serialize":
                         # the caller's decision (predicate evaluation,
                         # compaction rewrite) was computed against a
@@ -423,6 +434,13 @@ class SnapshotConflictError(RuntimeError):
     """A serializable commit found a concurrent commit it cannot rebase
     over (the caller's read snapshot went stale) — retry the whole
     operation against the new table head."""
+
+
+def _is_published(root: str, v: int) -> bool:
+    """True iff the current head IS ``v`` or descends from it — i.e.
+    ``v``'s rows are (or were) visible to plain readers."""
+    head = current_version(root)
+    return head is not None and _descends_from(root, head, v)
 
 
 def _descends_from(root: str, v: int, anc: int | None) -> bool:
@@ -719,6 +737,25 @@ def snapshot_append_partitioned(
                 f"snapshot_append_partitioned: column {tmps[name]!r} "
                 "collides with the internal partition column"
             )
+    parent_now = current_version(root)
+    if parent_now is not None:
+        # spec evolution adds NEW names; REDEFINING an existing name
+        # with a different expression would make old files' recorded
+        # values lie under the new semantics — pruning would silently
+        # skip matching rows.  Refuse loudly (rename the partition).
+        prev = (
+            (_read_manifest(root, parent_now).get("layout") or {})
+            .get("partition_transforms")
+            or {}
+        )
+        for name, expr in partition_transforms.items():
+            if name in prev and prev[name] != expr:
+                raise ValueError(
+                    f"snapshot_append_partitioned: partition {name!r} is "
+                    f"already defined as {prev[name]!r} — redefining it "
+                    f"as {expr!r} would poison recorded partition "
+                    "values; use a new partition name"
+                )
     out_df = df
     for name, expr in partition_transforms.items():
         out_df = out_df.withColumn(
@@ -919,7 +956,9 @@ def read_snapshot_pruned(
         # we read) — the point-lookup-on-a-CDC-table path that needs no
         # compaction first.  Skipping is still sound: a skipped file's
         # rows are provably outside the predicate, deleted or not.
-        return read_snapshot_mor(spark, root, v, _files=keep).filter(pred)
+        return read_snapshot_mor(
+            spark, root, v, _files=keep, _eq_delete_ranges=ranges or None
+        ).filter(pred)
     out = _read_files_logical(spark, root, m, keep)
     if fields:
         # schema stability: a logical field carried only by pruned-away
@@ -1315,6 +1354,15 @@ def snapshot_publish(root: str, version: int) -> None:
             "re-stage on the new head"
         )
     _advance_latest(root, version)
+    # TOCTOU close: a commit between the check above and the (forward-
+    # only) advance can leave the head elsewhere — verify the staged
+    # rows actually became visible, or fail as loudly as the pre-check
+    now = current_version(root)
+    if now != version and not _descends_from(root, now, version):
+        raise SnapshotConflictError(
+            f"snapshot_publish: head moved to v{now} during publish and "
+            f"does not contain v{version} — re-stage on the new head"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -1388,10 +1436,14 @@ def snapshot_refs(root: str) -> dict[str, int]:
         return {}
     out = {}
     for n in sorted(names):
-        if n.endswith(".json"):
+        if not n.endswith(".json"):
+            continue
+        try:
             with open(os.path.join(_refs_dir(root), n)) as fh:
                 d = json.load(fh)
-            out[d["name"]] = int(d["version"])
+        except FileNotFoundError:
+            continue  # deleted between listdir and open — not our tag
+        out[d["name"]] = int(d["version"])
     return out
 
 
@@ -1689,6 +1741,7 @@ def read_snapshot_mor(
     merge_schema: bool = False,
     _keep_coords: bool = False,
     _files: list[str] | None = None,
+    _eq_delete_ranges: dict | None = None,
 ) -> DataFrame:
     """Merge-on-read snapshot scan: the manifest's data files minus the
     rows its delete files kill — both flavors: EQUALITY deletes (key
@@ -1708,7 +1761,14 @@ def read_snapshot_mor(
     ``_keep_coords`` (internal, for the position-delete writer) appends
     the physical coordinates as ``_file``/``_pos`` columns; ``_files``
     restricts the data scan to a subset of the manifest's files with
-    every delete still applied (compaction's rewrite-set read)."""
+    every delete still applied (compaction's rewrite-set read);
+    ``_eq_delete_ranges`` (internal, the pruned-read composition) is
+    ``{col: (lo, hi)}`` ranges the CALLER re-applies after the merge —
+    equality-delete rows whose key for such a column falls outside the
+    range are dropped before the broadcast, bounding delete-side cost
+    by the lookup instead of total CDC volume.  Sound because a dropped
+    delete row can only resurrect data rows the caller's post-filter
+    removes anyway (including NULL keys, which fail any BETWEEN)."""
     from pyspark.sql import functions as F
 
     v = current_version(root) if version is None else version
@@ -1801,6 +1861,10 @@ def read_snapshot_mor(
             else:
                 one = one.withColumn(dseq_c, F.lit(int(d["seq"])))
             side = one if side is None else side.unionByName(one)
+        for k in key_tuple:
+            rng = (_eq_delete_ranges or {}).get(k)
+            if rng is not None:
+                side = side.filter(F.col(k).between(rng[0], rng[1]))
         # eqNullSafe: Iceberg equality deletes match NULL keys (a plain
         # == would null-reject and silently resurrect NULL-keyed rows —
         # a GDPR-erasure failure)

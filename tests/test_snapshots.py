@@ -1709,7 +1709,7 @@ def test_attach_snapshot_view_sql_surface(spark, tmp_path):
     assert spark.sql("SELECT COUNT(*) n FROM snapv_live").first().n == 14
     import pytest
 
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         sn.attach_snapshot_view(spark, "x", root, version=0, asof=t0)
 
 
@@ -2080,3 +2080,81 @@ def test_tags_pin_versions_and_retention(spark, tmp_path):
     assert 1 in sn.expire_versions(root, keep_last=1)
     with pytest.raises(FileNotFoundError):
         sn.resolve_ref(root, "train-v1")
+
+
+def test_rebase_never_folds_unpublished_stage(spark, tmp_path, monkeypatch):
+    """A concurrent append must NOT rebase onto an unpublished WAP
+    stage — that would publish unaudited rows.  The staged version
+    stays invisible and its later publish fails the staleness check."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0
+    orig = sn._write_files
+    state = {"staged": None}
+
+    def hooked(df, r, stats_cols=None, kind="data"):
+        if state["staged"] is None:
+            state["staged"] = -1  # guard BEFORE the nested stage recurses
+            state["staged"] = sn.snapshot_stage_append(
+                _df(spark, 100, 105).coalesce(1), root
+            )
+        return orig(df, r, stats_cols=stats_cols, kind=kind)
+
+    monkeypatch.setattr(sn, "_write_files", hooked)
+    sn.snapshot_append(_df(spark, 10, 12).coalesce(1), root)
+    monkeypatch.setattr(sn, "_write_files", orig)
+    got = sorted(r.id for r in sn.read_snapshot(spark, root).collect())
+    assert got == list(range(12)), (
+        "staged rows must not leak through a concurrent rebase: " + str(got)
+    )
+    # the stage is still readable explicitly, and publishing it now is
+    # the documented loud conflict (a commit landed after staging)
+    assert sn.read_snapshot(spark, root, state["staged"]).count() == 15
+    with pytest.raises(sn.SnapshotConflictError, match="re-stage"):
+        sn.snapshot_publish(root, state["staged"])
+
+
+def test_publish_detects_concurrent_burial(spark, tmp_path, monkeypatch):
+    """The publish TOCTOU window: a commit racing between the staleness
+    check and the forward-only pointer move must surface as a loud
+    conflict, never a silent no-op publish."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0
+    staged = sn.snapshot_stage_append(_df(spark, 10, 15).coalesce(1), root)
+    orig_adv = sn._advance_latest
+    state = {"fired": False}
+
+    def hooked(r, v):
+        if not state["fired"] and v == staged:
+            state["fired"] = True
+            sn.snapshot_append(_df(spark, 20, 22).coalesce(1), root)
+        return orig_adv(r, v)
+
+    monkeypatch.setattr(sn, "_advance_latest", hooked)
+    with pytest.raises(sn.SnapshotConflictError, match="during publish"):
+        sn.snapshot_publish(root, staged)
+    monkeypatch.setattr(sn, "_advance_latest", orig_adv)
+    got = sorted(r.id for r in sn.read_snapshot(spark, root).collect())
+    assert got == list(range(10)) + [20, 21], "the racing commit won"
+
+
+def test_partition_redefinition_refused(spark, tmp_path):
+    """Redefining an existing partition NAME with a different transform
+    would poison recorded values (old files' values lie under the new
+    semantics) — refused loudly; the same expression is fine."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select("id", (F.col("id") % 10).alias("g"))
+    sn.snapshot_append_partitioned(df, root, {"b": "CAST(id % 10 AS STRING)"})
+    with pytest.raises(ValueError, match="poison"):
+        sn.snapshot_append_partitioned(
+            df, root, {"b": "CAST(id % 2 AS STRING)"}
+        )
+    # same expression appends fine; a NEW name is spec evolution
+    sn.snapshot_append_partitioned(df, root, {"b": "CAST(id % 10 AS STRING)"})
+    sn.snapshot_append_partitioned(df, root, {"c": "CAST(g AS STRING)"})
+    assert sn.read_snapshot(spark, root).count() == 300
