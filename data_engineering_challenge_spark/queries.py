@@ -142,7 +142,8 @@ _CHEAP_FIRST = [
     "snapshot_mor_merge",
     # round-7 additions, measured verify cost ascending (sf0.01)
     "snapshot_partitioned_prune", "snapshot_evolution_read",
-    "sql_snapshot_asof_report", "snapshot_pruned_mor_lookup",
+    "sql_snapshot_asof_report", "snapshot_wap_publish",
+    "snapshot_pruned_mor_lookup",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -2289,3 +2289,82 @@ def q_snapshot_pruned_mor_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "snapshot_wap_publish",
+    # Deterministic WAP lineage over orders thirds: the rejected stage
+    # (negated prices) never publishes but stays explicitly readable;
+    # the clean stage publishes.  Every row is a plain aggregate the
+    # oracle restates with mod filters.
+    f"""
+SELECT 'base' AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 'rejected_stage', COUNT(*),
+       {_dsum_sql("CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice "
+                  "ELSE -o_totalprice END")}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 'published', COUNT(*), {_dsum_sql('o_totalprice')}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+""",
+)
+def q_snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-native WRITE-AUDIT-PUBLISH end-to-end
+    (`snapshot_stage_append` / `snapshot_publish`): a BAD batch (prices
+    negated) is staged, audited (negative prices found), and NEVER
+    published — readers keep the base, yet the rejected stage remains
+    explicitly readable for forensics; then the clean batch stages,
+    audits green, and publishes in O(1).  The three phases' aggregates
+    hash-match the oracle's mod-filter restatement — certifying that
+    staging is invisible, rejection is free (nothing to undo), and
+    publish delivers exactly the audited rows.  Output cached per
+    (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_wap_publish", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_wap_") + "/tbl"
+        third = lambda r: o.filter(F.col("o_orderkey") % 3 == r).coalesce(1)
+        sn.snapshot_append(third(0), root)                        # base
+        bad = third(1).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        )
+        s_bad = sn.snapshot_stage_append(bad, root)
+        # the AUDIT: negative prices -> reject (never publish)
+        n_neg = (
+            sn.read_snapshot(spark, root, s_bad)
+            .filter(F.col("o_totalprice") < 0)
+            .count()
+        )
+        assert n_neg > 0, "fixture: the bad stage must fail its audit"
+        s_good = sn.snapshot_stage_append(third(1), root)
+        assert (
+            sn.read_snapshot(spark, root, s_good)
+            .filter(F.col("o_totalprice") < 0)
+            .count()
+            == 0
+        )
+        sn.snapshot_publish(root, s_good)
+        out = _ORC_OUT_CACHE[key] = (root, s_bad)
+    root, s_bad = out
+
+    def agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("total_price"),
+        ).select("phase", "n_rows", "total_price")
+
+    return (
+        agg(sn.read_snapshot(spark, root, 0), "base")
+        .unionByName(agg(sn.read_snapshot(spark, root, s_bad), "rejected_stage"))
+        .unionByName(agg(sn.read_snapshot(spark, root), "published"))
+    )
