@@ -2221,6 +2221,7 @@ def maintain_snapshot(
     vacuum_grace_s: float | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     max_small_files: int | None = None,
+    delete_mode: str = "major",
 ) -> dict:
     """One-call table MAINTENANCE policy — the janitor a continuously
     merged table needs (Delta OPTIMIZE + VACUUM rolled together), meant
@@ -2255,7 +2256,16 @@ def maintain_snapshot(
         trigger_small = (
             max_small_files is not None and n_small > max_small_files
         )
-        if n_del > max_delete_files or trigger_small:
+        trigger_del = n_del > max_delete_files
+        if trigger_del and delete_mode == "minor" and not trigger_small:
+            # MINOR first: merge the delete lists at metadata cost —
+            # the right cron remedy when data files are healthy and
+            # only the anti-join count grew (compact_delete_files's
+            # docstring has the trade); falls back to nothing more —
+            # rows stay merge-on-read until a major compact
+            v = compact_delete_files(spark, root)
+            did["compacted"] = v if v != cur else None
+        elif trigger_del or trigger_small:
             tf = target_files
             if trigger_small and tf is not None:
                 # the policy's goal is to get UNDER max_small_files: a

@@ -2158,3 +2158,30 @@ def test_partition_redefinition_refused(spark, tmp_path):
     sn.snapshot_append_partitioned(df, root, {"b": "CAST(id % 10 AS STRING)"})
     sn.snapshot_append_partitioned(df, root, {"c": "CAST(g AS STRING)"})
     assert sn.read_snapshot(spark, root).count() == 300
+
+
+def test_maintain_delete_mode_minor(spark, tmp_path):
+    """delete_mode='minor' merges delete lists at metadata cost when
+    the delete threshold fires — data files untouched, reads identical,
+    and the policy converges (second run no-op)."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 30).coalesce(1), root)
+    for i in range(4):
+        sn.snapshot_delete_where(spark, root, f"id = {i}", keys=["id"])
+    before = {r.id for r in sn.read_snapshot_mor(spark, root).collect()}
+    data_files = sn._read_manifest(root, 0)["files"]
+    mtimes = {f: os.path.getmtime(os.path.join(root, f)) for f in data_files}
+    did = sn.maintain_snapshot(
+        spark, root, max_delete_files=2, delete_mode="minor"
+    )
+    assert did["compacted"] is not None
+    m = sn._read_manifest(root, did["compacted"])
+    assert len(m["delete_files"]) == 1, "lists merged, not folded"
+    assert m["files"] == data_files
+    for f, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(root, f)) == mt
+    assert {r.id for r in sn.read_snapshot_mor(spark, root).collect()} == before
+    did2 = sn.maintain_snapshot(
+        spark, root, max_delete_files=2, delete_mode="minor"
+    )
+    assert did2["compacted"] is None, "converged"
