@@ -224,7 +224,12 @@ class SnapshotTableDataSource(DataSource):
         return SnapshotBatchReader(self._root(), self.options, schema)
 
     def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
-        return SnapshotStreamReader(self._root(), schema)
+        sv = self.options.get("start_version")
+        return SnapshotStreamReader(
+            self._root(),
+            schema,
+            start_version=int(sv) if sv is not None else None,
+        )
 
 
 class SnapshotBatchReader(DataSourceReader):
@@ -263,14 +268,26 @@ class SnapshotBatchReader(DataSourceReader):
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, schema: StructType):
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        start_version: int | None = None,
+    ):
         self.root = root
         self.schema_ = schema
+        self.start_version = start_version
 
     def initialOffset(self) -> dict:
-        # -1 = 'before the first commit': the first batch is the whole
-        # snapshot current at first trigger (Delta's initial-snapshot
-        # rule), later batches are per-commit deltas
+        # default -1 = 'before the first commit': the first batch is
+        # the whole snapshot current at first trigger (Delta's
+        # initial-snapshot rule), later batches are per-commit deltas.
+        # ``start_version`` (Delta's startingVersion) skips history: a
+        # consumer that already holds version N starts with the commits
+        # AFTER N.  Only consulted on a fresh checkpoint — restarts
+        # resume from the checkpointed offset.
+        if self.start_version is not None:
+            return {"version": int(self.start_version)}
         return {"version": -1}
 
     def latestOffset(self) -> dict:

@@ -119,3 +119,34 @@ def test_batch_reader_and_refusals(spark, tmp_path):
         spark.read.format("snapshot_table").option("root", root2).load().count()
     with pytest.raises(Exception, match="evolved"):
         _drain(spark, root2, str(tmp_path / "o3"), str(tmp_path / "c3"))
+
+
+def test_stream_start_version_skips_history(spark, tmp_path):
+    """start_version (Delta's startingVersion): a consumer that already
+    holds version N consumes only commits AFTER N on a fresh
+    checkpoint; restarts still resume from the checkpoint."""
+    register_snapshot_source(spark)
+    root = str(tmp_path / "src")
+    sn.snapshot_append(_df(spark, 0, 50).coalesce(1), root)   # v0 (held)
+    sn.snapshot_append(_df(spark, 50, 60).coalesce(1), root)  # v1
+    stream = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option("start_version", "0")
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    st.run_available_now(stream, out, ckpt)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(50, 60)), "only the post-v0 delta"
+    # restart: checkpoint wins, nothing replays
+    sn.snapshot_append(_df(spark, 60, 62).coalesce(1), root)
+    stream = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option("start_version", "0")
+        .load()
+    )
+    st.run_available_now(stream, out, ckpt)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(50, 62))
