@@ -2353,8 +2353,11 @@ def q_snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
         sn.snapshot_publish(root, s_good)
-        out = _ORC_OUT_CACHE[key] = (root, s_bad)
-    root, s_bad = out
+        # fresh tempdir + fixed commit order => the bad stage is always
+        # v1, so the cache can stay dict[..., str] like its siblings
+        assert s_bad == 1, "fixture: bad stage must be the first commit"
+        out = _ORC_OUT_CACHE[key] = root
+    root, s_bad = out, 1
 
     def agg(df: DataFrame, phase: str) -> DataFrame:
         return df.agg(

@@ -161,7 +161,10 @@ class SnapshotTableDataSource(DataSource):
     """``spark.read[Stream].format("snapshot_table").option("root", dir)``
     — the snapshot table format on the reader surface.  Options:
     ``root`` (required); ``version`` (batch: pin a version instead of
-    _LATEST)."""
+    _LATEST); ``start_version`` (stream: begin at this commit,
+    INCLUSIVE — Delta's ``startingVersion`` — instead of the full
+    initial snapshot; fresh checkpoints only, validated at stream
+    start)."""
 
     @classmethod
     def name(cls) -> str:
@@ -282,13 +285,44 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # default -1 = 'before the first commit': the first batch is
         # the whole snapshot current at first trigger (Delta's
         # initial-snapshot rule), later batches are per-commit deltas.
-        # ``start_version`` (Delta's startingVersion) skips history: a
-        # consumer that already holds version N starts with the commits
-        # AFTER N.  Only consulted on a fresh checkpoint — restarts
-        # resume from the checkpointed offset.
-        if self.start_version is not None:
-            return {"version": int(self.start_version)}
-        return {"version": -1}
+        # ``start_version`` matches Delta's startingVersion, INCLUSIVE:
+        # the first batch begins with version N's own rows.  Only
+        # consulted on a fresh checkpoint — restarts resume from the
+        # checkpointed offset (so this validation never re-runs against
+        # since-expired history).
+        if self.start_version is None:
+            return {"version": -1}
+        sv = int(self.start_version)
+        if sv < 0:
+            raise ValueError(
+                f"snapshot_table stream: start_version={sv} is negative"
+            )
+        cur = sn.current_version(self.root)
+        if cur is None:
+            raise ValueError(
+                f"snapshot_table stream: start_version={sv} but the "
+                f"table at {self.root} has no commits"
+            )
+        if sv > cur + 1:
+            # cur+1 is allowed (start from the NEXT commit — nothing
+            # to replay yet); anything further is a typo'd version
+            raise ValueError(
+                f"snapshot_table stream: start_version={sv} is beyond "
+                f"the table head v{cur}"
+            )
+        if sv <= cur:
+            # fail fast with the stream's own errors (expired
+            # manifest, non-ancestor/rollback, overwrite, MoR hop)
+            # instead of a deep FileNotFoundError at first trigger
+            try:
+                _added_files(self.root, sv - 1, cur)
+            except FileNotFoundError as exc:
+                raise ValueError(
+                    f"snapshot_table stream: start_version={sv} needs "
+                    f"manifests back to v{sv - 1} for the delta diff, "
+                    f"but one was expired ({exc})"
+                ) from None
+        return {"version": sv - 1}
 
     def latestOffset(self) -> dict:
         v = sn.current_version(self.root)

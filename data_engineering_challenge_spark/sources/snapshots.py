@@ -2233,7 +2233,12 @@ def maintain_snapshot(
        bin-packs them (read-side anti-join cost is proportional to
        accumulated deletes and scan cost to file count — this bounds
        both, and the rewrite touches ONLY those files: maintenance
-       bytes ∝ small files + deletes, never the table);
+       bytes ∝ small files + deletes, never the table).  With
+       ``delete_mode="minor"`` a delete-file trigger instead runs
+       `compact_delete_files` — merge the delete LISTS at metadata
+       cost, leave data files merge-on-read — unless the small-file
+       trigger also fired, which always takes the major path (minor
+       compaction cannot fix file count);
     2. if ``keep_last`` is set, `expire_versions` drops older manifests
        (never the live version);
     3. if ``vacuum_grace_s`` is set, `vacuum_orphans` reclaims
@@ -2244,6 +2249,12 @@ def maintain_snapshot(
     running it twice is a no-op.  Returns what it did:
     ``{"compacted": version|None, "expired": [...], "vacuumed": [...]}``.
     """
+    if delete_mode not in ("major", "minor"):
+        raise ValueError(
+            f"maintain_snapshot: delete_mode={delete_mode!r} — expected "
+            "'major' (bin-pack data files) or 'minor' (merge delete "
+            "lists only)"
+        )
     did: dict = {"compacted": None, "expired": [], "vacuumed": []}
     cur = current_version(root)
     if cur is not None:

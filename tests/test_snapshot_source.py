@@ -122,9 +122,10 @@ def test_batch_reader_and_refusals(spark, tmp_path):
 
 
 def test_stream_start_version_skips_history(spark, tmp_path):
-    """start_version (Delta's startingVersion): a consumer that already
-    holds version N consumes only commits AFTER N on a fresh
-    checkpoint; restarts still resume from the checkpoint."""
+    """start_version (Delta's startingVersion, INCLUSIVE): a consumer
+    that already holds everything BEFORE version N starts at N's own
+    rows on a fresh checkpoint; restarts still resume from the
+    checkpoint."""
     register_snapshot_source(spark)
     root = str(tmp_path / "src")
     sn.snapshot_append(_df(spark, 0, 50).coalesce(1), root)   # v0 (held)
@@ -132,21 +133,60 @@ def test_stream_start_version_skips_history(spark, tmp_path):
     stream = (
         spark.readStream.format("snapshot_table")
         .option("root", root)
-        .option("start_version", "0")
+        .option("start_version", "1")
         .load()
     )
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     st.run_available_now(stream, out, ckpt)
     got = sorted(r.id for r in spark.read.parquet(out).collect())
-    assert got == list(range(50, 60)), "only the post-v0 delta"
+    assert got == list(range(50, 60)), "v1 included, v0 skipped"
     # restart: checkpoint wins, nothing replays
     sn.snapshot_append(_df(spark, 60, 62).coalesce(1), root)
     stream = (
         spark.readStream.format("snapshot_table")
         .option("root", root)
-        .option("start_version", "0")
+        .option("start_version", "1")
         .load()
     )
     st.run_available_now(stream, out, ckpt)
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == list(range(50, 62))
+
+
+def test_stream_start_version_validated_at_start(spark, tmp_path):
+    """A bad start_version fails FAST at the first trigger with the
+    stream's own error, not a deep FileNotFoundError later — and
+    head+1 (start from the NEXT commit) is allowed."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "src")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0
+
+    def start(sv, out, ckpt):
+        stream = (
+            spark.readStream.format("snapshot_table")
+            .option("root", root)
+            .option("start_version", str(sv))
+            .load()
+        )
+        st.run_available_now(
+            stream, str(tmp_path / out), str(tmp_path / ckpt)
+        )
+
+    with pytest.raises(StreamingQueryException, match="beyond the table"):
+        start(99, "out99", "ckpt99")
+    # head is v0: start_version=1 = 'only future commits' — legal, empty
+    start(1, "out1", "ckpt1")
+    import os
+
+    files = [
+        f
+        for f in os.listdir(str(tmp_path / "out1"))
+        if f.endswith(".parquet")
+    ]
+    total = (
+        spark.read.parquet(str(tmp_path / "out1")).count() if files else 0
+    )
+    assert total == 0

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_engineering_challenge_spark.sources import snapshots as sn
@@ -2185,3 +2186,6 @@ def test_maintain_delete_mode_minor(spark, tmp_path):
         spark, root, max_delete_files=2, delete_mode="minor"
     )
     assert did2["compacted"] is None, "converged"
+    # a typo'd mode must raise, never silently take the major path
+    with pytest.raises(ValueError, match="delete_mode"):
+        sn.maintain_snapshot(spark, root, delete_mode="Minor")
