@@ -143,7 +143,7 @@ _CHEAP_FIRST = [
     # round-7 additions, measured verify cost ascending (sf0.01)
     "snapshot_partitioned_prune", "snapshot_evolution_read",
     "sql_snapshot_asof_report", "snapshot_wap_publish",
-    "snapshot_pruned_mor_lookup",
+    "snapshot_pruned_mor_lookup", "snapshot_cdf_feed",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

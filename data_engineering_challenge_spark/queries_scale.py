@@ -1743,6 +1743,43 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _mor_feed_root(spark: SparkSession, sf_dir: str) -> str:
+    """Shared fixture for the MoR-family queries: the events table as a
+    deterministic I/U/D feed (key = user_id, sequence = event_id, three
+    batches by event_id % 3) applied as three `snapshot_mor_merge`
+    commits (v0, v1, v2).  Built once per sf_dir, cached."""
+    import tempfile
+
+    from . import roles
+    from .sources import snapshots as sn
+
+    key = ("snapshot_mor_merge", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="snap_mor_")
+        events = roles.load_events(spark, sf_dir)
+        feed = events.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).alias("_batch"),
+            F.when(F.col("event_id") % 7 == 0, F.lit("D"))
+            .when(F.col("event_id") % 2 == 0, F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("_op"),
+            F.col("value").alias("v"),
+        )
+        for b in range(3):
+            sn.snapshot_mor_merge(
+                spark,
+                f"{tmp}/tbl",
+                feed.filter(F.col("_batch") == b).drop("_batch"),
+                ["k"],
+                seq_col="seq",
+            )
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/tbl"
+    return out
+
+
 @register(
     "snapshot_mor_merge",
     # The MoR merge is deterministic given a sequenced feed, so plain SQL
@@ -1785,41 +1822,92 @@ def q_snapshot_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain SQL.  Write cost O(batch) instead of the CoW merge's
     O(table) — the trade that makes per-batch CDC viable at 100 TB.
     Output cached per (query, sf_dir)."""
-    import tempfile
-
-    from . import roles
     from .sources import snapshots as sn
 
-    key = ("snapshot_mor_merge", sf_dir)
-    out = _STREAM_OUT_CACHE.get(key)
-    if out is None:
-        tmp = tempfile.mkdtemp(prefix="snap_mor_")
-        events = roles.load_events(spark, sf_dir)
-        feed = events.select(
-            F.col("user_id").alias("k"),
-            F.col("event_id").alias("seq"),
-            (F.col("event_id") % 3).alias("_batch"),
-            F.when(F.col("event_id") % 7 == 0, F.lit("D"))
-            .when(F.col("event_id") % 2 == 0, F.lit("I"))
-            .otherwise(F.lit("U"))
-            .alias("_op"),
-            F.col("value").alias("v"),
-        )
-        for b in range(3):
-            sn.snapshot_mor_merge(
-                spark,
-                f"{tmp}/tbl",
-                feed.filter(F.col("_batch") == b).drop("_batch"),
-                ["k"],
-                seq_col="seq",
-            )
-        out = _STREAM_OUT_CACHE[key] = f"{tmp}/tbl"
-    from .sources import snapshots as sn2
-
-    return sn2.read_snapshot_mor(spark, out).select(
+    out = _mor_feed_root(spark, sf_dir)
+    return sn.read_snapshot_mor(spark, out).select(
         F.col("k").alias("user_id"),
         F.col("seq").alias("last_seq"),
         F.col("v").alias("last_value"),
+    )
+
+
+@register(
+    "snapshot_cdf_feed",
+    # The CDF is deterministic given the sequenced feed: delete events
+    # at commit v are the state-after-batches<v rows whose key batch v
+    # touched (upsert OR delete — the equality list names both), insert
+    # events are batch v's per-key winners that aren't deletes.  The
+    # oracle replays both intermediate states with the same window the
+    # snapshot_mor_merge oracle uses for the final state.
+    f"""
+WITH feed AS (
+    SELECT user_id AS k,
+           event_id AS seq,
+           event_id % 3 AS batch,
+           CASE WHEN event_id % 7 = 0 THEN 'D'
+                WHEN event_id % 2 = 0 THEN 'I'
+                ELSE 'U' END AS op,
+           value AS v
+    FROM events
+),
+w AS (
+    SELECT batch, k, seq, op, v FROM (
+        SELECT batch, k, seq, op, v,
+               ROW_NUMBER() OVER (PARTITION BY batch, k
+                                  ORDER BY seq DESC) AS rn
+        FROM feed
+    ) WHERE rn = 1
+),
+state0 AS (SELECT k, v FROM w WHERE batch = 0 AND op <> 'D'),
+state1 AS (
+    SELECT k, v FROM (
+        SELECT k, op, v,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY batch DESC) AS rn
+        FROM w WHERE batch <= 1
+    ) WHERE rn = 1 AND op <> 'D'
+),
+ev AS (
+    SELECT CAST(1 AS BIGINT) AS commit_version, 'delete' AS change_type, v
+    FROM state0 WHERE k IN (SELECT k FROM w WHERE batch = 1)
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'insert', v FROM w WHERE batch = 1 AND op <> 'D'
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete', v
+    FROM state1 WHERE k IN (SELECT k FROM w WHERE batch = 2)
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'insert', v FROM w WHERE batch = 2 AND op <> 'D'
+)
+SELECT commit_version, change_type,
+       COUNT(*) AS n_events,
+       {_dsum_sql("v")} AS sum_v
+FROM ev
+GROUP BY commit_version, change_type
+ORDER BY commit_version, change_type
+""",
+)
+def q_snapshot_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the MoR lineage (`sources/snapshots.py
+    read_snapshot_cdf` — the Delta CDF / Iceberg changelog-view read):
+    the three-batch `_mor_feed_root` fixture is consumed as per-commit
+    insert/delete EVENTS — an upsert surfaces as delete(pre-image) +
+    insert(new row), computed from only the commit's added files plus
+    an as-of-parent semi-join against the broadcast key list (never a
+    diff of two full table reads).  The oracle replays each
+    intermediate state in plain SQL and derives the same events.
+    Aggregated per (commit, change_type) so the hash check pins both
+    event counts and the pre-image VALUES the deletes carried."""
+    from .sources import snapshots as sn
+
+    root = _mor_feed_root(spark, sf_dir)
+    cdf = sn.read_snapshot_cdf(spark, root, 0, 2)
+    return (
+        cdf.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(F.count("*").alias("n_events"), dsum("v").alias("sum_v"))
+        .orderBy("commit_version", "change_type")
     )
 
 

@@ -2462,6 +2462,197 @@ def read_snapshot_changes(
     )
 
 
+def read_snapshot_cdf(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """CHANGE DATA FEED between two versions, MoR-aware — the rows a
+    downstream mirror must apply to advance from ``from_version``'s
+    state to ``to_version``'s, one event row per changed table row per
+    commit, tagged ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version`` (Delta CDF / Iceberg changelog-view shape;
+    reference consumers poll db_operations.py's merged tables — this is
+    the incremental form of that read).
+
+    `read_snapshot_changes` covers append-only hops at O(added files);
+    this generalizes to hops that ADD MoR delete files (`mor-merge`,
+    `delete-where`): an upsert surfaces as its delete(pre-image) +
+    insert(new row) pair — exactly the event stream
+    `apply_cdc_batch`-style consumers replay.  Per-hop cost:
+
+    - inserts: read ONLY the files the commit added — O(delta);
+    - equality-delete events: the as-of-parent MoR read semi-joined
+      with the commit's (broadcast-sized) key lists — a scan bounded
+      by the PARENT's file set, prunable by stats, never a diff of two
+      full table reads;
+    - position-delete events: read ONLY the files the list references.
+
+    Minor-compaction hops (``compact-deletes``) rewrite delete lists
+    without changing row content — they emit nothing.  Hops that
+    REMOVE data files or delete entries (overwrite, restore, major
+    compaction) are not expressible as row changes: fail loudly and
+    let the caller diff time-traveled MoR reads.  Schema-evolved
+    lineages are refused (renames would mislabel raw-file reads).
+
+    ``from_version=-1`` bootstraps a consumer: the whole as-of-
+    ``to_version`` table as one insert batch at ``to_version``."""
+    from pyspark.sql import functions as F
+
+    if from_version > to_version:
+        raise ValueError(
+            f"read_snapshot_cdf: from_version={from_version} > "
+            f"to_version={to_version}"
+        )
+    if from_version < 0:
+        base = read_snapshot_mor(spark, root, to_version)
+        return base.select(
+            *base.columns,
+            F.lit("insert").alias("_change_type"),
+            F.lit(int(to_version)).cast("bigint").alias("_commit_version"),
+        )
+    # hop chain child-first, then replay forward
+    hops: list[dict] = []
+    m = _read_manifest(root, to_version)
+    while m["version"] != from_version:
+        parent = m["parent"]
+        if parent is None or parent < from_version:
+            raise ValueError(
+                f"read_snapshot_cdf: v{from_version} is not an ancestor "
+                f"of v{to_version}"
+            )
+        hops.append(m)
+        m = _read_manifest(root, parent)
+    hops.reverse()
+
+    def _dels(man: dict) -> dict[str, dict]:
+        return {d["file"]: d for d in man.get("delete_files") or []}
+
+    out: DataFrame | None = None
+
+    def emit(df: DataFrame, change: str, v: int) -> None:
+        nonlocal out
+        if {"_change_type", "_commit_version"} & set(df.columns):
+            raise ValueError(
+                "read_snapshot_cdf: table already has a _change_type/"
+                "_commit_version column"
+            )
+        df = df.select(
+            *df.columns,
+            F.lit(change).alias("_change_type"),
+            F.lit(v).cast("bigint").alias("_commit_version"),
+        )
+        out = df if out is None else out.unionByName(df)
+
+    prev = m
+    for cm in hops:
+        v, op = int(cm["version"]), cm.get("operation")
+        if cm.get("fields") or prev.get("fields"):
+            raise ValueError(
+                f"read_snapshot_cdf: v{v} is schema-evolved — renames "
+                "would mislabel raw-file reads; read each epoch via "
+                "read_snapshot_changes under its own schema"
+            )
+        if op == "compact-deletes":
+            # delete LISTS rewritten, row content identical — no events
+            if set(cm["files"]) != set(prev["files"]):
+                raise ValueError(
+                    f"read_snapshot_cdf: v{v} compact-deletes commit "
+                    "changed the data file set — inconsistent manifest"
+                )
+            prev = cm
+            continue
+        if not set(prev["files"]) <= set(cm["files"]):
+            raise ValueError(
+                f"read_snapshot_cdf: v{v} ({op}) removed or rewrote "
+                "data files — not expressible as row changes; diff the "
+                "time-traveled MoR reads instead"
+            )
+        if not set(_dels(prev)) <= set(_dels(cm)):
+            raise ValueError(
+                f"read_snapshot_cdf: v{v} ({op}) dropped MoR delete "
+                "files — rows were resurrected; diff the time-traveled "
+                "MoR reads instead"
+            )
+        pv = int(prev["version"])
+        new_dels = [
+            d for f, d in _dels(cm).items() if f not in _dels(prev)
+        ]
+        eq_by_keys: dict[tuple, list[dict]] = {}
+        pos_lists: list[dict] = []
+        for d in new_dels:
+            kind = d.get("kind")
+            if kind == "position":
+                pos_lists.append(d)
+            elif kind == "equality-multi":
+                raise ValueError(
+                    f"read_snapshot_cdf: v{v} ({op}) added a minor-"
+                    "compacted delete list outside a compact-deletes "
+                    "commit — inconsistent manifest"
+                )
+            else:
+                eq_by_keys.setdefault(tuple(d["keys"]), []).append(d)
+        for key_tuple, dels in eq_by_keys.items():
+            side = None
+            for d in dels:
+                one = spark.read.parquet(os.path.join(root, d["file"]))
+                side = one if side is None else side.unionByName(one)
+            side = side.dropDuplicates(list(key_tuple))
+            pre = read_snapshot_mor(spark, root, pv)
+            # eqNullSafe, like the MoR read: NULL-keyed rows must emit
+            # their delete event too
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [pre[k].eqNullSafe(side[k]) for k in key_tuple],
+            )
+            emit(pre.join(F.broadcast(side), cond, "left_semi"), "delete", v)
+        for d in pos_lists:
+            depth = int(d.get("path_depth", 3))
+            if depth != 2:
+                raise ValueError(
+                    f"read_snapshot_cdf: v{v} position-delete list uses "
+                    f"legacy path_depth={depth} — rewrite it "
+                    "(compact_delete_files) before consuming as CDF"
+                )
+            side = spark.read.parquet(os.path.join(root, d["file"]))
+            # referenced files only: the distinct file keys are bounded
+            # by the manifest's file count (driver-side, metadata-sized)
+            refs = {r._file for r in side.select("_file").distinct().collect()}
+            touched = [
+                f
+                for f in prev["files"]
+                if "/".join(f.split(os.sep)[-2:]) in refs
+            ]
+            pre = read_snapshot_mor(
+                spark, root, pv, _keep_coords=True, _files=touched
+            )
+            joined = pre.join(
+                F.broadcast(side),
+                (pre["_file"] == side["_file"]) & (pre["_pos"] == side["_pos"]),
+                "left_semi",
+            )
+            emit(joined.drop("_file", "_pos"), "delete", v)
+        new_files = sorted(set(cm["files"]) - set(prev["files"]))
+        if new_files:
+            emit(
+                spark.read.parquet(
+                    *[os.path.join(root, f) for f in new_files]
+                ),
+                "insert",
+                v,
+            )
+        prev = cm
+    if out is None:
+        base = read_snapshot_mor(spark, root, to_version).limit(0)
+        return base.select(
+            *base.columns,
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).cast("bigint").alias("_commit_version"),
+        )
+    return out
+
+
 def refresh_incremental_agg(
     spark: SparkSession,
     root: str,

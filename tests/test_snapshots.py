@@ -2189,3 +2189,101 @@ def test_maintain_delete_mode_minor(spark, tmp_path):
     # a typo'd mode must raise, never silently take the major path
     with pytest.raises(ValueError, match="delete_mode"):
         sn.maintain_snapshot(spark, root, delete_mode="Minor")
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, v LONG")
+
+
+def _cdf_rows(spark, root, lo, hi):
+    return sorted(
+        (r._commit_version, r._change_type, r.k, r.v)
+        for r in sn.read_snapshot_cdf(spark, root, lo, hi).collect()
+    )
+
+
+def test_read_snapshot_cdf_mor_events(spark, tmp_path):
+    """CDF over a MoR lineage: an upsert surfaces as delete(pre-image)
+    + insert(new row), a delete as its pre-image, a plain append as
+    inserts — and replaying the events advances the old state to
+    exactly the new state."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(
+        spark.range(0, 10)
+        .selectExpr("id AS k", "id * 10 AS v")
+        .coalesce(1),
+        root,
+    )  # v0
+    batch = spark.createDataFrame(
+        [(1, 111, "U"), (2, None, "D"), (100, 1000, "I")],
+        "k LONG, v LONG, _op STRING",
+    )
+    sn.snapshot_mor_merge(spark, root, batch, ["k"])  # v1
+    sn.snapshot_append(_kv(spark, [(200, 2000), (201, 2010)]).coalesce(1), root)  # v2
+    assert _cdf_rows(spark, root, 0, 2) == [
+        (1, "delete", 1, 10),
+        (1, "delete", 2, 20),
+        (1, "insert", 1, 111),
+        (1, "insert", 100, 1000),
+        (2, "insert", 200, 2000),
+        (2, "insert", 201, 2010),
+    ]
+    # event replay: state(v0) + events == state(v2)
+    state = {r.k: r.v for r in sn.read_snapshot(spark, root, 0).collect()}
+    for _, ct, k, v in _cdf_rows(spark, root, 0, 2):
+        if ct == "delete":
+            state.pop(k)
+        else:
+            state[k] = v
+    assert state == {
+        r.k: r.v for r in sn.read_snapshot_mor(spark, root, 2).collect()
+    }
+    # bootstrap: from_version=-1 = the whole as-of table as inserts
+    boot = sn.read_snapshot_cdf(spark, root, -1, 2)
+    assert boot.count() == len(state)
+    assert boot.select("_change_type").distinct().collect()[0][0] == "insert"
+    # empty range = schema-only
+    assert sn.read_snapshot_cdf(spark, root, 2, 2).count() == 0
+
+
+def test_read_snapshot_cdf_position_minor_refusals(spark, tmp_path):
+    """Position-delete commits emit pre-image events from only the
+    referenced files; minor-compaction hops emit nothing; major
+    compaction and restore hops refuse loudly."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(
+        spark.range(0, 10)
+        .selectExpr("id AS k", "id * 10 AS v")
+        .coalesce(1),
+        root,
+    )  # v0
+    sn.snapshot_delete_where(spark, root, "k >= 8")  # v1: position
+    assert _cdf_rows(spark, root, 0, 1) == [
+        (1, "delete", 8, 80),
+        (1, "delete", 9, 90),
+    ]
+    # equality deletes + minor compaction: the compact hop is silent
+    root2 = str(tmp_path / "tbl2")
+    sn.snapshot_append(
+        spark.range(0, 10)
+        .selectExpr("id AS k", "id * 10 AS v")
+        .coalesce(1),
+        root2,
+    )  # v0
+    for i in (1, 2):  # v1, v2: equality delete-where
+        sn.snapshot_delete_where(spark, root2, f"k = {i}", keys=["k"])
+    sn.compact_delete_files(spark, root2)  # v3: minor — no row change
+    batch = spark.createDataFrame([(3, 333, "U")], "k LONG, v LONG, _op STRING")
+    sn.snapshot_mor_merge(spark, root2, batch, ["k"])  # v4
+    assert _cdf_rows(spark, root2, 0, 4) == [
+        (1, "delete", 1, 10),
+        (2, "delete", 2, 20),
+        (4, "delete", 3, 30),
+        (4, "insert", 3, 333),
+    ]
+    # major compaction is not expressible as row changes
+    sn.snapshot_compact(spark, root2)  # v5
+    with pytest.raises(ValueError, match="removed or rewrote"):
+        sn.read_snapshot_cdf(spark, root2, 0, 5)
+    # but a range that stops before it still reads fine
+    assert len(_cdf_rows(spark, root2, 0, 4)) == 4
