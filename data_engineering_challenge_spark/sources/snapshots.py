@@ -1969,6 +1969,35 @@ def attach_snapshot_views(
     return out
 
 
+def attach_snapshot_cdf_view(
+    spark: SparkSession,
+    name: str,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> int:
+    """The change data feed on the SQL SURFACE — Delta's
+    ``table_changes('t', from, to)`` for this format: registers
+    ``name`` as a temp view over `read_snapshot_cdf`, so a SQL-only
+    consumer selects per-commit insert/delete events (with
+    ``_change_type``/``_commit_version`` columns) in plain ``spark.sql``
+    text.  ``to_version=None`` pins the head current at attach time
+    (same pin-at-attach consistency rule as `attach_snapshot_view`);
+    re-attach with the last-seen ``_commit_version`` as the next
+    ``from_version`` to poll the feed.  Returns the pinned
+    ``to_version``."""
+    if to_version is None:
+        to_version = current_version(root)
+        if to_version is None:
+            raise FileNotFoundError(
+                f"attach_snapshot_cdf_view: no committed version at {root}"
+            )
+    read_snapshot_cdf(
+        spark, root, from_version, to_version
+    ).createOrReplaceTempView(name)
+    return to_version
+
+
 def read_snapshot_asof(
     spark: SparkSession, root: str, ts: float, merge_schema: bool = False
 ) -> DataFrame:

@@ -2244,6 +2244,19 @@ def test_read_snapshot_cdf_mor_events(spark, tmp_path):
     assert boot.select("_change_type").distinct().collect()[0][0] == "insert"
     # empty range = schema-only
     assert sn.read_snapshot_cdf(spark, root, 2, 2).count() == 0
+    # SQL surface: table_changes()-style view over the same feed
+    pinned = sn.attach_snapshot_cdf_view(spark, "tbl_changes", root, 0)
+    assert pinned == 2
+    got = spark.sql(
+        "SELECT _commit_version, _change_type, COUNT(*) AS n "
+        "FROM tbl_changes GROUP BY ALL ORDER BY ALL"
+    ).collect()
+    assert [(r._commit_version, r._change_type, r.n) for r in got] == [
+        (1, "delete", 2),
+        (1, "insert", 2),
+        (2, "insert", 2),
+    ]
+    spark.catalog.dropTempView("tbl_changes")
 
 
 def test_read_snapshot_cdf_position_minor_refusals(spark, tmp_path):
