@@ -2435,6 +2435,26 @@ def run_streaming_snapshot_sink(
     q.awaitTermination()
 
 
+def _hop_chain(
+    root: str, from_version: int, to_version: int, op_name: str
+) -> list[dict]:
+    """The manifests from ``from_version`` to ``to_version`` inclusive,
+    oldest first, walking the parent DAG (metadata only); raises if
+    ``from_version`` is not an ancestor of ``to_version`` — the shared
+    walk under `read_snapshot_changes` and `read_snapshot_cdf`."""
+    chain = [_read_manifest(root, to_version)]
+    while chain[-1]["version"] != from_version:
+        parent = chain[-1]["parent"]
+        if parent is None or parent < from_version:
+            raise ValueError(
+                f"{op_name}: v{from_version} is not an ancestor of "
+                f"v{to_version}"
+            )
+        chain.append(_read_manifest(root, parent))
+    chain.reverse()
+    return chain
+
+
 def read_snapshot_changes(
     spark: SparkSession, root: str, from_version: int, to_version: int
 ) -> DataFrame:
@@ -2454,21 +2474,14 @@ def read_snapshot_changes(
             (d["file"], d["seq"]) for d in man.get("delete_files") or []
         }
 
-    to_m = _read_manifest(root, to_version)
-    m = to_m
-    while m["version"] != from_version:
-        parent = m["parent"]
-        if parent is None or parent < from_version:
-            raise ValueError(
-                f"read_snapshot_changes: v{from_version} is not an "
-                f"ancestor of v{to_version}"
-            )
-        pm = _read_manifest(root, parent)
+    chain = _hop_chain(root, from_version, to_version, "read_snapshot_changes")
+    to_m = chain[-1]
+    for pm, m in zip(chain, chain[1:]):
         if not set(pm["files"]) <= set(m["files"]):
             raise ValueError(
                 f"read_snapshot_changes: v{m['version']} overwrote "
-                f"v{parent} — the delta is not append-only; diff the "
-                "time-traveled reads instead"
+                f"v{pm['version']} — the delta is not append-only; diff "
+                "the time-traveled reads instead"
             )
         if _delkey(m) != _delkey(pm):
             # ANY delete-set change breaks added-rows semantics: an
@@ -2478,10 +2491,10 @@ def read_snapshot_changes(
             raise ValueError(
                 f"read_snapshot_changes: v{m['version']} changed the "
                 "MoR delete-file set — the delta is not expressible as "
-                "added rows; diff the time-traveled MoR reads instead"
+                "added rows; read_snapshot_cdf carries those hops as "
+                "insert/delete events"
             )
-        m = pm
-    new_files = sorted(set(to_m["files"]) - set(m["files"]))
+    new_files = sorted(set(to_m["files"]) - set(chain[0]["files"]))
     if not new_files:
         return read_snapshot(
             spark, root, to_version, _allow_mor_raw=True
@@ -2525,9 +2538,23 @@ def read_snapshot_cdf(
     let the caller diff time-traveled MoR reads.  Schema-evolved
     lineages are refused (renames would mislabel raw-file reads).
 
+    REPLAY CONTRACT: within one ``_commit_version``, apply the
+    'delete' events BEFORE the 'insert' events — an upsert's
+    delete(pre-image) must precede its insert, or a keyed mirror drops
+    the key it just upserted.  Across commits, order by
+    ``_commit_version`` ascending.  (The DataFrame itself carries no
+    row order; the consumer sorts by these two columns.)
+
     ``from_version=-1`` bootstraps a consumer: the whole as-of-
     ``to_version`` table as one insert batch at ``to_version``."""
     from pyspark.sql import functions as F
+
+    def _guard(cols) -> None:
+        if {"_change_type", "_commit_version"} & set(cols):
+            raise ValueError(
+                "read_snapshot_cdf: table already has a _change_type/"
+                "_commit_version column"
+            )
 
     if from_version > to_version:
         raise ValueError(
@@ -2536,24 +2563,14 @@ def read_snapshot_cdf(
         )
     if from_version < 0:
         base = read_snapshot_mor(spark, root, to_version)
+        _guard(base.columns)
         return base.select(
             *base.columns,
             F.lit("insert").alias("_change_type"),
             F.lit(int(to_version)).cast("bigint").alias("_commit_version"),
         )
-    # hop chain child-first, then replay forward
-    hops: list[dict] = []
-    m = _read_manifest(root, to_version)
-    while m["version"] != from_version:
-        parent = m["parent"]
-        if parent is None or parent < from_version:
-            raise ValueError(
-                f"read_snapshot_cdf: v{from_version} is not an ancestor "
-                f"of v{to_version}"
-            )
-        hops.append(m)
-        m = _read_manifest(root, parent)
-    hops.reverse()
+    chain = _hop_chain(root, from_version, to_version, "read_snapshot_cdf")
+    m, hops = chain[0], chain[1:]
 
     def _dels(man: dict) -> dict[str, dict]:
         return {d["file"]: d for d in man.get("delete_files") or []}
@@ -2562,11 +2579,7 @@ def read_snapshot_cdf(
 
     def emit(df: DataFrame, change: str, v: int) -> None:
         nonlocal out
-        if {"_change_type", "_commit_version"} & set(df.columns):
-            raise ValueError(
-                "read_snapshot_cdf: table already has a _change_type/"
-                "_commit_version column"
-            )
+        _guard(df.columns)
         df = df.select(
             *df.columns,
             F.lit(change).alias("_change_type"),
@@ -2622,29 +2635,54 @@ def read_snapshot_cdf(
                 )
             else:
                 eq_by_keys.setdefault(tuple(d["keys"]), []).append(d)
+        # ONE as-of-parent read shared by every key set in the commit
+        pre_eq = (
+            read_snapshot_mor(spark, root, pv) if eq_by_keys else None
+        )
         for key_tuple, dels in eq_by_keys.items():
             side = None
             for d in dels:
                 one = spark.read.parquet(os.path.join(root, d["file"]))
                 side = one if side is None else side.unionByName(one)
             side = side.dropDuplicates(list(key_tuple))
-            pre = read_snapshot_mor(spark, root, pv)
             # eqNullSafe, like the MoR read: NULL-keyed rows must emit
             # their delete event too
             cond = functools.reduce(
                 lambda a, b: a & b,
-                [pre[k].eqNullSafe(side[k]) for k in key_tuple],
+                [pre_eq[k].eqNullSafe(side[k]) for k in key_tuple],
             )
-            emit(pre.join(F.broadcast(side), cond, "left_semi"), "delete", v)
+            emit(
+                pre_eq.join(F.broadcast(side), cond, "left_semi"),
+                "delete",
+                v,
+            )
         for d in pos_lists:
+            side = spark.read.parquet(os.path.join(root, d["file"]))
             depth = int(d.get("path_depth", 3))
             if depth != 2:
-                raise ValueError(
-                    f"read_snapshot_cdf: v{v} position-delete list uses "
-                    f"legacy path_depth={depth} — rewrite it "
-                    "(compact_delete_files) before consuming as CDF"
+                # legacy lists key files by a longer path suffix:
+                # translate to the canonical 2-segment key through the
+                # manifest (metadata-sized broadcast map)
+                trans = {
+                    "/".join(f.split(os.sep)[-depth:]): "/".join(
+                        f.split(os.sep)[-2:]
+                    )
+                    for f in prev["files"]
+                }
+                if len(trans) != len(prev["files"]):
+                    raise ValueError(
+                        f"read_snapshot_cdf: v{v} duplicate "
+                        f"{depth}-segment file suffixes — cannot "
+                        "translate the legacy position-delete list"
+                    )
+                tmap = spark.createDataFrame(
+                    list(trans.items()), "_file_old STRING, _file STRING"
                 )
-            side = spark.read.parquet(os.path.join(root, d["file"]))
+                side = (
+                    side.withColumnRenamed("_file", "_file_old")
+                    .join(F.broadcast(tmap), "_file_old")
+                    .select("_file", "_pos")
+                )
             # referenced files only: the distinct file keys are bounded
             # by the manifest's file count (driver-side, metadata-sized)
             refs = {r._file for r in side.select("_file").distinct().collect()}
@@ -2674,6 +2712,7 @@ def read_snapshot_cdf(
         prev = cm
     if out is None:
         base = read_snapshot_mor(spark, root, to_version).limit(0)
+        _guard(base.columns)
         return base.select(
             *base.columns,
             F.lit("insert").alias("_change_type"),

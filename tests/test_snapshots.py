@@ -2300,3 +2300,40 @@ def test_read_snapshot_cdf_position_minor_refusals(spark, tmp_path):
         sn.read_snapshot_cdf(spark, root2, 0, 5)
     # but a range that stops before it still reads fine
     assert len(_cdf_rows(spark, root2, 0, 4)) == 4
+
+
+def test_read_snapshot_cdf_legacy_position_depth(spark, tmp_path):
+    """A legacy 3-segment position-delete list (no path_depth field)
+    still yields exact CDF delete events — the keys are translated to
+    the canonical 2-segment form through the manifest."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)
+    v1 = sn.snapshot_delete_where(spark, root, "id < 3", keys=None)
+    mpath = f"{root}/_manifests/v{v1}.json"
+    m = json.load(open(mpath))
+    [d] = m["delete_files"]
+    dpath = os.path.join(root, d["file"])
+    t = pq.read_table(dpath)
+    legacy_files = pa.array(
+        ["data/" + v for v in t.column("_file").to_pylist()]
+    )
+    pq.write_table(
+        pa.table({"_file": legacy_files, "_pos": t.column("_pos")}), dpath
+    )
+    crc = os.path.join(
+        os.path.dirname(dpath), "." + os.path.basename(dpath) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    del d["path_depth"]
+    json.dump(m, open(mpath, "w"))
+    got = sorted(
+        (r._commit_version, r._change_type, r.id)
+        for r in sn.read_snapshot_cdf(spark, root, 0, v1).collect()
+    )
+    assert got == [(v1, "delete", i) for i in range(3)]
