@@ -2459,3 +2459,67 @@ def q_snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(sn.read_snapshot(spark, root, s_bad), "rejected_stage"))
         .unionByName(agg(sn.read_snapshot(spark, root), "published"))
     )
+
+
+@register(
+    "snapshot_branch_publish",
+    # Deterministic audit-branch lineage over orders thirds: two branch
+    # commits accumulate invisibly, then fast_forward publishes both in
+    # one O(1) pointer move.  Every phase is a plain aggregate the
+    # oracle restates with mod filters.
+    f"""
+SELECT 'main_during_staging' AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 'branch_staged', COUNT(*), {_dsum_sql('o_totalprice')}
+FROM orders
+UNION ALL
+SELECT 'published', COUNT(*), {_dsum_sql('o_totalprice')}
+FROM orders
+""",
+)
+def q_snapshot_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITABLE BRANCHES end-to-end (`snapshot_create_branch` /
+    `snapshot_append_to_branch` / `snapshot_fast_forward` — Iceberg's
+    audit-branch pattern, the multi-commit generalization of WAP): two
+    thirds of orders land as branch commits while main keeps showing
+    only the base third, then fast_forward publishes the whole branch
+    with one O(1) pointer move.  The phase aggregates hash-match the
+    oracle's mod-filter restatement — certifying branch invisibility
+    (main read during staging), branch completeness (ref read), and
+    that publish delivers exactly the branch head.  Output cached per
+    (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_branch_publish", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_branch_") + "/tbl"
+        third = lambda r: o.filter(F.col("o_orderkey") % 3 == r).coalesce(1)
+        sn.snapshot_append(third(0), root)            # v0: main base
+        sn.snapshot_create_branch(root, "audit")
+        sn.snapshot_append_to_branch(third(1), root, "audit")  # v1
+        bv = sn.snapshot_append_to_branch(third(2), root, "audit")  # v2
+        assert sn.current_version(root) == 0, "branch must stay invisible"
+        assert bv == 2 and sn.resolve_ref(root, "audit") == 2
+        sn.snapshot_fast_forward(root, "audit")
+        out = _ORC_OUT_CACHE[key] = root
+    root = out
+
+    def agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("total_price"),
+        ).select("phase", "n_rows", "total_price")
+
+    return (
+        agg(sn.read_snapshot(spark, root, 0), "main_during_staging")
+        .unionByName(agg(sn.read_snapshot(spark, root, 2), "branch_staged"))
+        .unionByName(agg(sn.read_snapshot(spark, root), "published"))
+    )

@@ -268,15 +268,17 @@ def _commit(
         if conflict_mode == "serialize" or rebase_append:
             for v in sorted(set(existing) - seen):
                 if v != parent and _descends_from(root, v, parent):
-                    if _read_manifest(root, v).get(
-                        "operation"
-                    ) == "stage-append" and not _is_published(root, v):
-                        # an UNPUBLISHED WAP stage is not a concurrent
-                        # sibling: rebasing onto it would fold unaudited
-                        # rows into a published commit (and a serialize
-                        # abort for it would be spurious — it is
-                        # invisible to every reader until publish).  A
-                        # PUBLISHED stage (head descends from it) is a
+                    if _read_manifest(root, v).get("operation") in (
+                        "stage-append",
+                        "branch-append",
+                    ) and not _is_published(root, v):
+                        # an UNPUBLISHED WAP stage or branch commit is
+                        # not a concurrent sibling: rebasing onto it
+                        # would fold unaudited/unmerged rows into a
+                        # published commit (and a serialize abort for it
+                        # would be spurious — it is invisible to every
+                        # reader until publish/fast-forward).  A
+                        # PUBLISHED one (head descends from it) is a
                         # normal sibling and must be rebased onto.
                         continue
                     if conflict_mode == "serialize":
@@ -1401,11 +1403,17 @@ def snapshot_create_tag(
     try:
         os.link(tmp, path)  # atomic claim — never clobbers a ref
     except FileExistsError:
-        existing = resolve_ref(root, name)
-        if existing != v:
+        entry = _ref_entry(root, name)
+        if entry.get("kind") == "branch":
+            raise ValueError(
+                f"snapshot_create_tag: {name!r} is a branch — delete "
+                "it first"
+            )
+        if int(entry["version"]) != v:
             raise ValueError(
                 f"snapshot_create_tag: tag {name!r} already points at "
-                f"v{existing} — tags are immutable; delete it first"
+                f"v{entry['version']} — tags are immutable; delete it "
+                "first"
             )
     finally:
         os.remove(tmp)
@@ -1414,6 +1422,11 @@ def snapshot_create_tag(
 
 def snapshot_delete_tag(root: str, name: str) -> None:
     try:
+        if _ref_entry(root, name).get("kind") == "branch":
+            raise ValueError(
+                f"snapshot_delete_tag: {name!r} is a branch — "
+                "snapshot_delete_branch"
+            )
         os.remove(os.path.join(_refs_dir(root), f"{name}.json"))
     except FileNotFoundError:
         raise FileNotFoundError(f"snapshot_delete_tag: no tag {name!r}")
@@ -1445,6 +1458,175 @@ def snapshot_refs(root: str) -> dict[str, int]:
             continue  # deleted between listdir and open — not our tag
         out[d["name"]] = int(d["version"])
     return out
+
+
+def _ref_entry(root: str, name: str) -> dict:
+    try:
+        with open(os.path.join(_refs_dir(root), f"{name}.json")) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(f"resolve_ref: no ref {name!r} at {root}")
+
+
+def snapshot_create_branch(
+    root: str, name: str, version: int | None = None
+) -> int:
+    """Create a WRITABLE branch — a MUTABLE named ref (Iceberg branch
+    semantics, the multi-commit generalization of `snapshot_stage_append`'s
+    one-commit WAP): `snapshot_append_to_branch` advances the branch
+    head through fully durable commits that _LATEST never shows, an
+    auditor reads the branch by name (`resolve_ref` /
+    ``attach_snapshot_view(ref=)``), and `snapshot_fast_forward`
+    publishes the whole branch in O(1) — or nothing ever does, and the
+    branch expires like any abandoned lineage.  Starts at the current
+    head unless ``version`` pins elsewhere.  Returns the start
+    version."""
+    if "/" in name or name.startswith("."):
+        raise ValueError(
+            f"snapshot_create_branch: invalid branch name {name!r}"
+        )
+    v = current_version(root) if version is None else version
+    if v is None or not os.path.exists(
+        os.path.join(_manifest_dir(root), f"v{v}.json")
+    ):
+        raise FileNotFoundError(
+            f"snapshot_create_branch: version {v} does not exist"
+        )
+    os.makedirs(_refs_dir(root), exist_ok=True)
+    path = os.path.join(_refs_dir(root), f"{name}.json")
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "name": name,
+                "version": int(v),
+                "kind": "branch",
+                "ts": time.time(),
+            },
+            fh,
+        )
+    try:
+        os.link(tmp, path)  # atomic claim — never clobbers a ref
+    except FileExistsError:
+        kind = _ref_entry(root, name).get("kind", "tag")
+        raise ValueError(
+            f"snapshot_create_branch: ref {name!r} already exists "
+            f"(a {kind}) — delete it first"
+        )
+    finally:
+        os.remove(tmp)
+    return int(v)
+
+
+def snapshot_delete_branch(root: str, name: str) -> None:
+    e = _ref_entry(root, name)
+    if e.get("kind") != "branch":
+        raise ValueError(
+            f"snapshot_delete_branch: {name!r} is a tag — "
+            "snapshot_delete_tag"
+        )
+    os.remove(os.path.join(_refs_dir(root), f"{name}.json"))
+
+
+def _advance_ref(root: str, name: str, expect: int, version: int) -> bool:
+    """Move branch ``name``'s pointer from ``expect`` to ``version``;
+    False if another writer advanced it first (the caller re-reads the
+    head and recommits — same loud-loser economics as
+    `snapshot_publish`)."""
+    path = os.path.join(_refs_dir(root), f"{name}.json")
+    if _ref_entry(root, name)["version"] != expect:
+        return False
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "name": name,
+                "version": int(version),
+                "kind": "branch",
+                "ts": time.time(),
+            },
+            fh,
+        )
+    os.replace(tmp, path)
+    # the read-then-replace pair is not atomic: a racer can interleave.
+    # Post-verify like snapshot_publish — if the pointer now shows a
+    # version that does not contain ours, we lost and must recommit.
+    now = _ref_entry(root, name)["version"]
+    return now == version or _descends_from(root, now, version)
+
+
+def snapshot_append_to_branch(
+    df: DataFrame,
+    root: str,
+    branch: str,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Append to a BRANCH: the commit is durable and parented on the
+    branch head, _LATEST never moves — plain readers keep seeing main
+    while the branch accumulates staged commits (the audit-branch
+    pattern; a failed audit just deletes the branch).  The file group
+    is written ONCE; pointer races and concurrent main commits cost a
+    manifest retry, never a data rewrite.  Returns the new branch
+    head version."""
+    e = _ref_entry(root, branch)
+    if e.get("kind") != "branch":
+        raise ValueError(
+            f"snapshot_append_to_branch: {branch!r} is a tag — tags are "
+            "immutable"
+        )
+    if stats_cols is None:
+        new_files, new_stats = _write_files(df, root), {}
+    else:
+        new_files, new_stats = _write_files(df, root, stats_cols)
+    last_err: Exception | None = None
+    for _ in range(5):
+        seen = set(snapshot_versions(root))
+        h = resolve_ref(root, branch)
+        try:
+            v = _commit(
+                root,
+                new_files,
+                h,
+                stats=new_stats,
+                rebase_append=True,
+                operation="branch-append",
+                seen_versions=seen,
+                conflict_mode="serialize",
+                new_file_columns=list(df.columns),
+                publish=False,
+            )
+        except SnapshotConflictError as exc:
+            last_err = exc  # a published sibling landed — reread, retry
+            continue
+        if _advance_ref(root, branch, h, v):
+            return v
+        last_err = SnapshotConflictError(
+            f"snapshot_append_to_branch: branch {branch!r} advanced "
+            f"past v{h} during commit"
+        )  # our manifest is an expirable orphan; recommit on the new head
+    raise SnapshotConflictError(
+        f"snapshot_append_to_branch: gave up after 5 conflicted "
+        f"attempts ({last_err})"
+    )
+
+
+def snapshot_fast_forward(root: str, branch: str) -> int:
+    """Publish a branch: move _LATEST forward to the branch head in
+    O(1) (Iceberg's fast_forward).  Requires the branch head to DESCEND
+    from the current main head — if main advanced past the fork point,
+    publishing would silently drop main's commits, so it fails loudly
+    (`snapshot_publish`'s rule) and the operator rebuilds the branch on
+    the new head.  The branch ref keeps pointing at the published
+    version.  Returns it."""
+    e = _ref_entry(root, branch)
+    if e.get("kind") != "branch":
+        raise ValueError(
+            f"snapshot_fast_forward: {branch!r} is a tag — nothing to "
+            "publish"
+        )
+    v = int(e["version"])
+    snapshot_publish(root, v)
+    return v
 
 
 def compact_delete_files(spark: SparkSession, root: str) -> int:

@@ -2337,3 +2337,66 @@ def test_read_snapshot_cdf_legacy_position_depth(spark, tmp_path):
         for r in sn.read_snapshot_cdf(spark, root, 0, v1).collect()
     )
     assert got == [(v1, "delete", i) for i in range(3)]
+
+
+def test_snapshot_branches_audit_workflow(spark, tmp_path):
+    """Writable branches (Iceberg refs): branch commits are invisible
+    to main until fast_forward publishes the head in O(1); divergence
+    fails loudly; tag/branch namespaces guard each other."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0 (main)
+    assert sn.snapshot_create_branch(root, "audit") == 0
+    b1 = sn.snapshot_append_to_branch(_df(spark, 10, 20).coalesce(1), root, "audit")
+    b2 = sn.snapshot_append_to_branch(_df(spark, 20, 30).coalesce(1), root, "audit")
+    assert sn.resolve_ref(root, "audit") == b2
+    assert sn._read_manifest(root, b2)["parent"] == b1
+    # main readers see NOTHING of the branch
+    assert sn.current_version(root) == 0
+    assert sn.read_snapshot(spark, root).count() == 10
+    # the auditor reads the branch by name — SQL surface included
+    sn.attach_snapshot_view(spark, "audit_view", root, ref="audit")
+    assert spark.table("audit_view").count() == 30
+    spark.catalog.dropTempView("audit_view")
+    # publish: O(1) pointer move, main now carries the whole branch
+    assert sn.snapshot_fast_forward(root, "audit") == b2
+    assert sn.current_version(root) == b2
+    assert sorted(r.id for r in sn.read_snapshot(spark, root).collect()) == list(range(30))
+    # namespace guards
+    with pytest.raises(ValueError, match="is a branch"):
+        sn.snapshot_create_tag(root, "audit")
+    with pytest.raises(ValueError, match="is a branch"):
+        sn.snapshot_delete_tag(root, "audit")
+    sn.snapshot_create_tag(root, "pin", 0)
+    with pytest.raises(ValueError, match="is a tag"):
+        sn.snapshot_append_to_branch(_df(spark, 0, 1), root, "pin")
+    with pytest.raises(ValueError, match="is a tag"):
+        sn.snapshot_fast_forward(root, "pin")
+    with pytest.raises(ValueError, match="already exists"):
+        sn.snapshot_create_branch(root, "pin")
+    sn.snapshot_delete_branch(root, "audit")
+    with pytest.raises(FileNotFoundError):
+        sn.resolve_ref(root, "audit")
+
+
+def test_snapshot_branch_divergence_and_isolation(spark, tmp_path):
+    """A main commit after the fork point (1) is never folded into the
+    branch, (2) never rebases onto the unpublished branch commit, and
+    (3) blocks fast_forward loudly."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0
+    sn.snapshot_create_branch(root, "wip")
+    bv = sn.snapshot_append_to_branch(_df(spark, 100, 105).coalesce(1), root, "wip")
+    # main append AFTER the branch commit: must not absorb branch rows
+    mv = sn.snapshot_append(_df(spark, 10, 12).coalesce(1), root)
+    assert sorted(r.id for r in sn.read_snapshot(spark, root).collect()) == list(range(12))
+    # the branch still shows only its own lineage
+    assert sorted(
+        r.id for r in sn.read_snapshot(spark, root, bv).collect()
+    ) == list(range(10)) + list(range(100, 105))
+    # diverged: publishing would drop main's commit — loud refusal
+    with pytest.raises(sn.SnapshotConflictError, match="does not descend"):
+        sn.snapshot_fast_forward(root, "wip")
+    # the branch keeps working on its own lineage after divergence
+    bv2 = sn.snapshot_append_to_branch(_df(spark, 105, 107).coalesce(1), root, "wip")
+    assert sn._read_manifest(root, bv2)["parent"] == bv
+    assert sn.current_version(root) == mv
