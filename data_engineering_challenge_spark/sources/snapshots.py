@@ -410,7 +410,31 @@ def _commit(
                 json.dump({"version": version}, fh)
             os.rename(mtmp, _tag_marker(root, tag))
         if publish:
-            _advance_latest(root, version)
+            try:
+                _advance_latest(root, version)
+            except SnapshotConflictError:
+                # a concurrent snapshot_publish/fast_forward made a
+                # lineage this commit does not contain the head (it was
+                # unpublished — invisible — when the sibling scan ran).
+                # The claimed manifest stays as an expirable orphan.
+                if conflict_mode == "serialize":
+                    # the caller's decision is stale against the new
+                    # head — surface it.  Drop this attempt's tag
+                    # marker first, or a replay would "resume" the
+                    # orphan as if it had landed.
+                    if tag is not None:
+                        try:
+                            os.remove(_tag_marker(root, tag))
+                        except FileNotFoundError:
+                            pass
+                    raise
+                # append family: re-derive against the new head and
+                # recommit (the rebase scan now sees the published
+                # lineage because `seen` is refreshed past it)
+                parent = current_version(root)
+                seen = set()
+                continue
+            return version
         return version
     raise RuntimeError("_commit: could not claim a version (contention)")
 
@@ -462,12 +486,24 @@ def _descends_from(root: str, v: int, anc: int | None) -> bool:
 def _advance_latest(root: str, version: int) -> None:
     """Forward-only _LATEST move for commits: never points the table at
     a LOWER version than it already shows (`rollback` bypasses this on
-    purpose).  A commit that loses the pointer race still committed —
-    its manifest is durable and its files are included in the higher
-    version that rebased onto it (append path) or remain explicitly
-    time-travelable (overwrite path)."""
+    purpose), and never at a version that does not CONTAIN the shown
+    head — the guard that closes the publish/commit race: a commit
+    whose sibling scan ran while a staged/branch lineage was still
+    unpublished must not bury that lineage after `snapshot_publish` /
+    `snapshot_fast_forward` made it the head; it fails here and
+    `_commit` re-derives against the new head.  A commit that loses the
+    pointer race still committed — its manifest is durable and its
+    files are included in the higher version that rebased onto it
+    (append path) or remain explicitly time-travelable (overwrite
+    path)."""
     cur = current_version(root)
     if cur is None or version > cur:
+        if cur is not None and not _descends_from(root, version, cur):
+            raise SnapshotConflictError(
+                f"_advance_latest: v{version} does not contain the "
+                f"published head v{cur} — a concurrent publish landed; "
+                "recommit against the new head"
+            )
         _set_latest(root, version)
 
 
@@ -1376,6 +1412,23 @@ def _refs_dir(root: str) -> str:
     return os.path.join(root, "_refs")
 
 
+def _claim_ref(root: str, name: str, payload: dict) -> bool:
+    """Atomically claim the ref file ``<name>.json`` (os.link — EEXIST
+    instead of clobber).  False = the name is already taken."""
+    os.makedirs(_refs_dir(root), exist_ok=True)
+    path = os.path.join(_refs_dir(root), f"{name}.json")
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
 def snapshot_create_tag(
     root: str, name: str, version: int | None = None
 ) -> int:
@@ -1395,14 +1448,9 @@ def snapshot_create_tag(
         raise FileNotFoundError(
             f"snapshot_create_tag: version {v} does not exist"
         )
-    os.makedirs(_refs_dir(root), exist_ok=True)
-    path = os.path.join(_refs_dir(root), f"{name}.json")
-    tmp = path + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump({"name": name, "version": int(v), "ts": time.time()}, fh)
-    try:
-        os.link(tmp, path)  # atomic claim — never clobbers a ref
-    except FileExistsError:
+    if not _claim_ref(
+        root, name, {"name": name, "version": int(v), "ts": time.time()}
+    ):
         entry = _ref_entry(root, name)
         if entry.get("kind") == "branch":
             raise ValueError(
@@ -1415,8 +1463,6 @@ def snapshot_create_tag(
                 f"v{entry['version']} — tags are immutable; delete it "
                 "first"
             )
-    finally:
-        os.remove(tmp)
     return int(v)
 
 
@@ -1433,16 +1479,20 @@ def snapshot_delete_tag(root: str, name: str) -> None:
 
 
 def resolve_ref(root: str, name: str) -> int:
-    """Tag name → version (metadata read)."""
-    try:
-        with open(os.path.join(_refs_dir(root), f"{name}.json")) as fh:
-            return int(json.load(fh)["version"])
-    except FileNotFoundError:
-        raise FileNotFoundError(f"resolve_ref: no tag {name!r} at {root}")
+    """Ref name → version (metadata read).  A tag resolves to its
+    immutable pin; a branch resolves to its CURRENT head (the highest
+    claimed generation)."""
+    e = _ref_entry(root, name)
+    if e.get("kind") == "branch":
+        return _branch_head(root, name, e)[1]
+    return int(e["version"])
 
 
-def snapshot_refs(root: str) -> dict[str, int]:
-    """All tags: ``{name: version}``."""
+def snapshot_refs(root: str, kind: str | None = None) -> dict[str, int]:
+    """All refs — tags AND branches: ``{name: version}``, branches
+    resolved to their current head.  ``kind='tag'`` / ``'branch'``
+    filters; callers that treat every ref as an immutable
+    reproducibility pin should pass ``kind='tag'``."""
     try:
         names = os.listdir(_refs_dir(root))
     except FileNotFoundError:
@@ -1455,8 +1505,15 @@ def snapshot_refs(root: str) -> dict[str, int]:
             with open(os.path.join(_refs_dir(root), n)) as fh:
                 d = json.load(fh)
         except FileNotFoundError:
-            continue  # deleted between listdir and open — not our tag
-        out[d["name"]] = int(d["version"])
+            continue  # deleted between listdir and open — not our ref
+        k = d.get("kind", "tag")
+        if kind is not None and k != kind:
+            continue
+        out[d["name"]] = (
+            _branch_head(root, d["name"], d)[1]
+            if k == "branch"
+            else int(d["version"])
+        )
     return out
 
 
@@ -1492,33 +1549,37 @@ def snapshot_create_branch(
         raise FileNotFoundError(
             f"snapshot_create_branch: version {v} does not exist"
         )
-    os.makedirs(_refs_dir(root), exist_ok=True)
-    path = os.path.join(_refs_dir(root), f"{name}.json")
-    tmp = path + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "name": name,
-                "version": int(v),
-                "kind": "branch",
-                "ts": time.time(),
-            },
-            fh,
-        )
-    try:
-        os.link(tmp, path)  # atomic claim — never clobbers a ref
-    except FileExistsError:
+    if not _claim_ref(
+        root,
+        name,
+        {
+            "name": name,
+            "version": int(v),
+            "kind": "branch",
+            "ts": time.time(),
+        },
+    ):
         kind = _ref_entry(root, name).get("kind", "tag")
         raise ValueError(
             f"snapshot_create_branch: ref {name!r} already exists "
             f"(a {kind}) — delete it first"
         )
-    finally:
-        os.remove(tmp)
+    # winning the base claim owns the name: clear generation debris a
+    # crashed delete left behind, or the new branch would resurrect the
+    # old branch's head
+    gdir = _branch_gen_dir(root, name)
+    if os.path.isdir(gdir):
+        for f in os.listdir(gdir):
+            os.remove(os.path.join(gdir, f))
+        os.rmdir(gdir)
     return int(v)
 
 
 def snapshot_delete_branch(root: str, name: str) -> None:
+    """Delete a branch: the base ref goes first (the name stops
+    resolving atomically), then its generation files.  Deleting a
+    branch with writers still appending to it is undefined — quiesce
+    first (the same rule as dropping any ref mid-use)."""
     e = _ref_entry(root, name)
     if e.get("kind") != "branch":
         raise ValueError(
@@ -1526,33 +1587,56 @@ def snapshot_delete_branch(root: str, name: str) -> None:
             "snapshot_delete_tag"
         )
     os.remove(os.path.join(_refs_dir(root), f"{name}.json"))
+    gdir = _branch_gen_dir(root, name)
+    if os.path.isdir(gdir):
+        for f in os.listdir(gdir):
+            os.remove(os.path.join(gdir, f))
+        os.rmdir(gdir)
 
 
-def _advance_ref(root: str, name: str, expect: int, version: int) -> bool:
-    """Move branch ``name``'s pointer from ``expect`` to ``version``;
-    False if another writer advanced it first (the caller re-reads the
-    head and recommits — same loud-loser economics as
-    `snapshot_publish`)."""
-    path = os.path.join(_refs_dir(root), f"{name}.json")
-    if _ref_entry(root, name)["version"] != expect:
-        return False
-    tmp = path + f".tmp.{uuid.uuid4().hex}"
+def _branch_gen_dir(root: str, name: str) -> str:
+    return os.path.join(_refs_dir(root), f"{name}.gen")
+
+
+def _branch_head(root: str, name: str, base: dict) -> tuple[int, int]:
+    """Current (generation, version) of a branch: the highest
+    generation file under ``<name>.gen/``, or (0, the base ref's start
+    version) for a never-advanced branch."""
+    try:
+        gens = [
+            int(f[1:-5])
+            for f in os.listdir(_branch_gen_dir(root, name))
+            if f.startswith("g") and f.endswith(".json")
+        ]
+    except FileNotFoundError:
+        gens = []
+    if not gens:
+        return 0, int(base["version"])
+    g = max(gens)
+    with open(
+        os.path.join(_branch_gen_dir(root, name), f"g{g}.json")
+    ) as fh:
+        return g, int(json.load(fh)["version"])
+
+
+def _claim_branch_gen(root: str, name: str, gen: int, version: int) -> bool:
+    """TRUE compare-and-swap for the branch pointer: generation files
+    are claimed with ``os.link`` (the manifest-claim idiom), so exactly
+    ONE writer owns each generation — no read-then-replace window, no
+    acknowledged advance can ever be buried.  False = another writer
+    claimed this generation first; re-read the head and recommit."""
+    gdir = _branch_gen_dir(root, name)
+    os.makedirs(gdir, exist_ok=True)
+    tmp = os.path.join(gdir, f".tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "name": name,
-                "version": int(version),
-                "kind": "branch",
-                "ts": time.time(),
-            },
-            fh,
-        )
-    os.replace(tmp, path)
-    # the read-then-replace pair is not atomic: a racer can interleave.
-    # Post-verify like snapshot_publish — if the pointer now shows a
-    # version that does not contain ours, we lost and must recommit.
-    now = _ref_entry(root, name)["version"]
-    return now == version or _descends_from(root, now, version)
+        json.dump({"version": int(version), "ts": time.time()}, fh)
+    try:
+        os.link(tmp, os.path.join(gdir, f"g{gen}.json"))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
 
 
 def snapshot_append_to_branch(
@@ -1581,7 +1665,7 @@ def snapshot_append_to_branch(
     last_err: Exception | None = None
     for _ in range(5):
         seen = set(snapshot_versions(root))
-        h = resolve_ref(root, branch)
+        gen, h = _branch_head(root, branch, e)
         try:
             v = _commit(
                 root,
@@ -1598,7 +1682,7 @@ def snapshot_append_to_branch(
         except SnapshotConflictError as exc:
             last_err = exc  # a published sibling landed — reread, retry
             continue
-        if _advance_ref(root, branch, h, v):
+        if _claim_branch_gen(root, branch, gen + 1, v):
             return v
         last_err = SnapshotConflictError(
             f"snapshot_append_to_branch: branch {branch!r} advanced "
@@ -1624,7 +1708,7 @@ def snapshot_fast_forward(root: str, branch: str) -> int:
             f"snapshot_fast_forward: {branch!r} is a tag — nothing to "
             "publish"
         )
-    v = int(e["version"])
+    v = _branch_head(root, branch, e)[1]
     snapshot_publish(root, v)
     return v
 
@@ -2997,7 +3081,23 @@ def expire_versions(root: str, keep_last: int = 10) -> list[int]:
     numbers."""
     versions = snapshot_versions(root)
     live = current_version(root)
-    pinned = set(snapshot_refs(root).values())  # tagged versions survive
+    # tag pins and branch heads survive; a LIVE branch additionally
+    # pins its whole parent chain — fast_forward's descend check and
+    # the sibling scans must stay walkable, so a branch's lineage is
+    # retained until the branch is deleted or published (the
+    # Iceberg branch-retention rule).  Tags stay head-only pins:
+    # reading a version needs only its own (self-contained) manifest.
+    pinned = set(snapshot_refs(root).values())
+    chain_pinned: set[int] = set()
+    for _name, head in snapshot_refs(root, kind="branch").items():
+        cur: int | None = head
+        while cur is not None and cur not in chain_pinned:
+            chain_pinned.add(cur)
+            try:
+                cur = _read_manifest(root, cur)["parent"]
+            except FileNotFoundError:
+                break  # pre-existing gap below — nothing left to pin
+    pinned |= chain_pinned
     to_expire = [
         v
         for v in versions[:-keep_last]

@@ -2400,3 +2400,59 @@ def test_snapshot_branch_divergence_and_isolation(spark, tmp_path):
     bv2 = sn.snapshot_append_to_branch(_df(spark, 105, 107).coalesce(1), root, "wip")
     assert sn._read_manifest(root, bv2)["parent"] == bv
     assert sn.current_version(root) == mv
+
+
+def test_branch_lineage_survives_expire(spark, tmp_path):
+    """A live branch pins its whole parent chain through retention —
+    expire_versions must never break fast_forward's descend walk."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 5).coalesce(1), root)  # v0
+    sn.snapshot_create_branch(root, "b")
+    for i in range(4):  # v1..v4 on the branch
+        sn.snapshot_append_to_branch(
+            _df(spark, 5 + i * 5, 10 + i * 5).coalesce(1), root, "b"
+        )
+    expired = sn.expire_versions(root, keep_last=2)
+    assert expired == [], "the live branch chain must be pinned"
+    assert sn.snapshot_fast_forward(root, "b") == 4
+    assert sorted(r.id for r in sn.read_snapshot(spark, root).collect()) == list(range(25))
+    # once published and the branch deleted, retention applies again
+    sn.snapshot_delete_branch(root, "b")
+    assert sn.expire_versions(root, keep_last=2) == [0, 1, 2]
+
+
+def test_branch_pointer_cas_and_publish_race(spark, tmp_path):
+    """(1) Generation claims are a true CAS — the second claimant of a
+    generation loses loudly, never silently buries the first.  (2) A
+    main commit whose sibling scan ran while the branch was unpublished
+    cannot bury a fast_forward that landed in between — it rebases onto
+    the published head instead."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0
+    sn.snapshot_create_branch(root, "b")
+    assert sn._claim_branch_gen(root, "b", 1, 0) is True
+    assert sn._claim_branch_gen(root, "b", 1, 0) is False, "CAS must refuse"
+    sn.snapshot_delete_branch(root, "b")
+    sn.snapshot_create_branch(root, "b")
+    bv = sn.snapshot_append_to_branch(_df(spark, 10, 20).coalesce(1), root, "b")
+    # a main writer captures its view BEFORE the publish...
+    seen = set(sn.snapshot_versions(root))
+    parent = sn.current_version(root)
+    files = sn._write_files(_df(spark, 100, 105).coalesce(1), root)
+    sn.snapshot_fast_forward(root, "b")  # head -> branch head
+    # ...then lands: the stale advance is refused internally and the
+    # commit re-derives against the published head
+    v = sn._commit(
+        root,
+        files,
+        parent,
+        rebase_append=True,
+        operation="append",
+        seen_versions=seen,
+        publish=True,
+    )
+    assert sn.current_version(root) == v
+    assert sn._read_manifest(root, v)["parent"] == bv
+    assert sorted(
+        r.id for r in sn.read_snapshot(spark, root).collect()
+    ) == list(range(20)) + list(range(100, 105))
