@@ -1713,6 +1713,89 @@ def snapshot_fast_forward(root: str, branch: str) -> int:
     return v
 
 
+def snapshot_cherry_pick(root: str, version: int, tag: str | None = None) -> int:
+    """Apply one committed-elsewhere APPEND onto the current head as a
+    new commit — Iceberg's cherry-pick, the remedy when
+    `snapshot_publish`/`snapshot_fast_forward` refuses because main
+    advanced past the fork point: the staged/branch commit's added file
+    group is REFERENCED from a new head commit, metadata-only — data
+    files are immutable and safely shared between manifests
+    (`vacuum_orphans` consults every manifest), so rebuilding a
+    diverged branch costs one manifest per commit, never a data
+    rewrite.  Restricted to append-shaped commits (no overwrite, no
+    delete-file change) — anything else has merge semantics a file
+    reference cannot express, and evolved lineages are refused (field
+    bindings differ); both fail loudly toward a recompute.  Files
+    already referenced by the head are skipped, so re-picking an
+    already-merged commit is a no-op (returns the head).  The picked
+    rows take the NEW commit's sequence — the head's older equality
+    deletes do not apply to them, matching their commit time.  ``tag``
+    gives the usual idempotent-replay contract.  Returns the new (or
+    unchanged) head version."""
+    if tag is not None:
+        done = _resume_tagged_commit(root, tag)
+        if done is not None:
+            return done
+    m = _read_manifest(root, version)
+    parent = m["parent"]
+    pm = (
+        _read_manifest(root, parent)
+        if parent is not None
+        else {"files": [], "delete_files": []}
+    )
+    if not set(pm["files"]) <= set(m["files"]):
+        raise ValueError(
+            f"snapshot_cherry_pick: v{version} overwrote its parent — "
+            "not an append; recompute against the head instead"
+        )
+    def _delkey(man: dict) -> set:
+        return {d["file"] for d in man.get("delete_files") or []}
+
+    if _delkey(m) != _delkey(pm):
+        raise ValueError(
+            f"snapshot_cherry_pick: v{version} changed the MoR "
+            "delete-file set — a delete cannot be cherry-picked as a "
+            "file reference; replay it with snapshot_mor_merge/"
+            "snapshot_delete_where on the head"
+        )
+    # seen BEFORE parent — see snapshot_append's capture-order comment
+    seen = set(snapshot_versions(root))
+    head = current_version(root)
+    if head is None:
+        raise FileNotFoundError(
+            f"snapshot_cherry_pick: no committed version at {root}"
+        )
+    hm = _read_manifest(root, head)
+    if m.get("fields") or hm.get("fields"):
+        raise ValueError(
+            "snapshot_cherry_pick: evolved lineages are not supported — "
+            "field bindings may differ between the lineages"
+        )
+    added = [
+        f
+        for f in m["files"]
+        if f not in set(pm["files"]) and f not in set(hm["files"])
+    ]
+    if not added:
+        return head
+    meta: dict = {}
+    for k in ("file_fields", "partition_values"):
+        sub = {f: v for f, v in (m.get(k) or {}).items() if f in set(added)}
+        if sub:
+            meta[k] = sub
+    return _commit(
+        root,
+        added,
+        head,
+        tag=tag,
+        stats={f: s for f, s in (m.get("stats") or {}).items() if f in set(added)},
+        rebase_append=True,
+        operation="cherry-pick",
+        seen_versions=seen,
+        meta_updates=meta or None,
+    )
+
+
 def compact_delete_files(spark: SparkSession, root: str) -> int:
     """MINOR compaction — Iceberg's 'rewrite delete files' in miniature:
     merge the live version's many small MoR delete lists into ONE list

@@ -2456,3 +2456,36 @@ def test_branch_pointer_cas_and_publish_race(spark, tmp_path):
     assert sorted(
         r.id for r in sn.read_snapshot(spark, root).collect()
     ) == list(range(20)) + list(range(100, 105))
+
+
+def test_snapshot_cherry_pick_diverged_branch(spark, tmp_path):
+    """Cherry-pick rebuilds a diverged branch on the new head at
+    metadata cost: file groups are SHARED, not copied; refusals cover
+    overwrites and delete-bearing hops; re-picking is a no-op."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0
+    sn.snapshot_create_branch(root, "wip")
+    b1 = sn.snapshot_append_to_branch(_df(spark, 100, 105).coalesce(1), root, "wip")
+    b2 = sn.snapshot_append_to_branch(_df(spark, 105, 108).coalesce(1), root, "wip")
+    sn.snapshot_append(_df(spark, 10, 12).coalesce(1), root)  # main diverges
+    with pytest.raises(sn.SnapshotConflictError):
+        sn.snapshot_fast_forward(root, "wip")
+    n_data_dirs = len(os.listdir(os.path.join(root, "data")))
+    v1 = sn.snapshot_cherry_pick(root, b1)
+    v2 = sn.snapshot_cherry_pick(root, b2)
+    assert sn.current_version(root) == v2
+    assert sorted(
+        r.id for r in sn.read_snapshot(spark, root).collect()
+    ) == list(range(12)) + list(range(100, 108))
+    # metadata-only: the picked commits wrote NO new data files
+    assert len(os.listdir(os.path.join(root, "data"))) == n_data_dirs
+    assert sn._read_manifest(root, v2)["operation"] == "cherry-pick"
+    # re-picking an already-merged commit is a no-op
+    assert sn.snapshot_cherry_pick(root, b1) == v2
+    # refusals: overwrite hops and delete-bearing hops
+    ow = sn.snapshot_overwrite(_df(spark, 0, 3).coalesce(1), root)
+    with pytest.raises(ValueError, match="overwrote"):
+        sn.snapshot_cherry_pick(root, ow)
+    dv = sn.snapshot_delete_where(spark, root, "id = 1", keys=["id"])
+    with pytest.raises(ValueError, match="delete-file"):
+        sn.snapshot_cherry_pick(root, dv)
