@@ -416,17 +416,23 @@ def _commit(
                 # a concurrent snapshot_publish/fast_forward made a
                 # lineage this commit does not contain the head (it was
                 # unpublished — invisible — when the sibling scan ran).
-                # The claimed manifest stays as an expirable orphan.
+                # The claimed manifest stays as an expirable orphan —
+                # so this attempt's tag marker must go FIRST in both
+                # paths, or a crash here leaves a marker pointing at
+                # the orphan and a replayed epoch would "resume" it as
+                # committed (lost rows under the exactly-once
+                # contract).  The window between the marker rename and
+                # this removal is the irreducible residue of the
+                # marker-before-pointer design; the retry below
+                # rewrites the marker at the next claim.
+                if tag is not None:
+                    try:
+                        os.remove(_tag_marker(root, tag))
+                    except FileNotFoundError:
+                        pass
                 if conflict_mode == "serialize":
                     # the caller's decision is stale against the new
-                    # head — surface it.  Drop this attempt's tag
-                    # marker first, or a replay would "resume" the
-                    # orphan as if it had landed.
-                    if tag is not None:
-                        try:
-                            os.remove(_tag_marker(root, tag))
-                        except FileNotFoundError:
-                            pass
+                    # head — surface it
                     raise
                 # append family: re-derive against the new head and
                 # recommit (the rebase scan now sees the published
@@ -1488,33 +1494,44 @@ def resolve_ref(root: str, name: str) -> int:
     return int(e["version"])
 
 
-def snapshot_refs(root: str, kind: str | None = None) -> dict[str, int]:
-    """All refs — tags AND branches: ``{name: version}``, branches
-    resolved to their current head.  ``kind='tag'`` / ``'branch'``
-    filters; callers that treat every ref as an immutable
-    reproducibility pin should pass ``kind='tag'``."""
+def _ref_heads(root: str) -> dict[str, tuple[str, int]]:
+    """One refs-dir pass: ``{name: (kind, version)}``, branches
+    resolved to their current head.  Refs deleted mid-scan (base file
+    or gen files) are skipped — maintenance concurrent with a
+    `snapshot_delete_branch` sees the branch as already gone."""
     try:
         names = os.listdir(_refs_dir(root))
     except FileNotFoundError:
         return {}
-    out = {}
+    out: dict[str, tuple[str, int]] = {}
     for n in sorted(names):
         if not n.endswith(".json"):
             continue
         try:
             with open(os.path.join(_refs_dir(root), n)) as fh:
                 d = json.load(fh)
+            k = d.get("kind", "tag")
+            v = (
+                _branch_head(root, d["name"], d)[1]
+                if k == "branch"
+                else int(d["version"])
+            )
         except FileNotFoundError:
-            continue  # deleted between listdir and open — not our ref
-        k = d.get("kind", "tag")
-        if kind is not None and k != kind:
-            continue
-        out[d["name"]] = (
-            _branch_head(root, d["name"], d)[1]
-            if k == "branch"
-            else int(d["version"])
-        )
+            continue  # deleted between listdir and read — not our ref
+        out[d["name"]] = (k, v)
     return out
+
+
+def snapshot_refs(root: str, kind: str | None = None) -> dict[str, int]:
+    """All refs — tags AND branches: ``{name: version}``, branches
+    resolved to their current head.  ``kind='tag'`` / ``'branch'``
+    filters; callers that treat every ref as an immutable
+    reproducibility pin should pass ``kind='tag'``."""
+    return {
+        name: v
+        for name, (k, v) in _ref_heads(root).items()
+        if kind is None or k == kind
+    }
 
 
 def _ref_entry(root: str, name: str) -> dict:
@@ -1556,6 +1573,10 @@ def snapshot_create_branch(
             "name": name,
             "version": int(v),
             "kind": "branch",
+            # fresh incarnation id => fresh gen dir: debris from a
+            # crashed delete of a previous same-named branch can never
+            # be read as this branch's head
+            "incarnation": uuid.uuid4().hex,
             "ts": time.time(),
         },
     ):
@@ -1564,14 +1585,6 @@ def snapshot_create_branch(
             f"snapshot_create_branch: ref {name!r} already exists "
             f"(a {kind}) — delete it first"
         )
-    # winning the base claim owns the name: clear generation debris a
-    # crashed delete left behind, or the new branch would resurrect the
-    # old branch's head
-    gdir = _branch_gen_dir(root, name)
-    if os.path.isdir(gdir):
-        for f in os.listdir(gdir):
-            os.remove(os.path.join(gdir, f))
-        os.rmdir(gdir)
     return int(v)
 
 
@@ -1587,25 +1600,29 @@ def snapshot_delete_branch(root: str, name: str) -> None:
             "snapshot_delete_tag"
         )
     os.remove(os.path.join(_refs_dir(root), f"{name}.json"))
-    gdir = _branch_gen_dir(root, name)
-    if os.path.isdir(gdir):
-        for f in os.listdir(gdir):
-            os.remove(os.path.join(gdir, f))
-        os.rmdir(gdir)
+    _clear_branch_gens(root, name, e)
 
 
-def _branch_gen_dir(root: str, name: str) -> str:
-    return os.path.join(_refs_dir(root), f"{name}.gen")
+def _branch_gen_dir(root: str, name: str, base: dict) -> str:
+    # gen dirs are PER-INCARNATION: a re-created branch name gets a
+    # fresh uuid and therefore a fresh dir, so debris from a crashed
+    # delete of the previous incarnation is simply never read — no
+    # clear-on-create step, no window where an acknowledged generation
+    # claim could be deleted
+    return os.path.join(
+        _refs_dir(root), f"{name}.gen-{base.get('incarnation', '0')}"
+    )
 
 
 def _branch_head(root: str, name: str, base: dict) -> tuple[int, int]:
     """Current (generation, version) of a branch: the highest
-    generation file under ``<name>.gen/``, or (0, the base ref's start
-    version) for a never-advanced branch."""
+    generation file under its incarnation's gen dir, or (0, the base
+    ref's start version) for a never-advanced branch."""
+    gdir = _branch_gen_dir(root, name, base)
     try:
         gens = [
             int(f[1:-5])
-            for f in os.listdir(_branch_gen_dir(root, name))
+            for f in os.listdir(gdir)
             if f.startswith("g") and f.endswith(".json")
         ]
     except FileNotFoundError:
@@ -1613,19 +1630,45 @@ def _branch_head(root: str, name: str, base: dict) -> tuple[int, int]:
     if not gens:
         return 0, int(base["version"])
     g = max(gens)
-    with open(
-        os.path.join(_branch_gen_dir(root, name), f"g{g}.json")
-    ) as fh:
-        return g, int(json.load(fh)["version"])
+    try:
+        with open(os.path.join(gdir, f"g{g}.json")) as fh:
+            return g, int(json.load(fh)["version"])
+    except FileNotFoundError:
+        # a concurrent snapshot_delete_branch removed the gen files
+        # between the listdir and the open — surface the same "no ref"
+        # shape resolve_ref gives for a deleted name (readers tolerate
+        # it; snapshot_refs skips the ref)
+        raise FileNotFoundError(
+            f"resolve_ref: ref {name!r} is being deleted at {root}"
+        )
 
 
-def _claim_branch_gen(root: str, name: str, gen: int, version: int) -> bool:
+def _clear_branch_gens(root: str, name: str, base: dict) -> None:
+    """Remove a branch incarnation's generation files (race-tolerant:
+    a racer removing the same debris is fine; an ENOTEMPTY rmdir
+    leaves an empty dir, which `_branch_head` treats as generation 0)."""
+    gdir = _branch_gen_dir(root, name, base)
+    if os.path.isdir(gdir):
+        for f in os.listdir(gdir):
+            try:
+                os.remove(os.path.join(gdir, f))
+            except FileNotFoundError:
+                pass
+        try:
+            os.rmdir(gdir)
+        except OSError:
+            pass
+
+
+def _claim_branch_gen(
+    root: str, name: str, base: dict, gen: int, version: int
+) -> bool:
     """TRUE compare-and-swap for the branch pointer: generation files
     are claimed with ``os.link`` (the manifest-claim idiom), so exactly
     ONE writer owns each generation — no read-then-replace window, no
     acknowledged advance can ever be buried.  False = another writer
     claimed this generation first; re-read the head and recommit."""
-    gdir = _branch_gen_dir(root, name)
+    gdir = _branch_gen_dir(root, name, base)
     os.makedirs(gdir, exist_ok=True)
     tmp = os.path.join(gdir, f".tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
@@ -1682,7 +1725,7 @@ def snapshot_append_to_branch(
         except SnapshotConflictError as exc:
             last_err = exc  # a published sibling landed — reread, retry
             continue
-        if _claim_branch_gen(root, branch, gen + 1, v):
+        if _claim_branch_gen(root, branch, e, gen + 1, v):
             return v
         last_err = SnapshotConflictError(
             f"snapshot_append_to_branch: branch {branch!r} advanced "
@@ -1771,16 +1814,16 @@ def snapshot_cherry_pick(root: str, version: int, tag: str | None = None) -> int
             "snapshot_cherry_pick: evolved lineages are not supported — "
             "field bindings may differ between the lineages"
         )
+    pm_files, hm_files = set(pm["files"]), set(hm["files"])
     added = [
-        f
-        for f in m["files"]
-        if f not in set(pm["files"]) and f not in set(hm["files"])
+        f for f in m["files"] if f not in pm_files and f not in hm_files
     ]
     if not added:
         return head
+    added_set = set(added)
     meta: dict = {}
     for k in ("file_fields", "partition_values"):
-        sub = {f: v for f, v in (m.get(k) or {}).items() if f in set(added)}
+        sub = {f: v for f, v in (m.get(k) or {}).items() if f in added_set}
         if sub:
             meta[k] = sub
     return _commit(
@@ -1788,7 +1831,7 @@ def snapshot_cherry_pick(root: str, version: int, tag: str | None = None) -> int
         added,
         head,
         tag=tag,
-        stats={f: s for f, s in (m.get("stats") or {}).items() if f in set(added)},
+        stats={f: s for f, s in (m.get("stats") or {}).items() if f in added_set},
         rebase_append=True,
         operation="cherry-pick",
         seen_versions=seen,
@@ -3170,9 +3213,12 @@ def expire_versions(root: str, keep_last: int = 10) -> list[int]:
     # retained until the branch is deleted or published (the
     # Iceberg branch-retention rule).  Tags stay head-only pins:
     # reading a version needs only its own (self-contained) manifest.
-    pinned = set(snapshot_refs(root).values())
+    heads = _ref_heads(root)  # ONE refs pass serves pins and chains
+    pinned = {v for _k, v in heads.values()}
     chain_pinned: set[int] = set()
-    for _name, head in snapshot_refs(root, kind="branch").items():
+    for _name, (k, head) in heads.items():
+        if k != "branch":
+            continue
         cur: int | None = head
         while cur is not None and cur not in chain_pinned:
             chain_pinned.add(cur)

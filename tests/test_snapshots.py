@@ -2430,8 +2430,9 @@ def test_branch_pointer_cas_and_publish_race(spark, tmp_path):
     root = str(tmp_path / "tbl")
     sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0
     sn.snapshot_create_branch(root, "b")
-    assert sn._claim_branch_gen(root, "b", 1, 0) is True
-    assert sn._claim_branch_gen(root, "b", 1, 0) is False, "CAS must refuse"
+    base = sn._ref_entry(root, "b")
+    assert sn._claim_branch_gen(root, "b", base, 1, 0) is True
+    assert sn._claim_branch_gen(root, "b", base, 1, 0) is False, "CAS must refuse"
     sn.snapshot_delete_branch(root, "b")
     sn.snapshot_create_branch(root, "b")
     bv = sn.snapshot_append_to_branch(_df(spark, 10, 20).coalesce(1), root, "b")
@@ -2489,3 +2490,24 @@ def test_snapshot_cherry_pick_diverged_branch(spark, tmp_path):
     dv = sn.snapshot_delete_where(spark, root, "id = 1", keys=["id"])
     with pytest.raises(ValueError, match="delete-file"):
         sn.snapshot_cherry_pick(root, dv)
+
+
+def test_branch_recreate_ignores_crashed_delete_debris(spark, tmp_path):
+    """Gen dirs are per-incarnation: a crashed delete's leftover
+    generation files can never be read as a re-created branch's head."""
+    import json as _json
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0
+    sn.snapshot_create_branch(root, "b")
+    sn.snapshot_append_to_branch(_df(spark, 10, 15).coalesce(1), root, "b")
+    old = sn._ref_entry(root, "b")
+    # simulate a delete that crashed after removing the base ref
+    os.remove(os.path.join(sn._refs_dir(root), "b.json"))
+    assert os.path.isdir(sn._branch_gen_dir(root, "b", old)), "debris stays"
+    v2 = sn.snapshot_append(_df(spark, 15, 18).coalesce(1), root)  # main v2
+    assert sn.snapshot_create_branch(root, "b") == v2
+    # the stale incarnation's generation files are invisible
+    assert sn.resolve_ref(root, "b") == v2
+    nb = sn.snapshot_append_to_branch(_df(spark, 100, 102).coalesce(1), root, "b")
+    assert sn._read_manifest(root, nb)["parent"] == v2
