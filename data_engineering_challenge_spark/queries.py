@@ -160,6 +160,7 @@ _TAIL = [
     "streaming_incremental_report",
     "streaming_snapshot_cdc",
     "streaming_snapshot_source",
+    "streaming_snapshot_cdf_source",
     "ivf_topk",
     "pq_topk",
 ]

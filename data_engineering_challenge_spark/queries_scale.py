@@ -2198,6 +2198,106 @@ def q_streaming_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_snapshot_cdf_source",
+    # The streamed change feed is deterministic given the sequenced
+    # feed: per commit, one key-only DELETE tombstone per touched key
+    # (the equality-delete list — Kafka-compacted-topic CDC shape) and
+    # one INSERT event per surviving upsert (full row).  The oracle
+    # derives both from the same per-batch winner window the
+    # snapshot_mor_merge oracle uses.
+    f"""
+WITH feed AS (
+    SELECT user_id AS k,
+           event_id AS seq,
+           event_id % 3 AS batch,
+           CASE WHEN event_id % 7 = 0 THEN 'D'
+                WHEN event_id % 2 = 0 THEN 'I'
+                ELSE 'U' END AS op,
+           value AS v
+    FROM events
+),
+w AS (
+    SELECT batch, k, seq, op, v FROM (
+        SELECT batch, k, seq, op, v,
+               ROW_NUMBER() OVER (PARTITION BY batch, k
+                                  ORDER BY seq DESC) AS rn
+        FROM feed
+    ) WHERE rn = 1
+),
+ev AS (
+    SELECT CAST(1 AS BIGINT) AS commit_version, 'delete' AS change_type, k
+    FROM w WHERE batch = 1
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'insert', k FROM w WHERE batch = 1 AND op <> 'D'
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete', k FROM w WHERE batch = 2
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'insert', k FROM w WHERE batch = 2 AND op <> 'D'
+)
+SELECT commit_version, change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM ev
+GROUP BY commit_version, change_type
+ORDER BY commit_version, change_type
+""",
+)
+def q_streaming_snapshot_cdf_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING change feed out of the table format
+    (`sources/snapshot_source.py` ``option("change_feed", "true")``):
+    the three-batch MoR fixture is consumed from ``start_version=1`` as
+    per-commit events — inserts carry full rows from only the commit's
+    added files, deletes are KEY-ONLY tombstones read straight from the
+    equality-delete lists (the Kafka-compacted-topic CDC shape), so the
+    stream plans pure file reads and needs no engine join at any scale;
+    full pre-image deletes stay the batch `read_snapshot_cdf`'s job.
+    Aggregated per (commit, change_type) over the landed events; the
+    oracle derives the same events from the feed in plain SQL.  Output
+    cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources.snapshot_source import register_snapshot_source
+
+    key = ("streaming_snapshot_cdf_source", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        register_snapshot_source(spark)
+        src = _mor_feed_root(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="snap_cdf_src_")
+        out_dir, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+        stream = (
+            spark.readStream.format("snapshot_table")
+            .option("root", src)
+            .option("change_feed", "true")
+            .option("start_version", "1")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = _STREAM_OUT_CACHE[key] = out_dir
+    return (
+        spark.read.parquet(out)
+        .groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # schema evolution + hidden partitioning on snapshot tables (round 7)
 # --------------------------------------------------------------------------

@@ -55,8 +55,28 @@ from . import snapshots as sn
 
 
 class _SnapshotFilePartition(InputPartition):
-    def __init__(self, path: str):
+    """One parquet file to read.  In change-feed mode, ``change`` tags
+    the event type ('insert' = a data file the commit added, full rows;
+    'delete' = an equality-delete key list, key-only tombstones) and
+    ``version`` the commit that produced it."""
+
+    def __init__(
+        self,
+        path: str,
+        change: str | None = None,
+        version: int | None = None,
+    ):
         self.path = path
+        self.change = change
+        self.version = version
+
+
+#: change-feed metadata columns appended to the table schema
+_CDF_COLS = ("_change_type", "_commit_version")
+
+
+def _change_feed_on(options) -> bool:
+    return str(options.get("change_feed", "")).lower() in ("true", "1")
 
 
 def _refuse_unstreamable(m: dict, what: str) -> None:
@@ -219,11 +239,33 @@ class SnapshotTableDataSource(DataSource):
                         f"({prev.type} vs {field.type}) — pass an "
                         "explicit schema"
                     )
-        return _all_nullable(
+        base = _all_nullable(
             from_arrow_schema(pa.schema(list(fields.values())))
+        )
+        if not _change_feed_on(self.options):
+            return base
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        if set(_CDF_COLS) & set(base.fieldNames()):
+            raise ValueError(
+                "snapshot_table change_feed: table already has a "
+                "_change_type/_commit_version column"
+            )
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", LongType(), True),
+            ]
         )
 
     def reader(self, schema: StructType) -> "SnapshotBatchReader":
+        if _change_feed_on(self.options):
+            raise ValueError(
+                "snapshot_table: change_feed is a STREAM option — for a "
+                "batch change feed use read_snapshot_cdf (full "
+                "pre-image delete events, engine-merged)"
+            )
         return SnapshotBatchReader(self._root(), self.options, schema)
 
     def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
@@ -232,6 +274,7 @@ class SnapshotTableDataSource(DataSource):
             self._root(),
             schema,
             start_version=int(sv) if sv is not None else None,
+            change_feed=_change_feed_on(self.options),
         )
 
 
@@ -276,10 +319,97 @@ class SnapshotStreamReader(DataSourceStreamReader):
         root: str,
         schema: StructType,
         start_version: int | None = None,
+        change_feed: bool = False,
     ):
         self.root = root
         self.schema_ = schema
         self.start_version = start_version
+        self.change_feed = change_feed
+        if change_feed:
+            # the file-read schema is the TABLE schema; the two event
+            # columns are appended as constants per partition — they
+            # must be the LAST two fields (the layout schema() emits)
+            # so the arrow array positions line up
+            from pyspark.sql.types import StructType as _ST
+
+            if [f.name for f in schema.fields[-2:]] != list(_CDF_COLS):
+                raise ValueError(
+                    "snapshot_table change_feed: the stream schema must "
+                    f"end with {_CDF_COLS} (omit .schema() to use the "
+                    "source's own)"
+                )
+            self.table_schema = _ST(list(schema.fields[:-2]))
+        else:
+            self.table_schema = schema
+
+    def _cdf_hops(self, s: int, e: int) -> list[_SnapshotFilePartition]:
+        """CHANGE-FEED partition plan for commits (s, e]: per hop, the
+        added data files become 'insert' partitions (full rows) and the
+        added EQUALITY-delete lists become 'delete' partitions —
+        key-only tombstones, the Kafka-compacted-topic CDC shape: both
+        are pure file reads, so the stream needs no engine join (full
+        pre-image deletes are the batch `read_snapshot_cdf`'s job).
+        Minor-compaction hops emit nothing; overwrite/restore hops,
+        dropped delete files, position deletes and schema evolution
+        fail loudly — none is expressible as file-grain events."""
+        chain = [sn._read_manifest(self.root, e)]
+        while chain[-1]["version"] != s:
+            parent = chain[-1]["parent"]
+            if parent is None or parent < s:
+                raise ValueError(
+                    f"snapshot_table stream: v{s} is not an ancestor of "
+                    f"v{e} (rollback between offsets?)"
+                )
+            chain.append(sn._read_manifest(self.root, parent))
+        chain.reverse()
+        out: list[_SnapshotFilePartition] = []
+        for pm, m in zip(chain, chain[1:]):
+            v = int(m["version"])
+            _refuse_unstreamable(m, "snapshot_table change_feed")
+            if m.get("operation") == "compact-deletes":
+                if set(m["files"]) != set(pm["files"]):
+                    raise ValueError(
+                        f"snapshot_table change_feed: v{v} "
+                        "compact-deletes commit changed the data file "
+                        "set — inconsistent manifest"
+                    )
+                continue
+            if not set(pm["files"]) <= set(m["files"]):
+                raise ValueError(
+                    f"snapshot_table change_feed: v{v} overwrote "
+                    f"v{pm['version']} — not expressible as events; "
+                    "rebuild the consumer from a fresh checkpoint"
+                )
+            prev_dels = {d["file"] for d in pm.get("delete_files") or []}
+            cur_dels = {d["file"]: d for d in m.get("delete_files") or []}
+            if not prev_dels <= set(cur_dels):
+                raise ValueError(
+                    f"snapshot_table change_feed: v{v} dropped MoR "
+                    "delete files — rows were resurrected; rebuild the "
+                    "consumer from a fresh checkpoint"
+                )
+            for f, d in cur_dels.items():
+                if f in prev_dels:
+                    continue
+                if d.get("kind") in ("position", "equality-multi"):
+                    raise ValueError(
+                        f"snapshot_table change_feed: v{v} added a "
+                        f"{d['kind']} delete list — it carries no keys "
+                        "to emit as tombstones; consume via the batch "
+                        "read_snapshot_cdf"
+                    )
+                out.append(
+                    _SnapshotFilePartition(
+                        os.path.join(self.root, f), "delete", v
+                    )
+                )
+            for f in sorted(set(m["files"]) - set(pm["files"])):
+                out.append(
+                    _SnapshotFilePartition(
+                        os.path.join(self.root, f), "insert", v
+                    )
+                )
+        return out
 
     def initialOffset(self) -> dict:
         # default -1 = 'before the first commit': the first batch is
@@ -315,7 +445,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # manifest, non-ancestor/rollback, overwrite, MoR hop)
             # instead of a deep FileNotFoundError at first trigger
             try:
-                _added_files(self.root, sv - 1, cur)
+                if self.change_feed:
+                    self._cdf_hops(sv - 1, cur)
+                else:
+                    _added_files(self.root, sv - 1, cur)
             except FileNotFoundError as exc:
                 raise ValueError(
                     f"snapshot_table stream: start_version={sv} needs "
@@ -332,13 +465,42 @@ class SnapshotStreamReader(DataSourceStreamReader):
         s, e = int(start["version"]), int(end["version"])
         if e <= s:
             return []
+        if self.change_feed:
+            if s < 0:
+                # the initial snapshot is only event-expressible when
+                # nothing was ever deleted — reuse the strict walk (it
+                # refuses delete-carrying snapshots loudly); all rows
+                # are 'insert' events at the snapshot's version
+                return [
+                    _SnapshotFilePartition(
+                        os.path.join(self.root, f), "insert", e
+                    )
+                    for f in _added_files(self.root, s, e)
+                ]
+            return self._cdf_hops(s, e)
         return [
             _SnapshotFilePartition(os.path.join(self.root, f))
             for f in _added_files(self.root, s, e)
         ]
 
     def read(self, partition: _SnapshotFilePartition):
-        return _read_file_batches(partition.path, self.schema_)
+        batches = _read_file_batches(partition.path, self.table_schema)
+        if not self.change_feed:
+            return batches
+
+        def _with_events():
+            import pyarrow as pa
+
+            target = _arrow_schema_for(self.schema_)
+            for batch in batches:
+                n = batch.num_rows
+                arrays = list(batch.columns) + [
+                    pa.array([partition.change] * n, pa.string()),
+                    pa.array([partition.version] * n, pa.int64()),
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+        return _with_events()
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable manifests — nothing to clean up

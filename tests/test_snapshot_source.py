@@ -190,3 +190,79 @@ def test_stream_start_version_validated_at_start(spark, tmp_path):
         spark.read.parquet(str(tmp_path / "out1")).count() if files else 0
     )
     assert total == 0
+
+
+def test_stream_change_feed_events_and_restart(spark, tmp_path):
+    """change_feed=true streams per-commit events: full-row inserts
+    from added files, key-only delete tombstones from equality-delete
+    lists; a checkpointed restart replays nothing."""
+    register_snapshot_source(spark)
+    root = str(tmp_path / "src")
+    b0 = spark.createDataFrame([(1, 10, "I"), (2, 20, "I")], "k LONG, v LONG, _op STRING")
+    b1 = spark.createDataFrame(
+        [(1, 11, "U"), (2, None, "D"), (3, 30, "I")], "k LONG, v LONG, _op STRING"
+    )
+    sn.snapshot_mor_merge(spark, root, b0, ["k"])  # v0
+    sn.snapshot_mor_merge(spark, root, b1, ["k"])  # v1
+
+    def consume():
+        stream = (
+            spark.readStream.format("snapshot_table")
+            .option("root", root)
+            .option("change_feed", "true")
+            .option("start_version", "1")
+            .load()
+        )
+        st.run_available_now(stream, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+        return sorted(
+            (r._commit_version, r._change_type, r.k, r.v)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+
+    assert consume() == [
+        (1, "delete", 1, None),
+        (1, "delete", 2, None),
+        (1, "delete", 3, None),
+        (1, "insert", 1, 11),
+        (1, "insert", 3, 30),
+    ]
+    b2 = spark.createDataFrame([(3, 33, "U")], "k LONG, v LONG, _op STRING")
+    sn.snapshot_mor_merge(spark, root, b2, ["k"])  # v2
+    got = consume()
+    assert [t for t in got if t[0] == 2] == [
+        (2, "delete", 3, None),
+        (2, "insert", 3, 33),
+    ]
+    assert len(got) == 7, "restart must replay nothing"
+
+
+def test_stream_change_feed_refusals(spark, tmp_path):
+    """Position-delete commits and batch reads refuse change_feed
+    loudly; the initial snapshot of a delete-carrying table points at
+    start_version."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "src")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0
+    sn.snapshot_delete_where(spark, root, "id < 2")  # v1: position deletes
+    with pytest.raises(Exception, match="change_feed is a STREAM option"):
+        spark.read.format("snapshot_table").option("root", root).option(
+            "change_feed", "true"
+        ).load().collect()
+
+    def run(sv):
+        stream = (
+            spark.readStream.format("snapshot_table")
+            .option("root", root)
+            .option("change_feed", "true")
+            .option("start_version", str(sv))
+            .load()
+        )
+        st.run_available_now(
+            stream, str(tmp_path / f"o{sv}"), str(tmp_path / f"c{sv}")
+        )
+
+    with pytest.raises(StreamingQueryException, match="position"):
+        run(1)
