@@ -2260,6 +2260,7 @@ def q_streaming_snapshot_cdf_source(
     import tempfile
 
     from .sources.snapshot_source import register_snapshot_source
+    from .streaming import incremental as st
 
     key = ("streaming_snapshot_cdf_source", sf_dir)
     out = _STREAM_OUT_CACHE.get(key)
@@ -2275,14 +2276,7 @@ def q_streaming_snapshot_cdf_source(
             .option("start_version", "1")
             .load()
         )
-        q = (
-            stream.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        st.run_available_now(stream, out_dir, ckpt)
         out = _STREAM_OUT_CACHE[key] = out_dir
     return (
         spark.read.parquet(out)

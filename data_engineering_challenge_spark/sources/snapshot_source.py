@@ -342,6 +342,28 @@ class SnapshotStreamReader(DataSourceStreamReader):
         else:
             self.table_schema = schema
 
+    def _initial_insert_partitions(
+        self, e: int
+    ) -> list[_SnapshotFilePartition]:
+        """Change-feed initial snapshot: every current row as an
+        'insert' event at version ``e`` — only event-expressible when
+        nothing was ever deleted, with CDF-appropriate guidance
+        otherwise (start past the delete-carrying history; the strict
+        added-files walk would advise compaction, which is the
+        plain-stream remedy, not this one)."""
+        to_m = sn._read_manifest(self.root, e)
+        if to_m.get("delete_files"):
+            raise ValueError(
+                "snapshot_table change_feed: the initial snapshot "
+                "carries MoR delete files — set start_version to begin "
+                "past the delete-carrying history (tombstones stream "
+                "from later commits), or snapshot_compact first"
+            )
+        return [
+            _SnapshotFilePartition(os.path.join(self.root, f), "insert", e)
+            for f in _added_files(self.root, -1, e)
+        ]
+
     def _cdf_hops(self, s: int, e: int) -> list[_SnapshotFilePartition]:
         """CHANGE-FEED partition plan for commits (s, e]: per hop, the
         added data files become 'insert' partitions (full rows) and the
@@ -445,10 +467,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # manifest, non-ancestor/rollback, overwrite, MoR hop)
             # instead of a deep FileNotFoundError at first trigger
             try:
-                if self.change_feed:
-                    self._cdf_hops(sv - 1, cur)
-                else:
+                if not self.change_feed:
                     _added_files(self.root, sv - 1, cur)
+                elif sv == 0:
+                    # mirrors partitions()' s<0 initial-snapshot branch
+                    self._initial_insert_partitions(cur)
+                else:
+                    self._cdf_hops(sv - 1, cur)
             except FileNotFoundError as exc:
                 raise ValueError(
                     f"snapshot_table stream: start_version={sv} needs "
@@ -467,16 +492,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return []
         if self.change_feed:
             if s < 0:
-                # the initial snapshot is only event-expressible when
-                # nothing was ever deleted — reuse the strict walk (it
-                # refuses delete-carrying snapshots loudly); all rows
-                # are 'insert' events at the snapshot's version
-                return [
-                    _SnapshotFilePartition(
-                        os.path.join(self.root, f), "insert", e
-                    )
-                    for f in _added_files(self.root, s, e)
-                ]
+                return self._initial_insert_partitions(e)
             return self._cdf_hops(s, e)
         return [
             _SnapshotFilePartition(os.path.join(self.root, f))

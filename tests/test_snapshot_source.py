@@ -266,3 +266,34 @@ def test_stream_change_feed_refusals(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="position"):
         run(1)
+
+
+def test_stream_change_feed_initial_and_zero_start(spark, tmp_path):
+    """start_version=0 on a clean table streams the whole snapshot as
+    inserts (no spurious ancestor error), and the default initial
+    snapshot of a delete-carrying table points at start_version."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "clean")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0
+
+    def run(r, opts, o, c):
+        s = spark.readStream.format("snapshot_table").option("root", r)
+        for k, v in opts.items():
+            s = s.option(k, v)
+        st.run_available_now(
+            s.load(), str(tmp_path / o), str(tmp_path / c)
+        )
+
+    run(root, {"change_feed": "true", "start_version": "0"}, "o0", "c0")
+    got = spark.read.parquet(str(tmp_path / "o0"))
+    assert got.count() == 10
+    assert {r._change_type for r in got.collect()} == {"insert"}
+    # delete-carrying table, default start: CDF-appropriate guidance
+    root2 = str(tmp_path / "mor")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root2)
+    sn.snapshot_delete_where(spark, root2, "id = 1", keys=["id"])
+    with pytest.raises(StreamingQueryException, match="start_version"):
+        run(root2, {"change_feed": "true"}, "o1", "c1")
