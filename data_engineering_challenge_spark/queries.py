@@ -161,6 +161,7 @@ _TAIL = [
     "streaming_snapshot_cdc",
     "streaming_snapshot_source",
     "streaming_snapshot_cdf_source",
+    "snapshot_view_refresh_cdf",
     "ivf_topk",
     "pq_topk",
 ]

@@ -2617,3 +2617,89 @@ def q_snapshot_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(sn.read_snapshot(spark, root, 2), "branch_staged"))
         .unionByName(agg(sn.read_snapshot(spark, root), "published"))
     )
+
+
+@register(
+    "snapshot_view_refresh_cdf",
+    # the maintained view's contract is equality with a from-scratch
+    # aggregate over the FINAL merged state, so the replayed-feed
+    # aggregate IS the oracle (winner window = snapshot_mor_merge's).
+    f"""
+WITH feed AS (
+    SELECT user_id AS k,
+           event_id AS seq,
+           event_id % 3 AS batch,
+           CASE WHEN event_id % 7 = 0 THEN 'D'
+                WHEN event_id % 2 = 0 THEN 'I'
+                ELSE 'U' END AS op,
+           value AS v
+    FROM events
+),
+ranked AS (
+    SELECT k, op, v,
+           ROW_NUMBER() OVER (PARTITION BY k
+                              ORDER BY batch DESC, seq DESC) AS rn
+    FROM feed
+),
+state AS (SELECT k, v FROM ranked WHERE rn = 1 AND op <> 'D')
+SELECT k % 10 AS g,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_dsum_sql('v')} AS sum_v
+FROM state
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_snapshot_view_refresh_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`refresh_incremental_agg_cdf` end-to-end: the events I/U/D feed
+    lands as three MoR commits with the view refreshed after EACH —
+    refresh 1 bootstraps, refreshes 2 and 3 consume only the change
+    data feed, with delete pre-images RETRACTING and upserts netting to
+    the value change.  The final view hash-matches a from-scratch
+    aggregate of the fully-merged state (the oracle's replay), proving
+    CDC-driven view maintenance loses nothing — work per refresh
+    ∝ delta + view, never the table.  Sums ride decimal until the
+    final cast.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from . import roles
+    from .sources import snapshots as sn
+
+    key = ("snapshot_view_refresh_cdf", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="snap_vcdf_")
+        root, view = f"{tmp}/tbl", f"{tmp}/view"
+        events = roles.load_events(spark, sf_dir)
+        feed = events.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("seq"),
+            (F.col("user_id") % 10).alias("g"),
+            (F.col("event_id") % 3).alias("_batch"),
+            F.when(F.col("event_id") % 7 == 0, F.lit("D"))
+            .when(F.col("event_id") % 2 == 0, F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("_op"),
+            F.col("value").cast("decimal(28,10)").alias("v_dec"),
+        )
+        for b in range(3):
+            sn.snapshot_mor_merge(
+                spark,
+                root,
+                feed.filter(F.col("_batch") == b).drop("_batch"),
+                ["k"],
+                seq_col="seq",
+            )
+            sn.refresh_incremental_agg_cdf(
+                spark, root, view, ["g"], ["v_dec"]
+            )
+        out = _STREAM_OUT_CACHE[key] = view
+    return (
+        spark.read.parquet(out)
+        .select(
+            "g",
+            F.col("n").alias("n_rows"),
+            F.col("v_dec").cast("double").alias("sum_v"),
+        )
+        .orderBy("g")
+    )

@@ -3149,18 +3149,7 @@ def refresh_incremental_agg(
     cur = current_version(root)
     if cur is None:
         raise FileNotFoundError(f"refresh_incremental_agg: no table at {root}")
-    marker_name = "_PROCESSED_VERSION"
-    legacy = view_path.rstrip("/") + "._processed"
-    done = None
-    try:
-        with open(os.path.join(view_path, marker_name)) as fh:
-            done = int(fh.read().strip())
-    except FileNotFoundError:
-        try:  # one-time migration from the pre-atomic sidecar layout
-            with open(legacy) as fh:
-                done = int(fh.read().strip())
-        except FileNotFoundError:
-            pass
+    done = _view_processed_version(view_path)
     if done == cur:
         return None
 
@@ -3186,11 +3175,100 @@ def refresh_incremental_agg(
                 *[F.sum(c).alias(c) for c in sum_cols],
             )
         )
-    eio.publish_atomic(merged, view_path, extra_files={marker_name: str(cur)})
+    _publish_view(merged, view_path, cur)
+    return cur
+
+
+#: processed-version marker carried INSIDE the staged view directory —
+#: see refresh_incremental_agg's crash-safety rationale
+_VIEW_MARKER = "_PROCESSED_VERSION"
+
+
+def _view_processed_version(view_path: str) -> int | None:
+    """The view's processed-version marker (None = never refreshed);
+    honors the legacy sidecar layout once for migration."""
+    try:
+        with open(os.path.join(view_path, _VIEW_MARKER)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        try:
+            with open(view_path.rstrip("/") + "._processed") as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+
+def _publish_view(merged: DataFrame, view_path: str, cur: int) -> None:
+    """Atomic view swap carrying the marker in the SAME rename, plus
+    the one-time legacy-sidecar retirement."""
+    from . import io as eio
+
+    eio.publish_atomic(merged, view_path, extra_files={_VIEW_MARKER: str(cur)})
     try:  # the marker now travels with the view — retire the sidecar
-        os.remove(legacy)
+        os.remove(view_path.rstrip("/") + "._processed")
     except FileNotFoundError:
         pass
+
+
+def refresh_incremental_agg_cdf(
+    spark: SparkSession,
+    root: str,
+    view_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int | None:
+    """`refresh_incremental_agg` for tables whose history carries MoR
+    DELETES — incremental materialized-view maintenance over a CDC
+    table: the delta is the CHANGE DATA FEED (`read_snapshot_cdf`), and
+    delete events RETRACT (insert events count +1/+value, pre-image
+    delete events count -1/-value — an upsert's delete+insert pair nets
+    to the value change), so the merged view equals a from-scratch
+    aggregate over the merged table after every refresh.  Groups whose
+    rowcount retracts to zero are dropped, exactly like the recompute.
+
+    Same crash-safe marker-inside-the-swap discipline, same additive
+    restriction (sums + rowcount; min/max cannot retract), same
+    work ∝ delta + view — pass exact-typed sum columns (decimal/long)
+    for bit-identity with the one-shot aggregate.  Hops the CDF cannot
+    express (overwrite, restore, major compaction) fail loudly toward
+    a full rebuild.  Returns the new processed version (None if
+    current)."""
+    from pyspark.sql import functions as F
+
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(
+            f"refresh_incremental_agg_cdf: no table at {root}"
+        )
+    done = _view_processed_version(view_path)
+    if done == cur:
+        return None
+    if done is None:
+        merged = read_snapshot_mor(spark, root, cur).groupBy(*group_cols).agg(
+            F.count("*").alias("n"),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+    else:
+        events = read_snapshot_cdf(spark, root, done, cur)
+        sign = F.when(
+            F.col("_change_type") == "delete", F.lit(-1)
+        ).otherwise(F.lit(1))
+        delta = events.groupBy(*group_cols).agg(
+            F.sum(sign).alias("n"),
+            *[F.sum(sign * F.col(c)).alias(c) for c in sum_cols],
+        )
+        stored = spark.read.parquet(view_path)
+        merged = (
+            stored.unionByName(delta)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(c).alias(c) for c in sum_cols],
+            )
+            # a fully-retracted group must VANISH, like the recompute
+            .filter(F.col("n") != 0)
+        )
+    _publish_view(merged, view_path, cur)
     return cur
 
 

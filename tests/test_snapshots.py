@@ -2511,3 +2511,45 @@ def test_branch_recreate_ignores_crashed_delete_debris(spark, tmp_path):
     assert sn.resolve_ref(root, "b") == v2
     nb = sn.snapshot_append_to_branch(_df(spark, 100, 102).coalesce(1), root, "b")
     assert sn._read_manifest(root, nb)["parent"] == v2
+
+
+def test_refresh_incremental_agg_cdf_retracts(spark, tmp_path):
+    """CDF-driven view maintenance over a MoR/CDC table: upserts net to
+    the value change, deletes retract, fully-retracted groups vanish —
+    the maintained view equals a from-scratch aggregate after every
+    refresh."""
+    root, view = str(tmp_path / "tbl"), str(tmp_path / "view")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k LONG, g LONG, v LONG, _op STRING")
+
+    def recompute():
+        return {
+            (r.g, r.n, r.v)
+            for r in sn.read_snapshot_mor(spark, root)
+            .groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("v"))
+            .collect()
+        }
+
+    def view_rows():
+        return {(r.g, r.n, r.v) for r in spark.read.parquet(view).collect()}
+
+    sn.snapshot_mor_merge(
+        spark, root, batch([(1, 0, 10, "I"), (2, 0, 20, "I"), (3, 1, 30, "I")]), ["k"]
+    )  # v0
+    assert sn.refresh_incremental_agg_cdf(spark, root, view, ["g"], ["v"]) == 0
+    assert view_rows() == recompute()
+    # upsert k=1, delete k=2, insert k=4 into group 1
+    sn.snapshot_mor_merge(
+        spark, root, batch([(1, 0, 11, "U"), (2, 0, 0, "D"), (4, 1, 40, "I")]), ["k"]
+    )  # v1
+    assert sn.refresh_incremental_agg_cdf(spark, root, view, ["g"], ["v"]) == 1
+    assert view_rows() == recompute()
+    # fully retract group 0 (delete k=1) — the group must vanish
+    sn.snapshot_mor_merge(spark, root, batch([(1, 0, 0, "D")]), ["k"])  # v2
+    assert sn.refresh_incremental_agg_cdf(spark, root, view, ["g"], ["v"]) == 2
+    assert view_rows() == recompute()
+    assert {r[0] for r in view_rows()} == {1}, "group 0 fully retracted"
+    # idempotent when current
+    assert sn.refresh_incremental_agg_cdf(spark, root, view, ["g"], ["v"]) is None
