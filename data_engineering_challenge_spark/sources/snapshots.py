@@ -3142,41 +3142,63 @@ def refresh_incremental_agg(
     stay in Spark's decimal/long domain; tested).
 
     Returns the new processed version (None if already current)."""
-    from pyspark.sql import functions as F
-
-    from . import io as eio
-
     cur = current_version(root)
     if cur is None:
         raise FileNotFoundError(f"refresh_incremental_agg: no table at {root}")
     done = _view_processed_version(view_path)
     if done == cur:
         return None
-
-    def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy(*group_cols).agg(
-            F.count("*").alias("n"),
-            *[F.sum(c).alias(c) for c in sum_cols],
-        )
-
     if done is None:
         # bootstrap reads MoR-aware: a table built with snapshot_mor_merge
         # must not seed the view with deleted/superseded rows (no delete
         # files -> identical to the plain read)
-        merged = partial(read_snapshot_mor(spark, root, cur))
+        merged = _view_partial(
+            read_snapshot_mor(spark, root, cur), group_cols, sum_cols
+        )
     else:
-        delta = partial(read_snapshot_changes(spark, root, done, cur))
-        stored = spark.read.parquet(view_path)
-        merged = (
-            stored.unionByName(delta)
-            .groupBy(*group_cols)
-            .agg(
-                F.sum("n").alias("n"),
-                *[F.sum(c).alias(c) for c in sum_cols],
-            )
+        delta = _view_partial(
+            read_snapshot_changes(spark, root, done, cur),
+            group_cols,
+            sum_cols,
+        )
+        merged = _view_merge(
+            spark.read.parquet(view_path), delta, group_cols, sum_cols
         )
     _publish_view(merged, view_path, cur)
     return cur
+
+
+def _view_partial(
+    df: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """The view's aggregate shape — ONE spelling shared by both
+    refresh paths so they cannot diverge."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        *[F.sum(c).alias(c) for c in sum_cols],
+    )
+
+
+def _view_merge(
+    stored: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Merge a (possibly signed) delta into the stored view by
+    addition."""
+    from pyspark.sql import functions as F
+
+    return (
+        stored.unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+    )
 
 
 #: processed-version marker carried INSIDE the staged view directory —
@@ -3244,29 +3266,28 @@ def refresh_incremental_agg_cdf(
     if done == cur:
         return None
     if done is None:
-        merged = read_snapshot_mor(spark, root, cur).groupBy(*group_cols).agg(
-            F.count("*").alias("n"),
-            *[F.sum(c).alias(c) for c in sum_cols],
+        merged = _view_partial(
+            read_snapshot_mor(spark, root, cur), group_cols, sum_cols
         )
     else:
         events = read_snapshot_cdf(spark, root, done, cur)
-        sign = F.when(
-            F.col("_change_type") == "delete", F.lit(-1)
-        ).otherwise(F.lit(1))
+        is_del = F.col("_change_type") == "delete"
+        # retraction by NEGATION, not sign multiplication: -decimal
+        # keeps the exact column type, while INT * decimal(28,10)
+        # widens past precision 38 and silently rounds the last digit
         delta = events.groupBy(*group_cols).agg(
-            F.sum(sign).alias("n"),
-            *[F.sum(sign * F.col(c)).alias(c) for c in sum_cols],
+            F.sum(F.when(is_del, F.lit(-1)).otherwise(F.lit(1))).alias("n"),
+            *[
+                F.sum(
+                    F.when(is_del, -F.col(c)).otherwise(F.col(c))
+                ).alias(c)
+                for c in sum_cols
+            ],
         )
-        stored = spark.read.parquet(view_path)
-        merged = (
-            stored.unionByName(delta)
-            .groupBy(*group_cols)
-            .agg(
-                F.sum("n").alias("n"),
-                *[F.sum(c).alias(c) for c in sum_cols],
-            )
-            # a fully-retracted group must VANISH, like the recompute
-            .filter(F.col("n") != 0)
+        merged = _view_merge(
+            spark.read.parquet(view_path), delta, group_cols, sum_cols
+        ).filter(  # a fully-retracted group must VANISH, like the recompute
+            F.col("n") != 0
         )
     _publish_view(merged, view_path, cur)
     return cur

@@ -2553,3 +2553,24 @@ def test_refresh_incremental_agg_cdf_retracts(spark, tmp_path):
     assert {r[0] for r in view_rows()} == {1}, "group 0 fully retracted"
     # idempotent when current
     assert sn.refresh_incremental_agg_cdf(spark, root, view, ["g"], ["v"]) is None
+
+
+def test_refresh_cdf_preserves_decimal_precision(spark, tmp_path):
+    """Retraction must keep the exact decimal type: a value carrying
+    the 10th fractional digit survives the incremental path unchanged
+    (INT*decimal would widen past precision 38 and round it away)."""
+    from decimal import Decimal
+
+    root, view = str(tmp_path / "tbl"), str(tmp_path / "view")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k LONG, g LONG, v DECIMAL(28,10), _op STRING"
+    )
+    tiny = Decimal("0.0000000001")
+    sn.snapshot_mor_merge(
+        spark, root, mk([(1, 0, tiny, "I"), (2, 0, tiny, "I")]), ["k"]
+    )  # v0
+    sn.refresh_incremental_agg_cdf(spark, root, view, ["g"], ["v"])
+    sn.snapshot_mor_merge(spark, root, mk([(2, 0, None, "D")]), ["k"])  # v1
+    sn.refresh_incremental_agg_cdf(spark, root, view, ["g"], ["v"])
+    [row] = spark.read.parquet(view).collect()
+    assert row.n == 1 and row.v == tiny, f"lost precision: {row.v}"
