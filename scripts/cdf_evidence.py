@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Measure the change-data-feed O(delta) claim.
+
+`read_snapshot_cdf`'s selling point is that an incremental consumer of a
+MoR/CDC table pays per-DELTA cost: insert events read only the commit's
+added files and equality-delete events semi-join the as-of-parent read
+against a broadcast key list — while the fallback (diff of two
+time-traveled MoR reads, `diff_tables`-style) scans the WHOLE table
+twice per poll no matter how small the change.  This script turns that
+claim into numbers:
+
+1. build a base table of ``--base`` orders rows (one MoR merge);
+2. apply ``--batches`` fixed-size update batches as MoR commits;
+3. after each commit, time (a) `read_snapshot_cdf(prev, cur)` and
+   (b) the full-diff fallback (two `read_snapshot_mor` reads
+   anti-joined both ways) producing the same information.
+
+Expected: the CDF poll time stays roughly flat as the table accretes
+(bounded by batch size + the one bounded semi-join); the full-diff poll
+time climbs with accumulated table size.  Results land in
+BENCH_NOTES.md by hand — this script only prints JSON.
+
+Usage: python scripts/cdf_evidence.py [--sf DIR] [--base N]
+       [--batches K] [--batch-rows M]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--base", type=int, default=200_000)
+    ap.add_argument("--batches", type=int, default=6)
+    ap.add_argument("--batch-rows", type=int, default=2_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.sources import snapshots as sn
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("cdf_evidence")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    tmp = tempfile.mkdtemp(prefix="cdf_ev_")
+    root = os.path.join(tmp, "tbl")
+    try:
+        o = (
+            spark.read.parquet(os.path.join(args.sf, "orders.parquet"))
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("v"),
+            )
+            .limit(args.base)
+        )
+        base = o.withColumn("_op", F.lit("I"))
+        sn.snapshot_mor_merge(spark, root, base, ["k"])  # v0
+        results = []
+        for b in range(1, args.batches + 1):
+            batch = (
+                o.limit(args.batch_rows)
+                .withColumn("v", F.col("v") + b)
+                .withColumn("_op", F.lit("U"))
+            )
+            sn.snapshot_mor_merge(spark, root, batch, ["k"])  # vb
+            t0 = time.time()
+            n_cdf = sn.read_snapshot_cdf(spark, root, b - 1, b).count()
+            t_cdf = time.time() - t0
+            # the fallback an engine without CDF would run: diff two
+            # full time-traveled MoR reads (rows leaving + arriving)
+            t0 = time.time()
+            old = sn.read_snapshot_mor(spark, root, b - 1)
+            new = sn.read_snapshot_mor(spark, root, b)
+            n_diff = (
+                old.exceptAll(new).count() + new.exceptAll(old).count()
+            )
+            t_diff = time.time() - t0
+            results.append(
+                {
+                    "batch": b,
+                    "cdf_events": n_cdf,
+                    "cdf_s": round(t_cdf, 3),
+                    "diff_rows": n_diff,
+                    "full_diff_s": round(t_diff, 3),
+                }
+            )
+        print(
+            json.dumps(
+                {
+                    "base_rows": args.base,
+                    "batch_rows": args.batch_rows,
+                    "polls": results,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
