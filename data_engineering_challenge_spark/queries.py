@@ -144,7 +144,7 @@ _CHEAP_FIRST = [
     "snapshot_partitioned_prune", "snapshot_evolution_read",
     "sql_snapshot_asof_report", "snapshot_wap_publish",
     "snapshot_pruned_mor_lookup", "snapshot_cdf_feed",
-    "snapshot_branch_publish",
+    "snapshot_branch_publish", "snapshot_files_meta",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -2703,3 +2703,58 @@ def q_snapshot_view_refresh_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+@register(
+    "snapshot_files_meta",
+    # The metadata table's deterministic fields: per content kind, the
+    # footer rowcount total and the number of committing versions —
+    # restated by the oracle from the fixture's mod filters (file
+    # counts are left to the unit test: empty-partition write behavior
+    # is an engine detail the aggregate must not depend on).
+    """
+SELECT 'data' AS content,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(3 AS BIGINT) AS n_commits
+FROM orders
+UNION ALL
+SELECT 'deletes',
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1000 = 32),
+       1
+ORDER BY content
+""",
+)
+def q_snapshot_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILES metadata table (`snapshots.snapshot_files` — Iceberg's
+    ``<table>.files`` surface): orders land as three commits plus one
+    equality delete list, and the metadata table — built from manifests
+    and parquet FOOTERS only, never data pages — reports every
+    referenced file's rowcount and committing version.  Aggregated per
+    content kind; the oracle restates the totals from the fixture's
+    mod filters, tying the metadata surface to the real data.  Output
+    cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_files_meta", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_files_") + "/tbl"
+        third = lambda r: o.filter(F.col("o_orderkey") % 3 == r).coalesce(1)
+        for r in range(3):
+            sn.snapshot_append(third(r), root)
+        sn.snapshot_delete_where(
+            spark, root, "o_orderkey % 1000 = 32", keys=["o_orderkey"]
+        )
+        out = _ORC_OUT_CACHE[key] = root
+    return (
+        sn.snapshot_files(spark, out)
+        .groupBy("content")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.countDistinct("seq").alias("n_commits"),
+        )
+        .orderBy("content")
+    )

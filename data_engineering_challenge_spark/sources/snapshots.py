@@ -3293,6 +3293,72 @@ def refresh_incremental_agg_cdf(
     return cur
 
 
+def snapshot_files(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The FILES metadata table (Iceberg's ``<table>.files`` /
+    Delta's DESCRIBE DETAIL at file grain): one row per file the
+    manifest references — data files AND MoR delete lists — with the
+    planning metadata an operator tunes compaction/pruning by:
+
+    ``file`` (table-relative path), ``content`` ('data' | 'deletes'),
+    ``seq`` (committing version; NULL for minor-compacted delete lists,
+    whose sequences ride per row), ``bytes`` (on-disk size), ``n_rows``
+    (parquet footer count — metadata only, no data read),
+    ``partition`` (recorded hidden-partition values) and ``stats``
+    (per-column [min, max] as strings, as recorded in the manifest).
+
+    Driver-side construction bounded by FILE COUNT (footers + manifest,
+    never data) — the same budget every planning read already spends;
+    register the result as a temp view for the SQL surface."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F401  (callers' habit)
+
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot_files: no version at {root}")
+    m = _read_manifest(root, v)
+    fseq = m.get("file_seq") or {}
+    pvals = m.get("partition_values") or {}
+    stats = m.get("stats") or {}
+    rows = []
+
+    def _one(f: str, content: str, seq: int | None) -> None:
+        path = os.path.join(root, f)
+        rows.append(
+            {
+                "file": f,
+                "content": content,
+                "seq": seq,
+                "bytes": os.path.getsize(path),
+                "n_rows": pq.read_metadata(path).num_rows,
+                "partition": {
+                    k: str(x) for k, x in (pvals.get(f) or {}).items()
+                },
+                "stats": {
+                    c: [str(lo), str(hi)]
+                    for c, (lo, hi) in (stats.get(f) or {}).items()
+                },
+            }
+        )
+
+    for f in m["files"]:
+        _one(f, "data", int(fseq.get(f, 0)))
+    for d in m.get("delete_files") or []:
+        s = d.get("seq")
+        _one(
+            d["file"],
+            "deletes",
+            None if d.get("kind") == "equality-multi" else int(s),
+        )
+    return spark.createDataFrame(
+        rows,
+        "file STRING, content STRING, seq BIGINT, bytes BIGINT, "
+        "n_rows BIGINT, partition MAP<STRING,STRING>, "
+        "stats MAP<STRING,ARRAY<STRING>>",
+    )
+
+
 def expire_versions(root: str, keep_last: int = 10) -> list[int]:
     """Version RETENTION: drop every version older than the newest
     ``keep_last`` (by number), EXCEPT the one _LATEST points at — a

@@ -2574,3 +2574,37 @@ def test_refresh_cdf_preserves_decimal_precision(spark, tmp_path):
     sn.refresh_incremental_agg_cdf(spark, root, view, ["g"], ["v"])
     [row] = spark.read.parquet(view).collect()
     assert row.n == 1 and row.v == tiny, f"lost precision: {row.v}"
+
+
+def test_snapshot_files_metadata_table(spark, tmp_path):
+    """The files metadata table: one row per referenced file (data AND
+    delete lists) with seq, footer rowcount, recorded stats and
+    partition values — metadata only."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(
+        _df(spark, 0, 10).coalesce(1), root, stats_cols=["id"]
+    )  # v0
+    sn.snapshot_append_partitioned(
+        _df(spark, 10, 20).coalesce(1), root, {"b": "CAST(id % 2 AS STRING)"}
+    )  # v1
+    sn.snapshot_delete_where(spark, root, "id = 3", keys=["id"])  # v2
+    ft = sn.snapshot_files(spark, root)
+    rows = {r.file: r for r in ft.collect()}
+    data = [r for r in rows.values() if r.content == "data"]
+    dels = [r for r in rows.values() if r.content == "deletes"]
+    assert len(data) == 3 and len(dels) == 1  # v1 wrote 2 partition files
+    assert sum(r.n_rows for r in data) == 20
+    assert dels[0].n_rows == 1 and dels[0].seq == 2
+    v0 = [r for r in data if r.seq == 0]
+    assert len(v0) == 1 and v0[0].stats["id"] == ["0", "9"]
+    assert {r.partition.get("b") for r in data if r.seq == 1} == {"0", "1"}
+    # pinned version: the v0 table shows only its own file
+    assert sn.snapshot_files(spark, root, 0).count() == 1
+    # SQL surface: it is just a DataFrame
+    sn.snapshot_files(spark, root).createOrReplaceTempView("tbl_files")
+    [agg] = spark.sql(
+        "SELECT COUNT(*) AS nf, SUM(n_rows) AS nr FROM tbl_files "
+        "WHERE content = 'data'"
+    ).collect()
+    assert (agg.nf, agg.nr) == (3, 20)
+    spark.catalog.dropTempView("tbl_files")
