@@ -3312,7 +3312,6 @@ def snapshot_files(
     never data) — the same budget every planning read already spends;
     register the result as a temp view for the SQL surface."""
     import pyarrow.parquet as pq
-    from pyspark.sql import functions as F  # noqa: F401  (callers' habit)
 
     v = current_version(root) if version is None else version
     if v is None:
@@ -3332,8 +3331,13 @@ def snapshot_files(
                 "seq": seq,
                 "bytes": os.path.getsize(path),
                 "n_rows": pq.read_metadata(path).num_rows,
+                # NULL transform values stay NULL (a file in the
+                # default partition must answer `partition['b'] IS
+                # NULL`, and the string 'None' would shadow a genuine
+                # value)
                 "partition": {
-                    k: str(x) for k, x in (pvals.get(f) or {}).items()
+                    k: (None if x is None else str(x))
+                    for k, x in (pvals.get(f) or {}).items()
                 },
                 "stats": {
                     c: [str(lo), str(hi)]

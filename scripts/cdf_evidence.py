@@ -60,20 +60,25 @@ def main() -> int:
     tmp = tempfile.mkdtemp(prefix="cdf_ev_")
     root = os.path.join(tmp, "tbl")
     try:
-        o = (
-            spark.read.parquet(os.path.join(args.sf, "orders.parquet"))
-            .select(
-                F.col("o_orderkey").alias("k"),
-                F.col("o_totalprice").alias("v"),
-            )
-            .limit(args.base)
+        src = spark.read.parquet(
+            os.path.join(args.sf, "orders.parquet")
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("v"),
         )
+        # DETERMINISTIC selection: base = lowest --base keys, batches =
+        # the lowest --batch-rows keys (a strict prefix of the base, so
+        # every batch row is a genuine UPDATE and the event mix is
+        # pinned across runs — a bare limit() is scan-order dependent)
+        o = src.orderBy("k").limit(args.base)
         base = o.withColumn("_op", F.lit("I"))
         sn.snapshot_mor_merge(spark, root, base, ["k"])  # v0
+        actual_base = sn.read_snapshot_mor(spark, root).count()
         results = []
         for b in range(1, args.batches + 1):
             batch = (
-                o.limit(args.batch_rows)
+                o.orderBy("k")
+                .limit(args.batch_rows)
                 .withColumn("v", F.col("v") + b)
                 .withColumn("_op", F.lit("U"))
             )
@@ -102,7 +107,11 @@ def main() -> int:
         print(
             json.dumps(
                 {
-                    "base_rows": args.base,
+                    # the MATERIALIZED size — limit() caps at the
+                    # fixture's row count, so the requested --base can
+                    # overstate what was actually measured
+                    "base_rows": actual_base,
+                    "base_rows_requested": args.base,
                     "batch_rows": args.batch_rows,
                     "polls": results,
                 }
