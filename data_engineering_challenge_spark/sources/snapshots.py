@@ -2075,6 +2075,7 @@ def snapshot_mor_merge(
     op_col: str = "_op",
     tag: str | None = None,
     seq_col: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """MERGE-ON-READ CDC onto a snapshot table — the Iceberg
     equality-delete / Delta deletion-vector pattern, the write-cheap
@@ -2110,7 +2111,12 @@ def snapshot_mor_merge(
     last = last.persist()
     try:
         upserts = last.filter(last[op_col] != "D").drop(op_col)
-        new_files = _write_files(upserts, root)
+        if stats_cols is None:
+            new_files, new_stats = _write_files(upserts, root), {}
+        else:
+            # recorded stats keep read_snapshot_pruned AND the CDF
+            # pre-image scan prunable on a continuously merged table
+            new_files, new_stats = _write_files(upserts, root, stats_cols)
         del_files = _write_files(last.select(*keys), root, kind="deletes")
     finally:
         last.unpersist()
@@ -2118,6 +2124,7 @@ def snapshot_mor_merge(
         root,
         new_files,
         parent,
+        stats=new_stats,
         tag=tag,
         rebase_append=True,
         operation="mor-merge",
@@ -2919,8 +2926,10 @@ def read_snapshot_cdf(
     - inserts: read ONLY the files the commit added — O(delta);
     - equality-delete events: the as-of-parent MoR read semi-joined
       with the commit's (broadcast-sized) key lists — a scan bounded
-      by the PARENT's file set, prunable by stats, never a diff of two
-      full table reads;
+      by the PARENT's file set and STATS-PRUNED to the files whose
+      recorded min/max overlap the delete lists' key range (footer
+      metadata only; skipped if a list carries NULL keys or stats are
+      missing), never a diff of two full table reads;
     - position-delete events: read ONLY the files the list references.
 
     Minor-compaction hops (``compact-deletes``) rewrite delete lists
@@ -2939,6 +2948,7 @@ def read_snapshot_cdf(
 
     ``from_version=-1`` bootstraps a consumer: the whole as-of-
     ``to_version`` table as one insert batch at ``to_version``."""
+    import pyarrow.parquet as _pq
     from pyspark.sql import functions as F
 
     def _guard(cols) -> None:
@@ -3027,24 +3037,79 @@ def read_snapshot_cdf(
                 )
             else:
                 eq_by_keys.setdefault(tuple(d["keys"]), []).append(d)
-        # ONE as-of-parent read shared by every key set in the commit
-        pre_eq = (
-            read_snapshot_mor(spark, root, pv) if eq_by_keys else None
-        )
+        # the UNPRUNED as-of-parent read, built lazily and shared by
+        # every key set the stats cannot bound
+        pre_all: DataFrame | None = None
+
+        def _pre_unpruned() -> DataFrame:
+            nonlocal pre_all
+            if pre_all is None:
+                pre_all = read_snapshot_mor(spark, root, pv)
+            return pre_all
+
+        pstats = prev.get("stats") or {}
         for key_tuple, dels in eq_by_keys.items():
             side = None
+            # the delete lists' key RANGE from their footers (no data
+            # read) — lets the pre-image scan skip parent files whose
+            # recorded stats are provably disjoint.  Sound only when no
+            # list carries NULL keys (footer min/max exclude nulls, but
+            # eqNullSafe deletes match them) and every list has usable
+            # stats; otherwise fall back to the full parent scan.
+            rng: dict[str, list] | None = {}
             for d in dels:
-                one = spark.read.parquet(os.path.join(root, d["file"]))
+                p = os.path.join(root, d["file"])
+                one = spark.read.parquet(p)
                 side = one if side is None else side.unionByName(one)
+                if rng is None:
+                    continue
+                if _pq.read_metadata(p).num_rows == 0:
+                    continue  # an empty part-file claims no keys
+                if _has_null_values(p, list(key_tuple)):
+                    rng = None
+                    continue
+                st = _file_stats(p, list(key_tuple))
+                if not st:
+                    rng = None
+                    continue
+                for c, (klo, khi) in st.items():
+                    cur_r = rng.get(c)
+                    rng[c] = (
+                        [klo, khi]
+                        if cur_r is None
+                        else [min(cur_r[0], klo), max(cur_r[1], khi)]
+                    )
             side = side.dropDuplicates(list(key_tuple))
+            if rng and pstats:
+                keep = []
+                for f in prev["files"]:
+                    fst = pstats.get(f) or {}
+                    ok = True
+                    for c, (klo, khi) in rng.items():
+                        r2 = fst.get(c)
+                        # a file without recorded stats makes no claims
+                        if r2 is not None and (r2[0] > khi or r2[1] < klo):
+                            ok = False
+                            break
+                    if ok:
+                        keep.append(f)
+                if not keep:
+                    continue  # provably no pre-image rows — no events
+                pre = (
+                    read_snapshot_mor(spark, root, pv, _files=keep)
+                    if len(keep) < len(prev["files"])
+                    else _pre_unpruned()
+                )
+            else:
+                pre = _pre_unpruned()
             # eqNullSafe, like the MoR read: NULL-keyed rows must emit
             # their delete event too
             cond = functools.reduce(
                 lambda a, b: a & b,
-                [pre_eq[k].eqNullSafe(side[k]) for k in key_tuple],
+                [pre[k].eqNullSafe(side[k]) for k in key_tuple],
             )
             emit(
-                pre_eq.join(F.broadcast(side), cond, "left_semi"),
+                pre.join(F.broadcast(side), cond, "left_semi"),
                 "delete",
                 v,
             )

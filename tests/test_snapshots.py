@@ -2608,3 +2608,46 @@ def test_snapshot_files_metadata_table(spark, tmp_path):
     ).collect()
     assert (agg.nf, agg.nr) == (3, 20)
     spark.catalog.dropTempView("tbl_files")
+
+
+def test_read_snapshot_cdf_prunes_pre_image_scan(spark, tmp_path):
+    """With recorded stats, the CDF delete-event pre-image scan reads
+    only the parent files whose min/max overlap the delete lists' key
+    range — and an insert-only commit (keys disjoint from every file)
+    emits no delete events at all."""
+    root = str(tmp_path / "tbl")
+    mk = lambda lo, hi, op: (
+        spark.range(lo, hi)
+        .selectExpr("id AS k", "id * 10 AS v")
+        .withColumn("_op", F.lit(op))
+        .coalesce(1)
+    )
+    sn.snapshot_mor_merge(spark, root, mk(0, 50, "I"), ["k"], stats_cols=["k"])
+    sn.snapshot_mor_merge(spark, root, mk(50, 100, "I"), ["k"], stats_cols=["k"])
+    # insert-only commit, keys disjoint from both files
+    v2 = sn.snapshot_mor_merge(
+        spark, root, mk(1000, 1005, "I"), ["k"], stats_cols=["k"]
+    )
+    got = sorted(
+        (r._change_type, r.k)
+        for r in sn.read_snapshot_cdf(spark, root, v2 - 1, v2).collect()
+    )
+    assert got == [("insert", k) for k in range(1000, 1005)], (
+        "disjoint keys -> no pre-image scan, no delete events"
+    )
+    # update one key in the FIRST file only: the second file's range is
+    # provably disjoint from the delete list and must not be read
+    batch = spark.createDataFrame([(7, 777, "U")], "k LONG, v LONG, _op STRING")
+    v3 = sn.snapshot_mor_merge(spark, root, batch, ["k"], stats_cols=["k"])
+    cdf = sn.read_snapshot_cdf(spark, root, v3 - 1, v3)
+    rows = sorted((r._change_type, r.k, r.v) for r in cdf.collect())
+    assert rows == [("delete", 7, 70), ("insert", 7, 777)]
+    m = sn._read_manifest(root, v3 - 1)
+    second = [
+        f for f, st in (m["stats"] or {}).items() if st.get("k") == [50, 99]
+    ]
+    assert len(second) == 1
+    infiles = {p.split("/", 3)[-1] for p in cdf.inputFiles()}
+    assert not any(second[0] in p for p in infiles), (
+        "provably-disjoint parent file must not be scanned"
+    )
