@@ -9,15 +9,20 @@ time-traveled MoR reads, `diff_tables`-style) scans the WHOLE table
 twice per poll no matter how small the change.  This script turns that
 claim into numbers:
 
-1. build a base table of ``--base`` orders rows (one MoR merge);
-2. apply ``--batches`` fixed-size update batches as MoR commits;
-3. after each commit, time (a) `read_snapshot_cdf(prev, cur)` and
+1. build a base table of ``--base`` orders rows — RANGE-CLUSTERED on
+   the key (`snapshot_append_clustered`), the layout that lets the
+   CDF's stats pruning actually skip files (a hash-scattered base makes
+   every file overlap every key range: stats recorded, nothing
+   skippable — measured, see BENCH_NOTES);
+2. apply ``--batches`` key-range DELETE commits
+   (`snapshot_delete_where`, each a disjoint ``--batch-rows`` slice);
+3. after each commit, time (a) `read_snapshot_cdf(prev, cur)` —
+   whose delete-event pre-image scan should prune to ~1 file — and
    (b) the full-diff fallback (two `read_snapshot_mor` reads
-   anti-joined both ways) producing the same information.
+   exceptAll'd both ways) producing the same information.
 
-Expected: the CDF poll time stays roughly flat as the table accretes
-(bounded by batch size + the one bounded semi-join); the full-diff poll
-time climbs with accumulated table size.  Results land in
+Expected: the CDF poll stays flat and file-bounded; the full-diff poll
+scans and shuffles the whole table twice per poll.  Results land in
 BENCH_NOTES.md by hand — this script only prints JSON.
 
 Usage: python scripts/cdf_evidence.py [--sf DIR] [--base N]
@@ -66,23 +71,24 @@ def main() -> int:
             F.col("o_orderkey").alias("k"),
             F.col("o_totalprice").alias("v"),
         )
-        # DETERMINISTIC selection: base = lowest --base keys, batches =
-        # the lowest --batch-rows keys (a strict prefix of the base, so
-        # every batch row is a genuine UPDATE and the event mix is
-        # pinned across runs — a bare limit() is scan-order dependent)
+        # DETERMINISTIC selection: base = lowest --base keys; poll b
+        # deletes the b-th lowest --batch-rows key slice — disjoint
+        # ranges, every row a genuine delete, pinned across runs
         o = src.orderBy("k").limit(args.base)
-        base = o.withColumn("_op", F.lit("I"))
-        sn.snapshot_mor_merge(spark, root, base, ["k"])  # v0
+        keys = [r.k for r in o.select("k").collect()]
+        keys.sort()
+        sn.snapshot_append_clustered(o, root, ["k"])  # v0, range-disjoint
         actual_base = sn.read_snapshot_mor(spark, root).count()
         results = []
         for b in range(1, args.batches + 1):
-            batch = (
-                o.orderBy("k")
-                .limit(args.batch_rows)
-                .withColumn("v", F.col("v") + b)
-                .withColumn("_op", F.lit("U"))
-            )
-            sn.snapshot_mor_merge(spark, root, batch, ["k"])  # vb
+            lo = keys[(b - 1) * args.batch_rows]
+            hi = keys[b * args.batch_rows - 1]
+            sn.snapshot_delete_where(
+                spark,
+                root,
+                f"k >= {lo} AND k <= {hi}",
+                keys=["k"],
+            )  # vb
             t0 = time.time()
             n_cdf = sn.read_snapshot_cdf(spark, root, b - 1, b).count()
             t_cdf = time.time() - t0
