@@ -145,6 +145,7 @@ _CHEAP_FIRST = [
     "sql_snapshot_asof_report", "snapshot_wap_publish",
     "snapshot_pruned_mor_lookup", "snapshot_cdf_feed",
     "snapshot_branch_publish", "snapshot_files_meta",
+    "snapshot_cherry_pick",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

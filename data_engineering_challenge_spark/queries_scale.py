@@ -2758,3 +2758,73 @@ def q_snapshot_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("content")
     )
+
+
+@register(
+    "snapshot_cherry_pick",
+    # Deterministic diverged lineage over orders thirds: the branch
+    # commit that fast-forward must refuse (main moved past the fork)
+    # is cherry-picked onto the new head as a metadata-only commit.
+    # Every phase is a plain aggregate the oracle restates.
+    f"""
+SELECT 'main_before_pick' AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderkey % 3 IN (0, 2)
+UNION ALL
+SELECT 'branch_head', COUNT(*), {_dsum_sql('o_totalprice')}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 'after_pick', COUNT(*), {_dsum_sql('o_totalprice')}
+FROM orders
+ORDER BY phase
+""",
+)
+def q_snapshot_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHERRY-PICK end-to-end (`snapshots.snapshot_cherry_pick` —
+    Iceberg's remedy when fast-forward refuses): a branch commit lands
+    while main advances past the fork, `snapshot_fast_forward` fails
+    loudly, and the branch commit is re-referenced onto the new head as
+    a METADATA-ONLY commit — the branch's file group is shared, never
+    copied.  The three phases' aggregates hash-match the oracle's
+    mod-filter restatement, certifying the divergence (main before the
+    pick), the branch content, and that the pick delivers exactly
+    branch + main.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_cherry_pick", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_pick_") + "/tbl"
+        third = lambda r: o.filter(F.col("o_orderkey") % 3 == r).coalesce(1)
+        sn.snapshot_append(third(0), root)            # v0: fork point
+        sn.snapshot_create_branch(root, "wip")
+        bv = sn.snapshot_append_to_branch(third(1), root, "wip")  # v1
+        mv = sn.snapshot_append(third(2), root)       # v2: main diverges
+        assert (bv, mv) == (1, 2)
+        try:
+            sn.snapshot_fast_forward(root, "wip")
+            raise AssertionError("fixture: fast-forward must refuse")
+        except sn.SnapshotConflictError:
+            pass
+        pv = sn.snapshot_cherry_pick(root, bv)        # v3: metadata-only
+        assert pv == 3 and sn.current_version(root) == 3
+        out = _ORC_OUT_CACHE[key] = root
+    root = out
+
+    def agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("total_price"),
+        ).select("phase", "n_rows", "total_price")
+
+    return (
+        agg(sn.read_snapshot(spark, root, 2), "main_before_pick")
+        .unionByName(agg(sn.read_snapshot(spark, root, 1), "branch_head"))
+        .unionByName(agg(sn.read_snapshot(spark, root, 3), "after_pick"))
+        .orderBy("phase")
+    )
