@@ -163,6 +163,7 @@ _TAIL = [
     "streaming_snapshot_source",
     "streaming_snapshot_cdf_source",
     "snapshot_view_refresh_cdf",
+    "snapshot_replication",
     "ivf_topk",
     "pq_topk",
 ]

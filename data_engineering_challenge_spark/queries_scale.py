@@ -2828,3 +2828,62 @@ def q_snapshot_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(sn.read_snapshot(spark, root, 3), "after_pick"))
         .orderBy("phase")
     )
+
+
+@register(
+    "snapshot_replication",
+    # The mirror's contract is exact convergence to the source's merged
+    # state, so the replayed-feed oracle of snapshot_mor_merge applies
+    # verbatim to the MIRROR read.
+    """
+WITH feed AS (
+    SELECT user_id AS k,
+           event_id AS seq,
+           event_id % 3 AS batch,
+           CASE WHEN event_id % 7 = 0 THEN 'D'
+                WHEN event_id % 2 = 0 THEN 'I'
+                ELSE 'U' END AS op,
+           value AS v
+    FROM events
+),
+ranked AS (
+    SELECT k, seq, op, v,
+           ROW_NUMBER() OVER (PARTITION BY k
+                              ORDER BY batch DESC, seq DESC) AS rn
+    FROM feed
+)
+SELECT k AS user_id, seq AS last_seq, v AS last_value
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+""",
+)
+def q_snapshot_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE REPLICATION through the streamed change feed
+    (`snapshot_source.replicate_snapshot_table` — the capstone CDC
+    composition): the three-commit MoR fixture is mirrored into a
+    SECOND snapshot table by draining its ``change_feed`` stream into
+    per-epoch exactly-once MoR merges (tombstones → D ops, inserts →
+    I ops, the insert winning an upsert pair deterministically), and
+    the MIRROR's merged read hash-matches the oracle's replay of the
+    source feed — proving replication loses nothing and the mirror is
+    a first-class table.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+    from .sources.snapshot_source import replicate_snapshot_table
+
+    key = ("snapshot_replication", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        src = _mor_feed_root(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="snap_repl_")
+        dst, ckpt = f"{tmp}/mirror", f"{tmp}/ckpt"
+        replicate_snapshot_table(
+            spark, src, dst, ["k"], ckpt, start_version=0
+        )
+        out = _STREAM_OUT_CACHE[key] = dst
+    return sn.read_snapshot_mor(spark, out).select(
+        F.col("k").alias("user_id"),
+        F.col("seq").alias("last_seq"),
+        F.col("v").alias("last_value"),
+    )

@@ -373,11 +373,25 @@ class SnapshotStreamReader(DataSourceStreamReader):
         pre-image deletes are the batch `read_snapshot_cdf`'s job).
         Minor-compaction hops emit nothing; overwrite/restore hops,
         dropped delete files, position deletes and schema evolution
-        fail loudly — none is expressible as file-grain events."""
+        fail loudly — none is expressible as file-grain events.
+
+        ``s=-1`` replays the WHOLE history as events from an empty
+        synthetic base (Delta's ``startingVersion=0``): commit 0's own
+        files and delete lists are the first hop."""
         chain = [sn._read_manifest(self.root, e)]
         while chain[-1]["version"] != s:
             parent = chain[-1]["parent"]
-            if parent is None or parent < s:
+            if parent is None:
+                if s == -1:
+                    chain.append(
+                        {"version": -1, "files": [], "delete_files": []}
+                    )
+                    break
+                raise ValueError(
+                    f"snapshot_table stream: v{s} is not an ancestor of "
+                    f"v{e} (rollback between offsets?)"
+                )
+            if parent < s:
                 raise ValueError(
                     f"snapshot_table stream: v{s} is not an ancestor of "
                     f"v{e} (rollback between offsets?)"
@@ -469,10 +483,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
             try:
                 if not self.change_feed:
                     _added_files(self.root, sv - 1, cur)
-                elif sv == 0:
-                    # mirrors partitions()' s<0 initial-snapshot branch
-                    self._initial_insert_partitions(cur)
                 else:
+                    # sv=0 = full event replay from the empty base
                     self._cdf_hops(sv - 1, cur)
             except FileNotFoundError as exc:
                 raise ValueError(
@@ -492,6 +504,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return []
         if self.change_feed:
             if s < 0:
+                if self.start_version is not None and int(self.start_version) == 0:
+                    # start_version=0 = replay the WHOLE history as
+                    # per-commit events (Delta's startingVersion=0);
+                    # only a fresh checkpoint ever sees offset -1, so
+                    # consulting the option here is sound
+                    return self._cdf_hops(-1, e)
                 return self._initial_insert_partitions(e)
             return self._cdf_hops(s, e)
         return [
@@ -528,3 +546,86 @@ class SnapshotStreamReader(DataSourceStreamReader):
 def register_snapshot_source(spark) -> None:
     """Idempotent registration of the ``snapshot_table`` format."""
     spark.dataSource.register(SnapshotTableDataSource)
+
+
+def replicate_snapshot_table(
+    spark,
+    src_root: str,
+    dst_root: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    start_version: int | None = None,
+) -> None:
+    """TABLE REPLICATION through the streamed change feed — the
+    capstone composition: the source's ``change_feed`` stream drains
+    into per-epoch `snapshot_mor_merge` commits on the mirror, so the
+    mirror is itself a first-class snapshot table (time-travelable,
+    CDF-consumable, compactable) that converges to the source's merged
+    state after every run.
+
+    Event mapping per micro-batch: a key-only delete TOMBSTONE becomes
+    a ``D`` op, an insert event an ``I`` op; within one source commit
+    an upsert's tombstone+insert pair carries the same
+    ``_commit_version``, so the replay sequence is ``2*version + 1``
+    for inserts — the insert WINS the key deterministically (arrival
+    order inside a shuffled batch is not a contract).  Exactly-once:
+    each epoch commits under a txn tag scoped by the checkpoint
+    location, so a replayed batch after a crash is a no-op
+    (`snapshot_mor_merge`'s replay-idempotence), and checkpointed
+    restarts consume only new source commits.
+
+    ``start_version`` bootstraps like the source option (omit it only
+    for tables whose history carries no deletes).  Blocks until the
+    pending feed is drained (availableNow)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    register_snapshot_source(spark)
+    scope = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+    reader = (
+        spark.readStream.format("snapshot_table")
+        .option("root", src_root)
+        .option("change_feed", "true")
+    )
+    if start_version is not None:
+        reader = reader.option("start_version", str(start_version))
+
+    def apply_batch(batch, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        is_del = F.col("_change_type") == "delete"
+        mapped = batch.select(
+            *[c for c in batch.columns if c not in _CDF_COLS],
+            F.when(is_del, F.lit("D")).otherwise(F.lit("I")).alias("_op"),
+            (
+                F.col("_commit_version") * 2
+                + F.when(is_del, F.lit(0)).otherwise(F.lit(1))
+            ).alias("_replay_seq"),
+        )
+        # reduce to ONE winning change per key BEFORE the merge so the
+        # replay-sequence column never reaches the mirror's schema
+        w = Window.partitionBy(*keys).orderBy(F.col("_replay_seq").desc())
+        reduced = (
+            mapped.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_replay_seq")
+        )
+        sn.snapshot_mor_merge(
+            spark,
+            dst_root,
+            reduced,
+            keys,
+            tag=f"cdfrepl-{scope}-epoch-{batch_id}",
+        )
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

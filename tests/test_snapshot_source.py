@@ -297,3 +297,47 @@ def test_stream_change_feed_initial_and_zero_start(spark, tmp_path):
     sn.snapshot_delete_where(spark, root2, "id = 1", keys=["id"])
     with pytest.raises(StreamingQueryException, match="start_version"):
         run(root2, {"change_feed": "true"}, "o1", "c1")
+
+
+def test_replicate_snapshot_table_converges(spark, tmp_path):
+    """Replication through the streamed change feed: the mirror — a
+    first-class snapshot table fed by per-epoch MoR merges — converges
+    to the source's merged state, restarts consume only new commits,
+    and a replayed epoch is a no-op."""
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        replicate_snapshot_table,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda rows: spark.createDataFrame(rows, "k LONG, v LONG, _op STRING")
+    sn.snapshot_mor_merge(spark, src, mk([(1, 10, "I"), (2, 20, "I")]), ["k"])
+    sn.snapshot_mor_merge(
+        spark, src, mk([(1, 11, "U"), (2, None, "D"), (3, 30, "I")]), ["k"]
+    )
+
+    def state(root):
+        return {
+            (r.k, r.v) for r in sn.read_snapshot_mor(spark, root).collect()
+        }
+
+    replicate_snapshot_table(spark, src, dst, ["k"], ckpt, start_version=1)
+    # bootstrap from v1: the mirror holds v1's net effect (no v0 state,
+    # started mid-history on purpose to exercise tombstones + inserts)
+    assert state(dst) == {(1, 11), (3, 30)}
+    # now a full-history mirror: fresh checkpoint from version 0
+    dst2, ckpt2 = str(tmp_path / "dst2"), str(tmp_path / "ckpt2")
+    replicate_snapshot_table(spark, src, dst2, ["k"], ckpt2, start_version=0)
+    assert state(dst2) == state(src)
+    # new source commits; restart consumes only the delta
+    sn.snapshot_mor_merge(
+        spark, src, mk([(3, 33, "U"), (1, None, "D")]), ["k"]
+    )
+    replicate_snapshot_table(spark, src, dst2, ["k"], ckpt2, start_version=0)
+    assert state(dst2) == state(src) == {(3, 33)}
+    n_versions = len(sn.snapshot_versions(dst2))
+    # drained source: another run commits nothing new
+    replicate_snapshot_table(spark, src, dst2, ["k"], ckpt2, start_version=0)
+    assert len(sn.snapshot_versions(dst2)) == n_versions
+    assert state(dst2) == state(src)
