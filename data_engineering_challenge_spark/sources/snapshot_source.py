@@ -381,17 +381,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         chain = [sn._read_manifest(self.root, e)]
         while chain[-1]["version"] != s:
             parent = chain[-1]["parent"]
-            if parent is None:
-                if s == -1:
-                    chain.append(
-                        {"version": -1, "files": [], "delete_files": []}
-                    )
-                    break
-                raise ValueError(
-                    f"snapshot_table stream: v{s} is not an ancestor of "
-                    f"v{e} (rollback between offsets?)"
+            if parent is None and s == -1:
+                chain.append(
+                    {"version": -1, "files": [], "delete_files": []}
                 )
-            if parent < s:
+                break
+            if parent is None or parent < s:
                 raise ValueError(
                     f"snapshot_table stream: v{s} is not an ancestor of "
                     f"v{e} (rollback between offsets?)"
@@ -492,6 +487,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     f"manifests back to v{sv - 1} for the delta diff, "
                     f"but one was expired ({exc})"
                 ) from None
+        if sv == 0:
+            # the flag makes the OFFSET self-describing: a WAL-replayed
+            # (-1 → e) batch re-plans the same full event replay even
+            # if the stream is restarted without the option
+            return {"version": -1, "replay": True}
         return {"version": sv - 1}
 
     def latestOffset(self) -> dict:
@@ -504,11 +504,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return []
         if self.change_feed:
             if s < 0:
-                if self.start_version is not None and int(self.start_version) == 0:
+                if start.get("replay"):
                     # start_version=0 = replay the WHOLE history as
                     # per-commit events (Delta's startingVersion=0);
-                    # only a fresh checkpoint ever sees offset -1, so
-                    # consulting the option here is sound
+                    # the flag rides in the checkpointed offset, so a
+                    # WAL-replayed first batch plans identically even
+                    # if the restart omitted the option
                     return self._cdf_hops(-1, e)
                 return self._initial_insert_partitions(e)
             return self._cdf_hops(s, e)
@@ -594,30 +595,46 @@ def replicate_snapshot_table(
         reader = reader.option("start_version", str(start_version))
 
     def apply_batch(batch, batch_id: int) -> None:
-        from pyspark.sql import Window
+        import uuid as _uuid
 
+        # uuid-suffixed internals: a source column named _op or
+        # _replay_seq must never be clobbered (read_snapshot_mor's
+        # convention)
+        sfx = _uuid.uuid4().hex[:8]
+        op_c, seq_c = f"_op_{sfx}", f"_replay_seq_{sfx}"
         is_del = F.col("_change_type") == "delete"
         mapped = batch.select(
             *[c for c in batch.columns if c not in _CDF_COLS],
-            F.when(is_del, F.lit("D")).otherwise(F.lit("I")).alias("_op"),
+            F.when(is_del, F.lit("D")).otherwise(F.lit("I")).alias(op_c),
             (
                 F.col("_commit_version") * 2
                 + F.when(is_del, F.lit(0)).otherwise(F.lit(1))
-            ).alias("_replay_seq"),
+            ).alias(seq_c),
         )
-        # reduce to ONE winning change per key BEFORE the merge so the
-        # replay-sequence column never reaches the mirror's schema
-        w = Window.partitionBy(*keys).orderBy(F.col("_replay_seq").desc())
-        reduced = (
-            mapped.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_replay_seq")
+        # a source with DUPLICATE live rows per key cannot be mirrored
+        # through keyed merges — the reduction would keep an arbitrary
+        # row and silently lose the rest; fail loudly instead
+        dup = (
+            mapped.groupBy(*keys, seq_c)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
         )
+        if dup:
+            raise ValueError(
+                "replicate_snapshot_table: the source has multiple rows "
+                f"for one key within a commit (keys={keys}) — keyed "
+                "replication requires key-unique sources"
+            )
         sn.snapshot_mor_merge(
             spark,
             dst_root,
-            reduced,
+            mapped,
             keys,
+            op_col=op_c,
+            seq_col=seq_c,
+            drop_seq_col=True,
             tag=f"cdfrepl-{scope}-epoch-{batch_id}",
         )
 

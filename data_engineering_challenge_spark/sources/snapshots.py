@@ -2076,6 +2076,7 @@ def snapshot_mor_merge(
     tag: str | None = None,
     seq_col: str | None = None,
     stats_cols: list[str] | None = None,
+    drop_seq_col: bool = False,
 ) -> int:
     """MERGE-ON-READ CDC onto a snapshot table — the Iceberg
     equality-delete / Delta deletion-vector pattern, the write-cheap
@@ -2111,6 +2112,10 @@ def snapshot_mor_merge(
     last = last.persist()
     try:
         upserts = last.filter(last[op_col] != "D").drop(op_col)
+        if drop_seq_col and seq_col is not None:
+            # a transport-level replay sequence orders the merge but is
+            # not table data — keep it out of the written schema
+            upserts = upserts.drop(seq_col)
         if stats_cols is None:
             new_files, new_stats = _write_files(upserts, root), {}
         else:

@@ -341,3 +341,30 @@ def test_replicate_snapshot_table_converges(spark, tmp_path):
     replicate_snapshot_table(spark, src, dst2, ["k"], ckpt2, start_version=0)
     assert len(sn.snapshot_versions(dst2)) == n_versions
     assert state(dst2) == state(src)
+
+
+def test_replicate_refuses_duplicate_key_sources(spark, tmp_path):
+    """A source with multiple live rows per key cannot be mirrored
+    through keyed merges — loud refusal, never silent row loss."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        replicate_snapshot_table,
+    )
+
+    src = str(tmp_path / "src")
+    sn.snapshot_append(
+        spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "k LONG, v LONG")
+        .coalesce(1),
+        src,
+    )
+    with pytest.raises(StreamingQueryException, match="key-unique"):
+        replicate_snapshot_table(
+            spark,
+            src,
+            str(tmp_path / "dst"),
+            ["k"],
+            str(tmp_path / "ckpt"),
+            start_version=0,
+        )
