@@ -1,0 +1,182 @@
+"""Persistent snapshot CATALOG — durable ``name → {root, pins}``
+registry so SQL users resolve snapshot tables BY NAME across sessions
+(the one ergonomic edge the reference kept: its tables live by name in
+one SQLite file, db_operations.py:46-57; here the catalog is a directory
+of per-table JSON entries over the snapshot format).
+
+Design, matching the format's own discipline:
+
+* one ENTRY FILE per table name (``<catalog>/<name>.json``) — creation
+  is an atomic ``os.link`` claim (EEXIST instead of clobber), so two
+  concurrent ``CREATE TABLE`` of the same name race loudly, never
+  silently overwrite each other;
+* an entry records the table ROOT plus an optional reproducibility PIN
+  (``version`` / ``asof`` / ``ref`` — the attach-time semantics of
+  `snapshots.attach_snapshot_view`), so "the June audit table" is a
+  catalog name, not a root path plus a version number carried
+  out-of-band;
+* `attach_catalog` re-registers every entry as a temp view in a fresh
+  session — the durable counterpart of the session-scoped
+  `attach_snapshot_views`;
+* replacing an entry is an explicit administrative act
+  (``replace=True``, ``os.replace`` — last-writer-wins, documented) and
+  `catalog_drop` removes the name; neither touches table data.
+
+At 100 TB the catalog is pure metadata: O(tables) tiny JSON files, read
+once per attach — table scans still plan through each table's own
+manifests."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+
+from . import snapshots as sn
+
+
+def _entry_path(catalog_dir: str, name: str) -> str:
+    return os.path.join(catalog_dir, f"{name}.json")
+
+
+def _check_name(fn: str, name: str) -> None:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"{fn}: invalid table name {name!r}")
+
+
+def catalog_register(
+    catalog_dir: str,
+    name: str,
+    root: str,
+    version: int | None = None,
+    asof: float | None = None,
+    ref: str | None = None,
+    replace: bool = False,
+    comment: str | None = None,
+) -> dict:
+    """Register ``name`` → ``root`` (plus at most one pin) in the
+    catalog.  Validates EARLY: the root must already be a committed
+    snapshot table and an explicit pin must resolve — a catalog entry
+    that cannot attach is a lie someone discovers at 2am.  Creation is
+    an atomic claim; pass ``replace=True`` to administratively repoint
+    an existing name (pins change, the name's meaning is versioned by
+    the entry's ``ts``).  Returns the entry dict."""
+    _check_name("catalog_register", name)
+    if sum(x is not None for x in (version, asof, ref)) > 1:
+        raise ValueError(
+            "catalog_register: pass at most one of version/asof/ref"
+        )
+    cur = sn.current_version(root)
+    if cur is None:
+        raise FileNotFoundError(
+            f"catalog_register: {root} has no committed snapshot version"
+        )
+    # resolve the pin NOW so a bad pin fails at registration, loudly —
+    # the entry still stores the SYMBOLIC pin (a ref follows its branch;
+    # asof re-resolves against the live lineage at attach)
+    if ref is not None:
+        sn.resolve_ref(root, ref)
+    elif asof is not None:
+        sn.resolve_asof_version(root, asof)
+    elif version is not None and not os.path.exists(
+        sn._manifest_path(root, version)
+    ):
+        raise FileNotFoundError(
+            f"catalog_register: version {version} does not exist at {root}"
+        )
+    entry = {
+        "name": name,
+        "root": os.path.abspath(root),
+        "version": version,
+        "asof": asof,
+        "ref": ref,
+        "comment": comment,
+        "ts": time.time(),
+    }
+    os.makedirs(catalog_dir, exist_ok=True)
+    path = _entry_path(catalog_dir, name)
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+    if replace:
+        os.replace(tmp, path)  # administrative last-writer-wins
+        return entry
+    try:
+        os.link(tmp, path)  # atomic claim: EEXIST on collision
+    except FileExistsError:
+        raise ValueError(
+            f"catalog_register: name {name!r} already exists — pass "
+            "replace=True to repoint it, or catalog_drop first"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+    return entry
+
+
+def catalog_drop(catalog_dir: str, name: str) -> None:
+    """Remove a name from the catalog (table data untouched)."""
+    _check_name("catalog_drop", name)
+    try:
+        os.remove(_entry_path(catalog_dir, name))
+    except FileNotFoundError:
+        raise FileNotFoundError(f"catalog_drop: no table {name!r}") from None
+
+
+def catalog_entries(catalog_dir: str) -> dict[str, dict]:
+    """Every registered table: ``{name: entry}`` (one directory pass;
+    entries deleted mid-scan are skipped)."""
+    try:
+        names = os.listdir(catalog_dir)
+    except FileNotFoundError:
+        return {}
+    out: dict[str, dict] = {}
+    for n in sorted(names):
+        if not n.endswith(".json") or ".tmp." in n:
+            continue
+        try:
+            with open(os.path.join(catalog_dir, n)) as fh:
+                e = json.load(fh)
+        except FileNotFoundError:
+            continue  # dropped between listdir and read
+        out[e["name"]] = e
+    return out
+
+
+def attach_catalog(
+    spark: SparkSession,
+    catalog_dir: str,
+    names: list[str] | None = None,
+    prefix: str = "",
+) -> dict[str, int]:
+    """Attach every catalog table (or the given ``names``) as temp
+    views — the fresh-session entry point: a SQL user calls this once
+    and queries tables by their DURABLE names; pins recorded in the
+    catalog apply exactly as at `attach_snapshot_view` (a ``ref`` pin
+    follows its branch head, ``asof``/``version`` pins stay fixed).
+    ``prefix`` namespaces the views (e.g. ``"prod_"``).  Returns the
+    pinned version per attached name."""
+    entries = catalog_entries(catalog_dir)
+    if names is not None:
+        missing = [n for n in names if n not in entries]
+        if missing:
+            raise FileNotFoundError(
+                f"attach_catalog: not in the catalog: {missing}"
+            )
+        entries = {n: entries[n] for n in names}
+    out: dict[str, int] = {}
+    for name, e in entries.items():
+        out[name] = sn.attach_snapshot_view(
+            spark,
+            prefix + name,
+            e["root"],
+            version=e.get("version"),
+            asof=e.get("asof"),
+            ref=e.get("ref"),
+        )
+    return out

@@ -107,6 +107,7 @@ def _added_files(root: str, from_v: int, to_v: int) -> list[str]:
                 "deleted rows; snapshot_compact first"
             )
         return sorted(to_m["files"])
+    added: list[str] = []
     m = to_m
     while m["version"] != from_v:
         parent = m["parent"]
@@ -116,6 +117,23 @@ def _added_files(root: str, from_v: int, to_v: int) -> list[str]:
                 f"v{to_v} (rollback between offsets?)"
             )
         pm = sn._read_manifest(root, parent)
+        if m.get("operation") == "compact":
+            # major compaction is row-content-preserving: it adds no
+            # rows, and the deletes it folds necessarily predate this
+            # stream's offset range (an in-range delete commit fails the
+            # delete-set check on its own hop) and cannot touch in-range
+            # files (the sequence rule) — SKIP the hop so a checkpointed
+            # consumer survives cron maintenance instead of dying on it.
+            # The added set accumulates per hop: a file the compaction
+            # rewrote away is still read (immutable, still referenced by
+            # its pre-compact manifest).
+            if m.get("delete_files"):
+                raise ValueError(
+                    f"snapshot_table stream: v{m['version']} compact "
+                    "commit carries delete files — inconsistent manifest"
+                )
+            m = pm
+            continue
         if not set(pm["files"]) <= set(m["files"]):
             raise ValueError(
                 f"snapshot_table stream: v{m['version']} overwrote "
@@ -128,8 +146,10 @@ def _added_files(root: str, from_v: int, to_v: int) -> list[str]:
                 "delete-file set — the delta is not expressible as added "
                 "rows; consume via diff of time-traveled MoR reads"
             )
+        pf = set(pm["files"])
+        added.extend(f for f in m["files"] if f not in pf)
         m = pm
-    return sorted(set(to_m["files"]) - set(m["files"]))
+    return sorted(set(added))
 
 
 def _all_nullable(schema: StructType) -> StructType:
@@ -403,6 +423,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         f"snapshot_table change_feed: v{v} "
                         "compact-deletes commit changed the data file "
                         "set — inconsistent manifest"
+                    )
+                continue
+            if m.get("operation") == "compact":
+                # row-content-preserving: the folded deletes already
+                # streamed as tombstones when their commits crossed this
+                # feed — emit nothing, keep the consumer alive across
+                # cron maintenance (the batch read_snapshot_cdf skips
+                # the same hops)
+                if m.get("delete_files"):
+                    raise ValueError(
+                        f"snapshot_table change_feed: v{v} compact "
+                        "commit carries delete files — inconsistent "
+                        "manifest"
                     )
                 continue
             if not set(pm["files"]) <= set(m["files"]):

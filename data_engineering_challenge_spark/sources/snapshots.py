@@ -64,9 +64,126 @@ def current_version(root: str) -> int | None:
         return None
 
 
+#: parsed-JSON cache for manifest metadata files.  Manifest payloads and
+#: entry files are IMMUTABLE once claimed/written (the commit protocol
+#: never rewrites them in place), so caching by (inode, mtime_ns, size)
+#: signature is safe — a test recreating a table root at the same path
+#: changes the signature and misses the cache.  Bounded: cleared
+#: wholesale past a cap (simple and safe; at the cap the cache has
+#: already amortized the hot walks).
+_JSON_CACHE: dict[str, tuple[tuple, dict]] = {}
+_RESOLVED_CACHE: dict[str, tuple[tuple, dict]] = {}
+_JSON_CACHE_MAX = 16384
+
+
+def _load_json_cached(path: str) -> dict:
+    st = os.stat(path)  # FileNotFoundError propagates like open() did
+    sig = (st.st_ino, st.st_mtime_ns, st.st_size)
+    hit = _JSON_CACHE.get(path)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    with open(path) as fh:
+        d = json.load(fh)
+    if len(_JSON_CACHE) > _JSON_CACHE_MAX:
+        _JSON_CACHE.clear()
+    _JSON_CACHE[path] = (sig, d)
+    return d
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_manifest_dir(root), f"v{version}.json")
+
+
+def _read_manifest_meta(root: str, version: int) -> dict:
+    """The version's manifest PAYLOAD only — parent/operation/ts/tag and
+    (format-2) the entry-name lists, layout, and fields, WITHOUT
+    resolving per-file metadata.  O(1) in table file count for format-2
+    manifests — the right primitive for lineage walks (`_descends_from`,
+    sibling scans, `resolve_asof_version`), which previously re-parsed
+    the full O(files) manifest at every hop.  Treat the result as
+    READ-ONLY (it is cache-shared)."""
+    return _load_json_cached(_manifest_path(root, version))
+
+
+def _load_entry(root: str, name: str) -> dict:
+    """One immutable manifest-entry file (format 2).  READ-ONLY."""
+    return _load_json_cached(os.path.join(_manifest_dir(root), name))
+
+
+def _write_entry(root: str, content: dict, prefix: str = "e") -> str:
+    """Write one immutable manifest-entry file; the uuid name never
+    collides, so a plain rename (not a claim) suffices."""
+    name = f"{prefix}-{uuid.uuid4().hex}.json"
+    path = os.path.join(_manifest_dir(root), name)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(content, fh)
+    os.rename(tmp, path)
+    return name
+
+
+def _resolve_payload(root: str, payload: dict) -> dict:
+    """Materialize a manifest payload into the self-contained shape every
+    reader consumes (``files``/``stats``/``file_seq``/``delete_files``/
+    ``file_fields``/``partition_values``/``sizes``).  Format-1 manifests
+    already carry everything inline; format-2 manifests are a small
+    MANIFEST LIST referencing immutable per-commit entry files (the
+    Iceberg two-level shape) — commit metadata is O(delta), and this
+    walk re-derives the full view, memoized per entry."""
+    if payload.get("format") != 2:
+        return payload
+    m = dict(payload)
+    files: list[str] = []
+    stats: dict = {}
+    fseq: dict = {}
+    ffields: dict = {}
+    pvals: dict = {}
+    sizes: dict = {}
+    for name in payload.get("entries") or []:
+        e = _load_entry(root, name)
+        files.extend(e.get("files") or [])
+        stats.update(e.get("stats") or {})
+        fseq.update(e.get("file_seq") or {})
+        ffields.update(e.get("file_fields") or {})
+        pvals.update(e.get("partition_values") or {})
+        sizes.update(e.get("sizes") or {})
+    if len(set(files)) != len(files):
+        raise ValueError(
+            f"_resolve_payload: v{payload.get('version')} entry files "
+            "reference a duplicate data file — corrupt manifest list"
+        )
+    dels: list[dict] = []
+    for name in payload.get("delete_entries") or []:
+        dels.extend(_load_entry(root, name).get("delete_files") or [])
+    m["files"] = files
+    m["stats"] = stats
+    m["file_seq"] = fseq
+    m["delete_files"] = dels
+    if ffields:
+        m["file_fields"] = ffields
+    if pvals:
+        m["partition_values"] = pvals
+    if sizes:
+        m["sizes"] = sizes
+    return m
+
+
 def _read_manifest(root: str, version: int) -> dict:
-    with open(os.path.join(_manifest_dir(root), f"v{version}.json")) as fh:
-        return json.load(fh)
+    """One version's manifest, RESOLVED to the self-contained shape
+    (see `_resolve_payload`).  The top-level dict is a fresh copy per
+    call; nested structures are cache-shared and must be treated as
+    read-only (every caller in this module copies before mutating)."""
+    path = _manifest_path(root, version)
+    st = os.stat(path)
+    sig = (st.st_ino, st.st_mtime_ns, st.st_size)
+    hit = _RESOLVED_CACHE.get(path)
+    if hit is not None and hit[0] == sig:
+        return dict(hit[1])
+    resolved = _resolve_payload(root, _load_json_cached(path))
+    if len(_RESOLVED_CACHE) > _JSON_CACHE_MAX:
+        _RESOLVED_CACHE.clear()
+    _RESOLVED_CACHE[path] = (sig, resolved)
+    return dict(resolved)
 
 
 def _write_files(
@@ -194,9 +311,63 @@ def _resume_tagged_commit(root: str, tag: str) -> int | None:
         return None
     with open(marker) as fh:
         v = int(json.load(fh)["version"])
-    if current_version(root) == _read_manifest(root, v)["parent"]:
+    if current_version(root) == _read_manifest_meta(root, v)["parent"]:
         _set_latest(root, v)  # finish the torn commit
     return v
+
+
+def _entry_lists(
+    root: str, version: int | None, payload: dict
+) -> tuple[list[str], list[str], list[str]]:
+    """The (data-entry names, delete-entry names, names-written-now) of
+    one version.  Format-2 versions reference their lists directly
+    (O(1)); a format-1 version is consolidated ONCE into fresh entry
+    files (a one-time O(its files) migration write — the old manifest
+    stays untouched and readable) so the new commit can reference it."""
+    if version is None:
+        return [], [], []
+    if payload.get("format") == 2:
+        return (
+            list(payload.get("entries") or []),
+            list(payload.get("delete_entries") or []),
+            [],
+        )
+    m = _read_manifest(root, version)
+    written: list[str] = []
+    entries: list[str] = []
+    if m.get("files"):
+        e: dict = {
+            "files": m["files"],
+            "stats": m.get("stats") or {},
+            "file_seq": m.get("file_seq") or {},
+        }
+        for k in ("file_fields", "partition_values", "sizes"):
+            if m.get(k):
+                e[k] = m[k]
+        name = _write_entry(root, e)
+        entries.append(name)
+        written.append(name)
+    dentries: list[str] = []
+    if m.get("delete_files"):
+        name = _write_entry(
+            root, {"delete_files": m["delete_files"]}, prefix="de"
+        )
+        dentries.append(name)
+        written.append(name)
+    return entries, dentries, written
+
+
+def _trim_entry(e: dict, keep: set) -> dict:
+    """An entry restricted to the ``keep`` files (compaction's
+    partially-kept-entry rewrite — bytes ∝ the entry, never the
+    table)."""
+    kept = [f for f in e.get("files") or [] if f in keep]
+    out: dict = {"files": kept}
+    for k in ("stats", "file_seq", "file_fields", "partition_values", "sizes"):
+        sub = {f: v for f, v in (e.get(k) or {}).items() if f in keep}
+        if sub:
+            out[k] = sub
+    return out
 
 
 def _commit(
@@ -215,6 +386,8 @@ def _commit(
     new_file_columns: list[str] | None = None,
     meta_updates: dict | None = None,
     publish: bool = True,
+    entries_from: int | None = None,
+    keep_files: set | None = None,
 ) -> int:
     """Two-phase commit with OPTIMISTIC writer-writer protection:
 
@@ -257,18 +430,58 @@ def _commit(
       evolved table's field list additively and binds the new file
       group's physical column names to field ids; ``base_file_seq``
       seeds the sequence map so a rewrite (compaction) can carry kept
-      files' original commit sequences.
+      files' original commit sequences;
+    * FORMAT 2 (two-level manifests): the version file written here is
+      a small MANIFEST LIST — ``entries``/``delete_entries`` name
+      immutable per-commit entry files carrying the per-file metadata
+      (Iceberg's manifest-list/manifest split, JSON) — so commit
+      metadata is O(delta + schema), never O(table files): an append
+      references the parent's entry names and writes ONE new entry for
+      its file group.  ``entries_from`` (overwrite family) references
+      that version's entry lists verbatim instead of re-serializing its
+      content (restore/evolve/minor-compact); ``keep_files`` (with
+      ``entries_from``) trims each referenced entry to the kept subset
+      — fully-kept entries ride by name, partially-kept ones are
+      rewritten at entry (not table) cost (compaction).  Format-1
+      parents are consolidated into entry files once, on first contact.
     """
     os.makedirs(_manifest_dir(root), exist_ok=True)
     staged = os.path.join(_manifest_dir(root), f".stage-{uuid.uuid4().hex}")
     seen = set(seen_versions or ())
+    attempt_written: list[str] = []  # entry files owned by THIS attempt
+
+    def _discard_attempt() -> None:
+        for n in attempt_written:
+            try:
+                os.remove(os.path.join(_manifest_dir(root), n))
+            except FileNotFoundError:
+                pass
+        attempt_written.clear()
+
+    def _merge(cur, new):
+        # dicts merge recursively (so layout.partition_transforms
+        # ACCUMULATES across spec changes instead of being replaced
+        # wholesale); anything else replaces
+        if isinstance(new, dict) and isinstance(cur, dict):
+            out = dict(cur)
+            for k2, v2 in new.items():
+                out[k2] = _merge(out.get(k2), v2)
+            return out
+        return new
+
+    rebased = False  # parent moved by the sibling scan at least once
     for _attempt in range(1000):  # bounded retry under contention
+        _discard_attempt()  # a lost claim's entries are re-derived
         existing = snapshot_versions(root)
         version = (existing[-1] + 1) if existing else 0
         if conflict_mode == "serialize" or rebase_append:
-            for v in sorted(set(existing) - seen):
-                if v != parent and _descends_from(root, v, parent):
-                    if _read_manifest(root, v).get("operation") in (
+            # only versions NUMBERED past the parent can descend from it
+            # (numbers are monotonic), so the sibling scan is bounded by
+            # the commits that actually raced — not the whole history
+            floor = parent if parent is not None else -1
+            for v in sorted(x for x in set(existing) - seen if x > floor):
+                if _descends_from(root, v, parent):
+                    if _read_manifest_meta(root, v).get("operation") in (
                         "stage-append",
                         "branch-append",
                     ) and not _is_published(root, v):
@@ -294,107 +507,197 @@ def _commit(
                             "against the new head"
                         )
                     parent = v  # rebase onto the concurrent sibling
-        # ONE parent-manifest read per attempt — shared by the rebase
-        # file merge and the metadata inheritance below
-        pm = _read_manifest(root, parent) if parent is not None else {}
+                    rebased = True
+        # ONE parent PAYLOAD read per attempt — O(1) in table files for
+        # format-2 parents; the fully-resolved parent is only pulled in
+        # the rare paths that need per-file metadata (evolved-table
+        # binding, format-1 migration, entry trimming)
+        pm_meta = _read_manifest_meta(root, parent) if parent is not None else {}
+        new_files = list(files)
+        # ---- entry lists ----------------------------------------------
         if rebase_append:
-            if parent is None:
-                all_files, all_stats = list(files), dict(stats or {})
-                all_fseq, all_deletes = {}, []
+            base_entries, base_dentries, migrated = _entry_lists(
+                root, parent, pm_meta
+            )
+            attempt_written.extend(migrated)
+            if rebased and parent is not None and new_files:
+                # a rebased sibling may already carry our files (e.g. a
+                # concurrent duplicate cherry-pick) — the v1 format
+                # deduped the merged file list; entries must stay
+                # disjoint, so filter here (resolve is memoized and only
+                # paid on actual races)
+                pf = set(_read_manifest(root, parent)["files"])
+                new_files = [f for f in new_files if f not in pf]
+        elif entries_from is not None:
+            src_meta = _read_manifest_meta(root, entries_from)
+            src_entries, src_dentries, migrated = _entry_lists(
+                root, entries_from, src_meta
+            )
+            attempt_written.extend(migrated)
+            if keep_files is not None:
+                base_entries = []
+                for name in src_entries:
+                    e = _load_entry(root, name)
+                    efiles = e.get("files") or []
+                    kept = [f for f in efiles if f in keep_files]
+                    if len(kept) == len(efiles):
+                        base_entries.append(name)  # fully kept: by name
+                        continue
+                    if not kept and not e.get("file_fields"):
+                        continue  # fully rewritten: drop the entry
+                    # partially kept (or carrying field bindings that
+                    # must survive): rewrite at entry cost
+                    tn = _write_entry(root, _trim_entry(e, keep_files))
+                    base_entries.append(tn)
+                    attempt_written.append(tn)
+                new_files = [f for f in files if f not in keep_files]
             else:
-                all_files = pm["files"] + [
-                    f for f in files if f not in pm["files"]
-                ]
-                all_stats = dict(pm.get("stats") or {})
-                all_stats.update(stats or {})
-                all_fseq = dict(pm.get("file_seq") or {})
-                all_deletes = list(pm.get("delete_files") or [])
+                base_entries = src_entries
+                src = _read_manifest(root, entries_from)
+                extra = [f for f in files if f not in set(src["files"])]
+                if extra:
+                    raise ValueError(
+                        "_commit: entries_from caller passed files the "
+                        f"source version does not contain: {extra[:3]}"
+                    )
+                new_files = []
+            ov = (manifest_override or {}).get("delete_files")
+            if ov is not None:
+                src = _read_manifest(root, entries_from)
+                if ov == (src.get("delete_files") or []):
+                    base_dentries = src_dentries  # verbatim carry
+                elif ov:
+                    dn = _write_entry(
+                        root, {"delete_files": ov}, prefix="de"
+                    )
+                    base_dentries = [dn]
+                    attempt_written.append(dn)
+                else:
+                    base_dentries = []
+            else:
+                # overwrite family folds inherited deletes by default
+                base_dentries = []
         else:
-            # overwrite family: complete content replacement folds away
-            # any inherited delete files (the new file set IS the truth)
-            all_files, all_stats = files, stats or {}
-            all_fseq, all_deletes = dict(base_file_seq or {}), []
-        for f in files:
-            all_fseq.setdefault(f, version)
-        for d in new_delete_files or ():
-            all_deletes.append({**d, "seq": version})
-        payload = {
-            "version": version,
-            "parent": parent,
-            "files": all_files,
-            "tag": tag,
-            "stats": all_stats,
-            "ts": time.time(),
-            "operation": operation,
-            "file_seq": all_fseq,
-            "delete_files": all_deletes,
-        }
-        # table/file metadata inheritance (pm re-derives each attempt —
-        # a rebase can change the parent)
-        meta: dict = {}
+            # plain overwrite: the new file set IS the truth; inherited
+            # delete files fold away
+            base_entries, base_dentries = [], []
+        if new_delete_files:
+            dn = _write_entry(
+                root,
+                {
+                    "delete_files": [
+                        {**d, "seq": version} for d in new_delete_files
+                    ]
+                },
+                prefix="de",
+            )
+            base_dentries = list(base_dentries) + [dn]
+            attempt_written.append(dn)
+        # ---- table-level metadata (payload-resident: O(schema)) -------
+        tbl_meta: dict = {}
         for k in ("layout", "fields"):
-            if pm.get(k):
-                meta[k] = (
-                    dict(pm[k]) if isinstance(pm[k], dict) else list(pm[k])
+            if pm_meta.get(k):
+                tbl_meta[k] = (
+                    dict(pm_meta[k])
+                    if isinstance(pm_meta[k], dict)
+                    else list(pm_meta[k])
                 )
-        ref = set(all_files)
-        for k in ("file_fields", "partition_values"):
-            inherited = {
-                f: dict(v) for f, v in (pm.get(k) or {}).items() if f in ref
-            }
-            if inherited:
-                meta[k] = inherited
-        def _merge(cur, new):
-            # dicts merge recursively (so layout.partition_transforms
-            # ACCUMULATES across spec changes instead of being replaced
-            # wholesale); anything else replaces
-            if isinstance(new, dict) and isinstance(cur, dict):
-                out = dict(cur)
-                for k2, v2 in new.items():
-                    out[k2] = _merge(out.get(k2), v2)
-                return out
-            return new
-
         for k, v in (meta_updates or {}).items():
-            meta[k] = _merge(meta.get(k), v)
-        if meta.get("fields") is not None and new_file_columns is not None:
+            if k in ("layout", "fields"):
+                tbl_meta[k] = _merge(tbl_meta.get(k), v)
+        # ---- the new data entry ---------------------------------------
+        entry: dict = {}
+        if new_files:
+            st = stats or {}
+            entry = {
+                "files": new_files,
+                "file_seq": {
+                    f: int((base_file_seq or {}).get(f, version))
+                    for f in new_files
+                },
+                "sizes": {
+                    f: os.path.getsize(os.path.join(root, f))
+                    for f in new_files
+                },
+            }
+            e_stats = {f: st[f] for f in new_files if st.get(f)}
+            if e_stats:
+                entry["stats"] = e_stats
+            new_set = set(new_files)
+            for k in ("file_fields", "partition_values"):
+                mu = (meta_updates or {}).get(k) or {}
+                sub = {f: v for f, v in mu.items() if f in new_set}
+                if sub:
+                    entry[k] = sub
+        if tbl_meta.get("fields") is not None and new_file_columns is not None:
             # additive evolution: a new file group may introduce columns
             # the logical schema hasn't seen — append them with fresh
             # field ids (ids are never reused, even after a drop, so an
             # old file's binding can never alias a new field)
-            flds = [dict(x) for x in meta["fields"]]
+            pm_res = _read_manifest(root, parent) if parent is not None else {}
+            flds = [dict(x) for x in tbl_meta["fields"]]
             known = {x["name"] for x in flds}
             nid = max((x["id"] for x in flds), default=0)
-            for mp in (meta.get("file_fields") or {}).values():
+            for mp in (pm_res.get("file_fields") or {}).values():
                 nid = max(nid, max(mp.values(), default=0))
             for c in new_file_columns:
                 if c not in known:
                     nid += 1
                     flds.append({"id": nid, "name": c})
                     known.add(c)
-            meta["fields"] = flds
+            tbl_meta["fields"] = flds
             n2i = {x["name"]: x["id"] for x in flds}
-            ff = dict(meta.get("file_fields") or {})
-            for f in files:
-                ff.setdefault(f, {c: n2i[c] for c in new_file_columns})
-            meta["file_fields"] = ff
-        payload.update(meta)
-        # internal override hook (snapshot_restore): carry a historical
-        # version's file_seq/delete_files/schema metadata so its state
-        # is preserved verbatim — never version/parent/ts
-        for k in (
-            "file_seq",
-            "delete_files",
-            "fields",
-            "file_fields",
-            "partition_values",
-            "layout",
-        ):
-            if manifest_override and k in manifest_override:
-                if manifest_override[k] is None:
-                    payload.pop(k, None)
-                else:
-                    payload[k] = manifest_override[k]
+            if new_files:
+                eff = dict(entry.get("file_fields") or {})
+                for f in new_files:
+                    eff.setdefault(
+                        f, {c: n2i[c] for c in new_file_columns}
+                    )
+                entry["file_fields"] = eff
+        # ---- overrides (restore/evolve): fields/layout in the payload;
+        # file_fields as a bindings-diff entry vs the referenced source
+        if manifest_override:
+            for k in ("fields", "layout"):
+                if k in manifest_override:
+                    if manifest_override[k] is None:
+                        tbl_meta.pop(k, None)
+                    else:
+                        tbl_meta[k] = manifest_override[k]
+            if (
+                "file_fields" in manifest_override
+                and entries_from is not None
+            ):
+                ovff = manifest_override["file_fields"] or {}
+                src = _read_manifest(root, entries_from)
+                cur_ff = src.get("file_fields") or {}
+                diff = {
+                    f: b for f, b in ovff.items() if cur_ff.get(f) != b
+                }
+                if diff:
+                    # bindings-only entry (no files): evolve's bootstrap
+                    # writes the physical-name→field-id map ONCE; later
+                    # renames/drops are payload-only commits
+                    bn = _write_entry(
+                        root, {"files": [], "file_fields": diff}
+                    )
+                    base_entries = list(base_entries) + [bn]
+                    attempt_written.append(bn)
+        entries = list(base_entries)
+        if entry:
+            en = _write_entry(root, entry)
+            entries.append(en)
+            attempt_written.append(en)
+        payload = {
+            "version": version,
+            "parent": parent,
+            "tag": tag,
+            "ts": time.time(),
+            "operation": operation,
+            "format": 2,
+            "entries": entries,
+            "delete_entries": list(base_dentries),
+        }
+        payload.update(tbl_meta)
         with open(staged, "w") as fh:
             json.dump(payload, fh)
         mpath = os.path.join(_manifest_dir(root), f"v{version}.json")
@@ -404,6 +707,7 @@ def _commit(
             continue  # another writer took this number — re-derive
         finally:
             os.remove(staged)
+        attempt_written.clear()  # the claimed manifest now owns them
         if tag is not None:
             mtmp = _tag_marker(root, tag) + ".tmp"
             with open(mtmp, "w") as fh:
@@ -453,7 +757,7 @@ def _refuse_mor_on_evolved(root: str, parent: int | None, op: str) -> None:
     and `snapshot_evolve` symmetrically refuses tables carrying deletes
     (compact first).  The read path's consistency check can therefore
     never fire on a table this module wrote."""
-    if parent is not None and _read_manifest(root, parent).get("fields"):
+    if parent is not None and _read_manifest_meta(root, parent).get("fields"):
         raise ValueError(
             f"{op}: table at {root} has a logical schema "
             "(snapshot_evolve) — MoR delete commits are not supported "
@@ -485,7 +789,7 @@ def _descends_from(root: str, v: int, anc: int | None) -> bool:
     while cur is not None and cur >= anc:
         if cur == anc:
             return True
-        cur = _read_manifest(root, cur)["parent"]
+        cur = _read_manifest_meta(root, cur)["parent"]
     return False
 
 
@@ -736,6 +1040,77 @@ def snapshot_append_clustered(
     )
 
 
+def _write_partitioned_files(
+    df: DataFrame,
+    root: str,
+    partition_transforms: dict[str, str],
+    stats_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+) -> tuple[list[str], dict, dict]:
+    """The physical HIDDEN-PARTITIONED write shared by
+    `snapshot_append_partitioned` and `snapshot_compact`'s
+    layout-preserving rewrite: group rows by transform value
+    (``partitionBy`` on temporary columns parquet drops from the data
+    files), recursively list the nested output, and parse each file's
+    recorded partition value back out of its path.  Returns
+    ``(files, stats, partition_values)``, all table-root-relative."""
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    tmps = {name: f"_pt_{name}" for name in partition_transforms}
+    for name in partition_transforms:
+        if tmps[name] in df.columns:
+            raise ValueError(
+                f"snapshot partitioned write: column {tmps[name]!r} "
+                "collides with the internal partition column"
+            )
+    out_df = df
+    for name, expr in partition_transforms.items():
+        out_df = out_df.withColumn(
+            tmps[name], F.expr(expr).cast("string")
+        )
+    # co-locate each partition value in one task BEFORE partitionBy —
+    # otherwise every task writes a file into every value directory and
+    # the commit is tasks×values small files (at scale you shard a hot
+    # partition by adding a bucket transform, keeping file count
+    # values×buckets, never ×tasks)
+    out_df = out_df.repartition(*tmps.values())
+    if sort_cols:
+        out_df = out_df.sortWithinPartitions(*sort_cols)
+    group = os.path.join("data", uuid.uuid4().hex)
+    out = os.path.join(root, group)
+    out_df.write.partitionBy(*tmps.values()).parquet(out)
+    # recursive listing: partitioned writes nest one dir per value
+    files: list[str] = []
+    pvals: dict[str, dict] = {}
+    for dirpath, _dirs, names in os.walk(out):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, n), root)
+            files.append(rel)
+            vals = {}
+            for seg in rel.split(os.sep):
+                if "=" in seg and seg.split("=", 1)[0] in tmps.values():
+                    k, v = seg.split("=", 1)
+                    name = k[len("_pt_"):]
+                    v = urllib.parse.unquote(v)
+                    # hive's null marker: recorded as None — a file of
+                    # null-transform rows never equality-matches a value
+                    vals[name] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                    )
+            pvals[rel] = vals
+    files.sort()
+    stats = (
+        {f: _file_stats(os.path.join(root, f), stats_cols) for f in files}
+        if stats_cols
+        else {}
+    )
+    return files, stats, pvals
+
+
 def snapshot_append_partitioned(
     df: DataFrame,
     root: str,
@@ -765,8 +1140,6 @@ def snapshot_append_partitioned(
     a day-grained lookup touches one day's files no matter how many
     days the table holds.  ``stats_cols`` composes (per-file min/max
     recorded as usual) for range pruning WITHIN a partition."""
-    from pyspark.sql import functions as F
-
     if not partition_transforms:
         raise ValueError("snapshot_append_partitioned: no transforms given")
     os.makedirs(root, exist_ok=True)
@@ -774,13 +1147,6 @@ def snapshot_append_partitioned(
         v = _resume_tagged_commit(root, tag)
         if v is not None:
             return v
-    tmps = {name: f"_pt_{name}" for name in partition_transforms}
-    for name in partition_transforms:
-        if tmps[name] in df.columns:
-            raise ValueError(
-                f"snapshot_append_partitioned: column {tmps[name]!r} "
-                "collides with the internal partition column"
-            )
     parent_now = current_version(root)
     if parent_now is not None:
         # spec evolution adds NEW names; REDEFINING an existing name
@@ -788,7 +1154,7 @@ def snapshot_append_partitioned(
         # values lie under the new semantics — pruning would silently
         # skip matching rows.  Refuse loudly (rename the partition).
         prev = (
-            (_read_manifest(root, parent_now).get("layout") or {})
+            (_read_manifest_meta(root, parent_now).get("layout") or {})
             .get("partition_transforms")
             or {}
         )
@@ -800,48 +1166,8 @@ def snapshot_append_partitioned(
                     f"as {expr!r} would poison recorded partition "
                     "values; use a new partition name"
                 )
-    out_df = df
-    for name, expr in partition_transforms.items():
-        out_df = out_df.withColumn(
-            tmps[name], F.expr(expr).cast("string")
-        )
-    # co-locate each partition value in one task BEFORE partitionBy —
-    # otherwise every task writes a file into every value directory and
-    # the commit is tasks×values small files (at scale you shard a hot
-    # partition by adding a bucket transform, keeping file count
-    # values×buckets, never ×tasks)
-    out_df = out_df.repartition(*tmps.values())
-    group = os.path.join("data", uuid.uuid4().hex)
-    out = os.path.join(root, group)
-    out_df.write.partitionBy(*tmps.values()).parquet(out)
-    # recursive listing: partitioned writes nest one dir per value
-    import urllib.parse
-
-    files: list[str] = []
-    pvals: dict[str, dict] = {}
-    for dirpath, _dirs, names in os.walk(out):
-        for n in sorted(names):
-            if not n.endswith(".parquet"):
-                continue
-            rel = os.path.relpath(os.path.join(dirpath, n), root)
-            files.append(rel)
-            vals = {}
-            for seg in rel.split(os.sep):
-                if "=" in seg and seg.split("=", 1)[0] in tmps.values():
-                    k, v = seg.split("=", 1)
-                    name = k[len("_pt_"):]
-                    v = urllib.parse.unquote(v)
-                    # hive's null marker: recorded as None — a file of
-                    # null-transform rows never equality-matches a value
-                    vals[name] = (
-                        None if v == "__HIVE_DEFAULT_PARTITION__" else v
-                    )
-            pvals[rel] = vals
-    files.sort()
-    stats = (
-        {f: _file_stats(os.path.join(root, f), stats_cols) for f in files}
-        if stats_cols
-        else {}
+    files, stats, pvals = _write_partitioned_files(
+        df, root, partition_transforms, stats_cols
     )
     seen = set(snapshot_versions(root))
     parent = current_version(root)
@@ -1079,7 +1405,18 @@ def snapshot_compact(
         deletes = m.get("delete_files") or []
         fseq = m.get("file_seq") or {}
         mstats = m.get("stats") or {}
-        sizes = {f: os.path.getsize(os.path.join(root, f)) for f in m["files"]}
+        # sizes recorded at commit time in the manifest entries — the
+        # stat() sweep over every live file is only the fallback for
+        # files committed before sizes were recorded
+        rec_sizes = m.get("sizes") or {}
+        sizes = {
+            f: int(
+                rec_sizes[f]
+                if f in rec_sizes
+                else os.path.getsize(os.path.join(root, f))
+            )
+            for f in m["files"]
+        }
         eq_dels: list[tuple[int, dict | None]] = []
         pos_named: set[tuple[int, str]] = set()
         for d in deletes:
@@ -1148,6 +1485,7 @@ def snapshot_compact(
         layout = m.get("layout") or {}
         sort_cols = layout.get("sort_cols")
         stats_cols = layout.get("stats_cols")
+        transforms = layout.get("partition_transforms") or {}
         if not stats_cols:
             # no declared policy: preserve whatever pruning evidence the
             # parent carried (union of its stat columns) — ADVICE r6
@@ -1156,6 +1494,7 @@ def snapshot_compact(
             ) or None
         new_files: list[str] = []
         new_stats: dict = {}
+        new_pvals: dict = {}
         if rewrite:
             # merge_schema: the rewrite must carry EVOLVED columns — a
             # plain read infers one file group's schema and would
@@ -1163,28 +1502,45 @@ def snapshot_compact(
             sub = read_snapshot_mor(
                 spark, root, parent, merge_schema=True, _files=rewrite
             )
-            if sort_cols:
-                sub = sub.repartitionByRange(
-                    n_out, *sort_cols
-                ).sortWithinPartitions(*sort_cols)
+            if transforms:
+                # a partitioned table's layout POLICY survives
+                # maintenance: re-derive the rewritten files' partition
+                # values through the recorded transforms, so
+                # partition_eq pruning keeps skipping them (kept files
+                # carry their recorded values by reference) — ADVICE r7
+                new_files, new_stats, new_pvals = _write_partitioned_files(
+                    sub,
+                    root,
+                    transforms,
+                    stats_cols,
+                    sort_cols=sort_cols,
+                )
             else:
-                sub = sub.coalesce(n_out)
-            if stats_cols:
-                new_files, new_stats = _write_files(sub, root, stats_cols)
-            else:
-                new_files = _write_files(sub, root)
-        kept_stats = {f: mstats[f] for f in keep if f in mstats}
+                if sort_cols:
+                    sub = sub.repartitionByRange(
+                        n_out, *sort_cols
+                    ).sortWithinPartitions(*sort_cols)
+                else:
+                    sub = sub.coalesce(n_out)
+                if stats_cols:
+                    new_files, new_stats = _write_files(sub, root, stats_cols)
+                else:
+                    new_files = _write_files(sub, root)
         try:
             return _commit(
                 root,
                 keep + new_files,
                 parent,
                 operation="compact",
-                stats={**kept_stats, **new_stats},
+                stats=new_stats,
                 seen_versions=seen,
                 conflict_mode="serialize",
-                base_file_seq={f: fseq[f] for f in keep if f in fseq},
+                entries_from=parent,
+                keep_files=set(keep),
                 new_file_columns=sub.columns if rewrite else None,
+                meta_updates=(
+                    {"partition_values": new_pvals} if new_pvals else None
+                ),
             )
         except SnapshotConflictError as exc:
             last_err = exc  # head moved mid-rewrite — redo against it
@@ -1314,11 +1670,10 @@ def snapshot_evolve(
                 root,
                 m["files"],
                 parent,
-                stats=m.get("stats") or {},
                 operation="evolve",
                 seen_versions=seen,
                 conflict_mode="serialize",
-                base_file_seq=m.get("file_seq") or {},
+                entries_from=parent,
                 manifest_override={
                     "fields": fields,
                     "file_fields": ffields,
@@ -1943,11 +2298,10 @@ def compact_delete_files(spark: SparkSession, root: str) -> int:
                 root,
                 m["files"],
                 parent,
-                stats=m.get("stats") or {},
                 operation="compact-deletes",
                 seen_versions=seen,
                 conflict_mode="serialize",
-                base_file_seq=m.get("file_seq") or {},
+                entries_from=parent,
                 manifest_override={"delete_files": new_entries},
             )
         except SnapshotConflictError as exc:
@@ -2436,7 +2790,7 @@ def resolve_asof_version(root: str, ts: float) -> int:
     cur = current_version(root)
     v: int | None = cur
     while v is not None:
-        m = _read_manifest(root, v)
+        m = _read_manifest_meta(root, v)
         mts = m.get("ts")
         if mts is not None and mts <= ts:
             best = v
@@ -2464,8 +2818,8 @@ def snapshot_restore(root: str, version: int) -> int:
         root,
         m["files"],
         current_version(root),
-        stats=m.get("stats") or {},
         operation="restore",
+        entries_from=version,
         manifest_override={
             # verbatim carry — including schema metadata, so restoring
             # past a rename/drop restores the schema too (None values
@@ -2693,8 +3047,14 @@ def maintain_snapshot(
     if cur is not None:
         m = _read_manifest(root, cur)
         n_del = len(m.get("delete_files") or [])
+        rec_sizes = m.get("sizes") or {}
         n_small = sum(
-            os.path.getsize(os.path.join(root, f)) < target_file_bytes
+            int(
+                rec_sizes[f]
+                if f in rec_sizes
+                else os.path.getsize(os.path.join(root, f))
+            )
+            < target_file_bytes
             for f in m["files"]
         )
         trigger_small = (
@@ -2871,7 +3231,18 @@ def read_snapshot_changes(
     and requires every hop to be an append (parent's files ⊆ child's);
     an overwrite in between means the delta is NOT expressible as
     added-files — fail loudly and let the caller fall back to
-    `diff_tables`/`generate_cdc_feed` on the two time-traveled reads."""
+    `diff_tables`/`generate_cdc_feed` on the two time-traveled reads.
+
+    MAJOR-COMPACTION hops (``operation="compact"``) are SKIPPED, not
+    refused: the rewrite is row-content-preserving by construction, so
+    it adds no rows — and the deletes it folds necessarily predate
+    ``from_version`` (an in-range delete commit already fails the
+    delete-set check on its own hop), and a delete at sequence S can
+    never kill rows in files committed after S (the sequence rule), so
+    the in-range added rows are untouched.  The added set therefore
+    accumulates PER HOP (a file the compaction later rewrote away is
+    still read — it is immutable and stays referenced by its pre-compact
+    manifest until retention expires it)."""
 
     def _delkey(man: dict) -> set:
         return {
@@ -2880,7 +3251,15 @@ def read_snapshot_changes(
 
     chain = _hop_chain(root, from_version, to_version, "read_snapshot_changes")
     to_m = chain[-1]
+    added: list[str] = []
     for pm, m in zip(chain, chain[1:]):
+        if m.get("operation") == "compact":
+            if m.get("delete_files"):
+                raise ValueError(
+                    f"read_snapshot_changes: v{m['version']} compact "
+                    "commit carries delete files — inconsistent manifest"
+                )
+            continue  # row-content-preserving: contributes no added rows
         if not set(pm["files"]) <= set(m["files"]):
             raise ValueError(
                 f"read_snapshot_changes: v{m['version']} overwrote "
@@ -2898,7 +3277,9 @@ def read_snapshot_changes(
                 "added rows; read_snapshot_cdf carries those hops as "
                 "insert/delete events"
             )
-    new_files = sorted(set(to_m["files"]) - set(chain[0]["files"]))
+        pf = set(pm["files"])
+        added.extend(f for f in m["files"] if f not in pf)
+    new_files = sorted(set(added))
     if not new_files:
         return read_snapshot(
             spark, root, to_version, _allow_mor_raw=True
@@ -2969,7 +3350,7 @@ def read_snapshot_cdf(
             f"to_version={to_version}"
         )
     if from_version < 0:
-        base = read_snapshot_mor(spark, root, to_version)
+        base = read_snapshot_mor(spark, root, to_version, merge_schema=True)
         _guard(base.columns)
         return base.select(
             *base.columns,
@@ -2992,7 +3373,15 @@ def read_snapshot_cdf(
             F.lit(change).alias("_change_type"),
             F.lit(v).cast("bigint").alias("_commit_version"),
         )
-        out = df if out is None else out.unionByName(df)
+        # allowMissingColumns: hops on a lineage with ADDITIVE schema
+        # drift (plain appends that widened the schema) union with the
+        # missing columns as NULL — the same padding a merge-schema
+        # batch read gives (ADVICE r7)
+        out = (
+            df
+            if out is None
+            else out.unionByName(df, allowMissingColumns=True)
+        )
 
     prev = m
     for cm in hops:
@@ -3009,6 +3398,22 @@ def read_snapshot_cdf(
                 raise ValueError(
                     f"read_snapshot_cdf: v{v} compact-deletes commit "
                     "changed the data file set — inconsistent manifest"
+                )
+            prev = cm
+            continue
+        if op == "compact":
+            # MAJOR compaction is row-content-preserving by construction
+            # (the rewrite reads THROUGH the delete files), so the hop
+            # emits no events: the folded deletes already streamed as
+            # events when their own commits crossed this feed — skipping
+            # is what keeps a live CDF consumer (and every replication
+            # mirror) alive across cron maintenance instead of forcing a
+            # re-bootstrap.  Consistency: a compact commit folds deletes,
+            # never adds them.
+            if _dels(cm):
+                raise ValueError(
+                    f"read_snapshot_cdf: v{v} compact commit carries "
+                    "delete files — inconsistent manifest"
                 )
             prev = cm
             continue
@@ -3049,7 +3454,9 @@ def read_snapshot_cdf(
         def _pre_unpruned() -> DataFrame:
             nonlocal pre_all
             if pre_all is None:
-                pre_all = read_snapshot_mor(spark, root, pv)
+                pre_all = read_snapshot_mor(
+                    spark, root, pv, merge_schema=True
+                )
             return pre_all
 
         pstats = prev.get("stats") or {}
@@ -3101,7 +3508,9 @@ def read_snapshot_cdf(
                 if not keep:
                     continue  # provably no pre-image rows — no events
                 pre = (
-                    read_snapshot_mor(spark, root, pv, _files=keep)
+                    read_snapshot_mor(
+                        spark, root, pv, merge_schema=True, _files=keep
+                    )
                     if len(keep) < len(prev["files"])
                     else _pre_unpruned()
                 )
@@ -3154,7 +3563,12 @@ def read_snapshot_cdf(
                 if "/".join(f.split(os.sep)[-2:]) in refs
             ]
             pre = read_snapshot_mor(
-                spark, root, pv, _keep_coords=True, _files=touched
+                spark,
+                root,
+                pv,
+                merge_schema=True,
+                _keep_coords=True,
+                _files=touched,
             )
             joined = pre.join(
                 F.broadcast(side),
@@ -3165,7 +3579,7 @@ def read_snapshot_cdf(
         new_files = sorted(set(cm["files"]) - set(prev["files"]))
         if new_files:
             emit(
-                spark.read.parquet(
+                spark.read.option("mergeSchema", True).parquet(
                     *[os.path.join(root, f) for f in new_files]
                 ),
                 "insert",
@@ -3173,7 +3587,9 @@ def read_snapshot_cdf(
             )
         prev = cm
     if out is None:
-        base = read_snapshot_mor(spark, root, to_version).limit(0)
+        base = read_snapshot_mor(
+            spark, root, to_version, merge_schema=True
+        ).limit(0)
         _guard(base.columns)
         return base.select(
             *base.columns,
@@ -3462,7 +3878,7 @@ def expire_versions(root: str, keep_last: int = 10) -> list[int]:
         while cur is not None and cur not in chain_pinned:
             chain_pinned.add(cur)
             try:
-                cur = _read_manifest(root, cur)["parent"]
+                cur = _read_manifest_meta(root, cur)["parent"]
             except FileNotFoundError:
                 break  # pre-existing gap below — nothing left to pin
     pinned |= chain_pinned
@@ -3472,7 +3888,7 @@ def expire_versions(root: str, keep_last: int = 10) -> list[int]:
         if keep_last > 0 and v != live and v not in pinned
     ]
     for v in to_expire:
-        m = _read_manifest(root, v)
+        m = _read_manifest_meta(root, v)
         os.remove(os.path.join(_manifest_dir(root), f"v{v}.json"))
         if m.get("tag"):
             try:
@@ -3494,13 +3910,18 @@ def vacuum_orphans(root: str, min_age_s: float = 600.0) -> list[str]:
     deliberately not bundled — retention windows are deployment policy,
     and this primitive composes with one (delete manifests, then call
     this).  Returns the removed paths (table-root-relative)."""
+    import shutil
     import time
 
     referenced: set[str] = set()
+    entry_refs: set[str] = set()
     for v in snapshot_versions(root):
         m = _read_manifest(root, v)
         referenced.update(m["files"])
         referenced.update(d["file"] for d in m.get("delete_files") or [])
+        pl = _read_manifest_meta(root, v)
+        entry_refs.update(pl.get("entries") or [])
+        entry_refs.update(pl.get("delete_entries") or [])
     removed: list[str] = []
     cutoff = time.time() - min_age_s
     for kind in ("data", "deletes"):
@@ -3509,22 +3930,47 @@ def vacuum_orphans(root: str, min_age_s: float = 600.0) -> list[str]:
             continue
         for group in os.listdir(kind_root):
             gdir = os.path.join(kind_root, group)
-            names = os.listdir(gdir)
+            # RECURSIVE walk: partitioned commits nest files under
+            # _pt_<name>=<value>/ subdirectories, so manifest-relative
+            # paths must be compared at ANY depth — a one-level listing
+            # would mistake partition dirs for byproduct files
+            paths: list[str] = []
+            for dirpath, _dirs, names in os.walk(gdir):
+                paths.extend(os.path.join(dirpath, n) for n in names)
             newest = max(
-                (os.path.getmtime(os.path.join(gdir, n)) for n in names),
-                default=0.0,
+                (os.path.getmtime(p) for p in paths), default=0.0
             )
             if newest > cutoff:
                 continue  # possibly an in-flight commit — grace period
-            for f in names:
-                rel = os.path.join(kind, group, f)
-                if f.endswith(".parquet") and rel not in referenced:
-                    os.remove(os.path.join(root, rel))
+            for p in paths:
+                rel = os.path.relpath(p, root)
+                if p.endswith(".parquet") and rel not in referenced:
+                    os.remove(p)
                     removed.append(rel)
-            # drop byproducts (_SUCCESS etc.) and the dir once no data
-            # remains
-            if not any(n.endswith(".parquet") for n in os.listdir(gdir)):
-                for n in os.listdir(gdir):
-                    os.remove(os.path.join(gdir, n))
-                os.rmdir(gdir)
+            # drop byproducts (_SUCCESS etc., empty partition dirs) and
+            # the group once no data remains anywhere under it
+            live = any(
+                n.endswith(".parquet")
+                for _dp, _ds, ns in os.walk(gdir)
+                for n in ns
+            )
+            if not live:
+                shutil.rmtree(gdir, ignore_errors=True)
+    # format-2 entry files no surviving version references (expired
+    # versions, lost commit races) — same grace window protects entries
+    # an in-flight commit wrote but has not claimed a manifest for yet
+    mdir = _manifest_dir(root)
+    if os.path.isdir(mdir):
+        for n in os.listdir(mdir):
+            if not (
+                (n.startswith("e-") or n.startswith("de-"))
+                and n.endswith(".json")
+            ) or n in entry_refs:
+                continue
+            p = os.path.join(mdir, n)
+            try:
+                if os.path.getmtime(p) <= cutoff:
+                    os.remove(p)
+            except FileNotFoundError:
+                pass  # a racing vacuum — already gone
     return removed

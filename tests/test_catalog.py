@@ -1,0 +1,98 @@
+"""Persistent snapshot catalog (`sources/catalog.py`): durable
+name → {root, pins} registry, atomic-claim create, early pin
+validation, fresh-session re-attach — closing the reference's
+tables-by-name ergonomic edge (db_operations.py:46-57)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_challenge_spark.sources import catalog as cat
+from data_engineering_challenge_spark.sources import snapshots as sn
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_catalog_register_attach_and_pins(spark, tmp_path):
+    cdir = str(tmp_path / "catalog")
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)   # v0
+    sn.snapshot_append(_df(spark, 10, 20).coalesce(1), root)  # v1
+    sn.snapshot_create_tag(root, "audit", version=0)
+    cat.catalog_register(cdir, "orders_live", root)
+    cat.catalog_register(cdir, "orders_audit", root, ref="audit")
+    cat.catalog_register(cdir, "orders_v0", root, version=0)
+    # duplicate names claim loudly; replace is explicit
+    with pytest.raises(ValueError, match="already exists"):
+        cat.catalog_register(cdir, "orders_live", root)
+    cat.catalog_register(
+        cdir, "orders_live", root, replace=True, comment="repointed"
+    )
+    assert set(cat.catalog_entries(cdir)) == {
+        "orders_live", "orders_audit", "orders_v0"
+    }
+    # a FRESH session re-attaches by name alone — the durable registry
+    s2 = spark.newSession()
+    pinned = cat.attach_catalog(s2, cdir)
+    assert pinned == {"orders_live": 1, "orders_audit": 0, "orders_v0": 0}
+    assert s2.sql("SELECT COUNT(*) n FROM orders_live").first().n == 20
+    assert s2.sql("SELECT COUNT(*) n FROM orders_audit").first().n == 10
+    # the original session never saw those views (temp views are
+    # session-scoped; the catalog is what crosses sessions)
+    assert "orders_live" not in [
+        t.name for t in spark.catalog.listTables()
+    ]
+    # pins keep meaning across table growth; live view follows on
+    # re-attach
+    sn.snapshot_append(_df(spark, 20, 25).coalesce(1), root)  # v2
+    pinned = cat.attach_catalog(s2, cdir, names=["orders_live"])
+    assert pinned == {"orders_live": 2}
+    assert s2.sql("SELECT COUNT(*) n FROM orders_live").first().n == 25
+    assert s2.sql("SELECT COUNT(*) n FROM orders_v0").first().n == 10
+    cat.catalog_drop(cdir, "orders_v0")
+    assert "orders_v0" not in cat.catalog_entries(cdir)
+    with pytest.raises(FileNotFoundError):
+        cat.catalog_drop(cdir, "orders_v0")
+
+
+def test_catalog_validates_early_and_namespaces(spark, tmp_path):
+    cdir = str(tmp_path / "catalog")
+    root = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError, match="no committed"):
+        cat.catalog_register(cdir, "ghost", str(tmp_path / "nope"))
+    sn.snapshot_append(_df(spark, 0, 5).coalesce(1), root)
+    with pytest.raises(FileNotFoundError, match="version 9"):
+        cat.catalog_register(cdir, "t", root, version=9)
+    with pytest.raises(FileNotFoundError):
+        cat.catalog_register(cdir, "t", root, ref="no-such-ref")
+    with pytest.raises(ValueError, match="at most one"):
+        cat.catalog_register(cdir, "t", root, version=0, ref="x")
+    with pytest.raises(ValueError, match="invalid table name"):
+        cat.catalog_register(cdir, "a/b", root)
+    cat.catalog_register(cdir, "t", root)
+    out = cat.attach_catalog(spark, cdir, prefix="prod_")
+    assert out == {"t": 0}
+    assert spark.sql("SELECT COUNT(*) n FROM prod_t").first().n == 5
+    with pytest.raises(FileNotFoundError, match="not in the catalog"):
+        cat.attach_catalog(spark, cdir, names=["missing"])
+
+
+def test_catalog_ref_pin_follows_branch(spark, tmp_path):
+    """A ref pin resolves at ATTACH time: a branch-pinned catalog entry
+    follows the branch head — the audit-workflow composition."""
+    cdir = str(tmp_path / "catalog")
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)
+    sn.snapshot_create_branch(root, "staging")
+    cat.catalog_register(cdir, "t_staging", root, ref="staging")
+    b1 = sn.snapshot_append_to_branch(
+        _df(spark, 10, 30).coalesce(1), root, "staging"
+    )
+    pinned = cat.attach_catalog(spark, cdir)
+    assert pinned == {"t_staging": b1}
+    assert spark.sql("SELECT COUNT(*) n FROM t_staging").first().n == 30

@@ -368,3 +368,101 @@ def test_replicate_refuses_duplicate_key_sources(spark, tmp_path):
             str(tmp_path / "ckpt"),
             start_version=0,
         )
+
+
+# ---------------------------------------------------------------------------
+# round 8: streaming consumers survive major compaction (row-content-
+# preserving hops are skipped, never refused)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_survives_compaction(spark, tmp_path):
+    """A checkpointed plain stream crosses a small-file-packing compact
+    hop WITHOUT replaying or duplicating rows: the compact hop emits
+    nothing, later appends stream as usual."""
+    root = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sn.snapshot_append(_df(spark, 0, 20).coalesce(4), root)   # v0
+    _drain(spark, root, out, ckpt)
+    sn.snapshot_append(_df(spark, 20, 30).coalesce(4), root)  # v1
+    v = sn.snapshot_compact(spark, root, target_file_bytes=1 << 20)
+    assert v == 2, "the pack must commit"
+    sn.snapshot_append(_df(spark, 30, 40).coalesce(1), root)  # v3
+    _drain(spark, root, out, ckpt)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(40)), "no replay, no loss, no duplicates"
+
+
+def test_change_feed_survives_compaction(spark, tmp_path):
+    """A checkpointed change-feed consumer crosses a delete-folding
+    major compaction without replay — the folded deletes already
+    streamed as tombstones when their commits fired (VERDICT r7 #2)."""
+    import os
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    mk = lambda rows: spark.createDataFrame(rows, "k LONG, v LONG, _op STRING")
+    sn.snapshot_mor_merge(spark, root, mk([(1, 10, "I"), (2, 20, "I")]), ["k"])
+    sn.snapshot_mor_merge(spark, root, mk([(1, 11, "U")]), ["k"])
+
+    def drain():
+        stream = (
+            spark.readStream.format("snapshot_table")
+            .option("root", root)
+            .option("change_feed", "true")
+            .option("start_version", "0")
+            .load()
+        )
+        st.run_available_now(stream, out, ckpt)
+
+    drain()
+    v = sn.snapshot_compact(spark, root)  # folds the delete lists
+    assert sn._read_manifest(root, v)["delete_files"] == []
+    sn.snapshot_mor_merge(spark, root, mk([(3, 30, "I")]), ["k"])
+    drain()  # crosses the compact hop on the SAME checkpoint
+    rows = spark.read.parquet(out).collect()
+    by_version = sorted(
+        (r._commit_version, r._change_type, r.k) for r in rows
+    )
+    assert not any(cv == v for cv, _ct, _k in by_version), (
+        "the compact hop must emit nothing"
+    )
+    assert (3, "insert", 3) in by_version, "post-compact commits stream"
+    # every MoR merge emits a tombstone per touched key + its inserts:
+    # v0 (I,I) -> 2+2, v1 (U) -> 1+1, v3 (I) -> 1+1 — nothing replayed
+    assert (
+        sum(1 for r in rows if r._change_type == "insert") == 4
+        and sum(1 for r in rows if r._change_type == "delete") == 4
+    ), by_version
+
+
+def test_replicate_converges_across_maintenance(spark, tmp_path):
+    """The advertised operating pattern: cron `maintain_snapshot` on
+    the source MID-FEED; the replication mirror keeps converging on the
+    same checkpoint instead of dying on the compaction hop."""
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        replicate_snapshot_table,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda rows: spark.createDataFrame(rows, "k LONG, v LONG, _op STRING")
+    sn.snapshot_mor_merge(spark, src, mk([(k, k * 10, "I") for k in range(5)]), ["k"])
+    sn.snapshot_mor_merge(spark, src, mk([(1, 111, "U"), (2, None, "D")]), ["k"])
+    replicate_snapshot_table(spark, src, dst, ["k"], ckpt, start_version=0)
+
+    def state(root):
+        return {
+            (r.k, r.v) for r in sn.read_snapshot_mor(spark, root).collect()
+        }
+
+    assert state(dst) == state(src)
+    # cron maintenance compacts the source mid-feed
+    did = sn.maintain_snapshot(spark, src, max_delete_files=0)
+    assert did["compacted"] is not None
+    sn.snapshot_mor_merge(spark, src, mk([(4, 444, "U"), (9, 90, "I")]), ["k"])
+    replicate_snapshot_table(spark, src, dst, ["k"], ckpt, start_version=0)
+    assert state(dst) == state(src) == {
+        (0, 0), (1, 111), (3, 30), (4, 444), (9, 90)
+    }

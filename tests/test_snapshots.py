@@ -1795,7 +1795,11 @@ def test_position_delete_path_depth_compat(spark, tmp_path):
     v1 = sn.snapshot_delete_where(spark, root, "id < 3", keys=None)
     mpath = f"{root}/_manifests/v{v1}.json"
     m = json.load(open(mpath))
-    [d] = m["delete_files"]
+    # format 2: the delete dicts live in an immutable delete-entry file
+    [dename] = m["delete_entries"]
+    depath = f"{root}/_manifests/{dename}"
+    de = json.load(open(depath))
+    [d] = de["delete_files"]
     assert d["path_depth"] == 2
     # rewrite the delete list to the LEGACY layout: 3-segment _file
     # values and no path_depth field
@@ -1816,7 +1820,7 @@ def test_position_delete_path_depth_compat(spark, tmp_path):
     if os.path.exists(crc):  # stale hadoop checksum for the rewrite
         os.remove(crc)
     del d["path_depth"]
-    json.dump(m, open(mpath, "w"))
+    json.dump(de, open(depath, "w"))
     got = sorted(r.id for r in sn.read_snapshot_mor(spark, root).collect())
     assert got == list(range(3, 10)), "legacy 3-segment refs must apply"
     v2 = sn.snapshot_compact(spark, root, target_file_bytes=1)
@@ -2294,12 +2298,15 @@ def test_read_snapshot_cdf_position_minor_refusals(spark, tmp_path):
         (4, "delete", 3, 30),
         (4, "insert", 3, 333),
     ]
-    # major compaction is not expressible as row changes
+    # major compaction is row-content-preserving: the hop emits NOTHING
+    # and a consumer whose range crosses it stays alive (r8 — the folded
+    # deletes already streamed as events when their commits happened)
     sn.snapshot_compact(spark, root2)  # v5
+    assert _cdf_rows(spark, root2, 0, 5) == _cdf_rows(spark, root2, 0, 4)
+    # an OVERWRITE is still not expressible as row changes
+    sn.snapshot_overwrite(_kv(spark, [(9, 90)]), root2)  # v6
     with pytest.raises(ValueError, match="removed or rewrote"):
-        sn.read_snapshot_cdf(spark, root2, 0, 5)
-    # but a range that stops before it still reads fine
-    assert len(_cdf_rows(spark, root2, 0, 4)) == 4
+        sn.read_snapshot_cdf(spark, root2, 0, 6)
 
 
 def test_read_snapshot_cdf_legacy_position_depth(spark, tmp_path):
@@ -2316,7 +2323,10 @@ def test_read_snapshot_cdf_legacy_position_depth(spark, tmp_path):
     v1 = sn.snapshot_delete_where(spark, root, "id < 3", keys=None)
     mpath = f"{root}/_manifests/v{v1}.json"
     m = json.load(open(mpath))
-    [d] = m["delete_files"]
+    [dename] = m["delete_entries"]
+    depath = f"{root}/_manifests/{dename}"
+    de = json.load(open(depath))
+    [d] = de["delete_files"]
     dpath = os.path.join(root, d["file"])
     t = pq.read_table(dpath)
     legacy_files = pa.array(
@@ -2331,7 +2341,7 @@ def test_read_snapshot_cdf_legacy_position_depth(spark, tmp_path):
     if os.path.exists(crc):
         os.remove(crc)
     del d["path_depth"]
-    json.dump(m, open(mpath, "w"))
+    json.dump(de, open(depath, "w"))
     got = sorted(
         (r._commit_version, r._change_type, r.id)
         for r in sn.read_snapshot_cdf(spark, root, 0, v1).collect()
@@ -2651,3 +2661,197 @@ def test_read_snapshot_cdf_prunes_pre_image_scan(spark, tmp_path):
     assert not any(second[0] in p for p in infiles), (
         "provably-disjoint parent file must not be scanned"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8: two-level manifests (O(delta) commit metadata), CDC across
+# compaction, partitioned vacuum, partition-pruning-preserving compaction
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_bytes_o_delta(spark, tmp_path):
+    """Commit metadata is O(delta): on a many-file table, the bytes the
+    Nth append writes (version payload + its new entry file) are
+    proportional to the BATCH, not to the accumulated table — the
+    Iceberg manifest-list property (VERDICT r7's one weak item)."""
+    import json
+
+    root = str(tmp_path / "tbl")
+
+    def commit_bytes(v: int) -> int:
+        mdir = f"{root}/_manifests"
+        payload = json.load(open(f"{mdir}/v{v}.json"))
+        total = os.path.getsize(f"{mdir}/v{v}.json")
+        pl_parent = (
+            json.load(open(f"{mdir}/v{v - 1}.json")) if v > 0 else {}
+        )
+        prev = set(pl_parent.get("entries") or []) | set(
+            pl_parent.get("delete_entries") or []
+        )
+        for n in (payload.get("entries") or []) + (
+            payload.get("delete_entries") or []
+        ):
+            if n not in prev:  # entries WRITTEN by this commit
+                total += os.path.getsize(f"{mdir}/{n}")
+        return total
+
+    for i in range(25):
+        sn.snapshot_append(
+            _df(spark, i * 10, i * 10 + 10).coalesce(2),
+            root,
+            stats_cols=["id"],
+        )
+    early, late = commit_bytes(2), commit_bytes(24)
+    # version payload grows by one ~45-byte entry NAME per commit — the
+    # per-file metadata (stats/seq/sizes) must NOT be re-serialized
+    assert late < early + 40 * 60, (early, late)
+    # and per-file metadata is resolvable exactly as before
+    m = sn._read_manifest(root, 24)
+    assert len(m["files"]) == 50
+    assert len(m["file_seq"]) == 50
+    assert all(m["stats"][f].get("id") for f in m["files"])
+    assert len(m.get("sizes") or {}) == 50, "sizes recorded at write time"
+
+
+def test_vacuum_collects_partitioned_debris_and_survives(spark, tmp_path):
+    """ADVICE r7 (medium): vacuum on a table with partitioned commits
+    must not crash on the nested _pt_x=v/ layout, must keep every
+    referenced file at any depth, and must collect orphaned NESTED
+    parquet from crashed partitioned commits."""
+    import shutil
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 60).select(
+        "id", (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v")
+    )
+    sn.snapshot_append_partitioned(df, root, {"grp": "CAST(g AS STRING)"})
+    sn.snapshot_append(_df(spark, 100, 110).coalesce(1), root)
+    # orphaned partitioned debris: a crashed commit's group dir
+    live_group = os.path.dirname(
+        os.path.dirname(sn._read_manifest(root, 0)["files"][0])
+    )
+    crashed = os.path.join(root, "data", "deadbeefcafe")
+    shutil.copytree(os.path.join(root, live_group), crashed)
+    removed = sn.vacuum_orphans(root, min_age_s=0.0)
+    assert removed and all(r.startswith("data/deadbeefcafe") for r in removed)
+    assert not os.path.exists(crashed), "empty orphan group dir removed"
+    # referenced nested files all survive; the table still reads
+    assert sn.read_snapshot(spark, root).count() == 70
+    pruned = sn.read_snapshot_pruned(spark, root, partition_eq={"grp": "1"})
+    assert pruned.count() == 20
+    # maintain_snapshot's vacuum step composes (the ADVICE crash repro)
+    did = sn.maintain_snapshot(spark, root, vacuum_grace_s=0.0)
+    assert did["vacuumed"] == []
+    assert sn.read_snapshot(spark, root).count() == 70
+
+
+def test_vacuum_collects_unreferenced_entry_files(spark, tmp_path):
+    """Entry files of EXPIRED versions are garbage-collected by vacuum
+    (grace-windowed), never entries a live version still references."""
+    root = str(tmp_path / "tbl")
+    for i in range(6):
+        sn.snapshot_append(_df(spark, i, i + 1).coalesce(1), root)
+    mdir = f"{root}/_manifests"
+    n_before = sum(1 for n in os.listdir(mdir) if n.startswith("e-"))
+    assert n_before >= 6
+    sn.expire_versions(root, keep_last=2)
+    sn.vacuum_orphans(root, min_age_s=0.0)
+    import json
+
+    live = set()
+    for v in sn.snapshot_versions(root):
+        pl = json.load(open(f"{mdir}/v{v}.json"))
+        live |= set(pl.get("entries") or [])
+    left = {n for n in os.listdir(mdir) if n.startswith("e-")}
+    assert left == live, "exactly the still-referenced entries survive"
+    assert sn.read_snapshot(spark, root).count() == 6  # table intact
+
+
+def test_compact_preserves_partition_pruning(spark, tmp_path):
+    """ADVICE r7: compaction re-applies the recorded partition
+    transforms to the rewritten files, so partition_eq pruning keeps
+    skipping AFTER maintenance (the hidden-partitioning analog of the
+    clustered-table guarantee)."""
+    root = str(tmp_path / "tbl")
+    for lo in (0, 60):
+        df = spark.range(lo, lo + 60).select(
+            "id", (F.col("id") % 3).alias("g")
+        )
+        sn.snapshot_append_partitioned(
+            df, root, {"grp": "CAST(g AS STRING)"}
+        )
+    v = sn.snapshot_compact(spark, root, target_file_bytes=1 << 20)
+    assert v == 2, "small files must be rewritten"
+    m = sn._read_manifest(root, v)
+    pv = m.get("partition_values") or {}
+    assert pv and all(
+        "grp" in pv.get(f, {}) for f in m["files"]
+    ), "rewritten files carry re-derived partition values"
+    pruned = sn.read_snapshot_pruned(spark, root, partition_eq={"grp": "1"})
+    assert pruned.count() == 40
+    n_all = len(m["files"])
+    assert len(pruned.inputFiles()) < n_all, "pruning survives maintenance"
+
+
+def test_changes_and_incremental_view_survive_compaction(spark, tmp_path):
+    """`read_snapshot_changes` SKIPS a row-content-preserving compact
+    hop instead of refusing — so `refresh_incremental_agg` keeps
+    working across cron maintenance."""
+    root = str(tmp_path / "tbl")
+    view = str(tmp_path / "view")
+    sn.snapshot_append(_df(spark, 0, 30).coalesce(4), root)  # v0
+    assert sn.refresh_incremental_agg(spark, root, view, [], ["v"]) == 0
+    sn.snapshot_append(_df(spark, 30, 40).coalesce(4), root)  # v1
+    v2 = sn.snapshot_compact(spark, root, target_file_bytes=1 << 20)
+    assert v2 == 2
+    sn.snapshot_append(_df(spark, 40, 50).coalesce(1), root)  # v3
+    got = sorted(
+        r.id for r in sn.read_snapshot_changes(spark, root, 0, 3).collect()
+    )
+    assert got == list(range(30, 50)), "both append spans, nothing else"
+    assert sn.refresh_incremental_agg(spark, root, view, [], ["v"]) == 3
+    [row] = spark.read.parquet(view).collect()
+    assert row.n == 50 and row.v == sum(2 * i for i in range(50))
+
+
+def test_cdf_replay_converges_across_compaction(spark, tmp_path):
+    """The pinned r8 contract: a CDF consumer replaying events across a
+    MID-RANGE major compaction converges to exactly the compacted
+    table's merged state."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_mor_merge(
+        spark,
+        root,
+        _kv(spark, [(k, k * 10) for k in range(8)]).withColumn(
+            "_op", F.lit("I")
+        ),
+        ["k"],
+    )  # v0
+    sn.snapshot_delete_where(spark, root, "k < 2", keys=["k"])  # v1
+    v2 = sn.snapshot_compact(spark, root)  # folds
+    assert v2 == 2
+    batch = spark.createDataFrame(
+        [(3, 333, "U"), (4, -1, "D")], "k LONG, v LONG, _op STRING"
+    )
+    v3 = sn.snapshot_mor_merge(spark, root, batch, ["k"])
+    events = _cdf_rows(spark, root, 0, v3)
+    assert [(cv, ct, k) for cv, ct, k, _ in events] == [
+        (1, "delete", 0),
+        (1, "delete", 1),
+        (3, "delete", 3),
+        (3, "delete", 4),
+        (3, "insert", 3),
+    ]
+    # replay onto the v0 state = the final merged state
+    state = {
+        r.k: r.v for r in sn.read_snapshot_mor(spark, root, 0).collect()
+    }
+    for _cv, ct, k, vv in events:  # deletes precede inserts per commit
+        if ct == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = vv
+    want = {
+        r.k: r.v for r in sn.read_snapshot_mor(spark, root, v3).collect()
+    }
+    assert state == want
