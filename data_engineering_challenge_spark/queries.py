@@ -146,6 +146,8 @@ _CHEAP_FIRST = [
     "snapshot_pruned_mor_lookup", "snapshot_cdf_feed",
     "snapshot_branch_publish", "snapshot_files_meta",
     "snapshot_cherry_pick",
+    # round-8 additions, measured verify cost ascending (sf0.01)
+    "sql_catalog_report", "bpe_encode_tokens",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and
@@ -164,6 +166,7 @@ _TAIL = [
     "streaming_snapshot_cdf_source",
     "snapshot_view_refresh_cdf",
     "snapshot_replication",
+    "snapshot_replication_maintained",
     "ivf_topk",
     "pq_topk",
 ]

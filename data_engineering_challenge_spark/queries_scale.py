@@ -2887,3 +2887,94 @@ def q_snapshot_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").alias("last_seq"),
         F.col("v").alias("last_value"),
     )
+
+
+@register(
+    "snapshot_replication_maintained",
+    # Same exact-convergence contract as snapshot_replication — the
+    # mid-feed maintenance (major compaction between replication runs)
+    # is row-content-preserving, so the oracle is unchanged: the mirror
+    # must still equal the wholesale replay of the sequenced feed.
+    """
+WITH feed AS (
+    SELECT user_id AS k,
+           event_id AS seq,
+           event_id % 3 AS batch,
+           CASE WHEN event_id % 7 = 0 THEN 'D'
+                WHEN event_id % 2 = 0 THEN 'I'
+                ELSE 'U' END AS op,
+           value AS v
+    FROM events
+),
+ranked AS (
+    SELECT k, seq, op, v,
+           ROW_NUMBER() OVER (PARTITION BY k
+                              ORDER BY batch DESC, seq DESC) AS rn
+    FROM feed
+)
+SELECT k AS user_id, seq AS last_seq, v AS last_value
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+""",
+)
+def q_snapshot_replication_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLICATION SURVIVES MAINTENANCE (round 8): the advertised
+    operating pattern — cron `maintain_snapshot` on a continuously
+    merged source — used to kill every change-feed consumer at the
+    first major compaction (the feed refused hops that remove data
+    files).  Compaction hops are row-content-preserving and now SKIP
+    instead of refusing, so this query replicates two batches, lets
+    `maintain_snapshot` bin-pack the source MID-FEED (folding its
+    delete lists), merges a third batch, resumes the SAME checkpoint
+    across the compaction hop, and hash-matches the mirror against the
+    unchanged wholesale-replay oracle — replication converges through
+    maintenance, no re-bootstrap.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from . import roles
+    from .sources import snapshots as sn
+    from .sources.snapshot_source import replicate_snapshot_table
+
+    key = ("snapshot_replication_maintained", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="snap_replm_")
+        src, dst, ckpt = f"{tmp}/src", f"{tmp}/mirror", f"{tmp}/ckpt"
+        events = roles.load_events(spark, sf_dir)
+        feed = events.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3).alias("_batch"),
+            F.when(F.col("event_id") % 7 == 0, F.lit("D"))
+            .when(F.col("event_id") % 2 == 0, F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("_op"),
+            F.col("value").alias("v"),
+        )
+
+        def merge(b: int) -> None:
+            sn.snapshot_mor_merge(
+                spark,
+                src,
+                feed.filter(F.col("_batch") == b).drop("_batch"),
+                ["k"],
+                seq_col="seq",
+            )
+
+        merge(0)
+        merge(1)
+        replicate_snapshot_table(spark, src, dst, ["k"], ckpt, start_version=0)
+        did = sn.maintain_snapshot(spark, src, max_delete_files=0)
+        if did["compacted"] is None:  # the hop under test must exist
+            raise RuntimeError(
+                "snapshot_replication_maintained: maintenance did not "
+                "compact — fixture invariant broken"
+            )
+        merge(2)
+        replicate_snapshot_table(spark, src, dst, ["k"], ckpt, start_version=0)
+        out = _STREAM_OUT_CACHE[key] = dst
+    return sn.read_snapshot_mor(spark, out).select(
+        F.col("k").alias("user_id"),
+        F.col("seq").alias("last_seq"),
+        F.col("v").alias("last_value"),
+    )

@@ -334,3 +334,81 @@ SELECT 'asof', CAST(COUNT(*) AS BIGINT),
 FROM sqlq_snap_feed_asof
 """
     )
+
+
+@register(
+    "sql_catalog_report",
+    # Oracle: the live view is the base nation table plus the appended
+    # low-key duplicate slice; the certified view is the tag-pinned v0 =
+    # the base table alone — both replayed as plain SQL over the parquet.
+    """
+WITH live AS (
+    SELECT n_regionkey, COUNT(*) AS n FROM (
+        SELECT n_nationkey, n_regionkey FROM nation
+        UNION ALL
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 5
+    ) GROUP BY n_regionkey
+),
+cert AS (SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey)
+SELECT live.n_regionkey AS region_key,
+       CAST(live.n AS BIGINT) AS n_live,
+       CAST(cert.n AS BIGINT) AS n_certified
+FROM live JOIN cert ON live.n_regionkey = cert.n_regionkey
+""",
+)
+def q_sql_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTENT CATALOG on the SQL surface (`sources/catalog.py`):
+    a snapshot lineage (nation at v0, a noisy append at v1, an immutable
+    ``certified`` tag pinning v0) is registered in a durable
+    name→{root, pins} catalog, `attach_catalog` resolves BOTH names —
+    the live head and the tag-pinned audit view — and the report is one
+    ``spark.sql`` statement over catalog names alone: no root paths, no
+    version numbers in the query text.  Closes the reference's last
+    ergonomic edge (tables by name in one DB, db_operations.py:46-57)
+    with reproducibility pins the reference never had; the fresh-session
+    re-attach contract is pinned in tests/test_catalog.py.  Table build
+    cached per (query, sf_dir); the catalog attach re-runs per call."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+
+    key = ("sql_catalog_report", sf_dir)
+    got = _SNAP_SQL_CACHE.get(key)
+    if got is None:
+        from .sources.io import read_parquet_cached_schema
+
+        tmp = tempfile.mkdtemp(prefix="snap_ctl_")
+        root, cdir = f"{tmp}/nation", f"{tmp}/catalog"
+        nation = read_parquet_cached_schema(
+            spark, os.path.join(sf_dir, "nation.parquet")
+        )
+        sn.snapshot_overwrite(nation, root)  # v0: the certified state
+        sn.snapshot_create_tag(root, "certified", version=0)
+        sn.snapshot_append(  # v1: post-certification noise
+            nation.filter(F.col("n_nationkey") < 5), root
+        )
+        cat.catalog_register(cdir, "ctl_nation_live", root)
+        cat.catalog_register(
+            cdir, "ctl_nation_certified", root, ref="certified"
+        )
+        got = _SNAP_SQL_CACHE[key] = cdir
+    cat.attach_catalog(spark, got)
+    return spark.sql(
+        """
+WITH live AS (
+    SELECT n_regionkey, COUNT(*) AS n
+    FROM ctl_nation_live GROUP BY n_regionkey
+),
+cert AS (
+    SELECT n_regionkey, COUNT(*) AS n
+    FROM ctl_nation_certified GROUP BY n_regionkey
+)
+SELECT live.n_regionkey AS region_key,
+       CAST(live.n AS BIGINT) AS n_live,
+       CAST(cert.n AS BIGINT) AS n_certified
+FROM live JOIN cert ON live.n_regionkey = cert.n_regionkey
+"""
+    )

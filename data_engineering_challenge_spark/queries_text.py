@@ -3132,3 +3132,46 @@ def q_ngram_coverage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_hit").alias("n_covered"),
         (F.count("_hit") * F.lit(1.0) / F.count("*")).alias("coverage"),
     )
+
+
+@register(
+    "bpe_encode_tokens",
+    # encode(corpus, train(corpus)): rule k operates on rule k-1's output,
+    # so no single SQL statement expresses the composition — rows-only;
+    # EXACTNESS evidence is the encode parity property test pinning
+    # bpe_encode to the pure-Python reference encoder per rule count
+    # (test_text_dedup_similarity.py), same discipline as the trainer.
+    None,
+)
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE corpus ENCODE under the trained vocab (round 8 — the map-only
+    pass every tokenizer pipeline runs after training, closing the
+    train-only gap): learn 4 merges, apply them corpus-wide as chained
+    JVM greedy folds (no UDF, no shuffle — one narrow stage), and report
+    per-language token economics: raw whitespace tokens vs BPE tokens vs
+    how many output tokens are merged units.  These are the
+    tokens-per-doc numbers a packing/budgeting stage consumes
+    (`token_budget_packing` approximates them with whitespace counts)."""
+    from .operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    rules = bpe.train_bpe_merges(docs, n_merges=4)
+    enc = bpe.bpe_encode(docs, rules, text_col="text", out_col="_toks")
+    return (
+        enc.select(
+            "lang",
+            F.size(F.split("text", " ")).alias("_n_raw"),
+            F.size("_toks").alias("_n_bpe"),
+            F.size(
+                F.filter("_toks", lambda t: t.contains(" "))
+            ).alias("_n_merged"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n_raw").cast("bigint").alias("raw_tokens"),
+            F.sum("_n_bpe").cast("bigint").alias("bpe_tokens"),
+            F.sum("_n_merged").cast("bigint").alias("merged_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -97,8 +97,15 @@ def main() -> int:
                         total += os.path.getsize(os.path.join(dirpath, n))
             return total
 
-        times, written = [], []
-        before = tree_bytes()
+        def meta_bytes() -> int:
+            mdir = os.path.join(root, "_manifests")
+            return sum(
+                os.path.getsize(os.path.join(mdir, n))
+                for n in os.listdir(mdir)
+            )
+
+        times, written, meta_written = [], [], []
+        before, mbefore = tree_bytes(), meta_bytes()
         for i, f in enumerate(feeds):
             t0 = time.monotonic()
             if mode == "cow":
@@ -106,15 +113,22 @@ def main() -> int:
             else:
                 sn.snapshot_mor_merge(spark, root, f, ["o_orderkey"])
             times.append(round(time.monotonic() - t0, 3))
-            after = tree_bytes()
+            after, mafter = tree_bytes(), meta_bytes()
             written.append(after - before)  # bytes this commit added
-            before = after
+            meta_written.append(mafter - mbefore)  # manifest bytes added
+            before, mbefore = after, mafter
         out[f"{mode}_commit_s"] = times
         # the scale-honest signal: seconds are overhead-dominated at toy
         # scale, but bytes-written-per-commit IS the asymptotic cost —
         # CoW rewrites the accumulated table every commit, MoR writes
         # only the batch
         out[f"{mode}_commit_bytes"] = written
+        # round 8: commit METADATA is O(delta) too — two-level manifests
+        # mean the Nth commit's manifest bytes (small version payload +
+        # one entry file per file group) must stay FLAT as the table
+        # accretes, where the round-7 format re-serialized the full
+        # file/stats/sequence inventory into every version's JSON
+        out[f"{mode}_commit_meta_bytes"] = meta_written
 
         t0 = time.monotonic()
         n = sn.read_snapshot_mor(spark, root).count()
@@ -129,6 +143,11 @@ def main() -> int:
     out["mor_read_after_compact_s"] = round(time.monotonic() - t0, 3)
 
     assert out["cow_final_rows"] == out["mor_final_rows"]
+    mmb = out["mor_commit_meta_bytes"]
+    assert mmb[-1] < mmb[0] * 3 + 4096, (
+        "MoR commit metadata must stay flat as the table accretes: "
+        f"{mmb}"
+    )
 
     # --- maintenance-cost evidence (round 7): bin-packing compaction ---
     # bytes rewritten by maintenance must be proportional to small files

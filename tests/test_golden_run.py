@@ -55,6 +55,7 @@ def test_every_query_has_oracle_or_docstring(spark):
         "kll_value_quantiles",  # sketch quantiles — rank-error bounded in tests
         "minhash_lsh_candidates_xxh",  # Spark-native hash by design; md5 twin is checked
         "bpe_train_merges",  # iterative trainer — exact-parity vs Python reference in tests
+        "bpe_encode_tokens",  # trained-fold composition — encode parity vs Python reference in tests
         "pq_topk",  # iterative KMeans codebooks — exactness/recall bounded in tests
     }
 

@@ -644,6 +644,49 @@ def test_bpe_trainer_matches_reference_exactly(spark):
     assert any(bpe.SEP in left or bpe.SEP in right for left, right, _ in got) or len(got) < 3
 
 
+def test_bpe_encode_matches_reference_both_paths(spark):
+    """encode(corpus, train(corpus)) — the round-8 corpus-encode pass —
+    must reproduce the pure-Python reference encoder EXACTLY, on both
+    physical strategies: chained JVM folds (small vocab) and the
+    Arrow-batched pandas-UDF kernel (vocab past the expression cap)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.operators import bpe
+
+    texts = [
+        "new york city is in new york state",
+        "new york new york",
+        "the city of new york",
+        "york new york new",
+        "a b a b a b",
+        "a a a a",  # greedy-overlap stress
+        "solo",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    rules = bpe.train_bpe_merges(df, n_merges=5)
+    assert rules, "fixture must learn at least one rule"
+    for cap in (64, 0):  # 0 forces the pandas-UDF path
+        enc = {
+            r.i: r.toks
+            for r in bpe.bpe_encode(
+                df, rules, expression_rule_cap=cap
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert enc[i] == bpe.reference_bpe_encode(t, rules), (
+                cap,
+                t,
+                enc[i],
+            )
+    # rule ORDER is the contract: a later rule consumes earlier merges
+    stacked = [r for r in rules if bpe.SEP in r[0] or bpe.SEP in r[1]]
+    if stacked:
+        got = bpe.bpe_encode(df, rules).collect()
+        assert any(
+            any(tok.count(bpe.SEP) >= 2 for tok in r.toks) for r in got
+        ), "stacked rules must produce multi-merge tokens"
+
+
 def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     # winnowing guarantee: a shared run of >= w+k-1 tokens (here 6) must
     # yield at least one shared selected fingerprint
