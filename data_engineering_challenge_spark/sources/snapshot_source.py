@@ -127,11 +127,7 @@ def _added_files(root: str, from_v: int, to_v: int) -> list[str]:
             # The added set accumulates per hop: a file the compaction
             # rewrote away is still read (immutable, still referenced by
             # its pre-compact manifest).
-            if m.get("delete_files"):
-                raise ValueError(
-                    f"snapshot_table stream: v{m['version']} compact "
-                    "commit carries delete files — inconsistent manifest"
-                )
+            sn._check_compact_hop(m, "snapshot_table stream")
             m = pm
             continue
         if not set(pm["files"]) <= set(m["files"]):
@@ -431,12 +427,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 # feed — emit nothing, keep the consumer alive across
                 # cron maintenance (the batch read_snapshot_cdf skips
                 # the same hops)
-                if m.get("delete_files"):
-                    raise ValueError(
-                        f"snapshot_table change_feed: v{v} compact "
-                        "commit carries delete files — inconsistent "
-                        "manifest"
-                    )
+                sn._check_compact_hop(m, "snapshot_table change_feed")
                 continue
             if not set(pm["files"]) <= set(m["files"]):
                 raise ValueError(

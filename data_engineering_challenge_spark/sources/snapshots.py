@@ -382,7 +382,6 @@ def _commit(
     new_delete_files: list[dict] | None = None,
     manifest_override: dict | None = None,
     conflict_mode: str = "rebase",
-    base_file_seq: dict | None = None,
     new_file_columns: list[str] | None = None,
     meta_updates: dict | None = None,
     publish: bool = True,
@@ -428,9 +427,8 @@ def _commit(
       files.  ``meta_updates`` merges on top (dict values merge
       key-wise, others replace); ``new_file_columns`` extends an
       evolved table's field list additively and binds the new file
-      group's physical column names to field ids; ``base_file_seq``
-      seeds the sequence map so a rewrite (compaction) can carry kept
-      files' original commit sequences;
+      group's physical column names to field ids (kept files keep their
+      original commit sequences through the entry files they ride in);
     * FORMAT 2 (two-level manifests): the version file written here is
       a small MANIFEST LIST — ``entries``/``delete_entries`` name
       immutable per-commit entry files carrying the per-file metadata
@@ -541,12 +539,13 @@ def _commit(
                     efiles = e.get("files") or []
                     kept = [f for f in efiles if f in keep_files]
                     if len(kept) == len(efiles):
-                        base_entries.append(name)  # fully kept: by name
+                        # fully kept: by name (includes evolve's
+                        # bindings-only entries, whose file list is [])
+                        base_entries.append(name)
                         continue
-                    if not kept and not e.get("file_fields"):
-                        continue  # fully rewritten: drop the entry
-                    # partially kept (or carrying field bindings that
-                    # must survive): rewrite at entry cost
+                    if not kept:
+                        continue  # fully rewritten: the entry dies
+                    # partially kept: rewrite at entry cost
                     tn = _write_entry(root, _trim_entry(e, keep_files))
                     base_entries.append(tn)
                     attempt_written.append(tn)
@@ -554,8 +553,10 @@ def _commit(
             else:
                 base_entries = src_entries
                 src = _read_manifest(root, entries_from)
-                extra = [f for f in files if f not in set(src["files"])]
+                sset = set(src["files"])
+                extra = [f for f in files if f not in sset]
                 if extra:
+                    _discard_attempt()  # migration entries written above
                     raise ValueError(
                         "_commit: entries_from caller passed files the "
                         f"source version does not contain: {extra[:3]}"
@@ -611,10 +612,7 @@ def _commit(
             st = stats or {}
             entry = {
                 "files": new_files,
-                "file_seq": {
-                    f: int((base_file_seq or {}).get(f, version))
-                    for f in new_files
-                },
+                "file_seq": {f: version for f in new_files},
                 "sizes": {
                     f: os.path.getsize(os.path.join(root, f))
                     for f in new_files
@@ -1480,12 +1478,28 @@ def snapshot_compact(
         n_out = target_files or max(
             1, math.ceil(sum(sizes[f] for f in rewrite) / target_file_bytes)
         )
-        if not deletes and len(rewrite) <= n_out:
-            return parent  # already compact — a rewrite would gain nothing
         layout = m.get("layout") or {}
         sort_cols = layout.get("sort_cols")
         stats_cols = layout.get("stats_cols")
         transforms = layout.get("partition_transforms") or {}
+        if not deletes:
+            if transforms:
+                # partitioned rewrite emits ONE file per partition value
+                # present in the rewrite set (regardless of n_out), so
+                # the fixed point is: every rewrite file already carries
+                # a recorded value and no value spans two files.  Without
+                # this guard a cron maintain_snapshot would re-rewrite
+                # the same small partition files — and commit a junk
+                # version — on every tick, forever.
+                pvals = m.get("partition_values") or {}
+                rec = [pvals.get(f) for f in rewrite]
+                n_vals = len(
+                    {tuple(sorted(v.items())) for v in rec if v}
+                )
+                if all(rec) and len(rewrite) <= n_vals:
+                    return parent  # one file per value — a rewrite is churn
+            elif len(rewrite) <= n_out:
+                return parent  # already compact — a rewrite gains nothing
         if not stats_cols:
             # no declared policy: preserve whatever pruning evidence the
             # parent carried (union of its stat columns) — ADVICE r6
@@ -2194,6 +2208,111 @@ def snapshot_cherry_pick(root: str, version: int, tag: str | None = None) -> int
     )
 
 
+def compact_manifests(root: str, max_entries: int = 1) -> int:
+    """MANIFEST compaction — Iceberg's manifest-merge, the metadata
+    twin of `compact_delete_files`: consolidate the live version's
+    per-commit entry files into ONE entry (and its delete entries into
+    one) WITHOUT touching a single data file.  Two-level manifests make
+    every commit O(delta), but the version payload's entry-NAME list
+    still grows one reference per commit; a long append-only lineage
+    (the streaming-ingest steady state, where no data file is ever
+    small enough to trigger `snapshot_compact`) would accrete an
+    unbounded name list.  This bounds it at metadata prices: read the
+    entries, write one consolidated entry, commit a payload referencing
+    it — O(table-files) JSON once, amortized over the commits since the
+    last merge, exactly Iceberg's RewriteManifests.
+
+    No-op (current version returned, no commit) when the payload
+    already references at most ``max_entries`` data entries and one
+    delete entry.  SERIALIZABLE like the other maintenance commits.
+    Every changes/CDF/stream consumer crosses the hop untouched — the
+    file set and delete-file set are byte-identical, so the hop is
+    vacuously append-shaped and emits nothing."""
+    last_err: Exception | None = None
+    for _ in range(5):
+        seen = set(snapshot_versions(root))
+        parent = current_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"compact_manifests: no table at {root}")
+        meta = _read_manifest_meta(root, parent)
+        if meta.get("format") != 2:
+            # a format-1 head consolidates on its next commit anyway
+            n_entries, n_dentries = 0, 0
+        else:
+            n_entries = len(meta.get("entries") or [])
+            n_dentries = len(meta.get("delete_entries") or [])
+        if n_entries <= max_entries and n_dentries <= 1:
+            return parent  # nothing to merge
+        m = _read_manifest(root, parent)
+        merged: dict = {"files": m["files"]}
+        for k in ("stats", "file_seq", "file_fields", "partition_values",
+                  "sizes"):
+            if m.get(k):
+                merged[k] = m[k]
+        entries = [_write_entry(root, merged)] if m["files"] else []
+        dentries = (
+            [_write_entry(root, {"delete_files": m["delete_files"]}, "de")]
+            if m.get("delete_files")
+            else []
+        )
+        staged = os.path.join(
+            _manifest_dir(root), f".stage-{uuid.uuid4().hex}"
+        )
+        # direct payload commit (the _commit machinery is for content
+        # changes; this hop's content is the parent's, verbatim)
+        existing = snapshot_versions(root)
+        version = (existing[-1] + 1) if existing else 0
+        payload = {
+            "version": version,
+            "parent": parent,
+            "tag": None,
+            "ts": time.time(),
+            "operation": "compact-manifests",
+            "format": 2,
+            "entries": entries,
+            "delete_entries": dentries,
+        }
+        for k in ("layout", "fields"):
+            if meta.get(k):
+                payload[k] = meta[k]
+        with open(staged, "w") as fh:
+            json.dump(payload, fh)
+        mpath = _manifest_path(root, version)
+        try:
+            os.link(staged, mpath)
+        except FileExistsError:
+            for n in entries + dentries:
+                os.remove(os.path.join(_manifest_dir(root), n))
+            last_err = SnapshotConflictError(
+                f"compact_manifests: version v{version} claimed "
+                "concurrently"
+            )
+            continue
+        finally:
+            os.remove(staged)
+        try:
+            _advance_latest(root, version)
+        except SnapshotConflictError as exc:
+            last_err = exc  # head moved — the claimed manifest expires
+            continue
+        now = current_version(root)
+        if now != version and not _descends_from(root, now, version):
+            # a concurrent sibling that never saw this merge won the
+            # pointer (forward-only advance no-ops past it): the merge
+            # silently did not land — retry against the new head.  A
+            # head that DESCENDS from the merge inherited the
+            # consolidated entries through its rebase: success.
+            last_err = SnapshotConflictError(
+                "compact_manifests: a concurrent commit buried the merge"
+            )
+            continue
+        return version
+    raise SnapshotConflictError(
+        f"compact_manifests: gave up after 5 conflicted attempts "
+        f"({last_err})"
+    )
+
+
 def compact_delete_files(spark: SparkSession, root: str) -> int:
     """MINOR compaction — Iceberg's 'rewrite delete files' in miniature:
     merge the live version's many small MoR delete lists into ONE list
@@ -2824,16 +2943,11 @@ def snapshot_restore(root: str, version: int) -> int:
             # verbatim carry — including schema metadata, so restoring
             # past a rename/drop restores the schema too (None values
             # REMOVE the key: restoring to a pre-evolution version must
-            # not inherit the current logical schema)
+            # not inherit the current logical schema).  Per-file
+            # metadata (file_seq/partition_values/stats) rides in the
+            # referenced version's own entry files.
             k: m.get(k)
-            for k in (
-                "file_seq",
-                "delete_files",
-                "fields",
-                "file_fields",
-                "partition_values",
-                "layout",
-            )
+            for k in ("delete_files", "fields", "file_fields", "layout")
         },
     )
 
@@ -3009,6 +3123,7 @@ def maintain_snapshot(
     target_file_bytes: int = 128 * 1024 * 1024,
     max_small_files: int | None = None,
     delete_mode: str = "major",
+    max_manifest_entries: int | None = None,
 ) -> dict:
     """One-call table MAINTENANCE policy — the janitor a continuously
     merged table needs (Delta OPTIMIZE + VACUUM rolled together), meant
@@ -3026,9 +3141,14 @@ def maintain_snapshot(
        cost, leave data files merge-on-read — unless the small-file
        trigger also fired, which always takes the major path (minor
        compaction cannot fix file count);
-    2. if ``keep_last`` is set, `expire_versions` drops older manifests
+    2. with ``max_manifest_entries`` set, a live payload referencing
+       more data entries than that runs `compact_manifests` — merge the
+       manifest ENTRY files at metadata cost (the version payload's
+       entry-name list is the one O(commits) component of the two-level
+       format; this is its janitor, Iceberg's RewriteManifests);
+    3. if ``keep_last`` is set, `expire_versions` drops older manifests
        (never the live version);
-    3. if ``vacuum_grace_s`` is set, `vacuum_orphans` reclaims
+    4. if ``vacuum_grace_s`` is set, `vacuum_orphans` reclaims
        unreferenced files older than the grace window.
 
     Each sub-step is independently idempotent and crash-safe (they are
@@ -3042,7 +3162,12 @@ def maintain_snapshot(
             "'major' (bin-pack data files) or 'minor' (merge delete "
             "lists only)"
         )
-    did: dict = {"compacted": None, "expired": [], "vacuumed": []}
+    did: dict = {
+        "compacted": None,
+        "manifests_merged": None,
+        "expired": [],
+        "vacuumed": [],
+    }
     cur = current_version(root)
     if cur is not None:
         m = _read_manifest(root, cur)
@@ -3085,6 +3210,11 @@ def maintain_snapshot(
             # compact no-ops (returns cur) when nothing would improve —
             # report only real commits so reruns read as idempotent
             did["compacted"] = v if v != cur else None
+    if max_manifest_entries is not None:
+        cur2 = current_version(root)
+        if cur2 is not None:
+            v = compact_manifests(root, max_entries=max_manifest_entries)
+            did["manifests_merged"] = v if v != cur2 else None
     if keep_last is not None:
         did["expired"] = expire_versions(root, keep_last=keep_last)
     if vacuum_grace_s is not None:
@@ -3199,6 +3329,21 @@ def run_streaming_snapshot_sink(
     q.awaitTermination()
 
 
+
+def _check_compact_hop(m: dict, op_name: str) -> None:
+    """Shared consistency check for every consumer that SKIPS a
+    row-content-preserving major-compaction hop (`read_snapshot_changes`,
+    `read_snapshot_cdf`, and the streaming source's two modes): a
+    compact commit FOLDS MoR deletes, never adds them — one carrying
+    delete files violates the invariant the skip relies on, so fail
+    loudly instead of emitting wrong events."""
+    if m.get("delete_files"):
+        raise ValueError(
+            f"{op_name}: v{m['version']} compact commit carries delete "
+            "files — inconsistent manifest"
+        )
+
+
 def _hop_chain(
     root: str, from_version: int, to_version: int, op_name: str
 ) -> list[dict]:
@@ -3254,11 +3399,7 @@ def read_snapshot_changes(
     added: list[str] = []
     for pm, m in zip(chain, chain[1:]):
         if m.get("operation") == "compact":
-            if m.get("delete_files"):
-                raise ValueError(
-                    f"read_snapshot_changes: v{m['version']} compact "
-                    "commit carries delete files — inconsistent manifest"
-                )
+            _check_compact_hop(m, "read_snapshot_changes")
             continue  # row-content-preserving: contributes no added rows
         if not set(pm["files"]) <= set(m["files"]):
             raise ValueError(
@@ -3410,11 +3551,7 @@ def read_snapshot_cdf(
             # mirror) alive across cron maintenance instead of forcing a
             # re-bootstrap.  Consistency: a compact commit folds deletes,
             # never adds them.
-            if _dels(cm):
-                raise ValueError(
-                    f"read_snapshot_cdf: v{v} compact commit carries "
-                    "delete files — inconsistent manifest"
-                )
+            _check_compact_hop(cm, "read_snapshot_cdf")
             prev = cm
             continue
         if not set(prev["files"]) <= set(cm["files"]):
@@ -3962,10 +4099,13 @@ def vacuum_orphans(root: str, min_age_s: float = 600.0) -> list[str]:
     mdir = _manifest_dir(root)
     if os.path.isdir(mdir):
         for n in os.listdir(mdir):
-            if not (
-                (n.startswith("e-") or n.startswith("de-"))
-                and n.endswith(".json")
-            ) or n in entry_refs:
+            entry_like = (
+                n.startswith("e-") or n.startswith("de-")
+            ) and n.endswith(".json")
+            # crashed-writer debris: _write_entry tmps and _commit
+            # stage files that never reached their rename/claim
+            debris = n.endswith(".json.tmp") or n.startswith(".stage-")
+            if (not entry_like and not debris) or n in entry_refs:
                 continue
             p = os.path.join(mdir, n)
             try:

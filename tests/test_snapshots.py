@@ -1166,7 +1166,12 @@ def test_maintain_snapshot_policy(spark, tmp_path):
 
     # below threshold: nothing happens
     did = sn.maintain_snapshot(spark, root, max_delete_files=8)
-    assert did == {"compacted": None, "expired": [], "vacuumed": []}
+    assert did == {
+        "compacted": None,
+        "manifests_merged": None,
+        "expired": [],
+        "vacuumed": [],
+    }
 
     # above threshold: compaction folds, expiry + vacuum reclaim
     did = sn.maintain_snapshot(
@@ -1183,7 +1188,12 @@ def test_maintain_snapshot_policy(spark, tmp_path):
         spark, root, max_delete_files=2, target_files=1,
         keep_last=1, vacuum_grace_s=0.0,
     )
-    assert did2 == {"compacted": None, "expired": [], "vacuumed": []}
+    assert did2 == {
+        "compacted": None,
+        "manifests_merged": None,
+        "expired": [],
+        "vacuumed": [],
+    }
 
 
 def test_delete_where_flavors_agree_on_keyed_table(spark, tmp_path):
@@ -2725,7 +2735,12 @@ def test_vacuum_collects_partitioned_debris_and_survives(spark, tmp_path):
         "id", (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v")
     )
     sn.snapshot_append_partitioned(df, root, {"grp": "CAST(g AS STRING)"})
-    sn.snapshot_append(_df(spark, 100, 110).coalesce(1), root)
+    # plain same-schema append: no recorded partition values (always
+    # read by the pruned scan), but the transform column must resolve
+    plain = spark.range(100, 110).select(
+        "id", F.lit(7).cast("long").alias("g"), (F.col("id") * 2).alias("v")
+    )
+    sn.snapshot_append(plain.coalesce(1), root)
     # orphaned partitioned debris: a crashed commit's group dir
     live_group = os.path.dirname(
         os.path.dirname(sn._read_manifest(root, 0)["files"][0])
@@ -2791,6 +2806,13 @@ def test_compact_preserves_partition_pruning(spark, tmp_path):
     assert pruned.count() == 40
     n_all = len(m["files"])
     assert len(pruned.inputFiles()) < n_all, "pruning survives maintenance"
+    # FIXED POINT (r8 review): one file per partition value is as packed
+    # as a partitioned rewrite can get — a second compact must NOT churn
+    # out another version, or cron maintenance rewrites forever
+    assert sn.snapshot_compact(spark, root, target_file_bytes=1 << 20) == v
+    assert sn.maintain_snapshot(
+        spark, root, max_small_files=0, target_file_bytes=1 << 20
+    )["compacted"] is None
 
 
 def test_changes_and_incremental_view_survive_compaction(spark, tmp_path):
@@ -2855,3 +2877,62 @@ def test_cdf_replay_converges_across_compaction(spark, tmp_path):
         r.k: r.v for r in sn.read_snapshot_mor(spark, root, v3).collect()
     }
     assert state == want
+
+
+def test_compact_manifests_bounds_entry_list(spark, tmp_path):
+    """Manifest compaction (Iceberg RewriteManifests): many appends
+    accrete one entry-name per commit; the metadata-only merge collapses
+    them to ONE entry, data files untouched, history and every
+    downstream consumer (changes walk, CDF, incremental view) crossing
+    the hop unchanged."""
+    import json
+
+    root = str(tmp_path / "tbl")
+    for i in range(8):
+        sn.snapshot_append(
+            _df(spark, i * 10, i * 10 + 10).coalesce(1),
+            root,
+            stats_cols=["id"],
+        )
+    head = sn.current_version(root)
+    pl = json.load(open(f"{root}/_manifests/v{head}.json"))
+    assert len(pl["entries"]) == 8
+    files_before = sn._read_manifest(root, head)["files"]
+    v = sn.compact_manifests(root)
+    assert v == head + 1
+    pl2 = json.load(open(f"{root}/_manifests/v{v}.json"))
+    assert len(pl2["entries"]) == 1, "entries merged to one"
+    m2 = sn._read_manifest(root, v)
+    assert m2["files"] == files_before, "data files byte-identical"
+    assert m2["stats"] and m2["file_seq"] and m2["sizes"]
+    assert m2["file_seq"][files_before[0]] == 0, "original seqs carried"
+    # no-op at the fixed point
+    assert sn.compact_manifests(root) == v
+    # every consumer crosses the hop: the file/delete sets are identical
+    got = sorted(
+        r.id for r in sn.read_snapshot_changes(spark, root, 0, v).collect()
+    )
+    assert got == list(range(10, 80))
+    cdf = sn.read_snapshot_cdf(spark, root, head, v)
+    assert cdf.count() == 0, "manifest merge emits no events"
+    # appends continue on the merged base; pruning still works
+    sn.snapshot_append(_df(spark, 80, 90).coalesce(1), root, stats_cols=["id"])
+    pl3 = json.load(
+        open(f"{root}/_manifests/v{sn.current_version(root)}.json")
+    )
+    assert len(pl3["entries"]) == 2
+    hit = sn.read_snapshot_pruned(spark, root, "id", 85, 86)
+    assert hit.count() == 2 and len(hit.inputFiles()) == 1
+    # the maintenance knob
+    for i in range(3):
+        sn.snapshot_append(_df(spark, 100 + i, 101 + i).coalesce(1), root)
+    did = sn.maintain_snapshot(spark, root, max_manifest_entries=2)
+    assert did["manifests_merged"] is not None
+    pl4 = json.load(
+        open(f"{root}/_manifests/v{sn.current_version(root)}.json")
+    )
+    assert len(pl4["entries"]) == 1
+    assert sn.read_snapshot(spark, root).count() == 93
+    # old versions stay time-travelable; orphaned entries reclaimed only
+    # after expiry + vacuum
+    assert sn.read_snapshot(spark, root, 3).count() == 40
