@@ -1496,7 +1496,12 @@ def snapshot_compact(
                 n_vals = len(
                     {tuple(sorted(v.items())) for v in rec if v}
                 )
-                if all(rec) and len(rewrite) <= n_vals:
+                # a file recorded under an OLDER spec (missing a current
+                # partition name) still gains from a rewrite: re-deriving
+                # the full spec can merge it with its same-value peers
+                names = set(transforms)
+                spec_complete = all(v and set(v) == names for v in rec)
+                if spec_complete and len(rewrite) <= n_vals:
                     return parent  # one file per value — a rewrite is churn
             elif len(rewrite) <= n_out:
                 return parent  # already compact — a rewrite gains nothing
@@ -2228,12 +2233,29 @@ def compact_manifests(root: str, max_entries: int = 1) -> int:
     Every changes/CDF/stream consumer crosses the hop untouched — the
     file set and delete-file set are byte-identical, so the hop is
     vacuously append-shaped and emits nothing."""
+    max_entries = max(1, int(max_entries))  # one entry IS the fixed point
     last_err: Exception | None = None
+    # ``seen`` is captured ONCE (the _commit discipline): a version that
+    # appears after this listing is a CONCURRENT commit — published or
+    # mid-publish — and the merge REBASES onto it instead of burying it
+    # (re-capturing per attempt would hide a claimed-but-unadvanced
+    # sibling on the retry and bury its acknowledged rows)
+    seen = set(snapshot_versions(root))
+    parent = current_version(root)
+    if parent is None:
+        raise FileNotFoundError(f"compact_manifests: no table at {root}")
     for _ in range(5):
-        seen = set(snapshot_versions(root))
-        parent = current_version(root)
-        if parent is None:
-            raise FileNotFoundError(f"compact_manifests: no table at {root}")
+        existing = snapshot_versions(root)
+        version = (existing[-1] + 1) if existing else 0
+        for v2 in sorted(x for x in set(existing) - seen if x > parent):
+            if _descends_from(root, v2, parent):
+                vm = _read_manifest_meta(root, v2)
+                if vm.get("operation") in (
+                    "stage-append",
+                    "branch-append",
+                ) and not _is_published(root, v2):
+                    continue  # invisible until publish — not a sibling
+                parent = v2  # rebase: the merge consolidates ITS state
         meta = _read_manifest_meta(root, parent)
         if meta.get("format") != 2:
             # a format-1 head consolidates on its next commit anyway
@@ -2260,8 +2282,6 @@ def compact_manifests(root: str, max_entries: int = 1) -> int:
         )
         # direct payload commit (the _commit machinery is for content
         # changes; this hop's content is the parent's, verbatim)
-        existing = snapshot_versions(root)
-        version = (existing[-1] + 1) if existing else 0
         payload = {
             "version": version,
             "parent": parent,
@@ -2275,14 +2295,21 @@ def compact_manifests(root: str, max_entries: int = 1) -> int:
         for k in ("layout", "fields"):
             if meta.get(k):
                 payload[k] = meta[k]
+
+        def _drop_attempt() -> None:
+            for n in entries + dentries:
+                try:
+                    os.remove(os.path.join(_manifest_dir(root), n))
+                except FileNotFoundError:
+                    pass
+
         with open(staged, "w") as fh:
             json.dump(payload, fh)
         mpath = _manifest_path(root, version)
         try:
             os.link(staged, mpath)
         except FileExistsError:
-            for n in entries + dentries:
-                os.remove(os.path.join(_manifest_dir(root), n))
+            _drop_attempt()
             last_err = SnapshotConflictError(
                 f"compact_manifests: version v{version} claimed "
                 "concurrently"
@@ -2293,7 +2320,12 @@ def compact_manifests(root: str, max_entries: int = 1) -> int:
         try:
             _advance_latest(root, version)
         except SnapshotConflictError as exc:
-            last_err = exc  # head moved — the claimed manifest expires
+            # a publish/fast-forward surfaced a lineage the original
+            # listing could not see — rescan EVERYTHING (the _commit
+            # convention) and re-merge against the new head
+            last_err = exc
+            seen = set()
+            parent = current_version(root)
             continue
         now = current_version(root)
         if now != version and not _descends_from(root, now, version):
@@ -2305,6 +2337,8 @@ def compact_manifests(root: str, max_entries: int = 1) -> int:
             last_err = SnapshotConflictError(
                 "compact_manifests: a concurrent commit buried the merge"
             )
+            seen = set()
+            parent = now
             continue
         return version
     raise SnapshotConflictError(
@@ -3154,7 +3188,8 @@ def maintain_snapshot(
     Each sub-step is independently idempotent and crash-safe (they are
     the existing primitives), so the policy inherits those guarantees;
     running it twice is a no-op.  Returns what it did:
-    ``{"compacted": version|None, "expired": [...], "vacuumed": [...]}``.
+    ``{"compacted": version|None, "manifests_merged": version|None,
+    "expired": [...], "vacuumed": [...]}``.
     """
     if delete_mode not in ("major", "minor"):
         raise ValueError(
@@ -4103,13 +4138,20 @@ def vacuum_orphans(root: str, min_age_s: float = 600.0) -> list[str]:
                 n.startswith("e-") or n.startswith("de-")
             ) and n.endswith(".json")
             # crashed-writer debris: _write_entry tmps and _commit
-            # stage files that never reached their rename/claim
+            # stage files that never reached their rename/claim.  These
+            # live for MILLISECONDS in a healthy commit, so they get a
+            # hard age floor regardless of min_age_s — a zero-grace
+            # vacuum (quiesced-table cleanup) must never delete a
+            # concurrent committer's stage file mid-claim
             debris = n.endswith(".json.tmp") or n.startswith(".stage-")
             if (not entry_like and not debris) or n in entry_refs:
                 continue
+            limit = (
+                time.time() - max(min_age_s, 600.0) if debris else cutoff
+            )
             p = os.path.join(mdir, n)
             try:
-                if os.path.getmtime(p) <= cutoff:
+                if os.path.getmtime(p) <= limit:
                     os.remove(p)
             except FileNotFoundError:
                 pass  # a racing vacuum — already gone

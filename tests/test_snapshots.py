@@ -2936,3 +2936,73 @@ def test_compact_manifests_bounds_entry_list(spark, tmp_path):
     # old versions stay time-travelable; orphaned entries reclaimed only
     # after expiry + vacuum
     assert sn.read_snapshot(spark, root, 3).count() == 40
+
+
+def test_compact_manifests_rebases_onto_claimed_sibling(
+    spark, tmp_path, monkeypatch
+):
+    """The burial race (r8 review): an append that CLAIMS its manifest
+    after the merge captured its listing but before the merge claims —
+    the mid-publish window — must not be buried: compact_manifests
+    rebases onto the sibling, so its acknowledged rows ride the merged
+    head."""
+    import json
+
+    root = str(tmp_path / "tbl")
+    for i in range(3):
+        sn.snapshot_append(_df(spark, i * 10, i * 10 + 10).coalesce(1), root)
+    files = sn._write_files(_df(spark, 100, 110).coalesce(1), root)
+    state = {"sib": None}
+    real_meta = sn._read_manifest_meta
+
+    def inject_then_read(root_, version):
+        # fires inside compact_manifests AFTER its seen/parent capture
+        # (the first in-loop metadata read): claim the sibling append
+        # WITHOUT advancing the pointer — the mid-publish window
+        if state["sib"] is None:
+            monkeypatch.setattr(sn, "_read_manifest_meta", real_meta)
+            state["sib"] = sn._commit(
+                root_,
+                files,
+                sn.current_version(root_),
+                rebase_append=True,
+                operation="append",
+                seen_versions=set(sn.snapshot_versions(root_)) - {99},
+                publish=False,
+            )
+        return real_meta(root_, version)
+
+    monkeypatch.setattr(sn, "_read_manifest_meta", inject_then_read)
+    v = sn.compact_manifests(root)
+    assert state["sib"] is not None and v > state["sib"]
+    got = sorted(r.id for r in sn.read_snapshot(spark, root).collect())
+    assert got == list(range(0, 30)) + list(range(100, 110)), (
+        "the claimed sibling's rows must survive the merge"
+    )
+    pl = json.load(open(f"{root}/_manifests/v{v}.json"))
+    assert len(pl["entries"]) == 1
+    # pathological knob values clamp to the fixed point (no cron churn)
+    assert sn.compact_manifests(root, max_entries=0) == v
+    assert sn.compact_manifests(root, max_entries=-5) == v
+
+
+def test_compact_fixed_point_across_spec_evolution(spark, tmp_path):
+    """Pre-evolution partition files (recorded under an older spec) must
+    still be compacted — the rewrite re-derives the FULL spec and merges
+    them with their peers; afterwards compaction is a no-op."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 40).select(
+        "id", (F.col("id") % 2).alias("g"), (F.col("id") % 2).alias("h")
+    )
+    sn.snapshot_append_partitioned(df, root, {"pg": "CAST(g AS STRING)"})
+    sn.snapshot_append_partitioned(
+        df, root, {"pg": "CAST(g AS STRING)", "ph": "CAST(h AS STRING)"}
+    )
+    v = sn.snapshot_compact(spark, root, target_file_bytes=1 << 20)
+    assert v == 2, "older-spec files must be rewritten under the full spec"
+    m = sn._read_manifest(root, v)
+    pv = m.get("partition_values") or {}
+    assert all(set(pv.get(f) or {}) == {"pg", "ph"} for f in m["files"])
+    assert sn.read_snapshot(spark, root).count() == 80
+    # fixed point: one file per (pg, ph) value — no further churn
+    assert sn.snapshot_compact(spark, root, target_file_bytes=1 << 20) == v
