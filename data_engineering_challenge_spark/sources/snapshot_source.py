@@ -196,20 +196,56 @@ def _read_file_batches(path: str, schema: StructType):
 class SnapshotTableDataSource(DataSource):
     """``spark.read[Stream].format("snapshot_table").option("root", dir)``
     — the snapshot table format on the reader surface.  Options:
-    ``root`` (required); ``version`` (batch: pin a version instead of
-    _LATEST); ``start_version`` (stream: begin at this commit,
-    INCLUSIVE — Delta's ``startingVersion`` — instead of the full
-    initial snapshot; fresh checkpoints only, validated at stream
-    start)."""
+    ``root`` (required unless resolved by name); ``version`` (batch:
+    pin a version instead of _LATEST); ``start_version`` (stream: begin
+    at this commit, INCLUSIVE — Delta's ``startingVersion`` — instead
+    of the full initial snapshot; fresh checkpoints only, validated at
+    stream start).
+
+    CATALOG resolution: ``option("catalog", dir).option("table", name)``
+    resolves the root (and, for batch reads, the recorded pin) through
+    the persistent catalog (`sources/catalog.py`) — tables by NAME on
+    the reader surface, matching the SQL surface's `attach_catalog`.  A
+    stream refuses a PINNED entry loudly (a stream follows the live
+    lineage; a version/asof/ref pin names a fixed or diverging state)."""
 
     @classmethod
     def name(cls) -> str:
         return "snapshot_table"
 
+    def _catalog_entry(self) -> dict | None:
+        cdir = self.options.get("catalog")
+        tbl = self.options.get("table")
+        if cdir is None and tbl is None:
+            return None
+        if cdir is None or tbl is None:
+            raise ValueError(
+                "snapshot_table: catalog and table options come together"
+            )
+        if self.options.get("root"):
+            raise ValueError(
+                "snapshot_table: pass either root or catalog/table, "
+                "not both"
+            )
+        from .catalog import catalog_entries
+
+        entries = catalog_entries(cdir)
+        if tbl not in entries:
+            raise FileNotFoundError(
+                f"snapshot_table: {tbl!r} is not in the catalog at {cdir}"
+            )
+        return entries[tbl]
+
     def _root(self) -> str:
+        e = self._catalog_entry()
+        if e is not None:
+            return e["root"]
         root = self.options.get("root")
         if not root:
-            raise ValueError("snapshot_table: option 'root' is required")
+            raise ValueError(
+                "snapshot_table: option 'root' (or catalog/table) is "
+                "required"
+            )
         return root
 
     def schema(self) -> StructType:
@@ -282,9 +318,31 @@ class SnapshotTableDataSource(DataSource):
                 "batch change feed use read_snapshot_cdf (full "
                 "pre-image delete events, engine-merged)"
             )
-        return SnapshotBatchReader(self._root(), self.options, schema)
+        e = self._catalog_entry()
+        root = self._root()
+        v = self.options.get("version")
+        version = int(v) if v is not None else None
+        if e is not None and version is None:
+            # the catalog entry's recorded pin resolves at read time —
+            # a ref follows its branch head, version/asof stay fixed
+            if e.get("ref") is not None:
+                version = sn.resolve_ref(root, e["ref"])
+            elif e.get("asof") is not None:
+                version = sn.resolve_asof_version(root, float(e["asof"]))
+            elif e.get("version") is not None:
+                version = int(e["version"])
+        return SnapshotBatchReader(root, schema, version=version)
 
     def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
+        e = self._catalog_entry()
+        if e is not None and any(
+            e.get(k) is not None for k in ("version", "asof", "ref")
+        ):
+            raise ValueError(
+                f"snapshot_table stream: catalog entry {e['name']!r} is "
+                "pinned — a stream follows the live lineage; register "
+                "an unpinned name or pass root directly"
+            )
         sv = self.options.get("start_version")
         return SnapshotStreamReader(
             self._root(),
@@ -299,11 +357,14 @@ class SnapshotBatchReader(DataSourceReader):
     arrow-batched.  Refuses MoR deletes (use `read_snapshot_mor` — the
     anti-join needs the engine, not a file scan)."""
 
-    def __init__(self, root: str, options, schema: StructType):
+    def __init__(
+        self, root: str, schema: StructType, version: int | None = None
+    ):
         self.root = root
         self.schema_ = schema
-        v = options.get("version")
-        self.version = int(v) if v is not None else sn.current_version(root)
+        self.version = (
+            int(version) if version is not None else sn.current_version(root)
+        )
         if self.version is None:
             raise FileNotFoundError(
                 f"snapshot_table: no committed version at {root}"

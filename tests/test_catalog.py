@@ -96,3 +96,64 @@ def test_catalog_ref_pin_follows_branch(spark, tmp_path):
     pinned = cat.attach_catalog(spark, cdir)
     assert pinned == {"t_staging": b1}
     assert spark.sql("SELECT COUNT(*) n FROM t_staging").first().n == 30
+
+
+def test_datasource_reads_through_catalog(spark, tmp_path):
+    """The snapshot_table DataSource resolves catalog names on the
+    reader surface: batch reads honor the recorded pin, streams refuse
+    pinned entries and follow unpinned ones."""
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+    from data_engineering_challenge_spark.streaming import incremental as st
+
+    register_snapshot_source(spark)
+    cdir = str(tmp_path / "catalog")
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)   # v0
+    sn.snapshot_create_tag(root, "audit", version=0)
+    sn.snapshot_append(_df(spark, 10, 30).coalesce(1), root)  # v1
+    cat.catalog_register(cdir, "t_live", root)
+    cat.catalog_register(cdir, "t_audit", root, ref="audit")
+
+    def read(name):
+        return (
+            spark.read.format("snapshot_table")
+            .option("catalog", cdir)
+            .option("table", name)
+            .load()
+        )
+
+    assert read("t_live").count() == 30
+    assert read("t_audit").count() == 10, "tag pin honored by the reader"
+    with pytest.raises(Exception, match="not in the catalog"):
+        read("ghost").count()
+    with pytest.raises(Exception, match="root or catalog"):
+        (
+            spark.read.format("snapshot_table")
+            .option("catalog", cdir)
+            .option("table", "t_live")
+            .option("root", root)
+            .load()
+            .count()
+        )
+    # streams: unpinned names stream; pinned names refuse loudly
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("snapshot_table")
+        .option("catalog", cdir)
+        .option("table", "t_live")
+        .load()
+    )
+    st.run_available_now(stream, out, ckpt)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(
+        range(30)
+    )
+    with pytest.raises(Exception, match="pinned"):
+        s2 = (
+            spark.readStream.format("snapshot_table")
+            .option("catalog", cdir)
+            .option("table", "t_audit")
+            .load()
+        )
+        st.run_available_now(s2, str(tmp_path / "o2"), str(tmp_path / "c2"))
