@@ -147,7 +147,7 @@ _CHEAP_FIRST = [
     "snapshot_branch_publish", "snapshot_files_meta",
     "snapshot_cherry_pick",
     # round-8 additions, measured verify cost ascending (sf0.01)
-    "sql_catalog_report", "bpe_encode_tokens",
+    "sql_catalog_report", "bpe_encode_tokens", "snapshot_cdf_updates",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -3890,6 +3890,50 @@ def _publish_view(merged: DataFrame, view_path: str, cur: int) -> None:
         pass
 
 
+def classify_cdf_updates(
+    events: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Delta-CDF parity pass over a `read_snapshot_cdf` feed: pair each
+    commit's delete(pre-image) with its same-key insert into
+    ``update_preimage`` / ``update_postimage`` events, leaving true
+    deletes and inserts as-is — the four-valued ``_change_type`` Delta's
+    ``table_changes()`` emits, derived from the two-valued feed plus
+    the table's merge ``keys`` (the feed itself stays key-agnostic:
+    the format never assumes one key set per table).
+
+    Pure column algebra — one window per side keyed by (commit, key):
+    a delete and an insert of the same key in the same commit are an
+    upsert's two halves (`snapshot_mor_merge` writes exactly one delete
+    list row and at most one insert per key per commit, and
+    `read_snapshot_cdf` emits each pre-image once), so a presence flag
+    from a self-aggregation suffices; no join back to data files.
+    NULL keys pair via null-safe grouping (a NULL-keyed upsert is still
+    an update).  The REPLAY CONTRACT is unchanged: within a commit,
+    apply pre-images before post-images."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sfx = uuid.uuid4().hex[:8]
+    has_del, has_ins = f"_has_del_{sfx}", f"_has_ins_{sfx}"
+    w = Window.partitionBy("_commit_version", *keys)
+    is_del = F.col("_change_type") == "delete"
+    is_ins = F.col("_change_type") == "insert"
+    out = (
+        events.withColumn(has_del, F.max(is_del).over(w))
+        .withColumn(has_ins, F.max(is_ins).over(w))
+        .withColumn(
+            "_change_type",
+            F.when(
+                is_del & F.col(has_ins), F.lit("update_preimage")
+            )
+            .when(is_ins & F.col(has_del), F.lit("update_postimage"))
+            .otherwise(F.col("_change_type")),
+        )
+        .drop(has_del, has_ins)
+    )
+    return out
+
+
 def refresh_incremental_agg_cdf(
     spark: SparkSession,
     root: str,

@@ -3006,3 +3006,56 @@ def test_compact_fixed_point_across_spec_evolution(spark, tmp_path):
     assert sn.read_snapshot(spark, root).count() == 80
     # fixed point: one file per (pg, ph) value — no further churn
     assert sn.snapshot_compact(spark, root, target_file_bytes=1 << 20) == v
+
+
+def test_classify_cdf_updates_four_valued_feed(spark, tmp_path):
+    """`classify_cdf_updates` (Delta table_changes parity): same-key
+    delete+insert within one commit become update_pre/postimage; true
+    deletes, true inserts, and NULL-keyed upserts classify correctly."""
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10, "I"), (2, 20, "I"), (None, 99, "I")],
+        "k LONG, v LONG, _op STRING",
+    )
+    sn.snapshot_mor_merge(spark, root, base, ["k"])  # v0
+    batch = spark.createDataFrame(
+        [(1, 111, "U"), (2, None, "D"), (3, 30, "I"), (None, 77, "U")],
+        "k LONG, v LONG, _op STRING",
+    )
+    v1 = sn.snapshot_mor_merge(spark, root, batch, ["k"])
+    ev = sn.classify_cdf_updates(
+        sn.read_snapshot_cdf(spark, root, 0, v1), ["k"]
+    )
+    got = sorted(
+        [
+            (r._change_type, r.k, r.v)
+            for r in ev.filter(F.col("_commit_version") == v1).collect()
+        ],
+        key=str,
+    )
+    assert got == sorted(
+        [
+            ("update_preimage", 1, 10),
+            ("update_postimage", 1, 111),
+            ("update_preimage", None, 99),   # NULL keys pair too
+            ("update_postimage", None, 77),
+            ("delete", 2, 20),               # true delete stays
+            ("insert", 3, 30),               # fresh insert stays
+        ],
+        key=str,
+    )
+    # replay contract unchanged: pre-images before post-images per commit
+    state = {
+        (r.k,): r.v for r in sn.read_snapshot_mor(spark, root, 0).collect()
+    }
+    rows = ev.collect()
+    for r in [x for x in rows if x._commit_version == v1]:
+        if r._change_type in ("delete", "update_preimage"):
+            state.pop((r.k,), None)
+    for r in [x for x in rows if x._commit_version == v1]:
+        if r._change_type in ("insert", "update_postimage"):
+            state[(r.k,)] = r.v
+    want = {
+        (r.k,): r.v for r in sn.read_snapshot_mor(spark, root, v1).collect()
+    }
+    assert state == want
