@@ -4,15 +4,31 @@ the transactional-format CORE (Iceberg/Delta's snapshot+manifest idea) in
 miniature, built from three primitives this repo already trusts:
 immutable data files, JSON manifests, and atomic rename.
 
-Layout under a table root:
+Layout under a table root (format 2 — TWO-LEVEL manifests, the
+Iceberg manifest-list shape in JSON):
 
     data/<uuid>/part-*.parquet     immutable file groups, one per commit
     deletes/<uuid>/part-*.parquet  equality-delete key lists (MoR commits)
-    _manifests/v<N>.json           {"version": N, "parent": N-1, "ts": ...,
-                                    "operation": ..., "files": [...],
-                                    "file_seq": {file: commit}, "stats": ...,
-                                    "delete_files": [{file, keys, seq}]}
+    _manifests/v<N>.json           the MANIFEST LIST: {"version": N,
+                                    "parent": N-1, "ts", "operation",
+                                    "format": 2, "entries": [names],
+                                    "delete_entries": [names], "layout",
+                                    "fields"} — O(commits + schema) bytes
+    _manifests/e-<hex>.json        immutable per-commit DATA entry:
+                                    {"files": [...], "stats", "file_seq",
+                                    "sizes", "file_fields",
+                                    "partition_values"} — O(its files)
+    _manifests/de-<hex>.json       immutable DELETE entry:
+                                    {"delete_files": [{file, keys, seq}]}
     _LATEST                        text file containing "N" (atomic rename)
+
+A commit writes its new file group, ONE new entry file, and a version
+payload referencing the parent's entry names plus its own — commit
+metadata is O(delta + schema), never O(table files); `_read_manifest`
+resolves a payload to the self-contained view (memoized), and
+`compact_manifests` bounds the payload's entry-name list.  Format-1
+manifests (inline ``files``/``stats``/...) remain readable; the first
+commit on top of one consolidates it into entry files.
 
 Commit protocol: (1) write the new file group (a failed write leaves an
 orphaned uuid dir no manifest references — invisible); (2) write
@@ -2886,6 +2902,7 @@ def attach_snapshot_cdf_view(
     root: str,
     from_version: int,
     to_version: int | None = None,
+    keys: list[str] | None = None,
 ) -> int:
     """The change data feed on the SQL SURFACE — Delta's
     ``table_changes('t', from, to)`` for this format: registers
@@ -2895,17 +2912,20 @@ def attach_snapshot_cdf_view(
     text.  ``to_version=None`` pins the head current at attach time
     (same pin-at-attach consistency rule as `attach_snapshot_view`);
     re-attach with the last-seen ``_commit_version`` as the next
-    ``from_version`` to poll the feed.  Returns the pinned
-    ``to_version``."""
+    ``from_version`` to poll the feed.  ``keys`` lifts the view to the
+    FOUR-VALUED Delta shape (`classify_cdf_updates`: same-key
+    delete+insert within a commit become update_preimage /
+    update_postimage).  Returns the pinned ``to_version``."""
     if to_version is None:
         to_version = current_version(root)
         if to_version is None:
             raise FileNotFoundError(
                 f"attach_snapshot_cdf_view: no committed version at {root}"
             )
-    read_snapshot_cdf(
-        spark, root, from_version, to_version
-    ).createOrReplaceTempView(name)
+    feed = read_snapshot_cdf(spark, root, from_version, to_version)
+    if keys is not None:
+        feed = classify_cdf_updates(feed, keys)
+    feed.createOrReplaceTempView(name)
     return to_version
 
 
@@ -4068,10 +4088,11 @@ def snapshot_files(
 def expire_versions(root: str, keep_last: int = 10) -> list[int]:
     """Version RETENTION: drop every version older than the newest
     ``keep_last`` (by number), EXCEPT the one _LATEST points at — a
-    rolled-back table never loses its live version.  Only manifests (and
-    their tag markers) are removed here — manifests are self-contained
-    file lists, so surviving versions are unaffected; the expired
-    versions' now-unreferenced data files become orphans that the next
+    rolled-back table never loses its live version.  Only version
+    payloads (and their tag markers) are removed here — surviving
+    versions keep every entry file they reference, so they are
+    unaffected; the expired versions' now-unreferenced data files AND
+    manifest entry files become orphans that the next
     `vacuum_orphans` collects (expire = metadata decision, vacuum =
     space reclamation — deliberately separate steps, matching the
     Delta/Iceberg retention model).  Returns the expired version

@@ -2271,6 +2271,20 @@ def test_read_snapshot_cdf_mor_events(spark, tmp_path):
         (2, "insert", 2),
     ]
     spark.catalog.dropTempView("tbl_changes")
+    # keys= lifts the SQL view to the four-valued Delta shape
+    sn.attach_snapshot_cdf_view(spark, "tbl_changes4", root, 0, keys=["k"])
+    got4 = spark.sql(
+        "SELECT _commit_version, _change_type, COUNT(*) AS n "
+        "FROM tbl_changes4 GROUP BY ALL ORDER BY ALL"
+    ).collect()
+    assert [(r._commit_version, r._change_type, r.n) for r in got4] == [
+        (1, "delete", 1),
+        (1, "insert", 1),
+        (1, "update_postimage", 1),
+        (1, "update_preimage", 1),
+        (2, "insert", 2),
+    ]
+    spark.catalog.dropTempView("tbl_changes4")
 
 
 def test_read_snapshot_cdf_position_minor_refusals(spark, tmp_path):
