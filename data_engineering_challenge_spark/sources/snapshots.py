@@ -128,8 +128,15 @@ def _load_entry(root: str, name: str) -> dict:
 
 def _write_entry(root: str, content: dict, prefix: str = "e") -> str:
     """Write one immutable manifest-entry file; the uuid name never
-    collides, so a plain rename (not a claim) suffices."""
-    name = f"{prefix}-{uuid.uuid4().hex}.json"
+    collides, so a plain rename (not a claim) suffices.  Entries live
+    in the ``entries/`` SUBDIRECTORY of the manifest dir (the recorded
+    name keeps the subpath), so `snapshot_versions`' per-commit listdir
+    of the manifest dir stays O(versions) instead of O(3× commits) —
+    names without a subpath (this round's earliest tables) still
+    resolve through the same join."""
+    edir = os.path.join(_manifest_dir(root), "entries")
+    os.makedirs(edir, exist_ok=True)
+    name = f"entries/{prefix}-{uuid.uuid4().hex}.json"
     path = os.path.join(_manifest_dir(root), name)
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
@@ -4197,27 +4204,37 @@ def vacuum_orphans(root: str, min_age_s: float = 600.0) -> list[str]:
     # versions, lost commit races) — same grace window protects entries
     # an in-flight commit wrote but has not claimed a manifest for yet
     mdir = _manifest_dir(root)
+    scan: list[tuple[str, str]] = []  # (name-as-referenced, fs path)
     if os.path.isdir(mdir):
-        for n in os.listdir(mdir):
-            entry_like = (
-                n.startswith("e-") or n.startswith("de-")
-            ) and n.endswith(".json")
-            # crashed-writer debris: _write_entry tmps and _commit
-            # stage files that never reached their rename/claim.  These
-            # live for MILLISECONDS in a healthy commit, so they get a
-            # hard age floor regardless of min_age_s — a zero-grace
-            # vacuum (quiesced-table cleanup) must never delete a
-            # concurrent committer's stage file mid-claim
-            debris = n.endswith(".json.tmp") or n.startswith(".stage-")
-            if (not entry_like and not debris) or n in entry_refs:
-                continue
-            limit = (
-                time.time() - max(min_age_s, 600.0) if debris else cutoff
-            )
-            p = os.path.join(mdir, n)
-            try:
-                if os.path.getmtime(p) <= limit:
-                    os.remove(p)
-            except FileNotFoundError:
-                pass  # a racing vacuum — already gone
+        scan.extend((n, os.path.join(mdir, n)) for n in os.listdir(mdir))
+    edir = os.path.join(mdir, "entries")
+    if os.path.isdir(edir):
+        scan.extend(
+            (f"entries/{n}", os.path.join(edir, n))
+            for n in os.listdir(edir)
+        )
+    for n, p in scan:
+        base = os.path.basename(n)
+        entry_like = (
+            base.startswith("e-") or base.startswith("de-")
+        ) and base.endswith(".json")
+        # crashed-writer debris: _write_entry tmps and _commit
+        # stage files that never reached their rename/claim.  These
+        # live for MILLISECONDS in a healthy commit, so they get a
+        # hard age floor regardless of min_age_s — a zero-grace
+        # vacuum (quiesced-table cleanup) must never delete a
+        # concurrent committer's stage file mid-claim
+        debris = base.endswith(".json.tmp") or base.startswith(
+            ".stage-"
+        )
+        if (not entry_like and not debris) or n in entry_refs:
+            continue
+        limit = (
+            time.time() - max(min_age_s, 600.0) if debris else cutoff
+        )
+        try:
+            if os.path.getmtime(p) <= limit:
+                os.remove(p)
+        except FileNotFoundError:
+            pass  # a racing vacuum — already gone
     return removed

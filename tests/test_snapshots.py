@@ -2780,8 +2780,8 @@ def test_vacuum_collects_unreferenced_entry_files(spark, tmp_path):
     root = str(tmp_path / "tbl")
     for i in range(6):
         sn.snapshot_append(_df(spark, i, i + 1).coalesce(1), root)
-    mdir = f"{root}/_manifests"
-    n_before = sum(1 for n in os.listdir(mdir) if n.startswith("e-"))
+    edir = f"{root}/_manifests/entries"
+    n_before = sum(1 for n in os.listdir(edir) if n.startswith("e-"))
     assert n_before >= 6
     sn.expire_versions(root, keep_last=2)
     sn.vacuum_orphans(root, min_age_s=0.0)
@@ -2789,9 +2789,11 @@ def test_vacuum_collects_unreferenced_entry_files(spark, tmp_path):
 
     live = set()
     for v in sn.snapshot_versions(root):
-        pl = json.load(open(f"{mdir}/v{v}.json"))
+        pl = json.load(open(f"{root}/_manifests/v{v}.json"))
         live |= set(pl.get("entries") or [])
-    left = {n for n in os.listdir(mdir) if n.startswith("e-")}
+    left = {
+        f"entries/{n}" for n in os.listdir(edir) if n.startswith("e-")
+    }
     assert left == live, "exactly the still-referenced entries survive"
     assert sn.read_snapshot(spark, root).count() == 6  # table intact
 
