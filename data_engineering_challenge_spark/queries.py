@@ -147,7 +147,7 @@ _CHEAP_FIRST = [
     "snapshot_branch_publish", "snapshot_files_meta",
     "snapshot_cherry_pick",
     # round-8 additions, measured verify cost ascending (sf0.01)
-    "sql_catalog_report", "bpe_encode_tokens", "snapshot_cdf_updates",
+    "sql_catalog_report", "bpe_encode_tokens",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and
@@ -165,6 +165,7 @@ _TAIL = [
     "streaming_snapshot_source",
     "streaming_snapshot_cdf_source",
     "snapshot_view_refresh_cdf",
+    "snapshot_cdf_updates",
     "snapshot_replication",
     "snapshot_replication_maintained",
     "ivf_topk",

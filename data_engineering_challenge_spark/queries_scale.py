@@ -1832,16 +1832,12 @@ def q_snapshot_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "snapshot_cdf_feed",
-    # The CDF is deterministic given the sequenced feed: delete events
-    # at commit v are the state-after-batches<v rows whose key batch v
-    # touched (upsert OR delete — the equality list names both), insert
-    # events are batch v's per-key winners that aren't deletes.  The
-    # oracle replays both intermediate states with the same window the
-    # snapshot_mor_merge oracle uses for the final state.
-    f"""
-WITH feed AS (
+#: the CDF oracles' shared feed-replay prologue — the deterministic
+#: 3-batch I/U/D feed, per-batch last-change winners, and the two
+#: intermediate states; `snapshot_cdf_feed` and `snapshot_cdf_updates`
+#: compose their event derivations on top of ONE spelling so the
+#: fixture rule can never silently diverge between them
+_CDF_FEED_CTES = """WITH feed AS (
     SELECT user_id AS k,
            event_id AS seq,
            event_id % 3 AS batch,
@@ -1866,7 +1862,19 @@ state1 AS (
                ROW_NUMBER() OVER (PARTITION BY k ORDER BY batch DESC) AS rn
         FROM w WHERE batch <= 1
     ) WHERE rn = 1 AND op <> 'D'
-),
+),"""
+
+
+@register(
+    "snapshot_cdf_feed",
+    # The CDF is deterministic given the sequenced feed: delete events
+    # at commit v are the state-after-batches<v rows whose key batch v
+    # touched (upsert OR delete — the equality list names both), insert
+    # events are batch v's per-key winners that aren't deletes.  The
+    # oracle replays both intermediate states with the same window the
+    # snapshot_mor_merge oracle uses for the final state.
+    f"""
+{_CDF_FEED_CTES}
 ev AS (
     SELECT CAST(1 AS BIGINT) AS commit_version, 'delete' AS change_type, v
     FROM state0 WHERE k IN (SELECT k FROM w WHERE batch = 1)
@@ -2987,32 +2995,7 @@ def q_snapshot_replication_maintained(spark: SparkSession, sf_dir: str) -> DataF
     # is an upsert's pre-image; a commit-v insert whose key existed in
     # the prior state is its post-image.
     f"""
-WITH feed AS (
-    SELECT user_id AS k,
-           event_id AS seq,
-           event_id % 3 AS batch,
-           CASE WHEN event_id % 7 = 0 THEN 'D'
-                WHEN event_id % 2 = 0 THEN 'I'
-                ELSE 'U' END AS op,
-           value AS v
-    FROM events
-),
-w AS (
-    SELECT batch, k, seq, op, v FROM (
-        SELECT batch, k, seq, op, v,
-               ROW_NUMBER() OVER (PARTITION BY batch, k
-                                  ORDER BY seq DESC) AS rn
-        FROM feed
-    ) WHERE rn = 1
-),
-state0 AS (SELECT k, v FROM w WHERE batch = 0 AND op <> 'D'),
-state1 AS (
-    SELECT k, v FROM (
-        SELECT k, op, v,
-               ROW_NUMBER() OVER (PARTITION BY k ORDER BY batch DESC) AS rn
-        FROM w WHERE batch <= 1
-    ) WHERE rn = 1 AND op <> 'D'
-),
+{_CDF_FEED_CTES}
 ev AS (
     SELECT CAST(1 AS BIGINT) AS commit_version,
            CASE WHEN s.k IN (SELECT k FROM w WHERE batch = 1 AND op <> 'D')

@@ -214,9 +214,17 @@ class SnapshotTableDataSource(DataSource):
         return "snapshot_table"
 
     def _catalog_entry(self) -> dict | None:
+        # memoized: schema()/reader()/streamReader() each need the entry
+        # and must see ONE consistent resolution per load — and a
+        # catalog of N tables must cost O(1) entry reads, not O(N)
+        # directory scans per call
+        cached = getattr(self, "_entry_cache", ...)
+        if cached is not ...:
+            return cached
         cdir = self.options.get("catalog")
         tbl = self.options.get("table")
         if cdir is None and tbl is None:
+            self._entry_cache = None
             return None
         if cdir is None or tbl is None:
             raise ValueError(
@@ -227,14 +235,19 @@ class SnapshotTableDataSource(DataSource):
                 "snapshot_table: pass either root or catalog/table, "
                 "not both"
             )
-        from .catalog import catalog_entries
+        import json
 
-        entries = catalog_entries(cdir)
-        if tbl not in entries:
+        from .catalog import _entry_path
+
+        try:
+            with open(_entry_path(cdir, tbl)) as fh:
+                e = json.load(fh)
+        except FileNotFoundError:
             raise FileNotFoundError(
                 f"snapshot_table: {tbl!r} is not in the catalog at {cdir}"
-            )
-        return entries[tbl]
+            ) from None
+        self._entry_cache = e
+        return e
 
     def _root(self) -> str:
         e = self._catalog_entry()
@@ -247,6 +260,37 @@ class SnapshotTableDataSource(DataSource):
                 "required"
             )
         return root
+
+    def _pinned_version(self) -> int | None:
+        """ONE pin resolution shared by schema() and reader(): the
+        explicit ``version`` option (refused alongside a pinned catalog
+        entry — overriding an audit pin must be a deliberate re-read by
+        root, never a leftover builder option), else the catalog
+        entry's recorded pin resolved NOW (a ref follows its branch),
+        else None (the live head)."""
+        e = self._catalog_entry()
+        v = self.options.get("version")
+        pin_keys = ("version", "asof", "ref")
+        pinned = e is not None and any(
+            e.get(k) is not None for k in pin_keys
+        )
+        if v is not None:
+            if pinned:
+                raise ValueError(
+                    f"snapshot_table: catalog entry {e['name']!r} is "
+                    "pinned — an explicit version option would silently "
+                    "override the pin; read by root to time-travel past "
+                    "a pinned name"
+                )
+            return int(v)
+        if not pinned:
+            return None
+        root = e["root"]
+        if e.get("ref") is not None:
+            return sn.resolve_ref(root, e["ref"])
+        if e.get("asof") is not None:
+            return sn.resolve_asof_version(root, float(e["asof"]))
+        return int(e["version"])
 
     def schema(self) -> StructType:
         """Schema = the UNION of every file epoch's parquet footer
@@ -262,7 +306,9 @@ class SnapshotTableDataSource(DataSource):
         import pyarrow.parquet as pq
 
         root = self._root()
-        v = sn.current_version(root)
+        v = self._pinned_version()
+        if v is None:
+            v = sn.current_version(root)
         if v is None:
             raise FileNotFoundError(
                 f"snapshot_table: no committed version at {root}"
@@ -318,20 +364,9 @@ class SnapshotTableDataSource(DataSource):
                 "batch change feed use read_snapshot_cdf (full "
                 "pre-image delete events, engine-merged)"
             )
-        e = self._catalog_entry()
-        root = self._root()
-        v = self.options.get("version")
-        version = int(v) if v is not None else None
-        if e is not None and version is None:
-            # the catalog entry's recorded pin resolves at read time —
-            # a ref follows its branch head, version/asof stay fixed
-            if e.get("ref") is not None:
-                version = sn.resolve_ref(root, e["ref"])
-            elif e.get("asof") is not None:
-                version = sn.resolve_asof_version(root, float(e["asof"]))
-            elif e.get("version") is not None:
-                version = int(e["version"])
-        return SnapshotBatchReader(root, schema, version=version)
+        return SnapshotBatchReader(
+            self._root(), schema, version=self._pinned_version()
+        )
 
     def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
         e = self._catalog_entry()

@@ -157,3 +157,56 @@ def test_datasource_reads_through_catalog(spark, tmp_path):
             .load()
         )
         st.run_available_now(s2, str(tmp_path / "o2"), str(tmp_path / "c2"))
+
+
+def test_datasource_pin_schema_and_override_refusal(spark, tmp_path):
+    """r8 review pins: a catalog-pinned batch read derives its SCHEMA
+    from the pinned version (no phantom columns from later appends; no
+    head-manifest refusals leaking into the pin), and an explicit
+    version option on a pinned name refuses loudly instead of silently
+    overriding the pin."""
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    cdir = str(tmp_path / "catalog")
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0: id, v
+    cat.catalog_register(cdir, "t_v0", root, version=0)
+    # the live head gains a column AFTER the pin
+    wide = spark.range(10, 20).select(
+        "id", (F.col("id") * 2).alias("v"), F.lit(1).alias("w")
+    )
+    sn.snapshot_append(wide.coalesce(1), root)  # v1: id, v, w
+
+    def read(name):
+        return (
+            spark.read.format("snapshot_table")
+            .option("catalog", cdir)
+            .option("table", name)
+            .load()
+        )
+
+    df = read("t_v0")
+    assert df.columns == ["id", "v"], "pinned schema, no phantom w"
+    assert df.count() == 10
+    with pytest.raises(Exception, match="override the pin"):
+        (
+            spark.read.format("snapshot_table")
+            .option("catalog", cdir)
+            .option("table", "t_v0")
+            .option("version", "1")
+            .load()
+            .count()
+        )
+    # an unpinned name still accepts an explicit version
+    cat.catalog_register(cdir, "t_any", root)
+    got = (
+        spark.read.format("snapshot_table")
+        .option("catalog", cdir)
+        .option("table", "t_any")
+        .option("version", "0")
+        .load()
+    )
+    assert got.count() == 10
