@@ -379,11 +379,13 @@ class SnapshotTableDataSource(DataSource):
                 "an unpinned name or pass root directly"
             )
         sv = self.options.get("start_version")
+        mvb = self.options.get("max_versions_per_batch")
         return SnapshotStreamReader(
             self._root(),
             schema,
             start_version=int(sv) if sv is not None else None,
             change_feed=_change_feed_on(self.options),
+            max_versions_per_batch=int(mvb) if mvb is not None else None,
         )
 
 
@@ -432,11 +434,26 @@ class SnapshotStreamReader(DataSourceStreamReader):
         schema: StructType,
         start_version: int | None = None,
         change_feed: bool = False,
+        max_versions_per_batch: int | None = None,
     ):
+        if max_versions_per_batch is not None and max_versions_per_batch < 1:
+            raise ValueError(
+                "snapshot_table stream: max_versions_per_batch must be "
+                f">= 1, got {max_versions_per_batch}"
+            )
         self.root = root
         self.schema_ = schema
         self.start_version = start_version
         self.change_feed = change_feed
+        self.max_versions = max_versions_per_batch
+        # admission-control state (driver-resident for the run): the
+        # last offset this reader planned/committed, so latestOffset can
+        # cap a BACKFILL to max_versions commits per micro-batch instead
+        # of planning one giant catch-up batch (Delta's
+        # maxFilesPerTrigger posture at version grain).  Unknown after a
+        # checkpoint restart until the first partitions()/commit() call
+        # — that one batch is the engine's WAL-replayed plan anyway.
+        self._base_offset: int | None = None
         if change_feed:
             # the file-read schema is the TABLE schema; the two event
             # columns are appended as constants per partition — they
@@ -572,6 +589,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # checkpointed offset (so this validation never re-runs against
         # since-expired history).
         if self.start_version is None:
+            self._base_offset = -1
             return {"version": -1}
         sv = int(self.start_version)
         if sv < 0:
@@ -607,6 +625,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     f"manifests back to v{sv - 1} for the delta diff, "
                     f"but one was expired ({exc})"
                 ) from None
+        self._base_offset = sv - 1
         if sv == 0:
             # the flag makes the OFFSET self-describing: a WAL-replayed
             # (-1 → e) batch re-plans the same full event replay even
@@ -616,10 +635,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         v = sn.current_version(self.root)
-        return {"version": -1 if v is None else int(v)}
+        head = -1 if v is None else int(v)
+        if self.max_versions is not None and self._base_offset is not None:
+            head = min(head, self._base_offset + self.max_versions)
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
+        self._base_offset = e  # the cap baseline for the NEXT batch
         if e <= s:
             return []
         if self.change_feed:
@@ -658,7 +681,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return _with_events()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable manifests — nothing to clean up
+        # offsets are durable manifests — nothing to clean up; keep the
+        # admission-control baseline in step with the engine
+        self._base_offset = int(end["version"])
 
     def stop(self) -> None:
         pass

@@ -1138,6 +1138,7 @@ def snapshot_append_partitioned(
     partition_transforms: dict[str, str],
     stats_cols: list[str] | None = None,
     tag: str | None = None,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """Append with HIDDEN PARTITIONING (Iceberg's partition-transform
     model in miniature): ``partition_transforms`` maps a partition NAME
@@ -1160,7 +1161,11 @@ def snapshot_append_partitioned(
     At 100 TB this is the partition-pruning half of scan planning:
     a day-grained lookup touches one day's files no matter how many
     days the table holds.  ``stats_cols`` composes (per-file min/max
-    recorded as usual) for range pruning WITHIN a partition."""
+    recorded as usual) for range pruning WITHIN a partition, and
+    ``sort_cols`` sorts rows inside each partition file at write time
+    so those recorded ranges are TIGHT (the clustered-append discipline
+    applied within the hidden-partition layout; recorded in the layout
+    policy so compaction preserves it)."""
     if not partition_transforms:
         raise ValueError("snapshot_append_partitioned: no transforms given")
     os.makedirs(root, exist_ok=True)
@@ -1188,7 +1193,7 @@ def snapshot_append_partitioned(
                     "values; use a new partition name"
                 )
     files, stats, pvals = _write_partitioned_files(
-        df, root, partition_transforms, stats_cols
+        df, root, partition_transforms, stats_cols, sort_cols=sort_cols
     )
     seen = set(snapshot_versions(root))
     parent = current_version(root)
@@ -1204,7 +1209,15 @@ def snapshot_append_partitioned(
         new_file_columns=list(df.columns),
         meta_updates={
             "partition_values": pvals,
-            "layout": {"partition_transforms": dict(partition_transforms)},
+            "layout": {
+                "partition_transforms": dict(partition_transforms),
+                **({"sort_cols": sort_cols} if sort_cols else {}),
+                **(
+                    {"stats_cols": stats_cols}
+                    if sort_cols and stats_cols
+                    else {}
+                ),
+            },
         },
     )
 

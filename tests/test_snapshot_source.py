@@ -466,3 +466,50 @@ def test_replicate_converges_across_maintenance(spark, tmp_path):
     assert state(dst) == state(src) == {
         (0, 0), (1, 111), (3, 30), (4, 444), (9, 90)
     }
+
+
+def test_stream_rate_limits_backfill_by_versions(spark, tmp_path):
+    """max_versions_per_batch (Delta's maxFilesPerTrigger posture at
+    version grain): a backfill over many commits plans BOUNDED
+    micro-batches instead of one giant catch-up batch — verified at the
+    offset-protocol level (initial → latest → partitions → commit), the
+    same sequence the engine drives."""
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        SnapshotStreamReader,
+    )
+
+    root = str(tmp_path / "src")
+    for i in range(6):  # v0..v5
+        sn.snapshot_append(_df(spark, i * 10, i * 10 + 10).coalesce(1), root)
+    schema = sn.read_snapshot(spark, root).schema
+    r = SnapshotStreamReader(root, schema, max_versions_per_batch=2)
+    seen_files = []
+    start = r.initialOffset()
+    assert start == {"version": -1}
+    batches = 0
+    while True:
+        end = r.latestOffset()
+        if end["version"] <= start["version"]:
+            break
+        assert end["version"] - start["version"] <= 2, (start, end)
+        for part in r.partitions(start, end):
+            seen_files.append(part.path)
+        r.commit(end)
+        start = end
+        batches += 1
+    assert batches == 3, "6 commits / cap 2 = 3 bounded batches"
+    got = sorted(
+        r2.id
+        for f in seen_files
+        for r2 in spark.read.parquet(f).collect()
+    )
+    assert got == list(range(60)), "rate limiting loses nothing"
+    # a fresh commit resumes the cadence
+    sn.snapshot_append(_df(spark, 60, 70).coalesce(1), root)
+    end = r.latestOffset()
+    assert end == {"version": 6}
+    # the cap must be sane
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be >= 1"):
+        SnapshotStreamReader(root, schema, max_versions_per_batch=0)

@@ -3127,3 +3127,59 @@ def test_concurrent_writers_and_manifest_merges_lose_nothing(spark, tmp_path):
     assert sorted(
         r.id for r in sn.read_snapshot(spark, root, v).collect()
     ) == want
+
+
+def test_partitioned_append_with_sort_cols_prunes_within_partition(
+    spark, tmp_path
+):
+    """Hidden partitioning × write-time sorting (r8): sort_cols makes
+    the per-file stats tight WITHIN each partition, so a point lookup
+    composes partition_eq (skip other partitions) with a range skip
+    inside the matching partition — and the layout policy survives
+    compaction."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 600).select(
+        "id", (F.col("id") % 3).alias("g")
+    ).repartition(6)  # scrambled input: the WRITE must impose the order
+    sn.snapshot_append_partitioned(
+        df,
+        root,
+        {"grp": "CAST(g AS STRING)"},
+        stats_cols=["id"],
+        sort_cols=["id"],
+    )
+    m = sn._read_manifest(root, 0)
+    assert (m["layout"]["sort_cols"], m["layout"]["stats_cols"]) == (
+        ["id"],
+        ["id"],
+    )
+    # second commit: grp=0 now holds TWO files with disjoint id ranges —
+    # the partition skip alone keeps both, the recorded stats must drop
+    # the non-matching one
+    sn.snapshot_append_partitioned(
+        spark.range(600, 1200).select("id", (F.col("id") % 3).alias("g")),
+        root,
+        {"grp": "CAST(g AS STRING)"},
+        stats_cols=["id"],
+        sort_cols=["id"],
+    )
+    in_grp0 = [
+        f
+        for f, pv in sn._read_manifest(root, 1)["partition_values"].items()
+        if pv.get("grp") == "0"
+    ]
+    assert len(in_grp0) == 2
+    hit = sn.read_snapshot_pruned(
+        spark, root, col="id", lo=33, hi=33, partition_eq={"grp": "0"}
+    )
+    assert hit.count() == 1
+    assert len(hit.inputFiles()) == 1, (
+        "stats must skip within the partition, not just across"
+    )
+    # compaction preserves BOTH halves of the policy
+    v = sn.snapshot_compact(spark, root, target_file_bytes=1 << 20)
+    assert v == 2
+    hit2 = sn.read_snapshot_pruned(
+        spark, root, col="id", lo=33, hi=33, partition_eq={"grp": "0"}
+    )
+    assert hit2.count() == 1 and len(hit2.inputFiles()) == 1
