@@ -148,6 +148,8 @@ _CHEAP_FIRST = [
     "snapshot_cherry_pick",
     # round-8 additions, measured verify cost ascending (sf0.01)
     "sql_catalog_report", "bpe_encode_tokens",
+    "snapshot_metadata_agg", "snapshot_partitions_meta",
+    "snapshot_merge_into", "snapshot_update_where",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -3054,3 +3054,256 @@ def q_snapshot_cdf_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dsum("v").alias("sum_v"))
         .orderBy("commit_version", "change_type")
     )
+
+
+# --------------------------------------------------------------------------
+# round 8: general DML (UPDATE…WHERE, MERGE INTO) + metadata-only reads
+# --------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_update_where",
+    # both update flavors replayed in SQL: %100 keys got +100 then *2
+    # (two commits, in that order); %10-but-not-%100 keys got +100
+    f"""
+SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql(
+           "CASE WHEN o_orderkey % 100 = 0 THEN (o_totalprice + 100) * 2 "
+           "WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 "
+           "ELSE o_totalprice END"
+       )} AS total_price
+FROM orders
+GROUP BY 1
+""",
+)
+def q_snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE … SET … WHERE`` as O(matched) MoR commits (round 8 —
+    `snapshot_update_where`): orders committed once, then TWO updates —
+    a POSITION-delete update (+100 on every %10 key: exact on any
+    table, no unique key needed) and an EQUALITY-delete update (×2 on
+    every %100 key, keyed by o_orderkey) — each commit adds only the
+    post-image group + a delete list, existing files untouched
+    (byte-identity pinned in tests/test_snapshot_dml.py).  The final
+    MoR read must agree with the oracle's CASE replay per bucket, and
+    both updates are CDC-visible as delete(pre)+insert(post) hops.
+    Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_update_where", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_upd_") + "/tbl"
+        sn.snapshot_overwrite(o, root)
+        sn.snapshot_update_where(
+            spark,
+            root,
+            "o_orderkey % 10 = 0",
+            {"o_totalprice": "o_totalprice + 100"},
+        )
+        sn.snapshot_update_where(
+            spark,
+            root,
+            "o_orderkey % 100 = 0",
+            {"o_totalprice": "o_totalprice * 2"},
+            keys=["o_orderkey"],
+        )
+        out = _ORC_OUT_CACHE[key] = root
+    return (
+        sn.read_snapshot_mor(spark, out)
+        .groupBy((F.col("o_orderkey") % 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "snapshot_merge_into",
+    # the full clause matrix replayed relationally: matched 'U' keys
+    # update, matched 'D' keys delete, unmatched 'I' rows insert as
+    # status 'N', and target-only %9 keys are deleted BY SOURCE
+    f"""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 4 = 0 THEN 'U' ELSE 'D' END AS op,
+           o_totalprice + 50 AS new_price
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'I', o_totalprice + 50
+    FROM orders WHERE o_orderkey % 4 = 2
+),
+merged AS (
+    SELECT CASE WHEN s.op = 'U' THEN s.new_price
+                ELSE t.o_totalprice END AS price,
+           t.o_orderstatus AS status
+    FROM orders t LEFT JOIN src s ON t.o_orderkey = s.k
+    WHERE (s.op IS NOT NULL AND s.op <> 'D')
+       OR (s.op IS NULL AND t.o_orderkey % 9 <> 0)
+    UNION ALL
+    SELECT s.new_price, 'N'
+    FROM src s LEFT JOIN orders t ON t.o_orderkey = s.k
+    WHERE s.op = 'I' AND t.o_orderkey IS NULL
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('price')} AS total_price
+FROM merged
+GROUP BY status
+""",
+)
+def q_snapshot_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ANSI/Delta-style ``MERGE INTO`` (round 8 —
+    `snapshot_merge_into`): one commit exercising every clause family —
+    ordered WHEN MATCHED (delete 'D' before update 'U', first clause
+    wins), condition-gated WHEN NOT MATCHED insert (new keys land as
+    status 'N'), and WHEN NOT MATCHED BY SOURCE delete (%9 target-only
+    keys dropped) — with the cardinality check live (duplicate matched
+    source keys would refuse).  The oracle replays the merge as the
+    standard outer-join CASE restatement.  Output cached per
+    (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    key = ("snapshot_merge_into", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_mrg_") + "/tbl"
+        sn.snapshot_overwrite(o, root)
+        src = (
+            o.filter(F.col("o_orderkey") % 4 <= 1)
+            .select(
+                "o_orderkey",
+                F.when(F.col("o_orderkey") % 4 == 0, "U")
+                .otherwise("D")
+                .alias("op"),
+                (F.col("o_totalprice") + 50).alias("new_price"),
+            )
+            .unionByName(
+                o.filter(F.col("o_orderkey") % 4 == 2).select(
+                    (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                    F.lit("I").alias("op"),
+                    (F.col("o_totalprice") + 50).alias("new_price"),
+                )
+            )
+        )
+        sn.snapshot_merge_into(
+            spark,
+            root,
+            src,
+            on=["o_orderkey"],
+            when_matched=[
+                ("delete", "s.op = 'D'", None),
+                ("update", "s.op = 'U'", {"o_totalprice": "s.new_price"}),
+            ],
+            when_not_matched=(
+                "insert",
+                "s.op = 'I'",
+                {
+                    "o_orderkey": "s.o_orderkey",
+                    "o_totalprice": "s.new_price",
+                    "o_orderstatus": "'N'",
+                },
+            ),
+            when_not_matched_by_source=[
+                ("delete", "t.o_orderkey % 9 = 0", None)
+            ],
+        )
+        out = _ORC_OUT_CACHE[key] = root
+    return (
+        sn.read_snapshot_mor(spark, out)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "snapshot_metadata_agg",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_o_orderkey,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_o_orderkey,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_o_custkey,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_o_custkey
+FROM orders
+""",
+)
+def q_snapshot_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate pushdown (round 8 —
+    `snapshot_stats_agg`): COUNT/MIN/MAX answered from the MANIFEST
+    alone — per-file row counts recorded at commit time, min/max from
+    the recorded footer stats — with ZERO data-file reads (pinned in
+    tests by chmod-ing the files unreadable), Iceberg's "count(*) in
+    milliseconds on 100 TB" path.  The table is committed clustered
+    over TWO appends so the answer spans multiple entry files; the
+    oracle computes the same aggregates the slow way.  Output cached
+    per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    key = ("snapshot_metadata_agg", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_meta_") + "/tbl"
+        half = lambda r: o.filter(F.col("o_orderkey") % 2 == r)  # noqa: E731
+        sn.snapshot_append_clustered(
+            half(0), root, ["o_orderkey"], n_files=4,
+            stats_cols=["o_custkey"],
+        )
+        sn.snapshot_append_clustered(
+            half(1), root, ["o_orderkey"], n_files=4,
+            stats_cols=["o_custkey"],
+        )
+        out = _ORC_OUT_CACHE[key] = root
+    return sn.snapshot_stats_agg(spark, out, ["o_orderkey", "o_custkey"])
+
+
+@register(
+    "snapshot_partitions_meta",
+    """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS row_count
+FROM events
+GROUP BY 1
+""",
+)
+def q_snapshot_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITIONS metadata table (round 8 — `snapshot_partitions`,
+    Iceberg's ``<table>.partitions``): per-partition row counts from
+    the manifest's recorded partition values + per-file row counts —
+    manifests only, no data-file reads — on a hidden-partitioned
+    events table (``day = CAST(ts AS DATE)``, transform column never
+    stored).  The oracle recomputes the per-day counts from the raw
+    rows.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from . import roles
+    from .sources import snapshots as sn
+
+    key = ("snapshot_partitions_meta", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_parts_") + "/tbl"
+        events = roles.load_events(spark, sf_dir).select(
+            "event_id", "ts", "value"
+        )
+        sn.snapshot_append_partitioned(
+            events, root, {"day": "CAST(ts AS DATE)"}
+        )
+        out = _ORC_OUT_CACHE[key] = root
+    return sn.snapshot_partitions(spark, out).select(
+        F.col("partition")["day"].cast("date").alias("day"),
+        "row_count",
+    )

@@ -16,7 +16,7 @@ Iceberg manifest-list shape in JSON):
                                     "fields"} — O(commits + schema) bytes
     _manifests/e-<hex>.json        immutable per-commit DATA entry:
                                     {"files": [...], "stats", "file_seq",
-                                    "sizes", "file_fields",
+                                    "sizes", "rows", "file_fields",
                                     "partition_values"} — O(its files)
     _manifests/de-<hex>.json       immutable DELETE entry:
                                     {"delete_files": [{file, keys, seq}]}
@@ -162,6 +162,7 @@ def _resolve_payload(root: str, payload: dict) -> dict:
     ffields: dict = {}
     pvals: dict = {}
     sizes: dict = {}
+    rows: dict = {}
     for name in payload.get("entries") or []:
         e = _load_entry(root, name)
         files.extend(e.get("files") or [])
@@ -170,6 +171,7 @@ def _resolve_payload(root: str, payload: dict) -> dict:
         ffields.update(e.get("file_fields") or {})
         pvals.update(e.get("partition_values") or {})
         sizes.update(e.get("sizes") or {})
+        rows.update(e.get("rows") or {})
     if len(set(files)) != len(files):
         raise ValueError(
             f"_resolve_payload: v{payload.get('version')} entry files "
@@ -188,6 +190,8 @@ def _resolve_payload(root: str, payload: dict) -> dict:
         m["partition_values"] = pvals
     if sizes:
         m["sizes"] = sizes
+    if rows:
+        m["rows"] = rows
     return m
 
 
@@ -364,7 +368,7 @@ def _entry_lists(
             "stats": m.get("stats") or {},
             "file_seq": m.get("file_seq") or {},
         }
-        for k in ("file_fields", "partition_values", "sizes"):
+        for k in ("file_fields", "partition_values", "sizes", "rows"):
             if m.get(k):
                 e[k] = m[k]
         name = _write_entry(root, e)
@@ -386,7 +390,8 @@ def _trim_entry(e: dict, keep: set) -> dict:
     table)."""
     kept = [f for f in e.get("files") or [] if f in keep]
     out: dict = {"files": kept}
-    for k in ("stats", "file_seq", "file_fields", "partition_values", "sizes"):
+    for k in ("stats", "file_seq", "file_fields", "partition_values",
+              "sizes", "rows"):
         sub = {f: v for f, v in (e.get(k) or {}).items() if f in keep}
         if sub:
             out[k] = sub
@@ -632,12 +637,25 @@ def _commit(
         # ---- the new data entry ---------------------------------------
         entry: dict = {}
         if new_files:
+            import pyarrow.parquet as pq
+
             st = stats or {}
             entry = {
                 "files": new_files,
                 "file_seq": {f: version for f in new_files},
                 "sizes": {
                     f: os.path.getsize(os.path.join(root, f))
+                    for f in new_files
+                },
+                # per-file ROW COUNTS from the just-written footers (the
+                # files are local to this commit — one metadata read
+                # each, never a data scan): what metadata-only COUNT(*)
+                # (`snapshot_stats_agg`) and the PARTITIONS table answer
+                # from, Iceberg's record_count analog
+                "rows": {
+                    f: pq.read_metadata(
+                        os.path.join(root, f)
+                    ).num_rows
                     for f in new_files
                 },
             }
@@ -1036,6 +1054,7 @@ def snapshot_append_clustered(
     cluster_cols: list[str],
     n_files: int = 8,
     tag: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append with WRITE-TIME clustering: range-repartition on
     ``cluster_cols`` and sort within each output file, so every file
@@ -1043,20 +1062,23 @@ def snapshot_append_clustered(
     `read_snapshot_pruned` skip all but ~1 file per point/range lookup
     — commit-time layout is what turns stats pruning from best-effort
     into a guarantee (the 1-D `io.sorted_write` discipline applied to
-    snapshot commits)."""
+    snapshot commits).  ``stats_cols`` records ADDITIONAL per-file
+    min/max beyond the cluster key (e.g. for `snapshot_stats_agg`'s
+    metadata-only extremes on non-key columns)."""
     clustered = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
         *cluster_cols
     )
+    rec = list(dict.fromkeys([*cluster_cols, *(stats_cols or [])]))
     return snapshot_append(
         clustered,
         root,
         tag=tag,
-        stats_cols=cluster_cols,
+        stats_cols=rec,
         # declare the layout POLICY in the manifest so maintenance
         # (snapshot_compact) re-clusters and re-records stats instead of
         # silently discarding the pruning guarantee
         _meta_updates={
-            "layout": {"sort_cols": cluster_cols, "stats_cols": cluster_cols}
+            "layout": {"sort_cols": cluster_cols, "stats_cols": rec}
         },
     )
 
@@ -2304,7 +2326,7 @@ def compact_manifests(root: str, max_entries: int = 1) -> int:
         m = _read_manifest(root, parent)
         merged: dict = {"files": m["files"]}
         for k in ("stats", "file_seq", "file_fields", "partition_values",
-                  "sizes"):
+                  "sizes", "rows"):
             if m.get(k):
                 merged[k] = m[k]
         entries = [_write_entry(root, merged)] if m["files"] else []
@@ -2678,6 +2700,281 @@ def snapshot_mor_merge(
         operation="mor-merge",
         seen_versions=seen,
         new_delete_files=[{"file": f, "keys": keys} for f in del_files],
+    )
+
+
+def snapshot_merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: list[tuple] | None = None,
+    when_not_matched: tuple | None = None,
+    when_not_matched_by_source: list[tuple] | None = None,
+    tag: str | None = None,
+) -> int:
+    """Full ANSI/Delta-style ``MERGE INTO`` — the general conditional
+    upsert the keyed CDC merges (`snapshot_merge_keys` /
+    `snapshot_mor_merge`) cannot express: per-clause conditions,
+    ordered WHEN MATCHED evaluation, inserts gated on predicates, and
+    the WHEN NOT MATCHED BY SOURCE family (SQL:2023 / Delta).  One
+    copy-on-write commit; parents stay time-travelable and `rollback`
+    undoes the merge in O(1).
+
+    Clause grammar (evaluated over the target aliased ``t`` and the
+    source aliased ``s`` — conditions and set/insert expressions are
+    Columns or SQL strings referencing ``t.<col>`` / ``s.<col>``):
+
+    * ``when_matched``: ordered list of ``("update", cond|None, {col:
+      expr})`` / ``("delete", cond|None, None)`` — the FIRST clause
+      whose condition holds applies (SQL MERGE semantics); a matched
+      row matching no clause is kept unchanged.
+    * ``when_not_matched``: one ``("insert", cond|None, "all"|{col:
+      expr})`` — ``"all"`` copies the source's same-named columns
+      (every target column must exist in the source); a dict fills
+      unnamed columns with NULL.  Source rows failing the condition
+      (or with no clause) are ignored.
+    * ``when_not_matched_by_source``: ordered list of ``("update",
+      cond|None, {col: expr})`` / ``("delete", cond|None, None)``
+      over target-only rows (conditions see ``t`` only); default keep.
+
+    Semantics pinned by tests: ``ON`` uses PLAIN equality — NULL keys
+    never match (SQL standard; unlike the CDC merges' eqNullSafe), so
+    NULL-keyed rows fall into the two NOT MATCHED families.  A target
+    row matched by MULTIPLE source rows with any WHEN MATCHED clause
+    raises (Delta's cardinality check) — the merge would be
+    non-deterministic; duplicate source keys that match no target row
+    are legal and insert normally (and with NO matched clause a
+    multiply-matched target row is kept exactly ONCE, never fanned
+    out).  Every produced column is cast to the target's type.  Cost:
+    one shuffle join (target × source — the planner broadcasts a small
+    source) + the CoW rewrite; use the MoR merges for the O(batch) hot
+    path when clause generality isn't needed.
+
+    Concurrency is SERIALIZABLE with re-evaluating retry (same as
+    `snapshot_delete_where`): the merged content was computed against
+    one specific snapshot, so a concurrent commit landing first makes
+    the decision stale — the whole merge re-reads and re-runs against
+    the new head (bounded attempts, then `SnapshotConflictError`)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    matched = list(when_matched or [])
+    by_src = list(when_not_matched_by_source or [])
+    if not matched and when_not_matched is None and not by_src:
+        raise ValueError(
+            "snapshot_merge_into: at least one clause is required"
+        )
+    for act, _c, payload in matched + by_src:
+        if act not in ("update", "delete"):
+            raise ValueError(
+                f"snapshot_merge_into: unknown clause action {act!r}"
+            )
+        if act == "update" and not payload:
+            raise ValueError(
+                "snapshot_merge_into: update clause needs a non-empty "
+                "{col: expr} payload"
+            )
+    if when_not_matched is not None and (
+        when_not_matched[0] != "insert" or not when_not_matched[2]
+    ):
+        raise ValueError(
+            "snapshot_merge_into: when_not_matched must be "
+            '("insert", cond, "all"|{col: expr})'
+        )
+    if tag is not None:
+        v = _resume_tagged_commit(root, tag)
+        if v is not None:
+            return v
+    if current_version(root) is None:
+        raise FileNotFoundError(
+            f"snapshot_merge_into: no committed version at {root} — "
+            "bootstrap with snapshot_append/overwrite first"
+        )
+    bad = [k for k in on if k not in source.columns]
+    if bad:
+        raise ValueError(
+            f"snapshot_merge_into: ON columns missing from source: {bad}"
+        )
+
+    def _expr(e):
+        return F.expr(e) if isinstance(e, str) else e
+
+    def _cond(c):
+        return F.lit(True) if c is None else _expr(c)
+
+    last_err: Exception | None = None
+    for _ in range(5):
+        # seen BEFORE parent — see snapshot_append's capture-order comment
+        seen = set(snapshot_versions(root))
+        parent = current_version(root)
+        target = read_snapshot_mor(spark, root)
+        tcols = list(target.columns)
+        dtypes = {f.name: f.dataType for f in target.schema.fields}
+        bad = [k for k in on if k not in tcols]
+        if bad:
+            raise ValueError(
+                f"snapshot_merge_into: ON columns missing from target: "
+                f"{bad}"
+            )
+        merged = _merge_into_plan(
+            F, Window, target, source, on, matched, when_not_matched,
+            by_src, tcols, dtypes, _expr, _cond,
+        )
+        files, stats = _write_files(merged, root), {}
+        try:
+            return _commit(
+                root,
+                files,
+                parent,
+                tag=tag,
+                stats=stats,
+                operation="merge-into",
+                seen_versions=seen,
+                conflict_mode="serialize",
+                new_file_columns=list(merged.columns),
+            )
+        except SnapshotConflictError as exc:
+            last_err = exc  # head moved — re-evaluate against it
+            for f in files:  # best-effort cleanup; vacuum catches rest
+                try:
+                    os.remove(os.path.join(root, f))
+                except OSError:
+                    pass
+    raise SnapshotConflictError(
+        f"snapshot_merge_into: gave up after 5 conflicted attempts "
+        f"({last_err})"
+    )
+
+
+def _merge_into_plan(
+    F, Window, target, source, on, matched, when_not_matched, by_src,
+    tcols, dtypes, _expr, _cond,
+):
+    """Build the merged-content DataFrame for one `snapshot_merge_into`
+    attempt (split out so the serialize-retry loop re-plans against a
+    fresh target read)."""
+    if matched:
+        # cardinality check: duplicates are only ambiguous when they
+        # actually match a target row (Delta raises the same way) —
+        # the dup-key set is expected tiny, so probe it into the
+        # target's KEY COLUMNS as a broadcast semi (no target shuffle,
+        # no distinct)
+        dups = (
+            source.groupBy(*on)
+            .count()
+            .filter(F.col("count") > 1)
+            .drop("count")
+        )
+        amb = (
+            target.select(*on)
+            .join(F.broadcast(dups), on, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if amb:
+            raise ValueError(
+                "snapshot_merge_into: multiple source rows match a "
+                f"single target row on {on} (e.g. "
+                f"{tuple(amb[0])}) — a matched update/delete would be "
+                "non-deterministic; deduplicate the source first"
+            )
+    sfx = uuid.uuid4().hex[:8]
+    tp, sp, rn = f"_tp_{sfx}", f"_sp_{sfx}", f"_rn_{sfx}"
+    t = target.withColumn(tp, F.lit(True)).alias("t")
+    s_df = source.withColumn(sp, F.lit(True))
+    if not matched:
+        # without WHEN MATCHED clauses the cardinality check doesn't
+        # run, but duplicate source keys matching a target row would
+        # still fan the kept-unchanged target row out once per copy —
+        # number the copies so each matched target row pairs with
+        # exactly ONE (any one: its values are unused with no matched
+        # clause); unmatched copies all still insert
+        w = Window.partitionBy(*on).orderBy(F.lit(1))
+        s_df = s_df.withColumn(rn, F.row_number().over(w))
+    s = s_df.alias("s")
+    jc = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on],
+    )
+    j = t.join(s, jc, "full_outer")
+    is_matched = F.col(f"t.{tp}").isNotNull() & F.col(f"s.{sp}").isNotNull()
+    if not matched:
+        j = j.filter(~is_matched | (F.col(f"s.{rn}") == 1))
+    src_only = F.col(f"t.{tp}").isNull() & F.col(f"s.{sp}").isNotNull()
+
+    def _chain_keep(clauses) -> "F.Column":
+        # first-matching-clause-wins: keep = NOT (first clause that
+        # fires is a delete); no clause fires -> keep unchanged
+        keep = F.lit(True)
+        for act, c, _p in reversed(clauses):
+            keep = F.when(_cond(c), F.lit(act != "delete")).otherwise(keep)
+        return keep
+
+    def _chain_value(clauses, col) -> "F.Column":
+        # the first clause that fires pins the value: an update sets
+        # its expression (or keeps t.col if the clause doesn't name
+        # this column); a delete keeps t.col (the row drops via the
+        # keep flag, but the chain must still consume the condition so
+        # a LATER update clause cannot leak through)
+        val = F.col(f"t.{col}")
+        for act, c, p in reversed(clauses):
+            v2 = (
+                _expr(p[col])
+                if act == "update" and col in p
+                else F.col(f"t.{col}")
+            )
+            val = F.when(_cond(c), v2).otherwise(val)
+        return val
+
+    if when_not_matched is not None:
+        _a, icond, ipayload = when_not_matched
+        ins_keep = _cond(icond)
+        if ipayload == "all":
+            missing = [c for c in tcols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    "snapshot_merge_into: insert 'all' but the source "
+                    f"is missing target column(s) {missing}"
+                )
+            ins_val = {c: F.col(f"s.{c}") for c in tcols}
+        else:
+            bad2 = sorted(set(ipayload) - set(tcols))
+            if bad2:
+                raise ValueError(
+                    "snapshot_merge_into: insert payload names "
+                    f"non-target column(s) {bad2}"
+                )
+            ins_val = {
+                c: (
+                    _expr(ipayload[c])
+                    if c in ipayload
+                    else F.lit(None)
+                )
+                for c in tcols
+            }
+    else:
+        ins_keep = F.lit(False)
+        ins_val = {c: F.lit(None) for c in tcols}
+
+    keep = (
+        F.when(is_matched, _chain_keep(matched))
+        .when(src_only, ins_keep)
+        .otherwise(_chain_keep(by_src))
+    )
+    out_cols = [
+        F.when(is_matched, _chain_value(matched, c))
+        .when(src_only, ins_val[c])
+        .otherwise(_chain_value(by_src, c))
+        .cast(dtypes[c])
+        .alias(c)
+        for c in tcols
+    ]
+    kcol = f"_keep_{sfx}"
+    return (
+        j.select(*out_cols, keep.alias(kcol))
+        .filter(F.col(kcol))
+        .select(*tcols)
     )
 
 
@@ -3077,6 +3374,69 @@ def _stream_app_id(checkpoint_dir: str) -> str:
     ).hexdigest()[:10]
 
 
+def _commit_mor_dml(
+    root: str,
+    pre: DataFrame,
+    keys: list[str] | None,
+    parent: int | None,
+    seen: set,
+    tag: str | None,
+    operation: str,
+    new_files: list[str] | None = None,
+    new_stats: dict | None = None,
+) -> int | None:
+    """ONE attempt of a MoR DML commit — the core shared by
+    `snapshot_delete_where` and `snapshot_update_where`.  Writes ``pre``
+    as a delete file group: EQUALITY lists when ``keys`` is given, else
+    POSITION lists (``path_depth`` records the ``_file`` key format —
+    suffix segment count — so the reader applies each list under the
+    key convention it was WRITTEN with; older lists used 3 segments,
+    the pre-partitioning layout, and must keep matching after the key
+    format changed).  The matched-row count comes from the delete
+    files' parquet FOOTERS only, no data read (ADVICE r6): a predicate
+    matching ZERO rows (e.g. a GDPR request for an absent key) must NOT
+    commit — an empty delete file would flip the table into MoR-only
+    mode for nothing — so every just-written group (delete lists AND
+    the update's post-image ``new_files``) is removed best-effort and
+    ``parent`` is returned unchanged.  Otherwise commits SERIALIZABLE;
+    a `SnapshotConflictError` propagates to the caller's
+    re-evaluate-and-retry loop."""
+    if keys is not None:
+        entry = lambda f: {"file": f, "keys": keys}  # noqa: E731
+    else:
+        entry = lambda f: {  # noqa: E731
+            "file": f,
+            "kind": "position",
+            "path_depth": 2,
+        }
+    del_files = _write_files(pre, root, kind="deletes")
+    import pyarrow.parquet as pq
+
+    n_hits = sum(
+        pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for f in del_files
+    )
+    if n_hits == 0:
+        for f in del_files + list(new_files or []):
+            try:  # best-effort cleanup; vacuum catches the rest
+                os.remove(os.path.join(root, f))
+            except OSError:
+                pass
+        return parent
+    return _commit(
+        root,
+        list(new_files or []),
+        parent,
+        stats=new_stats,
+        tag=tag,
+        rebase_append=True,
+        operation=operation,
+        seen_versions=seen,
+        new_delete_files=[entry(f) for f in del_files],
+        conflict_mode="serialize",
+    )
+
+
 def snapshot_delete_where(
     spark: SparkSession,
     root: str,
@@ -3131,58 +3491,141 @@ def snapshot_delete_where(
                 .select(*keys)
                 .distinct()
             )
-            entry = lambda f: {"file": f, "keys": keys}  # noqa: E731
         else:
             hits = (
                 read_snapshot_mor(spark, root, _keep_coords=True)
                 .filter(predicate)
                 .select("_file", "_pos")
             )
-            # path_depth records the _file key format (suffix segment
-            # count) so the reader applies each delete list under the
-            # key convention it was WRITTEN with — older lists used 3
-            # segments (the pre-partitioning layout) and must keep
-            # matching after the key format changed
-            entry = lambda f: {  # noqa: E731
-                "file": f,
-                "kind": "position",
-                "path_depth": 2,
-            }
-        del_files = _write_files(hits, root, kind="deletes")
-        # a predicate matching ZERO rows (e.g. a GDPR request for an
-        # absent key) must NOT commit: an empty delete file would still
-        # flip the table into MoR-only mode, breaking raw/pruned readers
-        # until a compaction folds a delete that deletes nothing —
-        # footer row counts only, no data read (ADVICE r6)
-        import pyarrow.parquet as pq
-
-        n_hits = sum(
-            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-            for f in del_files
-        )
-        if n_hits == 0:
-            for f in del_files:  # best-effort cleanup; vacuum catches rest
-                try:
-                    os.remove(os.path.join(root, f))
-                except OSError:
-                    pass
-            return parent
         try:
-            return _commit(
-                root,
-                [],  # no data files added — metadata + one delete list
-                parent,
-                tag=tag,
-                rebase_append=True,
-                operation="delete-where",
-                seen_versions=seen,
-                new_delete_files=[entry(f) for f in del_files],
-                conflict_mode="serialize",
+            return _commit_mor_dml(
+                root, hits, keys, parent, seen, tag, "delete-where"
             )
         except SnapshotConflictError as exc:
             last_err = exc  # head moved — re-evaluate against it
     raise SnapshotConflictError(
         f"snapshot_delete_where: gave up after 5 conflicted attempts "
+        f"({last_err})"
+    )
+
+
+def snapshot_update_where(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    set_exprs: dict,
+    keys: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    tag: str | None = None,
+) -> int:
+    """Predicate UPDATE via merge-on-read — ``UPDATE t SET c = expr
+    WHERE pred`` as ONE O(matched) commit, never an O(table) rewrite:
+    the commit adds (1) a data file group holding the POST-IMAGE of
+    every currently-visible row matching ``predicate`` with
+    ``set_exprs`` applied, and (2) a delete file killing the PRE-IMAGE
+    rows.  The sequence rule makes the new rows survive their own
+    delete (data sequence > delete sequence), exactly the
+    `snapshot_mor_merge` upsert shape — so the commit flows through
+    `read_snapshot_cdf` as delete(pre-image) + insert(post-image)
+    events and through every downstream CDC consumer untouched.
+    Reference parity: the reference mutates rows in place with SQL
+    UPDATE (pipeline/db_operations.py); here the update is a new
+    version — history stays time-travelable and `rollback` undoes a
+    bad update in O(1).
+
+    ``set_exprs`` maps column name → Column or SQL-string expression,
+    evaluated over the matched rows (expressions may reference any
+    table column, e.g. ``{"price": "price * 1.1"}``); each result is
+    CAST back to the column's existing type so the post-image files
+    never drift the table schema (an INT literal on a BIGINT column
+    would otherwise split the parquet schema).
+
+    Delete-file flavor mirrors `snapshot_delete_where`:
+    * ``keys=None`` (default) — POSITION delete: exact on ANY table,
+      kills precisely the matched physical rows;
+    * ``keys=[...]`` — EQUALITY delete: cheaper lists, but the key
+      must identify exactly the matched rows (a non-matching row
+      sharing a matched key tuple would be killed without a
+      post-image).
+
+    ``stats_cols`` records footer min/max for the post-image group so
+    `read_snapshot_pruned` and the CDF pre-image scan stay prunable on
+    a continuously updated table.  Zero matched rows commit NOTHING
+    (the no-op-GDPR contract).  Concurrency is SERIALIZABLE with
+    re-evaluating retry, same as the predicate delete."""
+    from pyspark.sql import functions as F
+
+    if tag is not None:
+        v = _resume_tagged_commit(root, tag)
+        if v is not None:
+            return v
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    sets = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in set_exprs.items()
+    }
+    if not sets:
+        raise ValueError("snapshot_update_where: empty set_exprs")
+    last_err: Exception | None = None
+    for _ in range(5):
+        # seen BEFORE parent — see snapshot_append's capture-order comment
+        seen = set(snapshot_versions(root))
+        parent = current_version(root)
+        if parent is None:
+            raise FileNotFoundError(
+                f"snapshot_update_where: no committed version at {root}"
+            )
+        _refuse_mor_on_evolved(root, parent, "snapshot_update_where")
+        cur = read_snapshot_mor(
+            spark, root, _keep_coords=keys is None
+        )
+        cols = [c for c in cur.columns if c not in ("_file", "_pos")]
+        unknown = sorted(set(sets) - set(cols))
+        if unknown:
+            raise ValueError(
+                f"snapshot_update_where: set_exprs name columns not in "
+                f"the table: {unknown}"
+            )
+        if keys is not None:
+            missing = sorted(set(keys) - set(cols))
+            if missing:
+                raise ValueError(
+                    f"snapshot_update_where: keys not in the table: "
+                    f"{missing}"
+                )
+        dtypes = {f.name: f.dataType for f in cur.schema.fields}
+        hits = cur.filter(predicate).persist()
+        try:
+            post = hits.select(
+                *[
+                    (
+                        sets[c].cast(dtypes[c]).alias(c)
+                        if c in sets
+                        else F.col(c)
+                    )
+                    for c in cols
+                ]
+            )
+            if stats_cols is None:
+                new_files, new_stats = _write_files(post, root), {}
+            else:
+                new_files, new_stats = _write_files(post, root, stats_cols)
+            if keys is None:
+                pre = hits.select("_file", "_pos")
+            else:
+                pre = hits.select(*keys).distinct()
+            try:
+                return _commit_mor_dml(
+                    root, pre, keys, parent, seen, tag, "update-where",
+                    new_files=new_files, new_stats=new_stats,
+                )
+            except SnapshotConflictError as exc:
+                last_err = exc  # head moved — re-evaluate against it
+        finally:
+            hits.unpersist()
+    raise SnapshotConflictError(
+        f"snapshot_update_where: gave up after 5 conflicted attempts "
         f"({last_err})"
     )
 
@@ -4102,6 +4545,168 @@ def snapshot_files(
         "file STRING, content STRING, seq BIGINT, bytes BIGINT, "
         "n_rows BIGINT, partition MAP<STRING,STRING>, "
         "stats MAP<STRING,ARRAY<STRING>>",
+    )
+
+
+def snapshot_stats_agg(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    version: int | None = None,
+) -> DataFrame:
+    """Metadata-only aggregation — ``COUNT(*)`` / ``MIN`` / ``MAX``
+    answered from the MANIFEST alone, zero data-file reads (pinned in
+    tests by chmod-ing the data files unreadable): Iceberg's aggregate
+    pushdown, the reason a 100 TB table answers ``SELECT count(*)`` in
+    milliseconds.  Per-file row counts are recorded at commit time
+    (entry ``rows``); min/max come from the recorded per-file stats
+    (``stats_cols`` at write time).
+
+    STRICT by design — refuses loudly instead of silently scanning:
+    * MoR delete files present → counts/extremes would be stale
+      (compact first, or run the real aggregation);
+    * a file without a recorded row count (pre-row-recording commits)
+      or without recorded stats for a requested column → the metadata
+      cannot answer (re-commit/compact with ``stats_cols``, or scan);
+    * schema-evolved tables → recorded stats are keyed by PHYSICAL
+      column names, which renames recycle.
+
+    Empty files claim nothing and are skipped; an empty table answers
+    ``n_rows = 0`` with NULL extremes.  Returns one row: ``n_rows``,
+    then ``min_<c>``/``max_<c>`` per requested column, typed by the
+    stats' JSON-primitive coercion (ints/floats native, dates and
+    timestamps as their recorded ISO-8601 strings)."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot_stats_agg: no version at {root}")
+    m = _read_manifest(root, v)
+    if m.get("delete_files"):
+        raise ValueError(
+            "snapshot_stats_agg: table has MoR delete files — metadata "
+            "counts/extremes would be stale; compact first or aggregate "
+            "the MoR read"
+        )
+    if m.get("fields"):
+        raise ValueError(
+            "snapshot_stats_agg: table is schema-evolved — recorded "
+            "stats are keyed by physical names; aggregate the read "
+            "instead"
+        )
+    rows_rec = m.get("rows") or {}
+    stats = m.get("stats") or {}
+    n_rows = 0
+    live: list[str] = []
+    for f in m["files"]:
+        r = rows_rec.get(f)
+        if r is None:
+            raise ValueError(
+                f"snapshot_stats_agg: no recorded row count for {f} "
+                "(commit predates row recording) — compact the table "
+                "or aggregate the read"
+            )
+        n_rows += int(r)
+        if r > 0:
+            live.append(f)
+    vals: list = [n_rows]
+    fields = ["n_rows BIGINT"]
+
+    def _sql_type(x) -> str:
+        if isinstance(x, bool) or x is None:
+            return "STRING"
+        if isinstance(x, int):
+            return "BIGINT"
+        if isinstance(x, float):
+            return "DOUBLE"
+        return "STRING"
+
+    for c in cols:
+        lo = hi = None
+        for f in live:
+            st = (stats.get(f) or {}).get(c)
+            if st is None:
+                raise ValueError(
+                    f"snapshot_stats_agg: no recorded stats for column "
+                    f"{c!r} in {f} — write with stats_cols=[...] (or "
+                    "compact with them) to enable metadata min/max"
+                )
+            flo, fhi = st
+            lo = flo if lo is None else min(lo, flo)
+            hi = fhi if hi is None else max(hi, fhi)
+        vals.extend([lo, hi])
+        ty = _sql_type(lo)
+        fields.extend([f"min_{c} {ty}", f"max_{c} {ty}"])
+    return spark.createDataFrame([tuple(vals)], ", ".join(fields))
+
+
+def snapshot_partitions(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    approximate: bool = False,
+) -> DataFrame:
+    """The PARTITIONS metadata table (Iceberg's ``<table>.partitions``):
+    one row per hidden-partition tuple with ``file_count``,
+    ``row_count`` and ``total_bytes`` — manifests only, zero data-file
+    reads, the planning view a 100 TB operator sizes compaction and
+    spots skew with.  Files committed outside any partition spec (or
+    before one existed) group under the empty tuple.  Row counts come
+    from the recorded per-file ``rows``; with MoR delete files present
+    the counts overcount and the call REFUSES unless
+    ``approximate=True`` (Iceberg documents the same caveat)."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot_partitions: no version at {root}")
+    m = _read_manifest(root, v)
+    if m.get("delete_files") and not approximate:
+        raise ValueError(
+            "snapshot_partitions: table has MoR delete files — row "
+            "counts would overcount; pass approximate=True or compact "
+            "first"
+        )
+    pvals = m.get("partition_values") or {}
+    rows_rec = m.get("rows") or {}
+    sizes = m.get("sizes") or {}
+    agg: dict[tuple, list[int]] = {}
+    for f in m["files"]:
+        r = rows_rec.get(f)
+        if r is None:
+            raise ValueError(
+                f"snapshot_partitions: no recorded row count for {f} "
+                "(commit predates row recording) — compact the table "
+                "first"
+            )
+        b = sizes.get(f)
+        if b is None:  # pre-size-recording commit: fs metadata only
+            b = os.path.getsize(os.path.join(root, f))
+        key = tuple(
+            sorted(
+                (k, None if x is None else str(x))
+                for k, x in (pvals.get(f) or {}).items()
+            )
+        )
+        cur = agg.setdefault(key, [0, 0, 0])
+        cur[0] += 1
+        cur[1] += int(r)
+        cur[2] += int(b)
+    out = [
+        {
+            "partition": dict(k),
+            "file_count": fc,
+            "row_count": rc,
+            "total_bytes": tb,
+        }
+        # NULL partition values (__HIVE_DEFAULT_PARTITION__, recorded
+        # as None) sort first within a column — a plain tuple compare
+        # would TypeError on None vs str
+        for k, (fc, rc, tb) in sorted(
+            agg.items(),
+            key=lambda kv: [(c, x is not None, x or "") for c, x in kv[0]],
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "partition MAP<STRING,STRING>, file_count BIGINT, "
+        "row_count BIGINT, total_bytes BIGINT",
     )
 
 

@@ -1,0 +1,523 @@
+"""General DML on snapshot tables: UPDATE…WHERE (O(matched) MoR
+commits) and full MERGE INTO (ordered clause semantics, cardinality
+check), plus the metadata-only read surfaces they feed
+(`snapshot_stats_agg`, `snapshot_partitions`).
+
+Reference parity: the reference mutates rows with SQL UPDATE/INSERT OR
+REPLACE against SQLite (pipeline/db_operations.py); here every DML is a
+new snapshot version — time-travelable, rollback-able, CDC-visible."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_challenge_spark.sources import snapshots as sn
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+# ---------------------------------------------------------------- UPDATE
+
+
+def test_update_where_position_exact(spark, tmp_path):
+    """Position-path UPDATE touches exactly the matched rows — on a
+    table with DUPLICATE values, where an equality delete could not be
+    exact."""
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30), (3, 40)], "k INT, val INT"
+    )
+    sn.snapshot_overwrite(base.coalesce(1), root)
+    v = sn.snapshot_update_where(
+        spark, root, "val >= 20 AND val <= 30", {"val": "val + 1000"}
+    )
+    assert v == 1
+    got = _rows(sn.read_snapshot_mor(spark, root), "k", "val")
+    assert got == [(1, 10), (1, 1020), (2, 1030), (3, 40)]
+    # pre-update version unchanged (time travel)
+    assert _rows(sn.read_snapshot_mor(spark, root, 0), "k", "val") == [
+        (1, 10),
+        (1, 20),
+        (2, 30),
+        (3, 40),
+    ]
+
+
+def test_update_where_is_o_matched_not_o_table(spark, tmp_path):
+    """The UPDATE commit must not rewrite existing data files: every
+    base file survives byte-identical (mtime + size), and the commit
+    adds only the post-image group + one delete list."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 1000).repartition(4), root)
+    m0 = sn._read_manifest(root, 0)
+    before = {
+        f: os.stat(os.path.join(root, f)).st_mtime_ns
+        for f in m0["files"]
+    }
+    sn.snapshot_update_where(spark, root, "id < 10", {"v": "v + 1"})
+    m1 = sn._read_manifest(root, 1)
+    for f, mt in before.items():
+        assert f in m1["files"]
+        assert os.stat(os.path.join(root, f)).st_mtime_ns == mt
+    assert len(set(m1["files"]) - set(m0["files"])) >= 1
+    assert all(d["kind"] == "position" for d in m1["delete_files"])
+
+
+def test_update_where_equality_path(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 20), root)
+    sn.snapshot_update_where(
+        spark, root, "id % 5 = 0", {"v": "v * 10"}, keys=["id"]
+    )
+    got = dict(_rows(sn.read_snapshot_mor(spark, root), "id"))
+    assert got[0] == 0 and got[5] == 100 and got[10] == 200
+    assert got[1] == 2  # untouched
+    assert len(got) == 20
+
+
+def test_update_where_zero_match_no_commit(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 5), root)
+    v = sn.snapshot_update_where(spark, root, "id > 99", {"v": "0"})
+    assert v == 0
+    assert sn.snapshot_versions(root) == [0]
+    # no orphaned delete list flipped the table into MoR mode
+    assert sn._read_manifest(root, 0).get("delete_files") in ([], None)
+
+
+def test_update_where_type_preserved(spark, tmp_path):
+    """An INT-typed SQL literal on a BIGINT column must not split the
+    parquet schema (the F.lit(7) gotcha): post-image files carry the
+    table's types."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 10), root)  # id/v are BIGINT
+    sn.snapshot_update_where(spark, root, "id = 3", {"v": "7"})
+    out = sn.read_snapshot_mor(spark, root)
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert dict(_rows(out, "id"))[3] == 7
+
+
+def test_update_where_unknown_column_refused(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 5), root)
+    with pytest.raises(ValueError, match="not in the table"):
+        sn.snapshot_update_where(spark, root, "id = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="keys not in the table"):
+        sn.snapshot_update_where(
+            spark, root, "id = 1", {"v": "1"}, keys=["nope"]
+        )
+    with pytest.raises(ValueError, match="empty set_exprs"):
+        sn.snapshot_update_where(spark, root, "id = 1", {})
+
+
+def test_update_where_flows_through_cdf(spark, tmp_path):
+    """An update commit is CDC-visible as delete(pre) + insert(post)."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 6).coalesce(1), root)
+    v = sn.snapshot_update_where(spark, root, "id = 2", {"v": "99"})
+    ev = sn.read_snapshot_cdf(spark, root, from_version=0, to_version=v)
+    got = sorted(
+        (r["_change_type"], r["id"], r["v"]) for r in ev.collect()
+    )
+    assert got == [("delete", 2, 4), ("insert", 2, 99)]
+
+
+def test_update_where_tag_idempotent(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 10), root)
+    v1 = sn.snapshot_update_where(
+        spark, root, "id = 1", {"v": "v + 1"}, tag="epoch-1"
+    )
+    v2 = sn.snapshot_update_where(
+        spark, root, "id = 1", {"v": "v + 1"}, tag="epoch-1"
+    )
+    assert v1 == v2  # replay no-ops, no double increment
+    assert dict(_rows(sn.read_snapshot_mor(spark, root), "id"))[1] == 3
+
+
+def test_update_where_stats_keep_pruning(spark, tmp_path):
+    """stats_cols on the update keeps the post-image group prunable."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append_clustered(
+        _df(spark, 0, 1000), root, ["id"], n_files=4
+    )
+    sn.snapshot_update_where(
+        spark,
+        root,
+        "id BETWEEN 10 AND 19",
+        {"v": "v + 1"},
+        stats_cols=["id"],
+    )
+    m = sn._read_manifest(root, 1)
+    new = sorted(set(m["files"]) - set(sn._read_manifest(root, 0)["files"]))
+    # empty part-files claim nothing (the multi-partition-write shape);
+    # every post-image file that HOLDS rows must carry fresh id stats
+    nonempty = [f for f in new if m["rows"][f] > 0]
+    assert nonempty
+    assert all(m["stats"].get(f, {}).get("id") for f in nonempty)
+
+
+# ------------------------------------------------------------ MERGE INTO
+
+
+def _target(spark, tmp_path, name="tbl"):
+    root = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(1, 100, "A"), (2, 200, "A"), (3, 300, "B"), (4, 400, "B")],
+        "k INT, amt INT, seg STRING",
+    )
+    sn.snapshot_overwrite(df.coalesce(1), root)
+    return root
+
+
+def test_merge_into_full_clause_matrix(spark, tmp_path):
+    root = _target(spark, tmp_path)
+    src = spark.createDataFrame(
+        [
+            (2, 250, "upd"),   # matched -> update
+            (3, 0, "del"),     # matched -> delete
+            (9, 900, "new"),   # not matched -> insert
+        ],
+        "k INT, amt INT, op STRING",
+    )
+    sn.snapshot_merge_into(
+        spark,
+        root,
+        src,
+        on=["k"],
+        when_matched=[
+            ("delete", "s.op = 'del'", None),
+            ("update", None, {"amt": "s.amt"}),
+        ],
+        when_not_matched=("insert", None, {"k": "s.k", "amt": "s.amt",
+                                           "seg": "'C'"}),
+        when_not_matched_by_source=[("delete", "t.k = 4", None)],
+    )
+    got = _rows(sn.read_snapshot_mor(spark, root), "k")
+    assert got == [(1, 100, "A"), (2, 250, "A"), (9, 900, "C")]
+
+
+def test_merge_into_clause_order_matters(spark, tmp_path):
+    """First matching clause wins — update-before-delete keeps the row
+    the delete-first variant kills."""
+    root = _target(spark, tmp_path)
+    src = spark.createDataFrame([(2, 999, "del")], "k INT, amt INT, op STRING")
+    sn.snapshot_merge_into(
+        spark,
+        root,
+        src,
+        on=["k"],
+        when_matched=[
+            ("update", None, {"amt": "s.amt"}),
+            ("delete", "s.op = 'del'", None),
+        ],
+    )
+    assert dict(
+        (r[0], r[1]) for r in _rows(sn.read_snapshot_mor(spark, root), "k")
+    )[2] == 999
+
+
+def test_merge_into_insert_all_and_source_only_cond(spark, tmp_path):
+    root = _target(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(8, 800, "X"), (9, 900, "Y")], "k INT, amt INT, seg STRING"
+    )
+    sn.snapshot_merge_into(
+        spark, root, src, on=["k"],
+        when_not_matched=("insert", "s.amt > 850", "all"),
+    )
+    got = _rows(sn.read_snapshot_mor(spark, root), "k")
+    assert (9, 900, "Y") in got and all(r[0] != 8 for r in got)
+    assert len(got) == 5
+
+
+def test_merge_into_cardinality_violation_raises(spark, tmp_path):
+    root = _target(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, 1, "a"), (2, 2, "b")], "k INT, amt INT, op STRING"
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        sn.snapshot_merge_into(
+            spark, root, src, on=["k"],
+            when_matched=[("update", None, {"amt": "s.amt"})],
+        )
+    # duplicates that DON'T match any target row + insert-only merge:
+    # both rows insert (standard SQL), no error
+    src2 = spark.createDataFrame(
+        [(7, 1, "a"), (7, 2, "b")], "k INT, amt INT, op STRING"
+    )
+    sn.snapshot_merge_into(
+        spark, root, src2, on=["k"],
+        when_not_matched=("insert", None, {"k": "s.k", "amt": "s.amt",
+                                           "seg": "'Z'"}),
+    )
+    assert sn.read_snapshot_mor(spark, root).filter("k = 7").count() == 2
+
+
+def test_merge_into_null_keys_never_match(spark, tmp_path):
+    """SQL MERGE ON uses plain equality: NULL keys on either side fall
+    into the not-matched branches, never match each other."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(
+        spark.createDataFrame(
+            [(None, 1), (5, 2)], "k INT, val INT"
+        ).coalesce(1),
+        root,
+    )
+    src = spark.createDataFrame([(None, 99)], "k INT, val INT")
+    sn.snapshot_merge_into(
+        spark, root, src, on=["k"],
+        when_matched=[("update", None, {"val": "s.val"})],
+        when_not_matched=("insert", None, "all"),
+        when_not_matched_by_source=[("update", "t.k IS NULL",
+                                     {"val": "t.val + 10"})],
+    )
+    got = sorted(
+        ((r[0], r[1]) for r in sn.read_snapshot_mor(spark, root).collect()),
+        key=lambda x: (x[0] is None, x[0] or 0, x[1]),
+    )
+    # target NULL row updated via BY SOURCE clause (11); source NULL row
+    # inserted (99); key 5 untouched
+    assert got == [(5, 2), (None, 11), (None, 99)]
+
+
+def test_merge_into_insert_all_missing_column_refused(spark, tmp_path):
+    root = _target(spark, tmp_path)
+    src = spark.createDataFrame([(9, 1)], "k INT, amt INT")  # no seg
+    with pytest.raises(ValueError, match="missing target column"):
+        sn.snapshot_merge_into(
+            spark, root, src, on=["k"],
+            when_not_matched=("insert", None, "all"),
+        )
+
+
+def test_merge_into_requires_committed_table_and_clauses(spark, tmp_path):
+    root = str(tmp_path / "none")
+    src = spark.createDataFrame([(1, 2)], "k INT, amt INT")
+    with pytest.raises(FileNotFoundError):
+        sn.snapshot_merge_into(
+            spark, root, src, on=["k"],
+            when_not_matched=("insert", None, "all"),
+        )
+    root2 = _target(spark, tmp_path, "t2")
+    with pytest.raises(ValueError, match="at least one clause"):
+        sn.snapshot_merge_into(spark, root2, src, on=["k"])
+
+
+def test_merge_into_history_and_cdf_visible(spark, tmp_path):
+    """The merge is one overwrite version: parents stay readable and
+    the table's CoW history remains time-travelable."""
+    root = _target(spark, tmp_path)
+    src = spark.createDataFrame([(1, 111, "x")], "k INT, amt INT, op STRING")
+    v = sn.snapshot_merge_into(
+        spark, root, src, on=["k"],
+        when_matched=[("update", None, {"amt": "s.amt"})],
+    )
+    assert v == 1
+    assert _rows(sn.read_snapshot_mor(spark, root, 0), "k")[0] == (
+        1, 100, "A",
+    )
+    assert _rows(sn.read_snapshot_mor(spark, root), "k")[0] == (1, 111, "A")
+
+
+# ------------------------------------------------- metadata-only reads
+
+
+def test_stats_agg_metadata_only(spark, tmp_path):
+    """count/min/max answered from the manifest with ZERO data-file
+    reads — pinned by chmod-ing the data files unreadable."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append_clustered(
+        _df(spark, 0, 500), root, ["id"], n_files=4, stats_cols=["id", "v"]
+    )
+    sn.snapshot_append_clustered(
+        _df(spark, 500, 900), root, ["id"], n_files=2, stats_cols=["id", "v"]
+    )
+    m = sn._read_manifest(root, 1)
+    modes = {}
+    for f in m["files"]:
+        p = os.path.join(root, f)
+        modes[p] = os.stat(p).st_mode
+        os.chmod(p, 0)
+    try:
+        out = sn.snapshot_stats_agg(spark, root, ["id", "v"])
+        row = out.collect()[0].asDict()
+    finally:
+        for p, mode in modes.items():
+            os.chmod(p, mode)
+    assert row == {
+        "n_rows": 900,
+        "min_id": 0,
+        "max_id": 899,
+        "min_v": 0,
+        "max_v": 1798,
+    }
+
+
+def test_stats_agg_refuses_dirty_or_statless(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append_clustered(
+        _df(spark, 0, 100), root, ["id"], n_files=2, stats_cols=["id"]
+    )
+    with pytest.raises(ValueError, match="no recorded stats"):
+        sn.snapshot_stats_agg(spark, root, ["v"])  # v never recorded
+    sn.snapshot_delete_where(spark, root, "id = 5", keys=["id"])
+    with pytest.raises(ValueError, match="delete files"):
+        sn.snapshot_stats_agg(spark, root, ["id"])
+
+
+def test_stats_agg_count_only_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 50), root)
+    sn.snapshot_append(_df(spark, 50, 80), root)
+    assert sn.snapshot_stats_agg(spark, root, []).collect()[0][0] == 80
+    assert (
+        sn.snapshot_stats_agg(spark, root, [], version=0).collect()[0][0]
+        == 50
+    )
+
+
+def test_stats_agg_survives_compaction(spark, tmp_path):
+    """Post-compaction files carry fresh stats + rows — the metadata
+    answer is unchanged."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append_clustered(
+        _df(spark, 0, 300), root, ["id"], n_files=6, stats_cols=["id"]
+    )
+    sn.snapshot_delete_where(spark, root, "id < 10", keys=["id"])
+    sn.snapshot_compact(spark, root)
+    out = sn.snapshot_stats_agg(spark, root, ["id"]).collect()[0]
+    assert tuple(out) == (290, 10, 299)
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}") for i in range(90)],
+        "id INT, d STRING",
+    ).select("id", F.col("d").cast("date").alias("d"))
+    sn.snapshot_append_partitioned(df, root, {"day": "d"})
+    out = sn.snapshot_partitions(spark, root)
+    rows = {
+        r["partition"]["day"]: (r["file_count"], r["row_count"])
+        for r in out.collect()
+    }
+    assert set(rows) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert all(v[1] == 30 for v in rows.values())
+    total_bytes = sum(r["total_bytes"] for r in out.collect())
+    m = sn._read_manifest(root, 0)
+    assert total_bytes == sum(m["sizes"].values())
+
+
+def test_partitions_mixed_and_refusals(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 10).coalesce(1), root)  # no spec
+    out = sn.snapshot_partitions(spark, root)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["partition"] == {}
+    assert rows[0]["row_count"] == 10
+    sn.snapshot_delete_where(spark, root, "id = 1", keys=["id"])
+    with pytest.raises(ValueError, match="delete files"):
+        sn.snapshot_partitions(spark, root)
+
+
+# ------------------------------------------- review-finding regressions
+
+
+def test_merge_into_insert_only_dup_keys_keep_target_once(spark, tmp_path):
+    """With NO when_matched clause the cardinality check doesn't run —
+    duplicate source keys that match a target row must still keep the
+    unchanged target row exactly ONCE (the full-outer join fans it out;
+    one copy survives), while duplicate UNMATCHED keys all insert."""
+    root = _target(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, 5, "x"), (1, 6, "x"), (9, 900, "x"), (9, 901, "x")],
+        "k INT, amt INT, op STRING",
+    )
+    sn.snapshot_merge_into(
+        spark, root, src, on=["k"],
+        when_not_matched=("insert", None,
+                          {"k": "s.k", "amt": "s.amt", "seg": "'N'"}),
+    )
+    got = _rows(sn.read_snapshot_mor(spark, root), "k", "amt")
+    assert got == [
+        (1, 100, "A"),            # matched: kept once, unchanged
+        (2, 200, "A"), (3, 300, "B"), (4, 400, "B"),
+        (9, 900, "N"), (9, 901, "N"),  # unmatched dups BOTH insert
+    ]
+
+
+def test_merge_into_by_source_only_dup_keys_no_fanout(spark, tmp_path):
+    """Same fan-out hazard for a when_not_matched_by_source-only merge:
+    matched rows (untouched by every clause family) stay single."""
+    root = _target(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, 5, "x"), (1, 6, "x")], "k INT, amt INT, op STRING"
+    )
+    sn.snapshot_merge_into(
+        spark, root, src, on=["k"],
+        when_not_matched_by_source=[("delete", "t.k = 4", None)],
+    )
+    got = _rows(sn.read_snapshot_mor(spark, root), "k")
+    assert got == [(1, 100, "A"), (2, 200, "A"), (3, 300, "B")]
+
+
+def test_merge_into_conflict_retries_against_new_head(
+    spark, tmp_path, monkeypatch
+):
+    """SERIALIZABLE merge: a concurrent append landing between the
+    target read and the commit must trigger a re-evaluating retry — the
+    stale CoW file list would silently erase the sibling's rows."""
+    root = _target(spark, tmp_path)
+    orig = sn._write_files
+    state = {"fired": False}
+
+    def hooked(df, r, stats_cols=None, kind="data"):
+        if not state["fired"]:
+            state["fired"] = True  # set BEFORE the nested append recurses
+            sn.snapshot_append(
+                spark.createDataFrame([(50, 500, "C")],
+                                      "k INT, amt INT, seg STRING"),
+                root,
+            )
+        return orig(df, r, stats_cols=stats_cols, kind=kind)
+
+    monkeypatch.setattr(sn, "_write_files", hooked)
+    src = spark.createDataFrame([(1, 111, "x")], "k INT, amt INT, op STRING")
+    sn.snapshot_merge_into(
+        spark, root, src, on=["k"],
+        when_matched=[("update", None, {"amt": "s.amt"})],
+    )
+    got = _rows(sn.read_snapshot_mor(spark, root), "k")
+    # the update applied AND the concurrently appended row survived
+    assert got == [
+        (1, 111, "A"), (2, 200, "A"), (3, 300, "B"), (4, 400, "B"),
+        (50, 500, "C"),
+    ]
+
+
+def test_partitions_null_partition_values(spark, tmp_path):
+    """NULL partition values (__HIVE_DEFAULT_PARTITION__) must group and
+    sort cleanly instead of TypeError-ing the metadata table."""
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, None), (3, "2024-01-02"), (4, None)],
+        "id INT, d STRING",
+    ).select("id", F.col("d").cast("date").alias("d"))
+    sn.snapshot_append_partitioned(df, root, {"day": "d"})
+    rows = {
+        r["partition"]["day"]: r["row_count"]
+        for r in sn.snapshot_partitions(spark, root).collect()
+    }
+    assert rows == {"2024-01-01": 1, "2024-01-02": 1, None: 2}
