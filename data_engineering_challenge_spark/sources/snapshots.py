@@ -2565,7 +2565,14 @@ def snapshot_merge_keys(
     ``tag`` passes through for exactly-once replay.  Copy-on-write
     rewrites the whole table per commit — the simple/audit-first trade;
     the partition-restricted `apply_cdc` is the in-place alternative
-    when history isn't needed."""
+    when history isn't needed.
+
+    Concurrency is SERIALIZABLE with re-evaluating retry (same as
+    `snapshot_merge_into`): the merged content is computed against one
+    specific snapshot, and a stale CoW file list would silently erase
+    any commit that landed in between — on conflict the merge re-reads
+    the new head and re-runs (bounded attempts, then
+    `SnapshotConflictError`)."""
     from pyspark.sql import functions as F
 
     last = _last_change_per_key(batch, keys, op_col, seq_col)
@@ -2574,29 +2581,57 @@ def snapshot_merge_keys(
         if v is not None:
             return v
     upserts = last.filter(F.col(op_col) != "D").drop(op_col)
-    if current_version(root) is None:
-        # bootstrap: MERGE into a never-committed table treats the
-        # target as empty (a first batch of inserts just works)
-        merged = upserts
-    else:
-        # MoR-aware read: a CoW merge after snapshot_mor_merge commits
-        # must not resurface MoR-deleted rows (degrades to a plain read
-        # when there are no delete files); the overwrite commit below
-        # carries no delete files, so the merge also FOLDS them
-        current = read_snapshot_mor(spark, root)
-        touched = last.select(*keys).distinct()
-        # eqNullSafe so NULL-keyed changes replace/delete their NULL-keyed
-        # targets (matching the MoR read's null semantics)
-        kept = current.join(
-            touched,
-            functools.reduce(
-                lambda a, b: a & b,
-                [current[k].eqNullSafe(touched[k]) for k in keys],
-            ),
-            "left_anti",
-        )
-        merged = kept.unionByName(upserts)
-    return snapshot_overwrite(merged, root, tag=tag, operation="merge")
+    last_err: Exception | None = None
+    for _ in range(5):
+        # seen BEFORE parent — see snapshot_append's capture-order comment
+        seen = set(snapshot_versions(root))
+        parent = current_version(root)
+        if parent is None:
+            # bootstrap: MERGE into a never-committed table treats the
+            # target as empty (a first batch of inserts just works)
+            merged = upserts
+        else:
+            # MoR-aware read: a CoW merge after snapshot_mor_merge commits
+            # must not resurface MoR-deleted rows (degrades to a plain read
+            # when there are no delete files); the overwrite commit below
+            # carries no delete files, so the merge also FOLDS them
+            current = read_snapshot_mor(spark, root)
+            touched = last.select(*keys).distinct()
+            # eqNullSafe so NULL-keyed changes replace/delete their
+            # NULL-keyed targets (matching the MoR read's null semantics)
+            kept = current.join(
+                touched,
+                functools.reduce(
+                    lambda a, b: a & b,
+                    [current[k].eqNullSafe(touched[k]) for k in keys],
+                ),
+                "left_anti",
+            )
+            merged = kept.unionByName(upserts)
+        os.makedirs(root, exist_ok=True)
+        files = _write_files(merged, root)
+        try:
+            return _commit(
+                root,
+                files,
+                parent,
+                tag=tag,
+                operation="merge",
+                seen_versions=seen,
+                conflict_mode="serialize",
+                new_file_columns=list(merged.columns),
+            )
+        except SnapshotConflictError as exc:
+            last_err = exc  # head moved — re-evaluate against it
+            for f in files:  # best-effort cleanup; vacuum catches rest
+                try:
+                    os.remove(os.path.join(root, f))
+                except OSError:
+                    pass
+    raise SnapshotConflictError(
+        f"snapshot_merge_keys: gave up after 5 conflicted attempts "
+        f"({last_err})"
+    )
 
 
 def _last_change_per_key(

@@ -521,3 +521,34 @@ def test_partitions_null_partition_values(spark, tmp_path):
         for r in sn.snapshot_partitions(spark, root).collect()
     }
     assert rows == {"2024-01-01": 1, "2024-01-02": 1, None: 2}
+
+
+def test_merge_keys_conflict_retries_against_new_head(
+    spark, tmp_path, monkeypatch
+):
+    """The CoW CDC merge gets the same serialize guarantee: a sibling
+    append landing mid-merge survives into the merged version."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(
+        spark.createDataFrame([Row(id=1, v=10), Row(id=2, v=20)]), root
+    )
+    orig = sn._write_files
+    state = {"fired": False}
+
+    def hooked(df, r, stats_cols=None, kind="data"):
+        if not state["fired"]:
+            state["fired"] = True
+            sn.snapshot_append(
+                spark.createDataFrame([Row(id=9, v=90)]), root
+            )
+        return orig(df, r, stats_cols=stats_cols, kind=kind)
+
+    monkeypatch.setattr(sn, "_write_files", hooked)
+    sn.snapshot_merge_keys(
+        spark, root,
+        spark.createDataFrame([Row(id=1, v=11, _op="U")]), ["id"],
+    )
+    got = {r.id: r.v for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert got == {1: 11, 2: 20, 9: 90}
