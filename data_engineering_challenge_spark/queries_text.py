@@ -3175,3 +3175,96 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "snapshot_expectations_gate",
+    # replay the two expectation rules relationally: per-rule violation
+    # counts + what was admitted vs quarantined
+    """
+WITH d AS (
+    SELECT (n_chars >= 100) AS ok_len,
+           (lang IN ('en', 'de', 'fr', 'es')) AS ok_lang
+    FROM documents
+)
+SELECT 'admitted' AS metric, CAST(COUNT(*) AS BIGINT) AS n
+FROM d WHERE ok_len AND ok_lang
+UNION ALL
+SELECT 'quarantined', CAST(COUNT(*) AS BIGINT)
+FROM d WHERE NOT (ok_len AND ok_lang)
+UNION ALL
+SELECT 'viol:min_chars', CAST(COUNT(*) AS BIGINT) FROM d WHERE NOT ok_len
+UNION ALL
+SELECT 'viol:lang_known', CAST(COUNT(*) AS BIGINT) FROM d WHERE NOT ok_lang
+""",
+)
+def q_snapshot_expectations_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXPECTATIONS-gated corpus admission (round 8 —
+    `snapshot_append_expect`, the DLT expect_or_drop/quarantine family
+    on snapshot tables): gate the documents corpus through two quality
+    rules (length floor, known language), append the clean rows to a
+    snapshot table and the violating rows to a QUARANTINE snapshot
+    table tagged with every failed rule — then report the metrics FROM
+    THE TABLES (one read each, proving the split actually landed):
+    admitted/quarantined row counts + per-rule violation counts from
+    the quarantine's ``_violations`` tags.  The oracle replays the
+    rules as SQL filters.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .operators.quality import RowRule
+    from .sources import snapshots as sn
+
+    key = ("snapshot_expectations_gate", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="snap_expect_")
+        rules = [
+            RowRule("min_chars", lambda: F.col("n_chars") >= 100),
+            RowRule(
+                "lang_known",
+                lambda: F.col("lang").isin("en", "de", "fr", "es"),
+            ),
+        ]
+        sn.snapshot_append_expect(
+            spark,
+            _docs(spark, sf_dir),
+            f"{tmp}/clean",
+            rules,
+            on_violation="quarantine",
+            quarantine_root=f"{tmp}/quarantine",
+        )
+        out = _STREAM_OUT_CACHE[key] = tmp
+    # every metric row must exist even at ZERO count (the oracle always
+    # emits 4 rows), and a violation-free run never creates the
+    # quarantine table at all — scalar aggs + a static rule frame
+    # left-joined with the observed tags
+    if sn.current_version(f"{out}/quarantine") is not None:
+        quar = sn.read_snapshot(spark, f"{out}/quarantine")
+    else:
+        quar = spark.createDataFrame(
+            [], "_violations ARRAY<STRING>"
+        )
+    admitted = sn.read_snapshot(spark, f"{out}/clean").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("admitted").alias("metric"), "n")
+    quarantined = quar.agg(F.count("*").alias("n")).select(
+        F.lit("quarantined").alias("metric"), "n"
+    )
+    tag_counts = (
+        quar.select(F.explode("_violations").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").alias("n"))
+    )
+    per_rule = (
+        spark.createDataFrame(
+            [("min_chars",), ("lang_known",)], "rule STRING"
+        )
+        .join(tag_counts, "rule", "left")
+        .select(
+            F.concat(F.lit("viol:"), F.col("rule")).alias("metric"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    return admitted.unionByName(quarantined).unionByName(per_rule)

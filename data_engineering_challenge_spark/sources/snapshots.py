@@ -213,13 +213,75 @@ def _read_manifest(root: str, version: int) -> dict:
     return dict(resolved)
 
 
+def _table_checks(root: str, version: int | None = None) -> dict:
+    """The table's live CHECK constraints ``{name: sql_expr}`` —
+    payload-resident (O(1) read via `_read_manifest_meta`), inherited by
+    every commit like ``layout``/``fields``.  A dropped check is stored
+    as ``name: None`` (the recursive meta merge has no delete) and
+    filtered here."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        return {}
+    checks = _read_manifest_meta(root, v).get("checks") or {}
+    return {k: e for k, e in checks.items() if e is not None}
+
+
+#: data group → the CHECK constraints its rows were validated under at
+#: write time (process-local); `_commit` compares against the set the
+#: commit would inherit and aborts on drift — see the guard there.
+_ENFORCED_CHECKS: dict[str, dict] = {}
+
+
+def _record_enforced_checks(group: str, checks: dict) -> None:
+    if len(_ENFORCED_CHECKS) > 4096:  # bounded: groups are one-shot
+        _ENFORCED_CHECKS.clear()
+    _ENFORCED_CHECKS[group] = dict(checks)
+
+
+def _apply_check_constraints(
+    df: DataFrame, root: str, checks: dict | None = None
+) -> DataFrame:
+    """Inject the table's CHECK constraints into a data write as per-row
+    ``assert_true`` filters — enforcement runs INSIDE the write job
+    (single pass, no extra scan: the Delta invariant model), so a
+    violating batch fails the job loudly and nothing commits.  SQL CHECK
+    semantics: a NULL check result PASSES (coalesce to true) — pair with
+    an IS NOT NULL check to also reject NULLs.  A check referencing a
+    column the batch doesn't carry fails analysis loudly — rename/drop
+    a constrained column only after dropping the check (Delta blocks
+    the same way)."""
+    if checks is None:
+        checks = _table_checks(root)
+    if not checks:
+        return df
+    from pyspark.sql import functions as F
+
+    for name in sorted(checks):
+        expr = checks[name]
+        cond = F.coalesce(F.expr(expr), F.lit(True))
+        msg = F.concat(
+            F.lit(
+                f"snapshot CHECK constraint {name!r} violated "
+                f"({expr}) by row: "
+            ),
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+        )
+        df = df.filter(F.assert_true(cond, msg).isNull())
+    return df
+
+
 def _write_files(
     df: DataFrame,
     root: str,
     stats_cols: list[str] | None = None,
     kind: str = "data",
 ) -> list[str] | tuple[list[str], dict]:
+    if kind == "data":
+        checks = _table_checks(root)
+        df = _apply_check_constraints(df, root, checks)
     group = os.path.join(kind, uuid.uuid4().hex)
+    if kind == "data":
+        _record_enforced_checks(group, checks)
     out = os.path.join(root, group)
     df.write.parquet(out)
     files = sorted(
@@ -624,7 +686,7 @@ def _commit(
             attempt_written.append(dn)
         # ---- table-level metadata (payload-resident: O(schema)) -------
         tbl_meta: dict = {}
-        for k in ("layout", "fields"):
+        for k in ("layout", "fields", "checks"):
             if pm_meta.get(k):
                 tbl_meta[k] = (
                     dict(pm_meta[k])
@@ -632,8 +694,40 @@ def _commit(
                     else list(pm_meta[k])
                 )
         for k, v in (meta_updates or {}).items():
-            if k in ("layout", "fields"):
+            if k in ("layout", "fields", "checks"):
                 tbl_meta[k] = _merge(tbl_meta.get(k), v)
+        if new_files:
+            # CHECK write/commit race guard: the data files were
+            # validated against the constraints live at WRITE time; if
+            # this commit would inherit a DIFFERENT live set (a
+            # concurrent set/drop-check landed and the sibling scan
+            # rebased onto it, or an overwrite captured a later parent),
+            # the batch was never validated under the contract it would
+            # commit under — fail like Delta's concurrent-metadata-
+            # change conflict so the caller re-writes under the current
+            # constraints (the serialize-retry DML paths do this
+            # automatically)
+            live = {
+                k: v
+                for k, v in (tbl_meta.get("checks") or {}).items()
+                if v is not None
+            }
+            groups = set()
+            for f in new_files:
+                parts = f.split(os.sep)
+                if len(parts) >= 2:  # kind/<uuid>[/partition dirs]/file
+                    groups.add(os.sep.join(parts[:2]))
+            for g in groups:
+                enforced = _ENFORCED_CHECKS.get(g)
+                if enforced is not None and enforced != live:
+                    _discard_attempt()
+                    raise SnapshotConflictError(
+                        "_commit: CHECK constraints changed between the "
+                        f"data write (enforced {sorted(enforced)}) and "
+                        f"the commit (live {sorted(live)}) — re-run the "
+                        "write so the batch is validated under the "
+                        "current contract"
+                    )
         # ---- the new data entry ---------------------------------------
         entry: dict = {}
         if new_files:
@@ -1121,7 +1215,10 @@ def _write_partitioned_files(
     out_df = out_df.repartition(*tmps.values())
     if sort_cols:
         out_df = out_df.sortWithinPartitions(*sort_cols)
+    checks = _table_checks(root)
+    out_df = _apply_check_constraints(out_df, root, checks)
     group = os.path.join("data", uuid.uuid4().hex)
+    _record_enforced_checks(group, checks)
     out = os.path.join(root, group)
     out_df.write.partitionBy(*tmps.values()).parquet(out)
     # recursive listing: partitioned writes nest one dir per value
@@ -2350,7 +2447,7 @@ def compact_manifests(root: str, max_entries: int = 1) -> int:
             "entries": entries,
             "delete_entries": dentries,
         }
-        for k in ("layout", "fields"):
+        for k in ("layout", "fields", "checks"):
             if meta.get(k):
                 payload[k] = meta[k]
 
@@ -3663,6 +3760,229 @@ def snapshot_update_where(
         f"snapshot_update_where: gave up after 5 conflicted attempts "
         f"({last_err})"
     )
+
+
+def _checks_meta_commit(
+    root: str,
+    operation: str,
+    meta_checks: dict,
+    pre_attempt=None,
+) -> int:
+    """Shared serialize-retry loop for the metadata-only CHECK commits
+    (`snapshot_set_check` / `snapshot_drop_check`): capture seen before
+    parent, run ``pre_attempt(parent)`` (per-attempt validation hooks —
+    they re-run against the new head on retry), then commit
+    ``entries_from=parent`` with the parent's delete files carried
+    verbatim — content unchanged, metadata updated."""
+    last_err: Exception | None = None
+    for _ in range(5):
+        # seen BEFORE parent — see snapshot_append's capture-order comment
+        seen = set(snapshot_versions(root))
+        parent = current_version(root)
+        if parent is None:
+            raise FileNotFoundError(
+                f"{operation}: no committed version at {root}"
+            )
+        if pre_attempt is not None:
+            pre_attempt(parent)
+        m = _read_manifest(root, parent)
+        try:
+            return _commit(
+                root,
+                m["files"],
+                parent,
+                operation=operation,
+                seen_versions=seen,
+                conflict_mode="serialize",
+                entries_from=parent,
+                meta_updates={"checks": meta_checks},
+                manifest_override={
+                    "delete_files": m.get("delete_files") or []
+                },
+            )
+        except SnapshotConflictError as exc:
+            last_err = exc  # head moved — re-validate against it
+    raise SnapshotConflictError(
+        f"{operation}: gave up after 5 conflicted attempts ({last_err})"
+    )
+
+
+def snapshot_set_check(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    expr: str,
+    validate: bool = True,
+    replace: bool = False,
+) -> int:
+    """Add a persistent CHECK constraint (Delta's ``ALTER TABLE … ADD
+    CONSTRAINT`` analog): a metadata-only commit recording ``name:
+    expr`` in the table metadata, inherited by every subsequent commit
+    like ``layout``/``fields``.  From then on EVERY data write path
+    (append, overwrite, partitioned/clustered, the CDC merges,
+    UPDATE…WHERE post-images, streaming sinks, even compaction
+    rewrites) enforces the expression per row INSIDE the write job —
+    a violating batch fails loudly and commits nothing, with the
+    offending row in the error (see `_apply_check_constraints`).  SQL
+    CHECK semantics: NULL passes.
+
+    ``validate=True`` (Delta's default) first proves the EXISTING
+    visible rows satisfy the constraint — one filtered scan,
+    ``limit(1)`` — and refuses otherwise; ``validate=False`` skips the
+    scan (constraint applies to new writes only; a later compaction
+    of violating history will fail loudly — compact first or validate).
+    A live check with the same name REFUSES (silently swapping the
+    expression would invisibly weaken the audited contract; Delta
+    raises the same way) unless ``replace=True``.
+
+    An in-flight data write that raced this commit fails with
+    `SnapshotConflictError` at ITS commit instead of landing
+    unvalidated rows under the new contract (see `_commit`'s CHECK
+    write/commit race guard) — re-run the write.
+
+    Reference parity: the reference has no constraint surface — bad
+    rows abort the whole run only at read time (reference
+    pipeline.py:98-100); here the TABLE carries the contract."""
+    from pyspark.sql import functions as F
+
+    if not name or not isinstance(expr, str) or not expr.strip():
+        raise ValueError(
+            "snapshot_set_check: need a non-empty name and SQL expr"
+        )
+
+    def _pre(parent: int) -> None:
+        if not replace and name in _table_checks(root, parent):
+            raise ValueError(
+                f"snapshot_set_check: a live check named {name!r} "
+                "already exists — drop it first or pass replace=True"
+            )
+        if validate:
+            bad = (
+                read_snapshot_mor(spark, root)
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"snapshot_set_check: existing rows violate "
+                    f"{name!r} ({expr}), e.g. {tuple(bad[0])} — fix the "
+                    "data or pass validate=False (new writes only)"
+                )
+
+    return _checks_meta_commit(root, "set-check", {name: expr}, _pre)
+
+
+def snapshot_drop_check(root: str, name: str) -> int:
+    """Drop a CHECK constraint by name: a metadata-only commit storing
+    ``name: None`` (the recursive meta merge has no delete operation;
+    `_table_checks` filters the tombstone).  Older versions keep the
+    constraint in their metadata — time travel shows the contract that
+    held when they committed."""
+
+    def _pre(parent: int) -> None:
+        live = _table_checks(root, parent)
+        if name not in live:
+            raise ValueError(
+                f"snapshot_drop_check: no live check named {name!r} "
+                f"(have {sorted(live)})"
+            )
+
+    return _checks_meta_commit(root, "drop-check", {name: None}, _pre)
+
+
+def snapshot_append_expect(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    rules,
+    on_violation: str = "fail",
+    quarantine_root: str | None = None,
+    tag: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """EXPECTATIONS-gated append (the DLT ``expect`` /
+    ``expect_or_drop`` / quarantine family as one batch operator):
+    evaluate ``rules`` (a list of `operators.quality.RowRule`) over the
+    batch in ONE projection (`tag_violations` — no shuffle), then:
+
+    * ``on_violation="fail"`` — any violating row refuses the whole
+      batch (per-rule counts in the error), nothing commits;
+    * ``"drop"`` — clean rows append, violating rows are counted and
+      discarded (DLT ``expect_or_drop``);
+    * ``"quarantine"`` — clean rows append to ``root``, violating rows
+      append to the ``quarantine_root`` snapshot table with a
+      ``_violations array<string>`` column naming every failed rule —
+      nothing is silently dropped and bad records carry WHY (the batch
+      twin of `streaming.quarantine`).
+
+    Returns ``{"version", "quarantine_version", "admitted",
+    "quarantined", "violations": {rule: count}}`` — the DLT
+    expectation-metrics row.  ``tag`` makes both appends idempotent
+    (the quarantine append tags ``{tag}-q``).  The metrics pass and the
+    two appends each scan the tagged batch once; pass a pre-persisted
+    ``df`` to avoid recomputing an expensive upstream."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import tag_violations
+
+    if on_violation not in ("fail", "drop", "quarantine"):
+        raise ValueError(
+            "snapshot_append_expect: on_violation must be fail/drop/"
+            f"quarantine, got {on_violation!r}"
+        )
+    if on_violation == "quarantine" and quarantine_root is None:
+        raise ValueError(
+            "snapshot_append_expect: quarantine mode needs a "
+            "quarantine_root"
+        )
+    if not rules:
+        raise ValueError("snapshot_append_expect: no rules given")
+    tagged = tag_violations(df, rules).persist()
+    try:
+        counts = tagged.agg(
+            F.count("*").alias("_total"),
+            F.count(
+                F.when(F.size("_violations") == 0, F.lit(1))
+            ).alias("_clean"),
+            *[
+                F.count(
+                    F.when(
+                        F.array_contains("_violations", r.name), F.lit(1)
+                    )
+                ).alias(f"_r{i}")
+                for i, r in enumerate(rules)
+            ],
+        ).collect()[0]
+        violations = {
+            r.name: counts[f"_r{i}"] for i, r in enumerate(rules)
+        }
+        n_bad = counts["_total"] - counts["_clean"]
+        if on_violation == "fail" and n_bad:
+            raise ValueError(
+                f"snapshot_append_expect: {n_bad} row(s) violate "
+                f"expectations {violations} — batch refused"
+            )
+        clean = tagged.filter(F.size("_violations") == 0).drop(
+            "_violations"
+        )
+        v = snapshot_append(clean, root, tag=tag, stats_cols=stats_cols)
+        qv = None
+        if on_violation == "quarantine" and n_bad:
+            qv = snapshot_append(
+                tagged.filter(F.size("_violations") > 0),
+                quarantine_root,
+                tag=None if tag is None else f"{tag}-q",
+            )
+        return {
+            "version": v,
+            "quarantine_version": qv,
+            "admitted": counts["_clean"],
+            "quarantined": n_bad if on_violation == "quarantine" else 0,
+            "violations": violations,
+        }
+    finally:
+        tagged.unpersist()
 
 
 def maintain_snapshot(
