@@ -149,7 +149,7 @@ _CHEAP_FIRST = [
     # round-8 additions, measured verify cost ascending (sf0.01)
     "sql_catalog_report", "bpe_encode_tokens",
     "snapshot_metadata_agg", "snapshot_partitions_meta",
-    "snapshot_expectations_gate",
+    "snapshot_expectations_gate", "snapshot_clone_diverge",
     "snapshot_merge_into", "snapshot_update_where",
 ]
 

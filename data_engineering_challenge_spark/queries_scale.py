@@ -3307,3 +3307,60 @@ def q_snapshot_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("partition")["day"].cast("date").alias("day"),
         "row_count",
     )
+
+
+@register(
+    "snapshot_clone_diverge",
+    # both lineages replayed relationally: the source lost its %7 keys,
+    # the clone gained a +1-priced copy of the %5 keys
+    f"""
+SELECT 'source' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderkey % 7 <> 0
+UNION ALL
+SELECT 'clone', CAST(COUNT(*) AS BIGINT), {_dsum_sql('price')}
+FROM (
+    SELECT o_totalprice AS price FROM orders
+    UNION ALL
+    SELECT o_totalprice + 1 FROM orders WHERE o_orderkey % 5 = 0
+)
+""",
+)
+def q_snapshot_clone_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table CLONE + independent divergence (round 8 —
+    `snapshot_clone`, Delta's ``CREATE TABLE … CLONE``): orders
+    committed once, hard-link-cloned at metadata cost (bytes shared,
+    byte-identity pinned in tests/test_snapshot_clone.py), then the two
+    lineages diverge — a predicate DELETE on the source, an append on
+    the clone — and BOTH full states are read back and aggregated:
+    neither side sees the other's change.  The oracle replays both
+    lineages from the raw rows.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_clone_diverge", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="snap_clone_")
+        sn.snapshot_overwrite(o, f"{tmp}/src")
+        sn.snapshot_clone(f"{tmp}/src", f"{tmp}/fork")
+        sn.snapshot_delete_where(
+            spark, f"{tmp}/src", "o_orderkey % 7 = 0", keys=["o_orderkey"]
+        )
+        sn.snapshot_append(
+            o.filter(F.col("o_orderkey") % 5 == 0).select(
+                (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+                (F.col("o_totalprice") + 1).alias("o_totalprice"),
+            ),
+            f"{tmp}/fork",
+        )
+        out = _ORC_OUT_CACHE[key] = tmp
+    src = sn.read_snapshot_mor(spark, f"{out}/src").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total_price")
+    ).select(F.lit("source").alias("side"), "n", "total_price")
+    fork = sn.read_snapshot_mor(spark, f"{out}/fork").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total_price")
+    ).select(F.lit("clone").alias("side"), "n", "total_price")
+    return src.unionByName(fork)

@@ -3891,6 +3891,146 @@ def snapshot_drop_check(root: str, name: str) -> int:
     return _checks_meta_commit(root, "drop-check", {name: None}, _pre)
 
 
+def snapshot_clone(
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+    mode: str = "link",
+) -> int:
+    """CLONE a snapshot table (Delta ``CREATE TABLE … CLONE`` analog):
+    materialize ``src_root``'s state at ``version`` (default: head) as
+    a NEW table at ``dst_root`` — an independent lineage whose first
+    version NUMBER equals the source version (version numbers are only
+    required to be monotonic, and keeping the number keeps the carried
+    commit SEQUENCES below every future commit of the clone: a fresh
+    insert after the clone must never be killed by a pre-clone
+    equality-delete list, which applies only to lower sequences).
+    The clone carries the source's full state verbatim at METADATA
+    cost: data files AND MoR delete files keep their root-relative
+    paths and commit sequences (the sequence rule keeps working:
+    re-inserted-after-delete keys survive in the clone exactly as in
+    the source), stats/partition values/field bindings keep pruning
+    and evolved reads working, and layout/fields/CHECK constraints
+    carry so the clone enforces the same contract.
+
+    ``mode="link"`` (default) hard-links every file — a ZERO-COPY
+    clone: bytes are shared until either side's maintenance rewrites
+    them, and vacuum in one table only unlinks its own path (the inode
+    survives while the other table references it) — the dev/test-copy
+    and experiment-fork primitive at any table size (same filesystem
+    only; on object stores you'd copy or reference, so
+    ``mode="copy"`` does a physical copy).  Writes after the clone
+    diverge freely: each lineage appends under its own root.
+
+    NOT cloned: tags/branches (refs are pointers into the SOURCE's
+    history, which the clone does not carry) and older versions — the
+    clone's history starts at its first version, time travel beyond it
+    lives in the source."""
+    if mode not in ("link", "copy"):
+        raise ValueError(
+            f"snapshot_clone: mode must be 'link' or 'copy', got {mode!r}"
+        )
+    v = current_version(src_root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(
+            f"snapshot_clone: no committed version at {src_root}"
+        )
+    if current_version(dst_root) is not None:
+        raise FileExistsError(
+            f"snapshot_clone: {dst_root} already holds a snapshot table"
+        )
+    m = _read_manifest(src_root, v)
+    import errno
+    import shutil
+
+    dels = m.get("delete_files") or []
+    for entry in m["files"] + [d["file"] for d in dels]:
+        src = os.path.join(src_root, entry)
+        dst = os.path.join(dst_root, entry)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.exists(dst):
+            # idempotent retry of a crashed clone: the same file from
+            # the same source is fine (hard link or equal byte size);
+            # anything else is foreign debris — refuse, don't clobber
+            if os.path.samefile(src, dst) or (
+                os.path.getsize(src) == os.path.getsize(dst)
+            ):
+                continue
+            raise FileExistsError(
+                f"snapshot_clone: {dst} exists and does not match the "
+                "source file — remove the partial clone first"
+            )
+        if mode == "link":
+            try:
+                os.link(src, dst)
+            except OSError as exc:
+                if exc.errno != errno.EXDEV:  # only cross-device falls
+                    raise  # back to copy; anything else is real
+                shutil.copy2(src, dst)
+        else:
+            shutil.copy2(src, dst)
+    # one entry file carrying the resolved per-file metadata verbatim
+    # (sequences included — MoR semantics survive), one for the delete
+    # lists; the payload is the clone's first version, parent-less
+    os.makedirs(_manifest_dir(dst_root), exist_ok=True)
+    merged: dict = {"files": m["files"]}
+    for k in ("stats", "file_seq", "file_fields", "partition_values",
+              "sizes", "rows"):
+        if m.get(k):
+            merged[k] = m[k]
+    entries = [_write_entry(dst_root, merged)] if m["files"] else []
+    dentries = (
+        [_write_entry(dst_root, {"delete_files": dels}, "de")]
+        if dels
+        else []
+    )
+    clone_src = {"root": os.path.abspath(src_root), "version": v}
+    payload = {
+        "version": v,
+        "parent": None,
+        "tag": None,
+        "ts": time.time(),
+        "operation": "clone",
+        "format": 2,
+        "entries": entries,
+        "delete_entries": dentries,
+        "clone_source": clone_src,
+    }
+    for k in ("layout", "fields", "checks"):
+        if m.get(k):
+            payload[k] = m[k]
+    staged = os.path.join(
+        _manifest_dir(dst_root), f".stage-{uuid.uuid4().hex}"
+    )
+    with open(staged, "w") as fh:
+        json.dump(payload, fh)
+    try:
+        os.link(staged, _manifest_path(dst_root, v))
+    except FileExistsError:
+        # a crashed clone claimed the manifest but never advanced
+        # _LATEST (the torn window the tagged commits repair via their
+        # marker): if the existing claim IS this clone, finish the
+        # pointer move idempotently; a different claim is a real race
+        prior = _read_manifest_meta(dst_root, v)
+        if (
+            prior.get("operation") != "clone"
+            or prior.get("clone_source") != clone_src
+        ):
+            raise FileExistsError(
+                f"snapshot_clone: {dst_root} v{v} claimed concurrently "
+                "by a different commit"
+            )
+        for n in entries + dentries:  # this attempt's entries lost
+            try:
+                os.remove(os.path.join(_manifest_dir(dst_root), n))
+            except FileNotFoundError:
+                pass
+    finally:
+        os.remove(staged)
+    _advance_latest(dst_root, v)
+    return v
+
+
 def snapshot_append_expect(
     spark: SparkSession,
     df: DataFrame,
