@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Measure the round-8 DML + clone scale claims.
+
+1. ``snapshot_update_where`` claims O(matched) commit cost — the commit
+   writes only the matched rows' post-image group + a delete list,
+   never the table.  Measured: bytes written per update commit at
+   three table sizes with a FIXED match count — flat means O(matched).
+2. ``snapshot_clone`` (link mode) claims metadata-cost cloning — the
+   table's data bytes are hard-linked, not copied.  Measured: clone
+   wall time and NEW disk bytes (st_nlink==1 files under the clone
+   root) at the same three sizes — flat-and-tiny means zero-copy.
+3. ``snapshot_merge_into`` pays one CoW rewrite by design; its
+   cardinality check must NOT add a second full-table pass.  Measured:
+   merge wall time with and without a WHEN MATCHED clause (the check
+   only runs with one) — the gap bounds the check's cost.
+
+Results land in BENCH_NOTES.md by hand — this script only prints JSON.
+
+Usage: python scripts/dml_evidence.py [--sf DIR] [--sizes a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _tree_bytes(root: str, linked_only: bool = False) -> int:
+    total = 0
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            p = os.path.join(dirpath, n)
+            st = os.stat(p)
+            if linked_only and st.st_nlink > 1:
+                continue  # shared inode: not new bytes
+            total += st.st_size
+    return total
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--sizes", default="30000,120000,480000")
+    ap.add_argument("--matched", type=int, default=1000)
+    args = ap.parse_args()
+    sizes = [int(x) for x in args.sizes.split(",")]
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.session import get_spark
+    from data_engineering_challenge_spark.sources import snapshots as sn
+
+    spark = get_spark()
+    orders = spark.read.parquet(os.path.join(args.sf, "orders.parquet"))
+    out: dict = {"sizes": sizes, "matched_rows": args.matched, "runs": []}
+    for n in sizes:
+        base = (
+            orders.select("o_orderkey", "o_totalprice")
+            .limit(n)
+            .repartition(8)
+        )
+        tmp = tempfile.mkdtemp(prefix="dml_ev_")
+        try:
+            root = f"{tmp}/tbl"
+            sn.snapshot_overwrite(base, root)
+            table_bytes = _tree_bytes(os.path.join(root, "data"))
+            before = _tree_bytes(root)
+            t0 = time.monotonic()
+            sn.snapshot_update_where(
+                spark,
+                root,
+                f"o_orderkey % {max(n // args.matched, 1)} = 0",
+                {"o_totalprice": "o_totalprice + 1"},
+                keys=["o_orderkey"],
+            )
+            upd_s = time.monotonic() - t0
+            upd_bytes = _tree_bytes(root) - before
+
+            clone = f"{tmp}/clone"
+            t0 = time.monotonic()
+            sn.snapshot_clone(root, clone)
+            clone_s = time.monotonic() - t0
+            clone_new_bytes = _tree_bytes(clone, linked_only=True)
+
+            src = base.limit(200).select(
+                "o_orderkey",
+                (F.col("o_totalprice") + 5).alias("o_totalprice"),
+            )
+            t0 = time.monotonic()
+            sn.snapshot_merge_into(
+                spark,
+                root,
+                src,
+                on=["o_orderkey"],
+                when_matched=[
+                    ("update", None, {"o_totalprice": "s.o_totalprice"})
+                ],
+            )
+            merge_checked_s = time.monotonic() - t0
+            t0 = time.monotonic()
+            sn.snapshot_merge_into(
+                spark,
+                root,
+                src.select(
+                    (F.col("o_orderkey") + 900_000_000).alias("o_orderkey"),
+                    "o_totalprice",
+                ),
+                on=["o_orderkey"],
+                when_not_matched=("insert", None, "all"),
+            )
+            merge_unchecked_s = time.monotonic() - t0
+            out["runs"].append(
+                {
+                    "rows": n,
+                    "table_bytes": table_bytes,
+                    "update_where_s": round(upd_s, 3),
+                    "update_where_bytes": upd_bytes,
+                    "update_bytes_pct_of_table": round(
+                        100.0 * upd_bytes / table_bytes, 2
+                    ),
+                    "clone_s": round(clone_s, 3),
+                    "clone_new_bytes": clone_new_bytes,
+                    "merge_with_check_s": round(merge_checked_s, 3),
+                    "merge_no_check_s": round(merge_unchecked_s, 3),
+                }
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
