@@ -151,6 +151,7 @@ _CHEAP_FIRST = [
     "snapshot_metadata_agg", "snapshot_partitions_meta",
     "snapshot_expectations_gate", "snapshot_clone_diverge",
     "snapshot_merge_into", "snapshot_update_where",
+    "streaming_partitioned_ingest",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

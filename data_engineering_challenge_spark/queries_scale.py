@@ -1359,6 +1359,23 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _median_split_stream(spark, src, tmp, cut_col):
+    """Write ``src`` as two half-feeds split at the median of
+    ``cut_col`` (an int64 Column) and return a file stream delivering
+    them as two micro-batches — the feed scaffolding shared by the
+    streaming snapshot-ingest queries."""
+    cut = src.select(cut_col.alias("_cut")).approxQuantile(
+        "_cut", [0.5], 0.0
+    )[0]
+    src.filter(cut_col <= cut).coalesce(1).write.parquet(f"{tmp}/src/b0")
+    src.filter(cut_col > cut).coalesce(1).write.parquet(f"{tmp}/src/b1")
+    return (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/src/b*")
+    )
+
+
 @register(
     "streaming_snapshot_ingest",
     # the sink's declared contract is exactly-once delivery of the whole
@@ -1391,18 +1408,7 @@ def q_streaming_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = events.select(
             "event_type", "value", F.unix_micros("ts").alias("ts_us")
         )
-        cut = src.approxQuantile("ts_us", [0.5], 0.0)[0]  # scalar probe
-        src.filter(F.col("ts_us") <= cut).coalesce(1).write.parquet(
-            f"{tmp}/src/b0"
-        )
-        src.filter(F.col("ts_us") > cut).coalesce(1).write.parquet(
-            f"{tmp}/src/b1"
-        )
-        stream = (
-            spark.readStream.schema(src.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(f"{tmp}/src/b*")
-        )
+        stream = _median_split_stream(spark, src, tmp, F.col("ts_us"))
         sn.run_streaming_snapshot_sink(stream, f"{tmp}/tbl", f"{tmp}/ckpt")
         out = _STREAM_OUT_CACHE[key] = f"{tmp}/tbl"
     return (
@@ -3364,3 +3370,60 @@ def q_snapshot_clone_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), dsum("o_totalprice").alias("total_price")
     ).select(F.lit("clone").alias("side"), "n", "total_price")
     return src.unionByName(fork)
+
+
+@register(
+    "streaming_partitioned_ingest",
+    # exactly-once delivery of the whole feed + per-day manifest row
+    # counts equal to the data: the batch per-day aggregate IS the oracle
+    f"""
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def q_streaming_partitioned_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingest × hidden partitioning (round 8 —
+    `run_streaming_snapshot_sink(partition_transforms=…)`): the
+    median-split events feed arrives as two micro-batches, each
+    committing one tagged hidden-partitioned append (``day =
+    CAST(ts AS DATE)``, transform column never stored); per-day ROW
+    COUNTS then come from the PARTITIONS metadata table (manifests
+    only) and per-day value sums from the data read — the join proves
+    the recorded partition values match the rows AND the feed landed
+    exactly once.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from . import roles
+    from .sources import snapshots as sn
+
+    key = ("streaming_partitioned_ingest", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="snap_part_ingest_")
+        events = roles.load_events(spark, sf_dir)
+        src = events.select("ts", "value")
+        stream = _median_split_stream(
+            spark, src, tmp, F.unix_micros("ts")
+        )
+        sn.run_streaming_snapshot_sink(
+            stream,
+            f"{tmp}/tbl",
+            f"{tmp}/ckpt",
+            partition_transforms={"day": "CAST(ts AS DATE)"},
+        )
+        out = _STREAM_OUT_CACHE[key] = f"{tmp}/tbl"
+    parts = sn.snapshot_partitions(spark, out).select(
+        F.col("partition")["day"].cast("date").alias("day"),
+        F.col("row_count").alias("n"),
+    )
+    vals = (
+        sn.read_snapshot(spark, out)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(dsum("value").alias("total_value"))
+    )
+    return parts.join(vals, "day")

@@ -4299,6 +4299,9 @@ def run_streaming_snapshot_sink(
     root: str,
     checkpoint_dir: str,
     honor_legacy_epoch_tags: bool = False,
+    partition_transforms: dict[str, str] | None = None,
+    stats_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
 ) -> None:
     """EXACTLY-ONCE streaming appends onto a snapshot table: each
     micro-batch commits one tagged append (`tag=f"epoch-{id}"`), so a
@@ -4322,7 +4325,19 @@ def run_streaming_snapshot_sink(
     defaults to OFF because on any table that merely HAPPENS to carry
     unscoped markers (written by a different stream or a batch job), the
     check would silently swallow this stream's epochs 0..K — the exact
-    collision tag scoping exists to prevent (ADVICE r6)."""
+    collision tag scoping exists to prevent (ADVICE r6).
+
+    ``partition_transforms`` composes the sink with HIDDEN PARTITIONING
+    (round 8): each epoch commits via `snapshot_append_partitioned`
+    under the same exactly-once tag, so a continuously ingested table
+    is partition-pruned from the first epoch — the transform column is
+    never stored, the spec lives in the table layout, and downstream
+    `read_snapshot_pruned(partition_eq=…)` / `snapshot_partitions`
+    work mid-stream.  ``stats_cols``/``sort_cols`` pass through on
+    either path: partitioned epochs sort within their partition
+    groups; an unpartitioned epoch with ``sort_cols`` commits via
+    `snapshot_append_clustered` (range-partitioned, sorted, stats
+    recorded) so stats pruning holds on the plain path too."""
     app = _stream_app_id(checkpoint_dir)
 
     def handle(bdf: DataFrame, epoch_id: int) -> None:
@@ -4331,7 +4346,22 @@ def run_streaming_snapshot_sink(
             and _tagged_version(root, f"epoch-{int(epoch_id)}") is not None
         ):
             return
-        snapshot_append(bdf, root, tag=f"append-{app}-epoch-{int(epoch_id)}")
+        tag = f"append-{app}-epoch-{int(epoch_id)}"
+        if partition_transforms:
+            snapshot_append_partitioned(
+                bdf,
+                root,
+                partition_transforms,
+                stats_cols=stats_cols,
+                tag=tag,
+                sort_cols=sort_cols,
+            )
+        elif sort_cols:
+            snapshot_append_clustered(
+                bdf, root, sort_cols, tag=tag, stats_cols=stats_cols
+            )
+        else:
+            snapshot_append(bdf, root, tag=tag, stats_cols=stats_cols)
 
     q = (
         stream_df.writeStream.foreachBatch(handle)

@@ -3183,3 +3183,71 @@ def test_partitioned_append_with_sort_cols_prunes_within_partition(
         spark, root, col="id", lo=33, hi=33, partition_eq={"grp": "0"}
     )
     assert hit2.count() == 1 and len(hit2.inputFiles()) == 1
+
+
+def test_streaming_sink_hidden_partitioned(spark, tmp_path):
+    """`run_streaming_snapshot_sink(partition_transforms=…)`: each epoch
+    commits a hidden-partitioned append under the same exactly-once
+    tag — partition pruning and the PARTITIONS metadata table work on
+    the continuously ingested result, and a checkpoint replay is a
+    no-op."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    src = _df(spark, 0, 20).withColumn(
+        "bucket", (F.col("id") % 2).cast("string")
+    )
+    src.filter("id < 10").coalesce(1).write.parquet(str(tmp_path / "s/b0"))
+    src.filter("id >= 10").coalesce(1).write.parquet(str(tmp_path / "s/b1"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "s/b*"))
+        )
+        sn.run_streaming_snapshot_sink(
+            stream, root, str(tmp_path / "ckpt"),
+            partition_transforms={"pt": "bucket"},
+        )
+
+    run()
+    assert sn.read_snapshot(spark, root).count() == 20
+    # pruning works mid-lineage: the spec landed with epoch 0
+    pruned = sn.read_snapshot_pruned(spark, root, partition_eq={"pt": "0"})
+    assert pruned.count() == 10
+    parts = {
+        r["partition"]["pt"]: r["row_count"]
+        for r in sn.snapshot_partitions(spark, root).collect()
+    }
+    assert parts == {"0": 10, "1": 10}
+    # checkpoint loss replays both epochs -> tags dedupe, nothing new
+    versions = sn.snapshot_versions(root)
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    assert sn.snapshot_versions(root) == versions
+    assert sn.read_snapshot(spark, root).count() == 20
+
+
+def test_streaming_sink_clustered_plain_path(spark, tmp_path):
+    """`sort_cols` on the UNPARTITIONED sink path routes through the
+    clustered append — stats land and pruning works (regression: it
+    used to be silently dropped)."""
+    root = str(tmp_path / "tbl")
+    src = _df(spark, 0, 100)
+    src.coalesce(1).write.parquet(str(tmp_path / "s/b0"))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "s/b*"))
+    )
+    sn.run_streaming_snapshot_sink(
+        stream, root, str(tmp_path / "ckpt"),
+        sort_cols=["id"], stats_cols=["id"],
+    )
+    m = sn._read_manifest(root, sn.current_version(root))
+    assert m.get("stats")  # per-file min/max recorded
+    pruned = sn.read_snapshot_pruned(spark, root, "id", 0, 5)
+    assert pruned.count() == 6
