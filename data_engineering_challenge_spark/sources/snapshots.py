@@ -2879,9 +2879,11 @@ def snapshot_merge_into(
     are legal and insert normally (and with NO matched clause a
     multiply-matched target row is kept exactly ONCE, never fanned
     out).  Every produced column is cast to the target's type.  Cost:
-    one shuffle join (target × source — the planner broadcasts a small
-    source) + the CoW rewrite; use the MoR merges for the O(batch) hot
-    path when clause generality isn't needed.
+    ONE shuffle join (target × source as a sort-merge FULL OUTER —
+    outer-both-sides joins cannot broadcast, so the general clause
+    matrix pays one exchange on the ON keys; the cardinality check's
+    probe IS broadcast) + the CoW rewrite; use the MoR merges for the
+    O(batch) hot path when clause generality isn't needed.
 
     Concurrency is SERIALIZABLE with re-evaluating retry (same as
     `snapshot_delete_where`): the merged content was computed against

@@ -552,3 +552,28 @@ def test_merge_keys_conflict_retries_against_new_head(
     )
     got = {r.id: r.v for r in sn.read_snapshot_mor(spark, root).collect()}
     assert got == {1: 11, 2: 20, 9: 90}
+
+
+def test_partitions_approximate_on_mor(spark, tmp_path):
+    """`approximate=True` serves the PARTITIONS table on a MoR-dirty
+    table: counts come from recorded per-file rows, so deleted-but-
+    uncompacted rows still count (the documented Iceberg caveat) —
+    compaction brings the numbers back exact."""
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in range(10)], "id INT, g STRING"
+    )
+    sn.snapshot_append_partitioned(df, root, {"grp": "g"})
+    sn.snapshot_delete_where(spark, root, "id < 4", keys=["id"])
+    rows = {
+        r["partition"]["grp"]: r["row_count"]
+        for r in sn.snapshot_partitions(spark, root, approximate=True)
+        .collect()
+    }
+    assert rows == {"g0": 5, "g1": 5}  # overcounts: deletes not folded
+    sn.snapshot_compact(spark, root)
+    rows2 = {
+        r["partition"]["grp"]: r["row_count"]
+        for r in sn.snapshot_partitions(spark, root).collect()
+    }
+    assert rows2 == {"g0": 3, "g1": 3}
