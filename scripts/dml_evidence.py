@@ -13,6 +13,10 @@
    cardinality check must NOT add a second full-table pass.  Measured:
    merge wall time with and without a WHEN MATCHED clause (the check
    only runs with one) — the gap bounds the check's cost.
+4. CHECK-constraint enforcement runs INSIDE the write job (assert_true
+   filters, no extra scan).  Measured: append wall time with 0 vs 2
+   live constraints on the largest size — the gap is the per-row
+   predicate cost, expected within run-to-run noise.
 
 Results land in BENCH_NOTES.md by hand — this script only prints JSON.
 
@@ -133,6 +137,30 @@ def main() -> int:
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+    # check-enforcement overhead: same append, 0 vs 2 live constraints
+    base = orders.select("o_orderkey", "o_totalprice").limit(sizes[-1])
+    batch = base.limit(50_000).repartition(8)
+    tmp = tempfile.mkdtemp(prefix="dml_ev_chk_")
+    try:
+        for tag, with_checks in (("plain", False), ("checked", True)):
+            root = f"{tmp}/{tag}"
+            sn.snapshot_overwrite(batch.limit(1), root)
+            if with_checks:
+                sn.snapshot_set_check(
+                    spark, root, "key_set", "o_orderkey IS NOT NULL",
+                    validate=False,
+                )
+                sn.snapshot_set_check(
+                    spark, root, "price_pos", "o_totalprice > 0",
+                    validate=False,
+                )
+            t0 = time.monotonic()
+            for _ in range(3):
+                sn.snapshot_append(batch, root)
+            out[f"append_3x50k_{tag}_s"] = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
     return 0
 
