@@ -3427,3 +3427,51 @@ def q_streaming_partitioned_ingest(
         .agg(dsum("value").alias("total_value"))
     )
     return parts.join(vals, "day")
+
+
+@register(
+    "snapshot_zorder_lookup",
+    # the layout changes which FILES are read, never the answer: plain
+    # filtered aggregates are the oracle for both dimension lookups
+    f"""
+SELECT 'custkey_dim' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_custkey BETWEEN 100 AND 200
+UNION ALL
+SELECT 'price_dim', CAST(COUNT(*) AS BIGINT), {_dsum_sql('o_totalprice')}
+FROM orders WHERE o_totalprice BETWEEN 1000 AND 2000
+""",
+)
+def q_snapshot_zorder_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional Z-ORDER clustering (round 8 —
+    `snapshot_append_zordered`, Delta's OPTIMIZE ZORDER at write time):
+    orders committed range-partitioned + sorted on the Morton key of
+    (o_custkey, o_totalprice), then point-range lookups on EACH
+    dimension separately run through `read_snapshot_pruned` — the
+    interleaved layout bounds both columns per file, so either lookup
+    skips files a 1-D sort could only skip for its leading column
+    (file-skip counts pinned in tests/test_snapshot_clone.py).  The
+    oracle is the plain filtered aggregate — layout moves file
+    boundaries, never values.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    key = ("snapshot_zorder_lookup", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_z_") + "/tbl"
+        sn.snapshot_append_zordered(
+            o, root, ["o_custkey", "o_totalprice"], n_files=16
+        )
+        out = _ORC_OUT_CACHE[key] = root
+    cust = sn.read_snapshot_pruned(spark, out, "o_custkey", 100, 200).agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total_price")
+    ).select(F.lit("custkey_dim").alias("dim"), "n", "total_price")
+    price = sn.read_snapshot_pruned(
+        spark, out, "o_totalprice", 1000.0, 2000.0
+    ).agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total_price")
+    ).select(F.lit("price_dim").alias("dim"), "n", "total_price")
+    return cust.unionByName(price)

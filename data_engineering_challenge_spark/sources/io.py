@@ -559,6 +559,46 @@ def zorder_value(cols: list, bits: int = 8, mins=None, maxs=None):
     return z
 
 
+def zorder_frame(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    target_files: int = 16,
+) -> DataFrame:
+    """Range-partition + sort ``df`` on the Z-order key of ``cols`` —
+    the clustering step shared by :func:`zorder_write` and the snapshot
+    format's `snapshot_append_zordered`/compaction rewrite.  Domain
+    bounds come from one tiny aggregate over ``df`` itself: bounds only
+    steer LOCALITY (pruning correctness comes from per-file stats, not
+    from the quantization), so per-batch bounds still cluster each
+    output tightly.  All-NULL columns pin to [0, 1]; degenerate
+    (min == max) domains widen by 1 to avoid a zero divisor."""
+    import uuid as _uuid
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"_hi{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    mins = []
+    maxs = []
+    for i, c in enumerate(cols):
+        lo, hi = stats[f"_lo{i}"], stats[f"_hi{i}"]
+        if lo is None:  # all-NULL column: no domain to quantize, pin to 0
+            lo, hi = 0.0, 1.0
+        elif not hi > lo:  # degenerate domain (min == max): avoid div-by-zero
+            hi = lo + 1.0
+        mins.append(lo)
+        maxs.append(hi)
+    z = zorder_value(cols, bits=bits, mins=mins, maxs=maxs)
+    zc = f"_z_{_uuid.uuid4().hex[:8]}"  # never collide with user columns
+    return (
+        df.withColumn(zc, z)
+        .repartitionByRange(target_files, zc)
+        .sortWithinPartitions(zc)
+        .drop(zc)
+    )
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -575,29 +615,9 @@ def zorder_write(
     every clustered column's per-file span (~domain / files^(1/k) for k
     columns), so conjunctive predicates on any subset of them skip files.
     One pass for per-column min/max (tiny aggregate), one range shuffle."""
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"_lo{i}") for i, c in enumerate(cols)],
-        *[F.max(c).cast("double").alias(f"_hi{i}") for i, c in enumerate(cols)],
-    ).collect()[0]
-    mins = []
-    maxs = []
-    for i, c in enumerate(cols):
-        lo, hi = stats[f"_lo{i}"], stats[f"_hi{i}"]
-        if lo is None:  # all-NULL column: no domain to quantize, pin to 0
-            lo, hi = 0.0, 1.0
-        elif not hi > lo:  # degenerate domain (min == max): avoid div-by-zero
-            hi = lo + 1.0
-        mins.append(lo)
-        maxs.append(hi)
-    z = zorder_value(cols, bits=bits, mins=mins, maxs=maxs)
-    (
-        df.withColumn("_z", z)
-        .repartitionByRange(target_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    zorder_frame(df, cols, bits=bits, target_files=target_files).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def sorted_write(

@@ -696,6 +696,23 @@ def _commit(
         for k, v in (meta_updates or {}).items():
             if k in ("layout", "fields", "checks"):
                 tbl_meta[k] = _merge(tbl_meta.get(k), v)
+        lay = tbl_meta.get("layout") or {}
+        if lay.get("zorder_cols") and (
+            lay.get("sort_cols") or lay.get("partition_transforms")
+        ):
+            # one clustering policy per table: the writers' friendly
+            # pre-checks are check-then-act, so two CONCURRENT first
+            # writers could merge a z-order and a sort/partition policy
+            # into one layout here — compaction would then silently
+            # half-apply one of them.  The claim loop is the only place
+            # the merged layout is actually known; refuse at the source.
+            _discard_attempt()
+            raise SnapshotConflictError(
+                "_commit: merged layout declares both a z-order policy "
+                f"({lay['zorder_cols']}) and a sort/partition policy — "
+                "one clustering policy per table (a concurrent writer "
+                "raced the layout declaration)"
+            )
         if new_files:
             # CHECK write/commit race guard: the data files were
             # validated against the constraints live at WRITE time; if
@@ -1158,7 +1175,18 @@ def snapshot_append_clustered(
     into a guarantee (the 1-D `io.sorted_write` discipline applied to
     snapshot commits).  ``stats_cols`` records ADDITIONAL per-file
     min/max beyond the cluster key (e.g. for `snapshot_stats_agg`'s
-    metadata-only extremes on non-key columns)."""
+    metadata-only extremes on non-key columns).  For multi-column
+    point/range access use `snapshot_append_zordered` instead; mixing
+    the two layouts on one table refuses loudly."""
+    cur = current_version(root)
+    if cur is not None:
+        prev = (_read_manifest_meta(root, cur).get("layout") or {})
+        if prev.get("zorder_cols"):
+            raise ValueError(
+                "snapshot_append_clustered: table already declares a "
+                f"Z-ORDER layout on {prev['zorder_cols']} — one "
+                "clustering policy per table"
+            )
     clustered = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
         *cluster_cols
     )
@@ -1173,6 +1201,76 @@ def snapshot_append_clustered(
         # silently discarding the pruning guarantee
         _meta_updates={
             "layout": {"sort_cols": cluster_cols, "stats_cols": rec}
+        },
+    )
+
+
+def _zorder_frame(
+    df: DataFrame, cols: list[str], bits: int, n_files: int
+) -> DataFrame:
+    """Range-partition + sort ``df`` on the Z-order (Morton) key of
+    ``cols`` — the physical layout shared by `snapshot_append_zordered`
+    and `snapshot_compact`'s layout-preserving rewrite; delegates to
+    `io.zorder_frame` (one implementation of the bounds/quantization
+    edge cases)."""
+    from .io import zorder_frame
+
+    return zorder_frame(df, cols, bits=bits, target_files=n_files)
+
+
+def snapshot_append_zordered(
+    df: DataFrame,
+    root: str,
+    zorder_cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+    tag: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Append with MULTI-DIMENSIONAL clustering (Delta's ``OPTIMIZE
+    ZORDER BY`` applied at write time): rows are range-partitioned and
+    sorted on the interleaved-bit Morton key of ``zorder_cols``
+    (`io.zorder_value` — pure JVM column algebra), so every file covers
+    a tight hyper-rectangle and `read_snapshot_pruned` skips files for
+    predicates on ANY subset of the clustered columns — a 1-D sort
+    narrows one column and leaves the others spanning the full domain
+    (`snapshot_append_clustered` is that 1-D special case).
+
+    The layout POLICY (``zorder_cols``/``zorder_bits``) is declared in
+    the manifest like the sort layout, so `snapshot_compact` re-zorders
+    rewritten files and re-records stats instead of silently flattening
+    the multi-dim guarantee.  Mixing with a previously declared 1-D
+    sort layout refuses loudly — one table, one clustering policy
+    (re-declare via compaction after dropping the old policy instead of
+    silently interleaving two)."""
+    cur = current_version(root)
+    if cur is not None:
+        prev = (_read_manifest_meta(root, cur).get("layout") or {})
+        if prev.get("sort_cols"):
+            raise ValueError(
+                "snapshot_append_zordered: table already declares a 1-D "
+                f"sort layout on {prev['sort_cols']} — one clustering "
+                "policy per table"
+            )
+        if prev.get("partition_transforms"):
+            raise ValueError(
+                "snapshot_append_zordered: table already declares hidden "
+                f"partitioning on {sorted(prev['partition_transforms'])} "
+                "— z-order does not compose with the partitioned write "
+                "path; one clustering policy per table"
+            )
+    rec = list(dict.fromkeys([*zorder_cols, *(stats_cols or [])]))
+    return snapshot_append(
+        _zorder_frame(df, zorder_cols, bits, n_files),
+        root,
+        tag=tag,
+        stats_cols=rec,
+        _meta_updates={
+            "layout": {
+                "zorder_cols": zorder_cols,
+                "zorder_bits": bits,
+                "stats_cols": rec,
+            }
         },
     )
 
@@ -1298,11 +1396,16 @@ def snapshot_append_partitioned(
         # with a different expression would make old files' recorded
         # values lie under the new semantics — pruning would silently
         # skip matching rows.  Refuse loudly (rename the partition).
-        prev = (
-            (_read_manifest_meta(root, parent_now).get("layout") or {})
-            .get("partition_transforms")
-            or {}
+        prev_layout = (
+            _read_manifest_meta(root, parent_now).get("layout") or {}
         )
+        if prev_layout.get("zorder_cols"):
+            raise ValueError(
+                "snapshot_append_partitioned: table already declares a "
+                f"Z-ORDER layout on {prev_layout['zorder_cols']} — one "
+                "clustering policy per table"
+            )
+        prev = prev_layout.get("partition_transforms") or {}
         for name, expr in partition_transforms.items():
             if name in prev and prev[name] != expr:
                 raise ValueError(
@@ -1690,7 +1793,16 @@ def snapshot_compact(
                     sort_cols=sort_cols,
                 )
             else:
-                if sort_cols:
+                if layout.get("zorder_cols"):
+                    # multi-dim layout survives maintenance: re-zorder
+                    # the rewrite set under the declared policy
+                    sub = _zorder_frame(
+                        sub,
+                        layout["zorder_cols"],
+                        int(layout.get("zorder_bits") or 8),
+                        n_out,
+                    )
+                elif sort_cols:
                     sub = sub.repartitionByRange(
                         n_out, *sort_cols
                     ).sortWithinPartitions(*sort_cols)
@@ -1828,7 +1940,7 @@ def snapshot_evolve(
                     "repartition the table instead of renaming/dropping "
                     "its partition source columns"
                 )
-        for lk in ("sort_cols", "stats_cols"):
+        for lk in ("sort_cols", "stats_cols", "zorder_cols"):
             if layout.get(lk):
                 remapped = [
                     renames.get(c, c)
@@ -1839,6 +1951,9 @@ def snapshot_evolve(
                     layout[lk] = remapped
                 else:
                     layout.pop(lk)
+        if not layout.get("zorder_cols"):
+            # a fully-dropped z-order policy takes its bits with it
+            layout.pop("zorder_bits", None)
         try:
             return _commit(
                 root,

@@ -182,3 +182,105 @@ def test_torn_clone_retry_repairs(spark, tmp_path):
     os.remove(sn._latest_path(dst))
     with pytest.raises(FileExistsError, match="different commit"):
         sn.snapshot_clone(other, dst, version=v)
+
+
+# --------------------------------------------------------- z-order
+
+
+def _grid(spark, n=40):
+    return spark.createDataFrame(
+        [(x, y, x * 1000 + y) for x in range(n) for y in range(n)],
+        "x INT, y INT, payload INT",
+    )
+
+
+def test_zordered_append_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order's whole point: a 1-D sort on x leaves y spanning the
+    full domain in every file (no pruning on y); the Morton layout
+    bounds BOTH, so narrow ranges on either column skip most files."""
+    from data_engineering_challenge_spark.sources import snapshots as sn
+
+    n_files = 16
+    zroot = str(tmp_path / "z")
+    sn.snapshot_append_zordered(
+        _grid(spark), zroot, ["x", "y"], n_files=n_files
+    )
+    sroot = str(tmp_path / "s")
+    sn.snapshot_append_clustered(
+        _grid(spark), sroot, ["x"], n_files=n_files, stats_cols=["y"]
+    )
+
+    def files_read(root, col, lo, hi):
+        return len(
+            sn.read_snapshot_pruned(spark, root, col, lo, hi).inputFiles()
+        )
+
+    # x-range: both layouts prune
+    assert files_read(zroot, "x", 0, 4) <= n_files // 2
+    assert files_read(sroot, "x", 0, 4) <= 2
+    # y-range: only the z-order layout prunes
+    assert files_read(sroot, "y", 0, 4) == n_files
+    assert files_read(zroot, "y", 0, 4) <= n_files // 2
+    # correctness unaffected by the layout
+    assert (
+        sn.read_snapshot_pruned(spark, zroot, "y", 0, 4).count()
+        == 40 * 5
+    )
+
+
+def test_zorder_layout_survives_compaction_and_refuses_mixing(
+    spark, tmp_path
+):
+    from data_engineering_challenge_spark.sources import snapshots as sn
+
+    root = str(tmp_path / "z")
+    sn.snapshot_append_zordered(_grid(spark), root, ["x", "y"], n_files=16)
+    with pytest.raises(ValueError, match="Z-ORDER layout"):
+        sn.snapshot_append_clustered(_grid(spark), root, ["x"])
+    sn.snapshot_delete_where(spark, root, "payload % 11 = 0", keys=["payload"])
+    sn.snapshot_compact(spark, root)
+    m = sn._read_manifest(root, sn.current_version(root))
+    assert m["layout"]["zorder_cols"] == ["x", "y"]
+    assert not m["delete_files"]
+    # the rewrite re-zordered: both dimensions still prune
+    for col in ("x", "y"):
+        pruned = sn.read_snapshot_pruned(spark, root, col, 0, 4)
+        assert len(pruned.inputFiles()) < 16
+        assert pruned.count() == sum(
+            1
+            for x in range(40)
+            for y in range(40)
+            if (x if col == "x" else y) <= 4
+            and (x * 1000 + y) % 11 != 0
+        )
+    # and the reverse mixing refusal
+    sroot = str(tmp_path / "s")
+    sn.snapshot_append_clustered(_grid(spark), sroot, ["x"])
+    with pytest.raises(ValueError, match="1-D sort layout"):
+        sn.snapshot_append_zordered(_grid(spark), sroot, ["x", "y"])
+
+
+def test_zorder_refuses_partition_mixing_and_evolve_remaps(
+    spark, tmp_path
+):
+    from data_engineering_challenge_spark.sources import snapshots as sn
+
+    # partitioned table refuses a z-order append (and vice versa)
+    proot = str(tmp_path / "p")
+    sn.snapshot_append_partitioned(
+        _grid(spark, 6), proot, {"pz": "x % 2"}
+    )
+    with pytest.raises(ValueError, match="hidden partitioning"):
+        sn.snapshot_append_zordered(_grid(spark, 6), proot, ["x", "y"])
+    zroot = str(tmp_path / "z")
+    sn.snapshot_append_zordered(_grid(spark, 6), zroot, ["x", "y"])
+    with pytest.raises(ValueError, match="Z-ORDER layout"):
+        sn.snapshot_append_partitioned(
+            _grid(spark, 6), zroot, {"pz": "x % 2"}
+        )
+    # evolve remaps the z-order policy so maintenance keeps working
+    sn.snapshot_evolve(zroot, renames={"x": "a"})
+    m = sn._read_manifest(zroot, sn.current_version(zroot))
+    assert m["layout"]["zorder_cols"] == ["a", "y"]
+    sn.snapshot_compact(spark, zroot, target_files=2)
+    assert sn.read_snapshot_mor(spark, zroot).count() == 36
