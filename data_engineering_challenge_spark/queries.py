@@ -150,7 +150,7 @@ _CHEAP_FIRST = [
     "sql_catalog_report", "bpe_encode_tokens",
     "snapshot_metadata_agg", "snapshot_partitions_meta",
     "snapshot_expectations_gate", "snapshot_clone_diverge",
-    "snapshot_zorder_lookup",
+    "snapshot_zorder_lookup", "snapshot_pushdown_scan",
     "snapshot_merge_into", "snapshot_update_where",
     "streaming_partitioned_ingest",
 ]

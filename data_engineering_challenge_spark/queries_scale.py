@@ -3475,3 +3475,59 @@ def q_snapshot_zorder_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), dsum("o_totalprice").alias("total_price")
     ).select(F.lit("price_dim").alias("dim"), "n", "total_price")
     return cust.unionByName(price)
+
+
+@register(
+    "snapshot_pushdown_scan",
+    # pushdown changes which FILES are opened, never the answer
+    f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 5000
+""",
+)
+def q_snapshot_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst FILTER PUSHDOWN into the snapshot DataSource (round 8 —
+    `PushdownSnapshotBatchReader`, the Spark 4.1 Python DataSource
+    pushFilters API): orders committed clustered on o_orderkey, read
+    back through ``spark.read.format("snapshot_table")...option(
+    "pushdown", "true")`` with a plain SQL WHERE — the optimizer hands
+    the range predicate to the reader, which prunes manifest files by
+    recorded stats at PLAN time (file counts pinned in
+    tests/test_snapshot_source.py) while Spark still re-evaluates the
+    filter post-scan, so the answer is exactly the oracle's.  NOTE:
+    enables ``spark.sql.python.filterPushdown.enabled`` for the SESSION
+    (the returned frame plans lazily, so it cannot be scoped) — benign
+    here because the pushdown reader is itself opt-in per read.
+    Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+    from .sources.snapshot_source import register_snapshot_source
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = ("snapshot_pushdown_scan", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="snap_push_") + "/tbl"
+        sn.snapshot_append_clustered(o, root, ["o_orderkey"], n_files=8)
+        out = _ORC_OUT_CACHE[key] = root
+    register_snapshot_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    r = (
+        spark.read.format("snapshot_table")
+        .option("root", out)
+        .option("pushdown", "true")
+        .load()
+    )
+    return r.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") <= 5000)
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        dsum("o_totalprice").alias("total_price"),
+    )

@@ -364,9 +364,13 @@ class SnapshotTableDataSource(DataSource):
                 "batch change feed use read_snapshot_cdf (full "
                 "pre-image delete events, engine-merged)"
             )
-        return SnapshotBatchReader(
-            self._root(), schema, version=self._pinned_version()
+        cls = (
+            PushdownSnapshotBatchReader
+            if str(self.options.get("pushdown", "")).lower()
+            in ("true", "1")
+            else SnapshotBatchReader
         )
+        return cls(self._root(), schema, version=self._pinned_version())
 
     def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
         e = self._catalog_entry()
@@ -414,6 +418,8 @@ class SnapshotBatchReader(DataSourceReader):
                 "files — use read_snapshot_mor or snapshot_compact first"
             )
         self.files = list(m["files"])
+        # stashed for pushFilters: the manifest walk already happened
+        self.stats_ = dict(m.get("stats") or {})
 
     def partitions(self):
         return [
@@ -425,6 +431,117 @@ class SnapshotBatchReader(DataSourceReader):
         if not partition.path:
             return iter(())
         return _read_file_batches(partition.path, self.schema_)
+
+
+class PushdownSnapshotBatchReader(SnapshotBatchReader):
+    """`SnapshotBatchReader` + Catalyst FILTER PUSHDOWN (Spark 4.1
+    Python DataSource API): a SQL ``WHERE`` over this source prunes
+    manifest files by their recorded per-file min/max stats at PLAN
+    time — the `read_snapshot_pruned` skip, driven by the optimizer
+    instead of a bespoke call, so plain ``spark.read.format(
+    "snapshot_table")`` / catalog-attached SQL gets Iceberg-style scan
+    planning for free.
+
+    OPT-IN via ``option("pushdown", "true")`` because Spark refuses any
+    reader that merely DEFINES pushFilters while
+    ``spark.sql.python.filterPushdown.enabled`` is false — the default
+    reader must keep working on a vanilla session; set both the option
+    and the conf to engage."""
+
+    def pushFilters(self, filters):
+        """EVERY filter is returned for Spark to re-evaluate post-scan:
+        pruning only ever DROPS provably disjoint files (files without
+        stats make no claims), so it is an optimization, never a
+        semantics change."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        stats = self.stats_
+        if not stats:
+            return filters
+
+        def _key(v):
+            import datetime
+
+            if isinstance(v, datetime.datetime):
+                # TIMESTAMP literals arrive naive while footer stats
+                # record tz-aware ISO ('…+00:00') — a lexical compare
+                # of the two WRONGLY prunes matching files (naive <
+                # suffixed).  No claim is the only safe claim here;
+                # DATE stats carry no offset and stay comparable.
+                return v
+            if isinstance(v, datetime.date):
+                return v.isoformat()  # stats record dates as ISO
+            return v
+
+        def _comparable(a, b) -> bool:
+            num = (int, float)
+            return (
+                isinstance(a, num)
+                and isinstance(b, num)
+                or isinstance(a, str)
+                and isinstance(b, str)
+            )
+
+        def _admits(rng, flt) -> bool:
+            """Can a file with stats range ``rng=[lo, hi]`` hold a row
+            matching ``flt``?  True (read) unless provably disjoint."""
+            lo, hi = rng
+            if isinstance(flt, In):
+                vals = [_key(v) for v in flt.value]
+                return any(
+                    not _comparable(v, lo) or lo <= v <= hi for v in vals
+                )
+            v = _key(flt.value)
+            if not _comparable(v, lo):
+                return True  # incomparable types: no claim, read it
+            if isinstance(flt, EqualTo):
+                return lo <= v <= hi
+            if isinstance(flt, GreaterThan):
+                return hi > v
+            if isinstance(flt, GreaterThanOrEqual):
+                return hi >= v
+            if isinstance(flt, LessThan):
+                return lo < v
+            if isinstance(flt, LessThanOrEqual):
+                return lo <= v
+            return True
+
+        usable = [
+            f
+            for f in filters
+            if isinstance(
+                f,
+                (
+                    EqualTo,
+                    GreaterThan,
+                    GreaterThanOrEqual,
+                    LessThan,
+                    LessThanOrEqual,
+                    In,
+                ),
+            )
+            and len(f.attribute) == 1
+            and (not isinstance(f, In) or f.value)
+        ]
+        if usable:
+            self.files = [
+                f
+                for f in self.files
+                if all(
+                    (rng := (stats.get(f) or {}).get(flt.attribute[0]))
+                    is None
+                    or _admits(rng, flt)
+                    for flt in usable
+                )
+            ]
+        return filters
 
 
 class SnapshotStreamReader(DataSourceStreamReader):

@@ -513,3 +513,97 @@ def test_stream_rate_limits_backfill_by_versions(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="must be >= 1"):
         SnapshotStreamReader(root, schema, max_versions_per_batch=0)
+
+
+def test_batch_pushdown_prunes_files_and_stays_correct(spark, tmp_path):
+    """Catalyst filter pushdown (Spark 4.1 Python DataSource API,
+    opt-in): a WHERE over the snapshot DataSource prunes manifest
+    files by recorded stats at plan time; every filter is still
+    re-evaluated by Spark, so answers never change — and the DEFAULT
+    reader keeps working with the pushdown conf off."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        LessThan,
+    )
+
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        PushdownSnapshotBatchReader,
+    )
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    sn.snapshot_append_clustered(df, root, ["k"], n_files=8)
+
+    # default reader: no pushFilters defined -> safe on a vanilla
+    # session (Spark REFUSES readers that define pushFilters while
+    # spark.sql.python.filterPushdown.enabled is false — the count
+    # below would throw if the default reader carried the method)
+    r0 = spark.read.format("snapshot_table").option("root", root).load()
+    assert r0.filter("k < 10").count() == 10
+
+    # white-box: the pushdown reader prunes by manifest stats and
+    # returns EVERY filter for Spark's post-scan re-evaluation
+    rd = PushdownSnapshotBatchReader(root, r0.schema)
+    flts = [GreaterThanOrEqual(("k",), 10), LessThan(("k",), 20)]
+    assert list(rd.pushFilters(flts)) == flts
+    assert len(rd.files) == 1
+    rd2 = PushdownSnapshotBatchReader(root, r0.schema)
+    rd2.pushFilters([EqualTo(("k",), 5), IsNotNull(("k",))])
+    assert len(rd2.files) == 1  # IsNotNull ignored, EqualTo prunes
+    rd3 = PushdownSnapshotBatchReader(root, r0.schema)
+    rd3.pushFilters([In(("k",), (5, 999))])
+    assert len(rd3.files) == 2
+    # incomparable literal type or unstatted column: no claims
+    rd4 = PushdownSnapshotBatchReader(root, r0.schema)
+    rd4.pushFilters([EqualTo(("k",), "zzz"), EqualTo(("v",), 4)])
+    assert len(rd4.files) == 8
+
+    # TIMESTAMP filters make no claims: footer stats are tz-aware ISO
+    # while Catalyst hands naive datetimes — a lexical compare would
+    # wrongly prune files holding the exact queried instant
+    import datetime
+
+    troot = str(tmp_path / "ttbl")
+    tdf = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("id"))).alias("ts"),
+    )
+    sn.snapshot_append_clustered(tdf, troot, ["ts"], n_files=4)
+    rt = spark.read.format("snapshot_table").option("root", troot).load()
+    rd5 = PushdownSnapshotBatchReader(troot, rt.schema)
+    rd5.pushFilters([EqualTo(("ts",), datetime.datetime(2024, 1, 1, 5))])
+    assert len(rd5.files) == 4  # no pruning claims on timestamps
+    # DATE stats carry no offset and stay prunable
+    droot = str(tmp_path / "dtbl")
+    ddf = tdf.select("k", F.to_date("ts").alias("d"))
+    sn.snapshot_append_clustered(ddf, droot, ["k"], n_files=4,
+                                 stats_cols=["d"])
+    rdd = spark.read.format("snapshot_table").option("root", droot).load()
+    rd6 = PushdownSnapshotBatchReader(droot, rdd.schema)
+    rd6.pushFilters([EqualTo(("d",), datetime.date(2024, 1, 5))])
+    assert len(rd6.files) == 1
+
+    # e2e through Catalyst with the conf on: same answers, fewer files
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        r = (
+            spark.read.format("snapshot_table")
+            .option("root", root)
+            .option("pushdown", "true")
+            .load()
+        )
+        got = sorted(
+            x.k for x in r.filter("k >= 10 AND k < 20").collect()
+        )
+        assert got == list(range(10, 20))
+        assert r.filter("k = 5 AND v = 10").count() == 1
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
