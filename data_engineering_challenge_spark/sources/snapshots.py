@@ -5352,6 +5352,62 @@ def snapshot_partitions(
     )
 
 
+def snapshot_detail(spark: SparkSession, root: str) -> DataFrame:
+    """One-row table summary (Delta's ``DESCRIBE DETAIL``): live
+    version, file/delete-file counts, total bytes and rows (recorded
+    at commit time — manifests only, zero data reads where recorded),
+    the declared clustering/partition layout, live CHECK constraints,
+    ref counts and retained version count — the operator's one-glance
+    view that sizes maintenance before running it."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"snapshot_detail: no version at {root}")
+    m = _read_manifest(root, v)
+    sizes = m.get("sizes") or {}
+    rows = m.get("rows") or {}
+    files = m["files"]
+    total_bytes = sum(
+        sizes.get(f) or os.path.getsize(os.path.join(root, f))
+        for f in files
+    )
+    n_rows = (
+        sum(int(rows[f]) for f in files)
+        if all(f in rows for f in files)
+        else None  # pre-row-recording commits: unknown without a scan
+    )
+    layout = m.get("layout") or {}
+    heads = _ref_heads(root)
+    out = [
+        {
+            "version": v,
+            "num_files": len(files),
+            "num_delete_files": len(m.get("delete_files") or []),
+            "total_bytes": total_bytes,
+            "num_rows": n_rows,
+            "sort_cols": layout.get("sort_cols"),
+            "zorder_cols": layout.get("zorder_cols"),
+            "partition_transforms": layout.get("partition_transforms"),
+            "checks": _table_checks(root, v) or None,
+            "num_tags": sum(1 for k, _ in heads.values() if k == "tag"),
+            "num_branches": sum(
+                1 for k, _ in heads.values() if k == "branch"
+            ),
+            "num_versions_retained": len(snapshot_versions(root)),
+            "operation": m.get("operation"),
+        }
+    ]
+    return spark.createDataFrame(
+        out,
+        "version BIGINT, num_files BIGINT, num_delete_files BIGINT, "
+        "total_bytes BIGINT, num_rows BIGINT, sort_cols ARRAY<STRING>, "
+        "zorder_cols ARRAY<STRING>, "
+        "partition_transforms MAP<STRING,STRING>, "
+        "checks MAP<STRING,STRING>, num_tags BIGINT, "
+        "num_branches BIGINT, num_versions_retained BIGINT, "
+        "operation STRING",
+    )
+
+
 def expire_versions(root: str, keep_last: int = 10) -> list[int]:
     """Version RETENTION: drop every version older than the newest
     ``keep_last`` (by number), EXCEPT the one _LATEST points at — a

@@ -577,3 +577,77 @@ def test_partitions_approximate_on_mor(spark, tmp_path):
         for r in sn.snapshot_partitions(spark, root).collect()
     }
     assert rows2 == {"g0": 3, "g1": 3}
+
+
+def test_concurrent_dml_serialize_loses_nothing(spark, tmp_path):
+    """STRESS pin for the serializable DML family: threads running
+    UPDATE…WHERE over DISJOINT key ranges race each other and an
+    appender; since updates commute across disjoint ranges, the final
+    state is deterministic — every update applied exactly once, every
+    appended row present, no lost writes under contention."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, 0) for i in range(30)], "k INT, v INT"
+    )
+    sn.snapshot_overwrite(base.coalesce(2), root)
+    N = 3  # writers, each owning keys [w*10, w*10+10)
+
+    def updater(w: int) -> None:
+        for _ in range(2):  # two +100 updates on its own range
+            for attempt in range(6):
+                try:
+                    sn.snapshot_update_where(
+                        spark,
+                        root,
+                        f"k >= {w * 10} AND k < {w * 10 + 10}",
+                        {"v": "v + 100"},
+                        keys=["k"],
+                    )
+                    break
+                except sn.SnapshotConflictError:
+                    continue  # heavy contention — re-evaluate
+            else:
+                raise AssertionError("update never landed")
+
+    def appender() -> None:
+        for b in range(3):
+            sn.snapshot_append(
+                spark.createDataFrame(
+                    [(1000 + b, -1)], "k INT, v INT"
+                ),
+                root,
+            )
+
+    with ThreadPoolExecutor(max_workers=N + 1) as ex:
+        afut = ex.submit(appender)
+        futs = [ex.submit(updater, w) for w in range(N)]
+        for f in futs:
+            f.result()
+        afut.result()
+    got = {r.k: r.v for r in sn.read_snapshot_mor(spark, root).collect()}
+    want = {i: 200 for i in range(30)}
+    want.update({1000 + b: -1 for b in range(3)})
+    assert got == want, "disjoint updates must all land exactly once"
+
+
+def test_snapshot_detail_summary(spark, tmp_path):
+    """DESCRIBE DETAIL analog: counts/bytes/rows from manifests only,
+    layout + checks + refs surfaced in one row."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append_clustered(
+        _df(spark, 0, 100), root, ["id"], n_files=4
+    )
+    sn.snapshot_set_check(spark, root, "v_ok", "v >= 0")
+    sn.snapshot_delete_where(spark, root, "id < 5", keys=["id"])
+    sn.snapshot_create_tag(root, "audit", sn.current_version(root))
+    d = sn.snapshot_detail(spark, root).collect()[0]
+    assert d.num_files == 4 and d.num_delete_files == 1
+    assert d.num_rows == 100  # recorded rows, deletes not folded
+    assert d.sort_cols == ["id"] and d.zorder_cols is None
+    assert d.checks == {"v_ok": "v >= 0"}
+    assert d.num_tags == 1 and d.num_branches == 0
+    assert d.version == sn.current_version(root)
+    m = sn._read_manifest(root, d.version)
+    assert d.total_bytes == sum(m["sizes"][f] for f in m["files"])
