@@ -5367,7 +5367,8 @@ def snapshot_detail(spark: SparkSession, root: str) -> DataFrame:
     rows = m.get("rows") or {}
     files = m["files"]
     total_bytes = sum(
-        sizes.get(f) or os.path.getsize(os.path.join(root, f))
+        sizes[f] if f in sizes  # a recorded 0 is still recorded
+        else os.path.getsize(os.path.join(root, f))
         for f in files
     )
     n_rows = (
