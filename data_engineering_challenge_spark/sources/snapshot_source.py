@@ -460,6 +460,7 @@ class PushdownSnapshotBatchReader(SnapshotBatchReader):
             In,
             LessThan,
             LessThanOrEqual,
+            StringStartsWith,
         )
 
         stats = self.stats_
@@ -501,6 +502,11 @@ class PushdownSnapshotBatchReader(SnapshotBatchReader):
             v = _key(flt.value)
             if not _comparable(v, lo):
                 return True  # incomparable types: no claim, read it
+            if isinstance(flt, StringStartsWith):
+                # prefix-p strings all sort >= p, and any string whose
+                # first len(p) chars exceed p sorts after every one of
+                # them: skip only when hi < p or lo's prefix > p
+                return hi >= v and lo[: len(v)] <= v
             if isinstance(flt, EqualTo):
                 return lo <= v <= hi
             if isinstance(flt, GreaterThan):
@@ -525,6 +531,7 @@ class PushdownSnapshotBatchReader(SnapshotBatchReader):
                     LessThan,
                     LessThanOrEqual,
                     In,
+                    StringStartsWith,
                 ),
             )
             and len(f.attribute) == 1

@@ -590,6 +590,38 @@ def test_batch_pushdown_prunes_files_and_stays_correct(spark, tmp_path):
     rd6.pushFilters([EqualTo(("d",), datetime.date(2024, 1, 5))])
     assert len(rd6.files) == 1
 
+    # StringStartsWith: prefix range pruning on string stats
+    from pyspark.sql.datasource import StringStartsWith
+
+    sroot = str(tmp_path / "stbl")
+    sdf = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.concat(
+            F.lit("u"), F.lpad(F.col("id").cast("string"), 4, "0")
+        ).alias("name"),
+    )
+    sn.snapshot_append_clustered(sdf, sroot, ["name"], n_files=4)
+    rs = spark.read.format("snapshot_table").option("root", sroot).load()
+    rd7 = PushdownSnapshotBatchReader(sroot, rs.schema)
+    rd7.pushFilters([StringStartsWith(("name",), "u000")])  # ids 0-9
+    assert len(rd7.files) == 1
+    rd8 = PushdownSnapshotBatchReader(sroot, rs.schema)
+    rd8.pushFilters([StringStartsWith(("name",), "u")])  # everything
+    assert len(rd8.files) == 4
+    # e2e: prefix WHERE stays correct through Catalyst
+    old2 = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        rp = (
+            spark.read.format("snapshot_table")
+            .option("root", sroot)
+            .option("pushdown", "true")
+            .load()
+        )
+        assert rp.filter("name LIKE 'u000%'").count() == 10
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old2)
+
     # e2e through Catalyst with the conf on: same answers, fewer files
     old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
