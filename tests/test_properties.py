@@ -744,3 +744,147 @@ def test_mor_merge_matches_cow_and_dict_replay(spark, tmp_path_factory, batches)
             assert got_mor == got_cow == model, (batch, got_mor, got_cow, model)
     finally:
         shutil.rmtree(str(d), ignore_errors=True)
+
+
+# --------------------------------------------------- MERGE INTO (r8)
+
+# condition/expression pools: each entry is (SQL-for-Spark, python-twin)
+_M_CONDS = [
+    None,
+    ("s.a % 2 = 0", lambda t, s: s["a"] % 2 == 0),
+    ("t.v > 10", lambda t, s: t["v"] > 10),
+]
+_UPDATES = [
+    ("s.a * 10", lambda t, s: s["a"] * 10),
+    ("t.v + 1", lambda t, s: t["v"] + 1),
+]
+_B_CONDS = [
+    None,
+    ("t.v > 10", lambda t, s: t["v"] > 10),
+    ("t.k % 2 = 0", lambda t, s: t["k"] % 2 == 0),
+]
+# by-source rows have NO source side: updates must reference t only
+_B_UPDATES = [
+    ("t.v + 1", lambda t, s: t["v"] + 1),
+    ("t.v * 2", lambda t, s: t["v"] * 2),
+]
+_I_CONDS = [
+    None,
+    ("s.a % 2 = 0", lambda t, s: s["a"] % 2 == 0),
+]
+
+merge_case = st.fixed_dictionaries(
+    {
+        "target": st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 20)),
+            min_size=1, max_size=10,
+        ),
+        "source": st.lists(
+            st.tuples(st.integers(0, 8), st.integers(0, 20)),
+            min_size=0, max_size=8, unique_by=lambda r: r[0],
+        ),
+        # ordered matched clauses: each slot (kind, cond_idx, upd_idx)
+        "matched": st.lists(
+            st.tuples(
+                st.sampled_from(["update", "delete"]),
+                st.integers(0, len(_M_CONDS) - 1),
+                st.integers(0, len(_UPDATES) - 1),
+            ),
+            min_size=0, max_size=2,
+        ),
+        "by_src": st.lists(
+            st.tuples(
+                st.sampled_from(["update", "delete"]),
+                st.integers(0, len(_B_CONDS) - 1),
+                st.integers(0, len(_UPDATES) - 1),
+            ),
+            min_size=0, max_size=2,
+        ),
+        "insert": st.one_of(
+            st.none(), st.integers(0, len(_I_CONDS) - 1)
+        ),
+    }
+)
+
+
+def _ref_merge(case) -> list[tuple]:
+    """Pure-python MERGE reference: SQL semantics, first matched clause
+    wins, unmatched-source inserts, by-source clauses on target-only
+    rows (source keys are unique by construction)."""
+    src = {k: {"k": k, "a": a} for k, a in case["source"]}
+    out: list[tuple] = []
+    for k, v in case["target"]:
+        t = {"k": k, "v": v}
+        s = src.get(k)
+        clauses = case["matched"] if s is not None else case["by_src"]
+        conds = _M_CONDS if s is not None else _B_CONDS
+        upds = _UPDATES if s is not None else _B_UPDATES
+        applied = False
+        for kind, ci, ui in clauses:
+            cond = conds[ci]
+            if cond is None or cond[1](t, s):
+                if kind == "update":
+                    out.append((k, upds[ui][1](t, s)))
+                applied = True
+                break  # first clause wins ('delete' emits nothing)
+        if not applied:
+            out.append((k, v))
+    if case["insert"] is not None:
+        tkeys = {k for k, _ in case["target"]}
+        cond = _I_CONDS[case["insert"]]
+        for k, s in src.items():
+            if k not in tkeys and (cond is None or cond[1](None, s)):
+                out.append((k, s["a"]))
+    return sorted(out)
+
+
+@given(case=merge_case)
+@_settings
+def test_merge_into_matches_pure_python_reference(spark, tmp_path_factory, case):
+    """Randomized clause matrices: `snapshot_merge_into` must equal the
+    naive row-at-a-time SQL-semantics reference on every draw."""
+    from data_engineering_challenge_spark.sources import snapshots as sn
+
+    if not case["matched"] and case["insert"] is None and not case["by_src"]:
+        return  # the operator refuses clause-less merges (tested elsewhere)
+    root = str(tmp_path_factory.mktemp("mrg") / "tbl")
+    tdf = spark.createDataFrame(case["target"], "k INT, v INT")
+    sn.snapshot_overwrite(tdf.coalesce(1), root)
+    sdf = spark.createDataFrame(
+        case["source"] or [(None, None)], "k INT, a INT"
+    )
+    if not case["source"]:
+        sdf = sdf.filter("k IS NOT NULL")  # typed empty frame
+    sn.snapshot_merge_into(
+        spark,
+        root,
+        sdf,
+        on=["k"],
+        when_matched=[
+            ("update" if kind == "update" else "delete",
+             None if _M_CONDS[ci] is None else _M_CONDS[ci][0],
+             {"v": _UPDATES[ui][0]} if kind == "update" else None)
+            for kind, ci, ui in case["matched"]
+        ] or None,
+        when_not_matched=(
+            None
+            if case["insert"] is None
+            else (
+                "insert",
+                None
+                if _I_CONDS[case["insert"]] is None
+                else _I_CONDS[case["insert"]][0],
+                {"k": "s.k", "v": "s.a"},
+            )
+        ),
+        when_not_matched_by_source=[
+            ("update" if kind == "update" else "delete",
+             None if _B_CONDS[ci] is None else _B_CONDS[ci][0],
+             {"v": _B_UPDATES[ui][0]} if kind == "update" else None)
+            for kind, ci, ui in case["by_src"]
+        ] or None,
+    )
+    got = sorted(
+        (r.k, r.v) for r in sn.read_snapshot_mor(spark, root).collect()
+    )
+    assert got == _ref_merge(case)
