@@ -2993,12 +2993,22 @@ def snapshot_merge_into(
     non-deterministic; duplicate source keys that match no target row
     are legal and insert normally (and with NO matched clause a
     multiply-matched target row is kept exactly ONCE, never fanned
-    out).  Every produced column is cast to the target's type.  Cost:
-    ONE shuffle join (target × source as a sort-merge FULL OUTER —
-    outer-both-sides joins cannot broadcast, so the general clause
-    matrix pays one exchange on the ON keys; the cardinality check's
-    probe IS broadcast) + the CoW rewrite; use the MoR merges for the
-    O(batch) hot path when clause generality isn't needed.
+    out).  Every produced column is cast to the target's type.
+
+    Cost — O(TOUCHED FILES), not O(table), when no BY SOURCE clause is
+    given (Delta's findTouchedFiles shape): one key-columns scan marks
+    the files holding matching keys, ONLY those are rewritten through
+    the merge join (a sort-merge FULL OUTER on the ON keys —
+    outer-both-sides joins cannot broadcast; the cardinality check's
+    probe IS broadcast), every other file rides by reference at
+    metadata cost, MoR delete files carried (kept files keep their
+    sequences; the new files outnumber every delete sequence).  An
+    insert-only merge rewrites NOTHING — all base files kept, one
+    anti-joined insert group added — and a merge that provably changes
+    nothing commits nothing.  WHEN NOT MATCHED BY SOURCE inspects every
+    target row, so that clause family pays the full CoW rewrite by
+    semantics.  Use the MoR merges for the O(batch) hot path when
+    clause generality isn't needed.
 
     Concurrency is SERIALIZABLE with re-evaluating retry (same as
     `snapshot_delete_where`): the merged content was computed against
@@ -3052,48 +3062,174 @@ def snapshot_merge_into(
     def _cond(c):
         return F.lit(True) if c is None else _expr(c)
 
-    last_err: Exception | None = None
-    for _ in range(5):
-        # seen BEFORE parent — see snapshot_append's capture-order comment
-        seen = set(snapshot_versions(root))
-        parent = current_version(root)
-        target = read_snapshot_mor(spark, root)
-        tcols = list(target.columns)
-        dtypes = {f.name: f.dataType for f in target.schema.fields}
-        bad = [k for k in on if k not in tcols]
-        if bad:
-            raise ValueError(
-                f"snapshot_merge_into: ON columns missing from target: "
-                f"{bad}"
-            )
-        merged = _merge_into_plan(
-            F, Window, target, source, on, matched, when_not_matched,
-            by_src, tcols, dtypes, _expr, _cond,
+    # evaluate the source ONCE: the touched-files scan and the merge
+    # join would otherwise each re-evaluate it, and a non-deterministic
+    # or externally-mutating source could mark a file set inconsistent
+    # with the rows the join later sees (Delta materializes the merge
+    # source for the same hazard)
+    source = source.persist()
+    try:
+        last_err: Exception | None = None
+        for _ in range(5):
+            # seen BEFORE parent — snapshot_append's capture-order comment
+            seen = set(snapshot_versions(root))
+            parent = current_version(root)
+            # every read this attempt makes is PINNED to the captured
+            # parent: a commit landing mid-attempt must surface as the
+            # serialize conflict below, never as a torn view
+            target = read_snapshot_mor(spark, root, parent)
+            tcols = list(target.columns)
+            dtypes = {f.name: f.dataType for f in target.schema.fields}
+            bad = [k for k in on if k not in tcols]
+            if bad:
+                raise ValueError(
+                    f"snapshot_merge_into: ON columns missing from "
+                    f"target: {bad}"
+                )
+            keep: list[str] = []
+            extra: dict = {}
+            # the touched-files scan borrows the internal _file/_pos
+            # column names — a table using them falls back to full CoW
+            if by_src or {"_file", "_pos"} & set(tcols):
+                # WHEN NOT MATCHED BY SOURCE inspects EVERY target row —
+                # nothing can ride by reference; full CoW is the
+                # semantics
+                merged = _merge_into_plan(
+                    F, Window, target, source, on, matched,
+                    when_not_matched, by_src, tcols, dtypes, _expr,
+                    _cond,
+                )
+            else:
+                # Delta's findTouchedFiles: only files holding a row
+                # whose key appears in the source can change — rewrite
+                # THOSE, ride every other file by reference at metadata
+                # cost, so a small merge into a huge table is O(matched
+                # files), never O(table).  MoR delete files are CARRIED
+                # (kept files keep their sequences through the entries;
+                # the rewrite's new files outnumber every delete
+                # sequence, so nothing resurfaces or double-deletes).
+                m = _read_manifest(root, parent)
+                touched = _merge_touched_files(
+                    spark, root, parent, m, source, on, bool(matched)
+                )
+                if not touched and when_not_matched is None:
+                    return parent  # provably nothing to change
+                if touched:
+                    tprime = read_snapshot_mor(
+                        spark, root, parent, _files=touched
+                    )
+                    src2 = source
+                else:
+                    # no file is touched (insert-only merge, or matched
+                    # clauses that matched nothing): every file rides by
+                    # reference; restrict the source to rows UNMATCHED
+                    # against the FULL target's keys (a matched source
+                    # row must not insert just because nothing was
+                    # rewritten) and drive the SAME plan over an empty
+                    # target, so insert expressions referencing t.<col>
+                    # resolve to NULL exactly as on the touched path
+                    tprime = spark.createDataFrame(
+                        [], schema=target.schema
+                    )
+                    src2 = source.join(
+                        target.select(*on), on, "left_anti"
+                    )
+                merged = _merge_into_plan(
+                    F, Window, tprime, src2, on, matched,
+                    when_not_matched, [], tcols, dtypes, _expr, _cond,
+                )
+                tset = set(touched)
+                keep = [f for f in m["files"] if f not in tset]
+                extra = dict(
+                    entries_from=parent,
+                    keep_files=set(keep),
+                    manifest_override={
+                        "delete_files": m.get("delete_files") or []
+                    },
+                )
+            files = _write_files(merged, root)
+            try:
+                return _commit(
+                    root,
+                    keep + files,
+                    parent,
+                    tag=tag,
+                    operation="merge-into",
+                    seen_versions=seen,
+                    conflict_mode="serialize",
+                    new_file_columns=list(merged.columns),
+                    **extra,
+                )
+            except SnapshotConflictError as exc:
+                last_err = exc  # head moved — re-evaluate against it
+                for f in files:  # best-effort cleanup; vacuum catches rest
+                    try:
+                        os.remove(os.path.join(root, f))
+                    except OSError:
+                        pass
+        raise SnapshotConflictError(
+            f"snapshot_merge_into: gave up after 5 conflicted attempts "
+            f"({last_err})"
         )
-        files, stats = _write_files(merged, root), {}
-        try:
-            return _commit(
-                root,
-                files,
-                parent,
-                tag=tag,
-                stats=stats,
-                operation="merge-into",
-                seen_versions=seen,
-                conflict_mode="serialize",
-                new_file_columns=list(merged.columns),
+    finally:
+        source.unpersist()
+
+
+def _resolve_merge_insert(
+    F, when_not_matched, tcols, source_columns, _expr, _cond
+):
+    """Validate + resolve the WHEN NOT MATCHED clause into
+    ``(keep_condition, {col: Column})`` — shared by the full merge plan
+    and the ride-by-reference insert frame."""
+    if when_not_matched is None:
+        return F.lit(False), {c: F.lit(None) for c in tcols}
+    _a, icond, ipayload = when_not_matched
+    ins_keep = _cond(icond)
+    if ipayload == "all":
+        missing = [c for c in tcols if c not in source_columns]
+        if missing:
+            raise ValueError(
+                "snapshot_merge_into: insert 'all' but the source "
+                f"is missing target column(s) {missing}"
             )
-        except SnapshotConflictError as exc:
-            last_err = exc  # head moved — re-evaluate against it
-            for f in files:  # best-effort cleanup; vacuum catches rest
-                try:
-                    os.remove(os.path.join(root, f))
-                except OSError:
-                    pass
-    raise SnapshotConflictError(
-        f"snapshot_merge_into: gave up after 5 conflicted attempts "
-        f"({last_err})"
-    )
+        ins_val = {c: F.col(f"s.{c}") for c in tcols}
+    else:
+        bad2 = sorted(set(ipayload) - set(tcols))
+        if bad2:
+            raise ValueError(
+                "snapshot_merge_into: insert payload names "
+                f"non-target column(s) {bad2}"
+            )
+        ins_val = {
+            c: (_expr(ipayload[c]) if c in ipayload else F.lit(None))
+            for c in tcols
+        }
+    return ins_keep, ins_val
+
+
+def _merge_touched_files(
+    spark, root, version, m, source, on, has_matched
+) -> list[str]:
+    """The files a merge's WHEN MATCHED clauses can change: manifest
+    paths of files holding at least one row (visible at ``version``,
+    the caller's pinned parent) whose key appears in the source — one
+    key-columns scan + semi join + a file-count-bounded collect, Delta's
+    findTouchedFiles job.  With no matched clause nothing existing can
+    change, so nothing is touched; NULL source keys never match (plain
+    equality) and mark nothing."""
+    if not has_matched or not m["files"]:
+        return []
+    key2path = {"/".join(f.split(os.sep)[-2:]): f for f in m["files"]}
+    coords = read_snapshot_mor(spark, root, version, _keep_coords=True)
+    skeys = source.select(*on).distinct()
+    touched_keys = [
+        r[0]
+        for r in coords.join(skeys, on, "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    ]
+    return sorted(key2path[k] for k in touched_keys)
 
 
 def _merge_into_plan(
@@ -3176,35 +3312,9 @@ def _merge_into_plan(
             val = F.when(_cond(c), v2).otherwise(val)
         return val
 
-    if when_not_matched is not None:
-        _a, icond, ipayload = when_not_matched
-        ins_keep = _cond(icond)
-        if ipayload == "all":
-            missing = [c for c in tcols if c not in source.columns]
-            if missing:
-                raise ValueError(
-                    "snapshot_merge_into: insert 'all' but the source "
-                    f"is missing target column(s) {missing}"
-                )
-            ins_val = {c: F.col(f"s.{c}") for c in tcols}
-        else:
-            bad2 = sorted(set(ipayload) - set(tcols))
-            if bad2:
-                raise ValueError(
-                    "snapshot_merge_into: insert payload names "
-                    f"non-target column(s) {bad2}"
-                )
-            ins_val = {
-                c: (
-                    _expr(ipayload[c])
-                    if c in ipayload
-                    else F.lit(None)
-                )
-                for c in tcols
-            }
-    else:
-        ins_keep = F.lit(False)
-        ins_val = {c: F.lit(None) for c in tcols}
+    ins_keep, ins_val = _resolve_merge_insert(
+        F, when_not_matched, tcols, source.columns, _expr, _cond
+    )
 
     keep = (
         F.when(is_matched, _chain_keep(matched))

@@ -651,3 +651,132 @@ def test_snapshot_detail_summary(spark, tmp_path):
     assert d.version == sn.current_version(root)
     m = sn._read_manifest(root, d.version)
     assert d.total_bytes == sum(m["sizes"][f] for f in m["files"])
+
+
+def test_merge_into_rewrites_only_touched_files(spark, tmp_path):
+    """Delta's findTouchedFiles shape: a small merge into a multi-file
+    table rewrites ONLY the files holding matching keys — every other
+    file rides by reference, byte-identical; an insert-only merge keeps
+    ALL base files; a provably no-change merge commits nothing."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append_clustered(
+        spark.createDataFrame(
+            [(i, i * 10, "A") for i in range(80)], "k INT, amt INT, seg STRING"
+        ),
+        root, ["k"], n_files=8,
+    )
+    m0 = sn._read_manifest(root, 0)
+    assert len(m0["files"]) == 8
+    src = spark.createDataFrame([(3, 999, "x")], "k INT, amt INT, op STRING")
+    sn.snapshot_merge_into(
+        spark, root, src, on=["k"],
+        when_matched=[("update", None, {"amt": "s.amt"})],
+    )
+    m1 = sn._read_manifest(root, 1)
+    kept = set(m0["files"]) & set(m1["files"])
+    assert len(kept) == 7, "one touched file rewritten, seven kept"
+    for f in kept:  # by-reference means the same bytes, not a copy
+        assert os.path.getsize(os.path.join(root, f)) == m0["sizes"][f]
+    got = {r.k: r.amt for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert got[3] == 999 and got[4] == 40 and len(got) == 80
+
+    # insert-only merge: zero files rewritten, one group added
+    sn.snapshot_merge_into(
+        spark, root, spark.createDataFrame(
+            [(1000, 1, "x")], "k INT, amt INT, op STRING"
+        ),
+        on=["k"], when_not_matched=("insert", None,
+                                    {"k": "s.k", "amt": "s.amt",
+                                     "seg": "'N'"}),
+    )
+    m2 = sn._read_manifest(root, 2)
+    assert set(m1["files"]) <= set(m2["files"])
+    assert sn.read_snapshot_mor(spark, root).count() == 81
+
+    # a merge that provably changes nothing commits nothing
+    v = sn.snapshot_merge_into(
+        spark, root, spark.createDataFrame(
+            [(99999, 1, "x")], "k INT, amt INT, op STRING"
+        ),
+        on=["k"],
+        when_matched=[("update", None, {"amt": "s.amt"})],
+    )
+    assert v == 2 and sn.current_version(root) == 2
+
+
+def test_merge_into_touched_files_on_mor_table(spark, tmp_path):
+    """Touched-file merges CARRY MoR delete files: kept files keep
+    their sequences (deletes still apply), the rewrite's new files
+    outnumber every delete sequence (nothing double-deleted), and a
+    pre-merge deleted key stays dead."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append_clustered(
+        spark.createDataFrame([(i, i * 10) for i in range(40)],
+                              "k INT, v INT"),
+        root, ["k"], n_files=4,
+    )
+    sn.snapshot_delete_where(spark, root, "k = 7", keys=["k"])
+    sn.snapshot_merge_into(
+        spark, root,
+        spark.createDataFrame([Row(k=20, v=2000)]), on=["k"],
+        when_matched=[("update", None, {"v": "s.v"})],
+    )
+    got = {r.k: r.v for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert 7 not in got and got[20] == 2000 and len(got) == 39
+    # delete files survived the merge commit (carried, not folded)
+    m = sn._read_manifest(root, sn.current_version(root))
+    assert m["delete_files"], "MoR deletes must ride through the merge"
+
+
+def test_merge_insert_t_refs_resolve_on_every_path(spark, tmp_path):
+    """Insert expressions may reference t.<col> (NULL for inserts): the
+    no-file-touched path must resolve them exactly like the touched
+    path, not crash data-dependently."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(
+        spark.createDataFrame([(1, 100)], "k INT, v INT").coalesce(1), root
+    )
+    ins = (
+        "insert", None, {"k": "s.k", "v": "coalesce(t.v, s.v + 1)"}
+    )
+    # touched path: source matches a row AND inserts a new key
+    sn.snapshot_merge_into(
+        spark, root,
+        spark.createDataFrame([Row(k=1, v=5), Row(k=2, v=6)]), on=["k"],
+        when_matched=[("update", None, {"v": "s.v"})],
+        when_not_matched=ins,
+    )
+    # UNtouched path: nothing matches — t refs must still resolve
+    sn.snapshot_merge_into(
+        spark, root,
+        spark.createDataFrame([Row(k=9, v=90)]), on=["k"],
+        when_matched=[("update", None, {"v": "s.v"})],
+        when_not_matched=ins,
+    )
+    got = {r.k: r.v for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert got == {1: 5, 2: 7, 9: 91}
+
+
+def test_merge_into_user_file_pos_columns_fall_back_to_cow(spark, tmp_path):
+    """A table whose user columns collide with the touched-scan's
+    internal _file/_pos names must still merge (full-CoW fallback),
+    matching the pre-optimization behavior."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(
+        spark.createDataFrame(
+            [(1, "a.parquet"), (2, "b.parquet")], "k INT, _file STRING"
+        ).coalesce(1),
+        root,
+    )
+    sn.snapshot_merge_into(
+        spark, root,
+        spark.createDataFrame([(1, "c.parquet")], "k INT, _file STRING"),
+        on=["k"],
+        when_matched=[("update", None, {"_file": "s._file"})],
+    )
+    got = {r.k: r._file for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert got == {1: "c.parquet", 2: "b.parquet"}
