@@ -3572,6 +3572,46 @@ def attach_snapshot_views(
     return out
 
 
+def attach_snapshot_meta_views(
+    spark: SparkSession, name: str, root: str
+) -> int:
+    """The METADATA tables on the SQL surface (Iceberg's
+    ``db.table.files`` / ``.partitions`` / ``.history`` path syntax,
+    Delta's ``DESCRIBE DETAIL/HISTORY``): registers four temp views
+    over the live version —
+
+    * ``<name>__files``      — `snapshot_files` (per-file planning view)
+    * ``<name>__partitions`` — `snapshot_partitions` (``approximate``:
+      MoR tables overcount rather than refuse — a monitoring view must
+      not break when a delete lands)
+    * ``<name>__history``    — `snapshot_history` (the commit DAG)
+    * ``<name>__detail``     — `snapshot_detail` (one-row summary)
+
+    so a SQL-only operator sizes compaction, spots skew, and audits
+    lineage in plain ``spark.sql`` text.  The frames are computed at
+    attach time from manifests only (metadata snapshots, consistent
+    with each other); re-attach to refresh.  Returns the version the
+    views describe."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(
+            f"attach_snapshot_meta_views: no committed version at {root}"
+        )
+    snapshot_files(spark, root, v).createOrReplaceTempView(
+        f"{name}__files"
+    )
+    snapshot_partitions(
+        spark, root, v, approximate=True
+    ).createOrReplaceTempView(f"{name}__partitions")
+    snapshot_history(spark, root).createOrReplaceTempView(
+        f"{name}__history"
+    )
+    snapshot_detail(spark, root).createOrReplaceTempView(
+        f"{name}__detail"
+    )
+    return v
+
+
 def attach_snapshot_cdf_view(
     spark: SparkSession,
     name: str,

@@ -780,3 +780,35 @@ def test_merge_into_user_file_pos_columns_fall_back_to_cow(spark, tmp_path):
     )
     got = {r.k: r._file for r in sn.read_snapshot_mor(spark, root).collect()}
     assert got == {1: "c.parquet", 2: "b.parquet"}
+
+
+def test_attach_snapshot_meta_views(spark, tmp_path):
+    """Metadata tables by NAME in plain SQL: files/partitions/history/
+    detail views over one consistent manifest snapshot."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append_partitioned(
+        spark.createDataFrame(
+            [(i, f"g{i % 2}") for i in range(20)], "id INT, g STRING"
+        ),
+        root, {"grp": "g"},
+    )
+    sn.snapshot_delete_where(spark, root, "id = 3", keys=["id"])
+    v = sn.attach_snapshot_meta_views(spark, "t", root)
+    assert v == sn.current_version(root)
+    files = spark.sql(
+        "SELECT content, COUNT(*) AS n FROM t__files GROUP BY content"
+    ).collect()
+    got = {r.content: r.n for r in files}
+    assert got["data"] == 2 and got["deletes"] == 1
+    parts = spark.sql(
+        "SELECT partition['grp'] AS g, row_count FROM t__partitions "
+        "ORDER BY g"
+    ).collect()
+    # approximate view on a MoR table: recorded counts, delete not folded
+    assert [(r.g, r.row_count) for r in parts] == [("g0", 10), ("g1", 10)]
+    assert spark.sql("SELECT COUNT(*) FROM t__history").collect()[0][0] == 2
+    d = spark.sql(
+        "SELECT num_files, num_delete_files, num_versions_retained "
+        "FROM t__detail"
+    ).collect()[0]
+    assert tuple(d) == (2, 1, 2)
