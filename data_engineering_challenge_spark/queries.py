@@ -159,6 +159,7 @@ _CHEAP_FIRST = [
 #: streaming execution — still verified, just last so they can't crowd out
 #: cheaper rows under a bounded gate
 _TAIL = [
+    "sql_dml_lifecycle",
     "minhash_lsh_candidates_xxh",
     "dup_clusters_cc",
     "near_dup_corpus_prune",

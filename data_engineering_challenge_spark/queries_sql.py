@@ -337,6 +337,129 @@ FROM sqlq_snap_feed_asof
 
 
 @register(
+    "sql_dml_lifecycle",
+    # Oracle: the WHOLE statement script replayed as one SELECT over the
+    # raw tables — each DML statement becomes a CTE layer (s1 = UPDATE,
+    # s2 = DELETE, kept/reinstated = the MERGE clause matrix, final =
+    # INSERT).  Balances ride DECIMAL(28,10) end to end: every cast only
+    # widens scale-preserving, so no rounding happens anywhere and both
+    # engines agree bit-for-bit at the double edge.
+    """
+WITH base AS (
+    SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(28,10)) AS bal,
+           c_mktsegment AS seg
+    FROM customer
+),
+s1 AS (
+    SELECT k,
+           CASE WHEN seg = 'BUILDING'
+                THEN bal + CAST(100 AS DECIMAL(28,10)) ELSE bal END AS bal,
+           seg
+    FROM base
+),
+s2 AS (SELECT * FROM s1 WHERE NOT (bal < 0)),
+src AS (
+    SELECT o_custkey AS k,
+           SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS spend,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY o_custkey
+),
+kept AS (
+    SELECT t.k,
+           CASE WHEN s.k IS NOT NULL
+                THEN CAST(t.bal + s.spend AS DECIMAL(28,10))
+                ELSE t.bal END AS bal,
+           t.seg
+    FROM s2 t LEFT JOIN src s ON t.k = s.k
+    WHERE s.k IS NULL OR s.cnt <= 20
+),
+reinstated AS (
+    SELECT s.k, CAST(s.spend AS DECIMAL(28,10)) AS bal,
+           'REINSTATED' AS seg
+    FROM src s LEFT JOIN s2 t ON s.k = t.k WHERE t.k IS NULL
+),
+final AS (
+    SELECT * FROM kept
+    UNION ALL SELECT * FROM reinstated
+    UNION ALL SELECT -1, CAST(0 AS DECIMAL(28,10)), 'SENTINEL'
+)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(CAST(SUM(bal) AS VARCHAR) AS DOUBLE) AS total_bal
+FROM final GROUP BY seg
+""",
+)
+def q_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL STATEMENT EXECUTOR end to end (`sql_exec.execute_sql`):
+    a catalog-backed account table is built and mutated ENTIRELY with
+    SQL text — CREATE TABLE AS over the customer snapshot, UPDATE (a
+    segment-wide balance credit), DELETE (drop negative balances),
+    MERGE INTO with the full clause matrix (conditional DELETE for
+    heavy-order customers, UPDATE adding each customer's spend,
+    INSERT reinstating merged-in customers the DELETE had dropped), a
+    VALUES insert, and a persistent VIEW holding the report query —
+    then the report is read back through that view.  This is reference
+    parity at the STATEMENT level: the reference's users drive
+    everything through SQL strings on named tables
+    (pipeline/db_operations.py:46-57); here the same script gets
+    serializable snapshot commits (UPDATE/DELETE are O(matched) MoR
+    commits, the MERGE rewrites only touched files) plus time travel
+    over every step.  The oracle replays the whole script as one
+    SELECT.  Table build + DML cached per sf_dir; the final view read
+    re-runs per call."""
+    import tempfile
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+    from .sql_exec import execute_sql, execute_sql_script
+
+    key = ("sql_dml_lifecycle", sf_dir)
+    got = _SNAP_SQL_CACHE.get(key)
+    if got is None:
+        from .sources.io import read_parquet_cached_schema
+
+        tmp = tempfile.mkdtemp(prefix="snap_dml_")
+        cdir = f"{tmp}/catalog"
+        for name in ("customer", "orders"):
+            df = read_parquet_cached_schema(
+                spark, os.path.join(sf_dir, f"{name}.parquet")
+            )
+            root = f"{tmp}/{name}"
+            sn.snapshot_overwrite(df, root)
+            cat.catalog_register(cdir, name, root)
+        execute_sql_script(
+            spark,
+            """
+            CREATE TABLE cust_acct AS
+                SELECT c_custkey AS k,
+                       CAST(c_acctbal AS DECIMAL(28,10)) AS bal,
+                       c_mktsegment AS seg
+                FROM customer;
+            UPDATE cust_acct SET bal = bal + 100 WHERE seg = 'BUILDING';
+            DELETE FROM cust_acct WHERE bal < 0;
+            MERGE INTO cust_acct t USING (
+                SELECT o_custkey AS k,
+                       SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS spend,
+                       COUNT(*) AS cnt
+                FROM orders GROUP BY o_custkey
+            ) s ON t.k = s.k
+            WHEN MATCHED AND s.cnt > 20 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET t.bal = t.bal + s.spend
+            WHEN NOT MATCHED THEN INSERT (k, bal, seg)
+                VALUES (s.k, s.spend, 'REINSTATED');
+            INSERT INTO cust_acct
+                SELECT -1, CAST(0 AS DECIMAL(28,10)), 'SENTINEL';
+            CREATE VIEW acct_report AS
+                SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                       CAST(SUM(bal) AS DOUBLE) AS total_bal
+                FROM cust_acct GROUP BY seg
+            """,
+            cdir,
+        )
+        got = _SNAP_SQL_CACHE[key] = cdir
+    return execute_sql(spark, "SELECT * FROM acct_report", got)
+
+
+@register(
     "sql_catalog_report",
     # Oracle: the live view is the base nation table plus the appended
     # low-key duplicate slice; the certified view is the tag-pinned v0 =

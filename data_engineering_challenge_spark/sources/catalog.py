@@ -119,6 +119,55 @@ def catalog_register(
     return entry
 
 
+def catalog_register_view(
+    catalog_dir: str,
+    name: str,
+    sql: str,
+    replace: bool = False,
+    comment: str | None = None,
+) -> dict:
+    """Register a persistent VIEW: ``name`` → a SQL text re-analyzed at
+    every attach (standard view semantics — the definition is durable,
+    the data is whatever the referenced tables hold at query time).
+    The text may reference catalog TABLE names and previously-created
+    views; `attach_catalog` attaches tables first, then views in
+    creation order, so a view over a view works as long as it was
+    created after its dependency (a forward reference fails loudly at
+    attach, exactly like a dropped dependency would).  Same atomic-claim
+    discipline as table entries."""
+    _check_name("catalog_register_view", name)
+    if not sql or not sql.strip():
+        raise ValueError("catalog_register_view: empty view SQL")
+    entry = {
+        "name": name,
+        "kind": "view",
+        "sql": sql,
+        "comment": comment,
+        "ts": time.time(),
+    }
+    os.makedirs(catalog_dir, exist_ok=True)
+    path = _entry_path(catalog_dir, name)
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+    if replace:
+        os.replace(tmp, path)
+        return entry
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ValueError(
+            f"catalog_register_view: name {name!r} already exists — pass "
+            "replace=True to redefine it, or catalog_drop first"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+    return entry
+
+
 def catalog_drop(catalog_dir: str, name: str) -> None:
     """Remove a name from the catalog (table data untouched)."""
     _check_name("catalog_drop", name)
@@ -160,7 +209,9 @@ def attach_catalog(
     catalog apply exactly as at `attach_snapshot_view` (a ``ref`` pin
     follows its branch head, ``asof``/``version`` pins stay fixed).
     ``prefix`` namespaces the views (e.g. ``"prod_"``).  Returns the
-    pinned version per attached name."""
+    pinned version per attached TABLE name (persistent views attach too
+    but carry no version — they re-analyze at attach over whatever the
+    tables resolve to, standard view semantics)."""
     entries = catalog_entries(catalog_dir)
     if names is not None:
         missing = [n for n in names if n not in entries]
@@ -168,10 +219,28 @@ def attach_catalog(
             raise FileNotFoundError(
                 f"attach_catalog: not in the catalog: {missing}"
             )
-        entries = {n: entries[n] for n in names}
+        # a requested view still needs its dependencies attached — keep
+        # every entry in scope and let the loop attach all of them
+        # (attach is metadata-only; narrowing would break view bodies)
+        keep = set(names)
+    else:
+        keep = None
     out: dict[str, int] = {}
+    views = [e for e in entries.values() if e.get("kind") == "view"]
+    if keep is not None:
+        # narrowing: attach a view only if requested, plus every
+        # EARLIER-created view (the dependency contract — see
+        # `catalog_register_view`); no view requested → none attached
+        asked = [e for e in views if e["name"] in keep]
+        if asked:
+            cutoff = max(e.get("ts") or 0 for e in asked)
+            views = [e for e in views if (e.get("ts") or 0) <= cutoff]
+        else:
+            views = []
     for name, e in entries.items():
-        out[name] = sn.attach_snapshot_view(
+        if e.get("kind") == "view":
+            continue
+        v = sn.attach_snapshot_view(
             spark,
             prefix + name,
             e["root"],
@@ -179,4 +248,18 @@ def attach_catalog(
             asof=e.get("asof"),
             ref=e.get("ref"),
         )
+        if keep is None or name in keep:
+            out[name] = v
+    # views AFTER tables, in creation order: a view may reference any
+    # table and any earlier-created view (spark.sql analyzes eagerly, so
+    # a missing dependency fails loudly right here, not at first query)
+    if views and prefix:
+        raise ValueError(
+            "attach_catalog: prefix is incompatible with persistent "
+            "views — a view's SQL text references UNPREFIXED catalog "
+            "names, so a prefixed attach would silently resolve against "
+            "whatever happens to be registered under those names"
+        )
+    for e in sorted(views, key=lambda x: x.get("ts") or 0):
+        spark.sql(e["sql"]).createOrReplaceTempView(prefix + e["name"])
     return out

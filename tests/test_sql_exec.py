@@ -1,0 +1,302 @@
+"""SQL statement executor (`sql_exec.py`): DDL/DML/utility statements
+over the snapshot format + persistent catalog.  Reference parity: the
+reference drives everything through SQL strings on named tables
+(pipeline/db_operations.py); here the same statement surface routes to
+the format's transactional operators, so the SQL client keeps time
+travel, MoR deletes, and serializable commits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_challenge_spark.sources import catalog as cat
+from data_engineering_challenge_spark.sources import snapshots as sn
+from data_engineering_challenge_spark.sql_exec import (
+    SqlSyntaxError,
+    execute_sql,
+    execute_sql_script,
+)
+
+
+@pytest.fixture()
+def cdir(tmp_path):
+    return str(tmp_path / "catalog")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ctas_insert_select_roundtrip(spark, cdir):
+    v = execute_sql(
+        spark,
+        "CREATE TABLE inv AS SELECT id AS k, id * 10 AS qty FROM RANGE(5)",
+        cdir,
+    )
+    assert v == 0
+    # positional INSERT casts to the table schema
+    assert execute_sql(
+        spark, "INSERT INTO inv VALUES (100, 1), (101, 2)", cdir
+    ) == 1
+    out = execute_sql(spark, "SELECT COUNT(*) AS n, SUM(qty) AS s FROM inv", cdir)
+    assert _rows(out) == [(7, 103)]
+    # named-column INSERT fills the unnamed column with NULL
+    execute_sql(spark, "INSERT INTO inv (k) SELECT 999", cdir)
+    out = execute_sql(
+        spark, "SELECT qty FROM inv WHERE k = 999", cdir
+    )
+    assert _rows(out) == [(None,)]
+    # arity mismatch refuses
+    with pytest.raises(ValueError, match="columns"):
+        execute_sql(spark, "INSERT INTO inv SELECT 1", cdir)
+    # INSERT OVERWRITE replaces content, keeps history
+    execute_sql(spark, "INSERT OVERWRITE inv SELECT 1, 1", cdir)
+    assert _rows(execute_sql(spark, "SELECT * FROM inv", cdir)) == [(1, 1)]
+    root = cat.catalog_entries(cdir)["inv"]["root"]
+    assert len(sn.snapshot_versions(root)) == 4  # full lineage retained
+
+
+def test_ctas_exists_semantics(spark, cdir):
+    execute_sql(spark, "CREATE TABLE t1 AS SELECT 1 AS a", cdir)
+    with pytest.raises(ValueError, match="already exists"):
+        execute_sql(spark, "CREATE TABLE t1 AS SELECT 2 AS a", cdir)
+    # IF NOT EXISTS no-ops and returns the current version
+    assert execute_sql(
+        spark, "CREATE TABLE IF NOT EXISTS t1 AS SELECT 2 AS a", cdir
+    ) == 0
+    assert _rows(execute_sql(spark, "SELECT * FROM t1", cdir)) == [(1,)]
+    # OR REPLACE commits a NEW VERSION on the same lineage (time travel
+    # across the replace keeps working)
+    v = execute_sql(spark, "CREATE OR REPLACE TABLE t1 AS SELECT 2 AS a", cdir)
+    assert v == 1
+    assert _rows(execute_sql(spark, "SELECT * FROM t1", cdir)) == [(2,)]
+
+
+def test_update_delete_where(spark, cdir):
+    execute_sql(
+        spark,
+        "CREATE TABLE acct AS SELECT id AS k, CAST(id * 100 AS BIGINT) AS bal"
+        " FROM RANGE(6)",
+        cdir,
+    )
+    # alias-qualified references bind to plain columns underneath
+    execute_sql(
+        spark,
+        "UPDATE acct a SET a.bal = a.bal + 5 WHERE a.k >= 4",
+        cdir,
+    )
+    assert _rows(execute_sql(spark, "SELECT k, bal FROM acct", cdir)) == [
+        (0, 0), (1, 100), (2, 200), (3, 300), (4, 405), (5, 505),
+    ]
+    execute_sql(spark, "DELETE FROM acct WHERE bal > 400", cdir)
+    assert _rows(execute_sql(spark, "SELECT k FROM acct", cdir)) == [
+        (0,), (1,), (2,), (3,),
+    ]
+    # DELETE without WHERE empties the table (new version, history kept)
+    execute_sql(spark, "DELETE FROM acct", cdir)
+    assert _rows(execute_sql(spark, "SELECT k FROM acct", cdir)) == []
+
+
+def test_merge_into_full_clause_matrix(spark, cdir):
+    execute_sql(
+        spark,
+        "CREATE TABLE tgt AS SELECT id AS k, CAST(id AS BIGINT) AS v,"
+        " 'keep' AS tag FROM RANGE(4)",
+        cdir,
+    )
+    execute_sql(
+        spark,
+        "CREATE TABLE src AS SELECT id + 2 AS k, CAST(id * 100 AS BIGINT)"
+        " AS v FROM RANGE(4)",
+        cdir,
+    )
+    execute_sql(
+        spark,
+        """
+        MERGE INTO tgt AS dst USING src AS new ON dst.k = new.k
+        WHEN MATCHED AND new.v > 100 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET dst.v = new.v + dst.v
+        WHEN NOT MATCHED AND new.k < 5 THEN INSERT (k, v, tag)
+            VALUES (new.k, new.v, 'ins')
+        WHEN NOT MATCHED BY SOURCE AND dst.k = 0 THEN UPDATE
+            SET dst.tag = 'lonely'
+        """,
+        cdir,
+    )
+    # k=2: matched, v=0+2 -> updated; k=3: matched, src v=100, not >100 ->
+    # updated 103; k=4: src v=200 matches no target -> insert gated k<5 ->
+    # inserted; k=5: v=300, gate fails -> ignored; k=0: by-source update;
+    # k=1: by-source default keep
+    assert _rows(execute_sql(spark, "SELECT k, v, tag FROM tgt", cdir)) == [
+        (0, 0, "lonely"),
+        (1, 1, "keep"),
+        (2, 2, "keep"),
+        (3, 103, "keep"),
+        (4, 200, "ins"),
+    ]
+
+
+def test_merge_using_subquery_and_insert_star(spark, cdir):
+    execute_sql(
+        spark, "CREATE TABLE base AS SELECT id AS k, id AS v FROM RANGE(3)",
+        cdir,
+    )
+    execute_sql(
+        spark,
+        "MERGE INTO base t USING (SELECT id + 2 AS k, id * 7 AS v"
+        " FROM RANGE(3)) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+        cdir,
+    )
+    assert _rows(execute_sql(spark, "SELECT k, v FROM base", cdir)) == [
+        (0, 0), (1, 1), (2, 0), (3, 7), (4, 14),
+    ]
+
+
+def test_merge_refusals(spark, cdir):
+    execute_sql(spark, "CREATE TABLE m1 AS SELECT 1 AS k, 1 AS v", cdir)
+    execute_sql(spark, "CREATE TABLE m2 AS SELECT 1 AS k, 2 AS v", cdir)
+    with pytest.raises(SqlSyntaxError, match="SAME-NAMED"):
+        execute_sql(
+            spark,
+            "MERGE INTO m1 t USING m2 s ON t.k = s.v "
+            "WHEN MATCHED THEN DELETE",
+            cdir,
+        )
+    with pytest.raises(SqlSyntaxError, match="conjunction"):
+        execute_sql(
+            spark,
+            "MERGE INTO m1 t USING m2 s ON t.k < s.k "
+            "WHEN MATCHED THEN DELETE",
+            cdir,
+        )
+    with pytest.raises(SqlSyntaxError, match="alias"):
+        execute_sql(
+            spark,
+            "MERGE INTO m1 t USING (SELECT 1 AS k) ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE",
+            cdir,
+        )
+    with pytest.raises(SqlSyntaxError, match="WHEN clause"):
+        execute_sql(spark, "MERGE INTO m1 t USING m2 s ON t.k = s.k", cdir)
+
+
+def test_views_persist_and_layer(spark, cdir):
+    execute_sql(
+        spark, "CREATE TABLE ev AS SELECT id AS k, id % 2 AS b FROM RANGE(10)",
+        cdir,
+    )
+    execute_sql(
+        spark,
+        "CREATE VIEW odd AS SELECT k FROM ev WHERE b = 1",
+        cdir,
+    )
+    # a view over a view, created later — allowed by the ts-order contract
+    execute_sql(
+        spark,
+        "CREATE VIEW odd_big AS SELECT k FROM odd WHERE k > 4",
+        cdir,
+    )
+    assert _rows(execute_sql(spark, "SELECT * FROM odd_big", cdir)) == [
+        (5,), (7,), (9,),
+    ]
+    # views are STANDARD views: they see writes to the base table
+    execute_sql(spark, "INSERT INTO ev VALUES (11, 1)", cdir)
+    assert (11,) in _rows(execute_sql(spark, "SELECT * FROM odd_big", cdir))
+    # a FRESH session resolves everything by name from the catalog alone
+    s2 = spark.newSession()
+    assert _rows(execute_sql(s2, "SELECT COUNT(*) AS n FROM odd", cdir)) == [
+        (6,)
+    ]
+    # views are read-only targets
+    with pytest.raises(ValueError, match="read-only"):
+        execute_sql(spark, "DELETE FROM odd WHERE k = 5", cdir)
+    with pytest.raises(ValueError, match="is a view"):
+        execute_sql(spark, "DROP TABLE odd", cdir)
+    execute_sql(spark, "DROP VIEW odd_big", cdir)
+    assert "odd_big" not in cat.catalog_entries(cdir)
+
+
+def test_pinned_entries_are_read_only(spark, cdir):
+    execute_sql(spark, "CREATE TABLE audit AS SELECT 1 AS a", cdir)
+    root = cat.catalog_entries(cdir)["audit"]["root"]
+    cat.catalog_register(cdir, "audit_v0", root, version=0)
+    with pytest.raises(ValueError, match="read-only"):
+        execute_sql(spark, "DELETE FROM audit_v0", cdir)
+    # the pinned view still reads
+    assert _rows(execute_sql(spark, "SELECT * FROM audit_v0", cdir)) == [(1,)]
+
+
+def test_show_describe_optimize(spark, cdir):
+    execute_sql(spark, "CREATE TABLE st AS SELECT id FROM RANGE(4)", cdir)
+    execute_sql(spark, "CREATE VIEW sv AS SELECT * FROM st", cdir)
+    shown = {
+        (r.name, r.kind) for r in execute_sql(spark, "SHOW TABLES", cdir).collect()
+    }
+    assert shown == {("st", "table"), ("sv", "view")}
+    det = execute_sql(spark, "DESCRIBE st", cdir)
+    assert det.first().num_files >= 1
+    vdesc = execute_sql(spark, "DESCRIBE sv", cdir).first()
+    assert vdesc.kind == "view" and "SELECT" in vdesc.sql
+    # OPTIMIZE routes to snapshot_compact and commits (or keeps) a version
+    execute_sql(spark, "INSERT INTO st VALUES (10)", cdir)
+    v = execute_sql(spark, "OPTIMIZE st", cdir)
+    assert isinstance(v, int)
+    assert _rows(execute_sql(spark, "SELECT COUNT(*) AS n FROM st", cdir)) == [
+        (5,)
+    ]
+
+
+def test_script_splitting_and_literal_inertness(spark, cdir):
+    results = execute_sql_script(
+        spark,
+        """
+        CREATE TABLE notes AS SELECT 1 AS k, 'a; DELETE FROM notes' AS txt;
+        INSERT INTO notes VALUES (2, 'WHERE ; MERGE');
+        SELECT k FROM notes WHERE txt <> 'nope;'
+        """,
+        cdir,
+    )
+    assert results[0] == 0 and results[1] == 1
+    assert _rows(results[2]) == [(1,), (2,)]
+
+
+def test_unsupported_statements_refuse_loudly(spark, cdir):
+    for bad in (
+        "TRUNCATE TABLE x",
+        "ALTER TABLE x ADD COLUMN y INT",
+        "GRANT ALL ON x TO y",
+        "",
+        ";",
+    ):
+        with pytest.raises(SqlSyntaxError):
+            execute_sql(spark, bad, cdir)
+
+
+def test_sql_dml_matches_python_api(spark, cdir, tmp_path):
+    """The SQL route and the Python API produce IDENTICAL table states
+    for the same logical operations (same operators underneath)."""
+    execute_sql(
+        spark,
+        "CREATE TABLE sq AS SELECT id AS k, CAST(id AS BIGINT) AS v"
+        " FROM RANGE(8)",
+        cdir,
+    )
+    root2 = str(tmp_path / "pyapi")
+    sn.snapshot_overwrite(
+        spark.range(8).select(
+            F.col("id").alias("k"), F.col("id").cast("bigint").alias("v")
+        ),
+        root2,
+    )
+    execute_sql(spark, "UPDATE sq SET v = v * 2 WHERE k % 2 = 0", cdir)
+    sn.snapshot_update_where(
+        spark, root2, "k % 2 = 0", {"v": "v * 2"}
+    )
+    execute_sql(spark, "DELETE FROM sq WHERE v >= 12", cdir)
+    sn.snapshot_delete_where(spark, root2, "v >= 12")
+    a = _rows(execute_sql(spark, "SELECT k, v FROM sq", cdir))
+    b = sorted(tuple(r) for r in sn.read_snapshot_mor(spark, root2).collect())
+    assert a == b and len(a) > 0
