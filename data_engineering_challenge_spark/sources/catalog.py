@@ -96,6 +96,15 @@ def catalog_register(
         "comment": comment,
         "ts": time.time(),
     }
+    return _claim_entry(catalog_dir, name, entry, replace, "catalog_register")
+
+
+def _claim_entry(
+    catalog_dir: str, name: str, entry: dict, replace: bool, fn: str
+) -> dict:
+    """The shared entry-write tail: atomic ``os.link`` claim (EEXIST on
+    collision, loud), or explicit administrative ``os.replace`` —
+    last-writer-wins, documented."""
     os.makedirs(catalog_dir, exist_ok=True)
     path = _entry_path(catalog_dir, name)
     tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -108,8 +117,8 @@ def catalog_register(
         os.link(tmp, path)  # atomic claim: EEXIST on collision
     except FileExistsError:
         raise ValueError(
-            f"catalog_register: name {name!r} already exists — pass "
-            "replace=True to repoint it, or catalog_drop first"
+            f"{fn}: name {name!r} already exists — pass replace=True to "
+            "redefine it, or catalog_drop first"
         ) from None
     finally:
         try:
@@ -134,38 +143,33 @@ def catalog_register_view(
     creation order, so a view over a view works as long as it was
     created after its dependency (a forward reference fails loudly at
     attach, exactly like a dropped dependency would).  Same atomic-claim
-    discipline as table entries."""
+    discipline as table entries.
+
+    REPLACING a view keeps the ORIGINAL creation ``ts``: attach order is
+    creation order, so a redefinition must not re-sequence the view
+    after its dependents (that would silently feed them a stale
+    definition in-session and break their attach in fresh sessions).
+    A replace may therefore never reference views created after the
+    original — that forward reference fails loudly at attach, same as
+    any other."""
     _check_name("catalog_register_view", name)
     if not sql or not sql.strip():
         raise ValueError("catalog_register_view: empty view SQL")
+    ts = time.time()
+    if replace:
+        prior = catalog_entries(catalog_dir).get(name)
+        if prior is not None and prior.get("kind") == "view":
+            ts = prior.get("ts") or ts  # keep the creation-order slot
     entry = {
         "name": name,
         "kind": "view",
         "sql": sql,
         "comment": comment,
-        "ts": time.time(),
+        "ts": ts,
     }
-    os.makedirs(catalog_dir, exist_ok=True)
-    path = _entry_path(catalog_dir, name)
-    tmp = path + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(entry, fh)
-    if replace:
-        os.replace(tmp, path)
-        return entry
-    try:
-        os.link(tmp, path)
-    except FileExistsError:
-        raise ValueError(
-            f"catalog_register_view: name {name!r} already exists — pass "
-            "replace=True to redefine it, or catalog_drop first"
-        ) from None
-    finally:
-        try:
-            os.remove(tmp)
-        except FileNotFoundError:
-            pass
-    return entry
+    return _claim_entry(
+        catalog_dir, name, entry, replace, "catalog_register_view"
+    )
 
 
 def catalog_drop(catalog_dir: str, name: str) -> None:
@@ -219,26 +223,33 @@ def attach_catalog(
             raise FileNotFoundError(
                 f"attach_catalog: not in the catalog: {missing}"
             )
-        # a requested view still needs its dependencies attached — keep
-        # every entry in scope and let the loop attach all of them
-        # (attach is metadata-only; narrowing would break view bodies)
         keep = set(names)
     else:
         keep = None
     out: dict[str, int] = {}
     views = [e for e in entries.values() if e.get("kind") == "view"]
+    view_asked = keep is not None and any(
+        e["name"] in keep for e in views
+    )
     if keep is not None:
         # narrowing: attach a view only if requested, plus every
         # EARLIER-created view (the dependency contract — see
         # `catalog_register_view`); no view requested → none attached
-        asked = [e for e in views if e["name"] in keep]
-        if asked:
-            cutoff = max(e.get("ts") or 0 for e in asked)
+        if view_asked:
+            cutoff = max(
+                e.get("ts") or 0 for e in views if e["name"] in keep
+            )
             views = [e for e in views if (e.get("ts") or 0) <= cutoff]
         else:
             views = []
     for name, e in entries.items():
         if e.get("kind") == "view":
+            continue
+        # narrowed attach touches only the requested tables — UNLESS a
+        # view was requested: a view body may reference any table, so
+        # that case attaches them all (an unrelated broken entry then
+        # fails loudly, the price of unknown dependencies)
+        if keep is not None and not view_asked and name not in keep:
             continue
         v = sn.attach_snapshot_view(
             spark,

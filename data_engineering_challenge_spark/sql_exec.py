@@ -144,9 +144,12 @@ class _Cursor:
     ) -> str:
         """Source slice from here to the first depth-0 stop-keyword
         sequence (or depth-0 comma if ``commas``) or end; cursor is left
-        ON the stop token."""
+        ON the stop token.  ``CASE … END`` counts as nesting, so the
+        WHEN/THEN keywords of an unparenthesized CASE expression inside
+        a MERGE clause never read as clause boundaries."""
         start_tok = self.i
         depth = 0
+        case_depth = 0
         while self.i < len(self.toks):
             t = self.toks[self.i][0]
             if t in "([":
@@ -155,7 +158,11 @@ class _Cursor:
                 depth -= 1
                 if depth < 0:
                     break  # caller's closing paren
-            elif depth == 0:
+            elif t.upper() == "CASE":
+                case_depth += 1
+            elif t.upper() == "END" and case_depth > 0:
+                case_depth -= 1
+            elif depth == 0 and case_depth == 0:
                 if commas and t == ",":
                     break
                 if any(self.at_kw(*s) for s in stops):
@@ -440,6 +447,10 @@ def _parse_merge(cur: _Cursor, spark, catalog_dir: str):
                         f"INSERT lists {len(cols)} columns but "
                         f"{len(exprs)} values"
                     )
+                if len(set(cols)) != len(cols):
+                    cur.fail(
+                        f"duplicate columns in the insert list: {cols}"
+                    )
                 not_matched = ("insert", cond, dict(zip(cols, exprs)))
     if not saw_clause:
         cur.fail("MERGE needs at least one WHEN clause")
@@ -554,6 +565,12 @@ def execute_sql(
             cur.expect_kw("AS")
             body = cur.until(((";",),))
             cur.expect_done()
+            prior = cat.catalog_entries(catalog_dir).get(name)
+            if prior is not None and prior.get("kind") != "view":
+                raise ValueError(
+                    f"execute_sql: {name!r} is a table — a view cannot "
+                    f"replace it (DROP TABLE first)"
+                )
             _run_query(spark, catalog_dir, body)  # analyze NOW: fail loudly
             cat.catalog_register_view(
                 catalog_dir, name, body, replace=replace
@@ -580,7 +597,16 @@ def execute_sql(
                 f"CREATE OR REPLACE TABLE or DROP TABLE first"
             )
         df = _run_query(spark, catalog_dir, body)
-        root = existing["root"] if existing else _table_root(catalog_dir, name)
+        if existing is not None:
+            # OR REPLACE on a live entry: same pin discipline as every
+            # other write — a pinned entry shares a root with the live
+            # table, and writing through it would silently advance THAT
+            # lineage while the pinned name kept reading old data
+            root = _writable_root(
+                catalog_dir, name, "execute_sql(CREATE OR REPLACE TABLE)"
+            )
+        else:
+            root = _table_root(catalog_dir, name)
         v = sn.snapshot_overwrite(df, root)
         if existing is None:
             cat.catalog_register(catalog_dir, name, root)
@@ -600,6 +626,10 @@ def execute_sql(
                 f"execute_sql: {name!r} is a {actual}, not a {kind}"
             )
         cat.catalog_drop(catalog_dir, name)
+        # unregister THIS session's temp view too — otherwise a
+        # subsequent SELECT would silently serve the dropped table from
+        # the stale attach while a fresh session correctly fails
+        spark.catalog.dropTempView(name)
         return None
 
     # ---- INSERT INTO / INSERT OVERWRITE ----
@@ -622,6 +652,8 @@ def execute_sql(
             if cur.peek() != ")":
                 cur.fail("expected ')' closing the insert column list")
             cur.i += 1
+            if len(set(cols)) != len(cols):
+                cur.fail(f"duplicate columns in the insert list: {cols}")
         body = cur.until(((";",),))
         cur.expect_done()
         root = _writable_root(catalog_dir, name, "execute_sql(INSERT)")

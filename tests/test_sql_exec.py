@@ -275,6 +275,100 @@ def test_unsupported_statements_refuse_loudly(spark, cdir):
             execute_sql(spark, bad, cdir)
 
 
+def test_case_expression_inside_merge_clauses(spark, cdir):
+    """An unparenthesized CASE WHEN ... THEN ... END inside a clause
+    expression must not read as a MERGE clause boundary."""
+    execute_sql(spark, "CREATE TABLE cs AS SELECT id AS k, id AS v FROM RANGE(4)", cdir)
+    execute_sql(
+        spark,
+        "MERGE INTO cs t USING (SELECT id AS k, id + 10 AS v FROM RANGE(6))"
+        " s ON t.k = s.k "
+        "WHEN MATCHED AND CASE WHEN s.v > 12 THEN true ELSE false END "
+        "THEN UPDATE SET v = CASE WHEN s.v > t.v THEN s.v ELSE t.v END "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES "
+        "(s.k, CASE WHEN s.v > 13 THEN -1 ELSE s.v END)",
+        cdir,
+    )
+    # k=0..2: matched, condition false -> kept; k=3: cond true -> v=13;
+    # k=4: insert v=14>13 -> -1; k=5: insert -1
+    assert _rows(execute_sql(spark, "SELECT k, v FROM cs", cdir)) == [
+        (0, 0), (1, 1), (2, 2), (3, 13), (4, -1), (5, -1),
+    ]
+
+
+def test_ctas_or_replace_refuses_pinned_entry(spark, cdir):
+    """CREATE OR REPLACE TABLE through a PINNED catalog entry would
+    silently advance the shared root's live lineage while the pinned
+    name kept reading old data — it must refuse like every other
+    write."""
+    execute_sql(spark, "CREATE TABLE liv AS SELECT 1 AS a", cdir)
+    root = cat.catalog_entries(cdir)["liv"]["root"]
+    cat.catalog_register(cdir, "liv_v0", root, version=0)
+    with pytest.raises(ValueError, match="read-only"):
+        execute_sql(
+            spark, "CREATE OR REPLACE TABLE liv_v0 AS SELECT 2 AS a", cdir
+        )
+    # the live table was NOT advanced by the refused statement
+    assert sn.current_version(root) == 0
+
+
+def test_view_replace_keeps_creation_order(spark, cdir):
+    """Redefining a view keeps its creation-order slot, so dependents
+    created later still attach AFTER it — in this session and fresh
+    ones."""
+    execute_sql(spark, "CREATE VIEW va AS SELECT 1 AS x", cdir)
+    execute_sql(spark, "CREATE VIEW vb AS SELECT x + 1 AS y FROM va", cdir)
+    execute_sql(spark, "CREATE OR REPLACE VIEW va AS SELECT 10 AS x", cdir)
+    # same session: vb sees the NEW va
+    assert _rows(execute_sql(spark, "SELECT * FROM vb", cdir)) == [(11,)]
+    # fresh session: attach succeeds and agrees
+    s2 = spark.newSession()
+    assert _rows(execute_sql(s2, "SELECT * FROM vb", cdir)) == [(11,)]
+    # a view cannot replace a table, nor a table a view
+    execute_sql(spark, "CREATE TABLE tbl_x AS SELECT 1 AS a", cdir)
+    with pytest.raises(ValueError, match="is a table"):
+        execute_sql(
+            spark, "CREATE OR REPLACE VIEW tbl_x AS SELECT 1 AS a", cdir
+        )
+
+
+def test_drop_is_visible_in_same_session(spark, cdir):
+    execute_sql(spark, "CREATE TABLE gone AS SELECT 1 AS a", cdir)
+    assert _rows(execute_sql(spark, "SELECT * FROM gone", cdir)) == [(1,)]
+    execute_sql(spark, "DROP TABLE gone", cdir)
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        execute_sql(spark, "SELECT * FROM gone", cdir)
+
+
+def test_duplicate_insert_columns_refuse(spark, cdir):
+    execute_sql(spark, "CREATE TABLE dup AS SELECT 1 AS k, 1 AS v", cdir)
+    with pytest.raises(SqlSyntaxError, match="duplicate columns"):
+        execute_sql(spark, "INSERT INTO dup (k, k) SELECT 1, 2", cdir)
+    with pytest.raises(SqlSyntaxError, match="duplicate columns"):
+        execute_sql(
+            spark,
+            "MERGE INTO dup t USING (SELECT 2 AS k, 3 AS v) s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, k) VALUES (s.k, s.v)",
+            cdir,
+        )
+
+
+def test_narrowed_attach_skips_unrelated_broken_entries(spark, cdir, tmp_path):
+    """attach_catalog(names=[...]) with no views requested must touch
+    ONLY the requested tables — an unrelated entry whose root vanished
+    cannot fail it."""
+    import json
+    import os
+    import shutil
+
+    execute_sql(spark, "CREATE TABLE ok AS SELECT 1 AS a", cdir)
+    execute_sql(spark, "CREATE TABLE broken AS SELECT 2 AS a", cdir)
+    shutil.rmtree(cat.catalog_entries(cdir)["broken"]["root"])
+    s2 = spark.newSession()
+    assert cat.attach_catalog(s2, cdir, names=["ok"]) == {"ok": 0}
+    assert s2.sql("SELECT * FROM ok").collect()[0].a == 1
+
+
 def test_sql_dml_matches_python_api(spark, cdir, tmp_path):
     """The SQL route and the Python API produce IDENTICAL table states
     for the same logical operations (same operators underneath)."""
