@@ -153,6 +153,8 @@ _CHEAP_FIRST = [
     "snapshot_zorder_lookup", "snapshot_pushdown_scan",
     "snapshot_merge_into", "snapshot_update_where",
     "streaming_partitioned_ingest",
+    # round-9 additions, measured verify cost ascending (sf0.01)
+    "snapshot_copy_into_ingest", "snapshot_bloom_prune",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

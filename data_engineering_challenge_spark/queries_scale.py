@@ -1494,6 +1494,120 @@ def q_snapshot_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_bloom_prune",
+    # Oracle: the two point lookups replayed wholesale — the min and max
+    # order keys always exist at every SF, so the key choice is
+    # deterministic without hard-coding values.
+    """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(o_custkey AS BIGINT) AS cust,
+       o_totalprice AS price
+FROM orders WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT), o_totalprice
+FROM orders WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
+""",
+)
+def q_snapshot_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-LEVEL BLOOM FILTERS end to end: orders committed
+    hash-scattered on the key (every file's [min, max] spans the whole
+    domain — range stats provably keep nothing out) with
+    ``bloom_cols=["o_orderkey"]``, then two point lookups
+    (`read_snapshot_pruned(point_eq=...)`) planned from the manifest
+    blooms alone — each opens ~1 of the 8 files (the unit tests assert
+    the skip counts and the no-false-negative contract;
+    scripts/bloom_evidence.py measures it).  This is the 100 TB
+    needle-in-haystack path min/max cannot serve: Iceberg/Delta answer
+    it with footer-resident blooms, here the filter lives in the
+    manifest entry so planning stays one metadata read with zero file
+    opens for pruned files.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    key = ("snapshot_bloom_prune", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        root = tempfile.mkdtemp(prefix="snap_bloom_") + "/tbl"
+        sn.snapshot_append(
+            o.repartition(8, "o_orderkey"),
+            root,
+            bloom_cols=["o_orderkey"],
+        )
+        out = _ORC_OUT_CACHE[key] = root
+    bounds = (
+        sn.read_snapshot(spark, out)
+        .agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        )
+        .collect()[0]
+    )
+    parts = [
+        sn.read_snapshot_pruned(
+            spark, out, point_eq={"o_orderkey": int(k)}
+        )
+        for k in (bounds.lo, bounds.hi)
+    ]
+    both = parts[0].unionByName(parts[1])
+    return both.select(
+        F.col("o_orderkey").cast("bigint").alias("okey"),
+        F.col("o_custkey").cast("bigint").alias("cust"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+
+@register(
+    "snapshot_copy_into_ingest",
+    # Oracle: the landing slice aggregated ONCE — if the second COPY
+    # INTO run were not a no-op, the count and sum would double and the
+    # hash would scream.
+    f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderkey % 3 = 0
+""",
+)
+def q_snapshot_copy_into_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDEMPOTENT FILE INGESTION end to end (`snapshot_copy_into`, the
+    COPY INTO shape): a landing directory of parquet files is loaded
+    into a snapshot table, then the SAME glob runs AGAIN — the re-run
+    commits nothing because each file's identity (path|size|mtime) is
+    recorded atomically with the rows in the commit payload and
+    recovered from the lineage walk.  The oracle aggregates the landing
+    slice once, so any duplicate load fails the hash.  This is the cron
+    ingestion contract every lakehouse pipeline runs on
+    (Delta/Snowflake COPY INTO); at 100 TB the identity check is
+    driver-side stat() metadata — no data read for already-loaded
+    files.  Build cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    key = ("snapshot_copy_into_ingest", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        tmp = tempfile.mkdtemp(prefix="snap_copy_")
+        landing, root = f"{tmp}/landing", f"{tmp}/tbl"
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ).filter(F.col("o_orderkey") % 3 == 0)
+        o.repartition(4).write.parquet(landing)
+        glob = f"{landing}/*.parquet"
+        r1 = sn.snapshot_copy_into(spark, root, glob)
+        assert len(r1["loaded"]) == 4
+        r2 = sn.snapshot_copy_into(spark, root, glob)  # must no-op
+        assert r2["loaded"] == []
+        out = _ORC_OUT_CACHE[key] = root
+    return sn.read_snapshot(spark, out).agg(
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
     "snapshot_view_refresh",
     # the maintained view's contract is equality with a from-scratch
     # aggregate over the full table, so that aggregate IS the oracle.

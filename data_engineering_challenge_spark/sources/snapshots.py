@@ -163,6 +163,7 @@ def _resolve_payload(root: str, payload: dict) -> dict:
     pvals: dict = {}
     sizes: dict = {}
     rows: dict = {}
+    blooms: dict = {}
     for name in payload.get("entries") or []:
         e = _load_entry(root, name)
         files.extend(e.get("files") or [])
@@ -172,6 +173,7 @@ def _resolve_payload(root: str, payload: dict) -> dict:
         pvals.update(e.get("partition_values") or {})
         sizes.update(e.get("sizes") or {})
         rows.update(e.get("rows") or {})
+        blooms.update(e.get("blooms") or {})
     if len(set(files)) != len(files):
         raise ValueError(
             f"_resolve_payload: v{payload.get('version')} entry files "
@@ -192,6 +194,8 @@ def _resolve_payload(root: str, payload: dict) -> dict:
         m["sizes"] = sizes
     if rows:
         m["rows"] = rows
+    if blooms:
+        m["blooms"] = blooms
     return m
 
 
@@ -361,6 +365,149 @@ def _has_null_values(path: str, cols: list[str]) -> bool:
     return False
 
 
+#: fixed hash count for file-level Bloom filters (k=4 → ~1% false
+#: positives at m ≈ 10·n bits; the BITS are the sizing knob, see
+#: `snapshot_append`'s bloom_bits doc)
+_BLOOM_K = 4
+
+#: Spark/driver column types with a CANONICAL string form that is
+#: byte-identical between `CAST(col AS STRING)` and Python ``str()`` —
+#: the bloom hash contract.  Floats/decimals/timestamps render
+#: differently across the two and are refused at write time.
+_BLOOM_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _bloom_positions_expr(col: str, bits: int):
+    """Spark-side bit positions for one value: md5 of the canonical
+    string split into two 60-bit halves, double-hashed (h1 + i·h2) mod
+    m — the standard Kirsch-Mitzenmacher construction, reproduced
+    EXACTLY by `_bloom_positions` on the driver at probe time."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.col(col).cast("string"))
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("long").bitwiseOR(
+        F.lit(1)  # odd stride: full-period walk over a power-of-two m
+    )
+    return F.array(
+        *[((h1 + F.lit(i) * h2) % bits).cast("int") for i in range(_BLOOM_K)]
+    )
+
+
+def _bloom_positions(value, bits: int) -> list[int]:
+    """Driver-side twin of `_bloom_positions_expr` (same md5 slices,
+    same double hash) — probing needs no Spark job."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    h1 = int(h[0:15], 16)
+    h2 = int(h[16:31], 16) | 1
+    return [(h1 + i * h2) % bits for i in range(_BLOOM_K)]
+
+
+def _check_bloom_cols(df: DataFrame, cols: list[str], bits: int) -> None:
+    if bits % 8 or not (64 <= bits <= (1 << 24)):
+        raise ValueError(
+            f"bloom_bits must be a multiple of 8 in [64, 2^24], got {bits}"
+        )
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"bloom column {c!r} not in the batch")
+        if types[c] not in _BLOOM_TYPES:
+            raise ValueError(
+                f"bloom column {c!r} has type {types[c]} — blooms need a "
+                f"canonical string form shared by Spark and the probe, "
+                f"so only {_BLOOM_TYPES} are supported"
+            )
+
+
+def _file_blooms(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    cols: list[str],
+    bits: int,
+) -> dict:
+    """Per-file Bloom filters over ``cols`` for freshly written files:
+    ONE Spark job per column hashes executor-side and ships only the
+    distinct BIT POSITIONS per file (bounded by min(k·distinct, m) ≤ m
+    ints — the same order as the serialized bloom itself), so driver
+    traffic is O(files · m) bits, never O(rows).  NULLs are excluded:
+    an equality probe can never match NULL, so a bloom makes no claims
+    about them.  Returns ``{file: {col: {"m", "k", "b64"}}}``."""
+    import base64
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    paths = [os.path.join(root, f) for f in files]
+    by_abs = {os.path.abspath(os.path.join(root, f)): f for f in files}
+    df = spark.read.parquet(*paths).withColumn(
+        "__file", F.input_file_name()
+    )
+    out: dict = {f: {} for f in files}
+    for c in cols:
+        rows = (
+            df.filter(F.col(c).isNotNull())
+            .select(
+                "__file",
+                F.explode(_bloom_positions_expr(c, bits)).alias("__p"),
+            )
+            .groupBy("__file")
+            .agg(F.collect_set("__p").alias("__ps"))
+            .collect()
+        )
+        seen = set()
+        for r in rows:
+            ap = os.path.abspath(
+                urllib.parse.unquote(
+                    r["__file"].removeprefix("file:")
+                )
+            )
+            f = by_abs.get(ap)
+            if f is None:
+                raise ValueError(
+                    f"_file_blooms: scanned file {ap} is not in the "
+                    "written group — path mapping drifted"
+                )
+            seen.add(f)
+            buf = bytearray(bits // 8)
+            for p in r["__ps"]:
+                buf[p // 8] |= 1 << (p % 8)
+            out[f][c] = {
+                "m": bits,
+                "k": _BLOOM_K,
+                "b64": base64.b64encode(bytes(buf)).decode("ascii"),
+            }
+        for f in files:
+            if f not in seen:
+                # all-NULL (or empty) file: an empty bloom — provably
+                # contains no non-null key, every probe skips it
+                out[f][c] = {
+                    "m": bits,
+                    "k": _BLOOM_K,
+                    "b64": base64.b64encode(bytes(bits // 8)).decode(
+                        "ascii"
+                    ),
+                }
+    return out
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    """Probe one serialized bloom: False = PROVABLY absent (skip the
+    file), True = maybe present (read it)."""
+    import base64
+
+    if bloom.get("k") != _BLOOM_K:
+        return True  # unknown construction: no claims
+    bits = bloom["m"]
+    buf = base64.b64decode(bloom["b64"])
+    return all(
+        buf[p // 8] & (1 << (p % 8)) for p in _bloom_positions(value, bits)
+    )
+
+
 def _set_latest(root: str, version: int) -> None:
     """Atomic _LATEST pointer move (the commit point)."""
     ltmp = _latest_path(root) + f".tmp.{uuid.uuid4().hex}"
@@ -453,7 +600,7 @@ def _trim_entry(e: dict, keep: set) -> dict:
     kept = [f for f in e.get("files") or [] if f in keep]
     out: dict = {"files": kept}
     for k in ("stats", "file_seq", "file_fields", "partition_values",
-              "sizes", "rows"):
+              "sizes", "rows", "blooms"):
         sub = {f: v for f, v in (e.get(k) or {}).items() if f in keep}
         if sub:
             out[k] = sub
@@ -466,6 +613,7 @@ def _commit(
     parent: int | None,
     tag: str | None = None,
     stats: dict | None = None,
+    blooms: dict | None = None,
     rebase_append: bool = False,
     operation: str = "overwrite",
     seen_versions: set[int] | None = None,
@@ -477,6 +625,7 @@ def _commit(
     publish: bool = True,
     entries_from: int | None = None,
     keep_files: set | None = None,
+    payload_extras: dict | None = None,
 ) -> int:
     """Two-phase commit with OPTIMISTIC writer-writer protection:
 
@@ -773,6 +922,10 @@ def _commit(
             e_stats = {f: st[f] for f in new_files if st.get(f)}
             if e_stats:
                 entry["stats"] = e_stats
+            bl = blooms or {}
+            e_blooms = {f: bl[f] for f in new_files if bl.get(f)}
+            if e_blooms:
+                entry["blooms"] = e_blooms
             new_set = set(new_files)
             for k in ("file_fields", "partition_values"):
                 mu = (meta_updates or {}).get(k) or {}
@@ -848,6 +1001,17 @@ def _commit(
             "delete_entries": list(base_dentries),
         }
         payload.update(tbl_meta)
+        if payload_extras:
+            # PER-COMMIT payload keys (e.g. a copy-into batch's source
+            # identities) — recorded on THIS version only, never
+            # inherited like layout/fields/checks
+            for k in payload_extras:
+                if k in payload:
+                    raise ValueError(
+                        f"_commit: payload_extras key {k!r} collides "
+                        "with a reserved manifest field"
+                    )
+            payload.update(payload_extras)
         with open(staged, "w") as fh:
             json.dump(payload, fh)
         mpath = os.path.join(_manifest_dir(root), f"v{version}.json")
@@ -973,29 +1137,46 @@ def snapshot_overwrite(
     tag: str | None = None,
     stats_cols: list[str] | None = None,
     operation: str = "overwrite",
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
 ) -> int:
     """Commit a new version whose content is exactly ``df`` (existing
     versions stay readable by number).  ``tag`` gives the same
     idempotent-replay contract as `snapshot_append`; ``stats_cols``
     records per-file min/max in the manifest (footer-read only) so
-    `read_snapshot_pruned` can skip files without opening them."""
+    `read_snapshot_pruned` can skip files without opening them;
+    ``bloom_cols``/``bloom_bits`` additionally record per-file BLOOM
+    FILTERS for point-lookup skipping (see `snapshot_append`)."""
     os.makedirs(root, exist_ok=True)
     if tag is not None:
         v = _resume_tagged_commit(root, tag)
         if v is not None:
             return v
+    if bloom_cols:
+        _check_bloom_cols(df, bloom_cols, bloom_bits)
     if stats_cols is None:
         files, stats = _write_files(df, root), {}
     else:
         files, stats = _write_files(df, root, stats_cols)
+    blooms = (
+        _file_blooms(df.sparkSession, root, files, bloom_cols, bloom_bits)
+        if bloom_cols
+        else None
+    )
     return _commit(
         root,
         files,
         current_version(root),
         tag=tag,
         stats=stats,
+        blooms=blooms,
         operation=operation,
         new_file_columns=list(df.columns),
+        meta_updates=(
+            {"layout": {"bloom_cols": bloom_cols, "bloom_bits": bloom_bits}}
+            if bloom_cols
+            else None
+        ),
     )
 
 
@@ -1005,10 +1186,29 @@ def snapshot_append(
     tag: str | None = None,
     stats_cols: list[str] | None = None,
     _meta_updates: dict | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
+    _payload_extras: dict | None = None,
 ) -> int:
     """Commit a new version = parent's files + ``df``'s new file group.
     The parent's files are REFERENCED, not rewritten — append cost is
     O(delta) regardless of table size.
+
+    ``bloom_cols`` records a per-file BLOOM FILTER over each named
+    column in the manifest entry — the data-skipping index for POINT
+    lookups on hash-scattered keys, where min/max stats cannot prune
+    anything (every file's range spans the whole domain).
+    `read_snapshot_pruned(point_eq=...)` probes the blooms driver-side
+    and opens only files that MAYBE contain the key; a file without a
+    bloom is always read (claims only from evidence, same as stats).
+    ``bloom_bits`` sizes each filter (default 8192 bits = 1 KB/file/col;
+    at k=4 hashes size m ≈ 10× the expected DISTINCT keys per file for
+    ~1% false positives — false positives only cost an extra file read,
+    never correctness).  Columns must be integer or string typed (the
+    hash contract needs a canonical string form shared by Spark and the
+    driver-side probe; anything else refuses loudly).  The policy is
+    recorded in the table layout so `snapshot_compact` re-derives
+    blooms for the files it rewrites.
 
     ``tag`` makes the append IDEMPOTENT and crash-complete: a replayed
     epoch whose marker exists returns the committed version (finishing
@@ -1033,22 +1233,157 @@ def snapshot_append(
     # `parent`, silently orphaned by neither check
     seen = set(snapshot_versions(root))
     parent = current_version(root)
+    if bloom_cols:
+        _check_bloom_cols(df, bloom_cols, bloom_bits)
     if stats_cols is None:
         new_files, new_stats = _write_files(df, root), {}
     else:
         new_files, new_stats = _write_files(df, root, stats_cols)
+    blooms = (
+        _file_blooms(
+            df.sparkSession, root, new_files, bloom_cols, bloom_bits
+        )
+        if bloom_cols
+        else None
+    )
+    meta = dict(_meta_updates or {})
+    if bloom_cols:
+        lay = dict(meta.get("layout") or {})
+        lay.update({"bloom_cols": bloom_cols, "bloom_bits": bloom_bits})
+        meta["layout"] = lay
     return _commit(
         root,
         new_files,
         parent,
         tag=tag,
         stats=new_stats,
+        blooms=blooms,
         rebase_append=True,
         operation="append",
         seen_versions=seen,
         new_file_columns=list(df.columns),
-        meta_updates=_meta_updates,
+        meta_updates=meta or None,
+        payload_extras=_payload_extras,
     )
+
+
+def _copied_identities(root: str) -> set[str]:
+    """Every source-file identity already loaded into the CURRENT
+    lineage — the parent-chain walk (O(commits) × O(1) meta reads), so
+    a rolled-back copy's identities correctly drop out and a re-run
+    re-loads them."""
+    out: set[str] = set()
+    v = current_version(root)
+    while v is not None:
+        meta = _read_manifest_meta(root, v)
+        out.update(meta.get("copied") or [])
+        v = meta.get("parent")
+    return out
+
+
+def snapshot_copy_into(
+    spark: SparkSession,
+    root: str,
+    source,
+    source_format: str = "parquet",
+    schema=None,
+    options: dict | None = None,
+    force: bool = False,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
+) -> dict:
+    """IDEMPOTENT FILE INGESTION — the ``COPY INTO`` shape (Delta /
+    Snowflake): load the source files into the snapshot table EXACTLY
+    ONCE per file version, so the same glob can run on a cron forever
+    and only news lands.
+
+    * ``source``: a glob string or explicit path list; matching is
+      driver-side metadata only.
+    * A file's IDENTITY is ``path|size|mtime_ns`` — an in-place
+      rewrite (new size/mtime) counts as a NEW file version and loads
+      again; ``force=True`` reloads everything matched regardless.
+    * Already-loaded identities are recorded IN the commit manifest
+      (``copied``, per-commit payload — O(batch) bytes, atomic with
+      the rows themselves, so a crash between "rows visible" and
+      "files remembered" cannot exist) and recovered by walking the
+      current lineage's parent chain — a copy undone by `rollback`
+      correctly re-loads.
+    * The commit rides a deterministic TAG (hash of the identity set +
+      parent), so a crashed-and-replayed run or two racers loading the
+      SAME batch dedupe through the marker; concurrent runs loading
+      OVERLAPPING-but-different batches are not serialized against
+      each other — run one loader per table (the Delta posture: COPY
+      INTO from one job).
+    * ``source_format``: parquet (self-describing) or csv / jsonl /
+      orc / text — non-self-describing formats require ``schema``.
+
+    Returns ``{"version", "loaded", "skipped"}`` — loaded is the file
+    list this call committed; a no-news call commits NOTHING."""
+    import glob as globmod
+    import hashlib
+
+    os.makedirs(root, exist_ok=True)
+    if isinstance(source, str):
+        paths = sorted(globmod.glob(source))
+    else:
+        paths = sorted(source)
+    missing = [p for p in paths if not os.path.isfile(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot_copy_into: not files: {missing[:3]}"
+        )
+    if not paths:
+        raise FileNotFoundError(
+            f"snapshot_copy_into: source matched no files: {source!r}"
+        )
+
+    def ident(p: str) -> str:
+        st = os.stat(p)
+        return f"{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns}"
+
+    idents = {p: ident(p) for p in paths}
+    already = _copied_identities(root) if not force else set()
+    todo = [p for p in paths if idents[p] not in already]
+    if not todo:
+        return {
+            "version": current_version(root),
+            "loaded": [],
+            "skipped": len(paths),
+        }
+    fmt = {"jsonl": "json"}.get(source_format, source_format)
+    if fmt not in ("parquet", "csv", "json", "orc", "text"):
+        raise ValueError(
+            f"snapshot_copy_into: unsupported format {source_format!r}"
+        )
+    if fmt in ("csv", "json") and schema is None:
+        raise ValueError(
+            f"snapshot_copy_into: {source_format} needs an explicit "
+            "schema (inference would let one malformed batch drift the "
+            "table's types)"
+        )
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load(todo)
+    batch = sorted(idents[p] for p in todo)
+    parent = current_version(root)
+    salt = f"|force={uuid.uuid4().hex}" if force else ""
+    sig = hashlib.md5(
+        ("\n".join(batch) + f"|parent={parent}{salt}").encode()
+    ).hexdigest()
+    v = snapshot_append(
+        df,
+        root,
+        tag=f"copyinto-{sig}",
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
+        _payload_extras={"copied": batch},
+    )
+    return {"version": v, "loaded": todo, "skipped": len(paths) - len(todo)}
 
 
 def read_snapshot(
@@ -1453,6 +1788,7 @@ def read_snapshot_pruned(
     version: int | None = None,
     ranges: dict | None = None,
     partition_eq: dict | None = None,
+    point_eq: dict | None = None,
 ) -> DataFrame:
     """Stats-pruned snapshot scan: only manifest files whose recorded
     [min, max] for ``col`` intersects [lo, hi] are opened — file
@@ -1476,16 +1812,26 @@ def read_snapshot_pruned(
     every delete anti-join applies (`read_snapshot_mor` over the kept
     subset) — the point-lookup-on-a-CDC-table path, no compaction
     required.  Sound because a skipped file's rows are provably
-    outside the predicate whether deleted or not."""
+    outside the predicate whether deleted or not.
+
+    ``point_eq`` ({col: value}) adds BLOOM-FILTER pruning for equality
+    lookups: each value is double-checked against the file's recorded
+    [min, max] (as value..value) AND its Bloom filter when the commit
+    recorded one (`snapshot_append(bloom_cols=...)`) — the path that
+    prunes point lookups on HASH-SCATTERED keys, where every file's
+    min/max spans the domain and range pruning keeps nothing out.  A
+    bloom hit is "maybe present" (the file is read and the re-applied
+    predicate decides); a miss is proof of absence.  Files without a
+    bloom for the column are always read."""
     from pyspark.sql import functions as F
 
     if ranges is None:
         if col is not None:
             ranges = {col: (lo, hi)}
-        elif partition_eq is None:
+        elif partition_eq is None and point_eq is None:
             raise ValueError(
                 "read_snapshot_pruned: pass col (with lo/hi), ranges, "
-                "or partition_eq"
+                "partition_eq, or point_eq"
             )
         else:
             ranges = {}
@@ -1509,6 +1855,18 @@ def read_snapshot_pruned(
         raise ValueError(
             "read_snapshot_pruned: partition_eq values must be non-null"
         )
+    if point_eq is not None and not point_eq:
+        raise ValueError("read_snapshot_pruned: point_eq must be non-empty")
+    if point_eq and any(val is None for val in point_eq.values()):
+        raise ValueError(
+            "read_snapshot_pruned: point_eq values must be non-null (an "
+            "equality can never match NULL)"
+        )
+    if point_eq and any(c in ranges for c in point_eq):
+        raise ValueError(
+            "read_snapshot_pruned: a column cannot be in both ranges "
+            "and point_eq"
+        )
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"read_snapshot_pruned: no version at {root}")
@@ -1523,6 +1881,7 @@ def read_snapshot_pruned(
                 f"{sorted(transforms)}"
             )
     stats = m.get("stats") or {}
+    blooms = m.get("blooms") or {}
     pvals = m.get("partition_values") or {}
     # evolved tables: stats are keyed by each file's PHYSICAL column
     # names — translate the logical range column through the field-id
@@ -1554,6 +1913,20 @@ def read_snapshot_pruned(
             if rng is not None and (rng[0] > chi or rng[1] < clo):
                 ok = False  # provably disjoint in SOME dimension -> skip
                 break
+        for c, val in (point_eq or {}).items():
+            if not ok:
+                break
+            sk = stat_key(f, c)
+            if sk is None:
+                continue  # field absent from this file — no claims
+            rng = fstats.get(sk)
+            if rng is not None and (rng[0] > val or rng[1] < val):
+                ok = False  # outside the file's range
+                break
+            bloom = (blooms.get(f) or {}).get(sk)
+            if bloom is not None and not _bloom_maybe_contains(bloom, val):
+                ok = False  # bloom proves absence
+                break
         for name, val in (partition_eq or {}).items():
             if not ok:
                 break
@@ -1565,6 +1938,9 @@ def read_snapshot_pruned(
     pred = None
     for c, (clo, chi) in ranges.items():
         term = F.col(c).between(clo, chi)
+        pred = term if pred is None else pred & term
+    for c, val in (point_eq or {}).items():
+        term = F.col(c) == F.lit(val)
         pred = term if pred is None else pred & term
     for name, val in (partition_eq or {}).items():
         term = F.expr(transforms[name]).cast("string") == str(val)
@@ -1582,8 +1958,10 @@ def read_snapshot_pruned(
         # we read) — the point-lookup-on-a-CDC-table path that needs no
         # compaction first.  Skipping is still sound: a skipped file's
         # rows are provably outside the predicate, deleted or not.
+        all_ranges = dict(ranges)
+        all_ranges.update({c: (val, val) for c, val in (point_eq or {}).items()})
         return read_snapshot_mor(
-            spark, root, v, _files=keep, _eq_delete_ranges=ranges or None
+            spark, root, v, _files=keep, _eq_delete_ranges=all_ranges or None
         ).filter(pred)
     out = _read_files_logical(spark, root, m, keep)
     if fields:
@@ -1812,6 +2190,23 @@ def snapshot_compact(
                     new_files, new_stats = _write_files(sub, root, stats_cols)
                 else:
                     new_files = _write_files(sub, root)
+        new_blooms = None
+        bcols = layout.get("bloom_cols")
+        if new_files and bcols:
+            # bloom policy survives maintenance: re-derive the rewritten
+            # files' filters so point lookups keep skipping them (kept
+            # files carry their blooms by entry reference); a rewritten
+            # column set that no longer carries a bloom column (post-
+            # evolution drop) simply makes no claims
+            live = [c for c in bcols if c in sub.columns]
+            if live:
+                new_blooms = _file_blooms(
+                    spark,
+                    root,
+                    new_files,
+                    live,
+                    int(layout.get("bloom_bits") or 8192),
+                )
         try:
             return _commit(
                 root,
@@ -1819,6 +2214,7 @@ def snapshot_compact(
                 parent,
                 operation="compact",
                 stats=new_stats,
+                blooms=new_blooms,
                 seen_versions=seen,
                 conflict_mode="serialize",
                 entries_from=parent,
@@ -2538,7 +2934,7 @@ def compact_manifests(root: str, max_entries: int = 1) -> int:
         m = _read_manifest(root, parent)
         merged: dict = {"files": m["files"]}
         for k in ("stats", "file_seq", "file_fields", "partition_values",
-                  "sizes", "rows"):
+                  "sizes", "rows", "blooms"):
             if m.get(k):
                 merged[k] = m[k]
         entries = [_write_entry(root, merged)] if m["files"] else []
@@ -4242,7 +4638,7 @@ def snapshot_clone(
     os.makedirs(_manifest_dir(dst_root), exist_ok=True)
     merged: dict = {"files": m["files"]}
     for k in ("stats", "file_seq", "file_fields", "partition_values",
-              "sizes", "rows"):
+              "sizes", "rows", "blooms"):
         if m.get(k):
             merged[k] = m[k]
     entries = [_write_entry(dst_root, merged)] if m["files"] else []

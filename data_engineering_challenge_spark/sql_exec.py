@@ -64,6 +64,7 @@ _GRAMMAR = """supported statements:
     WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ... | DELETE
     WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT * | (cols) VALUES (exprs)
     WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
+  COPY INTO <name> FROM '<path-or-glob>' [FORMAT parquet|csv|jsonl|orc]
   SHOW TABLES | DESCRIBE [TABLE] <name> | OPTIMIZE <name>"""
 
 
@@ -735,6 +736,29 @@ def execute_sql(
         cur.expect_done()
         root = _writable_root(catalog_dir, name, "execute_sql(DELETE)")
         return sn.snapshot_delete_where(spark, root, pred)
+
+    # ---- COPY INTO <name> FROM '<glob>' [FORMAT <fmt>] ----
+    if cur.kw("COPY", "INTO"):
+        name = cur.ident("table name")
+        cur.expect_kw("FROM")
+        srct = cur.peek()
+        if srct is None or not (srct.startswith("'") and srct.endswith("'")):
+            cur.fail("expected a quoted source path/glob after FROM")
+        cur.i += 1
+        src = srct[1:-1].replace("''", "'")
+        fmt = "parquet"
+        if cur.kw("FORMAT"):
+            fmt = cur.ident("format name").lower()
+        cur.expect_done()
+        root = _writable_root(catalog_dir, name, "execute_sql(COPY INTO)")
+        schema = (
+            None
+            if fmt == "parquet"
+            else sn.read_snapshot_mor(spark, root).schema
+        )
+        return sn.snapshot_copy_into(
+            spark, root, src, source_format=fmt, schema=schema
+        )["version"]
 
     # ---- MERGE INTO ----
     if cur.kw("MERGE", "INTO"):

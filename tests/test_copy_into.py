@@ -1,0 +1,186 @@
+"""Idempotent file ingestion (`snapshot_copy_into`): the COPY INTO
+shape — a cron can re-run the same glob forever and only NEW file
+versions land.  Identities are recorded atomically with the rows (in
+the commit payload), so exactly-once is a property of the lineage, not
+of an external bookkeeping file."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from data_engineering_challenge_spark.sources import snapshots as sn
+
+
+def _write_src(spark, path, lo, hi):
+    spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _count(spark, root):
+    return sn.read_snapshot(spark, root).count()
+
+
+def test_copy_into_loads_once(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _write_src(spark, f"{src}/a", 0, 50)
+    _write_src(spark, f"{src}/b", 50, 80)
+    root = str(tmp_path / "tbl")
+    r1 = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert len(r1["loaded"]) == 2 and r1["skipped"] == 0
+    assert _count(spark, root) == 80
+    # identical re-run: commits NOTHING
+    r2 = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert r2["loaded"] == [] and r2["skipped"] == 2
+    assert r2["version"] == r1["version"]
+    assert _count(spark, root) == 80
+    # a new file arrives: only it loads
+    _write_src(spark, f"{src}/c", 80, 100)
+    r3 = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert len(r3["loaded"]) == 1 and r3["skipped"] == 2
+    assert _count(spark, root) == 100
+
+
+def test_copy_into_rewritten_file_is_a_new_version(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _write_src(spark, f"{src}/a", 0, 10)
+    root = str(tmp_path / "tbl")
+    sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert _count(spark, root) == 10
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    _write_src(spark, f"{src}/a", 100, 115)  # in-place rewrite, new size
+    r = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert len(r["loaded"]) == 1
+    # the OLD rows stay (append semantics — dedup is per file VERSION)
+    assert _count(spark, root) == 25
+
+
+def test_copy_into_force_reloads(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _write_src(spark, f"{src}/a", 0, 10)
+    root = str(tmp_path / "tbl")
+    sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    r = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet", force=True)
+    assert len(r["loaded"]) == 1
+    assert _count(spark, root) == 20
+
+
+def test_copy_into_rollback_reloads(spark, tmp_path):
+    """A copy undone by rollback drops out of the lineage walk — the
+    re-run loads the files again."""
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(
+        spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        root,
+    )
+    _write_src(spark, f"{src}/a", 100, 110)
+    r1 = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert _count(spark, root) == 15
+    sn.rollback(root, 0)
+    assert _count(spark, root) == 5
+    # re-running the IDENTICAL batch from the IDENTICAL parent resumes
+    # the original commit through its tag marker (same content, zero new
+    # bytes) — indistinguishable from a crash-replay, and the net state
+    # is exactly what a fresh load would produce
+    r2 = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert len(r2["loaded"]) == 1 and r2["version"] == r1["version"]
+    assert _count(spark, root) == 15
+    # an INTERVENING commit changes the parent: the re-copy after a
+    # rollback then loads fresh
+    sn.rollback(root, 0)
+    sn.snapshot_append(
+        spark.range(2).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        root,
+    )
+    r3 = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert len(r3["loaded"]) == 1 and r3["version"] not in (
+        r1["version"],
+        r2["version"],
+    )
+    assert _count(spark, root) == 17
+
+
+def test_copy_into_csv_needs_schema(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("1,alpha\n2,beta\n")
+    root = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="schema"):
+        sn.snapshot_copy_into(spark, root, str(src), source_format="csv")
+    schema = StructType(
+        [StructField("k", LongType()), StructField("name", StringType())]
+    )
+    r = sn.snapshot_copy_into(
+        spark, root, str(src), source_format="csv", schema=schema
+    )
+    assert len(r["loaded"]) == 1
+    rows = sorted(
+        (x.k, x.name) for x in sn.read_snapshot(spark, root).collect()
+    )
+    assert rows == [(1, "alpha"), (2, "beta")]
+    # idempotent for csv too
+    assert sn.snapshot_copy_into(
+        spark, root, str(src), source_format="csv", schema=schema
+    )["loaded"] == []
+
+
+def test_copy_into_refusals(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError, match="matched no files"):
+        sn.snapshot_copy_into(spark, root, str(tmp_path / "nope*"))
+    p = tmp_path / "x.parquet"
+    p.write_text("not really parquet")
+    with pytest.raises(ValueError, match="unsupported format"):
+        sn.snapshot_copy_into(spark, root, str(p), source_format="avro")
+
+
+def test_copy_into_composes_with_blooms(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _write_src(spark, f"{src}/a", 0, 1000)
+    root = str(tmp_path / "tbl")
+    sn.snapshot_copy_into(
+        spark, root, f"{src}/*/*.parquet", bloom_cols=["k"]
+    )
+    got = sn.read_snapshot_pruned(spark, root, point_eq={"k": 123}).collect()
+    assert [r.k for r in got] == [123]
+
+
+def test_sql_copy_into_statement(spark, tmp_path):
+    """The SQL surface: COPY INTO <name> FROM '<glob>'."""
+    from data_engineering_challenge_spark.sources import catalog as cat
+    from data_engineering_challenge_spark.sql_exec import execute_sql
+
+    cdir = str(tmp_path / "catalog")
+    src = str(tmp_path / "landing")
+    _write_src(spark, f"{src}/a", 0, 30)
+    execute_sql(
+        spark, "CREATE TABLE lake AS SELECT CAST(99999 AS BIGINT) AS k,"
+        " CAST(0 AS BIGINT) AS v", cdir
+    )
+    v = execute_sql(
+        spark, f"COPY INTO lake FROM '{src}/*/*.parquet'", cdir
+    )
+    assert isinstance(v, int)
+    n = execute_sql(spark, "SELECT COUNT(*) AS n FROM lake", cdir).first().n
+    assert n == 31
+    # re-run no-ops
+    execute_sql(spark, f"COPY INTO lake FROM '{src}/*/*.parquet'", cdir)
+    assert (
+        execute_sql(spark, "SELECT COUNT(*) AS n FROM lake", cdir).first().n
+        == 31
+    )
+    # csv format variant reads under the TABLE's schema
+    csv = tmp_path / "more.csv"
+    csv.write_text("7,70\n8,80\n")
+    execute_sql(
+        spark, f"COPY INTO lake FROM '{csv}' FORMAT CSV", cdir
+    )
+    assert (
+        execute_sql(spark, "SELECT COUNT(*) AS n FROM lake", cdir).first().n
+        == 33
+    )
