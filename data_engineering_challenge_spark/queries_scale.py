@@ -1532,10 +1532,16 @@ def q_snapshot_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", "o_totalprice"
         )
         root = tempfile.mkdtemp(prefix="snap_bloom_") + "/tbl"
+        # SIZE the filter to the load (m ≈ 10× distinct keys per file,
+        # the documented contract — bloom_evidence.py shows the default
+        # 8192 bits saturating at sf ≥ 0.05 and skipping nothing)
+        per_file = o.count() // 8 + 1
+        bits = min(1 << 24, max(8192, ((10 * per_file + 7) // 8) * 8))
         sn.snapshot_append(
             o.repartition(8, "o_orderkey"),
             root,
             bloom_cols=["o_orderkey"],
+            bloom_bits=bits,
         )
         out = _ORC_OUT_CACHE[key] = root
     bounds = (

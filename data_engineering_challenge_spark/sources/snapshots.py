@@ -442,7 +442,9 @@ def _file_blooms(
     from pyspark.sql import functions as F
 
     paths = [os.path.join(root, f) for f in files]
-    by_abs = {os.path.abspath(os.path.join(root, f)): f for f in files}
+    # realpath both sides: Spark reports RESOLVED paths, so a symlinked
+    # table root must not read as "mapping drifted"
+    by_abs = {os.path.realpath(os.path.join(root, f)): f for f in files}
     df = spark.read.parquet(*paths).withColumn(
         "__file", F.input_file_name()
     )
@@ -460,7 +462,7 @@ def _file_blooms(
         )
         seen = set()
         for r in rows:
-            ap = os.path.abspath(
+            ap = os.path.realpath(
                 urllib.parse.unquote(
                     r["__file"].removeprefix("file:")
                 )
@@ -1267,17 +1269,28 @@ def snapshot_append(
     )
 
 
-def _copied_identities(root: str) -> set[str]:
-    """Every source-file identity already loaded into the CURRENT
-    lineage — the parent-chain walk (O(commits) × O(1) meta reads), so
-    a rolled-back copy's identities correctly drop out and a re-run
-    re-loads them."""
+def _copied_identities(root: str, start: int | None = None) -> set[str]:
+    """Every source-file identity loaded into the CURRENT table STATE —
+    the parent-chain walk (O(commits since last consolidation) × O(1)
+    meta reads) with two state-scoping rules:
+
+    * a ``restore_of`` hop JUMPS to the restored version's history —
+      a restore that undid a copy really un-loads it (and a rolled-back
+      copy drops out because the walk starts at the live head);
+    * a ``copied_all`` payload (written by `compact_manifests`, which
+      consolidates the accumulated set forward) TERMINATES the walk —
+      the cron steady state stays O(commits since the last manifest
+      maintenance), not O(all commits ever)."""
     out: set[str] = set()
-    v = current_version(root)
+    v = current_version(root) if start is None else start
     while v is not None:
         meta = _read_manifest_meta(root, v)
         out.update(meta.get("copied") or [])
-        v = meta.get("parent")
+        if meta.get("copied_all") is not None:
+            out.update(meta["copied_all"])
+            break
+        ro = meta.get("restore_of")
+        v = ro if ro is not None else meta.get("parent")
     return out
 
 
@@ -1368,6 +1381,21 @@ def snapshot_copy_into(
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     df = reader.load(todo)
+    # inherit the table's recorded pruning POLICY when the caller gives
+    # none (the same move snapshot_compact makes) — a cron ingesting
+    # through COPY INTO must not silently produce unprunable files on a
+    # table whose layout declares stats/bloom columns
+    parent0 = current_version(root)
+    if parent0 is not None and (stats_cols is None or bloom_cols is None):
+        lay = _read_manifest_meta(root, parent0).get("layout") or {}
+        if stats_cols is None:
+            pol = lay.get("stats_cols") or []
+            stats_cols = [c for c in pol if c in df.columns] or None
+        if bloom_cols is None:
+            pol = lay.get("bloom_cols") or []
+            bloom_cols = [c for c in pol if c in df.columns] or None
+            if bloom_cols:
+                bloom_bits = int(lay.get("bloom_bits") or bloom_bits)
     batch = sorted(idents[p] for p in todo)
     parent = current_version(root)
     salt = f"|force={uuid.uuid4().hex}" if force else ""
@@ -2336,7 +2364,7 @@ def snapshot_evolve(
                     "repartition the table instead of renaming/dropping "
                     "its partition source columns"
                 )
-        for lk in ("sort_cols", "stats_cols", "zorder_cols"):
+        for lk in ("sort_cols", "stats_cols", "zorder_cols", "bloom_cols"):
             if layout.get(lk):
                 remapped = [
                     renames.get(c, c)
@@ -2350,6 +2378,8 @@ def snapshot_evolve(
         if not layout.get("zorder_cols"):
             # a fully-dropped z-order policy takes its bits with it
             layout.pop("zorder_bits", None)
+        if not layout.get("bloom_cols"):
+            layout.pop("bloom_bits", None)
         try:
             return _commit(
                 root,
@@ -2961,6 +2991,13 @@ def compact_manifests(root: str, max_entries: int = 1) -> int:
         for k in ("layout", "fields", "checks"):
             if meta.get(k):
                 payload[k] = meta[k]
+        copied_all = _copied_identities(root, start=parent)
+        if copied_all:
+            # consolidate the copy-into identity set FORWARD (same move
+            # as the entry merge): `_copied_identities` stops its walk
+            # here, so the ingestion cron's steady-state planning cost
+            # is O(commits since the last manifest maintenance)
+            payload["copied_all"] = sorted(copied_all)
 
         def _drop_attempt() -> None:
             for n in entries + dentries:
@@ -4097,7 +4134,12 @@ def snapshot_restore(root: str, version: int) -> int:
     `rollback`, but history stays LINEAR: the undone commits remain on
     the lineage and `resolve_asof_version` keeps working for every
     wall-clock instant.  Prefer this over `rollback` whenever timestamp
-    time travel matters."""
+    time travel matters.
+
+    The payload records ``restore_of`` so STATE-SCOPED walks (the
+    copy-into identity set) resume from the restored version's history
+    — a restore that undoes a COPY INTO batch really un-loads it, and
+    the cron's next run re-ingests (same contract as `rollback`)."""
     m = _read_manifest(root, version)  # raises if the version is unknown
     return _commit(
         root,
@@ -4105,6 +4147,7 @@ def snapshot_restore(root: str, version: int) -> int:
         current_version(root),
         operation="restore",
         entries_from=version,
+        payload_extras={"restore_of": version},
         manifest_override={
             # verbatim carry — including schema metadata, so restoring
             # past a rename/drop restores the schema too (None values

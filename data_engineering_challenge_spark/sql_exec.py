@@ -742,7 +742,9 @@ def execute_sql(
         name = cur.ident("table name")
         cur.expect_kw("FROM")
         srct = cur.peek()
-        if srct is None or not (srct.startswith("'") and srct.endswith("'")):
+        if srct is None or len(srct) < 2 or not (
+            srct.startswith("'") and srct.endswith("'")
+        ):
             cur.fail("expected a quoted source path/glob after FROM")
         cur.i += 1
         src = srct[1:-1].replace("''", "'")

@@ -106,6 +106,90 @@ def test_copy_into_rollback_reloads(spark, tmp_path):
     assert _count(spark, root) == 17
 
 
+def test_copy_into_restore_unloads(spark, tmp_path):
+    """`snapshot_restore` (the history-preserving undo) must un-load a
+    copy just like rollback: the identity walk jumps through the
+    restore hop to the restored version's history."""
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(
+        spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        root,
+    )
+    _write_src(spark, f"{src}/a", 100, 110)
+    sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert _count(spark, root) == 15
+    sn.snapshot_restore(root, 0)  # undo the copy, history stays linear
+    assert _count(spark, root) == 5
+    r = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert len(r["loaded"]) == 1
+    assert _count(spark, root) == 15
+    # and a copy BEFORE the restored version stays deduped
+    r2 = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert r2["loaded"] == []
+
+
+def test_copied_set_consolidates_through_manifest_compaction(spark, tmp_path):
+    """`compact_manifests` folds the accumulated identity set forward,
+    so the walk terminates at the consolidation point — and the re-run
+    still no-ops."""
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "tbl")
+    for i in range(4):
+        _write_src(spark, f"{src}/b{i}", i * 10, i * 10 + 10)
+        sn.snapshot_copy_into(spark, root, f"{src}/b{i}/*.parquet")
+    v = sn.compact_manifests(root)
+    meta = sn._read_manifest_meta(root, v)
+    assert len(meta.get("copied_all") or []) == 4
+    r = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert r["loaded"] == [] and r["skipped"] == 4
+    assert _count(spark, root) == 40
+
+
+def test_copy_into_inherits_layout_policy(spark, tmp_path):
+    """A table whose layout declares bloom/stats columns keeps getting
+    prunable files from policy-less COPY INTO calls (the SQL surface
+    cannot pass per-call args)."""
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(
+        spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        root,
+        stats_cols=["k"],
+        bloom_cols=["k"],
+        bloom_bits=16384,
+    )
+    _write_src(spark, f"{src}/a", 100, 200)
+    sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    m = sn._read_manifest(root, sn.current_version(root))
+    blooms = m.get("blooms") or {}
+    assert set(blooms) == set(m["files"])  # ingested files claim too
+    # inherited sizing, not the default
+    assert all(b["k"]["m"] == 16384 for b in blooms.values())
+    # (per-commit stats_cols is NOT a layout policy — only the bloom
+    # declaration rides the layout; clustered appends declare stats)
+
+
+def test_evolve_remaps_bloom_policy(spark, tmp_path):
+    """A rename carries the layout's bloom policy with it, so
+    compaction keeps re-deriving filters for rewritten files."""
+    df = (
+        spark.range(0, 2000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        .repartition(4, "k")
+    )
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(df, root, bloom_cols=["k"])
+    sn.snapshot_evolve(root, renames={"k": "kk"})
+    lay = sn._read_manifest_meta(root, sn.current_version(root))["layout"]
+    assert lay["bloom_cols"] == ["kk"]
+    v = sn.snapshot_compact(spark, root, target_files=2)
+    m = sn._read_manifest(root, v)
+    assert set(m.get("blooms") or {}) == set(m["files"])
+    got = sn.read_snapshot_pruned(spark, root, point_eq={"kk": 777}).collect()
+    assert [r.kk for r in got] == [777]
+
+
 def test_copy_into_csv_needs_schema(spark, tmp_path):
     src = tmp_path / "in.csv"
     src.write_text("1,alpha\n2,beta\n")
