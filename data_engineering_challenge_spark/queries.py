@@ -154,7 +154,8 @@ _CHEAP_FIRST = [
     "snapshot_merge_into", "snapshot_update_where",
     "streaming_partitioned_ingest",
     # round-9 additions, measured verify cost ascending (sf0.01)
-    "snapshot_copy_into_ingest", "snapshot_bloom_prune",
+    "snapshot_copy_into_ingest", "snapshot_add_column_defaults",
+    "snapshot_bloom_prune",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -1566,6 +1566,73 @@ def q_snapshot_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_add_column_defaults",
+    # Oracle: the evolution replayed as a CASE split — rows committed
+    # BEFORE the add read the initial default, rows appended after
+    # carry their computed values.
+    f"""
+WITH pre AS (
+    SELECT c_custkey AS k, c_acctbal AS bal, 'standard' AS tier
+    FROM customer WHERE c_custkey % 2 = 0
+),
+post AS (
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'plus' END
+    FROM customer WHERE c_custkey % 2 = 1
+),
+u AS (SELECT * FROM pre UNION ALL SELECT * FROM post)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       {_dsum_sql('bal')} AS total_bal
+FROM u GROUP BY tier
+""",
+)
+def q_snapshot_add_column_defaults(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADD COLUMN with an INITIAL DEFAULT end to end
+    (`snapshot_evolve(adds=...)`): half the customers are committed,
+    then ``tier`` is added as a METADATA-ONLY commit with default
+    ``'standard'`` (no file rewritten — the old files project the
+    default at read), then the other half appends WITH explicit tier
+    values — and the report groups over a column half the table never
+    physically stored.  The Iceberg initial-default contract: defaults
+    apply per file epoch, never masking post-add values (including
+    explicit NULLs, pinned in tests/test_snapshot_defaults.py).  At
+    100 TB this is the only viable ADD COLUMN: a backfill rewrite of
+    the table is replaced by one JSON commit.  Build cached per
+    (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    key = ("snapshot_add_column_defaults", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        c = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+        )
+        root = tempfile.mkdtemp(prefix="snap_dflt_") + "/tbl"
+        sn.snapshot_overwrite(c.filter(F.col("k") % 2 == 0), root)
+        sn.snapshot_evolve(root, adds={"tier": ("string", "standard")})
+        sn.snapshot_append(
+            c.filter(F.col("k") % 2 == 1).withColumn(
+                "tier",
+                F.when(F.col("bal") < 0, "debt").otherwise("plus"),
+            ),
+            root,
+        )
+        out = _ORC_OUT_CACHE[key] = root
+    return (
+        sn.read_snapshot(spark, out)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_cust"),
+            dsum("bal").alias("total_bal"),
+        )
+    )
+
+
+@register(
     "snapshot_copy_into_ingest",
     # Oracle: the landing slice aggregated ONCE — if the second COPY
     # INTO run were not a no-op, the count and sum would double and the

@@ -1507,11 +1507,21 @@ def _read_files_logical(
     parts = []
     for sig, fs in groups.items():
         gdf = spark.read.parquet(*[os.path.join(root, f) for f in fs])
+        bound = {fid for _, fid in sig}
         cols = [
             F.col(phys).alias(id_to_name[fid])
             for phys, fid in sig
             if fid in live_ids  # dropped fields are projected away
         ]
+        for fl in fields:
+            # a TYPED add (metadata-only column) projects its INITIAL
+            # DEFAULT — or a typed NULL — into every file group written
+            # before the column existed; groups written after carry
+            # real values, so a default never masks an explicit NULL
+            if fl["id"] not in bound and fl.get("type"):
+                cols.append(
+                    F.lit(fl.get("default")).cast(fl["type"]).alias(fl["name"])
+                )
         parts.append(gdf.select(*cols))
     out = parts[0]
     for p in parts[1:]:
@@ -2264,6 +2274,7 @@ def snapshot_evolve(
     root: str,
     renames: dict[str, str] | None = None,
     drops: list[str] | None = None,
+    adds: dict | None = None,
 ) -> int:
     """SCHEMA EVOLUTION as a METADATA-ONLY commit — the Iceberg model in
     miniature: rename and drop never rewrite a data file.  The manifest
@@ -2284,6 +2295,18 @@ def snapshot_evolve(
     never reused, so a subsequent add of the same NAME is a NEW field:
     old files' values do not resurface under it.
 
+    ``adds`` ADDS columns as metadata only (Iceberg ``ADD COLUMN``
+    with an INITIAL DEFAULT): ``{name: (type, default)}`` or ``{name:
+    (type,)}``/``{name: type}`` for a plain nullable add.  Files
+    written BEFORE the add project the default (or a typed NULL) at
+    read — no data rewritten; rows written AFTER the add carry their
+    own values, including explicit NULLs (the default never masks a
+    real NULL, unlike a read-side coalesce).  The default must be a
+    JSON-scalar (int/float/str/bool) castable to the declared Spark
+    type; the type string is Spark DDL (``bigint``, ``string``,
+    ``decimal(28,10)``, …).  Field ids are never reused, so adding a
+    previously-dropped NAME is a genuinely new column.
+
     First evolution BOOTSTRAPS the schema from the parquet footers of
     the current version's files (names only — no data pages read).
     Refuses tables carrying MoR delete files (compact first — see
@@ -2292,7 +2315,30 @@ def snapshot_evolve(
     the claim and the evolution re-derives against the new head."""
     renames = dict(renames or {})
     drops = list(drops or [])
-    if not renames and not drops:
+    adds_norm: dict[str, tuple[str, object]] = {}
+    for name, spec in (adds or {}).items():
+        if isinstance(spec, str):
+            typ, dflt = spec, None
+        elif isinstance(spec, (tuple, list)) and len(spec) in (1, 2):
+            typ = spec[0]
+            dflt = spec[1] if len(spec) == 2 else None
+        else:
+            raise ValueError(
+                f"snapshot_evolve: adds[{name!r}] must be a type string "
+                f"or (type, default) tuple, got {spec!r}"
+            )
+        if not isinstance(typ, str) or not typ.strip():
+            raise ValueError(
+                f"snapshot_evolve: adds[{name!r}] needs a Spark DDL type "
+                f"string, got {typ!r}"
+            )
+        if dflt is not None and not isinstance(dflt, (int, float, str, bool)):
+            raise ValueError(
+                f"snapshot_evolve: adds[{name!r}] default must be a JSON "
+                f"scalar, got {type(dflt).__name__}"
+            )
+        adds_norm[name] = (typ.strip(), dflt)
+    if not renames and not drops and not adds_norm:
         raise ValueError("snapshot_evolve: nothing to do")
     last_err: Exception | None = None
     for _ in range(5):
@@ -2345,6 +2391,23 @@ def snapshot_evolve(
             del by_name[c]
         if not fields:
             raise ValueError("snapshot_evolve: cannot drop every column")
+        next_id = max(
+            [x["id"] for x in fields]
+            + [i for mp in ffields.values() for i in mp.values()],
+            default=0,
+        )
+        for name, (typ, dflt) in adds_norm.items():
+            if name in by_name:
+                raise ValueError(
+                    f"snapshot_evolve: add {name!r} collides with an "
+                    "existing column"
+                )
+            next_id += 1
+            fld: dict = {"id": next_id, "name": name, "type": typ}
+            if dflt is not None:
+                fld["default"] = dflt
+            fields.append(fld)
+            by_name[name] = fld
         # the layout POLICY names columns too — remap it through the
         # same evolution, or compaction/pruning would later reference
         # names that no longer exist (a maintenance-breaking time bomb)

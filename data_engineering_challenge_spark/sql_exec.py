@@ -64,6 +64,8 @@ _GRAMMAR = """supported statements:
     WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ... | DELETE
     WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT * | (cols) VALUES (exprs)
     WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
+  ALTER TABLE <name> ADD COLUMN <col> <type> [DEFAULT <lit>]
+                   | RENAME COLUMN <a> TO <b> | DROP COLUMN <c>
   COPY INTO <name> FROM '<path-or-glob>' [FORMAT parquet|csv|jsonl|orc]
   SHOW TABLES | DESCRIBE [TABLE] <name> | OPTIMIZE <name>"""
 
@@ -736,6 +738,51 @@ def execute_sql(
         cur.expect_done()
         root = _writable_root(catalog_dir, name, "execute_sql(DELETE)")
         return sn.snapshot_delete_where(spark, root, pred)
+
+    # ---- ALTER TABLE <name> ADD/RENAME/DROP COLUMN ----
+    if cur.kw("ALTER", "TABLE"):
+        name = cur.ident("table name")
+        root = _writable_root(catalog_dir, name, "execute_sql(ALTER TABLE)")
+        if cur.kw("ADD", "COLUMN") or cur.kw("ADD", "COLUMNS"):
+            col = cur.ident("column name")
+            typ = cur.until((("DEFAULT",),))
+            dflt = None
+            if cur.kw("DEFAULT"):
+                t = cur.peek()
+                if t is None:
+                    cur.fail("expected a literal after DEFAULT")
+                cur.i += 1
+                if t.startswith("'") and t.endswith("'") and len(t) >= 2:
+                    dflt = t[1:-1].replace("''", "'")
+                elif t.upper() in ("TRUE", "FALSE"):
+                    dflt = t.upper() == "TRUE"
+                elif re.fullmatch(r"-?\d+", t) or (
+                    t == "-" and re.fullmatch(r"\d+", cur.peek() or "")
+                ):
+                    if t == "-":
+                        t, cur.i = t + cur.peek(), cur.i + 1
+                    dflt = int(t)
+                else:
+                    try:
+                        dflt = float(t)
+                    except ValueError:
+                        cur.fail(
+                            f"DEFAULT must be a number/string/bool "
+                            f"literal, got {t!r}"
+                        )
+            cur.expect_done()
+            return sn.snapshot_evolve(root, adds={col: (typ, dflt)})
+        if cur.kw("RENAME", "COLUMN"):
+            old = cur.ident("column name")
+            cur.expect_kw("TO")
+            new = cur.ident("new column name")
+            cur.expect_done()
+            return sn.snapshot_evolve(root, renames={old: new})
+        if cur.kw("DROP", "COLUMN"):
+            col = cur.ident("column name")
+            cur.expect_done()
+            return sn.snapshot_evolve(root, drops=[col])
+        cur.fail("expected ADD/RENAME/DROP COLUMN after ALTER TABLE")
 
     # ---- COPY INTO <name> FROM '<glob>' [FORMAT <fmt>] ----
     if cur.kw("COPY", "INTO"):

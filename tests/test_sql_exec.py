@@ -369,6 +369,35 @@ def test_narrowed_attach_skips_unrelated_broken_entries(spark, cdir, tmp_path):
     assert s2.sql("SELECT * FROM ok").collect()[0].a == 1
 
 
+def test_alter_table_statements(spark, cdir):
+    execute_sql(spark, "CREATE TABLE alt AS SELECT id AS k FROM RANGE(3)", cdir)
+    execute_sql(
+        spark,
+        "ALTER TABLE alt ADD COLUMN tier STRING DEFAULT 'bronze'",
+        cdir,
+    )
+    execute_sql(spark, "ALTER TABLE alt ADD COLUMN score DOUBLE", cdir)
+    assert _rows(execute_sql(spark, "SELECT k, tier, score FROM alt", cdir)) == [
+        (0, "bronze", None), (1, "bronze", None), (2, "bronze", None),
+    ]
+    execute_sql(spark, "ALTER TABLE alt RENAME COLUMN tier TO level", cdir)
+    execute_sql(spark, "ALTER TABLE alt DROP COLUMN score", cdir)
+    assert _rows(execute_sql(spark, "SELECT k, level FROM alt", cdir)) == [
+        (0, "bronze"), (1, "bronze"), (2, "bronze"),
+    ]
+    # parenthesized types and numeric defaults parse
+    execute_sql(
+        spark,
+        "ALTER TABLE alt ADD COLUMN bal DECIMAL(28,10) DEFAULT 100",
+        cdir,
+    )
+    assert _rows(
+        execute_sql(spark, "SELECT CAST(SUM(bal) AS BIGINT) AS s FROM alt", cdir)
+    ) == [(300,)]
+    with pytest.raises(SqlSyntaxError, match="ADD/RENAME/DROP"):
+        execute_sql(spark, "ALTER TABLE alt SET TBLPROPERTIES x", cdir)
+
+
 def test_sql_dml_matches_python_api(spark, cdir, tmp_path):
     """The SQL route and the Python API produce IDENTICAL table states
     for the same logical operations (same operators underneath)."""
