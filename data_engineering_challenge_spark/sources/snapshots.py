@@ -1493,6 +1493,11 @@ def _read_files_logical(
         raise ValueError("_read_files_logical: empty file set on an "
                          "evolved table")
     ffields = m.get("file_fields") or {}
+    fseq = m.get("file_seq") or {}
+    dflt_flds = [
+        fl for fl in fields
+        if fl.get("type") and fl.get("default") is not None
+    ]
     groups: dict[tuple, list[str]] = {}
     for f in files:
         mp = ffields.get(f)
@@ -1501,11 +1506,27 @@ def _read_files_logical(
                 f"_read_files_logical: {f} has no field binding in the "
                 "manifest — evolved-table metadata is incomplete"
             )
-        groups.setdefault(tuple(sorted(mp.items())), []).append(f)
+        # which initial defaults apply to THIS file: only those whose
+        # add postdates the file (default_seq = the evolve's parent; a
+        # file written after the add that omits the column reads NULL,
+        # not the default — a field without default_seq is legacy
+        # metadata and keeps the old always-applies behavior)
+        applies = tuple(sorted(
+            fl["id"]
+            for fl in dflt_flds
+            if fl["id"] not in mp.values()
+            and (
+                "default_seq" not in fl
+                or int(fseq.get(f, 0)) <= int(fl["default_seq"])
+            )
+        ))
+        groups.setdefault(
+            (tuple(sorted(mp.items())), applies), []
+        ).append(f)
     id_to_name = {fl["id"]: fl["name"] for fl in fields}
     live_ids = set(id_to_name)
     parts = []
-    for sig, fs in groups.items():
+    for (sig, applies), fs in groups.items():
         gdf = spark.read.parquet(*[os.path.join(root, f) for f in fs])
         bound = {fid for _, fid in sig}
         cols = [
@@ -1515,12 +1536,14 @@ def _read_files_logical(
         ]
         for fl in fields:
             # a TYPED add (metadata-only column) projects its INITIAL
-            # DEFAULT — or a typed NULL — into every file group written
-            # before the column existed; groups written after carry
-            # real values, so a default never masks an explicit NULL
+            # DEFAULT into file groups that predate the column, a typed
+            # NULL into groups written after it without the column;
+            # groups that carry the column keep their real values, so a
+            # default never masks an explicit NULL
             if fl["id"] not in bound and fl.get("type"):
+                dv = fl.get("default") if fl["id"] in applies else None
                 cols.append(
-                    F.lit(fl.get("default")).cast(fl["type"]).alias(fl["name"])
+                    F.lit(dv).cast(fl["type"]).alias(fl["name"])
                 )
         parts.append(gdf.select(*cols))
     out = parts[0]
@@ -2301,11 +2324,18 @@ def snapshot_evolve(
     written BEFORE the add project the default (or a typed NULL) at
     read — no data rewritten; rows written AFTER the add carry their
     own values, including explicit NULLs (the default never masks a
-    real NULL, unlike a read-side coalesce).  The default must be a
-    JSON-scalar (int/float/str/bool) castable to the declared Spark
-    type; the type string is Spark DDL (``bigint``, ``string``,
-    ``decimal(28,10)``, …).  Field ids are never reused, so adding a
-    previously-dropped NAME is a genuinely new column.
+    real NULL, unlike a read-side coalesce), and a post-add writer
+    that OMITS the column produces NULLs, not the default — Iceberg
+    INITIAL-default, not write-default, semantics (the manifest
+    records ``default_seq`` so the read path can tell the two file
+    epochs apart).  The default must be a JSON-scalar
+    (int/float/str/bool) castable to the declared Spark type; the
+    type string is Spark DDL (``bigint``, ``string``,
+    ``decimal(28,10)``, …) — both are VALIDATED up front against an
+    active SparkSession by evaluating the read path's own expression,
+    so a typo'd type or uncastable default refuses loudly instead of
+    committing an unreadable table head.  Field ids are never reused,
+    so adding a previously-dropped NAME is a genuinely new column.
 
     First evolution BOOTSTRAPS the schema from the parquet footers of
     the current version's files (names only — no data pages read).
@@ -2340,6 +2370,40 @@ def snapshot_evolve(
         adds_norm[name] = (typ.strip(), dflt)
     if not renames and not drops and not adds_norm:
         raise ValueError("snapshot_evolve: nothing to do")
+    if adds_norm:
+        # validate the declared type AND the default's castability UP
+        # FRONT by evaluating the exact expression the read path will
+        # run — an unparseable type or uncastable default committed to
+        # the manifest would make every subsequent read of the table
+        # fail (a committed-but-unreadable head)
+        from pyspark.sql import SparkSession as _SS
+        from pyspark.sql import functions as _F
+
+        _sp = _SS.getActiveSession()
+        if _sp is None:
+            raise ValueError(
+                "snapshot_evolve: adding columns needs an active "
+                "SparkSession (the declared type and default are "
+                "validated before the metadata commit)"
+            )
+        for name, (typ, dflt) in adds_norm.items():
+            try:
+                got = _sp.range(1).select(
+                    _F.lit(dflt).cast(typ).alias("v")
+                ).first()["v"]
+            except Exception as exc:
+                raise ValueError(
+                    f"snapshot_evolve: adds[{name!r}] is unreadable as "
+                    f"declared — lit({dflt!r}).cast({typ!r}) fails: "
+                    f"{str(exc).splitlines()[0]}"
+                ) from None
+            if dflt is not None and got is None:
+                raise ValueError(
+                    f"snapshot_evolve: adds[{name!r}] default {dflt!r} "
+                    f"casts to NULL under type {typ!r} — an initial "
+                    "default must survive the cast (use a plain typed "
+                    "add for a nullable column)"
+                )
     last_err: Exception | None = None
     for _ in range(5):
         seen = set(snapshot_versions(root))
@@ -2374,21 +2438,28 @@ def snapshot_evolve(
                 {"id": i, "name": c} for c, i in name_to_id.items()
             ]
         by_name = {x["name"]: x for x in fields}
+        # collision checks are CASE-INSENSITIVE: Spark resolves column
+        # names case-insensitively by default, so committing both `k`
+        # and `K` would make every read fail AMBIGUOUS_REFERENCE
+        low = {n.lower(): n for n in by_name}
         for old, new in renames.items():
             if old not in by_name:
                 raise ValueError(f"snapshot_evolve: no column {old!r}")
-            if new in by_name and new != old:
+            if low.get(new.lower(), old) != old:
                 raise ValueError(
                     f"snapshot_evolve: rename {old!r}→{new!r} collides "
-                    "with an existing column"
+                    "with an existing column (case-insensitive)"
                 )
             by_name[old]["name"] = new
             by_name[new] = by_name.pop(old)
+            low.pop(old.lower(), None)
+            low[new.lower()] = new
         for c in drops:
             if c not in by_name:
                 raise ValueError(f"snapshot_evolve: no column {c!r}")
             fields = [x for x in fields if x["name"] != c]
             del by_name[c]
+            low.pop(c.lower(), None)
         if not fields:
             raise ValueError("snapshot_evolve: cannot drop every column")
         next_id = max(
@@ -2397,17 +2468,24 @@ def snapshot_evolve(
             default=0,
         )
         for name, (typ, dflt) in adds_norm.items():
-            if name in by_name:
+            if name.lower() in low:
                 raise ValueError(
                     f"snapshot_evolve: add {name!r} collides with an "
-                    "existing column"
+                    "existing column (case-insensitive)"
                 )
             next_id += 1
             fld: dict = {"id": next_id, "name": name, "type": typ}
             if dflt is not None:
                 fld["default"] = dflt
+                # the INITIAL default applies only to files that predate
+                # the add: files already committed have seq <= parent,
+                # anything written after the evolve lands with a higher
+                # seq and reads a typed NULL when it omits the column
+                # (Iceberg initial-default, not write-default, semantics)
+                fld["default_seq"] = parent
             fields.append(fld)
             by_name[name] = fld
+            low[name.lower()] = name
         # the layout POLICY names columns too — remap it through the
         # same evolution, or compaction/pruning would later reference
         # names that no longer exist (a maintenance-breaking time bomb)

@@ -64,7 +64,7 @@ _GRAMMAR = """supported statements:
     WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ... | DELETE
     WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT * | (cols) VALUES (exprs)
     WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
-  ALTER TABLE <name> ADD COLUMN <col> <type> [DEFAULT <lit>]
+  ALTER TABLE <name> ADD COLUMN[S] <col> <type> [DEFAULT <lit>] [, ...]
                    | RENAME COLUMN <a> TO <b> | DROP COLUMN <c>
   COPY INTO <name> FROM '<path-or-glob>' [FORMAT parquet|csv|jsonl|orc]
   SHOW TABLES | DESCRIBE [TABLE] <name> | OPTIMIZE <name>"""
@@ -189,6 +189,35 @@ class _Cursor:
         raise SqlSyntaxError(
             f"execute_sql: {msg} (near: {near or '<end>'!r})\n{_GRAMMAR}"
         )
+
+
+def _default_literal(cur: "_Cursor") -> object:
+    """One scalar literal after DEFAULT: quoted string, TRUE/FALSE, or
+    a signed number — the sign is a separate token for ANY numeric
+    form (int, decimal, scientific), so it is consumed uniformly here
+    rather than per-shape."""
+    t = cur.peek()
+    if t is None:
+        cur.fail("expected a literal after DEFAULT")
+    cur.i += 1
+    if t.startswith("'") and t.endswith("'") and len(t) >= 2:
+        return t[1:-1].replace("''", "'")
+    if t.upper() in ("TRUE", "FALSE"):
+        return t.upper() == "TRUE"
+    neg = False
+    if t in ("-", "+"):
+        neg = t == "-"
+        t = cur.peek()
+        if t is None:
+            cur.fail("expected a number after the sign in DEFAULT")
+        cur.i += 1
+    if re.fullmatch(r"\d+", t):
+        return -int(t) if neg else int(t)
+    try:
+        v = float(t)
+    except (TypeError, ValueError):
+        cur.fail(f"DEFAULT must be a number/string/bool literal, got {t!r}")
+    return -v if neg else v
 
 
 def _rewrite_aliases(text: str, mapping: dict[str, str | None]) -> str:
@@ -744,34 +773,30 @@ def execute_sql(
         name = cur.ident("table name")
         root = _writable_root(catalog_dir, name, "execute_sql(ALTER TABLE)")
         if cur.kw("ADD", "COLUMN") or cur.kw("ADD", "COLUMNS"):
-            col = cur.ident("column name")
-            typ = cur.until((("DEFAULT",),))
-            dflt = None
-            if cur.kw("DEFAULT"):
-                t = cur.peek()
-                if t is None:
-                    cur.fail("expected a literal after DEFAULT")
-                cur.i += 1
-                if t.startswith("'") and t.endswith("'") and len(t) >= 2:
-                    dflt = t[1:-1].replace("''", "'")
-                elif t.upper() in ("TRUE", "FALSE"):
-                    dflt = t.upper() == "TRUE"
-                elif re.fullmatch(r"-?\d+", t) or (
-                    t == "-" and re.fullmatch(r"\d+", cur.peek() or "")
-                ):
-                    if t == "-":
-                        t, cur.i = t + cur.peek(), cur.i + 1
-                    dflt = int(t)
-                else:
-                    try:
-                        dflt = float(t)
-                    except ValueError:
-                        cur.fail(
-                            f"DEFAULT must be a number/string/bool "
-                            f"literal, got {t!r}"
-                        )
+            adds: dict[str, tuple[str, object]] = {}
+            while True:
+                col = cur.ident("column name")
+                # the type slice is BOUNDED: it stops at DEFAULT or a
+                # depth-0 comma (parens nest, so decimal(28,10) stays
+                # whole); snapshot_evolve then parse-validates it as
+                # Spark DDL before committing anything
+                typ = cur.until((("DEFAULT",),), commas=True)
+                if typ.upper().endswith("NOT NULL"):
+                    cur.fail(
+                        "NOT NULL on ADD COLUMN is not supported — "
+                        "added columns are nullable (enforce with "
+                        "snapshot_set_check instead)"
+                    )
+                dflt = None
+                if cur.kw("DEFAULT"):
+                    dflt = _default_literal(cur)
+                if col in adds:
+                    cur.fail(f"duplicate column {col!r} in ADD COLUMNS")
+                adds[col] = (typ, dflt)
+                if not cur.kw(","):
+                    break
             cur.expect_done()
-            return sn.snapshot_evolve(root, adds={col: (typ, dflt)})
+            return sn.snapshot_evolve(root, adds=adds)
         if cur.kw("RENAME", "COLUMN"):
             old = cur.ident("column name")
             cur.expect_kw("TO")

@@ -74,6 +74,67 @@ def test_add_refusals(spark, tmp_path):
         sn.snapshot_evolve(root, adds={"x": 42})
 
 
+def test_post_add_append_without_column_reads_null(spark, tmp_path):
+    """Iceberg INITIAL-default (not write-default) semantics: a file
+    written AFTER the add that omits the column reads a typed NULL —
+    a legacy writer pipeline that hasn't picked up the new column must
+    not silently fabricate the default for new rows."""
+    root = str(tmp_path / "t")
+    _base(spark, root, 2)
+    sn.snapshot_evolve(root, adds={"tier": ("string", "bronze")})
+    sn.snapshot_append(
+        spark.range(2, 4).select(F.col("id").alias("k")), root
+    )
+    rows = sorted(
+        (r.k, r.tier) for r in sn.read_snapshot(spark, root).collect()
+    )
+    assert rows == [(0, "bronze"), (1, "bronze"), (2, None), (3, None)]
+    # and the pre-add epoch still reads the default after ANOTHER add
+    sn.snapshot_evolve(root, adds={"w": ("int", 9)})
+    rows = sorted(
+        (r.k, r.tier, r.w)
+        for r in sn.read_snapshot(spark, root).collect()
+    )
+    assert rows == [
+        (0, "bronze", 9), (1, "bronze", 9), (2, None, 9), (3, None, 9),
+    ]
+
+
+def test_invalid_type_or_default_refuses_before_commit(spark, tmp_path):
+    """A typo'd DDL type or an uncastable default must refuse at
+    evolve time — committing it would leave an unreadable table head
+    (every subsequent read fails at cast analysis)."""
+    root = str(tmp_path / "t")
+    _base(spark, root, 2)
+    head = sn.current_version(root)
+    with pytest.raises(ValueError, match="unreadable as declared"):
+        sn.snapshot_evolve(root, adds={"x": ("strng", "a")})
+    with pytest.raises(ValueError, match="unreadable as declared|NULL"):
+        sn.snapshot_evolve(root, adds={"n": ("int", "abc")})
+    with pytest.raises(ValueError, match="unreadable as declared"):
+        sn.snapshot_evolve(root, adds={"y": ("int not null", 1)})
+    assert sn.current_version(root) == head  # nothing committed
+    assert sorted(r.k for r in sn.read_snapshot(spark, root).collect()) == [
+        0, 1,
+    ]
+
+
+def test_case_insensitive_collision_refused(spark, tmp_path):
+    """Spark resolves columns case-insensitively by default, so `k`
+    and `K` in one schema would make every read AMBIGUOUS_REFERENCE —
+    the collision check must match Spark's resolution rules."""
+    root = str(tmp_path / "t")
+    _base(spark, root, 2)
+    with pytest.raises(ValueError, match="collides.*case-insensitive"):
+        sn.snapshot_evolve(root, adds={"K": ("int", 5)})
+    sn.snapshot_evolve(root, adds={"v": ("int", 1)})
+    with pytest.raises(ValueError, match="collides.*case-insensitive"):
+        sn.snapshot_evolve(root, renames={"k": "V"})
+    # a pure case-change rename of a column onto ITSELF is fine
+    sn.snapshot_evolve(root, renames={"k": "K"})
+    assert sn.read_snapshot(spark, root).columns == ["K", "v"]
+
+
 def test_add_composes_with_rename_and_drop(spark, tmp_path):
     root = str(tmp_path / "t")
     _base(spark, root)

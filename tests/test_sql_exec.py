@@ -266,7 +266,7 @@ def test_script_splitting_and_literal_inertness(spark, cdir):
 def test_unsupported_statements_refuse_loudly(spark, cdir):
     for bad in (
         "TRUNCATE TABLE x",
-        "ALTER TABLE x ADD COLUMN y INT",
+        "ALTER SESSION SET x = 1",
         "GRANT ALL ON x TO y",
         "",
         ";",
@@ -396,6 +396,34 @@ def test_alter_table_statements(spark, cdir):
     ) == [(300,)]
     with pytest.raises(SqlSyntaxError, match="ADD/RENAME/DROP"):
         execute_sql(spark, "ALTER TABLE alt SET TBLPROPERTIES x", cdir)
+
+
+def test_alter_add_columns_grammar(spark, cdir):
+    execute_sql(spark, "CREATE TABLE ag AS SELECT id AS k FROM RANGE(2)", cdir)
+    # multi-column ADD COLUMNS, signed float default, negative int
+    execute_sql(
+        spark,
+        "ALTER TABLE ag ADD COLUMNS w DOUBLE DEFAULT -1.5, "
+        "n INT DEFAULT -2, s STRING",
+        cdir,
+    )
+    assert _rows(execute_sql(spark, "SELECT k, w, n, s FROM ag", cdir)) == [
+        (0, -1.5, -2, None), (1, -1.5, -2, None),
+    ]
+    # trailing modifiers refuse loudly instead of committing garbage
+    with pytest.raises(SqlSyntaxError, match="NOT NULL"):
+        execute_sql(spark, "ALTER TABLE ag ADD COLUMN y INT NOT NULL", cdir)
+    # a typo'd type never reaches the manifest (evolve validates)
+    with pytest.raises(ValueError, match="unreadable as declared"):
+        execute_sql(spark, "ALTER TABLE ag ADD COLUMN z STRNG", cdir)
+    with pytest.raises(SqlSyntaxError, match="duplicate column"):
+        execute_sql(
+            spark, "ALTER TABLE ag ADD COLUMNS a INT, a STRING", cdir
+        )
+    # the table is still healthy after every refusal
+    assert _rows(execute_sql(spark, "SELECT COUNT(*) AS c FROM ag", cdir)) == [
+        (2,)
+    ]
 
 
 def test_sql_dml_matches_python_api(spark, cdir, tmp_path):
