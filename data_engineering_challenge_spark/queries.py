@@ -172,6 +172,7 @@ _TAIL = [
     "streaming_incremental_report",
     "streaming_snapshot_cdc",
     "streaming_snapshot_source",
+    "streaming_rate_limited_backfill",
     "streaming_snapshot_cdf_source",
     "snapshot_view_refresh_cdf",
     "snapshot_cdf_updates",

@@ -2400,6 +2400,79 @@ def q_streaming_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_rate_limited_backfill",
+    # The capped stream pages through the table in bounded micro-batches
+    # but must deliver every row exactly once — so the plain batch
+    # aggregate over the same slice IS the oracle.
+    f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS total_value
+FROM events
+WHERE event_id % 3 = 0
+GROUP BY event_type
+""",
+)
+def q_streaming_rate_limited_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rate-limited snapshot-stream BACKFILL (`max_files_per_trigger` —
+    Delta's maxFilesPerTrigger posture at file grain): a 6-file source
+    commit is drained under a 2-files-per-trigger cap, so the initial
+    snapshot is SPLIT across micro-batches at deterministic
+    sorted-file boundaries ({version, idx, snap} offsets — each split
+    is self-describing, WAL-replay-safe) instead of being planned as
+    one giant catch-up batch.  Spark's Python DataSource falls back to
+    single-batch execution under availableNow, so each checkpointed
+    drain run advances exactly one capped batch; the loop below pages
+    until drained — exactly the cron-driven backfill shape.  The sink
+    aggregate hash-matches the batch oracle: admission control loses
+    nothing and duplicates nothing.  At 100 TB this is the difference
+    between a bounded, spill-safe backfill and a micro-batch that
+    reads the whole table.  Output cached per (query, sf_dir)."""
+    import tempfile
+
+    from . import roles
+    from .sources import snapshots as sn
+    from .sources.snapshot_source import register_snapshot_source
+
+    key = ("streaming_rate_limited_backfill", sf_dir)
+    out = _STREAM_OUT_CACHE.get(key)
+    if out is None:
+        register_snapshot_source(spark)
+        tmp = tempfile.mkdtemp(prefix="snap_rate_")
+        src, dst, ckpt = f"{tmp}/src", f"{tmp}/dst", f"{tmp}/ckpt"
+        feed = (
+            roles.load_events(spark, sf_dir)
+            .filter(F.col("event_id") % 3 == 0)
+            .select("event_id", "event_type", "value")
+        )
+        sn.snapshot_append(feed.repartition(6), src)
+        stream = (
+            spark.readStream.format("snapshot_table")
+            .option("root", src)
+            .option("max_files_per_trigger", 2)
+            .load()
+        )
+        last = -1
+        for _ in range(8):  # 6 files / cap 2 = 3 paging runs + drain
+            sn.run_streaming_snapshot_sink(stream, dst, ckpt)
+            n = sn.read_snapshot(spark, dst).count()
+            if n == last:
+                break
+            last = n
+        out = _STREAM_OUT_CACHE[key] = dst
+    return (
+        sn.read_snapshot(spark, out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
     "streaming_snapshot_cdf_source",
     # The streamed change feed is deterministic given the sequenced
     # feed: per commit, one key-only DELETE tombstone per touched key

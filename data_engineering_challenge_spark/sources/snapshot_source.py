@@ -92,6 +92,61 @@ def _delkey(m: dict) -> set:
     return {(d["file"], d["seq"]) for d in m.get("delete_files") or []}
 
 
+def _hops(
+    root: str, from_v: int, to_v: int, include_from: bool = False
+) -> list[tuple[int, list[str]]]:
+    """Per-commit added files for ``(from_v, to_v]`` in ASCENDING
+    version order — `_added_files` restated at hop grain, with the
+    same loud failures, so a rate-limited stream can split a version's
+    file set across micro-batches at a DETERMINISTIC boundary (each
+    hop's adds are sorted; an offset's ``idx`` indexes that order).
+    ``include_from`` extends the walk to cover ``from_v``'s own hop —
+    the resume case where ``from_v`` was only partially consumed.
+    Compaction hops contribute NO files (row-content-preserving, same
+    rule `_added_files` applies)."""
+    to_m = sn._read_manifest(root, to_v)
+    _refuse_unstreamable(to_m, "snapshot_table stream")
+    chain = [to_m]
+    while chain[-1]["version"] != from_v:
+        parent = chain[-1]["parent"]
+        if parent is None or parent < from_v:
+            raise ValueError(
+                f"snapshot_table stream: v{from_v} is not an ancestor "
+                f"of v{to_v} (rollback between offsets?)"
+            )
+        chain.append(sn._read_manifest(root, parent))
+    if include_from:
+        parent = chain[-1].get("parent")
+        chain.append(
+            sn._read_manifest(root, parent)
+            if parent is not None
+            else {"version": -1, "files": [], "delete_files": []}
+        )
+    chain.reverse()
+    out: list[tuple[int, list[str]]] = []
+    for pm, m in zip(chain, chain[1:]):
+        v = int(m["version"])
+        if m.get("operation") == "compact":
+            sn._check_compact_hop(m, "snapshot_table stream")
+            out.append((v, []))
+            continue
+        if not set(pm["files"]) <= set(m["files"]):
+            raise ValueError(
+                f"snapshot_table stream: v{v} overwrote "
+                f"v{pm['version']} — the delta is not append-only; "
+                "rebuild the consumer from a fresh checkpoint"
+            )
+        if _delkey(m) != _delkey(pm):
+            raise ValueError(
+                f"snapshot_table stream: v{v} changed the MoR "
+                "delete-file set — the delta is not expressible as "
+                "added rows; consume via diff of time-traveled MoR reads"
+            )
+        pf = set(pm["files"])
+        out.append((v, sorted(f for f in m["files"] if f not in pf)))
+    return out
+
+
 def _added_files(root: str, from_v: int, to_v: int) -> list[str]:
     """Files ADDED between two versions of an append lineage — the
     `read_snapshot_changes` walk (same loud failures) restated over
@@ -107,45 +162,15 @@ def _added_files(root: str, from_v: int, to_v: int) -> list[str]:
                 "deleted rows; snapshot_compact first"
             )
         return sorted(to_m["files"])
-    added: list[str] = []
-    m = to_m
-    while m["version"] != from_v:
-        parent = m["parent"]
-        if parent is None or parent < from_v:
-            raise ValueError(
-                f"snapshot_table stream: v{from_v} is not an ancestor of "
-                f"v{to_v} (rollback between offsets?)"
-            )
-        pm = sn._read_manifest(root, parent)
-        if m.get("operation") == "compact":
-            # major compaction is row-content-preserving: it adds no
-            # rows, and the deletes it folds necessarily predate this
-            # stream's offset range (an in-range delete commit fails the
-            # delete-set check on its own hop) and cannot touch in-range
-            # files (the sequence rule) — SKIP the hop so a checkpointed
-            # consumer survives cron maintenance instead of dying on it.
-            # The added set accumulates per hop: a file the compaction
-            # rewrote away is still read (immutable, still referenced by
-            # its pre-compact manifest).
-            sn._check_compact_hop(m, "snapshot_table stream")
-            m = pm
-            continue
-        if not set(pm["files"]) <= set(m["files"]):
-            raise ValueError(
-                f"snapshot_table stream: v{m['version']} overwrote "
-                f"v{parent} — the delta is not append-only; rebuild the "
-                "consumer from a fresh checkpoint"
-            )
-        if _delkey(m) != _delkey(pm):
-            raise ValueError(
-                f"snapshot_table stream: v{m['version']} changed the MoR "
-                "delete-file set — the delta is not expressible as added "
-                "rows; consume via diff of time-traveled MoR reads"
-            )
-        pf = set(pm["files"])
-        added.extend(f for f in m["files"] if f not in pf)
-        m = pm
-    return sorted(set(added))
+    # the hop walk carries all the loud failures (non-ancestor,
+    # overwrite, delete-set change) and the compact-hop skip: major
+    # compaction is row-content-preserving — it adds no rows, the
+    # deletes it folds necessarily predate this stream's offset range,
+    # and a file the compaction rewrote away is still read (immutable,
+    # still referenced by its pre-compact manifest)
+    return sorted(
+        {f for _, adds in _hops(root, from_v, to_v) for f in adds}
+    )
 
 
 def _all_nullable(schema: StructType) -> StructType:
@@ -201,6 +226,20 @@ class SnapshotTableDataSource(DataSource):
     at this commit, INCLUSIVE — Delta's ``startingVersion`` — instead
     of the full initial snapshot; fresh checkpoints only, validated at
     stream start).
+
+    STREAM admission control (Delta's maxFilesPerTrigger posture — a
+    backfill over a large table must never plan one giant catch-up
+    micro-batch): ``max_versions_per_batch`` caps commits per batch
+    (the only limiter valid with ``change_feed``, which keeps one
+    commit's events atomic); ``max_files_per_trigger`` /
+    ``max_bytes_per_trigger`` cap FILE/BYTE grain, splitting even a
+    single huge commit (or the initial snapshot) across batches at a
+    deterministic sorted-file boundary.  Split offsets are
+    SELF-DESCRIBING ({version, idx[, snap]}), so a WAL-replayed batch
+    plans identically with no reliance on the options; byte caps admit
+    at least one file per batch (progress guarantee), and file sizes
+    come from the manifest's write-time ``sizes`` metadata — no
+    filesystem stat per file at plan time.
 
     CATALOG resolution: ``option("catalog", dir).option("table", name)``
     resolves the root (and, for batch reads, the recorded pin) through
@@ -384,12 +423,16 @@ class SnapshotTableDataSource(DataSource):
             )
         sv = self.options.get("start_version")
         mvb = self.options.get("max_versions_per_batch")
+        mft = self.options.get("max_files_per_trigger")
+        mbt = self.options.get("max_bytes_per_trigger")
         return SnapshotStreamReader(
             self._root(),
             schema,
             start_version=int(sv) if sv is not None else None,
             change_feed=_change_feed_on(self.options),
             max_versions_per_batch=int(mvb) if mvb is not None else None,
+            max_files_per_trigger=int(mft) if mft is not None else None,
+            max_bytes_per_trigger=int(mbt) if mbt is not None else None,
         )
 
 
@@ -559,25 +602,52 @@ class SnapshotStreamReader(DataSourceStreamReader):
         start_version: int | None = None,
         change_feed: bool = False,
         max_versions_per_batch: int | None = None,
+        max_files_per_trigger: int | None = None,
+        max_bytes_per_trigger: int | None = None,
     ):
         if max_versions_per_batch is not None and max_versions_per_batch < 1:
             raise ValueError(
                 "snapshot_table stream: max_versions_per_batch must be "
                 f">= 1, got {max_versions_per_batch}"
             )
+        if max_files_per_trigger is not None and max_files_per_trigger < 1:
+            raise ValueError(
+                "snapshot_table stream: max_files_per_trigger must be "
+                f">= 1, got {max_files_per_trigger}"
+            )
+        if max_bytes_per_trigger is not None and max_bytes_per_trigger < 1:
+            raise ValueError(
+                "snapshot_table stream: max_bytes_per_trigger must be "
+                f">= 1, got {max_bytes_per_trigger}"
+            )
+        if change_feed and (
+            max_files_per_trigger is not None
+            or max_bytes_per_trigger is not None
+        ):
+            raise ValueError(
+                "snapshot_table change_feed: file/byte-grain rate limits "
+                "would split one commit's events across micro-batches "
+                "(a consumer could observe inserts without their "
+                "tombstones) — use max_versions_per_batch, which keeps "
+                "commits atomic"
+            )
         self.root = root
         self.schema_ = schema
         self.start_version = start_version
         self.change_feed = change_feed
         self.max_versions = max_versions_per_batch
+        self.max_files = max_files_per_trigger
+        self.max_bytes = max_bytes_per_trigger
         # admission-control state (driver-resident for the run): the
         # last offset this reader planned/committed, so latestOffset can
-        # cap a BACKFILL to max_versions commits per micro-batch instead
-        # of planning one giant catch-up batch (Delta's
-        # maxFilesPerTrigger posture at version grain).  Unknown after a
-        # checkpoint restart until the first partitions()/commit() call
-        # — that one batch is the engine's WAL-replayed plan anyway.
-        self._base_offset: int | None = None
+        # cap a BACKFILL to max_versions commits / max_files / max_bytes
+        # per micro-batch instead of planning one giant catch-up batch
+        # (Delta's maxFilesPerTrigger posture).  Set by the engine's
+        # restart protocol (commit of the checkpointed offset, or the
+        # replayed batch's partitions() call) before any latestOffset;
+        # on a FRESH stream latestOffset primes it via initialOffset.
+        self._base_offset: dict | None = None
+        self._sizes: dict | None = None  # per-file bytes, latest walk
         if change_feed:
             # the file-read schema is the TABLE schema; the two event
             # columns are appended as constants per partition — they
@@ -713,7 +783,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # checkpointed offset (so this validation never re-runs against
         # since-expired history).
         if self.start_version is None:
-            self._base_offset = -1
+            self._base_offset = {"version": -1}
             return {"version": -1}
         sv = int(self.start_version)
         if sv < 0:
@@ -749,7 +819,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     f"manifests back to v{sv - 1} for the delta diff, "
                     f"but one was expired ({exc})"
                 ) from None
-        self._base_offset = sv - 1
+        self._base_offset = {"version": sv - 1}
         if sv == 0:
             # the flag makes the OFFSET self-describing: a WAL-replayed
             # (-1 → e) batch re-plans the same full event replay even
@@ -757,19 +827,115 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return {"version": -1, "replay": True}
         return {"version": sv - 1}
 
+    def _snap_files(self, w: int) -> list[str]:
+        """The initial-snapshot file list at version ``w``, sorted (the
+        deterministic order a split offset's ``idx`` indexes), with the
+        same admission checks as an unsplit ``(-1, w]`` batch."""
+        m = sn._read_manifest(self.root, w)
+        _refuse_unstreamable(m, "snapshot_table stream")
+        if m.get("delete_files"):
+            raise ValueError(
+                "snapshot_table stream: the initial snapshot carries MoR "
+                "delete files — an added-files stream would resurface "
+                "deleted rows; snapshot_compact first"
+            )
+        return sorted(m["files"])
+
+    def _fsize(self, f: str) -> int:
+        """Per-file bytes for byte-grain admission: the manifest's
+        recorded size when present (write-time metadata — no fs call),
+        else one `getsize` (legacy manifests only)."""
+        sz = (self._sizes or {}).get(f)
+        if sz is None:
+            try:
+                sz = os.path.getsize(os.path.join(self.root, f))
+            except OSError:
+                sz = 0
+        return int(sz)
+
     def latestOffset(self) -> dict:
         v = sn.current_version(self.root)
         head = -1 if v is None else int(v)
-        if self.max_versions is not None and self._base_offset is not None:
-            head = min(head, self._base_offset + self.max_versions)
-        return {"version": head}
+        base = self._base_offset
+        limited = self.max_files is not None or self.max_bytes is not None
+        if head < 0:
+            return {"version": head}
+        if base is None:
+            # The engine consults latestOffset BEFORE initialOffset on
+            # a fresh stream (traced on Spark 4.1) — but on a RESTART it
+            # re-commits the checkpointed offset to the source (or
+            # replays the pending batch through partitions()) before any
+            # latestOffset, so both set the baseline.  An unset baseline
+            # therefore means FRESH: prime it with our own initial
+            # offset so even the first batch — the initial-snapshot
+            # backfill that needs admission control most — is capped.
+            base = self.initialOffset()
+        b_v = int(base["version"])
+        cap_v = head
+        if self.max_versions is not None:
+            cap_v = min(head, b_v + self.max_versions)
+        if not limited:
+            return {"version": max(cap_v, b_v)}
+        # file/byte-grain admission: walk candidate files in offset
+        # order, admit until a limit trips (always >= 1 file per batch
+        # so a backfill makes progress), emit either a complete-version
+        # offset or a mid-version split {"version", "idx"[, "snap"]}
+        n_f = 0
+        n_b = 0
+
+        def _full() -> bool:
+            return (
+                self.max_files is not None and n_f >= self.max_files
+            ) or (self.max_bytes is not None and n_b >= self.max_bytes)
+
+        if b_v < 0 or base.get("snap"):
+            # initial snapshot — possibly mid-way at its pinned version
+            w = head if b_v < 0 else b_v
+            self._sizes = sn._read_manifest(self.root, w).get("sizes")
+            snapf = self._snap_files(w)
+            j = int(base.get("idx", 0)) if base.get("snap") else 0
+            while j < len(snapf) and not _full():
+                n_f += 1
+                n_b += self._fsize(snapf[j])
+                j += 1
+            if j < len(snapf):
+                return {"version": w, "idx": j, "snap": True}
+            return {"version": w}
+        if cap_v <= b_v and "idx" not in base:
+            return {"version": b_v}  # nothing pending
+        self._sizes = sn._read_manifest(self.root, max(cap_v, b_v)).get(
+            "sizes"
+        )
+        hops = _hops(
+            self.root, b_v, max(cap_v, b_v), include_from="idx" in base
+        )
+        done_v = b_v if "idx" not in base else None
+        for u, adds in hops:
+            j0 = int(base["idx"]) if ("idx" in base and u == b_v) else 0
+            j = j0
+            while j < len(adds) and not _full():
+                n_f += 1
+                n_b += self._fsize(adds[j])
+                j += 1
+            if j < len(adds):
+                if j == j0:
+                    # the limit tripped exactly at this hop's boundary —
+                    # close the batch at the previous complete version
+                    break
+                return {"version": u, "idx": j}
+            done_v = u
+        if done_v is None:
+            # only possible if base was mid-version and its hop had no
+            # remaining files — normalize to the complete version
+            done_v = b_v
+        return {"version": done_v}
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
-        self._base_offset = e  # the cap baseline for the NEXT batch
-        if e <= s:
-            return []
+        self._base_offset = dict(end)  # the cap baseline for NEXT batch
         if self.change_feed:
+            if e <= s:
+                return []
             if s < 0:
                 if start.get("replay"):
                     # start_version=0 = replay the WHOLE history as
@@ -782,8 +948,70 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return self._cdf_hops(s, e)
         return [
             _SnapshotFilePartition(os.path.join(self.root, f))
-            for f in _added_files(self.root, s, e)
+            for f in self._plan_plain(start, end)
         ]
+
+    def _plan_plain(self, start: dict, end: dict) -> list[str]:
+        """File plan for a plain-stream batch between two offsets, both
+        possibly MID-VERSION splits ({"version", "idx"[, "snap"]} —
+        ``idx`` counts files already consumed of that version's sorted
+        adds; ``snap`` marks an initial-snapshot split, where ``idx``
+        indexes the snapshot's whole sorted file list).  Offsets are
+        self-describing: a WAL-replayed batch re-plans identically with
+        no reliance on reader options or driver state."""
+        s, e = int(start["version"]), int(end["version"])
+        s_idx = int(start["idx"]) if "idx" in start else None
+        e_idx = int(end["idx"]) if "idx" in end else None
+
+        def _key(off: dict) -> tuple:
+            # total order over offsets: splits of a version precede its
+            # complete offset ({v, idx:k} < {v}); versions order first
+            return (
+                int(off["version"]),
+                int(off["idx"]) if "idx" in off else float("inf"),
+            )
+
+        if _key(end) < _key(start):
+            # a capped latestOffset must never land behind the engine's
+            # committed point (the baseline is primed by the restart
+            # protocol); if that invariant ever breaks, planning this
+            # batch would REPLAY consumed files — fail loud instead
+            raise ValueError(
+                f"snapshot_table stream: batch end offset {end} is "
+                f"behind start {start} — baseline/engine inconsistency; "
+                "restart the stream from its checkpoint"
+            )
+        if bool(start.get("snap")) or bool(end.get("snap")):
+            w = e if end.get("snap") else s
+            if (start.get("snap") and s != w) or (
+                not start.get("snap") and s != -1
+            ):
+                raise ValueError(
+                    f"snapshot_table stream: inconsistent snapshot-split "
+                    f"offsets {start} -> {end}"
+                )
+            snapf = self._snap_files(w)
+            k = s_idx if start.get("snap") else 0
+            j = e_idx if end.get("snap") else len(snapf)
+            return snapf[k or 0 : j]
+        if e <= s and not (s_idx is not None or e_idx is not None):
+            return []
+        if s < 0:
+            if e_idx is not None:
+                raise ValueError(
+                    f"snapshot_table stream: inconsistent offsets "
+                    f"{start} -> {end} (mid-version end on an initial "
+                    "batch must carry the snap flag)"
+                )
+            return _added_files(self.root, s, e)
+        files: list[str] = []
+        for u, adds in _hops(
+            self.root, s, e, include_from=s_idx is not None
+        ):
+            k = s_idx if (s_idx is not None and u == s) else 0
+            j = e_idx if (e_idx is not None and u == e) else len(adds)
+            files.extend(adds[k:j])
+        return files
 
     def read(self, partition: _SnapshotFilePartition):
         batches = _read_file_batches(partition.path, self.table_schema)
@@ -807,7 +1035,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # offsets are durable manifests — nothing to clean up; keep the
         # admission-control baseline in step with the engine
-        self._base_offset = int(end["version"])
+        self._base_offset = dict(end)
 
     def stop(self) -> None:
         pass

@@ -515,6 +515,149 @@ def test_stream_rate_limits_backfill_by_versions(spark, tmp_path):
         SnapshotStreamReader(root, schema, max_versions_per_batch=0)
 
 
+def test_stream_rate_limits_by_files_splits_initial_snapshot(
+    spark, tmp_path
+):
+    """max_files_per_trigger splits even the INITIAL SNAPSHOT across
+    micro-batches at a deterministic sorted-file boundary; the split
+    offsets are self-describing, so a reader WITHOUT the option
+    re-plans a WAL-replayed batch identically."""
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        SnapshotStreamReader,
+    )
+
+    root = str(tmp_path / "src")
+    sn.snapshot_append(_df(spark, 0, 60).repartition(6), root)  # 6 files
+    schema = sn.read_snapshot(spark, root).schema
+    r = SnapshotStreamReader(root, schema, max_files_per_trigger=2)
+    start = r.initialOffset()
+    offsets, seen = [start], []
+    while True:
+        end = r.latestOffset()
+        if end == start:
+            break
+        parts = r.partitions(start, end)
+        assert len(parts) <= 2, (start, end)
+        seen.extend(p.path for p in parts)
+        r.commit(end)
+        offsets.append(end)
+        start = end
+    assert len(offsets) == 4, "6 files / cap 2 = 3 batches"
+    assert offsets[1].get("snap") and offsets[2].get("snap")
+    assert "snap" not in offsets[3] and "idx" not in offsets[3]
+    got = sorted(
+        x.id for f in seen for x in spark.read.parquet(f).collect()
+    )
+    assert got == list(range(60)), "splitting loses nothing"
+    # self-describing: an UNLIMITED reader re-plans the same batch
+    r2 = SnapshotStreamReader(root, schema)
+    replay = [p.path for p in r2.partitions(offsets[1], offsets[2])]
+    assert replay == [
+        p for p in seen[2:4]
+    ], "WAL-replayed split batch must plan identically without options"
+
+
+def test_stream_rate_limits_by_files_across_commits(spark, tmp_path):
+    """File-grain admission crosses commit boundaries: versions in a
+    batch close complete, the last may split mid-version; coverage is
+    exact and per-batch size bounded."""
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        SnapshotStreamReader,
+    )
+
+    root = str(tmp_path / "src")
+    sn.snapshot_append(_df(spark, 0, 10).coalesce(1), root)  # v0: 1 file
+    sn.snapshot_append(_df(spark, 10, 40).repartition(3), root)  # v1: 3
+    sn.snapshot_append(_df(spark, 40, 60).repartition(2), root)  # v2: 2
+    schema = sn.read_snapshot(spark, root).schema
+    # consume v0 as the initial snapshot first (unlimited baseline)
+    r = SnapshotStreamReader(root, schema, max_files_per_trigger=3)
+    start = r.initialOffset()
+    batches, seen = 0, []
+    while True:
+        end = r.latestOffset()
+        if end == start:
+            break
+        parts = r.partitions(start, end)
+        assert 1 <= len(parts) <= 3, (start, end)
+        seen.extend(p.path for p in parts)
+        r.commit(end)
+        start = end
+        batches += 1
+    assert batches >= 2, "6 files under cap 3 need >= 2 batches"
+    got = sorted(
+        x.id for f in seen for x in spark.read.parquet(f).collect()
+    )
+    assert got == list(range(60))
+
+
+def test_stream_rate_limits_by_bytes_and_refusals(spark, tmp_path):
+    """A tiny byte cap degrades to one-file batches (progress is
+    guaranteed — at least one file per trigger); file/byte caps refuse
+    change_feed (commit events stay atomic) and non-positive values."""
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        SnapshotStreamReader,
+    )
+
+    root = str(tmp_path / "src")
+    sn.snapshot_append(_df(spark, 0, 30).repartition(3), root)
+    schema = sn.read_snapshot(spark, root).schema
+    r = SnapshotStreamReader(root, schema, max_bytes_per_trigger=1)
+    start = r.initialOffset()
+    batches, seen = 0, []
+    while True:
+        end = r.latestOffset()
+        if end == start:
+            break
+        parts = r.partitions(start, end)
+        assert len(parts) == 1, "1-byte cap admits exactly one file"
+        seen.extend(p.path for p in parts)
+        r.commit(end)
+        start = end
+        batches += 1
+    assert batches == 3
+    got = sorted(
+        x.id for f in seen for x in spark.read.parquet(f).collect()
+    )
+    assert got == list(range(30))
+    with pytest.raises(ValueError, match="must be >= 1"):
+        SnapshotStreamReader(root, schema, max_files_per_trigger=0)
+    with pytest.raises(ValueError, match="atomic"):
+        SnapshotStreamReader(
+            root, schema, change_feed=True, max_files_per_trigger=2
+        )
+
+
+def test_stream_rate_limit_end_to_end(spark, tmp_path):
+    """The option plumbs through the reader surface.  Spark's Python
+    DataSource API falls back to SINGLE-batch execution under
+    Trigger.AvailableNow (engine WARN), so one capped drain = one
+    bounded micro-batch and the checkpoint carries the split offset —
+    repeated drains page through the backfill exactly once, ≤cap files
+    each (a continuous processingTime trigger would do the same
+    without the restarts)."""
+    root = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sn.snapshot_append(_df(spark, 0, 40).repartition(4), root)
+    register_snapshot_source(spark)
+    stream = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option("max_files_per_trigger", 2)
+        .load()
+    )
+    counts = []
+    for _ in range(5):
+        st.run_available_now(stream, out, ckpt)
+        counts.append(spark.read.parquet(out).count())
+        if len(counts) >= 2 and counts[-1] == counts[-2]:
+            break
+    assert counts[0] < 40, f"first drain is capped at 2 of 4 files: {counts}"
+    assert counts[-1] == 40, f"paging must complete the backfill: {counts}"
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(40)), "exactly once across split offsets"
+
+
 def test_batch_pushdown_prunes_files_and_stays_correct(spark, tmp_path):
     """Catalyst filter pushdown (Spark 4.1 Python DataSource API,
     opt-in): a WHERE over the snapshot DataSource prunes manifest
