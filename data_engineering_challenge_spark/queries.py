@@ -163,6 +163,7 @@ _CHEAP_FIRST = [
 #: cheaper rows under a bounded gate
 _TAIL = [
     "sql_dml_lifecycle",
+    "sql_mview_maintenance",
     "minhash_lsh_candidates_xxh",
     "dup_clusters_cc",
     "near_dup_corpus_prune",

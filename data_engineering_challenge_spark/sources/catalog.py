@@ -243,7 +243,7 @@ def attach_catalog(
         else:
             views = []
     for name, e in entries.items():
-        if e.get("kind") == "view":
+        if e.get("kind") in ("view", "mview"):
             continue
         # narrowed attach touches only the requested tables — UNLESS a
         # view was requested: a view body may reference any table, so
@@ -273,4 +273,181 @@ def attach_catalog(
         )
     for e in sorted(views, key=lambda x: x.get("ts") or 0):
         spark.sql(e["sql"]).createOrReplaceTempView(prefix + e["name"])
+    # materialized views LAST (independent of both: they read their own
+    # materialized parquet, not live tables or view SQL)
+    for e in entries.values():
+        if e.get("kind") != "mview":
+            continue
+        if keep is not None and e["name"] not in keep:
+            continue
+        vp = _mview_path(catalog_dir, e["name"])
+        done = sn._view_processed_version(vp)
+        if done is None:
+            # never materialized (a crash between register and first
+            # refresh): loud when asked for BY NAME, skipped on a broad
+            # attach so one broken object cannot brick every SELECT —
+            # the name then simply doesn't resolve, and REFRESH/DROP
+            # (which don't attach) are the recovery path
+            if keep is not None and e["name"] in keep:
+                raise FileNotFoundError(
+                    f"attach_catalog: materialized view {e['name']!r} "
+                    "has never been refreshed — run refresh_mview (or "
+                    "SQL REFRESH MATERIALIZED VIEW) first"
+                )
+            continue
+        spark.read.parquet(vp).createOrReplaceTempView(
+            prefix + e["name"]
+        )
+        out[e["name"]] = done
     return out
+
+
+# --------------------------------------------------------------------------
+# materialized views (incrementally maintained catalog objects)
+# --------------------------------------------------------------------------
+
+
+def _mview_path(catalog_dir: str, name: str) -> str:
+    """Materialized data lives under the catalog's own ``_mviews/``
+    area — ignored by `catalog_entries` (which only reads ``*.json``)."""
+    return os.path.join(catalog_dir, "_mviews", name)
+
+
+def catalog_register_mview(
+    catalog_dir: str,
+    name: str,
+    source: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    sql: str | None = None,
+    replace: bool = False,
+    comment: str | None = None,
+) -> dict:
+    """Register a MATERIALIZED VIEW: a durable, incrementally-maintained
+    aggregate over ONE catalog snapshot table.  The maintainable shape
+    is the additive one (`snapshots.refresh_incremental_agg_cdf`):
+    ``GROUP BY group_cols`` with a rowcount ``n`` plus ``SUM`` columns —
+    counts and sums RETRACT under the change data feed, so a refresh
+    costs O(delta + view), never a table rescan; min/max (which cannot
+    retract) are refused at registration by construction of the shape.
+    ``sql`` records the defining text for DESCRIBE/provenance only —
+    the registered (source, group_cols, sum_cols) triple is the
+    contract.  Data materializes under ``<catalog>/_mviews/<name>``;
+    the entry itself is the same atomic-claim JSON as every other
+    catalog object."""
+    _check_name("catalog_register_mview", name)
+    _check_name("catalog_register_mview", source)
+    if not group_cols:
+        raise ValueError("catalog_register_mview: group_cols is empty")
+    dup = set(group_cols) & set(sum_cols)
+    if dup:
+        raise ValueError(
+            f"catalog_register_mview: columns both grouped and summed: "
+            f"{sorted(dup)}"
+        )
+    if "n" in group_cols or "n" in sum_cols:
+        raise ValueError(
+            "catalog_register_mview: column name 'n' is reserved for "
+            "the view's rowcount"
+        )
+    ts = time.time()
+    if replace:
+        prior = catalog_entries(catalog_dir).get(name)
+        if prior is not None and prior.get("kind") == "mview":
+            ts = prior.get("ts") or ts
+            # the definition is the contract: any replace invalidates
+            # the derived state (merging a new shape into old
+            # materialized rows would silently corrupt the aggregate)
+            import shutil
+
+            shutil.rmtree(
+                _mview_path(catalog_dir, name), ignore_errors=True
+            )
+    entry = {
+        "name": name,
+        "kind": "mview",
+        "source": source,
+        "group_cols": list(group_cols),
+        "sum_cols": list(sum_cols),
+        "sql": sql,
+        "comment": comment,
+        "ts": ts,
+    }
+    return _claim_entry(
+        catalog_dir, name, entry, replace, "catalog_register_mview"
+    )
+
+
+def refresh_mview(
+    spark: SparkSession, catalog_dir: str, name: str
+) -> tuple[int | None, str]:
+    """Bring a materialized view up to its source's head.  Returns
+    ``(processed_version, mode)``: mode ``"incremental"`` (CDF-driven,
+    O(delta + view)), ``"full"`` (first materialization), ``"rebuild"``
+    (the history carried a hop the change feed cannot express —
+    overwrite/restore — so the view recomputed from the current
+    snapshot: always correct, the aggregate is derivable from scratch),
+    or ``"current"`` (nothing to do).  The source must be a LIVE table
+    entry: a pinned source never changes, which makes a *materialized*
+    view of it pointless — register a plain view over the pinned name
+    instead."""
+    entries = catalog_entries(catalog_dir)
+    e = entries.get(name)
+    if e is None or e.get("kind") != "mview":
+        raise FileNotFoundError(
+            f"refresh_mview: no materialized view {name!r} in the "
+            f"catalog at {catalog_dir}"
+        )
+    src = entries.get(e["source"])
+    if src is None:
+        raise FileNotFoundError(
+            f"refresh_mview: source table {e['source']!r} of {name!r} "
+            "is not in the catalog (dropped?)"
+        )
+    if src.get("kind") not in (None, "table"):
+        raise ValueError(
+            f"refresh_mview: source {e['source']!r} is a "
+            f"{src.get('kind')} — a materialized view aggregates a "
+            "snapshot TABLE"
+        )
+    if any(src.get(k) is not None for k in ("version", "asof", "ref")):
+        raise ValueError(
+            f"refresh_mview: source {e['source']!r} carries a "
+            "reproducibility pin — a pinned table never changes; use a "
+            "plain view instead"
+        )
+    vp = _mview_path(catalog_dir, name)
+    before = sn._view_processed_version(vp)
+    try:
+        v = sn.refresh_incremental_agg_cdf(
+            spark, src["root"], vp, e["group_cols"], e["sum_cols"]
+        )
+    except ValueError:
+        # a hop the CDF cannot express (overwrite/restore): recompute
+        # from the current snapshot — dropping the marker makes the
+        # refresh take the from-scratch path, which is always correct
+        import shutil
+
+        shutil.rmtree(vp, ignore_errors=True)
+        v = sn.refresh_incremental_agg_cdf(
+            spark, src["root"], vp, e["group_cols"], e["sum_cols"]
+        )
+        return v, "rebuild"
+    if v is None:
+        return before, "current"
+    return v, "full" if before is None else "incremental"
+
+
+def drop_mview(catalog_dir: str, name: str) -> None:
+    """Remove a materialized view: the catalog entry AND its
+    materialized data (derived state — rebuilt by re-registering and
+    refreshing; the SOURCE table is untouched)."""
+    import shutil
+
+    e = catalog_entries(catalog_dir).get(name)
+    if e is None or e.get("kind") != "mview":
+        raise FileNotFoundError(
+            f"drop_mview: no materialized view {name!r}"
+        )
+    catalog_drop(catalog_dir, name)
+    shutil.rmtree(_mview_path(catalog_dir, name), ignore_errors=True)

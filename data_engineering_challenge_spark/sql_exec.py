@@ -55,7 +55,11 @@ _GRAMMAR = """supported statements:
   SELECT ... | WITH ... | VALUES ...          (full Spark SQL, catalog names attached)
   CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <name> AS <query>
   CREATE [OR REPLACE] VIEW <name> AS <query>
-  DROP TABLE <name> | DROP VIEW <name>
+  CREATE [OR REPLACE] MATERIALIZED VIEW <name> AS
+    SELECT <g1>, ..., COUNT(*) AS n [, SUM(<c>) AS <c>, ...]
+    FROM <table> GROUP BY <g1>, ...
+  REFRESH MATERIALIZED VIEW <name>
+  DROP TABLE <name> | DROP VIEW <name> | DROP MATERIALIZED VIEW <name>
   INSERT INTO <name> [(col, ...)] <query>
   INSERT OVERWRITE [TABLE] <name> <query>
   UPDATE <name> [[AS] a] SET col = expr, ... [WHERE pred]
@@ -191,6 +195,99 @@ class _Cursor:
         )
 
 
+def _parse_mview_select(cur: "_Cursor") -> tuple[str, list[str], list[str]]:
+    """The incrementally-MAINTAINABLE aggregate shape, parsed strictly:
+    ``SELECT <group cols>, COUNT(*) AS n [, SUM(c) AS c ...] FROM
+    <table> GROUP BY <group cols>``.  Counts and sums RETRACT under a
+    change data feed (insert +1/+v, delete -1/-v), which is what makes
+    a refresh O(delta + view); MIN/MAX/AVG-of-distinct cannot retract,
+    so any other aggregate refuses here with that explanation rather
+    than registering a view that would silently need full rescans."""
+    cur.expect_kw("SELECT")
+    group_sel: list[str] = []
+    sum_cols: list[str] = []
+    saw_n = False
+    while True:
+        if cur.at_kw("COUNT"):
+            cur.i += 1
+            if (cur.peek(), cur.peek(1), cur.peek(2)) != ("(", "*", ")"):
+                cur.fail("materialized view: expected COUNT(*)")
+            cur.i += 3
+            cur.expect_kw("AS")
+            alias = cur.ident("COUNT(*) alias")
+            if alias.lower() != "n":
+                cur.fail(
+                    "materialized view: the rowcount must be aliased "
+                    "AS n — it is the stored retraction-bookkeeping "
+                    "column (groups vanish when n retracts to 0)"
+                )
+            if saw_n:
+                cur.fail("materialized view: duplicate COUNT(*)")
+            saw_n = True
+        elif cur.at_kw("SUM"):
+            cur.i += 1
+            if cur.peek() != "(":
+                cur.fail("expected ( after SUM")
+            cur.i += 1
+            col = cur.ident("SUM column")
+            if cur.peek() != ")":
+                cur.fail("materialized view: SUM takes one plain column")
+            cur.i += 1
+            cur.expect_kw("AS")
+            alias = cur.ident("SUM alias")
+            if alias != col:
+                cur.fail(
+                    f"materialized view: SUM({col}) must be aliased "
+                    f"AS {col} — the stored column keeps the source name"
+                )
+            if col in sum_cols:
+                cur.fail(f"materialized view: duplicate SUM({col})")
+            sum_cols.append(col)
+        else:
+            g = cur.ident("group column")
+            if cur.peek() == "(":
+                cur.fail(
+                    f"materialized view: {g.upper()} is not a "
+                    "maintainable aggregate — only COUNT(*) and "
+                    "SUM(col) retract under the change data feed "
+                    "(MIN/MAX cannot un-see a deleted extreme); use a "
+                    "plain view for anything else"
+                )
+            group_sel.append(g)
+        if cur.peek() == ",":
+            cur.i += 1
+            continue
+        break
+    cur.expect_kw("FROM")
+    source = cur.ident("source table name")
+    cur.expect_kw("GROUP")
+    cur.expect_kw("BY")
+    gb = [cur.ident("GROUP BY column")]
+    while cur.peek() == ",":
+        cur.i += 1
+        gb.append(cur.ident("GROUP BY column"))
+    cur.expect_done()
+    if not saw_n:
+        cur.fail(
+            "materialized view: COUNT(*) AS n is required — the "
+            "rowcount drives retraction and group drop-out"
+        )
+    if len(set(gb)) != len(gb) or sorted(group_sel) != sorted(gb):
+        cur.fail(
+            f"materialized view: SELECT group columns {group_sel} must "
+            f"be exactly the GROUP BY columns {gb}"
+        )
+    return source, gb, sum_cols
+
+
+def _attach_mview(spark: SparkSession, catalog_dir: str, name: str) -> None:
+    """(Re-)register this session's temp view over the materialized
+    parquet — CREATE/REFRESH make the new state queryable immediately."""
+    spark.read.parquet(cat._mview_path(catalog_dir, name)).createOrReplaceTempView(
+        name
+    )
+
+
 def _default_literal(cur: "_Cursor") -> object:
     """One scalar literal after DEFAULT: quoted string, TRUE/FALSE, or
     a signed number — the sign is a separate token for ANY numeric
@@ -270,8 +367,10 @@ def _entry(catalog_dir: str, name: str, fn: str) -> dict:
 
 def _writable_root(catalog_dir: str, name: str, fn: str) -> str:
     e = _entry(catalog_dir, name, fn)
-    if e.get("kind") == "view":
-        raise ValueError(f"{fn}: {name!r} is a view — views are read-only")
+    if e.get("kind") in ("view", "mview"):
+        raise ValueError(
+            f"{fn}: {name!r} is a {'materialized ' if e['kind'] == 'mview' else ''}view — views are read-only"
+        )
     if any(e.get(k) is not None for k in ("version", "asof", "ref")):
         raise ValueError(
             f"{fn}: catalog entry {name!r} carries a reproducibility pin "
@@ -579,7 +678,32 @@ def execute_sql(
                 [(e["name"], "view", e["sql"])],
                 "name string, kind string, sql string",
             )
+        if e.get("kind") == "mview":
+            done = sn._view_processed_version(
+                cat._mview_path(catalog_dir, name)
+            )
+            return spark.createDataFrame(
+                [(
+                    e["name"], "mview", e["source"],
+                    ", ".join(e["group_cols"]),
+                    ", ".join(e["sum_cols"]),
+                    done, e.get("sql"),
+                )],
+                "name string, kind string, source string, "
+                "group_cols string, sum_cols string, "
+                "processed_version bigint, sql string",
+            )
         return sn.snapshot_detail(spark, e["root"])
+
+    # ---- REFRESH MATERIALIZED VIEW <name> ----
+    if cur.kw("REFRESH"):
+        cur.expect_kw("MATERIALIZED")
+        cur.expect_kw("VIEW")
+        name = cur.ident("materialized view name")
+        cur.expect_done()
+        v, _mode = cat.refresh_mview(spark, catalog_dir, name)
+        _attach_mview(spark, catalog_dir, name)
+        return v
 
     # ---- OPTIMIZE <name> ----
     if cur.kw("OPTIMIZE"):
@@ -592,6 +716,35 @@ def execute_sql(
     if cur.at_kw("CREATE"):
         cur.kw("CREATE")
         replace = cur.kw("OR", "REPLACE")
+        if cur.kw("MATERIALIZED"):
+            cur.expect_kw("VIEW")
+            name = cur.ident("materialized view name")
+            cur.expect_kw("AS")
+            if cur.done():
+                cur.fail("expected a SELECT after AS")
+            body = cur.text[cur.toks[cur.i][1] : cur.toks[-1][2]]
+            source, gb, sums = _parse_mview_select(cur)
+            prior = cat.catalog_entries(catalog_dir).get(name)
+            if prior is not None and prior.get("kind") != "mview":
+                raise ValueError(
+                    f"execute_sql: {name!r} is a "
+                    f"{prior.get('kind') or 'table'} — a materialized "
+                    "view cannot replace it (DROP it first)"
+                )
+            cat.catalog_register_mview(
+                catalog_dir, name, source, gb, sums,
+                sql=body, replace=replace,
+            )
+            try:
+                v, _mode = cat.refresh_mview(spark, catalog_dir, name)
+            except BaseException:
+                # a failed INITIAL materialization (missing source,
+                # bad column) must not leave a registered-but-empty
+                # object behind
+                cat.drop_mview(catalog_dir, name)
+                raise
+            _attach_mview(spark, catalog_dir, name)
+            return v
         if cur.kw("VIEW"):
             name = cur.ident("view name")
             cur.expect_kw("AS")
@@ -644,11 +797,16 @@ def execute_sql(
             cat.catalog_register(catalog_dir, name, root)
         return v
 
-    # ---- DROP TABLE/VIEW <name> ----
+    # ---- DROP TABLE/VIEW/MATERIALIZED VIEW <name> ----
     if cur.kw("DROP"):
-        kind = "view" if cur.kw("VIEW") else ("table" if cur.kw("TABLE") else None)
-        if kind is None:
-            cur.fail("expected TABLE or VIEW after DROP")
+        if cur.kw("MATERIALIZED", "VIEW"):
+            kind = "mview"
+        elif cur.kw("VIEW"):
+            kind = "view"
+        elif cur.kw("TABLE"):
+            kind = "table"
+        else:
+            cur.fail("expected TABLE or [MATERIALIZED] VIEW after DROP")
         name = cur.ident(f"{kind} name")
         cur.expect_done()
         e = _entry(catalog_dir, name, f"execute_sql(DROP {kind.upper()})")
@@ -657,7 +815,10 @@ def execute_sql(
             raise ValueError(
                 f"execute_sql: {name!r} is a {actual}, not a {kind}"
             )
-        cat.catalog_drop(catalog_dir, name)
+        if kind == "mview":
+            cat.drop_mview(catalog_dir, name)  # entry + derived data
+        else:
+            cat.catalog_drop(catalog_dir, name)
         # unregister THIS session's temp view too — otherwise a
         # subsequent SELECT would silently serve the dropped table from
         # the stale attach while a fresh session correctly fails

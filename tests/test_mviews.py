@@ -1,0 +1,230 @@
+"""Materialized views as CATALOG objects (`sources/catalog.py` +
+`sql_exec.py`): the incrementally-maintainable aggregate shape
+(GROUP BY + COUNT(*) + SUMs), CDF-driven refresh that retracts under
+DML, rebuild across CDF-inexpressible hops, and the strict SQL grammar
+that refuses non-retractable aggregates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_challenge_spark.sources import catalog as cat
+from data_engineering_challenge_spark.sources import snapshots as sn
+from data_engineering_challenge_spark.sql_exec import (
+    SqlSyntaxError,
+    execute_sql,
+)
+
+
+@pytest.fixture()
+def cdir(tmp_path):
+    return str(tmp_path / "catalog")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk_sales(spark, cdir):
+    execute_sql(
+        spark,
+        "CREATE TABLE sales AS SELECT id % 3 AS region, id AS k, "
+        "CAST(id AS BIGINT) * 10 AS amt FROM RANGE(12)",
+        cdir,
+    )
+
+
+def test_mview_create_select_refresh(spark, cdir):
+    _mk_sales(spark, cdir)
+    v = execute_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW sales_by_region AS "
+        "SELECT region, COUNT(*) AS n, SUM(amt) AS amt "
+        "FROM sales GROUP BY region",
+        cdir,
+    )
+    assert isinstance(v, int)
+    expect = _rows(
+        execute_sql(
+            spark,
+            "SELECT region, COUNT(*) AS n, SUM(amt) AS amt "
+            "FROM sales GROUP BY region",
+            cdir,
+        )
+    )
+    assert _rows(
+        execute_sql(spark, "SELECT * FROM sales_by_region", cdir)
+    ) == expect
+    # stale until refreshed: new rows don't appear...
+    execute_sql(
+        spark, "INSERT INTO sales SELECT 0, 100, CAST(999 AS BIGINT)", cdir
+    )
+    assert _rows(
+        execute_sql(spark, "SELECT * FROM sales_by_region", cdir)
+    ) == expect
+    # ...and REFRESH converges to the from-scratch aggregate
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW sales_by_region", cdir)
+    assert _rows(
+        execute_sql(spark, "SELECT * FROM sales_by_region", cdir)
+    ) == _rows(
+        execute_sql(
+            spark,
+            "SELECT region, COUNT(*) AS n, SUM(amt) AS amt "
+            "FROM sales GROUP BY region",
+            cdir,
+        )
+    )
+
+
+def test_mview_refresh_retracts_under_dml(spark, cdir):
+    """DELETE and UPDATE flow through the change feed as retractions —
+    the refreshed view equals the recompute, including a group that
+    vanishes when its rowcount hits zero."""
+    _mk_sales(spark, cdir)
+    execute_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv AS SELECT region, COUNT(*) AS n, "
+        "SUM(amt) AS amt FROM sales GROUP BY region",
+        cdir,
+    )
+    execute_sql(spark, "DELETE FROM sales WHERE region = 2", cdir)
+    execute_sql(
+        spark, "UPDATE sales SET amt = amt + 5 WHERE region = 0", cdir
+    )
+    _, mode = cat.refresh_mview(spark, cdir, "mv")
+    got = _rows(execute_sql(spark, "SELECT * FROM mv", cdir))
+    want = _rows(
+        execute_sql(
+            spark,
+            "SELECT region, COUNT(*) AS n, SUM(amt) AS amt FROM sales "
+            "GROUP BY region",
+            cdir,
+        )
+    )
+    assert got == want
+    assert all(r[0] != 2 for r in got), "fully-retracted group vanishes"
+
+
+def test_mview_rebuild_across_overwrite(spark, cdir):
+    """An overwrite hop is not CDF-expressible — the refresh falls back
+    to a full recompute (mode='rebuild') instead of failing or lying."""
+    _mk_sales(spark, cdir)
+    execute_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv AS SELECT region, COUNT(*) AS n "
+        "FROM sales GROUP BY region",
+        cdir,
+    )
+    execute_sql(
+        spark,
+        "INSERT OVERWRITE sales SELECT id % 2 AS region, id AS k, "
+        "CAST(id AS BIGINT) AS amt FROM RANGE(6)",
+        cdir,
+    )
+    _, mode = cat.refresh_mview(spark, cdir, "mv")
+    assert mode == "rebuild"
+    assert _rows(execute_sql(spark, "SELECT * FROM mv", cdir)) == _rows(
+        execute_sql(
+            spark,
+            "SELECT region, COUNT(*) AS n FROM sales GROUP BY region",
+            cdir,
+        )
+    )
+    # and a no-op refresh reports current
+    _, mode = cat.refresh_mview(spark, cdir, "mv")
+    assert mode == "current"
+
+
+def test_mview_survives_fresh_session_attach(spark, cdir):
+    _mk_sales(spark, cdir)
+    execute_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv AS SELECT region, COUNT(*) AS n "
+        "FROM sales GROUP BY region",
+        cdir,
+    )
+    s2 = spark.newSession()
+    out = cat.attach_catalog(s2, cdir)
+    assert "mv" in out  # processed version reported
+    assert s2.sql("SELECT COUNT(*) AS c FROM mv").collect()[0].c == 3
+
+
+def test_mview_grammar_refusals(spark, cdir):
+    _mk_sales(spark, cdir)
+    with pytest.raises(SqlSyntaxError, match="COUNT\\(\\*\\) AS n is required"):
+        execute_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW m1 AS SELECT region, SUM(amt) AS amt "
+            "FROM sales GROUP BY region",
+            cdir,
+        )
+    with pytest.raises(SqlSyntaxError, match="cannot un-see"):
+        execute_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW m2 AS SELECT region, COUNT(*) AS n, "
+            "MIN(amt) AS amt FROM sales GROUP BY region",
+            cdir,
+        )
+    with pytest.raises(SqlSyntaxError, match="aliased AS n"):
+        execute_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW m3 AS SELECT region, COUNT(*) AS c "
+            "FROM sales GROUP BY region",
+            cdir,
+        )
+    with pytest.raises(SqlSyntaxError, match="must be exactly the GROUP BY"):
+        execute_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW m4 AS SELECT region, k, COUNT(*) AS n "
+            "FROM sales GROUP BY region",
+            cdir,
+        )
+    # a failed initial materialization leaves nothing registered
+    with pytest.raises(Exception):
+        execute_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW m5 AS SELECT region, COUNT(*) AS n, "
+            "SUM(nope) AS nope FROM sales GROUP BY region",
+            cdir,
+        )
+    assert "m5" not in cat.catalog_entries(cdir)
+    # none of the refused names leaked into the catalog
+    assert set(cat.catalog_entries(cdir)) == {"sales"}
+
+
+def test_mview_lifecycle_and_write_protection(spark, cdir):
+    _mk_sales(spark, cdir)
+    execute_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv AS SELECT region, COUNT(*) AS n "
+        "FROM sales GROUP BY region",
+        cdir,
+    )
+    # read-only on every DML surface
+    with pytest.raises(ValueError, match="read-only"):
+        execute_sql(spark, "INSERT INTO mv SELECT 1, 1", cdir)
+    with pytest.raises(ValueError, match="read-only"):
+        execute_sql(spark, "DELETE FROM mv", cdir)
+    # DESCRIBE shows the definition and processed version
+    d = execute_sql(spark, "DESCRIBE mv", cdir).collect()[0]
+    assert d.kind == "mview" and d.source == "sales"
+    assert d.processed_version == sn.current_version(
+        cat.catalog_entries(cdir)["sales"]["root"]
+    )
+    # OR REPLACE invalidates the derived state and rebuilds
+    execute_sql(
+        spark,
+        "CREATE OR REPLACE MATERIALIZED VIEW mv AS "
+        "SELECT k, COUNT(*) AS n, SUM(amt) AS amt FROM sales GROUP BY k",
+        cdir,
+    )
+    assert execute_sql(spark, "SELECT * FROM mv", cdir).columns == [
+        "k", "n", "amt",
+    ]
+    # DROP removes the entry, the session view, and the derived data
+    execute_sql(spark, "DROP MATERIALIZED VIEW mv", cdir)
+    assert "mv" not in cat.catalog_entries(cdir)
+    import os
+
+    assert not os.path.exists(cat._mview_path(cdir, "mv"))
