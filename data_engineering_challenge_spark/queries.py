@@ -155,7 +155,7 @@ _CHEAP_FIRST = [
     "streaming_partitioned_ingest",
     # round-9 additions, measured verify cost ascending (sf0.01)
     "snapshot_copy_into_ingest", "snapshot_add_column_defaults",
-    "snapshot_bloom_prune",
+    "snapshot_bloom_prune", "sql_inline_time_travel",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -460,6 +460,87 @@ def q_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_inline_time_travel",
+    # Oracle: the live state is base + the appended low-key slice; the
+    # v0 state is the base alone; the tag rides v0 too — all three
+    # replayed as plain SQL.
+    """
+WITH live AS (
+    SELECT n_regionkey, COUNT(*) AS n FROM (
+        SELECT n_nationkey, n_regionkey FROM nation
+        UNION ALL
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 7
+    ) GROUP BY n_regionkey
+),
+v0 AS (SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey)
+SELECT live.n_regionkey AS region_key,
+       CAST(live.n AS BIGINT) AS n_live,
+       CAST(v0.n AS BIGINT) AS n_v0,
+       CAST(v0.n AS BIGINT) AS n_tagged
+FROM live JOIN v0 ON live.n_regionkey = v0.n_regionkey
+""",
+)
+def q_sql_inline_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INLINE time travel in plain SQL text (`sql_exec.
+    _rewrite_time_travel`): ``FROM t VERSION AS OF 0`` and ``VERSION AS
+    OF '<tag>'`` inside ONE statement, each resolving through the
+    snapshot lineage to a pinned read — Delta/Iceberg query syntax with
+    no DataFrame API and no pre-attached pinned names (the
+    sql_catalog_report route); the rewrite attaches pinned views on the
+    spot and leaves every other byte of the statement untouched.  Build
+    cached per (query, sf_dir); the statement re-runs per call."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+    from .sql_exec import execute_sql
+
+    key = ("sql_inline_time_travel", sf_dir)
+    got = _SNAP_SQL_CACHE.get(key)
+    if got is None:
+        from .sources.io import read_parquet_cached_schema
+
+        tmp = tempfile.mkdtemp(prefix="snap_itt_")
+        root, cdir = f"{tmp}/nation", f"{tmp}/catalog"
+        nation = read_parquet_cached_schema(
+            spark, os.path.join(sf_dir, "nation.parquet")
+        )
+        sn.snapshot_overwrite(nation, root)  # v0
+        sn.snapshot_create_tag(root, "prelaunch", version=0)
+        sn.snapshot_append(
+            nation.filter(F.col("n_nationkey") < 7), root
+        )  # v1: the live head diverges from v0
+        cat.catalog_register(cdir, "itt_nation", root)
+        got = _SNAP_SQL_CACHE[key] = cdir
+    return execute_sql(
+        spark,
+        """
+WITH live AS (
+    SELECT n_regionkey, COUNT(*) AS n FROM itt_nation GROUP BY n_regionkey
+),
+v0 AS (
+    SELECT n_regionkey, COUNT(*) AS n FROM itt_nation VERSION AS OF 0
+    GROUP BY n_regionkey
+),
+tagged AS (
+    SELECT n_regionkey, COUNT(*) AS n
+    FROM itt_nation VERSION AS OF 'prelaunch' GROUP BY n_regionkey
+)
+SELECT live.n_regionkey AS region_key,
+       CAST(live.n AS BIGINT) AS n_live,
+       CAST(v0.n AS BIGINT) AS n_v0,
+       CAST(tagged.n AS BIGINT) AS n_tagged
+FROM live
+JOIN v0 ON live.n_regionkey = v0.n_regionkey
+JOIN tagged ON live.n_regionkey = tagged.n_regionkey
+""",
+        got,
+    )
+
+
+@register(
     "sql_mview_maintenance",
     # Oracle: the DML script replayed as CTE layers (insert → delete →
     # update), then the MV's defining aggregate over the final state —

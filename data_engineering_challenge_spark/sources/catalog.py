@@ -272,7 +272,13 @@ def attach_catalog(
             "whatever happens to be registered under those names"
         )
     for e in sorted(views, key=lambda x: x.get("ts") or 0):
-        spark.sql(e["sql"]).createOrReplaceTempView(prefix + e["name"])
+        # view bodies may use inline time travel (t VERSION AS OF n) —
+        # the same rewrite the SQL executor applies (late import: the
+        # executor imports this module at its top level)
+        from ..sql_exec import _rewrite_time_travel
+
+        body = _rewrite_time_travel(spark, catalog_dir, e["sql"])
+        spark.sql(body).createOrReplaceTempView(prefix + e["name"])
     # materialized views LAST (independent of both: they read their own
     # materialized parquet, not live tables or view SQL)
     for e in entries.values():

@@ -53,6 +53,7 @@ class SqlSyntaxError(ValueError):
 
 _GRAMMAR = """supported statements:
   SELECT ... | WITH ... | VALUES ...          (full Spark SQL, catalog names attached)
+    FROM <t> VERSION AS OF <n> | VERSION AS OF '<ref>' | TIMESTAMP AS OF '<ts>'
   CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <name> AS <query>
   CREATE [OR REPLACE] VIEW <name> AS <query>
   CREATE [OR REPLACE] MATERIALIZED VIEW <name> AS
@@ -387,9 +388,106 @@ def _table_root(catalog_dir: str, name: str) -> str:
     return os.path.join(catalog_dir, "_tables", name)
 
 
+def _rewrite_time_travel(
+    spark: SparkSession, catalog_dir: str, text: str
+) -> str:
+    """Inline Delta/Iceberg-style TIME TRAVEL in query text:
+    ``<table> VERSION AS OF <n>``, ``<table> VERSION AS OF '<ref>'``
+    (a named tag/branch), ``<table> TIMESTAMP AS OF '<ts>'`` — each
+    occurrence attaches a pinned temp view on the spot (resolution and
+    lineage rules are `attach_snapshot_view`'s) and the query text is
+    rewritten to reference it; everything else in the statement —
+    including string literals, which tokenize whole — passes through
+    byte-identical.  Only catalog TABLE names participate: time travel
+    on a view has no lineage, and composing AS OF over a PINNED entry
+    would silently bypass the recorded pin, so both refuse loudly."""
+    toks = _tokens(text)
+    entries: dict | None = None
+    out: list[str] = []
+    last = 0
+    i = 0
+    while i < len(toks):
+        t, lo, _hi = toks[i]
+        if (
+            re.fullmatch(r"[A-Za-z_][A-Za-z_0-9$]*", t)
+            and i + 4 < len(toks)
+            and toks[i + 1][0].upper() in ("VERSION", "TIMESTAMP")
+            and toks[i + 2][0].upper() == "AS"
+            and toks[i + 3][0].upper() == "OF"
+        ):
+            kindkw = toks[i + 1][0].upper()
+            lit = toks[i + 4][0]
+            if entries is None:
+                entries = cat.catalog_entries(catalog_dir)
+            e = entries.get(t)
+            if e is None or e.get("kind") not in (None, "table"):
+                what = "not in the catalog" if e is None else (
+                    f"a {e.get('kind')} — only snapshot tables have a "
+                    "version lineage"
+                )
+                raise FileNotFoundError(
+                    f"execute_sql: time travel on {t!r}: {what}"
+                )
+            if any(e.get(k) is not None for k in ("version", "asof", "ref")):
+                raise ValueError(
+                    f"execute_sql: {t!r} is a PINNED catalog entry — "
+                    "AS OF over it would silently bypass the recorded "
+                    "pin; time-travel the live table name instead"
+                )
+            version = asof = ref = None
+            if kindkw == "VERSION":
+                if lit.startswith("'") and lit.endswith("'") and len(lit) >= 2:
+                    ref = lit[1:-1].replace("''", "'")
+                elif re.fullmatch(r"\d+", lit):
+                    version = int(lit)
+                else:
+                    raise SqlSyntaxError(
+                        "execute_sql: VERSION AS OF takes an integer "
+                        f"version or a quoted ref name, got {lit!r}"
+                    )
+            else:
+                if not (lit.startswith("'") and lit.endswith("'")):
+                    raise SqlSyntaxError(
+                        "execute_sql: TIMESTAMP AS OF takes a quoted "
+                        f"timestamp literal, got {lit!r}"
+                    )
+                from datetime import datetime, timezone
+
+                s = lit[1:-1].replace("''", "'")
+                try:
+                    dt = datetime.fromisoformat(s)
+                except ValueError:
+                    raise SqlSyntaxError(
+                        f"execute_sql: unparseable TIMESTAMP AS OF {s!r} "
+                        "(ISO format, e.g. '2026-01-01 00:00:00')"
+                    ) from None
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                asof = dt.timestamp()
+            import hashlib
+
+            safe = (
+                f"{t}__asof_"
+                + hashlib.md5(f"{kindkw}:{lit}".encode()).hexdigest()[:8]
+            )
+            sn.attach_snapshot_view(
+                spark, safe, e["root"], version=version, asof=asof, ref=ref
+            )
+            out.append(text[last:lo])
+            out.append(safe)
+            last = toks[i + 4][2]
+            i += 5
+            continue
+        i += 1
+    if not out:
+        return text
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
     _attach(spark, catalog_dir)
-    return spark.sql(sql)
+    return spark.sql(_rewrite_time_travel(spark, catalog_dir, sql))
 
 
 def _assignments(

@@ -451,3 +451,86 @@ def test_sql_dml_matches_python_api(spark, cdir, tmp_path):
     a = _rows(execute_sql(spark, "SELECT k, v FROM sq", cdir))
     b = sorted(tuple(r) for r in sn.read_snapshot_mor(spark, root2).collect())
     assert a == b and len(a) > 0
+
+
+def test_inline_time_travel_in_select(spark, cdir):
+    """FROM t VERSION AS OF n / '<ref>' / TIMESTAMP AS OF '<ts>' inside
+    plain SELECT text — each pin resolves through the snapshot lineage
+    and the rest of the statement passes through byte-identical
+    (string literals containing the keywords stay literal)."""
+    import time as _time
+
+    execute_sql(spark, "CREATE TABLE tt AS SELECT id AS k FROM RANGE(3)", cdir)
+    root = cat.catalog_entries(cdir)["tt"]["root"]
+    sn.snapshot_create_tag(root, "audit", version=0)
+    mid = _time.time()
+    _time.sleep(0.05)
+    execute_sql(spark, "INSERT INTO tt SELECT id FROM RANGE(3, 6)", cdir)
+    assert _rows(
+        execute_sql(spark, "SELECT COUNT(*) AS c FROM tt", cdir)
+    ) == [(6,)]
+    assert _rows(
+        execute_sql(spark, "SELECT COUNT(*) AS c FROM tt VERSION AS OF 0", cdir)
+    ) == [(3,)]
+    assert _rows(
+        execute_sql(
+            spark, "SELECT COUNT(*) AS c FROM tt VERSION AS OF 'audit'", cdir
+        )
+    ) == [(3,)]
+    from datetime import datetime, timezone
+
+    ts = datetime.fromtimestamp(mid, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    assert _rows(
+        execute_sql(
+            spark,
+            f"SELECT COUNT(*) AS c FROM tt TIMESTAMP AS OF '{ts}'",
+            cdir,
+        )
+    ) == [(3,)]
+    # two pins of the SAME table in one statement
+    assert _rows(
+        execute_sql(
+            spark,
+            "SELECT (SELECT COUNT(*) FROM tt VERSION AS OF 0) AS old, "
+            "(SELECT COUNT(*) FROM tt) AS new",
+            cdir,
+        )
+    ) == [(3, 6)]
+    # a string literal mentioning the syntax is untouched
+    assert _rows(
+        execute_sql(
+            spark,
+            "SELECT 'tt VERSION AS OF 99' AS s FROM tt VERSION AS OF 0 "
+            "WHERE k = 0",
+            cdir,
+        )
+    ) == [("tt VERSION AS OF 99",)]
+
+
+def test_inline_time_travel_refusals_and_views(spark, cdir):
+    execute_sql(spark, "CREATE TABLE tv AS SELECT id AS k FROM RANGE(4)", cdir)
+    root = cat.catalog_entries(cdir)["tv"]["root"]
+    with pytest.raises(FileNotFoundError, match="not in the catalog"):
+        execute_sql(spark, "SELECT * FROM ghost VERSION AS OF 0", cdir)
+    with pytest.raises(SqlSyntaxError, match="integer version or a quoted"):
+        execute_sql(spark, "SELECT * FROM tv VERSION AS OF 1.5", cdir)
+    with pytest.raises(SqlSyntaxError, match="quoted timestamp"):
+        execute_sql(spark, "SELECT * FROM tv TIMESTAMP AS OF 12", cdir)
+    # pinned catalog entries refuse AS OF (it would bypass the pin)
+    cat.catalog_register(cdir, "tv_pinned", root, version=0)
+    with pytest.raises(ValueError, match="PINNED catalog entry"):
+        execute_sql(spark, "SELECT * FROM tv_pinned VERSION AS OF 0", cdir)
+    # a stored VIEW may time-travel: the rewrite re-applies at attach
+    execute_sql(spark, "INSERT INTO tv SELECT id FROM RANGE(4, 9)", cdir)
+    execute_sql(
+        spark,
+        "CREATE VIEW tv_audit AS SELECT COUNT(*) AS c FROM tv "
+        "VERSION AS OF 0",
+        cdir,
+    )
+    assert _rows(execute_sql(spark, "SELECT * FROM tv_audit", cdir)) == [(4,)]
+    s2 = spark.newSession()
+    cat.attach_catalog(s2, cdir)
+    assert s2.sql("SELECT * FROM tv_audit").collect()[0].c == 4
