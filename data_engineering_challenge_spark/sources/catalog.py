@@ -261,30 +261,16 @@ def attach_catalog(
         )
         if keep is None or name in keep:
             out[name] = v
-    # views AFTER tables, in creation order: a view may reference any
-    # table and any earlier-created view (spark.sql analyzes eagerly, so
-    # a missing dependency fails loudly right here, not at first query)
-    if views and prefix:
-        raise ValueError(
-            "attach_catalog: prefix is incompatible with persistent "
-            "views — a view's SQL text references UNPREFIXED catalog "
-            "names, so a prefixed attach would silently resolve against "
-            "whatever happens to be registered under those names"
-        )
-    for e in sorted(views, key=lambda x: x.get("ts") or 0):
-        # view bodies may use inline time travel (t VERSION AS OF n) —
-        # the same rewrite the SQL executor applies (late import: the
-        # executor imports this module at its top level)
-        from ..sql_exec import _rewrite_time_travel
-
-        body = _rewrite_time_travel(spark, catalog_dir, e["sql"])
-        spark.sql(body).createOrReplaceTempView(prefix + e["name"])
-    # materialized views LAST (independent of both: they read their own
-    # materialized parquet, not live tables or view SQL)
+    # materialized views BEFORE plain views: they read their own
+    # materialized parquet (no dependencies), while a VIEW body may
+    # reference an mview by name — attaching mviews later would brick
+    # that view's analysis in every fresh session
     for e in entries.values():
         if e.get("kind") != "mview":
             continue
-        if keep is not None and e["name"] not in keep:
+        # a view body may reference any mview, so a requested view
+        # attaches them all (same contract as tables above)
+        if keep is not None and not view_asked and e["name"] not in keep:
             continue
         vp = _mview_path(catalog_dir, e["name"])
         done = sn._view_processed_version(vp)
@@ -304,7 +290,27 @@ def attach_catalog(
         spark.read.parquet(vp).createOrReplaceTempView(
             prefix + e["name"]
         )
-        out[e["name"]] = done
+        if keep is None or e["name"] in keep:
+            out[e["name"]] = done
+    # plain views AFTER tables and mviews, in creation order: a view may
+    # reference any table/mview and any earlier-created view (spark.sql
+    # analyzes eagerly, so a missing dependency fails loudly right here,
+    # not at first query)
+    if views and prefix:
+        raise ValueError(
+            "attach_catalog: prefix is incompatible with persistent "
+            "views — a view's SQL text references UNPREFIXED catalog "
+            "names, so a prefixed attach would silently resolve against "
+            "whatever happens to be registered under those names"
+        )
+    for e in sorted(views, key=lambda x: x.get("ts") or 0):
+        # view bodies may use inline time travel (t VERSION AS OF n) —
+        # the same rewrite the SQL executor applies (late import: the
+        # executor imports this module at its top level)
+        from ..sql_exec import _rewrite_time_travel
+
+        body = _rewrite_time_travel(spark, catalog_dir, e["sql"])
+        spark.sql(body).createOrReplaceTempView(prefix + e["name"])
     return out
 
 
@@ -428,10 +434,12 @@ def refresh_mview(
         v = sn.refresh_incremental_agg_cdf(
             spark, src["root"], vp, e["group_cols"], e["sum_cols"]
         )
-    except ValueError:
-        # a hop the CDF cannot express (overwrite/restore): recompute
-        # from the current snapshot — dropping the marker makes the
-        # refresh take the from-scratch path, which is always correct
+    except (ValueError, FileNotFoundError):
+        # a hop the CDF cannot express (overwrite/restore), or history
+        # EXPIRED between the view's processed version and the head
+        # (FileNotFoundError from the manifest walk): recompute from
+        # the current snapshot — dropping the marker makes the refresh
+        # take the from-scratch path, which is always correct
         import shutil
 
         shutil.rmtree(vp, ignore_errors=True)

@@ -889,8 +889,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
             ) or (self.max_bytes is not None and n_b >= self.max_bytes)
 
         if b_v < 0 or base.get("snap"):
-            # initial snapshot — possibly mid-way at its pinned version
-            w = head if b_v < 0 else b_v
+            # initial snapshot — possibly mid-way at its pinned version;
+            # a coexisting version cap still bounds WHICH version the
+            # snapshot pins (same as the version-cap-only behavior)
+            w = cap_v if b_v < 0 else b_v
             self._sizes = sn._read_manifest(self.root, w).get("sizes")
             snapf = self._snap_files(w)
             j = int(base.get("idx", 0)) if base.get("snap") else 0
@@ -981,19 +983,41 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 f"behind start {start} — baseline/engine inconsistency; "
                 "restart the stream from its checkpoint"
             )
-        if bool(start.get("snap")) or bool(end.get("snap")):
-            w = e if end.get("snap") else s
-            if (start.get("snap") and s != w) or (
-                not start.get("snap") and s != -1
-            ):
+        if start.get("snap"):
+            # resuming a split initial snapshot pinned at version s
+            w = s
+            snapf = self._snap_files(w)
+            k = s_idx or 0
+            if end.get("snap"):
+                if e != w:
+                    raise ValueError(
+                        "snapshot_table stream: inconsistent "
+                        f"snapshot-split offsets {start} -> {end}"
+                    )
+                return snapf[k:e_idx]
+            # end is past the snapshot: its remainder PLUS the delta
+            # hops (w, e] — an unlimited reader resuming a capped
+            # checkpoint must not drop post-snapshot commits
+            if e == w and e_idx is not None:
+                raise ValueError(
+                    "snapshot_table stream: inconsistent snapshot-split "
+                    f"offsets {start} -> {end}"
+                )
+            files = snapf[k:]
+            if e > w:
+                for u, adds in _hops(self.root, w, e):
+                    j = e_idx if (e_idx is not None and u == e) else len(
+                        adds
+                    )
+                    files.extend(adds[:j])
+            return files
+        if end.get("snap"):
+            if s != -1:
                 raise ValueError(
                     f"snapshot_table stream: inconsistent snapshot-split "
                     f"offsets {start} -> {end}"
                 )
-            snapf = self._snap_files(w)
-            k = s_idx if start.get("snap") else 0
-            j = e_idx if end.get("snap") else len(snapf)
-            return snapf[k or 0 : j]
+            return self._snap_files(e)[:e_idx]
         if e <= s and not (s_idx is not None or e_idx is not None):
             return []
         if s < 0:

@@ -289,6 +289,35 @@ def _attach_mview(spark: SparkSession, catalog_dir: str, name: str) -> None:
     )
 
 
+def _type_slice(cur: "_Cursor") -> str:
+    """One Spark DDL TYPE: tokens up to a depth-0 comma or DEFAULT.
+    Unlike `_Cursor.until`, ANGLE BRACKETS nest here — a type slice
+    never contains comparison operators, so ``STRUCT<a:INT,b:INT>`` /
+    ``MAP<STRING,INT>`` keep their inner commas (the general expression
+    scanner cannot treat ``<`` as nesting without breaking WHERE
+    clauses)."""
+    start = cur.i
+    depth = 0
+    while cur.i < len(cur.toks):
+        t = cur.toks[cur.i][0]
+        if t in ("(", "[", "<"):
+            depth += 1
+        elif t in (")", "]", ">"):
+            depth -= 1
+            if depth < 0:
+                cur.fail("unbalanced brackets in column type")
+        elif depth == 0 and (t == "," or t.upper() == "DEFAULT"):
+            break
+        cur.i += 1
+    if cur.i == start:
+        cur.fail("expected a column type")
+    if depth != 0:
+        cur.fail("unbalanced brackets in column type")
+    lo = cur.toks[start][1]
+    hi = cur.toks[cur.i - 1][2]
+    return cur.text[lo:hi].strip()
+
+
 def _default_literal(cur: "_Cursor") -> object:
     """One scalar literal after DEFAULT: quoted string, TRUE/FALSE, or
     a signed number — the sign is a separate token for ANY numeric
@@ -388,6 +417,37 @@ def _table_root(catalog_dir: str, name: str) -> str:
     return os.path.join(catalog_dir, "_tables", name)
 
 
+def _session_tz(spark: SparkSession, what: str):
+    """The session timezone as a tzinfo — IANA names via zoneinfo,
+    fixed offsets (``+05:30``, ``GMT+8``) parsed directly; anything
+    else refuses loudly rather than silently pinning wrong versions."""
+    from datetime import timedelta, timezone as _tz
+
+    name = spark.conf.get("spark.sql.session.timeZone")
+    if not name:
+        return _tz.utc
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(name)
+    except Exception:
+        m = re.fullmatch(
+            r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", name
+        )
+        if m:
+            sign = 1 if m.group(1) == "+" else -1
+            return _tz(
+                sign
+                * timedelta(
+                    hours=int(m.group(2)), minutes=int(m.group(3) or 0)
+                )
+            )
+        raise ValueError(
+            f"execute_sql: {what}: cannot resolve session timezone "
+            f"{name!r} — pass an explicit offset in the literal"
+        ) from None
+
+
 def _rewrite_time_travel(
     spark: SparkSession, catalog_dir: str, text: str
 ) -> str:
@@ -451,7 +511,7 @@ def _rewrite_time_travel(
                         "execute_sql: TIMESTAMP AS OF takes a quoted "
                         f"timestamp literal, got {lit!r}"
                     )
-                from datetime import datetime, timezone
+                from datetime import datetime
 
                 s = lit[1:-1].replace("''", "'")
                 try:
@@ -462,7 +522,12 @@ def _rewrite_time_travel(
                         "(ISO format, e.g. '2026-01-01 00:00:00')"
                     ) from None
                 if dt.tzinfo is None:
-                    dt = dt.replace(tzinfo=timezone.utc)
+                    # a naive literal means the SESSION timezone — the
+                    # Delta/Spark time-travel rule; silently assuming
+                    # UTC would pin the wrong version for non-UTC users
+                    dt = dt.replace(
+                        tzinfo=_session_tz(spark, "TIMESTAMP AS OF")
+                    )
                 asof = dt.timestamp()
             import hashlib
 
@@ -829,6 +894,10 @@ def execute_sql(
                     f"{prior.get('kind') or 'table'} — a materialized "
                     "view cannot replace it (DROP it first)"
                 )
+            # analyze the defining aggregate BEFORE touching any state:
+            # a typo'd source or column must refuse here, not after an
+            # OR REPLACE has already discarded the prior working view
+            _run_query(spark, catalog_dir, body)
             cat.catalog_register_mview(
                 catalog_dir, name, source, gb, sums,
                 sql=body, replace=replace,
@@ -836,10 +905,12 @@ def execute_sql(
             try:
                 v, _mode = cat.refresh_mview(spark, catalog_dir, name)
             except BaseException:
-                # a failed INITIAL materialization (missing source,
-                # bad column) must not leave a registered-but-empty
-                # object behind
-                cat.drop_mview(catalog_dir, name)
+                if prior is None:
+                    # a failed INITIAL materialization must not leave a
+                    # registered-but-empty object behind; on a replace
+                    # the entry stays (recover with REFRESH — broad
+                    # attaches skip the unmaterialized name meanwhile)
+                    cat.drop_mview(catalog_dir, name)
                 raise
             _attach_mview(spark, catalog_dir, name)
             return v
@@ -1036,10 +1107,11 @@ def execute_sql(
             while True:
                 col = cur.ident("column name")
                 # the type slice is BOUNDED: it stops at DEFAULT or a
-                # depth-0 comma (parens nest, so decimal(28,10) stays
-                # whole); snapshot_evolve then parse-validates it as
-                # Spark DDL before committing anything
-                typ = cur.until((("DEFAULT",),), commas=True)
+                # depth-0 comma (parens AND angle brackets nest, so
+                # decimal(28,10) and struct<a:int,b:int> stay whole);
+                # snapshot_evolve then parse-validates it as Spark DDL
+                # before committing anything
+                typ = _type_slice(cur)
                 if typ.upper().endswith("NOT NULL"):
                     cur.fail(
                         "NOT NULL on ADD COLUMN is not supported — "

@@ -228,3 +228,80 @@ def test_mview_lifecycle_and_write_protection(spark, cdir):
     import os
 
     assert not os.path.exists(cat._mview_path(cdir, "mv"))
+
+
+def test_view_over_mview_survives_fresh_session(spark, cdir):
+    """A stored VIEW referencing an mview must attach in fresh sessions
+    — mviews attach before plain views."""
+    _mk_sales(spark, cdir)
+    execute_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv AS SELECT region, COUNT(*) AS n "
+        "FROM sales GROUP BY region",
+        cdir,
+    )
+    execute_sql(
+        spark, "CREATE VIEW mv_top AS SELECT * FROM mv WHERE n > 3", cdir
+    )
+    assert len(execute_sql(spark, "SELECT * FROM mv_top", cdir).collect()) == 3
+    s2 = spark.newSession()
+    cat.attach_catalog(s2, cdir)
+    assert s2.sql("SELECT COUNT(*) AS c FROM mv_top").collect()[0].c == 3
+
+
+def test_failed_replace_keeps_prior_mview(spark, cdir):
+    """CREATE OR REPLACE with a typo'd column refuses at analysis,
+    BEFORE the prior working view or its derived state is touched."""
+    _mk_sales(spark, cdir)
+    execute_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv AS SELECT region, COUNT(*) AS n "
+        "FROM sales GROUP BY region",
+        cdir,
+    )
+    before = _rows(execute_sql(spark, "SELECT * FROM mv", cdir))
+    with pytest.raises(Exception, match="nope|UNRESOLVED|cannot be resolved"):
+        execute_sql(
+            spark,
+            "CREATE OR REPLACE MATERIALIZED VIEW mv AS SELECT region, "
+            "COUNT(*) AS n, SUM(nope) AS nope FROM sales GROUP BY region",
+            cdir,
+        )
+    e = cat.catalog_entries(cdir)["mv"]
+    assert e["sum_cols"] == [], "prior definition survives"
+    assert _rows(execute_sql(spark, "SELECT * FROM mv", cdir)) == before
+    s2 = spark.newSession()
+    cat.attach_catalog(s2, cdir)
+    assert sorted(tuple(r) for r in s2.sql("SELECT * FROM mv").collect()) == before
+
+
+def test_mview_rebuilds_across_expired_history(spark, cdir):
+    """History expiring between refreshes surfaces as a manifest
+    FileNotFoundError — the refresh must fall back to the from-scratch
+    recompute, not fail forever."""
+    _mk_sales(spark, cdir)
+    execute_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv AS SELECT region, COUNT(*) AS n, "
+        "SUM(amt) AS amt FROM sales GROUP BY region",
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["sales"]["root"]
+    for i in range(5):
+        execute_sql(
+            spark,
+            f"INSERT INTO sales SELECT {i} % 3, {100 + i}, "
+            f"CAST({i} AS BIGINT)",
+            cdir,
+        )
+    sn.expire_versions(root, keep_last=2)
+    _, mode = cat.refresh_mview(spark, cdir, "mv")
+    assert mode == "rebuild"
+    assert _rows(execute_sql(spark, "SELECT * FROM mv", cdir)) == _rows(
+        execute_sql(
+            spark,
+            "SELECT region, COUNT(*) AS n, SUM(amt) AS amt FROM sales "
+            "GROUP BY region",
+            cdir,
+        )
+    )

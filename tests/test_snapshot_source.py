@@ -658,6 +658,63 @@ def test_stream_rate_limit_end_to_end(spark, tmp_path):
     assert got == list(range(40)), "exactly once across split offsets"
 
 
+def test_stream_snap_split_resume_without_caps_loses_nothing(
+    spark, tmp_path
+):
+    """The data-loss review scenario: a stream stops MID-initial-
+    snapshot (split offset checkpointed), commits land, and the stream
+    resumes WITHOUT the file cap — the resume batch must plan the
+    snapshot remainder PLUS the post-snapshot commits, not silently
+    drop them."""
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        SnapshotStreamReader,
+    )
+
+    root = str(tmp_path / "src")
+    sn.snapshot_append(_df(spark, 0, 40).repartition(4), root)  # v0
+    schema = sn.read_snapshot(spark, root).schema
+    r = SnapshotStreamReader(root, schema, max_files_per_trigger=2)
+    start = r.initialOffset()
+    mid = r.latestOffset()  # 2 of 4 snapshot files
+    assert mid.get("snap") and mid["idx"] == 2
+    first = [p.path for p in r.partitions(start, mid)]
+    # "restart" without the option: the engine re-commits the
+    # checkpointed offset before any latestOffset
+    sn.snapshot_append(_df(spark, 40, 50).coalesce(1), root)  # v1
+    r2 = SnapshotStreamReader(root, schema)
+    r2.commit(mid)
+    end = r2.latestOffset()
+    assert end == {"version": 1}
+    rest = [p.path for p in r2.partitions(mid, end)]
+    got = sorted(
+        x.id
+        for f in first + rest
+        for x in spark.read.parquet(f).collect()
+    )
+    assert got == list(range(50)), "resume must cover snapshot tail + v1"
+
+
+def test_stream_version_cap_composes_with_file_cap(spark, tmp_path):
+    """max_versions_per_batch keeps bounding WHICH version the initial
+    snapshot pins even when a file cap coexists."""
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        SnapshotStreamReader,
+    )
+
+    root = str(tmp_path / "src")
+    for i in range(4):  # v0..v3
+        sn.snapshot_append(_df(spark, i * 10, i * 10 + 10).coalesce(1), root)
+    schema = sn.read_snapshot(spark, root).schema
+    r = SnapshotStreamReader(
+        root, schema, max_versions_per_batch=1, max_files_per_trigger=100
+    )
+    r.initialOffset()
+    end = r.latestOffset()
+    assert end == {"version": 0}, (
+        "the version cap pins the initial snapshot at v0, file cap or not"
+    )
+
+
 def test_batch_pushdown_prunes_files_and_stays_correct(spark, tmp_path):
     """Catalyst filter pushdown (Spark 4.1 Python DataSource API,
     opt-in): a WHERE over the snapshot DataSource prunes manifest

@@ -534,3 +534,57 @@ def test_inline_time_travel_refusals_and_views(spark, cdir):
     s2 = spark.newSession()
     cat.attach_catalog(s2, cdir)
     assert s2.sql("SELECT * FROM tv_audit").collect()[0].c == 4
+
+
+def test_alter_add_complex_types(spark, cdir):
+    """Angle-bracketed DDL types keep their inner commas — the type
+    slice nests <> alongside ()."""
+    execute_sql(spark, "CREATE TABLE cx AS SELECT id AS k FROM RANGE(2)", cdir)
+    execute_sql(
+        spark,
+        "ALTER TABLE cx ADD COLUMNS s STRUCT<a:INT,b:STRING>, "
+        "m MAP<STRING,INT>, arr ARRAY<ARRAY<INT>>, d DECIMAL(28,10)",
+        cdir,
+    )
+    df = execute_sql(spark, "SELECT * FROM cx", cdir)
+    assert df.schema["s"].dataType.simpleString() == "struct<a:int,b:string>"
+    assert df.schema["m"].dataType.simpleString() == "map<string,int>"
+    assert df.schema["arr"].dataType.simpleString() == "array<array<int>>"
+    assert df.count() == 2
+
+
+def test_timestamp_as_of_uses_session_timezone(spark, cdir):
+    """A naive TIMESTAMP AS OF literal resolves in the SESSION timezone
+    (the Delta/Spark rule), not silently in UTC."""
+    import time as _time
+    from datetime import datetime, timezone, timedelta
+
+    execute_sql(spark, "CREATE TABLE tz AS SELECT 1 AS k", cdir)
+    mid_utc = datetime.now(timezone.utc)
+    _time.sleep(0.05)
+    execute_sql(spark, "INSERT INTO tz SELECT 2", cdir)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        # the same instant spelled in Tokyo time must pin v0 too
+        tokyo = mid_utc + timedelta(hours=9)
+        lit = tokyo.strftime("%Y-%m-%d %H:%M:%S.%f")
+        got = execute_sql(
+            spark,
+            f"SELECT COUNT(*) AS c FROM tz TIMESTAMP AS OF '{lit}'",
+            cdir,
+        ).collect()[0].c
+        assert got == 1, "naive literal resolved in session tz"
+        # spelled as UTC under a Tokyo session → must ALSO pin v0 only
+        # if interpreted as Tokyo (i.e. 9h earlier than the commit) —
+        # before v0's commit time it errors or pins nothing newer;
+        # use an explicit offset to stay unambiguous instead
+        utc_lit = mid_utc.strftime("%Y-%m-%d %H:%M:%S.%f+00:00")
+        got = execute_sql(
+            spark,
+            f"SELECT COUNT(*) AS c FROM tz TIMESTAMP AS OF '{utc_lit}'",
+            cdir,
+        ).collect()[0].c
+        assert got == 1, "explicit offset overrides the session tz"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
