@@ -72,7 +72,8 @@ _GRAMMAR = """supported statements:
   ALTER TABLE <name> ADD COLUMN[S] <col> <type> [DEFAULT <lit>] [, ...]
                    | RENAME COLUMN <a> TO <b> | DROP COLUMN <c>
   COPY INTO <name> FROM '<path-or-glob>' [FORMAT parquet|csv|jsonl|orc]
-  SHOW TABLES | DESCRIBE [TABLE] <name> | OPTIMIZE <name>"""
+  SHOW TABLES | DESCRIBE [TABLE] <name> | DESCRIBE HISTORY <name>
+  OPTIMIZE <name> | VACUUM <name> [RETAIN <n> VERSIONS]"""
 
 
 # --------------------------------------------------------------------------
@@ -830,8 +831,19 @@ def execute_sql(
             rows, "name string, kind string, root string, pin string"
         )
 
-    # ---- DESCRIBE [TABLE] <name> ----
+    # ---- DESCRIBE HISTORY <name> / DESCRIBE [TABLE] <name> ----
     if cur.kw("DESCRIBE") or cur.kw("DESC"):
+        if cur.kw("HISTORY"):
+            name = cur.ident("table name")
+            cur.expect_done()
+            e = _entry(catalog_dir, name, "execute_sql(DESCRIBE HISTORY)")
+            if e.get("kind") in ("view", "mview"):
+                raise ValueError(
+                    f"execute_sql: {name!r} is a {e['kind']} — only "
+                    "snapshot tables have a commit history"
+                )
+            # history is read-only: pinned entries may inspect it too
+            return sn.snapshot_history(spark, e["root"])
         cur.kw("TABLE")
         name = cur.ident("table name")
         cur.expect_done()
@@ -874,6 +886,26 @@ def execute_sql(
         cur.expect_done()
         root = _writable_root(catalog_dir, name, "execute_sql(OPTIMIZE)")
         return sn.snapshot_compact(spark, root)
+
+    # ---- VACUUM <name> [RETAIN <n> VERSIONS] ----
+    if cur.kw("VACUUM"):
+        name = cur.ident("table name")
+        keep = 10  # expire_versions' default retention
+        if cur.kw("RETAIN"):
+            t = cur.peek()
+            if t is None or not re.fullmatch(r"\d+", t):
+                cur.fail("RETAIN takes an integer version count")
+            keep = int(t)
+            cur.i += 1
+            cur.expect_kw("VERSIONS")
+        cur.expect_done()
+        root = _writable_root(catalog_dir, name, "execute_sql(VACUUM)")
+        expired = sn.expire_versions(root, keep_last=keep)
+        removed = sn.vacuum_orphans(root)
+        return spark.createDataFrame(
+            [(len(expired), len(removed))],
+            "versions_expired bigint, orphan_files_removed bigint",
+        )
 
     # ---- CREATE [OR REPLACE] TABLE/VIEW ----
     if cur.at_kw("CREATE"):

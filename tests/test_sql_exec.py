@@ -588,3 +588,29 @@ def test_timestamp_as_of_uses_session_timezone(spark, cdir):
         assert got == 1, "explicit offset overrides the session tz"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_describe_history_and_vacuum(spark, cdir):
+    execute_sql(spark, "CREATE TABLE h AS SELECT 1 AS k", cdir)
+    for i in range(2, 6):
+        execute_sql(spark, f"INSERT INTO h SELECT {i}", cdir)
+    hist = execute_sql(spark, "DESCRIBE HISTORY h", cdir)
+    assert hist.count() == 5
+    ops = [r.operation for r in hist.orderBy("version").collect()]
+    assert ops[0] == "overwrite" and set(ops[1:]) == {"append"}
+    # VACUUM expires old versions (orphan collection is age-gated, so
+    # fresh data files survive the in-test call)
+    row = execute_sql(spark, "VACUUM h RETAIN 2 VERSIONS", cdir).collect()[0]
+    assert row.versions_expired == 3
+    root = cat.catalog_entries(cdir)["h"]["root"]
+    assert sn.snapshot_versions(root) == [3, 4]
+    assert _rows(execute_sql(spark, "SELECT COUNT(*) AS c FROM h", cdir)) == [
+        (5,)
+    ]
+    with pytest.raises(SqlSyntaxError, match="integer version count"):
+        execute_sql(spark, "VACUUM h RETAIN x VERSIONS", cdir)
+    execute_sql(spark, "CREATE VIEW hv AS SELECT * FROM h", cdir)
+    with pytest.raises(ValueError, match="commit history"):
+        execute_sql(spark, "DESCRIBE HISTORY hv", cdir)
+    with pytest.raises(ValueError, match="read-only"):
+        execute_sql(spark, "VACUUM hv", cdir)
