@@ -69,8 +69,11 @@ _GRAMMAR = """supported statements:
     WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ... | DELETE
     WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT * | (cols) VALUES (exprs)
     WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
+  CREATE [OR REPLACE] TABLE <new> CLONE <src> [VERSION AS OF <n>]
+  RESTORE TABLE <name> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
   ALTER TABLE <name> ADD COLUMN[S] <col> <type> [DEFAULT <lit>] [, ...]
                    | RENAME COLUMN <a> TO <b> | DROP COLUMN <c>
+                   | ADD CONSTRAINT <cn> CHECK (<expr>) | DROP CONSTRAINT <cn>
   COPY INTO <name> FROM '<path-or-glob>' [FORMAT parquet|csv|jsonl|orc]
   SHOW TABLES | DESCRIBE [TABLE] <name> | DESCRIBE HISTORY <name>
   OPTIMIZE <name> | VACUUM <name> [RETAIN <n> VERSIONS]"""
@@ -887,6 +890,38 @@ def execute_sql(
         root = _writable_root(catalog_dir, name, "execute_sql(OPTIMIZE)")
         return sn.snapshot_compact(spark, root)
 
+    # ---- RESTORE TABLE <name> TO VERSION/TIMESTAMP AS OF ... ----
+    if cur.kw("RESTORE"):
+        cur.kw("TABLE")
+        name = cur.ident("table name")
+        cur.expect_kw("TO")
+        root = _writable_root(catalog_dir, name, "execute_sql(RESTORE)")
+        if cur.kw("VERSION", "AS", "OF"):
+            t = cur.peek()
+            if t is None or not re.fullmatch(r"\d+", t):
+                cur.fail("RESTORE ... VERSION AS OF takes an integer")
+            version = int(t)
+            cur.i += 1
+        elif cur.kw("TIMESTAMP", "AS", "OF"):
+            t = cur.peek()
+            if t is None or not (t.startswith("'") and t.endswith("'")):
+                cur.fail("RESTORE ... TIMESTAMP AS OF takes a quoted "
+                         "timestamp")
+            cur.i += 1
+            from datetime import datetime
+
+            try:
+                dt = datetime.fromisoformat(t[1:-1].replace("''", "'"))
+            except ValueError:
+                cur.fail(f"unparseable RESTORE timestamp {t}")
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_session_tz(spark, "RESTORE"))
+            version = sn.resolve_asof_version(root, dt.timestamp())
+        else:
+            cur.fail("expected VERSION AS OF or TIMESTAMP AS OF after TO")
+        cur.expect_done()
+        return sn.snapshot_restore(root, version)
+
     # ---- VACUUM <name> [RETAIN <n> VERSIONS] ----
     if cur.kw("VACUUM"):
         name = cur.ident("table name")
@@ -967,6 +1002,74 @@ def execute_sql(
         if replace and if_not_exists:
             cur.fail("OR REPLACE and IF NOT EXISTS are mutually exclusive")
         name = cur.ident("table name")
+        if cur.kw("CLONE"):
+            # CREATE [OR REPLACE] TABLE <new> CLONE <src> [VERSION AS
+            # OF n] — Delta's zero-copy clone statement: a NEW lineage
+            # at metadata cost (hard links), registered in the catalog
+            src_name = cur.ident("clone source table name")
+            version = None
+            if cur.kw("VERSION", "AS", "OF"):
+                t = cur.peek()
+                if t is None or not re.fullmatch(r"\d+", t):
+                    cur.fail("CLONE ... VERSION AS OF takes an integer")
+                version = int(t)
+                cur.i += 1
+            cur.expect_done()
+            src_e = _entry(catalog_dir, src_name, "execute_sql(CLONE)")
+            if src_e.get("kind") in ("view", "mview"):
+                raise ValueError(
+                    f"execute_sql: CLONE source {src_name!r} is a "
+                    f"{src_e['kind']} — only snapshot tables clone"
+                )
+            # a PINNED source clones its pinned state (that is what the
+            # pin names); an explicit VERSION AS OF on top is ambiguous
+            pins = [
+                k for k in ("version", "asof", "ref")
+                if src_e.get(k) is not None
+            ]
+            if pins and version is not None:
+                raise ValueError(
+                    f"execute_sql: CLONE source {src_name!r} is pinned "
+                    f"({pins[0]}) — drop the VERSION AS OF clause or "
+                    "clone the live table name"
+                )
+            if pins:
+                if src_e.get("version") is not None:
+                    version = int(src_e["version"])
+                elif src_e.get("ref") is not None:
+                    version = sn.resolve_ref(src_e["root"], src_e["ref"])
+                else:
+                    version = sn.resolve_asof_version(
+                        src_e["root"], float(src_e["asof"])
+                    )
+            existing = cat.catalog_entries(catalog_dir).get(name)
+            if existing is not None and existing.get("kind") in (
+                "view", "mview",
+            ):
+                raise ValueError(
+                    f"execute_sql: {name!r} is a {existing['kind']} — "
+                    "a cloned table cannot replace it (DROP it first)"
+                )
+            if existing is not None and if_not_exists:
+                return sn.current_version(existing["root"])
+            if existing is not None and not replace:
+                raise ValueError(
+                    f"execute_sql: table {name!r} already exists — use "
+                    "CREATE OR REPLACE TABLE or DROP TABLE first"
+                )
+            import uuid as _uuid
+
+            dst = _table_root(catalog_dir, name)
+            if os.path.exists(dst):
+                # a fresh lineage needs a fresh directory; the replaced
+                # entry's old root stays behind as the pre-clone state
+                # (history is never destroyed by a repoint)
+                dst = f"{dst}_{_uuid.uuid4().hex[:8]}"
+            v = sn.snapshot_clone(src_e["root"], dst, version=version)
+            cat.catalog_register(
+                catalog_dir, name, dst, replace=existing is not None
+            )
+            return v
         cur.expect_kw("AS")
         body = cur.until(((";",),))
         cur.expect_done()
@@ -1170,7 +1273,26 @@ def execute_sql(
             col = cur.ident("column name")
             cur.expect_done()
             return sn.snapshot_evolve(root, drops=[col])
-        cur.fail("expected ADD/RENAME/DROP COLUMN after ALTER TABLE")
+        if cur.kw("ADD", "CONSTRAINT"):
+            cname = cur.ident("constraint name")
+            cur.expect_kw("CHECK")
+            if cur.peek() != "(":
+                cur.fail("expected ( after CHECK")
+            cur.i += 1
+            expr = cur.until(((";",),))  # stops on the closing paren
+            if cur.peek() != ")":
+                cur.fail("expected ) closing the CHECK expression")
+            cur.i += 1
+            cur.expect_done()
+            return sn.snapshot_set_check(spark, root, cname, expr)
+        if cur.kw("DROP", "CONSTRAINT"):
+            cname = cur.ident("constraint name")
+            cur.expect_done()
+            return sn.snapshot_drop_check(root, cname)
+        cur.fail(
+            "expected ADD/RENAME/DROP COLUMN or ADD/DROP CONSTRAINT "
+            "after ALTER TABLE"
+        )
 
     # ---- COPY INTO <name> FROM '<glob>' [FORMAT <fmt>] ----
     if cur.kw("COPY", "INTO"):

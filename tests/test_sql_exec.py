@@ -614,3 +614,93 @@ def test_describe_history_and_vacuum(spark, cdir):
         execute_sql(spark, "DESCRIBE HISTORY hv", cdir)
     with pytest.raises(ValueError, match="read-only"):
         execute_sql(spark, "VACUUM hv", cdir)
+
+
+def test_restore_statement(spark, cdir):
+    execute_sql(spark, "CREATE TABLE rs AS SELECT id AS k FROM RANGE(3)", cdir)
+    execute_sql(spark, "INSERT INTO rs SELECT id FROM RANGE(3, 9)", cdir)
+    v = execute_sql(spark, "RESTORE TABLE rs TO VERSION AS OF 0", cdir)
+    assert v == 2  # restore is a COMMIT — history stays linear
+    assert _rows(execute_sql(spark, "SELECT COUNT(*) AS c FROM rs", cdir)) == [
+        (3,)
+    ]
+    # timestamp form resolves through the lineage
+    import time as _time
+    from datetime import datetime, timezone
+
+    _time.sleep(0.05)
+    mid = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f+00:00")
+    execute_sql(spark, "INSERT INTO rs SELECT 99", cdir)
+    v = execute_sql(
+        spark, f"RESTORE TABLE rs TO TIMESTAMP AS OF '{mid}'", cdir
+    )
+    assert _rows(execute_sql(spark, "SELECT COUNT(*) AS c FROM rs", cdir)) == [
+        (3,)
+    ]
+    with pytest.raises(SqlSyntaxError, match="VERSION AS OF or TIMESTAMP"):
+        execute_sql(spark, "RESTORE TABLE rs TO 3", cdir)
+
+
+def test_constraint_statements(spark, cdir):
+    execute_sql(
+        spark,
+        "CREATE TABLE cc AS SELECT id AS k, CAST(id AS BIGINT) AS v "
+        "FROM RANGE(4)",
+        cdir,
+    )
+    execute_sql(
+        spark, "ALTER TABLE cc ADD CONSTRAINT v_pos CHECK (v >= 0)", cdir
+    )
+    # enforcement rides inside the write job
+    with pytest.raises(Exception, match="v_pos"):
+        execute_sql(spark, "INSERT INTO cc SELECT -1, CAST(-5 AS BIGINT)", cdir)
+    execute_sql(spark, "INSERT INTO cc SELECT 9, CAST(9 AS BIGINT)", cdir)
+    # adding a constraint existing rows violate refuses (Delta's rule)
+    with pytest.raises(Exception, match="existing row|violat"):
+        execute_sql(
+            spark, "ALTER TABLE cc ADD CONSTRAINT v_big CHECK (v > 100)", cdir
+        )
+    execute_sql(spark, "ALTER TABLE cc DROP CONSTRAINT v_pos", cdir)
+    execute_sql(spark, "INSERT INTO cc SELECT -1, CAST(-5 AS BIGINT)", cdir)
+    assert _rows(execute_sql(spark, "SELECT COUNT(*) AS c FROM cc", cdir)) == [
+        (6,)
+    ]
+    # a parenthesized expression with nested parens parses whole
+    execute_sql(
+        spark,
+        "ALTER TABLE cc ADD CONSTRAINT kv CHECK ((k >= -1) AND (v >= -5))",
+        cdir,
+    )
+
+
+def test_clone_statement(spark, cdir):
+    execute_sql(spark, "CREATE TABLE src AS SELECT id AS k FROM RANGE(5)", cdir)
+    execute_sql(spark, "INSERT INTO src SELECT id FROM RANGE(5, 8)", cdir)
+    # clone the head, then diverge both sides
+    execute_sql(spark, "CREATE TABLE copy CLONE src", cdir)
+    execute_sql(spark, "DELETE FROM src WHERE k >= 5", cdir)
+    execute_sql(spark, "INSERT INTO copy SELECT 100", cdir)
+    assert _rows(execute_sql(spark, "SELECT COUNT(*) AS c FROM src", cdir)) == [
+        (5,)
+    ]
+    assert _rows(execute_sql(spark, "SELECT COUNT(*) AS c FROM copy", cdir)) == [
+        (9,)
+    ]
+    # pinned-version clone
+    execute_sql(spark, "CREATE TABLE old CLONE src VERSION AS OF 0", cdir)
+    assert _rows(execute_sql(spark, "SELECT COUNT(*) AS c FROM old", cdir)) == [
+        (5,)
+    ]
+    with pytest.raises(ValueError, match="already exists"):
+        execute_sql(spark, "CREATE TABLE copy CLONE src", cdir)
+    # OR REPLACE repoints the name at a fresh clone lineage
+    execute_sql(
+        spark, "CREATE OR REPLACE TABLE copy CLONE src VERSION AS OF 0", cdir
+    )
+    assert _rows(execute_sql(spark, "SELECT COUNT(*) AS c FROM copy", cdir)) == [
+        (5,)
+    ]
+    # views don't clone
+    execute_sql(spark, "CREATE VIEW sv AS SELECT * FROM src", cdir)
+    with pytest.raises(ValueError, match="only snapshot tables clone"):
+        execute_sql(spark, "CREATE TABLE x CLONE sv", cdir)
