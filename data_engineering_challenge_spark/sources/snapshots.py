@@ -4309,28 +4309,36 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     point), commit time, operation, file counts, and the file-set delta
     vs the parent.  Built from manifests only; `is_current` marks the
     version _LATEST points at (after a rollback that is not the highest
-    number)."""
+    number).  A row whose parent was EXPIRED by retention keeps its
+    parent number but reports NULL added/removed deltas — history after
+    VACUUM is the normal case, never a crash."""
     rows = []
     cur = current_version(root)
-    for v in snapshot_versions(root):
+    live = set(snapshot_versions(root))
+    for v in sorted(live):
         m = _read_manifest(root, v)
         files = set(m["files"])
-        pfiles = (
-            set(_read_manifest(root, m["parent"])["files"])
-            if m["parent"] is not None
-            else set()
-        )
+        parent = m["parent"]
+        if parent is None:
+            pfiles: set | None = set()
+        elif parent in live:
+            pfiles = set(_read_manifest(root, parent)["files"])
+        else:
+            # the parent was EXPIRED (retention) — the row survives,
+            # the vs-parent delta is simply unknowable (NULLs), never
+            # a crash: DESCRIBE HISTORY after VACUUM is the normal case
+            pfiles = None
         rows.append(
             (
                 v,
-                m["parent"],
+                parent,
                 float(m["ts"]) if m.get("ts") is not None else None,
                 m.get("operation"),
                 m.get("tag"),
                 len(files),
                 len(m.get("delete_files") or []),
-                len(files - pfiles),
-                len(pfiles - files),
+                len(files - pfiles) if pfiles is not None else None,
+                len(pfiles - files) if pfiles is not None else None,
                 v == cur,
             )
         )

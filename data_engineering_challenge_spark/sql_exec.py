@@ -421,6 +421,41 @@ def _table_root(catalog_dir: str, name: str) -> str:
     return os.path.join(catalog_dir, "_tables", name)
 
 
+def _int_literal(cur: "_Cursor", what: str) -> int:
+    t = cur.peek()
+    if t is None or not re.fullmatch(r"\d+", t):
+        cur.fail(f"{what} takes an integer, got {t!r}")
+    cur.i += 1
+    return int(t)
+
+
+def _ts_epoch(spark: SparkSession, lit: str, what: str) -> float:
+    """A quoted-timestamp TOKEN (quotes still on) → epoch seconds.
+    Naive literals resolve in the SESSION timezone — the Delta/Spark
+    time-travel rule; assuming UTC would silently pin wrong versions
+    for non-UTC users.  ONE spelling shared by every AS OF surface
+    (inline rewrite, RESTORE) so quote unescaping, ISO parsing and the
+    timezone rule cannot drift apart."""
+    if not (lit.startswith("'") and lit.endswith("'") and len(lit) >= 2):
+        raise SqlSyntaxError(
+            f"execute_sql: {what} takes a quoted timestamp literal, "
+            f"got {lit!r}\n{_GRAMMAR}"
+        )
+    from datetime import datetime
+
+    s = lit[1:-1].replace("''", "'")
+    try:
+        dt = datetime.fromisoformat(s)
+    except ValueError:
+        raise SqlSyntaxError(
+            f"execute_sql: unparseable {what} timestamp {s!r} "
+            "(ISO format, e.g. '2026-01-01 00:00:00')"
+        ) from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_session_tz(spark, what))
+    return dt.timestamp()
+
+
 def _session_tz(spark: SparkSession, what: str):
     """The session timezone as a tzinfo — IANA names via zoneinfo,
     fixed offsets (``+05:30``, ``GMT+8``) parsed directly; anything
@@ -510,29 +545,7 @@ def _rewrite_time_travel(
                         f"version or a quoted ref name, got {lit!r}"
                     )
             else:
-                if not (lit.startswith("'") and lit.endswith("'")):
-                    raise SqlSyntaxError(
-                        "execute_sql: TIMESTAMP AS OF takes a quoted "
-                        f"timestamp literal, got {lit!r}"
-                    )
-                from datetime import datetime
-
-                s = lit[1:-1].replace("''", "'")
-                try:
-                    dt = datetime.fromisoformat(s)
-                except ValueError:
-                    raise SqlSyntaxError(
-                        f"execute_sql: unparseable TIMESTAMP AS OF {s!r} "
-                        "(ISO format, e.g. '2026-01-01 00:00:00')"
-                    ) from None
-                if dt.tzinfo is None:
-                    # a naive literal means the SESSION timezone — the
-                    # Delta/Spark time-travel rule; silently assuming
-                    # UTC would pin the wrong version for non-UTC users
-                    dt = dt.replace(
-                        tzinfo=_session_tz(spark, "TIMESTAMP AS OF")
-                    )
-                asof = dt.timestamp()
+                asof = _ts_epoch(spark, lit, "TIMESTAMP AS OF")
             import hashlib
 
             safe = (
@@ -836,7 +849,11 @@ def execute_sql(
 
     # ---- DESCRIBE HISTORY <name> / DESCRIBE [TABLE] <name> ----
     if cur.kw("DESCRIBE") or cur.kw("DESC"):
-        if cur.kw("HISTORY"):
+        # HISTORY is a keyword only when a name FOLLOWS it — a table
+        # literally named `history` still describes as a table
+        if cur.at_kw("HISTORY") and cur.peek(1) is not None and cur.kw(
+            "HISTORY"
+        ):
             name = cur.ident("table name")
             cur.expect_done()
             e = _entry(catalog_dir, name, "execute_sql(DESCRIBE HISTORY)")
@@ -897,26 +914,15 @@ def execute_sql(
         cur.expect_kw("TO")
         root = _writable_root(catalog_dir, name, "execute_sql(RESTORE)")
         if cur.kw("VERSION", "AS", "OF"):
-            t = cur.peek()
-            if t is None or not re.fullmatch(r"\d+", t):
-                cur.fail("RESTORE ... VERSION AS OF takes an integer")
-            version = int(t)
-            cur.i += 1
+            version = _int_literal(cur, "RESTORE ... VERSION AS OF")
         elif cur.kw("TIMESTAMP", "AS", "OF"):
             t = cur.peek()
-            if t is None or not (t.startswith("'") and t.endswith("'")):
-                cur.fail("RESTORE ... TIMESTAMP AS OF takes a quoted "
-                         "timestamp")
+            if t is None:
+                cur.fail("expected a timestamp literal after AS OF")
             cur.i += 1
-            from datetime import datetime
-
-            try:
-                dt = datetime.fromisoformat(t[1:-1].replace("''", "'"))
-            except ValueError:
-                cur.fail(f"unparseable RESTORE timestamp {t}")
-            if dt.tzinfo is None:
-                dt = dt.replace(tzinfo=_session_tz(spark, "RESTORE"))
-            version = sn.resolve_asof_version(root, dt.timestamp())
+            version = sn.resolve_asof_version(
+                root, _ts_epoch(spark, t, "RESTORE ... TIMESTAMP AS OF")
+            )
         else:
             cur.fail("expected VERSION AS OF or TIMESTAMP AS OF after TO")
         cur.expect_done()
@@ -927,11 +933,12 @@ def execute_sql(
         name = cur.ident("table name")
         keep = 10  # expire_versions' default retention
         if cur.kw("RETAIN"):
-            t = cur.peek()
-            if t is None or not re.fullmatch(r"\d+", t):
-                cur.fail("RETAIN takes an integer version count")
-            keep = int(t)
-            cur.i += 1
+            keep = _int_literal(cur, "RETAIN version count")
+            if keep < 1:
+                cur.fail(
+                    "RETAIN needs at least 1 version — the live version "
+                    "is never expired"
+                )
             cur.expect_kw("VERSIONS")
         cur.expect_done()
         root = _writable_root(catalog_dir, name, "execute_sql(VACUUM)")
@@ -1009,11 +1016,7 @@ def execute_sql(
             src_name = cur.ident("clone source table name")
             version = None
             if cur.kw("VERSION", "AS", "OF"):
-                t = cur.peek()
-                if t is None or not re.fullmatch(r"\d+", t):
-                    cur.fail("CLONE ... VERSION AS OF takes an integer")
-                version = int(t)
-                cur.i += 1
+                version = _int_literal(cur, "CLONE ... VERSION AS OF")
             cur.expect_done()
             src_e = _entry(catalog_dir, src_name, "execute_sql(CLONE)")
             if src_e.get("kind") in ("view", "mview"):
@@ -1056,6 +1059,14 @@ def execute_sql(
                 raise ValueError(
                     f"execute_sql: table {name!r} already exists — use "
                     "CREATE OR REPLACE TABLE or DROP TABLE first"
+                )
+            if existing is not None:
+                # the same pin discipline every replace obeys: a PINNED
+                # destination name must not silently repoint (CTAS
+                # refuses via _writable_root — so does CLONE)
+                _writable_root(
+                    catalog_dir, name,
+                    "execute_sql(CREATE OR REPLACE TABLE ... CLONE)",
                 )
             import uuid as _uuid
 

@@ -83,6 +83,11 @@ def main() -> int:
                     sn.read_snapshot(spark, root), root
                 )
                 rows *= 2
+                # bring the view PAST the doubling commit untimed, so
+                # the timed refresh below consumes EXACTLY the 2k-row
+                # delta — not the growth commit (the claim under test
+                # is cost ∝ delta, so the delta must be the input)
+                cat.refresh_mview(spark, cdir, "mv")
             delta = base.limit(args.delta_rows).withColumn(
                 "k", F.col("k") + F.lit(10_000_000)
             )

@@ -607,13 +607,38 @@ def test_describe_history_and_vacuum(spark, cdir):
     assert _rows(execute_sql(spark, "SELECT COUNT(*) AS c FROM h", cdir)) == [
         (5,)
     ]
-    with pytest.raises(SqlSyntaxError, match="integer version count"):
+    with pytest.raises(SqlSyntaxError, match="takes an integer"):
         execute_sql(spark, "VACUUM h RETAIN x VERSIONS", cdir)
+    with pytest.raises(SqlSyntaxError, match="at least 1"):
+        execute_sql(spark, "VACUUM h RETAIN 0 VERSIONS", cdir)
+    # DESCRIBE HISTORY after VACUUM: expired parents report NULL
+    # deltas, never a crash
+    hist2 = execute_sql(spark, "DESCRIBE HISTORY h", cdir).orderBy(
+        "version"
+    ).collect()
+    assert [r.version for r in hist2] == [3, 4]
+    assert hist2[0].files_added is None  # v3's parent v2 was expired
+    assert hist2[1].files_added is not None
     execute_sql(spark, "CREATE VIEW hv AS SELECT * FROM h", cdir)
     with pytest.raises(ValueError, match="commit history"):
         execute_sql(spark, "DESCRIBE HISTORY hv", cdir)
     with pytest.raises(ValueError, match="read-only"):
         execute_sql(spark, "VACUUM hv", cdir)
+    # a table literally named `history` still describes as a table
+    execute_sql(spark, "CREATE TABLE history AS SELECT 1 AS k", cdir)
+    d = execute_sql(spark, "DESCRIBE history", cdir)
+    assert "num_files" in d.columns  # snapshot_detail, not a parse error
+
+
+def test_clone_replace_respects_destination_pin(spark, cdir):
+    """CREATE OR REPLACE ... CLONE obeys the same pin discipline as
+    CTAS: a pinned destination name never silently repoints."""
+    execute_sql(spark, "CREATE TABLE s1 AS SELECT 1 AS k", cdir)
+    root = cat.catalog_entries(cdir)["s1"]["root"]
+    cat.catalog_register(cdir, "audit", root, version=0)
+    with pytest.raises(ValueError, match="reproducibility pin"):
+        execute_sql(spark, "CREATE OR REPLACE TABLE audit CLONE s1", cdir)
+    assert cat.catalog_entries(cdir)["audit"]["version"] == 0
 
 
 def test_restore_statement(spark, cdir):
