@@ -715,6 +715,86 @@ def test_stream_version_cap_composes_with_file_cap(spark, tmp_path):
     )
 
 
+def test_stream_admission_grid_exactly_once(spark, tmp_path):
+    """Exhaustive offset-protocol walk over one lineage (mixed file
+    counts AND a mid-lineage major compaction) × a grid of admission
+    caps × restart modes (none / fresh capped reader / fresh UNCAPPED
+    reader at every batch boundary, primed the way the engine does):
+    every walk must deliver the table's rows EXACTLY once — no cap
+    combination, split offset, or restart may lose or duplicate a
+    file — and every batch must respect the file cap."""
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        SnapshotStreamReader,
+    )
+
+    root = str(tmp_path / "src")
+    sn.snapshot_append(_df(spark, 0, 30).repartition(3), root)   # v0
+    sn.snapshot_append(_df(spark, 30, 40).coalesce(1), root)     # v1
+    sn.snapshot_append(_df(spark, 40, 90).repartition(5), root)  # v2
+    sn.snapshot_compact(spark, root)                             # v3
+    sn.snapshot_append(_df(spark, 90, 110).repartition(2), root)  # v4
+    schema = sn.read_snapshot(spark, root).schema
+    want = sorted(r.id for r in sn.read_snapshot(spark, root).collect())
+
+    def mk(capped):
+        return SnapshotStreamReader(
+            root,
+            schema,
+            max_files_per_trigger=caps[0] if capped else None,
+            max_bytes_per_trigger=caps[1] if capped else None,
+            max_versions_per_batch=caps[2] if capped else None,
+        )
+
+    grid = [
+        (None, None, None),
+        (1, None, None),
+        (2, None, None),
+        (3, None, None),
+        (None, 1, None),
+        (None, 10**12, None),
+        (2, None, 1),
+        (1, 1, 2),
+        (None, None, 1),
+        (None, None, 2),
+    ]
+    for caps in grid:
+        for restart in ("none", "capped", "uncapped"):
+            r = mk(True)
+            cur_capped = True
+            start = r.initialOffset()
+            seen: list[str] = []
+            for _ in range(40):
+                end = r.latestOffset()
+                if end == start:
+                    break
+                parts = r.partitions(start, end)
+                if cur_capped and caps[0] is not None:
+                    assert len(parts) <= caps[0], (caps, start, end)
+                # a version-capped batch that lands exactly on a compact
+                # hop is legitimately EMPTY (the hop contributes no
+                # files; the engine tolerates an empty micro-batch)
+                seen.extend(p.path for p in parts)
+                r.commit(end)
+                start = end
+                if restart != "none":
+                    # fresh reader; the engine re-commits the
+                    # checkpointed offset before any latestOffset
+                    cur_capped = restart == "capped"
+                    r = mk(cur_capped)
+                    r.commit(start)
+            else:
+                raise AssertionError(f"walk did not drain: {caps}")
+            assert len(seen) == len(set(seen)), (
+                f"file planned twice: {caps} {restart}"
+            )
+            got = sorted(
+                x.id
+                for f in seen
+                for x in spark.read.parquet(f).collect()
+            )
+            assert got == want, (caps, restart)
+
+
 def test_batch_pushdown_prunes_files_and_stays_correct(spark, tmp_path):
     """Catalyst filter pushdown (Spark 4.1 Python DataSource API,
     opt-in): a WHERE over the snapshot DataSource prunes manifest
