@@ -6147,10 +6147,19 @@ def snapshot_detail(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
-def expire_versions(root: str, keep_last: int = 10) -> list[int]:
+def expire_versions(
+    root: str,
+    keep_last: int = 10,
+    keep_hours: float | None = None,
+) -> list[int]:
     """Version RETENTION: drop every version older than the newest
     ``keep_last`` (by number), EXCEPT the one _LATEST points at — a
-    rolled-back table never loses its live version.  Only version
+    rolled-back table never loses its live version.  ``keep_hours``
+    adds AGE-based retention (Delta's ``VACUUM … RETAIN n HOURS``
+    posture): a version younger than the window survives even when
+    ``keep_last`` would drop it — the two compose as retain-if-EITHER,
+    so setting ``keep_hours`` only ever keeps MORE history (pass
+    ``keep_last=1`` for a purely age-driven policy).  Only version
     payloads (and their tag markers) are removed here — surviving
     versions keep every entry file they reference, so they are
     unaffected; the expired versions' now-unreferenced data files AND
@@ -6159,6 +6168,17 @@ def expire_versions(root: str, keep_last: int = 10) -> list[int]:
     space reclamation — deliberately separate steps, matching the
     Delta/Iceberg retention model).  Returns the expired version
     numbers."""
+    import time as _time
+
+    if keep_hours is not None and keep_hours < 0:
+        raise ValueError(
+            f"expire_versions: keep_hours must be >= 0, got {keep_hours}"
+        )
+    cutoff = (
+        _time.time() - keep_hours * 3600.0
+        if keep_hours is not None
+        else None
+    )
     versions = snapshot_versions(root)
     live = current_version(root)
     # tag pins and branch heads survive; a LIVE branch additionally
@@ -6184,7 +6204,19 @@ def expire_versions(root: str, keep_last: int = 10) -> list[int]:
     to_expire = [
         v
         for v in versions[:-keep_last]
-        if keep_last > 0 and v != live and v not in pinned
+        if keep_last > 0
+        and v != live
+        and v not in pinned
+        and (
+            cutoff is None
+            # unknown commit time (legacy manifest) → KEEP: age-based
+            # retention must never expire what it cannot date
+            or (
+                (_ts := _read_manifest_meta(root, v).get("ts"))
+                is not None
+                and float(_ts) < cutoff
+            )
+        )
     ]
     for v in to_expire:
         m = _read_manifest_meta(root, v)

@@ -76,7 +76,7 @@ _GRAMMAR = """supported statements:
                    | ADD CONSTRAINT <cn> CHECK (<expr>) | DROP CONSTRAINT <cn>
   COPY INTO <name> FROM '<path-or-glob>' [FORMAT parquet|csv|jsonl|orc]
   SHOW TABLES | DESCRIBE [TABLE] <name> | DESCRIBE HISTORY <name>
-  OPTIMIZE <name> | VACUUM <name> [RETAIN <n> VERSIONS]"""
+  OPTIMIZE <name> | VACUUM <name> [RETAIN <n> VERSIONS | <n> HOURS]"""
 
 
 # --------------------------------------------------------------------------
@@ -928,21 +928,30 @@ def execute_sql(
         cur.expect_done()
         return sn.snapshot_restore(root, version)
 
-    # ---- VACUUM <name> [RETAIN <n> VERSIONS] ----
+    # ---- VACUUM <name> [RETAIN <n> VERSIONS | <n> HOURS] ----
     if cur.kw("VACUUM"):
         name = cur.ident("table name")
         keep = 10  # expire_versions' default retention
+        keep_hours = None
         if cur.kw("RETAIN"):
-            keep = _int_literal(cur, "RETAIN version count")
-            if keep < 1:
-                cur.fail(
-                    "RETAIN needs at least 1 version — the live version "
-                    "is never expired"
-                )
-            cur.expect_kw("VERSIONS")
+            n = _int_literal(cur, "RETAIN")
+            if cur.kw("HOURS"):
+                # Delta's age-based posture: expire only versions older
+                # than the window (the live version always survives)
+                keep_hours, keep = float(n), 1
+            else:
+                cur.expect_kw("VERSIONS")
+                if n < 1:
+                    cur.fail(
+                        "RETAIN needs at least 1 version — the live "
+                        "version is never expired"
+                    )
+                keep = n
         cur.expect_done()
         root = _writable_root(catalog_dir, name, "execute_sql(VACUUM)")
-        expired = sn.expire_versions(root, keep_last=keep)
+        expired = sn.expire_versions(
+            root, keep_last=keep, keep_hours=keep_hours
+        )
         removed = sn.vacuum_orphans(root)
         return spark.createDataFrame(
             [(len(expired), len(removed))],

@@ -729,3 +729,33 @@ def test_clone_statement(spark, cdir):
     execute_sql(spark, "CREATE VIEW sv AS SELECT * FROM src", cdir)
     with pytest.raises(ValueError, match="only snapshot tables clone"):
         execute_sql(spark, "CREATE TABLE x CLONE sv", cdir)
+
+
+def test_vacuum_retain_hours(spark, cdir):
+    """Age-based retention: versions younger than the window survive
+    even under a tight version-count policy; a 0-hour window degrades
+    to pure count-based expiry."""
+    import json
+    import os
+
+    execute_sql(spark, "CREATE TABLE ag AS SELECT 1 AS k", cdir)
+    for i in range(2, 6):
+        execute_sql(spark, f"INSERT INTO ag SELECT {i}", cdir)
+    root = cat.catalog_entries(cdir)["ag"]["root"]
+    # everything is seconds old → a 1-hour window expires NOTHING
+    row = execute_sql(spark, "VACUUM ag RETAIN 1 HOURS", cdir).collect()[0]
+    assert row.versions_expired == 0
+    assert sn.snapshot_versions(root) == [0, 1, 2, 3, 4]
+    # age the three oldest manifests by rewriting their recorded ts
+    mdir = os.path.join(root, "_manifests")
+    for v in (0, 1, 2):
+        p = os.path.join(mdir, f"v{v}.json")
+        m = json.load(open(p))
+        m["ts"] = m["ts"] - 7200
+        json.dump(m, open(p, "w"))
+    row = execute_sql(spark, "VACUUM ag RETAIN 1 HOURS", cdir).collect()[0]
+    assert row.versions_expired == 3
+    assert sn.snapshot_versions(root) == [3, 4]
+    assert _rows(execute_sql(spark, "SELECT COUNT(*) AS c FROM ag", cdir)) == [
+        (5,)
+    ]
