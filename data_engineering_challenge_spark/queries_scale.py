@@ -3537,6 +3537,64 @@ def q_snapshot_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_analyze_stats",
+    # Oracle: the same table-level statistics computed the slow way —
+    # an incrementally-maintained/recorded stat must equal the scan.
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS ndv_custkey,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS ndv_segment,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+       MIN(c_mktsegment) AS min_segment,
+       MAX(c_mktsegment) AS max_segment
+FROM customer
+""",
+)
+def q_snapshot_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANALYZE TABLE`` statistics (round 9 — `snapshot_analyze` /
+    `snapshot_table_stats`): one aggregation pass records table
+    rowcount + per-column NDV/null/min/max as INHERITED table metadata
+    (a metadata-only ``analyze`` commit, read back O(1) from the
+    payload — the planner-facing statistics layer a CBO feeds on,
+    which per-file pruning stats cannot answer without a scan).  Here
+    the exact flavor proves correctness against the from-scratch
+    oracle; ``approx=True`` (the default, one mergeable HLL pass per
+    column) is the 100 TB path.  Build + analyze cached per
+    (query, sf_dir); the O(1) stats read re-runs per call."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    key = ("snapshot_analyze_stats", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        c = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        root = tempfile.mkdtemp(prefix="snap_anl_") + "/tbl"
+        sn.snapshot_append(c, root)
+        sn.snapshot_analyze(spark, root, approx=False)
+        out = _ORC_OUT_CACHE[key] = root
+    st = sn.snapshot_table_stats(out)
+    cols = st["cols"]
+    return spark.createDataFrame(
+        [(
+            st["rows"],
+            cols["c_custkey"]["ndv"],
+            cols["c_mktsegment"]["ndv"],
+            float(cols["c_acctbal"]["min"]),
+            float(cols["c_acctbal"]["max"]),
+            cols["c_mktsegment"]["min"],
+            cols["c_mktsegment"]["max"],
+        )],
+        "n_rows bigint, ndv_custkey bigint, ndv_segment bigint, "
+        "min_bal double, max_bal double, min_segment string, "
+        "max_segment string",
+    )
+
+
+@register(
     "snapshot_partitions_meta",
     """
 SELECT CAST(ts AS DATE) AS day,

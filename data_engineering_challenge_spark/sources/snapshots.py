@@ -837,7 +837,7 @@ def _commit(
             attempt_written.append(dn)
         # ---- table-level metadata (payload-resident: O(schema)) -------
         tbl_meta: dict = {}
-        for k in ("layout", "fields", "checks"):
+        for k in ("layout", "fields", "checks", "table_stats"):
             if pm_meta.get(k):
                 tbl_meta[k] = (
                     dict(pm_meta[k])
@@ -845,7 +845,7 @@ def _commit(
                     else list(pm_meta[k])
                 )
         for k, v in (meta_updates or {}).items():
-            if k in ("layout", "fields", "checks"):
+            if k in ("layout", "fields", "checks", "table_stats"):
                 tbl_meta[k] = _merge(tbl_meta.get(k), v)
         lay = tbl_meta.get("layout") or {}
         if lay.get("zorder_cols") and (
@@ -3129,7 +3129,7 @@ def compact_manifests(root: str, max_entries: int = 1) -> int:
             "entries": entries,
             "delete_entries": dentries,
         }
-        for k in ("layout", "fields", "checks"):
+        for k in ("layout", "fields", "checks", "table_stats"):
             if meta.get(k):
                 payload[k] = meta[k]
         copied_all = _copied_identities(root, start=parent)
@@ -4617,18 +4617,19 @@ def snapshot_update_where(
     )
 
 
-def _checks_meta_commit(
+def _meta_only_commit(
     root: str,
     operation: str,
-    meta_checks: dict,
+    meta_updates: dict,
     pre_attempt=None,
 ) -> int:
-    """Shared serialize-retry loop for the metadata-only CHECK commits
-    (`snapshot_set_check` / `snapshot_drop_check`): capture seen before
-    parent, run ``pre_attempt(parent)`` (per-attempt validation hooks —
-    they re-run against the new head on retry), then commit
-    ``entries_from=parent`` with the parent's delete files carried
-    verbatim — content unchanged, metadata updated."""
+    """Shared serialize-retry loop for metadata-only commits on the
+    CURRENT content (`snapshot_set_check` / `snapshot_drop_check` /
+    `snapshot_analyze`): capture seen before parent, run
+    ``pre_attempt(parent)`` (per-attempt validation hooks — they re-run
+    against the new head on retry), then commit ``entries_from=parent``
+    with the parent's delete files carried verbatim — content
+    unchanged, metadata updated."""
     last_err: Exception | None = None
     for _ in range(5):
         # seen BEFORE parent — see snapshot_append's capture-order comment
@@ -4650,7 +4651,7 @@ def _checks_meta_commit(
                 seen_versions=seen,
                 conflict_mode="serialize",
                 entries_from=parent,
-                meta_updates={"checks": meta_checks},
+                meta_updates=meta_updates,
                 manifest_override={
                     "delete_files": m.get("delete_files") or []
                 },
@@ -4725,7 +4726,7 @@ def snapshot_set_check(
                     "data or pass validate=False (new writes only)"
                 )
 
-    return _checks_meta_commit(root, "set-check", {name: expr}, _pre)
+    return _meta_only_commit(root, "set-check", {"checks": {name: expr}}, _pre)
 
 
 def snapshot_drop_check(root: str, name: str) -> int:
@@ -4743,7 +4744,128 @@ def snapshot_drop_check(root: str, name: str) -> int:
                 f"(have {sorted(live)})"
             )
 
-    return _checks_meta_commit(root, "drop-check", {name: None}, _pre)
+    return _meta_only_commit(
+        root, "drop-check", {"checks": {name: None}}, _pre
+    )
+
+
+def snapshot_analyze(
+    spark: SparkSession,
+    root: str,
+    columns: list[str] | None = None,
+    approx: bool = True,
+) -> int:
+    """``ANALYZE TABLE … COMPUTE STATISTICS``: ONE aggregation pass
+    over the current snapshot computing the table rowcount plus
+    per-column NDV / null count / min / max, recorded as inherited
+    table metadata (a metadata-only ``analyze`` commit — content
+    unchanged, like set-check).  This is the planner-facing statistics
+    layer real engines feed their CBO from: per-FILE min/max already
+    live in the manifests for pruning; these are TABLE-level shapes
+    (cardinality, selectivity denominators) no file union can answer
+    without a scan.
+
+    ``approx=True`` (default, the 100 TB path) uses
+    ``approx_count_distinct`` — one pass, mergeable HLL sketches, no
+    distinct shuffle per column; ``approx=False`` computes exact NDV
+    (``count(distinct)``) for small tables and oracle parity.
+    ``columns=None`` analyzes every leaf column whose type is
+    orderable-scalar; a named subset merges into previously recorded
+    stats per column, each carrying the version it was computed at
+    (``v``), so staleness is self-describing (``version``/``rows`` at
+    the top level describe the latest ANALYZE).  Non-scalar columns
+    (arrays/structs/maps/binary) record NDV/nulls but no min/max.
+
+    Stats INHERIT across subsequent commits like layout/fields/checks —
+    they go stale exactly as in Delta/Iceberg until the next ANALYZE;
+    readers see the recording version and decide.  Serializable with
+    bounded retry; reads via `snapshot_table_stats`."""
+    from pyspark.sql import functions as F
+
+    df = read_snapshot_mor(spark, root)
+    scalar_ok = {
+        "byte", "short", "int", "bigint", "float", "double", "date",
+        "timestamp", "timestamp_ntz", "string", "boolean",
+    }
+
+    def _simple(t) -> str:
+        s = t.simpleString()
+        return "decimal" if s.startswith("decimal") else s
+
+    all_cols = {f.name: _simple(f.dataType) for f in df.schema.fields}
+    if columns is None:
+        cols = list(all_cols)
+    else:
+        missing = sorted(set(columns) - set(all_cols))
+        if missing:
+            raise ValueError(
+                f"snapshot_analyze: columns not in the table: {missing}"
+            )
+        cols = list(columns)
+    ndv = (
+        F.approx_count_distinct if approx else F.count_distinct
+    )
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        if not all_cols[c].startswith("map"):
+            # map values are unhashable for (approx_)count_distinct —
+            # maps record null counts only
+            aggs.append(ndv(F.col(c)).alias(f"ndv__{c}"))
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls__{c}")
+        )
+        if all_cols[c] in scalar_ok or all_cols[c] == "decimal":
+            aggs.append(F.min(c).alias(f"min__{c}"))
+            aggs.append(F.max(c).alias(f"max__{c}"))
+    row = df.agg(*aggs).first().asDict()
+
+    def _json_safe(x):
+        if x is None or isinstance(x, (int, float, str, bool)):
+            return x
+        import datetime
+        import decimal
+
+        if isinstance(x, decimal.Decimal):
+            return str(x)
+        if isinstance(x, (datetime.datetime, datetime.date)):
+            return x.isoformat()
+        return str(x)
+
+    col_stats: dict = {}
+    for c in cols:
+        d = {
+            "nulls": int(row[f"nulls__{c}"]),
+            "approx": bool(approx),
+        }
+        if f"ndv__{c}" in row:
+            d["ndv"] = int(row[f"ndv__{c}"])
+        if f"min__{c}" in row:
+            d["min"] = _json_safe(row[f"min__{c}"])
+            d["max"] = _json_safe(row[f"max__{c}"])
+        col_stats[c] = d
+    rows = int(row["__rows"])
+    # stats are advisory — a concurrent commit may rebase this one
+    return _meta_only_commit(
+        root,
+        "analyze",
+        {"table_stats": {"rows": rows, "cols": col_stats}},
+    )
+
+
+def snapshot_table_stats(
+    root: str, version: int | None = None
+) -> dict | None:
+    """The recorded ANALYZE statistics visible at ``version`` (default
+    head): ``{"rows", "cols": {col: {ndv, nulls, approx[, min, max]}}}``
+    or None if the lineage was never analyzed.  O(1) — payload-resident
+    metadata, no data read."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(
+            f"snapshot_table_stats: no table at {root}"
+        )
+    ts = _read_manifest_meta(root, v).get("table_stats")
+    return dict(ts) if ts else None
 
 
 def snapshot_clone(
@@ -4851,7 +4973,7 @@ def snapshot_clone(
         "delete_entries": dentries,
         "clone_source": clone_src,
     }
-    for k in ("layout", "fields", "checks"):
+    for k in ("layout", "fields", "checks", "table_stats"):
         if m.get(k):
             payload[k] = m[k]
     staged = os.path.join(

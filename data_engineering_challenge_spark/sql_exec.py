@@ -76,7 +76,8 @@ _GRAMMAR = """supported statements:
                    | ADD CONSTRAINT <cn> CHECK (<expr>) | DROP CONSTRAINT <cn>
   COPY INTO <name> FROM '<path-or-glob>' [FORMAT parquet|csv|jsonl|orc]
   SHOW TABLES | DESCRIBE [TABLE] <name> | DESCRIBE HISTORY <name>
-  OPTIMIZE <name> | VACUUM <name> [RETAIN <n> VERSIONS | <n> HOURS]"""
+  OPTIMIZE <name> | VACUUM <name> [RETAIN <n> VERSIONS | <n> HOURS]
+  ANALYZE TABLE <name> COMPUTE STATISTICS [FOR COLUMNS c, ...] [EXACT]"""
 
 
 # --------------------------------------------------------------------------
@@ -906,6 +907,26 @@ def execute_sql(
         cur.expect_done()
         root = _writable_root(catalog_dir, name, "execute_sql(OPTIMIZE)")
         return sn.snapshot_compact(spark, root)
+
+    # ---- ANALYZE TABLE <name> COMPUTE STATISTICS [FOR COLUMNS ...] ----
+    if cur.kw("ANALYZE"):
+        cur.expect_kw("TABLE")
+        name = cur.ident("table name")
+        cur.expect_kw("COMPUTE")
+        cur.expect_kw("STATISTICS")
+        columns = None
+        if cur.kw("FOR"):
+            cur.expect_kw("COLUMNS")
+            columns = [cur.ident("column name")]
+            while cur.peek() == ",":
+                cur.i += 1
+                columns.append(cur.ident("column name"))
+        exact = cur.kw("EXACT")  # extension: exact NDV for small tables
+        cur.expect_done()
+        root = _writable_root(catalog_dir, name, "execute_sql(ANALYZE)")
+        return sn.snapshot_analyze(
+            spark, root, columns=columns, approx=not exact
+        )
 
     # ---- RESTORE TABLE <name> TO VERSION/TIMESTAMP AS OF ... ----
     if cur.kw("RESTORE"):

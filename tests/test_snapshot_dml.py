@@ -812,3 +812,55 @@ def test_attach_snapshot_meta_views(spark, tmp_path):
         "FROM t__detail"
     ).collect()[0]
     assert tuple(d) == (2, 1, 2)
+
+
+def test_analyze_table_stats(spark, tmp_path):
+    """ANALYZE records table/column statistics as inherited metadata:
+    exact NDV/nulls/min/max match the data, stats ride subsequent
+    commits (stale-but-present, like Delta), a column subset merges,
+    and the analyze hop is transparent to lineage walks."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.sources import snapshots as sn
+
+    root = str(tmp_path / "t")
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("k"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("v"),
+        (F.col("id") % 3).cast("string").alias("s"),
+    )
+    sn.snapshot_append(df, root)
+    assert sn.snapshot_table_stats(root) is None
+    v = sn.snapshot_analyze(spark, root, approx=False)
+    st = sn.snapshot_table_stats(root)
+    assert st["rows"] == 100
+    assert st["cols"]["k"] == {
+        "ndv": 10, "nulls": 0, "approx": False, "min": 0, "max": 9,
+    }
+    assert st["cols"]["v"]["nulls"] == 20
+    assert st["cols"]["v"]["ndv"] == 80
+    assert st["cols"]["s"]["min"] == "0" and st["cols"]["s"]["max"] == "2"
+    # stats INHERIT (stale) across a later append; time travel sees them
+    sn.snapshot_append(df.limit(5), root)
+    assert sn.snapshot_table_stats(root)["rows"] == 100  # stale by design
+    assert sn.snapshot_table_stats(root, version=v)["rows"] == 100
+    # a column-subset re-analyze merges per column
+    sn.snapshot_analyze(spark, root, columns=["k"], approx=False)
+    st = sn.snapshot_table_stats(root)
+    assert st["rows"] == 105 and st["cols"]["k"]["ndv"] == 10
+    assert st["cols"]["v"]["ndv"] == 80  # untouched column kept
+    # approx path records the flag and lands in the right ballpark
+    sn.snapshot_analyze(spark, root, columns=["v"])
+    st = sn.snapshot_table_stats(root)
+    assert st["cols"]["v"]["approx"] is True
+    assert 60 <= st["cols"]["v"]["ndv"] <= 100
+    # unknown column refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in the table"):
+        sn.snapshot_analyze(spark, root, columns=["nope"])
+    # the analyze hops are transparent to the delta walk
+    assert (
+        sn.read_snapshot_changes(spark, root, 0, sn.current_version(root))
+        .count() == 5
+    )

@@ -759,3 +759,34 @@ def test_vacuum_retain_hours(spark, cdir):
     assert _rows(execute_sql(spark, "SELECT COUNT(*) AS c FROM ag", cdir)) == [
         (5,)
     ]
+
+
+def test_analyze_table_statement(spark, cdir):
+    execute_sql(
+        spark,
+        "CREATE TABLE an AS SELECT id % 4 AS k, CAST(id AS BIGINT) AS v "
+        "FROM RANGE(20)",
+        cdir,
+    )
+    execute_sql(spark, "ANALYZE TABLE an COMPUTE STATISTICS EXACT", cdir)
+    root = cat.catalog_entries(cdir)["an"]["root"]
+    st = sn.snapshot_table_stats(root)
+    assert st["rows"] == 20 and st["cols"]["k"]["ndv"] == 4
+    assert st["cols"]["v"]["min"] == 0 and st["cols"]["v"]["max"] == 19
+    # column subset + approx default
+    execute_sql(
+        spark, "ANALYZE TABLE an COMPUTE STATISTICS FOR COLUMNS v", cdir
+    )
+    st = sn.snapshot_table_stats(root)
+    assert st["cols"]["v"]["approx"] is True
+    assert st["cols"]["k"]["approx"] is False  # untouched column kept
+    with pytest.raises(SqlSyntaxError):
+        execute_sql(spark, "ANALYZE TABLE an", cdir)
+    with pytest.raises(ValueError, match="read-only"):
+        execute_sql(
+            spark,
+            "CREATE VIEW av AS SELECT * FROM an",
+            cdir,
+        ) or execute_sql(
+            spark, "ANALYZE TABLE av COMPUTE STATISTICS", cdir
+        )
