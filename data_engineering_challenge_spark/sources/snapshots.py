@@ -4771,18 +4771,22 @@ def snapshot_analyze(
     (``count(distinct)``) for small tables and oracle parity.
     ``columns=None`` analyzes every leaf column whose type is
     orderable-scalar; a named subset merges into previously recorded
-    stats per column, each carrying the version it was computed at
-    (``v``), so staleness is self-describing (``version``/``rows`` at
-    the top level describe the latest ANALYZE).  Non-scalar columns
-    (arrays/structs/maps/binary) record NDV/nulls but no min/max.
+    stats per column, each carrying ``v`` — the version whose CONTENT
+    it was computed over — so staleness is self-describing
+    (``version``/``rows`` at the top level describe the latest
+    ANALYZE; an analyze commit's own content is identical to that
+    version's).  Non-scalar columns (arrays/structs) record NDV and
+    null counts but no min/max; maps record null counts only.
 
     Stats INHERIT across subsequent commits like layout/fields/checks —
-    they go stale exactly as in Delta/Iceberg until the next ANALYZE;
-    readers see the recording version and decide.  Serializable with
-    bounded retry; reads via `snapshot_table_stats`."""
+    they go stale exactly as in Delta/Iceberg until the next ANALYZE.
+    SERIALIZABLE the honest way: the scan is PINNED to the head it
+    captured, and if a concurrent commit lands first the whole
+    aggregation RECOMPUTES against the new head — stale numbers are
+    never stamped onto a version they don't describe.  Reads via
+    `snapshot_table_stats`."""
     from pyspark.sql import functions as F
 
-    df = read_snapshot_mor(spark, root)
     scalar_ok = {
         "byte", "short", "int", "bigint", "float", "double", "date",
         "timestamp", "timestamp_ntz", "string", "boolean",
@@ -4791,33 +4795,6 @@ def snapshot_analyze(
     def _simple(t) -> str:
         s = t.simpleString()
         return "decimal" if s.startswith("decimal") else s
-
-    all_cols = {f.name: _simple(f.dataType) for f in df.schema.fields}
-    if columns is None:
-        cols = list(all_cols)
-    else:
-        missing = sorted(set(columns) - set(all_cols))
-        if missing:
-            raise ValueError(
-                f"snapshot_analyze: columns not in the table: {missing}"
-            )
-        cols = list(columns)
-    ndv = (
-        F.approx_count_distinct if approx else F.count_distinct
-    )
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in cols:
-        if not all_cols[c].startswith("map"):
-            # map values are unhashable for (approx_)count_distinct —
-            # maps record null counts only
-            aggs.append(ndv(F.col(c)).alias(f"ndv__{c}"))
-        aggs.append(
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls__{c}")
-        )
-        if all_cols[c] in scalar_ok or all_cols[c] == "decimal":
-            aggs.append(F.min(c).alias(f"min__{c}"))
-            aggs.append(F.max(c).alias(f"max__{c}"))
-    row = df.agg(*aggs).first().asDict()
 
     def _json_safe(x):
         if x is None or isinstance(x, (int, float, str, bool)):
@@ -4831,24 +4808,82 @@ def snapshot_analyze(
             return x.isoformat()
         return str(x)
 
-    col_stats: dict = {}
-    for c in cols:
-        d = {
-            "nulls": int(row[f"nulls__{c}"]),
-            "approx": bool(approx),
-        }
-        if f"ndv__{c}" in row:
-            d["ndv"] = int(row[f"ndv__{c}"])
-        if f"min__{c}" in row:
-            d["min"] = _json_safe(row[f"min__{c}"])
-            d["max"] = _json_safe(row[f"max__{c}"])
-        col_stats[c] = d
-    rows = int(row["__rows"])
-    # stats are advisory — a concurrent commit may rebase this one
-    return _meta_only_commit(
-        root,
-        "analyze",
-        {"table_stats": {"rows": rows, "cols": col_stats}},
+    last_err: Exception | None = None
+    for _ in range(5):
+        seen = set(snapshot_versions(root))
+        parent = current_version(root)
+        if parent is None:
+            raise FileNotFoundError(
+                f"snapshot_analyze: no committed version at {root}"
+            )
+        # the scan is PINNED to the captured head: the committed stats
+        # describe exactly this content (the analyze commit carries it
+        # verbatim); a conflict below recomputes against the new head
+        df = read_snapshot_mor(spark, root, parent)
+        all_cols = {f.name: _simple(f.dataType) for f in df.schema.fields}
+        if columns is None:
+            cols = list(all_cols)
+        else:
+            missing = sorted(set(columns) - set(all_cols))
+            if missing:
+                raise ValueError(
+                    f"snapshot_analyze: columns not in the table: "
+                    f"{missing}"
+                )
+            cols = list(columns)
+        ndv = F.approx_count_distinct if approx else F.count_distinct
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            if not all_cols[c].startswith("map"):
+                # map values are unhashable for (approx_)count_distinct
+                # — maps record null counts only
+                aggs.append(ndv(F.col(c)).alias(f"ndv__{c}"))
+            aggs.append(
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls__{c}")
+            )
+            if all_cols[c] in scalar_ok or all_cols[c] == "decimal":
+                aggs.append(F.min(c).alias(f"min__{c}"))
+                aggs.append(F.max(c).alias(f"max__{c}"))
+        row = df.agg(*aggs).first().asDict()
+        col_stats: dict = {}
+        for c in cols:
+            d = {
+                "nulls": int(row[f"nulls__{c}"]),
+                "approx": bool(approx),
+                "v": parent,
+            }
+            if f"ndv__{c}" in row:
+                d["ndv"] = int(row[f"ndv__{c}"])
+            if f"min__{c}" in row:
+                d["min"] = _json_safe(row[f"min__{c}"])
+                d["max"] = _json_safe(row[f"max__{c}"])
+            col_stats[c] = d
+        m = _read_manifest(root, parent)
+        try:
+            return _commit(
+                root,
+                m["files"],
+                parent,
+                operation="analyze",
+                seen_versions=seen,
+                conflict_mode="serialize",
+                entries_from=parent,
+                meta_updates={
+                    "table_stats": {
+                        "rows": int(row["__rows"]),
+                        "version": parent,
+                        "cols": col_stats,
+                    }
+                },
+                manifest_override={
+                    "delete_files": m.get("delete_files") or []
+                },
+            )
+        except SnapshotConflictError as exc:
+            last_err = exc  # head moved — recompute against it
+    raise SnapshotConflictError(
+        f"snapshot_analyze: gave up after 5 conflicted attempts "
+        f"({last_err})"
     )
 
 
@@ -4856,16 +4891,21 @@ def snapshot_table_stats(
     root: str, version: int | None = None
 ) -> dict | None:
     """The recorded ANALYZE statistics visible at ``version`` (default
-    head): ``{"rows", "cols": {col: {ndv, nulls, approx[, min, max]}}}``
-    or None if the lineage was never analyzed.  O(1) — payload-resident
-    metadata, no data read."""
+    head): ``{"rows", "version", "cols": {col: {nulls, approx, v[,
+    ndv][, min, max]}}}`` or None if the lineage was never analyzed.
+    O(1) — payload-resident metadata, no data read.  Returns a DEEP
+    copy: the manifest cache shares nested dicts process-wide, so a
+    caller mutating its estimates must never corrupt what every other
+    reader (and the next commit's inheritance) sees."""
+    import copy
+
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(
             f"snapshot_table_stats: no table at {root}"
         )
     ts = _read_manifest_meta(root, v).get("table_stats")
-    return dict(ts) if ts else None
+    return copy.deepcopy(ts) if ts else None
 
 
 def snapshot_clone(

@@ -834,8 +834,10 @@ def test_analyze_table_stats(spark, tmp_path):
     v = sn.snapshot_analyze(spark, root, approx=False)
     st = sn.snapshot_table_stats(root)
     assert st["rows"] == 100
+    assert st["version"] == v - 1  # the content the scan described
     assert st["cols"]["k"] == {
         "ndv": 10, "nulls": 0, "approx": False, "min": 0, "max": 9,
+        "v": v - 1,
     }
     assert st["cols"]["v"]["nulls"] == 20
     assert st["cols"]["v"]["ndv"] == 80
@@ -844,11 +846,17 @@ def test_analyze_table_stats(spark, tmp_path):
     sn.snapshot_append(df.limit(5), root)
     assert sn.snapshot_table_stats(root)["rows"] == 100  # stale by design
     assert sn.snapshot_table_stats(root, version=v)["rows"] == 100
-    # a column-subset re-analyze merges per column
+    # a column-subset re-analyze merges per column, stamping PROVENANCE
     sn.snapshot_analyze(spark, root, columns=["k"], approx=False)
     st = sn.snapshot_table_stats(root)
     assert st["rows"] == 105 and st["cols"]["k"]["ndv"] == 10
-    assert st["cols"]["v"]["ndv"] == 80  # untouched column kept
+    assert st["cols"]["v"]["ndv"] == 80  # untouched column kept...
+    assert st["cols"]["v"]["v"] == v - 1  # ...with its old provenance
+    assert st["cols"]["k"]["v"] == st["version"] > v - 1
+    # the returned dict is a DEEP copy — mutating it never corrupts
+    # the shared manifest cache or later commits
+    st["cols"]["k"]["ndv"] = -1
+    assert sn.snapshot_table_stats(root)["cols"]["k"]["ndv"] == 10
     # approx path records the flag and lands in the right ballpark
     sn.snapshot_analyze(spark, root, columns=["v"])
     st = sn.snapshot_table_stats(root)

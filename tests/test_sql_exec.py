@@ -782,11 +782,6 @@ def test_analyze_table_statement(spark, cdir):
     assert st["cols"]["k"]["approx"] is False  # untouched column kept
     with pytest.raises(SqlSyntaxError):
         execute_sql(spark, "ANALYZE TABLE an", cdir)
+    execute_sql(spark, "CREATE VIEW av AS SELECT * FROM an", cdir)
     with pytest.raises(ValueError, match="read-only"):
-        execute_sql(
-            spark,
-            "CREATE VIEW av AS SELECT * FROM an",
-            cdir,
-        ) or execute_sql(
-            spark, "ANALYZE TABLE av COMPUTE STATISTICS", cdir
-        )
+        execute_sql(spark, "ANALYZE TABLE av COMPUTE STATISTICS", cdir)
