@@ -1141,6 +1141,7 @@ def snapshot_overwrite(
     operation: str = "overwrite",
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 8192,
+    _meta_updates: dict | None = None,
 ) -> int:
     """Commit a new version whose content is exactly ``df`` (existing
     versions stay readable by number).  ``tag`` gives the same
@@ -1165,6 +1166,14 @@ def snapshot_overwrite(
         if bloom_cols
         else None
     )
+    meta: dict | None = dict(_meta_updates or {}) or None
+    if bloom_cols:
+        meta = meta or {}
+        meta["layout"] = {
+            **(meta.get("layout") or {}),
+            "bloom_cols": bloom_cols,
+            "bloom_bits": bloom_bits,
+        }
     return _commit(
         root,
         files,
@@ -1174,11 +1183,7 @@ def snapshot_overwrite(
         blooms=blooms,
         operation=operation,
         new_file_columns=list(df.columns),
-        meta_updates=(
-            {"layout": {"bloom_cols": bloom_cols, "bloom_bits": bloom_bits}}
-            if bloom_cols
-            else None
-        ),
+        meta_updates=meta,
     )
 
 
@@ -1664,6 +1669,68 @@ def snapshot_append_zordered(
         _meta_updates={
             "layout": {
                 "zorder_cols": zorder_cols,
+                "zorder_bits": bits,
+                "stats_cols": rec,
+            }
+        },
+    )
+
+
+def snapshot_rewrite_zordered(
+    spark: SparkSession,
+    root: str,
+    zorder_cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Delta's ``OPTIMIZE … ZORDER BY`` as a table REWRITE: the current
+    MoR-merged content re-committed in one pass, range-partitioned and
+    sorted on the interleaved-bit Morton key, with the z-order policy
+    DECLARED in the layout — this is the re-declare path for tables
+    the append writer refuses (plain or 1-D-sorted: the old
+    ``sort_cols`` policy is replaced wholesale, never interleaved),
+    and subsequent maintenance keeps re-zordering rewritten files
+    (`snapshot_compact` honors the declared policy).
+
+    The commit records ``operation="compact"``: the rewrite is
+    row-content-preserving by construction (it reads THROUGH the MoR
+    delete files and folds them), so every lineage consumer — plain
+    stream, change feed, incremental readers — SKIPS the hop exactly
+    like cron compaction instead of dying on an overwrite.  History
+    stays linear; pre-rewrite versions remain readable.
+
+    Refuses hidden-partitioned tables (z-order does not compose with
+    the partitioned write path — one clustering policy per table)."""
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(
+            f"snapshot_rewrite_zordered: no table at {root}"
+        )
+    lay = _read_manifest_meta(root, cur).get("layout") or {}
+    if lay.get("partition_transforms"):
+        raise ValueError(
+            "snapshot_rewrite_zordered: table declares hidden "
+            f"partitioning on {sorted(lay['partition_transforms'])} — "
+            "z-order does not compose with the partitioned write path"
+        )
+    df = read_snapshot_mor(spark, root)
+    missing = sorted(set(zorder_cols) - set(df.columns))
+    if missing:
+        raise ValueError(
+            f"snapshot_rewrite_zordered: columns not in the table: "
+            f"{missing}"
+        )
+    rec = list(dict.fromkeys([*zorder_cols, *(stats_cols or [])]))
+    return snapshot_overwrite(
+        _zorder_frame(df, zorder_cols, bits, n_files),
+        root,
+        stats_cols=rec,
+        operation="compact",
+        _meta_updates={
+            "layout": {
+                "sort_cols": None,  # replace a 1-D policy wholesale
+                "zorder_cols": list(zorder_cols),
                 "zorder_bits": bits,
                 "stats_cols": rec,
             }

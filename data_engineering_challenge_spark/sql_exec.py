@@ -76,7 +76,8 @@ _GRAMMAR = """supported statements:
                    | ADD CONSTRAINT <cn> CHECK (<expr>) | DROP CONSTRAINT <cn>
   COPY INTO <name> FROM '<path-or-glob>' [FORMAT parquet|csv|jsonl|orc]
   SHOW TABLES | DESCRIBE [TABLE] <name> | DESCRIBE HISTORY <name>
-  OPTIMIZE <name> | VACUUM <name> [RETAIN <n> VERSIONS | <n> HOURS]
+  OPTIMIZE <name> [ZORDER BY (c, ...)]
+  VACUUM <name> [RETAIN <n> VERSIONS | <n> HOURS]
   ANALYZE TABLE <name> COMPUTE STATISTICS [FOR COLUMNS c, ...] [EXACT]"""
 
 
@@ -901,11 +902,27 @@ def execute_sql(
         _attach_mview(spark, catalog_dir, name)
         return v
 
-    # ---- OPTIMIZE <name> ----
+    # ---- OPTIMIZE <name> [ZORDER BY (col, ...)] ----
     if cur.kw("OPTIMIZE"):
         name = cur.ident("table name")
+        zcols = None
+        if cur.kw("ZORDER"):
+            cur.expect_kw("BY")
+            paren = cur.peek() == "("
+            if paren:
+                cur.i += 1
+            zcols = [cur.ident("ZORDER column")]
+            while cur.peek() == ",":
+                cur.i += 1
+                zcols.append(cur.ident("ZORDER column"))
+            if paren:
+                if cur.peek() != ")":
+                    cur.fail("expected ) closing the ZORDER column list")
+                cur.i += 1
         cur.expect_done()
         root = _writable_root(catalog_dir, name, "execute_sql(OPTIMIZE)")
+        if zcols is not None:
+            return sn.snapshot_rewrite_zordered(spark, root, zcols)
         return sn.snapshot_compact(spark, root)
 
     # ---- ANALYZE TABLE <name> COMPUTE STATISTICS [FOR COLUMNS ...] ----

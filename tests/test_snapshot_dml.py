@@ -872,3 +872,82 @@ def test_analyze_table_stats(spark, tmp_path):
         sn.read_snapshot_changes(spark, root, 0, sn.current_version(root))
         .count() == 5
     )
+
+
+def test_optimize_zorder_rewrite(spark, tmp_path):
+    """OPTIMIZE ZORDER converts a plain (or 1-D-sorted) table to
+    multi-dimensional clustering: content identical, deletes folded,
+    the declared policy makes BOTH dimensions prunable, maintenance
+    keeps it, and a live stream checkpoint CROSSES the rewrite hop
+    (row-content-preserving, operation='compact')."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.sources import snapshots as sn
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+    from data_engineering_challenge_spark.streaming import incremental as st
+
+    root = str(tmp_path / "t")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    # a 1-D-sorted table (the policy the zorder APPEND writer refuses)
+    sn.snapshot_append_clustered(df, root, ["x"], n_files=4)
+    sn.snapshot_delete_where(spark, root, "payload = 7")
+    before = sorted(
+        tuple(r) for r in sn.read_snapshot_mor(spark, root).collect()
+    )
+    # drain a stream BEFORE the rewrite (initial snapshot refuses MoR —
+    # compact first, like any delete-carrying table)
+    sn.snapshot_compact(spark, root)
+    register_snapshot_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("snapshot_table").option("root", root).load()
+    )
+    st.run_available_now(stream, out, ckpt)
+    n0 = spark.read.parquet(out).count()
+    v = sn.snapshot_rewrite_zordered(
+        spark, root, ["x", "y"], n_files=16, bits=6
+    )
+    after = sorted(
+        tuple(r) for r in sn.read_snapshot(spark, root).collect()
+    )
+    assert after == before, "rewrite preserves row content exactly"
+    lay = sn._read_manifest_meta(root, v)["layout"]
+    assert lay["zorder_cols"] == ["x", "y"] and not lay.get("sort_cols")
+    # both dimensions prune now
+    nx = len(sn.read_snapshot_pruned(spark, root, "x", 3, 3).inputFiles())
+    ny = len(sn.read_snapshot_pruned(spark, root, "y", 3, 3).inputFiles())
+    assert nx < 16 and ny < 16, (nx, ny)
+    # the checkpointed stream crosses the rewrite hop, replaying nothing
+    sn.snapshot_append(
+        spark.range(5000, 5010).select(
+            (F.col("id") % 64).alias("x"),
+            F.lit(99).cast("bigint").alias("y"),
+            F.col("id").alias("payload"),
+        ),
+        root,
+    )
+    st.run_available_now(stream, out, ckpt)
+    assert spark.read.parquet(out).count() == n0 + 10
+    # compaction RE-zorders under the declared policy
+    sn.snapshot_compact(spark, root, target_files=8)
+    assert sorted(
+        tuple(r) for r in sn.read_snapshot(spark, root).collect()
+    ) == sorted(after + [
+        (k % 64, 99, k) for k in range(5000, 5010)
+    ])
+    # partitioned tables refuse
+    p = str(tmp_path / "p")
+    sn.snapshot_append_partitioned(
+        spark.range(10).select(F.col("id").alias("k")), p,
+        {"b": "k % 2"},
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition"):
+        sn.snapshot_rewrite_zordered(spark, p, ["k"])

@@ -785,3 +785,22 @@ def test_analyze_table_statement(spark, cdir):
     execute_sql(spark, "CREATE VIEW av AS SELECT * FROM an", cdir)
     with pytest.raises(ValueError, match="read-only"):
         execute_sql(spark, "ANALYZE TABLE av COMPUTE STATISTICS", cdir)
+
+
+def test_optimize_zorder_statement(spark, cdir):
+    execute_sql(
+        spark,
+        "CREATE TABLE zt AS SELECT id % 32 AS x, "
+        "CAST(id / 32 AS BIGINT) AS y, id AS p FROM RANGE(1024)",
+        cdir,
+    )
+    before = _rows(execute_sql(spark, "SELECT * FROM zt", cdir))
+    execute_sql(spark, "OPTIMIZE zt ZORDER BY (x, y)", cdir)
+    assert _rows(execute_sql(spark, "SELECT * FROM zt", cdir)) == before
+    root = cat.catalog_entries(cdir)["zt"]["root"]
+    lay = sn._read_manifest_meta(root, sn.current_version(root))["layout"]
+    assert lay["zorder_cols"] == ["x", "y"]
+    # unparenthesized list parses too; plain OPTIMIZE still compacts
+    execute_sql(spark, "OPTIMIZE zt ZORDER BY x, y", cdir)
+    execute_sql(spark, "OPTIMIZE zt", cdir)
+    assert _rows(execute_sql(spark, "SELECT * FROM zt", cdir)) == before
