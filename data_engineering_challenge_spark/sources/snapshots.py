@@ -1680,9 +1680,10 @@ def snapshot_rewrite_zordered(
     spark: SparkSession,
     root: str,
     zorder_cols: list[str],
-    n_files: int = 8,
+    n_files: int | None = None,
     bits: int = 8,
     stats_cols: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
     """Delta's ``OPTIMIZE … ZORDER BY`` as a table REWRITE: the current
     MoR-merged content re-committed in one pass, range-partitioned and
@@ -1693,48 +1694,142 @@ def snapshot_rewrite_zordered(
     and subsequent maintenance keeps re-zordering rewritten files
     (`snapshot_compact` honors the declared policy).
 
-    The commit records ``operation="compact"``: the rewrite is
-    row-content-preserving by construction (it reads THROUGH the MoR
-    delete files and folds them), so every lineage consumer — plain
-    stream, change feed, incremental readers — SKIPS the hop exactly
-    like cron compaction instead of dying on an overwrite.  History
-    stays linear; pre-rewrite versions remain readable.
+    The rewrite carries `snapshot_compact`'s whole discipline — it IS
+    a compaction with a policy change:
+
+    * SERIALIZABLE: seen-before-parent capture, ``serialize`` commit,
+      bounded retry — a concurrent append lands first and the whole
+      rewrite recomputes against it (never silently buried under a
+      skipped hop);
+    * ``merge_schema=True`` read, so heterogeneous file groups
+      (additive appends) keep every column;
+    * output SIZED from recorded bytes (``ceil(bytes/target)``, like
+      plain OPTIMIZE) unless ``n_files`` forces a count;
+    * pruning evidence PRESERVED: the recorded stats columns union the
+      parent's declared/observed set, and the declared BLOOM policy
+      re-derives filters for the rewritten files;
+    * FIXED POINT: an identical declared policy on a delete-free head
+      that is itself a rewrite/compaction output returns without
+      committing — a cron OPTIMIZE ZORDER no-ops instead of churning;
+      an empty table no-ops too.
+
+    The commit records ``operation="compact"``: row-content-preserving
+    by construction (it reads THROUGH the MoR delete files and folds
+    them), so every lineage consumer — plain stream, change feed,
+    incremental readers — SKIPS the hop exactly like cron compaction
+    instead of dying on an overwrite.  History stays linear.
 
     Refuses hidden-partitioned tables (z-order does not compose with
     the partitioned write path — one clustering policy per table)."""
-    cur = current_version(root)
-    if cur is None:
-        raise FileNotFoundError(
-            f"snapshot_rewrite_zordered: no table at {root}"
+    import math
+
+    last_err: Exception | None = None
+    for _ in range(5):
+        # seen BEFORE parent — see snapshot_append's capture-order note
+        seen = set(snapshot_versions(root))
+        parent = current_version(root)
+        if parent is None:
+            raise FileNotFoundError(
+                f"snapshot_rewrite_zordered: no table at {root}"
+            )
+        m = _read_manifest(root, parent)
+        lay = m.get("layout") or {}
+        if lay.get("partition_transforms"):
+            raise ValueError(
+                "snapshot_rewrite_zordered: table declares hidden "
+                f"partitioning on {sorted(lay['partition_transforms'])} "
+                "— z-order does not compose with the partitioned write "
+                "path"
+            )
+        if not m["files"]:
+            return parent  # empty table — nothing to rewrite
+        same_policy = (
+            lay.get("zorder_cols") == list(zorder_cols)
+            and int(lay.get("zorder_bits") or 0) == int(bits)
         )
-    lay = _read_manifest_meta(root, cur).get("layout") or {}
-    if lay.get("partition_transforms"):
-        raise ValueError(
-            "snapshot_rewrite_zordered: table declares hidden "
-            f"partitioning on {sorted(lay['partition_transforms'])} — "
-            "z-order does not compose with the partitioned write path"
+        if (
+            same_policy
+            and not m.get("delete_files")
+            and m.get("operation") == "compact"
+        ):
+            # the head IS a rewrite/compaction output under this exact
+            # policy — a re-run would re-shuffle the whole table and
+            # commit a junk version per cron tick, forever
+            return parent
+        rec_sizes = m.get("sizes") or {}
+        sizes = sum(
+            int(
+                rec_sizes[f]
+                if f in rec_sizes
+                else os.path.getsize(os.path.join(root, f))
+            )
+            for f in m["files"]
         )
-    df = read_snapshot_mor(spark, root)
-    missing = sorted(set(zorder_cols) - set(df.columns))
-    if missing:
-        raise ValueError(
-            f"snapshot_rewrite_zordered: columns not in the table: "
-            f"{missing}"
+        n_out = n_files or max(1, math.ceil(sizes / target_file_bytes))
+        # merge_schema: heterogeneous file groups (additive appends)
+        # must keep every column — a plain read infers one group's
+        # schema and a full-table overwrite would drop the rest FOREVER
+        df = read_snapshot_mor(spark, root, parent, merge_schema=True)
+        missing = sorted(set(zorder_cols) - set(df.columns))
+        if missing:
+            raise ValueError(
+                f"snapshot_rewrite_zordered: columns not in the table: "
+                f"{missing}"
+            )
+        # pruning evidence survives the policy change: union the
+        # declared (or observed) stat columns with the new zorder cols
+        prev_stats = lay.get("stats_cols") or sorted(
+            {c for st in (m.get("stats") or {}).values() for c in st}
         )
-    rec = list(dict.fromkeys([*zorder_cols, *(stats_cols or [])]))
-    return snapshot_overwrite(
-        _zorder_frame(df, zorder_cols, bits, n_files),
-        root,
-        stats_cols=rec,
-        operation="compact",
-        _meta_updates={
-            "layout": {
-                "sort_cols": None,  # replace a 1-D policy wholesale
-                "zorder_cols": list(zorder_cols),
-                "zorder_bits": bits,
-                "stats_cols": rec,
-            }
-        },
+        rec = [
+            c
+            for c in dict.fromkeys(
+                [*zorder_cols, *(stats_cols or []), *prev_stats]
+            )
+            if c in df.columns
+        ]
+        zdf = _zorder_frame(df, zorder_cols, bits, n_out)
+        new_files, new_stats = _write_files(zdf, root, rec)
+        new_blooms = None
+        bcols = lay.get("bloom_cols")
+        if bcols:
+            # the declared bloom policy survives the rewrite — a
+            # bloom-less full replacement would silently defeat point
+            # lookups table-wide while the manifest still claims them
+            live = [c for c in bcols if c in zdf.columns]
+            if live:
+                new_blooms = _file_blooms(
+                    spark,
+                    root,
+                    new_files,
+                    live,
+                    int(lay.get("bloom_bits") or 8192),
+                )
+        try:
+            return _commit(
+                root,
+                new_files,
+                parent,
+                operation="compact",
+                stats=new_stats,
+                blooms=new_blooms,
+                seen_versions=seen,
+                conflict_mode="serialize",
+                new_file_columns=list(zdf.columns),
+                meta_updates={
+                    "layout": {
+                        "sort_cols": None,  # replace a 1-D policy
+                        "zorder_cols": list(zorder_cols),
+                        "zorder_bits": bits,
+                        "stats_cols": rec,
+                    }
+                },
+            )
+        except SnapshotConflictError as exc:
+            last_err = exc  # head moved mid-rewrite — redo against it
+    raise SnapshotConflictError(
+        f"snapshot_rewrite_zordered: gave up after 5 conflicted "
+        f"attempts ({last_err})"
     )
 
 

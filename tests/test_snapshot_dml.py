@@ -951,3 +951,64 @@ def test_optimize_zorder_rewrite(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="partition"):
         sn.snapshot_rewrite_zordered(spark, p, ["k"])
+
+
+def test_optimize_zorder_preserves_schema_stats_blooms(spark, tmp_path):
+    """The rewrite is a compaction with a policy change: heterogeneous
+    file groups keep every column (merge_schema), prior pruning
+    evidence unions into the recorded stats, the declared bloom policy
+    re-derives filters, and a cron re-run is a NO-OP fixed point."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.sources import snapshots as sn
+
+    root = str(tmp_path / "t")
+    sn.snapshot_append_clustered(
+        spark.range(256).select(
+            (F.col("id") % 16).alias("x"),
+            (F.col("id") / 16).cast("bigint").alias("y"),
+            F.col("id").alias("ts"),
+        ),
+        root,
+        ["x"],
+        n_files=2,
+        stats_cols=["ts"],
+    )
+    # bloom policy + an ADDITIVE append introducing a new column
+    sn.snapshot_append(
+        spark.range(256, 260).select(
+            (F.col("id") % 16).alias("x"),
+            (F.col("id") / 16).cast("bigint").alias("y"),
+            F.col("id").alias("ts"),
+            F.lit("late").alias("extra"),
+        ),
+        root,
+        bloom_cols=["ts"],
+    )
+    v = sn.snapshot_rewrite_zordered(spark, root, ["x", "y"], bits=6)
+    df = sn.read_snapshot(spark, root)
+    assert "extra" in df.columns, "additive column survives the rewrite"
+    assert df.count() == 260
+    assert df.filter(F.col("extra") == "late").count() == 4
+    m = sn._read_manifest(root, v)
+    lay = m["layout"]
+    # prior stats evidence (ts) unions with the zorder cols
+    assert set(lay["stats_cols"]) >= {"x", "y", "ts"}
+    assert all("ts" in st for st in m["stats"].values())
+    # the declared bloom policy re-derived filters for every new file
+    assert lay["bloom_cols"] == ["ts"]
+    assert set(m.get("blooms") or {}) == set(m["files"])
+    # fixed point: the same OPTIMIZE again commits NOTHING
+    assert sn.snapshot_rewrite_zordered(spark, root, ["x", "y"], bits=6) == v
+    assert sn.current_version(root) == v
+    # a different policy is a genuine rewrite again
+    v2 = sn.snapshot_rewrite_zordered(spark, root, ["y", "x"], bits=6)
+    assert v2 == v + 1
+    # zero-row table: no crash, content stays empty (a 0-row part file
+    # still counts as a file; a FILE-less manifest no-ops — guarded)
+    e = str(tmp_path / "e")
+    sn.snapshot_overwrite(
+        spark.range(1).filter("id < 0").select(F.col("id").alias("k")), e
+    )
+    sn.snapshot_rewrite_zordered(spark, e, ["k"])
+    assert sn.read_snapshot(spark, e).count() == 0
