@@ -4322,6 +4322,8 @@ def attach_snapshot_meta_views(
       not break when a delete lands)
     * ``<name>__history``    — `snapshot_history` (the commit DAG)
     * ``<name>__detail``     — `snapshot_detail` (one-row summary)
+    * ``<name>__stats``      — the recorded ANALYZE statistics, one row
+      per column (empty until the first `snapshot_analyze`)
 
     so a SQL-only operator sizes compaction, spots skew, and audits
     lineage in plain ``spark.sql`` text.  The frames are computed at
@@ -4345,6 +4347,25 @@ def attach_snapshot_meta_views(
     snapshot_detail(spark, root).createOrReplaceTempView(
         f"{name}__detail"
     )
+    st = snapshot_table_stats(root, v) or {"rows": None, "cols": {}}
+    spark.createDataFrame(
+        [
+            (
+                c,
+                d.get("ndv"),
+                d.get("nulls"),
+                str(d["min"]) if d.get("min") is not None else None,
+                str(d["max"]) if d.get("max") is not None else None,
+                bool(d.get("approx")),
+                d.get("v"),
+                st.get("rows"),
+            )
+            for c, d in sorted((st.get("cols") or {}).items())
+        ],
+        "column string, ndv bigint, nulls bigint, min string, "
+        "max string, approx boolean, analyzed_version bigint, "
+        "table_rows bigint",
+    ).createOrReplaceTempView(f"{name}__stats")
     return v
 
 

@@ -812,6 +812,18 @@ def test_attach_snapshot_meta_views(spark, tmp_path):
         "FROM t__detail"
     ).collect()[0]
     assert tuple(d) == (2, 1, 2)
+    # __stats is EMPTY until the first ANALYZE, then one row per column
+    assert spark.sql("SELECT COUNT(*) FROM t__stats").collect()[0][0] == 0
+    sn.snapshot_compact(spark, root)  # fold deletes for the MoR read
+    sn.snapshot_analyze(spark, root, approx=False)
+    sn.attach_snapshot_meta_views(spark, "t", root)
+    st = spark.sql(
+        "SELECT column, ndv, nulls, table_rows FROM t__stats "
+        "ORDER BY column"
+    ).collect()
+    assert [(r.column, r.ndv, r.nulls, r.table_rows) for r in st] == [
+        ("g", 2, 0, 19), ("id", 19, 0, 19),
+    ]
 
 
 def test_analyze_table_stats(spark, tmp_path):
