@@ -156,7 +156,7 @@ _CHEAP_FIRST = [
     # round-9 additions, measured verify cost ascending (sf0.01)
     "snapshot_copy_into_ingest", "snapshot_add_column_defaults",
     "snapshot_bloom_prune", "sql_inline_time_travel",
-    "snapshot_analyze_stats",
+    "snapshot_analyze_stats", "snapshot_zorder_rewrite",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -3537,6 +3537,77 @@ def q_snapshot_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_zorder_rewrite",
+    # Oracle: the DML replayed (delete), then the post-rewrite point
+    # lookups — a row-content-preserving rewrite must answer both
+    # exactly as the raw table does.
+    f"""
+WITH live AS (
+    SELECT o_custkey AS x, CAST(o_orderkey % 1000 AS BIGINT) AS y,
+           CAST(o_totalprice AS DECIMAL(28,10)) AS price
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 3)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_dsum_sql('price')} AS total_price,
+       CAST(SUM(CASE WHEN x BETWEEN 100 AND 120 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_x_band,
+       CAST(SUM(CASE WHEN y BETWEEN 5 AND 9 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_y_band
+FROM live
+""",
+)
+def q_snapshot_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE … ZORDER BY end to end (round 9 —
+    `snapshot_rewrite_zordered` via the SQL statement): a 1-D-clustered
+    orders table takes a MoR DELETE, then ONE rewrite converts it to
+    two-dimensional Morton clustering — folding the delete, replacing
+    the sort policy wholesale, re-recording stats — and the report
+    aggregates the rewritten table plus two band counts (one per
+    clustered dimension, the predicates the new layout prunes for).
+    Row-content preservation IS the correctness claim: the oracle
+    replays the delete on the raw rows and must hash-match.  The
+    rewrite is a compaction with a policy change (serializable,
+    merge-schema, stream-transparent — tests/test_snapshot_dml.py);
+    at 100 TB it is how a mis-clustered table adopts multi-dim
+    pruning without an unload/reload.  Build cached per
+    (query, sf_dir)."""
+    import tempfile
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+    from .sql_exec import execute_sql
+
+    key = ("snapshot_zorder_rewrite", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        o = _t(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("x"),
+            (F.col("o_orderkey") % 1000).cast("bigint").alias("y"),
+            F.col("o_totalprice").cast("decimal(28,10)").alias("price"),
+            F.col("o_orderkey").alias("k"),
+        )
+        tmp = tempfile.mkdtemp(prefix="snap_zrw_")
+        root, cdir = f"{tmp}/orders", f"{tmp}/catalog"
+        sn.snapshot_append_clustered(o, root, ["x"], n_files=8)
+        cat.catalog_register(cdir, "zrw_orders", root)
+        execute_sql(spark, "DELETE FROM zrw_orders WHERE k % 10 = 3", cdir)
+        execute_sql(spark, "OPTIMIZE zrw_orders ZORDER BY (x, y)", cdir)
+        out = _ORC_OUT_CACHE[key] = root
+    t = sn.read_snapshot(spark, out)
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        dsum("price").alias("total_price"),
+        F.sum(
+            F.when(F.col("x").between(100, 120), 1).otherwise(0)
+        ).cast("bigint").alias("n_x_band"),
+        F.sum(
+            F.when(F.col("y").between(5, 9), 1).otherwise(0)
+        ).cast("bigint").alias("n_y_band"),
+    )
+
+
+@register(
     "snapshot_analyze_stats",
     # Oracle: the same table-level statistics computed the slow way —
     # an incrementally-maintained/recorded stat must equal the scan.
