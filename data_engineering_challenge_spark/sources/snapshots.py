@@ -5937,6 +5937,12 @@ def read_snapshot_cdf(
             # referenced files only: the distinct file keys are bounded
             # by the manifest's file count (driver-side, metadata-sized)
             refs = {r._file for r in side.select("_file").distinct().collect()}
+            if not refs:
+                # multi-partition delete batches can emit EMPTY position
+                # list part-files (the num_rows==0 footer-stats rule):
+                # no references, no events — and a zero-path parquet
+                # scan would crash, not no-op
+                continue
             touched = [
                 f
                 for f in prev["files"]

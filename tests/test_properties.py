@@ -888,3 +888,98 @@ def test_merge_into_matches_pure_python_reference(spark, tmp_path_factory, case)
         (r.k, r.v) for r in sn.read_snapshot_mor(spark, root).collect()
     )
     assert got == _ref_merge(case)
+
+
+# ---------------------------------------------------------------------------
+# materialized views: refresh == recompute under arbitrary DML (round 9)
+# ---------------------------------------------------------------------------
+
+mv_dml_strategy = st.lists(
+    st.one_of(
+        # insert a batch of (group, value) rows
+        st.tuples(
+            st.just("insert"),
+            st.lists(
+                st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+                min_size=1,
+                max_size=6,
+            ),
+        ),
+        # delete one group entirely (tests rowcount retraction to zero)
+        st.tuples(st.just("delete_group"), st.integers(0, 3)),
+        # shift every value in one group (update = delete+insert in CDF)
+        st.tuples(st.just("update_group"), st.integers(0, 3)),
+        # refresh mid-sequence (multi-hop deltas must compose)
+        st.tuples(st.just("refresh"), st.just(None)),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@given(ops=mv_dml_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_mview_refresh_equals_recompute(spark, tmp_path_factory, ops):
+    """Model check: after ANY sequence of inserts / group deletions /
+    group-wide updates — with refreshes interleaved at arbitrary points
+    so the CDF deltas span arbitrary hop ranges — one final
+    `refresh_mview` makes the materialized view equal the from-scratch
+    aggregate (counts and sums retract exactly; fully-retracted groups
+    vanish).  This is the invariant that makes an incrementally
+    maintained report trustworthy."""
+    import shutil
+
+    from data_engineering_challenge_spark.sources import catalog as cat
+    from data_engineering_challenge_spark.sources import snapshots as sn
+    from data_engineering_challenge_spark.sql_exec import execute_sql
+
+    d = tmp_path_factory.mktemp("mv_prop")
+    cdir = str(d / "catalog")
+    try:
+        execute_sql(
+            spark,
+            "CREATE TABLE t AS SELECT CAST(0 AS INT) AS g, "
+            "CAST(1 AS BIGINT) AS v",
+            cdir,
+        )
+        execute_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW m AS SELECT g, COUNT(*) AS n, "
+            "SUM(v) AS v FROM t GROUP BY g",
+            cdir,
+        )
+        for op, arg in ops:
+            if op == "insert":
+                values = ", ".join(f"({g}, CAST({v} AS BIGINT))" for g, v in arg)
+                execute_sql(spark, f"INSERT INTO t VALUES {values}", cdir)
+            elif op == "delete_group":
+                execute_sql(spark, f"DELETE FROM t WHERE g = {arg}", cdir)
+            elif op == "update_group":
+                execute_sql(
+                    spark, f"UPDATE t SET v = v + 7 WHERE g = {arg}", cdir
+                )
+            else:
+                cat.refresh_mview(spark, cdir, "m")
+        cat.refresh_mview(spark, cdir, "m")
+        got = sorted(
+            tuple(r)
+            for r in execute_sql(spark, "SELECT * FROM m", cdir).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in execute_sql(
+                spark,
+                "SELECT g, COUNT(*) AS n, SUM(v) AS v FROM t GROUP BY g",
+                cdir,
+            ).collect()
+        )
+        assert got == want, (ops, got, want)
+    finally:
+        shutil.rmtree(str(d), ignore_errors=True)
