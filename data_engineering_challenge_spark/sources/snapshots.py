@@ -230,16 +230,59 @@ def _table_checks(root: str, version: int | None = None) -> dict:
     return {k: e for k, e in checks.items() if e is not None}
 
 
-#: data group → the CHECK constraints its rows were validated under at
-#: write time (process-local); `_commit` compares against the set the
-#: commit would inherit and aborts on drift — see the guard there.
+def _table_generated(root: str, version: int | None = None) -> dict:
+    """The live GENERATED-column specs at ``version`` (default head):
+    ``{col: {"expr", "type"}}`` — payload-resident like checks; a
+    dropped spec is stored as ``col: None`` and filtered here."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        return {}
+    gen = _read_manifest_meta(root, v).get("generated") or {}
+    return {k: e for k, e in gen.items() if e is not None}
+
+
+#: data group → the WRITE CONTRACT (checks + generated specs) its rows
+#: were produced under at write time (process-local); `_commit` compares
+#: against the contract the commit would inherit and aborts on drift —
+#: see the guard there.
 _ENFORCED_CHECKS: dict[str, dict] = {}
 
 
-def _record_enforced_checks(group: str, checks: dict) -> None:
+def _record_enforced_checks(
+    group: str, checks: dict, generated: dict | None = None
+) -> None:
     if len(_ENFORCED_CHECKS) > 4096:  # bounded: groups are one-shot
         _ENFORCED_CHECKS.clear()
-    _ENFORCED_CHECKS[group] = dict(checks)
+    _ENFORCED_CHECKS[group] = {
+        "checks": dict(checks),
+        "generated": dict(generated or {}),
+    }
+
+
+def _apply_generated_columns(
+    df: DataFrame, root: str, gen: dict | None = None
+) -> DataFrame:
+    """RECOMPUTE the table's GENERATED columns inside a data write —
+    ``GENERATED ALWAYS AS`` taken literally: whether the writer omitted
+    the column or provided values, the stored value is the expression
+    over the writer's own row (so an UPDATE that changes a source
+    column keeps the derivation consistent without the writer knowing
+    the rule; Delta recomputes the same way).  Runs BEFORE the CHECK
+    filters, so a constraint on a generated column validates the
+    computed value.  An expression referencing a column the batch
+    doesn't carry fails analysis loudly, like a check would."""
+    if gen is None:
+        gen = _table_generated(root)
+    if not gen:
+        return df
+    from pyspark.sql import functions as F
+
+    for col in sorted(gen):
+        spec = gen[col]
+        df = df.withColumn(
+            col, F.expr(spec["expr"]).cast(spec["type"])
+        )
+    return df
 
 
 def _apply_check_constraints(
@@ -281,11 +324,13 @@ def _write_files(
     kind: str = "data",
 ) -> list[str] | tuple[list[str], dict]:
     if kind == "data":
+        gen = _table_generated(root)
+        df = _apply_generated_columns(df, root, gen)
         checks = _table_checks(root)
         df = _apply_check_constraints(df, root, checks)
     group = os.path.join(kind, uuid.uuid4().hex)
     if kind == "data":
-        _record_enforced_checks(group, checks)
+        _record_enforced_checks(group, checks, gen)
     out = os.path.join(root, group)
     df.write.parquet(out)
     files = sorted(
@@ -837,7 +882,7 @@ def _commit(
             attempt_written.append(dn)
         # ---- table-level metadata (payload-resident: O(schema)) -------
         tbl_meta: dict = {}
-        for k in ("layout", "fields", "checks", "table_stats"):
+        for k in ("layout", "fields", "checks", "table_stats", "generated"):
             if pm_meta.get(k):
                 tbl_meta[k] = (
                     dict(pm_meta[k])
@@ -845,7 +890,7 @@ def _commit(
                     else list(pm_meta[k])
                 )
         for k, v in (meta_updates or {}).items():
-            if k in ("layout", "fields", "checks", "table_stats"):
+            if k in ("layout", "fields", "checks", "table_stats", "generated"):
                 tbl_meta[k] = _merge(tbl_meta.get(k), v)
         lay = tbl_meta.get("layout") or {}
         if lay.get("zorder_cols") and (
@@ -865,20 +910,27 @@ def _commit(
                 "raced the layout declaration)"
             )
         if new_files:
-            # CHECK write/commit race guard: the data files were
-            # validated against the constraints live at WRITE time; if
-            # this commit would inherit a DIFFERENT live set (a
-            # concurrent set/drop-check landed and the sibling scan
-            # rebased onto it, or an overwrite captured a later parent),
-            # the batch was never validated under the contract it would
-            # commit under — fail like Delta's concurrent-metadata-
-            # change conflict so the caller re-writes under the current
-            # constraints (the serialize-retry DML paths do this
-            # automatically)
+            # WRITE-CONTRACT race guard: the data files were produced
+            # under the CHECK constraints AND generated-column specs
+            # live at WRITE time; if this commit would inherit a
+            # DIFFERENT live contract (a concurrent set/drop landed and
+            # the sibling scan rebased onto it, or an overwrite captured
+            # a later parent), the batch was never validated/derived
+            # under the contract it would commit under — fail like
+            # Delta's concurrent-metadata-change conflict so the caller
+            # re-writes under the current contract (the serialize-retry
+            # DML paths do this automatically)
             live = {
-                k: v
-                for k, v in (tbl_meta.get("checks") or {}).items()
-                if v is not None
+                "checks": {
+                    k: v
+                    for k, v in (tbl_meta.get("checks") or {}).items()
+                    if v is not None
+                },
+                "generated": {
+                    k: v
+                    for k, v in (tbl_meta.get("generated") or {}).items()
+                    if v is not None
+                },
             }
             groups = set()
             for f in new_files:
@@ -890,11 +942,11 @@ def _commit(
                 if enforced is not None and enforced != live:
                     _discard_attempt()
                     raise SnapshotConflictError(
-                        "_commit: CHECK constraints changed between the "
-                        f"data write (enforced {sorted(enforced)}) and "
-                        f"the commit (live {sorted(live)}) — re-run the "
-                        "write so the batch is validated under the "
-                        "current contract"
+                        "_commit: the write contract (CHECK constraints "
+                        "/ generated columns) changed between the data "
+                        f"write (enforced {enforced}) and the commit "
+                        f"(live {live}) — re-run the write so the batch "
+                        "is produced under the current contract"
                     )
         # ---- the new data entry ---------------------------------------
         entry: dict = {}
@@ -1858,7 +1910,10 @@ def _write_partitioned_files(
                 f"snapshot partitioned write: column {tmps[name]!r} "
                 "collides with the internal partition column"
             )
-    out_df = df
+    # generated columns compute FIRST: a partition transform (or sort)
+    # may legitimately reference a derived column the writer omitted
+    gen = _table_generated(root)
+    out_df = _apply_generated_columns(df, root, gen)
     for name, expr in partition_transforms.items():
         out_df = out_df.withColumn(
             tmps[name], F.expr(expr).cast("string")
@@ -1874,7 +1929,7 @@ def _write_partitioned_files(
     checks = _table_checks(root)
     out_df = _apply_check_constraints(out_df, root, checks)
     group = os.path.join("data", uuid.uuid4().hex)
-    _record_enforced_checks(group, checks)
+    _record_enforced_checks(group, checks, gen)
     out = os.path.join(root, group)
     out_df.write.partitionBy(*tmps.values()).parquet(out)
     # recursive listing: partitioned writes nest one dir per value
@@ -2667,6 +2722,28 @@ def snapshot_evolve(
                     "repartition the table instead of renaming/dropping "
                     "its partition source columns"
                 )
+        # generated-column specs name columns too — renaming/dropping a
+        # source (or the generated column itself) would break every
+        # subsequent write at its chokepoint; drop the spec first
+        for gcol, spec in (m.get("generated") or {}).items():
+            if spec is None:
+                continue
+            if gcol in renames or gcol in drops:
+                raise ValueError(
+                    f"snapshot_evolve: {gcol!r} is a GENERATED column — "
+                    "snapshot_drop_generated first"
+                )
+            touched = [
+                c
+                for c in list(renames) + drops
+                if _re.search(rf"\b{_re.escape(c)}\b", spec["expr"])
+            ]
+            if touched:
+                raise ValueError(
+                    f"snapshot_evolve: column(s) {touched} are "
+                    f"referenced by generated column {gcol!r} "
+                    f"({spec['expr']!r}) — snapshot_drop_generated first"
+                )
         for lk in ("sort_cols", "stats_cols", "zorder_cols", "bloom_cols"):
             if layout.get(lk):
                 remapped = [
@@ -3291,7 +3368,7 @@ def compact_manifests(root: str, max_entries: int = 1) -> int:
             "entries": entries,
             "delete_entries": dentries,
         }
-        for k in ("layout", "fields", "checks", "table_stats"):
+        for k in ("layout", "fields", "checks", "table_stats", "generated"):
             if meta.get(k):
                 payload[k] = meta[k]
         copied_all = _copied_identities(root, start=parent)
@@ -4932,6 +5009,101 @@ def snapshot_drop_check(root: str, name: str) -> int:
     )
 
 
+def snapshot_set_generated(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    expr: str,
+    dtype: str,
+    validate: bool = True,
+    replace: bool = False,
+) -> int:
+    """Declare ``col`` GENERATED ALWAYS AS ``expr`` (Delta's generated
+    columns): a metadata-only commit recording ``{col: {expr, type}}``
+    in the table metadata, inherited like checks.  From then on EVERY
+    data write path (append, overwrite, partitioned/clustered, CDC
+    merges, UPDATE post-images, streaming sinks, compaction rewrites)
+    RECOMPUTES the column inside the write job — a writer may omit it
+    (it materializes) or provide it (the stored value is the expression
+    regardless: ``ALWAYS`` taken literally, so an UPDATE that changes a
+    source column keeps the derivation consistent without the writer
+    knowing the rule).  Partition transforms and sort policies may
+    reference the derived column — it computes first.
+
+    The column must ALREADY EXIST in the current schema — declare-at-
+    creation is ``CTAS computing the column, then set_generated`` —
+    which keeps every file epoch physically carrying it (no
+    heterogeneous-schema inference hazards).  ``validate=True`` proves
+    the existing visible rows already equal the expression (one
+    filtered scan, ``limit(1)``) and refuses otherwise; the same
+    write/commit race guard as checks aborts a commit whose files were
+    derived under a different generation contract.  A live spec for
+    the same column refuses unless ``replace=True``."""
+    from pyspark.sql import functions as F
+
+    if not expr or not expr.strip():
+        raise ValueError("snapshot_set_generated: empty expression")
+    try:
+        spark.range(1).select(F.lit(None).cast(dtype)).first()
+    except Exception as exc:
+        raise ValueError(
+            f"snapshot_set_generated: {dtype!r} is not a valid Spark "
+            f"DDL type: {str(exc).splitlines()[0]}"
+        ) from None
+
+    def _pre(parent: int) -> None:
+        live = _table_generated(root, parent)
+        if col in live and not replace:
+            raise ValueError(
+                f"snapshot_set_generated: {col!r} already has a live "
+                "generated spec — pass replace=True to redefine it"
+            )
+        cur = read_snapshot_mor(spark, root, parent)
+        if col not in cur.columns:
+            raise ValueError(
+                f"snapshot_set_generated: column {col!r} is not in the "
+                "table — generated columns are declared over an "
+                "existing column (create the table computing it, then "
+                "declare)"
+            )
+        if validate:
+            bad = cur.filter(
+                ~F.col(col).eqNullSafe(F.expr(expr).cast(dtype))
+            ).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"snapshot_set_generated: existing row violates "
+                    f"{col} = {expr}: {bad[0].asDict()} (fix the data "
+                    "or pass validate=False to apply to new writes "
+                    "only)"
+                )
+
+    return _meta_only_commit(
+        root,
+        "set-generated",
+        {"generated": {col: {"expr": expr, "type": dtype}}},
+        _pre,
+    )
+
+
+def snapshot_drop_generated(root: str, col: str) -> int:
+    """Drop a generated-column spec: a metadata-only tombstone commit
+    (the column and its data stay — only the write-time derivation
+    stops; older versions keep the contract they committed under)."""
+
+    def _pre(parent: int) -> None:
+        live = _table_generated(root, parent)
+        if col not in live:
+            raise ValueError(
+                f"snapshot_drop_generated: no live generated spec for "
+                f"{col!r} (have {sorted(live)})"
+            )
+
+    return _meta_only_commit(
+        root, "drop-generated", {"generated": {col: None}}, _pre
+    )
+
+
 def snapshot_analyze(
     spark: SparkSession,
     root: str,
@@ -5196,7 +5368,7 @@ def snapshot_clone(
         "delete_entries": dentries,
         "clone_source": clone_src,
     }
-    for k in ("layout", "fields", "checks", "table_stats"):
+    for k in ("layout", "fields", "checks", "table_stats", "generated"):
         if m.get(k):
             payload[k] = m[k]
     staged = os.path.join(

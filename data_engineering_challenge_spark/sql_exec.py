@@ -74,6 +74,8 @@ _GRAMMAR = """supported statements:
   ALTER TABLE <name> ADD COLUMN[S] <col> <type> [DEFAULT <lit>] [, ...]
                    | RENAME COLUMN <a> TO <b> | DROP COLUMN <c>
                    | ADD CONSTRAINT <cn> CHECK (<expr>) | DROP CONSTRAINT <cn>
+                   | SET GENERATED COLUMN <c> <type> AS (<expr>)
+                   | DROP GENERATED COLUMN <c>
   COPY INTO <name> FROM '<path-or-glob>' [FORMAT parquet|csv|jsonl|orc]
   SHOW TABLES | DESCRIBE [TABLE] <name> | DESCRIBE HISTORY <name>
   OPTIMIZE <name> [ZORDER BY (c, ...)]
@@ -1347,9 +1349,46 @@ def execute_sql(
             cname = cur.ident("constraint name")
             cur.expect_done()
             return sn.snapshot_drop_check(root, cname)
+        if cur.kw("SET", "GENERATED", "COLUMN"):
+            col = cur.ident("column name")
+            # the TYPE runs to the depth-0 AS (angle brackets nest,
+            # same rule as _type_slice)
+            start = cur.i
+            depth = 0
+            while cur.i < len(cur.toks):
+                t = cur.toks[cur.i][0]
+                if t in ("(", "[", "<"):
+                    depth += 1
+                elif t in (")", "]", ">"):
+                    depth -= 1
+                elif depth == 0 and t.upper() == "AS":
+                    break
+                cur.i += 1
+            if cur.i == start or cur.i >= len(cur.toks):
+                cur.fail(
+                    "expected <type> AS (<expr>) after SET GENERATED "
+                    "COLUMN <col>"
+                )
+            typ = cur.text[
+                cur.toks[start][1] : cur.toks[cur.i - 1][2]
+            ].strip()
+            cur.expect_kw("AS")
+            if cur.peek() != "(":
+                cur.fail("expected ( after AS")
+            cur.i += 1
+            expr = cur.until(((";",),))  # stops on the closing paren
+            if cur.peek() != ")":
+                cur.fail("expected ) closing the generation expression")
+            cur.i += 1
+            cur.expect_done()
+            return sn.snapshot_set_generated(spark, root, col, expr, typ)
+        if cur.kw("DROP", "GENERATED", "COLUMN"):
+            col = cur.ident("column name")
+            cur.expect_done()
+            return sn.snapshot_drop_generated(root, col)
         cur.fail(
-            "expected ADD/RENAME/DROP COLUMN or ADD/DROP CONSTRAINT "
-            "after ALTER TABLE"
+            "expected ADD/RENAME/DROP COLUMN, ADD/DROP CONSTRAINT, or "
+            "SET/DROP GENERATED COLUMN after ALTER TABLE"
         )
 
     # ---- COPY INTO <name> FROM '<glob>' [FORMAT <fmt>] ----
