@@ -986,6 +986,29 @@ def _commit(
                 sub = {f: v for f, v in mu.items() if f in new_set}
                 if sub:
                     entry[k] = sub
+        if new_file_columns is not None:
+            # the write chokepoint MATERIALIZES live generated columns
+            # into the physical files even when the caller's frame
+            # omitted them — the recorded column set (and the evolved
+            # tables' field bindings below) must reflect the files'
+            # ACTUAL columns, or the values would silently read back as
+            # NULL through an incomplete binding.  tbl_meta carries the
+            # same live contract the chokepoint applied (drift aborts
+            # via the write-contract guard above).
+            new_file_columns = list(
+                dict.fromkeys(
+                    [
+                        *new_file_columns,
+                        *[
+                            c
+                            for c, v in (
+                                tbl_meta.get("generated") or {}
+                            ).items()
+                            if v is not None
+                        ],
+                    ]
+                )
+            )
         if tbl_meta.get("fields") is not None and new_file_columns is not None:
             # additive evolution: a new file group may introduce columns
             # the logical schema hasn't seen — append them with fresh
@@ -1208,7 +1231,11 @@ def snapshot_overwrite(
         if v is not None:
             return v
     if bloom_cols:
-        _check_bloom_cols(df, bloom_cols, bloom_bits)
+        # validate against the MATERIALIZED schema: a bloom column
+        # may be generated (the chokepoint adds it to the files)
+        _check_bloom_cols(
+            _apply_generated_columns(df, root), bloom_cols, bloom_bits
+        )
     if stats_cols is None:
         files, stats = _write_files(df, root), {}
     else:
@@ -1293,7 +1320,11 @@ def snapshot_append(
     seen = set(snapshot_versions(root))
     parent = current_version(root)
     if bloom_cols:
-        _check_bloom_cols(df, bloom_cols, bloom_bits)
+        # validate against the MATERIALIZED schema: a bloom column
+        # may be generated (the chokepoint adds it to the files)
+        _check_bloom_cols(
+            _apply_generated_columns(df, root), bloom_cols, bloom_bits
+        )
     if stats_cols is None:
         new_files, new_stats = _write_files(df, root), {}
     else:
@@ -1445,12 +1476,16 @@ def snapshot_copy_into(
     parent0 = current_version(root)
     if parent0 is not None and (stats_cols is None or bloom_cols is None):
         lay = _read_manifest_meta(root, parent0).get("layout") or {}
+        # a policy column the SOURCE omits may still be GENERATED —
+        # the write chokepoint materializes it, so its stats/blooms
+        # record fine; only drop columns the files truly won't carry
+        will_have = set(df.columns) | set(_table_generated(root, parent0))
         if stats_cols is None:
             pol = lay.get("stats_cols") or []
-            stats_cols = [c for c in pol if c in df.columns] or None
+            stats_cols = [c for c in pol if c in will_have] or None
         if bloom_cols is None:
             pol = lay.get("bloom_cols") or []
-            bloom_cols = [c for c in pol if c in df.columns] or None
+            bloom_cols = [c for c in pol if c in will_have] or None
             if bloom_cols:
                 bloom_bits = int(lay.get("bloom_bits") or bloom_bits)
     batch = sorted(idents[p] for p in todo)
@@ -5039,12 +5074,19 @@ def snapshot_set_generated(
     write/commit race guard as checks aborts a commit whose files were
     derived under a different generation contract.  A live spec for
     the same column refuses unless ``replace=True``."""
+    import re as _re
+
     from pyspark.sql import functions as F
 
     if not expr or not expr.strip():
         raise ValueError("snapshot_set_generated: empty expression")
     try:
-        spark.range(1).select(F.lit(None).cast(dtype)).first()
+        declared = (
+            spark.range(1)
+            .select(F.lit(None).cast(dtype))
+            .schema.fields[0]
+            .dataType.simpleString()
+        )
     except Exception as exc:
         raise ValueError(
             f"snapshot_set_generated: {dtype!r} is not a valid Spark "
@@ -5058,6 +5100,21 @@ def snapshot_set_generated(
                 f"snapshot_set_generated: {col!r} already has a live "
                 "generated spec — pass replace=True to redefine it"
             )
+        # no derivation chains: a generated expression referencing
+        # another generated column (or itself) would be computed from
+        # the writer's UN-recomputed value under the single-pass
+        # chokepoint — Delta forbids the same at declaration time
+        chained = sorted(
+            g
+            for g in {*live, col}
+            if _re.search(rf"\b{_re.escape(g)}\b", expr)
+        )
+        if chained:
+            raise ValueError(
+                f"snapshot_set_generated: expression references "
+                f"generated column(s) {chained} — derivations must "
+                "depend only on plainly-written columns"
+            )
         cur = read_snapshot_mor(spark, root, parent)
         if col not in cur.columns:
             raise ValueError(
@@ -5065,6 +5122,17 @@ def snapshot_set_generated(
                 "table — generated columns are declared over an "
                 "existing column (create the table computing it, then "
                 "declare)"
+            )
+        actual = dict(
+            (f.name, f.dataType.simpleString()) for f in cur.schema.fields
+        )[col]
+        if actual != declared:
+            raise ValueError(
+                f"snapshot_set_generated: declared type {declared!r} "
+                f"differs from the column's stored type {actual!r} — a "
+                "mismatched declaration would write a different "
+                "physical type than older file epochs (heterogeneous-"
+                "schema reads); declare the stored type"
             )
         if validate:
             bad = cur.filter(

@@ -297,8 +297,11 @@ def _attach_mview(spark: SparkSession, catalog_dir: str, name: str) -> None:
     )
 
 
-def _type_slice(cur: "_Cursor") -> str:
-    """One Spark DDL TYPE: tokens up to a depth-0 comma or DEFAULT.
+def _type_slice(
+    cur: "_Cursor", stops: tuple[str, ...] = (",", "DEFAULT")
+) -> str:
+    """One Spark DDL TYPE: tokens up to a depth-0 stop token (ADD
+    COLUMN stops at comma/DEFAULT, SET GENERATED COLUMN at AS).
     Unlike `_Cursor.until`, ANGLE BRACKETS nest here — a type slice
     never contains comparison operators, so ``STRUCT<a:INT,b:INT>`` /
     ``MAP<STRING,INT>`` keep their inner commas (the general expression
@@ -314,7 +317,7 @@ def _type_slice(cur: "_Cursor") -> str:
             depth -= 1
             if depth < 0:
                 cur.fail("unbalanced brackets in column type")
-        elif depth == 0 and (t == "," or t.upper() == "DEFAULT"):
+        elif depth == 0 and t.upper() in stops:
             break
         cur.i += 1
     if cur.i == start:
@@ -1351,27 +1354,7 @@ def execute_sql(
             return sn.snapshot_drop_check(root, cname)
         if cur.kw("SET", "GENERATED", "COLUMN"):
             col = cur.ident("column name")
-            # the TYPE runs to the depth-0 AS (angle brackets nest,
-            # same rule as _type_slice)
-            start = cur.i
-            depth = 0
-            while cur.i < len(cur.toks):
-                t = cur.toks[cur.i][0]
-                if t in ("(", "[", "<"):
-                    depth += 1
-                elif t in (")", "]", ">"):
-                    depth -= 1
-                elif depth == 0 and t.upper() == "AS":
-                    break
-                cur.i += 1
-            if cur.i == start or cur.i >= len(cur.toks):
-                cur.fail(
-                    "expected <type> AS (<expr>) after SET GENERATED "
-                    "COLUMN <col>"
-                )
-            typ = cur.text[
-                cur.toks[start][1] : cur.toks[cur.i - 1][2]
-            ].strip()
+            typ = _type_slice(cur, stops=("AS",))
             cur.expect_kw("AS")
             if cur.peek() != "(":
                 cur.fail("expected ( after AS")

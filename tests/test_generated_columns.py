@@ -153,3 +153,75 @@ def test_generated_sql_surface_and_clone(spark, cdir):
     execute_sql(spark, "ALTER TABLE g DROP GENERATED COLUMN sq", cdir)
     root = cat.catalog_entries(cdir)["g"]["root"]
     assert sn._table_generated(root) == {}
+
+
+def test_generated_on_evolved_table_binds_correctly(spark, tmp_path):
+    """On a schema-evolved table, a generated column the writer OMITS
+    must still read back with its computed values — the file binding
+    records the files' ACTUAL columns (the chokepoint materialized it),
+    not the caller's frame."""
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    sn.snapshot_evolve(root, renames={"k": "key"})  # table is now evolved
+    sn.snapshot_set_generated(spark, root, "v1", "v + 1", "bigint")
+    sn.snapshot_append(
+        spark.range(4, 6).select(
+            F.col("id").alias("key"), (F.col("id") * 2).alias("v")
+        ),
+        root,
+    )
+    got = _rows(sn.read_snapshot(spark, root).select("key", "v", "v1"))
+    assert got == [(i, 2 * i, 2 * i + 1) for i in range(6)], (
+        "computed values must not read back as NULL through an "
+        "incomplete field binding"
+    )
+
+
+def test_generated_declaration_type_and_chain_refusals(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    # declared type must equal the stored type (no schema splits)
+    with pytest.raises(ValueError, match="stored type"):
+        sn.snapshot_set_generated(spark, root, "v1", "v + 1", "int")
+    sn.snapshot_set_generated(spark, root, "v1", "v + 1", "bigint")
+    # no derivation chains (and no self-reference)
+    with pytest.raises(ValueError, match="generated column"):
+        sn.snapshot_set_generated(spark, root, "v", "v1 - 1", "bigint")
+    with pytest.raises(ValueError, match="generated column"):
+        sn.snapshot_set_generated(
+            spark, root, "v1", "v1 + 0", "bigint", replace=True
+        )
+
+
+def test_copy_into_records_generated_policy_stats(spark, tmp_path):
+    """COPY INTO inherits stats/bloom policy columns that are GENERATED
+    even when the source files omit them — the chokepoint materializes
+    the column, so the ingested files must carry its pruning claims."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    land = tmp_path / "landing"
+    land.mkdir()
+    sn.snapshot_append_clustered(
+        spark.range(8).select(
+            F.col("id").alias("k"), (F.col("id") + 100).alias("kk")
+        ),
+        root,
+        ["kk"],
+        n_files=1,
+        stats_cols=["kk"],
+    )
+    sn.snapshot_set_generated(spark, root, "kk", "k + 100", "bigint")
+    pq.write_table(
+        pa.table({"k": list(range(8, 12))}), str(land / "a.parquet")
+    )
+    r = sn.snapshot_copy_into(spark, root, str(land / "*.parquet"))
+    assert r["loaded"]
+    m = sn._read_manifest(root, r["version"])
+    new = sorted(set(m["files"]) - set(sn._read_manifest(root, 1)["files"]))
+    assert new and all(
+        m["stats"].get(f, {}).get("kk") for f in new if m["rows"][f] > 0
+    ), "ingested files must carry pruning claims for the generated col"
+    got = _rows(sn.read_snapshot(spark, root).select("k", "kk"))
+    assert got == [(i, i + 100) for i in range(12)]

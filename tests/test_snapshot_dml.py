@@ -1024,3 +1024,28 @@ def test_optimize_zorder_preserves_schema_stats_blooms(spark, tmp_path):
     )
     sn.snapshot_rewrite_zordered(spark, e, ["k"])
     assert sn.read_snapshot(spark, e).count() == 0
+
+
+def test_cdf_tolerates_empty_position_delete_parts(spark, tmp_path):
+    """A multi-partition DELETE whose hits live in one partition emits
+    position-list part-files with ZERO rows (the num_rows==0 shape);
+    the CDF pre-image path must skip them — a zero-path parquet scan
+    crashed here before the fix."""
+    root = str(tmp_path / "t")
+    sn.snapshot_overwrite(_df(spark, 0, 1).coalesce(1), root)
+    # the insert lands in its own file; the delete's hit frame spans
+    # several shuffle partitions, most of them empty
+    sn.snapshot_append(_df(spark, 1, 2).repartition(4), root)
+    v = sn.snapshot_delete_where(spark, root, "id = 1")
+    m = sn._read_manifest(root, v)
+    import pyarrow.parquet as pq
+
+    n_empty = sum(
+        1
+        for d in m["delete_files"]
+        if pq.read_metadata(os.path.join(root, d["file"])).num_rows == 0
+    )
+    assert n_empty >= 1, "fixture must produce an empty list part-file"
+    ev = sn.read_snapshot_cdf(spark, root, from_version=1, to_version=v)
+    got = sorted((r["_change_type"], r["id"]) for r in ev.collect())
+    assert got == [("delete", 1)]
