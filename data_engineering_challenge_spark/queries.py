@@ -157,6 +157,7 @@ _CHEAP_FIRST = [
     "snapshot_copy_into_ingest", "snapshot_add_column_defaults",
     "snapshot_bloom_prune", "sql_inline_time_travel",
     "snapshot_analyze_stats", "snapshot_zorder_rewrite",
+    "snapshot_generated_columns",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -3537,6 +3537,101 @@ def q_snapshot_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_generated_columns",
+    # Oracle: GENERATED ALWAYS replayed literally — whatever each
+    # writer provided, the stored derived value is the expression over
+    # the row's source columns, through the update too.
+    f"""
+WITH base AS (
+    SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(28,10)) AS price
+    FROM orders WHERE o_orderkey % 2 = 0
+),
+extra AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(28,10))
+    FROM orders WHERE o_orderkey % 2 = 1
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM extra),
+upd AS (
+    SELECT k,
+           CASE WHEN k % 100 = 0
+                THEN CAST(price + 50 AS DECIMAL(28,10)) ELSE price END
+           AS price
+    FROM u
+),
+final AS (
+    SELECT k, price,
+           CAST(CASE WHEN price >= 1000 THEN 'high' ELSE 'low' END
+                AS VARCHAR) AS band
+    FROM upd
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('price')} AS total_price
+FROM final GROUP BY band
+""",
+)
+def q_snapshot_generated_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED columns end to end (round 9 — `snapshot_set_generated`,
+    Delta's GENERATED ALWAYS AS): a ``band`` column derived from
+    ``price`` is declared once, then one writer OMITS it (it
+    materializes inside the write job), another provides garbage (the
+    stored value is the expression regardless — ALWAYS taken
+    literally), and an UPDATE changes the source column (the
+    derivation follows without the writer knowing the rule).  The
+    report groups by the derived column; the oracle replays the
+    derivation over the raw rows — hash-equality proves every write
+    path kept the contract.  At 100 TB this is how derived columns
+    stay consistent across heterogeneous writers with zero read-side
+    compute.  Build + DML cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    key = ("snapshot_generated_columns", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        o = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("decimal(28,10)").alias("price"),
+        )
+        root = tempfile.mkdtemp(prefix="snap_gen_") + "/tbl"
+        band = F.when(F.col("price") >= 1000, "high").otherwise("low")
+        sn.snapshot_overwrite(
+            o.filter(F.col("k") % 2 == 0).withColumn("band", band), root
+        )
+        sn.snapshot_set_generated(
+            spark, root, "band",
+            "CASE WHEN price >= 1000 THEN 'high' ELSE 'low' END",
+            "string",
+        )
+        # writer 1 OMITS the derived column; writer 2 provides garbage
+        sn.snapshot_append(
+            o.filter((F.col("k") % 4 == 1)), root
+        )
+        sn.snapshot_append(
+            o.filter(F.col("k") % 4 == 3).withColumn(
+                "band", F.lit("garbage")
+            ),
+            root,
+        )
+        # the derivation follows a source-column UPDATE
+        sn.snapshot_update_where(
+            spark, root, "k % 100 = 0",
+            {"price": "CAST(price + 50 AS DECIMAL(28,10))"},
+        )
+        out = _ORC_OUT_CACHE[key] = root
+    return (
+        sn.read_snapshot_mor(spark, out)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("price").alias("total_price"),
+        )
+    )
+
+
+@register(
     "snapshot_zorder_rewrite",
     # Oracle: the DML replayed (delete), then the post-rewrite point
     # lookups — a row-content-preserving rewrite must answer both
