@@ -363,18 +363,11 @@ def catalog_register_mview(
             "the view's rowcount"
         )
     ts = time.time()
+    prior = None
     if replace:
         prior = catalog_entries(catalog_dir).get(name)
         if prior is not None and prior.get("kind") == "mview":
             ts = prior.get("ts") or ts
-            # the definition is the contract: any replace invalidates
-            # the derived state (merging a new shape into old
-            # materialized rows would silently corrupt the aggregate)
-            import shutil
-
-            shutil.rmtree(
-                _mview_path(catalog_dir, name), ignore_errors=True
-            )
     entry = {
         "name": name,
         "kind": "mview",
@@ -385,9 +378,25 @@ def catalog_register_mview(
         "comment": comment,
         "ts": ts,
     }
-    return _claim_entry(
+    out = _claim_entry(
         catalog_dir, name, entry, replace, "catalog_register_mview"
     )
+    if prior is not None and prior.get("kind") == "mview":
+        # the definition is the contract: a replace invalidates the
+        # derived state (merging a new shape into old materialized
+        # rows would silently corrupt the aggregate).  But destroy
+        # NOTHING before the replacement entry is claimed, and even
+        # then only move the old state ASIDE — if the first refresh of
+        # the new definition fails, the prior working state is still
+        # on disk for recovery; `refresh_mview` retires it once the
+        # new definition materializes successfully.
+        import shutil
+
+        vp = _mview_path(catalog_dir, name)
+        shutil.rmtree(vp + "~prior", ignore_errors=True)
+        if os.path.isdir(vp):
+            os.rename(vp, vp + "~prior")
+    return out
 
 
 def refresh_mview(
@@ -446,10 +455,22 @@ def refresh_mview(
         v = sn.refresh_incremental_agg_cdf(
             spark, src["root"], vp, e["group_cols"], e["sum_cols"]
         )
+        _retire_prior_mview(vp)
         return v, "rebuild"
+    _retire_prior_mview(vp)
     if v is None:
         return before, "current"
     return v, "full" if before is None else "incremental"
+
+
+def _retire_prior_mview(vp: str) -> None:
+    """Drop the ``~prior`` state a replace set aside — only once the
+    REPLACEMENT definition has materialized successfully (the caller
+    just refreshed without error), so a failed first refresh always
+    leaves the prior working state recoverable on disk."""
+    import shutil
+
+    shutil.rmtree(vp + "~prior", ignore_errors=True)
 
 
 def drop_mview(catalog_dir: str, name: str) -> None:
@@ -465,3 +486,6 @@ def drop_mview(catalog_dir: str, name: str) -> None:
         )
     catalog_drop(catalog_dir, name)
     shutil.rmtree(_mview_path(catalog_dir, name), ignore_errors=True)
+    shutil.rmtree(
+        _mview_path(catalog_dir, name) + "~prior", ignore_errors=True
+    )

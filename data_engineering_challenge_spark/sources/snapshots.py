@@ -121,6 +121,24 @@ def _read_manifest_meta(root: str, version: int) -> dict:
     return _load_json_cached(_manifest_path(root, version))
 
 
+def _stamp_manifest_payload(root: str, version: int, adds: dict) -> None:
+    """Atomically ADD payload keys to a committed manifest — the one
+    sanctioned in-place manifest mutation, reserved for METADATA-ONLY
+    markers whose absence would orphan information (today:
+    ``copied_all`` consolidation when `expire_versions` drops the
+    ancestors a `_copied_identities` walk would have visited).  The
+    tmp-write + `os.replace` is atomic; the new inode/mtime busts the
+    (inode, mtime_ns, size)-keyed caches, so concurrent readers see
+    either the old or the new payload, both complete."""
+    path = _manifest_path(root, version)
+    payload = dict(_load_json_cached(path))
+    payload.update(adds)
+    tmp = f"{path}.stamp-{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)
+
+
 def _load_entry(root: str, name: str) -> dict:
     """One immutable manifest-entry file (format 2).  READ-ONLY."""
     return _load_json_cached(os.path.join(_manifest_dir(root), name))
@@ -1372,7 +1390,24 @@ def _copied_identities(root: str, start: int | None = None) -> set[str]:
     out: set[str] = set()
     v = current_version(root) if start is None else start
     while v is not None:
-        meta = _read_manifest_meta(root, v)
+        try:
+            meta = _read_manifest_meta(root, v)
+        except FileNotFoundError:
+            # an EXPIRED ancestor with no consolidation marker above it:
+            # only possible on tables vacuumed by a pre-consolidation
+            # build (`expire_versions` now stamps ``copied_all`` onto
+            # every surviving version whose walk crosses the retention
+            # boundary).  Guessing "empty history" here would re-load
+            # every previously-ingested file — refuse loudly instead.
+            raise RuntimeError(
+                f"_copied_identities: version {v} of {root} was "
+                "expired without a copy-identity consolidation marker "
+                "above it (a table vacuumed by a pre-consolidation "
+                "build) — the ingestion history below the gap is "
+                "unrecoverable; reload explicitly with "
+                "snapshot_copy_into(..., force=True) if duplicates "
+                "are acceptable, or restore the expired manifests"
+            ) from None
         out.update(meta.get("copied") or [])
         if meta.get("copied_all") is not None:
             out.update(meta["copied_all"])
@@ -1380,6 +1415,37 @@ def _copied_identities(root: str, start: int | None = None) -> set[str]:
         ro = meta.get("restore_of")
         v = ro if ro is not None else meta.get("parent")
     return out
+
+
+def _inherit_prune_policy(
+    root: str,
+    batch_columns: list[str],
+    stats_cols: list[str] | None,
+    bloom_cols: list[str] | None,
+    bloom_bits: int,
+) -> tuple[list[str] | None, list[str] | None, int]:
+    """Fill in the table's recorded pruning POLICY where the caller
+    gave none (the same move `snapshot_compact` makes when it rewrites
+    files): a write that lands through COPY INTO, SQL INSERT, or any
+    other policy-unaware entry point must not silently produce
+    unprunable files on a table whose layout declares stats/bloom
+    columns.  A policy column the BATCH omits may still be GENERATED —
+    the write chokepoint materializes it, so its stats/blooms record
+    fine; only columns the files truly won't carry are dropped."""
+    parent = current_version(root)
+    if parent is None or (stats_cols is not None and bloom_cols is not None):
+        return stats_cols, bloom_cols, bloom_bits
+    lay = _read_manifest_meta(root, parent).get("layout") or {}
+    will_have = set(batch_columns) | set(_table_generated(root, parent))
+    if stats_cols is None:
+        pol = lay.get("stats_cols") or []
+        stats_cols = [c for c in pol if c in will_have] or None
+    if bloom_cols is None:
+        pol = lay.get("bloom_cols") or []
+        bloom_cols = [c for c in pol if c in will_have] or None
+        if bloom_cols:
+            bloom_bits = int(lay.get("bloom_bits") or bloom_bits)
+    return stats_cols, bloom_cols, bloom_bits
 
 
 def snapshot_copy_into(
@@ -1469,25 +1535,9 @@ def snapshot_copy_into(
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     df = reader.load(todo)
-    # inherit the table's recorded pruning POLICY when the caller gives
-    # none (the same move snapshot_compact makes) — a cron ingesting
-    # through COPY INTO must not silently produce unprunable files on a
-    # table whose layout declares stats/bloom columns
-    parent0 = current_version(root)
-    if parent0 is not None and (stats_cols is None or bloom_cols is None):
-        lay = _read_manifest_meta(root, parent0).get("layout") or {}
-        # a policy column the SOURCE omits may still be GENERATED —
-        # the write chokepoint materializes it, so its stats/blooms
-        # record fine; only drop columns the files truly won't carry
-        will_have = set(df.columns) | set(_table_generated(root, parent0))
-        if stats_cols is None:
-            pol = lay.get("stats_cols") or []
-            stats_cols = [c for c in pol if c in will_have] or None
-        if bloom_cols is None:
-            pol = lay.get("bloom_cols") or []
-            bloom_cols = [c for c in pol if c in will_have] or None
-            if bloom_cols:
-                bloom_bits = int(lay.get("bloom_bits") or bloom_bits)
+    stats_cols, bloom_cols, bloom_bits = _inherit_prune_policy(
+        root, df.columns, stats_cols, bloom_cols, bloom_bits
+    )
     batch = sorted(idents[p] for p in todo)
     parent = current_version(root)
     salt = f"|force={uuid.uuid4().hex}" if force else ""
@@ -6809,6 +6859,40 @@ def expire_versions(
             )
         )
     ]
+    # COPY INTO identity consolidation BEFORE anything is removed: a
+    # surviving version whose parent-chain hop (restore_of, else
+    # parent) lands in the expired set would lose its ingestion
+    # history — the `_copied_identities` walk would dead-end on a
+    # missing manifest and permanently block `snapshot_copy_into`.
+    # Stamp the accumulated identity set from BELOW the boundary onto
+    # each such survivor (the same ``copied_all`` marker
+    # `compact_manifests` writes), so every post-expiry walk terminates
+    # at the boundary with full knowledge.  An EMPTY list is still a
+    # valid terminator — "nothing was ever copied below here".
+    expiring = set(to_expire)
+    if expiring:
+        for v in versions:
+            if v in expiring:
+                continue
+            meta = _read_manifest_meta(root, v)
+            if meta.get("copied_all") is not None:
+                continue  # walk already terminates here
+            ro = meta.get("restore_of")
+            nxt = ro if ro is not None else meta.get("parent")
+            if nxt not in expiring:
+                continue
+            try:
+                below = _copied_identities(root, start=nxt)
+            except RuntimeError:
+                # the below-walk itself dead-ends on a PRE-EXISTING gap
+                # (a table vacuumed by a pre-consolidation build): the
+                # history is unknowable, so stamping would falsely
+                # claim completeness — leave the survivor unmarked
+                # (copy_into keeps refusing loudly with remediation)
+                continue
+            _stamp_manifest_payload(
+                root, v, {"copied_all": sorted(below)}
+            )
     for v in to_expire:
         m = _read_manifest_meta(root, v)
         os.remove(os.path.join(_manifest_dir(root), f"v{v}.json"))

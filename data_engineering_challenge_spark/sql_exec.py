@@ -1159,7 +1159,17 @@ def execute_sql(
             )
         else:
             root = _table_root(catalog_dir, name)
-        v = sn.snapshot_overwrite(df, root)
+        # a CTAS over an existing root (OR REPLACE) inherits the prior
+        # layout's pruning policy, filtered to columns the new content
+        # carries — fresh tables have no policy yet (declare one with
+        # the layout clauses or OPTIMIZE)
+        stats_cols, bloom_cols, bloom_bits = sn._inherit_prune_policy(
+            root, df.columns, None, None, 8192
+        )
+        v = sn.snapshot_overwrite(
+            df, root, stats_cols=stats_cols,
+            bloom_cols=bloom_cols, bloom_bits=bloom_bits,
+        )
         if existing is None:
             cat.catalog_register(catalog_dir, name, root)
         return v
@@ -1244,9 +1254,21 @@ def execute_sql(
             )
         else:
             df = _cast_to_table(spark, root, df, "execute_sql(INSERT)")
+        # inherit the table's declared pruning policy — a SQL INSERT on
+        # a stats/bloom-declared table must land prunable files, same
+        # contract as COPY INTO and compaction
+        stats_cols, bloom_cols, bloom_bits = sn._inherit_prune_policy(
+            root, df.columns, None, None, 8192
+        )
         if overwrite:
-            return sn.snapshot_overwrite(df, root)
-        return sn.snapshot_append(df, root)
+            return sn.snapshot_overwrite(
+                df, root, stats_cols=stats_cols,
+                bloom_cols=bloom_cols, bloom_bits=bloom_bits,
+            )
+        return sn.snapshot_append(
+            df, root, stats_cols=stats_cols,
+            bloom_cols=bloom_cols, bloom_bits=bloom_bits,
+        )
 
     # ---- UPDATE <name> SET ... [WHERE ...] ----
     if cur.kw("UPDATE"):

@@ -268,3 +268,54 @@ def test_sql_copy_into_statement(spark, tmp_path):
         execute_sql(spark, "SELECT COUNT(*) AS n FROM lake", cdir).first().n
         == 33
     )
+
+
+def test_copy_into_survives_vacuum(spark, tmp_path):
+    """expire_versions stamps a ``copied_all`` consolidation marker
+    onto every survivor whose parent-chain hop crosses the retention
+    boundary — the SQL-only cron story (COPY INTO + VACUUM, no
+    compact_manifests) must keep ingesting, and must still SKIP every
+    identity recorded in the expired history."""
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "tbl")
+    for i in range(5):
+        _write_src(spark, f"{src}/f{i}", i * 10, i * 10 + 10)
+        sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert _count(spark, root) == 50
+    expired = sn.expire_versions(root, keep_last=2)
+    assert expired  # the walk below the boundary really is gone
+    # identical re-run on the vacuumed table: nothing reloads
+    r = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert r["loaded"] == [] and r["skipped"] == 5
+    assert _count(spark, root) == 50
+    # new file still lands exactly once
+    _write_src(spark, f"{src}/f9", 90, 95)
+    r2 = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert len(r2["loaded"]) == 1 and r2["skipped"] == 5
+    assert _count(spark, root) == 55
+    # a second vacuum over the stamped lineage composes
+    sn.expire_versions(root, keep_last=1)
+    r3 = sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    assert r3["loaded"] == [] and r3["skipped"] == 6
+
+
+def test_copy_into_refuses_on_legacy_gap(spark, tmp_path):
+    """A table vacuumed by a PRE-consolidation build (manifest gap, no
+    marker above it) must refuse COPY INTO loudly — guessing an empty
+    history would re-load every previously-ingested file."""
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "tbl")
+    for i in range(3):
+        _write_src(spark, f"{src}/f{i}", i * 10, i * 10 + 10)
+        sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    # simulate the legacy vacuum: remove an ancestor manifest directly
+    head = sn.current_version(root)
+    victim = sn._read_manifest_meta(root, head)["parent"]
+    os.remove(sn._manifest_path(root, victim))
+    with pytest.raises(RuntimeError, match="consolidation marker"):
+        sn.snapshot_copy_into(spark, root, f"{src}/*/*.parquet")
+    # force=True is the documented escape (skips the identity walk)
+    r = sn.snapshot_copy_into(
+        spark, root, f"{src}/*/*.parquet", force=True
+    )
+    assert len(r["loaded"]) == 3

@@ -305,3 +305,41 @@ def test_mview_rebuilds_across_expired_history(spark, cdir):
             cdir,
         )
     )
+
+
+def test_replace_defers_destroying_prior_state(spark, cdir, tmp_path):
+    """OR REPLACE must not destroy the prior materialized state before
+    the new entry is claimed AND its first refresh succeeds: a refresh
+    that dies mid-replace leaves the prior parquet recoverable on disk
+    (``~prior``); a successful refresh retires it."""
+    import os
+
+    _mk_sales(spark, cdir)
+    execute_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv AS SELECT region, COUNT(*) AS n "
+        "FROM sales GROUP BY region",
+        cdir,
+    )
+    vp = cat._mview_path(cdir, "mv")
+    assert os.path.isdir(vp)
+    # register the replacement WITHOUT refreshing (the failure window):
+    # the old state has been moved aside, not destroyed
+    cat.catalog_register_mview(
+        cdir, "mv", "sales", ["region"], ["amt"], replace=True
+    )
+    assert not os.path.isdir(vp)
+    assert os.path.isdir(vp + "~prior"), "prior state must survive"
+    # the successful first refresh of the new definition retires it
+    cat.refresh_mview(spark, cdir, "mv")
+    assert os.path.isdir(vp)
+    assert not os.path.isdir(vp + "~prior")
+    out = _rows(execute_sql(spark, "SELECT * FROM mv", cdir))
+    assert out == _rows(
+        execute_sql(
+            spark,
+            "SELECT region, COUNT(*) AS n, SUM(amt) AS amt "
+            "FROM sales GROUP BY region",
+            cdir,
+        )
+    )

@@ -804,3 +804,39 @@ def test_optimize_zorder_statement(spark, cdir):
     execute_sql(spark, "OPTIMIZE zt ZORDER BY x, y", cdir)
     execute_sql(spark, "OPTIMIZE zt", cdir)
     assert _rows(execute_sql(spark, "SELECT * FROM zt", cdir)) == before
+
+
+def test_insert_inherits_prune_policy(spark, cdir, tmp_path):
+    """A SQL INSERT (and INSERT OVERWRITE / OR-REPLACE CTAS) on a table
+    whose layout declares stats/bloom columns must land files carrying
+    that pruning evidence — the COPY INTO / compaction contract, so
+    cron ingestion through SQL never silently degrades point lookups."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    # declared LAYOUT policy: clustered stats on k + blooms on k
+    sn.snapshot_append_clustered(df, root, ["k"])
+    sn.snapshot_append(
+        df.limit(1), root, bloom_cols=["k"], bloom_bits=1024
+    )
+    cat.catalog_register(cdir, "pol", root)
+    execute_sql(spark, "INSERT INTO pol SELECT 500, 1", cdir)
+    m = sn._read_manifest(root, sn.current_version(root))
+    prior = set(sn._read_manifest(root, 1)["files"])
+    new = [f for f in m["files"] if f not in prior]
+    assert len(new) >= 1
+    for f in new:
+        assert f in (m.get("blooms") or {}), "INSERT dropped bloom policy"
+        assert f in (m.get("stats") or {}), "INSERT dropped stats policy"
+    # INSERT OVERWRITE inherits too
+    execute_sql(spark, "INSERT OVERWRITE pol SELECT 7, 7", cdir)
+    m2 = sn._read_manifest(root, sn.current_version(root))
+    assert all(f in (m2.get("blooms") or {}) for f in m2["files"])
+    # OR REPLACE CTAS over the same root keeps the policy for columns
+    # the new content still carries
+    execute_sql(
+        spark, "CREATE OR REPLACE TABLE pol AS SELECT 9 AS k, 9 AS v", cdir
+    )
+    m3 = sn._read_manifest(root, sn.current_version(root))
+    assert all(f in (m3.get("blooms") or {}) for f in m3["files"])
