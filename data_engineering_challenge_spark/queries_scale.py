@@ -1633,6 +1633,109 @@ def q_snapshot_add_column_defaults(
 
 
 @register(
+    "snapshot_mor_evolution",
+    # Oracle: the full DML → evolve → DML replay as pure relational
+    # algebra — equality deletes, the rename, the initial default, the
+    # CDC upsert batch, and the post-evolve UPDATE each reconstructed
+    # as a CTE hop; any mislabeled or resurrected row flips the hash.
+    f"""
+WITH c AS (
+    SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+    FROM customer
+),
+v1 AS (SELECT * FROM c WHERE k % 2 = 0 AND k % 10 <> 0),
+v2 AS (SELECT k, bal AS balance, 'legacy' AS tier FROM v1),
+v3 AS (
+    SELECT * FROM v2 WHERE k % 10 <> 2
+    UNION ALL
+    SELECT k, CAST(bal * 2 AS DECIMAL(18,2)) AS balance, 'new' AS tier
+    FROM c WHERE k % 2 = 1
+),
+v4 AS (
+    SELECT k,
+           CASE WHEN tier = 'legacy' AND balance < 0
+                THEN CAST(0 AS DECIMAL(18,2)) ELSE balance END AS balance,
+           tier
+    FROM v3
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_dsum_sql('balance')} AS total_balance
+FROM v4 GROUP BY tier
+""",
+)
+def q_snapshot_mor_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR × SCHEMA EVOLUTION composed end to end — the Iceberg v2
+    posture (equality-delete lists bound to FIELD IDS) that a
+    CDC-maintained table needs to stay evolvable: (1) append, (2) MoR
+    equality DELETE, (3) `snapshot_evolve` RENAMING the delete's
+    neighbor column and ADDING one with an initial default — accepted
+    WITH the live delete list, which gets its key_ids stamped, (4) a
+    post-evolve `snapshot_mor_merge` CDC batch (inserts + deletes
+    under the NEW names), (5) a post-evolve `snapshot_update_where`.
+    The final MoR read applies delete lists from BOTH schema epochs
+    against one logical schema — pre-rename lists resolve through
+    field ids.  Before round 10 step (3) refused outright
+    (`_refuse_mor_on_evolved`); the reference's SQLite analog never
+    refuses a new column (db_operations.py:59-69).  Build cached per
+    (query, sf_dir)."""
+    import tempfile
+
+    from .sources import snapshots as sn
+
+    key = ("snapshot_mor_evolution", sf_dir)
+    out = _ORC_OUT_CACHE.get(key)
+    if out is None:
+        c = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+        root = tempfile.mkdtemp(prefix="snap_morev_") + "/tbl"
+        sn.snapshot_append(c.filter(F.col("k") % 2 == 0), root)
+        sn.snapshot_delete_where(spark, root, "k % 10 = 0", keys=["k"])
+        sn.snapshot_evolve(
+            root,
+            renames={"bal": "balance"},
+            adds={"tier": ("string", "legacy")},
+        )
+        batch = (
+            c.filter(F.col("k") % 2 == 1)
+            .select(
+                "k",
+                (F.col("bal") * 2).cast("decimal(18,2)").alias("balance"),
+                F.lit("new").alias("tier"),
+                F.lit("U").alias("_op"),
+            )
+            .unionByName(
+                c.filter(
+                    (F.col("k") % 2 == 0) & (F.col("k") % 10 == 2)
+                ).select(
+                    "k",
+                    F.lit(None).cast("decimal(18,2)").alias("balance"),
+                    F.lit(None).cast("string").alias("tier"),
+                    F.lit("D").alias("_op"),
+                )
+            )
+        )
+        sn.snapshot_mor_merge(spark, root, batch, keys=["k"])
+        sn.snapshot_update_where(
+            spark,
+            root,
+            "tier = 'legacy' AND balance < 0",
+            {"balance": "0"},
+            keys=["k"],
+        )
+        out = _ORC_OUT_CACHE[key] = root
+    return (
+        sn.read_snapshot_mor(spark, out)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("balance").alias("total_balance"),
+        )
+    )
+
+
+@register(
     "snapshot_copy_into_ingest",
     # Oracle: the landing slice aggregated ONCE — if the second COPY
     # INTO run were not a no-op, the count and sum would double and the

@@ -463,6 +463,7 @@ class SnapshotBatchReader(DataSourceReader):
         self.files = list(m["files"])
         # stashed for pushFilters: the manifest walk already happened
         self.stats_ = dict(m.get("stats") or {})
+        self.blooms_ = dict(m.get("blooms") or {})
 
     def partitions(self):
         return [
@@ -507,7 +508,8 @@ class PushdownSnapshotBatchReader(SnapshotBatchReader):
         )
 
         stats = self.stats_
-        if not stats:
+        blooms = self.blooms_
+        if not stats and not blooms:
             return filters
 
         def _key(v):
@@ -580,14 +582,46 @@ class PushdownSnapshotBatchReader(SnapshotBatchReader):
             and len(f.attribute) == 1
             and (not isinstance(f, In) or f.value)
         ]
+        def _bloom_admits(f: str, flt) -> bool:
+            """BLOOM probe for equality filters — the skip that works
+            on hash-scattered keys where min/max spans the domain.  A
+            file without a bloom for the column makes no claims; a
+            miss is proof of absence (`snapshots._bloom_maybe_contains`
+            is the same probe `read_snapshot_pruned(point_eq=)` runs).
+            NULL-safe: blooms never claim about NULL (an equality
+            filter can't match NULL anyway)."""
+            if not isinstance(flt, (EqualTo, In)):
+                return True
+            bloom = (blooms.get(f) or {}).get(flt.attribute[0])
+            if bloom is None:
+                return True
+            vals = flt.value if isinstance(flt, In) else [flt.value]
+
+            def _probe(v) -> bool:
+                # the hash contract covers int/string columns only —
+                # any other literal form makes NO claim (a str() drift,
+                # e.g. float 5.0 vs long 5, must never fake a miss)
+                if (
+                    v is None
+                    or isinstance(v, bool)
+                    or not isinstance(v, (int, str))
+                ):
+                    return True
+                return sn._bloom_maybe_contains(bloom, v)
+
+            return any(_probe(v) for v in vals)
+
         if usable:
             self.files = [
                 f
                 for f in self.files
                 if all(
-                    (rng := (stats.get(f) or {}).get(flt.attribute[0]))
-                    is None
-                    or _admits(rng, flt)
+                    (
+                        (rng := (stats.get(f) or {}).get(flt.attribute[0]))
+                        is None
+                        or _admits(rng, flt)
+                    )
+                    and _bloom_admits(f, flt)
                     for flt in usable
                 )
             ]

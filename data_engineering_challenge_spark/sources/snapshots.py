@@ -887,14 +887,47 @@ def _commit(
             # delete files fold away
             base_entries, base_dentries = [], []
         if new_delete_files:
+            ndf = [{**d, "seq": version} for d in new_delete_files]
+            # key_ids discipline against the (possibly rebased) parent:
+            # on an evolved table every equality list must bind its key
+            # columns to field ids (rename-stable — see
+            # `_resolve_delete_keys`); the writer stamped them from its
+            # captured parent, and ids survive any concurrent rename a
+            # rebase could land on.  A concurrently DROPPED key field
+            # (or a first-evolve landing mid-write) aborts like any
+            # other stale-decision conflict.  On a NON-evolved parent
+            # the ids are meaningless and are dropped.
+            par_fields = pm_meta.get("fields")
+            if par_fields:
+                live_ids = {fl["id"] for fl in par_fields}
+                n2i = {fl["name"]: fl["id"] for fl in par_fields}
+                for d in ndf:
+                    if d.get("kind") == "position":
+                        continue
+                    ids = d.get("key_ids")
+                    if ids is None:
+                        if not all(k in n2i for k in d["keys"]):
+                            _discard_attempt()
+                            raise SnapshotConflictError(
+                                "_commit: delete keys "
+                                f"{d['keys']} are not all live columns "
+                                f"of evolved parent v{parent} — retry "
+                                "against the new head"
+                            )
+                        d["key_ids"] = [n2i[k] for k in d["keys"]]
+                    elif not set(ids) <= live_ids:
+                        _discard_attempt()
+                        raise SnapshotConflictError(
+                            f"_commit: delete key field ids {ids} are "
+                            f"not all live in parent v{parent} (a "
+                            "concurrent evolve dropped a key column) — "
+                            "retry against the new head"
+                        )
+            else:
+                for d in ndf:
+                    d.pop("key_ids", None)
             dn = _write_entry(
-                root,
-                {
-                    "delete_files": [
-                        {**d, "seq": version} for d in new_delete_files
-                    ]
-                },
-                prefix="de",
+                root, {"delete_files": ndf}, prefix="de"
             )
             base_dentries = list(base_dentries) + [dn]
             attempt_written.append(dn)
@@ -1158,21 +1191,31 @@ def _commit(
     raise RuntimeError("_commit: could not claim a version (contention)")
 
 
-def _refuse_mor_on_evolved(root: str, parent: int | None, op: str) -> None:
-    """MoR delete files and logical-schema evolution are DISJOINT table
-    states by design (the sequence-rule anti-join would need per-epoch
-    physical-name handling that is not implemented): writers that add
-    delete files refuse evolved tables at WRITE time — loud and early —
-    and `snapshot_evolve` symmetrically refuses tables carrying deletes
-    (compact first).  The read path's consistency check can therefore
-    never fire on a table this module wrote."""
-    if parent is not None and _read_manifest_meta(root, parent).get("fields"):
+def _eq_key_ids(
+    root: str, parent: int | None, keys: list[str], op: str
+) -> list[int] | None:
+    """Field ids for an equality-delete key list, captured against the
+    writer's parent version — the Iceberg v2 rule that composes MoR
+    with schema evolution: a delete list is bound to FIELD IDS (stable
+    across renames), its ``keys`` recording only the file's physical
+    column names at write time.  Returns None on a non-evolved parent
+    (names are the identity there; `_commit` stamps ids if a first
+    evolve lands concurrently).  Stamping here, not only in `_commit`,
+    means a rebase onto a concurrently-RENAMED head still binds the
+    columns the writer actually evaluated."""
+    if parent is None:
+        return None
+    fields = _read_manifest_meta(root, parent).get("fields")
+    if not fields:
+        return None
+    n2i = {fl["name"]: fl["id"] for fl in fields}
+    missing = [k for k in keys if k not in n2i]
+    if missing:
         raise ValueError(
-            f"{op}: table at {root} has a logical schema "
-            "(snapshot_evolve) — MoR delete commits are not supported "
-            "on evolved tables; use the copy-on-write "
-            "snapshot_merge_keys instead"
+            f"{op}: delete keys {missing} are not columns of the "
+            f"evolved table at {root}"
         )
+    return [n2i[k] for k in keys]
 
 
 class SnapshotConflictError(RuntimeError):
@@ -1611,6 +1654,7 @@ def _read_files_logical(
     m: dict,
     files: list[str],
     merge_schema: bool = False,
+    _coords: list[tuple] | None = None,
 ) -> DataFrame:
     """Scan ``files`` under manifest ``m``'s schema rules.  Without a
     recorded logical schema this is ONE parquet scan of exactly those
@@ -1620,7 +1664,13 @@ def _read_files_logical(
     physical→logical via ids, and the groups union with missing columns
     as NULL; output column order is the logical field order.  A file a
     manifest references without a binding fails loudly (corrupt
-    metadata must never silently misname a column)."""
+    metadata must never silently misname a column).
+
+    ``_coords`` (internal, the MoR composition): ``[(name, Column)]``
+    expressions — e.g. ``_metadata``-derived file/row coordinates —
+    evaluated INSIDE each group's own scan relation (``_metadata``
+    resolves only there, never after a union/join) and appended to the
+    output after the logical columns."""
     from pyspark.sql import functions as F
 
     fields = m.get("fields")
@@ -1628,7 +1678,10 @@ def _read_files_logical(
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", True)
-        return reader.parquet(*[os.path.join(root, f) for f in files])
+        out = reader.parquet(*[os.path.join(root, f) for f in files])
+        for n, c in _coords or []:
+            out = out.withColumn(n, c)
+        return out
     if not files:
         # schema-only empty frame in logical order is not derivable
         # without reading a file; callers never hit this (they guard)
@@ -1687,13 +1740,15 @@ def _read_files_logical(
                 cols.append(
                     F.lit(dv).cast(fl["type"]).alias(fl["name"])
                 )
+        cols.extend(c.alias(n) for n, c in _coords or [])
         parts.append(gdf.select(*cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     have = set(out.columns)
     return out.select(
-        *[fl["name"] for fl in fields if fl["name"] in have]
+        *[fl["name"] for fl in fields if fl["name"] in have],
+        *[n for n, _ in _coords or []],
     )
 
 
@@ -2441,11 +2496,32 @@ def snapshot_compact(
                 dstats = _file_stats(dpath, list(d["keys"]))
                 if dstats and _has_null_values(dpath, list(d["keys"])):
                     dstats = None
+                if dstats and m.get("fields"):
+                    # evolved table: compare by FIELD ID, never by name
+                    # — a rename-recycled name must not alias another
+                    # column's stats into a wrong skip (rows the delete
+                    # kills would resurrect after compaction dropped it)
+                    ids = d.get("key_ids")
+                    dstats = (
+                        {
+                            i: dstats[k]
+                            for k, i in zip(d["keys"], ids)
+                            if k in dstats
+                        }
+                        if ids
+                        else None  # unresolvable list — conservative
+                    )
                 eq_dels.append((int(d["seq"]), dstats or None))
         pos_depths = {depth for depth, _ in pos_named}
+        ffields_m = m.get("file_fields") or {}
 
         def eq_affected(f: str) -> bool:
             fs = (mstats.get(f) or {})
+            if m.get("fields"):
+                binding = ffields_m.get(f) or {}
+                fs = {
+                    binding[p]: r for p, r in fs.items() if p in binding
+                }
             for seq, dstats in eq_dels:
                 if int(fseq.get(f, 0)) >= seq:
                     continue  # sequence rule: delete can't touch f
@@ -2641,8 +2717,12 @@ def snapshot_evolve(
 
     First evolution BOOTSTRAPS the schema from the parquet footers of
     the current version's files (names only — no data pages read).
-    Refuses tables carrying MoR delete files (compact first — see
-    `_refuse_mor_on_evolved` for why the states are kept disjoint).
+    COMPOSES WITH MoR (Iceberg v2 spec §'equality delete files'):
+    tables carrying delete lists evolve freely — the lists are bound
+    to FIELD IDS (stamped here on first evolution, by the writers
+    afterwards), so a rename never detaches a delete from its key
+    column; only DROPPING a live delete-key column refuses (compact
+    first — the lists would become unresolvable).
     SERIALIZABLE: computed against one head; a concurrent commit aborts
     the claim and the evolution re-derives against the new head."""
     renames = dict(renames or {})
@@ -2713,12 +2793,6 @@ def snapshot_evolve(
         if parent is None:
             raise FileNotFoundError(f"snapshot_evolve: no table at {root}")
         m = _read_manifest(root, parent)
-        if m.get("delete_files"):
-            raise ValueError(
-                "snapshot_evolve: table carries MoR delete files — run "
-                "snapshot_compact first (evolution and delete files are "
-                "disjoint states by design)"
-            )
         fields = [dict(x) for x in m.get("fields") or []]
         ffields = {f: dict(v) for f, v in (m.get("file_fields") or {}).items()}
         if not fields:
@@ -2740,6 +2814,27 @@ def snapshot_evolve(
                 {"id": i, "name": c} for c, i in name_to_id.items()
             ]
         by_name = {x["name"]: x for x in fields}
+        # MoR × evolution (the Iceberg v2 composition): equality-delete
+        # lists bind to FIELD IDS, so renames never detach a delete
+        # from its key column.  A first evolution stamps ``key_ids``
+        # onto every pre-existing list here (names → ids under the
+        # PRE-rename schema — exactly the names the lists were written
+        # under); the MoR writers stamp their own lists from then on.
+        dels = [dict(d) for d in m.get("delete_files") or []]
+        dels_changed = False
+        pre_n2i = {x["name"]: x["id"] for x in fields}
+        for d in dels:
+            if d.get("kind") == "position" or d.get("key_ids"):
+                continue
+            missing = [k for k in d["keys"] if k not in pre_n2i]
+            if missing:
+                raise ValueError(
+                    f"snapshot_evolve: delete list {d['file']} keys on "
+                    f"{missing}, not in the table's logical schema — "
+                    "run snapshot_compact first (inconsistent metadata)"
+                )
+            d["key_ids"] = [pre_n2i[k] for k in d["keys"]]
+            dels_changed = True
         # collision checks are CASE-INSENSITIVE: Spark resolves column
         # names case-insensitively by default, so committing both `k`
         # and `K` would make every read fail AMBIGUOUS_REFERENCE
@@ -2764,6 +2859,24 @@ def snapshot_evolve(
             low.pop(c.lower(), None)
         if not fields:
             raise ValueError("snapshot_evolve: cannot drop every column")
+        # a DROP of a live equality-delete key column would leave its
+        # lists unresolvable (and the deleted rows resurrectable) —
+        # refuse; compaction folds the deletes away first.  Checked by
+        # FIELD ID against the post-rename/drop schema, so a rename
+        # chained with a drop in one call cannot slip a key through.
+        if drops and dels:
+            live_ids = {x["id"] for x in fields}
+            for d in dels:
+                if d.get("kind") == "position":
+                    continue
+                for k, i in zip(d["keys"], d["key_ids"]):
+                    if i not in live_ids:
+                        raise ValueError(
+                            f"snapshot_evolve: dropping {k!r} (field "
+                            f"id {i}), a key of live equality-delete "
+                            f"list {d['file']} — snapshot_compact (or "
+                            "compact_delete_files) first, then drop"
+                        )
         next_id = max(
             [x["id"] for x in fields]
             + [i for mp in ffields.values() for i in mp.values()],
@@ -2858,6 +2971,22 @@ def snapshot_evolve(
                     "fields": fields,
                     "file_fields": ffields,
                     "layout": layout or None,
+                    # carry the delete lists ACROSS the evolution —
+                    # re-stamped with key_ids on a first evolve,
+                    # verbatim (seq preserved) otherwise
+                    "delete_files": dels,
+                },
+                # breadcrumb for lineage walkers (read_snapshot_cdf):
+                # an ADD-only evolution is transparent to a change
+                # feed, a rename/drop is a schema boundary the feed
+                # must split at — recorded here because a BOOTSTRAP
+                # evolve's parent has no fields to diff against
+                payload_extras={
+                    "evolve": {
+                        "renamed": len(renames),
+                        "dropped": len(drops),
+                        "added": len(adds_norm),
+                    }
                 },
             )
         except SnapshotConflictError as exc:
@@ -3549,6 +3678,9 @@ def compact_delete_files(spark: SparkSession, root: str) -> int:
             )
         m = _read_manifest(root, parent)
         deletes = m.get("delete_files") or []
+        # equality lists group by RESOLVED key names (field ids → the
+        # current logical names), so lists written before and after a
+        # rename merge into ONE list under the current names
         eq_groups: dict[tuple, list[dict]] = {}
         pos_groups: dict[int, list[dict]] = {}
         for d in deletes:
@@ -3557,7 +3689,9 @@ def compact_delete_files(spark: SparkSession, root: str) -> int:
                     int(d.get("path_depth", 3)), []
                 ).append(d)
             else:
-                eq_groups.setdefault(tuple(d["keys"]), []).append(d)
+                eq_groups.setdefault(
+                    _resolve_delete_keys(m, d), []
+                ).append(d)
         if all(len(v) <= 1 for v in eq_groups.values()) and all(
             len(v) <= 1 for v in pos_groups.values()
         ):
@@ -3579,6 +3713,16 @@ def compact_delete_files(spark: SparkSession, root: str) -> int:
                     pass  # _seq already per-row
                 else:
                     one = one.withColumn("_seq", F.lit(int(d["seq"])))
+                if tuple(d["keys"]) != key_tuple:
+                    # pre-rename list: project its physical key columns
+                    # to the current logical names before merging
+                    one = one.select(
+                        *[
+                            F.col(p).alias(lg)
+                            for p, lg in zip(d["keys"], key_tuple)
+                        ],
+                        "_seq",
+                    )
                 side = one if side is None else side.unionByName(one)
             # max sequence per key: a later delete of the same key
             # subsumes the earlier one exactly (kills strictly more)
@@ -3586,10 +3730,22 @@ def compact_delete_files(spark: SparkSession, root: str) -> int:
                 F.max("_seq").alias("_seq")
             )
             [f] = _write_files(merged.coalesce(1), root, kind="deletes")
+            # the merged list is written under the CURRENT logical
+            # names — bind it to their ids directly (never inherited:
+            # a name-fallback-resolved donor list may carry none)
+            ids = (
+                [
+                    {fl["name"]: fl["id"] for fl in m["fields"]}[k]
+                    for k in key_tuple
+                ]
+                if m.get("fields")
+                else None
+            )
             new_entries.append(
                 {
                     "file": f,
                     "keys": list(key_tuple),
+                    **({"key_ids": ids} if ids else {}),
                     "kind": "equality-multi",
                     # informational upper bound; reads use the per-row
                     # sequences, the major compact uses this max
@@ -3816,7 +3972,7 @@ def snapshot_mor_merge(
     # seen BEFORE parent — see snapshot_append's capture-order comment
     seen = set(snapshot_versions(root))
     parent = current_version(root)
-    _refuse_mor_on_evolved(root, parent, "snapshot_mor_merge")
+    key_ids = _eq_key_ids(root, parent, keys, "snapshot_mor_merge")
     # the window result feeds BOTH file writes — persist so the batch is
     # shuffled/windowed once, not once per output (O(batch) means once)
     last = last.persist()
@@ -3844,7 +4000,15 @@ def snapshot_mor_merge(
         rebase_append=True,
         operation="mor-merge",
         seen_versions=seen,
-        new_delete_files=[{"file": f, "keys": keys} for f in del_files],
+        new_file_columns=list(upserts.columns),
+        new_delete_files=[
+            {
+                "file": f,
+                "keys": keys,
+                **({"key_ids": key_ids} if key_ids else {}),
+            }
+            for f in del_files
+        ],
     )
 
 
@@ -4235,6 +4399,49 @@ def _merge_into_plan(
     )
 
 
+def _resolve_delete_keys(m: dict, d: dict) -> tuple[str, ...]:
+    """Current LOGICAL names of an equality-delete list's key columns
+    under manifest ``m``.  ``d["keys"]`` records the delete FILE's
+    physical column names (the logical names at write time);
+    ``d["key_ids"]`` (aligned, stamped by the writers and by
+    `snapshot_evolve`'s first-evolution consolidation) binds each to a
+    field id, so a later RENAME never detaches the delete from its key
+    column — the Iceberg v2 rule (spec §'equality delete files': keys
+    are field ids, names are per-file bindings).  Non-evolved tables
+    read the names as-is."""
+    fields = m.get("fields")
+    if not fields:
+        return tuple(d["keys"])
+    id_to_name = {fl["id"]: fl["name"] for fl in fields}
+    ids = d.get("key_ids")
+    if ids is None:
+        # a delete list never stamped with ids on an evolved table:
+        # only reachable through metadata written outside this module
+        # (evolve stamps every pre-existing list, writers stamp new
+        # ones).  Resolve by name when every key is still a live field
+        # name; anything else is unresolvable, and guessing could kill
+        # the WRONG rows after a rename recycled the name.
+        live = {fl["name"] for fl in fields}
+        if all(k in live for k in d["keys"]):
+            return tuple(d["keys"])
+        raise ValueError(
+            f"_resolve_delete_keys: delete list {d['file']} has no "
+            f"key_ids and its keys {d['keys']} are not all live "
+            "columns — inconsistent evolved-table metadata"
+        )
+    out = []
+    for k, i in zip(d["keys"], ids):
+        if i not in id_to_name:
+            raise ValueError(
+                f"_resolve_delete_keys: delete list {d['file']} keys "
+                f"on dropped field id {i} ({k!r} at write time) — "
+                "snapshot_evolve refuses dropping live delete-key "
+                "columns, so this manifest is inconsistent"
+            )
+        out.append(id_to_name[i])
+    return tuple(out)
+
+
 def read_snapshot_mor(
     spark: SparkSession,
     root: str,
@@ -4281,20 +4488,8 @@ def read_snapshot_mor(
         return read_snapshot(
             spark, root, v, merge_schema=merge_schema, _files=_files
         )
-    if m.get("fields"):
-        raise ValueError(
-            "read_snapshot_mor: schema-evolved tables do not support "
-            "MoR delete files — snapshot_evolve refuses tables with "
-            "deletes and the merge/delete writers refuse evolved "
-            "tables, so this manifest is inconsistent"
-        )
     scan_files = m["files"] if _files is None else _files
     fseq = m.get("file_seq") or {}
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", True)
-    data = reader.parquet(*[os.path.join(root, f) for f in scan_files])
-    out_cols = list(data.columns)
     # uuid-suffixed internal names: user columns named "_rel"/"_seq"/
     # "_pos" must never be clobbered or made ambiguous
     sfx = uuid.uuid4().hex[:8]
@@ -4329,7 +4524,10 @@ def read_snapshot_mor(
     # are grouped by the path-key depth each was WRITTEN under (legacy
     # lists predate the field and used 3 segments), and every needed
     # suffix column is materialized here — _metadata resolves only on
-    # the scan relation, never after a join
+    # the scan relation, never after a join.  Equality lists group by
+    # their RESOLVED key names (field ids → the manifest's current
+    # logical names), so lists written before and after a rename land
+    # in one group and anti-join the same logical column.
     by_keys: dict[tuple, list[dict]] = {}
     pos_by_depth: dict[int, list[dict]] = {}
     for d in deletes:
@@ -4338,15 +4536,34 @@ def read_snapshot_mor(
                 int(d.get("path_depth", 3)), []
             ).append(d)
         else:
-            by_keys.setdefault(tuple(d["keys"]), []).append(d)
+            by_keys.setdefault(_resolve_delete_keys(m, d), []).append(d)
     depth_cols = {
         depth: f"_rel{depth}_{sfx}" for depth in pos_by_depth if depth != 2
     }
-    data = data.withColumn(rel_c, suffix(2)).withColumn(
-        pos_c, F.col("_metadata.row_index")
-    )
-    for depth, cname in depth_cols.items():
-        data = data.withColumn(cname, suffix(depth))
+    coords = [
+        (rel_c, suffix(2)),
+        (pos_c, F.col("_metadata.row_index")),
+        *[(cname, suffix(depth)) for depth, cname in depth_cols.items()],
+    ]
+    if m.get("fields"):
+        # evolved table: per-epoch physical→logical projection with the
+        # coordinate columns evaluated inside each epoch's own scan
+        # relation (`_metadata` never survives a union/join)
+        data = _read_files_logical(
+            spark, root, m, scan_files,
+            merge_schema=merge_schema, _coords=coords,
+        )
+    else:
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", True)
+        data = reader.parquet(
+            *[os.path.join(root, f) for f in scan_files]
+        )
+        for n, c in coords:
+            data = data.withColumn(n, c)
+    internal = {rel_c, pos_c, *depth_cols.values()}
+    out_cols = [c for c in data.columns if c not in internal]
     data = data.join(F.broadcast(seq_map), rel_c)
     # equality deletes: group by key set (usually one); anti-join each
     # with the sequence rule (delete kills only lower-seq data)
@@ -4361,6 +4578,17 @@ def read_snapshot_mor(
                 one = one.withColumnRenamed("_seq", dseq_c)
             else:
                 one = one.withColumn(dseq_c, F.lit(int(d["seq"])))
+            if tuple(d["keys"]) != key_tuple:
+                # this list predates a rename: project its physical key
+                # columns to the current logical names (position-wise —
+                # key_ids and keys are aligned by construction)
+                one = one.select(
+                    *[
+                        F.col(p).alias(lg)
+                        for p, lg in zip(d["keys"], key_tuple)
+                    ],
+                    dseq_c,
+                )
             side = one if side is None else side.unionByName(one)
         for k in key_tuple:
             rng = (_eq_delete_ranges or {}).get(k)
@@ -4427,9 +4655,19 @@ def attach_snapshot_view(
     a concurrent commit, exactly like a reader holding a manifest.
     Re-attach to follow the head.  Returns the pinned version.
 
-    The view is lazy metadata over the manifest's file list — Catalyst
-    plans straight down to the parquet scans (pushdown/pruning intact),
-    nothing is materialized."""
+    The view is lazy metadata over the manifest's file list — nothing
+    is materialized.  SCAN PLANNING: when the session opts into Python
+    DataSource pushdown (``spark.sql.python.filterPushdown.enabled =
+    true``) and the pinned version is a plain one (no MoR delete
+    lists, no logical schema), the view routes through the
+    pushdown-enabled ``snapshot_table`` reader — a SQL ``WHERE`` then
+    prunes manifest FILES by recorded stats AND bloom filters at plan
+    time, the `read_snapshot_pruned` skip driven by the optimizer (the
+    right trade for point-lookup/selective SQL sessions; leave the
+    conf off for full-scan-dominated work, where the JVM-native
+    parquet scan path is faster).  Otherwise the view plans straight
+    down to native parquet scans with parquet ROW-GROUP pushdown —
+    correct and codegen-friendly, but every live file is opened."""
     if sum(x is not None for x in (version, asof, ref)) > 1:
         raise ValueError(
             "attach_snapshot_view: pass at most one of version/asof/ref"
@@ -4444,8 +4682,48 @@ def attach_snapshot_view(
             raise FileNotFoundError(
                 f"attach_snapshot_view: no committed version at {root}"
             )
-    read_snapshot_mor(spark, root, version).createOrReplaceTempView(name)
+    if _pushdown_attach_eligible(spark, root, version):
+        from .snapshot_source import register_snapshot_source
+
+        register_snapshot_source(spark)
+        (
+            spark.read.format("snapshot_table")
+            .option("root", root)
+            .option("version", version)
+            .option("pushdown", "true")
+            .load()
+            .createOrReplaceTempView(name)
+        )
+    else:
+        read_snapshot_mor(spark, root, version).createOrReplaceTempView(
+            name
+        )
     return version
+
+
+def _pushdown_attach_eligible(
+    spark: SparkSession, root: str, version: int
+) -> bool:
+    """True when an attached SQL view can route through the
+    pushdown-enabled Python DataSource: the session set
+    ``spark.sql.python.filterPushdown.enabled`` (Spark crashes any
+    reader that merely DEFINES pushFilters while it is off, so the
+    conf doubles as the user's opt-in), and the version is a PLAIN one
+    — the DataSource scan has no MoR anti-join or field-id projection,
+    so delete-carrying and evolved versions keep the engine-merged
+    `read_snapshot_mor` path."""
+    try:
+        on = spark.conf.get(
+            "spark.sql.python.filterPushdown.enabled", "false"
+        )
+    except Exception:
+        return False
+    if (on or "").lower() != "true":
+        return False
+    m = _read_manifest(root, version)
+    return bool(m["files"]) and not m.get("delete_files") and not m.get(
+        "fields"
+    )
 
 
 def attach_snapshot_views(
@@ -4716,6 +4994,8 @@ def _commit_mor_dml(
     operation: str,
     new_files: list[str] | None = None,
     new_stats: dict | None = None,
+    key_ids: list[int] | None = None,
+    new_file_columns: list[str] | None = None,
 ) -> int | None:
     """ONE attempt of a MoR DML commit — the core shared by
     `snapshot_delete_where` and `snapshot_update_where`.  Writes ``pre``
@@ -4734,7 +5014,11 @@ def _commit_mor_dml(
     a `SnapshotConflictError` propagates to the caller's
     re-evaluate-and-retry loop."""
     if keys is not None:
-        entry = lambda f: {"file": f, "keys": keys}  # noqa: E731
+        entry = lambda f: {  # noqa: E731
+            "file": f,
+            "keys": keys,
+            **({"key_ids": key_ids} if key_ids else {}),
+        }
     else:
         entry = lambda f: {  # noqa: E731
             "file": f,
@@ -4764,6 +5048,7 @@ def _commit_mor_dml(
         rebase_append=True,
         operation=operation,
         seen_versions=seen,
+        new_file_columns=new_file_columns,
         new_delete_files=[entry(f) for f in del_files],
         conflict_mode="serialize",
     )
@@ -4815,7 +5100,11 @@ def snapshot_delete_where(
         # seen BEFORE parent — see snapshot_append's capture-order comment
         seen = set(snapshot_versions(root))
         parent = current_version(root)
-        _refuse_mor_on_evolved(root, parent, "snapshot_delete_where")
+        key_ids = (
+            _eq_key_ids(root, parent, keys, "snapshot_delete_where")
+            if keys is not None
+            else None
+        )
         if keys is not None:
             hits = (
                 read_snapshot_mor(spark, root)
@@ -4831,7 +5120,8 @@ def snapshot_delete_where(
             )
         try:
             return _commit_mor_dml(
-                root, hits, keys, parent, seen, tag, "delete-where"
+                root, hits, keys, parent, seen, tag, "delete-where",
+                key_ids=key_ids,
             )
         except SnapshotConflictError as exc:
             last_err = exc  # head moved — re-evaluate against it
@@ -4908,7 +5198,11 @@ def snapshot_update_where(
             raise FileNotFoundError(
                 f"snapshot_update_where: no committed version at {root}"
             )
-        _refuse_mor_on_evolved(root, parent, "snapshot_update_where")
+        key_ids = (
+            _eq_key_ids(root, parent, keys, "snapshot_update_where")
+            if keys is not None
+            else None
+        )
         cur = read_snapshot_mor(
             spark, root, _keep_coords=keys is None
         )
@@ -4951,6 +5245,7 @@ def snapshot_update_where(
                 return _commit_mor_dml(
                     root, pre, keys, parent, seen, tag, "update-where",
                     new_files=new_files, new_stats=new_stats,
+                    key_ids=key_ids, new_file_columns=cols,
                 )
             except SnapshotConflictError as exc:
                 last_err = exc  # head moved — re-evaluate against it
@@ -5996,8 +6291,14 @@ def read_snapshot_cdf(
     without changing row content — they emit nothing.  Hops that
     REMOVE data files or delete entries (overwrite, restore, major
     compaction) are not expressible as row changes: fail loudly and
-    let the caller diff time-traveled MoR reads.  Schema-evolved
-    lineages are refused (renames would mislabel raw-file reads).
+    let the caller diff time-traveled MoR reads.  Schema evolution:
+    ADD-only hops are transparent (columns pad as NULL, the
+    merge-schema rule); a RENAME or DROP inside the range refuses —
+    events on the two sides would carry different names for the same
+    field — with instructions to split the range at the boundary
+    (Delta's column-mapping CDF posture).  Equality-delete events
+    resolve their key columns through field ids, so deletes recorded
+    before an OLD rename still join the current logical names.
 
     REPLAY CONTRACT: within one ``_commit_version``, apply the
     'delete' events BEFORE the 'insert' events — an upsert's
@@ -6060,12 +6361,36 @@ def read_snapshot_cdf(
     prev = m
     for cm in hops:
         v, op = int(cm["version"]), cm.get("operation")
-        if cm.get("fields") or prev.get("fields"):
-            raise ValueError(
-                f"read_snapshot_cdf: v{v} is schema-evolved — renames "
-                "would mislabel raw-file reads; read each epoch via "
-                "read_snapshot_changes under its own schema"
-            )
+        # schema evolution across the range: ADD-only hops are
+        # transparent (missing columns pad as NULL, exactly the
+        # merge-schema batch read); a RENAME or DROP inside the range
+        # is a schema boundary — events before and after it would
+        # carry different column names for the same field, so the
+        # caller must split the range at the boundary (Delta CDF's
+        # column-mapping posture).  Both manifests carrying fields
+        # diff exactly by (id, name) pairs; a BOOTSTRAP evolve hop has
+        # no parent fields to diff, so the evolve breadcrumb decides
+        # (no breadcrumb = a pre-composition commit: conservative).
+        pf, cf = prev.get("fields"), cm.get("fields")
+        if (cf or None) != (pf or None):
+            if pf and cf:
+                additive = {(x["id"], x["name"]) for x in pf} <= {
+                    (x["id"], x["name"]) for x in cf
+                }
+            elif pf and not cf:
+                additive = False  # fields vanished (restore-like hop)
+            else:
+                ev = cm.get("evolve")
+                additive = ev is not None and not (
+                    ev.get("renamed") or ev.get("dropped")
+                )
+            if not additive:
+                raise ValueError(
+                    f"read_snapshot_cdf: v{v} renames or drops columns "
+                    "— events across the boundary would mislabel the "
+                    "same field; split the range at this version and "
+                    "read each side under its own schema"
+                )
         if op == "compact-deletes":
             # delete LISTS rewritten, row content identical — no events
             if set(cm["files"]) != set(prev["files"]):
@@ -6116,7 +6441,9 @@ def read_snapshot_cdf(
                     "commit — inconsistent manifest"
                 )
             else:
-                eq_by_keys.setdefault(tuple(d["keys"]), []).append(d)
+                eq_by_keys.setdefault(
+                    _resolve_delete_keys(cm, d), []
+                ).append(d)
         # the UNPRUNED as-of-parent read, built lazily and shared by
         # every key set the stats cannot bound
         pre_all: DataFrame | None = None
@@ -6141,34 +6468,68 @@ def read_snapshot_cdf(
             rng: dict[str, list] | None = {}
             for d in dels:
                 p = os.path.join(root, d["file"])
+                phys = list(d["keys"])  # the FILE's own column names
                 one = spark.read.parquet(p)
+                if tuple(phys) != key_tuple:
+                    # a list that predates a rename: project to the
+                    # hop's logical names (positional, like the MoR read)
+                    one = one.select(
+                        *[
+                            F.col(pk).alias(lg)
+                            for pk, lg in zip(phys, key_tuple)
+                        ]
+                    )
                 side = one if side is None else side.unionByName(one)
                 if rng is None:
                     continue
                 if _pq.read_metadata(p).num_rows == 0:
                     continue  # an empty part-file claims no keys
-                if _has_null_values(p, list(key_tuple)):
+                if _has_null_values(p, phys):
                     rng = None
                     continue
-                st = _file_stats(p, list(key_tuple))
+                st = _file_stats(p, phys)
                 if not st:
                     rng = None
                     continue
-                for c, (klo, khi) in st.items():
-                    cur_r = rng.get(c)
-                    rng[c] = (
+                for pk, lg in zip(phys, key_tuple):
+                    if pk not in st:
+                        continue
+                    klo, khi = st[pk]
+                    cur_r = rng.get(lg)
+                    rng[lg] = (
                         [klo, khi]
                         if cur_r is None
                         else [min(cur_r[0], klo), max(cur_r[1], khi)]
                     )
             side = side.dropDuplicates(list(key_tuple))
             if rng and pstats:
+                # data-file stats are keyed by each file's PHYSICAL
+                # names — translate the logical range column through
+                # the field-id binding per file (the read_snapshot_pruned
+                # rule), so a recycled name can never alias another
+                # column's stats into a wrong skip of pre-image files
+                pfields = prev.get("fields")
+                pn2i = {x["name"]: x["id"] for x in pfields or []}
+                pff = prev.get("file_fields") or {}
+
+                def _sk(f: str, logical: str) -> str | None:
+                    if not pfields:
+                        return logical
+                    fid = pn2i.get(logical)
+                    if fid is None:
+                        return None
+                    for phys, i in (pff.get(f) or {}).items():
+                        if i == fid:
+                            return phys
+                    return None
+
                 keep = []
                 for f in prev["files"]:
                     fst = pstats.get(f) or {}
                     ok = True
                     for c, (klo, khi) in rng.items():
-                        r2 = fst.get(c)
+                        sk = _sk(f, c)
+                        r2 = fst.get(sk) if sk is not None else None
                         # a file without recorded stats makes no claims
                         if r2 is not None and (r2[0] > khi or r2[1] < klo):
                             ok = False

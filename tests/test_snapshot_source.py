@@ -919,3 +919,89 @@ def test_batch_pushdown_prunes_files_and_stays_correct(spark, tmp_path):
         assert r.filter("k = 5 AND v = 10").count() == 1
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_pushdown_bloom_prunes_point_lookups(spark, tmp_path):
+    """pushFilters composes BLOOM probes with stats (round 10): an
+    EqualTo/In on a hash-scattered bloom'd column skips files min/max
+    cannot (every file's range spans the domain); a miss is proof of
+    absence; non-canonical literal forms make no claims."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    from data_engineering_challenge_spark.sources.snapshot_source import (
+        PushdownSnapshotBatchReader,
+    )
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "tbl")
+    # hash-scattered key: every file's [min, max] spans the domain
+    df = spark.range(4000).select(
+        F.xxhash64("id").alias("k"), F.col("id").alias("v")
+    ).repartition(8)
+    sn.snapshot_append(
+        df, root, stats_cols=["k"], bloom_cols=["k"], bloom_bits=65536
+    )
+    schema = sn.read_snapshot(spark, root).schema
+    present = [r["k"] for r in sn.read_snapshot(spark, root).limit(3).collect()]
+    # present key: ~1 file admitted (its own + ~1% fp), never 0
+    rd = PushdownSnapshotBatchReader(root, schema)
+    rd.pushFilters([EqualTo(("k",), int(present[0]))])
+    assert 1 <= len(rd.files) <= 3, len(rd.files)
+    # absent key: bloom proves absence in (almost) every file
+    rd2 = PushdownSnapshotBatchReader(root, schema)
+    rd2.pushFilters([EqualTo(("k",), 1)])  # xxhash64 never tiny here
+    assert len(rd2.files) <= 1, len(rd2.files)
+    # In: union of the values' admissions
+    rd3 = PushdownSnapshotBatchReader(root, schema)
+    rd3.pushFilters([In(("k",), (int(present[0]), int(present[1])))])
+    assert 1 <= len(rd3.files) <= 4
+    # a literal outside the hash contract (float) makes NO claims
+    rd4 = PushdownSnapshotBatchReader(root, schema)
+    rd4.pushFilters([EqualTo(("k",), 1.5)])
+    assert len(rd4.files) == 8
+    # end to end: answers identical with pruning engaged
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    r = (
+        spark.read.format("snapshot_table")
+        .option("root", root).option("pushdown", "true").load()
+    )
+    got = r.filter(F.col("k") == int(present[0])).count()
+    assert got >= 1
+
+
+def test_attach_routes_through_pushdown_reader(spark, tmp_path):
+    """`attach_snapshot_view` (round 10): with the session pushdown
+    conf ON, a plain table's SQL view plans through the pushdown
+    DataSource (manifest file pruning from plain SQL WHERE); MoR
+    delete-carrying and evolved versions keep the engine-merged path;
+    answers identical either way."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    sn.snapshot_append_clustered(df, root, ["k"], n_files=8)
+
+    def _plan(sql):
+        return spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+
+    q = "SELECT k, v FROM pd_t WHERE k = 500"
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        sn.attach_snapshot_view(spark, "pd_t", root)
+        assert "Scan parquet" in _plan(q)
+        assert [tuple(r) for r in spark.sql(q).collect()] == [(500, 1000)]
+
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        sn.attach_snapshot_view(spark, "pd_t", root)
+        plan = _plan(q)
+        assert "PythonScan" in plan or "BatchScan" in plan, plan
+        assert [tuple(r) for r in spark.sql(q).collect()] == [(500, 1000)]
+
+        # a delete-carrying version falls back to the MoR path
+        sn.snapshot_delete_where(spark, root, "k = 500", keys=["k"])
+        sn.attach_snapshot_view(spark, "pd_t", root)
+        assert "Scan parquet" in _plan(q)
+        assert spark.sql(q).count() == 0
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)

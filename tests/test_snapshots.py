@@ -1522,9 +1522,12 @@ def test_evolve_compact_and_restore_cross_schema(spark, tmp_path):
     assert sn.read_snapshot(spark, root, v3).columns == ["id", "value"]
 
 
-def test_evolve_validation_and_mor_exclusion(spark, tmp_path):
-    """Loud failures: unknown column, rename collision, evolve on a
-    table carrying MoR deletes, and MoR writers on an evolved table."""
+def test_evolve_validation_and_mor_composition(spark, tmp_path):
+    """Loud failures stay loud (unknown column, rename collision,
+    dropping a live delete-key column); the OLD mutual exclusion is
+    gone — deletes no longer block evolution and the MoR writers
+    accept evolved tables (equality-delete lists bind to field ids,
+    the Iceberg v2 composition)."""
     import pytest
 
     root = str(tmp_path / "tbl")
@@ -1535,30 +1538,38 @@ def test_evolve_validation_and_mor_exclusion(spark, tmp_path):
         sn.snapshot_evolve(root, renames={"id": "v"})
     with pytest.raises(ValueError, match="nothing to do"):
         sn.snapshot_evolve(root)
-    # deletes block evolution…
+    # deletes NO LONGER block evolution: the first evolve stamps
+    # key_ids onto the pre-existing list…
     sn.snapshot_delete_where(spark, root, "id = 0", keys=["id"])
-    with pytest.raises(ValueError, match="compact first"):
-        sn.snapshot_evolve(root, renames={"v": "value"})
-    # …compaction unblocks it…
-    sn.snapshot_compact(spark, root)
     sn.snapshot_evolve(root, renames={"v": "value"})
-    # …and the MoR writers refuse the evolved table
+    m = sn._read_manifest(root, sn.current_version(root))
+    [dl] = m["delete_files"]
+    assert dl["keys"] == ["id"] and dl.get("key_ids"), dl
+    # …the pre-evolve delete still applies, and MoR writers work on
+    # the evolved table under the NEW names
     from pyspark.sql import Row
 
-    with pytest.raises(ValueError, match="evolved"):
-        sn.snapshot_delete_where(spark, root, "id = 1", keys=["id"])
-    with pytest.raises(ValueError, match="evolved"):
-        sn.snapshot_mor_merge(
-            spark, root,
-            spark.createDataFrame([Row(id=1, value=2, _op="U")]), ["id"],
-        )
+    sn.snapshot_delete_where(spark, root, "id = 1", keys=["id"])
+    sn.snapshot_mor_merge(
+        spark, root,
+        spark.createDataFrame([Row(id=2, value=222, _op="U")]), ["id"],
+    )
+    got = {r.id: r.value for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert got[2] == 222 and 0 not in got and 1 not in got
+    # the one refusal that REMAINS: dropping a live delete-key column
+    with pytest.raises(ValueError, match="equality-delete"):
+        sn.snapshot_evolve(root, drops=["id"])
     # the CoW merge still works on the logical schema
     sn.snapshot_merge_keys(
         spark, root,
-        spark.createDataFrame([Row(id=1, value=99, _op="U")]), ["id"],
+        spark.createDataFrame([Row(id=3, value=99, _op="U")]), ["id"],
     )
-    got = {r.id: r.value for r in sn.read_snapshot(spark, root).collect()}
-    assert got[1] == 99 and 0 not in got
+    got = {r.id: r.value for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert got[3] == 99
+    # compaction folds any remaining deletes, then the drop goes through
+    sn.snapshot_compact(spark, root)
+    sn.snapshot_evolve(root, drops=["id"])
+    assert sn.read_snapshot(spark, root).columns == ["value"]
 
 
 # --------------------------------------------------------------------------
