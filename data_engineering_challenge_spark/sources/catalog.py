@@ -438,11 +438,23 @@ def refresh_mview(
             "plain view instead"
         )
     vp = _mview_path(catalog_dir, name)
+    cur_sig = _mview_state_sig(vp)
+    if cur_sig is not None and cur_sig != _mview_def_sig(e):
+        # the materialized state was produced under a DIFFERENT
+        # definition — the orphan a replace leaves if it crashes
+        # between claiming the new entry and moving the old state
+        # aside.  Additively merging the new source's delta into the
+        # old definition's rows would silently corrupt the aggregate;
+        # drop the state and rebuild from scratch (always correct).
+        import shutil
+
+        shutil.rmtree(vp, ignore_errors=True)
     before = sn._view_processed_version(vp)
     try:
         v = sn.refresh_incremental_agg_cdf(
             spark, src["root"], vp, e["group_cols"], e["sum_cols"]
         )
+        _stamp_mview_def(vp, e)
     except (ValueError, FileNotFoundError):
         # a hop the CDF cannot express (overwrite/restore), or history
         # EXPIRED between the view's processed version and the head
@@ -455,6 +467,7 @@ def refresh_mview(
         v = sn.refresh_incremental_agg_cdf(
             spark, src["root"], vp, e["group_cols"], e["sum_cols"]
         )
+        _stamp_mview_def(vp, e)
         _retire_prior_mview(vp)
         return v, "rebuild"
     _retire_prior_mview(vp)
@@ -471,6 +484,50 @@ def _retire_prior_mview(vp: str) -> None:
     import shutil
 
     shutil.rmtree(vp + "~prior", ignore_errors=True)
+
+
+#: definition fingerprint carried INSIDE the materialized directory
+#: (underscore-prefixed: Spark's file listing skips it).  The state is
+#: only ever merged into by the definition that produced it; the
+#: fingerprint makes that checkable, so a crash-orphaned directory (a
+#: replace that died between the entry claim and moving the old state
+#: aside) is detected and rebuilt instead of silently merged into.
+_MVIEW_DEF = "_DEFINITION"
+
+
+def _mview_def_sig(e: dict) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        json.dumps(
+            [e["source"], list(e["group_cols"]), list(e["sum_cols"])]
+        ).encode()
+    ).hexdigest()
+
+
+def _mview_state_sig(vp: str) -> str | None:
+    """The fingerprint of the state on disk; None = no state, or a
+    pre-fingerprint build's state (those orderings destroyed the old
+    directory before the claim, so an orphan cannot exist — accept)."""
+    try:
+        with open(os.path.join(vp, _MVIEW_DEF)) as fh:
+            return fh.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+def _stamp_mview_def(vp: str, e: dict) -> None:
+    """(Re)write the fingerprint after a successful refresh — the
+    publish swap replaces the whole directory, so the stamp rides
+    every refresh.  Crash between swap and stamp leaves a missing
+    fingerprint, which `_mview_state_sig` accepts: the state WAS just
+    produced by this very definition."""
+    if not os.path.isdir(vp):
+        return  # "current" no-op on a never-materialized view
+    tmp = os.path.join(vp, f".{_MVIEW_DEF}.{os.getpid()}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(_mview_def_sig(e))
+    os.replace(tmp, os.path.join(vp, _MVIEW_DEF))
 
 
 def drop_mview(catalog_dir: str, name: str) -> None:

@@ -466,6 +466,12 @@ class SnapshotBatchReader(DataSourceReader):
         self.blooms_ = dict(m.get("blooms") or {})
 
     def partitions(self):
+        # partitions() runs DRIVER-side after any pushFilters pass;
+        # the reader object is then pickled per task for read() — drop
+        # the stats/bloom payloads here so executors never ship them
+        # (blooms are m/8 bytes per file·column: real weight at scale)
+        self.stats_ = {}
+        self.blooms_ = {}
         return [
             _SnapshotFilePartition(os.path.join(self.root, f))
             for f in self.files

@@ -691,6 +691,7 @@ def _commit(
     entries_from: int | None = None,
     keep_files: set | None = None,
     payload_extras: dict | None = None,
+    expected_fields: object = "UNSET",
 ) -> int:
     """Two-phase commit with OPTIMISTIC writer-writer protection:
 
@@ -887,6 +888,28 @@ def _commit(
             # delete files fold away
             base_entries, base_dentries = [], []
         if new_delete_files:
+            if expected_fields != "UNSET":
+                # a REBASING delete-carrying commit (mor_merge) must
+                # see the SAME logical schema it captured: the delete
+                # side survives a concurrent rename via key_ids, but
+                # the upsert DATA files were written under captured
+                # names — binding them against a renamed head would
+                # mint fresh field ids and FORK the column (upserted
+                # values landing beside, not inside, the renamed
+                # field).  Any fields drift → retry against the head.
+                def _pairs(fl):
+                    return {(x["id"], x["name"]) for x in fl or []}
+
+                if _pairs(pm_meta.get("fields")) != _pairs(
+                    expected_fields
+                ):
+                    _discard_attempt()
+                    raise SnapshotConflictError(
+                        f"_commit: parent v{parent}'s logical schema "
+                        "differs from the one this delete-carrying "
+                        "commit was computed against (a concurrent "
+                        "evolve landed) — retry against the new head"
+                    )
             ndf = [{**d, "seq": version} for d in new_delete_files]
             # key_ids discipline against the (possibly rebased) parent:
             # on an evolved table every equality list must bind its key
@@ -1200,9 +1223,11 @@ def _eq_key_ids(
     across renames), its ``keys`` recording only the file's physical
     column names at write time.  Returns None on a non-evolved parent
     (names are the identity there; `_commit` stamps ids if a first
-    evolve lands concurrently).  Stamping here, not only in `_commit`,
-    means a rebase onto a concurrently-RENAMED head still binds the
-    columns the writer actually evaluated."""
+    evolve lands concurrently).  A rebase onto a concurrently-EVOLVED
+    head conflict-aborts outright (`_commit`'s ``expected_fields``
+    guard): the delete side would survive a rename via these ids, but
+    the sibling DATA files were written under captured names and
+    would fork the renamed column."""
     if parent is None:
         return None
     fields = _read_manifest_meta(root, parent).get("fields")
@@ -2821,7 +2846,6 @@ def snapshot_evolve(
         # PRE-rename schema — exactly the names the lists were written
         # under); the MoR writers stamp their own lists from then on.
         dels = [dict(d) for d in m.get("delete_files") or []]
-        dels_changed = False
         pre_n2i = {x["name"]: x["id"] for x in fields}
         for d in dels:
             if d.get("kind") == "position" or d.get("key_ids"):
@@ -2834,7 +2858,6 @@ def snapshot_evolve(
                     "run snapshot_compact first (inconsistent metadata)"
                 )
             d["key_ids"] = [pre_n2i[k] for k in d["keys"]]
-            dels_changed = True
         # collision checks are CASE-INSENSITIVE: Spark resolves column
         # names case-insensitively by default, so committing both `k`
         # and `K` would make every read fail AMBIGUOUS_REFERENCE
@@ -2986,6 +3009,14 @@ def snapshot_evolve(
                         "renamed": len(renames),
                         "dropped": len(drops),
                         "added": len(adds_norm),
+                        # adds with a NON-NULL default re-value every
+                        # pre-add row — a CDF boundary (see
+                        # read_snapshot_cdf), unlike plain typed adds
+                        "added_defaults": sum(
+                            1
+                            for _t, dflt in adds_norm.values()
+                            if dflt is not None
+                        ),
                     }
                 },
             )
@@ -3713,16 +3744,7 @@ def compact_delete_files(spark: SparkSession, root: str) -> int:
                     pass  # _seq already per-row
                 else:
                     one = one.withColumn("_seq", F.lit(int(d["seq"])))
-                if tuple(d["keys"]) != key_tuple:
-                    # pre-rename list: project its physical key columns
-                    # to the current logical names before merging
-                    one = one.select(
-                        *[
-                            F.col(p).alias(lg)
-                            for p, lg in zip(d["keys"], key_tuple)
-                        ],
-                        "_seq",
-                    )
+                one = _project_delete_keys(one, d, key_tuple, keep=["_seq"])
                 side = one if side is None else side.unionByName(one)
             # max sequence per key: a later delete of the same key
             # subsumes the earlier one exactly (kills strictly more)
@@ -4001,6 +4023,11 @@ def snapshot_mor_merge(
         operation="mor-merge",
         seen_versions=seen,
         new_file_columns=list(upserts.columns),
+        expected_fields=(
+            _read_manifest_meta(root, parent).get("fields")
+            if parent is not None
+            else None
+        ),
         new_delete_files=[
             {
                 "file": f,
@@ -4442,6 +4469,24 @@ def _resolve_delete_keys(m: dict, d: dict) -> tuple[str, ...]:
     return tuple(out)
 
 
+def _project_delete_keys(df, d: dict, key_tuple, keep=()):
+    """Project a delete LIST's physical key columns to the current
+    logical names — positional: ``keys`` and ``key_ids`` are aligned
+    by construction (`_eq_key_ids` / `snapshot_evolve` stamping), and
+    ``key_tuple`` is `_resolve_delete_keys`' output for the same list.
+    ``keep`` columns (a per-row sequence) ride along.  No-op when the
+    list already carries the current names."""
+    from pyspark.sql import functions as F
+
+    phys = list(d["keys"])
+    if tuple(phys) == tuple(key_tuple):
+        return df
+    return df.select(
+        *[F.col(p).alias(lg) for p, lg in zip(phys, key_tuple)],
+        *keep,
+    )
+
+
 def read_snapshot_mor(
     spark: SparkSession,
     root: str,
@@ -4578,17 +4623,7 @@ def read_snapshot_mor(
                 one = one.withColumnRenamed("_seq", dseq_c)
             else:
                 one = one.withColumn(dseq_c, F.lit(int(d["seq"])))
-            if tuple(d["keys"]) != key_tuple:
-                # this list predates a rename: project its physical key
-                # columns to the current logical names (position-wise —
-                # key_ids and keys are aligned by construction)
-                one = one.select(
-                    *[
-                        F.col(p).alias(lg)
-                        for p, lg in zip(d["keys"], key_tuple)
-                    ],
-                    dseq_c,
-                )
+            one = _project_delete_keys(one, d, key_tuple, keep=[dseq_c])
             side = one if side is None else side.unionByName(one)
         for k in key_tuple:
             rng = (_eq_delete_ranges or {}).get(k)
@@ -5051,6 +5086,11 @@ def _commit_mor_dml(
         new_file_columns=new_file_columns,
         new_delete_files=[entry(f) for f in del_files],
         conflict_mode="serialize",
+        expected_fields=(
+            _read_manifest_meta(root, parent).get("fields")
+            if parent is not None
+            else None
+        ),
     )
 
 
@@ -6374,22 +6414,34 @@ def read_snapshot_cdf(
         pf, cf = prev.get("fields"), cm.get("fields")
         if (cf or None) != (pf or None):
             if pf and cf:
+                old_ids = {x["id"] for x in pf}
                 additive = {(x["id"], x["name"]) for x in pf} <= {
                     (x["id"], x["name"]) for x in cf
-                }
+                } and not any(
+                    # an add WITH a non-null INITIAL DEFAULT changes
+                    # the VISIBLE VALUES of every pre-add row (they
+                    # read the default from this hop on) — a change no
+                    # added-file diff can express, so it is a boundary
+                    # exactly like a rename
+                    x["id"] not in old_ids and x.get("default") is not None
+                    for x in cf
+                )
             elif pf and not cf:
                 additive = False  # fields vanished (restore-like hop)
             else:
                 ev = cm.get("evolve")
                 additive = ev is not None and not (
-                    ev.get("renamed") or ev.get("dropped")
+                    ev.get("renamed")
+                    or ev.get("dropped")
+                    or ev.get("added_defaults")
                 )
             if not additive:
                 raise ValueError(
-                    f"read_snapshot_cdf: v{v} renames or drops columns "
-                    "— events across the boundary would mislabel the "
-                    "same field; split the range at this version and "
-                    "read each side under its own schema"
+                    f"read_snapshot_cdf: v{v} renames, drops, or adds "
+                    "a defaulted column — events across the boundary "
+                    "would mislabel or silently re-value rows; split "
+                    "the range at this version and read each side "
+                    "under its own schema"
                 )
         if op == "compact-deletes":
             # delete LISTS rewritten, row content identical — no events
@@ -6469,16 +6521,9 @@ def read_snapshot_cdf(
             for d in dels:
                 p = os.path.join(root, d["file"])
                 phys = list(d["keys"])  # the FILE's own column names
-                one = spark.read.parquet(p)
-                if tuple(phys) != key_tuple:
-                    # a list that predates a rename: project to the
-                    # hop's logical names (positional, like the MoR read)
-                    one = one.select(
-                        *[
-                            F.col(pk).alias(lg)
-                            for pk, lg in zip(phys, key_tuple)
-                        ]
-                    )
+                one = _project_delete_keys(
+                    spark.read.parquet(p), d, key_tuple
+                )
                 side = one if side is None else side.unionByName(one)
                 if rng is None:
                     continue

@@ -184,7 +184,7 @@ def test_cdf_add_only_transparent_rename_splits(spark, tmp_path):
     sn.snapshot_delete_where(spark, root, "k = 1", keys=["k"])      # v1
     sn.snapshot_evolve(root, renames={"k": "key"})                  # v2
     sn.snapshot_delete_where(spark, root, "key = 2", keys=["key"])  # v3
-    sn.snapshot_evolve(root, adds={"w": ("long", 7)})               # v4 add-only
+    sn.snapshot_evolve(root, adds={"w": "long"})                    # v4 add-only
     sn.snapshot_append(
         spark.createDataFrame([(50, 500, 5)], "key long, v long, w long"),
         root,
@@ -278,3 +278,119 @@ def test_sql_alter_on_mor_table(spark, tmp_path):
     assert s == sum(i * 10 for i in range(10)) - 10 + 1
     root = cat.catalog_entries(cdir)["acct"]["root"]
     assert sn._read_manifest(root, sn.current_version(root))["delete_files"]
+
+
+def test_cdf_defaulted_add_is_a_boundary(spark, tmp_path):
+    """An ADD COLUMN with a NON-NULL initial default re-values every
+    pre-add row (they read the default from that hop on) — a change no
+    insert/delete event can express, so CDF ranges crossing it refuse
+    like a rename; plain typed adds stay transparent (review finding,
+    round 10)."""
+    root = str(tmp_path / "t")
+    _base(spark, root)                                       # v0
+    sn.snapshot_evolve(root, adds={"w": ("long", 7)})        # v1 default
+    sn.snapshot_append(
+        spark.createDataFrame([(50, 500, 5)], "k long, v long, w long"),
+        root,
+    )                                                        # v2
+    with pytest.raises(ValueError, match="split the range"):
+        sn.read_snapshot_cdf(spark, root, 0, 2).count()
+    # each side of the boundary reads fine
+    assert sn.read_snapshot_cdf(spark, root, 1, 2).count() == 1
+    assert sn.read_snapshot_cdf(spark, root, 0, 0).count() == 0
+
+
+def test_delete_commit_conflicts_on_concurrent_evolve(spark, tmp_path):
+    """A delete-carrying commit whose captured logical schema differs
+    from the (rebased) parent's must conflict-abort: the delete side
+    would survive a rename via key_ids, but the sibling DATA files
+    were written under captured names and would FORK the renamed
+    column (review finding, round 10)."""
+    root = str(tmp_path / "t")
+    _base(spark, root)
+    sn.snapshot_delete_where(spark, root, "k = 1", keys=["k"])
+    sn.snapshot_evolve(root, renames={"k": "key"})
+    m = sn._read_manifest(root, sn.current_version(root))
+    captured_stale = []  # a writer that captured the PRE-evolve schema
+    df = spark.createDataFrame([(2,)], "k long").coalesce(1)
+    [f] = sn._write_files(df, root, kind="deletes")
+    with pytest.raises(sn.SnapshotConflictError, match="evolve landed"):
+        sn._commit(
+            root,
+            [],
+            sn.current_version(root),
+            rebase_append=True,
+            operation="mor-merge",
+            seen_versions=set(sn.snapshot_versions(root)),
+            new_delete_files=[{"file": f, "keys": ["k"], "key_ids": [1]}],
+            expected_fields=captured_stale,
+        )
+    # matching capture commits fine
+    [f2] = sn._write_files(
+        spark.createDataFrame([(2,)], "key long").coalesce(1),
+        root, kind="deletes",
+    )
+    sn._commit(
+        root,
+        [],
+        sn.current_version(root),
+        rebase_append=True,
+        operation="mor-merge",
+        seen_versions=set(sn.snapshot_versions(root)),
+        new_delete_files=[{"file": f2, "keys": ["key"], "key_ids": [1]}],
+        expected_fields=m["fields"],
+    )
+    res = {r["key"] for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert res == set(range(10)) - {1, 2}
+
+
+def test_mview_orphaned_state_rebuilds_not_merges(spark, tmp_path):
+    """A replace that crashes between claiming the new entry and
+    moving the old state aside leaves the OLD definition's rows under
+    the NEW definition's path: the definition fingerprint inside the
+    materialized directory detects the orphan and the refresh REBUILDS
+    instead of additively merging into foreign rows (review finding,
+    round 10)."""
+    import json
+    import os
+
+    from data_engineering_challenge_spark.sources import catalog as cat
+    from data_engineering_challenge_spark.sql_exec import execute_sql
+
+    cdir = str(tmp_path / "catalog")
+    execute_sql(
+        spark,
+        "CREATE TABLE s1 AS SELECT id % 3 AS g, id AS x FROM RANGE(9)",
+        cdir,
+    )
+    execute_sql(
+        spark,
+        "CREATE TABLE s2 AS SELECT id % 3 AS g, id * 100 AS x "
+        "FROM RANGE(6)",
+        cdir,
+    )
+    cat.catalog_register_mview(cdir, "mv", "s1", ["g"], ["x"])
+    cat.refresh_mview(spark, cdir, "mv")
+    # simulate the crashed replace: repoint the ENTRY at s2 directly,
+    # leaving s1's materialized rows (and marker) in place
+    ep = os.path.join(cdir, "mv.json")
+    e = json.load(open(ep))
+    e["source"] = "s2"
+    os.remove(ep)
+    with open(ep, "w") as fh:
+        json.dump(e, fh)
+    v, mode = cat.refresh_mview(spark, cdir, "mv")
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(cat._mview_path(cdir, "mv"))
+        .select("g", "n", "x")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT id % 3 AS g, COUNT(*) AS n, SUM(id * 100) AS x "
+            "FROM RANGE(6) GROUP BY id % 3"
+        ).collect()
+    )
+    assert got == want, (got, want)
