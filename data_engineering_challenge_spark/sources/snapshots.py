@@ -390,8 +390,11 @@ def _stat_primitive(v):
 def _file_stats(path: str, cols: list[str]) -> dict:
     """Per-file [min, max] for ``cols`` from the parquet FOOTER (row-group
     statistics — no data pages read).  Values are coerced to JSON-safe
-    primitives; a column whose stats cannot be represented drops the
-    whole file's claims ({} = always read, never a wrong skip)."""
+    primitives; a column whose stats are absent or cannot be
+    represented makes NO claims for THAT column (skipped — every
+    consumer checks evidence per column, so partial stats still prune
+    on the dimensions that have them; a missing dimension means
+    always-read, never a wrong skip)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -399,15 +402,28 @@ def _file_stats(path: str, cols: list[str]) -> dict:
     out: dict = {}
     for c in cols:
         lo = hi = None
+        ok = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[c]).statistics
             if st is None or not st.has_min_max:
-                return {}  # no stats -> no pruning claims for this file
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
+                ok = False  # a stats-less row group: no claims for c
+                break
+            try:
+                # pyarrow cannot EXTRACT min/max for some physical
+                # types (e.g. fixed-len decimals): a declared stats
+                # policy on such a column degrades to always-read on
+                # that dimension instead of crashing the write
+                cmin, cmax = st.min, st.max
+            except Exception:
+                ok = False
+                break
+            lo = cmin if lo is None else min(lo, cmin)
+            hi = cmax if hi is None else max(hi, cmax)
+        if not ok:
+            continue
         lo, hi = _stat_primitive(lo), _stat_primitive(hi)
         if lo is None or hi is None:
-            return {}  # non-serializable stats -> no claims
+            continue  # non-serializable stats -> no claims for c
         out[c] = [lo, hi]
     return out
 
@@ -1784,6 +1800,8 @@ def snapshot_append_clustered(
     n_files: int = 8,
     tag: str | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
 ) -> int:
     """Append with WRITE-TIME clustering: range-repartition on
     ``cluster_cols`` and sort within each output file, so every file
@@ -1814,6 +1832,8 @@ def snapshot_append_clustered(
         root,
         tag=tag,
         stats_cols=rec,
+        bloom_cols=bloom_cols,  # composes: point-skipping on non-key cols
+        bloom_bits=bloom_bits,
         # declare the layout POLICY in the manifest so maintenance
         # (snapshot_compact) re-clusters and re-records stats instead of
         # silently discarding the pruning guarantee
@@ -1844,6 +1864,8 @@ def snapshot_append_zordered(
     bits: int = 8,
     tag: str | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
 ) -> int:
     """Append with MULTI-DIMENSIONAL clustering (Delta's ``OPTIMIZE
     ZORDER BY`` applied at write time): rows are range-partitioned and
@@ -1883,6 +1905,8 @@ def snapshot_append_zordered(
         root,
         tag=tag,
         stats_cols=rec,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
         _meta_updates={
             "layout": {
                 "zorder_cols": zorder_cols,
@@ -2134,6 +2158,8 @@ def snapshot_append_partitioned(
     stats_cols: list[str] | None = None,
     tag: str | None = None,
     sort_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
 ) -> int:
     """Append with HIDDEN PARTITIONING (Iceberg's partition-transform
     model in miniature): ``partition_transforms`` maps a partition NAME
@@ -2192,8 +2218,17 @@ def snapshot_append_partitioned(
                     f"as {expr!r} would poison recorded partition "
                     "values; use a new partition name"
                 )
+    if bloom_cols:
+        _check_bloom_cols(
+            _apply_generated_columns(df, root), bloom_cols, bloom_bits
+        )
     files, stats, pvals = _write_partitioned_files(
         df, root, partition_transforms, stats_cols, sort_cols=sort_cols
+    )
+    blooms = (
+        _file_blooms(df.sparkSession, root, files, bloom_cols, bloom_bits)
+        if bloom_cols
+        else None
     )
     seen = set(snapshot_versions(root))
     parent = current_version(root)
@@ -2203,6 +2238,7 @@ def snapshot_append_partitioned(
         parent,
         tag=tag,
         stats=stats,
+        blooms=blooms,
         rebase_append=True,
         operation="append",
         seen_versions=seen,
@@ -2215,6 +2251,11 @@ def snapshot_append_partitioned(
                 **(
                     {"stats_cols": stats_cols}
                     if sort_cols and stats_cols
+                    else {}
+                ),
+                **(
+                    {"bloom_cols": bloom_cols, "bloom_bits": bloom_bits}
+                    if bloom_cols
                     else {}
                 ),
             },

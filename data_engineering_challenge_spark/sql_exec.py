@@ -54,7 +54,11 @@ class SqlSyntaxError(ValueError):
 _GRAMMAR = """supported statements:
   SELECT ... | WITH ... | VALUES ...          (full Spark SQL, catalog names attached)
     FROM <t> VERSION AS OF <n> | VERSION AS OF '<ref>' | TIMESTAMP AS OF '<ts>'
-  CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <name> AS <query>
+  CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <name>
+    [(col type, ...)] [<layout>] [AS <query>]     -- schema XOR query
+    <layout> = [PARTITIONED BY (expr AS pname, ...)]
+               [CLUSTERED BY (col, ...) | ZORDER BY (col, ...) [BITS n]]
+               [STATS BY (col, ...)] [BLOOM BY (col, ...) [BITS n]]
   CREATE [OR REPLACE] VIEW <name> AS <query>
   CREATE [OR REPLACE] MATERIALIZED VIEW <name> AS
     SELECT <g1>, ..., COUNT(*) AS n [, SUM(<c>) AS <c>, ...]
@@ -298,7 +302,9 @@ def _attach_mview(spark: SparkSession, catalog_dir: str, name: str) -> None:
 
 
 def _type_slice(
-    cur: "_Cursor", stops: tuple[str, ...] = (",", "DEFAULT")
+    cur: "_Cursor",
+    stops: tuple[str, ...] = (",", "DEFAULT"),
+    stop_on_close: bool = False,
 ) -> str:
     """One Spark DDL TYPE: tokens up to a depth-0 stop token (ADD
     COLUMN stops at comma/DEFAULT, SET GENERATED COLUMN at AS).
@@ -306,7 +312,9 @@ def _type_slice(
     never contains comparison operators, so ``STRUCT<a:INT,b:INT>`` /
     ``MAP<STRING,INT>`` keep their inner commas (the general expression
     scanner cannot treat ``<`` as nesting without breaking WHERE
-    clauses)."""
+    clauses).  ``stop_on_close=True`` additionally stops BEFORE a
+    closing bracket that would take depth negative — the CREATE TABLE
+    column list, where the list's own ``)`` ends the last type."""
     start = cur.i
     depth = 0
     while cur.i < len(cur.toks):
@@ -316,6 +324,9 @@ def _type_slice(
         elif t in (")", "]", ">"):
             depth -= 1
             if depth < 0:
+                if stop_on_close:
+                    depth = 0
+                    break
                 cur.fail("unbalanced brackets in column type")
         elif depth == 0 and t.upper() in stops:
             break
@@ -426,6 +437,244 @@ def _table_root(catalog_dir: str, name: str) -> str:
     own ``_tables/`` area (ignored by `catalog_entries`, which only
     reads ``*.json``)."""
     return os.path.join(catalog_dir, "_tables", name)
+
+
+def _ident_list(cur: "_Cursor", what: str) -> list[str]:
+    """A parenthesized, comma-separated identifier list."""
+    if cur.peek() != "(":
+        cur.fail(f"expected ( opening the {what} list")
+    cur.i += 1
+    out: list[str] = []
+    while True:
+        out.append(cur.ident(what))
+        if cur.peek() == ",":
+            cur.i += 1
+            continue
+        break
+    if cur.peek() != ")":
+        cur.fail(f"expected ) closing the {what} list")
+    cur.i += 1
+    if len(set(out)) != len(out):
+        cur.fail(f"duplicate names in the {what} list: {out}")
+    return out
+
+
+def _layout_clauses(cur: "_Cursor") -> dict:
+    """Optional table LAYOUT clauses on CREATE TABLE / CTAS — the
+    declarative form of the writers' policies, recorded in the
+    manifest layout so every later write (SQL INSERT, COPY INTO,
+    compaction) honors them:
+
+      PARTITIONED BY (<transform expr> AS <name>, ...)  -- hidden
+          partitioning (Iceberg transforms; `snapshot_append_partitioned`)
+      CLUSTERED BY (col, ...)      -- range-clustered files (sort_cols)
+      ZORDER BY (col, ...) [BITS n]  -- Morton clustering (zorder_cols)
+      STATS BY (col, ...)          -- per-file min/max recording policy
+      BLOOM BY (col, ...) [BITS n] -- per-file bloom-filter policy
+
+    One clustering policy per table (the `_commit` rule): ZORDER
+    refuses alongside CLUSTERED or PARTITIONED."""
+    lay: dict = {}
+    while True:
+        if cur.kw("PARTITIONED", "BY"):
+            if cur.peek() != "(":
+                cur.fail("expected ( after PARTITIONED BY")
+            cur.i += 1
+            transforms: dict[str, str] = {}
+            while True:
+                expr = cur.until((("AS",),))
+                cur.expect_kw("AS")
+                pname = cur.ident("partition name")
+                if pname in transforms:
+                    cur.fail(f"duplicate partition name {pname!r}")
+                transforms[pname] = expr
+                if cur.peek() == ",":
+                    cur.i += 1
+                    continue
+                break
+            if cur.peek() != ")":
+                cur.fail("expected ) closing PARTITIONED BY")
+            cur.i += 1
+            lay["partition_transforms"] = transforms
+        elif cur.kw("CLUSTERED", "BY"):
+            lay["sort_cols"] = _ident_list(cur, "CLUSTERED BY column")
+        elif cur.kw("ZORDER", "BY"):
+            lay["zorder_cols"] = _ident_list(cur, "ZORDER BY column")
+            if cur.kw("BITS"):
+                lay["zorder_bits"] = _int_literal(cur, "ZORDER ... BITS")
+        elif cur.kw("STATS", "BY"):
+            lay["stats_cols"] = _ident_list(cur, "STATS BY column")
+        elif cur.kw("BLOOM", "BY"):
+            lay["bloom_cols"] = _ident_list(cur, "BLOOM BY column")
+            if cur.kw("BITS"):
+                lay["bloom_bits"] = _int_literal(cur, "BLOOM ... BITS")
+        else:
+            break
+    if lay.get("zorder_cols") and (
+        lay.get("sort_cols") or lay.get("partition_transforms")
+    ):
+        cur.fail(
+            "ZORDER BY cannot combine with CLUSTERED BY or PARTITIONED "
+            "BY — one clustering policy per table"
+        )
+    return lay
+
+
+def _policy_write(
+    spark: SparkSession, root: str, df: DataFrame, overwrite: bool
+) -> int:
+    """Write ``df`` honoring the table's DECLARED layout policy — the
+    routing that makes a layout declared once (CREATE TABLE clauses or
+    the first policy-carrying write) hold for every later SQL write:
+    hidden partitioning, z-order or range clustering, and stats/bloom
+    recording, each through the writer that records its pruning
+    evidence.  INSERT OVERWRITE stays a plain overwrite (it replaces
+    the whole table; stats/bloom policy still inherits, and the next
+    OPTIMIZE re-clusters) — the clustered writers are append-shaped."""
+    lay = {}
+    cur_v = sn.current_version(root)
+    if cur_v is not None:
+        lay = sn._read_manifest_meta(root, cur_v).get("layout") or {}
+    stats_cols, bloom_cols, bloom_bits = sn._inherit_prune_policy(
+        root, df.columns, None, None, 8192
+    )
+    if overwrite:
+        return sn.snapshot_overwrite(
+            df, root, stats_cols=stats_cols,
+            bloom_cols=bloom_cols, bloom_bits=bloom_bits,
+        )
+    if lay.get("partition_transforms"):
+        return sn.snapshot_append_partitioned(
+            df, root, dict(lay["partition_transforms"]),
+            stats_cols=stats_cols, sort_cols=lay.get("sort_cols"),
+            bloom_cols=bloom_cols, bloom_bits=bloom_bits,
+        )
+    if lay.get("zorder_cols"):
+        return sn.snapshot_append_zordered(
+            df, root, list(lay["zorder_cols"]),
+            bits=int(lay.get("zorder_bits") or 8),
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols, bloom_bits=bloom_bits,
+        )
+    if lay.get("sort_cols"):
+        return sn.snapshot_append_clustered(
+            df, root, list(lay["sort_cols"]), stats_cols=stats_cols,
+            bloom_cols=bloom_cols, bloom_bits=bloom_bits,
+        )
+    return sn.snapshot_append(
+        df, root, stats_cols=stats_cols,
+        bloom_cols=bloom_cols, bloom_bits=bloom_bits,
+    )
+
+
+def _validate_layout(spark: SparkSession, df: DataFrame, lay: dict) -> None:
+    """Refuse a layout declaration the table cannot honor, BEFORE any
+    state exists: every named column must be in the schema, partition
+    transforms must analyze over it, bloom columns must satisfy the
+    hash contract (int/string — `snapshots._check_bloom_cols`)."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    for key in ("sort_cols", "zorder_cols", "stats_cols", "bloom_cols"):
+        missing = [c for c in lay.get(key) or [] if c not in have]
+        if missing:
+            raise ValueError(
+                f"execute_sql(CREATE TABLE): {key.replace('_cols', '')} "
+                f"layout names columns not in the schema: {missing}"
+            )
+    for pname, expr in (lay.get("partition_transforms") or {}).items():
+        if pname in have:
+            raise ValueError(
+                f"execute_sql(CREATE TABLE): partition name {pname!r} "
+                "collides with a table column — transforms are DERIVED "
+                "metadata, pick a distinct name"
+            )
+        try:
+            df.select(F.expr(expr))
+        except Exception as exc:
+            raise ValueError(
+                f"execute_sql(CREATE TABLE): partition transform "
+                f"{pname!r} ({expr!r}) does not analyze over the "
+                f"schema — {str(exc).splitlines()[0]}"
+            ) from None
+    if lay.get("bloom_cols"):
+        sn._check_bloom_cols(
+            df, lay["bloom_cols"], int(lay.get("bloom_bits") or 8192)
+        )
+
+
+def _create_table_commit(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    lay: dict,
+    existing: dict | None,
+    cols: list | None,
+) -> int:
+    """The CREATE TABLE / CTAS commit, ONE version either way:
+
+    * explicit schema (``cols``): an empty schema-carrying file group
+      plus the layout policy in the manifest — every read works (the
+      file carries the schema) and every later write routes through
+      `_policy_write` under the declared policy;
+    * CTAS content: data pre-arranged to the declared clustering
+      (z-order Morton layout / range-cluster) inside the same
+      overwrite, stats and blooms recorded per policy — no
+      intermediate empty state a concurrent reader could observe.
+      PARTITIONED BY content lands through the partitioned writer —
+      append-shaped, so it serves fresh roots only; an OR REPLACE over
+      existing state refuses (DROP first)."""
+    transforms = lay.get("partition_transforms")
+    stats_cols = list(
+        dict.fromkeys(
+            [*(lay.get("sort_cols") or []), *(lay.get("zorder_cols") or []),
+             *(lay.get("stats_cols") or [])]
+        )
+    ) or None
+    if cols is not None:
+        return sn.snapshot_overwrite(
+            df.coalesce(1), root,
+            _meta_updates={"layout": lay} if lay else None,
+        )
+    if transforms:
+        if existing is not None:
+            raise ValueError(
+                "execute_sql(CREATE OR REPLACE TABLE): PARTITIONED BY "
+                "content cannot replace an existing lineage in one "
+                "commit — DROP TABLE first, or create empty with an "
+                "explicit column list and INSERT"
+            )
+        return sn.snapshot_append_partitioned(
+            df, root, dict(transforms),
+            stats_cols=stats_cols, sort_cols=lay.get("sort_cols"),
+            bloom_cols=lay.get("bloom_cols"),
+            bloom_bits=int(lay.get("bloom_bits") or 8192),
+        )
+    arranged = df
+    if lay.get("zorder_cols"):
+        arranged = sn._zorder_frame(
+            df, list(lay["zorder_cols"]),
+            int(lay.get("zorder_bits") or 8), 8,
+        )
+    elif lay.get("sort_cols"):
+        sc = list(lay["sort_cols"])
+        arranged = df.repartitionByRange(8, *sc).sortWithinPartitions(*sc)
+    if not lay:
+        # no declaration: a replace inherits the prior layout's
+        # stats/bloom policy, filtered to columns the content carries
+        stats_cols, bloom_cols, bloom_bits = sn._inherit_prune_policy(
+            root, df.columns, None, None, 8192
+        )
+    else:
+        bloom_cols = lay.get("bloom_cols")
+        bloom_bits = int(lay.get("bloom_bits") or 8192)
+    return sn.snapshot_overwrite(
+        arranged, root,
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
+        _meta_updates={"layout": lay} if lay else None,
+    )
 
 
 def _int_literal(cur: "_Cursor", what: str) -> int:
@@ -1133,8 +1382,46 @@ def execute_sql(
                 catalog_dir, name, dst, replace=existing is not None
             )
             return v
-        cur.expect_kw("AS")
-        body = cur.until(((";",),))
+        # ---- CREATE TABLE <name> (col type, ...) [layout]  (r10) ----
+        # explicit-schema empty-table creation — the first statement
+        # most SQL users write — with the layout policy declared where
+        # it belongs (the reference gets implicit schemas for free
+        # from SQLite, db_operations.py:46-57; here the declaration
+        # additionally carries the at-scale pruning policy)
+        cols: list[tuple[str, str]] | None = None
+        if cur.peek() == "(":
+            cur.i += 1
+            cols = []
+            while True:
+                cname = cur.ident("column name")
+                typ = _type_slice(cur, stops=(",",), stop_on_close=True)
+                if typ.upper().endswith("NOT NULL"):
+                    cur.fail(
+                        "NOT NULL is not supported — columns are "
+                        "nullable (enforce with ADD CONSTRAINT ... "
+                        "CHECK instead)"
+                    )
+                if cname.lower() in {c.lower() for c, _t in cols}:
+                    cur.fail(f"duplicate column {cname!r}")
+                cols.append((cname, typ))
+                if cur.peek() == ",":
+                    cur.i += 1
+                    continue
+                break
+            if cur.peek() != ")":
+                cur.fail("expected ) closing the column list")
+            cur.i += 1
+        lay = _layout_clauses(cur)
+        if cols is not None and not cur.done():
+            cur.fail(
+                "an explicit column list does not combine with AS — "
+                "use CTAS (the query defines the schema) or an empty "
+                "CREATE TABLE followed by INSERT"
+            )
+        body = None
+        if cols is None:
+            cur.expect_kw("AS")
+            body = cur.until(((";",),))
         cur.expect_done()
         existing = cat.catalog_entries(catalog_dir).get(name)
         if existing is not None and existing.get("kind") == "view":
@@ -1148,7 +1435,20 @@ def execute_sql(
                 f"execute_sql: table {name!r} already exists — use "
                 f"CREATE OR REPLACE TABLE or DROP TABLE first"
             )
-        df = _run_query(spark, catalog_dir, body)
+        if cols is not None:
+            try:
+                df = spark.createDataFrame(
+                    [], schema=", ".join(f"{c} {t}" for c, t in cols)
+                )
+            except Exception as exc:
+                raise ValueError(
+                    "execute_sql(CREATE TABLE): invalid column list — "
+                    f"{str(exc).splitlines()[0]}"
+                ) from None
+        else:
+            df = _run_query(spark, catalog_dir, body)
+        if lay:
+            _validate_layout(spark, df, lay)
         if existing is not None:
             # OR REPLACE on a live entry: same pin discipline as every
             # other write — a pinned entry shares a root with the live
@@ -1159,17 +1459,7 @@ def execute_sql(
             )
         else:
             root = _table_root(catalog_dir, name)
-        # a CTAS over an existing root (OR REPLACE) inherits the prior
-        # layout's pruning policy, filtered to columns the new content
-        # carries — fresh tables have no policy yet (declare one with
-        # the layout clauses or OPTIMIZE)
-        stats_cols, bloom_cols, bloom_bits = sn._inherit_prune_policy(
-            root, df.columns, None, None, 8192
-        )
-        v = sn.snapshot_overwrite(
-            df, root, stats_cols=stats_cols,
-            bloom_cols=bloom_cols, bloom_bits=bloom_bits,
-        )
+        v = _create_table_commit(spark, root, df, lay, existing, cols)
         if existing is None:
             cat.catalog_register(catalog_dir, name, root)
         return v
@@ -1254,21 +1544,11 @@ def execute_sql(
             )
         else:
             df = _cast_to_table(spark, root, df, "execute_sql(INSERT)")
-        # inherit the table's declared pruning policy — a SQL INSERT on
-        # a stats/bloom-declared table must land prunable files, same
-        # contract as COPY INTO and compaction
-        stats_cols, bloom_cols, bloom_bits = sn._inherit_prune_policy(
-            root, df.columns, None, None, 8192
-        )
-        if overwrite:
-            return sn.snapshot_overwrite(
-                df, root, stats_cols=stats_cols,
-                bloom_cols=bloom_cols, bloom_bits=bloom_bits,
-            )
-        return sn.snapshot_append(
-            df, root, stats_cols=stats_cols,
-            bloom_cols=bloom_cols, bloom_bits=bloom_bits,
-        )
+        # honor the table's DECLARED layout — partitioning/clustering
+        # routes through the recording writer, stats/bloom policy
+        # inherits: a SQL INSERT must land files as prunable as COPY
+        # INTO's and compaction's
+        return _policy_write(spark, root, df, overwrite)
 
     # ---- UPDATE <name> SET ... [WHERE ...] ----
     if cur.kw("UPDATE"):

@@ -840,3 +840,117 @@ def test_insert_inherits_prune_policy(spark, cdir, tmp_path):
     )
     m3 = sn._read_manifest(root, sn.current_version(root))
     assert all(f in (m3.get("blooms") or {}) for f in m3["files"])
+
+
+def test_create_table_explicit_schema_and_layout(spark, cdir, tmp_path):
+    """CREATE TABLE (col type, ...) with layout clauses (round 10):
+    the empty table carries its declared schema and policy; every
+    later INSERT routes through the declared layout's writer."""
+    execute_sql(
+        spark,
+        "CREATE TABLE m (k BIGINT, v DECIMAL(10,2), tag STRING) "
+        "CLUSTERED BY (k) STATS BY (v) BLOOM BY (tag) BITS 4096",
+        cdir,
+    )
+    out = execute_sql(spark, "SELECT * FROM m", cdir)
+    assert out.columns == ["k", "v", "tag"] and out.count() == 0
+    root = cat.catalog_entries(cdir)["m"]["root"]
+    lay = sn._read_manifest_meta(root, 0)["layout"]
+    assert lay["sort_cols"] == ["k"] and lay["bloom_cols"] == ["tag"]
+    assert lay["bloom_bits"] == 4096
+    execute_sql(
+        spark,
+        "INSERT INTO m SELECT id, CAST(id AS DECIMAL(10,2)), "
+        "CONCAT('t', id) FROM RANGE(100)",
+        cdir,
+    )
+    m = sn._read_manifest(root, sn.current_version(root))
+    st, bl = m.get("stats") or {}, m.get("blooms") or {}
+    new = [f for f in m["files"] if (st.get(f) or {}).get("k")]
+    assert new, "clustered INSERT must record cluster-key stats"
+    assert all("tag" in (bl.get(f) or {}) for f in new), (
+        "declared bloom policy must land with the INSERT"
+    )
+    got = sn.read_snapshot_pruned(spark, root, ranges={"k": (5, 5)})
+    assert [r["k"] for r in got.collect()] == [5]
+    got = sn.read_snapshot_pruned(spark, root, point_eq={"tag": "t7"})
+    assert [r["k"] for r in got.collect()] == [7]
+
+
+def test_ctas_with_layout_is_one_commit(spark, cdir):
+    """CTAS + ZORDER/BLOOM arranges the content INSIDE one overwrite —
+    no intermediate empty state a concurrent reader could observe."""
+    execute_sql(
+        spark,
+        "CREATE TABLE z ZORDER BY (a, b) BITS 6 BLOOM BY (a) AS "
+        "SELECT id % 50 AS a, CAST(id / 50 AS BIGINT) AS b, "
+        "id AS payload FROM RANGE(2500)",
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["z"]["root"]
+    assert sn.snapshot_versions(root) == [0], "exactly one commit"
+    lay = sn._read_manifest_meta(root, 0)["layout"]
+    assert lay["zorder_cols"] == ["a", "b"] and lay["zorder_bits"] == 6
+    m = sn._read_manifest(root, 0)
+    assert all(f in (m.get("blooms") or {}) for f in m["files"])
+    out = execute_sql(
+        spark, "SELECT COUNT(*) AS n FROM z WHERE a = 7", cdir
+    )
+    assert out.first()["n"] == 50
+
+
+def test_ctas_partitioned_and_insert_routing(spark, cdir):
+    execute_sql(
+        spark,
+        "CREATE TABLE p PARTITIONED BY (a % 3 AS bucket) BLOOM BY (b) "
+        "AS SELECT id AS a, id * 2 AS b FROM RANGE(30)",
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["p"]["root"]
+    pv = sn._read_manifest(root, 0)["partition_values"]
+    assert len({v["bucket"] for v in pv.values()}) == 3
+    execute_sql(spark, "INSERT INTO p SELECT 100, 200", cdir)
+    m2 = sn._read_manifest(root, 1)
+    new = [f for f in m2["files"] if f not in pv]
+    assert any(
+        m2["partition_values"].get(f, {}).get("bucket") == "1" for f in new
+    )
+    assert all("b" in (m2["blooms"].get(f) or {}) for f in new)
+    got = sn.read_snapshot_pruned(
+        spark, root, partition_eq={"bucket": 1}, point_eq={"b": 200}
+    )
+    assert [(r["a"], r["b"]) for r in got.collect()] == [(100, 200)]
+
+
+def test_create_table_layout_refusals(spark, cdir):
+    cases = [
+        ("CREATE TABLE b1 (k BIGINT) ZORDER BY (nope)", "not in the schema"),
+        (
+            "CREATE TABLE b2 (k BIGINT) CLUSTERED BY (k) ZORDER BY (k)",
+            "one clustering policy",
+        ),
+        ("CREATE TABLE b3 (k BLOB)", "invalid column list"),
+        ("CREATE TABLE b4 (k BIGINT) AS SELECT 1", "does not combine"),
+        ("CREATE TABLE b5 (k BIGINT, K STRING)", "duplicate column"),
+        (
+            "CREATE TABLE b6 (k BIGINT) PARTITIONED BY (z + 1 AS w)",
+            "does not analyze",
+        ),
+        (
+            "CREATE TABLE b7 (k BIGINT) PARTITIONED BY (k % 2 AS k)",
+            "collides with a table column",
+        ),
+        ("CREATE TABLE b8 (k DOUBLE) BLOOM BY (k)", "bloom"),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(Exception, match=msg):
+            execute_sql(spark, sql, cdir)
+    # a partitioned CTAS cannot REPLACE an existing lineage in one commit
+    execute_sql(spark, "CREATE TABLE ok AS SELECT 1 AS a", cdir)
+    with pytest.raises(ValueError, match="DROP TABLE first"):
+        execute_sql(
+            spark,
+            "CREATE OR REPLACE TABLE ok PARTITIONED BY (a % 2 AS e) "
+            "AS SELECT 1 AS a",
+            cdir,
+        )
