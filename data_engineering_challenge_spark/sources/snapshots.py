@@ -4089,6 +4089,7 @@ def snapshot_merge_into(
     when_not_matched: tuple | None = None,
     when_not_matched_by_source: list[tuple] | None = None,
     tag: str | None = None,
+    small_target_rows: int = 100_000,
 ) -> int:
     """Full ANSI/Delta-style ``MERGE INTO`` — the general conditional
     upsert the keyed CDC merges (`snapshot_merge_keys` /
@@ -4114,6 +4115,15 @@ def snapshot_merge_into(
     * ``when_not_matched_by_source``: ordered list of ``("update",
       cond|None, {col: expr})`` / ``("delete", cond|None, None)``
       over target-only rows (conditions see ``t`` only); default keep.
+
+    PHYSICAL choice is STATS-DRIVEN (`snapshot_plan_hints` — the
+    consumption layer for manifest rowcounts and `snapshot_analyze`):
+    a target provably at or under ``small_target_rows`` skips the
+    findTouchedFiles scan and rewrites outright (one job fewer; the
+    rewrite is trivial at that size and MoR deletes fold away); larger
+    or unprovable targets take the touched-files path — O(matched
+    files), never O(table).  Pass ``small_target_rows=0`` to pin the
+    touched-files machinery regardless of size.
 
     Semantics pinned by tests: ``ON`` uses PLAIN equality — NULL keys
     never match (SQL standard; unlike the CDC merges' eqNullSafe), so
@@ -4218,9 +4228,38 @@ def snapshot_merge_into(
                 )
             keep: list[str] = []
             extra: dict = {}
+            # STATS-DRIVEN physical choice (the CBO decision
+            # `snapshot_analyze` feeds, consumed via
+            # `snapshot_plan_hints`): a provably SMALL target is
+            # cheaper to rewrite outright than to run the
+            # touched-files scan job over first — the scan is a full
+            # key-column pass whose only payoff is avoiding rewrites
+            # that are trivial here anyway.  "Provably" = the
+            # manifest's exact per-file rowcounts, or a recorded
+            # ANALYZE rowcount certified current (no row-changing
+            # commit since) — stale stats never claim smallness.
+            hints = snapshot_plan_hints(root, parent)
+            est_rows = hints["rows"]
+            if est_rows is None and hints["analyze_current"]:
+                est_rows = hints["analyzed_rows"]
+            small = est_rows is not None and est_rows <= small_target_rows
+            if small and not by_src and when_not_matched is None:
+                # the touched path's provably-nothing-to-change early
+                # exit must survive the fast path: an update/delete-only
+                # merge matching NOTHING commits NOTHING (a no-op cron
+                # must not churn versions) — one limit(1) probe, trivial
+                # on a table small enough to take this branch
+                hit = (
+                    target.select(*on)
+                    .join(source.select(*on).distinct(), on, "left_semi")
+                    .limit(1)
+                    .collect()
+                )
+                if not hit:
+                    return parent
             # the touched-files scan borrows the internal _file/_pos
             # column names — a table using them falls back to full CoW
-            if by_src or {"_file", "_pos"} & set(tcols):
+            if by_src or small or {"_file", "_pos"} & set(tcols):
                 # WHEN NOT MATCHED BY SOURCE inspects EVERY target row —
                 # nothing can ride by reference; full CoW is the
                 # semantics
@@ -4762,19 +4801,72 @@ def attach_snapshot_view(
         from .snapshot_source import register_snapshot_source
 
         register_snapshot_source(spark)
-        (
+        df = (
             spark.read.format("snapshot_table")
             .option("root", root)
             .option("version", version)
             .option("pushdown", "true")
             .load()
-            .createOrReplaceTempView(name)
         )
+        # the Python DataSource reports no sizeInBytes — a small dim
+        # table would never auto-broadcast without the hint
+        _maybe_broadcast_attach(spark, root, version, df).createOrReplaceTempView(name)
     else:
-        read_snapshot_mor(spark, root, version).createOrReplaceTempView(
-            name
-        )
+        df = read_snapshot_mor(spark, root, version)
+        m = _read_manifest(root, version)
+        if m.get("delete_files") or m.get("fields"):
+            # the engine-merged read hides the scan size behind
+            # joins/unions; the plain-parquet path needs no hint
+            # (Catalyst's own file-size estimate is already exact)
+            df = _maybe_broadcast_attach(spark, root, version, df)
+        df.createOrReplaceTempView(name)
     return version
+
+
+def _auto_broadcast_threshold(spark: SparkSession) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in BYTES (<=0 =
+    disabled); tolerates the size-suffixed forms the conf accepts."""
+    try:
+        raw = str(
+            spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        ).strip().lower()
+    except Exception:
+        return 0
+    mult = 1
+    for sfx, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if raw.endswith(sfx):
+            raw, mult = raw[: -len(sfx)], m
+            break
+    try:
+        return int(float(raw)) * mult
+    except ValueError:
+        return 0
+
+
+def _maybe_broadcast_attach(
+    spark: SparkSession, root: str, version: int, df: DataFrame
+) -> DataFrame:
+    """AUTO-BROADCAST for attached views whose size Catalyst cannot
+    estimate: when the manifest's recorded file bytes — exact and
+    never stale, `snapshot_plan_hints` — total at or below the
+    session's autoBroadcastJoinThreshold, hint the view broadcastable
+    so a join against the small table plans BroadcastHashJoin instead
+    of shuffling both sides.  This is the size-statistics consumption
+    a CBO does; MoR deletes only SHRINK the merged result, so the
+    bound stays safe.  An inapplicable hint (e.g. full outer) is
+    ignored by Catalyst, never an error."""
+    thr = _auto_broadcast_threshold(spark)
+    if thr <= 0:
+        return df
+    hints = snapshot_plan_hints(root, version)
+    b = hints["bytes"]
+    if b is not None and b <= thr:
+        from pyspark.sql import functions as F
+
+        return F.broadcast(df)
+    return df
 
 
 def _pushdown_attach_eligible(
@@ -5755,6 +5847,81 @@ def snapshot_table_stats(
         )
     ts = _read_manifest_meta(root, v).get("table_stats")
     return copy.deepcopy(ts) if ts else None
+
+
+#: commit operations that cannot change the VISIBLE ROWCOUNT — an
+#: ANALYZE rowcount stays exact across any chain of these (compaction
+#: included: it folds deletes into rewrites, visible rows unchanged;
+#: update-where replaces values 1:1; the zorder rewrite commits as
+#: "compact").  delete-where is deliberately absent: it shrinks the
+#: count, so the certification stays conservative.
+_ROW_PRESERVING_OPS = {
+    "analyze", "evolve", "set-check", "drop-check", "set-generated",
+    "drop-generated", "compact", "compact-deletes", "compact-manifests",
+    "update-where",
+}
+
+
+def snapshot_plan_hints(root: str, version: int | None = None) -> dict:
+    """Planner-facing SIZE ESTIMATES for one snapshot version — the
+    consumption layer for `snapshot_analyze`'s recorded statistics and
+    the manifest's write-time sizes, built STALE-SAFE so a physical
+    choice (broadcast side, touched-files-vs-CoW) can trust it:
+
+    * ``bytes`` / ``rows`` — exact sums of the CURRENT manifest's
+      per-file sizes/rowcounts (None when any live file predates their
+      recording).  Never stale: they ride every commit.  ``rows`` is
+      the pre-MoR-delete file total, i.e. an UPPER bound on visible
+      rows — exactly the safe direction for a smallness decision.
+    * ``analyzed_rows`` — the last ANALYZE's visible-rowcount;
+      ``analyze_current`` is True only when every commit since the
+      analyzed version is row-content-preserving (metadata, schema,
+      maintenance), so the number still describes the head EXACTLY.
+      Stale analyze output must only ever be used as a low-confidence
+      estimate, never as proof of smallness.
+
+    O(1) metadata reads plus an O(commits-since-analyze) payload walk."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot_plan_hints: no table at {root}")
+    m = _read_manifest(root, v)
+    sizes = m.get("sizes") or {}
+    rows = m.get("rows") or {}
+    files = m["files"]
+    out: dict = {
+        "bytes": (
+            sum(int(sizes[f]) for f in files)
+            if files and all(f in sizes for f in files)
+            else (0 if not files else None)
+        ),
+        "rows": (
+            sum(int(rows[f]) for f in files)
+            if files and all(f in rows for f in files)
+            else (0 if not files else None)
+        ),
+        "analyzed_rows": None,
+        "analyze_current": False,
+    }
+    ts = m.get("table_stats")
+    if ts and ts.get("rows") is not None:
+        out["analyzed_rows"] = int(ts["rows"])
+        av = ts.get("version")
+        cur: int | None = v
+        current = av is not None
+        while current and cur is not None and cur != av:
+            try:
+                meta = _read_manifest_meta(root, cur)
+            except FileNotFoundError:
+                current = False  # expired history: cannot certify
+                break
+            if meta.get("operation") not in _ROW_PRESERVING_OPS:
+                current = False
+                break
+            cur = meta.get("parent")
+            if cur is None or cur < av:
+                current = False
+        out["analyze_current"] = bool(current and cur == av)
+    return out
 
 
 def snapshot_clone(

@@ -404,8 +404,37 @@ def _rewrite_aliases(text: str, mapping: dict[str, str | None]) -> str:
 # --------------------------------------------------------------------------
 
 
-def _attach(spark: SparkSession, catalog_dir: str) -> None:
-    cat.attach_catalog(spark, catalog_dir)
+def _attach(
+    spark: SparkSession, catalog_dir: str, sql: str | None = None
+) -> None:
+    """Attach the catalog objects a statement needs — O(referenced
+    names), not O(catalog): the statement's identifier tokens are
+    intersected (case-insensitively, Spark's resolution rule) with the
+    registered names and only those attach.  `attach_catalog`'s
+    narrowing contract handles the transitive cases — a referenced
+    VIEW pulls every table and mview (its body's dependencies are not
+    parsed) plus earlier-created views.  Over-approximation is free:
+    a column name that happens to match a table name attaches one
+    extra lazy temp view.  With a thousand-table catalog this is the
+    difference between one manifest-head read per statement and a
+    thousand."""
+    if sql is None:
+        cat.attach_catalog(spark, catalog_dir)
+        return
+    entries = cat.catalog_entries(catalog_dir)
+    by_lower: dict[str, str] = {}
+    for n in entries:
+        # duplicate case-folded names cannot exist (the claim is by
+        # exact name, and Spark would refuse both as one view anyway)
+        by_lower[n.lower()] = n
+    referenced: list[str] = []
+    seen: set[str] = set()
+    for t, _lo, _hi in _tokens(sql):
+        hit = by_lower.get(t.lower())
+        if hit is not None and hit not in seen:
+            seen.add(hit)
+            referenced.append(hit)
+    cat.attach_catalog(spark, catalog_dir, names=referenced)
 
 
 def _entry(catalog_dir: str, name: str, fn: str) -> dict:
@@ -824,7 +853,7 @@ def _rewrite_time_travel(
 
 
 def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
-    _attach(spark, catalog_dir)
+    _attach(spark, catalog_dir, sql)
     return spark.sql(_rewrite_time_travel(spark, catalog_dir, sql))
 
 
@@ -923,7 +952,7 @@ def _parse_merge(cur: _Cursor, spark, catalog_dir: str):
         s_alias = None  # a sub-query has no implicit name: alias required
     else:
         src_name = cur.ident("source table name")
-        _attach(spark, catalog_dir)
+        _attach(spark, catalog_dir, src_name)
         source = spark.table(src_name)
         s_alias = src_name
     if cur.kw("AS"):

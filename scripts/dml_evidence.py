@@ -131,6 +131,10 @@ def main() -> int:
                 when_matched=[
                     ("update", None, {"o_totalprice": "s.o_totalprice"})
                 ],
+                # pin the touched-files path: this script MEASURES its
+                # economics; the small-target fast path would bypass it
+                # at the smaller scale points
+                small_target_rows=0,
             )
             merge_matched_s = time.monotonic() - t0
             merge_bytes = _tree_bytes(root) - before_m
@@ -144,6 +148,7 @@ def main() -> int:
                 ),
                 on=["o_orderkey"],
                 when_not_matched=("insert", None, "all"),
+                small_target_rows=0,
             )
             merge_insert_only_s = time.monotonic() - t0
             out["runs"].append(

@@ -668,9 +668,12 @@ def test_merge_into_rewrites_only_touched_files(spark, tmp_path):
     m0 = sn._read_manifest(root, 0)
     assert len(m0["files"]) == 8
     src = spark.createDataFrame([(3, 999, "x")], "k INT, amt INT, op STRING")
+    # small_target_rows=0: this test pins the touched-files MACHINERY,
+    # which the stats-driven small-target fast path would bypass here
     sn.snapshot_merge_into(
         spark, root, src, on=["k"],
         when_matched=[("update", None, {"amt": "s.amt"})],
+        small_target_rows=0,
     )
     m1 = sn._read_manifest(root, 1)
     kept = set(m0["files"]) & set(m1["files"])
@@ -688,6 +691,7 @@ def test_merge_into_rewrites_only_touched_files(spark, tmp_path):
         on=["k"], when_not_matched=("insert", None,
                                     {"k": "s.k", "amt": "s.amt",
                                      "seg": "'N'"}),
+        small_target_rows=0,
     )
     m2 = sn._read_manifest(root, 2)
     assert set(m1["files"]) <= set(m2["files"])
@@ -700,6 +704,7 @@ def test_merge_into_rewrites_only_touched_files(spark, tmp_path):
         ),
         on=["k"],
         when_matched=[("update", None, {"amt": "s.amt"})],
+        small_target_rows=0,
     )
     assert v == 2 and sn.current_version(root) == 2
 
@@ -722,6 +727,7 @@ def test_merge_into_touched_files_on_mor_table(spark, tmp_path):
         spark, root,
         spark.createDataFrame([Row(k=20, v=2000)]), on=["k"],
         when_matched=[("update", None, {"v": "s.v"})],
+        small_target_rows=0,
     )
     got = {r.k: r.v for r in sn.read_snapshot_mor(spark, root).collect()}
     assert 7 not in got and got[20] == 2000 and len(got) == 39

