@@ -159,7 +159,8 @@ _CHEAP_FIRST = [
     "snapshot_analyze_stats", "snapshot_zorder_rewrite",
     "snapshot_generated_columns",
     # round-10 additions, measured verify cost ascending (sf0.01)
-    "sql_pruned_lookup", "sql_ddl_layout", "snapshot_mor_evolution",
+    "sql_pruned_lookup", "snapshot_partitioned_zorder",
+    "sql_ddl_layout", "snapshot_mor_evolution",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

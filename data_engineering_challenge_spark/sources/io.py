@@ -559,22 +559,14 @@ def zorder_value(cols: list, bits: int = 8, mins=None, maxs=None):
     return z
 
 
-def zorder_frame(
-    df: DataFrame,
-    cols: list[str],
-    bits: int = 8,
-    target_files: int = 16,
-) -> DataFrame:
-    """Range-partition + sort ``df`` on the Z-order key of ``cols`` —
-    the clustering step shared by :func:`zorder_write` and the snapshot
-    format's `snapshot_append_zordered`/compaction rewrite.  Domain
-    bounds come from one tiny aggregate over ``df`` itself: bounds only
-    steer LOCALITY (pruning correctness comes from per-file stats, not
-    from the quantization), so per-batch bounds still cluster each
-    output tightly.  All-NULL columns pin to [0, 1]; degenerate
-    (min == max) domains widen by 1 to avoid a zero divisor."""
-    import uuid as _uuid
-
+def zorder_key_column(df: DataFrame, cols: list[str], bits: int = 8):
+    """The Morton key Column for ``df``'s OWN domain bounds (one tiny
+    aggregate) — the shared core of :func:`zorder_frame` and the
+    snapshot format's within-partition clustering.  Bounds only steer
+    LOCALITY (pruning correctness comes from per-file stats, not from
+    the quantization), so per-batch bounds still cluster each output
+    tightly.  All-NULL columns pin to [0, 1]; degenerate (min == max)
+    domains widen by 1 to avoid a zero divisor."""
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_lo{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"_hi{i}") for i, c in enumerate(cols)],
@@ -589,7 +581,21 @@ def zorder_frame(
             hi = lo + 1.0
         mins.append(lo)
         maxs.append(hi)
-    z = zorder_value(cols, bits=bits, mins=mins, maxs=maxs)
+    return zorder_value(cols, bits=bits, mins=mins, maxs=maxs)
+
+
+def zorder_frame(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    target_files: int = 16,
+) -> DataFrame:
+    """Range-partition + sort ``df`` on the Z-order key of ``cols`` —
+    the clustering step shared by :func:`zorder_write` and the snapshot
+    format's `snapshot_append_zordered`/compaction rewrite."""
+    import uuid as _uuid
+
+    z = zorder_key_column(df, cols, bits=bits)
     zc = f"_z_{_uuid.uuid4().hex[:8]}"  # never collide with user columns
     return (
         df.withColumn(zc, z)

@@ -983,20 +983,21 @@ def _commit(
             if k in ("layout", "fields", "checks", "table_stats", "generated"):
                 tbl_meta[k] = _merge(tbl_meta.get(k), v)
         lay = tbl_meta.get("layout") or {}
-        if lay.get("zorder_cols") and (
-            lay.get("sort_cols") or lay.get("partition_transforms")
-        ):
-            # one clustering policy per table: the writers' friendly
+        if lay.get("zorder_cols") and lay.get("sort_cols"):
+            # one FILE-ORDER policy per table: the writers' friendly
             # pre-checks are check-then-act, so two CONCURRENT first
-            # writers could merge a z-order and a sort/partition policy
-            # into one layout here — compaction would then silently
+            # writers could merge a z-order and a 1-D sort policy into
+            # one layout here — compaction would then silently
             # half-apply one of them.  The claim loop is the only place
             # the merged layout is actually known; refuse at the source.
+            # (z-order WITH partition transforms is a legal composition
+            # since round 10: the key clusters WITHIN each partition —
+            # Delta's OPTIMIZE ZORDER on a partitioned table.)
             _discard_attempt()
             raise SnapshotConflictError(
                 "_commit: merged layout declares both a z-order policy "
-                f"({lay['zorder_cols']}) and a sort/partition policy — "
-                "one clustering policy per table (a concurrent writer "
+                f"({lay['zorder_cols']}) and a 1-D sort policy — "
+                "one file-order policy per table (a concurrent writer "
                 "raced the layout declaration)"
             )
         if new_files:
@@ -1975,13 +1976,7 @@ def snapshot_rewrite_zordered(
             )
         m = _read_manifest(root, parent)
         lay = m.get("layout") or {}
-        if lay.get("partition_transforms"):
-            raise ValueError(
-                "snapshot_rewrite_zordered: table declares hidden "
-                f"partitioning on {sorted(lay['partition_transforms'])} "
-                "— z-order does not compose with the partitioned write "
-                "path"
-            )
+        transforms = lay.get("partition_transforms")
         if not m["files"]:
             return parent  # empty table — nothing to rewrite
         same_policy = (
@@ -2029,15 +2024,32 @@ def snapshot_rewrite_zordered(
             )
             if c in df.columns
         ]
-        zdf = _zorder_frame(df, zorder_cols, bits, n_out)
-        new_files, new_stats = _write_files(zdf, root, rec)
+        new_pvals: dict | None = None
+        if transforms:
+            # PARTITIONED table: z-order WITHIN each partition (Delta's
+            # OPTIMIZE ZORDER composition) — transforms and recorded
+            # partition values are preserved, so partition pruning and
+            # multi-dim range pruning compose on the rewritten files
+            new_files, new_stats, new_pvals = _write_partitioned_files(
+                df,
+                root,
+                dict(transforms),
+                rec,
+                zorder=(list(zorder_cols), int(bits)),
+                n_files=n_out,
+            )
+            out_cols = list(df.columns)
+        else:
+            zdf = _zorder_frame(df, zorder_cols, bits, n_out)
+            new_files, new_stats = _write_files(zdf, root, rec)
+            out_cols = list(zdf.columns)
         new_blooms = None
         bcols = lay.get("bloom_cols")
         if bcols:
             # the declared bloom policy survives the rewrite — a
             # bloom-less full replacement would silently defeat point
             # lookups table-wide while the manifest still claims them
-            live = [c for c in bcols if c in zdf.columns]
+            live = [c for c in bcols if c in out_cols]
             if live:
                 new_blooms = _file_blooms(
                     spark,
@@ -2056,14 +2068,19 @@ def snapshot_rewrite_zordered(
                 blooms=new_blooms,
                 seen_versions=seen,
                 conflict_mode="serialize",
-                new_file_columns=list(zdf.columns),
+                new_file_columns=out_cols,
                 meta_updates={
                     "layout": {
                         "sort_cols": None,  # replace a 1-D policy
                         "zorder_cols": list(zorder_cols),
                         "zorder_bits": bits,
                         "stats_cols": rec,
-                    }
+                    },
+                    **(
+                        {"partition_values": new_pvals}
+                        if new_pvals
+                        else {}
+                    ),
                 },
             )
         except SnapshotConflictError as exc:
@@ -2080,6 +2097,8 @@ def _write_partitioned_files(
     partition_transforms: dict[str, str],
     stats_cols: list[str] | None = None,
     sort_cols: list[str] | None = None,
+    zorder: tuple[list[str], int] | None = None,
+    n_files: int | None = None,
 ) -> tuple[list[str], dict, dict]:
     """The physical HIDDEN-PARTITIONED write shared by
     `snapshot_append_partitioned` and `snapshot_compact`'s
@@ -2087,7 +2106,15 @@ def _write_partitioned_files(
     (``partitionBy`` on temporary columns parquet drops from the data
     files), recursively list the nested output, and parse each file's
     recorded partition value back out of its path.  Returns
-    ``(files, stats, partition_values)``, all table-root-relative."""
+    ``(files, stats, partition_values)``, all table-root-relative.
+
+    ``zorder=(cols, bits)`` clusters WITHIN each partition on the
+    Morton key (Delta's OPTIMIZE ZORDER on a partitioned table):
+    with ``n_files`` the rows range-partition on (partition values,
+    key) — a big partition splits into several zorder-tight files, so
+    partition pruning COMPOSES with multi-dim range pruning; without
+    ``n_files`` the one-task-per-value convention holds and the key
+    sorts rows inside each value's single file (row-group locality)."""
     import urllib.parse
 
     from pyspark.sql import functions as F
@@ -2112,8 +2139,29 @@ def _write_partitioned_files(
     # the commit is tasks×values small files (at scale you shard a hot
     # partition by adding a bucket transform, keeping file count
     # values×buckets, never ×tasks)
-    out_df = out_df.repartition(*tmps.values())
-    if sort_cols:
+    zc = None
+    if zorder:
+        from .io import zorder_key_column
+
+        zcols, zbits = zorder
+        zc = f"_zk_{uuid.uuid4().hex[:8]}"
+        out_df = out_df.withColumn(
+            zc, zorder_key_column(out_df, list(zcols), bits=int(zbits))
+        )
+    if zc is not None and n_files:
+        # multi-file within-partition zorder: contiguous key slices per
+        # value directory (a task straddles at most two values, so file
+        # count stays ~n_files + values, never tasks×values)
+        out_df = out_df.repartitionByRange(
+            n_files, *[F.col(t) for t in tmps.values()], F.col(zc)
+        )
+    else:
+        out_df = out_df.repartition(*tmps.values())
+    if zc is not None:
+        out_df = out_df.sortWithinPartitions(
+            *[F.col(t) for t in tmps.values()], F.col(zc)
+        ).drop(zc)
+    elif sort_cols:
         out_df = out_df.sortWithinPartitions(*sort_cols)
     checks = _table_checks(root)
     out_df = _apply_check_constraints(out_df, root, checks)
@@ -2160,6 +2208,8 @@ def snapshot_append_partitioned(
     sort_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 8192,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> int:
     """Append with HIDDEN PARTITIONING (Iceberg's partition-transform
     model in miniature): ``partition_transforms`` maps a partition NAME
@@ -2195,6 +2245,7 @@ def snapshot_append_partitioned(
         if v is not None:
             return v
     parent_now = current_version(root)
+    z_within: tuple[list[str], int] | None = None
     if parent_now is not None:
         # spec evolution adds NEW names; REDEFINING an existing name
         # with a different expression would make old files' recorded
@@ -2204,10 +2255,32 @@ def snapshot_append_partitioned(
             _read_manifest_meta(root, parent_now).get("layout") or {}
         )
         if prev_layout.get("zorder_cols"):
-            raise ValueError(
-                "snapshot_append_partitioned: table already declares a "
-                f"Z-ORDER layout on {prev_layout['zorder_cols']} — one "
-                "clustering policy per table"
+            if not prev_layout.get("partition_transforms"):
+                raise ValueError(
+                    "snapshot_append_partitioned: table declares a "
+                    f"GLOBAL z-order layout on "
+                    f"{prev_layout['zorder_cols']} — partitioned "
+                    "appends do not compose with it (OPTIMIZE ZORDER "
+                    "on a partitioned table declares the "
+                    "within-partition flavor instead)"
+                )
+            if zorder_cols is not None and (
+                list(zorder_cols) != list(prev_layout["zorder_cols"])
+                or int(zorder_bits)
+                != int(prev_layout.get("zorder_bits") or 8)
+            ):
+                raise ValueError(
+                    "snapshot_append_partitioned: z-order policy is "
+                    f"already declared as {prev_layout['zorder_cols']} "
+                    "— redeclare with OPTIMIZE ZORDER (a rewrite), not "
+                    "an append"
+                )
+            # the WITHIN-PARTITION flavor (OPTIMIZE ZORDER on a
+            # partitioned table): appends keep clustering rows on the
+            # Morton key inside each partition's file
+            z_within = (
+                list(prev_layout["zorder_cols"]),
+                int(prev_layout.get("zorder_bits") or 8),
             )
         prev = prev_layout.get("partition_transforms") or {}
         for name, expr in partition_transforms.items():
@@ -2222,8 +2295,13 @@ def snapshot_append_partitioned(
         _check_bloom_cols(
             _apply_generated_columns(df, root), bloom_cols, bloom_bits
         )
+    if z_within is None and zorder_cols is not None:
+        # explicit FIRST declaration of the within-partition policy
+        # (CREATE TABLE ... PARTITIONED BY ... ZORDER BY)
+        z_within = (list(zorder_cols), int(zorder_bits))
     files, stats, pvals = _write_partitioned_files(
-        df, root, partition_transforms, stats_cols, sort_cols=sort_cols
+        df, root, partition_transforms, stats_cols,
+        sort_cols=sort_cols, zorder=z_within,
     )
     blooms = (
         _file_blooms(df.sparkSession, root, files, bloom_cols, bloom_bits)
@@ -2256,6 +2334,19 @@ def snapshot_append_partitioned(
                 **(
                     {"bloom_cols": bloom_cols, "bloom_bits": bloom_bits}
                     if bloom_cols
+                    else {}
+                ),
+                **(
+                    {
+                        "zorder_cols": list(z_within[0]),
+                        "zorder_bits": int(z_within[1]),
+                        **(
+                            {"stats_cols": stats_cols}
+                            if stats_cols
+                            else {}
+                        ),
+                    }
+                    if z_within
                     else {}
                 ),
             },
@@ -2667,13 +2758,25 @@ def snapshot_compact(
                 # maintenance: re-derive the rewritten files' partition
                 # values through the recorded transforms, so
                 # partition_eq pruning keeps skipping them (kept files
-                # carry their recorded values by reference) — ADVICE r7
+                # carry their recorded values by reference) — ADVICE r7.
+                # A within-partition z-order policy (OPTIMIZE ZORDER on
+                # a partitioned table) re-clusters the rewrite set too.
+                zw = (
+                    (
+                        list(layout["zorder_cols"]),
+                        int(layout.get("zorder_bits") or 8),
+                    )
+                    if layout.get("zorder_cols")
+                    else None
+                )
                 new_files, new_stats, new_pvals = _write_partitioned_files(
                     sub,
                     root,
                     transforms,
                     stats_cols,
                     sort_cols=sort_cols,
+                    zorder=zw,
+                    n_files=n_out if zw else None,
                 )
             else:
                 if layout.get("zorder_cols"):

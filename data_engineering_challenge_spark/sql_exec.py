@@ -539,12 +539,11 @@ def _layout_clauses(cur: "_Cursor") -> dict:
                 lay["bloom_bits"] = _int_literal(cur, "BLOOM ... BITS")
         else:
             break
-    if lay.get("zorder_cols") and (
-        lay.get("sort_cols") or lay.get("partition_transforms")
-    ):
+    if lay.get("zorder_cols") and lay.get("sort_cols"):
         cur.fail(
-            "ZORDER BY cannot combine with CLUSTERED BY or PARTITIONED "
-            "BY — one clustering policy per table"
+            "ZORDER BY cannot combine with CLUSTERED BY — one "
+            "file-order policy per table (ZORDER BY composes with "
+            "PARTITIONED BY: the key clusters within each partition)"
         )
     return lay
 
@@ -678,6 +677,8 @@ def _create_table_commit(
             stats_cols=stats_cols, sort_cols=lay.get("sort_cols"),
             bloom_cols=lay.get("bloom_cols"),
             bloom_bits=int(lay.get("bloom_bits") or 8192),
+            zorder_cols=lay.get("zorder_cols"),
+            zorder_bits=int(lay.get("zorder_bits") or 8),
         )
     arranged = df
     if lay.get("zorder_cols"):

@@ -3262,3 +3262,98 @@ def test_streaming_sink_clustered_plain_path(spark, tmp_path):
     assert m.get("stats")  # per-file min/max recorded
     pruned = sn.read_snapshot_pruned(spark, root, "id", 0, 5)
     assert pruned.count() == 6
+
+
+# --------------------------------------------------------------------------
+# round 10: OPTIMIZE ZORDER on hidden-partitioned tables
+# --------------------------------------------------------------------------
+
+
+def test_zorder_rewrite_composes_with_partitioning(spark, tmp_path):
+    """`snapshot_rewrite_zordered` on a partitioned table (round 10 —
+    the r9 refusal replaced): per-partition rewrite preserving
+    transforms and recorded values, so a (partition_eq + range) lookup
+    prunes by BOTH; appends keep clustering; the cron fixed point
+    holds; content byte-identical."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(40000).select(
+        (F.col("id") % 4).alias("region"),
+        (F.col("id") % 200).alias("a"),
+        ((F.col("id") * 7) % 200).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    sn.snapshot_append_partitioned(
+        df, root, {"r": "CAST(region AS STRING)"}
+    )
+    before = sorted(tuple(r) for r in sn.read_snapshot(spark, root).collect())
+    v = sn.snapshot_rewrite_zordered(
+        spark, root, ["a", "b"], n_files=16, bits=6
+    )
+    m = sn._read_manifest(root, v)
+    lay = sn._read_manifest_meta(root, v)["layout"]
+    assert lay["partition_transforms"] == {"r": "CAST(region AS STRING)"}
+    assert lay["zorder_cols"] == ["a", "b"]
+    pv = m["partition_values"]
+    assert all(pv.get(f, {}).get("r") is not None for f in m["files"])
+    after = sorted(tuple(r) for r in sn.read_snapshot_mor(spark, root).collect())
+    assert before == after
+    # partition pruning COMPOSES with multi-dim zorder pruning: the
+    # lookup opens ~1 file of the partition's several
+    st = m.get("stats") or {}
+    part2 = [f for f in m["files"] if pv[f].get("r") == "2"]
+    assert len(part2) >= 3, "a partition must hold several zorder files"
+    cand = [
+        f for f in part2
+        if not (
+            st.get(f, {}).get("a")
+            and (st[f]["a"][0] > 12 or st[f]["a"][1] < 10)
+        )
+        and not (
+            st.get(f, {}).get("b")
+            and (st[f]["b"][0] > 84 or st[f]["b"][1] < 70)
+        )
+    ]
+    assert len(cand) < len(part2), "zorder pruning must cut within the partition"
+    got = sn.read_snapshot_pruned(
+        spark, root,
+        ranges={"a": (10, 12), "b": (70, 84)}, partition_eq={"r": 2},
+    )
+    want = [t for t in before if t[0] == 2 and 10 <= t[1] <= 12 and 70 <= t[2] <= 84]
+    assert got.count() == len(want)
+    # fixed point: an identical re-run commits nothing
+    assert sn.snapshot_rewrite_zordered(
+        spark, root, ["a", "b"], n_files=16, bits=6
+    ) == v
+    # appends keep the within-partition policy and recorded values
+    sn.snapshot_append_partitioned(
+        spark.createDataFrame(
+            [(9, 5, 5, 12345)], "region long, a long, b long, payload long"
+        ),
+        root, {"r": "CAST(region AS STRING)"},
+    )
+    m2 = sn._read_manifest(root, sn.current_version(root))
+    new = [f for f in m2["files"] if f not in m["files"]]
+    assert new and all(
+        m2["partition_values"][f].get("r") == "9" for f in new
+    )
+    # compaction preserves the composed layout
+    sn.snapshot_compact(spark, root, target_files=4)
+    lay3 = sn._read_manifest_meta(root, sn.current_version(root))["layout"]
+    assert lay3.get("zorder_cols") == ["a", "b"]
+    assert lay3.get("partition_transforms")
+    assert sn.read_snapshot_mor(spark, root).count() == len(before) + 1
+
+
+def test_partitioned_append_still_refuses_global_zorder(spark, tmp_path):
+    """The GLOBAL zorder layout (unpartitioned) still refuses
+    partitioned appends — only the within-partition flavor composes."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append_zordered(
+        _df(spark, 0, 100), root, ["id", "v"], n_files=2
+    )
+    with pytest.raises(ValueError, match="GLOBAL z-order"):
+        sn.snapshot_append_partitioned(
+            _df(spark, 100, 110), root, {"e": "CAST(id % 2 AS STRING)"}
+        )
