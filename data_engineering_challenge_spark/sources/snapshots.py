@@ -4193,6 +4193,7 @@ def snapshot_merge_into(
     when_not_matched_by_source: list[tuple] | None = None,
     tag: str | None = None,
     small_target_rows: int = 100_000,
+    auto_evolve: bool = False,
 ) -> int:
     """Full ANSI/Delta-style ``MERGE INTO`` — the general conditional
     upsert the keyed CDC merges (`snapshot_merge_keys` /
@@ -4218,6 +4219,15 @@ def snapshot_merge_into(
     * ``when_not_matched_by_source``: ordered list of ``("update",
       cond|None, {col: expr})`` / ``("delete", cond|None, None)``
       over target-only rows (conditions see ``t`` only); default keep.
+
+    ``auto_evolve=True`` (Delta's ``MERGE WITH SCHEMA EVOLUTION`` /
+    ``schema.autoMerge``): WHEN NOT MATCHED INSERT columns the target
+    LACKS evolve the target first — one `snapshot_evolve` typed-add
+    commit (metadata only; pre-merge files read the new columns as
+    NULL through the logical schema), then the merge proceeds with the
+    widened target.  Off by default: an unexpected source column is a
+    contract violation unless the caller opted in.  Composes with MoR
+    delete-carrying targets (round 10's field-id binding).
 
     PHYSICAL choice is STATS-DRIVEN (`snapshot_plan_hints` — the
     consumption layer for manifest rowcounts and `snapshot_analyze`):
@@ -4304,6 +4314,50 @@ def snapshot_merge_into(
 
     def _cond(c):
         return F.lit(True) if c is None else _expr(c)
+
+    if auto_evolve and when_not_matched is not None:
+        # WHEN NOT MATCHED INSERT columns the target lacks → one typed
+        # ADD COLUMN commit first (metadata only; NULL for every
+        # pre-merge row), then the merge runs against the widened
+        # target.  Idempotent: a retry/replay finds nothing missing.
+        head = current_version(root)
+        if head is not None:
+            have = {
+                c.lower()
+                for c in read_snapshot_mor(spark, root, head).columns
+            }
+            spec = when_not_matched[2]
+            adds: dict[str, tuple] = {}
+            if spec == "all":
+                for f in source.schema.fields:
+                    if f.name.lower() not in have:
+                        adds[f.name] = (f.dataType.simpleString(),)
+            else:
+                for cname, ex in spec.items():
+                    if cname.lower() in have:
+                        continue
+                    # the new column's type comes from its insert
+                    # expression, resolved over the SOURCE alone —
+                    # t.<col> refs cannot type a column the target
+                    # doesn't have yet
+                    try:
+                        dt = (
+                            source.alias("s")
+                            .select(_expr(ex))
+                            .schema[0]
+                            .dataType
+                        )
+                    except Exception as exc:
+                        raise ValueError(
+                            "snapshot_merge_into(auto_evolve): cannot "
+                            f"type new column {cname!r} from its insert "
+                            f"expression {ex!r} (it must resolve over "
+                            f"the source alone) — "
+                            f"{str(exc).splitlines()[0]}"
+                        ) from None
+                    adds[cname] = (dt.simpleString(),)
+            if adds:
+                snapshot_evolve(root, adds=adds)
 
     # evaluate the source ONCE: the touched-files scan and the merge
     # join would otherwise each re-evaluate it, and a non-deterministic

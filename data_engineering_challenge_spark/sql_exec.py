@@ -69,7 +69,8 @@ _GRAMMAR = """supported statements:
   INSERT OVERWRITE [TABLE] <name> <query>
   UPDATE <name> [[AS] a] SET col = expr, ... [WHERE pred]
   DELETE FROM <name> [[AS] a] [WHERE pred]
-  MERGE INTO <name> [[AS] t] USING <name>|(<query>) [[AS] s] ON t.k = s.k [AND ...]
+  MERGE [WITH SCHEMA EVOLUTION] INTO <name> [[AS] t]
+    USING <name>|(<query>) [[AS] s] ON t.k = s.k [AND ...]
     WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ... | DELETE
     WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT * | (cols) VALUES (exprs)
     WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
@@ -1732,7 +1733,12 @@ def execute_sql(
         )["version"]
 
     # ---- MERGE INTO ----
-    if cur.kw("MERGE", "INTO"):
+    if cur.at_kw("MERGE"):
+        cur.kw("MERGE")
+        # Delta's MERGE WITH SCHEMA EVOLUTION: NOT MATCHED INSERT
+        # columns the target lacks evolve it (typed adds) first
+        auto = cur.kw("WITH", "SCHEMA", "EVOLUTION")
+        cur.expect_kw("INTO")
         root, source, keys, matched, not_matched, by_src = _parse_merge(
             cur, spark, catalog_dir
         )
@@ -1744,6 +1750,7 @@ def execute_sql(
             when_matched=matched or None,
             when_not_matched=not_matched,
             when_not_matched_by_source=by_src or None,
+            auto_evolve=auto,
         )
 
     cur.fail(f"unsupported statement {cur.peek()!r}")

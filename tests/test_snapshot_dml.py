@@ -1055,3 +1055,92 @@ def test_cdf_tolerates_empty_position_delete_parts(spark, tmp_path):
     ev = sn.read_snapshot_cdf(spark, root, from_version=1, to_version=v)
     got = sorted((r["_change_type"], r["id"]) for r in ev.collect())
     assert got == [("delete", 1)]
+
+
+def test_merge_auto_evolve_adds_insert_columns(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION (round 10 — Delta autoMerge): NOT
+    MATCHED INSERT columns the target lacks evolve it (typed adds,
+    NULL over pre-merge files); off by default the extra source
+    columns are ignored (Delta's default)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    sn.snapshot_append(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        root,
+    )
+    src = spark.createDataFrame(
+        [(3, 333, "x"), (9, 900, "y")], "k long, v long, tag string"
+    )
+    clauses = dict(
+        when_matched=[("update", None, {"v": "s.v"})],
+        when_not_matched=("insert", None, "all"),
+    )
+    # default: extra source columns ignored, schema unchanged
+    sn.snapshot_merge_into(spark, root, src, ["k"], **clauses)
+    assert sn.read_snapshot_mor(spark, root).columns == ["k", "v"]
+    # opt-in: the target evolves; pre-merge rows read NULL; composes
+    # with a MoR delete-carrying target
+    root2 = str(tmp_path / "t2")
+    sn.snapshot_append(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        root2,
+    )
+    sn.snapshot_delete_where(spark, root2, "k = 0", keys=["k"])
+    sn.snapshot_merge_into(
+        spark, root2, src, ["k"], auto_evolve=True, **clauses
+    )
+    res = {
+        r["k"]: (r["v"], r["tag"])
+        for r in sn.read_snapshot_mor(spark, root2).collect()
+    }
+    assert res[9] == (900, "y") and res[3] == (333, None)
+    assert res[1] == (10, None) and 0 not in res
+    # idempotent: a second auto-evolve merge finds nothing missing
+    sn.snapshot_merge_into(
+        spark, root2, src, ["k"], auto_evolve=True, **clauses
+    )
+    assert len(sn.read_snapshot_mor(spark, root2).columns) == 3
+
+
+def test_merge_auto_evolve_dict_insert_and_sql(spark, tmp_path):
+    from data_engineering_challenge_spark.sources import catalog as cat
+    from data_engineering_challenge_spark.sql_exec import execute_sql
+
+    cdir = str(tmp_path / "cat")
+    execute_sql(
+        spark, "CREATE TABLE t AS SELECT id AS k, id * 10 AS v FROM RANGE(4)",
+        cdir,
+    )
+    execute_sql(
+        spark, "CREATE TABLE s AS SELECT 2 AS k, 222 AS v, 'zz' AS tag",
+        cdir,
+    )
+    execute_sql(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag "
+        "WHEN NOT MATCHED THEN INSERT *",
+        cdir,
+    )
+    rows = sorted(
+        tuple(r)
+        for r in execute_sql(spark, "SELECT k, v, tag FROM t", cdir).collect()
+    )
+    assert (2, 222, "zz") in rows and (1, 10, None) in rows
+    # dict-mode: the new column types from its source-resolvable expr
+    root = cat.catalog_entries(cdir)["t"]["root"]
+    src = spark.createDataFrame([(77, 7.5)], "k long, score double")
+    sn.snapshot_merge_into(
+        spark, root, src, ["k"], auto_evolve=True,
+        when_not_matched=(
+            "insert", None,
+            {"k": "s.k", "score2": "s.score * 2"},
+        ),
+    )
+    got = {r["k"]: r["score2"] for r in sn.read_snapshot_mor(spark, root).collect()}
+    assert got[77] == 15.0 and got[1] is None
