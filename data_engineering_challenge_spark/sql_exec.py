@@ -83,7 +83,7 @@ _GRAMMAR = """supported statements:
                    | DROP GENERATED COLUMN <c>
   COPY INTO <name> FROM '<path-or-glob>' [FORMAT parquet|csv|jsonl|orc]
   SHOW TABLES | DESCRIBE [TABLE] <name> | DESCRIBE HISTORY <name>
-  OPTIMIZE <name> [ZORDER BY (c, ...)]
+  OPTIMIZE <name> [ZORDER BY (c, ...) | COMPACT MANIFESTS]
   VACUUM <name> [RETAIN <n> VERSIONS | <n> HOURS]
   ANALYZE TABLE <name> COMPUTE STATISTICS [FOR COLUMNS c, ...] [EXACT]"""
 
@@ -1187,9 +1187,18 @@ def execute_sql(
         _attach_mview(spark, catalog_dir, name)
         return v
 
-    # ---- OPTIMIZE <name> [ZORDER BY (col, ...)] ----
+    # ---- OPTIMIZE <name> [ZORDER BY (col, ...) | COMPACT MANIFESTS] --
     if cur.kw("OPTIMIZE"):
         name = cur.ident("table name")
+        if cur.kw("COMPACT", "MANIFESTS"):
+            # manifest maintenance from SQL (ADVICE r9): a SQL-only
+            # operator running COPY INTO + VACUUM crons can bound the
+            # O(commits) entry lists without dropping to the Python API
+            cur.expect_done()
+            root = _writable_root(
+                catalog_dir, name, "execute_sql(OPTIMIZE)"
+            )
+            return sn.compact_manifests(root)
         zcols = None
         if cur.kw("ZORDER"):
             cur.expect_kw("BY")

@@ -991,3 +991,21 @@ def test_attach_cost_is_o_referenced(spark, cdir, monkeypatch):
     s3 = spark.newSession()
     assert [tuple(r) for r in
             execute_sql(s3, "SELECT * FROM vsum", cdir).collect()] == [(2,)]
+
+
+def test_optimize_compact_manifests_statement(spark, cdir):
+    """OPTIMIZE ... COMPACT MANIFESTS (round 10): manifest maintenance
+    reachable from SQL, so a SQL-only COPY INTO + VACUUM cron can
+    bound its metadata without the Python API."""
+    execute_sql(spark, "CREATE TABLE t AS SELECT 1 AS a", cdir)
+    for i in range(3):
+        execute_sql(spark, f"INSERT INTO t SELECT {i + 10}", cdir)
+    root = cat.catalog_entries(cdir)["t"]["root"]
+    before = len(sn._read_manifest_meta(root, sn.current_version(root))["entries"])
+    assert before > 1
+    v = execute_sql(spark, "OPTIMIZE t COMPACT MANIFESTS", cdir)
+    m = sn._read_manifest_meta(root, v)
+    assert len(m["entries"]) == 1 and m["operation"] == "compact-manifests"
+    assert _rows(execute_sql(spark, "SELECT a FROM t", cdir)) == [
+        (1,), (10,), (11,), (12,),
+    ]
