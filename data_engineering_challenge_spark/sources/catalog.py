@@ -450,9 +450,11 @@ def refresh_mview(
 
         shutil.rmtree(vp, ignore_errors=True)
     before = sn._view_processed_version(vp)
+    marker = {_MVIEW_DEF: _mview_def_sig(e)}
     try:
         v = sn.refresh_incremental_agg_cdf(
-            spark, src["root"], vp, e["group_cols"], e["sum_cols"]
+            spark, src["root"], vp, e["group_cols"], e["sum_cols"],
+            extra_marker=marker,
         )
         _stamp_mview_def(vp, e)
     except (ValueError, FileNotFoundError):
@@ -465,9 +467,9 @@ def refresh_mview(
 
         shutil.rmtree(vp, ignore_errors=True)
         v = sn.refresh_incremental_agg_cdf(
-            spark, src["root"], vp, e["group_cols"], e["sum_cols"]
+            spark, src["root"], vp, e["group_cols"], e["sum_cols"],
+            extra_marker=marker,
         )
-        _stamp_mview_def(vp, e)
         _retire_prior_mview(vp)
         return v, "rebuild"
     _retire_prior_mview(vp)
@@ -508,7 +510,8 @@ def _mview_def_sig(e: dict) -> str:
 def _mview_state_sig(vp: str) -> str | None:
     """The fingerprint of the state on disk; None = no state, or a
     pre-fingerprint build's state (those orderings destroyed the old
-    directory before the claim, so an orphan cannot exist — accept)."""
+    directory before the claim, so an orphan cannot exist — accept;
+    every state THIS build publishes carries the stamp atomically)."""
     try:
         with open(os.path.join(vp, _MVIEW_DEF)) as fh:
             return fh.read().strip()
@@ -517,11 +520,10 @@ def _mview_state_sig(vp: str) -> str | None:
 
 
 def _stamp_mview_def(vp: str, e: dict) -> None:
-    """(Re)write the fingerprint after a successful refresh — the
-    publish swap replaces the whole directory, so the stamp rides
-    every refresh.  Crash between swap and stamp leaves a missing
-    fingerprint, which `_mview_state_sig` accepts: the state WAS just
-    produced by this very definition."""
+    """Heal a fingerprint-less state: refreshes that PUBLISH carry the
+    stamp inside the atomic swap itself (``extra_marker`` — no crash
+    window), so this post-stamp only covers 'current' no-op refreshes
+    over legacy (pre-fingerprint) directories."""
     if not os.path.isdir(vp):
         return  # "current" no-op on a never-materialized view
     tmp = os.path.join(vp, f".{_MVIEW_DEF}.{os.getpid()}.tmp")

@@ -1961,8 +1961,12 @@ def snapshot_rewrite_zordered(
     incremental readers — SKIPS the hop exactly like cron compaction
     instead of dying on an overwrite.  History stays linear.
 
-    Refuses hidden-partitioned tables (z-order does not compose with
-    the partitioned write path — one clustering policy per table)."""
+    HIDDEN-PARTITIONED tables compose (round 10 — Delta's OPTIMIZE
+    ZORDER on a partitioned table): the rewrite re-clusters WITHIN
+    each partition on the Morton key, preserving the transforms and
+    every file's recorded partition value, so partition pruning and
+    multi-dim range pruning stack on the rewritten files; subsequent
+    partitioned appends keep clustering under the declared policy."""
     import math
 
     last_err: Exception | None = None
@@ -2299,6 +2303,14 @@ def snapshot_append_partitioned(
         # explicit FIRST declaration of the within-partition policy
         # (CREATE TABLE ... PARTITIONED BY ... ZORDER BY)
         z_within = (list(zorder_cols), int(zorder_bits))
+    if z_within:
+        # the z-order dimensions ARE the pruning evidence — record
+        # their per-file min/max like snapshot_append_zordered does,
+        # or the declared policy would yield zero skips until the
+        # first OPTIMIZE rewrite
+        stats_cols = list(
+            dict.fromkeys([*z_within[0], *(stats_cols or [])])
+        )
     files, stats, pvals = _write_partitioned_files(
         df, root, partition_transforms, stats_cols,
         sort_cols=sort_cols, zorder=z_within,
@@ -3153,14 +3165,6 @@ def snapshot_evolve(
                         "renamed": len(renames),
                         "dropped": len(drops),
                         "added": len(adds_norm),
-                        # adds with a NON-NULL default re-value every
-                        # pre-add row — a CDF boundary (see
-                        # read_snapshot_cdf), unlike plain typed adds
-                        "added_defaults": sum(
-                            1
-                            for _t, dflt in adds_norm.values()
-                            if dflt is not None
-                        ),
                     }
                 },
             )
@@ -6795,10 +6799,17 @@ def read_snapshot_cdf(
                 additive = False  # fields vanished (restore-like hop)
             else:
                 ev = cm.get("evolve")
-                additive = ev is not None and not (
-                    ev.get("renamed")
-                    or ev.get("dropped")
-                    or ev.get("added_defaults")
+                # a bootstrap evolve's fields all originate from THIS
+                # hop (footers carry no defaults), so any recorded
+                # default IS a defaulted add — detected from cf itself,
+                # which covers hops committed by pre-round-10 builds
+                # whose breadcrumb predates the boundary rule
+                additive = (
+                    ev is not None
+                    and not (ev.get("renamed") or ev.get("dropped"))
+                    and not any(
+                        x.get("default") is not None for x in cf or []
+                    )
                 )
             if not additive:
                 raise ValueError(
@@ -7153,12 +7164,25 @@ def _view_processed_version(view_path: str) -> int | None:
             return None
 
 
-def _publish_view(merged: DataFrame, view_path: str, cur: int) -> None:
-    """Atomic view swap carrying the marker in the SAME rename, plus
-    the one-time legacy-sidecar retirement."""
+def _publish_view(
+    merged: DataFrame,
+    view_path: str,
+    cur: int,
+    extra_marker: dict | None = None,
+) -> None:
+    """Atomic view swap carrying the marker — and any caller-supplied
+    extra marker files (the catalog's definition fingerprint) — in the
+    SAME rename, plus the one-time legacy-sidecar retirement."""
     from . import io as eio
 
-    eio.publish_atomic(merged, view_path, extra_files={_VIEW_MARKER: str(cur)})
+    eio.publish_atomic(
+        merged,
+        view_path,
+        extra_files={
+            _VIEW_MARKER: str(cur),
+            **{k: str(v) for k, v in (extra_marker or {}).items()},
+        },
+    )
     try:  # the marker now travels with the view — retire the sidecar
         os.remove(view_path.rstrip("/") + "._processed")
     except FileNotFoundError:
@@ -7215,6 +7239,7 @@ def refresh_incremental_agg_cdf(
     view_path: str,
     group_cols: list[str],
     sum_cols: list[str],
+    extra_marker: dict | None = None,
 ) -> int | None:
     """`refresh_incremental_agg` for tables whose history carries MoR
     DELETES — incremental materialized-view maintenance over a CDC
@@ -7266,7 +7291,7 @@ def refresh_incremental_agg_cdf(
         ).filter(  # a fully-retracted group must VANISH, like the recompute
             F.col("n") != 0
         )
-    _publish_view(merged, view_path, cur)
+    _publish_view(merged, view_path, cur, extra_marker)
     return cur
 
 

@@ -431,7 +431,9 @@ def _attach(
     referenced: list[str] = []
     seen: set[str] = set()
     for t, _lo, _hi in _tokens(sql):
-        hit = by_lower.get(t.lower())
+        # backtick-quoted identifiers must match their registered
+        # names — `orders` references the same table as orders
+        hit = by_lower.get(t.strip("`").lower())
         if hit is not None and hit not in seen:
             seen.add(hit)
             referenced.append(hit)
@@ -660,10 +662,32 @@ def _create_table_commit(
              *(lay.get("stats_cols") or [])]
         )
     ) or None
+    # a DECLARED layout REPLACES the prior one wholesale — _commit's
+    # layout merge is additive (right for maintenance commits), so an
+    # OR REPLACE with a different clustering policy must explicitly
+    # null out every key it supersedes, or the merged layout would mix
+    # the two (and the claim-loop backstop would misdiagnose the
+    # serial replace as a concurrent-writer race)
+    lay_replace = (
+        {
+            "partition_transforms": None,
+            "sort_cols": None,
+            "zorder_cols": None,
+            "zorder_bits": None,
+            "stats_cols": None,
+            "bloom_cols": None,
+            "bloom_bits": None,
+            **lay,
+        }
+        if lay
+        else None
+    )
     if cols is not None:
         return sn.snapshot_overwrite(
             df.coalesce(1), root,
-            _meta_updates={"layout": lay} if lay else None,
+            _meta_updates=(
+                {"layout": lay_replace} if lay_replace else None
+            ),
         )
     if transforms:
         if existing is not None:
@@ -692,10 +716,14 @@ def _create_table_commit(
         arranged = df.repartitionByRange(8, *sc).sortWithinPartitions(*sc)
     if not lay:
         # no declaration: a replace inherits the prior layout's
-        # stats/bloom policy, filtered to columns the content carries
+        # stats/bloom policy, filtered to columns the content carries.
+        # Policies the new schema can no longer honor are explicitly
+        # RETIRED (a partition transform over a dropped column would
+        # otherwise brick every later INSERT's routing).
         stats_cols, bloom_cols, bloom_bits = sn._inherit_prune_policy(
             root, df.columns, None, None, 8192
         )
+        lay_replace = _filter_prior_layout(spark, root, df)
     else:
         bloom_cols = lay.get("bloom_cols")
         bloom_bits = int(lay.get("bloom_bits") or 8192)
@@ -704,8 +732,48 @@ def _create_table_commit(
         stats_cols=stats_cols,
         bloom_cols=bloom_cols,
         bloom_bits=bloom_bits,
-        _meta_updates={"layout": lay} if lay else None,
+        _meta_updates={"layout": lay_replace} if lay_replace else None,
     )
+
+
+def _filter_prior_layout(
+    spark: SparkSession, root: str, df: DataFrame
+) -> dict | None:
+    """The prior layout filtered to what the REPLACEMENT content can
+    honor, with retired keys explicitly nulled (the layout merge is
+    additive): column policies keep only surviving columns; partition
+    transforms keep only expressions that analyze over the new
+    schema.  None when the table has no prior layout."""
+    from pyspark.sql import functions as F
+
+    cur_v = sn.current_version(root)
+    if cur_v is None:
+        return None
+    prior = sn._read_manifest_meta(root, cur_v).get("layout") or {}
+    if not prior:
+        return None
+    have = set(df.columns)
+    out: dict = {}
+    for key in ("sort_cols", "zorder_cols", "stats_cols", "bloom_cols"):
+        kept = [c for c in prior.get(key) or [] if c in have]
+        out[key] = kept or None
+    out["zorder_bits"] = (
+        prior.get("zorder_bits") if out["zorder_cols"] else None
+    )
+    out["bloom_bits"] = (
+        prior.get("bloom_bits") if out["bloom_cols"] else None
+    )
+    tr: dict = {}
+    for name, expr in (prior.get("partition_transforms") or {}).items():
+        if name in have:
+            continue  # the new schema claimed the derived name
+        try:
+            df.select(F.expr(expr))
+        except Exception:
+            continue  # references dropped columns — retire it
+        tr[name] = expr
+    out["partition_transforms"] = tr or None
+    return out
 
 
 def _int_literal(cur: "_Cursor", what: str) -> int:

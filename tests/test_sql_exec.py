@@ -927,7 +927,7 @@ def test_create_table_layout_refusals(spark, cdir):
         ("CREATE TABLE b1 (k BIGINT) ZORDER BY (nope)", "not in the schema"),
         (
             "CREATE TABLE b2 (k BIGINT) CLUSTERED BY (k) ZORDER BY (k)",
-            "one clustering policy",
+            "one file-order policy",
         ),
         ("CREATE TABLE b3 (k BLOB)", "invalid column list"),
         ("CREATE TABLE b4 (k BIGINT) AS SELECT 1", "does not combine"),
@@ -1009,3 +1009,58 @@ def test_optimize_compact_manifests_statement(spark, cdir):
     assert _rows(execute_sql(spark, "SELECT a FROM t", cdir)) == [
         (1,), (10,), (11,), (12,),
     ]
+
+
+def test_attach_resolves_backtick_quoted_names(spark, cdir):
+    """O(referenced) attach must see through backtick quoting —
+    `orders` references the same catalog table as orders (review
+    finding, round 10)."""
+    execute_sql(spark, "CREATE TABLE bq AS SELECT 7 AS a", cdir)
+    s2 = spark.newSession()
+    assert [tuple(r) for r in
+            execute_sql(s2, "SELECT a FROM `bq`", cdir).collect()] == [(7,)]
+
+
+def test_or_replace_supersedes_layout(spark, cdir):
+    """CREATE OR REPLACE with a DIFFERENT clustering policy replaces
+    the layout wholesale — no bogus concurrent-writer conflict, no
+    stale keys accumulating (review finding, round 10)."""
+    execute_sql(
+        spark,
+        "CREATE TABLE lr ZORDER BY (a) AS SELECT id AS a, id AS b "
+        "FROM RANGE(10)",
+        cdir,
+    )
+    execute_sql(
+        spark,
+        "CREATE OR REPLACE TABLE lr CLUSTERED BY (a) AS "
+        "SELECT id AS a, id AS b FROM RANGE(20)",
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["lr"]["root"]
+    lay = sn._read_manifest_meta(root, sn.current_version(root))["layout"]
+    assert lay.get("sort_cols") == ["a"] and not lay.get("zorder_cols")
+    # a previously PARTITIONED layout does not leak into the replace
+    execute_sql(
+        spark,
+        "CREATE TABLE pr PARTITIONED BY (a % 2 AS e) AS "
+        "SELECT id AS a FROM RANGE(10)",
+        cdir,
+    )
+    execute_sql(
+        spark,
+        "CREATE OR REPLACE TABLE pr AS SELECT id AS x FROM RANGE(5)",
+        cdir,
+    )
+    proot = cat.catalog_entries(cdir)["pr"]["root"]
+    lay2 = (
+        sn._read_manifest_meta(proot, sn.current_version(proot)).get("layout")
+        or {}
+    )
+    # no declared clauses on the replace: prior policy keys filtered to
+    # the new content — the old transforms reference a dropped column
+    # and must not route later INSERTs through the partitioned writer
+    execute_sql(spark, "INSERT INTO pr SELECT 99", cdir)
+    assert execute_sql(
+        spark, "SELECT COUNT(*) AS n FROM pr", cdir
+    ).first()["n"] == 6
