@@ -4138,44 +4138,50 @@ WHERE o_orderkey BETWEEN 1000 AND 5000
 """,
 )
 def q_snapshot_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Catalyst FILTER PUSHDOWN into the snapshot DataSource (round 8 —
-    `PushdownSnapshotBatchReader`, the Spark 4.1 Python DataSource
-    pushFilters API): orders committed clustered on o_orderkey, read
-    back through ``spark.read.format("snapshot_table")...option(
-    "pushdown", "true")`` with a plain SQL WHERE — the optimizer hands
-    the range predicate to the reader, which prunes manifest files by
-    recorded stats at PLAN time (file counts pinned in
-    tests/test_snapshot_source.py) while Spark still re-evaluates the
-    filter post-scan, so the answer is exactly the oracle's.  NOTE:
-    enables ``spark.sql.python.filterPushdown.enabled`` for the SESSION
-    (the returned frame plans lazily, so it cannot be scoped) — benign
-    here because the pushdown reader is itself opt-in per read.
-    Output cached per (query, sf_dir)."""
+    """FILTER-DRIVEN manifest file pruning from plain SQL text: orders
+    committed clustered on o_orderkey, queried as ``SELECT ... WHERE
+    o_orderkey >= 1000 AND o_orderkey <= 5000`` through the statement
+    executor — its pruned attach (`sql_exec._pruned_attach`) turns the
+    conjuncts into a `read_snapshot_pruned` view, so only the manifest
+    files whose recorded [min, max] intersect the range are opened,
+    and the predicate is re-applied on top (pruning never changes the
+    answer).  HISTORY: round 8 implemented this via the Spark 4.1
+    Python-DataSource pushFilters API; round 10 WITHDREW that reader
+    after measuring an engine defect — Spark keeps ONE read plan per
+    relation (the last scan planned wins for every scan of it), so
+    per-scan file pruning silently LOSES ROWS whenever a relation is
+    scanned twice (a UNION over one view, or a DataFrame reused after
+    a filtered query); reproduction pinned in
+    tests/test_snapshot_source.py.  The statement-level layer prunes
+    identically for the shapes that matter and has no such hazard.
+    Build cached per (query, sf_dir)."""
     import tempfile
 
+    from .sources import catalog as cat
     from .sources import snapshots as sn
-    from .sources.snapshot_source import register_snapshot_source
+    from .sql_exec import execute_sql
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     key = ("snapshot_pushdown_scan", sf_dir)
-    out = _ORC_OUT_CACHE.get(key)
-    if out is None:
-        root = tempfile.mkdtemp(prefix="snap_push_") + "/tbl"
+    cdir = _ORC_OUT_CACHE.get(key)
+    if cdir is None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        tmp = tempfile.mkdtemp(prefix="snap_push_")
+        root, cdir = f"{tmp}/tbl", f"{tmp}/catalog"
         sn.snapshot_append_clustered(o, root, ["o_orderkey"], n_files=8)
-        out = _ORC_OUT_CACHE[key] = root
-    register_snapshot_source(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    r = (
-        spark.read.format("snapshot_table")
-        .option("root", out)
-        .option("pushdown", "true")
-        .load()
-    )
-    return r.filter(
-        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") <= 5000)
-    ).agg(
-        F.count("*").alias("n"),
-        F.min("o_orderkey").alias("min_key"),
-        F.max("o_orderkey").alias("max_key"),
-        dsum("o_totalprice").alias("total_price"),
+        cat.catalog_register(cdir, "push_orders", root)
+        _ORC_OUT_CACHE[key] = cdir
+    return execute_sql(
+        spark,
+        """
+SELECT COUNT(*) AS n,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+           AS total_price
+FROM push_orders
+WHERE o_orderkey >= 1000 AND o_orderkey <= 5000
+""",
+        cdir,
     )

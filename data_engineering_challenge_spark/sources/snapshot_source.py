@@ -42,6 +42,7 @@ hash-matching the round trip against the raw-events oracle.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -79,12 +80,35 @@ def _change_feed_on(options) -> bool:
     return str(options.get("change_feed", "")).lower() in ("true", "1")
 
 
+def _trivially_bound(m: dict) -> bool:
+    """True when an evolved manifest's logical read IS the raw
+    merge-schema read: every live file binds every physical column to
+    a live field of the SAME name (no rename or drop touches any live
+    file) and no field carries an initial default (a raw read would
+    show NULL where the logical read projects the default).  ADD-only
+    evolution — the common ``ALTER TABLE ADD COLUMN`` — satisfies
+    this, so such tables stay streamable: missing columns pad as NULL,
+    exactly the merge-schema batch rule."""
+    fields = m.get("fields")
+    if not fields:
+        return True
+    if any(f.get("default") is not None for f in fields):
+        return False
+    id_to_name = {f["id"]: f["name"] for f in fields}
+    for mp in (m.get("file_fields") or {}).values():
+        for phys, fid in mp.items():
+            if id_to_name.get(fid) != phys:
+                return False
+    return True
+
+
 def _refuse_unstreamable(m: dict, what: str) -> None:
-    if m.get("fields"):
+    if m.get("fields") and not _trivially_bound(m):
         raise ValueError(
-            f"{what}: schema-evolved tables (snapshot_evolve) cannot be "
-            "streamed — the stream schema is fixed at start; compact or "
-            "read in batch"
+            f"{what}: the table evolved with renames/drops (or a "
+            "defaulted add) — the raw file feed cannot relabel rows "
+            "and the stream schema is fixed at start; compact first "
+            "or read in batch (ADD-only evolution streams fine)"
         )
 
 
@@ -403,13 +427,22 @@ class SnapshotTableDataSource(DataSource):
                 "batch change feed use read_snapshot_cdf (full "
                 "pre-image delete events, engine-merged)"
             )
-        cls = (
-            PushdownSnapshotBatchReader
-            if str(self.options.get("pushdown", "")).lower()
-            in ("true", "1")
-            else SnapshotBatchReader
+        if str(self.options.get("pushdown", "")).lower() in ("true", "1"):
+            raise ValueError(
+                "snapshot_table: the 'pushdown' file-pruning reader "
+                "was WITHDRAWN after measurement — Spark 4.1 keeps ONE "
+                "Python-DataSource read plan per relation (the last "
+                "scan planned wins for every scan), so per-scan file "
+                "pruning silently LOSES ROWS whenever a relation is "
+                "scanned twice (a UNION over one view, or reusing a "
+                "DataFrame after a filtered query).  Use the SQL "
+                "surface (execute_sql prunes single-table WHERE "
+                "statements via read_snapshot_pruned) or call "
+                "read_snapshot_pruned directly."
+            )
+        return SnapshotBatchReader(
+            self._root(), schema, version=self._pinned_version()
         )
-        return cls(self._root(), schema, version=self._pinned_version())
 
     def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
         e = self._catalog_entry()
@@ -439,10 +472,24 @@ class SnapshotTableDataSource(DataSource):
 class SnapshotBatchReader(DataSourceReader):
     """Pinned-version batch scan: one partition per manifest file,
     arrow-batched.  Refuses MoR deletes (use `read_snapshot_mor` — the
-    anti-join needs the engine, not a file scan)."""
+    anti-join needs the engine, not a file scan).
+
+    DELIBERATELY defines NO ``pushFilters``: per-scan file pruning is
+    UNSOUND on Spark 4.1's Python DataSource — the engine keeps one
+    read plan per RELATION (the last scan planned wins for every scan
+    of it), so a pruned plan silently serves scans with different (or
+    no) filters: a UNION over one view, or any reuse of a DataFrame
+    after a filtered query, LOSES ROWS.  Measured and pinned in
+    tests/test_snapshot_source.py (round 10; the round-8 pushdown
+    reader was withdrawn for this).  File pruning lives where this
+    engine controls the whole plan instead: `read_snapshot_pruned`,
+    and the SQL executor's statement-level pruned attach."""
 
     def __init__(
-        self, root: str, schema: StructType, version: int | None = None
+        self,
+        root: str,
+        schema: StructType,
+        version: int | None = None,
     ):
         self.root = root
         self.schema_ = schema
@@ -461,17 +508,8 @@ class SnapshotBatchReader(DataSourceReader):
                 "files — use read_snapshot_mor or snapshot_compact first"
             )
         self.files = list(m["files"])
-        # stashed for pushFilters: the manifest walk already happened
-        self.stats_ = dict(m.get("stats") or {})
-        self.blooms_ = dict(m.get("blooms") or {})
 
     def partitions(self):
-        # partitions() runs DRIVER-side after any pushFilters pass;
-        # the reader object is then pickled per task for read() — drop
-        # the stats/bloom payloads here so executors never ship them
-        # (blooms are m/8 bytes per file·column: real weight at scale)
-        self.stats_ = {}
-        self.blooms_ = {}
         return [
             _SnapshotFilePartition(os.path.join(self.root, f))
             for f in self.files
@@ -481,157 +519,6 @@ class SnapshotBatchReader(DataSourceReader):
         if not partition.path:
             return iter(())
         return _read_file_batches(partition.path, self.schema_)
-
-
-class PushdownSnapshotBatchReader(SnapshotBatchReader):
-    """`SnapshotBatchReader` + Catalyst FILTER PUSHDOWN (Spark 4.1
-    Python DataSource API): a SQL ``WHERE`` over this source prunes
-    manifest files by their recorded per-file min/max stats at PLAN
-    time — the `read_snapshot_pruned` skip, driven by the optimizer
-    instead of a bespoke call, so plain ``spark.read.format(
-    "snapshot_table")`` / catalog-attached SQL gets Iceberg-style scan
-    planning for free.
-
-    OPT-IN via ``option("pushdown", "true")`` because Spark refuses any
-    reader that merely DEFINES pushFilters while
-    ``spark.sql.python.filterPushdown.enabled`` is false — the default
-    reader must keep working on a vanilla session; set both the option
-    and the conf to engage."""
-
-    def pushFilters(self, filters):
-        """EVERY filter is returned for Spark to re-evaluate post-scan:
-        pruning only ever DROPS provably disjoint files (files without
-        stats make no claims), so it is an optimization, never a
-        semantics change."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            In,
-            LessThan,
-            LessThanOrEqual,
-            StringStartsWith,
-        )
-
-        stats = self.stats_
-        blooms = self.blooms_
-        if not stats and not blooms:
-            return filters
-
-        def _key(v):
-            import datetime
-
-            if isinstance(v, datetime.datetime):
-                # TIMESTAMP literals arrive naive while footer stats
-                # record tz-aware ISO ('…+00:00') — a lexical compare
-                # of the two WRONGLY prunes matching files (naive <
-                # suffixed).  No claim is the only safe claim here;
-                # DATE stats carry no offset and stay comparable.
-                return v
-            if isinstance(v, datetime.date):
-                return v.isoformat()  # stats record dates as ISO
-            return v
-
-        def _comparable(a, b) -> bool:
-            num = (int, float)
-            return (
-                isinstance(a, num)
-                and isinstance(b, num)
-                or isinstance(a, str)
-                and isinstance(b, str)
-            )
-
-        def _admits(rng, flt) -> bool:
-            """Can a file with stats range ``rng=[lo, hi]`` hold a row
-            matching ``flt``?  True (read) unless provably disjoint."""
-            lo, hi = rng
-            if isinstance(flt, In):
-                vals = [_key(v) for v in flt.value]
-                return any(
-                    not _comparable(v, lo) or lo <= v <= hi for v in vals
-                )
-            v = _key(flt.value)
-            if not _comparable(v, lo):
-                return True  # incomparable types: no claim, read it
-            if isinstance(flt, StringStartsWith):
-                # prefix-p strings all sort >= p, and any string whose
-                # first len(p) chars exceed p sorts after every one of
-                # them: skip only when hi < p or lo's prefix > p
-                return hi >= v and lo[: len(v)] <= v
-            if isinstance(flt, EqualTo):
-                return lo <= v <= hi
-            if isinstance(flt, GreaterThan):
-                return hi > v
-            if isinstance(flt, GreaterThanOrEqual):
-                return hi >= v
-            if isinstance(flt, LessThan):
-                return lo < v
-            if isinstance(flt, LessThanOrEqual):
-                return lo <= v
-            return True
-
-        usable = [
-            f
-            for f in filters
-            if isinstance(
-                f,
-                (
-                    EqualTo,
-                    GreaterThan,
-                    GreaterThanOrEqual,
-                    LessThan,
-                    LessThanOrEqual,
-                    In,
-                    StringStartsWith,
-                ),
-            )
-            and len(f.attribute) == 1
-            and (not isinstance(f, In) or f.value)
-        ]
-        def _bloom_admits(f: str, flt) -> bool:
-            """BLOOM probe for equality filters — the skip that works
-            on hash-scattered keys where min/max spans the domain.  A
-            file without a bloom for the column makes no claims; a
-            miss is proof of absence (`snapshots._bloom_maybe_contains`
-            is the same probe `read_snapshot_pruned(point_eq=)` runs).
-            NULL-safe: blooms never claim about NULL (an equality
-            filter can't match NULL anyway)."""
-            if not isinstance(flt, (EqualTo, In)):
-                return True
-            bloom = (blooms.get(f) or {}).get(flt.attribute[0])
-            if bloom is None:
-                return True
-            vals = flt.value if isinstance(flt, In) else [flt.value]
-
-            def _probe(v) -> bool:
-                # the hash contract covers int/string columns only —
-                # any other literal form makes NO claim (a str() drift,
-                # e.g. float 5.0 vs long 5, must never fake a miss)
-                if (
-                    v is None
-                    or isinstance(v, bool)
-                    or not isinstance(v, (int, str))
-                ):
-                    return True
-                return sn._bloom_maybe_contains(bloom, v)
-
-            return any(_probe(v) for v in vals)
-
-        if usable:
-            self.files = [
-                f
-                for f in self.files
-                if all(
-                    (
-                        (rng := (stats.get(f) or {}).get(flt.attribute[0]))
-                        is None
-                        or _admits(rng, flt)
-                    )
-                    and _bloom_admits(f, flt)
-                    for flt in usable
-                )
-            ]
-        return filters
 
 
 class SnapshotStreamReader(DataSourceStreamReader):

@@ -2490,6 +2490,16 @@ def read_snapshot_pruned(
                 return phys
         return None  # field absent from this file — no claims
 
+    def _disjoint(rng, clo, chi) -> bool:
+        # a cross-type comparison (string stats vs numeric literal, or
+        # vice versa) makes NO claims — the file is read, never a
+        # TypeError at plan time (the SQL pruned-attach path feeds
+        # literals of whatever type the statement wrote)
+        try:
+            return rng[0] > chi or rng[1] < clo
+        except TypeError:
+            return False
+
     keep = []
     for f in m["files"]:
         fstats = stats.get(f) or {}
@@ -2497,7 +2507,7 @@ def read_snapshot_pruned(
         for c, (clo, chi) in ranges.items():
             sk = stat_key(f, c)
             rng = fstats.get(sk) if sk is not None else None
-            if rng is not None and (rng[0] > chi or rng[1] < clo):
+            if rng is not None and _disjoint(rng, clo, chi):
                 ok = False  # provably disjoint in SOME dimension -> skip
                 break
         for c, val in (point_eq or {}).items():
@@ -2507,7 +2517,7 @@ def read_snapshot_pruned(
             if sk is None:
                 continue  # field absent from this file — no claims
             rng = fstats.get(sk)
-            if rng is not None and (rng[0] > val or rng[1] < val):
+            if rng is not None and _disjoint(rng, val, val):
                 ok = False  # outside the file's range
                 break
             bloom = (blooms.get(f) or {}).get(sk)
@@ -4932,18 +4942,17 @@ def attach_snapshot_view(
     Re-attach to follow the head.  Returns the pinned version.
 
     The view is lazy metadata over the manifest's file list — nothing
-    is materialized.  SCAN PLANNING: when the session opts into Python
-    DataSource pushdown (``spark.sql.python.filterPushdown.enabled =
-    true``) and the pinned version is a plain one (no MoR delete
-    lists, no logical schema), the view routes through the
-    pushdown-enabled ``snapshot_table`` reader — a SQL ``WHERE`` then
-    prunes manifest FILES by recorded stats AND bloom filters at plan
-    time, the `read_snapshot_pruned` skip driven by the optimizer (the
-    right trade for point-lookup/selective SQL sessions; leave the
-    conf off for full-scan-dominated work, where the JVM-native
-    parquet scan path is faster).  Otherwise the view plans straight
-    down to native parquet scans with parquet ROW-GROUP pushdown —
-    correct and codegen-friendly, but every live file is opened."""
+    is materialized; it plans straight down to native parquet scans
+    with parquet ROW-GROUP pushdown.  FILE-level manifest pruning for
+    SQL text lives in the statement executor (`sql_exec` re-attaches a
+    single-table WHERE statement's view through
+    `read_snapshot_pruned`): per-scan pruning inside the Python
+    DataSource was measured UNSOUND on Spark 4.1 — one read plan per
+    relation means a pruned plan silently serves every other scan of
+    the view — and withdrawn (tests/test_snapshot_source.py pins the
+    engine behavior).  A small table (recorded bytes within the
+    session's autoBroadcastJoinThreshold) whose merged read Catalyst
+    cannot size gets a broadcast hint (`_maybe_broadcast_attach`)."""
     if sum(x is not None for x in (version, asof, ref)) > 1:
         raise ValueError(
             "attach_snapshot_view: pass at most one of version/asof/ref"
@@ -4958,29 +4967,14 @@ def attach_snapshot_view(
             raise FileNotFoundError(
                 f"attach_snapshot_view: no committed version at {root}"
             )
-    if _pushdown_attach_eligible(spark, root, version):
-        from .snapshot_source import register_snapshot_source
-
-        register_snapshot_source(spark)
-        df = (
-            spark.read.format("snapshot_table")
-            .option("root", root)
-            .option("version", version)
-            .option("pushdown", "true")
-            .load()
-        )
-        # the Python DataSource reports no sizeInBytes — a small dim
-        # table would never auto-broadcast without the hint
-        _maybe_broadcast_attach(spark, root, version, df).createOrReplaceTempView(name)
-    else:
-        df = read_snapshot_mor(spark, root, version)
-        m = _read_manifest(root, version)
-        if m.get("delete_files") or m.get("fields"):
-            # the engine-merged read hides the scan size behind
-            # joins/unions; the plain-parquet path needs no hint
-            # (Catalyst's own file-size estimate is already exact)
-            df = _maybe_broadcast_attach(spark, root, version, df)
-        df.createOrReplaceTempView(name)
+    df = read_snapshot_mor(spark, root, version)
+    m = _read_manifest(root, version)
+    if m.get("delete_files") or m.get("fields"):
+        # the engine-merged read hides the scan size behind
+        # joins/unions; the plain-parquet path needs no hint
+        # (Catalyst's own file-size estimate is already exact)
+        df = _maybe_broadcast_attach(spark, root, version, df)
+    df.createOrReplaceTempView(name)
     return version
 
 
@@ -5028,31 +5022,6 @@ def _maybe_broadcast_attach(
 
         return F.broadcast(df)
     return df
-
-
-def _pushdown_attach_eligible(
-    spark: SparkSession, root: str, version: int
-) -> bool:
-    """True when an attached SQL view can route through the
-    pushdown-enabled Python DataSource: the session set
-    ``spark.sql.python.filterPushdown.enabled`` (Spark crashes any
-    reader that merely DEFINES pushFilters while it is off, so the
-    conf doubles as the user's opt-in), and the version is a PLAIN one
-    — the DataSource scan has no MoR anti-join or field-id projection,
-    so delete-carrying and evolved versions keep the engine-merged
-    `read_snapshot_mor` path."""
-    try:
-        on = spark.conf.get(
-            "spark.sql.python.filterPushdown.enabled", "false"
-        )
-    except Exception:
-        return False
-    if (on or "").lower() != "true":
-        return False
-    m = _read_manifest(root, version)
-    return bool(m["files"]) and not m.get("delete_files") and not m.get(
-        "fields"
-    )
 
 
 def attach_snapshot_views(

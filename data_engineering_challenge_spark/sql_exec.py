@@ -924,7 +924,217 @@ def _rewrite_time_travel(
 
 def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
     _attach(spark, catalog_dir, sql)
+    _pruned_attach(spark, catalog_dir, sql)
     return spark.sql(_rewrite_time_travel(spark, catalog_dir, sql))
+
+
+#: keywords that terminate the FROM clause / cannot be a table alias
+_PRUNE_STOPS = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "VERSION",
+    "TIMESTAMP", "AS", "ON", "JOIN", "UNION", ";",
+}
+
+
+def _pruned_attach(spark: SparkSession, catalog_dir: str, sql: str) -> None:
+    """STATEMENT-LEVEL manifest pruning for the SQL surface: when the
+    statement is one SELECT over ONE catalog snapshot table and its
+    WHERE carries analyzable conjuncts (``col = lit``, ``col BETWEEN
+    a AND b``, ``col >= a AND col <= b``, a partition-transform
+    equality), re-register that table's temp view as
+    `read_snapshot_pruned` over exactly those predicates — manifest
+    stats, blooms, and hidden-partition values then skip FILES at plan
+    time, from plain SQL text.
+
+    This replaces the round-10 DataSource-pushdown routing, WITHDRAWN
+    after measurement: Spark 4.1 keeps ONE Python-DataSource read plan
+    per relation (last scan planned wins for every scan), so per-scan
+    file pruning inside pushFilters silently LOSES ROWS whenever a
+    relation is scanned twice (a UNION over one view, or simply
+    reusing a DataFrame after a filtered query) — reproduced and
+    pinned in tests/test_snapshot_source.py.  Pruning at the
+    STATEMENT layer has no such hazard: the view built here is plain
+    parquet scans over a file list this code chose, re-applies every
+    predicate it pruned with, and lives only until the next
+    statement's attach.
+
+    Conservative by construction: any shape beyond one-SELECT /
+    one-FROM / conjunctive WHERE — joins, set ops, subqueries, CTEs,
+    OR at the top level — keeps the plain attach (full scan,
+    row-group pushdown).  A conjunct it cannot parse is simply not
+    used for pruning; `read_snapshot_pruned` re-applies what IS used,
+    so the rewrite can only ever skip provably-disjoint files."""
+    toks = [t for t, _l, _h in _tokens(sql)]
+    up = [t.upper() for t in toks]
+    if up.count("SELECT") != 1 or up.count("FROM") != 1:
+        return
+    if any(k in up for k in ("JOIN", "UNION", "INTERSECT", "EXCEPT",
+                             "LATERAL", "VERSION", "TIMESTAMP")):
+        return
+    i = up.index("FROM")
+    if i + 1 >= len(toks):
+        return
+    name_tok = toks[i + 1].strip("`")
+    entries = cat.catalog_entries(catalog_dir)
+    by_lower = {n.lower(): n for n in entries}
+    name = by_lower.get(name_tok.lower())
+    if name is None:
+        return
+    e = entries[name]
+    if e.get("kind") in ("view", "mview"):
+        return
+    alias = None
+    j = i + 2
+    if j < len(toks) and up[j] == "AS":
+        j += 1
+    if (
+        j < len(toks)
+        and up[j] not in _PRUNE_STOPS
+        and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", toks[j])
+    ):
+        alias = toks[j]
+    if "WHERE" not in up:
+        return
+    w = up.index("WHERE")
+    # the WHERE clause body: up to a depth-0 GROUP/ORDER/LIMIT/HAVING
+    depth = 0
+    end = len(toks)
+    for k in range(w + 1, len(toks)):
+        t = toks[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and up[k] in ("GROUP", "ORDER", "LIMIT", "HAVING"):
+            end = k
+            break
+    body = toks[w + 1 : end]
+    bup = [t.upper() for t in body]
+    if "OR" in bup or "(" in body:
+        return  # disjunctions/nesting: prune nothing, stay plain
+    # split top-level conjuncts
+    conjuncts: list[list[str]] = []
+    cur_c: list[str] = []
+    for t, u in zip(body, bup):
+        if u == "AND" and cur_c and (
+            # BETWEEN swallows ONE following AND
+            not ("BETWEEN" in [x.upper() for x in cur_c] and
+                 sum(1 for x in cur_c if x.upper() == "AND") <
+                 sum(1 for x in cur_c if x.upper() == "BETWEEN"))
+        ):
+            conjuncts.append(cur_c)
+            cur_c = []
+        else:
+            cur_c.append(t)
+    if cur_c:
+        conjuncts.append(cur_c)
+
+    def _lit(t: str):
+        if re.fullmatch(r"-?\d+", t):
+            return int(t)
+        if re.fullmatch(r"-?\d+\.\d*", t):
+            return float(t)
+        if len(t) >= 2 and t.startswith("'") and t.endswith("'"):
+            return t[1:-1].replace("''", "'")
+        return None
+
+    quals = {name.lower(), (alias or name).lower()}
+
+    def _col(parts: list[str]) -> tuple[str | None, list[str]]:
+        # [q .] col — a foreign qualifier disqualifies the conjunct
+        if len(parts) >= 3 and parts[1] == ".":
+            if parts[0].lower() not in quals:
+                return None, parts
+            return parts[2].strip("`"), parts[3:]
+        if parts and re.fullmatch(r"[A-Za-z_`][A-Za-z_0-9`]*", parts[0]):
+            return parts[0].strip("`"), parts[1:]
+        return None, parts
+
+    ranges: dict = {}
+    point_eq: dict = {}
+    lo_b: dict = {}
+    hi_b: dict = {}
+    for c in conjuncts:
+        col, rest = _col(c)
+        if col is None or not rest:
+            continue
+        u0 = rest[0].upper()
+        if u0 == "BETWEEN" and len(rest) == 4 and rest[2].upper() == "AND":
+            a, b = _lit(rest[1]), _lit(rest[3])
+            if a is not None and b is not None:
+                ranges[col] = (a, b)
+        elif rest[0] == "=" and len(rest) == 2:
+            v = _lit(rest[1])
+            if v is not None:
+                point_eq[col] = v
+        elif rest[0] == ">=" and len(rest) == 2:
+            v = _lit(rest[1])
+            if v is not None:
+                lo_b[col] = v
+        elif rest[0] == "<=" and len(rest) == 2:
+            v = _lit(rest[1])
+            if v is not None:
+                hi_b[col] = v
+    for col in set(lo_b) & set(hi_b):
+        ranges.setdefault(col, (lo_b[col], hi_b[col]))
+    root = e["root"]
+    version = None
+    if e.get("ref") is not None:
+        version = sn.resolve_ref(root, e["ref"])
+    elif e.get("asof") is not None:
+        version = sn.resolve_asof_version(root, float(e["asof"]))
+    elif e.get("version") is not None:
+        version = int(e["version"])
+    v_res = version if version is not None else sn.current_version(root)
+    if v_res is None:
+        return
+    lay = sn._read_manifest_meta(root, v_res).get("layout") or {}
+    transforms = lay.get("partition_transforms") or {}
+    # HIDDEN-PARTITION pruning: a conjunct whose left side IS a
+    # transform's expression (token-normalized; qualifiers stripped)
+    # prunes by recorded partition value — `WHERE a % 4 = 2` on a
+    # table PARTITIONED BY (a % 4 AS bucket)
+    partition_eq: dict = {}
+    if transforms:
+        def _norm(ts: list[str]) -> str:
+            out = []
+            k = 0
+            while k < len(ts):
+                if (
+                    k + 1 < len(ts)
+                    and ts[k + 1] == "."
+                    and ts[k].lower() in quals
+                ):
+                    k += 2
+                    continue
+                out.append(ts[k].strip("`").lower())
+                k += 1
+            return " ".join(out)
+
+        texpr = {
+            _norm([t for t, _l, _h in _tokens(expr)]): pname
+            for pname, expr in transforms.items()
+        }
+        for c in conjuncts:
+            if len(c) >= 3 and c[-2] == "=":
+                v = _lit(c[-1])
+                pname = texpr.get(_norm(c[:-2]))
+                if v is not None and pname is not None:
+                    partition_eq[pname] = v
+    ranges = {c: v for c, v in ranges.items() if c not in point_eq}
+    if not (ranges or point_eq or partition_eq):
+        return
+    try:
+        df = sn.read_snapshot_pruned(
+            spark,
+            root,
+            ranges=ranges or None,
+            partition_eq=partition_eq or None,
+            point_eq=point_eq or None,
+            version=version,
+        )
+    except Exception:
+        return  # anything unexpected: the plain attach stands
+    df.createOrReplaceTempView(name)
 
 
 def _assignments(

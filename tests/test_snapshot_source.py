@@ -795,213 +795,74 @@ def test_stream_admission_grid_exactly_once(spark, tmp_path):
             assert got == want, (caps, restart)
 
 
-def test_batch_pushdown_prunes_files_and_stays_correct(spark, tmp_path):
-    """Catalyst filter pushdown (Spark 4.1 Python DataSource API,
-    opt-in): a WHERE over the snapshot DataSource prunes manifest
-    files by recorded stats at plan time; every filter is still
-    re-evaluated by Spark, so answers never change — and the DEFAULT
-    reader keeps working with the pushdown conf off."""
-    from pyspark.sql.datasource import (
-        EqualTo,
-        GreaterThanOrEqual,
-        In,
-        IsNotNull,
-        LessThan,
-    )
-
-    from data_engineering_challenge_spark.sources.snapshot_source import (
-        PushdownSnapshotBatchReader,
-    )
-
+def test_per_scan_pushdown_is_withdrawn(spark, tmp_path):
+    """Round 10: the r8 DataSource pushFilters file pruning was
+    WITHDRAWN after measurement — Spark 4.1 keeps ONE Python-
+    DataSource read plan per RELATION (the last scan planned wins for
+    every scan of it), so per-scan pruning silently LOST ROWS whenever
+    a relation was scanned twice (a UNION over one attached view, or
+    simply reusing a DataFrame after a filtered query returned
+    one file's rows for a full count).  This test pins the SAFE
+    contract that replaced it: (a) the 'pushdown' option refuses
+    loudly with the explanation, (b) relation reuse is exact — a
+    filtered query never changes what a later scan of the same
+    DataFrame reads, including UNION branches with disjoint needs."""
     register_snapshot_source(spark)
     root = str(tmp_path / "tbl")
-    df = spark.range(1000).select(
-        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    df = spark.range(15000).selectExpr(
+        "id AS okey", "id AS cust", "CAST(id AS DOUBLE) AS price"
     )
-    sn.snapshot_append_clustered(df, root, ["k"], n_files=8)
-
-    # default reader: no pushFilters defined -> safe on a vanilla
-    # session (Spark REFUSES readers that define pushFilters while
-    # spark.sql.python.filterPushdown.enabled is false — the count
-    # below would throw if the default reader carried the method)
-    r0 = spark.read.format("snapshot_table").option("root", root).load()
-    assert r0.filter("k < 10").count() == 10
-
-    # white-box: the pushdown reader prunes by manifest stats and
-    # returns EVERY filter for Spark's post-scan re-evaluation
-    rd = PushdownSnapshotBatchReader(root, r0.schema)
-    flts = [GreaterThanOrEqual(("k",), 10), LessThan(("k",), 20)]
-    assert list(rd.pushFilters(flts)) == flts
-    assert len(rd.files) == 1
-    rd2 = PushdownSnapshotBatchReader(root, r0.schema)
-    rd2.pushFilters([EqualTo(("k",), 5), IsNotNull(("k",))])
-    assert len(rd2.files) == 1  # IsNotNull ignored, EqualTo prunes
-    rd3 = PushdownSnapshotBatchReader(root, r0.schema)
-    rd3.pushFilters([In(("k",), (5, 999))])
-    assert len(rd3.files) == 2
-    # incomparable literal type or unstatted column: no claims
-    rd4 = PushdownSnapshotBatchReader(root, r0.schema)
-    rd4.pushFilters([EqualTo(("k",), "zzz"), EqualTo(("v",), 4)])
-    assert len(rd4.files) == 8
-
-    # TIMESTAMP filters make no claims: footer stats are tz-aware ISO
-    # while Catalyst hands naive datetimes — a lexical compare would
-    # wrongly prune files holding the exact queried instant
-    import datetime
-
-    troot = str(tmp_path / "ttbl")
-    tdf = spark.range(100).select(
-        F.col("id").alias("k"),
-        (F.lit("2024-01-01 00:00:00").cast("timestamp")
-         + F.make_interval(hours=F.col("id"))).alias("ts"),
-    )
-    sn.snapshot_append_clustered(tdf, troot, ["ts"], n_files=4)
-    rt = spark.read.format("snapshot_table").option("root", troot).load()
-    rd5 = PushdownSnapshotBatchReader(troot, rt.schema)
-    rd5.pushFilters([EqualTo(("ts",), datetime.datetime(2024, 1, 1, 5))])
-    assert len(rd5.files) == 4  # no pruning claims on timestamps
-    # DATE stats carry no offset and stay prunable
-    droot = str(tmp_path / "dtbl")
-    ddf = tdf.select("k", F.to_date("ts").alias("d"))
-    sn.snapshot_append_clustered(ddf, droot, ["k"], n_files=4,
-                                 stats_cols=["d"])
-    rdd = spark.read.format("snapshot_table").option("root", droot).load()
-    rd6 = PushdownSnapshotBatchReader(droot, rdd.schema)
-    rd6.pushFilters([EqualTo(("d",), datetime.date(2024, 1, 5))])
-    assert len(rd6.files) == 1
-
-    # StringStartsWith: prefix range pruning on string stats
-    from pyspark.sql.datasource import StringStartsWith
-
-    sroot = str(tmp_path / "stbl")
-    sdf = spark.range(400).select(
-        F.col("id").alias("k"),
-        F.concat(
-            F.lit("u"), F.lpad(F.col("id").cast("string"), 4, "0")
-        ).alias("name"),
-    )
-    sn.snapshot_append_clustered(sdf, sroot, ["name"], n_files=4)
-    rs = spark.read.format("snapshot_table").option("root", sroot).load()
-    rd7 = PushdownSnapshotBatchReader(sroot, rs.schema)
-    rd7.pushFilters([StringStartsWith(("name",), "u000")])  # ids 0-9
-    assert len(rd7.files) == 1
-    rd8 = PushdownSnapshotBatchReader(sroot, rs.schema)
-    rd8.pushFilters([StringStartsWith(("name",), "u")])  # everything
-    assert len(rd8.files) == 4
-    # e2e: prefix WHERE stays correct through Catalyst
-    old2 = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        rp = (
+    sn.snapshot_append_clustered(df, root, ["okey"], n_files=8)
+    with pytest.raises(Exception, match="WITHDRAWN"):
+        (
             spark.read.format("snapshot_table")
-            .option("root", sroot)
-            .option("pushdown", "true")
-            .load()
+            .option("root", root).option("pushdown", "true")
+            .load().count()
         )
-        assert rp.filter("name LIKE 'u000%'").count() == 10
-    finally:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", old2)
-
-    # e2e through Catalyst with the conf on: same answers, fewer files
-    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        r = (
-            spark.read.format("snapshot_table")
-            .option("root", root)
-            .option("pushdown", "true")
-            .load()
-        )
-        got = sorted(
-            x.k for x in r.filter("k >= 10 AND k < 20").collect()
-        )
-        assert got == list(range(10, 20))
-        assert r.filter("k = 5 AND v = 10").count() == 1
-    finally:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+    r = spark.read.format("snapshot_table").option("root", root).load()
+    # the poisoning shape: filtered query, then a FULL count on the
+    # same DataFrame (under the withdrawn reader this returned one
+    # file's rows), then a UNION whose branches need disjoint files
+    assert r.filter("okey = 5").count() == 1
+    assert r.count() == 15000
+    r.createOrReplaceTempView("wd_v")
+    got = {
+        t[0]: t[1]
+        for t in spark.sql(
+            """SELECT 'range' d, COUNT(*) n FROM wd_v
+               WHERE okey BETWEEN 1000 AND 4000
+               UNION ALL SELECT 'point', COUNT(*) FROM wd_v
+               WHERE cust = 14999
+               UNION ALL SELECT 'all', COUNT(*) FROM wd_v"""
+        ).collect()
+    }
+    assert got == {"range": 3001, "point": 1, "all": 15000}, got
 
 
-def test_pushdown_bloom_prunes_point_lookups(spark, tmp_path):
-    """pushFilters composes BLOOM probes with stats (round 10): an
-    EqualTo/In on a hash-scattered bloom'd column skips files min/max
-    cannot (every file's range spans the domain); a miss is proof of
-    absence; non-canonical literal forms make no claims."""
-    from pyspark.sql.datasource import EqualTo, In
-
-    from data_engineering_challenge_spark.sources.snapshot_source import (
-        PushdownSnapshotBatchReader,
-    )
-
-    register_snapshot_source(spark)
+def test_stream_accepts_add_only_evolution(spark, tmp_path):
+    """ADD-only evolution (the common ALTER TABLE ADD COLUMN) keeps
+    the table STREAMABLE (round 10): every live file binds its columns
+    to same-named live fields, so the raw file feed equals the logical
+    read and missing columns pad as NULL; renames/drops/defaulted adds
+    still refuse loudly."""
     root = str(tmp_path / "tbl")
-    # hash-scattered key: every file's [min, max] spans the domain
-    df = spark.range(4000).select(
-        F.xxhash64("id").alias("k"), F.col("id").alias("v")
-    ).repartition(8)
+    sn.snapshot_append(_df(spark, 0, 5), root)
+    sn.snapshot_evolve(root, adds={"tag": "string"})  # plain typed add
     sn.snapshot_append(
-        df, root, stats_cols=["k"], bloom_cols=["k"], bloom_bits=65536
+        spark.createDataFrame([(7, 14, "x")], "id long, v long, tag string"),
+        root,
     )
-    schema = sn.read_snapshot(spark, root).schema
-    present = [r["k"] for r in sn.read_snapshot(spark, root).limit(3).collect()]
-    # present key: ~1 file admitted (its own + ~1% fp), never 0
-    rd = PushdownSnapshotBatchReader(root, schema)
-    rd.pushFilters([EqualTo(("k",), int(present[0]))])
-    assert 1 <= len(rd.files) <= 3, len(rd.files)
-    # absent key: bloom proves absence in (almost) every file
-    rd2 = PushdownSnapshotBatchReader(root, schema)
-    rd2.pushFilters([EqualTo(("k",), 1)])  # xxhash64 never tiny here
-    assert len(rd2.files) <= 1, len(rd2.files)
-    # In: union of the values' admissions
-    rd3 = PushdownSnapshotBatchReader(root, schema)
-    rd3.pushFilters([In(("k",), (int(present[0]), int(present[1])))])
-    assert 1 <= len(rd3.files) <= 4
-    # a literal outside the hash contract (float) makes NO claims
-    rd4 = PushdownSnapshotBatchReader(root, schema)
-    rd4.pushFilters([EqualTo(("k",), 1.5)])
-    assert len(rd4.files) == 8
-    # end to end: answers identical with pruning engaged
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    r = (
-        spark.read.format("snapshot_table")
-        .option("root", root).option("pushdown", "true").load()
-    )
-    got = r.filter(F.col("k") == int(present[0])).count()
-    assert got >= 1
-
-
-def test_attach_routes_through_pushdown_reader(spark, tmp_path):
-    """`attach_snapshot_view` (round 10): with the session pushdown
-    conf ON, a plain table's SQL view plans through the pushdown
-    DataSource (manifest file pruning from plain SQL WHERE); MoR
-    delete-carrying and evolved versions keep the engine-merged path;
-    answers identical either way."""
-    root = str(tmp_path / "tbl")
-    df = spark.range(1000).select(
-        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
-    )
-    sn.snapshot_append_clustered(df, root, ["k"], n_files=8)
-
-    def _plan(sql):
-        return spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
-
-    q = "SELECT k, v FROM pd_t WHERE k = 500"
-    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
-    try:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
-        sn.attach_snapshot_view(spark, "pd_t", root)
-        assert "Scan parquet" in _plan(q)
-        assert [tuple(r) for r in spark.sql(q).collect()] == [(500, 1000)]
-
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-        sn.attach_snapshot_view(spark, "pd_t", root)
-        plan = _plan(q)
-        assert "PythonScan" in plan or "BatchScan" in plan, plan
-        assert [tuple(r) for r in spark.sql(q).collect()] == [(500, 1000)]
-
-        # a delete-carrying version falls back to the MoR path
-        sn.snapshot_delete_where(spark, root, "k = 500", keys=["k"])
-        sn.attach_snapshot_view(spark, "pd_t", root)
-        assert "Scan parquet" in _plan(q)
-        assert spark.sql(q).count() == 0
-    finally:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, root, out, ckpt)
+    got = {r["id"]: (r["v"], r["tag"]) for r in spark.read.parquet(out).collect()}
+    assert got[7] == (14, "x") and got[0] == (0, None) and len(got) == 6
+    # a defaulted add breaks the raw-read equivalence: refuse
+    sn.snapshot_evolve(root, adds={"w": ("long", 9)})
+    with pytest.raises(Exception, match="defaulted add|renames"):
+        _drain(spark, root, out, str(tmp_path / "ck2"))
+    # a renamed table refuses too
+    root2 = str(tmp_path / "tbl2")
+    sn.snapshot_append(_df(spark, 0, 3), root2)
+    sn.snapshot_evolve(root2, renames={"v": "val"})
+    with pytest.raises(Exception, match="renames/drops"):
+        _drain(spark, root2, str(tmp_path / "o2"), str(tmp_path / "ck3"))

@@ -1064,3 +1064,88 @@ def test_or_replace_supersedes_layout(spark, cdir):
     assert execute_sql(
         spark, "SELECT COUNT(*) AS n FROM pr", cdir
     ).first()["n"] == 6
+
+
+def test_statement_level_pruned_attach(spark, cdir):
+    """SQL manifest pruning at the STATEMENT layer (round 10 — the
+    sound replacement for the withdrawn DataSource pushdown): a
+    single-table WHERE's conjuncts re-attach the view as
+    read_snapshot_pruned, so a range lookup opens ~1 clustered file
+    and a bloom point lookup skips what stats cannot — verified via
+    the registered view's inputFiles; every predicate re-applies, so
+    answers never depend on the pruning."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE pt (k BIGINT, tag STRING, v DOUBLE)
+          CLUSTERED BY (k) BLOOM BY (tag) BITS 65536;
+        INSERT INTO pt SELECT id, CONCAT('t', id), CAST(id AS DOUBLE)
+          FROM RANGE(4000);
+        """,
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["pt"]["root"]
+    n_files = len(sn._read_manifest(root, sn.current_version(root))["files"])
+    assert n_files >= 8
+
+    def opened():
+        return len(spark.table("pt").inputFiles())
+
+    out = execute_sql(
+        spark, "SELECT COUNT(*) AS n FROM pt WHERE k BETWEEN 100 AND 200",
+        cdir,
+    )
+    assert out.first()["n"] == 101
+    assert opened() <= 2, opened()
+    # bloom point lookup on the hash-useless string column
+    out = execute_sql(
+        spark, "SELECT k FROM pt WHERE tag = 't1234'", cdir
+    )
+    assert [r["k"] for r in out.collect()] == [1234]
+    assert opened() <= 2, opened()
+    # alias-qualified conjuncts prune too
+    execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM pt p WHERE p.k >= 10 AND p.k <= 20",
+        cdir,
+    )
+    assert opened() <= 2, opened()
+    # shapes the analyzer must NOT touch keep the plain attach
+    out = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM pt WHERE k = 5 OR k = 3999", cdir,
+    )
+    assert out.first()["n"] == 2
+    assert opened() == n_files
+    out = execute_sql(
+        spark,
+        "SELECT 'a' AS d, COUNT(*) AS n FROM pt WHERE k = 5 "
+        "UNION ALL SELECT 'b', COUNT(*) FROM pt",
+        cdir,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [("a", 1), ("b", 4000)]
+
+
+def test_pruned_attach_composes_with_partitions_and_pins(spark, cdir):
+    """partition_eq pruning from SQL equality on a transform name, and
+    a PINNED entry prunes at its pinned version."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE pz (a BIGINT, b BIGINT)
+          PARTITIONED BY (a % 4 AS bucket) CLUSTERED BY (b);
+        INSERT INTO pz SELECT id, id * 2 FROM RANGE(1000);
+        """,
+        cdir,
+    )
+    out = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM pz WHERE a % 4 = 2 "
+        "AND b BETWEEN 100 AND 200",
+        cdir,
+    )
+    want = sum(1 for i in range(1000) if i % 4 == 2 and 100 <= i * 2 <= 200)
+    assert out.first()["n"] == want
+    root = cat.catalog_entries(cdir)["pz"]["root"]
+    total = len(sn._read_manifest(root, sn.current_version(root))["files"])
+    assert len(spark.table("pz").inputFiles()) < total
