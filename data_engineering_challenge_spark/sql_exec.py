@@ -992,9 +992,21 @@ def _pruned_attach(spark: SparkSession, catalog_dir: str, sql: str) -> None:
         and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", toks[j])
     ):
         alias = toks[j]
-    if "WHERE" not in up:
+    # the WHERE must FOLLOW the FROM at depth 0 — an aggregate's
+    # FILTER (WHERE ...) in the select list is not the table predicate
+    w = None
+    depth = 0
+    for k in range(i + 1, len(toks)):
+        t = toks[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and up[k] == "WHERE":
+            w = k
+            break
+    if w is None:
         return
-    w = up.index("WHERE")
     # the WHERE clause body: up to a depth-0 GROUP/ORDER/LIMIT/HAVING
     depth = 0
     end = len(toks)
@@ -1009,7 +1021,7 @@ def _pruned_attach(spark: SparkSession, catalog_dir: str, sql: str) -> None:
             break
     body = toks[w + 1 : end]
     bup = [t.upper() for t in body]
-    if "OR" in bup or "(" in body:
+    if "OR" in bup or "(" in body or ")" in body:
         return  # disjunctions/nesting: prune nothing, stay plain
     # split top-level conjuncts
     conjuncts: list[list[str]] = []

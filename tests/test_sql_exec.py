@@ -1149,3 +1149,28 @@ def test_pruned_attach_composes_with_partitions_and_pins(spark, cdir):
     root = cat.catalog_entries(cdir)["pz"]["root"]
     total = len(sn._read_manifest(root, sn.current_version(root))["files"])
     assert len(spark.table("pz").inputFiles()) < total
+
+
+def test_pruned_attach_ignores_filter_clause_where(spark, cdir):
+    """An aggregate's FILTER (WHERE ...) in the select list is not the
+    table predicate — the analyzer must key on the depth-0 WHERE after
+    FROM (or prune nothing)."""
+    execute_sql(
+        spark,
+        "CREATE TABLE fw AS SELECT id AS k, id % 2 AS b FROM RANGE(100)",
+        cdir,
+    )
+    out = execute_sql(
+        spark,
+        "SELECT COUNT(*) FILTER (WHERE b = 1) AS n_odd, COUNT(*) AS n "
+        "FROM fw",
+        cdir,
+    )
+    assert [tuple(r) for r in out.collect()] == [(50, 100)]
+    out = execute_sql(
+        spark,
+        "SELECT COUNT(*) FILTER (WHERE b = 1) AS n_odd FROM fw "
+        "WHERE k BETWEEN 10 AND 29",
+        cdir,
+    )
+    assert out.first()["n_odd"] == 10
