@@ -42,7 +42,6 @@ hash-matching the round trip against the raw-events oracle.
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
