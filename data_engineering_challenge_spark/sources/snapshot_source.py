@@ -22,11 +22,13 @@ micro-batch rows:
   carried through): an overwrite between offsets means the delta is not
   append-only, and ANY delete-set change (a MoR merge/delete) removes
   or resurrects rows no added-file diff can express — both fail the
-  batch instead of silently streaming wrong rows.  Schema-evolved
-  tables (`snapshot_evolve`) are refused at plan time: a stream's
-  schema is fixed at start.  Additive evolution (appends that add
-  columns) IS supported: each file is padded to the stream schema with
-  NULL columns, exactly like a merge-schema batch read.
+  batch instead of silently streaming wrong rows.  Schema evolution
+  that RENAMES or DROPS columns (or adds one with an initial default)
+  is refused at plan time — the raw file feed cannot relabel rows and
+  a stream's schema is fixed at start; ADD-only evolution and plain
+  additive appends ARE supported: each file is padded to the stream
+  schema with NULL columns, exactly like a merge-schema batch read
+  (`_trivially_bound`).
 
 The batch side (``spark.read.format("snapshot_table")``) reads the
 pinned latest version with the same per-file partitioning — one
