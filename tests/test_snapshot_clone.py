@@ -235,7 +235,7 @@ def test_zorder_layout_survives_compaction_and_refuses_mixing(
 
     root = str(tmp_path / "z")
     sn.snapshot_append_zordered(_grid(spark), root, ["x", "y"], n_files=16)
-    with pytest.raises(ValueError, match="Z-ORDER layout"):
+    with pytest.raises(ValueError, match="(?i)z-order layout"):
         sn.snapshot_append_clustered(_grid(spark), root, ["x"])
     sn.snapshot_delete_where(spark, root, "payload % 11 = 0", keys=["payload"])
     sn.snapshot_compact(spark, root)
@@ -274,7 +274,7 @@ def test_zorder_refuses_partition_mixing_and_evolve_remaps(
         sn.snapshot_append_zordered(_grid(spark, 6), proot, ["x", "y"])
     zroot = str(tmp_path / "z")
     sn.snapshot_append_zordered(_grid(spark, 6), zroot, ["x", "y"])
-    with pytest.raises(ValueError, match="Z-ORDER layout"):
+    with pytest.raises(ValueError, match="(?i)z-order layout"):
         sn.snapshot_append_partitioned(
             _grid(spark, 6), zroot, {"pz": "x % 2"}
         )

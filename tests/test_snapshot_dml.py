@@ -959,16 +959,17 @@ def test_optimize_zorder_rewrite(spark, tmp_path):
     ) == sorted(after + [
         (k % 64, 99, k) for k in range(5000, 5010)
     ])
-    # partitioned tables refuse
+    # partitioned tables COMPOSE since round 10: the rewrite
+    # re-clusters within each partition, values preserved
     p = str(tmp_path / "p")
     sn.snapshot_append_partitioned(
         spark.range(10).select(F.col("id").alias("k")), p,
         {"b": "k % 2"},
     )
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="partition"):
-        sn.snapshot_rewrite_zordered(spark, p, ["k"])
+    vz = sn.snapshot_rewrite_zordered(spark, p, ["k"])
+    assert sn._read_manifest(p, vz)["partition_values"]
+    assert sn._read_manifest_meta(p, vz)["layout"]["zorder_cols"] == ["k"]
+    assert sn.read_snapshot_mor(spark, p).count() == 10
 
 
 def test_optimize_zorder_preserves_schema_stats_blooms(spark, tmp_path):

@@ -626,10 +626,18 @@ def test_file_stats_json_safe_types(spark, tmp_path):
     )
     v = sn.snapshot_append(df, root, stats_cols=["s", "ts"])
     stats = sn._read_manifest(root, v)["stats"]
+    saw_s = False
     for fstats in stats.values():
-        if fstats:
+        if "s" in fstats:
+            saw_s = True
             assert isinstance(fstats["s"][0], str)
+        # pyarrow exposes NO footer statistics for Spark-written
+        # tz-aware timestamps in this stack: the column records no
+        # claims (per-column skip, round 10) — pruning on it is
+        # always-read, never a wrong skip, and json.dump still works
+        if "ts" in fstats:
             assert isinstance(fstats["ts"][0], str)
+    assert saw_s, "string stats must be recorded"
     assert sn.read_snapshot(spark, root).count() == 5
     # string-range pruning still works on the coerced stats
     hit = sn.read_snapshot_pruned(spark, root, "s", "k001", "k002")
