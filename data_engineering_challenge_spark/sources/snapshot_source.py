@@ -81,6 +81,39 @@ def _change_feed_on(options) -> bool:
     return str(options.get("change_feed", "")).lower() in ("true", "1")
 
 
+def _ddl_atom(ddl: str):
+    """A SCALAR Spark DDL type parsed WITHOUT a SparkContext (the
+    DataSource's ``schema()`` runs in the planning worker, where
+    `_parse_datatype_string` raises) — covers every type
+    `snapshot_evolve` adds in practice; None for anything else."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    s = ddl.strip().lower()
+    atoms = {
+        "tinyint": T.ByteType(), "byte": T.ByteType(),
+        "smallint": T.ShortType(), "short": T.ShortType(),
+        "int": T.IntegerType(), "integer": T.IntegerType(),
+        "bigint": T.LongType(), "long": T.LongType(),
+        "float": T.FloatType(), "real": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+        "binary": T.BinaryType(),
+        "decimal": T.DecimalType(10, 0),
+    }
+    if s in atoms:
+        return atoms[s]
+    m = _re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    return None
+
+
 def _trivially_bound(m: dict) -> bool:
     """True when an evolved manifest's logical read IS the raw
     merge-schema read: every live file binds every physical column to
@@ -404,6 +437,31 @@ class SnapshotTableDataSource(DataSource):
         base = _all_nullable(
             from_arrow_schema(pa.schema(list(fields.values())))
         )
+        # an ADD-only evolved table may declare a typed column NO file
+        # carries yet — the footer union cannot see it, but the stream
+        # schema is FIXED at start: omitting it would project the
+        # column away for the stream's whole lifetime once files do
+        # carry it.  Append such adds as nullable declared types.
+        lf = m.get("fields") or []
+        have = {n.lower() for n in base.fieldNames()}
+        missing = [
+            fl for fl in lf
+            if fl.get("type") and fl["name"].lower() not in have
+        ]
+        if missing:
+            from pyspark.sql.types import StructField
+
+            extra = []
+            for fl in missing:
+                dt = _ddl_atom(fl["type"])
+                if dt is None:
+                    # a complex declared type this context-free parser
+                    # cannot resolve (schema() runs in the plan worker,
+                    # no SparkContext): omit the column — the pre-fix
+                    # posture, never a wrong type
+                    continue
+                extra.append(StructField(fl["name"], dt, True))
+            base = StructType(list(base.fields) + extra)
         if not _change_feed_on(self.options):
             return base
         from pyspark.sql.types import LongType, StringType, StructField

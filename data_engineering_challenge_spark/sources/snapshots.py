@@ -1320,6 +1320,7 @@ def snapshot_overwrite(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 8192,
     _meta_updates: dict | None = None,
+    _layout_override: dict | None = None,
 ) -> int:
     """Commit a new version whose content is exactly ``df`` (existing
     versions stay readable by number).  ``tag`` gives the same
@@ -1366,6 +1367,15 @@ def snapshot_overwrite(
         operation=operation,
         new_file_columns=list(df.columns),
         meta_updates=meta,
+        # WHOLESALE layout replacement (CREATE OR REPLACE TABLE's
+        # contract): the additive meta merge ACCUMULATES transform
+        # names by design, which is wrong for a replace — the override
+        # path swaps the whole layout dict instead
+        manifest_override=(
+            {"layout": _layout_override or None}
+            if _layout_override is not None
+            else None
+        ),
     )
 
 

@@ -407,7 +407,7 @@ def _rewrite_aliases(text: str, mapping: dict[str, str | None]) -> str:
 
 def _attach(
     spark: SparkSession, catalog_dir: str, sql: str | None = None
-) -> None:
+) -> dict | None:
     """Attach the catalog objects a statement needs — O(referenced
     names), not O(catalog): the statement's identifier tokens are
     intersected (case-insensitively, Spark's resolution rule) with the
@@ -421,7 +421,7 @@ def _attach(
     thousand."""
     if sql is None:
         cat.attach_catalog(spark, catalog_dir)
-        return
+        return None
     entries = cat.catalog_entries(catalog_dir)
     by_lower: dict[str, str] = {}
     for n in entries:
@@ -438,6 +438,7 @@ def _attach(
             seen.add(hit)
             referenced.append(hit)
     cat.attach_catalog(spark, catalog_dir, names=referenced)
+    return entries
 
 
 def _entry(catalog_dir: str, name: str, fn: str) -> dict:
@@ -662,32 +663,19 @@ def _create_table_commit(
              *(lay.get("stats_cols") or [])]
         )
     ) or None
-    # a DECLARED layout REPLACES the prior one wholesale — _commit's
-    # layout merge is additive (right for maintenance commits), so an
-    # OR REPLACE with a different clustering policy must explicitly
-    # null out every key it supersedes, or the merged layout would mix
-    # the two (and the claim-loop backstop would misdiagnose the
-    # serial replace as a concurrent-writer race)
-    lay_replace = (
-        {
-            "partition_transforms": None,
-            "sort_cols": None,
-            "zorder_cols": None,
-            "zorder_bits": None,
-            "stats_cols": None,
-            "bloom_cols": None,
-            "bloom_bits": None,
-            **lay,
-        }
-        if lay
-        else None
+    # a layout on a REPLACE is WHOLESALE: declared clauses become the
+    # whole layout; no clauses means the prior layout filtered to what
+    # the new schema can honor (a stale partition transform over a
+    # dropped column would otherwise brick every later INSERT's
+    # routing) — both through snapshot_overwrite's override path,
+    # never the additive meta merge (which accumulates transform
+    # names by design, wrong for a replace)
+    lay_replace = dict(lay) if lay else _filter_prior_layout(
+        spark, root, df
     )
     if cols is not None:
         return sn.snapshot_overwrite(
-            df.coalesce(1), root,
-            _meta_updates=(
-                {"layout": lay_replace} if lay_replace else None
-            ),
+            df.coalesce(1), root, _layout_override=lay_replace
         )
     if transforms:
         if existing is not None:
@@ -716,14 +704,10 @@ def _create_table_commit(
         arranged = df.repartitionByRange(8, *sc).sortWithinPartitions(*sc)
     if not lay:
         # no declaration: a replace inherits the prior layout's
-        # stats/bloom policy, filtered to columns the content carries.
-        # Policies the new schema can no longer honor are explicitly
-        # RETIRED (a partition transform over a dropped column would
-        # otherwise brick every later INSERT's routing).
+        # stats/bloom policy, filtered to columns the content carries
         stats_cols, bloom_cols, bloom_bits = sn._inherit_prune_policy(
             root, df.columns, None, None, 8192
         )
-        lay_replace = _filter_prior_layout(spark, root, df)
     else:
         bloom_cols = lay.get("bloom_cols")
         bloom_bits = int(lay.get("bloom_bits") or 8192)
@@ -732,7 +716,7 @@ def _create_table_commit(
         stats_cols=stats_cols,
         bloom_cols=bloom_cols,
         bloom_bits=bloom_bits,
-        _meta_updates={"layout": lay_replace} if lay_replace else None,
+        _layout_override=lay_replace,
     )
 
 
@@ -740,10 +724,11 @@ def _filter_prior_layout(
     spark: SparkSession, root: str, df: DataFrame
 ) -> dict | None:
     """The prior layout filtered to what the REPLACEMENT content can
-    honor, with retired keys explicitly nulled (the layout merge is
-    additive): column policies keep only surviving columns; partition
-    transforms keep only expressions that analyze over the new
-    schema.  None when the table has no prior layout."""
+    honor, used as a WHOLESALE layout override: column policies keep
+    only surviving columns; partition transforms keep only expressions
+    that analyze over the new schema.  None when the table has no
+    prior layout (no override needed); an empty dict CLEARS a layout
+    nothing of which survives."""
     from pyspark.sql import functions as F
 
     cur_v = sn.current_version(root)
@@ -756,13 +741,12 @@ def _filter_prior_layout(
     out: dict = {}
     for key in ("sort_cols", "zorder_cols", "stats_cols", "bloom_cols"):
         kept = [c for c in prior.get(key) or [] if c in have]
-        out[key] = kept or None
-    out["zorder_bits"] = (
-        prior.get("zorder_bits") if out["zorder_cols"] else None
-    )
-    out["bloom_bits"] = (
-        prior.get("bloom_bits") if out["bloom_cols"] else None
-    )
+        if kept:
+            out[key] = kept
+    if out.get("zorder_cols") and prior.get("zorder_bits"):
+        out["zorder_bits"] = prior["zorder_bits"]
+    if out.get("bloom_cols") and prior.get("bloom_bits"):
+        out["bloom_bits"] = prior["bloom_bits"]
     tr: dict = {}
     for name, expr in (prior.get("partition_transforms") or {}).items():
         if name in have:
@@ -772,7 +756,8 @@ def _filter_prior_layout(
         except Exception:
             continue  # references dropped columns — retire it
         tr[name] = expr
-    out["partition_transforms"] = tr or None
+    if tr:
+        out["partition_transforms"] = tr
     return out
 
 
@@ -923,9 +908,16 @@ def _rewrite_time_travel(
 
 
 def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
-    _attach(spark, catalog_dir, sql)
-    _pruned_attach(spark, catalog_dir, sql)
-    return spark.sql(_rewrite_time_travel(spark, catalog_dir, sql))
+    entries = _attach(spark, catalog_dir, sql)
+    pruned = _pruned_attach(spark, catalog_dir, sql, entries)
+    df = spark.sql(_rewrite_time_travel(spark, catalog_dir, sql))
+    if pruned is not None:
+        # spark.sql analyzed EAGERLY (the plan holds the pruned scan);
+        # restore the PLAIN view so a direct spark.sql/spark.table
+        # outside this executor never sees a statement's filtered,
+        # file-pruned subset lingering under the table's name
+        cat.attach_catalog(spark, catalog_dir, names=[pruned])
+    return df
 
 
 #: keywords that terminate the FROM clause / cannot be a table alias
@@ -935,7 +927,12 @@ _PRUNE_STOPS = {
 }
 
 
-def _pruned_attach(spark: SparkSession, catalog_dir: str, sql: str) -> None:
+def _pruned_attach(
+    spark: SparkSession,
+    catalog_dir: str,
+    sql: str,
+    entries: dict | None = None,
+) -> str | None:
     """STATEMENT-LEVEL manifest pruning for the SQL surface: when the
     statement is one SELECT over ONE catalog snapshot table and its
     WHERE carries analyzable conjuncts (``col = lit``, ``col BETWEEN
@@ -974,7 +971,8 @@ def _pruned_attach(spark: SparkSession, catalog_dir: str, sql: str) -> None:
     if i + 1 >= len(toks):
         return
     name_tok = toks[i + 1].strip("`")
-    entries = cat.catalog_entries(catalog_dir)
+    if entries is None:
+        entries = cat.catalog_entries(catalog_dir)
     by_lower = {n.lower(): n for n in entries}
     name = by_lower.get(name_tok.lower())
     if name is None:
@@ -1133,8 +1131,46 @@ def _pruned_attach(spark: SparkSession, catalog_dir: str, sql: str) -> None:
                 if v is not None and pname is not None:
                     partition_eq[pname] = v
     ranges = {c: v for c, v in ranges.items() if c not in point_eq}
+    # literal CANONICALIZATION (review, round 10): a bloom probe
+    # hashes str(value), so a float (5.0) or zero-padded string ('05')
+    # equality on a bigint column would fake ABSENCE and silently drop
+    # rows; partition values compare as strings with the same hazard.
+    # A point equality survives only when the literal's python type
+    # matches the column family EXACTLY (int on integral, str on
+    # string); every other equality demotes to a (v, v) RANGE — stats
+    # comparisons are value-exact for numerics and make no claims
+    # across types — and a non-int/str partition equality is dropped.
+    partition_eq = {
+        c: v
+        for c, v in partition_eq.items()
+        if isinstance(v, (int, str)) and not isinstance(v, bool)
+    }
+    if point_eq:
+        try:
+            dtypes = {
+                f.name.lower(): f.dataType.simpleString()
+                for f in sn.read_snapshot_mor(
+                    spark, root, version
+                ).schema.fields
+            }
+        except Exception:
+            return None
+        integral = {"tinyint", "smallint", "int", "bigint"}
+        demote = {}
+        for c, v in list(point_eq.items()):
+            t = dtypes.get(c.lower())
+            ok = (
+                isinstance(v, int)
+                and not isinstance(v, bool)
+                and t in integral
+            ) or (isinstance(v, str) and t == "string")
+            if not ok:
+                demote[c] = (v, v)
+                del point_eq[c]
+        for c, r in demote.items():
+            ranges.setdefault(c, r)
     if not (ranges or point_eq or partition_eq):
-        return
+        return None
     try:
         df = sn.read_snapshot_pruned(
             spark,
@@ -1145,8 +1181,9 @@ def _pruned_attach(spark: SparkSession, catalog_dir: str, sql: str) -> None:
             version=version,
         )
     except Exception:
-        return  # anything unexpected: the plain attach stands
+        return None  # anything unexpected: the plain attach stands
     df.createOrReplaceTempView(name)
+    return name
 
 
 def _assignments(

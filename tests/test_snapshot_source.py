@@ -866,3 +866,27 @@ def test_stream_accepts_add_only_evolution(spark, tmp_path):
     sn.snapshot_evolve(root2, renames={"v": "val"})
     with pytest.raises(Exception, match="renames/drops"):
         _drain(spark, root2, str(tmp_path / "o2"), str(tmp_path / "ck3"))
+
+
+def test_stream_schema_includes_unmaterialized_typed_add(spark, tmp_path):
+    """A typed ADD no file carries yet must still be in the stream
+    schema (fixed at start) — otherwise files that later carry it have
+    the column projected away for the stream's lifetime (review,
+    round 10)."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_append(_df(spark, 0, 3), root)
+    sn.snapshot_evolve(root, adds={"tag": "string"})
+    register_snapshot_source(spark)
+    stream = (
+        spark.readStream.format("snapshot_table").option("root", root).load()
+    )
+    assert "tag" in stream.schema.fieldNames()
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    st.run_available_now(stream, out, ck)
+    sn.snapshot_append(
+        spark.createDataFrame([(9, 18, "x")], "id long, v long, tag string"),
+        root,
+    )
+    _drain(spark, root, out, ck)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert (9, 18, "x") in got and (0, 0, None) in got

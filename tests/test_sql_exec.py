@@ -1174,3 +1174,70 @@ def test_pruned_attach_ignores_filter_clause_where(spark, cdir):
         cdir,
     )
     assert out.first()["n_odd"] == 10
+
+
+def test_pruned_attach_literal_canonicalization(spark, cdir):
+    """Non-canonical equality literals must never fake bloom or
+    partition-value absence (review, round 10): a float or zero-padded
+    string equality on a bigint bloom column demotes to a value-exact
+    range; a float transform equality drops partition pruning — both
+    stay row-correct."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE lc (k BIGINT, v DOUBLE)
+          CLUSTERED BY (k) BLOOM BY (k) BITS 65536;
+        INSERT INTO lc SELECT id, CAST(id AS DOUBLE) FROM RANGE(2000);
+        CREATE TABLE lp (a BIGINT) PARTITIONED BY (a % 4 AS bucket);
+        INSERT INTO lp SELECT id FROM RANGE(100);
+        """,
+        cdir,
+    )
+    for pred, want in (
+        ("k = 5", 1), ("k = 5.0", 1), ("k = '05'", 1), ("k = '5'", 1),
+    ):
+        n = execute_sql(
+            spark, f"SELECT COUNT(*) AS n FROM lc WHERE {pred}", cdir
+        ).first()["n"]
+        assert n == want, (pred, n)
+    for pred, want in (("a % 4 = 2", 25), ("a % 4 = 2.0", 25)):
+        n = execute_sql(
+            spark, f"SELECT COUNT(*) AS n FROM lp WHERE {pred}", cdir
+        ).first()["n"]
+        assert n == want, (pred, n)
+
+
+def test_pruned_view_restored_after_statement(spark, cdir):
+    """The statement-scoped pruned view must not linger: a direct
+    spark.sql after execute_sql sees the FULL table again (review,
+    round 10)."""
+    execute_sql(
+        spark, "CREATE TABLE rv AS SELECT id AS k FROM RANGE(100)", cdir
+    )
+    execute_sql(spark, "SELECT k FROM rv WHERE k = 5", cdir)
+    assert spark.sql("SELECT COUNT(*) AS n FROM rv").first()["n"] == 100
+
+
+def test_or_replace_explicit_schema_retires_layout(spark, cdir):
+    """CREATE OR REPLACE with an explicit column list retires the
+    prior layout; a DECLARED layout replaces it WHOLESALE — transform
+    names never accumulate across replaces (review, round 10)."""
+    execute_sql(
+        spark, "CREATE TABLE rp (a BIGINT) PARTITIONED BY (a % 2 AS e)",
+        cdir,
+    )
+    execute_sql(spark, "INSERT INTO rp SELECT id FROM RANGE(10)", cdir)
+    execute_sql(spark, "CREATE OR REPLACE TABLE rp (x BIGINT)", cdir)
+    execute_sql(spark, "INSERT INTO rp SELECT 99", cdir)
+    assert execute_sql(
+        spark, "SELECT COUNT(*) AS n FROM rp", cdir
+    ).first()["n"] == 1
+    execute_sql(
+        spark,
+        "CREATE OR REPLACE TABLE rp (a BIGINT, b BIGINT) "
+        "PARTITIONED BY (b % 3 AS f)",
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["rp"]["root"]
+    lay = sn._read_manifest_meta(root, sn.current_version(root))["layout"]
+    assert sorted((lay.get("partition_transforms") or {}).keys()) == ["f"]
