@@ -1087,36 +1087,45 @@ def test_statement_level_pruned_attach(spark, cdir):
     root = cat.catalog_entries(cdir)["pt"]["root"]
     n_files = len(sn._read_manifest(root, sn.current_version(root))["files"])
     assert n_files >= 8
-
-    def opened():
-        return len(spark.table("pt").inputFiles())
-
-    out = execute_sql(
-        spark, "SELECT COUNT(*) AS n FROM pt WHERE k BETWEEN 100 AND 200",
-        cdir,
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
     )
+
+    def opened(stmt):
+        # white-box: the pruned view the statement WOULD run over (the
+        # executor restores the plain view right after its eager
+        # analysis, so observe before that)
+        entries = _attach(spark, cdir, stmt)
+        name = _pruned_attach(spark, cdir, stmt, entries)
+        n = len(spark.table("pt").inputFiles())
+        if name:
+            cat.attach_catalog(spark, cdir, names=[name])
+        return n, name
+
+    stmt = "SELECT COUNT(*) AS n FROM pt WHERE k BETWEEN 100 AND 200"
+    out = execute_sql(spark, stmt, cdir)
     assert out.first()["n"] == 101
-    assert opened() <= 2, opened()
+    n, name = opened(stmt)
+    assert name == "pt" and n <= 2, (name, n)
     # bloom point lookup on the hash-useless string column
-    out = execute_sql(
-        spark, "SELECT k FROM pt WHERE tag = 't1234'", cdir
-    )
+    stmt = "SELECT k FROM pt WHERE tag = 't1234'"
+    out = execute_sql(spark, stmt, cdir)
     assert [r["k"] for r in out.collect()] == [1234]
-    assert opened() <= 2, opened()
+    n, name = opened(stmt)
+    assert name == "pt" and n <= 2, (name, n)
     # alias-qualified conjuncts prune too
-    execute_sql(
-        spark,
-        "SELECT COUNT(*) AS n FROM pt p WHERE p.k >= 10 AND p.k <= 20",
-        cdir,
+    n, name = opened(
+        "SELECT COUNT(*) AS n FROM pt p WHERE p.k >= 10 AND p.k <= 20"
     )
-    assert opened() <= 2, opened()
+    assert name == "pt" and n <= 2, (name, n)
+    # the executor restores the PLAIN view after each statement
+    execute_sql(spark, stmt, cdir)
+    assert len(spark.table("pt").inputFiles()) == n_files
     # shapes the analyzer must NOT touch keep the plain attach
-    out = execute_sql(
-        spark,
-        "SELECT COUNT(*) AS n FROM pt WHERE k = 5 OR k = 3999", cdir,
-    )
+    stmt = "SELECT COUNT(*) AS n FROM pt WHERE k = 5 OR k = 3999"
+    out = execute_sql(spark, stmt, cdir)
     assert out.first()["n"] == 2
-    assert opened() == n_files
+    assert opened(stmt) == (n_files, None)
     out = execute_sql(
         spark,
         "SELECT 'a' AS d, COUNT(*) AS n FROM pt WHERE k = 5 "
@@ -1148,7 +1157,18 @@ def test_pruned_attach_composes_with_partitions_and_pins(spark, cdir):
     assert out.first()["n"] == want
     root = cat.catalog_entries(cdir)["pz"]["root"]
     total = len(sn._read_manifest(root, sn.current_version(root))["files"])
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    stmt = (
+        "SELECT COUNT(*) AS n FROM pz WHERE a % 4 = 2 "
+        "AND b BETWEEN 100 AND 200"
+    )
+    name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
+    assert name == "pz"
     assert len(spark.table("pz").inputFiles()) < total
+    cat.attach_catalog(spark, cdir, names=["pz"])
 
 
 def test_pruned_attach_ignores_filter_clause_where(spark, cdir):
