@@ -41,6 +41,13 @@ def get_spark(
         # ways across generator versions and every timestamp function here
         # (unix_micros, date_format, windows) targets TimestampType
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # write timestamps as annotated INT64 micros, not legacy INT96:
+        # INT96 columns carry NO parquet min/max statistics, so neither
+        # this engine's manifest stats (`_file_stats` reads the footer)
+        # nor Spark's own row-group pushdown can ever prune a timestamp
+        # predicate on INT96 data — at 100 TB that is the difference
+        # between opening one day's files and scanning the table
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",

@@ -2386,6 +2386,7 @@ def read_snapshot_pruned(
     ranges: dict | None = None,
     partition_eq: dict | None = None,
     point_eq: dict | None = None,
+    point_in: dict | None = None,
 ) -> DataFrame:
     """Stats-pruned snapshot scan: only manifest files whose recorded
     [min, max] for ``col`` intersects [lo, hi] are opened — file
@@ -2419,16 +2420,30 @@ def read_snapshot_pruned(
     min/max spans the domain and range pruning keeps nothing out.  A
     bloom hit is "maybe present" (the file is read and the re-applied
     predicate decides); a miss is proof of absence.  Files without a
-    bloom for the column are always read."""
+    bloom for the column are always read.
+
+    ``point_in`` ({col: [values]}) is the IN-list twin of ``point_eq``
+    (round 11 — the SQL executor's ``col IN (...)``): a file skips
+    only when EVERY listed value is provably absent (outside its
+    min/max, or refuted by its bloom); the reader re-applies
+    ``col.isin(values)``.
+
+    Temporal bounds: a ``datetime``/``date`` value in ``ranges`` or
+    ``point_eq`` compares against the ISO-STRING stats
+    `_stat_primitive` records via an asymmetric widening (lo side
+    bare isoformat, hi side + '~') that is skip-safe across every
+    representation of the same instant ('T'-seconds, '.ffffff'
+    micros, '+00:00' offset) — the round-11 fix for string timestamp
+    literals lexically sorting below their own instant's stat."""
     from pyspark.sql import functions as F
 
     if ranges is None:
         if col is not None:
             ranges = {col: (lo, hi)}
-        elif partition_eq is None and point_eq is None:
+        elif partition_eq is None and point_eq is None and point_in is None:
             raise ValueError(
                 "read_snapshot_pruned: pass col (with lo/hi), ranges, "
-                "partition_eq, or point_eq"
+                "partition_eq, point_eq, or point_in"
             )
         else:
             ranges = {}
@@ -2463,6 +2478,17 @@ def read_snapshot_pruned(
         raise ValueError(
             "read_snapshot_pruned: a column cannot be in both ranges "
             "and point_eq"
+        )
+    if point_in is not None and (
+        not point_in
+        or any(not vals for vals in point_in.values())
+        or any(
+            v is None for vals in point_in.values() for v in vals
+        )
+    ):
+        raise ValueError(
+            "read_snapshot_pruned: point_in needs non-empty lists of "
+            "non-null values (IN can never match NULL)"
         )
     v = current_version(root) if version is None else version
     if v is None:
@@ -2500,13 +2526,40 @@ def read_snapshot_pruned(
                 return phys
         return None  # field absent from this file — no claims
 
+    import datetime as _dt
+
+    def _cmp_lo(b):
+        # a date/datetime bound compares against the ISO-string stats
+        # `_stat_primitive` records.  Lexical order equals instant
+        # order for the zero-padded ISO forms, EXCEPT that the same
+        # instant has several representations ('T'-suffix seconds,
+        # '.ffffff' micros, '+00:00' offset).  The LO side is safe
+        # as-is: every representation of an instant >= the bound sorts
+        # >= the bound's bare isoformat.
+        if isinstance(b, _dt.datetime):
+            if b.tzinfo is not None:
+                b = b.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return b.isoformat()
+        if isinstance(b, _dt.date):
+            return b.isoformat()
+        return b
+
+    def _cmp_hi(b):
+        # the HI side widens by '~' (sorts above '+', '.', ':' and
+        # digits): a same-instant stat spelled 'P+00:00' or 'P.000000'
+        # must NOT read as > the bound — widening can only over-KEEP
+        # (same-second files), never wrongly skip.
+        if isinstance(b, (_dt.datetime, _dt.date)):
+            return _cmp_lo(b) + "~"
+        return b
+
     def _disjoint(rng, clo, chi) -> bool:
         # a cross-type comparison (string stats vs numeric literal, or
         # vice versa) makes NO claims — the file is read, never a
         # TypeError at plan time (the SQL pruned-attach path feeds
         # literals of whatever type the statement wrote)
         try:
-            return rng[0] > chi or rng[1] < clo
+            return rng[0] > _cmp_hi(chi) or rng[1] < _cmp_lo(clo)
         except TypeError:
             return False
 
@@ -2531,9 +2584,39 @@ def read_snapshot_pruned(
                 ok = False  # outside the file's range
                 break
             bloom = (blooms.get(f) or {}).get(sk)
-            if bloom is not None and not _bloom_maybe_contains(bloom, val):
-                ok = False  # bloom proves absence
+            if (
+                bloom is not None
+                and isinstance(val, (int, str))
+                and not isinstance(val, bool)
+                and not _bloom_maybe_contains(bloom, val)
+            ):
+                ok = False  # bloom proves absence (int/str only: the
+                # hash contract is the canonical str() form — any
+                # other type makes no bloom claims)
                 break
+        for c, vals in (point_in or {}).items():
+            if not ok:
+                break
+            sk = stat_key(f, c)
+            if sk is None:
+                continue  # field absent from this file — no claims
+            rng = fstats.get(sk)
+            bloom = (blooms.get(f) or {}).get(sk)
+            any_maybe = False
+            for val in vals:
+                if rng is not None and _disjoint(rng, val, val):
+                    continue  # this value provably outside the range
+                if (
+                    bloom is not None
+                    and isinstance(val, (int, str))
+                    and not isinstance(val, bool)
+                    and not _bloom_maybe_contains(bloom, val)
+                ):
+                    continue  # bloom proves THIS value absent
+                any_maybe = True
+                break
+            if not any_maybe:
+                ok = False  # every listed value provably absent
         for name, val in (partition_eq or {}).items():
             if not ok:
                 break
@@ -2548,6 +2631,9 @@ def read_snapshot_pruned(
         pred = term if pred is None else pred & term
     for c, val in (point_eq or {}).items():
         term = F.col(c) == F.lit(val)
+        pred = term if pred is None else pred & term
+    for c, vals in (point_in or {}).items():
+        term = F.col(c).isin(list(vals))
         pred = term if pred is None else pred & term
     for name, val in (partition_eq or {}).items():
         term = F.expr(transforms[name]).cast("string") == str(val)

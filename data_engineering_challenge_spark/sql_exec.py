@@ -431,6 +431,16 @@ def _attach(
     referenced: list[str] = []
     seen: set[str] = set()
     for t, _lo, _hi in _tokens(sql):
+        # identifier-PRODUCING constructs (IDENTIFIER('orders'),
+        # EXECUTE IMMEDIATE) name tables in forms the token scan
+        # cannot see — the name may live inside a string literal — so
+        # a narrowed attach would let the statement silently read a
+        # STALE head pinned by an earlier statement's view.  Bail to
+        # the full attach: every catalog name re-attaches at its
+        # current head, nothing resolves stale (review, round 11).
+        if t.upper() in ("IDENTIFIER", "EXECUTE"):
+            cat.attach_catalog(spark, catalog_dir)
+            return entries
         # backtick-quoted identifiers must match their registered
         # names — `orders` references the same table as orders
         hit = by_lower.get(t.strip("`").lower())
@@ -910,13 +920,18 @@ def _rewrite_time_travel(
 def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
     entries = _attach(spark, catalog_dir, sql)
     pruned = _pruned_attach(spark, catalog_dir, sql, entries)
-    df = spark.sql(_rewrite_time_travel(spark, catalog_dir, sql))
-    if pruned is not None:
-        # spark.sql analyzed EAGERLY (the plan holds the pruned scan);
-        # restore the PLAIN view so a direct spark.sql/spark.table
-        # outside this executor never sees a statement's filtered,
-        # file-pruned subset lingering under the table's name
-        cat.attach_catalog(spark, catalog_dir, names=[pruned])
+    try:
+        df = spark.sql(_rewrite_time_travel(spark, catalog_dir, sql))
+    finally:
+        if pruned is not None:
+            # spark.sql analyzed EAGERLY (the plan holds the pruned
+            # scan); restore the PLAIN view so a direct
+            # spark.sql/spark.table outside this executor never sees a
+            # statement's filtered, file-pruned subset lingering under
+            # the table's name — ALSO on an analysis error (review,
+            # round 11): a failed statement must not leave the pruned
+            # view behind for the rest of the session
+            cat.attach_catalog(spark, catalog_dir, names=[pruned])
     return df
 
 
@@ -1019,22 +1034,41 @@ def _pruned_attach(
             break
     body = toks[w + 1 : end]
     bup = [t.upper() for t in body]
-    if "OR" in bup or "(" in body or ")" in body:
-        return  # disjunctions/nesting: prune nothing, stay plain
-    # split top-level conjuncts
+    # a DEPTH-0 OR makes the body a disjunction — prune nothing.  An
+    # OR (or a subquery) INSIDE parentheses stays inside one conjunct,
+    # which simply fails to parse below and contributes no claims —
+    # the OTHER conjuncts still prune soundly (round 11: parenthesized
+    # conjuncts admitted so function partition transforms like
+    # `day(ts)` can prune from SQL text)
+    depth = 0
+    for t, u in zip(body, bup):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and u == "OR":
+            return
+    # split top-level conjuncts at depth-0 ANDs; a depth-0 BETWEEN
+    # swallows its ONE following depth-0 AND
     conjuncts: list[list[str]] = []
     cur_c: list[str] = []
+    depth = 0
+    bet_pending = 0
     for t, u in zip(body, bup):
-        if u == "AND" and cur_c and (
-            # BETWEEN swallows ONE following AND
-            not ("BETWEEN" in [x.upper() for x in cur_c] and
-                 sum(1 for x in cur_c if x.upper() == "AND") <
-                 sum(1 for x in cur_c if x.upper() == "BETWEEN"))
-        ):
-            conjuncts.append(cur_c)
-            cur_c = []
-        else:
-            cur_c.append(t)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and u == "AND" and cur_c:
+            if bet_pending:
+                bet_pending -= 1
+            else:
+                conjuncts.append(cur_c)
+                cur_c = []
+                continue
+        elif depth == 0 and u == "BETWEEN":
+            bet_pending += 1
+        cur_c.append(t)
     if cur_c:
         conjuncts.append(cur_c)
 
@@ -1061,6 +1095,7 @@ def _pruned_attach(
 
     ranges: dict = {}
     point_eq: dict = {}
+    in_lists: dict = {}
     lo_b: dict = {}
     hi_b: dict = {}
     for c in conjuncts:
@@ -1084,6 +1119,20 @@ def _pruned_attach(
             v = _lit(rest[1])
             if v is not None:
                 hi_b[col] = v
+        elif (
+            u0 == "IN"
+            and len(rest) >= 4
+            and rest[1] == "("
+            and rest[-1] == ")"
+        ):
+            # col IN (lit, lit, ...) — ALL-literal lists only (a
+            # subquery or expression fails _lit and the conjunct
+            # contributes no claims)
+            inner = rest[2:-1]
+            vals = [_lit(t) for t in inner[0::2]]
+            commas_ok = all(t == "," for t in inner[1::2])
+            if commas_ok and vals and all(v is not None for v in vals):
+                in_lists[col] = vals
     for col in set(lo_b) & set(hi_b):
         ranges.setdefault(col, (lo_b[col], hi_b[col]))
     root = e["root"]
@@ -1131,31 +1180,78 @@ def _pruned_attach(
                 if v is not None and pname is not None:
                     partition_eq[pname] = v
     ranges = {c: v for c, v in ranges.items() if c not in point_eq}
-    # literal CANONICALIZATION (review, round 10): a bloom probe
+    # literal CANONICALIZATION (review, rounds 10+11): a bloom probe
     # hashes str(value), so a float (5.0) or zero-padded string ('05')
     # equality on a bigint column would fake ABSENCE and silently drop
-    # rows; partition values compare as strings with the same hazard.
-    # A point equality survives only when the literal's python type
-    # matches the column family EXACTLY (int on integral, str on
-    # string); every other equality demotes to a (v, v) RANGE — stats
-    # comparisons are value-exact for numerics and make no claims
-    # across types — and a non-int/str partition equality is dropped.
+    # rows; partition values compare as strings with the same hazard;
+    # and a timestamp's manifest stats are ISO 'T'-separated strings
+    # (_stat_primitive), so a plain `ts <= '2024-03-02 00:00:00'`
+    # literal sorts BELOW the stat for the same instant and would
+    # wrongly skip a boundary file.  Rules, all evidence-or-silence:
+    #   * point equality survives only when the literal's python type
+    #     matches the column family EXACTLY (int on integral, str on
+    #     string); every other equality demotes to a (v, v) RANGE.
+    #   * a str range bound on a DATE/TIMESTAMP column parses to a
+    #     typed date/datetime (Spark's own cast semantics) or the
+    #     conjunct is dropped; timestamp pruning additionally requires
+    #     a UTC session (parquet stats are UTC instants).  The typed
+    #     bound compares against string stats via the asymmetric
+    #     isoformat widening in `read_snapshot_pruned`.
+    #   * a partition equality survives only when the literal's type
+    #     matches the TRANSFORM'S OUTPUT type (int on integral, str on
+    #     string, strict YYYY-MM-DD str on date) — `int_part = '01'`
+    #     coerces to a match in Spark but fails a string compare, so
+    #     it must not prune (review, round 11).
+    integral = {"tinyint", "smallint", "int", "bigint"}
     partition_eq = {
         c: v
         for c, v in partition_eq.items()
         if isinstance(v, (int, str)) and not isinstance(v, bool)
     }
-    if point_eq:
+    need_schema = (
+        bool(point_eq)
+        or bool(partition_eq)
+        or bool(in_lists)
+        or any(
+            isinstance(b, str) for bounds in ranges.values() for b in bounds
+        )
+    )
+    sdf = None
+    dtypes: dict = {}
+    if need_schema:
         try:
+            sdf = sn.read_snapshot_mor(spark, root, version)
             dtypes = {
                 f.name.lower(): f.dataType.simpleString()
-                for f in sn.read_snapshot_mor(
-                    spark, root, version
-                ).schema.fields
+                for f in sdf.schema.fields
             }
         except Exception:
             return None
-        integral = {"tinyint", "smallint", "int", "bigint"}
+    if partition_eq:
+        from pyspark.sql import functions as F
+
+        kept = {}
+        for pname, v in partition_eq.items():
+            try:
+                out_t = (
+                    sdf.select(F.expr(transforms[pname]))
+                    .schema[0]
+                    .dataType.simpleString()
+                )
+            except Exception:
+                continue  # unanalyzable transform: no claims
+            if (
+                (isinstance(v, int) and out_t in integral)
+                or (isinstance(v, str) and out_t == "string")
+                or (
+                    isinstance(v, str)
+                    and out_t == "date"
+                    and re.fullmatch(r"\d{4}-\d{2}-\d{2}", v)
+                )
+            ):
+                kept[pname] = v
+        partition_eq = kept
+    if point_eq:
         demote = {}
         for c, v in list(point_eq.items()):
             t = dtypes.get(c.lower())
@@ -1169,7 +1265,55 @@ def _pruned_attach(
                 del point_eq[c]
         for c, r in demote.items():
             ranges.setdefault(c, r)
-    if not (ranges or point_eq or partition_eq):
+    # IN lists follow the point-equality typing rule PER LIST: every
+    # value int on an integral column (or str on string) keeps the
+    # typed list — stats AND bloom evidence per value; anything else
+    # demotes to the list's (min, max) envelope when comparable (the
+    # pruned view only ever returns a SUPERSET — the statement's own
+    # IN still applies) and is dropped otherwise
+    for c, vals in list(in_lists.items()):
+        t = dtypes.get(c.lower())
+        ok = (
+            all(
+                isinstance(v, int) and not isinstance(v, bool)
+                for v in vals
+            )
+            and t in integral
+        ) or (all(isinstance(v, str) for v in vals) and t == "string")
+        if not ok:
+            del in_lists[c]
+            try:
+                env = (min(vals), max(vals))
+            except TypeError:
+                continue  # mixed-type list: no claims
+            ranges.setdefault(c, env)
+    utc = spark.conf.get("spark.sql.session.timeZone", "") in (
+        "UTC", "Etc/UTC", "GMT",
+    )
+    for c, (clo, chi) in list(ranges.items()):
+        if not (isinstance(clo, str) or isinstance(chi, str)):
+            continue
+        t = dtypes.get(c.lower())
+        if t == "date" or (t in ("timestamp", "timestamp_ntz")):
+            lo2 = _sql_temporal(clo, t)
+            hi2 = _sql_temporal(chi, t)
+            if (
+                lo2 is None
+                or hi2 is None
+                or (t != "date" and not utc)
+                or t == "timestamp_ntz"
+            ):
+                # no faithful typed parse (or instant semantics this
+                # layer cannot certify): the conjunct makes NO pruning
+                # claims — the statement's own WHERE still applies
+                del ranges[c]
+            else:
+                ranges[c] = (lo2, hi2)
+        # str bound on a string column: stats are like-typed strings,
+        # lexical compare is exact.  str bound on a numeric column:
+        # stats are numeric, the cross-type guard in
+        # `read_snapshot_pruned` makes no claims.  Both keep.
+    if not (ranges or point_eq or partition_eq or in_lists):
         return None
     try:
         df = sn.read_snapshot_pruned(
@@ -1178,12 +1322,36 @@ def _pruned_attach(
             ranges=ranges or None,
             partition_eq=partition_eq or None,
             point_eq=point_eq or None,
+            point_in=in_lists or None,
             version=version,
         )
+        df.schema  # force analysis NOW: an unanalyzable pruned view
+        # must fall back to the plain attach, not fail the statement
     except Exception:
         return None  # anything unexpected: the plain attach stands
     df.createOrReplaceTempView(name)
     return name
+
+
+def _sql_temporal(v, t: str):
+    """Parse a SQL string literal into the typed bound for a date or
+    timestamp column — mirroring Spark's string-cast semantics for the
+    formats it accepts — or ``None`` when no faithful parse exists
+    (the caller then drops the conjunct from pruning: no claim is the
+    only safe claim)."""
+    import datetime as _dt
+
+    if not isinstance(v, str):
+        return None
+    try:
+        if t == "date":
+            return _dt.date.fromisoformat(v)
+        d = _dt.datetime.fromisoformat(v)
+    except ValueError:
+        return None
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return d
 
 
 def _assignments(

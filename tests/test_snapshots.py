@@ -363,6 +363,78 @@ def test_clustered_append_prunes_to_one_file(spark, tmp_path):
     assert len(files) <= 2, f"range lookup should touch ~1 of 8 files, got {len(files)}"
 
 
+def test_read_snapshot_pruned_point_in(spark, tmp_path):
+    """``point_in`` (round 11): a file skips only when EVERY listed
+    value is provably absent — stats per value, blooms per value —
+    and the reader re-applies ``isin``."""
+    root = str(tmp_path / "tbl")
+    for i in range(4):  # ids [0,10) [10,20) [20,30) [30,40)
+        sn.snapshot_append(
+            _df(spark, i * 10, (i + 1) * 10).coalesce(1),
+            root,
+            stats_cols=["id"],
+            bloom_cols=["id"],
+        )
+    out = sn.read_snapshot_pruned(spark, root, point_in={"id": [5, 35]})
+    assert sorted(r.id for r in out.collect()) == [5, 35]
+    files = {
+        r.f
+        for r in out.selectExpr("input_file_name() AS f").distinct().collect()
+    }
+    assert len(files) == 2, "values in two files -> exactly two opened"
+    # bloom refutes a values-in-range-but-absent probe per value
+    out = sn.read_snapshot_pruned(spark, root, point_in={"id": [41, 99]})
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="non-empty lists"):
+        sn.read_snapshot_pruned(spark, root, point_in={"id": []})
+    with pytest.raises(ValueError, match="non-null"):
+        sn.read_snapshot_pruned(spark, root, point_in={"id": [1, None]})
+
+
+def test_read_snapshot_pruned_temporal_bounds(spark, tmp_path):
+    """datetime/date bounds compare against the ISO-string stats via
+    the asymmetric widening (round 11): a file whose min IS the bound
+    instant is never skipped — the 'T'-vs-space lexical hazard the
+    string literal path used to hit — while disjoint days still
+    skip."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    for day, v in ((1, 10), (2, 20), (3, 30)):
+        df = spark.createDataFrame(
+            [Row(ts=dt.datetime(2024, 3, day, 0, 0, 0), v=v)]
+        )
+        sn.snapshot_append(df.coalesce(1), root, stats_cols=["ts"])
+    # hi bound EQUALS day-2's min instant: its row must survive
+    out = sn.read_snapshot_pruned(
+        spark,
+        root,
+        ranges={
+            "ts": (dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 2))
+        },
+    )
+    assert sorted(r.v for r in out.collect()) == [10, 20]
+    # disjoint window still prunes to one file
+    out = sn.read_snapshot_pruned(
+        spark,
+        root,
+        ranges={
+            "ts": (
+                dt.datetime(2024, 3, 3),
+                dt.datetime(2024, 3, 9),
+            )
+        },
+    )
+    assert [r.v for r in out.collect()] == [30]
+    files = {
+        r.f
+        for r in out.selectExpr("input_file_name() AS f").distinct().collect()
+    }
+    assert len(files) == 1
+
+
 def test_merge_seq_col_orders_collisions(spark, tmp_path):
     """Same-key collisions inside one CoW merge batch resolve by seq_col
     (highest wins) regardless of row order."""

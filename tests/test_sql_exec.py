@@ -1227,6 +1227,288 @@ def test_pruned_attach_literal_canonicalization(spark, cdir):
         assert n == want, (pred, n)
 
 
+def test_pruned_attach_timestamp_boundary(spark, cdir):
+    """A timestamp literal in plain SQL must never lose a boundary
+    file (advice, round 10 — high): manifest stats record timestamps
+    as ISO 'T'-separated strings (`_stat_primitive`), so a lexical
+    compare against the statement's ' '-separated literal sorted the
+    SAME instant above the bound and wrongly skipped its file.
+    Literals now parse to typed datetime bounds, compared via the
+    asymmetric isoformat widening in `read_snapshot_pruned`."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE tsb (ts TIMESTAMP, v BIGINT) STATS BY (ts);
+        INSERT INTO tsb SELECT CAST('2024-03-01 12:00:00' AS TIMESTAMP), 1;
+        INSERT INTO tsb SELECT CAST('2024-03-02 00:00:00' AS TIMESTAMP), 2;
+        INSERT INTO tsb SELECT CAST('2024-03-03 08:00:00' AS TIMESTAMP), 3;
+        """,
+        cdir,
+    )
+    # hi-side boundary: the second file's min EQUALS the literal
+    # instant — its row must survive
+    out = execute_sql(
+        spark,
+        "SELECT SUM(v) AS s FROM tsb WHERE ts BETWEEN "
+        "'2024-03-01 00:00:00' AND '2024-03-02 00:00:00'",
+        cdir,
+    )
+    assert out.first()["s"] == 3
+    out = execute_sql(
+        spark,
+        "SELECT SUM(v) AS s FROM tsb WHERE "
+        "ts >= '2024-03-01 00:00:00' AND ts <= '2024-03-02 00:00:00'",
+        cdir,
+    )
+    assert out.first()["s"] == 3
+    # equality on a timestamp demotes to a typed (v, v) range
+    out = execute_sql(
+        spark, "SELECT v FROM tsb WHERE ts = '2024-03-02 00:00:00'", cdir
+    )
+    assert [r["v"] for r in out.collect()] == [2]
+    # and typed bounds still PRUNE: a day-1-only range opens one file
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    stmt = (
+        "SELECT SUM(v) AS s FROM tsb WHERE ts BETWEEN "
+        "'2024-03-01 00:00:00' AND '2024-03-01 23:00:00'"
+    )
+    name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
+    assert name == "tsb"
+    # day-1 file + the zero-row CREATE file (stats-less: always read);
+    # both day-2 and day-3 files skip on their manifest stats
+    assert len(spark.table("tsb").inputFiles()) == 2
+    cat.attach_catalog(spark, cdir, names=["tsb"])
+
+
+def test_pruned_attach_date_literals(spark, cdir):
+    """DATE columns prune on strict YYYY-MM-DD literals; any other
+    string shape drops the conjunct instead of making a wrong lexical
+    claim — answers stay row-correct either way."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE db (d DATE, v BIGINT) STATS BY (d);
+        INSERT INTO db SELECT CAST('2024-03-01' AS DATE), 1;
+        INSERT INTO db SELECT CAST('2024-03-02' AS DATE), 2;
+        INSERT INTO db SELECT CAST('2024-03-05' AS DATE), 3;
+        """,
+        cdir,
+    )
+    out = execute_sql(
+        spark,
+        "SELECT SUM(v) AS s FROM db WHERE "
+        "d >= '2024-03-01' AND d <= '2024-03-02'",
+        cdir,
+    )
+    assert out.first()["s"] == 3
+    # a timestamp-shaped literal on a DATE column: Spark truncates the
+    # cast; pruning must drop the conjunct, not mimic it
+    out = execute_sql(
+        spark,
+        "SELECT SUM(v) AS s FROM db WHERE d >= '2024-03-02 00:00:00' "
+        "AND d <= '2024-03-05 00:00:00'",
+        cdir,
+    )
+    assert out.first()["s"] == 5
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    stmt = (
+        "SELECT SUM(v) AS s FROM db WHERE "
+        "d >= '2024-03-05' AND d <= '2024-03-09'"
+    )
+    name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
+    assert name == "db"
+    # the matching file + the zero-row CREATE file (always read)
+    assert len(spark.table("db").inputFiles()) == 2
+    cat.attach_catalog(spark, cdir, names=["db"])
+
+
+def test_pruned_attach_partition_literal_type_gating(spark, cdir):
+    """A partition equality prunes only when the literal's type
+    matches the TRANSFORM'S OUTPUT type (advice, round 10 — medium):
+    Spark coerces `int_transform = '01'` and `string_transform = 2`
+    to matches, but the recorded partition-value STRING compare does
+    not — those conjuncts must drop from pruning, not skip files."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE pg (a BIGINT) PARTITIONED BY (a % 4 AS bucket);
+        INSERT INTO pg SELECT id FROM RANGE(100);
+        CREATE TABLE ps (a BIGINT)
+          PARTITIONED BY (LPAD(CAST(a % 3 AS STRING), 2, '0') AS pad);
+        INSERT INTO ps SELECT id FROM RANGE(90);
+        """,
+        cdir,
+    )
+    # zero-padded STRING literal on an integral transform output
+    n = execute_sql(
+        spark, "SELECT COUNT(*) AS n FROM pg WHERE a % 4 = '01'", cdir
+    ).first()["n"]
+    assert n == 25
+    # INT literal on a string transform output (rows record '01')
+    n = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM ps "
+        "WHERE LPAD(CAST(a % 3 AS STRING), 2, '0') = 1",
+        cdir,
+    ).first()["n"]
+    assert n == 30
+    # the like-typed string form stays row-correct (a parenthesized
+    # WHERE body is a documented prune bail-out, so no file check)
+    out = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM ps "
+        "WHERE LPAD(CAST(a % 3 AS STRING), 2, '0') = '01'",
+        cdir,
+    )
+    assert out.first()["n"] == 30
+    # the like-typed INT form still PRUNES files
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    root = cat.catalog_entries(cdir)["pg"]["root"]
+    total = len(sn._read_manifest(root, sn.current_version(root))["files"])
+    stmt = "SELECT COUNT(*) AS n FROM pg WHERE a % 4 = 2"
+    name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
+    assert name == "pg"
+    assert len(spark.table("pg").inputFiles()) < total
+    cat.attach_catalog(spark, cdir, names=["pg"])
+
+
+def test_pruned_attach_in_lists(spark, cdir):
+    """`col IN (literals)` prunes files (round 11): a file skips only
+    when EVERY listed value is provably absent — stats per value on
+    the clustered key, blooms per value on the hash-scattered one —
+    and the statement's own IN always re-applies."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE il (k BIGINT, tag STRING, v DOUBLE)
+          CLUSTERED BY (k) BLOOM BY (tag) BITS 65536;
+        INSERT INTO il SELECT id, CONCAT('t', id), CAST(id AS DOUBLE)
+          FROM RANGE(4000);
+        """,
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["il"]["root"]
+    n_files = len(sn._read_manifest(root, sn.current_version(root))["files"])
+    assert n_files >= 8
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    def opened(stmt):
+        name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
+        n = len(spark.table("il").inputFiles())
+        if name:
+            cat.attach_catalog(spark, cdir, names=[name])
+        return n, name
+
+    # stats-pruned int IN on the clustered key
+    stmt = "SELECT COUNT(*) AS n FROM il WHERE k IN (5, 6, 3995)"
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 3
+    n, name = opened(stmt)
+    assert name == "il" and n <= 3, (name, n)
+    # bloom-pruned string IN on the scattered column
+    stmt = "SELECT k FROM il WHERE tag IN ('t123', 't3990')"
+    assert sorted(
+        r["k"] for r in execute_sql(spark, stmt, cdir).collect()
+    ) == [123, 3990]
+    n, name = opened(stmt)
+    assert name == "il" and n <= 3, (name, n)
+    # a non-canonical list demotes to its (min, max) envelope — the
+    # answer never changes (float literals on a bigint column)
+    stmt = "SELECT COUNT(*) AS n FROM il WHERE k IN (5.0, 9.0)"
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 2
+    n, name = opened(stmt)
+    assert name == "il" and n <= 2, (name, n)
+    # mixed-type lists make no claims but stay correct
+    stmt = "SELECT COUNT(*) AS n FROM il WHERE k IN (5, '0006')"
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 2
+    # a subquery IN keeps the plain attach (single-SELECT guard)
+    stmt = (
+        "SELECT COUNT(*) AS n FROM il "
+        "WHERE k IN (SELECT 5) AND k BETWEEN 0 AND 10"
+    )
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 1
+
+
+def test_pruned_attach_function_partition_transform(spark, cdir):
+    """Parenthesized conjuncts prune (round 11): a FUNCTION partition
+    transform (`DAY(ts)`) declared in SQL DDL is matched token-wise by
+    the statement's WHERE and prunes by recorded partition values —
+    previously any paren in the WHERE body kept the plain attach."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE fp (ts TIMESTAMP, v BIGINT)
+          PARTITIONED BY (DAY(ts) AS d);
+        INSERT INTO fp SELECT
+          CAST('2024-01-01 00:00:00' AS TIMESTAMP)
+            + MAKE_INTERVAL(0, 0, 0, 0, 0, 0, id * 500),
+          id
+        FROM RANGE(5000);
+        """,
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["fp"]["root"]
+    total = len(sn._read_manifest(root, sn.current_version(root))["files"])
+    assert total >= 5  # multiple day partitions
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    stmt = "SELECT SUM(v) AS s FROM fp WHERE DAY(ts) = 15"
+    want = execute_sql(spark, stmt, cdir).first()["s"]
+    assert want is not None
+    name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
+    assert name == "fp"
+    n_open = len(spark.table("fp").inputFiles())
+    cat.attach_catalog(spark, cdir, names=["fp"])
+    assert n_open < total, (n_open, total)
+    # composed with a plain conjunct on the same statement
+    stmt = "SELECT SUM(v) AS s FROM fp WHERE DAY(ts) = 15 AND v >= 0"
+    assert execute_sql(spark, stmt, cdir).first()["s"] == want
+
+
+def test_pruned_view_restored_on_statement_error(spark, cdir):
+    """A statement that fails AFTER the pruned re-attach must restore
+    the plain view on the way out (advice, round 10 — low): the
+    filtered, file-pruned view must never linger under the table's
+    name for the rest of the session."""
+    execute_sql(
+        spark, "CREATE TABLE re AS SELECT id AS k FROM RANGE(100)", cdir
+    )
+    with pytest.raises(Exception, match="bogus|UNRESOLVED"):
+        execute_sql(spark, "SELECT bogus FROM re WHERE k = 5", cdir)
+    assert spark.sql("SELECT COUNT(*) AS n FROM re").first()["n"] == 100
+
+
+def test_attach_bails_to_full_catalog_on_identifier(spark, cdir):
+    """IDENTIFIER() names tables in forms the O(referenced) token scan
+    cannot see (advice, round 10 — low): such statements re-attach the
+    FULL catalog, so the construct never reads a stale head pinned by
+    an earlier statement — and works in a fresh session."""
+    execute_sql(spark, "CREATE TABLE idt AS SELECT 1 AS a", cdir)
+    s2 = spark.newSession()
+    assert execute_sql(
+        s2, "SELECT a FROM IDENTIFIER('idt')", cdir
+    ).first()["a"] == 1
+    # a commit from another session must be visible through
+    # IDENTIFIER even though the token scan can't name the table
+    execute_sql(spark, "INSERT INTO idt SELECT 2", cdir)
+    n = execute_sql(
+        s2, "SELECT COUNT(*) AS n FROM IDENTIFIER('idt')", cdir
+    ).first()["n"]
+    assert n == 2
+
+
 def test_pruned_view_restored_after_statement(spark, cdir):
     """The statement-scoped pruned view must not linger: a direct
     spark.sql after execute_sql sees the FULL table again (review,
