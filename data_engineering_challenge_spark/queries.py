@@ -161,6 +161,8 @@ _CHEAP_FIRST = [
     # round-10 additions, measured verify cost ascending (sf0.01)
     "sql_pruned_lookup", "snapshot_partitioned_zorder",
     "sql_ddl_layout", "snapshot_mor_evolution",
+    # round-11 additions, measured verify cost ascending (sf0.01)
+    "sql_partition_transform_pruned", "sql_timestamp_pruned_scan",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -888,3 +888,155 @@ def q_sql_ddl_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdir,
     )
     return rng.unionByName(pt)
+
+
+@register(
+    "sql_timestamp_pruned_scan",
+    # pruning changes which FILES open, never the answer — the oracle
+    # runs identical predicates over the raw events table
+    f"""
+SELECT 'window' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS total
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+             AND TIMESTAMP '2024-01-12 00:00:00'
+UNION ALL
+SELECT 'inlist' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS total
+FROM events WHERE event_id IN (5, 321, 876)
+""",
+)
+def q_sql_timestamp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL + IN-LIST manifest pruning from plain SQL text (round
+    11): an events table is declared and loaded entirely in SQL —
+    ``CLUSTERED BY (ts) STATS BY (ts, event_id)`` — and queried with a
+    timestamp-literal window and an ``event_id IN (...)`` list.  The
+    statement executor's pruned attach parses the string literals to
+    TYPED datetime bounds (gated on the column dtype — the round-11
+    fix for ' '-separated literals lexically sorting below their own
+    instant's ISO-'T' manifest stat) and the IN list to per-value
+    stats probes, so the window opens ~1 of 8 ts-clustered files and
+    the id list only the files whose [min, max] can hold a listed id
+    (event_id rides the same clustering — it correlates with ts).
+    Timestamps are written as annotated INT64 micros
+    (`io.ensure_prunable_timestamp_writes`): Spark's legacy INT96
+    default records NO parquet statistics, which would silence every
+    timestamp-pruning layer at any scale.  The reference scans its
+    whole events table for any date window (SQLite, no file layout —
+    session_sources queries in pipeline/queries.py); at 100 TB the
+    typed-literal skip IS the difference between a day's files and
+    the table.  Build cached per (query, sf_dir); file-count evidence
+    in tests/test_sql_exec.py."""
+    import tempfile
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+    from .sql_exec import execute_sql, execute_sql_script
+
+    key = ("sql_timestamp_pruned_scan", sf_dir)
+    cdir = _SNAP_SQL_CACHE.get(key)
+    if cdir is None:
+        tmp = tempfile.mkdtemp(prefix="snap_tsp_")
+        cdir = f"{tmp}/catalog"
+        ev = roles.load_events(spark, sf_dir).select(
+            "event_id", "ts", "event_type", "value"
+        )
+        root = f"{tmp}/events_src"
+        sn.snapshot_overwrite(ev, root)
+        cat.catalog_register(cdir, "tsp_src", root)
+        execute_sql_script(
+            spark,
+            """
+            CREATE TABLE tsp_events (
+                event_id BIGINT, ts TIMESTAMP, etype STRING, value DOUBLE
+            ) CLUSTERED BY (ts) STATS BY (ts, event_id);
+            INSERT INTO tsp_events
+                SELECT event_id, ts, event_type, CAST(value AS DOUBLE)
+                FROM tsp_src;
+            """,
+            cdir,
+        )
+        _SNAP_SQL_CACHE[key] = cdir
+    ds = "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)"
+    # one statement per lookup: the statement-level pruned attach
+    # fires per single-table WHERE
+    win = execute_sql(
+        spark,
+        f"SELECT 'window' AS dim, COUNT(*) AS n, {ds} AS total "
+        "FROM tsp_events WHERE ts BETWEEN '2024-01-10 00:00:00' "
+        "AND '2024-01-12 00:00:00'",
+        cdir,
+    )
+    inl = execute_sql(
+        spark,
+        f"SELECT 'inlist' AS dim, COUNT(*) AS n, {ds} AS total "
+        "FROM tsp_events WHERE event_id IN (5, 321, 876)",
+        cdir,
+    )
+    return win.unionByName(inl)
+
+
+@register(
+    "sql_partition_transform_pruned",
+    f"""
+SELECT event_type AS etype, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS total
+FROM events WHERE day(ts) = 15
+GROUP BY event_type ORDER BY etype
+""",
+)
+def q_sql_partition_transform_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FUNCTION partition transforms prune from SQL text (round 11):
+    the table is hidden-partitioned by ``DAY(ts)`` — an Iceberg-style
+    transform declared in SQL DDL — and the statement's
+    ``WHERE DAY(ts) = 15`` matches the transform token-wise, skipping
+    every other day's files by recorded partition values alone.
+    Previously any parenthesized WHERE kept the plain attach, so
+    realistic transforms (`day(...)`, `month(...)`, `a % n`) could
+    never prune from SQL; the splitter now tracks depth, and a
+    partition equality is accepted only when the literal's type
+    matches the transform's OUTPUT type (Spark coerces
+    ``day_part = '15'``; a recorded-string compare must not).  The
+    hidden-partition contract is Iceberg's: the user writes the
+    NATURAL predicate, never a partition column.  Build cached per
+    (query, sf_dir); partition-skip evidence in
+    tests/test_sql_exec.py."""
+    import tempfile
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+    from .sql_exec import execute_sql, execute_sql_script
+
+    key = ("sql_partition_transform_pruned", sf_dir)
+    cdir = _SNAP_SQL_CACHE.get(key)
+    if cdir is None:
+        tmp = tempfile.mkdtemp(prefix="snap_ptp_")
+        cdir = f"{tmp}/catalog"
+        ev = roles.load_events(spark, sf_dir).select(
+            "ts", "event_type", "value"
+        )
+        root = f"{tmp}/events_src"
+        sn.snapshot_overwrite(ev, root)
+        cat.catalog_register(cdir, "ptp_src", root)
+        execute_sql_script(
+            spark,
+            """
+            CREATE TABLE ptp_events (
+                ts TIMESTAMP, etype STRING, value DOUBLE
+            ) PARTITIONED BY (DAY(ts) AS d);
+            INSERT INTO ptp_events
+                SELECT ts, event_type, CAST(value AS DOUBLE) FROM ptp_src;
+            """,
+            cdir,
+        )
+        _SNAP_SQL_CACHE[key] = cdir
+    ds = "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)"
+    return execute_sql(
+        spark,
+        f"SELECT etype, COUNT(*) AS n, {ds} AS total "
+        "FROM ptp_events WHERE DAY(ts) = 15 "
+        "GROUP BY etype ORDER BY etype",
+        cdir,
+    )

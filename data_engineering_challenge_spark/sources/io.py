@@ -35,6 +35,21 @@ def ensure_instant_timestamps(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
+def ensure_prunable_timestamp_writes(spark: SparkSession) -> None:
+    """Pin parquet timestamp OUTPUT to annotated INT64 micros.  Spark's
+    default is legacy INT96, which carries NO parquet min/max
+    statistics — so neither the snapshot format's manifest stats
+    (`snapshots._file_stats` reads the footer) nor Spark's own
+    row-group pushdown could ever prune a timestamp predicate on
+    engine-written data.  Runtime-settable, idempotent — called at the
+    WRITE chokepoints so externally-built sessions (the driver's)
+    produce the same prunable files as :func:`..session.get_spark`
+    ones."""
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+
+
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """Lazy parquet scan. Column pruning / predicate pushdown are Catalyst's
     job — callers just select/filter and the scan narrows (check with

@@ -350,6 +350,9 @@ def _write_files(
     if kind == "data":
         _record_enforced_checks(group, checks, gen)
     out = os.path.join(root, group)
+    from .io import ensure_prunable_timestamp_writes
+
+    ensure_prunable_timestamp_writes(df.sparkSession)
     df.write.parquet(out)
     files = sorted(
         os.path.join(group, f)
@@ -384,6 +387,21 @@ def _stat_primitive(v):
             return None
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
+    return None
+
+
+def _prefix_upper(pre: str) -> str | None:
+    """The EXCLUSIVE upper bound of the set of strings starting with
+    ``pre`` under code-point order: increment the rightmost
+    incrementable character and truncate (``'abc'`` → ``'abd'``;
+    ``'ab\\U0010ffff'`` → ``'ac'``).  ``None`` when every character is
+    already the maximum code point — then no finite upper bound
+    exists and the prefix claim is one-sided."""
+    cps = list(pre)
+    for i in range(len(cps) - 1, -1, -1):
+        o = ord(cps[i])
+        if o < 0x10FFFF:
+            return "".join(cps[:i]) + chr(o + 1)
     return None
 
 
@@ -2182,6 +2200,9 @@ def _write_partitioned_files(
     group = os.path.join("data", uuid.uuid4().hex)
     _record_enforced_checks(group, checks, gen)
     out = os.path.join(root, group)
+    from .io import ensure_prunable_timestamp_writes
+
+    ensure_prunable_timestamp_writes(out_df.sparkSession)
     out_df.write.partitionBy(*tmps.values()).parquet(out)
     # recursive listing: partitioned writes nest one dir per value
     files: list[str] = []
@@ -2387,6 +2408,7 @@ def read_snapshot_pruned(
     partition_eq: dict | None = None,
     point_eq: dict | None = None,
     point_in: dict | None = None,
+    prefixes: dict | None = None,
 ) -> DataFrame:
     """Stats-pruned snapshot scan: only manifest files whose recorded
     [min, max] for ``col`` intersects [lo, hi] are opened — file
@@ -2440,10 +2462,15 @@ def read_snapshot_pruned(
     if ranges is None:
         if col is not None:
             ranges = {col: (lo, hi)}
-        elif partition_eq is None and point_eq is None and point_in is None:
+        elif (
+            partition_eq is None
+            and point_eq is None
+            and point_in is None
+            and prefixes is None
+        ):
             raise ValueError(
                 "read_snapshot_pruned: pass col (with lo/hi), ranges, "
-                "partition_eq, point_eq, or point_in"
+                "partition_eq, point_eq, point_in, or prefixes"
             )
         else:
             ranges = {}
@@ -2453,10 +2480,11 @@ def read_snapshot_pruned(
             "not both (col/lo/hi would be silently ignored)"
         )
     for c, (clo, chi) in ranges.items():
-        if c is None or clo is None or chi is None:
+        if c is None or (clo is None and chi is None):
             raise ValueError(
-                f"read_snapshot_pruned: range for {c!r} must have both "
-                f"bounds, got ({clo!r}, {chi!r})"
+                f"read_snapshot_pruned: range for {c!r} needs at least "
+                f"one bound, got ({clo!r}, {chi!r}) — a None bound is "
+                f"OPEN on that side (round 11: `col >= a` alone prunes)"
             )
     if partition_eq is not None and not partition_eq:
         raise ValueError(
@@ -2489,6 +2517,16 @@ def read_snapshot_pruned(
         raise ValueError(
             "read_snapshot_pruned: point_in needs non-empty lists of "
             "non-null values (IN can never match NULL)"
+        )
+    if prefixes is not None and (
+        not prefixes
+        or any(
+            not isinstance(p, str) or not p for p in prefixes.values()
+        )
+    ):
+        raise ValueError(
+            "read_snapshot_pruned: prefixes needs non-empty string "
+            "prefixes (an empty prefix would be an unpredicated scan)"
         )
     v = current_version(root) if version is None else version
     if v is None:
@@ -2557,9 +2595,14 @@ def read_snapshot_pruned(
         # a cross-type comparison (string stats vs numeric literal, or
         # vice versa) makes NO claims — the file is read, never a
         # TypeError at plan time (the SQL pruned-attach path feeds
-        # literals of whatever type the statement wrote)
+        # literals of whatever type the statement wrote).  A None
+        # bound is OPEN on that side and claims nothing there.
         try:
-            return rng[0] > _cmp_hi(chi) or rng[1] < _cmp_lo(clo)
+            if chi is not None and rng[0] > _cmp_hi(chi):
+                return True
+            if clo is not None and rng[1] < _cmp_lo(clo):
+                return True
+            return False
         except TypeError:
             return False
 
@@ -2617,6 +2660,25 @@ def read_snapshot_pruned(
                 break
             if not any_maybe:
                 ok = False  # every listed value provably absent
+        for c, pre in (prefixes or {}).items():
+            if not ok:
+                break
+            sk = stat_key(f, c)
+            rng = fstats.get(sk) if sk is not None else None
+            if rng is None:
+                continue  # no stats — no claims
+            # s.startswith(pre)  <=>  pre <= s < next(pre): skip when
+            # the file's whole [min, max] lies outside that window
+            try:
+                if rng[1] < pre:
+                    ok = False
+                    break
+                nxt = _prefix_upper(pre)
+                if nxt is not None and rng[0] >= nxt:
+                    ok = False
+                    break
+            except TypeError:
+                pass  # non-string stats: no claims
         for name, val in (partition_eq or {}).items():
             if not ok:
                 break
@@ -2627,13 +2689,21 @@ def read_snapshot_pruned(
             keep.append(f)
     pred = None
     for c, (clo, chi) in ranges.items():
-        term = F.col(c).between(clo, chi)
+        if clo is not None and chi is not None:
+            term = F.col(c).between(clo, chi)
+        elif clo is not None:
+            term = F.col(c) >= F.lit(clo)
+        else:
+            term = F.col(c) <= F.lit(chi)
         pred = term if pred is None else pred & term
     for c, val in (point_eq or {}).items():
         term = F.col(c) == F.lit(val)
         pred = term if pred is None else pred & term
     for c, vals in (point_in or {}).items():
         term = F.col(c).isin(list(vals))
+        pred = term if pred is None else pred & term
+    for c, pre in (prefixes or {}).items():
+        term = F.col(c).startswith(pre)
         pred = term if pred is None else pred & term
     for name, val in (partition_eq or {}).items():
         term = F.expr(transforms[name]).cast("string") == str(val)

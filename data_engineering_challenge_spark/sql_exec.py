@@ -951,11 +951,13 @@ def _pruned_attach(
     """STATEMENT-LEVEL manifest pruning for the SQL surface: when the
     statement is one SELECT over ONE catalog snapshot table and its
     WHERE carries analyzable conjuncts (``col = lit``, ``col BETWEEN
-    a AND b``, ``col >= a AND col <= b``, a partition-transform
-    equality), re-register that table's temp view as
-    `read_snapshot_pruned` over exactly those predicates — manifest
-    stats, blooms, and hidden-partition values then skip FILES at plan
-    time, from plain SQL text.
+    a AND b``, ``col >= / > / <= / < lit`` — one-sided bounds claim an
+    open range; strict ops claim their inclusive superset — ``col IN
+    (literals)``, ``col LIKE 'prefix%'``, a partition-transform
+    equality, parenthesized left sides included), re-register that
+    table's temp view as `read_snapshot_pruned` over exactly those
+    predicates — manifest stats, blooms, and hidden-partition values
+    then skip FILES at plan time, from plain SQL text.
 
     This replaces the round-10 DataSource-pushdown routing, WITHDRAWN
     after measurement: Spark 4.1 keeps ONE Python-DataSource read plan
@@ -1096,6 +1098,7 @@ def _pruned_attach(
     ranges: dict = {}
     point_eq: dict = {}
     in_lists: dict = {}
+    like_prefixes: dict = {}
     lo_b: dict = {}
     hi_b: dict = {}
     for c in conjuncts:
@@ -1111,14 +1114,28 @@ def _pruned_attach(
             v = _lit(rest[1])
             if v is not None:
                 point_eq[col] = v
-        elif rest[0] == ">=" and len(rest) == 2:
+        elif rest[0] in (">=", ">") and len(rest) == 2:
+            # strict > claims as >= for PRUNING — a superset skip-test
+            # (a file holding only the exact bound is read, not lost);
+            # the statement's own WHERE enforces strictness
             v = _lit(rest[1])
             if v is not None:
                 lo_b[col] = v
-        elif rest[0] == "<=" and len(rest) == 2:
+        elif rest[0] in ("<=", "<") and len(rest) == 2:
             v = _lit(rest[1])
             if v is not None:
                 hi_b[col] = v
+        elif u0 == "LIKE" and len(rest) == 2:
+            # prefix-only patterns ('abc%'): exactly one wildcard, at
+            # the end, no '_' or escape — anything else claims nothing
+            v = _lit(rest[1])
+            if (
+                isinstance(v, str)
+                and len(v) >= 2
+                and v.endswith("%")
+                and not any(ch in v[:-1] for ch in "%_\\")
+            ):
+                like_prefixes[col] = v[:-1]
         elif (
             u0 == "IN"
             and len(rest) >= 4
@@ -1135,6 +1152,14 @@ def _pruned_attach(
                 in_lists[col] = vals
     for col in set(lo_b) & set(hi_b):
         ranges.setdefault(col, (lo_b[col], hi_b[col]))
+    # one-sided bounds claim an OPEN range (round 11): `ts >= a` alone
+    # — half of every incremental scan — skips files wholly below a
+    for col, v in lo_b.items():
+        if col not in hi_b:
+            ranges.setdefault(col, (v, None))
+    for col, v in hi_b.items():
+        if col not in lo_b:
+            ranges.setdefault(col, (None, v))
     root = e["root"]
     version = None
     if e.get("ref") is not None:
@@ -1212,6 +1237,7 @@ def _pruned_attach(
         bool(point_eq)
         or bool(partition_eq)
         or bool(in_lists)
+        or bool(like_prefixes)
         or any(
             isinstance(b, str) for bounds in ranges.values() for b in bounds
         )
@@ -1287,7 +1313,17 @@ def _pruned_attach(
             except TypeError:
                 continue  # mixed-type list: no claims
             ranges.setdefault(c, env)
-    utc = spark.conf.get("spark.sql.session.timeZone", "") in (
+    # LIKE-prefix claims only make sense against STRING stats (a
+    # prefix pattern on any other type is a cast in disguise)
+    like_prefixes = {
+        c: p
+        for c, p in like_prefixes.items()
+        if dtypes.get(c.lower()) == "string"
+    }
+    # no-default get: Spark 4 VALIDATES a provided default against the
+    # conf spec ('' raises INVALID_CONF_VALUE), and the session
+    # timezone always resolves to something
+    utc = spark.conf.get("spark.sql.session.timeZone") in (
         "UTC", "Etc/UTC", "GMT",
     )
     for c, (clo, chi) in list(ranges.items()):
@@ -1295,11 +1331,11 @@ def _pruned_attach(
             continue
         t = dtypes.get(c.lower())
         if t == "date" or (t in ("timestamp", "timestamp_ntz")):
-            lo2 = _sql_temporal(clo, t)
-            hi2 = _sql_temporal(chi, t)
+            lo2 = _sql_temporal(clo, t) if clo is not None else None
+            hi2 = _sql_temporal(chi, t) if chi is not None else None
             if (
-                lo2 is None
-                or hi2 is None
+                (clo is not None and lo2 is None)
+                or (chi is not None and hi2 is None)
                 or (t != "date" and not utc)
                 or t == "timestamp_ntz"
             ):
@@ -1313,7 +1349,7 @@ def _pruned_attach(
         # lexical compare is exact.  str bound on a numeric column:
         # stats are numeric, the cross-type guard in
         # `read_snapshot_pruned` makes no claims.  Both keep.
-    if not (ranges or point_eq or partition_eq or in_lists):
+    if not (ranges or point_eq or partition_eq or in_lists or like_prefixes):
         return None
     try:
         df = sn.read_snapshot_pruned(
@@ -1323,6 +1359,7 @@ def _pruned_attach(
             partition_eq=partition_eq or None,
             point_eq=point_eq or None,
             point_in=in_lists or None,
+            prefixes=like_prefixes or None,
             version=version,
         )
         df.schema  # force analysis NOW: an unanalyzable pruned view

@@ -391,6 +391,51 @@ def test_read_snapshot_pruned_point_in(spark, tmp_path):
         sn.read_snapshot_pruned(spark, root, point_in={"id": [1, None]})
 
 
+def test_read_snapshot_pruned_open_ranges_and_prefixes(spark, tmp_path):
+    """Round 11: a None bound is OPEN on that side (``id >= a`` alone
+    prunes), and ``prefixes`` skips by the exact code-point window
+    [pre, next(pre)) of a startswith claim."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    for i in range(4):  # ids [0,10) [10,20) [20,30) [30,40)
+        sn.snapshot_append(
+            _df(spark, i * 10, (i + 1) * 10)
+            .withColumn(
+                "s", F.concat(F.lit("k"), F.lpad(F.col("id"), 3, "0"))
+            )
+            .coalesce(1),
+            root,
+            stats_cols=["id", "s"],
+        )
+
+    def files_of(df):
+        return {
+            r.f
+            for r in df.selectExpr(
+                "input_file_name() AS f"
+            ).distinct().collect()
+        }
+
+    out = sn.read_snapshot_pruned(spark, root, ranges={"id": (30, None)})
+    assert sorted(r.id for r in out.collect()) == list(range(30, 40))
+    assert len(files_of(out)) == 1
+    out = sn.read_snapshot_pruned(spark, root, ranges={"id": (None, 5)})
+    assert sorted(r.id for r in out.collect()) == list(range(0, 6))
+    assert len(files_of(out)) == 1
+    out = sn.read_snapshot_pruned(spark, root, prefixes={"s": "k01"})
+    assert sorted(r.id for r in out.collect()) == list(range(10, 20))
+    assert len(files_of(out)) == 1
+    with pytest.raises(ValueError, match="at least one bound"):
+        sn.read_snapshot_pruned(spark, root, ranges={"id": (None, None)})
+    with pytest.raises(ValueError, match="non-empty string"):
+        sn.read_snapshot_pruned(spark, root, prefixes={"s": ""})
+    # exclusive-upper-bound helper: increments and truncates exactly
+    assert sn._prefix_upper("abc") == "abd"
+    assert sn._prefix_upper("ab" + chr(0x10FFFF)) == "ac"
+    assert sn._prefix_upper(chr(0x10FFFF)) is None
+
+
 def test_read_snapshot_pruned_temporal_bounds(spark, tmp_path):
     """datetime/date bounds compare against the ISO-string stats via
     the asymmetric widening (round 11): a file whose min IS the bound
@@ -718,8 +763,10 @@ def test_file_stats_json_safe_types(spark, tmp_path):
 
 def test_read_snapshot_pruned_validates_arguments(spark, tmp_path):
     """Argument hygiene: missing col+ranges, col AND ranges together,
-    and half-open bounds all fail loudly up front instead of deep in
-    Spark."""
+    and fully-unbounded ranges all fail loudly up front instead of
+    deep in Spark.  One-SIDED bounds are legal as of round 11 (open on
+    the None side) — the old both-bounds refusal is inverted in
+    `test_read_snapshot_pruned_open_ranges_and_prefixes`."""
     import pytest
 
     root = str(tmp_path / "tbl")
@@ -730,10 +777,12 @@ def test_read_snapshot_pruned_validates_arguments(spark, tmp_path):
         sn.read_snapshot_pruned(
             spark, root, col="id", lo=0, hi=1, ranges={"id": (0, 1)}
         )
-    with pytest.raises(ValueError, match="both bounds"):
-        sn.read_snapshot_pruned(spark, root, "id", None, 3)
-    with pytest.raises(ValueError, match="both bounds"):
-        sn.read_snapshot_pruned(spark, root, ranges={"id": (0, None)})
+    with pytest.raises(ValueError, match="at least one bound"):
+        sn.read_snapshot_pruned(spark, root, ranges={"id": (None, None)})
+    assert sorted(
+        r.id
+        for r in sn.read_snapshot_pruned(spark, root, "id", None, 3).collect()
+    ) == [0, 1, 2, 3]
 
 
 def test_mor_merge_matches_cow_merge(spark, tmp_path):
