@@ -2397,6 +2397,22 @@ def snapshot_append_partitioned(
     )
 
 
+def _range_term(col: str, rng: tuple):
+    """Column predicate for a possibly-OPEN ``(lo, hi)`` range — a
+    None bound is unbounded on that side.  Shared by every consumer of
+    pruning ranges (`read_snapshot_pruned`'s re-applied predicate, the
+    MoR delete-side bound): ``between(lo, None)`` would evaluate NULL
+    and silently drop/keep the wrong rows."""
+    from pyspark.sql import functions as F
+
+    lo, hi = rng
+    if lo is not None and hi is not None:
+        return F.col(col).between(lo, hi)
+    if lo is not None:
+        return F.col(col) >= F.lit(lo)
+    return F.col(col) <= F.lit(hi)
+
+
 def read_snapshot_pruned(
     spark: SparkSession,
     root: str,
@@ -2570,13 +2586,18 @@ def read_snapshot_pruned(
         # a date/datetime bound compares against the ISO-string stats
         # `_stat_primitive` records.  Lexical order equals instant
         # order for the zero-padded ISO forms, EXCEPT that the same
-        # instant has several representations ('T'-suffix seconds,
-        # '.ffffff' micros, '+00:00' offset).  The LO side is safe
-        # as-is: every representation of an instant >= the bound sorts
-        # >= the bound's bare isoformat.
+        # instant has several representations (bare 'YYYY-MM-DD' date,
+        # 'T'-suffix seconds, '.ffffff' micros, '+00:00' offset).  The
+        # LO side must sort <= EVERY representation of an instant >=
+        # the bound: a midnight datetime therefore emits the bare DATE
+        # form — 'YYYY-MM-DDT00:00:00' would sort ABOVE a same-day
+        # date-typed stat 'YYYY-MM-DD' and wrongly skip its file
+        # (round-11 review).
         if isinstance(b, _dt.datetime):
             if b.tzinfo is not None:
                 b = b.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            if (b.hour, b.minute, b.second, b.microsecond) == (0, 0, 0, 0):
+                return b.date().isoformat()
             return b.isoformat()
         if isinstance(b, _dt.date):
             return b.isoformat()
@@ -2606,6 +2627,9 @@ def read_snapshot_pruned(
         except TypeError:
             return False
 
+    prefix_uppers = {
+        c: _prefix_upper(p) for c, p in (prefixes or {}).items()
+    }
     keep = []
     for f in m["files"]:
         fstats = stats.get(f) or {}
@@ -2673,7 +2697,7 @@ def read_snapshot_pruned(
                 if rng[1] < pre:
                     ok = False
                     break
-                nxt = _prefix_upper(pre)
+                nxt = prefix_uppers[c]
                 if nxt is not None and rng[0] >= nxt:
                     ok = False
                     break
@@ -2688,13 +2712,8 @@ def read_snapshot_pruned(
         if ok:
             keep.append(f)
     pred = None
-    for c, (clo, chi) in ranges.items():
-        if clo is not None and chi is not None:
-            term = F.col(c).between(clo, chi)
-        elif clo is not None:
-            term = F.col(c) >= F.lit(clo)
-        else:
-            term = F.col(c) <= F.lit(chi)
+    for c, rng in ranges.items():
+        term = _range_term(c, rng)
         pred = term if pred is None else pred & term
     for c, val in (point_eq or {}).items():
         term = F.col(c) == F.lit(val)
@@ -5045,7 +5064,10 @@ def read_snapshot_mor(
         for k in key_tuple:
             rng = (_eq_delete_ranges or {}).get(k)
             if rng is not None:
-                side = side.filter(F.col(k).between(rng[0], rng[1]))
+                # open-bound aware (round-11 review): between(lo, None)
+                # is NULL for every row — it would empty the delete
+                # side and RESURRECT deleted rows
+                side = side.filter(_range_term(k, rng))
         # eqNullSafe: Iceberg equality deletes match NULL keys (a plain
         # == would null-reject and silently resurrect NULL-keyed rows —
         # a GDPR-erasure failure)

@@ -1041,14 +1041,19 @@ def _pruned_attach(
     # which simply fails to parse below and contributes no claims —
     # the OTHER conjuncts still prune soundly (round 11: parenthesized
     # conjuncts admitted so function partition transforms like
-    # `day(ts)` can prune from SQL text)
+    # `day(ts)` can prune from SQL text).  A depth-0 CASE expression
+    # also bails: its arms carry depth-0 ANDs the splitter would
+    # mistake for conjunction boundaries, turning a CASE fragment like
+    # `k > 3` into a false table-level claim (review, round 11)
     depth = 0
     for t, u in zip(body, bup):
         if t == "(":
             depth += 1
         elif t == ")":
             depth -= 1
-        elif depth == 0 and u == "OR":
+        elif depth == 0 and u in (
+            "OR", "CASE", "WHEN", "THEN", "ELSE", "END",
+        ):
             return
     # split top-level conjuncts at depth-0 ANDs; a depth-0 BETWEEN
     # swallows its ONE following depth-0 AND
@@ -1291,12 +1296,21 @@ def _pruned_attach(
                 del point_eq[c]
         for c, r in demote.items():
             ranges.setdefault(c, r)
+    # no-default get: Spark 4 VALIDATES a provided default against the
+    # conf spec ('' raises INVALID_CONF_VALUE), and the session
+    # timezone always resolves to something
+    utc = spark.conf.get("spark.sql.session.timeZone") in (
+        "UTC", "Etc/UTC", "GMT",
+    )
     # IN lists follow the point-equality typing rule PER LIST: every
     # value int on an integral column (or str on string) keeps the
-    # typed list — stats AND bloom evidence per value; anything else
-    # demotes to the list's (min, max) envelope when comparable (the
-    # pruned view only ever returns a SUPERSET — the statement's own
-    # IN still applies) and is dropped otherwise
+    # typed list — stats AND bloom evidence per value.  Anything else
+    # demotes to a (min, max) envelope ONLY when the ordering is the
+    # column's own: numeric values compare numerically; string values
+    # on a temporal column parse to typed bounds FIRST (review, round
+    # 11: a lexical min/max of ('9', '10') on a bigint column inverts
+    # to the always-false between('10', '9') and silently drops rows).
+    # Everything else claims nothing.
     for c, vals in list(in_lists.items()):
         t = dtypes.get(c.lower())
         ok = (
@@ -1308,11 +1322,17 @@ def _pruned_attach(
         ) or (all(isinstance(v, str) for v in vals) and t == "string")
         if not ok:
             del in_lists[c]
-            try:
-                env = (min(vals), max(vals))
-            except TypeError:
-                continue  # mixed-type list: no claims
-            ranges.setdefault(c, env)
+            if all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in vals
+            ):
+                ranges.setdefault(c, (min(vals), max(vals)))
+            elif t in ("date", "timestamp") and all(
+                isinstance(v, str) for v in vals
+            ):
+                typed = [_sql_temporal(v, t) for v in vals]
+                if None not in typed and (t == "date" or utc):
+                    ranges.setdefault(c, (min(typed), max(typed)))
     # LIKE-prefix claims only make sense against STRING stats (a
     # prefix pattern on any other type is a cast in disguise)
     like_prefixes = {
@@ -1320,12 +1340,6 @@ def _pruned_attach(
         for c, p in like_prefixes.items()
         if dtypes.get(c.lower()) == "string"
     }
-    # no-default get: Spark 4 VALIDATES a provided default against the
-    # conf spec ('' raises INVALID_CONF_VALUE), and the session
-    # timezone always resolves to something
-    utc = spark.conf.get("spark.sql.session.timeZone") in (
-        "UTC", "Etc/UTC", "GMT",
-    )
     for c, (clo, chi) in list(ranges.items()):
         if not (isinstance(clo, str) or isinstance(chi, str)):
             continue

@@ -436,6 +436,32 @@ def test_read_snapshot_pruned_open_ranges_and_prefixes(spark, tmp_path):
     assert sn._prefix_upper(chr(0x10FFFF)) is None
 
 
+def test_read_snapshot_pruned_midnight_datetime_on_date_stats(spark, tmp_path):
+    """A MIDNIGHT datetime lo bound on a DATE column (review, round
+    11): 'YYYY-MM-DDT00:00:00' sorts ABOVE the same day's date-typed
+    stat 'YYYY-MM-DD', so the naive isoformat wrongly skipped the
+    boundary file — midnight datetimes now compare as the bare date."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "tbl")
+    for day, v in ((1, 10), (2, 20), (5, 50)):
+        df = spark.createDataFrame([Row(d=dt.date(2024, 3, day), v=v)])
+        sn.snapshot_append(df.coalesce(1), root, stats_cols=["d"])
+    out = sn.read_snapshot_pruned(
+        spark,
+        root,
+        ranges={"d": (dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 9))},
+    )
+    assert sorted(r.v for r in out.collect()) == [20, 50]
+    files = {
+        r.f
+        for r in out.selectExpr("input_file_name() AS f").distinct().collect()
+    }
+    assert len(files) == 2  # day-1 file still prunes
+
+
 def test_read_snapshot_pruned_temporal_bounds(spark, tmp_path):
     """datetime/date bounds compare against the ISO-string stats via
     the asymmetric widening (round 11): a file whose min IS the bound

@@ -1538,6 +1538,49 @@ def test_pruned_attach_open_ranges_strict_ops_and_like(spark, cdir):
     ).first()["n"] == 10
 
 
+def test_pruned_attach_review_round11_regressions(spark, cdir):
+    """Three review repros (round 11): a string IN list on a bigint
+    column must not demote to a lexically-INVERTED envelope; a depth-0
+    CASE's arm fragments must not become table-level claims; a
+    half-open range on a MoR delete-carrying table must still apply
+    the deletes (between(lo, NULL) would empty the delete side and
+    resurrect deleted rows)."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE rr (k BIGINT, v DOUBLE) CLUSTERED BY (k);
+        INSERT INTO rr SELECT id, CAST(id AS DOUBLE) FROM RANGE(2000);
+        """,
+        cdir,
+    )
+    # lexical min('9','10')='10' > max='9': would between('10','9')
+    n = execute_sql(
+        spark, "SELECT COUNT(*) AS n FROM rr WHERE k IN ('9', '10')", cdir
+    ).first()["n"]
+    assert n == 2
+    # a numeric mixed list still envelopes correctly
+    n = execute_sql(
+        spark, "SELECT COUNT(*) AS n FROM rr WHERE k IN (9.0, 10)", cdir
+    ).first()["n"]
+    assert n == 2
+    # CASE arm carries a depth-0 AND + a comparison fragment `k > 3`;
+    # ELSE 1 means EVERY row matches — no file may be skipped
+    n = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM rr WHERE CASE WHEN v >= 0 AND k > 3 "
+        "AND v <= 1e9 THEN 1 ELSE 1 END = 1",
+        cdir,
+    ).first()["n"]
+    assert n == 2000
+    # MoR: DELETE leaves an equality-delete list; a one-sided range
+    # must not resurrect the deleted row
+    execute_sql(spark, "DELETE FROM rr WHERE k = 1500", cdir)
+    n = execute_sql(
+        spark, "SELECT COUNT(*) AS n FROM rr WHERE k >= 1000", cdir
+    ).first()["n"]
+    assert n == 999  # 1000..1999 minus the deleted 1500
+
+
 def test_pruned_view_restored_on_statement_error(spark, cdir):
     """A statement that fails AFTER the pruned re-attach must restore
     the plain view on the way out (advice, round 10 — low): the
