@@ -1040,3 +1040,74 @@ def q_sql_partition_transform_pruned(
         "GROUP BY etype ORDER BY etype",
         cdir,
     )
+
+
+@register(
+    "sql_star_join_pruned",
+    # pruning changes which FILES open per table, never the answer —
+    # the oracle joins the raw tables under identical predicates
+    f"""
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('o_totalprice')} AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND c_custkey BETWEEN 20 AND 700
+GROUP BY c_mktsegment ORDER BY segment
+""",
+)
+def q_sql_star_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE statement pruning (round 11 — the star-join
+    pattern): a fact table clustered on its date and a dim clustered
+    on its key are joined with plain SQL; the statement executor
+    attributes each WHERE conjunct to its table (by qualifier, or
+    through the one schema carrying the column) and re-registers BOTH
+    views through `read_snapshot_pruned` — the fact side opens only
+    the date window's files (a half-open ``>= .. <`` range, the
+    canonical incremental scan), the dim side only the key range's.
+    Sound for inner joins because the WHERE is conjunctive over the
+    join result.  At 100 TB this is the dominant query shape: the
+    reference joins its whole sessions table for any window
+    (pipeline/queries.py); here the window IS the scan.  Build cached
+    per (query, sf_dir); per-table file counts pinned in
+    tests/test_sql_exec.py."""
+    import tempfile
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+    from .sql_exec import execute_sql
+    from .sources.io import read_parquet_cached_schema
+
+    key = ("sql_star_join_pruned", sf_dir)
+    cdir = _SNAP_SQL_CACHE.get(key)
+    if cdir is None:
+        tmp = tempfile.mkdtemp(prefix="snap_sjp_")
+        cdir = f"{tmp}/catalog"
+        o = read_parquet_cached_schema(
+            spark, os.path.join(sf_dir, "orders.parquet")
+        ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        sn.snapshot_append_clustered(
+            o, f"{tmp}/orders", ["o_orderdate"], n_files=8
+        )
+        c = read_parquet_cached_schema(
+            spark, os.path.join(sf_dir, "customer.parquet")
+        ).select("c_custkey", "c_mktsegment")
+        sn.snapshot_append_clustered(
+            c, f"{tmp}/customer", ["c_custkey"], n_files=8
+        )
+        cat.catalog_register(cdir, "sjp_orders", f"{tmp}/orders")
+        cat.catalog_register(cdir, "sjp_customer", f"{tmp}/customer")
+        _SNAP_SQL_CACHE[key] = cdir
+    ds = "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)"
+    return execute_sql(
+        spark,
+        f"""
+SELECT c_mktsegment AS segment, COUNT(*) AS n, {ds} AS total
+FROM sjp_orders JOIN sjp_customer ON o_custkey = c_custkey
+WHERE o_orderdate >= '1996-01-01 00:00:00'
+  AND o_orderdate < '1996-04-01 00:00:00'
+  AND c_custkey BETWEEN 20 AND 700
+GROUP BY c_mktsegment ORDER BY segment
+""",
+        cdir,
+    )

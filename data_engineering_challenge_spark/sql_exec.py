@@ -923,15 +923,15 @@ def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
     try:
         df = spark.sql(_rewrite_time_travel(spark, catalog_dir, sql))
     finally:
-        if pruned is not None:
+        if pruned:
             # spark.sql analyzed EAGERLY (the plan holds the pruned
-            # scan); restore the PLAIN view so a direct
+            # scan); restore the PLAIN views so a direct
             # spark.sql/spark.table outside this executor never sees a
             # statement's filtered, file-pruned subset lingering under
-            # the table's name — ALSO on an analysis error (review,
-            # round 11): a failed statement must not leave the pruned
-            # view behind for the rest of the session
-            cat.attach_catalog(spark, catalog_dir, names=[pruned])
+            # a table's name — ALSO on an analysis error (review,
+            # round 11): a failed statement must not leave pruned
+            # views behind for the rest of the session
+            cat.attach_catalog(spark, catalog_dir, names=pruned)
     return df
 
 
@@ -947,17 +947,32 @@ def _pruned_attach(
     catalog_dir: str,
     sql: str,
     entries: dict | None = None,
-) -> str | None:
+) -> list[str] | None:
     """STATEMENT-LEVEL manifest pruning for the SQL surface: when the
-    statement is one SELECT over ONE catalog snapshot table and its
-    WHERE carries analyzable conjuncts (``col = lit``, ``col BETWEEN
-    a AND b``, ``col >= / > / <= / < lit`` — one-sided bounds claim an
-    open range; strict ops claim their inclusive superset — ``col IN
-    (literals)``, ``col LIKE 'prefix%'``, a partition-transform
-    equality, parenthesized left sides included), re-register that
-    table's temp view as `read_snapshot_pruned` over exactly those
-    predicates — manifest stats, blooms, and hidden-partition values
-    then skip FILES at plan time, from plain SQL text.
+    statement is one SELECT whose FROM is catalog relations joined
+    INNER (plain ``JOIN`` / comma) and its WHERE carries analyzable
+    conjuncts (``col = lit``, ``col BETWEEN a AND b``, ``col >= / > /
+    <= / < lit`` — one-sided bounds claim an open range; strict ops
+    claim their inclusive superset — ``col IN (literals)``, ``col LIKE
+    'prefix%'``, a partition-transform equality, parenthesized left
+    sides included), re-register EACH table's temp view as
+    `read_snapshot_pruned` over exactly ITS OWN conjuncts — manifest
+    stats, blooms, and hidden-partition values then skip FILES at plan
+    time, from plain SQL text.  Returns the list of re-registered
+    names (the caller restores the plain views after analysis).
+
+    Multi-table attribution (round 11 — the star-join pattern: a fact
+    table pruned by its date window while joining dims): a conjunct
+    belongs to the table its qualifier names, or — unqualified — to
+    the ONE table whose schema carries the column; expression-led
+    conjuncts are offered to every table's partition-transform
+    matcher (two tables can only both match if the statement is
+    ambiguous, which Spark then rejects).  Sound for inner joins
+    because the WHERE is conjunctive over the join result: a
+    surviving row's match in table T satisfies T's conjuncts, so
+    files provably disjoint from them cannot contribute.  LEFT /
+    RIGHT / FULL / CROSS / SEMI / ANTI / NATURAL / USING shapes keep
+    the plain attach.
 
     This replaces the round-10 DataSource-pushdown routing, WITHDRAWN
     after measurement: Spark 4.1 keeps ONE Python-DataSource read plan
@@ -972,41 +987,78 @@ def _pruned_attach(
     statement's attach.
 
     Conservative by construction: any shape beyond one-SELECT /
-    one-FROM / conjunctive WHERE — joins, set ops, subqueries, CTEs,
-    OR at the top level — keeps the plain attach (full scan,
-    row-group pushdown).  A conjunct it cannot parse is simply not
-    used for pruning; `read_snapshot_pruned` re-applies what IS used,
-    so the rewrite can only ever skip provably-disjoint files."""
+    one-FROM / inner-join / conjunctive WHERE — outer joins, set ops,
+    subqueries, CTEs, OR at the top level — keeps the plain attach
+    (full scan, row-group pushdown).  A conjunct it cannot parse is
+    simply not used for pruning; `read_snapshot_pruned` re-applies
+    what IS used, so the rewrite can only ever skip provably-disjoint
+    files."""
     toks = [t for t, _l, _h in _tokens(sql)]
     up = [t.upper() for t in toks]
     if up.count("SELECT") != 1 or up.count("FROM") != 1:
         return
-    if any(k in up for k in ("JOIN", "UNION", "INTERSECT", "EXCEPT",
-                             "LATERAL", "VERSION", "TIMESTAMP")):
+    if any(k in up for k in (
+        "UNION", "INTERSECT", "EXCEPT", "LATERAL", "VERSION",
+        "TIMESTAMP",
+        # non-inner join shapes: pruning a null-extending side by a
+        # WHERE conjunct is only sound for the claim forms used here
+        # on the OUTER side — refuse them all rather than reason per
+        # shape; NATURAL/USING hide the join columns from the scan
+        "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "SEMI", "ANTI",
+        "NATURAL", "USING",
+    )):
         return
     i = up.index("FROM")
-    if i + 1 >= len(toks):
-        return
-    name_tok = toks[i + 1].strip("`")
     if entries is None:
         entries = cat.catalog_entries(catalog_dir)
     by_lower = {n.lower(): n for n in entries}
-    name = by_lower.get(name_tok.lower())
-    if name is None:
-        return
-    e = entries[name]
-    if e.get("kind") in ("view", "mview"):
-        return
-    alias = None
-    j = i + 2
-    if j < len(toks) and up[j] == "AS":
+    # FROM clause: name [AS alias] (, | JOIN name [AS alias] [ON ...])*
+    tables: list[tuple[str, str | None]] = []
+    j = i + 1
+    while True:
+        if j >= len(toks):
+            break
+        nm = by_lower.get(toks[j].strip("`").lower())
+        if nm is None:
+            return  # subquery / IDENTIFIER / non-catalog relation
         j += 1
-    if (
-        j < len(toks)
-        and up[j] not in _PRUNE_STOPS
-        and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", toks[j])
-    ):
-        alias = toks[j]
+        alias = None
+        if j < len(toks) and up[j] == "AS":
+            j += 1
+        if (
+            j < len(toks)
+            and up[j] not in _PRUNE_STOPS
+            and toks[j] != ","
+            and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", toks[j])
+        ):
+            alias = toks[j]
+            j += 1
+        tables.append((nm, alias))
+        if j < len(toks) and up[j] == "ON":
+            # skip the ON expression (depth-aware) to the next join
+            # item or clause keyword — its conditions are join
+            # predicates, never pruning claims
+            depth = 0
+            j += 1
+            while j < len(toks):
+                t = toks[j]
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and up[j] in (
+                    "JOIN", "WHERE", "GROUP", "ORDER", "LIMIT",
+                    "HAVING", ";",
+                ):
+                    break
+                j += 1
+        if j < len(toks) and (up[j] == "JOIN" or toks[j] == ","):
+            j += 1
+            continue
+        break
+    if not tables or len({nm for nm, _a in tables}) != len(tables):
+        return  # nothing parsed, or a self-join (one view per NAME
+        # cannot serve two different pruned file sets)
     # the WHERE must FOLLOW the FROM at depth 0 — an aggregate's
     # FILTER (WHERE ...) in the select list is not the table predicate
     w = None
@@ -1079,16 +1131,85 @@ def _pruned_attach(
     if cur_c:
         conjuncts.append(cur_c)
 
-    def _lit(t: str):
-        if re.fullmatch(r"-?\d+", t):
-            return int(t)
-        if re.fullmatch(r"-?\d+\.\d*", t):
-            return float(t)
-        if len(t) >= 2 and t.startswith("'") and t.endswith("'"):
-            return t[1:-1].replace("''", "'")
-        return None
+    # qualifier map: the alias when given, plus the bare name — a
+    # collision across tables bails (the statement is ambiguous)
+    qual_to_name: dict[str, str] = {}
+    for nm, alias in tables:
+        for q in {nm.lower(), (alias or nm).lower()}:
+            if qual_to_name.get(q, nm) != nm:
+                return
+            qual_to_name[q] = nm
+    per: dict[str, list] = {nm: [] for nm, _a in tables}
+    floats: list = []  # expression-led: transform candidates for all
+    if len(tables) == 1:
+        per[tables[0][0]] = conjuncts
+    else:
+        try:
+            schemas = {
+                nm: {f.name.lower() for f in spark.table(nm).schema.fields}
+                for nm, _a in tables
+            }
+        except Exception:
+            return None  # a relation the session cannot describe
+        for c in conjuncts:
+            if (
+                len(c) >= 3
+                and c[1] == "."
+                and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", c[0])
+            ):
+                nm = qual_to_name.get(c[0].lower())
+                if nm is not None:
+                    per[nm].append(c)
+                continue  # unknown qualifier: no claims
+            if c and re.fullmatch(r"[A-Za-z_`][A-Za-z_0-9`]*", c[0]):
+                col = c[0].strip("`").lower()
+                owners = [nm for nm in schemas if col in schemas[nm]]
+                if len(owners) == 1:
+                    per[owners[0]].append(c)
+                    continue
+                if len(owners) > 1:
+                    continue  # ambiguous — Spark rejects the statement
+            floats.append(c)
+    pruned: list[str] = []
+    for nm, alias in tables:
+        e = entries[nm]
+        if e.get("kind") in ("view", "mview"):
+            continue
+        if not (per[nm] or floats):
+            continue
+        quals = {nm.lower(), (alias or nm).lower()}
+        if _prune_one(spark, e, nm, quals, per[nm], floats):
+            pruned.append(nm)
+    return pruned or None
 
-    quals = {name.lower(), (alias or name).lower()}
+
+def _lit(t: str):
+    """A literal token's python value: int, float, or ''-unescaped
+    string — None for anything else (identifier, expression)."""
+    if re.fullmatch(r"-?\d+", t):
+        return int(t)
+    if re.fullmatch(r"-?\d+\.\d*", t):
+        return float(t)
+    if len(t) >= 2 and t.startswith("'") and t.endswith("'"):
+        return t[1:-1].replace("''", "'")
+    return None
+
+
+def _prune_one(
+    spark: SparkSession,
+    e: dict,
+    name: str,
+    quals: set[str],
+    conjuncts: list,
+    texpr_conjuncts: list,
+) -> bool:
+    """Build one table's pruning claims from ITS conjuncts and
+    re-register its temp view as `read_snapshot_pruned` — True when a
+    pruned view replaced the plain one.  ``texpr_conjuncts`` are
+    unattributed expression-led conjuncts offered ONLY to the
+    partition-transform matcher (never parsed as column claims — a
+    foreign table's `v >= 0` must not poison this table's re-applied
+    predicate)."""
 
     def _col(parts: list[str]) -> tuple[str | None, list[str]]:
         # [q .] col — a foreign qualifier disqualifies the conjunct
@@ -1175,7 +1296,7 @@ def _pruned_attach(
         version = int(e["version"])
     v_res = version if version is not None else sn.current_version(root)
     if v_res is None:
-        return
+        return False
     lay = sn._read_manifest_meta(root, v_res).get("layout") or {}
     transforms = lay.get("partition_transforms") or {}
     # HIDDEN-PARTITION pruning: a conjunct whose left side IS a
@@ -1203,7 +1324,7 @@ def _pruned_attach(
             _norm([t for t, _l, _h in _tokens(expr)]): pname
             for pname, expr in transforms.items()
         }
-        for c in conjuncts:
+        for c in conjuncts + texpr_conjuncts:
             if len(c) >= 3 and c[-2] == "=":
                 v = _lit(c[-1])
                 pname = texpr.get(_norm(c[:-2]))
@@ -1257,7 +1378,7 @@ def _pruned_attach(
                 for f in sdf.schema.fields
             }
         except Exception:
-            return None
+            return False
     if partition_eq:
         from pyspark.sql import functions as F
 
@@ -1364,7 +1485,7 @@ def _pruned_attach(
         # stats are numeric, the cross-type guard in
         # `read_snapshot_pruned` makes no claims.  Both keep.
     if not (ranges or point_eq or partition_eq or in_lists or like_prefixes):
-        return None
+        return False
     try:
         df = sn.read_snapshot_pruned(
             spark,
@@ -1379,9 +1500,9 @@ def _pruned_attach(
         df.schema  # force analysis NOW: an unanalyzable pruned view
         # must fall back to the plain attach, not fail the statement
     except Exception:
-        return None  # anything unexpected: the plain attach stands
+        return False  # anything unexpected: the plain attach stands
     df.createOrReplaceTempView(name)
-    return name
+    return True
 
 
 def _sql_temporal(v, t: str):

@@ -1102,25 +1102,25 @@ def test_statement_level_pruned_attach(spark, cdir):
         name = _pruned_attach(spark, cdir, stmt, entries)
         n = len(spark.table("pt").inputFiles())
         if name:
-            cat.attach_catalog(spark, cdir, names=[name])
+            cat.attach_catalog(spark, cdir, names=name)
         return n, name
 
     stmt = "SELECT COUNT(*) AS n FROM pt WHERE k BETWEEN 100 AND 200"
     out = execute_sql(spark, stmt, cdir)
     assert out.first()["n"] == 101
     n, name = opened(stmt)
-    assert name == "pt" and n <= 2, (name, n)
+    assert name == ["pt"] and n <= 2, (name, n)
     # bloom point lookup on the hash-useless string column
     stmt = "SELECT k FROM pt WHERE tag = 't1234'"
     out = execute_sql(spark, stmt, cdir)
     assert [r["k"] for r in out.collect()] == [1234]
     n, name = opened(stmt)
-    assert name == "pt" and n <= 2, (name, n)
+    assert name == ["pt"] and n <= 2, (name, n)
     # alias-qualified conjuncts prune too
     n, name = opened(
         "SELECT COUNT(*) AS n FROM pt p WHERE p.k >= 10 AND p.k <= 20"
     )
-    assert name == "pt" and n <= 2, (name, n)
+    assert name == ["pt"] and n <= 2, (name, n)
     # the executor restores the PLAIN view after each statement
     execute_sql(spark, stmt, cdir)
     assert len(spark.table("pt").inputFiles()) == n_files
@@ -1169,7 +1169,7 @@ def test_pruned_attach_composes_with_partitions_and_pins(spark, cdir):
         "AND b BETWEEN 100 AND 200"
     )
     name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
-    assert name == "pz"
+    assert name == ["pz"]
     assert len(spark.table("pz").inputFiles()) < total
     cat.attach_catalog(spark, cdir, names=["pz"])
 
@@ -1279,7 +1279,7 @@ def test_pruned_attach_timestamp_boundary(spark, cdir):
         "'2024-03-01 00:00:00' AND '2024-03-01 23:00:00'"
     )
     name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
-    assert name == "tsb"
+    assert name == ["tsb"]
     # day-1 file + the zero-row CREATE file (stats-less: always read);
     # both day-2 and day-3 files skip on their manifest stats
     assert len(spark.table("tsb").inputFiles()) == 2
@@ -1325,7 +1325,7 @@ def test_pruned_attach_date_literals(spark, cdir):
         "d >= '2024-03-05' AND d <= '2024-03-09'"
     )
     name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
-    assert name == "db"
+    assert name == ["db"]
     # the matching file + the zero-row CREATE file (always read)
     assert len(spark.table("db").inputFiles()) == 2
     cat.attach_catalog(spark, cdir, names=["db"])
@@ -1379,7 +1379,7 @@ def test_pruned_attach_partition_literal_type_gating(spark, cdir):
     total = len(sn._read_manifest(root, sn.current_version(root))["files"])
     stmt = "SELECT COUNT(*) AS n FROM pg WHERE a % 4 = 2"
     name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
-    assert name == "pg"
+    assert name == ["pg"]
     assert len(spark.table("pg").inputFiles()) < total
     cat.attach_catalog(spark, cdir, names=["pg"])
 
@@ -1410,27 +1410,27 @@ def test_pruned_attach_in_lists(spark, cdir):
         name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
         n = len(spark.table("il").inputFiles())
         if name:
-            cat.attach_catalog(spark, cdir, names=[name])
+            cat.attach_catalog(spark, cdir, names=name)
         return n, name
 
     # stats-pruned int IN on the clustered key
     stmt = "SELECT COUNT(*) AS n FROM il WHERE k IN (5, 6, 3995)"
     assert execute_sql(spark, stmt, cdir).first()["n"] == 3
     n, name = opened(stmt)
-    assert name == "il" and n <= 3, (name, n)
+    assert name == ["il"] and n <= 3, (name, n)
     # bloom-pruned string IN on the scattered column
     stmt = "SELECT k FROM il WHERE tag IN ('t123', 't3990')"
     assert sorted(
         r["k"] for r in execute_sql(spark, stmt, cdir).collect()
     ) == [123, 3990]
     n, name = opened(stmt)
-    assert name == "il" and n <= 3, (name, n)
+    assert name == ["il"] and n <= 3, (name, n)
     # a non-canonical list demotes to its (min, max) envelope — the
     # answer never changes (float literals on a bigint column)
     stmt = "SELECT COUNT(*) AS n FROM il WHERE k IN (5.0, 9.0)"
     assert execute_sql(spark, stmt, cdir).first()["n"] == 2
     n, name = opened(stmt)
-    assert name == "il" and n <= 2, (name, n)
+    assert name == ["il"] and n <= 2, (name, n)
     # mixed-type lists make no claims but stay correct
     stmt = "SELECT COUNT(*) AS n FROM il WHERE k IN (5, '0006')"
     assert execute_sql(spark, stmt, cdir).first()["n"] == 2
@@ -1471,7 +1471,7 @@ def test_pruned_attach_function_partition_transform(spark, cdir):
     want = execute_sql(spark, stmt, cdir).first()["s"]
     assert want is not None
     name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
-    assert name == "fp"
+    assert name == ["fp"]
     n_open = len(spark.table("fp").inputFiles())
     cat.attach_catalog(spark, cdir, names=["fp"])
     assert n_open < total, (n_open, total)
@@ -1506,8 +1506,8 @@ def test_pruned_attach_open_ranges_strict_ops_and_like(spark, cdir):
         name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
         n = len(spark.table("orl").inputFiles())
         if name:
-            cat.attach_catalog(spark, cdir, names=[name])
-        assert name == "orl" and n <= max_files, (stmt, name, n)
+            cat.attach_catalog(spark, cdir, names=name)
+        assert name == ["orl"] and n <= max_files, (stmt, name, n)
 
     # canonical half-open window: >= with strict <
     check(
@@ -1579,6 +1579,86 @@ def test_pruned_attach_review_round11_regressions(spark, cdir):
         spark, "SELECT COUNT(*) AS n FROM rr WHERE k >= 1000", cdir
     ).first()["n"]
     assert n == 999  # 1000..1999 minus the deleted 1500
+
+
+def test_pruned_attach_inner_join_star(spark, cdir):
+    """Multi-table pruning (round 11 — the star-join pattern): each
+    table in an INNER join prunes by ITS OWN conjuncts — qualified, or
+    unqualified and resolved through the one schema carrying the
+    column — while outer-join shapes keep the plain attach."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE fact (k BIGINT, dim_id BIGINT, v DOUBLE)
+          CLUSTERED BY (k);
+        INSERT INTO fact SELECT id, id % 10, CAST(id AS DOUBLE)
+          FROM RANGE(4000);
+        CREATE TABLE dim (dim_id BIGINT, label STRING)
+          CLUSTERED BY (dim_id) STATS BY (dim_id, label);
+        INSERT INTO dim SELECT id, CONCAT('d', LPAD(CAST(id AS STRING), 4, '0'))
+          FROM RANGE(1000);
+        """,
+        cdir,
+    )
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    froot = cat.catalog_entries(cdir)["fact"]["root"]
+    f_total = len(sn._read_manifest(froot, sn.current_version(froot))["files"])
+    droot = cat.catalog_entries(cdir)["dim"]["root"]
+    d_total = len(sn._read_manifest(droot, sn.current_version(droot))["files"])
+    assert f_total >= 8 and d_total >= 8
+    # unqualified conjuncts: k only in fact, label only in dim —
+    # labels 'd0000'..'d0009' join (dim_id = k % 10), all match 'd000%'
+    stmt = (
+        "SELECT COUNT(*) AS n FROM fact JOIN dim ON fact.dim_id = dim.dim_id "
+        "WHERE k BETWEEN 100 AND 200 AND label LIKE 'd000%'"
+    )
+    n = execute_sql(spark, stmt, cdir).first()["n"]
+    assert n == 101
+    pruned = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
+    nf = len(spark.table("fact").inputFiles())
+    nd = len(spark.table("dim").inputFiles())
+    cat.attach_catalog(spark, cdir, names=pruned or [])
+    assert sorted(pruned) == ["dim", "fact"]
+    assert nf < f_total and nd < d_total, (nf, f_total, nd, d_total)
+    # alias-qualified attribution
+    stmt = (
+        "SELECT COUNT(*) AS n FROM fact f JOIN dim d ON f.dim_id = d.dim_id "
+        "WHERE f.k >= 3900 AND d.dim_id <= 3"
+    )
+    n = execute_sql(spark, stmt, cdir).first()["n"]
+    assert n == sum(1 for i in range(3900, 4000) if i % 10 <= 3)
+    pruned = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
+    nf = len(spark.table("fact").inputFiles())
+    cat.attach_catalog(spark, cdir, names=pruned or [])
+    assert sorted(pruned) == ["dim", "fact"] and nf < f_total
+    # an ambiguous unqualified column (dim_id in both) claims nothing
+    stmt = (
+        "SELECT COUNT(*) AS n FROM fact JOIN dim ON fact.dim_id = dim.dim_id "
+        "WHERE dim_id = 3"
+    )
+    pruned = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
+    if pruned:
+        cat.attach_catalog(spark, cdir, names=pruned)
+    assert pruned is None
+    # outer joins keep the plain attach
+    stmt = (
+        "SELECT COUNT(*) AS n FROM fact LEFT JOIN dim "
+        "ON fact.dim_id = dim.dim_id WHERE k BETWEEN 0 AND 10"
+    )
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 11
+    pruned = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
+    assert pruned is None
+    # a self-join never prunes (one view per name)
+    stmt = (
+        "SELECT COUNT(*) AS n FROM fact a JOIN fact b ON a.k = b.k "
+        "WHERE a.k = 5"
+    )
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 1
+    pruned = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
+    assert pruned is None
 
 
 def test_pruned_view_restored_on_statement_error(spark, cdir):
