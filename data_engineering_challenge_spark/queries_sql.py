@@ -732,7 +732,8 @@ def q_sql_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``o_orderkey`` with BLOOM filters on the hash-scattered
     ``o_custkey`` is queried with plain SQL text — the statement
     executor's STATEMENT-LEVEL pruned attach (`sql_exec.
-    _pruned_attach`) parses each single-table WHERE's conjuncts and
+    _pruned_attach`) parses each statement's WHERE conjuncts (per
+    table since round 11's inner-join support) and
     re-registers the view as `read_snapshot_pruned` over exactly those
     predicates, so the range lookup opens ~1 of 8 files by recorded
     min/max stats and the point lookup skips by the per-file blooms
@@ -787,7 +788,7 @@ def q_sql_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ds = "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)"
     # one statement per lookup: the executor's STATEMENT-LEVEL pruned
-    # attach fires per single-table WHERE (each statement's view is a
+    # attach fires per statement (each referenced table's view is a
     # read_snapshot_pruned over exactly its predicates)
     rng = execute_sql(
         spark,
@@ -959,7 +960,7 @@ def q_sql_timestamp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SNAP_SQL_CACHE[key] = cdir
     ds = "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)"
     # one statement per lookup: the statement-level pruned attach
-    # fires per single-table WHERE
+    # fires per statement (per referenced table since round 11)
     win = execute_sql(
         spark,
         f"SELECT 'window' AS dim, COUNT(*) AS n, {ds} AS total "

@@ -5133,7 +5133,7 @@ def attach_snapshot_view(
     is materialized; it plans straight down to native parquet scans
     with parquet ROW-GROUP pushdown.  FILE-level manifest pruning for
     SQL text lives in the statement executor (`sql_exec` re-attaches a
-    single-table WHERE statement's view through
+    statement's table views (inner joins included) through
     `read_snapshot_pruned`): per-scan pruning inside the Python
     DataSource was measured UNSOUND on Spark 4.1 — one read plan per
     relation means a pruned plan silently serves every other scan of

@@ -939,6 +939,21 @@ def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
 _PRUNE_STOPS = {
     "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "VERSION",
     "TIMESTAMP", "AS", "ON", "JOIN", "UNION", ";",
+    # join-shape keywords: never aliases — the FROM parser must SEE
+    # them after a table item ('FROM t LEFT JOIN u' with 'LEFT' taken
+    # as t's alias would read an outer join as inner)
+    "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "NATURAL",
+    "SEMI", "ANTI", "USING",
+}
+
+#: join shapes the pruner refuses: pruning a null-extending side by a
+#: WHERE conjunct needs per-shape reasoning — only plain inner joins
+#: prune.  Checked in JOIN POSITION (after a table item), so LEFT()/
+#: RIGHT() string functions elsewhere in the statement don't disable
+#: pruning (review, round 11).
+_NON_INNER = {
+    "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "NATURAL", "SEMI",
+    "ANTI", "USING",
 }
 
 
@@ -1000,12 +1015,6 @@ def _pruned_attach(
     if any(k in up for k in (
         "UNION", "INTERSECT", "EXCEPT", "LATERAL", "VERSION",
         "TIMESTAMP",
-        # non-inner join shapes: pruning a null-extending side by a
-        # WHERE conjunct is only sound for the claim forms used here
-        # on the OUTER side — refuse them all rather than reason per
-        # shape; NATURAL/USING hide the join columns from the scan
-        "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "SEMI", "ANTI",
-        "NATURAL", "USING",
     )):
         return
     i = up.index("FROM")
@@ -1046,12 +1055,19 @@ def _pruned_attach(
                     depth += 1
                 elif t == ")":
                     depth -= 1
-                elif depth == 0 and up[j] in (
-                    "JOIN", "WHERE", "GROUP", "ORDER", "LIMIT",
-                    "HAVING", ";",
+                elif depth == 0 and (
+                    up[j] in _NON_INNER
+                    or up[j] in (
+                        "INNER", "JOIN", "WHERE", "GROUP", "ORDER",
+                        "LIMIT", "HAVING", ";",
+                    )
                 ):
                     break
                 j += 1
+        if j < len(toks) and up[j] in _NON_INNER:
+            return  # outer/semi/anti/cross/natural/USING: plain attach
+        if j < len(toks) and up[j] == "INNER":
+            j += 1  # INNER JOIN is the default shape spelled out
         if j < len(toks) and (up[j] == "JOIN" or toks[j] == ","):
             j += 1
             continue
@@ -1144,13 +1160,26 @@ def _pruned_attach(
     if len(tables) == 1:
         per[tables[0][0]] = conjuncts
     else:
-        try:
-            schemas = {
-                nm: {f.name.lower() for f in spark.table(nm).schema.fields}
-                for nm, _a in tables
-            }
-        except Exception:
-            return None  # a relation the session cannot describe
+        # schema fetch is LAZY (review, round 11): a fully qualifier-
+        # attributed WHERE — the common star-join spelling — never
+        # pays the per-table analysis round-trips
+        schemas: dict | None = None
+
+        def _schemas() -> dict | None:
+            nonlocal schemas
+            if schemas is None:
+                try:
+                    schemas = {
+                        nm: {
+                            f.name.lower()
+                            for f in spark.table(nm).schema.fields
+                        }
+                        for nm, _a in tables
+                    }
+                except Exception:
+                    schemas = {}  # undescribable relation: no owners
+            return schemas
+
         for c in conjuncts:
             if (
                 len(c) >= 3
@@ -1163,7 +1192,7 @@ def _pruned_attach(
                 continue  # unknown qualifier: no claims
             if c and re.fullmatch(r"[A-Za-z_`][A-Za-z_0-9`]*", c[0]):
                 col = c[0].strip("`").lower()
-                owners = [nm for nm in schemas if col in schemas[nm]]
+                owners = [nm for nm in _schemas() if col in _schemas()[nm]]
                 if len(owners) == 1:
                     per[owners[0]].append(c)
                     continue
@@ -1178,7 +1207,15 @@ def _pruned_attach(
         if not (per[nm] or floats):
             continue
         quals = {nm.lower(), (alias or nm).lower()}
-        if _prune_one(spark, e, nm, quals, per[nm], floats):
+        try:
+            replaced = _prune_one(spark, e, nm, quals, per[nm], floats)
+        except Exception:
+            # this table keeps the plain attach — and a raise must not
+            # escape with EARLIER tables' pruned views already in
+            # place (review, round 11: the caller's restore only runs
+            # when this function returns)
+            continue
+        if replaced:
             pruned.append(nm)
     return pruned or None
 

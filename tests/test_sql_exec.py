@@ -1621,19 +1621,21 @@ def test_pruned_attach_inner_join_star(spark, cdir):
     nf = len(spark.table("fact").inputFiles())
     nd = len(spark.table("dim").inputFiles())
     cat.attach_catalog(spark, cdir, names=pruned or [])
-    assert sorted(pruned) == ["dim", "fact"]
+    assert sorted(pruned or []) == ["dim", "fact"]
     assert nf < f_total and nd < d_total, (nf, f_total, nd, d_total)
-    # alias-qualified attribution
+    # alias-qualified attribution, explicit INNER spelling, and a
+    # LEFT() string FUNCTION that must not read as a join shape
     stmt = (
-        "SELECT COUNT(*) AS n FROM fact f JOIN dim d ON f.dim_id = d.dim_id "
-        "WHERE f.k >= 3900 AND d.dim_id <= 3"
+        "SELECT LEFT(d.label, 2) AS p, COUNT(*) AS n "
+        "FROM fact f INNER JOIN dim d ON f.dim_id = d.dim_id "
+        "WHERE f.k >= 3900 AND d.dim_id <= 3 GROUP BY p"
     )
     n = execute_sql(spark, stmt, cdir).first()["n"]
     assert n == sum(1 for i in range(3900, 4000) if i % 10 <= 3)
     pruned = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
     nf = len(spark.table("fact").inputFiles())
     cat.attach_catalog(spark, cdir, names=pruned or [])
-    assert sorted(pruned) == ["dim", "fact"] and nf < f_total
+    assert sorted(pruned or []) == ["dim", "fact"] and nf < f_total
     # an ambiguous unqualified column (dim_id in both) claims nothing
     stmt = (
         "SELECT COUNT(*) AS n FROM fact JOIN dim ON fact.dim_id = dim.dim_id "
