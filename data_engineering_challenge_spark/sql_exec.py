@@ -930,8 +930,12 @@ def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
             # statement's filtered, file-pruned subset lingering under
             # a table's name — ALSO on an analysis error (review,
             # round 11): a failed statement must not leave pruned
-            # views behind for the rest of the session
-            cat.attach_catalog(spark, catalog_dir, names=pruned)
+            # views behind for the rest of the session.  The restore
+            # re-registers each SAVED prior view (its plan is already
+            # analyzed) — a catalog re-attach would pay a manifest
+            # read + relation build per table per statement
+            for nm, prior in pruned.items():
+                prior.createOrReplaceTempView(nm)
     return df
 
 
@@ -973,8 +977,9 @@ def _pruned_attach(
     sides included), re-register EACH table's temp view as
     `read_snapshot_pruned` over exactly ITS OWN conjuncts — manifest
     stats, blooms, and hidden-partition values then skip FILES at plan
-    time, from plain SQL text.  Returns the list of re-registered
-    names (the caller restores the plain views after analysis).
+    time, from plain SQL text.  Returns ``{name: prior_plain_view}``
+    for the re-registered tables (the caller restores each saved view
+    after analysis — no re-attach cost).
 
     Multi-table attribution (round 11 — the star-join pattern: a fact
     table pruned by its date window while joining dims): a conjunct
@@ -1199,7 +1204,7 @@ def _pruned_attach(
                 if len(owners) > 1:
                     continue  # ambiguous — Spark rejects the statement
             floats.append(c)
-    pruned: list[str] = []
+    pruned: dict = {}
     for nm, alias in tables:
         e = entries[nm]
         if e.get("kind") in ("view", "mview"):
@@ -1208,15 +1213,15 @@ def _pruned_attach(
             continue
         quals = {nm.lower(), (alias or nm).lower()}
         try:
-            replaced = _prune_one(spark, e, nm, quals, per[nm], floats)
+            prior = _prune_one(spark, e, nm, quals, per[nm], floats)
         except Exception:
             # this table keeps the plain attach — and a raise must not
             # escape with EARLIER tables' pruned views already in
             # place (review, round 11: the caller's restore only runs
             # when this function returns)
             continue
-        if replaced:
-            pruned.append(nm)
+        if prior is not None:
+            pruned[nm] = prior
     return pruned or None
 
 
@@ -1239,14 +1244,23 @@ def _prune_one(
     quals: set[str],
     conjuncts: list,
     texpr_conjuncts: list,
-) -> bool:
+):
     """Build one table's pruning claims from ITS conjuncts and
-    re-register its temp view as `read_snapshot_pruned` — True when a
-    pruned view replaced the plain one.  ``texpr_conjuncts`` are
+    re-register its temp view as `read_snapshot_pruned` — returns the
+    PRIOR plain view's DataFrame when a pruned view replaced it (the
+    caller's restore re-registers it without any re-attach cost), or
+    None when the plain attach stands.  ``texpr_conjuncts`` are
     unattributed expression-led conjuncts offered ONLY to the
     partition-transform matcher (never parsed as column claims — a
     foreign table's `v >= 0` must not poison this table's re-applied
     predicate)."""
+    try:
+        # the plain attached view — the schema source AND the restore
+        # handle; without it there is nothing cheap to restore, so the
+        # plain attach stands
+        prior = spark.table(name)
+    except Exception:
+        return None
 
     def _col(parts: list[str]) -> tuple[str | None, list[str]]:
         # [q .] col — a foreign qualifier disqualifies the conjunct
@@ -1333,7 +1347,7 @@ def _prune_one(
         version = int(e["version"])
     v_res = version if version is not None else sn.current_version(root)
     if v_res is None:
-        return False
+        return None
     lay = sn._read_manifest_meta(root, v_res).get("layout") or {}
     transforms = lay.get("partition_transforms") or {}
     # HIDDEN-PARTITION pruning: a conjunct whose left side IS a
@@ -1409,13 +1423,18 @@ def _prune_one(
     dtypes: dict = {}
     if need_schema:
         try:
-            sdf = sn.read_snapshot_mor(spark, root, version)
+            # the PLAIN attached view (same pin as this entry) already
+            # carries the analyzed schema — reuse it instead of
+            # building a fresh read relation, which costs a parquet
+            # footer-read job per statement (measured ~0.2-0.4 s at
+            # sf0.1 in scripts/r11_evidence.py)
+            sdf = prior
             dtypes = {
                 f.name.lower(): f.dataType.simpleString()
                 for f in sdf.schema.fields
             }
         except Exception:
-            return False
+            return None
     if partition_eq:
         from pyspark.sql import functions as F
 
@@ -1522,7 +1541,7 @@ def _prune_one(
         # stats are numeric, the cross-type guard in
         # `read_snapshot_pruned` makes no claims.  Both keep.
     if not (ranges or point_eq or partition_eq or in_lists or like_prefixes):
-        return False
+        return None
     try:
         df = sn.read_snapshot_pruned(
             spark,
@@ -1537,9 +1556,9 @@ def _prune_one(
         df.schema  # force analysis NOW: an unanalyzable pruned view
         # must fall back to the plain attach, not fail the statement
     except Exception:
-        return False  # anything unexpected: the plain attach stands
+        return None  # anything unexpected: the plain attach stands
     df.createOrReplaceTempView(name)
-    return True
+    return prior
 
 
 def _sql_temporal(v, t: str):

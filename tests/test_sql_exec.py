@@ -1109,18 +1109,18 @@ def test_statement_level_pruned_attach(spark, cdir):
     out = execute_sql(spark, stmt, cdir)
     assert out.first()["n"] == 101
     n, name = opened(stmt)
-    assert name == ["pt"] and n <= 2, (name, n)
+    assert list(name or []) == ["pt"] and n <= 2, (name, n)
     # bloom point lookup on the hash-useless string column
     stmt = "SELECT k FROM pt WHERE tag = 't1234'"
     out = execute_sql(spark, stmt, cdir)
     assert [r["k"] for r in out.collect()] == [1234]
     n, name = opened(stmt)
-    assert name == ["pt"] and n <= 2, (name, n)
+    assert list(name or []) == ["pt"] and n <= 2, (name, n)
     # alias-qualified conjuncts prune too
     n, name = opened(
         "SELECT COUNT(*) AS n FROM pt p WHERE p.k >= 10 AND p.k <= 20"
     )
-    assert name == ["pt"] and n <= 2, (name, n)
+    assert list(name or []) == ["pt"] and n <= 2, (name, n)
     # the executor restores the PLAIN view after each statement
     execute_sql(spark, stmt, cdir)
     assert len(spark.table("pt").inputFiles()) == n_files
@@ -1169,7 +1169,7 @@ def test_pruned_attach_composes_with_partitions_and_pins(spark, cdir):
         "AND b BETWEEN 100 AND 200"
     )
     name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
-    assert name == ["pz"]
+    assert list(name or []) == ["pz"]
     assert len(spark.table("pz").inputFiles()) < total
     cat.attach_catalog(spark, cdir, names=["pz"])
 
@@ -1279,7 +1279,7 @@ def test_pruned_attach_timestamp_boundary(spark, cdir):
         "'2024-03-01 00:00:00' AND '2024-03-01 23:00:00'"
     )
     name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
-    assert name == ["tsb"]
+    assert list(name or []) == ["tsb"]
     # day-1 file + the zero-row CREATE file (stats-less: always read);
     # both day-2 and day-3 files skip on their manifest stats
     assert len(spark.table("tsb").inputFiles()) == 2
@@ -1325,7 +1325,7 @@ def test_pruned_attach_date_literals(spark, cdir):
         "d >= '2024-03-05' AND d <= '2024-03-09'"
     )
     name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
-    assert name == ["db"]
+    assert list(name or []) == ["db"]
     # the matching file + the zero-row CREATE file (always read)
     assert len(spark.table("db").inputFiles()) == 2
     cat.attach_catalog(spark, cdir, names=["db"])
@@ -1379,7 +1379,7 @@ def test_pruned_attach_partition_literal_type_gating(spark, cdir):
     total = len(sn._read_manifest(root, sn.current_version(root))["files"])
     stmt = "SELECT COUNT(*) AS n FROM pg WHERE a % 4 = 2"
     name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
-    assert name == ["pg"]
+    assert list(name or []) == ["pg"]
     assert len(spark.table("pg").inputFiles()) < total
     cat.attach_catalog(spark, cdir, names=["pg"])
 
@@ -1417,20 +1417,20 @@ def test_pruned_attach_in_lists(spark, cdir):
     stmt = "SELECT COUNT(*) AS n FROM il WHERE k IN (5, 6, 3995)"
     assert execute_sql(spark, stmt, cdir).first()["n"] == 3
     n, name = opened(stmt)
-    assert name == ["il"] and n <= 3, (name, n)
+    assert list(name or []) == ["il"] and n <= 3, (name, n)
     # bloom-pruned string IN on the scattered column
     stmt = "SELECT k FROM il WHERE tag IN ('t123', 't3990')"
     assert sorted(
         r["k"] for r in execute_sql(spark, stmt, cdir).collect()
     ) == [123, 3990]
     n, name = opened(stmt)
-    assert name == ["il"] and n <= 3, (name, n)
+    assert list(name or []) == ["il"] and n <= 3, (name, n)
     # a non-canonical list demotes to its (min, max) envelope — the
     # answer never changes (float literals on a bigint column)
     stmt = "SELECT COUNT(*) AS n FROM il WHERE k IN (5.0, 9.0)"
     assert execute_sql(spark, stmt, cdir).first()["n"] == 2
     n, name = opened(stmt)
-    assert name == ["il"] and n <= 2, (name, n)
+    assert list(name or []) == ["il"] and n <= 2, (name, n)
     # mixed-type lists make no claims but stay correct
     stmt = "SELECT COUNT(*) AS n FROM il WHERE k IN (5, '0006')"
     assert execute_sql(spark, stmt, cdir).first()["n"] == 2
@@ -1471,7 +1471,7 @@ def test_pruned_attach_function_partition_transform(spark, cdir):
     want = execute_sql(spark, stmt, cdir).first()["s"]
     assert want is not None
     name = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
-    assert name == ["fp"]
+    assert list(name or []) == ["fp"]
     n_open = len(spark.table("fp").inputFiles())
     cat.attach_catalog(spark, cdir, names=["fp"])
     assert n_open < total, (n_open, total)
@@ -1507,7 +1507,7 @@ def test_pruned_attach_open_ranges_strict_ops_and_like(spark, cdir):
         n = len(spark.table("orl").inputFiles())
         if name:
             cat.attach_catalog(spark, cdir, names=name)
-        assert name == ["orl"] and n <= max_files, (stmt, name, n)
+        assert list(name or []) == ["orl"] and n <= max_files, (stmt, name, n)
 
     # canonical half-open window: >= with strict <
     check(
