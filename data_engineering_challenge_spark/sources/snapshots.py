@@ -7612,6 +7612,80 @@ def snapshot_stats_agg(
     return spark.createDataFrame([tuple(vals)], ", ".join(fields))
 
 
+def snapshot_partition_count(
+    root: str,
+    partition_eq: dict,
+    version: int | None = None,
+) -> int:
+    """Metadata-only ``COUNT(*)`` under PARTITION equalities (round 11
+    — Iceberg's partition-predicate count): every row of a
+    hidden-partitioned file shares the file's recorded transform value
+    (`_write_partitioned_files` groups by value before writing), so a
+    count whose WHERE is exactly partition equalities is the SUM of
+    matching files' recorded row counts — zero data reads at any
+    scale.
+
+    STRICT like `snapshot_stats_agg` — refuses loudly instead of
+    silently under-counting:
+    * MoR delete files present → counts would be stale;
+    * a file without a recorded row count, or WITHOUT a recorded
+      value for a claimed partition name (mixed plain/partitioned
+      lineage) → the metadata cannot answer exactly (a pruning read
+      keeps such files conservatively; an exact count cannot);
+    * an unknown partition name → the claim is not this table's.
+
+    ``partition_eq`` values compare as strings against the recorded
+    hive path values — callers must pass values whose ``str()`` is
+    the transform output's canonical form (the SQL layer's type
+    gating guarantees this)."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(
+            f"snapshot_partition_count: no version at {root}"
+        )
+    if not partition_eq:
+        raise ValueError(
+            "snapshot_partition_count: partition_eq must be non-empty"
+        )
+    m = _read_manifest(root, v)
+    if m.get("delete_files"):
+        raise ValueError(
+            "snapshot_partition_count: table has MoR delete files — "
+            "metadata counts would be stale; compact first"
+        )
+    transforms = (m.get("layout") or {}).get("partition_transforms") or {}
+    missing = [n for n in partition_eq if n not in transforms]
+    if missing:
+        raise ValueError(
+            f"snapshot_partition_count: no partition transform recorded "
+            f"for {missing} — the table's layout declares "
+            f"{sorted(transforms)}"
+        )
+    rows_rec = m.get("rows") or {}
+    pvals = m.get("partition_values") or {}
+    want = {n: str(val) for n, val in partition_eq.items()}
+    total = 0
+    for f in m["files"]:
+        r = rows_rec.get(f)
+        if r is None:
+            raise ValueError(
+                f"snapshot_partition_count: no recorded row count for "
+                f"{f} — compact the table or count the read"
+            )
+        if int(r) == 0:
+            continue  # an empty file matches nothing either way
+        rec = pvals.get(f) or {}
+        if any(n not in rec for n in want):
+            raise ValueError(
+                f"snapshot_partition_count: {f} has no recorded value "
+                f"for a claimed partition — mixed lineage; count the "
+                "read instead"
+            )
+        if all(rec[n] == s for n, s in want.items()):
+            total += int(r)
+    return total
+
+
 def snapshot_partitions(
     spark: SparkSession,
     root: str,

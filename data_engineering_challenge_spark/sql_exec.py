@@ -919,6 +919,9 @@ def _rewrite_time_travel(
 
 def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
     entries = _attach(spark, catalog_dir, sql)
+    meta = _metadata_count(spark, catalog_dir, sql, entries)
+    if meta is not None:
+        return meta
     pruned = _pruned_attach(spark, catalog_dir, sql, entries)
     try:
         df = spark.sql(_rewrite_time_travel(spark, catalog_dir, sql))
@@ -1108,49 +1111,9 @@ def _pruned_attach(
             end = k
             break
     body = toks[w + 1 : end]
-    bup = [t.upper() for t in body]
-    # a DEPTH-0 OR makes the body a disjunction — prune nothing.  An
-    # OR (or a subquery) INSIDE parentheses stays inside one conjunct,
-    # which simply fails to parse below and contributes no claims —
-    # the OTHER conjuncts still prune soundly (round 11: parenthesized
-    # conjuncts admitted so function partition transforms like
-    # `day(ts)` can prune from SQL text).  A depth-0 CASE expression
-    # also bails: its arms carry depth-0 ANDs the splitter would
-    # mistake for conjunction boundaries, turning a CASE fragment like
-    # `k > 3` into a false table-level claim (review, round 11)
-    depth = 0
-    for t, u in zip(body, bup):
-        if t == "(":
-            depth += 1
-        elif t == ")":
-            depth -= 1
-        elif depth == 0 and u in (
-            "OR", "CASE", "WHEN", "THEN", "ELSE", "END",
-        ):
-            return
-    # split top-level conjuncts at depth-0 ANDs; a depth-0 BETWEEN
-    # swallows its ONE following depth-0 AND
-    conjuncts: list[list[str]] = []
-    cur_c: list[str] = []
-    depth = 0
-    bet_pending = 0
-    for t, u in zip(body, bup):
-        if t == "(":
-            depth += 1
-        elif t == ")":
-            depth -= 1
-        elif depth == 0 and u == "AND" and cur_c:
-            if bet_pending:
-                bet_pending -= 1
-            else:
-                conjuncts.append(cur_c)
-                cur_c = []
-                continue
-        elif depth == 0 and u == "BETWEEN":
-            bet_pending += 1
-        cur_c.append(t)
-    if cur_c:
-        conjuncts.append(cur_c)
+    conjuncts = _split_conjuncts(body)
+    if conjuncts is None:
+        return
 
     # qualifier map: the alias when given, plus the bare name — a
     # collision across tables bails (the statement is ambiguous)
@@ -1223,6 +1186,201 @@ def _pruned_attach(
         if prior is not None:
             pruned[nm] = prior
     return pruned or None
+
+
+def _metadata_count(
+    spark: SparkSession,
+    catalog_dir: str,
+    sql: str,
+    entries: dict | None = None,
+):
+    """METADATA-ONLY ``COUNT(*)`` under partition predicates (round 11
+    — Iceberg's partition-count path): a statement shaped exactly
+    ``SELECT COUNT(*) [AS alias] FROM <table> [alias] WHERE <conj>``
+    whose EVERY conjunct is a like-typed partition-transform equality
+    answers from `snapshot_partition_count` — manifest row counts
+    summed over matching files, ZERO data reads at any scale.  Every
+    row of a hidden-partitioned file shares its recorded transform
+    value, so with no residual predicate the sum IS the count.  Any
+    other shape — a residual conjunct, a non-partition claim, a
+    type-mismatched literal, mixed lineage, MoR deletes — returns
+    None and the statement runs normally (at worst file-pruned).
+    The reference COUNTs by scanning SQLite (pipeline/queries.py);
+    on 100 TB this path answers without opening a file."""
+    toks = [t for t, _l, _h in _tokens(sql)]
+    up = [t.upper() for t in toks]
+    if toks and toks[-1] == ";":
+        toks, up = toks[:-1], up[:-1]
+    if (
+        len(toks) < 9
+        or up[0] != "SELECT"
+        or up[1] != "COUNT"
+        or toks[2] != "("
+        or toks[3] != "*"
+        or toks[4] != ")"
+    ):
+        return None
+    j = 5
+    alias_out = None
+    if j < len(up) and up[j] == "AS":
+        if j + 1 >= len(toks) or not re.fullmatch(
+            r"[A-Za-z_][A-Za-z_0-9]*", toks[j + 1]
+        ):
+            return None
+        alias_out = toks[j + 1]
+        j += 2
+    if j >= len(up) or up[j] != "FROM":
+        return None
+    if entries is None:
+        entries = cat.catalog_entries(catalog_dir)
+    by_lower = {n.lower(): n for n in entries}
+    if j + 1 >= len(toks):
+        return None
+    name = by_lower.get(toks[j + 1].strip("`").lower())
+    if name is None:
+        return None
+    e = entries[name]
+    if e.get("kind") in ("view", "mview"):
+        return None
+    j += 2
+    t_alias = None
+    if j < len(up) and up[j] == "AS":
+        j += 1
+    if (
+        j < len(toks)
+        and up[j] not in _PRUNE_STOPS
+        and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", toks[j])
+    ):
+        t_alias = toks[j]
+        j += 1
+    if j >= len(up) or up[j] != "WHERE":
+        return None
+    conjuncts = _split_conjuncts(toks[j + 1 :])
+    if not conjuncts:
+        return None
+    root = e["root"]
+    version = None
+    try:
+        if e.get("ref") is not None:
+            version = sn.resolve_ref(root, e["ref"])
+        elif e.get("asof") is not None:
+            version = sn.resolve_asof_version(root, float(e["asof"]))
+        elif e.get("version") is not None:
+            version = int(e["version"])
+        v_res = (
+            version if version is not None else sn.current_version(root)
+        )
+        if v_res is None:
+            return None
+        lay = sn._read_manifest_meta(root, v_res).get("layout") or {}
+        transforms = lay.get("partition_transforms") or {}
+        if not transforms:
+            return None
+        quals = {name.lower(), (t_alias or name).lower()}
+
+        def _norm(ts: list[str]) -> str:
+            out = []
+            k = 0
+            while k < len(ts):
+                if (
+                    k + 1 < len(ts)
+                    and ts[k + 1] == "."
+                    and ts[k].lower() in quals
+                ):
+                    k += 2
+                    continue
+                out.append(ts[k].strip("`").lower())
+                k += 1
+            return " ".join(out)
+
+        texpr = {
+            _norm([t for t, _l, _h in _tokens(expr)]): pname
+            for pname, expr in transforms.items()
+        }
+        sdf = spark.table(name)
+        integral = {"tinyint", "smallint", "int", "bigint"}
+        partition_eq: dict = {}
+        for c in conjuncts:
+            # EVERY conjunct must be a like-typed partition equality
+            # — one residual and the metadata cannot answer exactly
+            if len(c) < 3 or c[-2] != "=":
+                return None
+            v = _lit(c[-1])
+            pname = texpr.get(_norm(c[:-2]))
+            if v is None or pname is None or pname in partition_eq:
+                return None
+            from pyspark.sql import functions as F
+
+            out_t = (
+                sdf.select(F.expr(transforms[pname]))
+                .schema[0]
+                .dataType.simpleString()
+            )
+            if not (
+                (
+                    isinstance(v, int)
+                    and not isinstance(v, bool)
+                    and out_t in integral
+                )
+                or (isinstance(v, str) and out_t == "string")
+                or (
+                    isinstance(v, str)
+                    and out_t == "date"
+                    and re.fullmatch(r"\d{4}-\d{2}-\d{2}", v)
+                )
+            ):
+                return None
+            partition_eq[pname] = v
+        n = sn.snapshot_partition_count(root, partition_eq, version)
+    except Exception:
+        return None  # any refusal: the statement runs normally
+    col = alias_out or "count(1)"
+    return spark.createDataFrame([(n,)], f"`{col}` BIGINT")
+
+
+def _split_conjuncts(body: list[str]):
+    """Split a WHERE body's tokens into top-level conjuncts at depth-0
+    ANDs (a depth-0 BETWEEN swallows its ONE following depth-0 AND) —
+    ``None`` when the body is not a plain conjunction.  A DEPTH-0 OR
+    makes it a disjunction; a depth-0 CASE's arms carry depth-0 ANDs
+    the splitter would mistake for boundaries, turning a CASE fragment
+    like `k > 3` into a false table-level claim (review, round 11).
+    An OR (or a subquery) INSIDE parentheses stays inside one
+    conjunct, which simply fails to parse downstream and contributes
+    no claims — the OTHER conjuncts still act soundly."""
+    bup = [t.upper() for t in body]
+    depth = 0
+    for t, u in zip(body, bup):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and u in (
+            "OR", "CASE", "WHEN", "THEN", "ELSE", "END",
+        ):
+            return None
+    conjuncts: list[list[str]] = []
+    cur_c: list[str] = []
+    depth = 0
+    bet_pending = 0
+    for t, u in zip(body, bup):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and u == "AND" and cur_c:
+            if bet_pending:
+                bet_pending -= 1
+            else:
+                conjuncts.append(cur_c)
+                cur_c = []
+                continue
+        elif depth == 0 and u == "BETWEEN":
+            bet_pending += 1
+        cur_c.append(t)
+    if cur_c:
+        conjuncts.append(cur_c)
+    return conjuncts
 
 
 def _lit(t: str):

@@ -1663,6 +1663,89 @@ def test_pruned_attach_inner_join_star(spark, cdir):
     assert pruned is None
 
 
+def test_metadata_partition_count(spark, cdir):
+    """``SELECT COUNT(*) FROM t WHERE <partition equalities>`` answers
+    from the MANIFEST with zero data reads (round 11 — Iceberg's
+    partition-count path), pinned by chmod-ing every data file
+    unreadable; any residual conjunct, type mismatch, or MoR delete
+    falls back to the normal (at worst file-pruned) execution."""
+    import os
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE mc (ts TIMESTAMP, v BIGINT)
+          PARTITIONED BY (DAY(ts) AS d);
+        INSERT INTO mc SELECT
+          CAST('2024-01-01 00:00:00' AS TIMESTAMP)
+            + MAKE_INTERVAL(0, 0, 0, 0, 0, 0, id * 500),
+          id
+        FROM RANGE(5000);
+        """,
+        cdir,
+    )
+    want = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM mc WHERE DAY(ts) = 15 AND v >= 0",
+        cdir,
+    ).first()["n"]
+    assert want > 0
+    # end-to-end: shape + name + value through execute_sql
+    out = execute_sql(
+        spark, "SELECT COUNT(*) AS n FROM mc WHERE DAY(ts) = 15", cdir
+    )
+    assert out.columns == ["n"] and out.first()["n"] == want
+    out = execute_sql(
+        spark, "SELECT COUNT(*) FROM mc WHERE DAY(ts) = 15", cdir
+    )
+    assert out.columns == ["count(1)"] and out.first()[0] == want
+    # zero-read pin: with every data file RENAMED AWAY (root ignores
+    # chmod), the metadata path still answers; shapes it must refuse
+    # return None instead of a wrong number
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_count,
+    )
+
+    entries = _attach(spark, cdir, "SELECT COUNT(*) FROM mc WHERE DAY(ts) = 15")
+    root = cat.catalog_entries(cdir)["mc"]["root"]
+    m = sn._read_manifest(root, sn.current_version(root))
+    paths = [os.path.join(root, f) for f in m["files"]]
+    try:
+        for p in paths:
+            os.rename(p, p + ".hidden")
+        out = _metadata_count(
+            spark, cdir,
+            "SELECT COUNT(*) AS n FROM mc WHERE DAY(ts) = 15", entries,
+        )
+        assert out is not None and out.first()["n"] == want
+        # residual conjunct: metadata cannot answer exactly
+        assert _metadata_count(
+            spark, cdir,
+            "SELECT COUNT(*) AS n FROM mc WHERE DAY(ts) = 15 AND v >= 0",
+            entries,
+        ) is None
+        # type-mismatched literal ('15' on an int transform output)
+        assert _metadata_count(
+            spark, cdir,
+            "SELECT COUNT(*) AS n FROM mc WHERE DAY(ts) = '15'", entries,
+        ) is None
+    finally:
+        for p in paths:
+            if os.path.exists(p + ".hidden"):
+                os.rename(p + ".hidden", p)
+    # MoR deletes refuse the metadata path (stale counts): DELETE one
+    # row, the count must drop — proving the real read ran
+    execute_sql(
+        spark,
+        "DELETE FROM mc WHERE v = (SELECT MIN(v) FROM mc WHERE DAY(ts) = 15)",
+        cdir,
+    )
+    n2 = execute_sql(
+        spark, "SELECT COUNT(*) AS n FROM mc WHERE DAY(ts) = 15", cdir
+    ).first()["n"]
+    assert n2 == want - 1
+
+
 def test_pruned_view_restored_on_statement_error(spark, cdir):
     """A statement that fails AFTER the pruned re-attach must restore
     the plain view on the way out (advice, round 10 — low): the
