@@ -969,7 +969,7 @@ def _pruned_attach(
     catalog_dir: str,
     sql: str,
     entries: dict | None = None,
-) -> list[str] | None:
+) -> dict | None:
     """STATEMENT-LEVEL manifest pruning for the SQL surface: when the
     statement is one SELECT whose FROM is catalog relations joined
     INNER (plain ``JOIN`` / comma) and its WHERE carries analyzable
@@ -1255,50 +1255,37 @@ def _metadata_count(
         j += 1
     if j >= len(up) or up[j] != "WHERE":
         return None
-    conjuncts = _split_conjuncts(toks[j + 1 :])
+    body = toks[j + 1 :]
+    # the WHERE body must be the WHOLE remaining statement: a depth-0
+    # GROUP/ORDER/LIMIT/HAVING means one row per group / truncation —
+    # never the single-row metadata shape (review, round 11)
+    depth = 0
+    for k, t in enumerate(body):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and body[k].upper() in (
+            "GROUP", "ORDER", "LIMIT", "HAVING",
+        ):
+            return None
+    conjuncts = _split_conjuncts(body)
     if not conjuncts:
         return None
     root = e["root"]
-    version = None
+    # an alias HIDES the bare name in Spark — accepting it as a
+    # qualifier would answer statements Spark rejects (review, r11)
+    quals = {(t_alias or name).lower()}
     try:
-        if e.get("ref") is not None:
-            version = sn.resolve_ref(root, e["ref"])
-        elif e.get("asof") is not None:
-            version = sn.resolve_asof_version(root, float(e["asof"]))
-        elif e.get("version") is not None:
-            version = int(e["version"])
-        v_res = (
-            version if version is not None else sn.current_version(root)
-        )
+        version, v_res = _entry_version(e, root)
         if v_res is None:
             return None
         lay = sn._read_manifest_meta(root, v_res).get("layout") or {}
         transforms = lay.get("partition_transforms") or {}
         if not transforms:
             return None
-        quals = {name.lower(), (t_alias or name).lower()}
-
-        def _norm(ts: list[str]) -> str:
-            out = []
-            k = 0
-            while k < len(ts):
-                if (
-                    k + 1 < len(ts)
-                    and ts[k + 1] == "."
-                    and ts[k].lower() in quals
-                ):
-                    k += 2
-                    continue
-                out.append(ts[k].strip("`").lower())
-                k += 1
-            return " ".join(out)
-
-        texpr = {
-            _norm([t for t, _l, _h in _tokens(expr)]): pname
-            for pname, expr in transforms.items()
-        }
+        texpr = _transform_texpr(transforms, quals)
         sdf = spark.table(name)
-        integral = {"tinyint", "smallint", "int", "bigint"}
         partition_eq: dict = {}
         for c in conjuncts:
             # EVERY conjunct must be a like-typed partition equality
@@ -1306,36 +1293,90 @@ def _metadata_count(
             if len(c) < 3 or c[-2] != "=":
                 return None
             v = _lit(c[-1])
-            pname = texpr.get(_norm(c[:-2]))
+            pname = texpr.get(_norm_tokens(c[:-2], quals))
             if v is None or pname is None or pname in partition_eq:
                 return None
-            from pyspark.sql import functions as F
-
-            out_t = (
-                sdf.select(F.expr(transforms[pname]))
-                .schema[0]
-                .dataType.simpleString()
-            )
-            if not (
-                (
-                    isinstance(v, int)
-                    and not isinstance(v, bool)
-                    and out_t in integral
-                )
-                or (isinstance(v, str) and out_t == "string")
-                or (
-                    isinstance(v, str)
-                    and out_t == "date"
-                    and re.fullmatch(r"\d{4}-\d{2}-\d{2}", v)
-                )
+            if not _partition_literal_ok(
+                spark, sdf, transforms[pname], v
             ):
                 return None
             partition_eq[pname] = v
-        n = sn.snapshot_partition_count(root, partition_eq, version)
+        n = sn.snapshot_partition_count(root, partition_eq, v_res)
     except Exception:
         return None  # any refusal: the statement runs normally
+    from pyspark.sql import types as T
+
     col = alias_out or "count(1)"
-    return spark.createDataFrame([(n,)], f"`{col}` BIGINT")
+    # non-nullable, matching Spark's own COUNT(*) output schema
+    schema = T.StructType([T.StructField(col, T.LongType(), False)])
+    return spark.createDataFrame([(n,)], schema)
+
+
+def _entry_version(e: dict, root: str) -> tuple:
+    """Resolve a catalog entry's pin: ``(pin_or_None, resolved)`` —
+    the pin to pass to version-aware readers, and the concrete version
+    every layout/metadata decision must key on (a re-resolve later
+    could see a NEWER head than the attached view's pin)."""
+    version = None
+    if e.get("ref") is not None:
+        version = sn.resolve_ref(root, e["ref"])
+    elif e.get("asof") is not None:
+        version = sn.resolve_asof_version(root, float(e["asof"]))
+    elif e.get("version") is not None:
+        version = int(e["version"])
+    v_res = version if version is not None else sn.current_version(root)
+    return version, v_res
+
+
+def _norm_tokens(ts: list[str], quals: set[str]) -> str:
+    """Token-normalize an expression for transform matching: strip
+    qualifiers in ``quals``, backticks, and case."""
+    out = []
+    k = 0
+    while k < len(ts):
+        if k + 1 < len(ts) and ts[k + 1] == "." and ts[k].lower() in quals:
+            k += 2
+            continue
+        out.append(ts[k].strip("`").lower())
+        k += 1
+    return " ".join(out)
+
+
+def _transform_texpr(transforms: dict, quals: set[str]) -> dict:
+    """{normalized transform expression tokens: partition name}."""
+    return {
+        _norm_tokens([t for t, _l, _h in _tokens(expr)], quals): pname
+        for pname, expr in transforms.items()
+    }
+
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _partition_literal_ok(spark, sdf, expr: str, v) -> bool:
+    """A partition equality claims only when the literal's type
+    matches the TRANSFORM'S OUTPUT type (int on integral, str on
+    string, strict YYYY-MM-DD str on date) — Spark coerces
+    ``int_part = '01'`` to a match, but the recorded-string compare
+    would wrongly skip (round-11 soundness rule; shared by the pruner
+    and the metadata count so the copies cannot diverge)."""
+    from pyspark.sql import functions as F
+
+    try:
+        out_t = (
+            sdf.select(F.expr(expr)).schema[0].dataType.simpleString()
+        )
+    except Exception:
+        return False  # unanalyzable transform: no claims
+    return (
+        (isinstance(v, int) and not isinstance(v, bool) and out_t in _INTEGRAL)
+        or (isinstance(v, str) and out_t == "string")
+        or (
+            isinstance(v, str)
+            and out_t == "date"
+            and bool(re.fullmatch(r"\d{4}-\d{2}-\d{2}", v))
+        )
+    )
 
 
 def _split_conjuncts(body: list[str]):
@@ -1496,14 +1537,7 @@ def _prune_one(
         if col not in lo_b:
             ranges.setdefault(col, (None, v))
     root = e["root"]
-    version = None
-    if e.get("ref") is not None:
-        version = sn.resolve_ref(root, e["ref"])
-    elif e.get("asof") is not None:
-        version = sn.resolve_asof_version(root, float(e["asof"]))
-    elif e.get("version") is not None:
-        version = int(e["version"])
-    v_res = version if version is not None else sn.current_version(root)
+    version, v_res = _entry_version(e, root)
     if v_res is None:
         return None
     lay = sn._read_manifest_meta(root, v_res).get("layout") or {}
@@ -1514,29 +1548,11 @@ def _prune_one(
     # table PARTITIONED BY (a % 4 AS bucket)
     partition_eq: dict = {}
     if transforms:
-        def _norm(ts: list[str]) -> str:
-            out = []
-            k = 0
-            while k < len(ts):
-                if (
-                    k + 1 < len(ts)
-                    and ts[k + 1] == "."
-                    and ts[k].lower() in quals
-                ):
-                    k += 2
-                    continue
-                out.append(ts[k].strip("`").lower())
-                k += 1
-            return " ".join(out)
-
-        texpr = {
-            _norm([t for t, _l, _h in _tokens(expr)]): pname
-            for pname, expr in transforms.items()
-        }
+        texpr = _transform_texpr(transforms, quals)
         for c in conjuncts + texpr_conjuncts:
             if len(c) >= 3 and c[-2] == "=":
                 v = _lit(c[-1])
-                pname = texpr.get(_norm(c[:-2]))
+                pname = texpr.get(_norm_tokens(c[:-2], quals))
                 if v is not None and pname is not None:
                     partition_eq[pname] = v
     ranges = {c: v for c, v in ranges.items() if c not in point_eq}
@@ -1562,7 +1578,7 @@ def _prune_one(
     #     string, strict YYYY-MM-DD str on date) — `int_part = '01'`
     #     coerces to a match in Spark but fails a string compare, so
     #     it must not prune (review, round 11).
-    integral = {"tinyint", "smallint", "int", "bigint"}
+    integral = _INTEGRAL
     partition_eq = {
         c: v
         for c, v in partition_eq.items()
@@ -1594,29 +1610,11 @@ def _prune_one(
         except Exception:
             return None
     if partition_eq:
-        from pyspark.sql import functions as F
-
-        kept = {}
-        for pname, v in partition_eq.items():
-            try:
-                out_t = (
-                    sdf.select(F.expr(transforms[pname]))
-                    .schema[0]
-                    .dataType.simpleString()
-                )
-            except Exception:
-                continue  # unanalyzable transform: no claims
-            if (
-                (isinstance(v, int) and out_t in integral)
-                or (isinstance(v, str) and out_t == "string")
-                or (
-                    isinstance(v, str)
-                    and out_t == "date"
-                    and re.fullmatch(r"\d{4}-\d{2}-\d{2}", v)
-                )
-            ):
-                kept[pname] = v
-        partition_eq = kept
+        partition_eq = {
+            pname: v
+            for pname, v in partition_eq.items()
+            if _partition_literal_ok(spark, sdf, transforms[pname], v)
+        }
     if point_eq:
         demote = {}
         for c, v in list(point_eq.items()):
