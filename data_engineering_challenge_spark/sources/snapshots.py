@@ -60,6 +60,7 @@ import json
 import os
 import time
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -5108,6 +5109,14 @@ def read_snapshot_mor(
     return data.select(*out_cols)
 
 
+#: per-session attach memo: SparkSession -> {view name: ((root,
+#: version, broadcast threshold), analyzed DataFrame)}.  Weak on the
+#: session so closed sessions free their plans; correctness rests on
+#: manifest-version IMMUTABILITY (a repointed or newly-committed table
+#: changes the key and rebuilds).
+_ATTACH_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def attach_snapshot_view(
     spark: SparkSession,
     name: str,
@@ -5155,6 +5164,28 @@ def attach_snapshot_view(
             raise FileNotFoundError(
                 f"attach_snapshot_view: no committed version at {root}"
             )
+    # ATTACH MEMO (round 11): a manifest version is immutable, so the
+    # analyzed view for (root, version, broadcast threshold) can be
+    # re-registered as-is — re-attaching N referenced tables per SQL
+    # statement then costs N cheap view registrations instead of N
+    # manifest reads + relation builds (parquet footer jobs).  The
+    # cached DataFrame is ALWAYS re-registered (never "skipped"), so a
+    # manually replaced view is still overwritten exactly like an
+    # uncached attach.  The manifest FILE's identity (mtime, size)
+    # rides in the key: a table dropped and recreated at the same root
+    # reaches the same version number with a different manifest, and
+    # must rebuild, not serve the old file list.
+    try:
+        st = os.stat(_manifest_path(root, version))
+        ident = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        ident = None
+    key = (root, version, ident, _auto_broadcast_threshold(spark))
+    sess = _ATTACH_MEMO.setdefault(spark, {})
+    hit = sess.get(name)
+    if hit is not None and hit[0] == key:
+        hit[1].createOrReplaceTempView(name)
+        return version
     df = read_snapshot_mor(spark, root, version)
     m = _read_manifest(root, version)
     if m.get("delete_files") or m.get("fields"):
@@ -5163,6 +5194,7 @@ def attach_snapshot_view(
         # (Catalyst's own file-size estimate is already exact)
         df = _maybe_broadcast_attach(spark, root, version, df)
     df.createOrReplaceTempView(name)
+    sess[name] = (key, df)
     return version
 
 

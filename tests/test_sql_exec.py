@@ -1663,6 +1663,39 @@ def test_pruned_attach_inner_join_star(spark, cdir):
     assert pruned is None
 
 
+def test_attach_memo_reuses_analyzed_view(spark, cdir, monkeypatch):
+    """Re-attaching an UNCHANGED (root, version) re-registers the
+    memoized analyzed view (round 11): zero manifest reads / relation
+    builds per statement on a quiet table; a new commit — or a table
+    dropped and recreated at the same root — rebuilds."""
+    execute_sql(
+        spark, "CREATE TABLE am AS SELECT id AS k FROM RANGE(100)", cdir
+    )
+    execute_sql(spark, "SELECT COUNT(*) AS n FROM am", cdir)  # warm
+    calls: list = []
+    orig = sn.read_snapshot_mor
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sn, "read_snapshot_mor", counting)
+    n = execute_sql(spark, "SELECT COUNT(*) AS n FROM am", cdir).first()["n"]
+    assert n == 100 and calls == [], calls  # same head: no rebuild
+    execute_sql(spark, "INSERT INTO am SELECT 999", cdir)
+    calls.clear()
+    n = execute_sql(spark, "SELECT COUNT(*) AS n FROM am", cdir).first()["n"]
+    assert n == 101 and len(calls) >= 1  # new head: rebuilt
+    # drop + recreate: same root may reach the same version number
+    # with a DIFFERENT manifest — the file-identity key must rebuild
+    execute_sql(spark, "DROP TABLE am", cdir)
+    execute_sql(
+        spark, "CREATE TABLE am AS SELECT id AS k FROM RANGE(5)", cdir
+    )
+    n = execute_sql(spark, "SELECT COUNT(*) AS n FROM am", cdir).first()["n"]
+    assert n == 5
+
+
 def test_metadata_partition_count(spark, cdir):
     """``SELECT COUNT(*) FROM t WHERE <partition equalities>`` answers
     from the MANIFEST with zero data reads (round 11 — Iceberg's
