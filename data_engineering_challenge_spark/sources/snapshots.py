@@ -7644,6 +7644,33 @@ def snapshot_stats_agg(
     return spark.createDataFrame([tuple(vals)], ", ".join(fields))
 
 
+def snapshot_row_count(root: str, version: int | None = None) -> int:
+    """Metadata-only TOTAL row count: the sum of recorded per-file row
+    counts — zero data reads, sound under schema evolution (a row is a
+    row whatever its columns).  STRICT: refuses on MoR delete files
+    (counts would be stale) or a file without a recorded count."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot_row_count: no version at {root}")
+    m = _read_manifest(root, v)
+    if m.get("delete_files"):
+        raise ValueError(
+            "snapshot_row_count: table has MoR delete files — metadata "
+            "counts would be stale; compact first"
+        )
+    rows_rec = m.get("rows") or {}
+    total = 0
+    for f in m["files"]:
+        r = rows_rec.get(f)
+        if r is None:
+            raise ValueError(
+                f"snapshot_row_count: no recorded row count for {f} — "
+                "compact the table or count the read"
+            )
+        total += int(r)
+    return total
+
+
 def snapshot_partition_count(
     root: str,
     partition_eq: dict,

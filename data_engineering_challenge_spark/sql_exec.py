@@ -1253,7 +1253,20 @@ def _metadata_count(
     ):
         t_alias = toks[j]
         j += 1
-    if j >= len(up) or up[j] != "WHERE":
+    if j >= len(up):
+        # no WHERE at all: COUNT(*) over the whole table — the
+        # commonest statement there is, answered from the summed
+        # per-file row counts (sound under evolution: a row is a row)
+        root = e["root"]
+        try:
+            _version, v_res = _entry_version(e, root)
+            if v_res is None:
+                return None
+            n = sn.snapshot_row_count(root, v_res)
+        except Exception:
+            return None  # any refusal: the statement runs normally
+        return _count_result(spark, alias_out, n)
+    if up[j] != "WHERE":
         return None
     body = toks[j + 1 :]
     # the WHERE body must be the WHOLE remaining statement: a depth-0
@@ -1304,6 +1317,10 @@ def _metadata_count(
         n = sn.snapshot_partition_count(root, partition_eq, v_res)
     except Exception:
         return None  # any refusal: the statement runs normally
+    return _count_result(spark, alias_out, n)
+
+
+def _count_result(spark: SparkSession, alias_out: str | None, n: int):
     from pyspark.sql import types as T
 
     col = alias_out or "count(1)"

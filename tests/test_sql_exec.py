@@ -1751,6 +1751,16 @@ def test_metadata_partition_count(spark, cdir):
             "SELECT COUNT(*) AS n FROM mc WHERE DAY(ts) = 15", entries,
         )
         assert out is not None and out.first()["n"] == want
+        # no WHERE at all: the whole-table count answers from the
+        # summed per-file row counts
+        out = _metadata_count(
+            spark, cdir, "SELECT COUNT(*) AS n FROM mc", entries
+        )
+        assert out is not None and out.first()["n"] == 5000
+        # a GROUP BY is one row per group — never the metadata shape
+        assert _metadata_count(
+            spark, cdir, "SELECT COUNT(*) AS n FROM mc GROUP BY v", entries
+        ) is None
         # residual conjunct: metadata cannot answer exactly
         assert _metadata_count(
             spark, cdir,
