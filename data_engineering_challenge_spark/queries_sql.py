@@ -1166,3 +1166,60 @@ def q_sql_metadata_partition_count(
         "SELECT COUNT(*) AS n FROM mpc_events WHERE DAY(ts) = 15",
         cdir,
     )
+
+
+@register(
+    "sql_show_partitions",
+    """
+SELECT CAST(day(ts) AS VARCHAR) AS d, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+)
+def q_sql_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SHOW PARTITIONS`` on the SQL surface (round 11): the
+    PARTITIONS metadata table — one row per hidden-partition tuple
+    with file/row/byte counts, MANIFESTS ONLY, zero data reads — now
+    reachable from a plain SQL statement (`snapshot_partitions`, the
+    Iceberg ``<table>.partitions`` analog).  The oracle recomputes the
+    per-partition row counts the slow way (group the raw events by
+    the transform value); the recorded counts must match exactly —
+    the planning view a 100 TB operator sizes compaction and spots
+    skew with, priced at a metadata read.  Build cached per
+    (query, sf_dir)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+    from .sql_exec import execute_sql, execute_sql_script
+
+    key = ("sql_show_partitions", sf_dir)
+    cdir = _SNAP_SQL_CACHE.get(key)
+    if cdir is None:
+        tmp = tempfile.mkdtemp(prefix="snap_spp_")
+        cdir = f"{tmp}/catalog"
+        ev = roles.load_events(spark, sf_dir).select("ts", "value")
+        sn.snapshot_overwrite(ev, f"{tmp}/events_src")
+        cat.catalog_register(cdir, "spp_src", f"{tmp}/events_src")
+        execute_sql_script(
+            spark,
+            """
+            CREATE TABLE spp_events (ts TIMESTAMP, value DOUBLE)
+              PARTITIONED BY (DAY(ts) AS d);
+            INSERT INTO spp_events SELECT ts, CAST(value AS DOUBLE)
+              FROM spp_src;
+            """,
+            cdir,
+        )
+        _SNAP_SQL_CACHE[key] = cdir
+    out = execute_sql(spark, "SHOW PARTITIONS spp_events", cdir)
+    # the zero-row explicit-schema CREATE file reports as the
+    # unpartitioned tuple — project the transform's value rows
+    return (
+        out.select(
+            out["partition"]["d"].alias("d"),
+            out["row_count"].alias("n"),
+        )
+        .where(F.col("d").isNotNull())
+    )

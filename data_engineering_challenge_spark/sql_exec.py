@@ -82,7 +82,8 @@ _GRAMMAR = """supported statements:
                    | SET GENERATED COLUMN <c> <type> AS (<expr>)
                    | DROP GENERATED COLUMN <c>
   COPY INTO <name> FROM '<path-or-glob>' [FORMAT parquet|csv|jsonl|orc]
-  SHOW TABLES | DESCRIBE [TABLE] <name> | DESCRIBE HISTORY <name>
+  SHOW TABLES | SHOW PARTITIONS <name>
+  DESCRIBE [TABLE] <name> | DESCRIBE HISTORY <name>
   OPTIMIZE <name> [ZORDER BY (c, ...) | COMPACT MANIFESTS]
   VACUUM <name> [RETAIN <n> VERSIONS | <n> HOURS]
   ANALYZE TABLE <name> COMPUTE STATISTICS [FOR COLUMNS c, ...] [EXACT]"""
@@ -2029,6 +2030,25 @@ def execute_sql(
         return spark.createDataFrame(
             rows, "name string, kind string, root string, pin string"
         )
+
+    # ---- SHOW PARTITIONS <name> ----
+    if cur.kw("SHOW", "PARTITIONS"):
+        name = cur.ident("table name")
+        cur.expect_done()
+        e = _entry(catalog_dir, name, "execute_sql(SHOW PARTITIONS)")
+        if e.get("kind") in ("view", "mview"):
+            raise ValueError(
+                f"execute_sql: {name!r} is a {e['kind']} — only "
+                "snapshot tables have partitions"
+            )
+        # honor the entry's reproducibility pin, like every read
+        _pin, v_res = _entry_version(e, e["root"])
+        if v_res is None:
+            raise FileNotFoundError(
+                f"execute_sql(SHOW PARTITIONS): no committed version "
+                f"for {name!r}"
+            )
+        return sn.snapshot_partitions(spark, e["root"], version=v_res)
 
     # ---- DESCRIBE HISTORY <name> / DESCRIBE [TABLE] <name> ----
     if cur.kw("DESCRIBE") or cur.kw("DESC"):

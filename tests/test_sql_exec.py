@@ -1663,6 +1663,33 @@ def test_pruned_attach_inner_join_star(spark, cdir):
     assert pruned is None
 
 
+def test_show_partitions_statement(spark, cdir):
+    """SHOW PARTITIONS <name> (round 11): the PARTITIONS metadata
+    table — one row per hidden-partition tuple with file/row/byte
+    counts, manifests only — reachable from SQL; views refuse."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE sp (a BIGINT) PARTITIONED BY (a % 3 AS m);
+        INSERT INTO sp SELECT id FROM RANGE(90);
+        CREATE VIEW spv AS SELECT * FROM sp;
+        """,
+        cdir,
+    )
+    out = execute_sql(spark, "SHOW PARTITIONS sp", cdir)
+    rows = {
+        r["partition"].get("m"): r["row_count"] for r in out.collect()
+    }
+    # the zero-row explicit-schema CREATE file reports as the
+    # unpartitioned tuple; the three value tuples carry the rows
+    assert rows == {None: 0, "0": 30, "1": 30, "2": 30}
+    assert out.columns == [
+        "partition", "file_count", "row_count", "total_bytes",
+    ]
+    with pytest.raises(ValueError, match="only"):
+        execute_sql(spark, "SHOW PARTITIONS spv", cdir)
+
+
 def test_attach_memo_reuses_analyzed_view(spark, cdir, monkeypatch):
     """Re-attaching an UNCHANGED (root, version) re-registers the
     memoized analyzed view (round 11): zero manifest reads / relation
