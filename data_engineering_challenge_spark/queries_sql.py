@@ -1135,37 +1135,50 @@ def q_sql_metadata_partition_count(
     type-mismatched literal, MoR deletes, mixed lineage — silently
     falls back to the (file-pruned) scan.  The reference COUNTs by
     scanning SQLite; on 100 TB this path answers without opening a
-    file.  Build cached per (query, sf_dir)."""
+    file.  Build shared with `sql_show_partitions`
+    (`_dpe_catalog`), cached per sf_dir."""
+    from .sql_exec import execute_sql
+
+    cdir = _dpe_catalog(spark, sf_dir)
+    return execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM dpe_events WHERE DAY(ts) = 15",
+        cdir,
+    )
+
+
+def _dpe_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """ONE day-partitioned events table (``dpe_events``, PARTITIONED BY
+    (DAY(ts) AS d)) shared by the round-11 metadata queries — built
+    once per sf_dir (review, round 11: two verbatim builds paid a
+    second partitioned INSERT per scale factor and could silently
+    diverge)."""
     import tempfile
 
     from .sources import catalog as cat
     from .sources import snapshots as sn
-    from .sql_exec import execute_sql, execute_sql_script
+    from .sql_exec import execute_sql_script
 
-    key = ("sql_metadata_partition_count", sf_dir)
+    key = ("_dpe_catalog", sf_dir)
     cdir = _SNAP_SQL_CACHE.get(key)
     if cdir is None:
-        tmp = tempfile.mkdtemp(prefix="snap_mpc_")
+        tmp = tempfile.mkdtemp(prefix="snap_dpe_")
         cdir = f"{tmp}/catalog"
         ev = roles.load_events(spark, sf_dir).select("ts", "value")
         sn.snapshot_overwrite(ev, f"{tmp}/events_src")
-        cat.catalog_register(cdir, "mpc_src", f"{tmp}/events_src")
+        cat.catalog_register(cdir, "dpe_src", f"{tmp}/events_src")
         execute_sql_script(
             spark,
             """
-            CREATE TABLE mpc_events (ts TIMESTAMP, value DOUBLE)
+            CREATE TABLE dpe_events (ts TIMESTAMP, value DOUBLE)
               PARTITIONED BY (DAY(ts) AS d);
-            INSERT INTO mpc_events SELECT ts, CAST(value AS DOUBLE)
-              FROM mpc_src;
+            INSERT INTO dpe_events SELECT ts, CAST(value AS DOUBLE)
+              FROM dpe_src;
             """,
             cdir,
         )
         _SNAP_SQL_CACHE[key] = cdir
-    return execute_sql(
-        spark,
-        "SELECT COUNT(*) AS n FROM mpc_events WHERE DAY(ts) = 15",
-        cdir,
-    )
+    return cdir
 
 
 @register(
@@ -1185,41 +1198,22 @@ def q_sql_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the transform value); the recorded counts must match exactly —
     the planning view a 100 TB operator sizes compaction and spots
     skew with, priced at a metadata read.  Build cached per
-    (query, sf_dir)."""
-    import tempfile
-
+    (query, sf_dir); build shared with
+    `sql_metadata_partition_count` (`_dpe_catalog`)."""
     from pyspark.sql import functions as F
 
-    from .sources import catalog as cat
-    from .sources import snapshots as sn
-    from .sql_exec import execute_sql, execute_sql_script
+    from .sql_exec import execute_sql
 
-    key = ("sql_show_partitions", sf_dir)
-    cdir = _SNAP_SQL_CACHE.get(key)
-    if cdir is None:
-        tmp = tempfile.mkdtemp(prefix="snap_spp_")
-        cdir = f"{tmp}/catalog"
-        ev = roles.load_events(spark, sf_dir).select("ts", "value")
-        sn.snapshot_overwrite(ev, f"{tmp}/events_src")
-        cat.catalog_register(cdir, "spp_src", f"{tmp}/events_src")
-        execute_sql_script(
-            spark,
-            """
-            CREATE TABLE spp_events (ts TIMESTAMP, value DOUBLE)
-              PARTITIONED BY (DAY(ts) AS d);
-            INSERT INTO spp_events SELECT ts, CAST(value AS DOUBLE)
-              FROM spp_src;
-            """,
-            cdir,
-        )
-        _SNAP_SQL_CACHE[key] = cdir
-    out = execute_sql(spark, "SHOW PARTITIONS spp_events", cdir)
-    # the zero-row explicit-schema CREATE file reports as the
-    # unpartitioned tuple — project the transform's value rows
+    cdir = _dpe_catalog(spark, sf_dir)
+    out = execute_sql(spark, "SHOW PARTITIONS dpe_events", cdir)
+    # drop ONLY the zero-row explicit-schema CREATE file's
+    # unpartitioned tuple (its map has no 'd' KEY) — a genuine NULL
+    # day partition keeps its key with a null value and must stay,
+    # matching the oracle's NULL group (review, round 11)
     return (
-        out.select(
+        out.where(F.map_contains_key("partition", F.lit("d")))
+        .select(
             out["partition"]["d"].alias("d"),
             out["row_count"].alias("n"),
         )
-        .where(F.col("d").isNotNull())
     )

@@ -1213,7 +1213,7 @@ def _metadata_count(
     if toks and toks[-1] == ";":
         toks, up = toks[:-1], up[:-1]
     if (
-        len(toks) < 9
+        len(toks) < 7  # SELECT COUNT ( * ) FROM t — the bare form
         or up[0] != "SELECT"
         or up[1] != "COUNT"
         or toks[2] != "("
@@ -1245,7 +1245,8 @@ def _metadata_count(
         return None
     j += 2
     t_alias = None
-    if j < len(up) and up[j] == "AS":
+    explicit_as = j < len(up) and up[j] == "AS"
+    if explicit_as:
         j += 1
     if (
         j < len(toks)
@@ -1254,6 +1255,10 @@ def _metadata_count(
     ):
         t_alias = toks[j]
         j += 1
+    elif explicit_as:
+        # a dangling AS is a syntax error — let Spark raise it, never
+        # mask it with a successful count (review, round 11)
+        return None
     if j >= len(up):
         # no WHERE at all: COUNT(*) over the whole table — the
         # commonest statement there is, answered from the summed

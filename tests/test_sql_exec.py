@@ -1779,14 +1779,24 @@ def test_metadata_partition_count(spark, cdir):
         )
         assert out is not None and out.first()["n"] == want
         # no WHERE at all: the whole-table count answers from the
-        # summed per-file row counts
+        # summed per-file row counts — including the BARE 7-token
+        # form (review, round 11: the shape guard rejected it)
         out = _metadata_count(
             spark, cdir, "SELECT COUNT(*) AS n FROM mc", entries
         )
         assert out is not None and out.first()["n"] == 5000
+        out = _metadata_count(
+            spark, cdir, "SELECT COUNT(*) FROM mc", entries
+        )
+        assert out is not None and out.first()[0] == 5000
         # a GROUP BY is one row per group — never the metadata shape
         assert _metadata_count(
             spark, cdir, "SELECT COUNT(*) AS n FROM mc GROUP BY v", entries
+        ) is None
+        # a dangling AS is a syntax error Spark must raise — the fast
+        # path must not mask it with a successful count
+        assert _metadata_count(
+            spark, cdir, "SELECT COUNT(*) FROM mc AS", entries
         ) is None
         # residual conjunct: metadata cannot answer exactly
         assert _metadata_count(
