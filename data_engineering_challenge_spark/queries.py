@@ -162,9 +162,9 @@ _CHEAP_FIRST = [
     "sql_pruned_lookup", "snapshot_partitioned_zorder",
     "sql_ddl_layout", "snapshot_mor_evolution",
     # round-11 additions, measured verify cost ascending (sf0.01)
-    "sql_metadata_partition_count", "sql_show_partitions",
-    "sql_partition_transform_pruned", "sql_timestamp_pruned_scan",
-    "sql_star_join_pruned",
+    "sql_metadata_partition_count", "sql_metadata_agg",
+    "sql_show_partitions", "sql_partition_transform_pruned",
+    "sql_timestamp_pruned_scan", "sql_star_join_pruned",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -1217,3 +1217,63 @@ def q_sql_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["row_count"].alias("n"),
         )
     )
+
+
+@register(
+    "sql_metadata_agg",
+    """
+SELECT CAST(MIN(o_orderkey) AS BIGINT) AS lo,
+       CAST(MAX(o_orderkey) AS BIGINT) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(CAST(o_totalprice AS DOUBLE)) AS hp
+FROM orders
+""",
+)
+def q_sql_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY MIN/MAX/COUNT from plain SQL (round 11 —
+    Iceberg's aggregate pushdown reaching the statement surface): a
+    ``SELECT MIN/MAX/COUNT(*) FROM t`` statement over a stats-recorded
+    table answers from `snapshot_stats_agg` — per-file row counts and
+    recorded min/max folded driver-side, ZERO data reads at any scale,
+    schema-identical to real execution (the result reuses each
+    column's own Spark type; numeric columns only — string/temporal
+    stats are ISO strings, a different type than Spark returns, and
+    refuse).  MoR deletes, missing stats, WHERE clauses all fall back
+    to the real aggregation.  Zero-read pin in tests/test_sql_exec.py
+    (files renamed away).  Build cached per (query, sf_dir)."""
+    import tempfile
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+    from .sql_exec import execute_sql, execute_sql_script
+
+    key = ("sql_metadata_agg", sf_dir)
+    cdir = _SNAP_SQL_CACHE.get(key)
+    if cdir is None:
+        from .sources.io import read_parquet_cached_schema
+
+        tmp = tempfile.mkdtemp(prefix="snap_mda_")
+        cdir = f"{tmp}/catalog"
+        o = read_parquet_cached_schema(
+            spark, os.path.join(sf_dir, "orders.parquet")
+        ).select("o_orderkey", "o_totalprice")
+        sn.snapshot_overwrite(o, f"{tmp}/orders_src")
+        cat.catalog_register(cdir, "mda_src", f"{tmp}/orders_src")
+        execute_sql_script(
+            spark,
+            """
+            CREATE TABLE mda_orders (okey BIGINT, price DOUBLE)
+              CLUSTERED BY (okey) STATS BY (okey, price);
+            INSERT INTO mda_orders
+                SELECT o_orderkey, CAST(o_totalprice AS DOUBLE)
+                FROM mda_src;
+            """,
+            cdir,
+        )
+        _SNAP_SQL_CACHE[key] = cdir
+    return execute_sql(
+        spark,
+        "SELECT MIN(okey) AS lo, MAX(okey) AS hi, COUNT(*) AS n, "
+        "MAX(price) AS hp FROM mda_orders",
+        cdir,
+    )

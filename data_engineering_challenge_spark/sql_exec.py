@@ -921,6 +921,8 @@ def _rewrite_time_travel(
 def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
     entries = _attach(spark, catalog_dir, sql)
     meta = _metadata_count(spark, catalog_dir, sql, entries)
+    if meta is None:
+        meta = _metadata_agg(spark, catalog_dir, sql, entries)
     if meta is not None:
         return meta
     pruned = _pruned_attach(spark, catalog_dir, sql, entries)
@@ -1324,6 +1326,145 @@ def _metadata_count(
     except Exception:
         return None  # any refusal: the statement runs normally
     return _count_result(spark, alias_out, n)
+
+
+def _metadata_agg(
+    spark: SparkSession,
+    catalog_dir: str,
+    sql: str,
+    entries: dict | None = None,
+):
+    """METADATA-ONLY aggregate statements (round 11 — Iceberg's
+    aggregate pushdown from SQL): a statement shaped exactly
+    ``SELECT <COUNT(*) | MIN(col) | MAX(col)> [AS a][, ...] FROM
+    <table> [alias]`` — nothing else, no WHERE — answers from
+    `snapshot_stats_agg`: per-file row counts and recorded min/max
+    stats summed/folded driver-side, ZERO data reads at any scale.
+
+    Fidelity gates, each falling back to the real scan via None:
+    every MIN/MAX column must be NUMERIC (integral/float/double — the
+    recorded stats are value-exact there and the result column reuses
+    the table field's OWN Spark type, so the fast path is
+    schema-identical to execution; string/temporal stats are ISO
+    strings, a different type than Spark would return), stats must be
+    recorded for every referenced column in every live file, row
+    counts for every file, no MoR deletes, no schema evolution —
+    `snapshot_stats_agg` refuses all of these loudly."""
+    toks = [t for t, _l, _h in _tokens(sql)]
+    up = [t.upper() for t in toks]
+    if toks and toks[-1] == ";":
+        toks, up = toks[:-1], up[:-1]
+    if len(toks) < 7 or up[0] != "SELECT":
+        return None
+    # parse the aggregate list
+    items: list[tuple] = []  # (kind, col_or_None, alias_or_None)
+    j = 1
+    while True:
+        if j + 3 >= len(toks):
+            return None
+        kind = up[j]
+        if kind == "COUNT" and toks[j + 1] == "(" and toks[j + 2] == "*" \
+                and toks[j + 3] == ")":
+            item = ("count", None)
+            j += 4
+        elif (
+            kind in ("MIN", "MAX")
+            and toks[j + 1] == "("
+            and re.fullmatch(r"[A-Za-z_`][A-Za-z_0-9`]*", toks[j + 2])
+            and j + 3 < len(toks)
+            and toks[j + 3] == ")"
+        ):
+            item = (kind.lower(), toks[j + 2].strip("`"))
+            j += 4
+        else:
+            return None
+        alias = None
+        if j < len(up) and up[j] == "AS":
+            if j + 1 >= len(toks) or not re.fullmatch(
+                r"[A-Za-z_][A-Za-z_0-9]*", toks[j + 1]
+            ):
+                return None
+            alias = toks[j + 1]
+            j += 2
+        items.append((*item, alias))
+        if j < len(toks) and toks[j] == ",":
+            j += 1
+            continue
+        break
+    if j >= len(up) or up[j] != "FROM" or j + 1 >= len(toks):
+        return None
+    if entries is None:
+        entries = cat.catalog_entries(catalog_dir)
+    by_lower = {n.lower(): n for n in entries}
+    name = by_lower.get(toks[j + 1].strip("`").lower())
+    if name is None:
+        return None
+    e = entries[name]
+    if e.get("kind") in ("view", "mview"):
+        return None
+    j += 2
+    explicit_as = j < len(up) and up[j] == "AS"
+    if explicit_as:
+        j += 1
+    if (
+        j < len(toks)
+        and up[j] not in _PRUNE_STOPS
+        and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", toks[j])
+    ):
+        j += 1
+    elif explicit_as:
+        return None  # dangling AS: a syntax error Spark must raise
+    if j < len(toks):
+        return None  # WHERE/GROUP/anything else: not this shape
+    try:
+        sdf = spark.table(name)
+        types = {f.name.lower(): f.dataType for f in sdf.schema.fields}
+        actual = {f.name.lower(): f.name for f in sdf.schema.fields}
+        numeric = {
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        }
+        # stats are keyed by the table's OWN column spelling — resolve
+        # case-insensitively like Spark, keep the user's spelling only
+        # for the output names
+        cols = list(dict.fromkeys(
+            actual.get(c.lower(), c)
+            for _k, c, _a in items
+            if c is not None
+        ))
+        for c in cols:
+            t = types.get(c.lower())
+            if t is None or t.simpleString() not in numeric:
+                return None
+        root = e["root"]
+        _pin, v_res = _entry_version(e, root)
+        if v_res is None:
+            return None
+        row = (
+            sn.snapshot_stats_agg(spark, root, cols, version=v_res)
+            .collect()[0]
+            .asDict()
+        )
+    except Exception:
+        return None  # any refusal: the statement runs normally
+    from pyspark.sql import types as T
+
+    fields, vals = [], []
+    for kind, c, alias in items:
+        if kind == "count":
+            fields.append(T.StructField(
+                alias or "count(1)", T.LongType(), False
+            ))
+            vals.append(int(row["n_rows"]))
+        else:
+            v = row[f"{kind}_{actual.get(c.lower(), c)}"]
+            t = types[c.lower()]
+            if isinstance(t, (T.FloatType, T.DoubleType)) and v is not None:
+                v = float(v)
+            fields.append(T.StructField(
+                alias or f"{kind}({c})", t, True
+            ))
+            vals.append(v)
+    return spark.createDataFrame([tuple(vals)], T.StructType(fields))
 
 
 def _count_result(spark: SparkSession, alias_out: str | None, n: int):

@@ -1663,6 +1663,72 @@ def test_pruned_attach_inner_join_star(spark, cdir):
     assert pruned is None
 
 
+def test_metadata_min_max_agg(spark, cdir):
+    """``SELECT MIN/MAX/COUNT(*) FROM t`` answers from recorded stats
+    with zero data reads (round 11 — Iceberg aggregate pushdown from
+    SQL), schema-identical to real execution; non-numeric columns,
+    WHERE clauses, and MoR deletes fall back."""
+    import os
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE ma (k BIGINT, v DOUBLE, s STRING)
+          CLUSTERED BY (k) STATS BY (k, v);
+        INSERT INTO ma SELECT id, CAST(id AS DOUBLE) / 2, CONCAT('x', id)
+          FROM RANGE(1000);
+        """,
+        cdir,
+    )
+    stmt = "SELECT MIN(k) AS lo, MAX(k) AS hi, COUNT(*) AS n, MAX(v) FROM ma"
+    out = execute_sql(spark, stmt, cdir)
+    ref = spark.sql(
+        "SELECT MIN(k) AS lo, MAX(k) AS hi, COUNT(*) AS n, MAX(v) "
+        "FROM (SELECT * FROM ma)"
+    )
+    def _shape(sch):
+        # Spark stamps unaliased agg fields with internal
+        # __autoGeneratedAlias metadata; names/types/nullability are
+        # the fidelity contract
+        return [(f.name, f.dataType, f.nullable) for f in sch]
+
+    assert _shape(out.schema) == _shape(ref.schema), (out.schema, ref.schema)
+    assert out.collect() == ref.collect()
+    # zero-read pin: files renamed away, the white-box path answers
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_agg,
+    )
+
+    entries = _attach(spark, cdir, stmt)
+    root = cat.catalog_entries(cdir)["ma"]["root"]
+    m = sn._read_manifest(root, sn.current_version(root))
+    paths = [os.path.join(root, f) for f in m["files"]]
+    try:
+        for p in paths:
+            os.rename(p, p + ".hidden")
+        got = _metadata_agg(spark, cdir, stmt, entries)
+        assert got is not None
+        assert [tuple(r) for r in got.collect()] == [(0, 999, 1000, 499.5)]
+        # a STRING column's stats are ISO/lexical — a different type
+        # than Spark returns, so the shape refuses
+        assert _metadata_agg(
+            spark, cdir, "SELECT MIN(s) FROM ma", entries
+        ) is None
+        # a WHERE is not this shape
+        assert _metadata_agg(
+            spark, cdir, "SELECT MIN(k) FROM ma WHERE k > 5", entries
+        ) is None
+    finally:
+        for p in paths:
+            if os.path.exists(p + ".hidden"):
+                os.rename(p + ".hidden", p)
+    # MoR deletes refuse: the real aggregation runs and sees the drop
+    execute_sql(spark, "DELETE FROM ma WHERE k = 999", cdir)
+    assert execute_sql(
+        spark, "SELECT MAX(k) AS hi FROM ma", cdir
+    ).first()["hi"] == 998
+
+
 def test_show_partitions_statement(spark, cdir):
     """SHOW PARTITIONS <name> (round 11): the PARTITIONS metadata
     table — one row per hidden-partition tuple with file/row/byte
