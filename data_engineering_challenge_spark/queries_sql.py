@@ -1225,7 +1225,7 @@ def q_sql_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(MIN(o_orderkey) AS BIGINT) AS lo,
        CAST(MAX(o_orderkey) AS BIGINT) AS hi,
        CAST(COUNT(*) AS BIGINT) AS n,
-       MAX(CAST(o_totalprice AS DOUBLE)) AS hp
+       CAST(MIN(o_custkey) AS BIGINT) AS lc
 FROM orders
 """,
 )
@@ -1236,9 +1236,10 @@ def q_sql_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     table answers from `snapshot_stats_agg` — per-file row counts and
     recorded min/max folded driver-side, ZERO data reads at any scale,
     schema-identical to real execution (the result reuses each
-    column's own Spark type; numeric columns only — string/temporal
-    stats are ISO strings, a different type than Spark returns, and
-    refuse).  MoR deletes, missing stats, WHERE clauses all fall back
+    column's own Spark type; INTEGRAL columns only — string/temporal
+    stats are ISO strings of a different type, and float/double
+    extremes ride the parquet writer's NaN policy, so both refuse).
+    MoR deletes, missing stats, WHERE clauses all fall back
     to the real aggregation.  Zero-read pin in tests/test_sql_exec.py
     (files renamed away).  Build cached per (query, sf_dir)."""
     import tempfile
@@ -1256,16 +1257,16 @@ def q_sql_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdir = f"{tmp}/catalog"
         o = read_parquet_cached_schema(
             spark, os.path.join(sf_dir, "orders.parquet")
-        ).select("o_orderkey", "o_totalprice")
+        ).select("o_orderkey", "o_custkey")
         sn.snapshot_overwrite(o, f"{tmp}/orders_src")
         cat.catalog_register(cdir, "mda_src", f"{tmp}/orders_src")
         execute_sql_script(
             spark,
             """
-            CREATE TABLE mda_orders (okey BIGINT, price DOUBLE)
-              CLUSTERED BY (okey) STATS BY (okey, price);
+            CREATE TABLE mda_orders (okey BIGINT, cust BIGINT)
+              CLUSTERED BY (okey) STATS BY (okey, cust);
             INSERT INTO mda_orders
-                SELECT o_orderkey, CAST(o_totalprice AS DOUBLE)
+                SELECT o_orderkey, CAST(o_custkey AS BIGINT)
                 FROM mda_src;
             """,
             cdir,
@@ -1274,6 +1275,6 @@ def q_sql_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_sql(
         spark,
         "SELECT MIN(okey) AS lo, MAX(okey) AS hi, COUNT(*) AS n, "
-        "MAX(price) AS hp FROM mda_orders",
+        "MIN(cust) AS lc FROM mda_orders",
         cdir,
     )

@@ -7581,7 +7581,39 @@ def snapshot_stats_agg(
     ``n_rows = 0`` with NULL extremes.  Returns one row: ``n_rows``,
     then ``min_<c>``/``max_<c>`` per requested column, typed by the
     stats' JSON-primitive coercion (ints/floats native, dates and
-    timestamps as their recorded ISO-8601 strings)."""
+    timestamps as their recorded ISO-8601 strings).
+
+    The driver-side fold is exposed as `_stats_agg_values` (same
+    refusals, plain Python values) so the SQL metadata fast path can
+    answer without a DataFrame round-trip."""
+    n_rows, extremes = _stats_agg_values(root, cols, version)
+    vals: list = [n_rows]
+    fields = ["n_rows BIGINT"]
+
+    def _sql_type(x) -> str:
+        if isinstance(x, bool) or x is None:
+            return "STRING"
+        if isinstance(x, int):
+            return "BIGINT"
+        if isinstance(x, float):
+            return "DOUBLE"
+        return "STRING"
+
+    for c in cols:
+        lo, hi = extremes[c]
+        vals.extend([lo, hi])
+        ty = _sql_type(lo)
+        fields.extend([f"min_{c} {ty}", f"max_{c} {ty}"])
+    return spark.createDataFrame([tuple(vals)], ", ".join(fields))
+
+
+def _stats_agg_values(
+    root: str, cols: list[str], version: int | None = None
+) -> tuple[int, dict]:
+    """`snapshot_stats_agg`'s driver-side fold: ``(n_rows, {col: (lo,
+    hi)})`` as plain Python values — same strict refusals, no Spark
+    round-trip (the SQL metadata fast path answers from this
+    directly)."""
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"snapshot_stats_agg: no version at {root}")
@@ -7613,18 +7645,7 @@ def snapshot_stats_agg(
         n_rows += int(r)
         if r > 0:
             live.append(f)
-    vals: list = [n_rows]
-    fields = ["n_rows BIGINT"]
-
-    def _sql_type(x) -> str:
-        if isinstance(x, bool) or x is None:
-            return "STRING"
-        if isinstance(x, int):
-            return "BIGINT"
-        if isinstance(x, float):
-            return "DOUBLE"
-        return "STRING"
-
+    extremes: dict = {}
     for c in cols:
         lo = hi = None
         for f in live:
@@ -7636,12 +7657,26 @@ def snapshot_stats_agg(
                     "compact with them) to enable metadata min/max"
                 )
             flo, fhi = st
+            # NaN refusal (round-11 review): a NaN in float stats makes
+            # the Python fold ORDER-DEPENDENT (max(5.0, nan) == 5.0 but
+            # max(nan, 5.0) == nan) and diverges from Spark's
+            # NaN-is-greatest ordering — refuse loudly, never fold a
+            # silently wrong extreme.  (Finite float stats over a file
+            # that CONTAINS NaN are the parquet writer's policy and
+            # undetectable here — float extremes from footer stats are
+            # only as trustworthy as that policy; the SQL fast path
+            # therefore gates to integral columns.)
+            for x in (flo, fhi):
+                if isinstance(x, float) and x != x:
+                    raise ValueError(
+                        f"snapshot_stats_agg: NaN in recorded stats for "
+                        f"{c!r} in {f} — metadata extremes cannot match "
+                        "Spark's NaN ordering; aggregate the read"
+                    )
             lo = flo if lo is None else min(lo, flo)
             hi = fhi if hi is None else max(hi, fhi)
-        vals.extend([lo, hi])
-        ty = _sql_type(lo)
-        fields.extend([f"min_{c} {ty}", f"max_{c} {ty}"])
-    return spark.createDataFrame([tuple(vals)], ", ".join(fields))
+        extremes[c] = (lo, hi)
+    return n_rows, extremes
 
 
 def snapshot_row_count(root: str, version: int | None = None) -> int:

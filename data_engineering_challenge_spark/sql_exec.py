@@ -1232,35 +1232,12 @@ def _metadata_count(
             return None
         alias_out = toks[j + 1]
         j += 2
-    if j >= len(up) or up[j] != "FROM":
-        return None
     if entries is None:
         entries = cat.catalog_entries(catalog_dir)
-    by_lower = {n.lower(): n for n in entries}
-    if j + 1 >= len(toks):
+    parsed = _parse_from_table(toks, up, j, entries)
+    if parsed is None:
         return None
-    name = by_lower.get(toks[j + 1].strip("`").lower())
-    if name is None:
-        return None
-    e = entries[name]
-    if e.get("kind") in ("view", "mview"):
-        return None
-    j += 2
-    t_alias = None
-    explicit_as = j < len(up) and up[j] == "AS"
-    if explicit_as:
-        j += 1
-    if (
-        j < len(toks)
-        and up[j] not in _PRUNE_STOPS
-        and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", toks[j])
-    ):
-        t_alias = toks[j]
-        j += 1
-    elif explicit_as:
-        # a dangling AS is a syntax error — let Spark raise it, never
-        # mask it with a successful count (review, round 11)
-        return None
+    name, e, t_alias, j = parsed
     if j >= len(up):
         # no WHERE at all: COUNT(*) over the whole table — the
         # commonest statement there is, answered from the summed
@@ -1391,59 +1368,52 @@ def _metadata_agg(
             j += 1
             continue
         break
-    if j >= len(up) or up[j] != "FROM" or j + 1 >= len(toks):
-        return None
     if entries is None:
         entries = cat.catalog_entries(catalog_dir)
-    by_lower = {n.lower(): n for n in entries}
-    name = by_lower.get(toks[j + 1].strip("`").lower())
-    if name is None:
+    parsed = _parse_from_table(toks, up, j, entries)
+    if parsed is None:
         return None
-    e = entries[name]
-    if e.get("kind") in ("view", "mview"):
-        return None
-    j += 2
-    explicit_as = j < len(up) and up[j] == "AS"
-    if explicit_as:
-        j += 1
-    if (
-        j < len(toks)
-        and up[j] not in _PRUNE_STOPS
-        and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", toks[j])
-    ):
-        j += 1
-    elif explicit_as:
-        return None  # dangling AS: a syntax error Spark must raise
+    name, e, _alias, j = parsed
     if j < len(toks):
         return None  # WHERE/GROUP/anything else: not this shape
     try:
         sdf = spark.table(name)
-        types = {f.name.lower(): f.dataType for f in sdf.schema.fields}
-        actual = {f.name.lower(): f.name for f in sdf.schema.fields}
-        numeric = {
-            "tinyint", "smallint", "int", "bigint", "float", "double",
-        }
-        # stats are keyed by the table's OWN column spelling — resolve
-        # case-insensitively like Spark, keep the user's spelling only
-        # for the output names
-        cols = list(dict.fromkeys(
-            actual.get(c.lower(), c)
-            for _k, c, _a in items
-            if c is not None
-        ))
-        for c in cols:
-            t = types.get(c.lower())
-            if t is None or t.simpleString() not in numeric:
+        # Spark resolves case-insensitively unless spark.sql.
+        # caseSensitive is on — mirror it, or the fast path would
+        # answer statements real execution rejects (review, round 11)
+        case_sensitive = (
+            str(spark.conf.get("spark.sql.caseSensitive")).lower()
+            == "true"
+        )
+
+        def _resolve(c: str):
+            for f in sdf.schema.fields:
+                if f.name == c or (
+                    not case_sensitive and f.name.lower() == c.lower()
+                ):
+                    return f
+            return None
+
+        # INTEGRAL columns only (review, round 11): float/double
+        # extremes from parquet footer stats ride the writer's NaN
+        # policy — a file containing NaN may record finite stats, and
+        # no fold of them can match Spark's NaN-is-greatest ordering
+        integral = {"tinyint", "smallint", "int", "bigint"}
+        resolved: dict = {}
+        for _k, c, _a in items:
+            if c is None:
+                continue
+            f = _resolve(c)
+            if f is None or f.dataType.simpleString() not in integral:
                 return None
+            resolved[c] = f
+        cols = list(dict.fromkeys(f.name for f in resolved.values()))
         root = e["root"]
         _pin, v_res = _entry_version(e, root)
         if v_res is None:
             return None
-        row = (
-            sn.snapshot_stats_agg(spark, root, cols, version=v_res)
-            .collect()[0]
-            .asDict()
-        )
+        # plain-python fold — no DataFrame round-trip on the fast path
+        n_rows, extremes = sn._stats_agg_values(root, cols, v_res)
     except Exception:
         return None  # any refusal: the statement runs normally
     from pyspark.sql import types as T
@@ -1454,17 +1424,47 @@ def _metadata_agg(
             fields.append(T.StructField(
                 alias or "count(1)", T.LongType(), False
             ))
-            vals.append(int(row["n_rows"]))
+            vals.append(int(n_rows))
         else:
-            v = row[f"{kind}_{actual.get(c.lower(), c)}"]
-            t = types[c.lower()]
-            if isinstance(t, (T.FloatType, T.DoubleType)) and v is not None:
-                v = float(v)
+            lo, hi = extremes[resolved[c].name]
             fields.append(T.StructField(
-                alias or f"{kind}({c})", t, True
+                alias or f"{kind}({c})", resolved[c].dataType, True
             ))
-            vals.append(v)
+            vals.append(lo if kind == "min" else hi)
     return spark.createDataFrame([tuple(vals)], T.StructType(fields))
+
+
+def _parse_from_table(toks, up, j, entries):
+    """``FROM <catalog table> [AS] [alias]`` with toks[j] == FROM —
+    ``(name, entry, alias, next_j)`` or None; views, unknown
+    relations, and a DANGLING AS (a syntax error Spark must raise,
+    never mask) all return None.  Shared by the metadata count and
+    aggregate shapes so the round-11 alias/AS soundness rules live
+    once."""
+    if j >= len(up) or up[j] != "FROM" or j + 1 >= len(toks):
+        return None
+    by_lower = {n.lower(): n for n in entries}
+    name = by_lower.get(toks[j + 1].strip("`").lower())
+    if name is None:
+        return None
+    e = entries[name]
+    if e.get("kind") in ("view", "mview"):
+        return None
+    j += 2
+    alias = None
+    explicit_as = j < len(up) and up[j] == "AS"
+    if explicit_as:
+        j += 1
+    if (
+        j < len(toks)
+        and up[j] not in _PRUNE_STOPS
+        and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", toks[j])
+    ):
+        alias = toks[j]
+        j += 1
+    elif explicit_as:
+        return None
+    return name, e, alias, j
 
 
 def _count_result(spark: SparkSession, alias_out: str | None, n: int):

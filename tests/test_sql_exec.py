@@ -1680,10 +1680,10 @@ def test_metadata_min_max_agg(spark, cdir):
         """,
         cdir,
     )
-    stmt = "SELECT MIN(k) AS lo, MAX(k) AS hi, COUNT(*) AS n, MAX(v) FROM ma"
+    stmt = "SELECT MIN(k) AS lo, MAX(k) AS hi, COUNT(*) AS n, MAX(k) FROM ma"
     out = execute_sql(spark, stmt, cdir)
     ref = spark.sql(
-        "SELECT MIN(k) AS lo, MAX(k) AS hi, COUNT(*) AS n, MAX(v) "
+        "SELECT MIN(k) AS lo, MAX(k) AS hi, COUNT(*) AS n, MAX(k) "
         "FROM (SELECT * FROM ma)"
     )
     def _shape(sch):
@@ -1708,11 +1708,17 @@ def test_metadata_min_max_agg(spark, cdir):
             os.rename(p, p + ".hidden")
         got = _metadata_agg(spark, cdir, stmt, entries)
         assert got is not None
-        assert [tuple(r) for r in got.collect()] == [(0, 999, 1000, 499.5)]
+        assert [tuple(r) for r in got.collect()] == [(0, 999, 1000, 999)]
         # a STRING column's stats are ISO/lexical — a different type
         # than Spark returns, so the shape refuses
         assert _metadata_agg(
             spark, cdir, "SELECT MIN(s) FROM ma", entries
+        ) is None
+        # float/double extremes ride the parquet writer's NaN policy
+        # (a file containing NaN may record finite stats) — integral
+        # columns only (review, round 11)
+        assert _metadata_agg(
+            spark, cdir, "SELECT MAX(v) FROM ma", entries
         ) is None
         # a WHERE is not this shape
         assert _metadata_agg(
