@@ -17,6 +17,7 @@ run_pipeline.py:98).  Spark-native mapping:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,19 +36,28 @@ def ensure_instant_timestamps(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
-def ensure_prunable_timestamp_writes(spark: SparkSession) -> None:
-    """Pin parquet timestamp OUTPUT to annotated INT64 micros.  Spark's
-    default is legacy INT96, which carries NO parquet min/max
-    statistics — so neither the snapshot format's manifest stats
-    (`snapshots._file_stats` reads the footer) nor Spark's own
-    row-group pushdown could ever prune a timestamp predicate on
-    engine-written data.  Runtime-settable, idempotent — called at the
+@contextmanager
+def ensure_prunable_timestamp_writes(spark: SparkSession):
+    """Pin parquet timestamp OUTPUT to annotated INT64 micros FOR THE
+    ENCLOSED WRITE.  Spark's default is legacy INT96, which carries NO
+    parquet min/max statistics — so neither the snapshot format's
+    manifest stats (`snapshots._file_stats` reads the footer) nor
+    Spark's own row-group pushdown could ever prune a timestamp
+    predicate on engine-written data.  Runtime-settable — used at the
     WRITE chokepoints so externally-built sessions (the driver's)
     produce the same prunable files as :func:`..session.get_spark`
-    ones."""
-    spark.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
+    ones.  A CONTEXT MANAGER that restores the session's prior value
+    on exit: the engine's write policy must not silently change the
+    physical parquet type of the caller's own unrelated writes in an
+    externally-built session (advice, round 12)."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prior = spark.conf.get(key)  # the conf has a default; never None
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if prior != "TIMESTAMP_MICROS":
+            spark.conf.set(key, prior)
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:

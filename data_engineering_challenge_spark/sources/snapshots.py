@@ -353,8 +353,8 @@ def _write_files(
     out = os.path.join(root, group)
     from .io import ensure_prunable_timestamp_writes
 
-    ensure_prunable_timestamp_writes(df.sparkSession)
-    df.write.parquet(out)
+    with ensure_prunable_timestamp_writes(df.sparkSession):
+        df.write.parquet(out)
     files = sorted(
         os.path.join(group, f)
         for f in os.listdir(out)
@@ -1186,6 +1186,12 @@ def _commit(
             "format": 2,
             "entries": entries,
             "delete_entries": list(base_dentries),
+            # per-commit identity: a drop/recreate reaching the same
+            # version number with a same-size manifest must never
+            # serve another table's memoized attach (advice, round 12
+            # — stat metadata alone is spoofable by mtime-preserving
+            # copies on coarse-mtime filesystems)
+            "uuid": uuid.uuid4().hex,
         }
         payload.update(tbl_meta)
         if payload_extras:
@@ -2203,8 +2209,8 @@ def _write_partitioned_files(
     out = os.path.join(root, group)
     from .io import ensure_prunable_timestamp_writes
 
-    ensure_prunable_timestamp_writes(out_df.sparkSession)
-    out_df.write.partitionBy(*tmps.values()).parquet(out)
+    with ensure_prunable_timestamp_writes(out_df.sparkSession):
+        out_df.write.partitionBy(*tmps.values()).parquet(out)
     # recursive listing: partitioned writes nest one dir per value
     files: list[str] = []
     pvals: dict[str, dict] = {}
@@ -5177,8 +5183,22 @@ def attach_snapshot_view(
     # must rebuild, not serve the old file list.
     try:
         st = os.stat(_manifest_path(root, version))
-        ident = (st.st_mtime_ns, st.st_size)
-    except OSError:
+        # identity = the full stat signature `_read_manifest` itself
+        # trusts (inode included) PLUS the per-commit uuid `_commit`
+        # records in the payload (advice, round 12): a drop/recreate
+        # reaching the same version number with a same-size manifest on
+        # a coarse-mtime filesystem — or an mtime-preserving
+        # copy/restore — changes the uuid and rebuilds instead of
+        # serving the old file list.  Manifests written by paths that
+        # predate uuid recording carry None and fall back to the stat
+        # signature alone.
+        ident = (
+            st.st_ino,
+            st.st_mtime_ns,
+            st.st_size,
+            _read_manifest_meta(root, version).get("uuid"),
+        )
+    except (OSError, ValueError):
         ident = None
     key = (root, version, ident, _auto_broadcast_threshold(spark))
     sess = _ATTACH_MEMO.setdefault(spark, {})

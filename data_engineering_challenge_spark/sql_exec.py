@@ -945,6 +945,17 @@ def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
     return df
 
 
+#: depth-0 keywords that END a WHERE clause body — every trailing
+#: clause Spark can parse after WHERE, listed EXPLICITLY so the body
+#: is delimited by design rather than by a trailing clause's tokens
+#: accidentally breaking the last conjunct's literal shape (advice,
+#: round 12: OFFSET/DISTRIBUTE/SORT/CLUSTER/WINDOW were delimited only
+#: by that accident)
+_WHERE_ENDS = (
+    "GROUP", "ORDER", "LIMIT", "HAVING", "OFFSET", "DISTRIBUTE",
+    "SORT", "CLUSTER", "WINDOW",
+)
+
 #: keywords that terminate the FROM clause / cannot be a table alias
 _PRUNE_STOPS = {
     "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "VERSION",
@@ -1068,10 +1079,8 @@ def _pruned_attach(
                     depth -= 1
                 elif depth == 0 and (
                     up[j] in _NON_INNER
-                    or up[j] in (
-                        "INNER", "JOIN", "WHERE", "GROUP", "ORDER",
-                        "LIMIT", "HAVING", ";",
-                    )
+                    or up[j] in ("INNER", "JOIN", "WHERE", ";")
+                    or up[j] in _WHERE_ENDS
                 ):
                     break
                 j += 1
@@ -1110,7 +1119,7 @@ def _pruned_attach(
             depth += 1
         elif t == ")":
             depth -= 1
-        elif depth == 0 and up[k] in ("GROUP", "ORDER", "LIMIT", "HAVING"):
+        elif depth == 0 and up[k] in _WHERE_ENDS:
             end = k
             break
     body = toks[w + 1 : end]
@@ -1263,9 +1272,7 @@ def _metadata_count(
             depth += 1
         elif t == ")":
             depth -= 1
-        elif depth == 0 and body[k].upper() in (
-            "GROUP", "ORDER", "LIMIT", "HAVING",
-        ):
+        elif depth == 0 and body[k].upper() in _WHERE_ENDS:
             return None
     conjuncts = _split_conjuncts(body)
     if not conjuncts:
@@ -1319,14 +1326,16 @@ def _metadata_agg(
     stats summed/folded driver-side, ZERO data reads at any scale.
 
     Fidelity gates, each falling back to the real scan via None:
-    every MIN/MAX column must be NUMERIC (integral/float/double — the
-    recorded stats are value-exact there and the result column reuses
-    the table field's OWN Spark type, so the fast path is
-    schema-identical to execution; string/temporal stats are ISO
-    strings, a different type than Spark would return), stats must be
-    recorded for every referenced column in every live file, row
-    counts for every file, no MoR deletes, no schema evolution —
-    `snapshot_stats_agg` refuses all of these loudly."""
+    every MIN/MAX column must be INTEGRAL (tinyint/smallint/int/bigint
+    — the recorded stats are value-exact there and the result column
+    reuses the table field's OWN Spark type, so the fast path is
+    schema-identical to execution; float/double footer stats ride the
+    writer's NaN policy and cannot match Spark's NaN-is-greatest
+    ordering, string/temporal stats are ISO strings, a different type
+    than Spark would return), stats must be recorded for every
+    referenced column in every live file, row counts for every file,
+    no MoR deletes, no schema evolution — `snapshot_stats_agg` refuses
+    all of these loudly."""
     toks = [t for t, _l, _h in _tokens(sql)]
     up = [t.upper() for t in toks]
     if toks and toks[-1] == ";":
@@ -1387,12 +1396,18 @@ def _metadata_agg(
         )
 
         def _resolve(c: str):
-            for f in sdf.schema.fields:
-                if f.name == c or (
-                    not case_sensitive and f.name.lower() == c.lower()
-                ):
-                    return f
-            return None
+            # ALL case-insensitive matches: a schema carrying columns
+            # differing only in case makes the reference AMBIGUOUS in
+            # Spark (AMBIGUOUS_REFERENCE) — the fast path must fall
+            # back to real execution, not answer from the first match
+            # (advice, round 12)
+            hits = [
+                f
+                for f in sdf.schema.fields
+                if f.name == c
+                or (not case_sensitive and f.name.lower() == c.lower())
+            ]
+            return hits[0] if len(hits) == 1 else None
 
         # INTEGRAL columns only (review, round 11): float/double
         # extremes from parquet footer stats ride the writer's NaN

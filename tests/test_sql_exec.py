@@ -1964,3 +1964,88 @@ def test_or_replace_explicit_schema_retires_layout(spark, cdir):
     root = cat.catalog_entries(cdir)["rp"]["root"]
     lay = sn._read_manifest_meta(root, sn.current_version(root))["layout"]
     assert sorted((lay.get("partition_transforms") or {}).keys()) == ["f"]
+
+
+def test_metadata_agg_ambiguous_case_insensitive_falls_back(
+    spark, cdir, tmp_path
+):
+    """A table whose parquet schema carries columns differing ONLY in
+    case (written under spark.sql.caseSensitive=true): with the
+    session back to case-insensitive, ``SELECT MAX(k)`` raises
+    AMBIGUOUS_REFERENCE in real execution — the metadata fast path
+    must fall back (None), never answer from the first schema match
+    (advice, round 12)."""
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_agg,
+    )
+
+    prior = spark.conf.get("spark.sql.caseSensitive")
+    try:
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        root = str(tmp_path / "amb")
+        df = spark.sql("SELECT id AS k, id * 2 AS K FROM RANGE(10)")
+        sn.snapshot_overwrite(df, root, stats_cols=["k", "K"])
+        cat.catalog_register(cdir, "amb_t", root)
+        entries = _attach(spark, cdir, "SELECT MAX(k) FROM amb_t")
+        # case-SENSITIVE session: exact matches resolve per spelling
+        lo = _metadata_agg(
+            spark, cdir, "SELECT MAX(k) AS m FROM amb_t", entries
+        )
+        hi = _metadata_agg(
+            spark, cdir, "SELECT MAX(K) AS m FROM amb_t", entries
+        )
+        assert lo is not None and lo.first()["m"] == 9
+        assert hi is not None and hi.first()["m"] == 18
+        # case-INSENSITIVE session: both fields match — real execution
+        # rejects the statement, so the fast path must not answer it
+        spark.conf.set("spark.sql.caseSensitive", "false")
+        assert _metadata_agg(
+            spark, cdir, "SELECT MAX(k) AS m FROM amb_t", entries
+        ) is None
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", prior)
+        spark.catalog.dropTempView("amb_t")
+
+
+def test_where_body_explicit_clause_stops(spark, cdir):
+    """The WHERE body is delimited by an EXPLICIT depth-0 stop list
+    covering every clause Spark can parse after it (advice, round 12:
+    OFFSET/DISTRIBUTE/SORT/CLUSTER/WINDOW previously relied on their
+    tokens folding into the last conjunct and breaking its literal
+    shape) — a trailing SORT BY no longer poisons the preceding
+    conjunct's claims, and the metadata COUNT refuses trailing
+    clauses by design."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE ws (k BIGINT, v DOUBLE) CLUSTERED BY (k);
+        INSERT INTO ws SELECT id, CAST(id AS DOUBLE) FROM RANGE(4000);
+        """,
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["ws"]["root"]
+    n_files = len(
+        sn._read_manifest(root, sn.current_version(root))["files"]
+    )
+    assert n_files >= 8
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_count, _pruned_attach,
+    )
+
+    stmt = "SELECT k FROM ws WHERE k BETWEEN 100 AND 110 SORT BY k"
+    out = execute_sql(spark, stmt, cdir)
+    assert [r["k"] for r in out.collect()] == list(range(100, 111))
+    entries = _attach(spark, cdir, stmt)
+    pruned = _pruned_attach(spark, cdir, stmt, entries)
+    n = len(spark.table("ws").inputFiles())
+    if pruned:
+        cat.attach_catalog(spark, cdir, names=pruned)
+    assert pruned and n <= 2, (pruned, n)
+    # a trailing OFFSET truncates — never the single-row COUNT shape
+    assert _metadata_count(
+        spark, cdir, "SELECT COUNT(*) AS n FROM ws WHERE k = 5 OFFSET 1",
+        entries,
+    ) is None
+    assert execute_sql(
+        spark, "SELECT k FROM ws WHERE k <= 5 ORDER BY k OFFSET 4", cdir
+    ).first()["k"] == 4
