@@ -1072,14 +1072,35 @@ def q_sql_star_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pipeline/queries.py); here the window IS the scan.  Build cached
     per (query, sf_dir); per-table file counts pinned in
     tests/test_sql_exec.py."""
+    from .sql_exec import execute_sql
+
+    cdir = _sjp_catalog(spark, sf_dir)
+    ds = "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)"
+    return execute_sql(
+        spark,
+        f"""
+SELECT c_mktsegment AS segment, COUNT(*) AS n, {ds} AS total
+FROM sjp_orders JOIN sjp_customer ON o_custkey = c_custkey
+WHERE o_orderdate >= '1996-01-01 00:00:00'
+  AND o_orderdate < '1996-04-01 00:00:00'
+  AND c_custkey BETWEEN 20 AND 700
+GROUP BY c_mktsegment ORDER BY segment
+""",
+        cdir,
+    )
+
+
+def _sjp_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """ONE date-clustered orders fact + key-clustered customer dim
+    catalog shared by the join-pruning queries (`sql_star_join_pruned`
+    and `sql_left_join_pruned`) — built once per sf_dir."""
     import tempfile
 
     from .sources import catalog as cat
     from .sources import snapshots as sn
-    from .sql_exec import execute_sql
     from .sources.io import read_parquet_cached_schema
 
-    key = ("sql_star_join_pruned", sf_dir)
+    key = ("_sjp_catalog", sf_dir)
     cdir = _SNAP_SQL_CACHE.get(key)
     if cdir is None:
         tmp = tempfile.mkdtemp(prefix="snap_sjp_")
@@ -1099,19 +1120,97 @@ def q_sql_star_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.catalog_register(cdir, "sjp_orders", f"{tmp}/orders")
         cat.catalog_register(cdir, "sjp_customer", f"{tmp}/customer")
         _SNAP_SQL_CACHE[key] = cdir
+    return cdir
+
+
+@register(
+    "sql_left_join_pruned",
+    # pruning changes which FILES open on the PRESERVED/PROBE side,
+    # never the answer — the oracle replays the identical outer/semi/
+    # anti semantics over the raw tables (EXISTS twins the semi join)
+    f"""
+WITH w AS (
+    SELECT o_custkey, o_totalprice FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT COALESCE(c_mktsegment, 'NONE') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('o_totalprice')} AS total
+FROM w LEFT JOIN customer
+  ON o_custkey = c_custkey AND c_custkey <= 200
+GROUP BY 1
+UNION ALL
+SELECT 'match' AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('o_totalprice')} AS total
+FROM w WHERE EXISTS (
+    SELECT 1 FROM customer
+    WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+)
+UNION ALL
+SELECT 'nomatch' AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('o_totalprice')} AS total
+FROM w WHERE NOT EXISTS (
+    SELECT 1 FROM customer
+    WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+)
+""",
+)
+def q_sql_left_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER/SEMI/ANTI statement pruning (round 12 — VERDICT r11
+    'What's missing #1', the most common BI shape over a snapshot
+    table): a ``fact LEFT JOIN dim … WHERE fact.ts >= …`` statement
+    prunes the PRESERVED side by its own date-window conjuncts —
+    identical soundness to the inner case, since every output row
+    binds the preserved side's columns from a real row — while the
+    null-extendable dim keeps the plain attach (pruning it could turn
+    matched rows into null-extended ones).  LEFT SEMI / ANTI prune
+    the probe side the same way.  Previously these shapes paid a
+    full-table attach (the round-11 bail); at 100 TB the window IS
+    the scan on exactly the statements BI tools emit.  Build shared
+    with `sql_star_join_pruned`; per-side file counts pinned in
+    tests/test_sql_exec.py."""
+    from .sql_exec import execute_sql
+
+    cdir = _sjp_catalog(spark, sf_dir)
     ds = "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)"
-    return execute_sql(
+    win = (
+        "o_orderdate >= '1996-01-01 00:00:00' "
+        "AND o_orderdate < '1996-04-01 00:00:00'"
+    )
+    left = execute_sql(
         spark,
         f"""
-SELECT c_mktsegment AS segment, COUNT(*) AS n, {ds} AS total
-FROM sjp_orders JOIN sjp_customer ON o_custkey = c_custkey
-WHERE o_orderdate >= '1996-01-01 00:00:00'
-  AND o_orderdate < '1996-04-01 00:00:00'
-  AND c_custkey BETWEEN 20 AND 700
-GROUP BY c_mktsegment ORDER BY segment
+SELECT COALESCE(c_mktsegment, 'NONE') AS segment, COUNT(*) AS n,
+       {ds} AS total
+FROM sjp_orders LEFT JOIN sjp_customer
+  ON o_custkey = c_custkey AND c_custkey <= 200
+WHERE {win}
+GROUP BY COALESCE(c_mktsegment, 'NONE')
 """,
         cdir,
     )
+    semi = execute_sql(
+        spark,
+        f"""
+SELECT 'match' AS segment, COUNT(*) AS n, {ds} AS total
+FROM sjp_orders LEFT SEMI JOIN sjp_customer
+  ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+WHERE {win}
+""",
+        cdir,
+    )
+    anti = execute_sql(
+        spark,
+        f"""
+SELECT 'nomatch' AS segment, COUNT(*) AS n, {ds} AS total
+FROM sjp_orders ANTI JOIN sjp_customer
+  ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+WHERE {win}
+""",
+        cdir,
+    )
+    return left.unionByName(semi).unionByName(anti)
 
 
 @register(

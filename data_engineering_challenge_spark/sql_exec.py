@@ -967,15 +967,22 @@ _PRUNE_STOPS = {
     "SEMI", "ANTI", "USING",
 }
 
-#: join shapes the pruner refuses: pruning a null-extending side by a
-#: WHERE conjunct needs per-shape reasoning — only plain inner joins
-#: prune.  Checked in JOIN POSITION (after a table item), so LEFT()/
-#: RIGHT() string functions elsewhere in the statement don't disable
-#: pruning (review, round 11).
+#: join-shape keywords, checked in JOIN POSITION (after a table item)
+#: so LEFT()/RIGHT() string functions elsewhere in the statement don't
+#: disable pruning (review, round 11).  Since round 12 the pruner
+#: UNDERSTANDS LEFT/RIGHT/SEMI/ANTI shapes (the preserved/probe side's
+#: own conjuncts prune; the null-extended or invisible side keeps the
+#: plain attach) and refuses only FULL/CROSS/NATURAL/USING.
 _NON_INNER = {
     "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "NATURAL", "SEMI",
     "ANTI", "USING",
 }
+
+#: join shapes that always keep the plain attach: FULL null-extends
+#: BOTH sides, CROSS without ON has no preserved-side argument to
+#: lean on, NATURAL/USING coalesce join columns (a conjunct on the
+#: coalesced name is not a single table's predicate)
+_PRUNE_REFUSED_SHAPES = {"FULL", "CROSS", "NATURAL", "OUTER", "USING"}
 
 
 def _pruned_attach(
@@ -1007,9 +1014,22 @@ def _pruned_attach(
     ambiguous, which Spark then rejects).  Sound for inner joins
     because the WHERE is conjunctive over the join result: a
     surviving row's match in table T satisfies T's conjuncts, so
-    files provably disjoint from them cannot contribute.  LEFT /
-    RIGHT / FULL / CROSS / SEMI / ANTI / NATURAL / USING shapes keep
-    the plain attach.
+    files provably disjoint from them cannot contribute.
+
+    OUTER/SEMI/ANTI shapes (round 12 — the most common BI statement,
+    ``fact LEFT JOIN dim … WHERE fact.ts >= …``, previously paid a
+    full-table attach): the PRESERVED side of a LEFT/RIGHT join and
+    the PROBE side of SEMI/ANTI prune by their own conjuncts with the
+    identical argument — every output row binds that side's columns
+    from a real row of it.  The null-extendable side (LEFT's right,
+    RIGHT's whole left-assoc prefix) keeps the plain attach: pruning
+    it could convert a matched row into a null-extended one (changing
+    column values, not just dropping rows), and pruning an ANTI's
+    right side would ADD rows.  SEMI/ANTI right sides are also
+    excluded from unqualified-column ownership — their columns are
+    invisible in the WHERE, so a name shared with the probe side
+    resolves to the probe (as Spark resolves it).  FULL / CROSS /
+    NATURAL / USING shapes and self-joins keep the plain attach.
 
     This replaces the round-10 DataSource-pushdown routing, WITHDRAWN
     after measurement: Spark 4.1 keeps ONE Python-DataSource read plan
@@ -1043,8 +1063,23 @@ def _pruned_attach(
     if entries is None:
         entries = cat.catalog_entries(catalog_dir)
     by_lower = {n.lower(): n for n in entries}
-    # FROM clause: name [AS alias] (, | JOIN name [AS alias] [ON ...])*
+    # FROM clause: name [AS alias] ((, | [shape] JOIN) name [AS alias]
+    # [ON ...])*.  Per-table PRUNABILITY rides along (round 12): a
+    # table is prunable by its own WHERE conjuncts iff it is never on
+    # the null-producing side of an outer join in the (left-assoc)
+    # join tree — LEFT JOIN's right side and RIGHT JOIN's whole left
+    # prefix are null-extendable (pruning them could CONVERT a matched
+    # row into a null-extended one, changing other columns' values,
+    # not just dropping rows); SEMI/ANTI right sides are INVISIBLE to
+    # the WHERE (and pruning an ANTI's right side would ADD rows).
+    # The preserved/probe side's own conjuncts prune exactly as in the
+    # inner case: every surviving output row binds that table's
+    # columns from a real row of it, so files provably disjoint from
+    # a conjunct cannot contribute.
     tables: list[tuple[str, str | None]] = []
+    prunable: list[bool] = []
+    invisible: list[bool] = []  # semi/anti right sides (no WHERE cols)
+    next_prunable, next_invisible = True, False
     j = i + 1
     while True:
         if j >= len(toks):
@@ -1065,6 +1100,8 @@ def _pruned_attach(
             alias = toks[j]
             j += 1
         tables.append((nm, alias))
+        prunable.append(next_prunable)
+        invisible.append(next_invisible)
         if j < len(toks) and up[j] == "ON":
             # skip the ON expression (depth-aware) to the next join
             # item or clause keyword — its conditions are join
@@ -1084,13 +1121,51 @@ def _pruned_attach(
                 ):
                     break
                 j += 1
-        if j < len(toks) and up[j] in _NON_INNER:
-            return  # outer/semi/anti/cross/natural/USING: plain attach
-        if j < len(toks) and up[j] == "INNER":
-            j += 1  # INNER JOIN is the default shape spelled out
-        if j < len(toks) and (up[j] == "JOIN" or toks[j] == ","):
+        if j >= len(toks):
+            break
+        # ---- join shape of the NEXT item --------------------------
+        next_prunable, next_invisible = True, False
+        shaped = False
+        u = up[j]
+        if u in _PRUNE_REFUSED_SHAPES:
+            return  # FULL/CROSS/NATURAL/USING (or a bare OUTER):
+            # plain attach — no per-side soundness argument here
+        if u == "LEFT":
+            j += 1
+            shaped = True
+            u2 = up[j] if j < len(toks) else ""
+            if u2 == "OUTER":
+                j += 1
+                next_prunable = False  # null-extended side
+            elif u2 in ("SEMI", "ANTI"):
+                j += 1
+                next_prunable, next_invisible = False, True
+            else:
+                next_prunable = False  # plain LEFT JOIN
+        elif u == "RIGHT":
+            j += 1
+            shaped = True
+            if j < len(toks) and up[j] == "OUTER":
+                j += 1
+            # left-assoc: the whole prefix joined so far is the
+            # null-extendable side; the joined table is preserved
+            prunable = [False] * len(prunable)
+        elif u in ("SEMI", "ANTI"):
+            j += 1
+            shaped = True
+            next_prunable, next_invisible = False, True
+        elif u == "INNER":
+            j += 1
+            shaped = True  # INNER JOIN is the default spelled out
+        if j < len(toks) and up[j] == "JOIN":
             j += 1
             continue
+        if not shaped and j < len(toks) and toks[j] == ",":
+            j += 1  # comma join: inner under a conjunctive WHERE
+            continue
+        if shaped:
+            return  # a shape keyword not followed by JOIN: not a FROM
+            # this walker understands — keep the plain attach
         break
     if not tables or len({nm for nm, _a in tables}) != len(tables):
         return  # nothing parsed, or a self-join (one view per NAME
@@ -1172,7 +1247,17 @@ def _pruned_attach(
                 continue  # unknown qualifier: no claims
             if c and re.fullmatch(r"[A-Za-z_`][A-Za-z_0-9`]*", c[0]):
                 col = c[0].strip("`").lower()
-                owners = [nm for nm in _schemas() if col in _schemas()[nm]]
+                # SEMI/ANTI right sides are INVISIBLE in the WHERE
+                # (the join output carries only probe-side columns),
+                # so Spark resolves an unqualified name shared with
+                # the probe side to the PROBE table — mirror that, or
+                # the shared-name case would read as ambiguous and
+                # drop a sound probe-side claim (round 12)
+                owners = [
+                    nm
+                    for k, (nm, _a) in enumerate(tables)
+                    if not invisible[k] and col in _schemas().get(nm, ())
+                ]
                 if len(owners) == 1:
                     per[owners[0]].append(c)
                     continue
@@ -1180,7 +1265,9 @@ def _pruned_attach(
                     continue  # ambiguous — Spark rejects the statement
             floats.append(c)
     pruned: dict = {}
-    for nm, alias in tables:
+    for k, (nm, alias) in enumerate(tables):
+        if not prunable[k]:
+            continue  # null-extendable / invisible side: plain attach
         e = entries[nm]
         if e.get("kind") in ("view", "mview"):
             continue
