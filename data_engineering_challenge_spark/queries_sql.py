@@ -29,6 +29,14 @@ from . import roles
 from .queries import _SQL_REPORT, _dsum_sql, register
 
 
+def _dsum_spark(col: str) -> str:
+    """Spark-SQL twin of :func:`..queries._dsum_sql` — the exact
+    order-independent decimal sum this family of engine queries emits
+    (one definition so the numeric contract cannot diverge across the
+    lookup/join-pruning queries)."""
+    return f"CAST(SUM(CAST({col} AS DECIMAL(28,10))) AS DOUBLE)"
+
+
 def _register_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
     """(Re)register ``sqlq_<name>`` temp views for the given testdata
     tables.  Cheap (metadata only) and idempotent; re-running with a
@@ -748,7 +756,7 @@ def q_sql_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdir = _plk_catalog(spark, sf_dir)
     from .sql_exec import execute_sql
 
-    ds = "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)"
+    ds = _dsum_spark("o_totalprice")
     # one statement per lookup: the executor's STATEMENT-LEVEL pruned
     # attach fires per statement (each referenced table's view is a
     # read_snapshot_pruned over exactly its predicates)
@@ -844,7 +852,7 @@ def q_sql_or_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sql_exec import execute_sql
 
     cdir = _plk_catalog(spark, sf_dir)
-    ds = "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)"
+    ds = _dsum_spark("o_totalprice")
     eq = execute_sql(
         spark,
         f"SELECT 'or_eq' AS dim, COUNT(*) AS n, {ds} AS total "
@@ -929,7 +937,7 @@ def q_sql_ddl_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             cdir,
         )
         _SNAP_SQL_CACHE[key] = cdir
-    ds = "CAST(SUM(CAST(price AS DECIMAL(28,10))) AS DOUBLE)"
+    ds = _dsum_spark("price")
     # one statement per lookup so the executor's statement-level
     # pruned attach fires for each (a UNION keeps the plain attach)
     rng = execute_sql(
@@ -1014,7 +1022,7 @@ def q_sql_timestamp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             cdir,
         )
         _SNAP_SQL_CACHE[key] = cdir
-    ds = "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)"
+    ds = _dsum_spark("value")
     # one statement per lookup: the statement-level pruned attach
     # fires per statement (per referenced table since round 11)
     win = execute_sql(
@@ -1089,7 +1097,7 @@ def q_sql_partition_transform_pruned(
             cdir,
         )
         _SNAP_SQL_CACHE[key] = cdir
-    ds = "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)"
+    ds = _dsum_spark("value")
     return execute_sql(
         spark,
         f"SELECT etype, COUNT(*) AS n, {ds} AS total "
@@ -1131,7 +1139,7 @@ def q_sql_star_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sql_exec import execute_sql
 
     cdir = _sjp_catalog(spark, sf_dir)
-    ds = "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)"
+    ds = _dsum_spark("o_totalprice")
     return execute_sql(
         spark,
         f"""
@@ -1229,7 +1237,7 @@ def q_sql_left_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sql_exec import execute_sql
 
     cdir = _sjp_catalog(spark, sf_dir)
-    ds = "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)"
+    ds = _dsum_spark("o_totalprice")
     win = (
         "o_orderdate >= '1996-01-01 00:00:00' "
         "AND o_orderdate < '1996-04-01 00:00:00'"

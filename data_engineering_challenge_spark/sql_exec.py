@@ -1207,8 +1207,14 @@ def _pruned_attach(
         # re-enters as ONE parenthesized conjunct — `_prune_one`'s
         # disjunction parser claims it as an IN list / range envelope
         # when every disjunct bounds the SAME column, and claims
-        # nothing otherwise (a mixed-column OR, CASE arms, NOT —
-        # anything it cannot certify keeps the plain attach)
+        # nothing otherwise (a mixed-column OR keeps the plain
+        # attach).  Bodies the parser can NEVER claim (depth-0
+        # CASE/NOT family) are refused HERE — wrapping them would pay
+        # _prune_one's per-table manifest-meta read per statement
+        # just to discover there are no claims (review, round 12).
+        bup = {t.upper() for t in body}
+        if bup & {"CASE", "WHEN", "THEN", "ELSE", "END", "NOT", "IS"}:
+            return
         conjuncts = [["(", *body, ")"]]
 
     # qualifier map: the alias when given, plus the bare name — a
@@ -1723,6 +1729,27 @@ def _lit(t: str):
     return None
 
 
+def _strip_span_parens(c: list[str]) -> list[str]:
+    """Remove outer paren layers that span the WHOLE token list —
+    ``( ( k = 1 ) )`` → ``k = 1``; ``( a ) ( b )`` is untouched (the
+    opener closes early)."""
+    while len(c) >= 2 and c[0] == "(" and c[-1] == ")":
+        depth = 0
+        spans = True
+        for t in c[:-1]:
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0:
+                    spans = False  # the opener closes early
+                    break
+        if not spans:
+            break
+        c = c[1:-1]
+    return c
+
+
 def _parse_disjunction(c: list[str], col_of):
     """A fully parenthesized SAME-COLUMN literal disjunction —
     ``(k = 1 OR k IN (2, 3) OR k BETWEEN 8 AND 9)`` — parsed to
@@ -1743,21 +1770,7 @@ def _parse_disjunction(c: list[str], col_of):
     because both claim forms are IMPLIED by the disjunction: a row
     satisfying any disjunct is in the value set / inside the
     envelope."""
-    # strip outer paren layers that span the WHOLE conjunct
-    while len(c) >= 2 and c[0] == "(" and c[-1] == ")":
-        depth = 0
-        spans = True
-        for k, t in enumerate(c[:-1]):
-            if t == "(":
-                depth += 1
-            elif t == ")":
-                depth -= 1
-                if depth == 0:
-                    spans = False  # the opener closes early
-                    break
-        if not spans:
-            break
-        c = c[1:-1]
+    c = _strip_span_parens(c)
     # split at depth-0 ORs (a depth-0 BETWEEN consumes its one AND)
     disjuncts: list[list[str]] = []
     cur: list[str] = []
@@ -1793,7 +1806,10 @@ def _parse_disjunction(c: list[str], col_of):
     vals: list | None = []
     pairs: list = []
     for d in disjuncts:
-        col, rest = col_of(d)
+        # BI tools routinely parenthesize each disjunct —
+        # `(k = 1) OR (k = 2)` — strip the span before parsing
+        # (review, round 12)
+        col, rest = col_of(_strip_span_parens(d))
         if col is None or not rest:
             return None
         if col0 is None:

@@ -2085,6 +2085,10 @@ def test_pruned_attach_outer_semi_anti_joins(spark, cdir):
     n_files = len(
         sn._read_manifest(root, sn.current_version(root))["files"]
     )
+    droot = cat.catalog_entries(cdir)["dim"]["root"]
+    d_files = len(
+        sn._read_manifest(droot, sn.current_version(droot))["files"]
+    )
     assert n_files >= 8
     from data_engineering_challenge_spark.sql_exec import (
         _attach, _pruned_attach,
@@ -2109,6 +2113,7 @@ def test_pruned_attach_outer_semi_anti_joins(spark, cdir):
     assert all(r["label"] is not None for r in out.collect())
     names, n_f, n_d = probe(stmt)
     assert names == ["fct"] and n_f <= 2, (names, n_f)
+    assert n_d == d_files  # the null-extendable dim stays plain
     # RIGHT JOIN: the joined (preserved) side prunes, the prefix not
     stmt = (
         "SELECT fct.k FROM dim RIGHT JOIN fct "
@@ -2240,13 +2245,22 @@ def test_pruned_attach_or_disjunction_claims(spark, cdir):
     n, pruned = probe(stmt)
     assert pruned is None and n == n_files, (pruned, n)
     # one-sided disjuncts leave that envelope side OPEN: the union of
-    # (k <= 5) and (k = 3999) bounds above at 3999 but not below
+    # (k <= 5) and (k = 505) bounds above at 505 but not below — files
+    # wholly above 505 must skip (review, round 12: pin the hi bound
+    # with a value BELOW the table max so the claim provably skips)
     stmt = (
-        "SELECT COUNT(*) AS n FROM od WHERE k <= 5 OR k = 3999"
+        "SELECT COUNT(*) AS n FROM od WHERE k <= 5 OR k = 505"
     )
     assert execute_sql(spark, stmt, cdir).first()["n"] == 7
     n, pruned = probe(stmt)
-    assert pruned and n <= n_files, (pruned, n)
+    assert pruned and n <= 3, (pruned, n)
+    # each disjunct may itself be parenthesized (BI spelling)
+    stmt = (
+        "SELECT COUNT(*) AS n FROM od WHERE (k = 5) OR (k = 3999)"
+    )
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 2
+    n, pruned = probe(stmt)
+    assert pruned and n <= 4, (pruned, n)
     # NOT / IS NULL disjuncts claim nothing
     stmt = (
         "SELECT COUNT(*) AS n FROM od WHERE k = 5 OR k IS NULL"
