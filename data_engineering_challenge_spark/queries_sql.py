@@ -1388,7 +1388,9 @@ def q_sql_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(MIN(o_orderkey) AS BIGINT) AS lo,
        CAST(MAX(o_orderkey) AS BIGINT) AS hi,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(MIN(o_custkey) AS BIGINT) AS lc
+       CAST(MIN(o_custkey) AS BIGINT) AS lc,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lp,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hp
 FROM orders
 """,
 )
@@ -1399,12 +1401,18 @@ def q_sql_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     table answers from `snapshot_stats_agg` — per-file row counts and
     recorded min/max folded driver-side, ZERO data reads at any scale,
     schema-identical to real execution (the result reuses each
-    column's own Spark type; INTEGRAL columns only — string/temporal
-    stats are ISO strings of a different type, and float/double
-    extremes ride the parquet writer's NaN policy, so both refuse).
-    MoR deletes, missing stats, WHERE clauses all fall back
-    to the real aggregation.  Zero-read pin in tests/test_sql_exec.py
-    (files renamed away).  Build cached per (query, sf_dir)."""
+    column's own Spark type).  NUMERIC columns only: integral stats
+    are value-exact; FLOAT/DOUBLE answer since round 12 under the
+    write-time NaN counts (`_file_stats(nan_counts=True)` — Iceberg's
+    nan_value_counts): a file whose count is zero proves its finite
+    footer stats hide nothing, a NaN-carrying or count-less file
+    refuses and the real scan runs (parquet writers EXCLUDE NaN from
+    min/max, so finite stats alone cannot match Spark's
+    NaN-is-greatest ordering).  String/temporal stats are ISO strings
+    of a different type and refuse.  MoR deletes, missing stats,
+    WHERE clauses all fall back to the real aggregation.  Zero-read
+    pin in tests/test_sql_exec.py (files renamed away).  Build cached
+    per (query, sf_dir)."""
     import tempfile
 
     from .sources import catalog as cat
@@ -1420,16 +1428,18 @@ def q_sql_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdir = f"{tmp}/catalog"
         o = read_parquet_cached_schema(
             spark, os.path.join(sf_dir, "orders.parquet")
-        ).select("o_orderkey", "o_custkey")
+        ).select("o_orderkey", "o_custkey", "o_totalprice")
         sn.snapshot_overwrite(o, f"{tmp}/orders_src")
         cat.catalog_register(cdir, "mda_src", f"{tmp}/orders_src")
         execute_sql_script(
             spark,
             """
-            CREATE TABLE mda_orders (okey BIGINT, cust BIGINT)
-              CLUSTERED BY (okey) STATS BY (okey, cust);
+            CREATE TABLE mda_orders (okey BIGINT, cust BIGINT,
+                                     price DOUBLE)
+              CLUSTERED BY (okey) STATS BY (okey, cust, price);
             INSERT INTO mda_orders
-                SELECT o_orderkey, CAST(o_custkey AS BIGINT)
+                SELECT o_orderkey, CAST(o_custkey AS BIGINT),
+                       CAST(o_totalprice AS DOUBLE)
                 FROM mda_src;
             """,
             cdir,
@@ -1438,6 +1448,7 @@ def q_sql_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_sql(
         spark,
         "SELECT MIN(okey) AS lo, MAX(okey) AS hi, COUNT(*) AS n, "
-        "MIN(cust) AS lc FROM mda_orders",
+        "MIN(cust) AS lc, MIN(price) AS lp, MAX(price) AS hp "
+        "FROM mda_orders",
         cdir,
     )

@@ -363,7 +363,8 @@ def _write_files(
     if stats_cols is None:
         return files
     return files, {
-        f: _file_stats(os.path.join(root, f), stats_cols) for f in files
+        f: _file_stats(os.path.join(root, f), stats_cols, nan_counts=True)
+        for f in files
     }
 
 
@@ -406,14 +407,29 @@ def _prefix_upper(pre: str) -> str | None:
     return None
 
 
-def _file_stats(path: str, cols: list[str]) -> dict:
+def _file_stats(
+    path: str, cols: list[str], nan_counts: bool = False
+) -> dict:
     """Per-file [min, max] for ``cols`` from the parquet FOOTER (row-group
     statistics — no data pages read).  Values are coerced to JSON-safe
     primitives; a column whose stats are absent or cannot be
     represented makes NO claims for THAT column (skipped — every
     consumer checks evidence per column, so partial stats still prune
     on the dimensions that have them; a missing dimension means
-    always-read, never a wrong skip)."""
+    always-read, never a wrong skip).
+
+    ``nan_counts=True`` (the WRITE chokepoints — round 12, Iceberg's
+    ``nan_value_counts``) extends each FLOAT/DOUBLE column's entry to
+    ``[min, max, nan_count]`` by reading that column back once from
+    the just-written local file: parquet writers EXCLUDE NaN from
+    min/max, so finite footer stats can hide NaNs — the recorded
+    count is what lets metadata MIN/MAX trust float stats (count 0)
+    or refuse loudly (count > 0, where no fold can match Spark's
+    NaN-is-greatest ordering).  Query-time callers keep the default:
+    counting would read data pages.  Every stats consumer indexes
+    ``[0]``/``[1]``, so the 2- and 3-element forms coexist; a float
+    entry WITHOUT a count (pre-round-12 manifests, or a failed count)
+    reads as "NaN presence unknown" and the metadata path refuses."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -444,6 +460,24 @@ def _file_stats(path: str, cols: list[str]) -> dict:
         if lo is None or hi is None:
             continue  # non-serializable stats -> no claims for c
         out[c] = [lo, hi]
+    if nan_counts:
+        fl = [
+            c
+            for c in out
+            if md.schema.column(idx[c]).physical_type
+            in ("FLOAT", "DOUBLE")
+        ]
+        if fl:
+            try:
+                import pyarrow.compute as pc
+
+                tbl = pq.read_table(path, columns=fl)
+                for c in fl:
+                    n = pc.sum(pc.is_nan(tbl[c])).as_py() or 0
+                    out[c] = [*out[c], int(n)]
+            except Exception:
+                pass  # count unavailable: the 2-element entry stays
+                # ("NaN presence unknown" — metadata extremes refuse)
     return out
 
 
@@ -2234,7 +2268,12 @@ def _write_partitioned_files(
             pvals[rel] = vals
     files.sort()
     stats = (
-        {f: _file_stats(os.path.join(root, f), stats_cols) for f in files}
+        {
+            f: _file_stats(
+                os.path.join(root, f), stats_cols, nan_counts=True
+            )
+            for f in files
+        }
         if stats_cols
         else {}
     )
@@ -7124,7 +7163,7 @@ def read_snapshot_cdf(
                 for pk, lg in zip(phys, key_tuple):
                     if pk not in st:
                         continue
-                    klo, khi = st[pk]
+                    klo, khi = st[pk][0], st[pk][1]
                     cur_r = rng.get(lg)
                     rng[lg] = (
                         [klo, khi]
@@ -7551,8 +7590,10 @@ def snapshot_files(
                     for k, x in (pvals.get(f) or {}).items()
                 },
                 "stats": {
-                    c: [str(lo), str(hi)]
-                    for c, (lo, hi) in (stats.get(f) or {}).items()
+                    # [min, max] only — a float entry's recorded NaN
+                    # count is an internal trust marker, not a bound
+                    c: [str(st[0]), str(st[1])]
+                    for c, st in (stats.get(f) or {}).items()
                 },
             }
         )
@@ -7676,22 +7717,41 @@ def _stats_agg_values(
                     f"{c!r} in {f} — write with stats_cols=[...] (or "
                     "compact with them) to enable metadata min/max"
                 )
-            flo, fhi = st
+            flo, fhi = st[0], st[1]
             # NaN refusal (round-11 review): a NaN in float stats makes
             # the Python fold ORDER-DEPENDENT (max(5.0, nan) == 5.0 but
             # max(nan, 5.0) == nan) and diverges from Spark's
             # NaN-is-greatest ordering — refuse loudly, never fold a
-            # silently wrong extreme.  (Finite float stats over a file
-            # that CONTAINS NaN are the parquet writer's policy and
-            # undetectable here — float extremes from footer stats are
-            # only as trustworthy as that policy; the SQL fast path
-            # therefore gates to integral columns.)
+            # silently wrong extreme.
             for x in (flo, fhi):
                 if isinstance(x, float) and x != x:
                     raise ValueError(
                         f"snapshot_stats_agg: NaN in recorded stats for "
                         f"{c!r} in {f} — metadata extremes cannot match "
                         "Spark's NaN ordering; aggregate the read"
+                    )
+            # FLOAT stats ride the parquet writer's NaN policy (NaN is
+            # EXCLUDED from min/max, so finite stats can hide NaNs) —
+            # trusted only when the write chokepoint recorded a NaN
+            # count of ZERO for the file (round 12, Iceberg's
+            # nan_value_counts).  An absent count (pre-round-12
+            # manifest) means "presence unknown": refuse.
+            if isinstance(flo, float) or isinstance(fhi, float):
+                nan = st[2] if len(st) > 2 else None
+                if nan is None:
+                    raise ValueError(
+                        f"snapshot_stats_agg: no recorded NaN count for "
+                        f"float column {c!r} in {f} — finite footer "
+                        "stats can hide NaNs; recommit/compact with "
+                        "stats_cols to record counts, or aggregate the "
+                        "read"
+                    )
+                if nan:
+                    raise ValueError(
+                        f"snapshot_stats_agg: {f} holds {nan} NaN "
+                        f"value(s) in {c!r} — metadata extremes cannot "
+                        "match Spark's NaN-is-greatest ordering; "
+                        "aggregate the read"
                     )
             lo = flo if lo is None else min(lo, flo)
             hi = fhi if hi is None else max(hi, fhi)

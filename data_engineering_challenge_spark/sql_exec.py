@@ -1440,16 +1440,20 @@ def _metadata_agg(
     stats summed/folded driver-side, ZERO data reads at any scale.
 
     Fidelity gates, each falling back to the real scan via None:
-    every MIN/MAX column must be INTEGRAL (tinyint/smallint/int/bigint
-    — the recorded stats are value-exact there and the result column
-    reuses the table field's OWN Spark type, so the fast path is
-    schema-identical to execution; float/double footer stats ride the
-    writer's NaN policy and cannot match Spark's NaN-is-greatest
-    ordering, string/temporal stats are ISO strings, a different type
-    than Spark would return), stats must be recorded for every
+    every MIN/MAX column must be NUMERIC — integral stats are
+    value-exact; FLOAT/DOUBLE answer since round 12 ONLY when every
+    file's write-time NaN count (`_file_stats(nan_counts=True)`,
+    Iceberg's nan_value_counts) is recorded ZERO, because parquet
+    writers exclude NaN from min/max and a finite-stat fold cannot
+    match Spark's NaN-is-greatest ordering otherwise — a NaN-carrying
+    or count-less file refuses in `snapshot_stats_agg` and the real
+    scan runs.  The result column reuses the table field's OWN Spark
+    type, so the fast path is schema-identical to execution;
+    string/temporal stats are ISO strings, a different type than
+    Spark would return, and refuse.  Stats must be recorded for every
     referenced column in every live file, row counts for every file,
-    no MoR deletes, no schema evolution — `snapshot_stats_agg` refuses
-    all of these loudly."""
+    no MoR deletes, no schema evolution — `snapshot_stats_agg`
+    refuses all of these loudly."""
     toks = [t for t, _l, _h in _tokens(sql)]
     up = [t.upper() for t in toks]
     if toks and toks[-1] == ";":
@@ -1523,17 +1527,19 @@ def _metadata_agg(
             ]
             return hits[0] if len(hits) == 1 else None
 
-        # INTEGRAL columns only (review, round 11): float/double
-        # extremes from parquet footer stats ride the writer's NaN
-        # policy — a file containing NaN may record finite stats, and
-        # no fold of them can match Spark's NaN-is-greatest ordering
-        integral = {"tinyint", "smallint", "int", "bigint"}
+        # NUMERIC columns: integral stats are value-exact;
+        # float/double answer only under a recorded zero NaN count per
+        # file (round 12 — `_stats_agg_values` enforces it, refusing
+        # count-less or NaN-carrying files loudly)
+        numeric = {
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        }
         resolved: dict = {}
         for _k, c, _a in items:
             if c is None:
                 continue
             f = _resolve(c)
-            if f is None or f.dataType.simpleString() not in integral:
+            if f is None or f.dataType.simpleString() not in numeric:
                 return None
             resolved[c] = f
         cols = list(dict.fromkeys(f.name for f in resolved.values()))

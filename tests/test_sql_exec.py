@@ -1723,12 +1723,14 @@ def test_metadata_min_max_agg(spark, cdir):
         assert _metadata_agg(
             spark, cdir, "SELECT MIN(s) FROM ma", entries
         ) is None
-        # float/double extremes ride the parquet writer's NaN policy
-        # (a file containing NaN may record finite stats) — integral
-        # columns only (review, round 11)
-        assert _metadata_agg(
-            spark, cdir, "SELECT MAX(v) FROM ma", entries
-        ) is None
+        # FLOAT/DOUBLE answer since round 12: the write chokepoint
+        # recorded a zero NaN count per file, so the finite footer
+        # stats provably hide nothing — still zero data reads (the
+        # files are renamed away here)
+        got_v = _metadata_agg(
+            spark, cdir, "SELECT MAX(v) AS hv FROM ma", entries
+        )
+        assert got_v is not None and got_v.first()["hv"] == 499.5
         # a WHERE is not this shape
         assert _metadata_agg(
             spark, cdir, "SELECT MIN(k) FROM ma WHERE k > 5", entries
@@ -2268,3 +2270,72 @@ def test_pruned_attach_or_disjunction_claims(spark, cdir):
     assert execute_sql(spark, stmt, cdir).first()["n"] == 1
     n, pruned = probe(stmt)
     assert pruned is None and n == n_files, (pruned, n)
+
+
+def test_metadata_float_agg_nan_refusals(spark, cdir, tmp_path):
+    """Float metadata extremes trust the WRITE-TIME NaN counts
+    (round 12 — Iceberg's nan_value_counts): a NaN-free table answers
+    MIN/MAX from stats with zero data reads; a NaN-carrying file
+    refuses loudly (parquet excludes NaN from min/max, so its finite
+    stats lie about Spark's NaN-is-greatest MAX); a manifest WITHOUT
+    recorded counts (pre-round-12 lineage) refuses too — presence
+    unknown is not presence disproven."""
+    import json
+    import os
+
+    import pytest
+
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_agg,
+    )
+
+    root = str(tmp_path / "nanful")
+    df = spark.sql(
+        "SELECT id AS k, CAST(CASE WHEN id = 7 THEN 'NaN' ELSE "
+        "CAST(id AS STRING) END AS DOUBLE) AS v FROM RANGE(10)"
+    )
+    sn.snapshot_overwrite(df, root, stats_cols=["k", "v"])
+    cat.catalog_register(cdir, "nanful", root)
+    stmt = "SELECT MAX(v) AS hv FROM nanful"
+    entries = _attach(spark, cdir, stmt)
+    # the recorded count marks the NaN: the fast path refuses ...
+    assert _metadata_agg(spark, cdir, stmt, entries) is None
+    with pytest.raises(ValueError, match="NaN"):
+        sn._stats_agg_values(root, ["v"])
+    # ... and real execution returns Spark's NaN-is-greatest answer
+    hv = execute_sql(spark, stmt, cdir).first()["hv"]
+    assert hv != hv  # NaN
+    # MAX over the NaN-free column still answers from stats
+    got = _metadata_agg(spark, cdir, "SELECT MAX(k) AS hk FROM nanful",
+                        entries)
+    assert got is not None and got.first()["hk"] == 9
+
+    # a NaN-FREE float table answers ...
+    root2 = str(tmp_path / "clean")
+    sn.snapshot_overwrite(
+        spark.sql("SELECT id AS k, CAST(id AS DOUBLE) / 4 AS v "
+                  "FROM RANGE(10)"),
+        root2, stats_cols=["v"],
+    )
+    cat.catalog_register(cdir, "cleanf", root2)
+    stmt2 = "SELECT MIN(v) AS lv, MAX(v) AS hv FROM cleanf"
+    entries2 = _attach(spark, cdir, stmt2)
+    got2 = _metadata_agg(spark, cdir, stmt2, entries2)
+    assert got2 is not None
+    assert tuple(got2.first()) == (0.0, 2.25)
+    # ... until its NaN counts are STRIPPED (a pre-round-12 manifest):
+    # presence unknown must refuse, not answer
+    mdir = sn._manifest_dir(root2)
+    v = sn.current_version(root2)
+    payload = json.load(open(sn._manifest_path(root2, v)))
+    for name in payload["entries"]:
+        epath = os.path.join(mdir, name)
+        e = json.load(open(epath))
+        for f, st in (e.get("stats") or {}).items():
+            e["stats"][f] = {c: s[:2] for c, s in st.items()}
+        json.dump(e, open(epath, "w"))
+    sn._JSON_CACHE.clear()
+    sn._RESOLVED_CACHE.clear()
+    assert _metadata_agg(spark, cdir, stmt2, entries2) is None
+    with pytest.raises(ValueError, match="NaN count"):
+        sn._stats_agg_values(root2, ["v"])
