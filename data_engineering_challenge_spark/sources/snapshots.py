@@ -452,6 +452,17 @@ def _file_stats(
             except Exception:
                 ok = False
                 break
+            if (isinstance(cmin, float) and cmin != cmin) or (
+                isinstance(cmax, float) and cmax != cmax
+            ):
+                # a NaN row-group bound (parquet-mr FOLDS NaN into
+                # float stats): Python's min/max would drop or keep it
+                # ORDER-DEPENDENTLY across row groups, minting finite
+                # stats that hide NaN — no claims for this column
+                # (round 12; the nan_counts path below re-derives
+                # exact finite bounds from the data instead)
+                ok = False
+                break
             lo = cmin if lo is None else min(lo, cmin)
             hi = cmax if hi is None else max(hi, cmax)
         if not ok:
@@ -463,8 +474,9 @@ def _file_stats(
     if nan_counts:
         fl = [
             c
-            for c in out
-            if md.schema.column(idx[c]).physical_type
+            for c in cols
+            if c in idx
+            and md.schema.column(idx[c]).physical_type
             in ("FLOAT", "DOUBLE")
         ]
         if fl:
@@ -473,12 +485,46 @@ def _file_stats(
 
                 tbl = pq.read_table(path, columns=fl)
                 for c in fl:
-                    n = pc.sum(pc.is_nan(tbl[c])).as_py() or 0
-                    out[c] = [*out[c], int(n)]
+                    col = tbl[c]
+                    nan_mask = pc.is_nan(col)
+                    n = pc.sum(nan_mask).as_py() or 0
+                    if n and c not in out:
+                        # NaN poisoned the footer fold above: derive
+                        # the exact FINITE extremes from the data so
+                        # bounded claims still prune (sound — every
+                        # non-NaN row is inside them, and the recorded
+                        # count marks the NaNs for every consumer)
+                        finite = pc.filter(
+                            col, pc.fill_null(pc.invert(nan_mask), False)
+                        )
+                        mm = pc.min_max(finite).as_py()
+                        flo = _stat_primitive(mm["min"])
+                        fhi = _stat_primitive(mm["max"])
+                        if flo is None or fhi is None:
+                            continue  # all-NaN/null: no claims
+                        out[c] = [flo, fhi]
+                    if c in out:
+                        out[c] = [out[c][0], out[c][1], int(n)]
             except Exception:
-                pass  # count unavailable: the 2-element entry stays
-                # ("NaN presence unknown" — metadata extremes refuse)
+                pass  # count unavailable: entries stay 2-element
+                # ("NaN presence unknown" — metadata extremes refuse
+                # and open-top range skips make no claims)
     return out
+
+
+def _nan_free(st) -> bool:
+    """True when a stats entry's [min, max] provably bound EVERY row
+    (round 12): non-float bounds always do; FLOAT bounds only under a
+    recorded zero NaN count — Spark orders NaN ABOVE every number, so
+    a NaN row satisfies any lower bound while sitting outside the
+    finite extremes, and parquet writers fold NaN into min/max (or
+    not) arbitrarily.  Consumers making claims that a NaN row could
+    break — open-top range skips, equality-key disjointness — must
+    gate on this; bounded-above claims need not (NaN fails every
+    ``<= hi``)."""
+    if not (isinstance(st[0], float) or isinstance(st[1], float)):
+        return True
+    return len(st) > 2 and st[2] == 0
 
 
 def _has_null_values(path: str, cols: list[str]) -> bool:
@@ -2668,6 +2714,14 @@ def read_snapshot_pruned(
             if chi is not None and rng[0] > _cmp_hi(chi):
                 return True
             if clo is not None and rng[1] < _cmp_lo(clo):
+                # an OPEN-TOP claim (`col >= lo` with no upper bound)
+                # needs NaN-absence evidence on FLOAT stats: Spark
+                # orders NaN above every number, so a NaN row
+                # satisfies the predicate while sitting above the
+                # file's finite max (round 12).  A bounded-above claim
+                # is immune — NaN fails every `<= hi`.
+                if chi is None and not _nan_free(rng):
+                    return False
                 return True
             return False
         except TypeError:
@@ -2939,6 +2993,11 @@ def snapshot_compact(
                     return True  # no evidence either way — conservative
                 disjoint = any(
                     k in fs
+                    # float bounds need NaN-absence evidence: a legacy
+                    # order-dependent fold can UNDERSTATE the finite
+                    # span when NaN rode a row group (round 12)
+                    and _nan_free(fs[k])
+                    and _nan_free(dstats[k])
                     and (fs[k][0] > dstats[k][1] or fs[k][1] < dstats[k][0])
                     for k in dstats
                 )
@@ -7157,12 +7216,17 @@ def read_snapshot_cdf(
                     rng = None
                     continue
                 st = _file_stats(p, phys)
-                if not st:
+                if not st or any(pk not in st for pk in phys):
+                    # a list with ANY stats-less key column (including
+                    # a NaN-poisoned float fold) must disable pruning
+                    # outright: folding only the OTHER lists would
+                    # silently NARROW the range and skip pre-image
+                    # files this list's keys actually hit (round 12 —
+                    # previously a per-column `continue` did exactly
+                    # that)
                     rng = None
                     continue
                 for pk, lg in zip(phys, key_tuple):
-                    if pk not in st:
-                        continue
                     klo, khi = st[pk][0], st[pk][1]
                     cur_r = rng.get(lg)
                     rng[lg] = (
@@ -7199,8 +7263,15 @@ def read_snapshot_cdf(
                     for c, (klo, khi) in rng.items():
                         sk = _sk(f, c)
                         r2 = fst.get(sk) if sk is not None else None
-                        # a file without recorded stats makes no claims
-                        if r2 is not None and (r2[0] > khi or r2[1] < klo):
+                        # a file without recorded stats makes no
+                        # claims; float stats claim only with NaN-
+                        # absence evidence (a legacy fold can
+                        # understate the finite span — round 12)
+                        if (
+                            r2 is not None
+                            and _nan_free(r2)
+                            and (r2[0] > khi or r2[1] < klo)
+                        ):
                             ok = False
                             break
                     if ok:

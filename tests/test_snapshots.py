@@ -3591,3 +3591,56 @@ def test_prunable_timestamp_write_conf_restored(spark, tmp_path):
         assert "int96" not in str(sch).lower()
     finally:
         spark.conf.set(key, prior)
+
+
+def test_pruned_read_nan_open_top_soundness(spark, tmp_path):
+    """Spark orders NaN ABOVE every number, so `v >= 30` KEEPS NaN
+    rows — an open-top range skip on float stats is sound only with
+    NaN-absence evidence (round 12).  The write chokepoints record a
+    per-file NaN count and fold FINITE extremes (parquet-mr folds NaN
+    into footer min/max arbitrarily); the pruned read skips a
+    NaN-carrying file on bounded-above claims (NaN fails `<= hi`) but
+    never on open-top ones, and legacy count-less float stats make no
+    open-top claims at all."""
+    import json
+
+    root = str(tmp_path / "tbl")
+    nanful = spark.sql(
+        "SELECT id AS k, CAST(CASE WHEN id = 3 THEN 'NaN' ELSE "
+        "CAST(id AS STRING) END AS DOUBLE) AS v FROM RANGE(6)"
+    ).coalesce(1)
+    clean = spark.sql(
+        "SELECT id AS k, CAST(id AS DOUBLE) AS v "
+        "FROM RANGE(10, 21)"
+    ).coalesce(1)
+    sn.snapshot_append(nanful, root, stats_cols=["v"])
+    sn.snapshot_append(clean, root, stats_cols=["v"])
+    m = sn._read_manifest(root, sn.current_version(root))
+    sts = [m["stats"][f]["v"] for f in m["files"]]
+    # the NaN-carrying file records FINITE extremes + its count
+    assert sorted(len(s) for s in sts) == [3, 3]
+    assert any(s[2] == 1 and s[1] == 5.0 for s in sts), sts
+    # open-top `v >= 30`: only the NaN row satisfies — the NaN file
+    # must be read (count evidence says maybe), the clean file skipped
+    got = sn.read_snapshot_pruned(spark, root, ranges={"v": (30.0, None)})
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["v"] != rows[0]["v"]
+    assert len(got.inputFiles()) == 1
+    # bounded-above `30 <= v <= 40`: NaN fails the hi side — BOTH skip
+    got2 = sn.read_snapshot_pruned(spark, root, ranges={"v": (30.0, 40.0)})
+    assert got2.count() == 0 and len(got2.inputFiles()) == 0
+    # legacy manifests (no recorded counts): strip the third elements —
+    # open-top claims vanish, the answer stays right via a full read
+    mdir = sn._manifest_dir(root)
+    v = sn.current_version(root)
+    payload = json.load(open(sn._manifest_path(root, v)))
+    for name in payload["entries"]:
+        epath = os.path.join(mdir, name)
+        e = json.load(open(epath))
+        for f, st in (e.get("stats") or {}).items():
+            e["stats"][f] = {c: s[:2] for c, s in st.items()}
+        json.dump(e, open(epath, "w"))
+    sn._JSON_CACHE.clear()
+    sn._RESOLVED_CACHE.clear()
+    got3 = sn.read_snapshot_pruned(spark, root, ranges={"v": (30.0, None)})
+    assert got3.count() == 1 and len(got3.inputFiles()) == 2
