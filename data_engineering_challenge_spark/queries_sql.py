@@ -998,7 +998,38 @@ def q_sql_timestamp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import snapshots as sn
     from .sql_exec import execute_sql, execute_sql_script
 
-    key = ("sql_timestamp_pruned_scan", sf_dir)
+    cdir = _tsp_catalog(spark, sf_dir)
+    ds = _dsum_spark("value")
+    # one statement per lookup: the statement-level pruned attach
+    # fires per statement (per referenced table since round 11)
+    win = execute_sql(
+        spark,
+        f"SELECT 'window' AS dim, COUNT(*) AS n, {ds} AS total "
+        "FROM tsp_events WHERE ts BETWEEN '2024-01-10 00:00:00' "
+        "AND '2024-01-12 00:00:00'",
+        cdir,
+    )
+    inl = execute_sql(
+        spark,
+        f"SELECT 'inlist' AS dim, COUNT(*) AS n, {ds} AS total "
+        "FROM tsp_events WHERE event_id IN (5, 321, 876)",
+        cdir,
+    )
+    return win.unionByName(inl)
+
+
+def _tsp_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """ONE ts-clustered events table (``tsp_events``, STATS BY
+    (ts, event_id)) shared by the temporal pruning/metadata queries
+    (`sql_timestamp_pruned_scan`, `sql_metadata_range_count`) — built
+    once per sf_dir."""
+    import tempfile
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+    from .sql_exec import execute_sql_script
+
+    key = ("_tsp_catalog", sf_dir)
     cdir = _SNAP_SQL_CACHE.get(key)
     if cdir is None:
         tmp = tempfile.mkdtemp(prefix="snap_tsp_")
@@ -1022,23 +1053,59 @@ def q_sql_timestamp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             cdir,
         )
         _SNAP_SQL_CACHE[key] = cdir
-    ds = _dsum_spark("value")
-    # one statement per lookup: the statement-level pruned attach
-    # fires per statement (per referenced table since round 11)
+    return cdir
+
+
+@register(
+    "sql_metadata_range_count",
+    # the hybrid fold changes which FILES open (interior ones never
+    # do), never the answer — the oracle counts the raw events table
+    # under identical predicates
+    """
+SELECT 'window' AS dim, CAST(COUNT(*) AS BIGINT) AS n FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+UNION ALL
+SELECT 'open_top' AS dim, CAST(COUNT(*) AS BIGINT) AS n FROM events
+WHERE event_id >= 400
+""",
+)
+def q_sql_metadata_range_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HYBRID metadata COUNT under RANGE predicates from plain SQL
+    (round 12 — VERDICT r11 'Next round #4', the Iceberg/DataFusion
+    shape): ``SELECT COUNT(*) … WHERE ts >= a AND ts < b`` over a
+    ts-clustered table classifies every file from its manifest stats —
+    INTERIOR files (whole span inside the window) fold from the
+    recorded row and null counts and are NEVER OPENED (pinned in
+    tests/test_sql_exec.py by renaming them away), EXCLUDED files fold
+    as zero, and only the one-or-two window-EDGE files are scanned
+    with the predicate re-applied.  NULL rows in a claimed column
+    subtract exactly (the write chokepoints record per-file null
+    counts — Iceberg's null_value_counts); float claims, residual
+    conjuncts, MoR deletes and evolution fall back to the (at worst
+    file-pruned) scan.  The reference COUNTs any window by scanning
+    SQLite; at 100 TB this answers a two-week window from the
+    manifest plus two files.  Build shared with
+    `sql_timestamp_pruned_scan`."""
+    from .sql_exec import execute_sql
+
+    cdir = _tsp_catalog(spark, sf_dir)
     win = execute_sql(
         spark,
-        f"SELECT 'window' AS dim, COUNT(*) AS n, {ds} AS total "
-        "FROM tsp_events WHERE ts BETWEEN '2024-01-10 00:00:00' "
-        "AND '2024-01-12 00:00:00'",
+        "SELECT 'window' AS dim, COUNT(*) AS n FROM tsp_events "
+        "WHERE ts >= '2024-01-08 00:00:00' "
+        "AND ts < '2024-01-22 00:00:00'",
         cdir,
     )
-    inl = execute_sql(
+    opn = execute_sql(
         spark,
-        f"SELECT 'inlist' AS dim, COUNT(*) AS n, {ds} AS total "
-        "FROM tsp_events WHERE event_id IN (5, 321, 876)",
+        "SELECT 'open_top' AS dim, COUNT(*) AS n FROM tsp_events "
+        "WHERE event_id >= 400",
         cdir,
     )
-    return win.unionByName(inl)
+    return win.unionByName(opn)
 
 
 @register(

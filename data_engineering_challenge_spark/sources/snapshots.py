@@ -183,6 +183,7 @@ def _resolve_payload(root: str, payload: dict) -> dict:
     sizes: dict = {}
     rows: dict = {}
     blooms: dict = {}
+    nulls: dict = {}
     for name in payload.get("entries") or []:
         e = _load_entry(root, name)
         files.extend(e.get("files") or [])
@@ -193,6 +194,7 @@ def _resolve_payload(root: str, payload: dict) -> dict:
         sizes.update(e.get("sizes") or {})
         rows.update(e.get("rows") or {})
         blooms.update(e.get("blooms") or {})
+        nulls.update(e.get("nulls") or {})
     if len(set(files)) != len(files):
         raise ValueError(
             f"_resolve_payload: v{payload.get('version')} entry files "
@@ -215,6 +217,8 @@ def _resolve_payload(root: str, payload: dict) -> dict:
         m["rows"] = rows
     if blooms:
         m["blooms"] = blooms
+    if nulls:
+        m["nulls"] = nulls
     return m
 
 
@@ -512,6 +516,34 @@ def _file_stats(
     return out
 
 
+def _footer_rows_nulls(path: str, cols: list[str]) -> tuple[int, dict]:
+    """One footer read: the file's row count plus per-column NULL
+    counts for ``cols`` (round 12 — Iceberg's null_value_counts).  A
+    column whose null count any row group leaves unknown is omitted —
+    consumers treat absence as "unknown" and fall back to scanning,
+    never to a wrong fold."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    nulls: dict = {}
+    for c in cols:
+        i = idx.get(c)
+        if i is None:
+            continue
+        total = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(i).statistics
+            if s is None or s.null_count is None:
+                ok = False
+                break
+            total += s.null_count
+        if ok:
+            nulls[c] = int(total)
+    return md.num_rows, nulls
+
+
 def _nan_free(st) -> bool:
     """True when a stats entry's [min, max] provably bound EVERY row
     (round 12): non-float bounds always do; FLOAT bounds only under a
@@ -757,7 +789,8 @@ def _entry_lists(
             "stats": m.get("stats") or {},
             "file_seq": m.get("file_seq") or {},
         }
-        for k in ("file_fields", "partition_values", "sizes", "rows"):
+        for k in ("file_fields", "partition_values", "sizes", "rows",
+                  "nulls"):
             if m.get(k):
                 e[k] = m[k]
         name = _write_entry(root, e)
@@ -780,7 +813,7 @@ def _trim_entry(e: dict, keep: set) -> dict:
     kept = [f for f in e.get("files") or [] if f in keep]
     out: dict = {"files": kept}
     for k in ("stats", "file_seq", "file_fields", "partition_values",
-              "sizes", "rows", "blooms"):
+              "sizes", "rows", "blooms", "nulls"):
         sub = {f: v for f, v in (e.get(k) or {}).items() if f in keep}
         if sub:
             out[k] = sub
@@ -1141,9 +1174,25 @@ def _commit(
         # ---- the new data entry ---------------------------------------
         entry: dict = {}
         if new_files:
-            import pyarrow.parquet as pq
-
             st = stats or {}
+            # per-file ROW COUNTS from the just-written footers (the
+            # files are local to this commit — one metadata read each,
+            # never a data scan): what metadata-only COUNT(*)
+            # (`snapshot_stats_agg`) and the PARTITIONS table answer
+            # from, Iceberg's record_count analog.  The same footer
+            # read records NULL COUNTS for the stats-recorded columns
+            # (round 12 — Iceberg's null_value_counts): what lets the
+            # metadata RANGE count fold an interior file exactly (its
+            # NULL rows fail the predicate but ride in its row count).
+            rows_map: dict = {}
+            nulls_map: dict = {}
+            for f in new_files:
+                nr, nl = _footer_rows_nulls(
+                    os.path.join(root, f), list(st.get(f) or {})
+                )
+                rows_map[f] = nr
+                if nl:
+                    nulls_map[f] = nl
             entry = {
                 "files": new_files,
                 "file_seq": {f: version for f in new_files},
@@ -1151,18 +1200,10 @@ def _commit(
                     f: os.path.getsize(os.path.join(root, f))
                     for f in new_files
                 },
-                # per-file ROW COUNTS from the just-written footers (the
-                # files are local to this commit — one metadata read
-                # each, never a data scan): what metadata-only COUNT(*)
-                # (`snapshot_stats_agg`) and the PARTITIONS table answer
-                # from, Iceberg's record_count analog
-                "rows": {
-                    f: pq.read_metadata(
-                        os.path.join(root, f)
-                    ).num_rows
-                    for f in new_files
-                },
+                "rows": rows_map,
             }
+            if nulls_map:
+                entry["nulls"] = nulls_map
             e_stats = {f: st[f] for f in new_files if st.get(f)}
             if e_stats:
                 entry["stats"] = e_stats
@@ -7928,6 +7969,179 @@ def snapshot_partition_count(
             )
         if all(rec[n] == s for n, s in want.items()):
             total += int(r)
+    return total
+
+
+def _typed_stat(v, bound):
+    """Parse a recorded stat primitive into ``bound``'s type for an
+    EXACT compare — int for integral bounds, datetime/date parsed from
+    the ISO strings `_stat_primitive` records (offset forms normalize
+    to UTC-naive, matching the SQL layer's literal parse).  ``None``
+    when no faithful typed compare exists (cross-type stats, an
+    unparseable string) — the caller then treats the file as boundary,
+    never folds it."""
+    import datetime as dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(bound, bool) or bound is None:
+        return None
+    if isinstance(bound, int) and isinstance(v, int):
+        return v
+    if isinstance(bound, dt.datetime):
+        if not isinstance(v, str):
+            return None
+        try:
+            d = dt.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+        if d.tzinfo is not None:
+            d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return d
+    if isinstance(bound, dt.date):
+        if not isinstance(v, str):
+            return None
+        try:
+            return dt.date.fromisoformat(v)
+        except ValueError:
+            return None
+    return None
+
+
+def snapshot_range_count(
+    spark: SparkSession,
+    root: str,
+    bounds: dict,
+    version: int | None = None,
+) -> int:
+    """HYBRID metadata ``COUNT(*)`` under RANGE predicates (round 12 —
+    the Iceberg/DataFusion shape VERDICT r11 asked for): classify each
+    live file from its recorded stats as INTERIOR (every non-null row
+    provably satisfies every bound — folds from the recorded row and
+    null counts, the file is NEVER OPENED), EXCLUDED (provably
+    disjoint in some bound — folds as zero), or BOUNDARY (scanned with
+    the predicate re-applied).  On the canonical incremental shape
+    ``ts >= a AND ts < b`` over a clustered table, the boundary set is
+    the one or two window-edge files; everything else answers from the
+    manifest.
+
+    ``bounds``: ``{col: (lo, lo_strict, hi, hi_strict)}`` with TYPED
+    values — int for integral columns, ``datetime``/``date`` for
+    temporal ones (compared against the ISO-string stats via a typed
+    parse; the SQL layer gates literal types and the UTC session).  A
+    ``None`` lo/hi is open on that side.
+
+    Exactness argument: an interior file's non-null values all lie in
+    every bound's interval, its NULL rows fail any range predicate,
+    and at most ONE claimed column may carry a recorded non-zero null
+    count (``rows - nulls`` is then exact; two nullable dimensions
+    overlap unknowably and the file demotes to boundary).  Float/bool
+    bounds are refused by construction (`_typed_stat` — Spark's
+    NaN-is-greatest ordering breaks interval reasoning); files with
+    missing stats, unknown null counts, or unparseable stat strings
+    demote to boundary, never fold.
+
+    STRICT refusals (raise — the caller runs the statement normally):
+    MoR delete files (counts would be stale), schema evolution (stats
+    ride physical names), a file without a recorded row count, empty
+    ``bounds``."""
+    from pyspark.sql import functions as F
+
+    if not bounds or any(
+        b[0] is None and b[2] is None for b in bounds.values()
+    ):
+        raise ValueError(
+            "snapshot_range_count: every bound needs at least one side"
+        )
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(
+            f"snapshot_range_count: no version at {root}"
+        )
+    m = _read_manifest(root, v)
+    if m.get("delete_files"):
+        raise ValueError(
+            "snapshot_range_count: table has MoR delete files — "
+            "metadata counts would be stale; compact first"
+        )
+    if m.get("fields"):
+        raise ValueError(
+            "snapshot_range_count: table is schema-evolved — recorded "
+            "stats are keyed by physical names; count the read instead"
+        )
+    rows_rec = m.get("rows") or {}
+    stats = m.get("stats") or {}
+    nulls = m.get("nulls") or {}
+    total = 0
+    boundary: list[str] = []
+    for f in m["files"]:
+        r = rows_rec.get(f)
+        if r is None:
+            raise ValueError(
+                f"snapshot_range_count: no recorded row count for {f} "
+                "— compact the table or count the read"
+            )
+        if int(r) == 0:
+            continue
+        fstats = stats.get(f) or {}
+        fnulls = nulls.get(f) or {}
+        interior = True
+        excluded = False
+        null_cols: list[int] = []
+        for c, (lo, lo_s, hi, hi_s) in bounds.items():
+            st = fstats.get(c)
+            b = lo if lo is not None else hi
+            slo = _typed_stat(st[0], b) if st is not None else None
+            shi = _typed_stat(st[1], b) if st is not None else None
+            if slo is None or shi is None:
+                interior = False  # no evidence: boundary, not excluded
+                continue
+            if hi is not None and (slo > hi or (hi_s and slo >= hi)):
+                excluded = True  # every value ABOVE the window
+                break
+            if lo is not None and (shi < lo or (lo_s and shi <= lo)):
+                excluded = True  # every value BELOW the window
+                break
+            if lo is not None and not (
+                slo > lo or (not lo_s and slo >= lo)
+            ):
+                interior = False
+            if hi is not None and not (
+                shi < hi or (not hi_s and shi <= hi)
+            ):
+                interior = False
+            n = fnulls.get(c)
+            if n is None:
+                interior = False  # null presence unknown: boundary
+            elif n > 0:
+                null_cols.append(int(n))
+        if excluded:
+            continue
+        if interior and len(null_cols) <= 1:
+            total += int(r) - (null_cols[0] if null_cols else 0)
+        else:
+            boundary.append(f)
+    if boundary:
+        from .io import ensure_instant_timestamps
+
+        ensure_instant_timestamps(spark)
+        pred = None
+        for c, (lo, lo_s, hi, hi_s) in bounds.items():
+            if lo is not None:
+                term = (
+                    F.col(c) > F.lit(lo) if lo_s else F.col(c) >= F.lit(lo)
+                )
+                pred = term if pred is None else pred & term
+            if hi is not None:
+                term = (
+                    F.col(c) < F.lit(hi) if hi_s else F.col(c) <= F.lit(hi)
+                )
+                pred = term if pred is None else pred & term
+        total += (
+            spark.read.parquet(*[os.path.join(root, f) for f in boundary])
+            .where(pred)
+            .count()
+        )
     return total
 
 

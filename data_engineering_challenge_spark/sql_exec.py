@@ -922,6 +922,8 @@ def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
     entries = _attach(spark, catalog_dir, sql)
     meta = _metadata_count(spark, catalog_dir, sql, entries)
     if meta is None:
+        meta = _metadata_range_count(spark, catalog_dir, sql, entries)
+    if meta is None:
         meta = _metadata_agg(spark, catalog_dir, sql, entries)
     if meta is not None:
         return meta
@@ -1421,6 +1423,187 @@ def _metadata_count(
                 return None
             partition_eq[pname] = v
         n = sn.snapshot_partition_count(root, partition_eq, v_res)
+    except Exception:
+        return None  # any refusal: the statement runs normally
+    return _count_result(spark, alias_out, n)
+
+
+def _metadata_range_count(
+    spark: SparkSession,
+    catalog_dir: str,
+    sql: str,
+    entries: dict | None = None,
+):
+    """METADATA-HYBRID ``COUNT(*)`` under RANGE predicates (round 12 —
+    VERDICT r11 'Next round #4', the Iceberg/DataFusion shape): a
+    statement ``SELECT COUNT(*) [AS a] FROM <table> [alias] WHERE
+    <range conjuncts>`` whose EVERY conjunct is a typed range claim
+    (``BETWEEN`` / ``>=`` / ``>`` / ``<=`` / ``<`` / ``=``) on an
+    integral or temporal column answers through
+    `snapshot_range_count`: INTERIOR files (stats prove every non-null
+    row inside the window) fold from recorded row/null counts without
+    being opened, EXCLUDED files fold as zero, and only the
+    window-EDGE files are scanned with the predicate re-applied.  On
+    the canonical incremental shape ``ts >= a AND ts < b`` this reads
+    one or two files where a full COUNT scans the table.
+
+    Typing gates mirror the pruner's round-11 rules: int literals on
+    integral columns; string literals on DATE columns as strict
+    ISO dates; on TIMESTAMP columns via the faithful-parse rule under
+    a UTC session only (stats are UTC instants).  Float/bool columns,
+    unresolvable or ambiguous names, a residual conjunct, duplicate
+    claims that cannot intersect, MoR deletes, and schema evolution
+    all return None — the statement runs normally (at worst
+    file-pruned)."""
+    toks = [t for t, _l, _h in _tokens(sql)]
+    up = [t.upper() for t in toks]
+    if toks and toks[-1] == ";":
+        toks, up = toks[:-1], up[:-1]
+    if (
+        len(toks) < 9  # SELECT COUNT ( * ) FROM t WHERE <conj>
+        or up[0] != "SELECT"
+        or up[1] != "COUNT"
+        or toks[2] != "("
+        or toks[3] != "*"
+        or toks[4] != ")"
+    ):
+        return None
+    j = 5
+    alias_out = None
+    if j < len(up) and up[j] == "AS":
+        if j + 1 >= len(toks) or not re.fullmatch(
+            r"[A-Za-z_][A-Za-z_0-9]*", toks[j + 1]
+        ):
+            return None
+        alias_out = toks[j + 1]
+        j += 2
+    if entries is None:
+        entries = cat.catalog_entries(catalog_dir)
+    parsed = _parse_from_table(toks, up, j, entries)
+    if parsed is None:
+        return None
+    name, e, t_alias, j = parsed
+    if j >= len(up) or up[j] != "WHERE":
+        return None
+    body = toks[j + 1 :]
+    depth = 0
+    for t in body:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.upper() in _WHERE_ENDS:
+            return None  # grouped/truncated: never the one-row shape
+    conjuncts = _split_conjuncts(body)
+    if not conjuncts:
+        return None
+    quals = {(t_alias or name).lower()}
+
+    def _col(parts: list[str]) -> tuple[str | None, list[str]]:
+        if len(parts) >= 3 and parts[1] == ".":
+            if parts[0].lower() not in quals:
+                return None, parts
+            return parts[2].strip("`"), parts[3:]
+        if parts and re.fullmatch(r"[A-Za-z_`][A-Za-z_0-9`]*", parts[0]):
+            return parts[0].strip("`"), parts[1:]
+        return None, parts
+
+    try:
+        sdf = spark.table(name)
+        case_sensitive = (
+            str(spark.conf.get("spark.sql.caseSensitive")).lower()
+            == "true"
+        )
+        utc = spark.conf.get("spark.sql.session.timeZone") in (
+            "UTC", "Etc/UTC", "GMT",
+        )
+
+        def _resolve(c: str):
+            hits = [
+                f
+                for f in sdf.schema.fields
+                if f.name == c
+                or (not case_sensitive and f.name.lower() == c.lower())
+            ]
+            return hits[0] if len(hits) == 1 else None
+
+        def _typed(v, t: str):
+            # literal → typed bound under the column's own ordering
+            if t in _INTEGRAL:
+                return (
+                    v
+                    if isinstance(v, int) and not isinstance(v, bool)
+                    else None
+                )
+            if t in ("date", "timestamp"):
+                if not isinstance(v, str) or (t == "timestamp" and not utc):
+                    return None
+                if t == "date" and not re.fullmatch(
+                    r"\d{4}-\d{2}-\d{2}", v
+                ):
+                    return None
+                return _sql_temporal(v, t)
+            return None
+
+        bounds: dict = {}
+        for c in conjuncts:
+            col, rest = _col(c)
+            if col is None or not rest:
+                return None  # a residual conjunct: not this shape
+            fld = _resolve(col)
+            if fld is None:
+                return None
+            t = fld.dataType.simpleString()
+            u0 = rest[0].upper()
+            if (
+                u0 == "BETWEEN"
+                and len(rest) == 4
+                and rest[2].upper() == "AND"
+            ):
+                lo, hi = _typed(_lit(rest[1]), t), _typed(_lit(rest[3]), t)
+                if lo is None or hi is None:
+                    return None
+                claim = (lo, False, hi, False)
+            elif rest[0] in (">=", ">", "<=", "<", "=") and len(rest) == 2:
+                v = _typed(_lit(rest[1]), t)
+                if v is None:
+                    return None
+                claim = {
+                    ">=": (v, False, None, False),
+                    ">": (v, True, None, False),
+                    "<=": (None, False, v, False),
+                    "<": (None, False, v, True),
+                    "=": (v, False, v, False),
+                }[rest[0]]
+            else:
+                return None
+            key = fld.name
+            cur = bounds.get(key)
+            if cur is None:
+                bounds[key] = claim
+            else:
+                # conjunctive claims on one column INTERSECT: keep the
+                # tighter bound per side (strict wins a value tie)
+                lo1, ls1, hi1, hs1 = cur
+                lo2, ls2, hi2, hs2 = claim
+                if lo2 is not None:
+                    if lo1 is None or lo2 > lo1:
+                        lo1, ls1 = lo2, ls2
+                    elif lo2 == lo1:
+                        ls1 = ls1 or ls2
+                if hi2 is not None:
+                    if hi1 is None or hi2 < hi1:
+                        hi1, hs1 = hi2, hs2
+                    elif hi2 == hi1:
+                        hs1 = hs1 or hs2
+                bounds[key] = (lo1, ls1, hi1, hs1)
+        if not bounds:
+            return None
+        root = e["root"]
+        _pin, v_res = _entry_version(e, root)
+        if v_res is None:
+            return None
+        n = sn.snapshot_range_count(spark, root, bounds, v_res)
     except Exception:
         return None  # any refusal: the statement runs normally
     return _count_result(spark, alias_out, n)

@@ -2339,3 +2339,110 @@ def test_metadata_float_agg_nan_refusals(spark, cdir, tmp_path):
     assert _metadata_agg(spark, cdir, stmt2, entries2) is None
     with pytest.raises(ValueError, match="NaN count"):
         sn._stats_agg_values(root2, ["v"])
+
+
+def test_metadata_range_count_interior_fold(spark, cdir):
+    """Hybrid metadata COUNT under RANGE predicates (round 12 —
+    VERDICT r11 'Next round #4'): interior files fold from recorded
+    row/null counts and are NEVER OPENED (pinned by renaming them
+    away), excluded files fold as zero, only window-edge files are
+    scanned; NULL rows in the claimed column subtract exactly; MoR
+    deletes and float claims fall back to the real (file-pruned)
+    execution."""
+    import os
+
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_range_count,
+    )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE rct (k BIGINT, ts TIMESTAMP, v DOUBLE)
+          CLUSTERED BY (k) STATS BY (k, ts);
+        INSERT INTO rct SELECT id,
+          TIMESTAMP'2024-01-01 00:00:00'
+            + MAKE_INTERVAL(0, 0, 0, 0, 0, CAST(id AS INT), 0),
+          CAST(id AS DOUBLE) FROM RANGE(4000);
+        """,
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["rct"]["root"]
+    m = sn._read_manifest(root, sn.current_version(root))
+    assert len(m["files"]) >= 8
+    assert m.get("nulls")  # null counts recorded at the chokepoint
+    stmt = "SELECT COUNT(*) AS n FROM rct WHERE k >= 1000"
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 3000
+    # boundary = the files whose [min, max] straddle 1000; every
+    # OTHER file (interior above, excluded below) must stay CLOSED
+    # (a stat-less or empty file — e.g. the CREATE TABLE bootstrap —
+    # counts as boundary: it stays on disk)
+    boundary = {
+        f
+        for f in m["files"]
+        if not (m["stats"].get(f) or {}).get("k")
+        or m["stats"][f]["k"][0] < 1000 <= m["stats"][f]["k"][1]
+    }
+    assert 1 <= len(boundary) <= 3
+    entries = _attach(spark, cdir, stmt)
+    hidden = [
+        os.path.join(root, f) for f in m["files"] if f not in boundary
+    ]
+    try:
+        for p in hidden:
+            os.rename(p, p + ".hidden")
+        got = _metadata_range_count(spark, cdir, stmt, entries)
+        assert got is not None and got.first()["n"] == 3000
+        # a timestamp window spanning whole files folds the same way
+        stmt2 = (
+            "SELECT COUNT(*) AS n FROM rct "
+            "WHERE ts >= '2024-01-01 16:40:00'"  # minute 1000
+        )
+        got2 = _metadata_range_count(spark, cdir, stmt2, entries)
+        assert got2 is not None and got2.first()["n"] == 3000
+        # a float claim refuses (NaN breaks interval reasoning)
+        assert _metadata_range_count(
+            spark, cdir, "SELECT COUNT(*) AS n FROM rct WHERE v >= 0",
+            entries,
+        ) is None
+        # a residual conjunct refuses
+        assert _metadata_range_count(
+            spark, cdir,
+            "SELECT COUNT(*) AS n FROM rct WHERE k >= 0 AND v + 1 > 0",
+            entries,
+        ) is None
+    finally:
+        for p in hidden:
+            if os.path.exists(p + ".hidden"):
+                os.rename(p + ".hidden", p)
+    # NULL rows in the claimed column subtract exactly from the fold
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE rcn (k BIGINT, v BIGINT) CLUSTERED BY (v)
+          STATS BY (k, v);
+        INSERT INTO rcn SELECT CASE WHEN id % 10 = 0 THEN NULL
+          ELSE id END, id FROM RANGE(1000);
+        """,
+        cdir,
+    )
+    stmt3 = "SELECT COUNT(*) AS n FROM rcn WHERE k >= 0"
+    assert execute_sql(spark, stmt3, cdir).first()["n"] == 900
+    entries3 = _attach(spark, cdir, stmt3)
+    root3 = cat.catalog_entries(cdir)["rcn"]["root"]
+    m3 = sn._read_manifest(root3, sn.current_version(root3))
+    paths3 = [os.path.join(root3, f) for f in m3["files"]]
+    try:
+        for p in paths3:
+            os.rename(p, p + ".hidden")
+        got3 = _metadata_range_count(spark, cdir, stmt3, entries3)
+        assert got3 is not None and got3.first()["n"] == 900
+    finally:
+        for p in paths3:
+            if os.path.exists(p + ".hidden"):
+                os.rename(p + ".hidden", p)
+    # MoR deletes refuse — the real execution sees the drop
+    execute_sql(spark, "DELETE FROM rcn WHERE v = 5", cdir)
+    entries4 = _attach(spark, cdir, stmt3)
+    assert _metadata_range_count(spark, cdir, stmt3, entries4) is None
+    assert execute_sql(spark, stmt3, cdir).first()["n"] == 899
