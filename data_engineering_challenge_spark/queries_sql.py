@@ -1377,6 +1377,42 @@ def q_sql_metadata_partition_count(
     )
 
 
+@register(
+    "sql_partition_group_count",
+    # the fold changes WHERE the counts come from (manifest vs scan),
+    # never the answer — the oracle groups the raw events table
+    """
+SELECT day(ts) AS d, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY day(ts)
+""",
+)
+def q_sql_partition_group_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-GRAIN GROUP BY from the manifest (round 12 — VERDICT
+    r11 'Next round #5'): ``SELECT DAY(ts), COUNT(*) … GROUP BY
+    DAY(ts)`` over a hidden-partitioned table answers from the
+    recorded per-file partition values and row counts — every row of
+    a partitioned file shares its file's transform value, so the
+    per-value sum IS each group's count, ZERO data reads at any scale
+    (schema-identical to real execution: the key column reuses the
+    analyzed expression's own type/nullability).  MoR deletes, mixed
+    lineage, residual clauses, and non-transform groupings fall back
+    to the real aggregation.  The reference GROUPs by scanning SQLite
+    (pipeline/queries.py); at 100 TB this is a dashboard's
+    rows-per-day panel answered without opening a file.  Build shared
+    with `sql_metadata_partition_count` (`_dpe_catalog`)."""
+    from .sql_exec import execute_sql
+
+    cdir = _dpe_catalog(spark, sf_dir)
+    return execute_sql(
+        spark,
+        "SELECT DAY(ts) AS d, COUNT(*) AS n FROM dpe_events "
+        "GROUP BY DAY(ts)",
+        cdir,
+    )
+
+
 def _dpe_catalog(spark: SparkSession, sf_dir: str) -> str:
     """ONE day-partitioned events table (``dpe_events``, PARTITIONED BY
     (DAY(ts) AS d)) shared by the round-11 metadata queries — built

@@ -2446,3 +2446,91 @@ def test_metadata_range_count_interior_fold(spark, cdir):
     entries4 = _attach(spark, cdir, stmt3)
     assert _metadata_range_count(spark, cdir, stmt3, entries4) is None
     assert execute_sql(spark, stmt3, cdir).first()["n"] == 899
+
+
+def test_metadata_partition_group_by(spark, cdir):
+    """Partition-grain GROUP BY answers from recorded per-file
+    partition values and row counts with ZERO data reads (round 12 —
+    pinned by renaming every data file away); schema-identical to
+    real execution; alias/ordinal group spellings accepted; WHERE,
+    non-transform groupings, and MoR deletes fall back."""
+    import os
+
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_partition_group,
+    )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE pgb (ts TIMESTAMP, v DOUBLE)
+          PARTITIONED BY (DAY(ts) AS d);
+        INSERT INTO pgb SELECT TIMESTAMP'2024-01-01 00:00:00'
+          + MAKE_INTERVAL(0, 0, 0, CAST(id % 7 AS INT), 0, 0, 0),
+          CAST(id AS DOUBLE) FROM RANGE(700);
+        """,
+        cdir,
+    )
+    stmt = "SELECT DAY(ts) AS d, COUNT(*) AS n FROM pgb GROUP BY DAY(ts)"
+    out = execute_sql(spark, stmt, cdir)
+    ref = spark.sql(stmt.replace("FROM pgb", "FROM (SELECT * FROM pgb)"))
+    shape = [
+        (f.name, f.dataType, f.nullable) for f in out.schema.fields
+    ]
+    assert shape == [
+        (f.name, f.dataType, f.nullable) for f in ref.schema.fields
+    ]
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ref.collect())
+    ) == [(i, 100) for i in range(1, 8)]
+    # zero-read pin: files renamed away, the white-box path answers
+    entries = _attach(spark, cdir, stmt)
+    root = cat.catalog_entries(cdir)["pgb"]["root"]
+    m = sn._read_manifest(root, sn.current_version(root))
+    paths = [os.path.join(root, f) for f in m["files"]]
+    try:
+        for p in paths:
+            os.rename(p, p + ".hidden")
+        got = _metadata_partition_group(spark, cdir, stmt, entries)
+        assert got is not None
+        assert sorted(map(tuple, got.collect())) == [
+            (i, 100) for i in range(1, 8)
+        ]
+        # unaliased spelling matches Spark's generated names
+        g2 = _metadata_partition_group(
+            spark, cdir,
+            "SELECT DAY(ts), COUNT(*) FROM pgb GROUP BY DAY(ts)",
+            entries,
+        )
+        assert [f.name for f in g2.schema.fields] == [
+            "day(ts)", "count(1)",
+        ]
+        # ordinal and alias groupings accepted
+        for by in ("1", "d"):
+            assert _metadata_partition_group(
+                spark, cdir,
+                f"SELECT DAY(ts) AS d, COUNT(*) AS n FROM pgb "
+                f"GROUP BY {by}",
+                entries,
+            ) is not None
+        # a WHERE / a non-transform grouping refuse
+        assert _metadata_partition_group(
+            spark, cdir,
+            "SELECT DAY(ts) AS d, COUNT(*) AS n FROM pgb "
+            "WHERE v > 0 GROUP BY DAY(ts)", entries,
+        ) is None
+        assert _metadata_partition_group(
+            spark, cdir,
+            "SELECT MONTH(ts) AS mo, COUNT(*) AS n FROM pgb "
+            "GROUP BY MONTH(ts)", entries,
+        ) is None
+    finally:
+        for p in paths:
+            if os.path.exists(p + ".hidden"):
+                os.rename(p + ".hidden", p)
+    # MoR deletes refuse — real execution sees the drop
+    execute_sql(spark, "DELETE FROM pgb WHERE v = 0", cdir)
+    entries2 = _attach(spark, cdir, stmt)
+    assert _metadata_partition_group(spark, cdir, stmt, entries2) is None
+    out2 = execute_sql(spark, stmt, cdir)
+    assert sorted(map(tuple, out2.collect()))[0] == (1, 99)
