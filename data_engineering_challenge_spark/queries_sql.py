@@ -992,11 +992,7 @@ def q_sql_timestamp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed-literal skip IS the difference between a day's files and
     the table.  Build cached per (query, sf_dir); file-count evidence
     in tests/test_sql_exec.py."""
-    import tempfile
-
-    from .sources import catalog as cat
-    from .sources import snapshots as sn
-    from .sql_exec import execute_sql, execute_sql_script
+    from .sql_exec import execute_sql
 
     cdir = _tsp_catalog(spark, sf_dir)
     ds = _dsum_spark("value")
@@ -1089,22 +1085,27 @@ def q_sql_metadata_range_count(
     SQLite; at 100 TB this answers a two-week window from the
     manifest plus two files.  Build shared with
     `sql_timestamp_pruned_scan`."""
+    from pyspark.sql import functions as F
+
     from .sql_exec import execute_sql
 
     cdir = _tsp_catalog(spark, sf_dir)
+    # the metadata shape is EXACTLY `SELECT COUNT(*) [AS a] FROM t
+    # WHERE <ranges>` — the dim label rides on the RESULT frame, not
+    # in the statement (a literal select item would demote the
+    # statement to the ordinary pruned scan — review, round 12)
     win = execute_sql(
         spark,
-        "SELECT 'window' AS dim, COUNT(*) AS n FROM tsp_events "
+        "SELECT COUNT(*) AS n FROM tsp_events "
         "WHERE ts >= '2024-01-08 00:00:00' "
         "AND ts < '2024-01-22 00:00:00'",
         cdir,
-    )
+    ).select(F.lit("window").alias("dim"), "n")
     opn = execute_sql(
         spark,
-        "SELECT 'open_top' AS dim, COUNT(*) AS n FROM tsp_events "
-        "WHERE event_id >= 400",
+        "SELECT COUNT(*) AS n FROM tsp_events WHERE event_id >= 400",
         cdir,
-    )
+    ).select(F.lit("open_top").alias("dim"), "n")
     return win.unionByName(opn)
 
 

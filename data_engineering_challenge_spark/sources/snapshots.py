@@ -2751,16 +2751,27 @@ def read_snapshot_pruned(
         # TypeError at plan time (the SQL pruned-attach path feeds
         # literals of whatever type the statement wrote).  A None
         # bound is OPEN on that side and claims nothing there.
+        #
+        # FLOAT stats claim ONLY with a recorded NaN count (round 12,
+        # review): a pre-round-12 fold could UNDERSTATE the finite
+        # span when parquet-mr folded NaN into a row group's min/max
+        # (Python's order-dependent min/max then dropped the NaN and
+        # the other row groups' finite extremes with it) — so a
+        # count-less float entry proves nothing, in either direction.
+        # Counted entries carry EXACT finite extremes (the write
+        # chokepoint re-derives them from the data): bounded-above
+        # claims skip at any count (a NaN row fails every `<= hi`),
+        # open-top claims additionally need the count to be ZERO
+        # (Spark orders NaN above every number, so a NaN row
+        # satisfies `col >= lo` from above the finite max).
         try:
+            if (
+                isinstance(rng[0], float) or isinstance(rng[1], float)
+            ) and len(rng) <= 2:
+                return False
             if chi is not None and rng[0] > _cmp_hi(chi):
                 return True
             if clo is not None and rng[1] < _cmp_lo(clo):
-                # an OPEN-TOP claim (`col >= lo` with no upper bound)
-                # needs NaN-absence evidence on FLOAT stats: Spark
-                # orders NaN above every number, so a NaN row
-                # satisfies the predicate while sitting above the
-                # file's finite max (round 12).  A bounded-above claim
-                # is immune — NaN fails every `<= hi`.
                 if chi is None and not _nan_free(rng):
                     return False
                 return True
@@ -2998,7 +3009,14 @@ def snapshot_compact(
                 # a delete would be a silent GDPR failure), so any null
                 # in the key list degrades to conservative.
                 dpath = os.path.join(root, d["file"])
-                dstats = _file_stats(dpath, list(d["keys"]))
+                # nan_counts: float-keyed lists stay range-provable —
+                # a count-less float entry fails `_nan_free` and would
+                # force every older file into the rewrite (review,
+                # round 12); delete lists are small, the extra column
+                # read is noise
+                dstats = _file_stats(
+                    dpath, list(d["keys"]), nan_counts=True
+                )
                 if dstats and _has_null_values(dpath, list(d["keys"])):
                     dstats = None
                 if dstats and m.get("fields"):
@@ -7979,7 +7997,14 @@ def _typed_stat(v, bound):
     to UTC-naive, matching the SQL layer's literal parse).  ``None``
     when no faithful typed compare exists (cross-type stats, an
     unparseable string) — the caller then treats the file as boundary,
-    never folds it."""
+    never folds it.
+
+    Deliberately NOT `sql_exec._sql_temporal`: that parses USER
+    LITERALS and gates on the intersection of Spark-cast and Python
+    formats (a literal Spark nulls out must not become a bound); this
+    parses `_stat_primitive`'s OWN isoformat output, where every
+    produced form is faithful by construction and a format gate would
+    only demote valid files to boundary."""
     import datetime as dt
 
     if isinstance(v, bool):

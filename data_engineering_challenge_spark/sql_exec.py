@@ -1852,16 +1852,44 @@ def _metadata_partition_group(
     name, e, t_alias, j = parsed
     if j != grp_i:
         return None  # unconsumed tokens between the table and GROUP
-    quals = {name.lower(), (t_alias or name).lower()}
+    # an alias HIDES the bare name in Spark — accepting both would
+    # answer statements Spark rejects (review, rounds 11+12)
+    quals = {(t_alias or name).lower()}
     norm = _norm_tokens(expr_toks, quals)
     norm_grp = _norm_tokens(grp, quals)
-    if norm_grp != norm and grp != ["1"] and not (
-        expr_alias is not None
-        and len(grp) == 1
-        and grp[0].lower() == expr_alias.lower()
-    ):
-        return None  # grouping by something else
     try:
+        if norm_grp != norm:
+            # alias/ordinal group spellings only under the confs that
+            # enable them, and an alias only when no REAL column
+            # shadows it (Spark resolves the column first and then
+            # rejects the ungrouped expression) — review, round 12
+            if grp == ["1"]:
+                if (
+                    str(
+                        spark.conf.get("spark.sql.groupByOrdinal")
+                    ).lower()
+                    != "true"
+                ):
+                    return None
+            elif (
+                expr_alias is not None
+                and len(grp) == 1
+                and grp[0].lower() == expr_alias.lower()
+            ):
+                if (
+                    str(
+                        spark.conf.get("spark.sql.groupByAliases")
+                    ).lower()
+                    != "true"
+                ):
+                    return None
+                if any(
+                    f.name.lower() == expr_alias.lower()
+                    for f in spark.table(name).schema.fields
+                ):
+                    return None  # a real column shadows the alias
+            else:
+                return None  # grouping by something else
         root = e["root"]
         _pin, v_res = _entry_version(e, root)
         if v_res is None:
@@ -1907,6 +1935,14 @@ def _metadata_partition_group(
             if rec is None or pname not in rec:
                 return None  # mixed lineage: a file without a value
             counts[rec[pname]] = counts.get(rec[pname], 0) + int(r)
+        if out_t == "string" and None in counts:
+            # hive's path layout writes BOTH NULL and '' (and the
+            # marker string itself) as __HIVE_DEFAULT_PARTITION__ —
+            # for a string-output transform the recorded None group is
+            # therefore ambiguous where real execution distinguishes
+            # them (review, round 12); integral/date outputs have no
+            # '' form, so their None group is exact
+            return None
 
         def _typed(s):
             if s is None:
@@ -2586,15 +2622,31 @@ def _prune_one(
     return prior
 
 
+#: literal forms BOTH Spark's string→timestamp cast and Python's
+#: fromisoformat parse to the SAME instant: padded date, optional
+#: ' '/'T' time to minute/second/fraction precision, optional offset.
+#: Python 3.11 fromisoformat is LOOSER than Spark ('2024-W02-1',
+#: '20240110' parse here but cast to NULL there) — the intersection
+#: gate keeps the metadata COUNT path from folding against a bound
+#: real execution nulls out (review, round 12).
+_SQL_TS_FORMS = re.compile(
+    r"\d{4}-\d{2}-\d{2}"
+    r"([ T]\d{2}:\d{2}(:\d{2}(\.\d{1,6})?)?"
+    r"(Z|[+-]\d{2}:\d{2})?)?"
+)
+
+
 def _sql_temporal(v, t: str):
     """Parse a SQL string literal into the typed bound for a date or
-    timestamp column — mirroring Spark's string-cast semantics for the
-    formats it accepts — or ``None`` when no faithful parse exists
-    (the caller then drops the conjunct from pruning: no claim is the
-    only safe claim)."""
+    timestamp column — accepting only forms where Spark's string-cast
+    semantics and Python's parse provably AGREE (`_SQL_TS_FORMS`) —
+    or ``None`` when no faithful parse exists.  For the pruner a
+    dropped conjunct just claims nothing; for the metadata range
+    COUNT the bound is ANSWER-BEARING, so the format gate is a
+    correctness condition, not a nicety."""
     import datetime as _dt
 
-    if not isinstance(v, str):
+    if not isinstance(v, str) or not _SQL_TS_FORMS.fullmatch(v):
         return None
     try:
         if t == "date":
