@@ -1058,12 +1058,17 @@ def _tsp_catalog(spark: SparkSession, sf_dir: str) -> str:
     # do), never the answer — the oracle counts the raw events table
     # under identical predicates
     """
-SELECT 'window' AS dim, CAST(COUNT(*) AS BIGINT) AS n FROM events
+SELECT 'window' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(event_id) AS BIGINT) AS lo,
+       CAST(MAX(event_id) AS BIGINT) AS hi
+FROM events
 WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
   AND ts < TIMESTAMP '2024-01-22 00:00:00'
 UNION ALL
-SELECT 'open_top' AS dim, CAST(COUNT(*) AS BIGINT) AS n FROM events
-WHERE event_id >= 400
+SELECT 'open_top' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(event_id) AS BIGINT) AS lo,
+       CAST(MAX(event_id) AS BIGINT) AS hi
+FROM events WHERE event_id >= 400
 """,
 )
 def q_sql_metadata_range_count(
@@ -1096,16 +1101,18 @@ def q_sql_metadata_range_count(
     # statement to the ordinary pruned scan — review, round 12)
     win = execute_sql(
         spark,
-        "SELECT COUNT(*) AS n FROM tsp_events "
+        "SELECT COUNT(*) AS n, MIN(event_id) AS lo, "
+        "MAX(event_id) AS hi FROM tsp_events "
         "WHERE ts >= '2024-01-08 00:00:00' "
         "AND ts < '2024-01-22 00:00:00'",
         cdir,
-    ).select(F.lit("window").alias("dim"), "n")
+    ).select(F.lit("window").alias("dim"), "n", "lo", "hi")
     opn = execute_sql(
         spark,
-        "SELECT COUNT(*) AS n FROM tsp_events WHERE event_id >= 400",
+        "SELECT COUNT(*) AS n, MIN(event_id) AS lo, "
+        "MAX(event_id) AS hi FROM tsp_events WHERE event_id >= 400",
         cdir,
-    ).select(F.lit("open_top").alias("dim"), "n")
+    ).select(F.lit("open_top").alias("dim"), "n", "lo", "hi")
     return win.unionByName(opn)
 
 

@@ -8070,41 +8070,95 @@ def snapshot_range_count(
     MoR delete files (counts would be stale), schema evolution (stats
     ride physical names), a file without a recorded row count, empty
     ``bounds``."""
+    return snapshot_range_agg_values(spark, root, bounds, [], version)[0]
+
+
+def _nan_min(a, b):
+    """Fold one MIN candidate under Spark's NaN-is-greatest ordering:
+    NaN loses to any finite value (MIN is NaN only when every value
+    is)."""
+    if a is None:
+        return b
+    if isinstance(a, float) and a != a:
+        return b
+    if isinstance(b, float) and b != b:
+        return a
+    return min(a, b)
+
+
+def _nan_max(a, b):
+    """Fold one MAX candidate under Spark's NaN-is-greatest ordering:
+    any NaN makes the MAX NaN."""
+    if a is None:
+        return b
+    if (isinstance(a, float) and a != a) or (
+        isinstance(b, float) and b != b
+    ):
+        return float("nan")
+    return max(a, b)
+
+
+def snapshot_range_agg_values(
+    spark: SparkSession,
+    root: str,
+    bounds: dict,
+    cols: list[str],
+    version: int | None = None,
+) -> tuple[int, dict]:
+    """`snapshot_range_count`'s general form (round 12): ``(n_rows,
+    {col: (lo, hi)})`` for COUNT(*) plus MIN/MAX over ``cols``, all
+    under the RANGE predicates in ``bounds`` — interior files fold
+    from recorded metadata, boundary files are scanned ONCE for count
+    and extremes together.
+
+    Extremes tighten the interior requirements: a file folds its
+    recorded agg-column stats only when EVERY claimed predicate
+    column's recorded null count is ZERO (a filtered-out NULL-pred
+    row could otherwise own the file's extreme) and the agg column's
+    stats are NaN-trustworthy (`_nan_free` — a NaN row would make
+    Spark's MAX NaN, which no finite fold can represent); anything
+    weaker demotes the file to boundary, where the scan computes
+    exact Spark semantics (NaN included — the driver-side fold uses
+    NaN-is-greatest combiners).  Agg-column NULLs are harmless in
+    interior files: recorded stats already exclude them, exactly as
+    MIN/MAX do."""
     from pyspark.sql import functions as F
 
     if not bounds or any(
         b[0] is None and b[2] is None for b in bounds.values()
     ):
         raise ValueError(
-            "snapshot_range_count: every bound needs at least one side"
+            "snapshot_range_agg: every bound needs at least one side"
         )
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(
-            f"snapshot_range_count: no version at {root}"
+            f"snapshot_range_agg: no version at {root}"
         )
     m = _read_manifest(root, v)
     if m.get("delete_files"):
         raise ValueError(
-            "snapshot_range_count: table has MoR delete files — "
+            "snapshot_range_agg: table has MoR delete files — "
             "metadata counts would be stale; compact first"
         )
     if m.get("fields"):
         raise ValueError(
-            "snapshot_range_count: table is schema-evolved — recorded "
-            "stats are keyed by physical names; count the read instead"
+            "snapshot_range_agg: table is schema-evolved — recorded "
+            "stats are keyed by physical names; aggregate the read "
+            "instead"
         )
     rows_rec = m.get("rows") or {}
     stats = m.get("stats") or {}
     nulls = m.get("nulls") or {}
     total = 0
+    extremes: dict = {c: (None, None) for c in cols}
     boundary: list[str] = []
     for f in m["files"]:
         r = rows_rec.get(f)
         if r is None:
             raise ValueError(
-                f"snapshot_range_count: no recorded row count for {f} "
-                "— compact the table or count the read"
+                f"snapshot_range_agg: no recorded row count for {f} "
+                "— compact the table or aggregate the read"
             )
         if int(r) == 0:
             continue
@@ -8142,8 +8196,24 @@ def snapshot_range_count(
                 null_cols.append(int(n))
         if excluded:
             continue
+        if interior and cols:
+            # extremes: every pred column must be null-free in this
+            # file, and every agg column's stats trustworthy
+            if null_cols:
+                interior = False
+            for c in cols:
+                st = fstats.get(c)
+                if st is None or not _nan_free(st):
+                    interior = False
+                    break
         if interior and len(null_cols) <= 1:
             total += int(r) - (null_cols[0] if null_cols else 0)
+            for c in cols:
+                st = fstats[c]
+                lo0, hi0 = extremes[c]
+                extremes[c] = (
+                    _nan_min(lo0, st[0]), _nan_max(hi0, st[1])
+                )
         else:
             boundary.append(f)
     if boundary:
@@ -8162,12 +8232,26 @@ def snapshot_range_count(
                     F.col(c) < F.lit(hi) if hi_s else F.col(c) <= F.lit(hi)
                 )
                 pred = term if pred is None else pred & term
-        total += (
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(cols):
+            aggs.append(F.min(c).alias(f"__lo{i}"))
+            aggs.append(F.max(c).alias(f"__hi{i}"))
+        row = (
             spark.read.parquet(*[os.path.join(root, f) for f in boundary])
             .where(pred)
-            .count()
+            .agg(*aggs)
+            .first()
         )
-    return total
+        total += int(row["__n"])
+        for i, c in enumerate(cols):
+            blo, bhi = row[f"__lo{i}"], row[f"__hi{i}"]
+            lo0, hi0 = extremes[c]
+            if blo is not None:
+                lo0 = _nan_min(lo0, blo)
+            if bhi is not None:
+                hi0 = _nan_max(hi0, bhi)
+            extremes[c] = (lo0, hi0)
+    return total, extremes
 
 
 def snapshot_partitions(

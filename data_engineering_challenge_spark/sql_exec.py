@@ -1436,49 +1436,39 @@ def _metadata_range_count(
     sql: str,
     entries: dict | None = None,
 ):
-    """METADATA-HYBRID ``COUNT(*)`` under RANGE predicates (round 12 —
+    """METADATA-HYBRID aggregates under RANGE predicates (round 12 —
     VERDICT r11 'Next round #4', the Iceberg/DataFusion shape): a
-    statement ``SELECT COUNT(*) [AS a] FROM <table> [alias] WHERE
-    <range conjuncts>`` whose EVERY conjunct is a typed range claim
-    (``BETWEEN`` / ``>=`` / ``>`` / ``<=`` / ``<`` / ``=``) on an
-    integral or temporal column answers through
-    `snapshot_range_count`: INTERIOR files (stats prove every non-null
-    row inside the window) fold from recorded row/null counts without
-    being opened, EXCLUDED files fold as zero, and only the
-    window-EDGE files are scanned with the predicate re-applied.  On
-    the canonical incremental shape ``ts >= a AND ts < b`` this reads
-    one or two files where a full COUNT scans the table.
+    statement ``SELECT <COUNT(*) | MIN(col) | MAX(col)> [AS a][, ...]
+    FROM <table> [alias] WHERE <range conjuncts>`` whose EVERY
+    conjunct is a typed range claim (``BETWEEN`` / ``>=`` / ``>`` /
+    ``<=`` / ``<`` / ``=``) on an integral or temporal column answers
+    through `snapshot_range_agg_values`: INTERIOR files (stats prove
+    every non-null row inside the window) fold from recorded
+    row/null counts and agg-column stats without being opened,
+    EXCLUDED files fold as zero, and only the window-EDGE files are
+    scanned ONCE for count and extremes together.  On the canonical
+    incremental shape ``ts >= a AND ts < b`` this reads one or two
+    files where a full aggregate scans the table.
 
     Typing gates mirror the pruner's round-11 rules: int literals on
     integral columns; string literals on DATE columns as strict
     ISO dates; on TIMESTAMP columns via the faithful-parse rule under
-    a UTC session only (stats are UTC instants).  Float/bool columns,
-    unresolvable or ambiguous names, a residual conjunct, duplicate
-    claims that cannot intersect, MoR deletes, and schema evolution
-    all return None — the statement runs normally (at worst
-    file-pruned)."""
+    a UTC session only (stats are UTC instants).  MIN/MAX columns
+    follow `_metadata_agg`'s numeric gate (float/double trusted per
+    file only under a zero NaN count — weaker files demote to the
+    boundary scan, which computes exact Spark semantics, NaN
+    included).  Float/bool PREDICATE columns, unresolvable or
+    ambiguous names, a residual conjunct, MoR deletes, and schema
+    evolution all return None — the statement runs normally (at
+    worst file-pruned)."""
     toks = [t for t, _l, _h in _tokens(sql)]
     up = [t.upper() for t in toks]
     if toks and toks[-1] == ";":
         toks, up = toks[:-1], up[:-1]
-    if (
-        len(toks) < 9  # SELECT COUNT ( * ) FROM t WHERE <conj>
-        or up[0] != "SELECT"
-        or up[1] != "COUNT"
-        or toks[2] != "("
-        or toks[3] != "*"
-        or toks[4] != ")"
-    ):
+    hdr = _parse_agg_items(toks, up)
+    if hdr is None:
         return None
-    j = 5
-    alias_out = None
-    if j < len(up) and up[j] == "AS":
-        if j + 1 >= len(toks) or not re.fullmatch(
-            r"[A-Za-z_][A-Za-z_0-9]*", toks[j + 1]
-        ):
-            return None
-        alias_out = toks[j + 1]
-        j += 2
+    items, j = hdr
     if entries is None:
         entries = cat.catalog_entries(catalog_dir)
     parsed = _parse_from_table(toks, up, j, entries)
@@ -1601,14 +1591,20 @@ def _metadata_range_count(
                 bounds[key] = (lo1, ls1, hi1, hs1)
         if not bounds:
             return None
+        resolved = _resolve_agg_cols(spark, name, items)
+        if resolved is None:
+            return None
+        cols = list(dict.fromkeys(f.name for f in resolved.values()))
         root = e["root"]
         _pin, v_res = _entry_version(e, root)
         if v_res is None:
             return None
-        n = sn.snapshot_range_count(spark, root, bounds, v_res)
+        n, extremes = sn.snapshot_range_agg_values(
+            spark, root, bounds, cols, v_res
+        )
     except Exception:
         return None  # any refusal: the statement runs normally
-    return _count_result(spark, alias_out, n)
+    return _agg_result(spark, items, resolved, n, extremes)
 
 
 def _metadata_agg(
@@ -1643,10 +1639,42 @@ def _metadata_agg(
     up = [t.upper() for t in toks]
     if toks and toks[-1] == ";":
         toks, up = toks[:-1], up[:-1]
+    hdr = _parse_agg_items(toks, up)
+    if hdr is None:
+        return None
+    items, j = hdr
+    if entries is None:
+        entries = cat.catalog_entries(catalog_dir)
+    parsed = _parse_from_table(toks, up, j, entries)
+    if parsed is None:
+        return None
+    name, e, _alias, j = parsed
+    if j < len(toks):
+        return None  # WHERE/GROUP/anything else: not this shape
+    try:
+        resolved = _resolve_agg_cols(spark, name, items)
+        if resolved is None:
+            return None
+        cols = list(dict.fromkeys(f.name for f in resolved.values()))
+        root = e["root"]
+        _pin, v_res = _entry_version(e, root)
+        if v_res is None:
+            return None
+        # plain-python fold — no DataFrame round-trip on the fast path
+        n_rows, extremes = sn._stats_agg_values(root, cols, v_res)
+    except Exception:
+        return None  # any refusal: the statement runs normally
+    return _agg_result(spark, items, resolved, n_rows, extremes)
+
+
+def _parse_agg_items(toks, up) -> tuple[list, int] | None:
+    """``SELECT <COUNT(*) | MIN(col) | MAX(col)> [AS a][, ...]`` —
+    ``([(kind, col_or_None, alias_or_None), ...], next_j)`` or None.
+    Shared by the whole-table and range-predicated metadata aggregate
+    shapes so the round-11 alias rules live once."""
     if len(toks) < 7 or up[0] != "SELECT":
         return None
-    # parse the aggregate list
-    items: list[tuple] = []  # (kind, col_or_None, alias_or_None)
+    items: list[tuple] = []
     j = 1
     while True:
         if j + 3 >= len(toks):
@@ -1680,62 +1708,46 @@ def _metadata_agg(
             j += 1
             continue
         break
-    if entries is None:
-        entries = cat.catalog_entries(catalog_dir)
-    parsed = _parse_from_table(toks, up, j, entries)
-    if parsed is None:
-        return None
-    name, e, _alias, j = parsed
-    if j < len(toks):
-        return None  # WHERE/GROUP/anything else: not this shape
-    try:
-        sdf = spark.table(name)
-        # Spark resolves case-insensitively unless spark.sql.
-        # caseSensitive is on — mirror it, or the fast path would
-        # answer statements real execution rejects (review, round 11)
-        case_sensitive = (
-            str(spark.conf.get("spark.sql.caseSensitive")).lower()
-            == "true"
-        )
+    return items, j
 
-        def _resolve(c: str):
-            # ALL case-insensitive matches: a schema carrying columns
-            # differing only in case makes the reference AMBIGUOUS in
-            # Spark (AMBIGUOUS_REFERENCE) — the fast path must fall
-            # back to real execution, not answer from the first match
-            # (advice, round 12)
-            hits = [
-                f
-                for f in sdf.schema.fields
-                if f.name == c
-                or (not case_sensitive and f.name.lower() == c.lower())
-            ]
-            return hits[0] if len(hits) == 1 else None
 
-        # NUMERIC columns: integral stats are value-exact;
-        # float/double answer only under a recorded zero NaN count per
-        # file (round 12 — `_stats_agg_values` enforces it, refusing
-        # count-less or NaN-carrying files loudly)
-        numeric = {
-            "tinyint", "smallint", "int", "bigint", "float", "double",
-        }
-        resolved: dict = {}
-        for _k, c, _a in items:
-            if c is None:
-                continue
-            f = _resolve(c)
-            if f is None or f.dataType.simpleString() not in numeric:
-                return None
-            resolved[c] = f
-        cols = list(dict.fromkeys(f.name for f in resolved.values()))
-        root = e["root"]
-        _pin, v_res = _entry_version(e, root)
-        if v_res is None:
+#: MIN/MAX-answerable column types: integral stats are value-exact;
+#: float/double answer only under recorded NaN counts (round 12)
+_NUMERIC_AGG = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _resolve_agg_cols(spark, name: str, items: list) -> dict | None:
+    """Resolve every MIN/MAX column of ``items`` against the attached
+    view, mirroring Spark's case rules — None when a column is
+    missing, AMBIGUOUS under case-insensitive resolution (advice,
+    round 12), or non-numeric."""
+    sdf = spark.table(name)
+    case_sensitive = (
+        str(spark.conf.get("spark.sql.caseSensitive")).lower() == "true"
+    )
+    resolved: dict = {}
+    for _k, c, _a in items:
+        if c is None:
+            continue
+        hits = [
+            f
+            for f in sdf.schema.fields
+            if f.name == c
+            or (not case_sensitive and f.name.lower() == c.lower())
+        ]
+        if len(hits) != 1:
             return None
-        # plain-python fold — no DataFrame round-trip on the fast path
-        n_rows, extremes = sn._stats_agg_values(root, cols, v_res)
-    except Exception:
-        return None  # any refusal: the statement runs normally
+        f = hits[0]
+        if f.dataType.simpleString() not in _NUMERIC_AGG:
+            return None
+        resolved[c] = f
+    return resolved
+
+
+def _agg_result(spark, items, resolved, n_rows: int, extremes: dict):
+    """One-row metadata-aggregate result, schema-identical to real
+    execution: COUNT as non-null bigint named ``count(1)`` unless
+    aliased, MIN/MAX reusing each table field's OWN Spark type."""
     from pyspark.sql import types as T
 
     fields, vals = [], []

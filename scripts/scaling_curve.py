@@ -74,6 +74,13 @@ def main() -> int:
         app_name="scaling-curve",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # upscaled SFs (scripts/upscale_testdata.py) need more than the
+        # 1g local default; the driver protocol (bench.py) is untouched
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "1g"
+            )
+        },
     )
     qs = entry.queries()
     oracles = entry.oracle_sql()

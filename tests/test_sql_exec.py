@@ -2400,6 +2400,17 @@ def test_metadata_range_count_interior_fold(spark, cdir):
         )
         got2 = _metadata_range_count(spark, cdir, stmt2, entries)
         assert got2 is not None and got2.first()["n"] == 3000
+        # MIN/MAX under the window: extremes fold from interior
+        # agg-column stats (those files are STILL renamed away); only
+        # the boundary file's scan contributes the window edge
+        gotx = _metadata_range_count(
+            spark, cdir,
+            "SELECT MIN(k) AS lo, MAX(k) AS hi, COUNT(*) AS n "
+            "FROM rct WHERE k >= 1000",
+            entries,
+        )
+        assert gotx is not None
+        assert tuple(gotx.first()) == (1000, 3999, 3000)
         # a float claim refuses (NaN breaks interval reasoning)
         assert _metadata_range_count(
             spark, cdir, "SELECT COUNT(*) AS n FROM rct WHERE v >= 0",
