@@ -2166,6 +2166,18 @@ def test_pruned_attach_outer_semi_anti_joins(spark, cdir):
     assert execute_sql(spark, stmt, cdir).count() == 11
     names, n_f, n_d = probe(stmt)
     assert names == [] and n_f == n_files, (names, n_f)
+    # the other still-bailing shapes keep the plain attach too
+    for stmt in (
+        "SELECT fct.k FROM fct CROSS JOIN dim "
+        "WHERE fct.k BETWEEN 100 AND 110",
+        "SELECT k FROM fct NATURAL JOIN dim "
+        "WHERE k BETWEEN 100 AND 110",
+        "SELECT fct.k FROM fct JOIN dim USING (g) "
+        "WHERE fct.k BETWEEN 100 AND 110",
+    ):
+        assert execute_sql(spark, stmt, cdir).count() in (0, 11, 110)
+        names, n_f, n_d = probe(stmt)
+        assert names == [] and n_f == n_files, (stmt, names, n_f)
 
 
 def test_pruned_attach_or_disjunction_claims(spark, cdir):
