@@ -165,6 +165,9 @@ _CHEAP_FIRST = [
     "sql_metadata_partition_count", "sql_metadata_agg",
     "sql_show_partitions", "sql_partition_transform_pruned",
     "sql_timestamp_pruned_scan", "sql_star_join_pruned",
+    # round-12 additions, measured verify cost ascending (sf0.01)
+    "sql_or_pruned_lookup", "sql_left_join_pruned",
+    "sql_partition_group_count", "sql_metadata_range_count",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

@@ -7795,6 +7795,16 @@ def snapshot_stats_agg(
         vals.extend([lo, hi])
         ty = _sql_type(lo)
         fields.extend([f"min_{c} {ty}", f"max_{c} {ty}"])
+    if not any(isinstance(v, float) and v != v for v in vals):
+        # pandas/Arrow path → LocalRelation: collect is a driver-side
+        # copy instead of a scheduled RDD job (~0.04 s vs ~1.2 s
+        # measured, round 12); object dtype keeps None as NULL.  A
+        # NaN extreme would convert to NULL there — exact path then.
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame([list(vals)], dtype=object), ", ".join(fields)
+        )
     return spark.createDataFrame([tuple(vals)], ", ".join(fields))
 
 
@@ -8104,6 +8114,7 @@ def snapshot_range_agg_values(
     bounds: dict,
     cols: list[str],
     version: int | None = None,
+    schema=None,
 ) -> tuple[int, dict]:
     """`snapshot_range_count`'s general form (round 12): ``(n_rows,
     {col: (lo, hi)})`` for COUNT(*) plus MIN/MAX over ``cols``, all
@@ -8236,8 +8247,11 @@ def snapshot_range_agg_values(
         for i, c in enumerate(cols):
             aggs.append(F.min(c).alias(f"__lo{i}"))
             aggs.append(F.max(c).alias(f"__hi{i}"))
+        # a caller-provided schema (the SQL layer passes its attached
+        # view's) skips the per-statement footer-inference job
+        reader = spark.read.schema(schema) if schema is not None else spark.read
         row = (
-            spark.read.parquet(*[os.path.join(root, f) for f in boundary])
+            reader.parquet(*[os.path.join(root, f) for f in boundary])
             .where(pred)
             .agg(*aggs)
             .first()

@@ -1600,7 +1600,7 @@ def _metadata_range_count(
         if v_res is None:
             return None
         n, extremes = sn.snapshot_range_agg_values(
-            spark, root, bounds, cols, v_res
+            spark, root, bounds, cols, v_res, schema=sdf.schema
         )
     except Exception:
         return None  # any refusal: the statement runs normally
@@ -1763,7 +1763,7 @@ def _agg_result(spark, items, resolved, n_rows: int, extremes: dict):
                 alias or f"{kind}({c})", resolved[c].dataType, True
             ))
             vals.append(lo if kind == "min" else hi)
-    return spark.createDataFrame([tuple(vals)], T.StructType(fields))
+    return _local_rows(spark, [tuple(vals)], T.StructType(fields))
 
 
 def _metadata_partition_group(
@@ -1981,7 +1981,7 @@ def _metadata_partition_group(
             T.StructField(cnt_alias or "count(1)", T.LongType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return _local_rows(spark, rows, schema)
 
 
 def _parse_from_table(toks, up, j, entries):
@@ -2017,13 +2017,37 @@ def _parse_from_table(toks, up, j, entries):
     return name, e, alias, j
 
 
+def _local_rows(spark: SparkSession, rows: list, schema):
+    """A metadata answer as a LOCAL RELATION: the pandas/Arrow
+    `createDataFrame` path plans a LocalRelation whose collect is a
+    driver-side copy (~0.04 s measured), where the plain tuple-list
+    path parallelizes an RDD and pays a full scheduled job per
+    collect (~1.2 s measured) — a 30× tax on answers whose whole
+    point is zero cluster work (round 12).  Object dtype preserves
+    None as NULL exactly; a NaN value would ALSO convert to NULL
+    there, so NaN-carrying rows (rare: a NaN MAX extreme) keep the
+    exact RDD path."""
+    import pandas as pd
+
+    if not rows or any(
+        isinstance(v, float) and v != v for r in rows for v in r
+    ):
+        return spark.createDataFrame([tuple(r) for r in rows], schema)
+    try:
+        pdf = pd.DataFrame([list(r) for r in rows], dtype=object)
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        # any Arrow conversion surprise: the exact (slow) path stands
+        return spark.createDataFrame([tuple(r) for r in rows], schema)
+
+
 def _count_result(spark: SparkSession, alias_out: str | None, n: int):
     from pyspark.sql import types as T
 
     col = alias_out or "count(1)"
     # non-nullable, matching Spark's own COUNT(*) output schema
     schema = T.StructType([T.StructField(col, T.LongType(), False)])
-    return spark.createDataFrame([(n,)], schema)
+    return _local_rows(spark, [(n,)], schema)
 
 
 def _entry_version(e: dict, root: str) -> tuple:
