@@ -983,3 +983,116 @@ def test_mview_refresh_equals_recompute(spark, tmp_path_factory, ops):
         assert got == want, (ops, got, want)
     finally:
         shutil.rmtree(str(d), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# round 12: statement-level pruning is answer-preserving under random
+# WHERE shapes (conjunctions, same-column disjunctions, ranges, INs)
+# ---------------------------------------------------------------------------
+
+_cmp_ops = st.sampled_from([">=", ">", "<=", "<", "="])
+
+
+def _pred_strategy():
+    # one atom on k (bigint, clustered), v (double), or s (string)
+    k_atom = st.one_of(
+        st.tuples(st.just("k"), _cmp_ops, st.integers(-5, 105)),
+        st.builds(
+            lambda a, b: ("k", "BETWEEN", (min(a, b), max(a, b))),
+            st.integers(-5, 105), st.integers(-5, 105),
+        ),
+        st.builds(
+            lambda vals: ("k", "IN", vals),
+            st.lists(st.integers(-5, 105), min_size=1, max_size=4),
+        ),
+    )
+    v_atom = st.tuples(
+        st.just("v"), _cmp_ops,
+        st.floats(-10, 60, allow_nan=False).map(lambda x: round(x, 2)),
+    )
+    s_atom = st.tuples(
+        st.just("s"), _cmp_ops,
+        st.integers(0, 105).map(lambda i: f"s{i:04d}"),
+    )
+    return st.one_of(k_atom, v_atom, s_atom)
+
+
+def _atom_sql(a) -> str:
+    col, op, val = a
+    if op == "BETWEEN":
+        return f"{col} BETWEEN {val[0]} AND {val[1]}"
+    if op == "IN":
+        return f"{col} IN ({', '.join(str(v) for v in val)})"
+    v = f"'{val}'" if isinstance(val, str) else str(val)
+    return f"{col} {op} {v}"
+
+
+@pytest.fixture(scope="module")
+def _prune_world(spark, tmp_path_factory):
+    """One committed, clustered, stats+bloom-recorded table plus a
+    PLAIN twin view — the oracle for every random statement."""
+    from data_engineering_challenge_spark.sources import catalog as cat
+    from data_engineering_challenge_spark.sources import snapshots as sn
+
+    tmp = tmp_path_factory.mktemp("prune_world")
+    root = str(tmp / "tbl")
+    df = spark.sql(
+        "SELECT id AS k, CAST(id AS DOUBLE) / 2 AS v, "
+        "CONCAT('s', LPAD(CAST(id AS STRING), 4, '0')) AS s "
+        "FROM RANGE(100)"
+    )
+    sn.snapshot_append_clustered(
+        df, root, ["k"], n_files=6,
+        stats_cols=["k", "v", "s"], bloom_cols=["s"],
+    )
+    cdir = str(tmp / "cat")
+    cat.catalog_register(cdir, "pw", root)
+    df.createOrReplaceTempView("pw_plain")
+    return cdir
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    atoms=st.lists(_pred_strategy(), min_size=1, max_size=3),
+    disjunct=st.booleans(),
+    data=st.data(),
+)
+def test_pruned_statement_answers_match_plain(
+    spark, _prune_world, atoms, disjunct, data
+):
+    """ANSWER-PRESERVATION property for the whole pruning/metadata
+    stack (round 12): for random conjunctions, same-column
+    disjunctions, ranges, INs and equalities — including shapes the
+    claims machinery refuses — `execute_sql` over the catalog table
+    equals plain `spark.sql` over an identical in-memory view.  The
+    pruned attach, the OR→IN/envelope claims, and the metadata
+    COUNT/MIN/MAX fast paths all ride this one invariant: pruning
+    may only change which FILES open, never the rows."""
+    from data_engineering_challenge_spark.sql_exec import execute_sql
+
+    if disjunct:
+        # same-column OR (the round-12 claims) — force one column so
+        # the disjunction is claimable at least sometimes
+        col = atoms[0][0]
+        same = [a for a in atoms if a[0] == col] or atoms[:1]
+        body = " OR ".join(_atom_sql(a) for a in same)
+    else:
+        body = " AND ".join(_atom_sql(a) for a in atoms)
+    sel = data.draw(
+        st.sampled_from([
+            "COUNT(*) AS n",
+            "COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi",
+            "k, v, s",
+        ])
+    )
+    got = execute_sql(
+        spark, f"SELECT {sel} FROM pw WHERE {body}", _prune_world
+    ).collect()
+    want = spark.sql(
+        f"SELECT {sel} FROM pw_plain WHERE {body}"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)), body
