@@ -1355,7 +1355,14 @@ WHERE {win}
 @register(
     "sql_metadata_partition_count",
     """
-SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE day(ts) = 15
+SELECT 'eq' AS dim, CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE day(ts) = 15
+UNION ALL
+SELECT 'inlist' AS dim, CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE day(ts) IN (3, 15, 27)
+UNION ALL
+SELECT 'or' AS dim, CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE day(ts) = 1 OR day(ts) = 28
 """,
 )
 def q_sql_metadata_partition_count(
@@ -1375,14 +1382,31 @@ def q_sql_metadata_partition_count(
     scanning SQLite; on 100 TB this path answers without opening a
     file.  Build shared with `sql_show_partitions`
     (`_dpe_catalog`), cached per sf_dir."""
+    from pyspark.sql import functions as F
+
     from .sql_exec import execute_sql
 
     cdir = _dpe_catalog(spark, sf_dir)
-    return execute_sql(
+    eq = execute_sql(
         spark,
         "SELECT COUNT(*) AS n FROM dpe_events WHERE DAY(ts) = 15",
         cdir,
-    )
+    ).select(F.lit("eq").alias("dim"), "n")
+    # round 12: IN lists and same-transform ORs fold the same way —
+    # the sum of matching partitions' recorded row counts
+    inl = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM dpe_events "
+        "WHERE DAY(ts) IN (3, 15, 27)",
+        cdir,
+    ).select(F.lit("inlist").alias("dim"), "n")
+    disj = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM dpe_events "
+        "WHERE DAY(ts) = 1 OR DAY(ts) = 28",
+        cdir,
+    ).select(F.lit("or").alias("dim"), "n")
+    return eq.unionByName(inl).unionByName(disj)
 
 
 @register(

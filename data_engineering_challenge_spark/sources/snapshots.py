@@ -7951,7 +7951,10 @@ def snapshot_partition_count(
     ``partition_eq`` values compare as strings against the recorded
     hive path values — callers must pass values whose ``str()`` is
     the transform output's canonical form (the SQL layer's type
-    gating guarantees this)."""
+    gating guarantees this).  A value may be a LIST (round 12 — the
+    ``day(ts) IN (1, 2)`` / same-transform OR shape): the file counts
+    when its recorded value matches ANY listed value; per-name sets
+    still AND together."""
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(
@@ -7977,7 +7980,20 @@ def snapshot_partition_count(
         )
     rows_rec = m.get("rows") or {}
     pvals = m.get("partition_values") or {}
-    want = {n: str(val) for n, val in partition_eq.items()}
+    want = {
+        n: (
+            {str(v) for v in val}
+            if isinstance(val, (list, tuple, set))
+            else {str(val)}
+        )
+        for n, val in partition_eq.items()
+    }
+    if any(not s for s in want.values()):
+        raise ValueError(
+            "snapshot_partition_count: an empty value list matches "
+            "nothing — refuse rather than answer 0 for a malformed "
+            "claim"
+        )
     total = 0
     for f in m["files"]:
         r = rows_rec.get(f)
@@ -7995,7 +8011,7 @@ def snapshot_partition_count(
                 f"for a claimed partition — mixed lineage; count the "
                 "read instead"
             )
-        if all(rec[n] == s for n, s in want.items()):
+        if all(rec[n] in s for n, s in want.items()):
             total += int(r)
     return total
 

@@ -1393,6 +1393,38 @@ def _metadata_count(
         elif depth == 0 and body[k].upper() in _WHERE_ENDS:
             return None
     conjuncts = _split_conjuncts(body)
+    if conjuncts is None:
+        # round 12: a SAME-TRANSFORM OR of equalities counts as an IN
+        # — `day(ts) = 1 OR day(ts) = 2` — anything else refuses
+        bup = {t.upper() for t in body}
+        if bup & {"CASE", "WHEN", "THEN", "ELSE", "END", "NOT", "IS"}:
+            return None
+        parts: list[list[str]] = [[]]
+        depth = 0
+        for t in body:
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if depth == 0 and t.upper() == "OR":
+                parts.append([])
+                continue
+            parts[-1].append(t)
+        if len(parts) < 2 or any(
+            len(p) < 3 or p[-2] != "=" for p in parts
+        ):
+            return None
+        # one synthetic IN conjunct; the claim builder verifies every
+        # prefix normalizes to the SAME transform below
+        inner: list[str] = []
+        for p in parts[1:]:
+            inner.extend([",", p[-1]])
+        conjuncts = [
+            [*parts[0][:-2], "IN", "(", parts[0][-1], *inner, ")"]
+        ]
+        or_heads = [p[:-2] for p in parts]
+    else:
+        or_heads = None
     if not conjuncts:
         return None
     root = e["root"]
@@ -1408,26 +1440,76 @@ def _metadata_count(
         if not transforms:
             return None
         texpr = _transform_texpr(transforms, quals)
+        if or_heads is not None:
+            # every disjunct must bound the SAME transform — a
+            # mixed-transform OR is not a per-name claim
+            norms = {_norm_tokens(h, quals) for h in or_heads}
+            if len(norms) != 1 or norms.pop() not in texpr:
+                return None
         sdf = spark.table(name)
         partition_eq: dict = {}
         for c in conjuncts:
             # EVERY conjunct must be a like-typed partition equality
-            # — one residual and the metadata cannot answer exactly
-            if len(c) < 3 or c[-2] != "=":
-                return None
-            v = _lit(c[-1])
-            pname = texpr.get(_norm_tokens(c[:-2], quals))
-            if v is None or pname is None or pname in partition_eq:
-                return None
-            if not _partition_literal_ok(
-                spark, sdf, transforms[pname], v
+            # or IN list — one residual and the metadata cannot
+            # answer exactly
+            if len(c) >= 3 and c[-2] == "=":
+                head, vals = c[:-2], [_lit(c[-1])]
+            elif (
+                len(c) >= 5
+                and c[-1] == ")"
+                and _in_split(c) is not None
             ):
+                head, vals = _in_split(c)
+            else:
                 return None
-            partition_eq[pname] = v
+            pname = texpr.get(_norm_tokens(head, quals))
+            if pname is None or pname in partition_eq:
+                return None
+            for v in vals:
+                if v is None or not _partition_literal_ok(
+                    spark, sdf, transforms[pname], v
+                ):
+                    return None
+            partition_eq[pname] = vals if len(vals) > 1 else vals[0]
         n = sn.snapshot_partition_count(root, partition_eq, v_res)
     except Exception:
         return None  # any refusal: the statement runs normally
     return _count_result(spark, alias_out, n)
+
+
+def _in_split(c: list[str]):
+    """Split ``<expr tokens> IN ( lit, lit, ... )`` into
+    ``(expr_tokens, [values])`` — None when the trailing parens don't
+    span an all-literal comma list or no depth-0 IN precedes them."""
+    # the IN must sit at depth 0 with its "(" closing at the very end
+    depth = 0
+    i = None
+    for k, t in enumerate(c[:-1]):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.upper() == "IN" and c[k + 1] == "(":
+            i = k
+    if i is None or i == 0:
+        return None
+    depth = 0
+    for t in c[i + 1 : -1]:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                return None  # the IN's paren closes early
+    inner = c[i + 2 : -1]
+    vals = [_lit(t) for t in inner[0::2]]
+    if (
+        not vals
+        or any(v is None for v in vals)
+        or not all(t == "," for t in inner[1::2])
+    ):
+        return None
+    return c[:i], vals
 
 
 def _metadata_range_count(

@@ -2557,3 +2557,57 @@ def test_metadata_partition_group_by(spark, cdir):
     assert _metadata_partition_group(spark, cdir, stmt, entries2) is None
     out2 = execute_sql(spark, stmt, cdir)
     assert sorted(map(tuple, out2.collect()))[0] == (1, 99)
+
+
+def test_metadata_partition_in_and_or_counts(spark, cdir):
+    """Partition COUNT under IN lists and same-transform ORs (round
+    12): `day(ts) IN (1, 3)` / `day(ts) = 1 OR day(ts) = 3` fold the
+    matching partitions' recorded row counts, zero data reads (files
+    renamed away); a mixed-transform OR, a non-literal value, and a
+    residual disjunct all refuse."""
+    import os
+
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_count,
+    )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE pio (ts TIMESTAMP, v DOUBLE)
+          PARTITIONED BY (DAY(ts) AS d);
+        INSERT INTO pio SELECT TIMESTAMP'2024-01-01 00:00:00'
+          + MAKE_INTERVAL(0, 0, 0, CAST(id % 9 AS INT), 0, 0, 0),
+          CAST(id AS DOUBLE) FROM RANGE(900);
+        """,
+        cdir,
+    )
+    stmt_in = "SELECT COUNT(*) AS n FROM pio WHERE DAY(ts) IN (1, 3)"
+    stmt_or = (
+        "SELECT COUNT(*) AS n FROM pio "
+        "WHERE DAY(ts) = 1 OR DAY(ts) = 3"
+    )
+    assert execute_sql(spark, stmt_in, cdir).first()["n"] == 200
+    assert execute_sql(spark, stmt_or, cdir).first()["n"] == 200
+    entries = _attach(spark, cdir, stmt_in)
+    root = cat.catalog_entries(cdir)["pio"]["root"]
+    m = sn._read_manifest(root, sn.current_version(root))
+    paths = [os.path.join(root, f) for f in m["files"]]
+    try:
+        for p in paths:
+            os.rename(p, p + ".hidden")
+        for stmt in (stmt_in, stmt_or):
+            got = _metadata_count(spark, cdir, stmt, entries)
+            assert got is not None and got.first()["n"] == 200
+        # refusals: mixed transforms / non-literals / residual OR
+        for stmt in (
+            "SELECT COUNT(*) AS n FROM pio "
+            "WHERE DAY(ts) = 1 OR MONTH(ts) = 1",
+            "SELECT COUNT(*) AS n FROM pio WHERE DAY(ts) IN (1, v)",
+            "SELECT COUNT(*) AS n FROM pio WHERE DAY(ts) = 1 OR v = 3",
+        ):
+            assert _metadata_count(spark, cdir, stmt, entries) is None
+    finally:
+        for p in paths:
+            if os.path.exists(p + ".hidden"):
+                os.rename(p + ".hidden", p)
