@@ -7799,12 +7799,17 @@ def snapshot_stats_agg(
         # pandas/Arrow path → LocalRelation: collect is a driver-side
         # copy instead of a scheduled RDD job (~0.04 s vs ~1.2 s
         # measured, round 12); object dtype keeps None as NULL.  A
-        # NaN extreme would convert to NULL there — exact path then.
-        import pandas as pd
+        # NaN extreme would convert to NULL there — exact path then;
+        # same fallback on any Arrow conversion surprise.
+        try:
+            import pandas as pd
 
-        return spark.createDataFrame(
-            pd.DataFrame([list(vals)], dtype=object), ", ".join(fields)
-        )
+            return spark.createDataFrame(
+                pd.DataFrame([list(vals)], dtype=object),
+                ", ".join(fields),
+            )
+        except Exception:
+            pass
     return spark.createDataFrame([tuple(vals)], ", ".join(fields))
 
 

@@ -1394,43 +1394,39 @@ def _metadata_count(
             return None
     conjuncts = _split_conjuncts(body)
     if conjuncts is None:
-        # round 12: a SAME-TRANSFORM OR of equalities counts as an IN
-        # — `day(ts) = 1 OR day(ts) = 2` — anything else refuses
+        # round 12: a PURE same-transform disjunction — `day(ts) = 1
+        # OR day(ts) = 2` — re-enters as one parenthesized conjunct
+        # and normalizes to an IN below; anything else refuses there
         bup = {t.upper() for t in body}
         if bup & {"CASE", "WHEN", "THEN", "ELSE", "END", "NOT", "IS"}:
             return None
-        parts: list[list[str]] = [[]]
-        depth = 0
-        for t in body:
-            if t == "(":
-                depth += 1
-            elif t == ")":
-                depth -= 1
-            if depth == 0 and t.upper() == "OR":
-                parts.append([])
-                continue
-            parts[-1].append(t)
-        if len(parts) < 2 or any(
-            len(p) < 3 or p[-2] != "=" for p in parts
-        ):
-            return None
-        # one synthetic IN conjunct; the claim builder verifies every
-        # prefix normalizes to the SAME transform below
-        inner: list[str] = []
-        for p in parts[1:]:
-            inner.extend([",", p[-1]])
-        conjuncts = [
-            [*parts[0][:-2], "IN", "(", parts[0][-1], *inner, ")"]
-        ]
-        or_heads = [p[:-2] for p in parts]
-    else:
-        or_heads = None
+        conjuncts = [["(", *body, ")"]]
     if not conjuncts:
         return None
     root = e["root"]
     # an alias HIDES the bare name in Spark — accepting it as a
     # qualifier would answer statements Spark rejects (review, r11)
     quals = {(t_alias or name).lower()}
+
+    def _texpr_head(parts: list[str]):
+        # expression head up to the FIRST depth-0 comparison operator,
+        # NORMALIZED — `_parse_disjunction`'s head parser for
+        # transform expressions (a column head is the special case)
+        depth = 0
+        for k, t in enumerate(parts):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and (
+                t in ("=", ">=", ">", "<=", "<")
+                or t.upper() in ("IN", "BETWEEN")
+            ):
+                if k == 0:
+                    return None, parts
+                return _norm_tokens(parts[:k], quals), parts[k:]
+        return None, parts
+
     try:
         version, v_res = _entry_version(e, root)
         if v_res is None:
@@ -1440,37 +1436,43 @@ def _metadata_count(
         if not transforms:
             return None
         texpr = _transform_texpr(transforms, quals)
-        if or_heads is not None:
-            # every disjunct must bound the SAME transform — a
-            # mixed-transform OR is not a per-name claim
-            norms = {_norm_tokens(h, quals) for h in or_heads}
-            if len(norms) != 1 or norms.pop() not in texpr:
-                return None
         sdf = spark.table(name)
         partition_eq: dict = {}
-        for c in conjuncts:
-            # EVERY conjunct must be a like-typed partition equality
-            # or IN list — one residual and the metadata cannot
-            # answer exactly
-            if len(c) >= 3 and c[-2] == "=":
-                head, vals = c[:-2], [_lit(c[-1])]
-            elif (
-                len(c) >= 5
-                and c[-1] == ")"
-                and _in_split(c) is not None
-            ):
-                head, vals = _in_split(c)
-            else:
-                return None
-            pname = texpr.get(_norm_tokens(head, quals))
+
+        def _claim(norm_head, vals) -> bool:
+            pname = texpr.get(norm_head) if norm_head else None
             if pname is None or pname in partition_eq:
-                return None
+                return False
             for v in vals:
                 if v is None or not _partition_literal_ok(
                     spark, sdf, transforms[pname], v
                 ):
-                    return None
+                    return False
             partition_eq[pname] = vals if len(vals) > 1 else vals[0]
+            return True
+
+        for c in conjuncts:
+            # EVERY conjunct must be a like-typed partition equality,
+            # IN list, or same-transform DISJUNCTION of those — one
+            # residual and the metadata cannot answer exactly
+            if c and c[0] == "(":
+                parsed = _parse_disjunction(list(c), _texpr_head)
+                if parsed is None:
+                    return None
+                norm_head, vals, _pairs = parsed
+                if vals is None:  # range disjuncts: not an equality
+                    return None
+            elif len(c) >= 3 and c[-2] == "=":
+                norm_head = _norm_tokens(c[:-2], quals)
+                vals = [_lit(c[-1])]
+            else:
+                split = _in_split(c) if len(c) >= 5 else None
+                if split is None:
+                    return None
+                head, vals = split
+                norm_head = _norm_tokens(head, quals)
+            if not _claim(norm_head, vals):
+                return None
         n = sn.snapshot_partition_count(root, partition_eq, v_res)
     except Exception:
         return None  # any refusal: the statement runs normally
@@ -1505,6 +1507,9 @@ def _in_split(c: list[str]):
     vals = [_lit(t) for t in inner[0::2]]
     if (
         not vals
+        or len(inner) % 2 == 0  # a trailing comma — `IN (3,)` — is a
+        # ParseException in Spark; answering it would violate the
+        # round-11 rule (review, round 12)
         or any(v is None for v in vals)
         or not all(t == "," for t in inner[1::2])
     ):
@@ -1592,15 +1597,6 @@ def _metadata_range_count(
             "UTC", "Etc/UTC", "GMT",
         )
 
-        def _resolve(c: str):
-            hits = [
-                f
-                for f in sdf.schema.fields
-                if f.name == c
-                or (not case_sensitive and f.name.lower() == c.lower())
-            ]
-            return hits[0] if len(hits) == 1 else None
-
         def _typed(v, t: str):
             # literal → typed bound under the column's own ordering
             if t in _INTEGRAL:
@@ -1624,7 +1620,7 @@ def _metadata_range_count(
             col, rest = _col(c)
             if col is None or not rest:
                 return None  # a residual conjunct: not this shape
-            fld = _resolve(col)
+            fld = _resolve_field(sdf, col, case_sensitive)
             if fld is None:
                 return None
             t = fld.dataType.simpleString()
@@ -1673,7 +1669,9 @@ def _metadata_range_count(
                 bounds[key] = (lo1, ls1, hi1, hs1)
         if not bounds:
             return None
-        resolved = _resolve_agg_cols(spark, name, items)
+        resolved = _resolve_agg_cols(
+            spark, name, items, sdf=sdf, case_sensitive=case_sensitive
+        )
         if resolved is None:
             return None
         cols = list(dict.fromkeys(f.name for f in resolved.values()))
@@ -1798,29 +1796,41 @@ def _parse_agg_items(toks, up) -> tuple[list, int] | None:
 _NUMERIC_AGG = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 
-def _resolve_agg_cols(spark, name: str, items: list) -> dict | None:
+def _resolve_field(sdf, c: str, case_sensitive: bool):
+    """The ONE column resolver for the metadata fast paths, mirroring
+    Spark's case rules: the unique exact match, or — case-insensitive
+    sessions — the unique case-insensitive match; None when missing
+    or AMBIGUOUS (real execution raises AMBIGUOUS_REFERENCE — advice,
+    round 12)."""
+    hits = [
+        f
+        for f in sdf.schema.fields
+        if f.name == c
+        or (not case_sensitive and f.name.lower() == c.lower())
+    ]
+    return hits[0] if len(hits) == 1 else None
+
+
+def _resolve_agg_cols(
+    spark, name: str, items: list, sdf=None, case_sensitive=None
+) -> dict | None:
     """Resolve every MIN/MAX column of ``items`` against the attached
-    view, mirroring Spark's case rules — None when a column is
-    missing, AMBIGUOUS under case-insensitive resolution (advice,
-    round 12), or non-numeric."""
-    sdf = spark.table(name)
-    case_sensitive = (
-        str(spark.conf.get("spark.sql.caseSensitive")).lower() == "true"
-    )
+    view through `_resolve_field` — None when a column is missing,
+    ambiguous, or non-numeric.  Callers already holding the view and
+    the conf pass them in (one table lookup per statement)."""
+    if sdf is None:
+        sdf = spark.table(name)
+    if case_sensitive is None:
+        case_sensitive = (
+            str(spark.conf.get("spark.sql.caseSensitive")).lower()
+            == "true"
+        )
     resolved: dict = {}
     for _k, c, _a in items:
         if c is None:
             continue
-        hits = [
-            f
-            for f in sdf.schema.fields
-            if f.name == c
-            or (not case_sensitive and f.name.lower() == c.lower())
-        ]
-        if len(hits) != 1:
-            return None
-        f = hits[0]
-        if f.dataType.simpleString() not in _NUMERIC_AGG:
+        f = _resolve_field(sdf, c, case_sensitive)
+        if f is None or f.dataType.simpleString() not in _NUMERIC_AGG:
             return None
         resolved[c] = f
     return resolved
