@@ -168,6 +168,7 @@ _CHEAP_FIRST = [
     # round-12 additions, measured verify cost ascending (sf0.01)
     "sql_or_pruned_lookup", "sql_left_join_pruned",
     "sql_partition_group_count", "sql_metadata_range_count",
+    "sql_distinct_partitions",
 ]
 
 #: the expensive tail, ascending: large-result collects, iterative and

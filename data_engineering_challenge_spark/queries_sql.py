@@ -1445,6 +1445,33 @@ def q_sql_partition_group_count(
     )
 
 
+@register(
+    "sql_distinct_partitions",
+    """
+SELECT DISTINCT day(ts) AS d FROM events
+""",
+)
+def q_sql_distinct_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``SELECT DISTINCT <transform expr>`` from the MANIFEST (round
+    12): every row of a hidden-partitioned file shares its file's
+    recorded transform value, so the distinct recorded values ARE the
+    distinct transform outputs — zero data reads at any scale,
+    schema-identical to real execution (the analyzed expression's own
+    type/nullability).  The "what days do we have?" statement every
+    dashboard runs first; the reference scans SQLite for it.  MoR
+    deletes, mixed lineage, and non-transform expressions fall back.
+    Build shared with `sql_metadata_partition_count`
+    (`_dpe_catalog`)."""
+    from .sql_exec import execute_sql
+
+    cdir = _dpe_catalog(spark, sf_dir)
+    return execute_sql(
+        spark, "SELECT DISTINCT DAY(ts) AS d FROM dpe_events", cdir
+    )
+
+
 def _dpe_catalog(spark: SparkSession, sf_dir: str) -> str:
     """ONE day-partitioned events table (``dpe_events``, PARTITIONED BY
     (DAY(ts) AS d)) shared by the round-11 metadata queries — built

@@ -8136,6 +8136,7 @@ def snapshot_range_agg_values(
     cols: list[str],
     version: int | None = None,
     schema=None,
+    partition_eq: dict | None = None,
 ) -> tuple[int, dict]:
     """`snapshot_range_count`'s general form (round 12): ``(n_rows,
     {col: (lo, hi)})`` for COUNT(*) plus MIN/MAX over ``cols``, all
@@ -8153,7 +8154,15 @@ def snapshot_range_agg_values(
     exact Spark semantics (NaN included — the driver-side fold uses
     NaN-is-greatest combiners).  Agg-column NULLs are harmless in
     interior files: recorded stats already exclude them, exactly as
-    MIN/MAX do."""
+    MIN/MAX do.
+
+    ``partition_eq`` (round 12) composes HIDDEN-PARTITION equalities
+    with the range bounds — `WHERE day(ts) = 5 AND k >= 100`: a file
+    recorded with a DIFFERENT value for a claimed name folds as
+    excluded (every row shares the file's value), a matching value
+    satisfies that conjunct for every row (no classification change),
+    and a file WITHOUT a recorded value demotes to boundary, where
+    the scan re-applies the semantic transform predicate."""
     from pyspark.sql import functions as F
 
     if not bounds or any(
@@ -8179,6 +8188,16 @@ def snapshot_range_agg_values(
             "stats are keyed by physical names; aggregate the read "
             "instead"
         )
+    transforms = (m.get("layout") or {}).get("partition_transforms") or {}
+    if partition_eq:
+        missing = [n for n in partition_eq if n not in transforms]
+        if missing:
+            raise ValueError(
+                f"snapshot_range_agg: no partition transform recorded "
+                f"for {missing} — the table's layout declares "
+                f"{sorted(transforms)}"
+            )
+    pvals = m.get("partition_values") or {}
     rows_rec = m.get("rows") or {}
     stats = m.get("stats") or {}
     nulls = m.get("nulls") or {}
@@ -8199,6 +8218,16 @@ def snapshot_range_agg_values(
         interior = True
         excluded = False
         null_cols: list[int] = []
+        for pn, pv in (partition_eq or {}).items():
+            rec = (pvals.get(f) or {}).get(pn, "__ABSENT__")
+            if rec == "__ABSENT__":
+                interior = False  # mixed lineage: the boundary scan
+                # re-applies the semantic transform predicate
+            elif rec != str(pv):
+                excluded = True  # every row shares the file's value
+                break
+        if excluded:
+            continue
         for c, (lo, lo_s, hi, hi_s) in bounds.items():
             st = fstats.get(c)
             b = lo if lo is not None else hi
@@ -8264,6 +8293,12 @@ def snapshot_range_agg_values(
                     F.col(c) < F.lit(hi) if hi_s else F.col(c) <= F.lit(hi)
                 )
                 pred = term if pred is None else pred & term
+        for pn, pv in (partition_eq or {}).items():
+            # the SEMANTIC transform predicate, exactly as
+            # read_snapshot_pruned re-applies it — boundary files
+            # without a recorded value still answer correctly
+            term = F.expr(transforms[pn]).cast("string") == str(pv)
+            pred = term if pred is None else pred & term
         aggs = [F.count(F.lit(1)).alias("__n")]
         for i, c in enumerate(cols):
             aggs.append(F.min(c).alias(f"__lo{i}"))

@@ -1615,8 +1615,35 @@ def _metadata_range_count(
                 return _sql_temporal(v, t)
             return None
 
+        root = e["root"]
+        _pin, v_res = _entry_version(e, root)
+        if v_res is None:
+            return None
+        lay = sn._read_manifest_meta(root, v_res).get("layout") or {}
+        transforms = lay.get("partition_transforms") or {}
+        texpr = (
+            _transform_texpr(transforms, quals) if transforms else {}
+        )
         bounds: dict = {}
+        partition_eq: dict = {}
         for c in conjuncts:
+            # a hidden-partition EQUALITY composes with range bounds
+            # (round 12): `day(ts) = 5 AND k >= 100` — mismatching
+            # files fold as excluded, value-less files demote to the
+            # boundary scan with the transform predicate re-applied
+            if len(c) >= 3 and c[-2] == "=" and texpr:
+                pname = texpr.get(_norm_tokens(c[:-2], quals))
+                v = _lit(c[-1])
+                if (
+                    pname is not None
+                    and pname not in partition_eq
+                    and v is not None
+                    and _partition_literal_ok(
+                        spark, sdf, transforms[pname], v
+                    )
+                ):
+                    partition_eq[pname] = v
+                    continue
             col, rest = _col(c)
             if col is None or not rest:
                 return None  # a residual conjunct: not this shape
@@ -1668,19 +1695,17 @@ def _metadata_range_count(
                         hs1 = hs1 or hs2
                 bounds[key] = (lo1, ls1, hi1, hs1)
         if not bounds:
-            return None
+            return None  # all-partition-eq shapes belong to
+            # _metadata_count (which runs first)
         resolved = _resolve_agg_cols(
             spark, name, items, sdf=sdf, case_sensitive=case_sensitive
         )
         if resolved is None:
             return None
         cols = list(dict.fromkeys(f.name for f in resolved.values()))
-        root = e["root"]
-        _pin, v_res = _entry_version(e, root)
-        if v_res is None:
-            return None
         n, extremes = sn.snapshot_range_agg_values(
-            spark, root, bounds, cols, v_res, schema=sdf.schema
+            spark, root, bounds, cols, v_res, schema=sdf.schema,
+            partition_eq=partition_eq or None,
         )
     except Exception:
         return None  # any refusal: the statement runs normally
@@ -1872,7 +1897,11 @@ def _metadata_partition_group(
     partition values and row counts — every row of a partitioned file
     shares its file's transform value, so the per-value row-count sum
     IS the group count, ZERO data reads at any scale (the PARTITIONS
-    metadata made queryable by plain GROUP BY text).
+    metadata made queryable by plain GROUP BY text).  The
+    ``SELECT DISTINCT <transform expr> [AS a] FROM <table> [alias]``
+    shape answers the same way (round 12): the distinct recorded
+    values ARE the distinct transform outputs, since every row of a
+    partitioned file shares its file's value.
 
     Fidelity gates, each returning None (the statement runs
     normally): the grouped expression must token-normalize to exactly
@@ -1893,8 +1922,9 @@ def _metadata_partition_group(
     up = [t.upper() for t in toks]
     if toks and toks[-1] == ";":
         toks, up = toks[:-1], up[:-1]
-    if len(toks) < 10 or up[0] != "SELECT":
+    if len(toks) < 6 or up[0] != "SELECT":
         return None
+    distinct = up[1] == "DISTINCT"
     depth = 0
     from_i = grp_i = None
     for k, t in enumerate(toks):
@@ -1912,13 +1942,20 @@ def _metadata_partition_group(
             "DISTRIBUTE", "CLUSTER", "WINDOW", "UNION", "JOIN", ",",
         ):
             return None  # beyond the one-table GROUP BY shape
-    if from_i is None or grp_i is None or up[grp_i + 1 : grp_i + 2] != ["BY"]:
+    if from_i is None:
         return None
-    grp = toks[grp_i + 2 :]
-    if not grp:
-        return None
-    # select list: exactly <expr> [AS a] , COUNT ( * ) [AS b]
-    sel = toks[1:from_i]
+    if distinct:
+        if grp_i is not None:
+            return None  # DISTINCT ... GROUP BY: not this shape
+        grp = None
+    else:
+        if grp_i is None or up[grp_i + 1 : grp_i + 2] != ["BY"]:
+            return None
+        grp = toks[grp_i + 2 :]
+        if not grp:
+            return None
+    # select list: <expr> [AS a] [, COUNT ( * ) [AS b]]
+    sel = toks[(2 if distinct else 1):from_i]
     items: list[list[str]] = [[]]
     depth = 0
     for t in sel:
@@ -1930,7 +1967,9 @@ def _metadata_partition_group(
             items.append([])
         else:
             items[-1].append(t)
-    if len(items) != 2 or not items[0] or not items[1]:
+    if len(items) != (1 if distinct else 2) or any(
+        not it for it in items
+    ):
         return None
 
     def _split_alias(item: list[str]) -> tuple[list[str], str | None]:
@@ -1943,24 +1982,26 @@ def _metadata_partition_group(
         return item, None
 
     expr_toks, expr_alias = _split_alias(items[0])
-    cnt_toks, cnt_alias = _split_alias(items[1])
-    if [t.upper() for t in cnt_toks[:1]] != ["COUNT"] or cnt_toks[1:] != [
-        "(", "*", ")",
-    ]:
-        return None
+    cnt_alias = None
+    if not distinct:
+        cnt_toks, cnt_alias = _split_alias(items[1])
+        if [t.upper() for t in cnt_toks[:1]] != ["COUNT"] or cnt_toks[
+            1:
+        ] != ["(", "*", ")"]:
+            return None
     if entries is None:
         entries = cat.catalog_entries(catalog_dir)
     parsed = _parse_from_table(toks, up, from_i, entries)
     if parsed is None:
         return None
     name, e, t_alias, j = parsed
-    if j != grp_i:
-        return None  # unconsumed tokens between the table and GROUP
+    if j != (len(toks) if distinct else grp_i):
+        return None  # unconsumed tokens after the table
     # an alias HIDES the bare name in Spark — accepting both would
     # answer statements Spark rejects (review, rounds 11+12)
     quals = {(t_alias or name).lower()}
     norm = _norm_tokens(expr_toks, quals)
-    norm_grp = _norm_tokens(grp, quals)
+    norm_grp = norm if distinct else _norm_tokens(grp, quals)
     try:
         if norm_grp != norm:
             # alias/ordinal group spellings only under the confs that
@@ -2059,21 +2100,28 @@ def _metadata_partition_group(
                 return _dt.date.fromisoformat(s)
             return s
 
-        rows = sorted(
-            ((_typed(s), int(n)) for s, n in counts.items()),
-            key=lambda kv: (kv[0] is not None, kv[0]),
-        )
+        if distinct:
+            rows = sorted(
+                ((_typed(s),) for s in counts),
+                key=lambda kv: (kv[0] is not None, kv[0]),
+            )
+        else:
+            rows = sorted(
+                ((_typed(s), int(n)) for s, n in counts.items()),
+                key=lambda kv: (kv[0] is not None, kv[0]),
+            )
     except Exception:
         return None  # any refusal: the statement runs normally
-    schema = T.StructType(
-        [
-            T.StructField(
-                expr_alias or out_f.name, out_f.dataType, out_f.nullable
-            ),
-            T.StructField(cnt_alias or "count(1)", T.LongType(), False),
-        ]
-    )
-    return _local_rows(spark, rows, schema)
+    fields = [
+        T.StructField(
+            expr_alias or out_f.name, out_f.dataType, out_f.nullable
+        )
+    ]
+    if not distinct:
+        fields.append(
+            T.StructField(cnt_alias or "count(1)", T.LongType(), False)
+        )
+    return _local_rows(spark, rows, T.StructType(fields))
 
 
 def _parse_from_table(toks, up, j, entries):

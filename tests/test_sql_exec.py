@@ -2611,3 +2611,107 @@ def test_metadata_partition_in_and_or_counts(spark, cdir):
         for p in paths:
             if os.path.exists(p + ".hidden"):
                 os.rename(p + ".hidden", p)
+
+
+def test_metadata_distinct_partition_values(spark, cdir):
+    """``SELECT DISTINCT <transform expr> FROM t`` answers from the
+    recorded partition values with zero data reads (round 12): every
+    row of a partitioned file shares its file's transform value, so
+    the distinct recorded values ARE the distinct transform outputs —
+    schema-identical to real execution; DISTINCT over a plain column
+    and DISTINCT + GROUP BY refuse."""
+    import os
+
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_partition_group,
+    )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE dpv (ts TIMESTAMP, v DOUBLE)
+          PARTITIONED BY (DAY(ts) AS d);
+        INSERT INTO dpv SELECT TIMESTAMP'2024-01-01 00:00:00'
+          + MAKE_INTERVAL(0, 0, 0, CAST(id % 5 AS INT), 0, 0, 0),
+          CAST(id AS DOUBLE) FROM RANGE(500);
+        """,
+        cdir,
+    )
+    stmt = "SELECT DISTINCT DAY(ts) AS d FROM dpv"
+    out = execute_sql(spark, stmt, cdir)
+    ref = spark.sql(stmt.replace("FROM dpv", "FROM (SELECT * FROM dpv)"))
+    assert [
+        (f.name, f.dataType, f.nullable) for f in out.schema.fields
+    ] == [(f.name, f.dataType, f.nullable) for f in ref.schema.fields]
+    assert sorted(r["d"] for r in out.collect()) == [1, 2, 3, 4, 5]
+    entries = _attach(spark, cdir, stmt)
+    root = cat.catalog_entries(cdir)["dpv"]["root"]
+    m = sn._read_manifest(root, sn.current_version(root))
+    paths = [os.path.join(root, f) for f in m["files"]]
+    try:
+        for p in paths:
+            os.rename(p, p + ".hidden")
+        got = _metadata_partition_group(spark, cdir, stmt, entries)
+        assert got is not None
+        assert sorted(r["d"] for r in got.collect()) == [1, 2, 3, 4, 5]
+        assert _metadata_partition_group(
+            spark, cdir, "SELECT DISTINCT v FROM dpv", entries
+        ) is None
+        assert _metadata_partition_group(
+            spark, cdir,
+            "SELECT DISTINCT DAY(ts) FROM dpv GROUP BY DAY(ts)",
+            entries,
+        ) is None
+    finally:
+        for p in paths:
+            if os.path.exists(p + ".hidden"):
+                os.rename(p + ".hidden", p)
+
+
+def test_metadata_range_count_composes_partition_eq(spark, cdir):
+    """Hidden-partition equalities compose with range bounds in the
+    hybrid aggregate (round 12): `WHERE DAY(ts) = 3 AND k >= 0` folds
+    matching partitions' interior files (zero reads, files renamed
+    away), excludes mismatching ones, and boundary files re-apply
+    the semantic transform predicate in the scan."""
+    import os
+
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_range_count,
+    )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE cpr (k BIGINT, ts TIMESTAMP, v DOUBLE)
+          PARTITIONED BY (DAY(ts) AS d) STATS BY (k);
+        INSERT INTO cpr SELECT id, TIMESTAMP'2024-01-01 00:00:00'
+          + MAKE_INTERVAL(0, 0, 0, CAST(id % 5 AS INT), 0, 0, 0),
+          CAST(id AS DOUBLE) FROM RANGE(1000);
+        """,
+        cdir,
+    )
+    stmt = (
+        "SELECT COUNT(*) AS n, MIN(k) AS lo FROM cpr "
+        "WHERE DAY(ts) = 3 AND k BETWEEN 100 AND 900"
+    )
+    out = execute_sql(spark, stmt, cdir)
+    ref = spark.sql(stmt.replace("FROM cpr", "FROM (SELECT * FROM cpr)"))
+    assert tuple(out.first()) == tuple(ref.first())
+    # interior fold with every file renamed away: d=3 partitions are
+    # wholly inside `k >= 0`, nothing opens
+    stmt2 = "SELECT COUNT(*) AS n FROM cpr WHERE DAY(ts) = 3 AND k >= 0"
+    assert execute_sql(spark, stmt2, cdir).first()["n"] == 200
+    entries = _attach(spark, cdir, stmt2)
+    root = cat.catalog_entries(cdir)["cpr"]["root"]
+    m = sn._read_manifest(root, sn.current_version(root))
+    paths = [os.path.join(root, f) for f in m["files"]]
+    try:
+        for p in paths:
+            os.rename(p, p + ".hidden")
+        got = _metadata_range_count(spark, cdir, stmt2, entries)
+        assert got is not None and got.first()["n"] == 200
+    finally:
+        for p in paths:
+            if os.path.exists(p + ".hidden"):
+                os.rename(p + ".hidden", p)
