@@ -1096,3 +1096,118 @@ def test_pruned_statement_answers_match_plain(
         f"SELECT {sel} FROM pw_plain WHERE {body}"
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want)), body
+
+
+# ---------------------------------------------------------------------------
+# round 12: metadata fast paths over a PARTITIONED table preserve
+# answers under random partition equality/IN/OR × range compositions
+# ---------------------------------------------------------------------------
+
+
+def _patom_sql(a) -> str:
+    kind, payload = a
+    if kind == "eq":
+        return f"DAY(ts) = {payload}"
+    if kind == "in":
+        return f"DAY(ts) IN ({', '.join(str(v) for v in payload)})"
+    if kind == "or":
+        return " OR ".join(f"DAY(ts) = {v}" for v in payload)
+    op, v = payload
+    return f"k {op} {v}"
+
+
+_patom = st.one_of(
+    st.tuples(st.just("eq"), st.integers(0, 8)),
+    st.tuples(
+        st.just("in"),
+        st.lists(st.integers(0, 8), min_size=1, max_size=3),
+    ),
+    st.tuples(
+        st.just("or"),
+        st.lists(st.integers(0, 8), min_size=2, max_size=3),
+    ),
+    st.tuples(
+        st.just("rng"),
+        st.tuples(
+            st.sampled_from([">=", ">", "<=", "<"]),
+            st.integers(-5, 305),
+        ),
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def _partition_world(spark, tmp_path_factory):
+    from data_engineering_challenge_spark.sql_exec import (
+        execute_sql_script,
+    )
+
+    tmp = tmp_path_factory.mktemp("partition_world")
+    cdir = str(tmp / "cat")
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE pwp (k BIGINT, ts TIMESTAMP, v DOUBLE)
+          PARTITIONED BY (DAY(ts) AS d) STATS BY (k);
+        INSERT INTO pwp SELECT id, TIMESTAMP'2024-01-01 00:00:00'
+          + MAKE_INTERVAL(0, 0, 0, CAST(id % 7 AS INT), 0, 0, 0),
+          CAST(id AS DOUBLE) FROM RANGE(300);
+        """,
+        cdir,
+    )
+    spark.sql(
+        "SELECT id AS k, TIMESTAMP'2024-01-01 00:00:00'"
+        " + MAKE_INTERVAL(0, 0, 0, CAST(id % 7 AS INT), 0, 0, 0) AS ts,"
+        " CAST(id AS DOUBLE) AS v FROM RANGE(300)"
+    ).createOrReplaceTempView("pwp_plain")
+    return cdir
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(atoms=st.lists(_patom, min_size=1, max_size=2), data=st.data())
+def test_partition_metadata_answers_match_plain(
+    spark, _partition_world, atoms, data
+):
+    """ANSWER-PRESERVATION for the partition metadata paths (round
+    12): random day-transform equalities, IN lists, same-transform
+    ORs, and k-ranges — alone and composed — through `execute_sql`
+    (which may take the partition-count, hybrid-range, or pruned-scan
+    route) must equal plain `spark.sql` over the same rows; so must
+    the GROUP BY and DISTINCT manifest shapes."""
+    from data_engineering_challenge_spark.sql_exec import execute_sql
+
+    body = " AND ".join(
+        f"({_patom_sql(a)})" if a[0] == "or" else _patom_sql(a)
+        for a in atoms
+    )
+    sel = data.draw(
+        st.sampled_from(
+            ["COUNT(*) AS n", "COUNT(*) AS n, MIN(k) AS lo", "k"]
+        )
+    )
+    got = execute_sql(
+        spark, f"SELECT {sel} FROM pwp WHERE {body}", _partition_world
+    ).collect()
+    want = spark.sql(
+        f"SELECT {sel} FROM pwp_plain WHERE {body}"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)), body
+    # the manifest GROUP BY / DISTINCT shapes stay exact too
+    shape = data.draw(
+        st.sampled_from(
+            [
+                "SELECT DAY(ts) AS d, COUNT(*) AS n FROM {} "
+                "GROUP BY DAY(ts)",
+                "SELECT DISTINCT DAY(ts) AS d FROM {}",
+            ]
+        )
+    )
+    got2 = execute_sql(
+        spark, shape.format("pwp"), _partition_world
+    ).collect()
+    want2 = spark.sql(shape.format("pwp_plain")).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
