@@ -2640,9 +2640,19 @@ def read_snapshot_pruned(
             "read_snapshot_pruned: partition_eq must be non-empty (an "
             "empty dict would be an unpredicated full scan)"
         )
-    if partition_eq and any(val is None for val in partition_eq.values()):
+    # a partition value may be a LIST (round 12 — `day(ts) IN (1, 2)`
+    # and same-transform ORs): the file skips when its recorded value
+    # matches NONE of them, and the reader re-applies isin()
+    if partition_eq and any(
+        val is None
+        or (isinstance(val, (list, tuple, set)) and (
+            not val or any(v is None for v in val)
+        ))
+        for val in partition_eq.values()
+    ):
         raise ValueError(
-            "read_snapshot_pruned: partition_eq values must be non-null"
+            "read_snapshot_pruned: partition_eq values must be "
+            "non-null (lists non-empty, all-non-null)"
         )
     if point_eq is not None and not point_eq:
         raise ValueError("read_snapshot_pruned: point_eq must be non-empty")
@@ -2859,7 +2869,12 @@ def read_snapshot_pruned(
             if not ok:
                 break
             rec = pvals.get(f) or {}
-            if name in rec and rec[name] != str(val):
+            strs = (
+                {str(v) for v in val}
+                if isinstance(val, (list, tuple, set))
+                else {str(val)}
+            )
+            if name in rec and rec[name] not in strs:
                 ok = False  # recorded value differs (incl. null marker)
         if ok:
             keep.append(f)
@@ -2877,7 +2892,12 @@ def read_snapshot_pruned(
         term = F.col(c).startswith(pre)
         pred = term if pred is None else pred & term
     for name, val in (partition_eq or {}).items():
-        term = F.expr(transforms[name]).cast("string") == str(val)
+        if isinstance(val, (list, tuple, set)):
+            term = F.expr(transforms[name]).cast("string").isin(
+                [str(v) for v in val]
+            )
+        else:
+            term = F.expr(transforms[name]).cast("string") == str(val)
         pred = term if pred is None else pred & term
     if not keep:
         return (

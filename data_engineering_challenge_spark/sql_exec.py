@@ -2597,16 +2597,52 @@ def _prune_one(
     # HIDDEN-PARTITION pruning: a conjunct whose left side IS a
     # transform's expression (token-normalized; qualifiers stripped)
     # prunes by recorded partition value — `WHERE a % 4 = 2` on a
-    # table PARTITIONED BY (a % 4 AS bucket)
+    # table PARTITIONED BY (a % 4 AS bucket).  IN lists and
+    # same-transform disjunctions claim value SETS (round 12): a file
+    # skips when its recorded value matches none, and the reader
+    # re-applies isin().
     partition_eq: dict = {}
     if transforms:
         texpr = _transform_texpr(transforms, quals)
+
+        def _texpr_head(parts: list[str]):
+            depth = 0
+            for k, t in enumerate(parts):
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and (
+                    t in ("=", ">=", ">", "<=", "<")
+                    or t.upper() in ("IN", "BETWEEN")
+                ):
+                    if k == 0:
+                        return None, parts
+                    return _norm_tokens(parts[:k], quals), parts[k:]
+            return None, parts
+
         for c in conjuncts + texpr_conjuncts:
+            if c and c[0] == "(":
+                parsed = _parse_disjunction(list(c), _texpr_head)
+                if parsed is None:
+                    continue
+                nh, vals, _pairs = parsed
+                pname = texpr.get(nh) if nh else None
+                if pname is not None and vals:
+                    partition_eq.setdefault(pname, vals)
+                continue
             if len(c) >= 3 and c[-2] == "=":
                 v = _lit(c[-1])
                 pname = texpr.get(_norm_tokens(c[:-2], quals))
                 if v is not None and pname is not None:
                     partition_eq[pname] = v
+                continue
+            split = _in_split(c) if len(c) >= 5 else None
+            if split is not None:
+                head, vals = split
+                pname = texpr.get(_norm_tokens(head, quals))
+                if pname is not None:
+                    partition_eq.setdefault(pname, vals)
     ranges = {c: v for c, v in ranges.items() if c not in point_eq}
     # literal CANONICALIZATION (review, rounds 10+11): a bloom probe
     # hashes str(value), so a float (5.0) or zero-padded string ('05')
@@ -2631,11 +2667,13 @@ def _prune_one(
     #     coerces to a match in Spark but fails a string compare, so
     #     it must not prune (review, round 11).
     integral = _INTEGRAL
-    partition_eq = {
-        c: v
-        for c, v in partition_eq.items()
-        if isinstance(v, (int, str)) and not isinstance(v, bool)
-    }
+
+    def _pv_ok(v) -> bool:
+        if isinstance(v, (list, tuple)):
+            return bool(v) and all(_pv_ok(x) for x in v)
+        return isinstance(v, (int, str)) and not isinstance(v, bool)
+
+    partition_eq = {c: v for c, v in partition_eq.items() if _pv_ok(v)}
     need_schema = (
         bool(point_eq)
         or bool(partition_eq)
@@ -2666,7 +2704,10 @@ def _prune_one(
         partition_eq = {
             pname: v
             for pname, v in partition_eq.items()
-            if _partition_literal_ok(spark, sdf, transforms[pname], v)
+            if all(
+                _partition_literal_ok(spark, sdf, transforms[pname], x)
+                for x in (v if isinstance(v, (list, tuple)) else [v])
+            )
         }
     if point_eq:
         demote = {}

@@ -2715,3 +2715,53 @@ def test_metadata_range_count_composes_partition_eq(spark, cdir):
         for p in paths:
             if os.path.exists(p + ".hidden"):
                 os.rename(p + ".hidden", p)
+
+
+def test_pruned_attach_partition_in_and_or(spark, cdir):
+    """Hidden-partition IN lists and same-transform ORs prune SELECT
+    statements too (round 12 — the COUNT twin lives in
+    _metadata_count): `DAY(ts) IN (1, 3)` opens only the matching
+    partitions' files plus unrecorded lineage, the reader re-applies
+    isin(), and a mixed-transform OR keeps the plain attach."""
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE pvo (ts TIMESTAMP, v DOUBLE)
+          PARTITIONED BY (DAY(ts) AS d);
+        INSERT INTO pvo SELECT TIMESTAMP'2024-01-01 00:00:00'
+          + MAKE_INTERVAL(0, 0, 0, CAST(id % 9 AS INT), 0, 0, 0),
+          CAST(id AS DOUBLE) FROM RANGE(900);
+        """,
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["pvo"]["root"]
+    n_files = len(
+        sn._read_manifest(root, sn.current_version(root))["files"]
+    )
+    assert n_files >= 9
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    def probe(stmt):
+        entries = _attach(spark, cdir, stmt)
+        pruned = _pruned_attach(spark, cdir, stmt, entries)
+        n = len(spark.table("pvo").inputFiles())
+        if pruned:
+            cat.attach_catalog(spark, cdir, names=pruned)
+        return n, pruned
+
+    for stmt in (
+        "SELECT v FROM pvo WHERE DAY(ts) IN (1, 3)",
+        "SELECT v FROM pvo WHERE DAY(ts) = 1 OR DAY(ts) = 3",
+        "SELECT v FROM pvo WHERE (DAY(ts) = 1 OR DAY(ts) = 3) "
+        "AND v >= 0",
+    ):
+        assert execute_sql(spark, stmt, cdir).count() == 200, stmt
+        n, pruned = probe(stmt)
+        assert pruned and n <= 3, (stmt, n)
+    # a mixed-transform OR keeps the plain attach
+    stmt = "SELECT v FROM pvo WHERE DAY(ts) = 1 OR MONTH(ts) = 2"
+    assert execute_sql(spark, stmt, cdir).count() == 100
+    n, pruned = probe(stmt)
+    assert pruned is None and n == n_files
