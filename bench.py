@@ -104,6 +104,9 @@ def main() -> int:
                 "sf": sf_val,
                 "n_runs": n_runs,
                 "run_totals": run_totals,
+                # additive (round 13): the per-round environmental
+                # drift band at a glance — max-min of the run totals
+                "run_spread": round(max(run_totals) - min(run_totals), 3),
             }
         )
     )

@@ -2307,9 +2307,12 @@ def _metadata_partition_group(
             items.append([])
         else:
             items[-1].append(t)
-    if len(items) != (1 if distinct else 2) or any(
-        not it for it in items
-    ):
+    if any(not it for it in items):
+        return None
+    if distinct:
+        if len(items) != 1:
+            return None
+    elif len(items) < 2:
         return None
 
     def _split_alias(item: list[str]) -> tuple[list[str], str | None]:
@@ -2322,13 +2325,26 @@ def _metadata_partition_group(
         return item, None
 
     expr_toks, expr_alias = _split_alias(items[0])
-    cnt_alias = None
+    # trailing select items: COUNT(*) / SUM(col) / AVG(col) in any
+    # combination (SUM/AVG added round 13 — they fold from the
+    # per-file exact integral sums the write chokepoints record)
+    aggs: list[tuple] = []
     if not distinct:
-        cnt_toks, cnt_alias = _split_alias(items[1])
-        if [t.upper() for t in cnt_toks[:1]] != ["COUNT"] or cnt_toks[
-            1:
-        ] != ["(", "*", ")"]:
-            return None
+        for it in items[1:]:
+            it_toks, al = _split_alias(it)
+            u0 = it_toks[0].upper() if it_toks else ""
+            if u0 == "COUNT" and it_toks[1:] == ["(", "*", ")"]:
+                aggs.append(("count", None, al))
+            elif (
+                u0 in ("SUM", "AVG")
+                and len(it_toks) == 4
+                and it_toks[1] == "("
+                and re.fullmatch(r"[A-Za-z_`][A-Za-z_0-9`]*", it_toks[2])
+                and it_toks[3] == ")"
+            ):
+                aggs.append((u0.lower(), it_toks[2].strip("`"), al))
+            else:
+                return None
     if entries is None:
         entries = cat.catalog_entries(catalog_dir)
     parsed = _parse_from_table(toks, up, from_i, entries)
@@ -2404,12 +2420,27 @@ def _metadata_partition_group(
         out_t = out_f.dataType.simpleString()
         if out_t not in (*_INTEGRAL, "string", "date"):
             return None  # hive strings round-trip these losslessly
+        sum_cols: list[str] = []
+        resolved: dict = {}
+        if any(k in ("sum", "avg") for k, _c, _a in aggs):
+            if sn._read_manifest_meta(root, v_res).get("fields"):
+                return None  # evolution: sums ride physical names
+            resolved = _resolve_agg_cols(spark, name, aggs, sdf=sdf)
+            if resolved is None:
+                return None
+            sum_cols = list(dict.fromkeys(
+                resolved[c].name
+                for k, c, _a in aggs
+                if k in ("sum", "avg")
+            ))
         m = sn._read_manifest(root, v_res)
         if m.get("delete_files"):
             return None  # MoR: counts would be stale
         rows_rec = m.get("rows") or {}
         pvals = m.get("partition_values") or {}
+        sums_rec = m.get("sums") or {}
         counts: dict = {}
+        psums: dict = {}
         for f in m["files"]:
             r = rows_rec.get(f)
             if r is None:
@@ -2420,6 +2451,22 @@ def _metadata_partition_group(
             if rec is None or pname not in rec:
                 return None  # mixed lineage: a file without a value
             counts[rec[pname]] = counts.get(rec[pname], 0) + int(r)
+            if sum_cols:
+                fsums = sums_rec.get(f) or {}
+                cur = psums.setdefault(
+                    rec[pname], {c: (None, 0) for c in sum_cols}
+                )
+                for c in sum_cols:
+                    sv = fsums.get(c)
+                    if sv is None:
+                        return None  # no recorded sum: scan instead
+                    s0, n0 = cur[c]
+                    cur[c] = (
+                        (int(sv[0]) if s0 is None else s0 + int(sv[0]))
+                        if int(sv[1]) > 0
+                        else s0,
+                        n0 + int(sv[1]),
+                    )
         if out_t == "string" and None in counts:
             # hive's path layout writes BOTH NULL and '' (and the
             # marker string itself) as __HIVE_DEFAULT_PARTITION__ —
@@ -2446,10 +2493,30 @@ def _metadata_partition_group(
                 key=lambda kv: (kv[0] is not None, kv[0]),
             )
         else:
-            rows = sorted(
-                ((_typed(s), int(n)) for s, n in counts.items()),
+            rows = []
+            for tv, s in sorted(
+                ((_typed(s), s) for s in counts),
                 key=lambda kv: (kv[0] is not None, kv[0]),
-            )
+            ):
+                row: list = [tv]
+                for kind, c, _a in aggs:
+                    if kind == "count":
+                        row.append(int(counts[s]))
+                        continue
+                    sv, nn = psums[s][resolved[c].name]
+                    if kind == "sum":
+                        if sv is not None and not (
+                            -(1 << 63) <= sv < (1 << 63)
+                        ):
+                            return None  # Spark's long acc would wrap
+                        row.append(None if nn == 0 else int(sv))
+                    else:  # avg — see _sums_ok for the 2^53 argument
+                        if sv is not None and (
+                            abs(sv) >= (1 << 53) or nn >= (1 << 53)
+                        ):
+                            return None
+                        row.append(None if nn == 0 else sv / nn)
+                rows.append(tuple(row))
     except Exception:
         return None  # any refusal: the statement runs normally
     fields = [
@@ -2457,10 +2524,19 @@ def _metadata_partition_group(
             expr_alias or out_f.name, out_f.dataType, out_f.nullable
         )
     ]
-    if not distinct:
-        fields.append(
-            T.StructField(cnt_alias or "count(1)", T.LongType(), False)
-        )
+    for kind, c, al in aggs if not distinct else []:
+        if kind == "count":
+            fields.append(
+                T.StructField(al or "count(1)", T.LongType(), False)
+            )
+        elif kind == "sum":
+            fields.append(
+                T.StructField(al or f"sum({c})", T.LongType(), True)
+            )
+        else:
+            fields.append(
+                T.StructField(al or f"avg({c})", T.DoubleType(), True)
+            )
     return _local_rows(spark, rows, T.StructType(fields))
 
 

@@ -30,33 +30,58 @@ TABLES = [
 ]
 
 
-def duck_time(sf_dir: str, sql_by_name: dict[str, str]) -> dict[str, float]:
+#: timed runs per query per engine; the reported number is the MINIMUM
+#: (the bench.py discipline — round 13, VERDICT r12 'Next round #1':
+#: one-timed-run numbers moved 14-20% between quiet-machine re-runs,
+#: noise the size of the crossover claim they were used to make)
+N_RUNS = int(os.environ.get("SCALING_CURVE_RUNS", "3"))
+
+
+def duck_time(
+    sf_dir: str, sql_by_name: dict[str, str]
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query (min_seconds, spread_seconds) over N_RUNS timed runs
+    after one untimed warm-up (IO cache)."""
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    out = {}
+    out, spread = {}, {}
     for name in HEADLINE:
         sql = sql_by_name.get(name)
         if sql is None:
             continue
         con.execute(sql).fetchall()  # warm (IO cache)
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        out[name] = round(time.time() - t0, 3)
-    return out
+        times = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            times.append(time.time() - t0)
+        out[name] = round(min(times), 3)
+        spread[name] = round(max(times) - min(times), 3)
+    return out, spread
 
 
-def spark_time(spark, sf_dir: str, queries) -> dict[str, float]:
+def spark_time(
+    spark, sf_dir: str, queries
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query (min_seconds, spread_seconds) over N_RUNS timed runs
+    after one untimed warm-up pass (same protocol as bench.py)."""
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    out = {}
+    out, spread = {}, {}
     for name in HEADLINE:
-        t0 = time.time()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
-    return out
+        times = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times.append(time.time() - t0)
+        out[name] = round(min(times), 3)
+        spread[name] = round(max(times) - min(times), 3)
+    return out, spread
 
 
 def main() -> int:
@@ -88,28 +113,41 @@ def main() -> int:
     rows = []
     for sf_dir in sf_dirs:
         sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-        s = spark_time(spark, sf_dir, qs)
-        d = duck_time(sf_dir, oracles)
+        s, s_spread = spark_time(spark, sf_dir, qs)
+        d, d_spread = duck_time(sf_dir, oracles)
         common = [n for n in s if n in d]
         st, dt = sum(s[n] for n in common), sum(d[n] for n in common)
         rows.append(
             {
                 "sf": sf,
+                "n_runs": N_RUNS,
                 "spark_total_s": round(st, 3),
                 "duckdb_total_s": round(dt, 3),
                 "ratio": round(st / dt, 2) if dt else None,
+                "spark_spread_s": round(
+                    sum(s_spread[n] for n in common), 3
+                ),
+                "duckdb_spread_s": round(
+                    sum(d_spread[n] for n in common), 3
+                ),
                 "spark": s,
                 "duckdb": d,
+                "spark_spread": s_spread,
+                "duckdb_spread": d_spread,
             }
         )
         print(json.dumps(rows[-1]))
 
-    print("\n| sf | spark total (s) | duckdb total (s) | ratio |")
-    print("|---|---|---|---|")
+    print(
+        "\n| sf | spark total (s) | duckdb total (s) | ratio "
+        "| spark spread | duckdb spread |"
+    )
+    print("|---|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['sf']} | {r['spark_total_s']} | {r['duckdb_total_s']} "
-            f"| {r['ratio']} |"
+            f"| {r['ratio']} | {r['spark_spread_s']} "
+            f"| {r['duckdb_spread_s']} |"
         )
     return 0
 
