@@ -1307,6 +1307,262 @@ def q_sql_metadata_range_count(
 
 
 @register(
+    "sql_metadata_range_sum",
+    # the hybrid fold changes which FILES open (interior ones fold
+    # their recorded exact sums unopened), never the answer — the
+    # oracle aggregates the raw lineitem table under identical
+    # predicates.  AVG spelled as exact-sum / count (see
+    # sql_metadata_sum's note on bit-exactness below 2^53).
+    """
+SELECT 'range' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS aq
+FROM lineitem WHERE l_orderkey >= 400 AND l_orderkey < 1200
+UNION ALL
+SELECT 'part_range' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS aq
+FROM lineitem WHERE l_orderkey % 4 = 1 AND l_orderkey >= 400
+""",
+)
+def q_sql_metadata_range_sum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HYBRID metadata SUM/AVG under RANGE predicates (round 13 —
+    completes VERDICT r12 'Next round #5' on the range shape):
+    ``SELECT SUM(qty), AVG(qty), COUNT(*) … WHERE okey >= a AND
+    okey < b`` folds INTERIOR files from their write-time
+    decimal-exact per-file sums (`snapshots._file_int_sums`) without
+    opening them — pinned in tests/test_sql_exec.py by renaming them
+    away — while the one window-EDGE job accumulates SUM through
+    decimal(38,0) alongside count and extremes.  A file with
+    predicate-column NULLs demotes to that same boundary job (a
+    filtered-out NULL-pred row's value rides inside the recorded sum
+    and cannot be subtracted); int64-wrapping totals and 2^53+ AVG
+    operands refuse to the real scan.  The second statement composes
+    a HIDDEN-PARTITION equality (``okey % 4 = 1``) with the open
+    range: mismatching partitions fold as excluded before any sum is
+    touched.  The reference SUMs any window by scanning SQLite; at
+    100 TB this answers a revenue window from the manifest plus the
+    edge file.  Build shared with `sql_metadata_sum`."""
+    from pyspark.sql import functions as F
+
+    from .sql_exec import execute_sql
+
+    cdir = _msum_catalog(spark, sf_dir)
+    rng = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n, SUM(qty) AS sq, AVG(qty) AS aq "
+        "FROM msum_items WHERE okey >= 400 AND okey < 1200",
+        cdir,
+    ).select(F.lit("range").alias("dim"), "n", "sq", "aq")
+    part = execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n, SUM(qty) AS sq, AVG(qty) AS aq "
+        "FROM msum_items WHERE okey % 4 = 1 AND okey >= 400",
+        cdir,
+    ).select(F.lit("part_range").alias("dim"), "n", "sq", "aq")
+    return rng.unionByName(part)
+
+
+@register(
+    "sql_topk_pruned",
+    # top-k pruning changes which FILES open (only the threshold-
+    # crossing ones), never the rows: the order column is UNIQUE in
+    # the corpus, so the top-k SET is deterministic on both engines
+    """
+SELECT 'latest' AS dim, event_id, ts
+FROM (SELECT event_id, ts FROM events ORDER BY event_id DESC LIMIT 100)
+UNION ALL
+SELECT 'window' AS dim, event_id, ts
+FROM (SELECT event_id, ts FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      ORDER BY event_id DESC LIMIT 50)
+""",
+)
+def q_sql_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-GUIDED TOP-K file pruning (round 13 — the 'latest N
+    events' query): ``SELECT … ORDER BY col DESC LIMIT k`` computes a
+    value threshold T0 from the manifest alone — accumulate per-file
+    proven non-null matching row counts down the recorded max(col)
+    order until k is reached; T0 = the min recorded min(col) over the
+    taken files — and re-registers the view as the pruned scan with
+    ``col >= T0`` composed onto the statement's own claims
+    (`sql_exec._topk_attach`).  At least k rows provably lie at or
+    above T0, so no sub-threshold file can contribute to the LIMIT:
+    on a clustered 100 TB table this reads one or two files where
+    Spark's own sort+limit reads the table (its row-group pushdown
+    has no ORDER-BY awareness).  ASC handles NULLS-FIRST defaults by
+    requiring zero recorded order-column nulls; MoR deletes (row
+    counts would overcount), residual conjuncts, and NaN-suspect
+    float stats all decline to the ordinary pruner.  Pinned by
+    inputFiles in tests/test_sql_exec.py.  Build shared with
+    `sql_timestamp_pruned_scan` (`_tsp_catalog`)."""
+    from pyspark.sql import functions as F
+
+    from .sql_exec import execute_sql
+
+    cdir = _tsp_catalog(spark, sf_dir)
+    latest = execute_sql(
+        spark,
+        "SELECT event_id, ts FROM tsp_events "
+        "ORDER BY event_id DESC LIMIT 100",
+        cdir,
+    ).select(F.lit("latest").alias("dim"), "event_id", "ts")
+    windowed = execute_sql(
+        spark,
+        "SELECT event_id, ts FROM tsp_events "
+        "WHERE ts >= '2024-01-08 00:00:00' "
+        "ORDER BY event_id DESC LIMIT 50",
+        cdir,
+    ).select(F.lit("window").alias("dim"), "event_id", "ts")
+    return latest.unionByName(windowed)
+
+
+@register(
+    "sql_metadata_watermark",
+    # the temporal fold changes WHERE the answer comes from (recorded
+    # ISO stat strings vs a scan), never the answer — the oracle
+    # aggregates the raw events table under identical predicates
+    """
+SELECT 'all' AS dim, MIN(ts) AS lo, MAX(ts) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+UNION ALL
+SELECT 'open' AS dim, MIN(ts) AS lo, MAX(ts) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE event_id >= 400
+""",
+)
+def q_sql_metadata_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WATERMARK query from metadata (round 13): ``SELECT
+    MAX(ts) FROM t`` — what every incremental ingestion job runs
+    first — answers by converting the recorded ISO stat strings to
+    typed UTC instants and folding driver-side, ZERO data reads at
+    any scale (pinned in tests/test_sql_exec.py by renaming every
+    file away); the windowed form folds interior files and scans only
+    the window edge.  TIMESTAMP answers under a UTC session only
+    (recorded stats are UTC instants — a non-UTC session would
+    collect different wall-clock values and refuses to the scan);
+    DATE has no session dependence.  The reference MAXes by scanning
+    SQLite; at 100 TB this is the difference between a manifest read
+    and a full-table aggregate every pipeline tick.  Build shared
+    with `sql_timestamp_pruned_scan` (`_tsp_catalog`)."""
+    from pyspark.sql import functions as F
+
+    from .sql_exec import execute_sql
+
+    cdir = _tsp_catalog(spark, sf_dir)
+    whole = execute_sql(
+        spark,
+        "SELECT MIN(ts) AS lo, MAX(ts) AS hi, COUNT(*) AS n "
+        "FROM tsp_events",
+        cdir,
+    ).select(F.lit("all").alias("dim"), "lo", "hi", "n")
+    windowed = execute_sql(
+        spark,
+        "SELECT MIN(ts) AS lo, MAX(ts) AS hi, COUNT(*) AS n "
+        "FROM tsp_events WHERE event_id >= 400",
+        cdir,
+    ).select(F.lit("open").alias("dim"), "lo", "hi", "n")
+    return whole.unionByName(windowed)
+
+
+@register(
+    "sql_group_range_hybrid",
+    # the grouped hybrid changes which FILES open per group (interior
+    # ones fold their recorded counts/sums/stats unopened), never the
+    # answer — the oracle groups the raw events table under identical
+    # predicates and expressions
+    """
+SELECT 'open_eid' AS dim, day(ts) AS g, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id * 3) AS BIGINT) AS sv,
+       CAST(MAX(event_id) AS BIGINT) AS hi
+FROM events WHERE event_id >= 400 GROUP BY day(ts)
+UNION ALL
+SELECT 'window' AS dim, day(ts) AS g, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id * 3) AS BIGINT) AS sv,
+       CAST(MAX(event_id) AS BIGINT) AS hi
+FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY day(ts)
+""",
+)
+def q_sql_group_range_hybrid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GROUPED metadata hybrid (round 13 — the dashboard query):
+    ``SELECT DAY(ts), COUNT(*), SUM(v), MAX(eid) … WHERE <range>
+    GROUP BY DAY(ts)`` over a hidden-partitioned table classifies
+    every file from its manifest — INTERIOR files fold recorded
+    row counts, decimal-exact per-file sums, and min/max stats into
+    their recorded partition group WITHOUT BEING OPENED (pinned in
+    tests/test_sql_exec.py by renaming them away), EXCLUDED files
+    fold as nothing, and only window-EDGE or value-less files take
+    ONE grouped scan (`snapshots.snapshot_group_range_agg`).  The
+    same trust gates as the one-row hybrid apply per group:
+    predicate-column nulls demote the file, sums must be recorded and
+    integral, extremes must be NaN-free, int64-wrapping group sums
+    refuse to the real scan.  The reference answers dashboards by
+    scanning SQLite; at 100 TB this is a rows/revenue-per-day panel
+    from the manifest plus the edge files."""
+    from pyspark.sql import functions as F
+
+    from .sql_exec import execute_sql
+
+    cdir = _dash_catalog(spark, sf_dir)
+    a = execute_sql(
+        spark,
+        "SELECT DAY(ts) AS g, COUNT(*) AS n, SUM(v) AS sv, "
+        "MAX(eid) AS hi FROM dash_events WHERE eid >= 400 "
+        "GROUP BY DAY(ts)",
+        cdir,
+    ).select(F.lit("open_eid").alias("dim"), "g", "n", "sv", "hi")
+    b = execute_sql(
+        spark,
+        "SELECT DAY(ts) AS g, COUNT(*) AS n, SUM(v) AS sv, "
+        "MAX(eid) AS hi FROM dash_events "
+        "WHERE ts >= '2024-01-08 00:00:00' GROUP BY DAY(ts)",
+        cdir,
+    ).select(F.lit("window").alias("dim"), "g", "n", "sv", "hi")
+    return a.unionByName(b)
+
+
+def _dash_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """ONE day-partitioned events projection with integral metric
+    columns (``dash_events``, PARTITIONED BY (DAY(ts)), STATS BY
+    (eid, ts, v)) for the grouped-hybrid query — built once per
+    sf_dir."""
+    import tempfile
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+    from .sql_exec import execute_sql_script
+
+    key = ("_dash_catalog", sf_dir)
+    cdir = _SNAP_SQL_CACHE.get(key)
+    if cdir is None:
+        tmp = tempfile.mkdtemp(prefix="snap_dash_")
+        cdir = f"{tmp}/catalog"
+        ev = roles.load_events(spark, sf_dir).select("event_id", "ts")
+        sn.snapshot_overwrite(ev, f"{tmp}/events_src")
+        cat.catalog_register(cdir, "dash_src", f"{tmp}/events_src")
+        execute_sql_script(
+            spark,
+            """
+            CREATE TABLE dash_events (eid BIGINT, ts TIMESTAMP, v BIGINT)
+              PARTITIONED BY (DAY(ts) AS d) STATS BY (eid, ts, v);
+            INSERT INTO dash_events
+              SELECT event_id, ts, event_id * 3 FROM dash_src;
+            """,
+            cdir,
+        )
+        _SNAP_SQL_CACHE[key] = cdir
+    return cdir
+
+
+@register(
     "sql_partition_transform_pruned",
     f"""
 SELECT event_type AS etype, CAST(COUNT(*) AS BIGINT) AS n,

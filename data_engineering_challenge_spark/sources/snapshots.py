@@ -618,6 +618,31 @@ def _footer_rows_nulls(path: str, cols: list[str]) -> tuple[int, dict]:
     return md.num_rows, nulls
 
 
+def _typed_temporal_stat(s, kind: str):
+    """A recorded ISO-8601 stat string → a Python value matching what
+    Spark COLLECTS for that column under a UTC session (round 13 —
+    the watermark query): ``date`` → `datetime.date`; ``timestamp`` →
+    a NAIVE datetime denoting the UTC instant (tz-aware recorded
+    forms are normalized to UTC then stripped).  ``None`` when the
+    string doesn't parse as exactly that kind — the consumer refuses
+    or demotes, never folds a mistyped value.  Callers gate timestamp
+    use on a UTC session themselves (recorded stats are UTC instants;
+    a non-UTC session collects different wall-clock values)."""
+    import datetime as dt
+
+    if not isinstance(s, str):
+        return None
+    try:
+        if kind == "date":
+            return dt.date.fromisoformat(s)
+        v = dt.datetime.fromisoformat(s)
+    except ValueError:
+        return None
+    if v.tzinfo is not None:
+        v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
 def _nan_free(st) -> bool:
     """True when a stats entry's [min, max] provably bound EVERY row
     (round 12): non-float bounds always do; FLOAT bounds only under a
@@ -7938,12 +7963,24 @@ def snapshot_stats_agg(
 
 
 def _stats_agg_values(
-    root: str, cols: list[str], version: int | None = None
+    root: str,
+    cols: list[str],
+    version: int | None = None,
+    temporal_cols: dict | None = None,
 ) -> tuple[int, dict]:
     """`snapshot_stats_agg`'s driver-side fold: ``(n_rows, {col: (lo,
     hi)})`` as plain Python values — same strict refusals, no Spark
     round-trip (the SQL metadata fast path answers from this
-    directly)."""
+    directly).
+
+    ``temporal_cols`` (round 13 — the watermark query ``SELECT
+    MAX(ts) FROM t``): ``{col: 'date'|'timestamp'}`` converts that
+    column's recorded ISO stat strings to typed date/naive-UTC
+    datetime values via `_typed_temporal_stat` BEFORE folding, so the
+    fold is temporal-exact rather than trusting ISO lexicographic
+    order (mixed tz-suffix recordings from foreign writers would
+    break the string order).  An unparseable recorded stat refuses
+    loudly.  The CALLER gates timestamp columns on a UTC session."""
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"snapshot_stats_agg: no version at {root}")
@@ -7987,6 +8024,19 @@ def _stats_agg_values(
                     "compact with them) to enable metadata min/max"
                 )
             flo, fhi = st[0], st[1]
+            kind = (temporal_cols or {}).get(c)
+            if kind is not None:
+                flo = _typed_temporal_stat(flo, kind)
+                fhi = _typed_temporal_stat(fhi, kind)
+                if flo is None or fhi is None:
+                    raise ValueError(
+                        f"snapshot_stats_agg: recorded stats for "
+                        f"{c!r} in {f} do not parse as {kind} — "
+                        "aggregate the read"
+                    )
+                lo = flo if lo is None else min(lo, flo)
+                hi = fhi if hi is None else max(hi, fhi)
+                continue
             # NaN refusal (round-11 review): a NaN in float stats makes
             # the Python fold ORDER-DEPENDENT (max(5.0, nan) == 5.0 but
             # max(nan, 5.0) == nan) and diverges from Spark's
@@ -8432,12 +8482,30 @@ def snapshot_range_agg_values(
     version: int | None = None,
     schema=None,
     partition_eq: dict | None = None,
-) -> tuple[int, dict]:
+    sum_cols: list[str] | None = None,
+    temporal_cols: dict | None = None,
+):
     """`snapshot_range_count`'s general form (round 12): ``(n_rows,
     {col: (lo, hi)})`` for COUNT(*) plus MIN/MAX over ``cols``, all
     under the RANGE predicates in ``bounds`` — interior files fold
     from recorded metadata, boundary files are scanned ONCE for count
     and extremes together.
+
+    ``sum_cols`` (round 13) extends the same hybrid to ``SUM``/
+    ``AVG``: interior files fold their recorded per-file exact sums
+    (`_file_int_sums`), the boundary scan adds ``SUM``/``COUNT`` of
+    each column in the SAME single job, and the return grows a third
+    element ``{col: (sum, n_nonnull)}`` (the two-element shape is
+    unchanged when ``sum_cols`` is None).  A file folds its sum only
+    when EVERY claimed predicate column is recorded null-free there —
+    a filtered-out NULL-predicate row's value rides inside the
+    recorded sum and cannot be subtracted — and only when the sum is
+    recorded at all; anything weaker demotes to boundary.  Sum columns
+    must be INTEGRAL (recorded sums only exist for integral stats
+    columns; a float SUM is order-dependent in Spark itself) — a
+    caller-provided ``schema`` is checked up front, and the boundary
+    scan accumulates through ``decimal(38,0)`` so a per-file Spark
+    long SUM can never silently wrap inside the fold.
 
     Extremes tighten the interior requirements: a file folds its
     recorded agg-column stats only when EVERY claimed predicate
@@ -8450,6 +8518,15 @@ def snapshot_range_agg_values(
     NaN-is-greatest combiners).  Agg-column NULLs are harmless in
     interior files: recorded stats already exclude them, exactly as
     MIN/MAX do.
+
+    ``temporal_cols`` (round 13 — the windowed watermark query):
+    ``{col: 'date'|'timestamp'}`` lets those agg columns' recorded
+    ISO stat strings fold as typed date/naive-UTC datetime values
+    (`_typed_temporal_stat`) instead of demoting every file to
+    boundary under the numeric-only gate; an unparseable stat demotes
+    that file.  The CALLER gates timestamp columns on a UTC session
+    (the boundary scan collects session-local naive datetimes, which
+    under UTC coincide with the recorded instants).
 
     ``partition_eq`` (round 12) composes HIDDEN-PARTITION equalities
     with the range bounds — `WHERE day(ts) = 5 AND k >= 100`: a file
@@ -8496,6 +8573,24 @@ def snapshot_range_agg_values(
     rows_rec = m.get("rows") or {}
     stats = m.get("stats") or {}
     nulls = m.get("nulls") or {}
+    sums_rec = m.get("sums") or {}
+    want_sums = sum_cols is not None
+    sum_cols = list(sum_cols or [])
+    if sum_cols and schema is not None:
+        # integral-only fold (advice-pattern, round 13): recorded sums
+        # exist only for integral columns, and a float SUM is order-
+        # dependent in Spark itself — refuse rather than mis-type
+        by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+        bad = [
+            c
+            for c in sum_cols
+            if by_name.get(c) not in ("tinyint", "smallint", "int", "bigint")
+        ]
+        if bad:
+            raise ValueError(
+                f"snapshot_range_agg: sum_cols must be integral; got {bad}"
+            )
+    sums_out: dict = {c: (None, 0) for c in sum_cols}
     total = 0
     extremes: dict = {c: (None, None) for c in cols}
     boundary: list[str] = []
@@ -8552,6 +8647,17 @@ def snapshot_range_agg_values(
                 null_cols.append(int(n))
         if excluded:
             continue
+        if interior and sum_cols:
+            # sums: every pred column must be null-free here (a
+            # filtered-out NULL-pred row's value rides inside the
+            # recorded sum), and the sum must be recorded at all
+            if null_cols:
+                interior = False
+            else:
+                fsums = sums_rec.get(f) or {}
+                if any(c not in fsums for c in sum_cols):
+                    interior = False
+        tvals: dict = {}
         if interior and cols:
             # extremes: every pred column must be null-free in this
             # file, and every agg column's stats trustworthy
@@ -8562,6 +8668,18 @@ def snapshot_range_agg_values(
                 if st is None or not _nan_free(st):
                     interior = False
                     break
+                kind = (temporal_cols or {}).get(c)
+                if kind is not None:
+                    # typed temporal fold (round 13): recorded ISO
+                    # strings convert to date/naive-UTC datetime; an
+                    # unparseable stat demotes to boundary
+                    tlo = _typed_temporal_stat(st[0], kind)
+                    thi = _typed_temporal_stat(st[1], kind)
+                    if tlo is None or thi is None:
+                        interior = False
+                        break
+                    tvals[c] = (tlo, thi)
+                    continue
                 # numeric-only fold (advice, round 13): temporal and
                 # string columns record ISO/raw STRINGS — folding them
                 # into extremes would return wrong-typed values (and
@@ -8576,11 +8694,24 @@ def snapshot_range_agg_values(
         if interior and len(null_cols) <= 1:
             total += int(r) - (null_cols[0] if null_cols else 0)
             for c in cols:
-                st = fstats[c]
+                st = tvals.get(c) or fstats[c]
                 lo0, hi0 = extremes[c]
                 extremes[c] = (
                     _nan_min(lo0, st[0]), _nan_max(hi0, st[1])
                 )
+            if sum_cols:
+                # null_cols is provably empty here (sums demote on
+                # any predicate-column nulls above)
+                fsums = sums_rec.get(f) or {}
+                for c in sum_cols:
+                    sv = fsums[c]
+                    s0, n0 = sums_out[c]
+                    sums_out[c] = (
+                        (int(sv[0]) if s0 is None else s0 + int(sv[0]))
+                        if int(sv[1]) > 0
+                        else s0,
+                        n0 + int(sv[1]),
+                    )
         else:
             boundary.append(f)
     if boundary:
@@ -8609,6 +8740,13 @@ def snapshot_range_agg_values(
         for i, c in enumerate(cols):
             aggs.append(F.min(c).alias(f"__lo{i}"))
             aggs.append(F.max(c).alias(f"__hi{i}"))
+        for i, c in enumerate(sum_cols):
+            # decimal(38,0) accumulator: exact for integral inputs and
+            # immune to the silent int64 wrap of Spark's long SUM
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(38,0)")).alias(f"__s{i}")
+            )
+            aggs.append(F.count(c).alias(f"__sn{i}"))
         # a caller-provided schema (the SQL layer passes its attached
         # view's) skips the per-statement footer-inference job
         reader = spark.read.schema(schema) if schema is not None else spark.read
@@ -8627,7 +8765,289 @@ def snapshot_range_agg_values(
             if bhi is not None:
                 hi0 = _nan_max(hi0, bhi)
             extremes[c] = (lo0, hi0)
+        for i, c in enumerate(sum_cols):
+            bs, bn = row[f"__s{i}"], int(row[f"__sn{i}"] or 0)
+            if bn > 0:
+                s0, n0 = sums_out[c]
+                sums_out[c] = (
+                    int(bs) if s0 is None else s0 + int(bs), n0 + bn
+                )
+    if want_sums:
+        return total, extremes, sums_out
     return total, extremes
+
+
+def snapshot_group_range_agg(
+    spark: SparkSession,
+    root: str,
+    pname: str,
+    group_expr: str,
+    bounds: dict,
+    cols: list[str],
+    version: int | None = None,
+    schema=None,
+    partition_eq: dict | None = None,
+    sum_cols: list[str] | None = None,
+    temporal_cols: dict | None = None,
+) -> dict:
+    """`snapshot_range_agg_values`' GROUPED form (round 13 — the
+    dashboard query): COUNT(*) plus MIN/MAX over ``cols`` and SUM over
+    ``sum_cols``, grouped by the hidden-partition transform ``pname``
+    (semantic expression ``group_expr``), under the RANGE claims in
+    ``bounds`` and the transform equalities in ``partition_eq``.
+    Returns ``{group_value_str_or_None: [count, {col: (lo, hi)},
+    {col: (sum, n_nonnull)}]}`` — group keys are the transform
+    outputs as hive-path strings, exactly as the manifest records
+    them (the boundary scan CASTs its group expression to string so
+    both sides merge on one spelling; the SQL layer re-types once).
+
+    Per-file classification follows `snapshot_range_agg_values`
+    verbatim — EXCLUDED folds as nothing, INTERIOR folds recorded
+    row/null counts (plus stats/sums under the same trust gates:
+    null-free predicate columns for extremes and sums, NaN-free
+    numeric stats for extremes, recorded sums for sums), and anything
+    weaker joins the ONE boundary job — with one addition: a file
+    missing a recorded ``pname`` value demotes to boundary, where the
+    scan computes its groups from the rows.  Groups whose final count
+    is ZERO are dropped (GROUP BY returns no row for them).  MoR
+    deletes and schema evolution refuse loudly; ``bounds`` may be
+    empty here (the grouped shape is useful under pure transform
+    equalities, and with MIN/MAX items even with no predicate at
+    all).  Sum columns must be integral (see the range form); the
+    boundary job accumulates SUM through decimal(38,0)."""
+    from pyspark.sql import functions as F
+
+    if any(
+        b[0] is None and b[2] is None for b in (bounds or {}).values()
+    ):
+        raise ValueError(
+            "snapshot_group_range_agg: every bound needs at least one side"
+        )
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(
+            f"snapshot_group_range_agg: no version at {root}"
+        )
+    m = _read_manifest(root, v)
+    if m.get("delete_files"):
+        raise ValueError(
+            "snapshot_group_range_agg: table has MoR delete files — "
+            "metadata counts would be stale; compact first"
+        )
+    if m.get("fields"):
+        raise ValueError(
+            "snapshot_group_range_agg: table is schema-evolved — "
+            "recorded stats are keyed by physical names; aggregate "
+            "the read instead"
+        )
+    transforms = (m.get("layout") or {}).get("partition_transforms") or {}
+    if pname not in transforms:
+        raise ValueError(
+            f"snapshot_group_range_agg: no partition transform "
+            f"{pname!r} — the table's layout declares "
+            f"{sorted(transforms)}"
+        )
+    for n in partition_eq or {}:
+        if n not in transforms:
+            raise ValueError(
+                f"snapshot_group_range_agg: no partition transform "
+                f"recorded for {n!r}"
+            )
+    sum_cols = list(sum_cols or [])
+    if sum_cols and schema is not None:
+        by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+        bad = [
+            c
+            for c in sum_cols
+            if by_name.get(c) not in ("tinyint", "smallint", "int", "bigint")
+        ]
+        if bad:
+            raise ValueError(
+                f"snapshot_group_range_agg: sum_cols must be integral; "
+                f"got {bad}"
+            )
+    pvals = m.get("partition_values") or {}
+    rows_rec = m.get("rows") or {}
+    stats = m.get("stats") or {}
+    nulls = m.get("nulls") or {}
+    sums_rec = m.get("sums") or {}
+
+    def _fresh():
+        return [
+            0,
+            {c: (None, None) for c in cols},
+            {c: (None, 0) for c in sum_cols},
+        ]
+
+    groups: dict = {}
+    boundary: list[str] = []
+    for f in m["files"]:
+        r = rows_rec.get(f)
+        if r is None:
+            raise ValueError(
+                f"snapshot_group_range_agg: no recorded row count for "
+                f"{f} — compact the table or aggregate the read"
+            )
+        if int(r) == 0:
+            continue
+        fstats = stats.get(f) or {}
+        fnulls = nulls.get(f) or {}
+        rec_all = pvals.get(f) or {}
+        gval = rec_all.get(pname, "__ABSENT__")
+        interior = gval != "__ABSENT__"  # no group value: the scan
+        # computes this file's groups from its rows
+        excluded = False
+        null_cols: list[int] = []
+        for n, pv in (partition_eq or {}).items():
+            rec = rec_all.get(n, "__ABSENT__")
+            if rec == "__ABSENT__":
+                interior = False
+            elif rec != str(pv):
+                excluded = True
+                break
+        if excluded:
+            continue
+        for c, (lo, lo_s, hi, hi_s) in (bounds or {}).items():
+            st = fstats.get(c)
+            b = lo if lo is not None else hi
+            slo = _typed_stat(st[0], b) if st is not None else None
+            shi = _typed_stat(st[1], b) if st is not None else None
+            if slo is None or shi is None:
+                interior = False
+                continue
+            if hi is not None and (slo > hi or (hi_s and slo >= hi)):
+                excluded = True
+                break
+            if lo is not None and (shi < lo or (lo_s and shi <= lo)):
+                excluded = True
+                break
+            if lo is not None and not (
+                slo > lo or (not lo_s and slo >= lo)
+            ):
+                interior = False
+            if hi is not None and not (
+                shi < hi or (not hi_s and shi <= hi)
+            ):
+                interior = False
+            n = fnulls.get(c)
+            if n is None:
+                interior = False
+            elif n > 0:
+                null_cols.append(int(n))
+        if excluded:
+            continue
+        if interior and sum_cols:
+            if null_cols:
+                interior = False
+            else:
+                fsums = sums_rec.get(f) or {}
+                if any(c not in fsums for c in sum_cols):
+                    interior = False
+        tvals: dict = {}
+        if interior and cols:
+            if null_cols:
+                interior = False
+            for c in cols:
+                st = fstats.get(c)
+                if st is None or not _nan_free(st):
+                    interior = False
+                    break
+                kind = (temporal_cols or {}).get(c)
+                if kind is not None:
+                    # typed temporal fold (round 13) — see
+                    # snapshot_range_agg_values
+                    tlo = _typed_temporal_stat(st[0], kind)
+                    thi = _typed_temporal_stat(st[1], kind)
+                    if tlo is None or thi is None:
+                        interior = False
+                        break
+                    tvals[c] = (tlo, thi)
+                    continue
+                if not all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in (st[0], st[1])
+                ):
+                    interior = False
+                    break
+        if interior and len(null_cols) <= 1:
+            g = groups.setdefault(gval, _fresh())
+            g[0] += int(r) - (null_cols[0] if null_cols else 0)
+            for c in cols:
+                st = tvals.get(c) or fstats[c]
+                lo0, hi0 = g[1][c]
+                g[1][c] = (_nan_min(lo0, st[0]), _nan_max(hi0, st[1]))
+            if sum_cols:
+                fsums = sums_rec.get(f) or {}
+                for c in sum_cols:
+                    sv = fsums[c]
+                    s0, n0 = g[2][c]
+                    g[2][c] = (
+                        (int(sv[0]) if s0 is None else s0 + int(sv[0]))
+                        if int(sv[1]) > 0
+                        else s0,
+                        n0 + int(sv[1]),
+                    )
+        else:
+            boundary.append(f)
+    if boundary:
+        from .io import ensure_instant_timestamps
+
+        ensure_instant_timestamps(spark)
+        pred = None
+        for c, (lo, lo_s, hi, hi_s) in (bounds or {}).items():
+            if lo is not None:
+                term = (
+                    F.col(c) > F.lit(lo) if lo_s else F.col(c) >= F.lit(lo)
+                )
+                pred = term if pred is None else pred & term
+            if hi is not None:
+                term = (
+                    F.col(c) < F.lit(hi) if hi_s else F.col(c) <= F.lit(hi)
+                )
+                pred = term if pred is None else pred & term
+        for n, pv in (partition_eq or {}).items():
+            term = F.expr(transforms[n]).cast("string") == str(pv)
+            pred = term if pred is None else pred & term
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(cols):
+            aggs.append(F.min(c).alias(f"__lo{i}"))
+            aggs.append(F.max(c).alias(f"__hi{i}"))
+        for i, c in enumerate(sum_cols):
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(38,0)")).alias(f"__s{i}")
+            )
+            aggs.append(F.count(c).alias(f"__sn{i}"))
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        df = reader.parquet(*[os.path.join(root, f) for f in boundary])
+        if pred is not None:
+            df = df.where(pred)
+        rows = (
+            df.groupBy(
+                F.expr(group_expr).cast("string").alias("__g")
+            )
+            .agg(*aggs)
+            .collect()
+        )
+        for row in rows:
+            g = groups.setdefault(row["__g"], _fresh())
+            g[0] += int(row["__n"])
+            for i, c in enumerate(cols):
+                blo, bhi = row[f"__lo{i}"], row[f"__hi{i}"]
+                lo0, hi0 = g[1][c]
+                if blo is not None:
+                    lo0 = _nan_min(lo0, blo)
+                if bhi is not None:
+                    hi0 = _nan_max(hi0, bhi)
+                g[1][c] = (lo0, hi0)
+            for i, c in enumerate(sum_cols):
+                bs, bn = row[f"__s{i}"], int(row[f"__sn{i}"] or 0)
+                if bn > 0:
+                    s0, n0 = g[2][c]
+                    g[2][c] = (
+                        int(bs) if s0 is None else s0 + int(bs),
+                        n0 + bn,
+                    )
+    return {g: v for g, v in groups.items() if v[0] > 0}
 
 
 def snapshot_partitions(

@@ -931,7 +931,12 @@ def _run_query(spark: SparkSession, catalog_dir: str, sql: str) -> DataFrame:
         meta = _metadata_partition_group(spark, catalog_dir, sql, entries)
     if meta is not None:
         return meta
-    pruned = _pruned_attach(spark, catalog_dir, sql, entries)
+    # stats-guided TOP-K file pruning first (round 13): it understands
+    # the ORDER BY … LIMIT tail and composes the WHERE claims itself;
+    # statements it declines fall through to the general pruner
+    pruned = _topk_attach(spark, catalog_dir, sql, entries)
+    if pruned is None:
+        pruned = _pruned_attach(spark, catalog_dir, sql, entries)
     try:
         df = spark.sql(_rewrite_time_travel(spark, catalog_dir, sql))
     finally:
@@ -1781,6 +1786,138 @@ def _in_split(c: list[str]):
     return c[:i], vals
 
 
+def _range_claims(
+    spark,
+    sdf,
+    conjuncts: list,
+    quals: set,
+    transforms: dict,
+    case_sensitive: bool,
+) -> tuple[dict, dict] | None:
+    """Parse WHERE conjuncts into the hybrid metadata paths' claims —
+    ``(bounds, partition_eq)`` — or None when ANY conjunct is
+    residual (the shared soundness rule: a conjunct the claims can't
+    represent disqualifies the whole statement from the fast path).
+    ``bounds`` maps resolved column name → ``(lo, lo_strict, hi,
+    hi_strict)`` with conjunctive claims on one column INTERSECTED;
+    ``partition_eq`` maps hidden-partition transform name → literal
+    for equality conjuncts that token-match a declared transform with
+    an output-type-compatible literal.  Typing mirrors the pruner's
+    round-11 rules: int literals on integral columns; string literals
+    on DATE as strict ISO, on TIMESTAMP via the faithful-parse rule
+    under a UTC session only; ANSI ``TIMESTAMP '…'``/``DATE '…'``
+    typed literals under the same gates (round 13).  Factored out of
+    `_metadata_range_count` so the grouped hybrid shares the exact
+    claim semantics."""
+    utc = spark.conf.get("spark.sql.session.timeZone") in (
+        "UTC", "Etc/UTC", "GMT",
+    )
+    texpr = _transform_texpr(transforms, quals) if transforms else {}
+
+    def _col(parts: list[str]) -> tuple[str | None, list[str]]:
+        if len(parts) >= 3 and parts[1] == ".":
+            if parts[0].lower() not in quals:
+                return None, parts
+            return parts[2].strip("`"), parts[3:]
+        if parts and re.fullmatch(r"[A-Za-z_`][A-Za-z_0-9`]*", parts[0]):
+            return parts[0].strip("`"), parts[1:]
+        return None, parts
+
+    def _typed(v, t: str):
+        # literal → typed bound under the column's own ordering
+        if t in _INTEGRAL:
+            return (
+                v
+                if isinstance(v, int) and not isinstance(v, bool)
+                else None
+            )
+        if t in ("date", "timestamp"):
+            if isinstance(v, _TemporalLit):
+                # ANSI typed literal (round 13): same kind/type +
+                # UTC gates as the pruner's conjunct path
+                return _ansi_bound(v, t, utc)
+            if not isinstance(v, str) or (t == "timestamp" and not utc):
+                return None
+            if t == "date" and not re.fullmatch(
+                r"\d{4}-\d{2}-\d{2}", v
+            ):
+                return None
+            return _sql_temporal(v, t)
+        return None
+
+    bounds: dict = {}
+    partition_eq: dict = {}
+    for c in conjuncts:
+        # a hidden-partition EQUALITY composes with range bounds
+        # (round 12): `day(ts) = 5 AND k >= 100` — mismatching
+        # files fold as excluded, value-less files demote to the
+        # boundary scan with the transform predicate re-applied
+        if len(c) >= 3 and c[-2] == "=" and texpr:
+            pname = texpr.get(_norm_tokens(c[:-2], quals))
+            v = _lit(c[-1])
+            if (
+                pname is not None
+                and pname not in partition_eq
+                and v is not None
+                and _partition_literal_ok(
+                    spark, sdf, transforms[pname], v
+                )
+            ):
+                partition_eq[pname] = v
+                continue
+        col, rest = _col(c)
+        if col is None or not rest:
+            return None  # a residual conjunct: not this shape
+        fld = _resolve_field(sdf, col, case_sensitive)
+        if fld is None:
+            return None
+        t = fld.dataType.simpleString()
+        u0 = rest[0].upper()
+        if (
+            u0 == "BETWEEN"
+            and len(rest) == 4
+            and rest[2].upper() == "AND"
+        ):
+            lo, hi = _typed(_lit(rest[1]), t), _typed(_lit(rest[3]), t)
+            if lo is None or hi is None:
+                return None
+            claim = (lo, False, hi, False)
+        elif rest[0] in (">=", ">", "<=", "<", "=") and len(rest) == 2:
+            v = _typed(_lit(rest[1]), t)
+            if v is None:
+                return None
+            claim = {
+                ">=": (v, False, None, False),
+                ">": (v, True, None, False),
+                "<=": (None, False, v, False),
+                "<": (None, False, v, True),
+                "=": (v, False, v, False),
+            }[rest[0]]
+        else:
+            return None
+        key = fld.name
+        cur = bounds.get(key)
+        if cur is None:
+            bounds[key] = claim
+        else:
+            # conjunctive claims on one column INTERSECT: keep the
+            # tighter bound per side (strict wins a value tie)
+            lo1, ls1, hi1, hs1 = cur
+            lo2, ls2, hi2, hs2 = claim
+            if lo2 is not None:
+                if lo1 is None or lo2 > lo1:
+                    lo1, ls1 = lo2, ls2
+                elif lo2 == lo1:
+                    ls1 = ls1 or ls2
+            if hi2 is not None:
+                if hi1 is None or hi2 < hi1:
+                    hi1, hs1 = hi2, hs2
+                elif hi2 == hi1:
+                    hs1 = hs1 or hs2
+            bounds[key] = (lo1, ls1, hi1, hs1)
+    return bounds, partition_eq
+
+
 def _metadata_range_count(
     spark: SparkSession,
     catalog_dir: str,
@@ -1789,7 +1926,8 @@ def _metadata_range_count(
 ):
     """METADATA-HYBRID aggregates under RANGE predicates (round 12 —
     VERDICT r11 'Next round #4', the Iceberg/DataFusion shape): a
-    statement ``SELECT <COUNT(*) | MIN(col) | MAX(col)> [AS a][, ...]
+    statement ``SELECT <COUNT(*) | MIN(col) | MAX(col) | SUM(col) |
+    AVG(col)> [AS a][, ...]
     FROM <table> [alias] WHERE <range conjuncts>`` whose EVERY
     conjunct is a typed range claim (``BETWEEN`` / ``>=`` / ``>`` /
     ``<=`` / ``<`` / ``=``) on an integral or temporal column answers
@@ -1808,10 +1946,16 @@ def _metadata_range_count(
     follow `_metadata_agg`'s numeric gate (float/double trusted per
     file only under a zero NaN count — weaker files demote to the
     boundary scan, which computes exact Spark semantics, NaN
-    included).  Float/bool PREDICATE columns, unresolvable or
-    ambiguous names, a residual conjunct, MoR deletes, and schema
-    evolution all return None — the statement runs normally (at
-    worst file-pruned)."""
+    included).  SUM/AVG columns (round 13) must be INTEGRAL: interior
+    files fold their write-time decimal-exact per-file sums
+    (`_file_int_sums`) — demoting to the boundary scan on any
+    predicate-column nulls or a missing recorded sum — and the one
+    boundary job accumulates through decimal(38,0); `_sums_ok`
+    refuses int64-wrapping totals and 2^53+ AVG operands exactly as
+    the whole-table path does.  Float/bool PREDICATE columns,
+    unresolvable or ambiguous names, a residual conjunct, MoR
+    deletes, and schema evolution all return None — the statement
+    runs normally (at worst file-pruned)."""
     toks = [t for t, _l, _h in _tokens(sql)]
     up = [t.upper() for t in toks]
     if _has_asof(up):
@@ -1824,11 +1968,6 @@ def _metadata_range_count(
     if hdr is None:
         return None
     items, j = hdr
-    if any(k in ("sum", "avg") for k, _c, _a in items):
-        return None  # range-hybrid SUM/AVG is not folded (the
-        # boundary scan would need the sum too) — the partition-eq
-        # shape answers in `_metadata_partition_agg`; anything else
-        # runs normally (at worst file-pruned)
     if entries is None:
         entries = cat.catalog_entries(catalog_dir)
     parsed = _parse_from_table(toks, up, j, entries)
@@ -1850,127 +1989,24 @@ def _metadata_range_count(
     if not conjuncts:
         return None
     quals = {(t_alias or name).lower()}
-
-    def _col(parts: list[str]) -> tuple[str | None, list[str]]:
-        if len(parts) >= 3 and parts[1] == ".":
-            if parts[0].lower() not in quals:
-                return None, parts
-            return parts[2].strip("`"), parts[3:]
-        if parts and re.fullmatch(r"[A-Za-z_`][A-Za-z_0-9`]*", parts[0]):
-            return parts[0].strip("`"), parts[1:]
-        return None, parts
-
     try:
         sdf = spark.table(name)
         case_sensitive = (
             str(spark.conf.get("spark.sql.caseSensitive")).lower()
             == "true"
         )
-        utc = spark.conf.get("spark.sql.session.timeZone") in (
-            "UTC", "Etc/UTC", "GMT",
-        )
-
-        def _typed(v, t: str):
-            # literal → typed bound under the column's own ordering
-            if t in _INTEGRAL:
-                return (
-                    v
-                    if isinstance(v, int) and not isinstance(v, bool)
-                    else None
-                )
-            if t in ("date", "timestamp"):
-                if isinstance(v, _TemporalLit):
-                    # ANSI typed literal (round 13): same kind/type +
-                    # UTC gates as the pruner's conjunct path
-                    return _ansi_bound(v, t, utc)
-                if not isinstance(v, str) or (t == "timestamp" and not utc):
-                    return None
-                if t == "date" and not re.fullmatch(
-                    r"\d{4}-\d{2}-\d{2}", v
-                ):
-                    return None
-                return _sql_temporal(v, t)
-            return None
-
         root = e["root"]
         _pin, v_res = _entry_version(e, root)
         if v_res is None:
             return None
         lay = sn._read_manifest_meta(root, v_res).get("layout") or {}
         transforms = lay.get("partition_transforms") or {}
-        texpr = (
-            _transform_texpr(transforms, quals) if transforms else {}
+        claims = _range_claims(
+            spark, sdf, conjuncts, quals, transforms, case_sensitive
         )
-        bounds: dict = {}
-        partition_eq: dict = {}
-        for c in conjuncts:
-            # a hidden-partition EQUALITY composes with range bounds
-            # (round 12): `day(ts) = 5 AND k >= 100` — mismatching
-            # files fold as excluded, value-less files demote to the
-            # boundary scan with the transform predicate re-applied
-            if len(c) >= 3 and c[-2] == "=" and texpr:
-                pname = texpr.get(_norm_tokens(c[:-2], quals))
-                v = _lit(c[-1])
-                if (
-                    pname is not None
-                    and pname not in partition_eq
-                    and v is not None
-                    and _partition_literal_ok(
-                        spark, sdf, transforms[pname], v
-                    )
-                ):
-                    partition_eq[pname] = v
-                    continue
-            col, rest = _col(c)
-            if col is None or not rest:
-                return None  # a residual conjunct: not this shape
-            fld = _resolve_field(sdf, col, case_sensitive)
-            if fld is None:
-                return None
-            t = fld.dataType.simpleString()
-            u0 = rest[0].upper()
-            if (
-                u0 == "BETWEEN"
-                and len(rest) == 4
-                and rest[2].upper() == "AND"
-            ):
-                lo, hi = _typed(_lit(rest[1]), t), _typed(_lit(rest[3]), t)
-                if lo is None or hi is None:
-                    return None
-                claim = (lo, False, hi, False)
-            elif rest[0] in (">=", ">", "<=", "<", "=") and len(rest) == 2:
-                v = _typed(_lit(rest[1]), t)
-                if v is None:
-                    return None
-                claim = {
-                    ">=": (v, False, None, False),
-                    ">": (v, True, None, False),
-                    "<=": (None, False, v, False),
-                    "<": (None, False, v, True),
-                    "=": (v, False, v, False),
-                }[rest[0]]
-            else:
-                return None
-            key = fld.name
-            cur = bounds.get(key)
-            if cur is None:
-                bounds[key] = claim
-            else:
-                # conjunctive claims on one column INTERSECT: keep the
-                # tighter bound per side (strict wins a value tie)
-                lo1, ls1, hi1, hs1 = cur
-                lo2, ls2, hi2, hs2 = claim
-                if lo2 is not None:
-                    if lo1 is None or lo2 > lo1:
-                        lo1, ls1 = lo2, ls2
-                    elif lo2 == lo1:
-                        ls1 = ls1 or ls2
-                if hi2 is not None:
-                    if hi1 is None or hi2 < hi1:
-                        hi1, hs1 = hi2, hs2
-                    elif hi2 == hi1:
-                        hs1 = hs1 or hs2
-                bounds[key] = (lo1, ls1, hi1, hs1)
+        if claims is None:
+            return None
+        bounds, partition_eq = claims
         if not bounds:
             return None  # all-partition-eq shapes belong to
             # _metadata_count (which runs first)
@@ -1979,14 +2015,37 @@ def _metadata_range_count(
         )
         if resolved is None:
             return None
-        cols = list(dict.fromkeys(f.name for f in resolved.values()))
-        n, extremes = sn.snapshot_range_agg_values(
-            spark, root, bounds, cols, v_res, schema=sdf.schema,
-            partition_eq=partition_eq or None,
-        )
+        mm_cols = list(dict.fromkeys(
+            resolved[c].name
+            for k, c, _a in items
+            if k in ("min", "max")
+        ))
+        sum_cols = list(dict.fromkeys(
+            resolved[c].name
+            for k, c, _a in items
+            if k in ("sum", "avg")
+        ))
+        sums: dict = {}
+        if sum_cols:
+            # range-hybrid SUM/AVG (round 13): interior files fold
+            # their recorded per-file exact sums, the one boundary
+            # scan adds decimal-exact SUM/COUNT in the same job
+            n, extremes, sums = sn.snapshot_range_agg_values(
+                spark, root, bounds, mm_cols, v_res, schema=sdf.schema,
+                partition_eq=partition_eq or None, sum_cols=sum_cols,
+                temporal_cols=_temporal_mm(items, resolved) or None,
+            )
+            if not _sums_ok(items, resolved, sums):
+                return None
+        else:
+            n, extremes = sn.snapshot_range_agg_values(
+                spark, root, bounds, mm_cols, v_res, schema=sdf.schema,
+                partition_eq=partition_eq or None,
+                temporal_cols=_temporal_mm(items, resolved) or None,
+            )
     except Exception:
         return None  # any refusal: the statement runs normally
-    return _agg_result(spark, items, resolved, n, extremes)
+    return _agg_result(spark, items, resolved, n, extremes, sums)
 
 
 def _metadata_agg(
@@ -2011,9 +2070,12 @@ def _metadata_agg(
     match Spark's NaN-is-greatest ordering otherwise — a NaN-carrying
     or count-less file refuses in `snapshot_stats_agg` and the real
     scan runs.  The result column reuses the table field's OWN Spark
-    type, so the fast path is schema-identical to execution;
-    string/temporal stats are ISO strings, a different type than
-    Spark would return, and refuse.  Stats must be recorded for every
+    type, so the fast path is schema-identical to execution; DATE and
+    (under a UTC session) TIMESTAMP MIN/MAX answer since round 13 by
+    converting the recorded ISO stat strings to typed values — the
+    watermark query ``SELECT MAX(ts) FROM t`` reads zero data; string
+    stats would be a different type than Spark returns and refuse.
+    Stats must be recorded for every
     referenced column in every live file, row counts for every file,
     no MoR deletes, no schema evolution — `snapshot_stats_agg`
     refuses all of these loudly."""
@@ -2058,7 +2120,10 @@ def _metadata_agg(
             if not _sums_ok(items, resolved, sums):
                 return None
         if mm_cols or not sum_cols:
-            n_rows, extremes = sn._stats_agg_values(root, mm_cols, v_res)
+            n_rows, extremes = sn._stats_agg_values(
+                root, mm_cols, v_res,
+                temporal_cols=_temporal_mm(items, resolved) or None,
+            )
         else:
             extremes = {}
     except Exception:
@@ -2136,8 +2201,12 @@ def _resolve_agg_cols(
 ) -> dict | None:
     """Resolve every MIN/MAX column of ``items`` against the attached
     view through `_resolve_field` — None when a column is missing,
-    ambiguous, or non-numeric.  Callers already holding the view and
-    the conf pass them in (one table lookup per statement)."""
+    ambiguous, or un-answerable.  MIN/MAX accept numeric columns plus
+    DATE, and TIMESTAMP under a UTC session only (round 13 — the
+    watermark query: recorded stats are UTC instants, and a non-UTC
+    session would collect different wall-clock values).  Callers
+    already holding the view and the conf pass them in (one table
+    lookup per statement)."""
     if sdf is None:
         sdf = spark.table(name)
     if case_sensitive is None:
@@ -2157,10 +2226,29 @@ def _resolve_agg_cols(
             if t not in _INTEGRAL:
                 return None  # only INTEGRAL sums are decimal-exact;
                 # a double SUM is order-dependent in Spark itself
-        elif t not in _NUMERIC_AGG:
+        elif t == "timestamp":
+            if spark.conf.get("spark.sql.session.timeZone") not in (
+                "UTC", "Etc/UTC", "GMT",
+            ):
+                return None
+        elif t not in _NUMERIC_AGG and t != "date":
             return None
         resolved[c] = f
     return resolved
+
+
+def _temporal_mm(items: list, resolved: dict) -> dict:
+    """``{column_name: 'date'|'timestamp'}`` for the MIN/MAX items
+    whose resolved type is temporal — the snapshots folds convert
+    those columns' recorded ISO stat strings to typed values
+    (round 13)."""
+    out: dict = {}
+    for k, c, _a in items:
+        if k in ("min", "max") and c is not None:
+            t = resolved[c].dataType.simpleString()
+            if t in ("date", "timestamp"):
+                out[resolved[c].name] = t
+    return out
 
 
 def _agg_result(
@@ -2250,15 +2338,31 @@ def _metadata_partition_group(
     losslessly; the result column reuses the ANALYZED expression's
     own Spark type and nullability, so the fast path is
     schema-identical — and analysis failing, e.g. after a rename,
-    falls back exactly where real execution would reject); no WHERE /
-    HAVING / ORDER / anything beyond the two select items; MoR
-    deletes; any live file missing a recorded value or row count
+    falls back exactly where real execution would reject); no HAVING
+    / ORDER / anything beyond the select items; MoR deletes; for the
+    pure fold, any live file missing a recorded value or row count
     (mixed lineage).  NULL transform values group as NULL, exactly as
-    Spark groups them."""
+    Spark groups them.
+
+    Round 13 — the GROUPED HYBRID (the dashboard query, ``SELECT
+    day(ts), COUNT(*), SUM(v) FROM t WHERE ts >= a GROUP BY
+    day(ts)``): a WHERE whose every conjunct is a `_range_claims`
+    claim (typed range on a stats column, or a hidden-partition
+    equality) routes to `snapshot_group_range_agg` — interior files
+    fold counts/sums/stats into their recorded group without being
+    opened, excluded files fold as nothing, boundary and value-less
+    files take ONE grouped scan.  MIN/MAX select items are accepted
+    and always route through the hybrid (their per-file stats need
+    its NaN/null trust gates); SUM/AVG keep the integral-only and
+    wrap/2^53 refusals."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     toks = [t for t, _l, _h in _tokens(sql)]
+    up = [t.upper() for t in toks]
+    if _has_asof(up):
+        return None  # time travel: never a metadata answer
+    toks = _collapse_typed_literals(toks)
     up = [t.upper() for t in toks]
     if toks and toks[-1] == ";":
         toks, up = toks[:-1], up[:-1]
@@ -2266,7 +2370,7 @@ def _metadata_partition_group(
         return None
     distinct = up[1] == "DISTINCT"
     depth = 0
-    from_i = grp_i = None
+    from_i = grp_i = where_i = None
     for k, t in enumerate(toks):
         if t == "(":
             depth += 1
@@ -2277,6 +2381,16 @@ def _metadata_partition_group(
         elif depth == 0 and up[k] == "GROUP" and from_i is not None:
             grp_i = k
             break
+        elif (
+            depth == 0
+            and up[k] == "WHERE"
+            and from_i is not None
+            and where_i is None
+            and not distinct
+        ):
+            # round 13: a WHERE routes to the grouped HYBRID below —
+            # interior files fold, the window-edge files scan once
+            where_i = k
         elif depth == 0 and from_i is not None and up[k] in (
             "WHERE", "HAVING", "ORDER", "LIMIT", "OFFSET", "SORT",
             "DISTRIBUTE", "CLUSTER", "WINDOW", "UNION", "JOIN", ",",
@@ -2327,7 +2441,9 @@ def _metadata_partition_group(
     expr_toks, expr_alias = _split_alias(items[0])
     # trailing select items: COUNT(*) / SUM(col) / AVG(col) in any
     # combination (SUM/AVG added round 13 — they fold from the
-    # per-file exact integral sums the write chokepoints record)
+    # per-file exact integral sums the write chokepoints record);
+    # MIN/MAX (round 13) route through the grouped HYBRID, which
+    # folds per-file stats under the NaN/null trust gates
     aggs: list[tuple] = []
     if not distinct:
         for it in items[1:]:
@@ -2336,7 +2452,7 @@ def _metadata_partition_group(
             if u0 == "COUNT" and it_toks[1:] == ["(", "*", ")"]:
                 aggs.append(("count", None, al))
             elif (
-                u0 in ("SUM", "AVG")
+                u0 in ("SUM", "AVG", "MIN", "MAX")
                 and len(it_toks) == 4
                 and it_toks[1] == "("
                 and re.fullmatch(r"[A-Za-z_`][A-Za-z_0-9`]*", it_toks[2])
@@ -2351,7 +2467,11 @@ def _metadata_partition_group(
     if parsed is None:
         return None
     name, e, t_alias, j = parsed
-    if j != (len(toks) if distinct else grp_i):
+    if j != (
+        len(toks)
+        if distinct
+        else (where_i if where_i is not None else grp_i)
+    ):
         return None  # unconsumed tokens after the table
     # an alias HIDES the bare name in Spark — accepting both would
     # answer statements Spark rejects (review, rounds 11+12)
@@ -2421,10 +2541,11 @@ def _metadata_partition_group(
         if out_t not in (*_INTEGRAL, "string", "date"):
             return None  # hive strings round-trip these losslessly
         sum_cols: list[str] = []
+        mm_cols: list[str] = []
         resolved: dict = {}
-        if any(k in ("sum", "avg") for k, _c, _a in aggs):
+        if any(k in ("sum", "avg", "min", "max") for k, _c, _a in aggs):
             if sn._read_manifest_meta(root, v_res).get("fields"):
-                return None  # evolution: sums ride physical names
+                return None  # evolution: sums/stats ride physical names
             resolved = _resolve_agg_cols(spark, name, aggs, sdf=sdf)
             if resolved is None:
                 return None
@@ -2433,40 +2554,80 @@ def _metadata_partition_group(
                 for k, c, _a in aggs
                 if k in ("sum", "avg")
             ))
-        m = sn._read_manifest(root, v_res)
-        if m.get("delete_files"):
-            return None  # MoR: counts would be stale
-        rows_rec = m.get("rows") or {}
-        pvals = m.get("partition_values") or {}
-        sums_rec = m.get("sums") or {}
+            mm_cols = list(dict.fromkeys(
+                resolved[c].name
+                for k, c, _a in aggs
+                if k in ("min", "max")
+            ))
+        pmm: dict = {}
         counts: dict = {}
         psums: dict = {}
-        for f in m["files"]:
-            r = rows_rec.get(f)
-            if r is None:
-                return None  # pre-row-recording commit
-            if int(r) == 0:
-                continue
-            rec = pvals.get(f)
-            if rec is None or pname not in rec:
-                return None  # mixed lineage: a file without a value
-            counts[rec[pname]] = counts.get(rec[pname], 0) + int(r)
-            if sum_cols:
-                fsums = sums_rec.get(f) or {}
-                cur = psums.setdefault(
-                    rec[pname], {c: (None, 0) for c in sum_cols}
+        if where_i is not None or mm_cols:
+            # the grouped HYBRID (round 13): WHERE claims classify
+            # files exactly as `_metadata_range_count` — interior
+            # files fold recorded counts/stats/sums into their
+            # recorded group, boundary files take ONE grouped scan —
+            # and MIN/MAX items always route here (their trust gates
+            # need the classification machinery)
+            if where_i is not None:
+                conjuncts = _split_conjuncts(toks[where_i + 1 : grp_i])
+                if not conjuncts:
+                    return None
+                case_sensitive = (
+                    str(spark.conf.get("spark.sql.caseSensitive")).lower()
+                    == "true"
                 )
-                for c in sum_cols:
-                    sv = fsums.get(c)
-                    if sv is None:
-                        return None  # no recorded sum: scan instead
-                    s0, n0 = cur[c]
-                    cur[c] = (
-                        (int(sv[0]) if s0 is None else s0 + int(sv[0]))
-                        if int(sv[1]) > 0
-                        else s0,
-                        n0 + int(sv[1]),
+                claims = _range_claims(
+                    spark, sdf, conjuncts, quals, transforms,
+                    case_sensitive,
+                )
+                if claims is None:
+                    return None
+                bounds, partition_eq = claims
+            else:
+                bounds, partition_eq = {}, {}
+            res = sn.snapshot_group_range_agg(
+                spark, root, pname, transforms[pname], bounds,
+                mm_cols, v_res, schema=sdf.schema,
+                partition_eq=partition_eq or None, sum_cols=sum_cols,
+                temporal_cols=_temporal_mm(aggs, resolved) or None,
+            )
+            counts = {g: v[0] for g, v in res.items()}
+            pmm = {g: v[1] for g, v in res.items()}
+            psums = {g: v[2] for g, v in res.items()}
+        else:
+            m = sn._read_manifest(root, v_res)
+            if m.get("delete_files"):
+                return None  # MoR: counts would be stale
+            rows_rec = m.get("rows") or {}
+            pvals = m.get("partition_values") or {}
+            sums_rec = m.get("sums") or {}
+            for f in m["files"]:
+                r = rows_rec.get(f)
+                if r is None:
+                    return None  # pre-row-recording commit
+                if int(r) == 0:
+                    continue
+                rec = pvals.get(f)
+                if rec is None or pname not in rec:
+                    return None  # mixed lineage: a file without a value
+                counts[rec[pname]] = counts.get(rec[pname], 0) + int(r)
+                if sum_cols:
+                    fsums = sums_rec.get(f) or {}
+                    cur = psums.setdefault(
+                        rec[pname], {c: (None, 0) for c in sum_cols}
                     )
+                    for c in sum_cols:
+                        sv = fsums.get(c)
+                        if sv is None:
+                            return None  # no recorded sum: scan instead
+                        s0, n0 = cur[c]
+                        cur[c] = (
+                            (int(sv[0]) if s0 is None else s0 + int(sv[0]))
+                            if int(sv[1]) > 0
+                            else s0,
+                            n0 + int(sv[1]),
+                        )
         if out_t == "string" and None in counts:
             # hive's path layout writes BOTH NULL and '' (and the
             # marker string itself) as __HIVE_DEFAULT_PARTITION__ —
@@ -2503,6 +2664,10 @@ def _metadata_partition_group(
                     if kind == "count":
                         row.append(int(counts[s]))
                         continue
+                    if kind in ("min", "max"):
+                        lo, hi = pmm[s][resolved[c].name]
+                        row.append(lo if kind == "min" else hi)
+                        continue
                     sv, nn = psums[s][resolved[c].name]
                     if kind == "sum":
                         if sv is not None and not (
@@ -2532,6 +2697,12 @@ def _metadata_partition_group(
         elif kind == "sum":
             fields.append(
                 T.StructField(al or f"sum({c})", T.LongType(), True)
+            )
+        elif kind in ("min", "max"):
+            fields.append(
+                T.StructField(
+                    al or f"{kind}({c})", resolved[c].dataType, True
+                )
             )
         else:
             fields.append(
@@ -3379,6 +3550,317 @@ def _prune_one(
 #: '20240110' parse here but cast to NULL there) — the intersection
 #: gate keeps the metadata COUNT path from folding against a bound
 #: real execution nulls out (review, round 12).
+def _topk_attach(
+    spark: SparkSession,
+    catalog_dir: str,
+    sql: str,
+    entries: dict | None = None,
+) -> dict | None:
+    """STATS-GUIDED TOP-K file pruning (round 13 — the 'latest N
+    events' query): a statement shaped ``SELECT <plain columns | *>
+    FROM <table> [alias] [WHERE <claims>] ORDER BY <col> [ASC|DESC]
+    LIMIT <k>`` computes, from the manifest alone, a value threshold
+    T0 such that the top k rows provably all lie on one side of it —
+    then re-registers the table's view as `read_snapshot_pruned` over
+    the composed claims, so Spark's sort+limit runs over the few
+    threshold-crossing files instead of the table.  On a
+    ts-clustered 100 TB table, ``ORDER BY ts DESC LIMIT 100`` reads
+    one or two files.
+
+    The threshold argument (DESC; ASC mirrors): sort files by
+    recorded max(col) descending and accumulate each file's PROVEN
+    matching non-null row count (row count minus every claimed
+    predicate column's null count minus the order column's null
+    count — a lower bound) until the sum reaches k; T0 = the minimum
+    recorded min(col) over those taken files.  Every taken row's
+    value is ≥ its file's min ≥ T0, so at least k rows are ≥ T0 and
+    no row < T0 can be in the top k — `read_snapshot_pruned` with the
+    extra ``col >= T0`` claim both skips provably-below files AND
+    re-applies the predicate, which only drops rows the LIMIT could
+    never output.  Taken files must carry trusted stats: NaN-free
+    under the round-12 evidence rule (a NaN row is greatest and
+    invisible to finite stats — untrusted files contribute zero to
+    the accumulation but stay in the read set through the pruner's
+    own NaN-soundness), typed temporal conversion for DATE/TIMESTAMP
+    (UTC session required for TIMESTAMP).
+
+    NULL ordering: Spark's default is NULLS LAST for DESC — proven
+    unreachable because ≥ k non-null rows exist — and NULLS FIRST
+    for ASC, so ASC additionally requires every file's recorded
+    order-column null count to be ZERO.  Explicit NULLS FIRST/LAST
+    spellings, MoR deletes (recorded row counts would overcount),
+    schema evolution, aggregate/DISTINCT/GROUP/JOIN/OVER/set-op
+    shapes, residual WHERE conjuncts, and a LIMIT the accumulation
+    cannot reach all return None — the statement runs through
+    `_pruned_attach` or the plain attach instead."""
+    toks = [t for t, _l, _h in _tokens(sql)]
+    up = [t.upper() for t in toks]
+    if _has_asof(up):
+        return None
+    toks = _collapse_typed_literals(toks)
+    up = [t.upper() for t in toks]
+    if toks and toks[-1] == ";":
+        toks, up = toks[:-1], up[:-1]
+    if len(toks) < 8 or up[0] != "SELECT":
+        return None
+    if up[-2] != "LIMIT":
+        return None
+    k = _lit(toks[-1])
+    if not isinstance(k, int) or isinstance(k, bool) or k <= 0:
+        return None
+    depth = 0
+    from_i = where_i = order_i = None
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            u = up[i]
+            if u == "FROM" and from_i is None:
+                from_i = i
+            elif (
+                u == "WHERE"
+                and from_i is not None
+                and where_i is None
+                and order_i is None
+            ):
+                where_i = i
+            elif u == "ORDER" and from_i is not None and order_i is None:
+                order_i = i
+            elif u in (
+                "GROUP", "HAVING", "UNION", "INTERSECT", "EXCEPT",
+                "LATERAL", "JOIN", "OVER", "OFFSET", "DISTRIBUTE",
+                "SORT", "CLUSTER", "WINDOW", "DISTINCT", "NULLS",
+            ):
+                return None
+    if from_i is None or order_i is None or from_i < 2:
+        return None
+    if order_i + 1 >= len(up) or up[order_i + 1] != "BY":
+        return None
+
+    def _colref(parts: list[str], quals: set[str]) -> str | None:
+        # [q .] name — plain references only (no expressions)
+        name_re = r"[A-Za-z_`][A-Za-z_0-9`]*"
+        if (
+            len(parts) == 3
+            and parts[1] == "."
+            and parts[0].lower() in quals
+            and re.fullmatch(name_re, parts[2])
+        ):
+            return parts[2].strip("`")
+        if len(parts) == 1 and re.fullmatch(name_re, parts[0]):
+            return parts[0].strip("`")
+        return None
+
+    if entries is None:
+        entries = cat.catalog_entries(catalog_dir)
+    parsed = _parse_from_table(toks, up, from_i, entries)
+    if parsed is None:
+        return None
+    name, e, t_alias, j = parsed
+    if j != (where_i if where_i is not None else order_i):
+        return None  # unconsumed tokens (a comma join, a sample, …)
+    quals = {(t_alias or name).lower()}
+    # select list: star or plain column refs (an expression, call, or
+    # subquery could be row-generating or windowed — not this shape)
+    sel_items: list[list[str]] = [[]]
+    depth = 0
+    for t in toks[1:from_i]:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if t == "," and depth == 0:
+            sel_items.append([])
+        else:
+            sel_items[-1].append(t)
+    for it in sel_items:
+        if it == ["*"] or (
+            len(it) == 3 and it[1] == "." and it[2] == "*"
+            and it[0].lower() in quals
+        ):
+            continue
+        body = it
+        if (
+            len(body) >= 3
+            and body[-2].upper() == "AS"
+            and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", body[-1])
+        ):
+            body = body[:-2]
+        if _colref(body, quals) is None:
+            return None
+    # ORDER BY <colref> [ASC|DESC] LIMIT k
+    tail = toks[order_i + 2 : -2]
+    desc = False
+    if tail and tail[-1].upper() in ("ASC", "DESC"):
+        desc = tail[-1].upper() == "DESC"
+        tail = tail[:-1]
+    order_col = _colref(tail, quals)
+    if order_col is None:
+        return None
+    try:
+        prior = spark.table(name)
+    except Exception:
+        return None
+    try:
+        case_sensitive = (
+            str(spark.conf.get("spark.sql.caseSensitive")).lower()
+            == "true"
+        )
+        fld = _resolve_field(prior, order_col, case_sensitive)
+        if fld is None:
+            return None
+        t = fld.dataType.simpleString()
+        utc = spark.conf.get("spark.sql.session.timeZone") in (
+            "UTC", "Etc/UTC", "GMT",
+        )
+        if t == "timestamp" and not utc:
+            return None
+        if t not in (*_INTEGRAL, "date", "timestamp", "float", "double"):
+            return None
+        temporal = t if t in ("date", "timestamp") else None
+        key = fld.name
+        root = e["root"]
+        version, v_res = _entry_version(e, root)
+        if v_res is None:
+            return None
+        m = sn._read_manifest(root, v_res)
+        if m.get("delete_files") or m.get("fields"):
+            return None  # MoR row counts overcount; evolution stats
+            # ride physical names
+        transforms = (
+            m.get("layout") or {}
+        ).get("partition_transforms") or {}
+        bounds: dict = {}
+        partition_eq: dict = {}
+        if where_i is not None:
+            conjuncts = _split_conjuncts(toks[where_i + 1 : order_i])
+            if not conjuncts:
+                return None
+            claims = _range_claims(
+                spark, prior, conjuncts, quals, transforms,
+                case_sensitive,
+            )
+            if claims is None:
+                return None  # a residual conjunct breaks the row-
+                # count lower bound — not this shape
+            bounds, partition_eq = claims
+        pvals = m.get("partition_values") or {}
+        rows_rec = m.get("rows") or {}
+        stats = m.get("stats") or {}
+        nulls = m.get("nulls") or {}
+        takeable: list[tuple] = []  # (sort_bound, worst_bound, contrib)
+        for f in m["files"]:
+            r = rows_rec.get(f)
+            if r is None:
+                return None
+            if int(r) == 0:
+                continue
+            fstats = stats.get(f) or {}
+            fnulls = nulls.get(f) or {}
+            rec_all = pvals.get(f) or {}
+            interior = True
+            excluded = False
+            pred_nulls = 0
+            for pn, pv in partition_eq.items():
+                rec = rec_all.get(pn, "__ABSENT__")
+                if rec == "__ABSENT__":
+                    interior = False
+                elif rec != str(pv):
+                    excluded = True
+                    break
+            if excluded:
+                continue
+            for c, (lo, lo_s, hi, hi_s) in bounds.items():
+                st = fstats.get(c)
+                b = lo if lo is not None else hi
+                slo = sn._typed_stat(st[0], b) if st is not None else None
+                shi = sn._typed_stat(st[1], b) if st is not None else None
+                if slo is None or shi is None:
+                    interior = False
+                    continue
+                if hi is not None and (slo > hi or (hi_s and slo >= hi)):
+                    excluded = True
+                    break
+                if lo is not None and (shi < lo or (lo_s and shi <= lo)):
+                    excluded = True
+                    break
+                if lo is not None and not (
+                    slo > lo or (not lo_s and slo >= lo)
+                ):
+                    interior = False
+                if hi is not None and not (
+                    shi < hi or (not hi_s and shi <= hi)
+                ):
+                    interior = False
+                n = fnulls.get(c)
+                if n is None:
+                    interior = False
+                else:
+                    pred_nulls += int(n)
+            if excluded:
+                continue
+            st = fstats.get(key)
+            olo = ohi = None
+            if st is not None and sn._nan_free(st):
+                olo, ohi = st[0], st[1]
+                if temporal is not None:
+                    olo = sn._typed_temporal_stat(olo, temporal)
+                    ohi = sn._typed_temporal_stat(ohi, temporal)
+                    if olo is None or ohi is None:
+                        olo = ohi = None
+                elif not all(
+                    isinstance(x, (int, float))
+                    and not isinstance(x, bool)
+                    for x in (olo, ohi)
+                ):
+                    olo = ohi = None
+            on = fnulls.get(key)
+            if not desc and (on is None or int(on) > 0):
+                return None  # ASC is NULLS FIRST: any (or unknown)
+                # order-column null would lead the output
+            contrib = 0
+            if interior and olo is not None and on is not None:
+                contrib = max(0, int(r) - pred_nulls - int(on))
+            if contrib > 0:
+                takeable.append(
+                    (ohi if desc else olo, olo if desc else ohi, contrib)
+                )
+        takeable.sort(key=lambda x: x[0], reverse=desc)
+        acc = 0
+        t0 = None
+        for _sb, wb, contrib in takeable:
+            acc += contrib
+            t0 = wb if t0 is None else (min(t0, wb) if desc else max(t0, wb))
+            if acc >= k:
+                break
+        if acc < k or t0 is None:
+            return None  # cannot prove k rows past any threshold
+        # compose the threshold with any existing order-column claim
+        cur = bounds.get(key)
+        if desc:
+            lo0 = t0 if cur is None or cur[0] is None else max(t0, cur[0])
+            claim = (lo0, False, None if cur is None else cur[2], False)
+        else:
+            hi0 = t0 if cur is None or cur[2] is None else min(t0, cur[2])
+            claim = (None if cur is None else cur[0], False, hi0, False)
+        bounds[key] = claim
+        ranges = {c: (b[0], b[2]) for c, b in bounds.items()}
+        df = sn.read_snapshot_pruned(
+            spark,
+            root,
+            ranges=ranges,
+            partition_eq=partition_eq or None,
+            version=version,
+        )
+        df.schema  # force analysis NOW (see _prune_one)
+    except Exception:
+        return None  # anything unexpected: the plain attach stands
+    df.createOrReplaceTempView(name)
+    return {name: prior}
+
+
 _SQL_TS_FORMS = re.compile(
     r"\d{4}-\d{2}-\d{2}"
     r"([ T]\d{2}:\d{2}(:\d{2}(\.\d{1,6})?)?"

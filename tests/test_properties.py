@@ -1086,6 +1086,10 @@ def test_pruned_statement_answers_match_plain(
         st.sampled_from([
             "COUNT(*) AS n",
             "COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi",
+            # round 13: the hybrid SUM/AVG fold rides the same
+            # invariant (interior sums fold, boundary scans, refusals
+            # fall back — the answer never moves)
+            "SUM(k) AS sk, AVG(k) AS ak, COUNT(*) AS n",
             "k, v, s",
         ])
     )
@@ -1096,6 +1100,16 @@ def test_pruned_statement_answers_match_plain(
         f"SELECT {sel} FROM pw_plain WHERE {body}"
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want)), body
+    # round 13: the TOP-K attach rides the same invariant — `k` is
+    # unique in this world, so the LIMIT set is deterministic
+    direction = data.draw(st.sampled_from(["ASC", "DESC"]))
+    n = data.draw(st.integers(1, 40))
+    tk = f"WHERE {body} ORDER BY k {direction} LIMIT {n}"
+    got2 = execute_sql(
+        spark, f"SELECT k, v FROM pw {tk}", _prune_world
+    ).collect()
+    want2 = spark.sql(f"SELECT k, v FROM pw_plain {tk}").collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want2)), tk
 
 
 # ---------------------------------------------------------------------------
@@ -1186,7 +1200,12 @@ def test_partition_metadata_answers_match_plain(
     )
     sel = data.draw(
         st.sampled_from(
-            ["COUNT(*) AS n", "COUNT(*) AS n, MIN(k) AS lo", "k"]
+            [
+                "COUNT(*) AS n",
+                "COUNT(*) AS n, MIN(k) AS lo",
+                "SUM(k) AS sk, AVG(k) AS ak",  # round-13 hybrid fold
+                "k",
+            ]
         )
     )
     got = execute_sql(
@@ -1211,6 +1230,17 @@ def test_partition_metadata_answers_match_plain(
     ).collect()
     want2 = spark.sql(shape.format("pwp_plain")).collect()
     assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
+    # round 13: the grouped HYBRID — the same random WHERE under a
+    # partition GROUP BY with COUNT/SUM/MIN must also never move
+    grouped = (
+        "SELECT DAY(ts) AS d, COUNT(*) AS n, SUM(k) AS sk, "
+        "MIN(k) AS lo FROM {} WHERE " + body + " GROUP BY DAY(ts)"
+    )
+    got3 = execute_sql(
+        spark, grouped.format("pwp"), _partition_world
+    ).collect()
+    want3 = spark.sql(grouped.format("pwp_plain")).collect()
+    assert sorted(map(tuple, got3)) == sorted(map(tuple, want3)), body
 
 
 # ---------------------------------------------------------------------------
