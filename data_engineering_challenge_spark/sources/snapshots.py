@@ -5496,11 +5496,19 @@ def attach_snapshot_view(
         # exists to avoid; any stat-identity change misses the cache
         # and re-reads.
         sig = (st.st_ino, st.st_mtime_ns, st.st_size)
-        ukey = (root, version)
-        cached = _MANIFEST_UUID_CACHE.get(ukey)
-        if cached is None or cached[0] != sig:
-            cached = (sig, _read_manifest_meta(root, version).get("uuid"))
-            _MANIFEST_UUID_CACHE[ukey] = cached
+        # keyed by ROOT alone (review, round 13): only the version
+        # being attached is ever re-queried, and a per-(root, version)
+        # key would grow one entry per commit forever in a long-lived
+        # driver — superseded versions, expired snapshots, deleted
+        # temp roots.  One entry per root; a version or stat-identity
+        # change misses and re-reads.
+        cached = _MANIFEST_UUID_CACHE.get(root)
+        if cached is None or cached[0] != (version, sig):
+            cached = (
+                (version, sig),
+                _read_manifest_meta(root, version).get("uuid"),
+            )
+            _MANIFEST_UUID_CACHE[root] = cached
         ident = sig + (cached[1],)
     except (OSError, ValueError):
         ident = None
@@ -7962,6 +7970,22 @@ def snapshot_stats_agg(
     return spark.createDataFrame([tuple(vals)], ", ".join(fields))
 
 
+def _fold_sum(cur: tuple, sv) -> tuple:
+    """Fold one ``(sum, n_nonnull)`` contribution into an accumulator
+    pair — the ONE place NULL-sum semantics live (review, round 13):
+    the running sum stays None until the first non-null contribution,
+    exactly as Spark's SUM returns NULL over zero non-null values;
+    values coerce through int() so recorded JSON numerics and
+    boundary-scan Decimals fold in arbitrary precision."""
+    s0, n0 = cur
+    return (
+        (int(sv[0]) if s0 is None else s0 + int(sv[0]))
+        if int(sv[1]) > 0
+        else s0,
+        n0 + int(sv[1]),
+    )
+
+
 def _stats_agg_values(
     root: str,
     cols: list[str],
@@ -8136,13 +8160,7 @@ def _stats_sums_values(
                     "stats_cols=[...] (integral columns only) to "
                     "enable metadata SUM/AVG"
                 )
-            s0, n0 = out[c]
-            out[c] = (
-                (int(sv[0]) if s0 is None else s0 + int(sv[0]))
-                if int(sv[1]) > 0
-                else s0,
-                n0 + int(sv[1]),
-            )
+            out[c] = _fold_sum(out[c], sv)
     return n_rows, out
 
 
@@ -8239,13 +8257,7 @@ def snapshot_partition_sums(
                     f"column {c!r} in {f} — recommit/compact with "
                     "stats_cols=[...] to enable metadata SUM/AVG"
                 )
-            s0, n0 = out[c]
-            out[c] = (
-                (int(sv[0]) if s0 is None else s0 + int(sv[0]))
-                if int(sv[1]) > 0
-                else s0,
-                n0 + int(sv[1]),
-            )
+            out[c] = _fold_sum(out[c], sv)
     return total, out
 
 
@@ -8364,6 +8376,62 @@ def snapshot_partition_count(
         if all(rec[n] in s for n, s in want.items()):
             total += int(r)
     return total
+
+
+def _classify_range_file(
+    bounds: dict,
+    partition_eq: dict | None,
+    fstats: dict,
+    fnulls: dict,
+    rec_all: dict,
+) -> tuple[str, list[int]]:
+    """The ONE per-file EXCLUDED / INTERIOR / boundary walk shared by
+    every hybrid metadata path (review, round 13 — previously three
+    hand-kept copies): ``('excluded', [])`` when a recorded partition
+    value mismatches an equality or the file's whole [min, max] for
+    some claimed column lies outside its window (every row provably
+    fails the claim); ``('interior', pred_null_counts)`` when every
+    claimed column's span lies wholly INSIDE its window and every
+    partition equality matches — so every row satisfies every claim
+    EXCEPT rows that are NULL in a predicate column, whose per-column
+    recorded counts are returned for the caller to subtract or gate
+    on; ``('boundary', ...)`` for anything weaker (missing or
+    cross-typed stats, straddling spans, an absent partition value,
+    an unknown null count).  Callers layer their own trust gates
+    (extremes/sums/temporal) on top and demote interior to boundary
+    as needed — the soundness of excluded/interior itself lives
+    here."""
+    interior = True
+    for pn, pv in (partition_eq or {}).items():
+        rec = rec_all.get(pn, "__ABSENT__")
+        if rec == "__ABSENT__":
+            interior = False  # mixed lineage: the boundary scan
+            # re-applies the semantic transform predicate
+        elif rec != str(pv):
+            return "excluded", []  # every row shares the file's value
+    null_cols: list[int] = []
+    for c, (lo, lo_s, hi, hi_s) in (bounds or {}).items():
+        st = fstats.get(c)
+        b = lo if lo is not None else hi
+        slo = _typed_stat(st[0], b) if st is not None else None
+        shi = _typed_stat(st[1], b) if st is not None else None
+        if slo is None or shi is None:
+            interior = False  # no evidence: boundary, not excluded
+            continue
+        if hi is not None and (slo > hi or (hi_s and slo >= hi)):
+            return "excluded", []  # every value ABOVE the window
+        if lo is not None and (shi < lo or (lo_s and shi <= lo)):
+            return "excluded", []  # every value BELOW the window
+        if lo is not None and not (slo > lo or (not lo_s and slo >= lo)):
+            interior = False
+        if hi is not None and not (shi < hi or (not hi_s and shi <= hi)):
+            interior = False
+        n = fnulls.get(c)
+        if n is None:
+            interior = False  # null presence unknown: boundary
+        elif n > 0:
+            null_cols.append(int(n))
+    return ("interior" if interior else "boundary"), null_cols
 
 
 def _typed_stat(v, bound):
@@ -8605,48 +8673,12 @@ def snapshot_range_agg_values(
             continue
         fstats = stats.get(f) or {}
         fnulls = nulls.get(f) or {}
-        interior = True
-        excluded = False
-        null_cols: list[int] = []
-        for pn, pv in (partition_eq or {}).items():
-            rec = (pvals.get(f) or {}).get(pn, "__ABSENT__")
-            if rec == "__ABSENT__":
-                interior = False  # mixed lineage: the boundary scan
-                # re-applies the semantic transform predicate
-            elif rec != str(pv):
-                excluded = True  # every row shares the file's value
-                break
-        if excluded:
+        status, null_cols = _classify_range_file(
+            bounds, partition_eq, fstats, fnulls, pvals.get(f) or {}
+        )
+        if status == "excluded":
             continue
-        for c, (lo, lo_s, hi, hi_s) in bounds.items():
-            st = fstats.get(c)
-            b = lo if lo is not None else hi
-            slo = _typed_stat(st[0], b) if st is not None else None
-            shi = _typed_stat(st[1], b) if st is not None else None
-            if slo is None or shi is None:
-                interior = False  # no evidence: boundary, not excluded
-                continue
-            if hi is not None and (slo > hi or (hi_s and slo >= hi)):
-                excluded = True  # every value ABOVE the window
-                break
-            if lo is not None and (shi < lo or (lo_s and shi <= lo)):
-                excluded = True  # every value BELOW the window
-                break
-            if lo is not None and not (
-                slo > lo or (not lo_s and slo >= lo)
-            ):
-                interior = False
-            if hi is not None and not (
-                shi < hi or (not hi_s and shi <= hi)
-            ):
-                interior = False
-            n = fnulls.get(c)
-            if n is None:
-                interior = False  # null presence unknown: boundary
-            elif n > 0:
-                null_cols.append(int(n))
-        if excluded:
-            continue
+        interior = status == "interior"
         if interior and sum_cols:
             # sums: every pred column must be null-free here (a
             # filtered-out NULL-pred row's value rides inside the
@@ -8705,13 +8737,7 @@ def snapshot_range_agg_values(
                 fsums = sums_rec.get(f) or {}
                 for c in sum_cols:
                     sv = fsums[c]
-                    s0, n0 = sums_out[c]
-                    sums_out[c] = (
-                        (int(sv[0]) if s0 is None else s0 + int(sv[0]))
-                        if int(sv[1]) > 0
-                        else s0,
-                        n0 + int(sv[1]),
-                    )
+                    sums_out[c] = _fold_sum(sums_out[c], sv)
         else:
             boundary.append(f)
     if boundary:
@@ -8768,10 +8794,7 @@ def snapshot_range_agg_values(
         for i, c in enumerate(sum_cols):
             bs, bn = row[f"__s{i}"], int(row[f"__sn{i}"] or 0)
             if bn > 0:
-                s0, n0 = sums_out[c]
-                sums_out[c] = (
-                    int(bs) if s0 is None else s0 + int(bs), n0 + bn
-                )
+                sums_out[c] = _fold_sum(sums_out[c], (bs, bn))
     if want_sums:
         return total, extremes, sums_out
     return total, extremes
@@ -8894,48 +8917,14 @@ def snapshot_group_range_agg(
         fnulls = nulls.get(f) or {}
         rec_all = pvals.get(f) or {}
         gval = rec_all.get(pname, "__ABSENT__")
-        interior = gval != "__ABSENT__"  # no group value: the scan
-        # computes this file's groups from its rows
-        excluded = False
-        null_cols: list[int] = []
-        for n, pv in (partition_eq or {}).items():
-            rec = rec_all.get(n, "__ABSENT__")
-            if rec == "__ABSENT__":
-                interior = False
-            elif rec != str(pv):
-                excluded = True
-                break
-        if excluded:
+        status, null_cols = _classify_range_file(
+            bounds, partition_eq, fstats, fnulls, rec_all
+        )
+        if status == "excluded":
             continue
-        for c, (lo, lo_s, hi, hi_s) in (bounds or {}).items():
-            st = fstats.get(c)
-            b = lo if lo is not None else hi
-            slo = _typed_stat(st[0], b) if st is not None else None
-            shi = _typed_stat(st[1], b) if st is not None else None
-            if slo is None or shi is None:
-                interior = False
-                continue
-            if hi is not None and (slo > hi or (hi_s and slo >= hi)):
-                excluded = True
-                break
-            if lo is not None and (shi < lo or (lo_s and shi <= lo)):
-                excluded = True
-                break
-            if lo is not None and not (
-                slo > lo or (not lo_s and slo >= lo)
-            ):
-                interior = False
-            if hi is not None and not (
-                shi < hi or (not hi_s and shi <= hi)
-            ):
-                interior = False
-            n = fnulls.get(c)
-            if n is None:
-                interior = False
-            elif n > 0:
-                null_cols.append(int(n))
-        if excluded:
-            continue
+        # no recorded group value: the scan computes this file's
+        # groups from its rows
+        interior = status == "interior" and gval != "__ABSENT__"
         if interior and sum_cols:
             if null_cols:
                 interior = False
@@ -8980,13 +8969,7 @@ def snapshot_group_range_agg(
                 fsums = sums_rec.get(f) or {}
                 for c in sum_cols:
                     sv = fsums[c]
-                    s0, n0 = g[2][c]
-                    g[2][c] = (
-                        (int(sv[0]) if s0 is None else s0 + int(sv[0]))
-                        if int(sv[1]) > 0
-                        else s0,
-                        n0 + int(sv[1]),
-                    )
+                    g[2][c] = _fold_sum(g[2][c], sv)
         else:
             boundary.append(f)
     if boundary:
@@ -9042,11 +9025,7 @@ def snapshot_group_range_agg(
             for i, c in enumerate(sum_cols):
                 bs, bn = row[f"__s{i}"], int(row[f"__sn{i}"] or 0)
                 if bn > 0:
-                    s0, n0 = g[2][c]
-                    g[2][c] = (
-                        int(bs) if s0 is None else s0 + int(bs),
-                        n0 + bn,
-                    )
+                    g[2][c] = _fold_sum(g[2][c], (bs, bn))
     return {g: v for g, v in groups.items() if v[0] > 0}
 
 

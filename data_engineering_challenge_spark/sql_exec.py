@@ -1080,6 +1080,12 @@ def _pruned_attach(
     up = [t.upper() for t in toks]
     if any(k in up for k in ("UNION", "INTERSECT", "EXCEPT", "LATERAL")):
         return
+    if "IDENTIFIER" in up:
+        return  # IDENTIFIER('t') names a relation through a STRING
+        # (possibly computed) — invisible to the token-level
+        # once-only/occurrence accounting, so a second reference to a
+        # claimed table could silently read the pruned view (review,
+        # round 13; reproduced through a CTE unit)
     if _has_asof(up):
         return  # time travel: `_rewrite_time_travel` owns the
         # statement — pruning here would race the view rewrite
@@ -2621,13 +2627,7 @@ def _metadata_partition_group(
                         sv = fsums.get(c)
                         if sv is None:
                             return None  # no recorded sum: scan instead
-                        s0, n0 = cur[c]
-                        cur[c] = (
-                            (int(sv[0]) if s0 is None else s0 + int(sv[0]))
-                            if int(sv[1]) > 0
-                            else s0,
-                            n0 + int(sv[1]),
-                        )
+                        cur[c] = sn._fold_sum(cur[c], sv)
         if out_t == "string" and None in counts:
             # hive's path layout writes BOTH NULL and '' (and the
             # marker string itself) as __HIVE_DEFAULT_PARTITION__ —
@@ -2981,6 +2981,15 @@ def _ansi_bound(b, t: str | None, utc: bool):
     if b is None:
         return None  # open side — the caller keys failure on b itself
     if isinstance(b, _TemporalLit):
+        if b.kind == "date" and not re.fullmatch(
+            r"\d{4}-\d{2}-\d{2}", b.text
+        ):
+            # Spark TRUNCATES a DATE literal's trailing time (and
+            # accepts partial forms like '2024-01') — parsing the raw
+            # text as a timestamp would mint a TIGHTER bound than the
+            # statement evaluates and silently drop rows (review,
+            # round 13).  Non-strict spellings claim nothing.
+            return None
         if t == "date" and b.kind == "date":
             return _sql_temporal(b.text, "date")
         if t == "timestamp" and utc:
@@ -3760,47 +3769,13 @@ def _topk_attach(
             fstats = stats.get(f) or {}
             fnulls = nulls.get(f) or {}
             rec_all = pvals.get(f) or {}
-            interior = True
-            excluded = False
-            pred_nulls = 0
-            for pn, pv in partition_eq.items():
-                rec = rec_all.get(pn, "__ABSENT__")
-                if rec == "__ABSENT__":
-                    interior = False
-                elif rec != str(pv):
-                    excluded = True
-                    break
-            if excluded:
+            status, null_cols = sn._classify_range_file(
+                bounds, partition_eq, fstats, fnulls, rec_all
+            )
+            if status == "excluded":
                 continue
-            for c, (lo, lo_s, hi, hi_s) in bounds.items():
-                st = fstats.get(c)
-                b = lo if lo is not None else hi
-                slo = sn._typed_stat(st[0], b) if st is not None else None
-                shi = sn._typed_stat(st[1], b) if st is not None else None
-                if slo is None or shi is None:
-                    interior = False
-                    continue
-                if hi is not None and (slo > hi or (hi_s and slo >= hi)):
-                    excluded = True
-                    break
-                if lo is not None and (shi < lo or (lo_s and shi <= lo)):
-                    excluded = True
-                    break
-                if lo is not None and not (
-                    slo > lo or (not lo_s and slo >= lo)
-                ):
-                    interior = False
-                if hi is not None and not (
-                    shi < hi or (not hi_s and shi <= hi)
-                ):
-                    interior = False
-                n = fnulls.get(c)
-                if n is None:
-                    interior = False
-                else:
-                    pred_nulls += int(n)
-            if excluded:
-                continue
+            interior = status == "interior"
+            pred_nulls = sum(null_cols)
             st = fstats.get(key)
             olo = ohi = None
             if st is not None and sn._nan_free(st):

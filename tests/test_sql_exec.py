@@ -3448,3 +3448,61 @@ def test_topk_attach_pruning(spark, cdir):
     assert sorted(
         map(tuple, execute_sql(spark, s, cdir).collect())
     ) == sorted(map(tuple, spark.sql(s).collect()))
+
+
+def test_review_r13_date_literal_and_identifier(spark, cdir):
+    """Round-13 review regressions: (1) a DATE typed literal with a
+    trailing time component TRUNCATES in Spark (DATE '2024-01-25
+    10:00:00' is the 25th at midnight) — the claims machinery must
+    not mint a 10:00 bound, so results match real execution; (2)
+    IDENTIFIER('t') names a relation through a string, invisible to
+    the token-level once-only accounting — statement pruning must
+    bail entirely when the token appears."""
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE rdl (k BIGINT, ts TIMESTAMP)
+          CLUSTERED BY (ts) STATS BY (k, ts);
+        INSERT INTO rdl SELECT id, TIMESTAMP'2024-01-24 00:00:00'
+          + MAKE_INTERVAL(0, 0, 0, 0, 0, CAST(id AS INT), 0)
+          FROM RANGE(4000);
+        """,
+        cdir,
+    )
+    # rows span 2024-01-24 00:00 .. 2024-01-26 ~18:40; the literal's
+    # 10:00 must NOT become a bound (Spark truncates to midnight)
+    s = (
+        "SELECT COUNT(*) AS n FROM rdl "
+        "WHERE ts >= DATE '2024-01-25 10:00:00'"
+    )
+    got = execute_sql(spark, s, cdir)
+    exp = spark.sql(s)
+    assert _rows(got) == _rows(exp)
+    # the strict spelling still claims (sanity that the gate is
+    # narrow, not a blanket refusal)
+    s2 = "SELECT COUNT(*) AS n FROM rdl WHERE ts >= DATE '2024-01-25'"
+    assert _rows(execute_sql(spark, s2, cdir)) == _rows(spark.sql(s2))
+    # IDENTIFIER('t'): a second reference to a CTE-claimed table that
+    # the token scan cannot see — pruning must bail (correct rows)
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE ridf (k BIGINT, v BIGINT)
+          CLUSTERED BY (k) STATS BY (k);
+        INSERT INTO ridf SELECT id, id % 7 FROM RANGE(8000);
+        """,
+        cdir,
+    )
+    s3 = (
+        "WITH j AS (SELECT k FROM ridf WHERE k BETWEEN 100 AND 300) "
+        "SELECT (SELECT COUNT(*) FROM j) AS nj, COUNT(*) AS n "
+        "FROM IDENTIFIER('ridf')"
+    )
+    r = execute_sql(spark, s3, cdir).first()
+    assert (r["nj"], r["n"]) == (201, 8000)
+    entries = _attach(spark, cdir, s3)
+    assert _pruned_attach(spark, cdir, s3, entries) is None
