@@ -1529,6 +1529,90 @@ def q_sql_group_range_hybrid(
     return a.unionByName(b)
 
 
+@register(
+    "sql_count_distinct_partitions",
+    # the fold changes WHERE the count comes from (recorded values vs
+    # a scan), never the answer
+    """
+SELECT 'all' AS dim, CAST(COUNT(DISTINCT day(ts)) AS BIGINT) AS nd
+FROM events
+UNION ALL
+SELECT 'window' AS dim, CAST(COUNT(DISTINCT day(ts)) AS BIGINT) AS nd
+FROM events WHERE event_id >= 400
+""",
+)
+def q_sql_count_distinct_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``COUNT(DISTINCT <transform>)`` from the manifest (round 13 —
+    "how many days of data do we have?"): the distinct recorded
+    partition values counted driver-side, NULL excluded exactly as
+    Spark's COUNT DISTINCT; under a WHERE the grouped hybrid
+    classifies files first, so only groups with at least one
+    provably-matching row count (window-edge files take the one
+    grouped scan).  String-output transforms refuse when a NULL group
+    is recorded (hive's marker conflates NULL/''/the marker).  Build
+    shared with `sql_group_range_hybrid` (`_dash_catalog`)."""
+    from pyspark.sql import functions as F
+
+    from .sql_exec import execute_sql
+
+    cdir = _dash_catalog(spark, sf_dir)
+    a = execute_sql(
+        spark,
+        "SELECT COUNT(DISTINCT DAY(ts)) AS nd FROM dash_events",
+        cdir,
+    ).select(F.lit("all").alias("dim"), "nd")
+    b = execute_sql(
+        spark,
+        "SELECT COUNT(DISTINCT DAY(ts)) AS nd FROM dash_events "
+        "WHERE eid >= 400",
+        cdir,
+    ).select(F.lit("window").alias("dim"), "nd")
+    return a.unionByName(b)
+
+
+@register(
+    "sql_dashboard_tails",
+    # HAVING/ORDER/LIMIT post-process the folded result — the group
+    # key (day) is unique, so the HAVING+LIMIT row SET is
+    # deterministic on both engines
+    """
+SELECT * FROM (
+  SELECT day(ts) AS g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(event_id * 3) AS BIGINT) AS sv
+  FROM events WHERE event_id >= 400
+  GROUP BY day(ts) HAVING COUNT(*) >= 5
+  ORDER BY g DESC LIMIT 10
+)
+""",
+)
+def q_sql_dashboard_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL dashboard spelling on the grouped metadata hybrid
+    (round 13): ``… WHERE <range> GROUP BY day(ts) HAVING COUNT(*) >=
+    5 ORDER BY g DESC LIMIT 10`` — the WHERE classifies files
+    (interior groups fold unopened), and the HAVING / ORDER BY /
+    LIMIT tail post-processes the tiny folded result driver-side,
+    never touching data.  HAVING takes agg spellings or select
+    aliases with SQL's NULL-drops-the-group semantics; ORDER BY takes
+    the unique group key (expression, alias, or ordinal under Spark's
+    conf) or one agg reference with Spark's default null ordering;
+    LIMIT slices after the sort.  The reference renders dashboards by
+    scanning SQLite and sorting client-side; at 100 TB this is a
+    top-10-days panel from the manifest plus the window-edge files.
+    Build shared with `sql_group_range_hybrid` (`_dash_catalog`)."""
+    from .sql_exec import execute_sql
+
+    cdir = _dash_catalog(spark, sf_dir)
+    return execute_sql(
+        spark,
+        "SELECT DAY(ts) AS g, COUNT(*) AS n, SUM(v) AS sv "
+        "FROM dash_events WHERE eid >= 400 GROUP BY DAY(ts) "
+        "HAVING COUNT(*) >= 5 ORDER BY g DESC LIMIT 10",
+        cdir,
+    )
+
+
 def _dash_catalog(spark: SparkSession, sf_dir: str) -> str:
     """ONE day-partitioned events projection with integral metric
     columns (``dash_events``, PARTITIONED BY (DAY(ts)), STATS BY

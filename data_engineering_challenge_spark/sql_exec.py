@@ -2360,7 +2360,19 @@ def _metadata_partition_group(
     files take ONE grouped scan.  MIN/MAX select items are accepted
     and always route through the hybrid (their per-file stats need
     its NaN/null trust gates); SUM/AVG keep the integral-only and
-    wrap/2^53 refusals."""
+    wrap/2^53 refusals.
+
+    HAVING / ORDER BY / LIMIT tails (round 13) post-process the tiny
+    folded result, never data: HAVING conjuncts are ``<agg spelling
+    or select alias> <cmp> <numeric literal>`` (NULL agg values fail
+    the predicate, as SQL's three-valued logic drops them — aggs the
+    select list doesn't carry join the calculation set); ORDER BY
+    accepts the group key (expression / alias / ordinal-1 under
+    Spark's conf) — a total order, keys are unique — or one agg
+    reference with Spark's NULLS FIRST asc / LAST desc defaults (agg
+    ties permute rows; any order is a valid execution); LIMIT slices
+    after the sort.  Anything else in the tail falls back to the
+    scan."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -2397,6 +2409,13 @@ def _metadata_partition_group(
             # round 13: a WHERE routes to the grouped HYBRID below —
             # interior files fold, the window-edge files scan once
             where_i = k
+        elif (
+            depth == 0
+            and from_i is not None
+            and distinct
+            and up[k] in ("ORDER", "LIMIT")
+        ):
+            break  # DISTINCT tails parse after the table (round 13)
         elif depth == 0 and from_i is not None and up[k] in (
             "WHERE", "HAVING", "ORDER", "LIMIT", "OFFSET", "SORT",
             "DISTRIBUTE", "CLUSTER", "WINDOW", "UNION", "JOIN", ",",
@@ -2404,7 +2423,20 @@ def _metadata_partition_group(
             return None  # beyond the one-table GROUP BY shape
     if from_i is None:
         return None
-    if distinct:
+    having_toks: list[str] = []
+    order_toks: list[str] = []
+    limit_n: int | None = None
+    # COUNT(DISTINCT <transform>) with no GROUP BY (round 13 — "how
+    # many days do we have?"): the distinct recorded values, counted
+    cdist = (
+        not distinct
+        and grp_i is None
+        and from_i >= 6
+        and up[1] == "COUNT"
+        and toks[2] == "("
+        and up[3] == "DISTINCT"
+    )
+    if distinct or cdist:
         if grp_i is not None:
             return None  # DISTINCT ... GROUP BY: not this shape
         grp = None
@@ -2414,6 +2446,59 @@ def _metadata_partition_group(
         grp = toks[grp_i + 2 :]
         if not grp:
             return None
+        # trailing clauses (round 13): HAVING / ORDER BY / LIMIT in
+        # SQL's clause order — post-processed on the tiny folded
+        # result, never on data
+        tail_i: dict = {}
+        depth2 = 0
+        for i2, t2 in enumerate(grp):
+            if t2 == "(":
+                depth2 += 1
+            elif t2 == ")":
+                depth2 -= 1
+            elif depth2 == 0:
+                u2 = t2.upper()
+                if u2 in ("HAVING", "ORDER", "LIMIT"):
+                    if u2 in tail_i:
+                        return None
+                    tail_i[u2] = i2
+                elif u2 in (
+                    "SORT", "DISTRIBUTE", "CLUSTER", "WINDOW",
+                    "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+                ):
+                    return None
+        marks = sorted(tail_i.values())
+        if marks:
+            # clause order must be HAVING < ORDER < LIMIT
+            expect = [
+                tail_i[u]
+                for u in ("HAVING", "ORDER", "LIMIT")
+                if u in tail_i
+            ]
+            if expect != marks:
+                return None
+            ends = marks + [len(grp)]
+            if "HAVING" in tail_i:
+                k0 = tail_i["HAVING"]
+                having_toks = grp[k0 + 1 : ends[marks.index(k0) + 1]]
+                if not having_toks:
+                    return None
+            if "ORDER" in tail_i:
+                k0 = tail_i["ORDER"]
+                seg = grp[k0 + 1 : ends[marks.index(k0) + 1]]
+                if not seg or seg[0].upper() != "BY" or len(seg) < 2:
+                    return None
+                order_toks = seg[1:]
+            if "LIMIT" in tail_i:
+                k0 = tail_i["LIMIT"]
+                seg = grp[k0 + 1 : ends[marks.index(k0) + 1]]
+                v = _lit(seg[0]) if len(seg) == 1 else None
+                if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                    return None
+                limit_n = v
+            grp = grp[: marks[0]]
+            if not grp:
+                return None
     # select list: <expr> [AS a] [, COUNT ( * ) [AS b]]
     sel = toks[(2 if distinct else 1):from_i]
     items: list[list[str]] = [[]]
@@ -2429,7 +2514,7 @@ def _metadata_partition_group(
             items[-1].append(t)
     if any(not it for it in items):
         return None
-    if distinct:
+    if distinct or cdist:
         if len(items) != 1:
             return None
     elif len(items) < 2:
@@ -2445,6 +2530,19 @@ def _metadata_partition_group(
         return item, None
 
     expr_toks, expr_alias = _split_alias(items[0])
+    if cdist:
+        # COUNT ( DISTINCT <expr> ) [AS a] — unwrap to the inner expr
+        if (
+            len(expr_toks) < 5
+            or expr_toks[0].upper() != "COUNT"
+            or expr_toks[1] != "("
+            or expr_toks[2].upper() != "DISTINCT"
+            or expr_toks[-1] != ")"
+        ):
+            return None
+        expr_toks = expr_toks[3:-1]
+        if not expr_toks:
+            return None
     # trailing select items: COUNT(*) / SUM(col) / AVG(col) in any
     # combination (SUM/AVG added round 13 — they fold from the
     # per-file exact integral sums the write chokepoints record);
@@ -2467,23 +2565,147 @@ def _metadata_partition_group(
                 aggs.append((u0.lower(), it_toks[2].strip("`"), al))
             else:
                 return None
+    # HAVING conjuncts and an agg-valued ORDER key parse against the
+    # same agg spellings / select-item aliases (round 13); columns
+    # they reference but the select list doesn't join the calculation
+    # set below
+    alias_map = {
+        al.lower(): (k2, c2) for k2, c2, al in aggs if al
+    }
+
+    def _agg_ref(ts: list[str]):
+        if len(ts) == 1 and ts[0].lower() in alias_map:
+            return alias_map[ts[0].lower()]
+        u1 = ts[0].upper() if ts else ""
+        if u1 == "COUNT" and ts[1:] == ["(", "*", ")"]:
+            return ("count", None)
+        if (
+            u1 in ("SUM", "AVG", "MIN", "MAX")
+            and len(ts) == 4
+            and ts[1] == "("
+            and re.fullmatch(r"[A-Za-z_`][A-Za-z_0-9`]*", ts[2])
+            and ts[3] == ")"
+        ):
+            return (u1.lower(), ts[2].strip("`"))
+        return None
+
+    havings: list[tuple] = []  # (kind, col, op, literal)
+    for c in (
+        _split_conjuncts(having_toks) if having_toks else []
+    ):
+        if len(c) < 3 or c[-2] not in (
+            "=", ">=", ">", "<=", "<", "<>", "!=",
+        ):
+            return None
+        ref = _agg_ref(c[:-2])
+        v = _lit(c[-1])
+        if (
+            ref is None
+            or not isinstance(v, (int, float))
+            or isinstance(v, bool)
+        ):
+            return None
+        havings.append((*ref, c[-2], v))
+    order_key = None  # None | "group" | (kind, col)
+    order_desc = False
+    if order_toks:
+        ot = list(order_toks)
+        if ot and ot[-1].upper() in ("ASC", "DESC"):
+            order_desc = ot[-1].upper() == "DESC"
+            ot = ot[:-1]
+        if not ot:
+            return None
+        order_key = _agg_ref(ot) or ot  # raw tokens resolve to the
+        # group key below (needs quals); refusal happens there
+    elif limit_n is not None:
+        # LIMIT without ORDER BY: any k rows is a valid execution —
+        # this fast path returns the first k of the key-sorted fold
+        order_key = None
+    calc_aggs = list(aggs)
+    seen_refs = {(k2, c2) for k2, c2, _a in aggs}
+    for ref in [h[:2] for h in havings] + (
+        [order_key] if isinstance(order_key, tuple) else []
+    ):
+        if ref not in seen_refs:
+            seen_refs.add(ref)
+            calc_aggs.append((*ref, None))
     if entries is None:
         entries = cat.catalog_entries(catalog_dir)
     parsed = _parse_from_table(toks, up, from_i, entries)
     if parsed is None:
         return None
     name, e, t_alias, j = parsed
-    if j != (
-        len(toks)
-        if distinct
-        else (where_i if where_i is not None else grp_i)
-    ):
+    if distinct:
+        # ORDER BY <key> [ASC|DESC] [LIMIT n] / LIMIT n tails on the
+        # distinct values (round 13) — parsed here because for the
+        # DISTINCT shape they follow the table directly
+        if j < len(toks):
+            seg = toks[j:]
+            u0 = seg[0].upper()
+            if u0 == "ORDER":
+                if len(seg) < 3 or seg[1].upper() != "BY":
+                    return None
+                if len(seg) >= 2 and seg[-2].upper() == "LIMIT":
+                    v = _lit(seg[-1])
+                    if (
+                        not isinstance(v, int)
+                        or isinstance(v, bool)
+                        or v < 0
+                    ):
+                        return None
+                    limit_n = v
+                    seg = seg[:-2]
+                ot = seg[2:]
+                if ot and ot[-1].upper() in ("ASC", "DESC"):
+                    order_desc = ot[-1].upper() == "DESC"
+                    ot = ot[:-1]
+                if not ot:
+                    return None
+                order_key = ot
+            elif u0 == "LIMIT" and len(seg) == 2:
+                v = _lit(seg[1])
+                if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                    return None
+                limit_n = v
+            else:
+                return None  # unconsumed tokens after the table
+    elif cdist:
+        if j != (where_i if where_i is not None else len(toks)):
+            return None  # unconsumed tokens after the table
+    elif j != (where_i if where_i is not None else grp_i):
         return None  # unconsumed tokens after the table
     # an alias HIDES the bare name in Spark — accepting both would
     # answer statements Spark rejects (review, rounds 11+12)
     quals = {(t_alias or name).lower()}
     norm = _norm_tokens(expr_toks, quals)
-    norm_grp = norm if distinct else _norm_tokens(grp, quals)
+    norm_grp = (
+        norm if (distinct or cdist) else _norm_tokens(grp, quals)
+    )
+    if isinstance(order_key, list):
+        # raw ORDER tokens resolve to the GROUP KEY: by expression
+        # (grouped statements only — after DISTINCT, Spark resolves
+        # ORDER BY against the OUTPUT list and rejects the raw
+        # expression), by the select alias, or by ordinal 1 under
+        # Spark's conf
+        if not distinct and _norm_tokens(order_key, quals) == norm:
+            order_key = "group"
+        elif (
+            expr_alias is not None
+            and len(order_key) == 1
+            and order_key[0].lower() == expr_alias.lower()
+        ):
+            order_key = "group"
+        elif order_key == ["1"]:
+            if (
+                str(spark.conf.get("spark.sql.orderByOrdinal")).lower()
+                != "true"
+            ):
+                return None
+            order_key = "group"
+        else:
+            return None  # ordering by anything else: not this shape
+    if (distinct or cdist) and order_key not in (None, "group"):
+        return None  # DISTINCT orders by its one key only
     try:
         if norm_grp != norm:
             # alias/ordinal group spellings only under the confs that
@@ -2546,23 +2768,35 @@ def _metadata_partition_group(
         out_t = out_f.dataType.simpleString()
         if out_t not in (*_INTEGRAL, "string", "date"):
             return None  # hive strings round-trip these losslessly
+        cd_f = None
+        if cdist:
+            # the analyzed twin carries Spark's own default name AND
+            # field metadata (__autoGeneratedAlias) for
+            # COUNT(DISTINCT <expr>) — schema parity with execution;
+            # analysis only, nothing runs (spark.sql is lazy and the
+            # name is the attached temp view)
+            cd_f = spark.sql(
+                f"SELECT count(DISTINCT {' '.join(bare)}) FROM {name}"
+            ).schema[0]
         sum_cols: list[str] = []
         mm_cols: list[str] = []
         resolved: dict = {}
-        if any(k in ("sum", "avg", "min", "max") for k, _c, _a in aggs):
+        if any(
+            k in ("sum", "avg", "min", "max") for k, _c, _a in calc_aggs
+        ):
             if sn._read_manifest_meta(root, v_res).get("fields"):
                 return None  # evolution: sums/stats ride physical names
-            resolved = _resolve_agg_cols(spark, name, aggs, sdf=sdf)
+            resolved = _resolve_agg_cols(spark, name, calc_aggs, sdf=sdf)
             if resolved is None:
                 return None
             sum_cols = list(dict.fromkeys(
                 resolved[c].name
-                for k, c, _a in aggs
+                for k, c, _a in calc_aggs
                 if k in ("sum", "avg")
             ))
             mm_cols = list(dict.fromkeys(
                 resolved[c].name
-                for k, c, _a in aggs
+                for k, c, _a in calc_aggs
                 if k in ("min", "max")
             ))
         pmm: dict = {}
@@ -2648,42 +2882,102 @@ def _metadata_partition_group(
                 return _dt.date.fromisoformat(s)
             return s
 
-        if distinct:
+        if cdist:
+            # COUNT(DISTINCT <transform>) excludes NULL, exactly as
+            # Spark's; the hybrid branch above already dropped
+            # zero-count groups under any WHERE claims
+            rows = [(sum(1 for s in counts if s is not None),)]
+        elif distinct:
             rows = sorted(
                 ((_typed(s),) for s in counts),
                 key=lambda kv: (kv[0] is not None, kv[0]),
             )
+            if order_key == "group" and order_desc:
+                rows = list(reversed(rows))
+            if limit_n is not None:
+                rows = rows[:limit_n]
         else:
+            def _agg_val(kind, c2, s):
+                # one accessor for SELECT items, HAVING, and an
+                # agg-valued ORDER key — a fold Spark's accumulators
+                # would not reproduce refuses the whole statement
+                # (raise → outer except → None)
+                if kind == "count":
+                    return int(counts[s])
+                if kind in ("min", "max"):
+                    lo2, hi2 = pmm[s][resolved[c2].name]
+                    return lo2 if kind == "min" else hi2
+                sv, nn = psums[s][resolved[c2].name]
+                if kind == "sum":
+                    if sv is not None and not (
+                        -(1 << 63) <= sv < (1 << 63)
+                    ):
+                        raise ValueError("long SUM would wrap")
+                    return None if nn == 0 else int(sv)
+                # avg — see _sums_ok for the 2^53 argument
+                if sv is not None and (
+                    abs(sv) >= (1 << 53) or nn >= (1 << 53)
+                ):
+                    raise ValueError("AVG operand past 2^53")
+                return None if nn == 0 else sv / nn
+
+            def _having_ok(s) -> bool:
+                for kind, c2, op, v in havings:
+                    val = _agg_val(kind, c2, s)
+                    if val is None:
+                        return False  # a NULL predicate is not TRUE
+                    ok = {
+                        "=": val == v,
+                        "<>": val != v,
+                        "!=": val != v,
+                        ">=": val >= v,
+                        ">": val > v,
+                        "<=": val <= v,
+                        "<": val < v,
+                    }[op]
+                    if not ok:
+                        return False
+                return True
+
             rows = []
+            keys = []
             for tv, s in sorted(
                 ((_typed(s), s) for s in counts),
                 key=lambda kv: (kv[0] is not None, kv[0]),
             ):
-                row: list = [tv]
+                if havings and not _having_ok(s):
+                    continue
+                row = [tv]
                 for kind, c, _a in aggs:
-                    if kind == "count":
-                        row.append(int(counts[s]))
-                        continue
-                    if kind in ("min", "max"):
-                        lo, hi = pmm[s][resolved[c].name]
-                        row.append(lo if kind == "min" else hi)
-                        continue
-                    sv, nn = psums[s][resolved[c].name]
-                    if kind == "sum":
-                        if sv is not None and not (
-                            -(1 << 63) <= sv < (1 << 63)
-                        ):
-                            return None  # Spark's long acc would wrap
-                        row.append(None if nn == 0 else int(sv))
-                    else:  # avg — see _sums_ok for the 2^53 argument
-                        if sv is not None and (
-                            abs(sv) >= (1 << 53) or nn >= (1 << 53)
-                        ):
-                            return None
-                        row.append(None if nn == 0 else sv / nn)
+                    row.append(_agg_val(kind, c, s))
                 rows.append(tuple(row))
+                keys.append(s)
+            # ORDER BY / LIMIT on the folded result (round 13): group
+            # keys are UNIQUE so the key order is total; an agg ORDER
+            # key sorts NULLS FIRST asc / LAST desc exactly as Spark
+            # defaults (ties permute rows, any order being a valid
+            # execution)
+            if isinstance(order_key, tuple):
+                vals = [_agg_val(*order_key, s) for s in keys]
+                idx = sorted(
+                    range(len(rows)),
+                    key=lambda i: (vals[i] is not None, vals[i]),
+                    reverse=order_desc,
+                )
+                rows = [rows[i] for i in idx]
+            elif order_key == "group" and order_desc:
+                rows = list(reversed(rows))
+            if limit_n is not None:
+                rows = rows[:limit_n]
     except Exception:
         return None  # any refusal: the statement runs normally
+    if cdist:
+        f0 = (
+            T.StructField(expr_alias, T.LongType(), False)
+            if expr_alias is not None
+            else cd_f
+        )
+        return _local_rows(spark, rows, T.StructType([f0]))
     fields = [
         T.StructField(
             expr_alias or out_f.name, out_f.dataType, out_f.nullable

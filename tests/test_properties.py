@@ -1222,6 +1222,10 @@ def test_partition_metadata_answers_match_plain(
                 "SELECT DAY(ts) AS d, COUNT(*) AS n FROM {} "
                 "GROUP BY DAY(ts)",
                 "SELECT DISTINCT DAY(ts) AS d FROM {}",
+                # round 13: the DISTINCT family
+                "SELECT COUNT(DISTINCT DAY(ts)) AS nd FROM {}",
+                "SELECT DISTINCT DAY(ts) AS d FROM {} ORDER BY d "
+                "DESC LIMIT 3",
             ]
         )
     )
@@ -1231,16 +1235,35 @@ def test_partition_metadata_answers_match_plain(
     want2 = spark.sql(shape.format("pwp_plain")).collect()
     assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
     # round 13: the grouped HYBRID — the same random WHERE under a
-    # partition GROUP BY with COUNT/SUM/MIN must also never move
+    # partition GROUP BY with COUNT/SUM/MIN must also never move;
+    # a random HAVING/ORDER/LIMIT tail rides the folded result
+    tail = data.draw(
+        st.sampled_from([
+            "",
+            " HAVING COUNT(*) >= 20",
+            " ORDER BY d DESC",
+            " HAVING SUM(k) > 1000 ORDER BY d LIMIT 3",
+            " ORDER BY 1 LIMIT 2",
+        ])
+    )
     grouped = (
         "SELECT DAY(ts) AS d, COUNT(*) AS n, SUM(k) AS sk, "
         "MIN(k) AS lo FROM {} WHERE " + body + " GROUP BY DAY(ts)"
+        + tail
     )
     got3 = execute_sql(
         spark, grouped.format("pwp"), _partition_world
     ).collect()
     want3 = spark.sql(grouped.format("pwp_plain")).collect()
-    assert sorted(map(tuple, got3)) == sorted(map(tuple, want3)), body
+    if tail and ("LIMIT" in tail or "ORDER" in tail):
+        # group keys are unique: the ordered rows compare 1:1
+        assert [tuple(r) for r in got3] == [
+            tuple(r) for r in want3
+        ], (body, tail)
+    else:
+        assert sorted(map(tuple, got3)) == sorted(
+            map(tuple, want3)
+        ), (body, tail)
 
 
 # ---------------------------------------------------------------------------

@@ -3506,3 +3506,129 @@ def test_review_r13_date_literal_and_identifier(spark, cdir):
     assert (r["nj"], r["n"]) == (201, 8000)
     entries = _attach(spark, cdir, s3)
     assert _pruned_attach(spark, cdir, s3, entries) is None
+
+
+def test_metadata_group_tails(spark, cdir):
+    """HAVING / ORDER BY / LIMIT tails on the grouped metadata paths
+    (round 13 — the full dashboard spelling): evaluated on the tiny
+    folded result, never on data; ORDER-sensitive parity with real
+    execution (group keys are unique, so the order is total); HAVING
+    may reference aggs the select list doesn't carry; refusals
+    (ordering by a non-key expression, HAVING on a non-agg) fall back
+    to the scan."""
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_partition_group,
+    )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE gtl (k BIGINT, ts TIMESTAMP, v BIGINT)
+          PARTITIONED BY (DAY(ts) AS d) STATS BY (k, v);
+        INSERT INTO gtl SELECT id, TIMESTAMP'2024-01-01 00:00:00'
+          + MAKE_INTERVAL(0, 0, 0, CAST(id % 7 AS INT), 0, 0, 0),
+          id * 3 FROM RANGE(1000);
+        """,
+        cdir,
+    )
+    stmts = [
+        "SELECT DAY(ts) AS g, COUNT(*) AS n FROM gtl GROUP BY DAY(ts) "
+        "ORDER BY g",
+        "SELECT DAY(ts) AS g, COUNT(*) AS n FROM gtl GROUP BY DAY(ts) "
+        "ORDER BY DAY(ts) DESC LIMIT 3",
+        "SELECT DAY(ts) AS g, COUNT(*) AS n, SUM(v) AS s FROM gtl "
+        "GROUP BY DAY(ts) HAVING COUNT(*) > 143 ORDER BY g",
+        "SELECT DAY(ts) AS g, SUM(v) AS s FROM gtl GROUP BY DAY(ts) "
+        "HAVING SUM(v) >= 200000 AND COUNT(*) > 0 ORDER BY s DESC "
+        "LIMIT 2",
+        "SELECT DAY(ts) AS g, COUNT(*) AS n FROM gtl WHERE k >= 100 "
+        "GROUP BY DAY(ts) HAVING COUNT(*) >= 120 ORDER BY 1 LIMIT 4",
+        "SELECT DAY(ts) AS g, AVG(v) AS a FROM gtl GROUP BY DAY(ts) "
+        "HAVING MAX(v) < 2900 ORDER BY g",
+    ]
+    for s in stmts:
+        got = execute_sql(spark, s, cdir)
+        exp = spark.sql(s)
+        assert got.schema == exp.schema, s
+        # ORDER-SENSITIVE compare: the fast path must emit Spark's order
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in exp.collect()
+        ], s
+        entries = _attach(spark, cdir, s)
+        assert _metadata_partition_group(
+            spark, cdir, s, entries
+        ) is not None, s
+    # refusals fall back with identical rows
+    for s in (
+        # ordering by a non-key, non-agg expression
+        "SELECT DAY(ts) AS g, COUNT(*) AS n FROM gtl GROUP BY DAY(ts) "
+        "ORDER BY g + 1",
+        # HAVING on a non-agg expression
+        "SELECT DAY(ts) AS g, COUNT(*) AS n FROM gtl GROUP BY DAY(ts) "
+        "HAVING g > 2",
+    ):
+        entries = _attach(spark, cdir, s)
+        assert _metadata_partition_group(spark, cdir, s, entries) is None
+        assert _rows(execute_sql(spark, s, cdir)) == _rows(spark.sql(s))
+
+
+def test_metadata_distinct_family(spark, cdir):
+    """COUNT(DISTINCT <transform>) and ORDER BY/LIMIT on DISTINCT
+    values (round 13): both answer from recorded partition values —
+    COUNT DISTINCT excludes the NULL group exactly as Spark, composes
+    with WHERE through the grouped hybrid, and is schema-identical
+    including Spark's auto-generated-alias metadata; DISTINCT tails
+    are order-sensitive (values unique); an ORDER BY the raw
+    expression after DISTINCT is REJECTED by Spark (it resolves
+    against the output list) and must not be fast-answered."""
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_partition_group,
+    )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE gdf (k BIGINT, ts TIMESTAMP)
+          PARTITIONED BY (DAY(ts) AS d) STATS BY (k);
+        INSERT INTO gdf SELECT id, CASE WHEN id = 0 THEN NULL ELSE
+          TIMESTAMP'2024-01-01 00:00:00'
+          + MAKE_INTERVAL(0, 0, 0, CAST(id % 7 AS INT), 0, 0, 0) END
+          FROM RANGE(1000);
+        """,
+        cdir,
+    )
+    for s, ordered in (
+        ("SELECT COUNT(DISTINCT DAY(ts)) FROM gdf", False),
+        ("SELECT COUNT(DISTINCT DAY(ts)) AS nd FROM gdf", False),
+        (
+            "SELECT COUNT(DISTINCT DAY(ts)) AS nd FROM gdf "
+            "WHERE k >= 500",
+            False,
+        ),
+        (
+            "SELECT DISTINCT DAY(ts) AS g FROM gdf ORDER BY g DESC "
+            "LIMIT 3",
+            True,
+        ),
+        ("SELECT DISTINCT DAY(ts) AS g FROM gdf ORDER BY 1", True),
+    ):
+        got = execute_sql(spark, s, cdir)
+        exp = spark.sql(s)
+        assert got.schema == exp.schema, s
+        gr = [tuple(r) for r in got.collect()]
+        er = [tuple(r) for r in exp.collect()]
+        if ordered:
+            assert gr == er, s
+        else:
+            assert sorted(gr) == sorted(er), s
+        entries = _attach(spark, cdir, s)
+        assert _metadata_partition_group(
+            spark, cdir, s, entries
+        ) is not None, s
+    # Spark REJECTS ORDER BY the raw expression after DISTINCT — the
+    # fast path must not answer what execution rejects
+    s = "SELECT DISTINCT DAY(ts) AS g FROM gdf ORDER BY DAY(ts)"
+    entries = _attach(spark, cdir, s)
+    assert _metadata_partition_group(spark, cdir, s, entries) is None
+    with pytest.raises(Exception):
+        execute_sql(spark, s, cdir).collect()
