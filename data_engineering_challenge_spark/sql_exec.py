@@ -2549,33 +2549,10 @@ def _metadata_partition_group(
     # MIN/MAX (round 13) route through the grouped HYBRID, which
     # folds per-file stats under the NaN/null trust gates
     aggs: list[tuple] = []
-    if not distinct:
-        for it in items[1:]:
-            it_toks, al = _split_alias(it)
-            u0 = it_toks[0].upper() if it_toks else ""
-            if u0 == "COUNT" and it_toks[1:] == ["(", "*", ")"]:
-                aggs.append(("count", None, al))
-            elif (
-                u0 in ("SUM", "AVG", "MIN", "MAX")
-                and len(it_toks) == 4
-                and it_toks[1] == "("
-                and re.fullmatch(r"[A-Za-z_`][A-Za-z_0-9`]*", it_toks[2])
-                and it_toks[3] == ")"
-            ):
-                aggs.append((u0.lower(), it_toks[2].strip("`"), al))
-            else:
-                return None
-    # HAVING conjuncts and an agg-valued ORDER key parse against the
-    # same agg spellings / select-item aliases (round 13); columns
-    # they reference but the select list doesn't join the calculation
-    # set below
-    alias_map = {
-        al.lower(): (k2, c2) for k2, c2, al in aggs if al
-    }
 
-    def _agg_ref(ts: list[str]):
-        if len(ts) == 1 and ts[0].lower() in alias_map:
-            return alias_map[ts[0].lower()]
+    def _parse_agg_call(ts: list[str]):
+        # ONE agg-call parser for select items, HAVING, and the ORDER
+        # key (review, round 13): COUNT ( * ) | KIND ( col )
         u1 = ts[0].upper() if ts else ""
         if u1 == "COUNT" and ts[1:] == ["(", "*", ")"]:
             return ("count", None)
@@ -2589,38 +2566,79 @@ def _metadata_partition_group(
             return (u1.lower(), ts[2].strip("`"))
         return None
 
-    havings: list[tuple] = []  # (kind, col, op, literal)
-    for c in (
-        _split_conjuncts(having_toks) if having_toks else []
-    ):
-        if len(c) < 3 or c[-2] not in (
-            "=", ">=", ">", "<=", "<", "<>", "!=",
-        ):
-            return None
-        ref = _agg_ref(c[:-2])
-        v = _lit(c[-1])
-        if (
-            ref is None
-            or not isinstance(v, (int, float))
-            or isinstance(v, bool)
-        ):
-            return None
-        havings.append((*ref, c[-2], v))
-    order_key = None  # None | "group" | (kind, col)
-    order_desc = False
-    if order_toks:
-        ot = list(order_toks)
-        if ot and ot[-1].upper() in ("ASC", "DESC"):
-            order_desc = ot[-1].upper() == "DESC"
-            ot = ot[:-1]
-        if not ot:
-            return None
-        order_key = _agg_ref(ot) or ot  # raw tokens resolve to the
-        # group key below (needs quals); refusal happens there
-    elif limit_n is not None:
-        # LIMIT without ORDER BY: any k rows is a valid execution —
-        # this fast path returns the first k of the key-sorted fold
-        order_key = None
+    if not distinct:
+        for it in items[1:]:
+            it_toks, al = _split_alias(it)
+            call = _parse_agg_call(it_toks)
+            if call is None:
+                return None
+            aggs.append((*call, al))
+    # HAVING conjuncts and an agg-valued ORDER key parse against the
+    # same agg spellings / select-item aliases (round 13); columns
+    # they reference but the select list doesn't join the calculation
+    # set below.  Alias matching follows spark.sql.caseSensitive, and
+    # a DUPLICATED alias refuses on reference (Spark raises
+    # AMBIGUOUS_REFERENCE) — review, round 13.
+    case_sensitive = (
+        str(spark.conf.get("spark.sql.caseSensitive")).lower() == "true"
+    )
+
+    def _fold_name(a: str | None):
+        return a if (a is None or case_sensitive) else a.lower()
+
+    alias_map: dict = {}
+    dup_aliases: set = set()
+    for k2, c2, al in aggs:
+        if al is None:
+            continue
+        key2 = _fold_name(al)
+        if key2 in alias_map or key2 == _fold_name(expr_alias):
+            dup_aliases.add(key2)
+        alias_map[key2] = (k2, c2)
+
+    def _agg_ref(ts: list[str]):
+        if len(ts) == 1:
+            key2 = _fold_name(ts[0])
+            if key2 in dup_aliases:
+                raise ValueError("ambiguous alias reference")
+            if key2 in alias_map:
+                return alias_map[key2]
+        return _parse_agg_call(ts)
+
+    try:
+        having_conjs = (
+            _split_conjuncts(having_toks) if having_toks else []
+        )
+        if having_conjs is None:
+            return None  # OR / unsplittable HAVING: the scan answers
+        havings: list[tuple] = []  # (kind, col, op, literal)
+        for c in having_conjs:
+            if len(c) < 3 or c[-2] not in (
+                "=", ">=", ">", "<=", "<", "<>", "!=",
+            ):
+                return None
+            ref = _agg_ref(c[:-2])
+            v = _lit(c[-1])
+            if (
+                ref is None
+                or not isinstance(v, (int, float))
+                or isinstance(v, bool)
+            ):
+                return None
+            havings.append((*ref, c[-2], v))
+        order_key = None  # None | "group" | (kind, col)
+        order_desc = False
+        if order_toks:
+            ot = list(order_toks)
+            if ot and ot[-1].upper() in ("ASC", "DESC"):
+                order_desc = ot[-1].upper() == "DESC"
+                ot = ot[:-1]
+            if not ot:
+                return None
+            order_key = _agg_ref(ot) or ot  # raw tokens resolve to
+            # the group key below (needs quals); refusal happens there
+    except ValueError:
+        return None  # ambiguous alias: real execution rejects it
     calc_aggs = list(aggs)
     seen_refs = {(k2, c2) for k2, c2, _a in aggs}
     for ref in [h[:2] for h in havings] + (
@@ -2692,7 +2710,7 @@ def _metadata_partition_group(
         elif (
             expr_alias is not None
             and len(order_key) == 1
-            and order_key[0].lower() == expr_alias.lower()
+            and _fold_name(order_key[0]) == _fold_name(expr_alias)
         ):
             order_key = "group"
         elif order_key == ["1"]:
@@ -2769,12 +2787,13 @@ def _metadata_partition_group(
         if out_t not in (*_INTEGRAL, "string", "date"):
             return None  # hive strings round-trip these losslessly
         cd_f = None
-        if cdist:
+        if cdist and expr_alias is None:
             # the analyzed twin carries Spark's own default name AND
             # field metadata (__autoGeneratedAlias) for
             # COUNT(DISTINCT <expr>) — schema parity with execution;
             # analysis only, nothing runs (spark.sql is lazy and the
-            # name is the attached temp view)
+            # name is the attached temp view); an ALIASED item builds
+            # its field directly (review, round 13)
             cd_f = spark.sql(
                 f"SELECT count(DISTINCT {' '.join(bare)}) FROM {name}"
             ).schema[0]
@@ -2830,7 +2849,7 @@ def _metadata_partition_group(
                 spark, root, pname, transforms[pname], bounds,
                 mm_cols, v_res, schema=sdf.schema,
                 partition_eq=partition_eq or None, sum_cols=sum_cols,
-                temporal_cols=_temporal_mm(aggs, resolved) or None,
+                temporal_cols=_temporal_mm(calc_aggs, resolved) or None,
             )
             counts = {g: v[0] for g, v in res.items()}
             pmm = {g: v[1] for g, v in res.items()}
@@ -2926,15 +2945,26 @@ def _metadata_partition_group(
                     val = _agg_val(kind, c2, s)
                     if val is None:
                         return False  # a NULL predicate is not TRUE
-                    ok = {
-                        "=": val == v,
-                        "<>": val != v,
-                        "!=": val != v,
-                        ">=": val >= v,
-                        ">": val > v,
-                        "<=": val <= v,
-                        "<": val < v,
-                    }[op]
+                    if isinstance(v, float) and isinstance(val, int):
+                        # Spark casts the integral side to DOUBLE —
+                        # Python's exact int-float compare diverges
+                        # past 2^53 (review, round 13)
+                        val = float(val)
+                    if isinstance(val, float) and val != val:
+                        # Spark orders NaN ABOVE every number (a
+                        # float-typed MAX can be NaN — boundary scans
+                        # carry exact Spark semantics into the fold)
+                        ok = op in (">", ">=", "<>", "!=")
+                    else:
+                        ok = {
+                            "=": val == v,
+                            "<>": val != v,
+                            "!=": val != v,
+                            ">=": val >= v,
+                            ">": val > v,
+                            "<=": val <= v,
+                            "<": val < v,
+                        }[op]
                     if not ok:
                         return False
                 return True
@@ -2959,10 +2989,20 @@ def _metadata_partition_group(
             # execution)
             if isinstance(order_key, tuple):
                 vals = [_agg_val(*order_key, s) for s in keys]
+
+                def _okey(i):
+                    # Spark's total order: NULLS FIRST asc / LAST
+                    # desc, and NaN above every number (review,
+                    # round 13)
+                    x = vals[i]
+                    if x is None:
+                        return (0, 0, 0)
+                    if isinstance(x, float) and x != x:
+                        return (1, 1, 0)
+                    return (1, 0, x)
+
                 idx = sorted(
-                    range(len(rows)),
-                    key=lambda i: (vals[i] is not None, vals[i]),
-                    reverse=order_desc,
+                    range(len(rows)), key=_okey, reverse=order_desc
                 )
                 rows = [rows[i] for i in idx]
             elif order_key == "group" and order_desc:

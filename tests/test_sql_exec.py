@@ -3632,3 +3632,111 @@ def test_metadata_distinct_family(spark, cdir):
     assert _metadata_partition_group(spark, cdir, s, entries) is None
     with pytest.raises(Exception):
         execute_sql(spark, s, cdir).collect()
+
+
+def test_review_r13_group_tail_semantics(spark, cdir):
+    """Round-13 review regressions on the grouped tails: an OR inside
+    HAVING falls back (no crash); NaN float aggs follow Spark's
+    NaN-is-greatest ordering in HAVING and agg-ORDER; a bigint agg
+    compared to a float literal casts to double first; duplicate
+    select aliases and case-sensitive alias misses refuse exactly
+    where Spark rejects; a temporal agg referenced only in ORDER BY
+    still folds interior files."""
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_partition_group,
+    )
+
+    def _nankey(rows):
+        return sorted(
+            tuple(
+                "NaN" if isinstance(x, float) and x != x else x
+                for x in r
+            )
+            for r in rows
+        )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE rvt (k BIGINT, ts TIMESTAMP, v BIGINT, x DOUBLE)
+          PARTITIONED BY (DAY(ts) AS d) STATS BY (k, v, x);
+        INSERT INTO rvt SELECT id, TIMESTAMP'2024-01-01 00:00:00'
+          + MAKE_INTERVAL(0, 0, 0, CAST(id % 5 AS INT), 0, 0, 0),
+          id * 3, CASE WHEN id = 77 THEN CAST('NaN' AS DOUBLE)
+          ELSE CAST(id AS DOUBLE) END FROM RANGE(500);
+        """,
+        cdir,
+    )
+    # OR in HAVING: no crash, scan answers
+    s = (
+        "SELECT DAY(ts) AS g, COUNT(*) AS n FROM rvt GROUP BY DAY(ts) "
+        "HAVING COUNT(*) > 5 OR COUNT(*) = 1"
+    )
+    assert _nankey(execute_sql(spark, s, cdir).collect()) == _nankey(
+        spark.sql(s).collect()
+    )
+    entries = _attach(spark, cdir, s)
+    assert _metadata_partition_group(spark, cdir, s, entries) is None
+    # NaN group survives HAVING > and sorts GREATEST, fast-answered
+    for s, ordered in (
+        (
+            "SELECT DAY(ts) AS g, MAX(x) AS mx FROM rvt "
+            "GROUP BY DAY(ts) HAVING MAX(x) > 400",
+            False,
+        ),
+        (
+            "SELECT DAY(ts) AS g, MAX(x) AS mx FROM rvt "
+            "GROUP BY DAY(ts) ORDER BY MAX(x) DESC LIMIT 2",
+            True,
+        ),
+        (
+            "SELECT DAY(ts) AS g, COUNT(*) AS n FROM rvt "
+            "GROUP BY DAY(ts) ORDER BY MAX(ts) DESC LIMIT 3",
+            True,
+        ),
+    ):
+        got = execute_sql(spark, s, cdir)
+        exp = spark.sql(s)
+        assert got.schema == exp.schema, s
+        if ordered:
+            assert [
+                tuple(
+                    "NaN" if isinstance(x, float) and x != x else x
+                    for x in r
+                )
+                for r in got.collect()
+            ] == [
+                tuple(
+                    "NaN" if isinstance(x, float) and x != x else x
+                    for x in r
+                )
+                for r in exp.collect()
+            ], s
+        else:
+            assert _nankey(got.collect()) == _nankey(exp.collect()), s
+        entries = _attach(spark, cdir, s)
+        assert _metadata_partition_group(
+            spark, cdir, s, entries
+        ) is not None, s
+    # duplicate alias: refuse where Spark raises AMBIGUOUS_REFERENCE
+    s = (
+        "SELECT DAY(ts) AS z, COUNT(*) AS z FROM rvt "
+        "GROUP BY DAY(ts) ORDER BY z"
+    )
+    entries = _attach(spark, cdir, s)
+    assert _metadata_partition_group(spark, cdir, s, entries) is None
+    with pytest.raises(Exception):
+        execute_sql(spark, s, cdir).collect()
+    # caseSensitive alias miss refuses
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        s = (
+            "SELECT DAY(ts) AS g, COUNT(*) AS n FROM rvt "
+            "GROUP BY DAY(ts) ORDER BY G"
+        )
+        entries = _attach(spark, cdir, s)
+        assert _metadata_partition_group(
+            spark, cdir, s, entries
+        ) is None
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", "false")
