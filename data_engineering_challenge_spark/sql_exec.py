@@ -1490,6 +1490,24 @@ def _select_unit_claims(
     ]
 
 
+def _strip_one_row_limit(
+    toks: list[str], up: list[str]
+) -> tuple[list[str], list[str]]:
+    """Strip an optional trailing ``;`` and a trailing ``LIMIT n``
+    with n >= 1 (round 13): on the ONE-ROW metadata aggregate shapes
+    a positive LIMIT is a no-op that BI tools append defensively —
+    without this, ``SELECT COUNT(*) FROM t LIMIT 1`` pays a scan.
+    ``LIMIT 0`` (an empty result) and non-literal forms stay in the
+    token stream, so the strict parsers bail to real execution."""
+    if toks and toks[-1] == ";":
+        toks, up = toks[:-1], up[:-1]
+    if len(toks) >= 2 and up[-2] == "LIMIT":
+        v = _lit(toks[-1])
+        if isinstance(v, int) and not isinstance(v, bool) and v >= 1:
+            return toks[:-2], up[:-2]
+    return toks, up
+
+
 def _metadata_count(
     spark: SparkSession,
     catalog_dir: str,
@@ -1511,8 +1529,7 @@ def _metadata_count(
     on 100 TB this path answers without opening a file."""
     toks = [t for t, _l, _h in _tokens(sql)]
     up = [t.upper() for t in toks]
-    if toks and toks[-1] == ";":
-        toks, up = toks[:-1], up[:-1]
+    toks, up = _strip_one_row_limit(toks, up)
     if (
         len(toks) < 7  # SELECT COUNT ( * ) FROM t — the bare form
         or up[0] != "SELECT"
@@ -1690,8 +1707,7 @@ def _metadata_partition_agg(
     normally (at worst file-pruned)."""
     toks = [t for t, _l, _h in _tokens(sql)]
     up = [t.upper() for t in toks]
-    if toks and toks[-1] == ";":
-        toks, up = toks[:-1], up[:-1]
+    toks, up = _strip_one_row_limit(toks, up)
     hdr = _parse_agg_items(toks, up)
     if hdr is None:
         return None
@@ -1968,8 +1984,7 @@ def _metadata_range_count(
         return None  # time travel: never a metadata answer
     toks = _collapse_typed_literals(toks)
     up = [t.upper() for t in toks]
-    if toks and toks[-1] == ";":
-        toks, up = toks[:-1], up[:-1]
+    toks, up = _strip_one_row_limit(toks, up)
     hdr = _parse_agg_items(toks, up)
     if hdr is None:
         return None
@@ -2087,8 +2102,7 @@ def _metadata_agg(
     refuses all of these loudly."""
     toks = [t for t, _l, _h in _tokens(sql)]
     up = [t.upper() for t in toks]
-    if toks and toks[-1] == ";":
-        toks, up = toks[:-1], up[:-1]
+    toks, up = _strip_one_row_limit(toks, up)
     hdr = _parse_agg_items(toks, up)
     if hdr is None:
         return None

@@ -3740,3 +3740,55 @@ def test_review_r13_group_tail_semantics(spark, cdir):
         ) is None
     finally:
         spark.conf.set("spark.sql.caseSensitive", "false")
+
+
+def test_one_row_limit_tolerance(spark, cdir):
+    """A trailing ``LIMIT n`` with n >= 1 is a no-op on the one-row
+    metadata aggregate shapes (round 13 — BI tools append it
+    defensively): COUNT/MIN/MAX/SUM/AVG statements keep their
+    metadata fast paths; ``LIMIT 0`` stays with the scan (empty
+    result); the multi-row grouped shape keeps its own LIMIT
+    semantics."""
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _metadata_agg, _metadata_count,
+        _metadata_range_count,
+    )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE lim (k BIGINT, ts TIMESTAMP, v BIGINT)
+          PARTITIONED BY (DAY(ts) AS d) CLUSTERED BY (k)
+          STATS BY (k, v);
+        INSERT INTO lim SELECT id, TIMESTAMP'2024-01-01 00:00:00'
+          + MAKE_INTERVAL(0, 0, 0, CAST(id % 5 AS INT), 0, 0, 0),
+          id * 3 FROM RANGE(1000);
+        """,
+        cdir,
+    )
+    for s, fn in (
+        ("SELECT COUNT(*) AS n FROM lim LIMIT 1", _metadata_count),
+        ("SELECT SUM(v) AS s, AVG(v) AS a FROM lim LIMIT 1;", _metadata_agg),
+        (
+            "SELECT COUNT(*) AS n, MAX(k) AS hi FROM lim "
+            "WHERE k >= 100 LIMIT 5",
+            _metadata_range_count,
+        ),
+    ):
+        got = execute_sql(spark, s, cdir)
+        exp = spark.sql(s.rstrip(";"))
+        assert got.schema == exp.schema, s
+        assert _rows(got) == _rows(exp), s
+        entries = _attach(spark, cdir, s)
+        assert fn(spark, cdir, s, entries) is not None, s
+    # LIMIT 0: empty result, no fast answer
+    s = "SELECT COUNT(*) AS n FROM lim LIMIT 0"
+    entries = _attach(spark, cdir, s)
+    assert _metadata_count(spark, cdir, s, entries) is None
+    assert execute_sql(spark, s, cdir).collect() == []
+    # the grouped shape keeps its own LIMIT (not stripped)
+    s = (
+        "SELECT DAY(ts) AS g, COUNT(*) AS n FROM lim "
+        "GROUP BY DAY(ts) LIMIT 2"
+    )
+    assert execute_sql(spark, s, cdir).count() == 2
