@@ -494,32 +494,50 @@ def _file_stats(
                 # STREAMED, never read_table (advice, round 13): a
                 # large float-keyed file (a GDPR-scale delete list, a
                 # wide append) must not pin its whole column set in
-                # driver memory — fold per-batch NaN counts and finite
-                # extremes instead; peak memory is one batch.
+                # driver memory — fold per-batch NaN counts instead;
+                # peak memory is one batch.  The first pass counts
+                # ONLY (advice, round 13 again): deriving finite
+                # extremes per batch costs invert/fill_null/filter/
+                # min_max on every batch of every float column even
+                # when there are zero NaNs and valid footer stats —
+                # the common case — so extremes are computed lazily
+                # in a SECOND streamed pass over just the columns
+                # that actually need them (NaN-poisoned footer fold:
+                # counts[c] > 0 and no footer entry survived).
                 counts = {c: 0 for c in fl}
-                fmin: dict = {}
-                fmax: dict = {}
                 pf = pq.ParquetFile(path)
                 for batch in pf.iter_batches(columns=fl):
                     for c in fl:
                         col = batch.column(batch.schema.get_field_index(c))
-                        nan_mask = pc.is_nan(col)
-                        counts[c] += int(pc.sum(nan_mask).as_py() or 0)
-                        finite = pc.filter(
-                            col, pc.fill_null(pc.invert(nan_mask), False)
+                        counts[c] += int(
+                            pc.sum(pc.is_nan(col)).as_py() or 0
                         )
-                        mm = pc.min_max(finite).as_py()
-                        if mm["min"] is not None:
-                            fmin[c] = (
-                                mm["min"]
-                                if c not in fmin
-                                else min(fmin[c], mm["min"])
+                fmin: dict = {}
+                fmax: dict = {}
+                need = [c for c in fl if counts[c] and c not in out]
+                if need:
+                    for batch in pf.iter_batches(columns=need):
+                        for c in need:
+                            col = batch.column(
+                                batch.schema.get_field_index(c)
                             )
-                            fmax[c] = (
-                                mm["max"]
-                                if c not in fmax
-                                else max(fmax[c], mm["max"])
+                            nan_mask = pc.is_nan(col)
+                            finite = pc.filter(
+                                col,
+                                pc.fill_null(pc.invert(nan_mask), False),
                             )
+                            mm = pc.min_max(finite).as_py()
+                            if mm["min"] is not None:
+                                fmin[c] = (
+                                    mm["min"]
+                                    if c not in fmin
+                                    else min(fmin[c], mm["min"])
+                                )
+                                fmax[c] = (
+                                    mm["max"]
+                                    if c not in fmax
+                                    else max(fmax[c], mm["max"])
+                                )
                 for c in fl:
                     n = counts[c]
                     if n and c not in out:
@@ -5415,11 +5433,17 @@ def read_snapshot_mor(
 #: changes the key and rebuilds).
 _ATTACH_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
-#: manifest-uuid cache for the attach memo: (root, version) ->
-#: ((ino, mtime_ns, size), uuid).  A manifest version is immutable,
-#: so the uuid only changes when the FILE identity does — the stat
-#: signature is re-checked on every attach and any mismatch re-reads.
+#: manifest-uuid cache for the attach memo: root ->
+#: ((version, stat signature), uuid).  A manifest version is
+#: immutable, so the uuid only changes when the FILE identity does —
+#: the stat signature is re-checked on every attach and any mismatch
+#: re-reads.  BOUNDED (advice, round 13): a long-lived driver that
+#: creates and deletes many temp roots must not leak one entry per
+#: dead root forever, so the dict is LRU-evicted at a modest cap —
+#: an evicted live root just re-reads one manifest header on its
+#: next attach.
 _MANIFEST_UUID_CACHE: dict = {}
+_MANIFEST_UUID_CACHE_CAP = 1024
 
 
 def attach_snapshot_view(
@@ -5502,13 +5526,19 @@ def attach_snapshot_view(
         # driver — superseded versions, expired snapshots, deleted
         # temp roots.  One entry per root; a version or stat-identity
         # change misses and re-reads.
-        cached = _MANIFEST_UUID_CACHE.get(root)
+        cached = _MANIFEST_UUID_CACHE.pop(root, None)
         if cached is None or cached[0] != (version, sig):
             cached = (
                 (version, sig),
                 _read_manifest_meta(root, version).get("uuid"),
             )
-            _MANIFEST_UUID_CACHE[root] = cached
+        # re-insert = move-to-end: python dicts iterate in insertion
+        # order, so evicting the FIRST key is LRU
+        _MANIFEST_UUID_CACHE[root] = cached
+        while len(_MANIFEST_UUID_CACHE) > _MANIFEST_UUID_CACHE_CAP:
+            _MANIFEST_UUID_CACHE.pop(
+                next(iter(_MANIFEST_UUID_CACHE))
+            )
         ident = sig + (cached[1],)
     except (OSError, ValueError):
         ident = None

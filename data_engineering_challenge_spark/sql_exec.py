@@ -4032,6 +4032,7 @@ def _topk_attach(
             sel_items.append([])
         else:
             sel_items[-1].append(t)
+    sel_aliases: list[tuple[str, str]] = []  # (alias, projected col)
     for it in sel_items:
         if it == ["*"] or (
             len(it) == 3 and it[1] == "." and it[2] == "*"
@@ -4039,14 +4040,19 @@ def _topk_attach(
         ):
             continue
         body = it
+        alias = None
         if (
             len(body) >= 3
             and body[-2].upper() == "AS"
             and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", body[-1])
         ):
+            alias = body[-1]
             body = body[:-2]
-        if _colref(body, quals) is None:
+        proj = _colref(body, quals)
+        if proj is None:
             return None
+        if alias is not None:
+            sel_aliases.append((alias, proj))
     # ORDER BY <colref> [ASC|DESC] LIMIT k
     tail = toks[order_i + 2 : -2]
     desc = False
@@ -4056,6 +4062,7 @@ def _topk_attach(
     order_col = _colref(tail, quals)
     if order_col is None:
         return None
+    order_unqualified = len(tail) == 1
     try:
         prior = spark.table(name)
     except Exception:
@@ -4065,6 +4072,24 @@ def _topk_attach(
             str(spark.conf.get("spark.sql.caseSensitive")).lower()
             == "true"
         )
+        # ALIAS SHADOWING (advice, round 13): Spark resolves an
+        # unqualified ORDER BY token against the select-list OUTPUT
+        # aliases before the table's columns, so for
+        # `SELECT a AS b FROM t ORDER BY b LIMIT k` on a table that
+        # also has a column `b`, Spark sorts by `a` while the
+        # threshold below would be computed on table column `b` —
+        # wrong rows, silently.  Decline whenever the unqualified
+        # order token equals any select alias, unless that alias
+        # projects the SAME bare column it names (folded per
+        # spark.sql.caseSensitive).  A qualified `t.b` always
+        # resolves to the table column in both engines.
+        if order_unqualified:
+            fold = (lambda s: s) if case_sensitive else str.lower
+            for alias, proj in sel_aliases:
+                if fold(alias) == fold(order_col) and (
+                    fold(proj) != fold(alias)
+                ):
+                    return None
         fld = _resolve_field(prior, order_col, case_sensitive)
         if fld is None:
             return None

@@ -3562,6 +3562,36 @@ def test_attach_memo_key_changes_on_inplace_mutation(spark, tmp_path):
     assert before != after  # os.replace mints a new inode
 
 
+def test_manifest_uuid_cache_lru_bounded(spark, tmp_path, monkeypatch):
+    """The manifest-uuid cache is LRU-BOUNDED (advice, round 13): a
+    long-lived driver creating and deleting many temp roots must not
+    leak one entry per dead root forever.  Eviction is correctness-
+    neutral — an evicted live root re-reads one manifest header on
+    its next attach and serves the same identity."""
+    monkeypatch.setattr(sn, "_MANIFEST_UUID_CACHE", {})
+    monkeypatch.setattr(sn, "_MANIFEST_UUID_CACHE_CAP", 3)
+    roots = []
+    for i in range(5):
+        root = str(tmp_path / f"t{i}")
+        sn.snapshot_overwrite(_df(spark, 0, 3 + i), root)
+        sn.attach_snapshot_view(spark, f"uuid_lru_t{i}", root)
+        roots.append(root)
+    assert len(sn._MANIFEST_UUID_CACHE) == 3
+    # insertion-ordered LRU: the three most recent roots survive
+    assert list(sn._MANIFEST_UUID_CACHE) == roots[2:]
+    # re-attaching an EVICTED root still answers correctly (re-read)
+    sn.attach_snapshot_view(spark, "uuid_lru_t0", roots[0])
+    assert spark.table("uuid_lru_t0").count() == 3
+    assert list(sn._MANIFEST_UUID_CACHE) == roots[3:] + [roots[0]]
+    # a cache HIT moves to the end (true LRU, not FIFO)
+    sn.attach_snapshot_view(spark, "uuid_lru_t3", roots[3])
+    assert list(sn._MANIFEST_UUID_CACHE) == [
+        roots[4], roots[0], roots[3]
+    ]
+    for i in range(5):
+        spark.catalog.dropTempView(f"uuid_lru_t{i}")
+
+
 def test_prunable_timestamp_write_conf_restored(spark, tmp_path):
     """The engine's INT64-micros write pin is scoped to the engine's
     own writes (advice, round 12): an externally-built session that

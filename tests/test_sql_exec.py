@@ -3410,6 +3410,29 @@ def test_topk_attach_pruning(spark, cdir):
         "SELECT k FROM tku WHERE v + 1 > 0 ORDER BY ts DESC LIMIT 10"
     )
     assert not fast
+    # ALIAS SHADOWING declines (advice, round 13): Spark resolves the
+    # unqualified ORDER BY token against the select-list alias (sorts
+    # by k), while the threshold would be computed on table column v —
+    # must decline, with row parity through the fallback path
+    s = "SELECT k AS v FROM tku ORDER BY v DESC LIMIT 5"
+    fast, _ = probe(s)
+    assert not fast
+    assert [tuple(r) for r in execute_sql(spark, s, cdir).collect()] \
+        == [tuple(r) for r in spark.sql(s).collect()]
+    # ...but a QUALIFIED order ref resolves to the table column in
+    # both engines even when an alias shadows the name (verified
+    # against Spark) — still prunes
+    s = "SELECT k AS ts, ts AS t2 FROM tku ORDER BY tku.ts DESC LIMIT 5"
+    fast, n_open = probe(s)
+    assert fast and n_open <= 3
+    assert sorted(
+        map(tuple, execute_sql(spark, s, cdir).collect())
+    ) == sorted(map(tuple, spark.sql(s).collect()))
+    # ...and a self-alias (SELECT ts AS ts ... ORDER BY ts) is the
+    # same column either way — still prunes
+    s = "SELECT ts AS ts FROM tku ORDER BY ts DESC LIMIT 5"
+    fast, n_open = probe(s)
+    assert fast and n_open <= 3
     # ASC with order-column NULLs declines (NULLS FIRST would lead
     # the output from files the threshold logic cannot rank)
     execute_sql_script(
