@@ -1119,9 +1119,19 @@ def _pruned_attach(
         units = [b for _c, b in ctes] + [main]
         if any("WITH" in {t.upper() for t in u} for u in units):
             return  # nested WITH: refuse wholesale
-    elif up.count("SELECT") != 1 or up.count("FROM") != 1:
-        return
-    multi = len(units) > 1
+    elif "SELECT" not in up or "FROM" not in up:
+        return  # per-unit SELECT/FROM counting moved into
+        # `_select_unit_claims` (round 14): a unit masks its
+        # subquery spans first, so `id IN (SELECT …)` no longer
+        # trips the single-SELECT guard
+    # a subquery anywhere means a relation can be scanned INSIDE a
+    # span: enforce the once-only rule (below) exactly as for CTE
+    # statements, over these UNMASKED tokens
+    has_subq = any(
+        t == "(" and k + 1 < len(up) and up[k + 1] in _SUBQ_OPENERS
+        for k, t in enumerate(toks)
+    )
+    multi = len(units) > 1 or has_subq
     merged: dict[str, tuple | None] = {}
     for u in units:
         res = _select_unit_claims(spark, u, entries, by_lower, cte_names)
@@ -1200,6 +1210,64 @@ def _split_cte_units(toks: list[str], up: list[str]):
     return ctes, main
 
 
+#: opaque replacement for a masked subquery span — contains characters
+#: no identifier/literal regex accepts, so every claim parser downstream
+#: fails on it and the containing conjunct contributes NO claims
+_SUBQ_MASK = "<subquery>"
+
+#: every token that can OPEN a subquery body right after ``(`` in Spark
+#: SQL: plain SELECT, ``TABLE t`` shorthand, a VALUES relation, a
+#: WITH-prefixed body, and the piped ``FROM t SELECT …`` spelling.  In
+#: a SELECT statement none of these can follow ``(`` in any other role,
+#: and masking a span that is NOT a subquery only refuses claims —
+#: conservative, never wrong rows.
+_SUBQ_OPENERS = frozenset(("SELECT", "TABLE", "VALUES", "WITH", "FROM"))
+
+
+def _mask_subquery_spans(toks: list[str], up: list[str]):
+    """Replace each depth-balanced parenthesized span whose first
+    token is a subquery opener (`_SUBQ_OPENERS`: SELECT, and the
+    TABLE/VALUES/WITH/FROM body forms — review, round 14: ``k IN
+    (TABLE t)`` is a subquery too, and an undetected span would skip
+    the once-only rule and serve the pruned view to the subquery's
+    scan) — an IN/EXISTS/scalar SUBQUERY — with the single
+    opaque token `_SUBQ_MASK`, returning ``(masked_toks, spans)`` with
+    ``spans`` the original interior token lists (round 14 — VERDICT
+    r13 'Next round #1': the most common BI spelling, ``WHERE ts >= X
+    AND id IN (SELECT …)``, previously kept the plain attach because
+    the single-SELECT unit guard saw two SELECTs).  The masked span is
+    exactly the `_split_conjuncts` residual story: the conjunct that
+    carries it fails every claim parser and claims nothing, while the
+    REMAINING conjuncts still claim soundly — the WHERE is conjunctive
+    over the join result, so every output row satisfies them
+    regardless of what the subquery computes.  ``None`` for an
+    unbalanced span (Spark rejects the statement anyway)."""
+    out: list[str] = []
+    spans: list[list[str]] = []
+    i, n = 0, len(toks)
+    while i < n:
+        if toks[i] == "(" and i + 1 < n and up[i + 1] in _SUBQ_OPENERS:
+            depth = 0
+            j = i
+            while j < n:
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:
+                return None
+            spans.append(toks[i + 1 : j])
+            out.append(_SUBQ_MASK)
+            i = j + 1
+            continue
+        out.append(toks[i])
+        i += 1
+    return out, spans
+
+
 def _relation_occurrences(toks: list[str], name_lower: str) -> int:
     """How many tokens could be a RELATION reference to ``name`` — any
     bare occurrence not followed by ``.`` (a qualifier use).  Counts a
@@ -1232,7 +1300,28 @@ def _select_unit_claims(
     never claimed, its qualifiers attribute nothing, and its UNKNOWN
     schema disables unqualified-column ownership and expression-led
     transform claims for the whole unit (either might resolve into the
-    CTE)."""
+    CTE).
+
+    SUBQUERY conjuncts (round 14 — VERDICT r13 'Next round #1'): each
+    ``( SELECT … )`` span is MASKED to one opaque token first, so
+    ``WHERE ts >= X AND id IN (SELECT …)`` claims the outer conjuncts
+    while the subquery conjunct claims nothing — sound because the
+    WHERE is conjunctive over the join result.  A span carrying a
+    CORRELATED qualifier (any outer table name, alias, or CTE
+    qualifier used as ``q.`` inside the span) refuses the whole unit:
+    conservative, the span's internal scoping is invisible to this
+    layer.  The caller additionally enforces the once-only relation
+    rule over the UNMASKED statement, so a table scanned both outside
+    and inside a span is never pruned (the one pruned view would
+    wrongly serve the subquery's scan)."""
+    # a fully parenthesized unit unwraps first (it would otherwise
+    # mask into one opaque span and refuse)
+    toks = _strip_span_parens(toks)
+    up = [t.upper() for t in toks]
+    masked = _mask_subquery_spans(toks, up)
+    if masked is None:
+        return None
+    toks, subq_spans = masked
     up = [t.upper() for t in toks]
     if up.count("SELECT") != 1 or up.count("FROM") != 1:
         return None
@@ -1406,6 +1495,20 @@ def _select_unit_claims(
     if cte_quals & set(qual_to_name):
         return None  # a CTE name/alias colliding with a table
         # qualifier: the statement is ambiguous (Spark rejects it)
+    if subq_spans:
+        # CORRELATED subqueries refuse the unit: an outer qualifier
+        # used inside a span means the span's result depends on the
+        # outer row in ways this token layer cannot scope (an inner
+        # alias could even shadow the name) — conservative, claims
+        # nothing rather than reasoning about it
+        outer_quals = set(qual_to_name) | cte_quals
+        for sp in subq_spans:
+            for k2 in range(len(sp) - 1):
+                if (
+                    sp[k2 + 1] == "."
+                    and sp[k2].strip("`").lower() in outer_quals
+                ):
+                    return None
     has_cte = any(nm is None for nm, _a, _r in tables)
     per: dict[str, list] = {nm: [] for nm in names}
     floats: list = []  # expression-led: transform candidates for all

@@ -1082,6 +1082,17 @@ def test_pruned_statement_answers_match_plain(
         body = " OR ".join(_atom_sql(a) for a in same)
     else:
         body = " AND ".join(_atom_sql(a) for a in atoms)
+    # round 14: a random IN-subquery conjunct — the masked span must
+    # claim nothing while the OTHER conjuncts still claim; the answer
+    # never moves either way
+    if data.draw(st.booleans()):
+        vals = data.draw(
+            st.lists(st.integers(-5, 105), min_size=1, max_size=3)
+        )
+        rows = ", ".join(f"({v})" for v in vals)
+        body = (
+            f"({body}) AND k IN (SELECT x FROM VALUES {rows} AS t(x))"
+        )
     sel = data.draw(
         st.sampled_from([
             "COUNT(*) AS n",

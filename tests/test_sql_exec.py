@@ -1742,12 +1742,156 @@ def test_pruned_attach_in_lists(spark, cdir):
     # mixed-type lists make no claims but stay correct
     stmt = "SELECT COUNT(*) AS n FROM il WHERE k IN (5, '0006')"
     assert execute_sql(spark, stmt, cdir).first()["n"] == 2
-    # a subquery IN keeps the plain attach (single-SELECT guard)
+    # a subquery IN no longer blocks the OUTER conjunct's claims
+    # (round 14 — the span masks; the BETWEEN still prunes)
     stmt = (
         "SELECT COUNT(*) AS n FROM il "
         "WHERE k IN (SELECT 5) AND k BETWEEN 0 AND 10"
     )
     assert execute_sql(spark, stmt, cdir).first()["n"] == 1
+    n, name = opened(stmt)
+    assert list(name or []) == ["il"] and n <= 2, (name, n)
+
+
+def test_pruned_attach_subquery_masking(spark, cdir):
+    """Subquery-span masking in statement pruning (round 14 — VERDICT
+    r13 'Next round #1'): ``WHERE <claims> AND id IN (SELECT …)`` /
+    ``EXISTS (…)`` / a scalar-subquery select item claim the OUTER
+    conjuncts (inputFiles-pinned skips), while correlated spans, a
+    table scanned both outside and inside a span (once-only), and
+    derived-table FROMs all keep the plain attach with row-identical
+    answers."""
+    from data_engineering_challenge_spark.sql_exec import (
+        _attach, _pruned_attach,
+    )
+
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE sqm (k BIGINT, v BIGINT)
+          CLUSTERED BY (k) STATS BY (k, v);
+        INSERT INTO sqm SELECT id, id % 13 FROM RANGE(8000);
+        CREATE TABLE sqd (d BIGINT, grp BIGINT)
+          CLUSTERED BY (d) STATS BY (d, grp);
+        INSERT INTO sqd SELECT id, id % 3 FROM RANGE(20);
+        """,
+        cdir,
+    )
+    root = cat.catalog_entries(cdir)["sqm"]["root"]
+    total = len(
+        sn._read_manifest(root, sn.current_version(root))["files"]
+    )
+    assert total >= 8
+
+    def probe(stmt, table="sqm"):
+        pr = _pruned_attach(spark, cdir, stmt, _attach(spark, cdir, stmt))
+        n_open = len(spark.table(table).inputFiles())
+        if pr:
+            cat.attach_catalog(spark, cdir, names=list(pr))
+        return pr, n_open
+
+    def parity(stmt):
+        got = sorted(map(tuple, execute_sql(spark, stmt, cdir).collect()))
+        exp = sorted(map(tuple, spark.sql(stmt).collect()))
+        assert got == exp, stmt
+
+    # IN (SELECT …): outer range claims, subquery claims nothing
+    s = (
+        "SELECT COUNT(*) AS n FROM sqm WHERE k BETWEEN 100 AND 300 "
+        "AND v IN (SELECT d FROM sqd WHERE d < 5)"
+    )
+    parity(s)
+    pr, n_open = probe(s)
+    assert pr and list(pr) == ["sqm"] and n_open <= 2, (pr, n_open)
+    # EXISTS (uncorrelated) — same story
+    s = (
+        "SELECT COUNT(*) AS n FROM sqm WHERE k >= 7500 "
+        "AND EXISTS (SELECT 1 FROM sqd WHERE d = 3)"
+    )
+    parity(s)
+    pr, n_open = probe(s)
+    assert pr and list(pr) == ["sqm"] and n_open <= 2, (pr, n_open)
+    # scalar subquery in the SELECT LIST — the WHERE still claims
+    s = (
+        "SELECT COUNT(*) AS n, (SELECT MAX(d) FROM sqd) AS md "
+        "FROM sqm WHERE k BETWEEN 0 AND 50"
+    )
+    parity(s)
+    pr, n_open = probe(s)
+    assert pr and list(pr) == ["sqm"] and n_open <= 2, (pr, n_open)
+    # JOIN + subquery: the joined dim prunes by ITS conjunct too
+    s = (
+        "SELECT COUNT(*) AS n FROM sqm JOIN sqd ON sqm.v = sqd.d "
+        "WHERE sqm.k BETWEEN 100 AND 300 AND sqd.d <= 5 "
+        "AND sqm.v IN (SELECT 1)"
+    )
+    parity(s)
+    pr, n_open = probe(s)
+    assert pr and sorted(pr) == ["sqd", "sqm"] and n_open <= 2, (
+        pr, n_open,
+    )
+    # CORRELATED span (outer qualifier inside) → plain attach
+    s = (
+        "SELECT COUNT(*) AS n FROM sqm WHERE k >= 7500 "
+        "AND EXISTS (SELECT 1 FROM sqd WHERE sqd.d = sqm.v)"
+    )
+    parity(s)
+    pr, _ = probe(s)
+    assert pr is None
+    # once-only: the table scanned inside its own span → plain attach
+    s = (
+        "SELECT COUNT(*) AS n FROM sqm WHERE k >= 7500 "
+        "AND v IN (SELECT v FROM sqm WHERE k < 100)"
+    )
+    parity(s)
+    pr, _ = probe(s)
+    assert pr is None
+    # once-only across tables: sqd scanned in the span AND joined
+    # outside — sqd keeps the plain attach, sqm still prunes
+    s = (
+        "SELECT COUNT(*) AS n FROM sqm JOIN sqd ON sqm.v = sqd.d "
+        "WHERE sqm.k BETWEEN 100 AND 300 "
+        "AND sqm.v IN (SELECT grp FROM sqd WHERE d < 9)"
+    )
+    parity(s)
+    pr, n_open = probe(s)
+    assert pr and list(pr) == ["sqm"] and n_open <= 2, (pr, n_open)
+    # a derived-table FROM stays refused (not a catalog relation)
+    s = (
+        "SELECT COUNT(*) AS n FROM (SELECT k FROM sqm "
+        "WHERE k BETWEEN 0 AND 50) t"
+    )
+    parity(s)
+    pr, _ = probe(s)
+    assert pr is None
+    # TABLE-form subquery (review, round 14): `(TABLE t)` is a
+    # subquery Spark accepts with no SELECT token — the once-only
+    # rule must still see the self-reference, or the subquery's scan
+    # would read the pruned view and LOSE rows
+    execute_sql_script(
+        spark,
+        """
+        CREATE TABLE sqt (k BIGINT) CLUSTERED BY (k) STATS BY (k);
+        INSERT INTO sqt SELECT id FROM RANGE(8000);
+        """,
+        cdir,
+    )
+    s = (
+        "SELECT COUNT(*) AS n FROM sqt WHERE k < 5 "
+        "AND k + 7000 IN (TABLE sqt)"
+    )
+    parity(s)
+    pr, _ = probe(s, table="sqt")
+    assert pr is None
+    # CTE unit + subquery conjunct: the CTE body's table still claims
+    s = (
+        "WITH w AS (SELECT k FROM sqm WHERE k BETWEEN 100 AND 300 "
+        "AND v IN (SELECT d FROM sqd WHERE d < 5)) "
+        "SELECT COUNT(*) AS n FROM w"
+    )
+    parity(s)
+    pr, n_open = probe(s)
+    assert pr and list(pr) == ["sqm"] and n_open <= 2, (pr, n_open)
 
 
 def test_pruned_attach_function_partition_transform(spark, cdir):
