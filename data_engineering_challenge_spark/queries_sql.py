@@ -1301,6 +1301,118 @@ def _msum_catalog(spark: SparkSession, sf_dir: str) -> str:
     return cdir
 
 
+def _mdec_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """ONE okey-clustered DECIMAL money table (``money_items``,
+    STATS BY (okey, price)) for the decimal metadata SUM query —
+    built once per sf_dir.  The price is INTEGER-DERIVED cents times
+    an exact decimal 0.01, so Spark's build and DuckDB's oracle
+    recomputation produce bit-identical decimals (a double→decimal
+    cast could round differently at half-cent boundaries)."""
+    import tempfile
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+    from .sources.io import read_parquet_cached_schema
+    from .sql_exec import execute_sql_script
+
+    key = ("_mdec_catalog", sf_dir)
+    cdir = _SNAP_SQL_CACHE.get(key)
+    if cdir is None:
+        tmp = tempfile.mkdtemp(prefix="snap_mdec_")
+        cdir = f"{tmp}/catalog"
+        li = read_parquet_cached_schema(
+            spark, os.path.join(sf_dir, "lineitem.parquet")
+        ).select("l_orderkey", "l_partkey")
+        root = f"{tmp}/items_src"
+        sn.snapshot_overwrite(li, root)
+        cat.catalog_register(cdir, "mdec_src", root)
+        execute_sql_script(
+            spark,
+            """
+            CREATE TABLE money_items (okey BIGINT, price DECIMAL(12,2))
+                CLUSTERED BY (okey) STATS BY (okey, price);
+            INSERT INTO money_items
+                SELECT l_orderkey,
+                       CAST(CAST(l_orderkey % 100000 * 100
+                                 + l_partkey % 100 AS DECIMAL(14,0))
+                            * CAST(0.01 AS DECIMAL(3,2))
+                            AS DECIMAL(12,2))
+                FROM mdec_src;
+            """,
+            cdir,
+        )
+        _SNAP_SQL_CACHE[key] = cdir
+    return cdir
+
+
+@register(
+    "sql_metadata_decimal_sum",
+    # the metadata fold changes how the answer is COMPUTED (manifests,
+    # zero data reads), never the answer — the oracle recomputes the
+    # same integer-derived decimal prices from the raw lineitem table.
+    # DuckDB's DECIMAL sum goes to DOUBLE through VARCHAR (the
+    # _dsum_sql detour: its direct decimal→double conversion is not
+    # guaranteed correctly rounded); Spark's BigDecimal→double cast is.
+    """
+WITH m AS (
+    SELECT l_orderkey AS okey,
+           CAST(CAST(l_orderkey % 100000 * 100 + l_partkey % 100
+                     AS DECIMAL(14,0))
+                * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(12,2)) AS price
+    FROM lineitem
+)
+SELECT 'total' AS dim, CAST(CAST(SUM(price) AS VARCHAR) AS DOUBLE) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m
+UNION ALL
+SELECT 'window' AS dim, CAST(CAST(SUM(price) AS VARCHAR) AS DOUBLE) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m WHERE okey BETWEEN 1000 AND 30000
+""",
+)
+def q_sql_metadata_decimal_sum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DECIMAL metadata SUM — the MONEY case (round 14 — VERDICT r13
+    'Next round #2'): the write chokepoints record each DECIMAL stats
+    column's exact UNSCALED integer sum in the same streamed read-back
+    as the integral pass, so ``SELECT SUM(price) FROM money`` answers
+    from the manifest with ZERO data reads (pinned by renaming every
+    file away in tests/test_sql_exec.py) and the range-predicated form
+    folds interior files unopened.  The fold is exact by construction
+    (unscaled integers add associatively in arbitrary precision); a
+    total wider than Spark's result type decimal(min(38,p+10),s)
+    refuses — mirroring the int64-wrap rule — and AVG reproduces
+    Spark's own HALF_UP decimal division (pinned empirically).  The
+    SUM surfaces here cast to DOUBLE at the edge only for oracle
+    portability (DuckDB fetches DECIMAL as float64).  The reference
+    sums money by scanning SQLite; at 100 TB this is a manifest read
+    vs the table."""
+    from pyspark.sql import functions as F
+
+    from .sql_exec import execute_sql
+
+    cdir = _mdec_catalog(spark, sf_dir)
+
+    def _arm(dim: str, stmt: str) -> DataFrame:
+        return execute_sql(spark, stmt, cdir).select(
+            F.lit(dim).alias("dim"),
+            F.col("sdec").cast("double").alias("s"),
+            F.col("n"),
+        )
+
+    tot = _arm(
+        "total",
+        "SELECT SUM(price) AS sdec, COUNT(*) AS n FROM money_items",
+    )
+    win = _arm(
+        "window",
+        "SELECT SUM(price) AS sdec, COUNT(*) AS n FROM money_items "
+        "WHERE okey BETWEEN 1000 AND 30000",
+    )
+    return tot.unionByName(win)
+
+
 @register(
     "sql_metadata_range_count",
     # the hybrid fold changes which FILES open (interior ones never

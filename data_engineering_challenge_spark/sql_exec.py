@@ -1859,7 +1859,9 @@ def _metadata_partition_agg(
         )
         if partition_eq is None:
             return None
-        resolved = _resolve_agg_cols(spark, name, items, sdf=sdf)
+        resolved = _resolve_agg_cols(
+            spark, name, items, sdf=sdf, decimal_sums=True
+        )
         if resolved is None:
             return None
         cols = list(dict.fromkeys(f.name for f in resolved.values()))
@@ -2135,7 +2137,8 @@ def _metadata_range_count(
             return None  # all-partition-eq shapes belong to
             # _metadata_count (which runs first)
         resolved = _resolve_agg_cols(
-            spark, name, items, sdf=sdf, case_sensitive=case_sensitive
+            spark, name, items, sdf=sdf, case_sensitive=case_sensitive,
+            decimal_sums=True,
         )
         if resolved is None:
             return None
@@ -2219,7 +2222,9 @@ def _metadata_agg(
     if j < len(toks):
         return None  # WHERE/GROUP/anything else: not this shape
     try:
-        resolved = _resolve_agg_cols(spark, name, items)
+        resolved = _resolve_agg_cols(
+            spark, name, items, decimal_sums=True
+        )
         if resolved is None:
             return None
         mm_cols = list(dict.fromkeys(
@@ -2320,16 +2325,24 @@ def _resolve_field(sdf, c: str, case_sensitive: bool):
 
 
 def _resolve_agg_cols(
-    spark, name: str, items: list, sdf=None, case_sensitive=None
+    spark, name: str, items: list, sdf=None, case_sensitive=None,
+    decimal_sums: bool = False,
 ) -> dict | None:
     """Resolve every MIN/MAX column of ``items`` against the attached
     view through `_resolve_field` — None when a column is missing,
     ambiguous, or un-answerable.  MIN/MAX accept numeric columns plus
     DATE, and TIMESTAMP under a UTC session only (round 13 — the
     watermark query: recorded stats are UTC instants, and a non-UTC
-    session would collect different wall-clock values).  Callers
+    session would collect different wall-clock values).
+    ``decimal_sums=True`` (round 14 — the money case) additionally
+    accepts DECIMAL columns for SUM/AVG on the paths whose folds
+    carry decimal semantics (whole-table, partition, range-hybrid);
+    AVG requires p+4 <= 38, beyond which Spark ADJUSTS the result
+    scale (a reproduction this fold does not attempt).  Callers
     already holding the view and the conf pass them in (one table
     lookup per statement)."""
+    from pyspark.sql import types as T
+
     if sdf is None:
         sdf = spark.table(name)
     if case_sensitive is None:
@@ -2346,9 +2359,24 @@ def _resolve_agg_cols(
             return None
         t = f.dataType.simpleString()
         if k in ("sum", "avg"):
-            if t not in _INTEGRAL:
-                return None  # only INTEGRAL sums are decimal-exact;
-                # a double SUM is order-dependent in Spark itself
+            if t in _INTEGRAL:
+                pass
+            elif decimal_sums and isinstance(f.dataType, T.DecimalType):
+                if k == "avg" and (
+                    f.dataType.precision + 4 > 38
+                    or str(spark.conf.get(
+                        "spark.sql.decimalOperations.allowPrecisionLoss"
+                    )).lower() != "true"
+                ):
+                    # p+4 > 38: Spark ADJUSTS the result scale there;
+                    # precision-loss off: the Divide's declared type
+                    # (and any inserted check) changes — the AVG
+                    # reproduction is validated under the default only
+                    return None
+            else:
+                return None  # only INTEGRAL/DECIMAL sums are
+                # decimal-exact; a double SUM is order-dependent in
+                # Spark itself
         elif t == "timestamp":
             if spark.conf.get("spark.sql.session.timeZone") not in (
                 "UTC", "Etc/UTC", "GMT",
@@ -2374,6 +2402,78 @@ def _temporal_mm(items: list, resolved: dict) -> dict:
     return out
 
 
+def _unscaled_decimal(u: int, s: int):
+    """An exact unscaled integer → `decimal.Decimal` at scale ``s``
+    via the sign/digits tuple (12345, 2 → ``Decimal('123.45')``) —
+    never through Decimal arithmetic, whose default 28-digit context
+    would silently round a 38-digit money sum."""
+    import decimal
+
+    sign = 1 if u < 0 else 0
+    return decimal.Decimal(
+        (sign, tuple(int(ch) for ch in str(abs(u))), -s)
+    )
+
+
+def _div_half_up(num: int, den: int) -> int:
+    """Exact integer division rounded HALF_UP away from zero — the
+    rounding Spark's decimal AVG applies (pinned empirically in
+    tests/test_sql_exec.py: avg of 0.01 over 32 rows at scale 6 is
+    0.000313, not banker's 0.000312)."""
+    q, r = divmod(abs(num), den)
+    if 2 * r >= den:
+        q += 1
+    return -q if num < 0 else q
+
+
+def _spark_decimal_avg_unscaled(
+    S: int, n: int, s: int
+) -> int | None:
+    """Spark's decimal AVG reproduced EXACTLY (review, round 14 — a
+    single HALF_UP rounding of the exact quotient can differ from
+    Spark by one ulp): Average evaluates ``Divide(sum, count)`` on the
+    JVM, where `Decimal./` rounds the quotient to **38 SIGNIFICANT
+    digits** (``MathContext(MAX_PRECISION, HALF_UP)`` — NOT the
+    divide's declared result scale), then CASTs HALF_UP to the result
+    scale ``s+4``.  Model validated against Spark on a 96-case grid
+    over (p, s) ∈ {(1,0)…(34,30)} including the precision-loss-
+    adjusted shapes (tests/test_sql_exec.py pins a sample).  Returns
+    the unscaled result at scale ``s+4``, or None when it exceeds 38
+    digits — where Spark itself overflows (error under ANSI, NULL
+    otherwise; the scan reproduces either)."""
+    t = s + 4
+    if S == 0:
+        return 0
+    num, den = abs(S), n * 10 ** s
+
+    def cmp_shift(k: int) -> int:
+        # sign of num - den*10^k without fractions
+        if k >= 0:
+            rhs = den * 10 ** k
+            return (num > rhs) - (num < rhs)
+        lhs = num * 10 ** (-k)
+        return (lhs > den) - (lhs < den)
+
+    sig = 38
+    e = len(str(num)) - len(str(den)) - sig
+    while cmp_shift(e + sig) >= 0:
+        e += 1
+    while cmp_shift(e + sig - 1) < 0:
+        e -= 1
+    v1 = (
+        _div_half_up(num, den * 10 ** e)
+        if e >= 0
+        else _div_half_up(num * 10 ** (-e), den)
+    )
+    if e + t >= 0:
+        v2 = v1 * 10 ** (e + t)
+    else:
+        v2 = _div_half_up(v1, 10 ** (-(e + t)))
+    if abs(v2) > 10 ** 38 - 1:
+        return None
+    return -v2 if S < 0 else v2
+
+
 def _agg_result(
     spark, items, resolved, n_rows: int, extremes: dict, sums=None
 ):
@@ -2382,7 +2482,10 @@ def _agg_result(
     aliased, MIN/MAX reusing each table field's OWN Spark type,
     SUM as nullable bigint (Spark's SUM over any integral input) and
     AVG as nullable double (round 13) — both NULL over zero non-null
-    values, exactly as Spark returns them."""
+    values, exactly as Spark returns them.  DECIMAL(p,s) inputs
+    (round 14): SUM as nullable decimal(min(38,p+10), s) built from
+    the exact unscaled fold; AVG as decimal(p+4, s+4) via HALF_UP
+    division, Spark's own decimal average semantics."""
     from pyspark.sql import types as T
 
     fields, vals = [], []
@@ -2394,16 +2497,46 @@ def _agg_result(
             vals.append(int(n_rows))
         elif kind == "sum":
             s, nn = sums[resolved[c].name]
-            fields.append(T.StructField(
-                alias or f"sum({c})", T.LongType(), True
-            ))
-            vals.append(None if nn == 0 else int(s))
+            dt = resolved[c].dataType
+            if isinstance(dt, T.DecimalType):
+                p_out = min(38, dt.precision + 10)
+                fields.append(T.StructField(
+                    alias or f"sum({c})",
+                    T.DecimalType(p_out, dt.scale), True,
+                ))
+                vals.append(
+                    None if nn == 0
+                    else _unscaled_decimal(int(s), dt.scale)
+                )
+            else:
+                fields.append(T.StructField(
+                    alias or f"sum({c})", T.LongType(), True
+                ))
+                vals.append(None if nn == 0 else int(s))
         elif kind == "avg":
             s, nn = sums[resolved[c].name]
-            fields.append(T.StructField(
-                alias or f"avg({c})", T.DoubleType(), True
-            ))
-            vals.append(None if nn == 0 else s / nn)
+            dt = resolved[c].dataType
+            if isinstance(dt, T.DecimalType):
+                fields.append(T.StructField(
+                    alias or f"avg({c})",
+                    T.DecimalType(dt.precision + 4, dt.scale + 4),
+                    True,
+                ))
+                # `_sums_ok` already refused the None (overflow) case
+                vals.append(
+                    None if nn == 0
+                    else _unscaled_decimal(
+                        _spark_decimal_avg_unscaled(
+                            int(s), nn, dt.scale
+                        ),
+                        dt.scale + 4,
+                    )
+                )
+            else:
+                fields.append(T.StructField(
+                    alias or f"avg({c})", T.DoubleType(), True
+                ))
+                vals.append(None if nn == 0 else s / nn)
         else:
             lo, hi = extremes[resolved[c].name]
             fields.append(T.StructField(
@@ -2420,12 +2553,29 @@ def _sums_ok(items, resolved, sums) -> bool:
     whose long sum or count exceeds 2^53 double-rounds in Spark
     (double(sum)/double(count)) where the exact quotient here rounds
     once — below 2^53 both operands are exactly representable and the
-    two IEEE divisions are identical."""
+    two IEEE divisions are identical.  DECIMAL(p,s) sums (round 14)
+    refuse when the exact unscaled fold exceeds
+    decimal(min(38,p+10), s) — the SUM result type AND Spark's AVG
+    sum buffer (``CheckOverflowInSum``), so both kinds gate on it —
+    where Spark itself overflows (error under ANSI, NULL otherwise;
+    the scan reproduces either); a decimal AVG additionally refuses
+    when the reproduced two-stage rounding overflows 38 digits."""
+    from pyspark.sql import types as T
+
     for kind, c, _a in items:
         if kind not in ("sum", "avg") or c is None:
             continue
         s, nn = sums[resolved[c].name]
         if s is None or nn == 0:
+            continue
+        dt = resolved[c].dataType
+        if isinstance(dt, T.DecimalType):
+            if abs(int(s)) > 10 ** min(38, dt.precision + 10) - 1:
+                return False
+            if kind == "avg" and _spark_decimal_avg_unscaled(
+                int(s), nn, dt.scale
+            ) is None:
+                return False
             continue
         if kind == "sum" and not (-(1 << 63) <= s < (1 << 63)):
             return False
