@@ -1564,9 +1564,10 @@ def q_sql_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a clustered 100 TB table this reads one or two files where
     Spark's own sort+limit reads the table (its row-group pushdown
     has no ORDER-BY awareness).  ASC handles NULLS-FIRST defaults by
-    requiring zero recorded order-column nulls; MoR deletes (row
-    counts would overcount), residual conjuncts, and NaN-suspect
-    float stats all decline to the ordinary pruner.  Pinned by
+    requiring zero recorded order-column nulls; EQUALITY deletes,
+    residual conjuncts, and NaN-suspect float stats decline to the
+    ordinary pruner (POSITION-delete MoR tables engage since round
+    14 — `sql_topk_mor_pruned`).  Pinned by
     inputFiles in tests/test_sql_exec.py.  Build shared with
     `sql_timestamp_pruned_scan` (`_tsp_catalog`)."""
     from pyspark.sql import functions as F
@@ -1588,6 +1589,103 @@ def q_sql_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdir,
     ).select(F.lit("window").alias("dim"), "event_id", "ts")
     return latest.unionByName(windowed)
+
+
+def _tkm_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """An event_id-clustered events table with POSITION deletes live
+    (a DML ``DELETE … WHERE`` range) for the MoR top-k query — built
+    once per sf_dir."""
+    import tempfile
+
+    from .sources import catalog as cat
+    from .sources import snapshots as sn
+    from .sql_exec import execute_sql, execute_sql_script
+
+    key = ("_tkm_catalog", sf_dir)
+    cdir = _SNAP_SQL_CACHE.get(key)
+    if cdir is None:
+        tmp = tempfile.mkdtemp(prefix="snap_tkm_")
+        cdir = f"{tmp}/catalog"
+        ev = roles.load_events(spark, sf_dir).select(
+            "event_id", "ts", "event_type"
+        )
+        root = f"{tmp}/events_src"
+        sn.snapshot_overwrite(ev, root)
+        cat.catalog_register(cdir, "tkm_src", root)
+        execute_sql_script(
+            spark,
+            """
+            CREATE TABLE tkm_events (
+                event_id BIGINT, ts TIMESTAMP, etype STRING
+            ) CLUSTERED BY (event_id) STATS BY (event_id, ts);
+            INSERT INTO tkm_events
+                SELECT event_id, ts, event_type FROM tkm_src;
+            """,
+            cdir,
+        )
+        execute_sql(
+            spark,
+            "DELETE FROM tkm_events "
+            "WHERE event_id BETWEEN 300 AND 499",
+            cdir,
+        )
+        _SNAP_SQL_CACHE[key] = cdir
+    return cdir
+
+
+@register(
+    "sql_topk_mor_pruned",
+    # top-k pruning changes which FILES open, never the rows — the
+    # oracle drops the DML-deleted range from the raw events table and
+    # takes the same deterministic top-k (event_id is unique)
+    """
+SELECT 'latest' AS dim, event_id, ts
+FROM (SELECT event_id, ts FROM events
+      WHERE event_id NOT BETWEEN 300 AND 499
+      ORDER BY event_id DESC LIMIT 100)
+UNION ALL
+SELECT 'across' AS dim, event_id, ts
+FROM (SELECT event_id, ts FROM events
+      WHERE event_id NOT BETWEEN 300 AND 499 AND event_id < 520
+      ORDER BY event_id DESC LIMIT 100)
+""",
+)
+def q_sql_topk_mor_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MoR-AWARE TOP-K file pruning (round 14 — VERDICT r13 'Next
+    round #3'): on a table with live POSITION deletes (the engine's
+    own ``DELETE … WHERE`` DML), recorded per-file row counts
+    OVERCOUNT the live rows — so the threshold accumulation inflates
+    its target by the TOTAL delete-list row count (each position
+    delete kills at most one recorded row; an over-subtraction only
+    takes MORE files, never a wrong threshold) and the re-registered
+    pruned view MERGES the deletes itself.  The 'latest 100 events'
+    query on a CDC-maintained 100 TB table thus still reads a handful
+    of files without waiting for compaction.  EQUALITY deletes (one
+    key row can kill unboundedly many data rows) keep declining —
+    both pinned with inputFiles in tests/test_sql_exec.py."""
+    from pyspark.sql import functions as F
+
+    from .sql_exec import execute_sql
+
+    cdir = _tkm_catalog(spark, sf_dir)
+    latest = execute_sql(
+        spark,
+        "SELECT event_id, ts FROM tkm_events "
+        "ORDER BY event_id DESC LIMIT 100",
+        cdir,
+    ).select(F.lit("latest").alias("dim"), "event_id", "ts")
+    # a window CROSSING the deleted range: the top-k here contains
+    # rows on both sides of the tombstoned ids, so this arm hashes
+    # red if the pruned view ever stopped MERGING the deletes
+    across = execute_sql(
+        spark,
+        "SELECT event_id, ts FROM tkm_events WHERE event_id < 520 "
+        "ORDER BY event_id DESC LIMIT 100",
+        cdir,
+    ).select(F.lit("across").alias("dim"), "event_id", "ts")
+    return latest.unionByName(across)
 
 
 @register(

@@ -5966,14 +5966,21 @@ def _commit_mor_dml(
             "file": f,
             "kind": "position",
             "path_depth": 2,
+            # recorded row count (round 14): each position delete
+            # kills at most one data row, so consumers (the MoR-aware
+            # top-k accumulation) can bound deletions without
+            # re-reading this footer per statement; legacy entries
+            # without it fall back to the footer read
+            "rows": int(drows[f]),
         }
     del_files = _write_files(pre, root, kind="deletes")
     import pyarrow.parquet as pq
 
-    n_hits = sum(
-        pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    drows = {
+        f: pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
         for f in del_files
-    )
+    }
+    n_hits = sum(drows.values())
     if n_hits == 0:
         for f in del_files + list(new_files or []):
             try:  # best-effort cleanup; vacuum catches the rest

@@ -4197,9 +4197,14 @@ def _topk_attach(
     NULL ordering: Spark's default is NULLS LAST for DESC — proven
     unreachable because ≥ k non-null rows exist — and NULLS FIRST
     for ASC, so ASC additionally requires every file's recorded
-    order-column null count to be ZERO.  Explicit NULLS FIRST/LAST
-    spellings, MoR deletes (recorded row counts would overcount),
-    schema evolution, aggregate/DISTINCT/GROUP/JOIN/OVER/set-op
+    order-column null count to be ZERO.  MoR tables with POSITION
+    deletes engage (round 14): the accumulation target inflates by
+    the total delete-list row count — each position delete kills at
+    most one recorded row, so at least k LIVE rows still clear T0,
+    and the pruned view merges the deletes itself.  Explicit NULLS
+    FIRST/LAST spellings, EQUALITY deletes (one key row can kill
+    unboundedly many data rows), schema evolution,
+    aggregate/DISTINCT/GROUP/JOIN/OVER/set-op
     shapes, residual WHERE conjuncts, and a LIMIT the accumulation
     cannot reach all return None — the statement runs through
     `_pruned_attach` or the plain attach instead."""
@@ -4361,9 +4366,8 @@ def _topk_attach(
         if v_res is None:
             return None
         m = sn._read_manifest(root, v_res)
-        if m.get("delete_files") or m.get("fields"):
-            return None  # MoR row counts overcount; evolution stats
-            # ride physical names
+        if m.get("fields"):
+            return None  # evolution: stats ride physical names
         transforms = (
             m.get("layout") or {}
         ).get("partition_transforms") or {}
@@ -4381,6 +4385,33 @@ def _topk_attach(
                 return None  # a residual conjunct breaks the row-
                 # count lower bound — not this shape
             bounds, partition_eq = claims
+        # MoR-aware accumulation (round 14 — VERDICT r13 'Next round
+        # #3'): recorded row counts OVERCOUNT a MoR table's live rows,
+        # but each POSITION delete kills at most one recorded row —
+        # so inflating the accumulation target by the TOTAL
+        # delete-list row count keeps the threshold sound (live
+        # matches past T0 >= accumulated base matches - deletes >=
+        # k; an over-subtraction only takes MORE files, never fewer).
+        # EQUALITY deletes decline: one key row can kill unboundedly
+        # many data rows, so no footer count bounds them.  The pruned
+        # view itself merges deletes (`read_snapshot_pruned` on MoR
+        # prunes AND merges), so the output is exact either way.
+        # Runs AFTER the claims gate (review, round 14) so declining
+        # statements never pay the delete-entry walk; the DML commit
+        # records each position list's row count in its entry, and
+        # only legacy entries fall back to one footer read.
+        k_eff = k
+        for d in m.get("delete_files") or []:
+            if d.get("kind") != "position":
+                return None
+            dr = d.get("rows")
+            if dr is None:
+                import pyarrow.parquet as _pq
+
+                dr = _pq.read_metadata(
+                    os.path.join(root, d["file"])
+                ).num_rows
+            k_eff += int(dr)
         pvals = m.get("partition_values") or {}
         rows_rec = m.get("rows") or {}
         stats = m.get("stats") or {}
@@ -4434,10 +4465,11 @@ def _topk_attach(
         for _sb, wb, contrib in takeable:
             acc += contrib
             t0 = wb if t0 is None else (min(t0, wb) if desc else max(t0, wb))
-            if acc >= k:
+            if acc >= k_eff:
                 break
-        if acc < k or t0 is None:
-            return None  # cannot prove k rows past any threshold
+        if acc < k_eff or t0 is None:
+            return None  # cannot prove k (+ deletes) rows past any
+            # threshold
         # compose the threshold with any existing order-column claim
         cur = bounds.get(key)
         if desc:
