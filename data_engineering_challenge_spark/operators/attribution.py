@@ -83,7 +83,9 @@ def attribute_linear(journeys: DataFrame) -> DataFrame:
     )
 
 
-def attribute_position_engagement(journeys: DataFrame) -> DataFrame:
+def attribute_position_engagement(
+    journeys: DataFrame, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """IHC-like default: position- and engagement-weighted credit, Σ=1.
 
     raw score = INITIALIZER_SCORE on the first session,
@@ -91,6 +93,11 @@ def attribute_position_engagement(journeys: DataFrame) -> DataFrame:
                 HOLDER_SCORE * (1 + holder_engagement) on middles;
     ihc = raw / Σ raw over the conversion.  A single-session journey takes
     the initializer branch and normalizes to exactly 1.0.
+
+    ``carry_cols``: journey columns to keep on the output rows alongside
+    (conversion_id, session_id, ihc).  They ride the one conversion_id
+    window shuffle, so downstream consumers (the fused report) need no
+    join back to the journey inputs.
     """
     n = F.count("*").over(_group())
     rn = F.row_number().over(_ordered())
@@ -104,6 +111,7 @@ def attribute_position_engagement(journeys: DataFrame) -> DataFrame:
         "conversion_id",
         "session_id",
         (F.col("_raw") / F.sum("_raw").over(_group())).alias("ihc"),
+        *carry_cols,
     )
 
 

@@ -32,10 +32,10 @@ def dedup_exact(documents: DataFrame, key: str = "text") -> DataFrame:
 
 
 def _exploded_shingles(documents: DataFrame, n: int) -> DataFrame:
-    """(doc_id, shingle) multiset — explode of a bound attribute behind the
-    shingle_arrays barrier (explode_outer + null-filter dodges the inferred
-    size()>0 filter that would re-inline the shingle transform at the
-    scan; shingles themselves are never null)."""
+    """(doc_id, shingle) multiset.  explode_outer + null-filter dodges the
+    inferred size()>0 filter that would re-inline the shingle transform at
+    the scan (shingles themselves are never null); shingle_arrays fans out
+    under-split scans so the explode+hash work runs cluster-wide."""
     return (
         shingle_arrays(documents, n)
         .select("doc_id", F.explode_outer("sh").alias("shingle"))
@@ -136,17 +136,35 @@ def minhash_signatures(
     downstream banding concat_ws accepts both).
     """
     exploded = _exploded_shingles(documents, n)
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+        return exploded.groupBy("doc_id").agg(*aggs)
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5|xxhash64)")
+    # md5: aggregate the min over the chunk's NUMERIC value, then format
+    # back to the 8-char lowercase hex.  Fixed-width lowercase hex is
+    # order-isomorphic to its integer value, so the min is identical — but
+    # a bigint aggregation buffer keeps the aggregate in HashAggregate;
+    # min(string) has a variable-width buffer, which forces SortAggregate
+    # plus a full sort of the exploded shingle relation (measured r14:
+    # the sort was the single hottest node in the signature plan).
     aggs = []
     for i in range(num_hashes):
-        if hash_fn == "xxhash64":
-            aggs.append(F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}"))
-        elif hash_fn == "md5":
-            seed, chunk = divmod(i, 4)
-            h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
-            aggs.append(F.min(F.substring(h, chunk * 8 + 1, 8)).alias(f"mh{i}"))
-        else:
-            raise ValueError(f"unknown hash_fn {hash_fn!r} (md5|xxhash64)")
-    return exploded.groupBy("doc_id").agg(*aggs)
+        seed, chunk = divmod(i, 4)
+        h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
+        v = F.conv(F.substring(h, chunk * 8 + 1, 8), 16, 10).cast("long")
+        aggs.append(F.min(v).alias(f"_mh{i}"))
+    sig = exploded.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        *[
+            F.lower(F.lpad(F.hex(F.col(f"_mh{i}")), 8, "0")).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_lsh_candidates(

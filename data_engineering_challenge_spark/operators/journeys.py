@@ -42,6 +42,8 @@ def build_journeys(
     end_date: str | None = None,
     lookback_days: int | None = None,
     salt_buckets: int | None = None,
+    carry_session_cols: tuple[str, ...] = (),
+    carry_conversion_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All sessions of a conversion's user at-or-before the conversion time.
 
@@ -56,6 +58,14 @@ def build_journeys(
             scan the same way — check ``PushedFilters`` in the plan).
         lookback_days: optional bound on session age relative to the
             conversion (capability add; None = reference parity, unbounded).
+        carry_session_cols / carry_conversion_cols: extra input columns to
+            carry onto the journey rows (names kept as-is).  The fused
+            report path uses this to attach per-session cost/date and
+            per-conversion revenue BEFORE the one attribution shuffle —
+            a few extra bytes per journey row through that exchange
+            instead of re-joining sessions and conversions (two more
+            shuffles/scans) after attribution (guide §8: move the
+            payload once, decide with what is already attached).
         salt_buckets: opt-in skew mitigation (the operators.skew pattern
             applied to this join) for the power-user case AQE can't split —
             one ``user_id`` owning more session rows than a task can hold.
@@ -93,6 +103,15 @@ def build_journeys(
             F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
         )
 
+    # fan out an under-split sessions scan (io.fan_out_scan, no-op on a
+    # well-split table): sessions are the streamed/probe side of the join,
+    # so everything pipelined behind the scan — the join probe and the
+    # shuffle write feeding downstream attribution — otherwise runs at the
+    # scan's task count (1 task per single-row-group file)
+    from ..sources.io import fan_out_scan
+
+    sess = fan_out_scan(sess)
+
     # explicit aliases: conversions and sessions often derive from the same
     # scan (a self-join), which is ambiguous without qualification
     c = conv.alias("c")
@@ -118,4 +137,6 @@ def build_journeys(
         F.lit(0).alias("conversion"),  # literal on every row, cj_builder.py:94
         F.col("s.impression_interaction"),
         F.col("c.conv_ts"),
+        *[F.col(f"s.{col}") for col in carry_session_cols],
+        *[F.col(f"c.{col}") for col in carry_conversion_cols],
     )

@@ -101,6 +101,57 @@ def channel_report(
     )
 
 
+def channel_report_from_attributed(
+    attributed: DataFrame,
+    start_date: str | None = None,
+    end_date: str | None = None,
+    exact_sums: bool = False,
+) -> DataFrame:
+    """The report aggregation over PRE-ATTACHED attribution rows — the
+    fused form of :func:`channel_report` (r14 optimization, guide §8).
+
+    ``attributed`` must carry one row per (conversion, session) journey
+    pair with ``channel_label`` (the journey name for channel_name),
+    ``date`` (the session's date), ``cost`` (the session's coalesced
+    cost) and ``revenue`` (the conversion's revenue) already attached —
+    the journey builder's ``carry_session_cols``/``carry_conversion_cols``
+    plumbing.  Row-for-row this is exactly the reference's
+    ``attribution_data`` CTE (channel_reporter.py:62-91): session_data ⋈
+    attribution ⋈ conversions multiplies sessions onto attribution rows,
+    which ARE the journey rows — so attaching the columns before the one
+    attribution shuffle and aggregating directly removes two joins, two
+    scans and one shuffle from the plan while producing bit-identical
+    sums (the decimal convention makes them order-independent).
+
+    The optional date window applies to the SESSION date after
+    attribution — same rows as the reference's session_data filter, and
+    deliberately NOT pushed below the attribution windows (it would
+    change which sessions participate in each journey's credit split).
+    """
+    out = attributed
+    if start_date is not None:
+        out = out.filter(F.col("date") >= F.lit(start_date).cast("date"))
+    if end_date is not None:
+        out = out.filter(F.col("date") <= F.lit(end_date).cast("date"))
+    out = out.withColumn("ihc_revenue", F.col("ihc") * F.col("revenue"))
+    report = out.groupBy(
+        F.col("channel_label").alias("channel_name"), "date"
+    ).agg(
+        _sum("cost", exact_sums).alias("cost"),
+        _sum("ihc", exact_sums).alias("ihc"),
+        _sum("ihc_revenue", exact_sums).alias("ihc_revenue"),
+    )
+    return report.select(
+        "channel_name",
+        "date",
+        "cost",
+        "ihc",
+        "ihc_revenue",
+        safe_ratio(F.col("cost"), F.col("ihc")).alias("CPO"),
+        safe_ratio(F.col("ihc_revenue"), F.col("cost")).alias("ROAS"),
+    )
+
+
 def report_summary(report: DataFrame) -> DataFrame:
     """Driver-side summary aggregates (channel_reporter.py:133-151): totals
     plus means of CPO/ROAS restricted to positive values (filtered mean,

@@ -54,24 +54,31 @@ def shingles(toks: Column, n: int = 3) -> Column:
 
 
 def shingle_arrays(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, sh array<string>) with the shingle array MATERIALIZED
-    behind a ``repartition("doc_id")`` barrier before any explode.
+    """(doc_id, sh array<string>) ready to explode.
 
-    Two reasons, both measured (see winnow_fingerprints in queries_text):
+    Two plan properties, both re-measured this round (r14):
 
-    * exploding a lambda-valued (higher-order) generator re-evaluates the
-      whole transform per OUTPUT row — quadratic per document — and
-      ``InferFiltersFromGenerate`` inlines it again at the scan; exploding
-      a bound attribute evaluates it once per document;
-    * the testdata tables are single parquet files, so without a
-      repartition every downstream stage runs as ONE task.  Partitioning
-      BY doc_id makes the shuffle pay for itself: hashpartitioning(doc_id)
-      satisfies the clustering of every downstream groupBy(doc_id), so the
-      explode→agg pipeline needs no further shuffle.
+    * **no barrier shuffle is needed anymore**: on Spark 4.x the Generate
+      keeps its child Projection as a separate node, so the shingle
+      transform is evaluated once per document even when the explode sits
+      directly on the projected column (verified by plan read and a
+      1-task A/B: 0.399 s direct vs 0.423 s behind a repartition barrier).
+      Earlier rounds shuffled the whole corpus by doc_id here — at scale
+      that was a full-corpus exchange purely as an optimizer barrier;
+      dropping it removes one corpus-sized shuffle from every shingle
+      consumer (downstream groupBy(doc_id) aggregations do partial
+      aggregation map-side and shuffle only per-doc partial rows).
+    * **adaptive fan-out of under-split scans** (io.fan_out_scan): the
+      raw (doc_id, text) rows are round-robin-redistributed only when the
+      file layout gives the scan fewer splits than cores, so the shingle
+      build + per-shingle hashing downstream run cluster-wide.  No-op on
+      a well-split corpus.
     """
-    return documents.select(
+    from ..sources.io import fan_out_scan
+
+    return fan_out_scan(documents.select("doc_id", "text")).select(
         "doc_id", shingles(tokens(), n).alias("sh")
-    ).repartition("doc_id")
+    )
 
 
 def token_stats(documents: DataFrame) -> DataFrame:

@@ -583,13 +583,38 @@ FROM channel_date_report
 
 
 def _report_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused flagship composition (r14, guide §8/§2.4): per-session cost
+    and date and per-conversion revenue are attached BEFORE the one
+    attribution shuffle (carry_* plumbing), so the report aggregates the
+    attributed rows directly — 3 scans / 1 keyed shuffle instead of the
+    naive 5 scans / 3 keyed shuffles, bit-identical sums (row multiset
+    equality with the reference's attribution_data CTE is pinned in
+    tests/test_plans.py against the generic-operator composition)."""
     events = roles.load_events(spark, sf_dir)
     sessions = roles.sessions_from_events(events)
     conversions = roles.conversions_from_events(events)
     costs = roles.session_costs_from_events(events)
-    j = jny.build_journeys(conversions, sessions)
-    a = attr.attribute_position_engagement(j)
-    return rpt.channel_report(sessions, costs, a, conversions, exact_sums=True)
+    sess_costed = sessions.join(costs, "session_id", "left").select(
+        "session_id",
+        "user_id",
+        "ts",
+        "channel_name",
+        "holder_engagement",
+        "closer_engagement",
+        "impression_interaction",
+        F.to_date(F.col("ts")).alias("date"),
+        F.coalesce(F.col("cost"), F.lit(0.0)).alias("cost"),
+    )
+    j = jny.build_journeys(
+        conversions,
+        sess_costed,
+        carry_session_cols=("date", "cost"),
+        carry_conversion_cols=("revenue",),
+    )
+    a = attr.attribute_position_engagement(
+        j, carry_cols=("channel_label", "date", "cost", "revenue")
+    )
+    return rpt.channel_report_from_attributed(a, exact_sums=True)
 
 
 @register("channel_report", _SQL_REPORT)

@@ -60,12 +60,24 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: filtered scan (predicate pushes to parquet) + 2-key
     hash agg with 8 aggregates.  Partial agg does all heavy lifting
-    map-side; output is 6 rows regardless of input scale."""
+    map-side; output is 6 rows regardless of input scale.
+
+    The five decimal-exact sums are the per-row cost here, so the filtered
+    scan is fanned out (io.fan_out_scan) when the file layout under-splits:
+    the partial aggregation then runs cluster-wide instead of at the scan's
+    task count.  No-op on a well-split table; sums are order-independent by
+    the decimal convention, so results are bit-identical either way."""
+    from .sources.io import fan_out_scan
+
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        fan_out_scan(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),

@@ -21,7 +21,6 @@ correctly rounded; DuckDB: through VARCHAR, see `_dsum_sql`)."""
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -57,21 +56,65 @@ def _register_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
 # flagship restated in SQL: the channel report
 # --------------------------------------------------------------------------
 
-#: Spark-dialect twin of queries._SQL_REPORT — DERIVED from the oracle
-#: text itself (single source, zero drift risk for the role formulas and
-#: report math) by exactly two mechanical dialect rewrites:
-#: 1. the decimal→double edge: DuckDB needs the VARCHAR detour
-#:    (`_dsum_sql`, see its comment on int128→double rounding); Spark's
-#:    BigDecimal→double cast is correctly rounded, so the detour drops;
-#: 2. the base table name: the oracle reads the pre-registered `events`
-#:    view, Spark reads the `sqlq_events` temp view this module registers.
-_SPARK_SQL_REPORT = re.sub(
-    r"CAST\(CAST\((SUM\(CAST\(\w+ AS DECIMAL\(28,10\)\)\)) AS VARCHAR\)"
-    r" AS DOUBLE\)",
-    r"CAST(\1 AS DOUBLE)",
-    _SQL_REPORT,
-).replace("FROM events", "FROM sqlq_events")
-assert "VARCHAR" not in _SPARK_SQL_REPORT  # every dsum site rewritten
+#: Spark-dialect twin of queries._SQL_REPORT, authored in the FUSED shape
+#: the DataFrame flagship compiles to since r14 (cost/date/revenue attached
+#: before the one attribution shuffle — guide §8 — instead of re-joining
+#: sessions and conversions after attribution).  The ORACLE text
+#: (queries._SQL_REPORT) keeps the reference's original 3-CTE join shape:
+#: both spellings aggregate the identical (channel, date, cost, ihc,
+#: revenue) row multiset, which the shared oracle and the value-equality
+#: test in tests/test_plans.py pin bit-exactly.  Dialect notes: Spark's
+#: BigDecimal→double cast is correctly rounded so the oracle's VARCHAR
+#: detour drops; the base table is the `sqlq_events` temp view.
+_SPARK_SQL_REPORT = f"""
+WITH sessions AS ({roles.SQL_SESSIONS}),
+conversions AS ({roles.SQL_CONVERSIONS}),
+costs AS ({roles.SQL_COSTS}),
+sess AS (
+    SELECT s.session_id, s.user_id, s.ts, s.channel_name,
+           s.holder_engagement, s.closer_engagement,
+           CAST(s.ts AS DATE) AS date,
+           COALESCE(co.cost, 0.0) AS cost
+    FROM sessions s LEFT JOIN costs co ON s.session_id = co.session_id
+),
+journeys AS (
+    SELECT c.conv_id AS conversion_id, s.session_id, s.ts,
+           s.channel_name AS channel_label,
+           s.holder_engagement, s.closer_engagement,
+           s.date, s.cost, c.revenue
+    FROM conversions c JOIN sess s
+      ON s.user_id = c.user_id AND s.ts <= c.conv_ts
+),
+scored AS (
+    SELECT conversion_id, channel_label, date, cost, revenue,
+           CASE
+             WHEN ROW_NUMBER() OVER w = 1 THEN 2.0
+             WHEN ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY conversion_id)
+                  THEN 2.0 * (1.0 + closer_engagement)
+             ELSE 1.0 * (1.0 + holder_engagement)
+           END AS raw
+    FROM journeys
+    WINDOW w AS (PARTITION BY conversion_id ORDER BY ts ASC, session_id ASC)
+),
+attributed AS (
+    SELECT channel_label AS channel_name, date, cost, revenue,
+           raw / SUM(raw) OVER (PARTITION BY conversion_id) AS ihc
+    FROM scored
+),
+channel_date_report AS (
+    SELECT channel_name, date,
+           {_dsum_spark('cost')} AS cost,
+           {_dsum_spark('ihc')} AS ihc,
+           {_dsum_spark('ihc * revenue')} AS ihc_revenue
+    FROM attributed
+    GROUP BY channel_name, date
+)
+SELECT channel_name, date, cost, ihc, ihc_revenue,
+       CASE WHEN ihc <> 0.0 THEN cost / ihc ELSE 0.0 END AS CPO,
+       CASE WHEN cost <> 0.0 THEN ihc_revenue / cost ELSE 0.0 END AS ROAS
+FROM channel_date_report
+""".replace("FROM events", "FROM sqlq_events")
+assert "VARCHAR" not in _SPARK_SQL_REPORT  # decimal→double is a direct cast
 assert "FROM events" not in _SPARK_SQL_REPORT
 
 

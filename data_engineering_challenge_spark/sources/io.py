@@ -89,6 +89,43 @@ def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(sch).parquet(path)
 
 
+def fan_out_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-redistribute a coarse-grained source so downstream
+    per-row compute (hashing, decimal aggregation, join probes) uses the
+    whole cluster instead of the scan's task count.
+
+    A parquet row group is Spark's minimum split: a table laid out as a
+    few single-row-group files scans as a few tasks no matter how many
+    cores exist, and everything pipelined into that scan stage (partial
+    aggregation, broadcast-join probes, shuffle writes) runs at that
+    parallelism.  This is the optimization guide's input-skew fix ("one
+    huge unsplittable file … repartition immediately after the read",
+    §2.5) made adaptive:
+
+    * **no-op when the scan is already parallel enough** (split count >=
+      ``defaultParallelism``) — on a real multi-file table at scale this
+      adds nothing to the plan, so it is NOT a local-mode constant;
+    * otherwise one round-robin exchange of the scan output.  Round-robin
+      repartition is deterministic under task retry (Spark sorts before
+      round-robin partitioning, SPARK-23207) and is never coalesced back
+      by AQE (only ENSURE_REQUIREMENTS / REPARTITION_BY_COL shuffles are).
+
+    Only worth it when the downstream per-row work dominates one pass of
+    the rows over the network — apply at compute-heavy chokepoints, not
+    blanket.  Row multisets are preserved; callers' aggregations must be
+    order-independent (the engine's decimal-exact convention).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning quirks: keep the scan
+        return df
+    if parts >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md)."""
     return read_parquet_table(spark, os.path.join(sf_dir, f"{name}.parquet"))

@@ -26,7 +26,12 @@ def test_q1_filter_pushed_and_columns_pruned(spark):
     assert "LessThanOrEqual(l_shipdate" in plan  # reached the parquet scan
     # pruned scan: grouping+agg columns only, never the full 11-column row
     assert "l_orderkey" not in plan.split("ReadSchema:")[1]
-    assert plan.count("Exchange") == 1  # the single agg shuffle
+    # two exchanges: the adaptive fan-out of the under-split scan (round
+    # robin, engaged because the testdata is single-row-group files) and
+    # the agg shuffle.  On a well-split table the fan-out is a no-op and
+    # this would be 1.
+    assert plan.count("Exchange") == 2
+    assert "RoundRobinPartitioning" in plan  # the fan-out, not a keyed shuffle
 
 
 def test_journeys_join_pushdown_and_broadcast(spark):
@@ -342,7 +347,16 @@ def test_sql_surface_plans_match_dataframe_surface(spark):
     authored the plan."""
     sql_plan = _plan(spark, "sql_channel_report")
     df_plan = _plan(spark, "channel_report")
-    for marker in ("Exchange", "SortMergeJoin", "BroadcastHashJoin"):
+    # keyed shuffles and join strategies must match; total Exchange count
+    # is NOT compared because the DataFrame path adds the adaptive
+    # round-robin fan-out of the under-split sessions scan (a plain SQL
+    # string has no equivalent of io.fan_out_scan; it is a no-op on
+    # well-split tables)
+    for marker in (
+        "Exchange hashpartitioning",
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+    ):
         assert sql_plan.count(marker) == df_plan.count(marker), (
             f"{marker}: SQL {sql_plan.count(marker)} vs "
             f"DataFrame {df_plan.count(marker)}"

@@ -97,3 +97,73 @@ def test_report_summary(spark, inputs):
     # means over positive values only (channel_reporter.py:138-148)
     assert s.avg_cpo == pytest.approx(20.0 / 1.5)
     assert s.avg_roas == pytest.approx(7.5)
+
+
+def _generic_report(spark, sf, start_date=None, end_date=None):
+    from data_engineering_challenge_spark import roles
+    from data_engineering_challenge_spark.operators import attribution as attr
+    from data_engineering_challenge_spark.operators import journeys as jny
+    from data_engineering_challenge_spark.operators import report as rpt
+
+    events = roles.load_events(spark, sf)
+    sessions = roles.sessions_from_events(events)
+    conversions = roles.conversions_from_events(events)
+    costs = roles.session_costs_from_events(events)
+    j = jny.build_journeys(conversions, sessions)
+    a = attr.attribute_position_engagement(j)
+    return rpt.channel_report(
+        sessions, costs, a, conversions,
+        start_date=start_date, end_date=end_date, exact_sums=True,
+    )
+
+
+def test_fused_report_equals_generic_composition(spark):
+    """The r14 fused flagship (cost/date/revenue carried through the
+    attribution shuffle, report aggregated in place) must return
+    bit-identical rows to the generic operator composition it replaced —
+    the equivalence the fusion's correctness rests on."""
+    from data_engineering_challenge_spark.queries import _report_df
+
+    sf = "/root/testdata/sf0.001"
+    fused = sorted(map(tuple, _report_df(spark, sf).collect()))
+    generic = sorted(map(tuple, _generic_report(spark, sf).collect()))
+    assert fused == generic
+
+
+def test_fused_report_date_window_equals_generic(spark):
+    """channel_report_from_attributed applies the session-date window
+    AFTER attribution — same rows as the generic path's session_data
+    filter (which journeys every session regardless of window)."""
+    from data_engineering_challenge_spark import roles
+    from data_engineering_challenge_spark.operators import attribution as attr
+    from data_engineering_challenge_spark.operators import journeys as jny
+    from data_engineering_challenge_spark.operators import report as rpt
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    lo, hi = "2024-01-08", "2024-01-16"
+    events = roles.load_events(spark, sf)
+    sessions = roles.sessions_from_events(events)
+    conversions = roles.conversions_from_events(events)
+    costs = roles.session_costs_from_events(events)
+    sess_costed = sessions.join(costs, "session_id", "left").select(
+        "session_id", "user_id", "ts", "channel_name",
+        "holder_engagement", "closer_engagement", "impression_interaction",
+        F.to_date(F.col("ts")).alias("date"),
+        F.coalesce(F.col("cost"), F.lit(0.0)).alias("cost"),
+    )
+    j = jny.build_journeys(
+        conversions, sess_costed,
+        carry_session_cols=("date", "cost"),
+        carry_conversion_cols=("revenue",),
+    )
+    a = attr.attribute_position_engagement(
+        j, carry_cols=("channel_label", "date", "cost", "revenue")
+    )
+    fused = rpt.channel_report_from_attributed(
+        a, start_date=lo, end_date=hi, exact_sums=True
+    )
+    generic = _generic_report(spark, sf, start_date=lo, end_date=hi)
+    got = sorted(map(tuple, fused.collect()))
+    want = sorted(map(tuple, generic.collect()))
+    assert got and got == want
