@@ -99,11 +99,17 @@ def attribute_position_engagement(
     window shuffle, so downstream consumers (the fused report) need no
     join back to the journey inputs.
     """
-    n = F.count("*").over(_group())
+    # last-row test: lead(1) over the SAME ordered window is NULL exactly on
+    # the partition's last row — identical to the classic rn == count(*)
+    # test (a 1-session journey takes the rn == 1 branch in both spellings),
+    # but it shares the row_number's window node, so the plan runs TWO
+    # window passes over the journey rows instead of three (the unordered
+    # count(*) pass disappears; measured r14, plan-verified node count 3→2).
     rn = F.row_number().over(_ordered())
+    is_last = F.lead(F.lit(1)).over(_ordered()).isNull()
     raw = (
         F.when(rn == 1, F.lit(INITIALIZER_SCORE))
-        .when(rn == n, F.lit(CLOSER_SCORE) * (1.0 + F.col("closer_engagement")))
+        .when(is_last, F.lit(CLOSER_SCORE) * (1.0 + F.col("closer_engagement")))
         .otherwise(F.lit(HOLDER_SCORE) * (1.0 + F.col("holder_engagement")))
     )
     df = journeys.withColumn("_raw", raw)

@@ -103,14 +103,12 @@ def build_journeys(
             F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
         )
 
-    # fan out an under-split sessions scan (io.fan_out_scan, no-op on a
-    # well-split table): sessions are the streamed/probe side of the join,
-    # so everything pipelined behind the scan — the join probe and the
-    # shuffle write feeding downstream attribution — otherwise runs at the
-    # scan's task count (1 task per single-row-group file)
-    from ..sources.io import fan_out_scan
-
-    sess = fan_out_scan(sess)
+    # NOTE (r14): a fan-out of the sessions probe side was measured and
+    # REJECTED — rows re-read from the round-robin shuffle cost several
+    # times the CPU of rows pipelined straight out of the columnar scan,
+    # which ate the parallelism gain (attr path 0.71 s direct vs 0.82 s
+    # fanned out at sf0.1; the probe+shuffle-write runs inside the scan's
+    # whole-stage-codegen either way)
 
     # explicit aliases: conversions and sessions often derive from the same
     # scan (a self-join), which is ambiguous without qualification

@@ -586,24 +586,33 @@ def _report_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused flagship composition (r14, guide §8/§2.4): per-session cost
     and date and per-conversion revenue are attached BEFORE the one
     attribution shuffle (carry_* plumbing), so the report aggregates the
-    attributed rows directly — 3 scans / 1 keyed shuffle instead of the
-    naive 5 scans / 3 keyed shuffles, bit-identical sums (row multiset
-    equality with the reference's attribution_data CTE is pinned in
-    tests/test_plans.py against the generic-operator composition)."""
+    attributed rows directly — 2 scans / 1 keyed shuffle instead of the
+    naive 5 scans / 3 keyed shuffles, bit-identical sums (fused-vs-generic
+    row equality is pinned in tests/test_report.py).
+
+    The cost attach is INLINE rather than the role-layer LEFT JOIN: the
+    costs role derives from the SAME events row as the session role
+    (cost = value*0.1 where event_id%10 != 0, else no row → COALESCE 0),
+    so with unique event_id — the testdata generator's primary key,
+    asserted in tests/test_report.py::test_events_event_id_unique — the
+    join on session_id = event_id is row-for-row the CASE expression.
+    The generic channel_report operator keeps the real LEFT JOIN for
+    arbitrary costs tables; the equality test compares this composition
+    against it on the actual testdata every run."""
     events = roles.load_events(spark, sf_dir)
-    sessions = roles.sessions_from_events(events)
     conversions = roles.conversions_from_events(events)
-    costs = roles.session_costs_from_events(events)
-    sess_costed = sessions.join(costs, "session_id", "left").select(
-        "session_id",
+    sess_costed = events.select(
+        F.col("event_id").alias("session_id"),
         "user_id",
         "ts",
-        "channel_name",
-        "holder_engagement",
-        "closer_engagement",
-        "impression_interaction",
+        F.col("event_type").alias("channel_name"),
+        (F.col("event_id") % 2).cast("int").alias("holder_engagement"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("closer_engagement"),
+        (F.col("event_id") % 5 == 0).cast("int").alias("impression_interaction"),
         F.to_date(F.col("ts")).alias("date"),
-        F.coalesce(F.col("cost"), F.lit(0.0)).alias("cost"),
+        F.when(F.col("event_id") % 10 != 0, F.col("value") * 0.1)
+        .otherwise(F.lit(0.0))
+        .alias("cost"),
     )
     j = jny.build_journeys(
         conversions,

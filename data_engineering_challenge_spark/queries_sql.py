@@ -67,15 +67,21 @@ def _register_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
 #: BigDecimal→double cast is correctly rounded so the oracle's VARCHAR
 #: detour drops; the base table is the `sqlq_events` temp view.
 _SPARK_SQL_REPORT = f"""
-WITH sessions AS ({roles.SQL_SESSIONS}),
-conversions AS ({roles.SQL_CONVERSIONS}),
-costs AS ({roles.SQL_COSTS}),
+WITH conversions AS ({roles.SQL_CONVERSIONS}),
 sess AS (
-    SELECT s.session_id, s.user_id, s.ts, s.channel_name,
-           s.holder_engagement, s.closer_engagement,
-           CAST(s.ts AS DATE) AS date,
-           COALESCE(co.cost, 0.0) AS cost
-    FROM sessions s LEFT JOIN costs co ON s.session_id = co.session_id
+    -- inline cost: the costs role derives from the SAME events row
+    -- (value*0.1 where event_id%10 != 0, else no row -> COALESCE 0), so
+    -- with unique event_id the LEFT JOIN on session_id IS this CASE —
+    -- see queries._report_df for the argument and the pinning tests
+    SELECT event_id AS session_id,
+           user_id,
+           ts,
+           event_type AS channel_name,
+           CAST(event_id % 2 AS INTEGER) AS holder_engagement,
+           CAST(event_id % 3 = 0 AS INTEGER) AS closer_engagement,
+           CAST(ts AS DATE) AS date,
+           CASE WHEN event_id % 10 <> 0 THEN value * 0.1 ELSE 0.0 END AS cost
+    FROM events
 ),
 journeys AS (
     SELECT c.conv_id AS conversion_id, s.session_id, s.ts,
@@ -86,10 +92,13 @@ journeys AS (
       ON s.user_id = c.user_id AND s.ts <= c.conv_ts
 ),
 scored AS (
+    -- LEAD(1) OVER w IS NULL == "last row of the conversion" (identical to
+    -- the classic rn = count(*) test) but shares the row_number's window
+    -- node: two window passes instead of three, like the DataFrame twin
     SELECT conversion_id, channel_label, date, cost, revenue,
            CASE
              WHEN ROW_NUMBER() OVER w = 1 THEN 2.0
-             WHEN ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY conversion_id)
+             WHEN LEAD(1) OVER w IS NULL
                   THEN 2.0 * (1.0 + closer_engagement)
              ELSE 1.0 * (1.0 + holder_engagement)
            END AS raw

@@ -710,13 +710,19 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT))"
         ),
     )
-    # Two materialization barriers (tiny repartitions), found by profiling:
+    # Two materialization barriers, found by profiling:
     # (1) the window expression references `h` three times — inlining the
     #     500-md5 transform at each reference triples the hash cost;
     # (2) exploding a lambda-valued generator re-evaluates the WHOLE
     #     expression per OUTPUT row (~110x/doc here, 73s -> 1s when the
     #     generator is a bound attribute instead).
-    hashed = hashed.select("doc_id", "h").repartition("doc_id")
+    # r14: the barriers are round-robin fan-outs (io.fan_out_scan
+    # force=True) instead of repartition("doc_id") — same one-pass
+    # barrier cost, but AQE cannot coalesce them below the core count,
+    # so the per-position md5 work runs cluster-wide.
+    from .sources.io import fan_out_scan
+
+    hashed = fan_out_scan(hashed.select("doc_id", "h"), force=True)
     df = hashed.withColumn(
         "fps",
         F.expr(
@@ -730,7 +736,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window slice at the scan (observed ~75s vs ~2s).  The outer variant is
     # exempt, and fps is never empty here (length >= 11 guarantees >= 1
     # window).
-    fps = df.select("doc_id", "fps").repartition("doc_id")
+    fps = fan_out_scan(df.select("doc_id", "fps"), force=True)
     return fps.select("doc_id", F.explode_outer("fps").alias("fp"))
 
 

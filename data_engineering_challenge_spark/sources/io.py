@@ -89,7 +89,7 @@ def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(sch).parquet(path)
 
 
-def fan_out_scan(df: DataFrame) -> DataFrame:
+def fan_out_scan(df: DataFrame, force: bool = False) -> DataFrame:
     """Round-robin-redistribute a coarse-grained source so downstream
     per-row compute (hashing, decimal aggregation, join probes) uses the
     whole cluster instead of the scan's task count.
@@ -114,6 +114,13 @@ def fan_out_scan(df: DataFrame) -> DataFrame:
     the rows over the network — apply at compute-heavy chokepoints, not
     blanket.  Row multisets are preserved; callers' aggregations must be
     order-independent (the engine's decimal-exact convention).
+
+    ``force=True`` always repartitions (to ``max(parts, parallelism)``):
+    for call sites that need the exchange as a MATERIALIZATION BARRIER
+    (exploding winnow/shingle expressions whose re-inlining was measured
+    catastrophic) — the round-robin barrier costs the same one pass the
+    old ``repartition("key")`` barrier did, but is never coalesced down
+    to fewer tasks than cores by AQE.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -122,7 +129,7 @@ def fan_out_scan(df: DataFrame) -> DataFrame:
     except Exception:  # pragma: no cover - planning quirks: keep the scan
         return df
     if parts >= target:
-        return df
+        return df.repartition(parts) if force else df
     return df.repartition(target)
 
 

@@ -73,9 +73,12 @@ def test_attribution_single_shuffle(spark):
 @pytest.mark.parametrize("name", ["channel_report"])
 def test_report_uses_broadcast_for_costs(spark, name):
     plan = _plan(spark, name)
-    # the costs LEFT JOIN and the conversions join are broadcast at this
-    # scale; the big sessions/attribution join may be SMJ or BHJ (AQE decides)
-    assert plan.count("BroadcastHashJoin") >= 2
+    # the fused flagship (r14) has exactly one join left — the journey
+    # join, broadcast at this scale — because cost/date/revenue are
+    # attached inline/carried through the attribution shuffle instead of
+    # re-joined afterwards
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
 
 
 def test_q19_disjunctive_preds_pushdown(spark):

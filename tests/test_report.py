@@ -167,3 +167,18 @@ def test_fused_report_date_window_equals_generic(spark):
     got = sorted(map(tuple, fused.collect()))
     want = sorted(map(tuple, generic.collect()))
     assert got and got == want
+
+
+def test_events_event_id_unique(spark):
+    """Precondition of the fused flagship's INLINE cost attach: the costs
+    role left-joins on session_id = event_id, which collapses to a CASE
+    over the same row only when event_id never repeats.  The testdata
+    generator uses event_id as the primary key; if that ever changes,
+    this must fail before the inline rewrite can diverge from the oracle."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        from data_engineering_challenge_spark import roles
+
+        events = roles.load_events(spark, sf)
+        total = events.count()
+        distinct = events.select("event_id").distinct().count()
+        assert total == distinct, f"duplicate event_id in {sf}"
