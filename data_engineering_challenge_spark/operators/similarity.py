@@ -501,12 +501,14 @@ def pq_train_codebooks(
     the subvectors — train once at index-build time, reuse forever
     (the IVF posture; at 100 TB each fit samples, it doesn't need the
     full corpus).  Returns codebooks[s][j] = centroid j of subspace s."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     sub = dim // m
-    books = []
-    for s in range(m):
+
+    def _fit(s: int) -> list[list[float]]:
         dense = corpus.select(
             array_to_vector(
                 F.slice(F.col(vec_col), s * sub + 1, sub)
@@ -516,10 +518,15 @@ def pq_train_codebooks(
             k=codebook_k, seed=seed + s, maxIter=max_iter,
             featuresCol="features",
         ).fit(dense)
-        books.append(
-            [[float(x) for x in c] for c in model.clusterCenters()]
-        )
-    return books
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # the m sub-fits are INDEPENDENT jobs (disjoint subvector slices,
+    # per-subspace seeds), so submit them from a small thread pool and let
+    # the scheduler back-fill idle cores (guide §2.6) — each tiny fit is
+    # scheduling-bound, serial training wastes the cluster m times over.
+    # Same seeds, same data per subspace ⇒ bit-identical codebooks.
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        return list(pool.map(_fit, range(m)))
 
 
 def _pq_sub_l2(vec_col: str, s: int, sub: int, centroid: list[float]) -> Column:
@@ -597,12 +604,17 @@ def pq_topk(
     Returns (query_id, neighbor_id, approx_dot, rank).  With rerank the
     rank (and the k-cut) follow the EXACT dot; approx_dot stays the ADC
     score that selected the candidate."""
+    from ..sources.io import fan_out_scan
+
     books = codebooks or pq_train_codebooks(
         corpus, vec_col, m=m, codebook_k=codebook_k, dim=dim, seed=seed
     )
     m = len(books)
     codebook_k = len(books[0])
     sub = len(books[0][0])
+    # the ADC scan is m*codebook_k fold expressions per row — fan out an
+    # under-split corpus so encode+score use every core (no-op at scale)
+    corpus = fan_out_scan(corpus)
     encoded = pq_encode(corpus, books, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
