@@ -610,9 +610,13 @@ def _report_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 3 == 0).cast("int").alias("closer_engagement"),
         (F.col("event_id") % 5 == 0).cast("int").alias("impression_interaction"),
         F.to_date(F.col("ts")).alias("date"),
-        F.when(F.col("event_id") % 10 != 0, F.col("value") * 0.1)
-        .otherwise(F.lit(0.0))
-        .alias("cost"),
+        # outer coalesce: the generic path's COALESCE(cost, 0.0) also
+        # zeroes a NULL `value` (NULL*0.1 -> NULL -> 0.0); the CASE alone
+        # would keep the NULL (review finding r14)
+        F.coalesce(
+            F.when(F.col("event_id") % 10 != 0, F.col("value") * 0.1),
+            F.lit(0.0),
+        ).alias("cost"),
     )
     j = jny.build_journeys(
         conversions,

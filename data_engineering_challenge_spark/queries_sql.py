@@ -80,7 +80,10 @@ sess AS (
            CAST(event_id % 2 AS INTEGER) AS holder_engagement,
            CAST(event_id % 3 = 0 AS INTEGER) AS closer_engagement,
            CAST(ts AS DATE) AS date,
-           CASE WHEN event_id % 10 <> 0 THEN value * 0.1 ELSE 0.0 END AS cost
+           -- COALESCE also zeroes a NULL value, like the generic path's
+           -- COALESCE(cost, 0.0) after the join
+           COALESCE(CASE WHEN event_id % 10 <> 0 THEN value * 0.1 END, 0.0)
+               AS cost
     FROM events
 ),
 journeys AS (

@@ -123,12 +123,21 @@ def fan_out_scan(df: DataFrame, force: bool = False) -> DataFrame:
     to fewer tasks than cores by AQE.
     """
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
     try:
+        target = spark.sparkContext.defaultParallelism
         parts = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - planning quirks: keep the scan
+    except Exception:  # pragma: no cover - no classic context / planning quirk
+        if force:
+            # the barrier is load-bearing for force callers (winnow/shingle
+            # explode re-inlining was measured ~70x) — never drop it; size
+            # the exchange from the session's shuffle width instead
+            return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
         return df
-    if parts >= target:
+    if parts * 2 > target:
+        # already parallel enough that one extra pass of the rows over the
+        # network cannot pay for itself (< 2x task-count gain) — the margin
+        # keeps a 30-split scan on a 32-core cluster from round-tripping
+        # the whole relation for two more tasks
         return df.repartition(parts) if force else df
     return df.repartition(target)
 

@@ -175,7 +175,11 @@ def test_events_event_id_unique(spark):
     over the same row only when event_id never repeats.  The testdata
     generator uses event_id as the primary key; if that ever changes,
     this must fail before the inline rewrite can diverge from the oracle."""
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",  # the benched scale — guard where it's measured
+    ):
         from data_engineering_challenge_spark import roles
 
         events = roles.load_events(spark, sf)
