@@ -73,6 +73,12 @@ def cosine_topk(
         F.col(vec_col).alias("cv"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
     )
+    # NOTE (r15): a mapInArrow pair-scoring kernel (ship (qv, cv, norms)
+    # pair rows to NumPy, fold bit-identically) was implemented, proven
+    # bit-exact on every pair, and REJECTED ON MEASUREMENT: 0.33→0.55 s
+    # at sf0.1 and 0.41→0.76 s at sf1.0 — the ~520 B/pair Arrow transfer
+    # costs more than the codegen'd 64-step fold saves at any measured
+    # scale.  The JVM expression stays.
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -539,18 +545,17 @@ def _pq_sub_l2(vec_col: str, s: int, sub: int, centroid: list[float]) -> Column:
     return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def pq_encode(
+def pq_encode_expr(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Encode every vector as its PQ code array: per subspace, the index
-    of the nearest (squared-L2) codebook centroid — ONE map-only pass of
-    pure column expressions (the literal codebooks compile into the
-    plan), no shuffle, 8 bytes of index state per row where the raw
-    vector had 256.  First-min ties break deterministically
-    (array_position returns the first match)."""
+    """Expression-form PQ encode (the r5–r14 implementation): per
+    subspace, the index of the nearest (squared-L2) codebook centroid —
+    m×codebook_k fold expressions per row.  Kept as the portable
+    reference implementation; :func:`pq_encode` is the vectorized twin
+    (bit-identical codes, measured ~6x cheaper per row) used everywhere."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     codes = []
@@ -561,6 +566,154 @@ def pq_encode(
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return corpus.select(
         F.col(id_col), F.col(vec_col), F.array(*codes).alias("pq_code")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its PQ code array — a `mapInArrow` batch
+    kernel (guide §4.2): whole Arrow batches are handed to NumPy instead
+    of evaluating m×codebook_k fold EXPRESSIONS per row (the encode was
+    the dominant per-row cost of the ADC scan; JVM row-at-a-time
+    expression eval is slow at this arithmetic density).
+
+    BIT-IDENTICAL to :func:`pq_encode_expr` by construction, not by
+    tolerance: the JVM fold computes ``(cast(float→double) − literal)²``
+    summed LEFT-TO-RIGHT in double, ties broken by FIRST minimum
+    (array_position); the kernel casts to float64 once, squares, and
+    accumulates sequentially over the sub-dimensions in float64 — the
+    same IEEE operations in the same order — and ``np.argmin`` takes the
+    first minimum.  NaN distances are mapped to +inf first (Spark orders
+    NaN greatest, so a NaN distance never wins array_min either).
+
+    Only (id, vector) cross the Python boundary (pre-projected — an
+    opaque function would otherwise defeat column pruning, guide §4.1);
+    codes come back as one offsets-over-values Arrow list array per
+    batch.  No shuffle, cardinality-preserving, order-preserving."""
+    books = [
+        [[float(x) for x in c] for c in b] for b in codebooks
+    ]
+    m = len(books)
+    sub = len(books[0][0])
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+
+    def _encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cents = [np.asarray(b, dtype=np.float64) for b in books]  # (K, sub)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column(1)
+            if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
+                emb = emb.combine_chunks()
+            off = np.asarray(emb.offsets)
+            widths = np.diff(off)
+            if not (widths == m * sub).all():
+                raise ValueError(
+                    "pq_encode: vector length != m*sub for some row"
+                )
+            flat = np.asarray(emb.values, dtype=np.float32)
+            X = flat[off[0] : off[-1]].reshape(n, m * sub).astype(np.float64)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                S = X[:, s * sub : (s + 1) * sub]
+                D = np.empty((n, len(cents[s])), dtype=np.float64)
+                for j in range(len(cents[s])):
+                    sq = S - cents[s][j]
+                    sq *= sq
+                    acc = sq[:, 0].copy()
+                    for t in range(1, sub):
+                        acc += sq[:, t]
+                    D[:, j] = acc
+                np.nan_to_num(D, copy=False, nan=np.inf)
+                codes[:, s] = np.argmin(D, axis=1)
+            offsets = pa.array(
+                np.arange(n + 1, dtype=np.int32) * m, type=pa.int32()
+            )
+            code_col = pa.ListArray.from_arrays(
+                offsets, pa.array(codes.ravel(), type=pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), code_col],
+                schema=pa.schema(
+                    [
+                        batch.schema.field(0),
+                        batch.schema.field(1),
+                        pa.field("pq_code", pa.list_(pa.int32())),
+                    ]
+                ),
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        _encode,
+        f"`{id_col}` {id_type}, `{vec_col}` {vec_type}, "
+        "pq_code array<int>",
+    )
+
+
+def _pq_query_table_arrow(
+    q: DataFrame, books: list[list[list[float]]]
+) -> DataFrame:
+    """(query_id, qv) → (query_id, qv, _tbl) where ``_tbl`` is the
+    row-major m×K ADC lookup table: _tbl[s*K+j] = dot(q_s, books[s][j]).
+    Bit-identical to the former fold expressions: each entry accumulates
+    ``cast(float→double) * double_literal`` LEFT-TO-RIGHT from 0.0 in
+    float64 — the same IEEE sequence NumPy performs here."""
+    mm = len(books)
+    kk = len(books[0])
+    sub = len(books[0][0])
+    id_type = q.schema["query_id"].dataType.simpleString()
+    vec_type = q.schema["qv"].dataType.simpleString()
+
+    def _tab(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cents = [np.asarray(b, dtype=np.float64) for b in books]  # (K, sub)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column(1)
+            off = np.asarray(emb.offsets)
+            widths = np.diff(off)
+            if not (widths == mm * sub).all():
+                raise ValueError(
+                    "pq query table: vector length != m*sub for some row"
+                )
+            flat = np.asarray(emb.values, dtype=np.float32)
+            X = flat[off[0] : off[-1]].reshape(n, mm * sub).astype(np.float64)
+            tbl = np.empty((n, mm * kk), dtype=np.float64)
+            for s in range(mm):
+                Qs = X[:, s * sub : (s + 1) * sub]
+                for j in range(kk):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for t in range(sub):
+                        acc += Qs[:, t] * cents[s][j][t]
+                    tbl[:, s * kk + j] = acc
+            offsets = pa.array(
+                np.arange(n + 1, dtype=np.int32) * (mm * kk),
+                type=pa.int32(),
+            )
+            tbl_col = pa.ListArray.from_arrays(
+                offsets, pa.array(tbl.ravel(), type=pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), tbl_col],
+                names=["query_id", "qv", "_tbl"],
+            )
+
+    return q.select("query_id", "qv").mapInArrow(
+        _tab,
+        f"query_id {id_type}, qv {vec_type}, _tbl array<double>",
     )
 
 
@@ -622,25 +775,17 @@ def pq_topk(
     )
 
     # per-query lookup table: dot(q_s, centroid[s][j]) for all (s, j),
-    # flattened row-major — m*codebook_k exprs over the TINY query frame
-    table = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("qv"), s * sub + 1, sub),
-                    F.array(*[F.lit(c) for c in books[s][j]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for s in range(m)
-            for j in range(codebook_k)
-        ]
+    # flattened row-major — an Arrow batch kernel over the TINY query
+    # frame (r15): the former m*codebook_k fold EXPRESSIONS were a
+    # 256-node lambda forest whose Catalyst analysis alone cost ~1 s per
+    # composition; the kernel computes the same left-to-right double
+    # folds in NumPy, bit-identically (same IEEE ops, same order)
+    q = _pq_query_table_arrow(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        books,
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("_tbl", table)
 
     # score = m lookups: element_at(table, s*K + code_s + 1)
     score = None

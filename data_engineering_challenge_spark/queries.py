@@ -590,34 +590,15 @@ def _report_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive 5 scans / 3 keyed shuffles, bit-identical sums (fused-vs-generic
     row equality is pinned in tests/test_report.py).
 
-    The cost attach is INLINE rather than the role-layer LEFT JOIN: the
-    costs role derives from the SAME events row as the session role
-    (cost = value*0.1 where event_id%10 != 0, else no row → COALESCE 0),
-    so with unique event_id — the testdata generator's primary key,
-    asserted in tests/test_report.py::test_events_event_id_unique — the
-    join on session_id = event_id is row-for-row the CASE expression.
-    The generic channel_report operator keeps the real LEFT JOIN for
-    arbitrary costs tables; the equality test compares this composition
-    against it on the actual testdata every run."""
+    The cost attach is INLINE rather than the role-layer LEFT JOIN —
+    `roles.costed_sessions_from_events` holds the argument and keeps the
+    role formulas single-sourced (advice, round 14).  The generic
+    channel_report operator keeps the real LEFT JOIN for arbitrary costs
+    tables; the equality test compares this composition against it on
+    the actual testdata every run."""
     events = roles.load_events(spark, sf_dir)
     conversions = roles.conversions_from_events(events)
-    sess_costed = events.select(
-        F.col("event_id").alias("session_id"),
-        "user_id",
-        "ts",
-        F.col("event_type").alias("channel_name"),
-        (F.col("event_id") % 2).cast("int").alias("holder_engagement"),
-        (F.col("event_id") % 3 == 0).cast("int").alias("closer_engagement"),
-        (F.col("event_id") % 5 == 0).cast("int").alias("impression_interaction"),
-        F.to_date(F.col("ts")).alias("date"),
-        # outer coalesce: the generic path's COALESCE(cost, 0.0) also
-        # zeroes a NULL `value` (NULL*0.1 -> NULL -> 0.0); the CASE alone
-        # would keep the NULL (review finding r14)
-        F.coalesce(
-            F.when(F.col("event_id") % 10 != 0, F.col("value") * 0.1),
-            F.lit(0.0),
-        ).alias("cost"),
-    )
+    sess_costed = roles.costed_sessions_from_events(events)
     j = jny.build_journeys(
         conversions,
         sess_costed,

@@ -56,9 +56,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def sessions_from_events(events: DataFrame) -> DataFrame:
-    """session_sources role (reference pipeline/cj_builder.py:62-72)."""
-    return events.select(
+def _session_role_cols() -> list:
+    """The session_sources projection, single-sourced: every DataFrame
+    spelling of the role formulas (plain role, fused flagship) builds
+    from THIS list, so the definitions cannot silently drift apart
+    (advice, round 14).  The SQL twins below stay textual by necessity —
+    they are the oracle's own surface."""
+    return [
         F.col("event_id").alias("session_id"),
         F.col("user_id"),
         F.col("ts"),
@@ -66,6 +70,40 @@ def sessions_from_events(events: DataFrame) -> DataFrame:
         (F.col("event_id") % 2).cast("int").alias("holder_engagement"),
         (F.col("event_id") % 3 == 0).cast("int").alias("closer_engagement"),
         (F.col("event_id") % 5 == 0).cast("int").alias("impression_interaction"),
+    ]
+
+
+# the session_costs role formula, shared between the role table and the
+# fused flagship's inline attach (functions, not module constants —
+# Column construction needs an active SparkContext)
+def _cost_covered():
+    return F.col("event_id") % 10 != 0
+
+
+def _cost_value():
+    return F.col("value") * 0.1
+
+
+def sessions_from_events(events: DataFrame) -> DataFrame:
+    """session_sources role (reference pipeline/cj_builder.py:62-72)."""
+    return events.select(*_session_role_cols())
+
+
+def costed_sessions_from_events(events: DataFrame) -> DataFrame:
+    """The fused flagship's input (r14, guide §8): the sessions role plus
+    the session's ``date`` and COALESCEd ``cost`` attached from the SAME
+    events row — row-for-row the session_costs LEFT JOIN + COALESCE(cost,
+    0.0), valid because event_id is unique (pinned by
+    tests/test_report.py::test_events_event_id_unique; a row outside the
+    cost coverage joins nothing → CASE yields NULL → COALESCE 0, and a
+    NULL ``value`` zeroes identically on both paths).  Formulas are
+    single-sourced with the role functions above."""
+    return events.select(
+        *_session_role_cols(),
+        F.to_date(F.col("ts")).alias("date"),
+        F.coalesce(F.when(_cost_covered(), _cost_value()), F.lit(0.0)).alias(
+            "cost"
+        ),
     )
 
 
@@ -81,9 +119,9 @@ def conversions_from_events(events: DataFrame) -> DataFrame:
 
 def session_costs_from_events(events: DataFrame) -> DataFrame:
     """session_costs role, ~90% coverage (reference channel_reporter.py:40-44)."""
-    return events.filter(F.col("event_id") % 10 != 0).select(
+    return events.filter(_cost_covered()).select(
         F.col("event_id").alias("session_id"),
-        (F.col("value") * 0.1).alias("cost"),
+        _cost_value().alias("cost"),
     )
 
 

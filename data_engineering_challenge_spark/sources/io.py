@@ -89,6 +89,91 @@ def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(sch).parquet(path)
 
 
+def _parse_size_bytes(s: str) -> int:
+    """A Spark size conf value ("134217728b", "128m", "64k", "1g", bare
+    int) → bytes.  Mirrors Spark's JavaUtils.byteStringAsBytes for the
+    suffixes those confs actually use."""
+    s = str(s).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("b", 1), ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+        ("t", 1 << 40),
+    ):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(s) * mult
+
+
+def _estimate_scan_splits(df: DataFrame) -> int | None:
+    """The scan-partition count Spark will give ``df``'s file scan,
+    computed from FILE METADATA only — ``inputFiles()`` (the already-
+    listed file index, no job) plus local ``stat()`` sizes, folded
+    through Spark's own split formula (maxSplitBytes = min(
+    maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism)),
+    then the greedy size-desc bin-packing of FilePartition).  Replaces
+    the former ``df.rdd.getNumPartitions()`` probe, which compiled the
+    physical plan per query build and — under AQE, on an input already
+    containing an exchange — eagerly EXECUTED upstream stages at
+    composition time (advice, round 14).
+
+    Returns ``None`` (caller no-ops) when the estimate is unavailable:
+    a non-file source, or files on a non-local filesystem — at scale a
+    real table has thousands of splits and the caller's no-op branch is
+    the correct outcome anyway.  Verified exact against
+    ``rdd.getNumPartitions()`` on every driver testdata table at sf0.1
+    and the ×10 upscale (r15)."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        sizes = []
+        for u in files:
+            p = u
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+                if p.startswith("//"):
+                    p = p[2:]  # file:///x -> /x (empty authority)
+            elif "://" in p:
+                return None  # non-local FS: no cheap stat; no-op at scale
+            sizes.append(os.path.getsize(p))
+        conf = df.sparkSession.conf
+        max_pb = _parse_size_bytes(
+            conf.get("spark.sql.files.maxPartitionBytes")
+        )
+        open_cost = _parse_size_bytes(
+            conf.get("spark.sql.files.openCostInBytes")
+        )
+        min_pn = conf.get("spark.sql.files.minPartitionNum", None)
+        parallelism = (
+            int(min_pn)
+            if min_pn
+            else df.sparkSession.sparkContext.defaultParallelism
+        )
+        total = sum(sizes) + len(sizes) * open_cost
+        max_split = min(max_pb, max(open_cost, total // max(1, parallelism)))
+        # per-file byte-range chunks (parquet files are splittable), then
+        # FilePartition's greedy packing: size-descending, close when the
+        # next chunk would overflow, charge open_cost per chunk
+        chunks: list[int] = []
+        for sz in sizes:
+            full, rem = divmod(sz, max_split)
+            chunks.extend([max_split] * int(full))
+            if rem:
+                chunks.append(rem)
+        chunks.sort(reverse=True)
+        parts, cur, started = 0, 0, False
+        for ch in chunks:
+            if started and cur + ch > max_split:
+                parts, cur, started = parts + 1, 0, False
+            cur += ch + open_cost
+            started = True
+        return parts + 1 if started else max(parts, 1)
+    except Exception:  # pragma: no cover - conf/stat quirk: no claims
+        return None
+
+
 def fan_out_scan(df: DataFrame, force: bool = False) -> DataFrame:
     """Round-robin-redistribute a coarse-grained source so downstream
     per-row compute (hashing, decimal aggregation, join probes) uses the
@@ -102,43 +187,47 @@ def fan_out_scan(df: DataFrame, force: bool = False) -> DataFrame:
     huge unsplittable file … repartition immediately after the read",
     §2.5) made adaptive:
 
-    * **no-op when the scan is already parallel enough** (split count >=
-      ``defaultParallelism``) — on a real multi-file table at scale this
-      adds nothing to the plan, so it is NOT a local-mode constant;
+    * **no-op when the scan is already parallel enough** (estimated split
+      count >= ``defaultParallelism / 2`` — the ≥2x task-gain margin) —
+      on a real multi-file table at scale this adds nothing to the plan,
+      so it is NOT a local-mode constant;
     * otherwise one round-robin exchange of the scan output.  Round-robin
       repartition is deterministic under task retry (Spark sorts before
       round-robin partitioning, SPARK-23207) and is never coalesced back
       by AQE (only ENSURE_REQUIREMENTS / REPARTITION_BY_COL shuffles are).
+
+    The split count comes from :func:`_estimate_scan_splits` (file
+    metadata only — no plan compile, no job, fully lazy composition);
+    when no estimate exists (non-file source, remote FS) the scan is
+    left alone.
 
     Only worth it when the downstream per-row work dominates one pass of
     the rows over the network — apply at compute-heavy chokepoints, not
     blanket.  Row multisets are preserved; callers' aggregations must be
     order-independent (the engine's decimal-exact convention).
 
-    ``force=True`` always repartitions (to ``max(parts, parallelism)``):
-    for call sites that need the exchange as a MATERIALIZATION BARRIER
-    (exploding winnow/shingle expressions whose re-inlining was measured
-    catastrophic) — the round-robin barrier costs the same one pass the
-    old ``repartition("key")`` barrier did, but is never coalesced down
-    to fewer tasks than cores by AQE.
+    ``force=True`` always repartitions to ``defaultParallelism`` with NO
+    probing of the input: for call sites that need the exchange as a
+    MATERIALIZATION BARRIER (exploding winnow/shingle expressions whose
+    re-inlining was measured catastrophic).  The input there may already
+    contain exchanges, which is exactly where a partition probe would
+    eagerly execute upstream stages at composition time — so the barrier
+    width comes straight from the session (advice, round 14).
     """
     spark = df.sparkSession
     try:
         target = spark.sparkContext.defaultParallelism
-        parts = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - no classic context / planning quirk
-        if force:
-            # the barrier is load-bearing for force callers (winnow/shingle
-            # explode re-inlining was measured ~70x) — never drop it; size
-            # the exchange from the session's shuffle width instead
-            return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
-        return df
-    if parts * 2 > target:
+    except Exception:  # pragma: no cover - no classic context
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if force:
+        return df.repartition(target)
+    parts = _estimate_scan_splits(df)
+    if parts is None or parts * 2 > target:
         # already parallel enough that one extra pass of the rows over the
         # network cannot pay for itself (< 2x task-count gain) — the margin
         # keeps a 30-split scan on a 32-core cluster from round-tripping
         # the whole relation for two more tasks
-        return df.repartition(parts) if force else df
+        return df
     return df.repartition(target)
 
 

@@ -101,9 +101,25 @@ class SyntheticEventsReader(DataSourceReader):
             yield _row(i)
 
 
+#: sessions that already registered each source (r15): a registration is
+#: a ~0.5 s py4j round trip and re-registering the same class is pure
+#: overhead — weak so restarted sessions re-register
+_REGISTERED: dict = {}
+
+
+def _register_once(spark, cls) -> None:
+    import weakref
+
+    seen = _REGISTERED.setdefault(cls.name(), weakref.WeakSet())
+    if spark in seen:
+        return
+    spark.dataSource.register(cls)
+    seen.add(spark)
+
+
 def register_synthetic_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
-    spark.dataSource.register(SyntheticEventsDataSource)
+    _register_once(spark, SyntheticEventsDataSource)
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +250,7 @@ class JsonlManifestWriter(DataSourceWriter):
 
 
 def register_jsonl_manifest_sink(spark) -> None:
-    spark.dataSource.register(JsonlManifestDataSource)
+    _register_once(spark, JsonlManifestDataSource)
 
 
 def read_jsonl_manifest(spark, path: str, schema: StructType):

@@ -344,6 +344,24 @@ def _apply_check_constraints(
     return df
 
 
+def _size_for_write(df: DataFrame) -> DataFrame:
+    """AQE-sized REBALANCE before a commit write whose input partitioning
+    is INCIDENTAL (CDC merge deltas, DML delete lists and post-images fed
+    from a persisted plan).  A persisted plan keeps its shuffle width —
+    AQE does not re-coalesce inside a cached plan by default
+    (`spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`) — so a
+    150-row delta was fanning out into shuffle-width tiny files (r15
+    measured: 30 data + 31 delete-list part files for one sf0.001 MoR
+    merge), each one a manifest entry, a footer-stats read at commit, and
+    a per-file read in every downstream MoR composition.  One rebalance
+    exchange fixes the layout at any scale (guide §6: AQE sizes output to
+    the advisory partition size — a tiny batch lands as ONE file, a huge
+    batch as ~advisory-sized files).  Row multiset is preserved; callers
+    whose write layout is CONTRACTUAL (clustered/sorted appends) must not
+    use this."""
+    return df.hint("rebalance")
+
+
 def _write_files(
     df: DataFrame,
     root: str,
@@ -4460,14 +4478,54 @@ def compact_delete_files(spark: SparkSession, root: str) -> int:
                     "compact_delete_files: a delete key is named _seq — "
                     "collides with the merged list's sequence column"
                 )
+            # batch the reads per physical schema (r15, same shape as
+            # read_snapshot_mor): one inference job per subgroup, per-file
+            # sequences re-attached from a literal suffix→seq map
             side = None
+            subgroups: dict[tuple, list[dict]] = {}
             for d in dels:
-                one = spark.read.parquet(os.path.join(root, d["file"]))
-                if d.get("kind") == "equality-multi":
+                subgroups.setdefault(
+                    (d.get("kind") == "equality-multi", tuple(d["keys"])), []
+                ).append(d)
+            for (is_multi, _phys), sub in subgroups.items():
+                sufs = ["/".join(d["file"].split(os.sep)[-2:]) for d in sub]
+                if len(set(sufs)) != len(sufs):  # pragma: no cover
+                    for d in sub:
+                        one = spark.read.parquet(
+                            os.path.join(root, d["file"])
+                        )
+                        if not is_multi:
+                            one = one.withColumn(
+                                "_seq", F.lit(int(d["seq"]))
+                            )
+                        one = _project_delete_keys(
+                            one, d, key_tuple, keep=["_seq"]
+                        )
+                        side = (
+                            one if side is None else side.unionByName(one)
+                        )
+                    continue
+                one = spark.read.parquet(
+                    *[os.path.join(root, d["file"]) for d in sub]
+                )
+                if is_multi:
                     pass  # _seq already per-row
+                elif len(sub) == 1:
+                    one = one.withColumn("_seq", F.lit(int(sub[0]["seq"])))
                 else:
-                    one = one.withColumn("_seq", F.lit(int(d["seq"])))
-                one = _project_delete_keys(one, d, key_tuple, keep=["_seq"])
+                    dparts = F.split(F.col("_metadata.file_path"), "/")
+                    dsuf = F.concat_ws(
+                        "/", *[F.element_at(dparts, k) for k in (-2, -1)]
+                    )
+                    pairs: list = []
+                    for d, s in zip(sub, sufs):
+                        pairs.extend([F.lit(s), F.lit(int(d["seq"]))])
+                    one = one.withColumn(
+                        "_seq", F.element_at(F.create_map(*pairs), dsuf)
+                    )
+                one = _project_delete_keys(
+                    one, sub[0], key_tuple, keep=["_seq"]
+                )
                 side = one if side is None else side.unionByName(one)
             # max sequence per key: a later delete of the same key
             # subsumes the earlier one exactly (kills strictly more)
@@ -4502,10 +4560,9 @@ def compact_delete_files(spark: SparkSession, root: str) -> int:
             if len(dels) == 1:
                 new_entries.append(dict(dels[0]))
                 continue
-            side = None
-            for d in dels:
-                one = spark.read.parquet(os.path.join(root, d["file"]))
-                side = one if side is None else side.unionByName(one)
+            side = spark.read.parquet(
+                *[os.path.join(root, d["file"]) for d in dels]
+            )
             [f] = _write_files(side.distinct().coalesce(1), root, kind="deletes")
             new_entries.append(
                 {
@@ -4727,13 +4784,19 @@ def snapshot_mor_merge(
             # a transport-level replay sequence orders the merge but is
             # not table data — keep it out of the written schema
             upserts = upserts.drop(seq_col)
+        # both writes read the persisted window result, whose partition
+        # width is frozen at the shuffle width — rebalance so the delta
+        # lands as size-appropriate files, not one file per shuffle task
+        upserts = _size_for_write(upserts)
         if stats_cols is None:
             new_files, new_stats = _write_files(upserts, root), {}
         else:
             # recorded stats keep read_snapshot_pruned AND the CDF
             # pre-image scan prunable on a continuously merged table
             new_files, new_stats = _write_files(upserts, root, stats_cols)
-        del_files = _write_files(last.select(*keys), root, kind="deletes")
+        del_files = _write_files(
+            _size_for_write(last.select(*keys)), root, kind="deletes"
+        )
     finally:
         last.unpersist()
     return _commit(
@@ -5427,19 +5490,55 @@ def read_snapshot_mor(
     out_cols = [c for c in data.columns if c not in internal]
     data = data.join(F.broadcast(seq_map), rel_c)
     # equality deletes: group by key set (usually one); anti-join each
-    # with the sequence rule (delete kills only lower-seq data)
+    # with the sequence rule (delete kills only lower-seq data).  Files
+    # sharing a physical schema are read in ONE spark.read.parquet call
+    # (r15: each read is a schema-inference driver job, so a table with
+    # N merge commits paid N reads per composition); per-file sequences
+    # are re-attached from a literal suffix→seq map over
+    # ``_metadata.file_path`` — bounded by the delete-file count (commits
+    # since compaction), never table size
     for key_tuple, dels in by_keys.items():
         side = None
+        subgroups: dict[tuple, list[dict]] = {}
         for d in dels:
-            one = spark.read.parquet(os.path.join(root, d["file"]))
-            if d.get("kind") == "equality-multi":
-                # a minor-compacted list (compact_delete_files) carries
-                # its sequences PER ROW — the merge of several commits'
-                # key lists into one file
+            subgroups.setdefault(
+                (d.get("kind") == "equality-multi", tuple(d["keys"])), []
+            ).append(d)
+        for (is_multi, _phys), sub in subgroups.items():
+            paths = [os.path.join(root, d["file"]) for d in sub]
+            sufs = ["/".join(d["file"].split(os.sep)[-2:]) for d in sub]
+            if len(set(sufs)) != len(sufs):  # pragma: no cover - uuid dirs
+                # suffix collision: cannot key the seq map — fall back
+                # to per-file reads for this subgroup
+                for d in sub:
+                    one = spark.read.parquet(os.path.join(root, d["file"]))
+                    if is_multi:
+                        one = one.withColumnRenamed("_seq", dseq_c)
+                    else:
+                        one = one.withColumn(dseq_c, F.lit(int(d["seq"])))
+                    one = _project_delete_keys(one, d, key_tuple, keep=[dseq_c])
+                    side = one if side is None else side.unionByName(one)
+                continue
+            one = spark.read.parquet(*paths)
+            if is_multi:
+                # minor-compacted lists (compact_delete_files) carry
+                # their sequences PER ROW — the merge of several
+                # commits' key lists into one file
                 one = one.withColumnRenamed("_seq", dseq_c)
+            elif len(sub) == 1:
+                one = one.withColumn(dseq_c, F.lit(int(sub[0]["seq"])))
             else:
-                one = one.withColumn(dseq_c, F.lit(int(d["seq"])))
-            one = _project_delete_keys(one, d, key_tuple, keep=[dseq_c])
+                dparts = F.split(F.col("_metadata.file_path"), "/")
+                dsuf = F.concat_ws(
+                    "/", *[F.element_at(dparts, k) for k in (-2, -1)]
+                )
+                pairs: list = []
+                for d, s in zip(sub, sufs):
+                    pairs.extend([F.lit(s), F.lit(int(d["seq"]))])
+                one = one.withColumn(
+                    dseq_c, F.element_at(F.create_map(*pairs), dsuf)
+                )
+            one = _project_delete_keys(one, sub[0], key_tuple, keep=[dseq_c])
             side = one if side is None else side.unionByName(one)
         for k in key_tuple:
             rng = (_eq_delete_ranges or {}).get(k)
@@ -5465,10 +5564,11 @@ def read_snapshot_mor(
     # above), so a table spanning both formats kills exactly its rows
     for depth, dels in pos_by_depth.items():
         key_col = data[rel_c] if depth == 2 else data[depth_cols[depth]]
-        side = None
-        for d in dels:
-            one = spark.read.parquet(os.path.join(root, d["file"]))
-            side = one if side is None else side.unionByName(one)
+        # identical (_file, _pos) schema across lists: ONE read for the
+        # whole depth group instead of a per-file read + union chain
+        side = spark.read.parquet(
+            *[os.path.join(root, d["file"]) for d in dels]
+        )
         data = data.join(
             F.broadcast(side),
             (key_col == side["_file"]) & (data[pos_c] == side["_pos"]),
@@ -6187,12 +6287,15 @@ def snapshot_update_where(
                     for c in cols
                 ]
             )
+            # hits is persisted: its partition width is the cached plan's
+            # (not AQE-coalesced) — rebalance both derived writes
+            post = _size_for_write(post)
             if stats_cols is None:
                 new_files, new_stats = _write_files(post, root), {}
             else:
                 new_files, new_stats = _write_files(post, root, stats_cols)
             if keys is None:
-                pre = hits.select("_file", "_pos")
+                pre = _size_for_write(hits.select("_file", "_pos"))
             else:
                 pre = hits.select(*keys).distinct()
             try:

@@ -26,12 +26,17 @@ def test_q1_filter_pushed_and_columns_pruned(spark):
     assert "LessThanOrEqual(l_shipdate" in plan  # reached the parquet scan
     # pruned scan: grouping+agg columns only, never the full 11-column row
     assert "l_orderkey" not in plan.split("ReadSchema:")[1]
-    # two exchanges: the adaptive fan-out of the under-split scan (round
-    # robin, engaged because the testdata is single-row-group files) and
-    # the agg shuffle.  On a well-split table the fan-out is a no-op and
-    # this would be 1.
-    assert plan.count("Exchange") == 2
-    assert "RoundRobinPartitioning" in plan  # the fan-out, not a keyed shuffle
+    # one agg shuffle, plus AT MOST the adaptive round-robin fan-out of an
+    # under-split scan (engaged on the current single-row-group testdata;
+    # a regenerated multi-row-group layout makes it a no-op and the count
+    # drops to 1 — both are correct plans, so the pin is layout-robust:
+    # any EXTRA exchange must be the round-robin fan-out, never a second
+    # keyed shuffle)  (advice, round 14)
+    n_ex = plan.count("Exchange")
+    assert 1 <= n_ex <= 2, plan
+    if n_ex == 2:
+        assert "RoundRobinPartitioning" in plan  # the fan-out, not keyed
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_journeys_join_pushdown_and_broadcast(spark):
@@ -350,12 +355,12 @@ def test_sql_surface_plans_match_dataframe_surface(spark):
     authored the plan."""
     sql_plan = _plan(spark, "sql_channel_report")
     df_plan = _plan(spark, "channel_report")
-    # keyed shuffles and join strategies must match; total Exchange count
-    # is NOT compared because the DataFrame path adds the adaptive
-    # round-robin fan-out of the under-split sessions scan (a plain SQL
-    # string has no equivalent of io.fan_out_scan; it is a no-op on
-    # well-split tables)
+    # total Exchange count compared again (advice, round 14: the r14
+    # carve-out cited a sessions-scan fan-out the DataFrame flagship does
+    # not actually have — the two surfaces compile to the same shape,
+    # exchange for exchange)
     for marker in (
+        "Exchange",
         "Exchange hashpartitioning",
         "SortMergeJoin",
         "BroadcastHashJoin",

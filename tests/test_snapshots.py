@@ -1258,11 +1258,14 @@ def test_mor_read_plan_shape(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
-    # one scan for the data side + one per delete key-set union member;
-    # NEVER one per data commit (3 commits -> would be >= 3 data scans)
+    # one scan for the data side + ONE batched scan covering ALL
+    # same-schema delete lists (r15: the per-file read loop became one
+    # multi-path read; per-file sequences ride a _metadata suffix→seq
+    # map) — never a scan per data commit OR per delete list
     n_deletes = len(sn._read_manifest(root, sn.current_version(root))["delete_files"])
+    assert n_deletes == 3  # the fixture really has one list per merge
     n_scans = plan.count("Scan parquet")
-    assert n_scans == 1 + n_deletes, (n_scans, n_deletes, plan)
+    assert n_scans == 2, (n_scans, n_deletes, plan)
     assert {r.k: r.v for r in df.collect()} == {1: 11, 3: 30}
 
 
