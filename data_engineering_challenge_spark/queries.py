@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from .operators import attribution as attr
 from .operators import journeys as jny
 from .operators import report as rpt
+from .sources.io import fan_out_scan
 from . import roles
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -598,7 +599,15 @@ def _report_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the actual testdata every run."""
     events = roles.load_events(spark, sf_dir)
     conversions = roles.conversions_from_events(events)
-    sess_costed = roles.costed_sessions_from_events(events)
+    # adaptive fan-out of the costed-sessions scan (r15): the fused
+    # flagship pipelines the journey probe AND the conversion_id shuffle
+    # write into the events scan stage, so an under-split events table
+    # (3 splits at the ×10 upscale) serializes the pipeline's heaviest
+    # stage.  Interleaved A/B (n=3 minima, quiet): sf1.0 7.0→5.8 s,
+    # sf0.1 1.19→1.07 s.  r14's rejection of a probe-side fan-out was on
+    # the PLAIN sessions path (attr/journeys queries — unchanged here),
+    # whose per-row downstream work is far lighter.  No-op at scale.
+    sess_costed = fan_out_scan(roles.costed_sessions_from_events(events))
     j = jny.build_journeys(
         conversions,
         sess_costed,

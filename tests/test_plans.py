@@ -355,12 +355,15 @@ def test_sql_surface_plans_match_dataframe_surface(spark):
     authored the plan."""
     sql_plan = _plan(spark, "sql_channel_report")
     df_plan = _plan(spark, "channel_report")
-    # total Exchange count compared again (advice, round 14: the r14
-    # carve-out cited a sessions-scan fan-out the DataFrame flagship does
-    # not actually have — the two surfaces compile to the same shape,
-    # exchange for exchange)
+    # keyed shuffles and join strategies must match exactly.  Total
+    # Exchange may differ by AT MOST the DataFrame path's adaptive
+    # round-robin fan-out of the costed-sessions scan (landed r15 — a
+    # plain SQL string has no fan_out_scan equivalent; it is a no-op on
+    # well-split tables, where the counts are equal).  The r14 version of
+    # this carve-out cited a fan-out that did not exist (advice r14);
+    # this one is pinned to the actual plan: any surplus exchange must be
+    # RoundRobinPartitioning, never a keyed shuffle.
     for marker in (
-        "Exchange",
         "Exchange hashpartitioning",
         "SortMergeJoin",
         "BroadcastHashJoin",
@@ -369,6 +372,10 @@ def test_sql_surface_plans_match_dataframe_surface(spark):
             f"{marker}: SQL {sql_plan.count(marker)} vs "
             f"DataFrame {df_plan.count(marker)}"
         )
+    extra = df_plan.count("Exchange") - sql_plan.count("Exchange")
+    assert 0 <= extra <= 1, (sql_plan, df_plan)
+    if extra:
+        assert "RoundRobinPartitioning" in df_plan
 
 
 def test_sql_channel_report_values_equal_dataframe(spark):
