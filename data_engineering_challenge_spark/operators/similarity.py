@@ -582,13 +582,20 @@ def pq_encode(
     expression eval is slow at this arithmetic density).
 
     BIT-IDENTICAL to :func:`pq_encode_expr` by construction, not by
-    tolerance: the JVM fold computes ``(cast(float→double) − literal)²``
-    summed LEFT-TO-RIGHT in double, ties broken by FIRST minimum
-    (array_position); the kernel casts to float64 once, squares, and
-    accumulates sequentially over the sub-dimensions in float64 — the
-    same IEEE operations in the same order — and ``np.argmin`` takes the
-    first minimum.  NaN distances are mapped to +inf first (Spark orders
-    NaN greatest, so a NaN distance never wins array_min either).
+    tolerance (pinned by tests/test_scale_ops.py::test_pq_encode_kernel_
+    matches_expression): the JVM fold computes ``(cast(→double) −
+    literal)²`` summed LEFT-TO-RIGHT in double, ties broken by FIRST
+    minimum (array_position); the kernel decodes the vector at its NATIVE
+    width (float stays exact under the f32→f64 cast, double is used
+    as-is — never downcast), squares, and accumulates sequentially over
+    the sub-dimensions in float64 — the same IEEE operations in the same
+    order — and ``np.argmin`` takes the first minimum.  NaN distances map
+    to +inf first (Spark orders NaN greatest, so a NaN distance never
+    wins array_min either).  A NULL VECTOR row encodes as ``[NULL]*m``
+    (the expression twin's output); a NULL ELEMENT inside a vector fails
+    loudly (the expression twin would silently NULL that subspace's code
+    — out of the engine's non-null-embedding contract either way, and a
+    loud error beats a silently-wrong code).
 
     Only (id, vector) cross the Python boundary (pre-projected — an
     opaque function would otherwise defeat column pruning, guide §4.1);
@@ -607,25 +614,13 @@ def pq_encode(
         import pyarrow as pa
 
         cents = [np.asarray(b, dtype=np.float64) for b in books]  # (K, sub)
-        for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                continue
-            emb = batch.column(1)
-            if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
-                emb = emb.combine_chunks()
-            off = np.asarray(emb.offsets)
-            widths = np.diff(off)
-            if not (widths == m * sub).all():
-                raise ValueError(
-                    "pq_encode: vector length != m*sub for some row"
-                )
-            flat = np.asarray(emb.values, dtype=np.float32)
-            X = flat[off[0] : off[-1]].reshape(n, m * sub).astype(np.float64)
-            codes = np.empty((n, m), dtype=np.int32)
+
+        def _codes_for(X):
+            nn = X.shape[0]
+            codes = np.empty((nn, m), dtype=np.int32)
             for s in range(m):
                 S = X[:, s * sub : (s + 1) * sub]
-                D = np.empty((n, len(cents[s])), dtype=np.float64)
+                D = np.empty((nn, len(cents[s])), dtype=np.float64)
                 for j in range(len(cents[s])):
                     sq = S - cents[s][j]
                     sq *= sq
@@ -635,12 +630,65 @@ def pq_encode(
                     D[:, j] = acc
                 np.nan_to_num(D, copy=False, nan=np.inf)
                 codes[:, s] = np.argmin(D, axis=1)
-            offsets = pa.array(
-                np.arange(n + 1, dtype=np.int32) * m, type=pa.int32()
+            return codes
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column(1)
+            if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
+                emb = emb.combine_chunks()
+            off = np.asarray(emb.offsets)
+            widths = np.diff(off)
+            used = emb.values.slice(off[0], off[-1] - off[0])
+            if used.null_count:
+                raise ValueError(
+                    "pq_encode: NULL element inside an embedding vector"
+                )
+            valid = (
+                np.asarray(emb.is_valid()) if emb.null_count else None
             )
-            code_col = pa.ListArray.from_arrays(
-                offsets, pa.array(codes.ravel(), type=pa.int32())
-            )
+            bad = widths != m * sub
+            if (bad if valid is None else (bad & valid)).any():
+                raise ValueError(
+                    "pq_encode: vector length != m*sub for some row"
+                )
+            # native width → f64: exact for float input (same cast the
+            # JVM fold performs), identity for double input (which the
+            # JVM uses uncast) — never a lossy downcast
+            flat = np.asarray(emb.values).astype(np.float64)
+            if valid is None:
+                X = flat[off[0] : off[-1]].reshape(n, m * sub)
+                offsets = pa.array(
+                    np.arange(n + 1, dtype=np.int32) * m, type=pa.int32()
+                )
+                code_col = pa.ListArray.from_arrays(
+                    offsets, pa.array(_codes_for(X).ravel(), type=pa.int32())
+                )
+            else:
+                # NULL rows: emit [NULL]*m like the expression twin —
+                # valid rows' subvectors gather by their own offsets
+                starts = off[:-1][valid]
+                idx = (
+                    starts[:, None] + np.arange(m * sub)[None, :]
+                ).ravel()
+                X = flat[idx].reshape(int(valid.sum()), m * sub)
+                vc = _codes_for(X)
+                values: list = []
+                vi = 0
+                for r in range(n):
+                    if valid[r]:
+                        values.extend(int(c) for c in vc[vi])
+                        vi += 1
+                    else:
+                        values.extend([None] * m)
+                offsets = pa.array(
+                    np.arange(n + 1, dtype=np.int32) * m, type=pa.int32()
+                )
+                code_col = pa.ListArray.from_arrays(
+                    offsets, pa.array(values, type=pa.int32())
+                )
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), batch.column(1), code_col],
                 schema=pa.schema(
@@ -685,12 +733,20 @@ def _pq_query_table_arrow(
             emb = batch.column(1)
             off = np.asarray(emb.offsets)
             widths = np.diff(off)
+            if emb.null_count or emb.values.slice(
+                off[0], off[-1] - off[0]
+            ).null_count:
+                raise ValueError(
+                    "pq query table: NULL query vector or element"
+                )
             if not (widths == mm * sub).all():
                 raise ValueError(
                     "pq query table: vector length != m*sub for some row"
                 )
-            flat = np.asarray(emb.values, dtype=np.float32)
-            X = flat[off[0] : off[-1]].reshape(n, mm * sub).astype(np.float64)
+            # native width → f64 (exact for float, identity for double —
+            # never a lossy downcast)
+            flat = np.asarray(emb.values).astype(np.float64)
+            X = flat[off[0] : off[-1]].reshape(n, mm * sub)
             tbl = np.empty((n, mm * kk), dtype=np.float64)
             for s in range(mm):
                 Qs = X[:, s * sub : (s + 1) * sub]

@@ -128,6 +128,8 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
         files = df.inputFiles()
         if not files:
             return None
+        from urllib.parse import unquote
+
         sizes = []
         for u in files:
             p = u
@@ -135,6 +137,10 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
                 p = p[len("file:"):]
                 if p.startswith("//"):
                     p = p[2:]  # file:///x -> /x (empty authority)
+                # inputFiles() returns percent-encoded URIs — a path with
+                # a space ('test%20dir') must be decoded before stat, or
+                # the estimate silently degrades to no-op (review, r15)
+                p = unquote(p)
             elif "://" in p:
                 return None  # non-local FS: no cheap stat; no-op at scale
             sizes.append(os.path.getsize(p))

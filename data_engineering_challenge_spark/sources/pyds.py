@@ -101,16 +101,21 @@ class SyntheticEventsReader(DataSourceReader):
             yield _row(i)
 
 
-#: sessions that already registered each source (r15): a registration is
-#: a ~0.5 s py4j round trip and re-registering the same class is pure
-#: overhead — weak so restarted sessions re-register
+#: sessions that already registered each source CLASS (r15): a
+#: registration is a ~0.5 s py4j round trip and re-registering the same
+#: class is pure overhead — weak so restarted sessions re-register.
+#: Keyed by the class OBJECT, not its name: registering a DIFFERENT
+#: class under an already-seen name (tests swapping implementations)
+#: must still reach Spark and replace the old one (review, r15).
 _REGISTERED: dict = {}
 
 
 def _register_once(spark, cls) -> None:
+    """Shared per-session registration memo for every Python data source
+    in the engine (pyds + snapshot_source)."""
     import weakref
 
-    seen = _REGISTERED.setdefault(cls.name(), weakref.WeakSet())
+    seen = _REGISTERED.setdefault(cls, weakref.WeakSet())
     if spark in seen:
         return
     spark.dataSource.register(cls)

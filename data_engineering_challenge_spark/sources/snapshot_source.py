@@ -1051,27 +1051,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
         pass
 
 
-_REGISTERED_SESSIONS: "weakref.WeakSet" = None  # type: ignore[assignment]
-
-
 def register_snapshot_source(spark) -> None:
     """Idempotent registration of the ``snapshot_table`` format.
 
-    Cached per SparkSession (r15): ``spark.dataSource.register`` is a
-    py4j round trip + worker-side pickling costing ~0.5 s per call, and
-    every streaming/replication composition called it — a long-lived
-    session re-registering the SAME class each time paid it dozens of
-    times per registry sweep.  Weak on the session so restarts
-    re-register."""
-    global _REGISTERED_SESSIONS
-    import weakref
+    Cached per (session, class) via the shared `pyds._register_once`
+    memo (r15): ``spark.dataSource.register`` is a py4j round trip +
+    worker-side pickling costing ~0.5 s per call, and every streaming/
+    replication composition called it — a long-lived session
+    re-registering the SAME class each time paid it dozens of times per
+    registry sweep.  Weak on the session so restarts re-register; a
+    DIFFERENT class under the same name still reaches Spark."""
+    from .pyds import _register_once
 
-    if _REGISTERED_SESSIONS is None:
-        _REGISTERED_SESSIONS = weakref.WeakSet()
-    if spark in _REGISTERED_SESSIONS:
-        return
-    spark.dataSource.register(SnapshotTableDataSource)
-    _REGISTERED_SESSIONS.add(spark)
+    _register_once(spark, SnapshotTableDataSource)
 
 
 def replicate_snapshot_table(

@@ -4478,55 +4478,10 @@ def compact_delete_files(spark: SparkSession, root: str) -> int:
                     "compact_delete_files: a delete key is named _seq — "
                     "collides with the merged list's sequence column"
                 )
-            # batch the reads per physical schema (r15, same shape as
-            # read_snapshot_mor): one inference job per subgroup, per-file
-            # sequences re-attached from a literal suffix→seq map
-            side = None
-            subgroups: dict[tuple, list[dict]] = {}
-            for d in dels:
-                subgroups.setdefault(
-                    (d.get("kind") == "equality-multi", tuple(d["keys"])), []
-                ).append(d)
-            for (is_multi, _phys), sub in subgroups.items():
-                sufs = ["/".join(d["file"].split(os.sep)[-2:]) for d in sub]
-                if len(set(sufs)) != len(sufs):  # pragma: no cover
-                    for d in sub:
-                        one = spark.read.parquet(
-                            os.path.join(root, d["file"])
-                        )
-                        if not is_multi:
-                            one = one.withColumn(
-                                "_seq", F.lit(int(d["seq"]))
-                            )
-                        one = _project_delete_keys(
-                            one, d, key_tuple, keep=["_seq"]
-                        )
-                        side = (
-                            one if side is None else side.unionByName(one)
-                        )
-                    continue
-                one = spark.read.parquet(
-                    *[os.path.join(root, d["file"]) for d in sub]
-                )
-                if is_multi:
-                    pass  # _seq already per-row
-                elif len(sub) == 1:
-                    one = one.withColumn("_seq", F.lit(int(sub[0]["seq"])))
-                else:
-                    dparts = F.split(F.col("_metadata.file_path"), "/")
-                    dsuf = F.concat_ws(
-                        "/", *[F.element_at(dparts, k) for k in (-2, -1)]
-                    )
-                    pairs: list = []
-                    for d, s in zip(sub, sufs):
-                        pairs.extend([F.lit(s), F.lit(int(d["seq"]))])
-                    one = one.withColumn(
-                        "_seq", F.element_at(F.create_map(*pairs), dsuf)
-                    )
-                one = _project_delete_keys(
-                    one, sub[0], key_tuple, keep=["_seq"]
-                )
-                side = one if side is None else side.unionByName(one)
+            # batched per physical schema with per-file sequences from
+            # the suffix→seq map — shared core with read_snapshot_mor
+            # (r15; `_read_delete_lists`)
+            side = _read_delete_lists(spark, root, dels, key_tuple, "_seq")
             # max sequence per key: a later delete of the same key
             # subsumes the earlier one exactly (kills strictly more)
             merged = side.groupBy(*key_tuple).agg(
@@ -5348,6 +5303,68 @@ def _resolve_delete_keys(m: dict, d: dict) -> tuple[str, ...]:
     return tuple(out)
 
 
+def _read_delete_lists(spark, root: str, dels: list, key_tuple, seq_out: str):
+    """ONE seq-attached DataFrame for a key group's equality-delete lists
+    — the shared read core of `read_snapshot_mor` and
+    `compact_delete_files` (r15; extracted after review so the two paths
+    cannot drift on which rows a delete kills).
+
+    Files are batched per (kind, physical-schema) subgroup into a single
+    ``spark.read.parquet`` call (each call is a schema-inference driver
+    job, so a table with N merge commits used to pay N reads per
+    composition); per-file sequences re-attach from a literal suffix→seq
+    map over ``_metadata.file_path`` — bounded by the delete-file count
+    (commits since compaction), never table size.  ``equality-multi``
+    lists (minor-compacted) carry their sequences PER ROW and only need
+    the rename.  A suffix collision (uuid dirs — practically impossible,
+    but a wrong seq would kill wrong rows) falls back to per-file reads.
+    ``seq_out`` is the caller's sequence column name; keys are projected
+    to the current logical names via `_project_delete_keys`."""
+    from pyspark.sql import functions as F
+
+    side = None
+    subgroups: dict[tuple, list[dict]] = {}
+    for d in dels:
+        subgroups.setdefault(
+            (d.get("kind") == "equality-multi", tuple(d["keys"])), []
+        ).append(d)
+    for (is_multi, _phys), sub in subgroups.items():
+        sufs = ["/".join(d["file"].split(os.sep)[-2:]) for d in sub]
+        if len(set(sufs)) != len(sufs):  # pragma: no cover - uuid dirs
+            for d in sub:
+                one = spark.read.parquet(os.path.join(root, d["file"]))
+                if is_multi:
+                    if seq_out != "_seq":
+                        one = one.withColumnRenamed("_seq", seq_out)
+                else:
+                    one = one.withColumn(seq_out, F.lit(int(d["seq"])))
+                one = _project_delete_keys(one, d, key_tuple, keep=[seq_out])
+                side = one if side is None else side.unionByName(one)
+            continue
+        one = spark.read.parquet(
+            *[os.path.join(root, d["file"]) for d in sub]
+        )
+        if is_multi:
+            if seq_out != "_seq":
+                one = one.withColumnRenamed("_seq", seq_out)
+        elif len(sub) == 1:
+            one = one.withColumn(seq_out, F.lit(int(sub[0]["seq"])))
+        else:
+            dparts = F.split(F.col("_metadata.file_path"), "/")
+            dsuf = F.concat_ws(
+                "/", *[F.element_at(dparts, k) for k in (-2, -1)]
+            )
+            pairs: list = []
+            for d, s in zip(sub, sufs):
+                pairs.extend([F.lit(s), F.lit(int(d["seq"]))])
+            one = one.withColumn(
+                seq_out, F.element_at(F.create_map(*pairs), dsuf)
+            )
+        one = _project_delete_keys(one, sub[0], key_tuple, keep=[seq_out])
+        side = one if side is None else side.unionByName(one)
+    return side
+
+
 def _project_delete_keys(df, d: dict, key_tuple, keep=()):
     """Project a delete LIST's physical key columns to the current
     logical names — positional: ``keys`` and ``key_ids`` are aligned
@@ -5490,56 +5507,12 @@ def read_snapshot_mor(
     out_cols = [c for c in data.columns if c not in internal]
     data = data.join(F.broadcast(seq_map), rel_c)
     # equality deletes: group by key set (usually one); anti-join each
-    # with the sequence rule (delete kills only lower-seq data).  Files
-    # sharing a physical schema are read in ONE spark.read.parquet call
-    # (r15: each read is a schema-inference driver job, so a table with
-    # N merge commits paid N reads per composition); per-file sequences
-    # are re-attached from a literal suffix→seq map over
-    # ``_metadata.file_path`` — bounded by the delete-file count (commits
-    # since compaction), never table size
+    # with the sequence rule (delete kills only lower-seq data).  The
+    # lists are read batched per physical schema with per-file sequences
+    # from a _metadata suffix→seq map — `_read_delete_lists` (r15), the
+    # shared core with compact_delete_files
     for key_tuple, dels in by_keys.items():
-        side = None
-        subgroups: dict[tuple, list[dict]] = {}
-        for d in dels:
-            subgroups.setdefault(
-                (d.get("kind") == "equality-multi", tuple(d["keys"])), []
-            ).append(d)
-        for (is_multi, _phys), sub in subgroups.items():
-            paths = [os.path.join(root, d["file"]) for d in sub]
-            sufs = ["/".join(d["file"].split(os.sep)[-2:]) for d in sub]
-            if len(set(sufs)) != len(sufs):  # pragma: no cover - uuid dirs
-                # suffix collision: cannot key the seq map — fall back
-                # to per-file reads for this subgroup
-                for d in sub:
-                    one = spark.read.parquet(os.path.join(root, d["file"]))
-                    if is_multi:
-                        one = one.withColumnRenamed("_seq", dseq_c)
-                    else:
-                        one = one.withColumn(dseq_c, F.lit(int(d["seq"])))
-                    one = _project_delete_keys(one, d, key_tuple, keep=[dseq_c])
-                    side = one if side is None else side.unionByName(one)
-                continue
-            one = spark.read.parquet(*paths)
-            if is_multi:
-                # minor-compacted lists (compact_delete_files) carry
-                # their sequences PER ROW — the merge of several
-                # commits' key lists into one file
-                one = one.withColumnRenamed("_seq", dseq_c)
-            elif len(sub) == 1:
-                one = one.withColumn(dseq_c, F.lit(int(sub[0]["seq"])))
-            else:
-                dparts = F.split(F.col("_metadata.file_path"), "/")
-                dsuf = F.concat_ws(
-                    "/", *[F.element_at(dparts, k) for k in (-2, -1)]
-                )
-                pairs: list = []
-                for d, s in zip(sub, sufs):
-                    pairs.extend([F.lit(s), F.lit(int(d["seq"]))])
-                one = one.withColumn(
-                    dseq_c, F.element_at(F.create_map(*pairs), dsuf)
-                )
-            one = _project_delete_keys(one, sub[0], key_tuple, keep=[dseq_c])
-            side = one if side is None else side.unionByName(one)
+        side = _read_delete_lists(spark, root, dels, key_tuple, dseq_c)
         for k in key_tuple:
             rng = (_eq_delete_ranges or {}).get(k)
             if rng is not None:

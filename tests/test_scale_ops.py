@@ -622,6 +622,35 @@ def test_pq_exact_on_quantized_vectors(spark):
     assert len(exact) == 5
 
 
+def test_pq_encode_kernel_matches_expression(spark):
+    """The mapInArrow encode kernel is BIT-identical to the expression
+    fold it replaced (r15) — pinned on the real float corpus, on an
+    array<double> corpus (the kernel must decode at native width, never
+    downcast — review r15), and on NULL-vector rows (the expression twin
+    yields [NULL]*m)."""
+    from data_engineering_challenge_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = sim.pq_train_codebooks(emb, m=8, codebook_k=16, dim=64)
+    a = {r.vec_id: list(r.pq_code) for r in sim.pq_encode_expr(emb, books).collect()}
+    b = {r.vec_id: list(r.pq_code) for r in sim.pq_encode(emb, books).collect()}
+    assert a == b
+    # array<double> corpus: a centroid pair straddling a float32 rounding
+    # boundary — a downcasting kernel picks the wrong centroid
+    dbooks = [[[1.0], [1.0000002384185791]]] + [[[0.0], [1.0]]] * 0
+    mid = (1.0 + 1.0000002384185791) / 2
+    ddf = spark.createDataFrame(
+        [(1, [mid + 1e-12]), (2, [0.9]), (3, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    da = {r.vec_id: list(r.pq_code)
+          for r in sim.pq_encode_expr(ddf, dbooks).collect()}
+    db = {r.vec_id: list(r.pq_code)
+          for r in sim.pq_encode(ddf, dbooks).collect()}
+    assert da == db, (da, db)
+    assert da[3] == [None]  # NULL vector -> [NULL]*m on both paths
+
+
 def test_pq_recall_vs_exact(spark):
     """Recall@5 of PQ against the exact cosine ranking on the real
     embeddings — the approximation must find most true neighbors (the
